@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+
+import graft.functions._
+
+/** Registers graft's native Catalyst expressions for SQL use
+  * (`SELECT graft_title(x) ...`). Attach with
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or via
+  * `spark.sql.extensions=graft.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    def fn(name: String, build: Seq[Expression] => Expression): Unit =
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft", name),
+        build))
+
+    fn("graft_title", exprs => PyTitleExpr(exprs.head, strip = false))
+    fn("graft_strip_title", exprs => PyTitleExpr(exprs.head, strip = true))
+    fn("graft_infer_date", exprs => FuzzyDateExpr(exprs.head))
+    fn("graft_vec_dot", exprs => VectorDotExpr(exprs(0), exprs(1)))
+    fn("graft_vec_cosine", exprs => VectorCosineExpr(exprs(0), exprs(1)))
+    fn("graft_vec_norm", exprs => VectorNormExpr(exprs.head))
+  }
+}
+
+/** Canonical session factory. local[32] mirrors the test harness; on a real
+  * cluster the same config object is what spark-submit would carry, with
+  * shuffle partitions sized to ~2-3× total cores and AQE left on to coalesce
+  * and re-plan at runtime.
+  */
+object GraftSession {
+  def builder(master: String = "local[32]", shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  def get(master: String = "local[32]"): SparkSession = {
+    val s = builder(master).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

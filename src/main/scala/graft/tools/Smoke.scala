@@ -1,0 +1,49 @@
+package graft.tools
+
+import graft._
+import graft.functions.{Transforms => T}
+import org.apache.spark.sql.functions._
+
+/** End-to-end smoke drive of the public library surface against real testdata.
+  * Run: `sbt "runMain graft.tools.Smoke"` (optionally pass an sf dir).
+  */
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = GraftSession.get("local[4]")
+    import spark.implicits._
+
+    // 1. Column API over a real parquet table (codegen path, real scan)
+    val part = spark.read.parquet(s"$sfDir/part.parquet")
+    val cleaned = part.select(
+      col("p_partkey"),
+      T.cleanDescription(col("p_name")).as("clean_name"),
+      T.cleanProviderName(col("p_brand")).as("clean_brand"),
+      T.extractMeasureAndUnit(concat(col("p_name"), lit(" "), col("p_size"), lit("g x 4 (G13)"))).as("mu"),
+      T.extractIva(concat(col("p_name"), lit(" (G13)"))).as("iva"),
+      T.cleanPrice(lit("$ 1.500,50")).as("price"),
+      T.inferDate(lit("15/03/2024")).as("dt"))
+    cleaned.show(5, false)
+
+    // 2. SQL path via GraftExtensions registration
+    spark.read.parquet(s"$sfDir/documents.parquet").createOrReplaceTempView("documents")
+    spark.sql(
+      "SELECT doc_id, graft_title(substr(text,1,30)) t, graft_infer_date('March 5, 2024') d " +
+        "FROM documents LIMIT 3").show(false)
+
+    // 3. vector kernels over real embeddings
+    spark.read.parquet(s"$sfDir/embeddings.parquet").limit(3)
+      .select(col("vec_id"), T.vecNorm(col("embedding")).as("nrm"),
+        T.vecCosine(col("embedding"), col("embedding")).as("self_cos"))
+      .show(false)
+
+    // 4. nulls / garbage through the whole chain
+    Seq(("x", null: String), ("y", "not a date")).toDF("k", "v")
+      .select(T.inferDate($"v").as("d"), T.cleanPrice($"v").as("p"), T.cleanProviderName($"v").as("n"))
+      .show(false)
+
+    // 5. plan check: transforms should be one codegen'd projection over the scan
+    cleaned.explain("formatted")
+    spark.stop()
+  }
+}
