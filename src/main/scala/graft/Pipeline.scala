@@ -1,0 +1,146 @@
+package graft
+
+import graft.model.Schemas
+import graft.model.Schemas.{FileStatus, InvoiceProcessingResult, ProcessingResult, StagingSummary}
+import graft.operators._
+import graft.sources.{CsvSource, InvoiceExtractor, Warehouse}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** End-to-end orchestrator mirroring the reference's entry points
+  * (SURVEY.md §3):
+  *   - EP1 `processCsv`       ≈ process_csv_from_stream (etl_orchestrator.py:280-350)
+  *   - EP2 `processInvoice`   ≈ process_invoice_image (:369-415)
+  *   - EP3 `processCsvPath`   ≈ process_csv_from_blob (:352-366)
+  *   - EP4 `validateCsv`      ≈ process_csv_from_string (:418-464)
+  *
+  * Steps 5-9 of EP1 (parse → canonicalize → transform → staging) stay one
+  * lazy logical plan; only the merge layer and the ledger touch storage.
+  */
+class Pipeline(val spark: SparkSession, val wh: Warehouse) {
+
+  val ledger = new Ledger(wh)
+
+  final case class Dims(provider: DataFrame, product: DataFrame, providerProduct: DataFrame,
+      unitOfMeasure: DataFrame, providerSynonym: DataFrame, uomAcronym: DataFrame)
+
+  private def dims: Dims = Dims(
+    provider = wh.read("dims/Provider", Schemas.provider),
+    product = wh.read("dims/Product", Schemas.product),
+    providerProduct = wh.read("dims/Provider_Product", Schemas.providerProduct),
+    unitOfMeasure = wh.read("dims/UnitOfMeasure", Schemas.unitOfMeasure),
+    providerSynonym = wh.read("lookup/ProviderSynonym", Schemas.providerSynonym),
+    uomAcronym = wh.read("lookup/UnitOfMeasureAcronym", Schemas.unitOfMeasureAcronym))
+
+  /** EP1 steps 6-10 on an already-parsed raw frame; returns staging counts. */
+  def runBatch(raw: DataFrame): StagingSummary = {
+    val batchGuid = java.util.UUID.randomUUID().toString // F16, per-batch constant
+
+    val transformed = TransformPipeline(Canonicalize.canonicalize(Canonicalize.dropJunkColumns(raw)))
+    val batch = Staging.build(transformed, batchGuid)
+
+    // persist staging (batch-scoped, mirrors Staging.* tables; cleaned below)
+    val stagingDir = s"staging/$batchGuid"
+    wh.append(s"$stagingDir/Provider", batch.provider)
+    wh.append(s"$stagingDir/Product", batch.product)
+    wh.append(s"$stagingDir/Provider_Product", batch.providerProduct)
+    val sp = wh.spark.read.parquet(wh.path(s"$stagingDir/Provider"))
+    val spr = wh.spark.read.parquet(wh.path(s"$stagingDir/Product"))
+    val spp = wh.spark.read.parquet(wh.path(s"$stagingDir/Provider_Product"))
+    val summary = StagingSummary(sp.count(), spr.count(), spp.count())
+
+    // merge staging → dims (J1-J5), in dependency order
+    val d = dims
+    val newUom = Merge.mergeUnitsOfMeasure(d.unitOfMeasure, d.uomAcronym, spr).cache()
+    newUom.count()
+    wh.replace("dims/UnitOfMeasure", newUom)
+
+    val newProvider = Merge.mergeProviders(d.provider, d.providerSynonym, sp).cache()
+    newProvider.count()
+    wh.replace("dims/Provider", newProvider)
+
+    val d2 = dims
+    val newProduct = Merge.mergeProducts(d2.product, d2.unitOfMeasure, d.uomAcronym, spr).cache()
+    newProduct.count()
+    wh.replace("dims/Product", newProduct)
+
+    val d3 = dims
+    val newPP = Merge.mergeProviderProducts(
+      d3.providerProduct, d3.provider, d.providerSynonym, d3.product, spp).cache()
+    newPP.count()
+    wh.replace("dims/Provider_Product", newPP)
+
+    // post-merge staging cleanup (etl_orchestrator.py:182-184)
+    wh.delete(stagingDir)
+    summary
+  }
+
+  /** EP1 — full CSV pipeline with ledger lifecycle (skip-if-done, 2 → 3/4). */
+  def processCsv(raw: DataFrame, container: String, fileName: String): ProcessingResult = {
+    if (ledger.statusOf(container, fileName) == FileStatus.Success)
+      return ProcessingResult(status = true, s"File $fileName already processed successfully, skipping")
+
+    ledger.markInProgress(container, fileName)
+    try {
+      if (raw.isEmpty) {
+        ledger.setStatus(container, fileName, FileStatus.Failed)
+        return ProcessingResult(status = false, "CSV file is empty")
+      }
+      val summary = runBatch(raw)
+      ledger.setStatus(container, fileName, FileStatus.Success)
+      ProcessingResult(status = true,
+        s"Processed $fileName: providers=${summary.providers} products=${summary.products} provider_products=${summary.providerProducts}")
+    } catch {
+      case e: Exception =>
+        ledger.setStatus(container, fileName, FileStatus.Failed)
+        ProcessingResult(status = false, s"Error processing $fileName: ${e.getMessage}")
+    }
+  }
+
+  /** EP3 — CSV from a path (the blob-download entry point). */
+  def processCsvPath(path: String, container: String = "products"): ProcessingResult = {
+    val name = new org.apache.hadoop.fs.Path(path).getName
+    processCsv(CsvSource.readPath(spark, path), container, name)
+  }
+
+  /** EP2 — invoice image → extractor → persisted CSV → same pipeline.
+    * Note: like the reference, this path skips the ledger (no idempotency
+    * for images, etl_orchestrator.py:369-415).
+    */
+  def processInvoice(imageContent: Array[Byte], imageName: String,
+      extractor: InvoiceExtractor,
+      outputContainer: String = "products-from-invoices"): InvoiceProcessingResult = {
+    try {
+      val csvText = InvoiceExtractor.stripMarkdownFence(extractor.extract(imageContent, imageName))
+      val raw = CsvSource.readString(spark, csvText)
+      if (raw.isEmpty)
+        return InvoiceProcessingResult(status = false,
+          s"No products extracted from $imageName", 0, None, None)
+
+      val csvName = imageName.replaceAll("\\.[^.]+$", "") + "_extracted.csv"
+      // S11 — persist the extracted table as a single CSV artifact
+      raw.coalesce(1).write.mode("overwrite").option("header", "true")
+        .csv(wh.path(s"$outputContainer/$csvName"))
+
+      val n = raw.count()
+      runBatch(raw)
+      InvoiceProcessingResult(status = true,
+        s"Extracted and processed $n products from $imageName", n, Some(csvName), Some(outputContainer))
+    } catch {
+      case e: Exception =>
+        InvoiceProcessingResult(status = false,
+          s"Error processing invoice $imageName: ${e.getMessage}", 0, None, None)
+    }
+  }
+
+  /** EP4 — header validation + store only (csv-from-string). */
+  def validateCsv(csvText: String, fileName: String,
+      container: String = "products-upload"): ProcessingResult = {
+    val df = CsvSource.readString(spark, csvText)
+    val v = Canonicalize.validateHeaders(df.columns.toIndexedSeq)
+    if (!v.ok) return ProcessingResult(status = false, v.message)
+    df.coalesce(1).write.mode("overwrite").option("header", "true")
+      .csv(wh.path(s"$container/$fileName"))
+    ProcessingResult(status = true,
+      if (v.extra.nonEmpty) v.message else s"Stored $fileName")
+  }
+}

@@ -1,0 +1,68 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Local-FS/HDFS warehouse of parquet tables, standing in for the reference's
+  * SQL Server database (SURVEY.md §7 design stance: storage specifics are
+  * connector details, not engine semantics — on a production deployment this
+  * trait boundary is where a Delta/iceberg catalog or JDBC sink plugs in).
+  *
+  * `replace` handles the read-modify-write cycle the merge layer needs:
+  * Spark cannot overwrite a path it is still reading, so the new contents are
+  * written to a temp dir first and swapped in with FileSystem renames — the
+  * dims are small (per SURVEY §2.6 every merge side is dimension-sized), so
+  * the swap is cheap even at 100 TB fact scale.
+  */
+class Warehouse(val spark: SparkSession, val root: String) {
+
+  private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def path(table: String): String = s"$root/$table"
+
+  def exists(table: String): Boolean = fs.exists(new Path(path(table)))
+
+  /** Read a table; empty frame with the declared schema when absent. */
+  def read(table: String, schema: StructType): DataFrame =
+    if (exists(table)) spark.read.schema(schema).parquet(path(table))
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  def append(table: String, df: DataFrame): Unit =
+    withRetry()(df.write.mode(SaveMode.Append).parquet(path(table)))
+
+  /** Atomically replace a table's contents (safe when `df` reads the old
+    * contents): write to `.tmp`, then swap directories.
+    */
+  def replace(table: String, df: DataFrame): Unit = withRetry() {
+    val target = new Path(path(table))
+    val tmp = new Path(s"$root/.tmp/$table-${java.util.UUID.randomUUID()}")
+    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val old = new Path(s"$root/.tmp/$table-old-${java.util.UUID.randomUUID()}")
+    if (fs.exists(target)) fs.rename(target, old)
+    fs.mkdirs(target.getParent)
+    if (!fs.rename(tmp, target)) throw new java.io.IOException(s"swap failed for $table")
+    if (fs.exists(old)) fs.delete(old, true)
+  }
+
+  def delete(table: String): Unit = fs.delete(new Path(path(table)), true)
+
+  /** Connection "awakening" retry: ≤3 attempts, exponential backoff 1s, 2s —
+    * mirrors core/database.py:38-50 as a sink-connector concern.
+    */
+  def withRetry[T](attempts: Int = 3, firstBackoffMs: Long = 1000)(f: => T): T = {
+    var backoff = firstBackoffMs
+    var remaining = attempts
+    while (true) {
+      try return f
+      catch {
+        case e: Exception =>
+          remaining -= 1
+          if (remaining <= 0) throw e
+          Thread.sleep(backoff)
+          backoff *= 2
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}

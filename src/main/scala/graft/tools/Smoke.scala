@@ -44,6 +44,22 @@ object Smoke {
 
     // 5. plan check: transforms should be one codegen'd projection over the scan
     cleaned.explain("formatted")
+
+    // 6. full ETL pipeline drive: CSV string → staged → merged dims in a temp warehouse
+    val wh = new graft.sources.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft-smoke-wh-").toString)
+    val pipe = new graft.Pipeline(spark, wh)
+    val csv = "Producto,Fecha 1,Provedor,Precio,,,,\n" +
+      "Aceite Capullo 500ml *,07/03/2025,Vicente,1.347,,,,\n" +
+      "Arroz Premium 1kg x 12,07/03/2025,DosPinos,2.500,,,,\n" +
+      "Arroz Premium 1kg x 12,08/03/2025,Dos Pinos,2.600,,,,\n"
+    val res = pipe.processCsv(graft.sources.CsvSource.readString(spark, csv), "smoke", "lista.csv")
+    println(s"pipeline: ${res.status} ${res.message}")
+    println("-- Provider dim --")
+    wh.read("dims/Provider", graft.model.Schemas.provider).show(false)
+    println("-- Provider_Product dim --")
+    wh.read("dims/Provider_Product", graft.model.Schemas.providerProduct).show(false)
+    println(s"rerun skips: ${pipe.processCsv(graft.sources.CsvSource.readString(spark, csv), "smoke", "lista.csv").message}")
     spark.stop()
   }
 }
