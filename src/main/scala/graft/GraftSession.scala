@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fn("graft_title", exprs => PyTitleExpr(exprs.head, strip = false))
     fn("graft_strip_title", exprs => PyTitleExpr(exprs.head, strip = true))
     fn("graft_infer_date", exprs => FuzzyDateExpr(exprs.head))
+    fn("graft_simhash", exprs => SimHashExpr(exprs.head))
     fn("graft_vec_dot", exprs => VectorDotExpr(exprs(0), exprs(1)))
     fn("graft_vec_cosine", exprs => VectorCosineExpr(exprs(0), exprs(1)))
     fn("graft_vec_norm", exprs => VectorNormExpr(exprs.head))

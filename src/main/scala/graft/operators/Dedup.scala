@@ -1,0 +1,147 @@
+package graft.operators
+
+import graft.functions.{SimHashExpr, Transforms}
+import graft.operators.TextOps._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.shims
+
+/** Deduplication operators for training-data pipelines, each designed around
+  * its 100 TB shape:
+  *
+  *   - exact: hash-groupBy — one shuffle on a 32-byte key, partial-agg
+  *     collapses duplicates map-side.
+  *   - MinHash + LSH: per-doc signature is a narrow projection; candidate
+  *     generation shuffles (band, bandKey) pairs — rows ≈ docs × bands, keys
+  *     are uniform hashes so no skew; the quadratic step only happens inside
+  *     a bucket.
+  *   - SimHash: one 8-byte sketch per doc (single-pass custom expression);
+  *     near-dup check is a self-join on sketch bands or a bit-flip probe.
+  *   - n-gram Jaccard: explode distinct shingles → self-join on shingle —
+  *     the exact-verification step usually run AFTER MinHash candidates at
+  *     scale (here also exposed standalone).
+  *   - embedding cosine: see Similarity for the ANN path; the threshold pair
+  *     scan here is the verification kernel.
+  *
+  * All hash math uses md5-based primitives reproducible in the SQL oracle.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by full-text hash: keeps min doc id as canonical. */
+  def exactGroups(df: DataFrame, id: String, text: String): DataFrame =
+    df.groupBy(sha2(col(text), 256).as("text_sha"))
+      .agg(
+        min(col(id)).as("keep_id"),
+        count(lit(1)).as("n_copies"))
+
+  /** Exact-dedup projection: one row per distinct text (min-id winner). */
+  def exactDedup(df: DataFrame, id: String, text: String): DataFrame =
+    df.withColumn("text_sha", sha2(col(text), 256))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("text_sha")).orderBy(col(id))))
+      .filter(col("rn") === 1)
+      .drop("rn", "text_sha")
+
+  /** Fixed universal-hash parameters for the MinHash permutations — literal
+    * constants so the SQL oracle states the identical numbers.
+    */
+  val MinHashA: Seq[Long] = Seq(1000003L, 1100021L, 1200049L, 1300021L, 1400017L, 1500007L, 1600033L, 1700021L)
+  val MinHashB: Seq[Long] = Seq(12345L, 23456L, 34567L, 45678L, 56789L, 67890L, 78901L, 89012L)
+
+  /** MinHash value for permutation i over the distinct k-shingle set:
+    * min over shingles of (a_i * h31(s) + b_i) mod (2^31-1).
+    */
+  def minhash(text: Column, k: Int, i: Int): Column =
+    array_min(transform(distinctShingles(text, k),
+      s => pmod(lit(MinHashA(i)) * h31(s) + lit(MinHashB(i)), lit(P31))))
+
+  /** Per-doc signature frame: mh0..mh{n-1} columns (one narrow projection). */
+  def minhashSignatures(df: DataFrame, id: String, text: String, k: Int = 5,
+      numHashes: Int = 8): DataFrame = {
+    val sigCols = (0 until numHashes).map(i => minhash(col(text), k, i).as(s"mh$i"))
+    df.select(col(id) +: sigCols: _*)
+  }
+
+  /** LSH banding: with `rowsPerBand` signature values per band, docs sharing
+    * any band key become candidate pairs. Returns (id_a, id_b) with a < b.
+    */
+  def lshCandidatePairs(df: DataFrame, id: String, text: String, k: Int = 5,
+      numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val sigs = minhashSignatures(df, id, text, k, numHashes)
+    val numBands = numHashes / rowsPerBand
+    val bandCols = (0 until numBands).map { b =>
+      val key = concat_ws("_",
+        (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
+      struct(lit(b).as("band"), key.as("key"))
+    }
+    val banded = sigs
+      .select(col(id), explode(array(bandCols: _*)).as("bk"))
+      .select(col(id), col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col(s"a.$id") < col(s"b.$id"))
+      .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"))
+      .distinct()
+  }
+
+  /** 60-bit SimHash sketch column (custom single-pass expression). */
+  def simhash(text: Column): Column = shims.column(SimHashExpr(shims.expression(text)))
+
+  /** SimHash near-dup pairs: candidates via 4×15-bit band equality (two
+    * sketches within Hamming ≤ 3 of each other share a band with high
+    * probability), verified by exact Hamming distance ≤ `maxHamming`.
+    */
+  def simhashPairs(df: DataFrame, id: String, text: String, maxHamming: Int = 3): DataFrame = {
+    val sk = df.select(col(id), simhash(col(text)).as("sk"))
+    val banded = sk.select(col(id), col("sk"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"), shiftright(col("sk"), b * 15).bitwiseAND(lit(0x7fffL)).as("key"))): _*)).as("bk"))
+      .select(col(id), col("sk"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col(s"a.$id") < col(s"b.$id"))
+      .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"),
+        col("a.sk").as("sk_a"), col("b.sk").as("sk_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sk_a").bitwiseXOR(col("sk_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** n-gram Jaccard similarity for all pairs with at least one shared
+    * shingle: |A∩B| / (|A|+|B|-|A∩B|), computed distributively via a
+    * shingle-equality self-join (candidate generation + verification in one).
+    */
+  def ngramJaccardPairs(df: DataFrame, id: String, text: String, k: Int = 3,
+      minJaccard: Double = 0.0): DataFrame = {
+    val sh = df.select(col(id), explode(distinctShingles(col(text), k)).as("sh"))
+    val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("sz"))
+    val inter = sh.alias("a").join(sh.alias("b"),
+        col("a.sh") === col("b.sh") && col(s"a.$id") < col(s"b.$id"))
+      .groupBy(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(id).as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col(id).as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Embedding near-duplicate pairs above a cosine threshold (verification
+    * kernel; use Similarity.ivfTopK for candidate generation at scale).
+    */
+  def embeddingNearDupPairs(df: DataFrame, id: String, vec: String,
+      threshold: Double): DataFrame = {
+    val a = df.select(col(id).as("id_a"), col(vec).as("v_a"))
+    val b = df.select(col(id).as("id_b"), col(vec).as("v_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", round(Transforms.vecCosine(col("v_a"), col("v_b")), 4))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+}

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video travel as opaque `binary`
+  * columns beside a typed metadata struct; decode / feature-extraction runs
+  * batched per partition so a native decoder (libjpeg/ffmpeg/torchcodec in a
+  * real deployment) is initialized once per task, not per row — the Scala
+  * analogue of a Pandas-UDF-over-`mapInPandas` stage.
+  *
+  * The decode step itself is STUBBED (this container has no media codecs):
+  * [[MediaDecoder.DeterministicStub]] derives a fake-but-stable feature
+  * vector and fake dimensions from the bytes, so the Spark-side plumbing —
+  * schema, batching, partitioning, output shape — is fully real and tested,
+  * and swapping in a true codec touches exactly one trait impl.
+  */
+object Multimodal {
+
+  val mediaMetaType: StructType = StructType(Seq(
+    StructField("kind", StringType),        // image | audio | video
+    StructField("content_length", LongType),
+    StructField("content_sha", StringType)))
+
+  val featureType: StructType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("feature", ArrayType(FloatType))))
+
+  /** Media decoder boundary. Real impls bind a native codec; init is per
+    * partition (see extractFeatures).
+    */
+  trait MediaDecoder extends Serializable {
+    def decode(kind: String, bytes: Array[Byte]): Row // featureType-shaped
+  }
+
+  object MediaDecoder {
+    /** Deterministic stand-in: dimensions and an 8-dim feature vector derived
+      * from content bytes. STUB — replace with a codec-backed impl to run on
+      * real media; everything around it is production plumbing.
+      */
+    object DeterministicStub extends MediaDecoder {
+      override def decode(kind: String, bytes: Array[Byte]): Row = {
+        val h = java.util.Arrays.hashCode(bytes)
+        val w = 16 + math.abs(h % 1024)
+        val ht = 16 + math.abs((h / 1024) % 1024)
+        val frames = if (kind == "video") 1 + math.abs(h % 300) else 1
+        val feat = Array.tabulate(8)(i => ((h >>> (i * 4)) & 0xff) / 255.0f)
+        Row(w, ht, frames, feat.toSeq)
+      }
+    }
+  }
+
+  /** Wrap a table with a synthetic binary payload column (test/demo path:
+    * the "media" is the utf-8 text itself). Real ingestion reads
+    * `spark.read.format("binaryFile")` or parquet with a binary column.
+    */
+  def withSyntheticMedia(df: DataFrame, textCol: String, kind: String = "image"): DataFrame =
+    df.withColumn("content", encode(col(textCol), "UTF-8"))
+      .withColumn("media_meta", struct(
+        lit(kind).as("kind"),
+        length(col("content")).cast(LongType).as("content_length"),
+        sha2(col("content"), 256).as("content_sha")))
+
+  /** Batched per-partition decode: one decoder per task, rows streamed
+    * through it. Output = input id + featureType columns.
+    */
+  def extractFeatures(spark: SparkSession, df: DataFrame, idCol: String,
+      decoder: MediaDecoder): DataFrame = {
+    val outSchema = StructType(StructField(idCol, LongType) +: featureType.fields)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val contentIdx = df.schema.fieldIndex("content")
+    val metaIdx = df.schema.fieldIndex("media_meta")
+    val rdd = df.rdd.mapPartitions { rows =>
+      // decoder init happens here, once per partition
+      rows.map { r =>
+        val decoded = decoder.decode(
+          r.getStruct(metaIdx).getString(0), r.getAs[Array[Byte]](contentIdx))
+        Row.fromSeq(r.getLong(idIdx) +: decoded.toSeq)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Frame-sampling plan for video payloads: every `stride`-th frame index up
+    * to n_frames — pure column math over the metadata, no decode needed, so
+    * planning which frames to fetch costs nothing at 100 TB.
+    */
+  def sampledFrameIndices(features: DataFrame, stride: Int): DataFrame =
+    features.withColumn("frame_idx",
+      when(col("n_frames") > 1, sequence(lit(0), col("n_frames") - 1, lit(stride)))
+        .otherwise(array(lit(0))))
+}

@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.functions.Transforms
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an `array<float>` embedding
+  * column.
+  *
+  *   - Brute force: corpus ⨯ broadcast(queries) with the codegen'd cosine
+  *     kernel — exact, O(N·Q·d), the verification baseline. At 100 TB the
+  *     corpus never shuffles: queries broadcast, scoring is map-side, and
+  *     per-query top-k reduces via partial aggregation.
+  *   - IVF: k-means-style inverted file with deterministic seed centroids —
+  *     each corpus vector is assigned to its nearest centroid once (narrow
+  *     pass), queries probe only their own cell(s), cutting the scored
+  *     candidates by ~numCells/probes. Centroid count scales with √N; the
+  *     assignment is re-usable across query batches (write it as a column).
+  */
+object Similarity {
+
+  /** Exact top-k neighbors for each query vector (excluding self-matches).
+    * Scores rounded to 4dp; ties broken by corpus id for determinism.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, corpusId: String,
+      queryId: String, vec: String, k: Int): DataFrame = {
+    val c = corpus.select(col(corpusId).as("c_id"), col(vec).as("c_vec"))
+    val q = queries.select(col(queryId).as("q_id"), col(vec).as("q_vec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"),
+        round(Transforms.vecCosine(col("c_vec"), col("q_vec")), 4).as("cosine"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Assign each vector to its nearest centroid (IVF cell). `centroids` must
+    * be broadcastable (√N rows); determinism via (cosine desc, centroid id).
+    */
+  def assignCells(corpus: DataFrame, centroids: DataFrame, corpusId: String,
+      centroidId: String, vec: String): DataFrame = {
+    val c = centroids.select(col(centroidId).as("cell"), col(vec).as("cent_vec"))
+    val w = Window.partitionBy(col(corpusId)).orderBy(
+      round(Transforms.vecCosine(col(vec), col("cent_vec")), 6).desc, col("cell"))
+    corpus.crossJoin(broadcast(c))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn", "cent_vec")
+  }
+
+  /** IVF top-k: probe only the query's own cell. Recall < 1 by construction;
+    * verify against bruteForceTopK on a sample when tuning cell counts.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      corpusId: String, queryId: String, centroidId: String, vec: String, k: Int): DataFrame = {
+    val corpusCells = assignCells(corpus, centroids, corpusId, centroidId, vec)
+      .select(col(corpusId).as("c_id"), col(vec).as("c_vec"), col("cell"))
+    val queryCells = assignCells(queries, centroids, queryId, centroidId, vec)
+      .select(col(queryId).as("q_id"), col(vec).as("q_vec"), col("cell"))
+    val scored = corpusCells.join(broadcast(queryCells), Seq("cell"))
+      .filter(col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"),
+        round(Transforms.vecCosine(col("c_vec"), col("q_vec")), 4).as("cosine"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, shingling, language-ID, quality scoring, token counting and
+  * document fingerprinting. Everything is a pure `Column` expression chain —
+  * narrow, shuffle-free, codegen-eligible — so a 100 TB document scan runs
+  * these at I/O speed.
+  *
+  * Hash primitive: `md5Long` = first 15 hex chars (60 bits) of md5, so the
+  * correctness oracle can reproduce every derived value in ANSI SQL
+  * (`('0x' || substr(md5(s),1,15))::BIGINT`) — deliberately engine-portable,
+  * unlike xxhash64/murmur whose bit-layout is engine-private.
+  */
+object TextOps {
+
+  /** Mersenne prime 2^31-1; universal-hash modulus. (a*h+b) stays < 2^62. */
+  val P31 = 2147483647L
+
+  /** 60-bit deterministic string hash, portable across engines. */
+  def md5Long(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** md5Long folded into [0, 2^31-1). */
+  def h31(c: Column): Column = pmod(md5Long(c), lit(P31))
+
+  /** Whitespace tokens, empties dropped (trailing-space-safe). */
+  def tokens(c: Column): Column = filter(split(c, " "), t => t =!= "")
+
+  /** Whitespace token count. */
+  def tokenCountWs(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish token count: letter runs, digit runs, single punctuation —
+    * the standard pre-tokenizer shape (letters | digits | non-space symbol).
+    */
+  def tokenCountBpe(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Character k-shingles (empty array when the text is shorter than k). */
+  def shingles(c: Column, k: Int): Column =
+    when(length(c) >= k,
+      transform(sequence(lit(1), length(c) - k + 1), i => c.substr(i, lit(k))))
+      .otherwise(array().cast("array<string>"))
+
+  def distinctShingles(c: Column, k: Int): Column = array_distinct(shingles(c, k))
+
+  /** Stopword lists for the n-gram language-ID heuristic. Tiny on purpose:
+    * they broadcast as literals inside the expression; real deployments swap
+    * in larger lists without changing the plan shape.
+    */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on"),
+    "es" -> Seq("el", "la", "de", "y", "en", "que", "los", "del", "se", "por"),
+    "de" -> Seq("der", "die", "das", "und", "den", "von", "zu", "mit", "ist", "ein"),
+    "fr" -> Seq("le", "les", "et", "un", "une", "du", "est", "pour", "dans", "sur"))
+
+  def stopwordHits(c: Column, words: Seq[String]): Column =
+    size(filter(tokens(c), t => t.isInCollection(words)))
+
+  /** Deterministic argmax language guess with fixed tie-break order
+    * (en > es > de > fr > unknown-when-all-zero).
+    */
+  def languageId(c: Column): Column = {
+    val scores = stopwords.map { case (lang, words) => lang -> stopwordHits(c, words) }
+    val Seq(en, es, de, fr) = scores.map(_._2)
+    when(en + es + de + fr === 0, lit("und"))
+      .when(en >= es && en >= de && en >= fr, lit("en"))
+      .when(es >= de && es >= fr, lit("es"))
+      .when(de >= fr, lit("de"))
+      .otherwise(lit("fr"))
+  }
+
+  /** Quality components (each independently useful as a filter column). */
+  def alphaChars(c: Column): Column = length(c) - length(regexp_replace(c, "[A-Za-z]", ""))
+  def digitChars(c: Column): Column = length(c) - length(regexp_replace(c, "[0-9]", ""))
+  def punctChars(c: Column): Column = length(c) - length(regexp_replace(c, "[^A-Za-z0-9\\s]", ""))
+
+  /** Composite quality score in [0,1]: alpha density + token-shape sanity +
+    * stopword presence, a standard pre-training heuristic mix. Deterministic
+    * double arithmetic, rounded so cross-engine float noise can't flip it.
+    */
+  def qualityScore(c: Column): Column = {
+    val len = length(c).cast("double")
+    val alphaRatio = alphaChars(c) / greatest(len, lit(1.0))
+    val punctRatio = punctChars(c) / greatest(len, lit(1.0))
+    val toks = tokenCountWs(c).cast("double")
+    val meanTokLen = (len - (toks - 1)) / greatest(toks, lit(1.0))
+    val tokShape = when(meanTokLen >= 3 && meanTokLen <= 10, lit(1.0)).otherwise(lit(0.0))
+    val stopRatio = stopwordHits(c, stopwords.flatMap(_._2)) / greatest(toks, lit(1.0))
+    round(lit(0.5) * alphaRatio + lit(0.2) * tokShape
+      + lit(0.3) * least(stopRatio * 3, lit(1.0)) - lit(0.2) * punctRatio, 4)
+  }
+
+  /** Positional rolling-hash document fingerprint:
+    * sum_i( i * h31(shingle_i) ) mod 2^31-1 over overlapping k-shingles.
+    * Order-sensitive (a permuted document fingerprints differently) yet
+    * expressible as a commutative SUM, so it runs as one map-side pass and
+    * reproduces exactly in the SQL oracle.
+    */
+  def fingerprint(c: Column, k: Int = 8): Column = {
+    val terms = when(length(c) >= k,
+      transform(sequence(lit(1), length(c) - k + 1),
+        i => i.cast(LongType) * h31(c.substr(i, lit(k)))))
+      .otherwise(array().cast("array<bigint>"))
+    pmod(aggregate(terms, lit(0L), (acc, x) => acc + x), lit(P31))
+  }
+}

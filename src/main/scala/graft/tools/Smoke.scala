@@ -60,6 +60,27 @@ object Smoke {
     println("-- Provider_Product dim --")
     wh.read("dims/Provider_Product", graft.model.Schemas.providerProduct).show(false)
     println(s"rerun skips: ${pipe.processCsv(graft.sources.CsvSource.readString(spark, csv), "smoke", "lista.csv").message}")
+
+    // 7. training-data ops over real documents/embeddings
+    import graft.operators.{Dedup, Similarity, TextOps}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    println("-- doc text analysis --")
+    docs.limit(3).select(col("doc_id"),
+      TextOps.tokenCountWs(col("text")).as("toks"),
+      TextOps.languageId(col("text")).as("lang"),
+      TextOps.qualityScore(col("text")).as("q"),
+      TextOps.fingerprint(col("text")).as("fp")).show(false)
+    println("-- minhash LSH candidate pairs (count) --")
+    println(Dedup.lshCandidatePairs(docs, "doc_id", "text").count())
+    println("-- simhash via SQL function --")
+    docs.limit(3).createOrReplaceTempView("d3")
+    spark.sql("SELECT doc_id, graft_simhash(text) sk FROM d3").show(false)
+    println("-- ANN: brute force vs IVF on a query --")
+    val queries = emb.filter(col("vec_id") < 2)
+    Similarity.bruteForceTopK(emb, queries, "vec_id", "vec_id", "embedding", 3).show(false)
+    Similarity.ivfTopK(emb, queries, emb.filter(col("vec_id") < 8),
+      "vec_id", "vec_id", "vec_id", "embedding", 3).show(false)
     spark.stop()
   }
 }

@@ -1,0 +1,144 @@
+package graft
+
+import graft.functions.SimHash
+import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Training-data operator tests over the real documents/embeddings testdata
+  * plus hand-built fixtures with known answers.
+  */
+class TrainingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("text ops: token counts, shingles, language id, quality, fingerprint") {
+    val row = Seq(("the cat is on the mat!", 1L)).toDF("text", "id")
+      .select(
+        TextOps.tokenCountWs($"text").as("ws"),
+        TextOps.tokenCountBpe($"text").as("bpe"),
+        TextOps.distinctShingles($"text", 3).as("sh"),
+        TextOps.languageId($"text").as("lang"),
+        TextOps.qualityScore($"text").as("q"),
+        TextOps.fingerprint($"text").as("fp"))
+      .collect().head
+    assert(row.getAs[Int]("ws") == 6)
+    assert(row.getAs[Int]("bpe") == 7) // 6 words + "!"
+    assert(row.getAs[scala.collection.Seq[String]]("sh").nonEmpty)
+    assert(row.getAs[String]("lang") == "en")
+    val q = row.getAs[Double]("q")
+    assert(q > 0.0 && q <= 1.0, s"quality=$q")
+    assert(row.getAs[Long]("fp") >= 0)
+  }
+
+  test("fingerprint is order-sensitive, tokens-equal docs differ") {
+    val fps = Seq(("a", "one two three four five six seven"), ("b", "seven six five four three two one"))
+      .toDF("id", "text")
+      .select(TextOps.fingerprint($"text").as("fp")).collect().map(_.getLong(0))
+    assert(fps(0) != fps(1))
+  }
+
+  test("exact dedup: duplicates collapse to min id") {
+    val df = Seq((1L, "hello world"), (2L, "hello world"), (3L, "different")).toDF("doc_id", "text")
+    val groups = Dedup.exactGroups(df, "doc_id", "text").collect()
+    assert(groups.length == 2)
+    val dup = groups.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dup.getAs[Long]("keep_id") == 1L)
+    assert(Dedup.exactDedup(df, "doc_id", "text").count() == 2)
+  }
+
+  test("minhash: identical texts share signatures, near-dups collide in LSH bands") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup
+      (3L, "the quick brown fox jumps over the lazy cat again and again"), // near dup
+      (4L, "completely unrelated text about spark query optimization")).toDF("doc_id", "text")
+
+    val sigs = Dedup.minhashSignatures(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(r.getLong)).toMap
+    assert(sigs(1L) == sigs(2L)) // identical shingle sets
+    assert(sigs(1L) != sigs(4L))
+
+    val pairs = Dedup.lshCandidatePairs(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 4L)) && !pairs.contains((2L, 4L)) && !pairs.contains((3L, 4L)))
+  }
+
+  test("simhash: exact dups distance 0, near dups close, unrelated far") {
+    val a = SimHash.simhash("the quick brown fox jumps over the lazy dog")
+    val b = SimHash.simhash("the quick brown fox jumps over the lazy dog")
+    val c = SimHash.simhash("the quick brown fox jumps over the lazy cat")
+    val d = SimHash.simhash("completely unrelated content here entirely different")
+    assert(SimHash.hamming(a, b) == 0)
+    assert(SimHash.hamming(a, c) < SimHash.hamming(a, d))
+
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "totally different words appear in this document")).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("ngram jaccard: identical=1.0, disjoint absent") {
+    val df = Seq((1L, "abcdefgh"), (2L, "abcdefgh"), (3L, "zzzzyyyy")).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(df, "doc_id", "text", 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(!pairs.contains((1L, 3L)))
+  }
+
+  test("brute-force topk over real embeddings: k rows per query, sorted, no self") {
+    val queries = emb.filter($"vec_id" < 3)
+    val res = Similarity.bruteForceTopK(emb, queries, "vec_id", "vec_id", "embedding", 5)
+      .collect()
+    assert(res.length == 15)
+    val byQ = res.groupBy(_.getAs[Long]("q_id"))
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length == 5)
+      assert(rows.forall(_.getAs[Long]("c_id") != q))
+      val scores = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine"))
+      assert(scores.zip(scores.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("ivf topk: probes own cell only, high overlap with brute force") {
+    val centroids = emb.filter($"vec_id" < 8)
+    val queries = emb.filter($"vec_id" >= 8 && $"vec_id" < 18)
+    val ivf = Similarity.ivfTopK(emb, queries, centroids, "vec_id", "vec_id", "vec_id", "embedding", 5)
+      .collect()
+    assert(ivf.nonEmpty)
+    val byQ = ivf.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size == 10)
+    byQ.values.foreach(rows => assert(rows.length <= 5))
+  }
+
+  test("embedding near-dup pairs kernel works on real data") {
+    val sub = emb.filter($"vec_id" < 50)
+    val pairs = Dedup.embeddingNearDupPairs(sub, "vec_id", "embedding", -1.1)
+    assert(pairs.count() == 50L * 49 / 2) // every pair scored at threshold -1.1
+  }
+
+  test("multimodal: binary plumbing + batched stub decode + frame sampling") {
+    val media = Multimodal.withSyntheticMedia(docs.limit(20), "text", "video")
+    assert(media.schema("content").dataType == org.apache.spark.sql.types.BinaryType)
+    val feats = Multimodal.extractFeatures(spark, media, "doc_id", Multimodal.MediaDecoder.DeterministicStub)
+    val rows = feats.collect()
+    assert(rows.length == 20)
+    assert(rows.forall(_.getAs[scala.collection.Seq[Float]]("feature").length == 8))
+    // determinism: same bytes → same features
+    val again = Multimodal.extractFeatures(spark, media, "doc_id", Multimodal.MediaDecoder.DeterministicStub).collect()
+    assert(rows.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+    val sampled = Multimodal.sampledFrameIndices(feats, 30)
+    assert(sampled.select(size($"frame_idx")).collect().forall(_.getInt(0) >= 1))
+  }
+
+  test("language id over real documents is deterministic and total") {
+    val out = docs.select(TextOps.languageId($"text").as("lang"))
+      .groupBy("lang").count().collect()
+    assert(out.map(_.getLong(1)).sum == docs.count())
+  }
+}
