@@ -1,13 +1,605 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.{Transforms => T}
+import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+/** Driver contract: one query per operator family from SURVEY.md §2 plus the
+  * training-data operator suite, each with a DuckDB oracle over the same
+  * parquet tables.
+  *
+  * Oracle-parity conventions (cross-engine determinism):
+  *   - money/double aggregates: sum exact DECIMAL, cast DOUBLE, round — float
+  *     accumulation order can differ between engines, decimal sums cannot;
+  *   - cosine/jaccard doubles rounded to 4dp (error ~1e-13 « grid);
+  *   - every integer aggregate cast to BIGINT on both sides;
+  *   - every query ends in a total ORDER BY;
+  *   - hashes via md5 (portable), never engine-private xxhash/murmur.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private val dec2 = DecimalType(18, 2)
+  private def sumMoney(c: Column): Column = sum(c.cast(dec2)).cast("double")
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("etl_clean")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val q = scala.collection.mutable.LinkedHashMap[String, (SparkSession, String) => DataFrame]()
+
+    // A: grouped aggregation with partial (map-side) aggregation — TPC-H Q1 shape
+    q("q1_pricing_summary") = (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sumMoney(col("l_quantity")), 2).as("sum_qty"),
+          round(sumMoney(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(DecimalType(28, 6)))
+            .cast("double"), 2).as("sum_disc_price"),
+          // exact decimal sum → double, then IEEE division: bit-identical in
+          // any engine, so no round() (whose half-tie behavior differs)
+          (sumMoney(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }
+
+    // P: predicate pushdown + column pruning + deterministic top-k
+    q("q2_filter_topk") = (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(to_date(col("l_shipdate")).between(lit("1995-01-01"), lit("1995-12-31"))
+          && col("l_quantity") > 45)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .limit(500)
+
+    // J: multiway join, dims broadcast
+    q("q3_join_revenue") = (s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          round(sumMoney(col("o_totalprice")), 2).as("revenue"),
+          countDistinct(col("o_custkey")).as("n_customers"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("r_name"), col("n_name"))
+    }
+
+    // A1-style distinct
+    q("q4_distinct") = (s, dir) =>
+      t(s, dir, "customer")
+        .select(col("c_mktsegment"), col("c_nationkey"))
+        .distinct()
+        .orderBy(col("c_mktsegment"), col("c_nationkey"))
+
+    // agg + broadcast join + order/limit
+    q("q5_top_customers") = (s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      o.groupBy(col("o_custkey"))
+        .agg(round(sumMoney(col("o_totalprice")), 2).as("total_spent"),
+          count(lit(1)).as("n_orders"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("total_spent"), col("n_orders"))
+        .orderBy(col("total_spent").desc, col("c_custkey"))
+        .limit(10)
+    }
+
+    // window function (the merge layer's id-assignment primitive)
+    q("q6_window_rank") = (s, dir) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, dir, "customer")
+        .withColumn("rnk", row_number().over(w).cast(LongType))
+        .filter(col("rnk") <= 3)
+        .select(col("c_nationkey"), col("rnk"), col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .orderBy(col("c_nationkey"), col("rnk"))
+    }
+
+    // anti join (merge-layer "insert new, skip existing" primitive)
+    q("q7_customers_without_orders") = (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("c_nationkey"))
+
+    // upsert shape (J2): staged aggregate LEFT-joined into the dim
+    q("q8_merge_upsert") = (s, dir) => {
+      val staged = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg((sumMoney(col("l_extendedprice")) / count(lit(1))).as("new_price"),
+          count(lit(1)).as("n_lines"))
+      t(s, dir, "part")
+        .join(staged, col("p_partkey") === col("l_partkey"), "left")
+        .select(col("p_partkey"), col("p_name"),
+          coalesce(col("new_price"),
+            col("p_retailprice").cast(dec2).cast("double")).as("merged_price"),
+          col("new_price").isNotNull.as("was_updated"),
+          col("n_lines"))
+        .orderBy(col("p_partkey"))
+    }
+
+    // set operations
+    q("q9_setops") = (s, dir) => {
+      val buyers = t(s, dir, "orders").select(col("o_custkey").as("k"))
+      val building = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("k"))
+      val withO = building.intersect(buyers).agg(count(lit(1)).as("n"))
+        .withColumn("grp", lit("building_with_orders"))
+      val withoutO = building.except(buyers).agg(count(lit(1)).as("n"))
+        .withColumn("grp", lit("building_without_orders"))
+      withO.unionByName(withoutO).select(col("grp"), col("n")).orderBy(col("grp"))
+    }
+
+    // event-time tumbling aggregation (batch equivalent of the streaming agg).
+    // ts arrives as nanos-since-epoch long (see GraftSession nanosAsLong).
+    q("q10_events_hourly") = (s, dir) =>
+      t(s, dir, "events")
+        .withColumn("tsm", timestamp_micros(expr("ts DIV 1000")))
+        .groupBy(
+          date_format(date_trunc("hour", col("tsm")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sumMoney(col("value")), 2).as("total_value"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("hour"), col("event_type"))
+
+    // sessionization: lag + gap flag (stateful-stream shape as a batch window)
+    q("q11_sessionize") = (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("us", expr("ts DIV 1000"))
+        .withColumn("prev", lag(col("us"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev").isNull || col("us") - col("prev") > 1800000000L, 1).otherwise(0))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    }
+
+    // ---- the reference ETL's scalar surface over synthesized Spanish rows ----
+
+    // F1/F2/F5/F8-F13 end-to-end on constructed Producto/Fecha/Precio columns
+    q("etl_clean") = (s, dir) => {
+      val p = t(s, dir, "part")
+      val d = date_add(to_date(lit("2024-01-01")), col("p_size"))
+      val producto = concat(col("p_name"), lit(" "), col("p_size").cast("string"), lit("g x "),
+        (col("p_partkey") % 24 + 1).cast("string"), lit(" (G"),
+        (col("p_partkey") % 19 + 1).cast("string"), lit(")"))
+      val fecha = when(col("p_partkey") % 3 === 0, date_format(d, "dd/MM/yyyy"))
+        .when(col("p_partkey") % 3 === 1, date_format(d, "MMMM d, yyyy"))
+        .otherwise(date_format(d, "yyyy-MM-dd"))
+      val precio = concat(lit("$ "), col("p_retailprice").cast(dec2).cast("string"))
+      p.select(
+        col("p_partkey"),
+        T.cleanDescription(col("p_name")).as("clean_name"),
+        T.extractMeasure(producto).as("measure"),
+        lower(T.extractUnit(producto)).as("unit"),
+        T.extractPackageUnits(producto).as("package_units"),
+        T.extractIva(producto).cast(LongType).as("iva"),
+        T.cleanPrice(precio).as("clean_price"),
+        T.inferDate(fecha).as("clean_date"))
+        .orderBy(col("p_partkey"))
+    }
+
+    // F7 + A1: provider-name pipeline + distinct aggregation
+    q("etl_provider_dedup") = (s, dir) =>
+      t(s, dir, "part")
+        .select(T.cleanProviderName(concat(lit("Proveedor"), col("p_brand"))).as("provider"))
+        .groupBy(col("provider"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("provider"))
+
+    // ---- text analysis over documents ----
+
+    q("doc_stats") = (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        length(col("text")).cast(LongType).as("n_chars"),
+        TextOps.tokenCountWs(col("text")).cast(LongType).as("ws_tokens"),
+        TextOps.tokenCountBpe(col("text")).cast(LongType).as("bpe_tokens"),
+        size(TextOps.distinctShingles(col("text"), 3)).cast(LongType).as("n_shingles3"),
+        TextOps.alphaChars(col("text")).cast(LongType).as("n_alpha"),
+        TextOps.punctChars(col("text")).cast(LongType).as("n_punct"))
+        .orderBy(col("doc_id"))
+
+    q("doc_quality_lang") = (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.languageId(col("text")).as("lang_guess"),
+        TextOps.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+
+    q("doc_fingerprint") = (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.fingerprint(col("text"), 8).as("fp"))
+        .orderBy(col("doc_id"))
+
+    // ---- dedup suite over documents ----
+
+    q("dedup_exact") = (s, dir) =>
+      Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("text_sha"))
+
+    q("dedup_minhash") = (s, dir) =>
+      Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id", "text", k = 5, numHashes = 8)
+        .orderBy(col("doc_id"))
+
+    q("dedup_lsh_pairs") = (s, dir) =>
+      Dedup.lshCandidatePairs(t(s, dir, "documents"), "doc_id", "text", k = 5,
+        numHashes = 8, rowsPerBand = 2)
+        .orderBy(col("id_a"), col("id_b"))
+
+    q("dedup_simhash") = (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+        .orderBy(col("doc_id"))
+
+    q("dedup_jaccard") = (s, dir) =>
+      Dedup.ngramJaccardPairs(
+        t(s, dir, "documents").filter(col("doc_id") < 100), "doc_id", "text",
+        k = 8, minJaccard = 0.05)
+        .orderBy(col("id_a"), col("id_b"))
+
+    // ---- similarity search over embeddings ----
+
+    q("sim_topk") = (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "vec_id", "embedding", 5)
+        .select(col("q_id"), col("rank").cast(LongType).as("rank"), col("c_id"), col("cosine"))
+        .orderBy(col("q_id"), col("rank"))
+    }
+
+    q("sim_ivf") = (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb,
+        emb.filter(col("vec_id") >= 8 && col("vec_id") < 18),
+        emb.filter(col("vec_id") < 8),
+        "vec_id", "vec_id", "vec_id", "embedding", 5)
+        .select(col("q_id"), col("rank").cast(LongType).as("rank"), col("c_id"), col("cosine"))
+        .orderBy(col("q_id"), col("rank"))
+    }
+
+    // ---- multimodal plumbing ----
+
+    q("multimodal_meta") = (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        octet_length(encode(col("text"), "UTF-8")).cast(LongType).as("content_length"),
+        sha2(col("text"), 256).as("content_sha"))
+        .orderBy(col("doc_id"))
+
+    // stub decode: Spark-side plumbing only — no SQL oracle (rows-only check)
+    q("multimodal_features") = (s, dir) => {
+      val media = Multimodal.withSyntheticMedia(
+        t(s, dir, "documents").limit(200), "text", "video")
+      Multimodal.extractFeatures(s, media, "doc_id", Multimodal.MediaDecoder.DeterministicStub)
+        .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
+          size(col("feature")).cast(LongType).as("feature_dim"))
+        .orderBy(col("doc_id"))
+    }
+
+    q.toMap
+  }
+
+  // ------------------------------------------------------------- oracle SQL
+
+  /** Shared DuckDB fragments. */
+  private val H31 = "(('0x'||substr(md5(%s),1,15))::BIGINT %% 2147483647)"
+  private def h31(expr: String): String = H31.format(expr)
+
+  private val minhashMins: String = Dedup.MinHashA.zip(Dedup.MinHashB).zipWithIndex.map {
+    case ((a, b), i) => s"CAST(min(($a*h + $b) % 2147483647) AS BIGINT) AS mh$i"
+  }.mkString(",\n   ")
+
+  // DuckDB v1.0 can't take lateral column args in generate_series, so the
+  // oracles cross-join a constant range and filter to the per-row length
+  // (documents are well under 2048 chars at every sf the oracle runs at)
+  private val shingle5 =
+    s"""SELECT doc_id, ${h31("substr(text, i, 5)")} AS h
+       |    FROM documents, generate_series(1, 2048) t(i) WHERE i <= length(text)-4""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+        | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
+        | round(CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_disc_price,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS avg_qty,
+        | CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q2_filter_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+        |  AND l_quantity > 45
+        |ORDER BY l_orderkey, l_linenumber LIMIT 500""".stripMargin,
+
+    "q3_join_revenue" ->
+      """SELECT r_name, n_name,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue,
+        | CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+        | CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q4_distinct" ->
+      """SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+        |ORDER BY c_mktsegment, c_nationkey""".stripMargin,
+
+    "q5_top_customers" ->
+      """SELECT c_custkey, c_name,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_spent,
+        | CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1,2 ORDER BY total_spent DESC, c_custkey LIMIT 10""".stripMargin,
+
+    "q6_window_rank" ->
+      """SELECT c_nationkey, rnk, c_custkey, c_name, c_acctbal FROM (
+        | SELECT c_nationkey, c_custkey, c_name, c_acctbal,
+        |  row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rnk
+        | FROM customer)
+        |WHERE rnk <= 3 ORDER BY c_nationkey, rnk""".stripMargin,
+
+    "q7_customers_without_orders" ->
+      """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q8_merge_upsert" ->
+      """WITH staged AS (
+        | SELECT l_partkey,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS new_price,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        | FROM lineitem GROUP BY 1)
+        |SELECT p_partkey, p_name,
+        | coalesce(new_price, CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE)) AS merged_price,
+        | new_price IS NOT NULL AS was_updated,
+        | n_lines
+        |FROM part LEFT JOIN staged ON p_partkey = l_partkey
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q9_setops" ->
+      """SELECT 'building_with_orders' AS grp, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  INTERSECT SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT 'building_without_orders' AS grp, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  EXCEPT SELECT o_custkey FROM orders)
+        |ORDER BY grp""".stripMargin,
+
+    "q10_events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+        | CAST(count(*) AS BIGINT) AS n_events,
+        | round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q11_sessionize" ->
+      """WITH g AS (
+        | SELECT user_id, epoch_us(ts) AS us,
+        |  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        | FROM events)
+        |SELECT user_id,
+        | CAST(sum(CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        | CAST(count(*) AS BIGINT) AS n_events
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "etl_clean" ->
+      """WITH base AS (
+        | SELECT p_partkey, p_name, p_retailprice,
+        |  p_name || ' ' || CAST(p_size AS VARCHAR) || 'g x ' ||
+        |    CAST(p_partkey % 24 + 1 AS VARCHAR) || ' (G' || CAST(p_partkey % 19 + 1 AS VARCHAR) || ')' AS producto,
+        |  '$ ' || CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS VARCHAR) AS precio,
+        |  strftime(DATE '2024-01-01' + p_size, '%Y-%m-%d') AS expected_date
+        | FROM part)
+        |SELECT p_partkey,
+        | array_to_string(list_transform(string_split(p_name, ' '), w -> upper(w[1]) || w[2:]), ' ') AS clean_name,
+        | nullif(regexp_extract(producto, '(\d+\.?\d*)\s*([a-zA-Z]{1,3})', 1), '') AS measure,
+        | lower(nullif(regexp_extract(producto, '(\d+\.?\d*)\s*([a-zA-Z]{1,3})', 2), '')) AS unit,
+        | nullif(regexp_extract(producto, '[x]\s*(\d+)', 1), '') AS package_units,
+        | TRY_CAST(nullif(regexp_extract(producto, '\(\s*[Gg]\s*(\d+)\s*\)', 1), '') AS BIGINT) AS iva,
+        | TRY_CAST(regexp_replace(precio, '[.,$ ]', '', 'g') AS DECIMAL(18,2)) AS clean_price,
+        | expected_date AS clean_date
+        |FROM base ORDER BY p_partkey""".stripMargin,
+
+    "etl_provider_dedup" ->
+      """WITH c AS (
+        | SELECT regexp_replace(regexp_replace('Proveedor' || p_brand,
+        |   '[^A-Za-z0-9/% ]+', '', 'g'), '([a-z])([A-Z0-9])', '\1 \2', 'g') AS sep
+        | FROM part)
+        |SELECT array_to_string(list_transform(string_split(sep, ' '),
+        |   w -> upper(w[1]) || lower(w[2:])), ' ') AS provider,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "doc_stats" ->
+      """WITH sh AS (
+        | SELECT doc_id, CAST(count(DISTINCT substr(text, i, 3)) AS BIGINT) AS n_shingles3
+        | FROM documents, generate_series(1, 2048) t(i) WHERE i <= length(text)-2 GROUP BY doc_id)
+        |SELECT d.doc_id,
+        | CAST(length(text) AS BIGINT) AS n_chars,
+        | CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS ws_tokens,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens,
+        | sh.n_shingles3,
+        | CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+        | CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS BIGINT) AS n_punct
+        |FROM documents d JOIN sh ON d.doc_id = sh.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "doc_quality_lang" -> {
+      def hits(words: Seq[String]) =
+        s"CAST(len(list_filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(",")}))) AS DOUBLE)"
+      val allWords = TextOps.stopwords.flatMap(_._2)
+      val Seq(en, es, de, fr) = TextOps.stopwords.map(x => hits(x._2))
+      s"""WITH b AS (
+         | SELECT doc_id, text, list_filter(string_split(text, ' '), t -> t <> '') AS toks,
+         |  CAST(length(text) AS DOUBLE) AS len,
+         |  CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+         |  CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) AS n_punct
+         | FROM documents),
+         |sc AS (
+         | SELECT doc_id, len, n_alpha, n_punct,
+         |  CAST(len(toks) AS DOUBLE) AS toks_n,
+         |  $en AS s_en, $es AS s_es, $de AS s_de, $fr AS s_fr,
+         |  ${hits(allWords)} AS s_all
+         | FROM b)
+         |SELECT doc_id,
+         | CASE WHEN s_en + s_es + s_de + s_fr = 0 THEN 'und'
+         |      WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+         |      WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+         |      WHEN s_de >= s_fr THEN 'de'
+         |      ELSE 'fr' END AS lang_guess,
+         | round(0.5 * (n_alpha / greatest(len, 1.0))
+         |   + 0.2 * (CASE WHEN (len - (toks_n - 1)) / greatest(toks_n, 1.0) >= 3
+         |                  AND (len - (toks_n - 1)) / greatest(toks_n, 1.0) <= 10 THEN 1.0 ELSE 0.0 END)
+         |   + 0.3 * least((s_all / greatest(toks_n, 1.0)) * 3, 1.0)
+         |   - 0.2 * (n_punct / greatest(len, 1.0)), 4) AS quality
+         |FROM sc ORDER BY doc_id""".stripMargin
+    },
+
+    "doc_fingerprint" ->
+      s"""SELECT doc_id,
+         | CAST(sum(i * ${h31("substr(text, i, 8)")}) % 2147483647 AS BIGINT) AS fp
+         |FROM documents, generate_series(1, 2048) t(i) WHERE i <= length(text)-7
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT sha256(text) AS text_sha,
+        | CAST(min(doc_id) AS BIGINT) AS keep_id,
+        | CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "dedup_minhash" ->
+      s"""WITH sh AS (
+         |  $shingle5)
+         |SELECT doc_id,
+         |   $minhashMins
+         |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dedup_lsh_pairs" ->
+      s"""WITH sh AS (
+         |  $shingle5),
+         |sig AS (
+         | SELECT doc_id,
+         |   $minhashMins
+         | FROM sh GROUP BY doc_id),
+         |bands AS (
+         | SELECT doc_id, 0 AS band, CAST(mh0 AS VARCHAR)||'_'||CAST(mh1 AS VARCHAR) AS key FROM sig
+         | UNION ALL SELECT doc_id, 1, CAST(mh2 AS VARCHAR)||'_'||CAST(mh3 AS VARCHAR) FROM sig
+         | UNION ALL SELECT doc_id, 2, CAST(mh4 AS VARCHAR)||'_'||CAST(mh5 AS VARCHAR) FROM sig
+         | UNION ALL SELECT doc_id, 3, CAST(mh6 AS VARCHAR)||'_'||CAST(mh7 AS VARCHAR) FROM sig)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_simhash" ->
+      """WITH tok AS (
+        | SELECT doc_id, tok FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+        | WHERE tok <> ''),
+        |h AS (SELECT doc_id, ('0x'||substr(md5(tok),1,15))::BIGINT AS hv FROM tok),
+        |bits AS (
+        | SELECT doc_id, j, sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        | FROM h, generate_series(0, 59) t(j) GROUP BY doc_id, j)
+        |SELECT doc_id,
+        | CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dedup_jaccard" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+        |sh AS (SELECT DISTINCT doc_id, substr(text, i, 8) AS s
+        |       FROM d, generate_series(1, 2048) t(i) WHERE i <= length(text)-7),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |it AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2)
+        |SELECT id_a, id_b,
+        | round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard
+        |FROM it JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) >= 0.05
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "sim_topk" ->
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+        |p AS (
+        | SELECT q.vec_id AS q_id, e.vec_id AS c_id,
+        |  sum(e.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE) AS dot,
+        |  sqrt(sum(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)) AS cn,
+        |  sqrt(sum(q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)) AS qn
+        | FROM q, embeddings e, generate_series(1, 64) t(i)
+        | WHERE e.vec_id <> q.vec_id GROUP BY 1,2),
+        |scored AS (
+        | SELECT q_id, c_id,
+        |  round(CASE WHEN cn = 0 OR qn = 0 THEN 0 ELSE dot/(cn*qn) END, 4) AS cosine
+        | FROM p),
+        |ranked AS (
+        | SELECT q_id, c_id, cosine,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS BIGINT) AS rank
+        | FROM scored)
+        |SELECT q_id, rank, c_id, cosine FROM ranked WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
+
+    "sim_ivf" ->
+      """WITH cent AS (SELECT vec_id AS cell, embedding FROM embeddings WHERE vec_id < 8),
+        |assign_all AS (
+        | SELECT e.vec_id, c.cell,
+        |  round(CASE WHEN sqrt(sum(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)) = 0
+        |         OR sqrt(sum(c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) = 0 THEN 0
+        |   ELSE sum(e.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)
+        |    / (sqrt(sum(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))
+        |       * sqrt(sum(c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))) END, 6) AS cos6
+        | FROM embeddings e, cent c, generate_series(1, 64) t(i) GROUP BY 1,2),
+        |cells AS (
+        | SELECT vec_id, cell FROM (
+        |  SELECT vec_id, cell,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY cos6 DESC, cell) AS rn
+        |  FROM assign_all) WHERE rn = 1),
+        |qs AS (SELECT vec_id AS q_id, embedding, cell FROM embeddings
+        |       JOIN cells USING (vec_id) WHERE vec_id >= 8 AND vec_id < 18),
+        |cs AS (SELECT vec_id AS c_id, embedding, cell FROM embeddings JOIN cells USING (vec_id)),
+        |p AS (
+        | SELECT qs.q_id, cs.c_id,
+        |  sum(cs.embedding[i]::DOUBLE * qs.embedding[i]::DOUBLE) AS dot,
+        |  sqrt(sum(cs.embedding[i]::DOUBLE * cs.embedding[i]::DOUBLE)) AS cn,
+        |  sqrt(sum(qs.embedding[i]::DOUBLE * qs.embedding[i]::DOUBLE)) AS qn
+        | FROM qs JOIN cs ON qs.cell = cs.cell AND cs.c_id <> qs.q_id,
+        |  generate_series(1, 64) t(i)
+        | GROUP BY 1,2),
+        |scored AS (
+        | SELECT q_id, c_id,
+        |  round(CASE WHEN cn = 0 OR qn = 0 THEN 0 ELSE dot/(cn*qn) END, 4) AS cosine
+        | FROM p),
+        |ranked AS (
+        | SELECT q_id, c_id, cosine,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS BIGINT) AS rank
+        | FROM scored)
+        |SELECT q_id, rank, c_id, cosine FROM ranked WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
+
+    "multimodal_meta" ->
+      """SELECT doc_id,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+        | sha256(text) AS content_sha
+        |FROM documents ORDER BY doc_id""".stripMargin)
 }

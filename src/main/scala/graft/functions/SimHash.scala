@@ -22,15 +22,25 @@ import org.apache.spark.unsafe.types.UTF8String
 object SimHash {
   val Bits = 60
 
-  def tokenHash(token: String): Long = {
-    val md = MessageDigest.getInstance("MD5")
-    val hex = md.digest(token.getBytes(StandardCharsets.UTF_8))
-      .map(b => f"$b%02x").mkString
-    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  /** First 15 hex chars of md5 as a 60-bit int — equals the SQL oracle's
+    * `('0x'||substr(md5(t),1,15))::BIGINT`, computed from the digest bytes
+    * directly (first 7 bytes + high nibble of the 8th), no hex string.
+    */
+  def tokenHash(md: MessageDigest, token: String): Long = {
+    md.reset()
+    val d = md.digest(token.getBytes(StandardCharsets.UTF_8))
+    var h = 0L
+    var j = 0
+    while (j < 7) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
+    (h << 4) | ((d(7) & 0xffL) >>> 4)
   }
+
+  def tokenHash(token: String): Long =
+    tokenHash(MessageDigest.getInstance("MD5"), token)
 
   def simhash(text: String): Long = {
     if (text == null) return 0L
+    val md = MessageDigest.getInstance("MD5")
     val counts = new Array[Int](Bits)
     var start = 0
     val n = text.length
@@ -38,7 +48,7 @@ object SimHash {
     while (i <= n) {
       if (i == n || text.charAt(i) == ' ') {
         if (i > start) {
-          val h = tokenHash(text.substring(start, i))
+          val h = tokenHash(md, text.substring(start, i))
           var j = 0
           while (j < Bits) {
             if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1

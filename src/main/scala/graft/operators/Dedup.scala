@@ -55,11 +55,17 @@ object Dedup {
     array_min(transform(distinctShingles(text, k),
       s => pmod(lit(MinHashA(i)) * h31(s) + lit(MinHashB(i)), lit(P31))))
 
-  /** Per-doc signature frame: mh0..mh{n-1} columns (one narrow projection). */
+  /** Per-doc signature frame: mh0..mh{n-1} columns, computed by the
+    * single-pass [[graft.functions.MinHashSigExpr]] (one md5 per shingle for
+    * ALL permutations; the composed per-permutation form costs numHashes×).
+    */
   def minhashSignatures(df: DataFrame, id: String, text: String, k: Int = 5,
       numHashes: Int = 8): DataFrame = {
-    val sigCols = (0 until numHashes).map(i => minhash(col(text), k, i).as(s"mh$i"))
-    df.select(col(id) +: sigCols: _*)
+    val sig = shims.column(graft.functions.MinHashSigExpr(
+      shims.expression(col(text)), k, MinHashA.take(numHashes), MinHashB.take(numHashes)))
+    df.select(col(id), sig.as("sig"))
+      .select(col(id) +: (0 until numHashes).map(i =>
+        element_at(col("sig"), i + 1).as(s"mh$i")): _*)
   }
 
   /** LSH banding: with `rowsPerBand` signature values per band, docs sharing

@@ -97,9 +97,17 @@ object TextOps {
     * sum_i( i * h31(shingle_i) ) mod 2^31-1 over overlapping k-shingles.
     * Order-sensitive (a permuted document fingerprints differently) yet
     * expressible as a commutative SUM, so it runs as one map-side pass and
-    * reproduces exactly in the SQL oracle.
+    * reproduces exactly in the SQL oracle. Uses the single-pass custom
+    * expression; [[fingerprintComposed]] keeps the built-in-only form.
     */
-  def fingerprint(c: Column, k: Int = 8): Column = {
+  def fingerprint(c: Column, k: Int = 8): Column =
+    org.apache.spark.sql.graft.shims.column(
+      graft.functions.FingerprintExpr(org.apache.spark.sql.graft.shims.expression(c), k))
+
+  /** Built-in-composition form of [[fingerprint]] (slower: materializes the
+    * term array and runs lambdas interpreted; kept as executable spec).
+    */
+  def fingerprintComposed(c: Column, k: Int = 8): Column = {
     val terms = when(length(c) >= k,
       transform(sequence(lit(1), length(c) - k + 1),
         i => i.cast(LongType) * h31(c.substr(i, lit(k)))))

@@ -67,6 +67,25 @@ class TrainingOpsSpec extends SparkSpec {
     assert(!pairs.contains((1L, 4L)) && !pairs.contains((2L, 4L)) && !pairs.contains((3L, 4L)))
   }
 
+  test("fast minhash signature equals the composed per-permutation form") {
+    val sample = docs.limit(50)
+    val fast = Dedup.minhashSignatures(sample, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(r.getLong)).toMap
+    val composed = sample.select(col("doc_id") +:
+        (0 until 8).map(i => Dedup.minhash(col("text"), 5, i).as(s"c$i")): _*)
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong)).toMap
+    assert(fast == composed)
+  }
+
+  test("fast fingerprint equals the composed form") {
+    val sample = docs.limit(50)
+    val a = sample.select($"doc_id", TextOps.fingerprint($"text").as("fp")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = sample.select($"doc_id", TextOps.fingerprintComposed($"text").as("fp")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
   test("simhash: exact dups distance 0, near dups close, unrelated far") {
     val a = SimHash.simhash("the quick brown fox jumps over the lazy dog")
     val b = SimHash.simhash("the quick brown fox jumps over the lazy dog")
