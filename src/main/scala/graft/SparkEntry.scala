@@ -109,10 +109,13 @@ object SparkEntry {
         .orderBy(col("c_nationkey"), col("rnk"))
     }
 
-    // anti join (merge-layer "insert new, skip existing" primitive)
+    // anti join (merge-layer "insert new, skip existing" primitive); the
+    // order set is date-filtered so the anti side is non-trivial
     q("q7_customers_without_orders") = (s, dir) =>
       t(s, dir, "customer")
-        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(t(s, dir, "orders")
+            .filter(to_date(col("o_orderdate")) < lit("1995-01-01")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("n_customers"))
         .orderBy(col("c_nationkey"))
@@ -212,7 +215,7 @@ object SparkEntry {
         length(col("text")).cast(LongType).as("n_chars"),
         TextOps.tokenCountWs(col("text")).cast(LongType).as("ws_tokens"),
         TextOps.tokenCountBpe(col("text")).cast(LongType).as("bpe_tokens"),
-        size(TextOps.distinctShingles(col("text"), 3)).cast(LongType).as("n_shingles3"),
+        TextOps.distinctShingleCount(col("text"), 3).as("n_shingles3"),
         TextOps.alphaChars(col("text")).cast(LongType).as("n_alpha"),
         TextOps.punctChars(col("text")).cast(LongType).as("n_punct"))
         .orderBy(col("doc_id"))
@@ -363,7 +366,8 @@ object SparkEntry {
     "q7_customers_without_orders" ->
       """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers
         |FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND CAST(o_orderdate AS DATE) < DATE '1995-01-01')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q8_merge_upsert" ->

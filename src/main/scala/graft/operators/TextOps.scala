@@ -46,6 +46,13 @@ object TextOps {
 
   def distinctShingles(c: Column, k: Int): Column = array_distinct(shingles(c, k))
 
+  /** Distinct k-shingle count via the single-pass custom expression
+    * (= `size(distinctShingles)` with no array materialization).
+    */
+  def distinctShingleCount(c: Column, k: Int): Column =
+    org.apache.spark.sql.graft.shims.column(
+      graft.functions.ShingleCountExpr(org.apache.spark.sql.graft.shims.expression(c), k))
+
   /** Stopword lists for the n-gram language-ID heuristic. Tiny on purpose:
     * they broadcast as literals inside the expression; real deployments swap
     * in larger lists without changing the plan shape.
