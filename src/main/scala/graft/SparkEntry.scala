@@ -210,22 +210,44 @@ object SparkEntry {
     // ---- text analysis over documents ----
 
     q("doc_stats") = (s, dir) =>
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        length(col("text")).cast(LongType).as("n_chars"),
-        TextOps.tokenCountWs(col("text")).cast(LongType).as("ws_tokens"),
-        TextOps.tokenCountBpe(col("text")).cast(LongType).as("bpe_tokens"),
-        TextOps.distinctShingleCount(col("text"), 3).as("n_shingles3"),
-        TextOps.alphaChars(col("text")).cast(LongType).as("n_alpha"),
-        TextOps.punctChars(col("text")).cast(LongType).as("n_punct"))
+      t(s, dir, "documents")
+        .withColumn("p", TextOps.textProfile(col("text")))
+        .select(
+          col("doc_id"),
+          length(col("text")).cast(LongType).as("n_chars"),
+          element_at(col("p"), 1).as("ws_tokens"),
+          TextOps.tokenCountBpe(col("text")).cast(LongType).as("bpe_tokens"),
+          TextOps.distinctShingleCount(col("text"), 3).as("n_shingles3"),
+          element_at(col("p"), 2).as("n_alpha"),
+          element_at(col("p"), 3).as("n_punct"))
         .orderBy(col("doc_id"))
 
     q("doc_quality_lang") = (s, dir) =>
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        TextOps.languageId(col("text")).as("lang_guess"),
-        TextOps.qualityScore(col("text")).as("quality"))
+      t(s, dir, "documents")
+        .withColumn("p", TextOps.textProfile(col("text")))
+        .select(
+          col("doc_id"),
+          TextOps.languageIdFromProfile(col("p")).as("lang_guess"),
+          TextOps.qualityScoreFromProfile(col("text"), col("p")).as("quality"))
         .orderBy(col("doc_id"))
+
+    // grouping sets: region/nation revenue with rollup totals
+    q("q12_rollup") = (s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(round(sumMoney(col("o_totalprice")), 2).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+          coalesce(col("n_name"), lit("ALL")).as("nation"),
+          col("revenue"), col("n_orders"))
+        .orderBy(col("region"), col("nation"))
+    }
 
     q("doc_fingerprint") = (s, dir) =>
       t(s, dir, "documents").select(
@@ -600,6 +622,16 @@ object SparkEntry {
         | FROM scored)
         |SELECT q_id, rank, c_id, cosine FROM ranked WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin,
+
+    "q12_rollup" ->
+      """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue,
+        | CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY region, nation""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id,

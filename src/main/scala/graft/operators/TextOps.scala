@@ -84,6 +84,42 @@ object TextOps {
   def digitChars(c: Column): Column = length(c) - length(regexp_replace(c, "[0-9]", ""))
   def punctChars(c: Column): Column = length(c) - length(regexp_replace(c, "[^A-Za-z0-9\\s]", ""))
 
+  /** Single-pass count profile `[wsTokens, alpha, punct, s_en, s_es, s_de,
+    * s_fr, s_any]` (see [[graft.functions.TextProfileExpr]]); feed to the
+    * `*FromProfile` variants to avoid six tokenization passes per row.
+    */
+  def textProfile(c: Column): Column =
+    org.apache.spark.sql.graft.shims.column(
+      graft.functions.TextProfileExpr(
+        org.apache.spark.sql.graft.shims.expression(c), stopwords.map(_._2)))
+
+  /** [[languageId]] computed from a [[textProfile]] column — identical CASE
+    * chain over identical counts.
+    */
+  def languageIdFromProfile(p: Column): Column = {
+    val Seq(en, es, de, fr) = (0 until 4).map(i => element_at(p, 4 + i))
+    when(en + es + de + fr === 0, lit("und"))
+      .when(en >= es && en >= de && en >= fr, lit("en"))
+      .when(es >= de && es >= fr, lit("es"))
+      .when(de >= fr, lit("de"))
+      .otherwise(lit("fr"))
+  }
+
+  /** [[qualityScore]] computed from a [[textProfile]] column — the identical
+    * native arithmetic tree, with the counts sourced from the one-pass scan.
+    */
+  def qualityScoreFromProfile(c: Column, p: Column): Column = {
+    val len = length(c).cast("double")
+    val alphaRatio = element_at(p, 2).cast("double") / greatest(len, lit(1.0))
+    val punctRatio = element_at(p, 3).cast("double") / greatest(len, lit(1.0))
+    val toks = element_at(p, 1).cast("double")
+    val meanTokLen = (len - (toks - 1)) / greatest(toks, lit(1.0))
+    val tokShape = when(meanTokLen >= 3 && meanTokLen <= 10, lit(1.0)).otherwise(lit(0.0))
+    val stopRatio = element_at(p, 8).cast("double") / greatest(toks, lit(1.0))
+    round(lit(0.5) * alphaRatio + lit(0.2) * tokShape
+      + lit(0.3) * least(stopRatio * 3, lit(1.0)) - lit(0.2) * punctRatio, 4)
+  }
+
   /** Composite quality score in [0,1]: alpha density + token-shape sanity +
     * stopword presence, a standard pre-training heuristic mix. Deterministic
     * double arithmetic, rounded so cross-engine float noise can't flip it.

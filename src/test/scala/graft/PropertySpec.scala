@@ -1,0 +1,90 @@
+package graft
+
+import graft.functions.PyTitle
+import graft.operators.TextOps
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests (SURVEY.md §5 test plan): structural invariants of the
+  * regex extractors and scalar functions over generated inputs, plus
+  * fast-path ≡ composed-path equivalences. Uses raw ScalaCheck generators
+  * with a fixed seed (scalatest-plus bridge isn't in the offline dep set).
+  */
+class PropertySpec extends SparkSpec {
+
+  private val asciiText: Gen[String] =
+    Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumChar,
+      3 -> Gen.const(' '),
+      1 -> Gen.oneOf('.', ',', '$', '%', '/', 'x', '(', ')', '!', '-')))
+      .map(_.take(200).mkString)
+
+  private def samples(g: Gen[String], n: Int): Seq[String] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("F11 struct fields are consistent with F8/F9/F10 individually") {
+    val inputs = samples(asciiText, 120)
+    val rows = evalCases(inputs)(c => struct(
+      graft.functions.Transforms.extractMeasureAndUnit(c).as("s"),
+      graft.functions.Transforms.extractMeasure(c).as("m"),
+      lower(graft.functions.Transforms.extractUnit(c)).as("u"),
+      graft.functions.Transforms.extractPackageUnits(c).as("p")))
+    rows.foreach { r =>
+      val row = r.asInstanceOf[org.apache.spark.sql.Row]
+      val s = row.getStruct(0)
+      assert(s.get(0) == row.get(1) && s.get(1) == row.get(2) && s.get(2) == row.get(3),
+        s"inconsistent struct for $row")
+    }
+  }
+
+  test("PyTitle is idempotent (like Python str.title)") {
+    samples(asciiText, 300).foreach { s =>
+      assert(PyTitle.title(PyTitle.title(s)) == PyTitle.title(s), s"not idempotent on '$s'")
+    }
+  }
+
+  test("F2 parses any '$ <digits>' string to its integer value") {
+    val ns = (0 until 60).map(i => math.abs(Seed(7L + i).long._1) % 999999999999L)
+    val got = evalCases(ns.map(n => s"$$ $n"))(graft.functions.Transforms.cleanPrice)
+    ns.zip(got).foreach { case (n, v) =>
+      assert(v == new java.math.BigDecimal(n).setScale(2))
+    }
+  }
+
+  test("TextProfile counts equal the composed column forms on random strings") {
+    val inputs = samples(asciiText, 120)
+    val rows = evalCases(inputs) { c =>
+      struct(
+        TextOps.textProfile(c).as("p"),
+        TextOps.tokenCountWs(c).cast("long").as("ws"),
+        TextOps.alphaChars(c).cast("long").as("alpha"),
+        TextOps.punctChars(c).cast("long").as("punct"),
+        TextOps.stopwordHits(c, TextOps.stopwords.flatMap(_._2)).cast("long").as("hits"))
+    }
+    inputs.zip(rows).foreach { case (in, r) =>
+      val row = r.asInstanceOf[org.apache.spark.sql.Row]
+      val p = row.getSeq[Long](0)
+      assert(p(0) == row.getLong(1), s"ws on '$in'")
+      assert(p(1) == row.getLong(2), s"alpha on '$in'")
+      assert(p(2) == row.getLong(3), s"punct on '$in'")
+      assert(p(7) == row.getLong(4), s"hitsAny on '$in'")
+    }
+  }
+
+  test("language/quality from profile equal the composed forms on real docs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val both = docs
+      .withColumn("p", TextOps.textProfile(col("text")))
+      .select(
+        TextOps.languageId(col("text")).as("l1"),
+        TextOps.languageIdFromProfile(col("p")).as("l2"),
+        TextOps.qualityScore(col("text")).as("q1"),
+        TextOps.qualityScoreFromProfile(col("text"), col("p")).as("q2"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getString(0) == r.getString(1))
+      assert(r.getDouble(2) == r.getDouble(3))
+    }
+  }
+}
