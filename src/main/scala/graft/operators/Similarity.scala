@@ -22,6 +22,12 @@ object Similarity {
 
   /** Exact top-k neighbors for each query vector (excluding self-matches).
     * Scores rounded to 4dp; ties broken by corpus id for determinism.
+    *
+    * Reduction happens through [[graft.functions.TopKAgg]], a bounded typed
+    * aggregator: partial aggregation collapses each map task's slice to k
+    * rows per query BEFORE the exchange, so the shuffle carries Q×k rows —
+    * a window-rank formulation would shuffle the entire Q×N score matrix
+    * into Q skewed partitions.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, corpusId: String,
       queryId: String, vec: String, k: Int): DataFrame = {
@@ -31,8 +37,20 @@ object Similarity {
       .filter(col("c_id") =!= col("q_id"))
       .select(col("q_id"), col("c_id"),
         round(Transforms.vecCosine(col("c_vec"), col("q_vec")), 4).as("cosine"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    topKPerKey(scored, "q_id", "cosine", "c_id", k)
+  }
+
+  /** Group `df` by `key` and keep the top-k (score desc, id asc) rows via the
+    * bounded partial aggregator; output matches the equivalent
+    * `row_number().over(Window...)` filter exactly.
+    */
+  def topKPerKey(df: DataFrame, key: String, score: String, id: String, k: Int): DataFrame = {
+    val agg = graft.functions.TopKAgg.topK(k)
+    df.groupBy(col(key))
+      .agg(agg(col(score), col(id)).as("tk"))
+      .select(col(key), posexplode(col("tk")).as(Seq("pos", "s")))
+      .select(col(key), (col("pos") + 1).cast("int").as("rank"),
+        col("s.id").as(id), col("s.score").as(score))
   }
 
   /** Assign each vector to its nearest centroid (IVF cell). `centroids` must
@@ -62,7 +80,6 @@ object Similarity {
       .filter(col("c_id") =!= col("q_id"))
       .select(col("q_id"), col("c_id"),
         round(Transforms.vecCosine(col("c_vec"), col("q_vec")), 4).as("cosine"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    topKPerKey(scored, "q_id", "cosine", "c_id", k)
   }
 }
