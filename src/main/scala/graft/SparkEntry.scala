@@ -174,6 +174,24 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }
 
+    // conditional aggregation (TPC-H Q14 shape): promo revenue share
+    q("q13_conditional_agg") = (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      val rev = (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(DecimalType(28, 6))
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_type"))
+        .agg(
+          sum(when(col("p_brand") === "Brand#1", rev).otherwise(lit(0).cast(DecimalType(28, 6))))
+            .cast("double").as("brand1_rev"),
+          sum(rev).cast("double").as("total_rev"),
+          count(lit(1)).as("n_lines"))
+        .select(col("p_type"),
+          (col("brand1_rev") / col("total_rev")).as("brand1_share"),
+          col("n_lines"))
+        .orderBy(col("p_type"))
+    }
+
     // ---- the reference ETL's scalar surface over synthesized Spanish rows ----
 
     // F1/F2/F5/F8-F13 end-to-end on constructed Producto/Fecha/Precio columns
@@ -431,6 +449,17 @@ object SparkEntry {
         | CAST(sum(CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
         | CAST(count(*) AS BIGINT) AS n_events
         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q13_conditional_agg" ->
+      """WITH j AS (
+        | SELECT p_type, p_brand,
+        |  CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6)) AS rev
+        | FROM lineitem JOIN part ON l_partkey = p_partkey)
+        |SELECT p_type,
+        | CAST(sum(CASE WHEN p_brand = 'Brand#1' THEN rev ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+        |   / CAST(sum(rev) AS DOUBLE) AS brand1_share,
+        | CAST(count(*) AS BIGINT) AS n_lines
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "etl_clean" ->
       """WITH base AS (

@@ -133,6 +133,31 @@ class PipelineSpec extends SparkSpec {
     assert(cleaned.columns.toSeq == Seq("Producto", "Fecha 1", "Provedor", "Precio"))
   }
 
+  test("failed file can be reprocessed (status 4 does not block, unlike 3)") {
+    val p = freshPipeline()
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("Producto", org.apache.spark.sql.types.StringType))))
+    assert(!p.processCsv(empty, "products", "retry.csv").status)
+    assert(p.ledger.statusOf("products", "retry.csv") == Schemas.FileStatus.Failed)
+    // second attempt with good content goes through
+    val ok = p.processCsv(CsvSource.readString(spark, sampleCsv), "products", "retry.csv")
+    assert(ok.status, ok.message)
+    assert(p.ledger.statusOf("products", "retry.csv") == Schemas.FileStatus.Success)
+  }
+
+  test("canonicalize: partial columns rename, unknown columns pass through") {
+    import spark.implicits._
+    val df = Seq(("Test Product", "1000", "zz")).toDF("Producto", "Precio", "OtherColumn")
+    val out = Canonicalize.canonicalize(df)
+    assert(out.columns.toSeq == Seq("Description", "Price", "OtherColumn"))
+    // both Fecha variants present: first mapping wins, no duplicate column
+    val df2 = Seq(("a", "b")).toDF("Fecha 1", "Fecha")
+    val out2 = Canonicalize.canonicalize(df2)
+    assert(out2.columns.count(_ == "LastReviewDt") == 1)
+  }
+
   test("streaming runner: AvailableNow drains a directory with per-file ledger") {
     val p = freshPipeline()
     val inDir = Files.createTempDirectory("graft-in-").toString

@@ -155,6 +155,18 @@ class TrainingOpsSpec extends SparkSpec {
     assert(sampled.select(size($"frame_idx")).collect().forall(_.getInt(0) >= 1))
   }
 
+  test("salted join equals plain join on skewed keys") {
+    val big = spark.range(0, 10000)
+      .select((col("id") % 3).as("k"), col("id").as("v")) // 3 hot keys
+    val small = Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("k", "name")
+    val plain = big.join(small, "k").groupBy("k", "name").count()
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+    val salted = graft.operators.Skew.saltedJoin(big, small, "k", 8)
+      .groupBy("k", "name").count()
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+    assert(plain.toSeq == salted.toSeq)
+  }
+
   test("language id over real documents is deterministic and total") {
     val out = docs.select(TextOps.languageId($"text").as("lang"))
       .groupBy("lang").count().collect()
