@@ -293,6 +293,13 @@ object SparkEntry {
         .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
         .orderBy(col("doc_id"))
 
+    // the scale pipeline: LSH candidates -> exact jaccard verify (no
+    // quadratic shingle join); catches the corpus's planted near-dups
+    q("dedup_lsh_verified") = (s, dir) =>
+      Dedup.lshVerifiedPairs(t(s, dir, "documents"), "doc_id", "text",
+        k = 5, numHashes = 8, rowsPerBand = 2, minJaccard = 0.35, minSigMatches = 4)
+        .orderBy(col("id_a"), col("id_b"))
+
     q("dedup_jaccard") = (s, dir) =>
       Dedup.ngramJaccardPairs(
         t(s, dir, "documents").filter(col("doc_id") < 100), "doc_id", "text",
@@ -581,6 +588,47 @@ object SparkEntry {
         |SELECT doc_id,
         | CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dedup_lsh_verified" ->
+      s"""WITH sh AS (
+         |  $shingle5),
+         |sig AS (
+         | SELECT doc_id,
+         |   $minhashMins
+         | FROM sh GROUP BY doc_id),
+         |bands AS (
+         | SELECT doc_id, 0 AS band, CAST(mh0 AS VARCHAR)||'_'||CAST(mh1 AS VARCHAR) AS key FROM sig
+         | UNION ALL SELECT doc_id, 1, CAST(mh2 AS VARCHAR)||'_'||CAST(mh3 AS VARCHAR) FROM sig
+         | UNION ALL SELECT doc_id, 2, CAST(mh4 AS VARCHAR)||'_'||CAST(mh5 AS VARCHAR) FROM sig
+         | UNION ALL SELECT doc_id, 3, CAST(mh6 AS VARCHAR)||'_'||CAST(mh7 AS VARCHAR) FROM sig),
+         |cand0 AS (
+         | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         | FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         |cand AS (
+         | SELECT id_a, id_b FROM cand0 c
+         |  JOIN sig sa ON sa.doc_id = c.id_a JOIN sig sb ON sb.doc_id = c.id_b
+         | WHERE (CASE WHEN sa.mh0 = sb.mh0 THEN 1 ELSE 0 END)
+         |     + (CASE WHEN sa.mh1 = sb.mh1 THEN 1 ELSE 0 END)
+         |     + (CASE WHEN sa.mh2 = sb.mh2 THEN 1 ELSE 0 END)
+         |     + (CASE WHEN sa.mh3 = sb.mh3 THEN 1 ELSE 0 END)
+         |     + (CASE WHEN sa.mh4 = sb.mh4 THEN 1 ELSE 0 END)
+         |     + (CASE WHEN sa.mh5 = sb.mh5 THEN 1 ELSE 0 END)
+         |     + (CASE WHEN sa.mh6 = sb.mh6 THEN 1 ELSE 0 END)
+         |     + (CASE WHEN sa.mh7 = sb.mh7 THEN 1 ELSE 0 END) >= 4),
+         |str_sh AS (
+         | SELECT DISTINCT doc_id, substr(text, i, 5) AS s
+         | FROM documents, generate_series(1, 2048) t(i) WHERE i <= length(text)-4),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM str_sh GROUP BY 1),
+         |it AS (
+         | SELECT c.id_a, c.id_b, count(*) AS inter
+         | FROM cand c JOIN str_sh a ON a.doc_id = c.id_a
+         |   JOIN str_sh b ON b.doc_id = c.id_b AND b.s = a.s
+         | GROUP BY 1,2)
+         |SELECT id_a, id_b,
+         | round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard
+         |FROM it JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+         |WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) >= 0.35
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_jaccard" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),

@@ -92,6 +92,45 @@ object Dedup {
       .distinct()
   }
 
+  /** The scale-shaped near-dup pipeline: LSH candidate generation followed by
+    * exact Jaccard verification ON THE CANDIDATES ONLY. The all-pairs shingle
+    * self-join ([[ngramJaccardPairs]]) explodes quadratically on common
+    * shingles at corpus scale; here the quadratic step never materializes —
+    * candidates are band collisions (≈ true near-dups + a small false-positive
+    * tail), and verification is a per-pair `array_intersect` over the two
+    * shingle sets, no explode.
+    */
+  def lshVerifiedPairs(df: DataFrame, id: String, text: String, k: Int = 5,
+      numHashes: Int = 8, rowsPerBand: Int = 2, minJaccard: Double = 0.5,
+      minSigMatches: Int = 4): DataFrame = {
+    // stage 1: band collisions (recall net)
+    val cand0 = lshCandidatePairs(df, id, text, k, numHashes, rowsPerBand)
+    // stage 2: signature-similarity pre-filter — the fraction of agreeing
+    // minhashes estimates jaccard for free, discarding the vocabulary-overlap
+    // false positives BEFORE the expensive array verification. (On a common-
+    // vocabulary corpus band collisions are ~quadratic; pairs at jaccard≈0.15
+    // agree on ≥4 of 8 hashes with p≈0.03, true near-dups with p≈1.)
+    val sigs = minhashSignatures(df, id, text, k, numHashes)
+    val sigA = sigs.toDF(sigs.columns.map(c => if (c == id) "id_a" else s"a_$c").toIndexedSeq: _*)
+    val sigB = sigs.toDF(sigs.columns.map(c => if (c == id) "id_b" else s"b_$c").toIndexedSeq: _*)
+    val sigMatches = (0 until numHashes)
+      .map(i => when(col(s"a_mh$i") === col(s"b_mh$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val cand = cand0.join(sigA, Seq("id_a")).join(sigB, Seq("id_b"))
+      .filter(sigMatches >= minSigMatches)
+      .select(col("id_a"), col("id_b"))
+    // stage 3: exact verification on the survivors only
+    val sh = df.select(col(id), distinctShingles(col(text), k).as("sh"))
+    val a = sh.select(col(id).as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col(id).as("id_b"), col("sh").as("sh_b"))
+    cand.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", round(col("inter").cast("double")
+        / (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** 60-bit SimHash sketch column (custom single-pass expression). */
   def simhash(text: Column): Column = shims.column(SimHashExpr(shims.expression(text)))
 

@@ -155,6 +155,18 @@ class TrainingOpsSpec extends SparkSpec {
     assert(sampled.select(size($"frame_idx")).collect().forall(_.getInt(0) >= 1))
   }
 
+  test("LSH-verified near-dups match the exhaustive jaccard at the same threshold") {
+    val exhaustive = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 5, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaLsh = Dedup.lshVerifiedPairs(docs, "doc_id", "text", minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaLsh.subsetOf(exhaustive)) // verification can't invent pairs
+    // with 4 bands of 2 rows, jaccard>=0.5 pairs collide with prob ~1; the
+    // planted near-dups in the corpus are ~0.99
+    assert(viaLsh == exhaustive, s"missed: ${exhaustive -- viaLsh}")
+    assert(exhaustive.nonEmpty) // the corpus really has planted near-dups
+  }
+
   test("salted join equals plain join on skewed keys") {
     val big = spark.range(0, 10000)
       .select((col("id") % 3).as("k"), col("id").as("v")) // 3 hot keys
