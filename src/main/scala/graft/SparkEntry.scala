@@ -306,6 +306,11 @@ object SparkEntry {
         k = 8, minJaccard = 0.05)
         .orderBy(col("id_a"), col("id_b"))
 
+    // embedding near-duplicate pairs (cosine threshold verification kernel)
+    q("dedup_embedding") = (s, dir) =>
+      Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
+        .orderBy(col("id_a"), col("id_b"))
+
     // ---- similarity search over embeddings ----
 
     q("sim_topk") = (s, dir) => {
@@ -641,6 +646,20 @@ object SparkEntry {
         | round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard
         |FROM it JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
         |WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) >= 0.05
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_embedding" ->
+      """WITH p AS (
+        | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  sum(a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE) AS dot,
+        |  sqrt(sum(a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)) AS na,
+        |  sqrt(sum(b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) AS nb
+        | FROM embeddings a, embeddings b, generate_series(1, 64) t(i)
+        | WHERE a.vec_id < b.vec_id GROUP BY 1,2)
+        |SELECT id_a, id_b,
+        | round(CASE WHEN na = 0 OR nb = 0 THEN 0 ELSE dot/(na*nb) END, 4) AS cosine
+        |FROM p
+        |WHERE round(CASE WHEN na = 0 OR nb = 0 THEN 0 ELSE dot/(na*nb) END, 4) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
 
     "sim_topk" ->
