@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.functions.Transforms
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an `array<float>` embedding
@@ -55,16 +54,23 @@ object Similarity {
 
   /** Assign each vector to its nearest centroid (IVF cell). `centroids` must
     * be broadcastable (√N rows); determinism via (cosine desc, centroid id).
+    *
+    * Argmax via `max_by` over `struct(cosine, -cell)` rather than a window
+    * rank: aggregation gets map-side partial combining, so the exchange
+    * carries one row per corpus vector instead of numCentroids rows sorted —
+    * the difference between shuffling N and 8N rows at corpus scale. The
+    * struct ordering (cosine max, then -cell max = lowest cell id) matches
+    * the window form `orderBy(cosine.desc, cell)` row 1 exactly.
     */
   def assignCells(corpus: DataFrame, centroids: DataFrame, corpusId: String,
       centroidId: String, vec: String): DataFrame = {
     val c = centroids.select(col(centroidId).as("cell"), col(vec).as("cent_vec"))
-    val w = Window.partitionBy(col(corpusId)).orderBy(
-      round(Transforms.vecCosine(col(vec), col("cent_vec")), 6).desc, col("cell"))
     corpus.crossJoin(broadcast(c))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn", "cent_vec")
+      .withColumn("cos6", round(Transforms.vecCosine(col(vec), col("cent_vec")), 6))
+      .groupBy(col(corpusId))
+      .agg(
+        max_by(col("cell"), struct(col("cos6"), -col("cell"))).as("cell"),
+        any_value(col(vec)).as(vec))
   }
 
   /** IVF top-k: probe only the query's own cell. Recall < 1 by construction;
