@@ -34,13 +34,16 @@ object Dedup {
         min(col(id)).as("keep_id"),
         count(lit(1)).as("n_copies"))
 
-  /** Exact-dedup projection: one row per distinct text (min-id winner). */
-  def exactDedup(df: DataFrame, id: String, text: String): DataFrame =
-    df.withColumn("text_sha", sha2(col(text), 256))
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("text_sha")).orderBy(col(id))))
-      .filter(col("rn") === 1)
-      .drop("rn", "text_sha")
+  /** Exact-dedup projection: one row per distinct text (min-id winner).
+    * Aggregation + semi-join rather than a window rank: min() combines
+    * map-side, and a viral document with millions of copies never lands as
+    * one sorted window partition.
+    */
+  def exactDedup(df: DataFrame, id: String, text: String): DataFrame = {
+    val keyed = df.withColumn("text_sha", sha2(col(text), 256))
+    val winners = keyed.groupBy(col("text_sha")).agg(min(col(id)).as(id))
+    keyed.join(winners, Seq("text_sha", id), "left_semi").drop("text_sha")
+  }
 
   /** Fixed universal-hash parameters for the MinHash permutations — literal
     * constants so the SQL oracle states the identical numbers.
@@ -182,10 +185,15 @@ object Dedup {
     */
   def embeddingNearDupPairs(df: DataFrame, id: String, vec: String,
       threshold: Double): DataFrame = {
-    val a = df.select(col(id).as("id_a"), col(vec).as("v_a"))
-    val b = df.select(col(id).as("id_b"), col(vec).as("v_b"))
+    // norms once per vector, dot once per pair (vecCosine would rescan both
+    // arrays for their norms on every pair — 3x the flops)
+    val normed = df.select(col(id), col(vec), Transforms.vecNorm(col(vec)).as("nrm"))
+    val a = normed.select(col(id).as("id_a"), col(vec).as("v_a"), col("nrm").as("n_a"))
+    val b = normed.select(col(id).as("id_b"), col(vec).as("v_b"), col("nrm").as("n_b"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cosine", round(Transforms.vecCosine(col("v_a"), col("v_b")), 4))
+      .withColumn("cosine", round(
+        when(col("n_a") === 0 || col("n_b") === 0, lit(0.0))
+          .otherwise(Transforms.vecDot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))), 4))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }

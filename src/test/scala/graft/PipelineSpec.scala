@@ -116,6 +116,19 @@ class PipelineSpec extends SparkSpec {
     assert(pp.forall(_.getDecimal(6) == new java.math.BigDecimal("13.00")))
   }
 
+  test("EP2 invoice variants: unfenced CSV works; empty extraction fails cleanly") {
+    val p = freshPipeline()
+    // unfenced model output passes straight through (fence strip is a no-op)
+    val plain = "Producto,Provedor,Precio,Porcentaje de IVA\nCafe 340g,ProveedorY,2.100,13\n"
+    val r1 = p.processInvoice(Array[Byte](9), "plain.jpg", InvoiceExtractor.Stub(plain))
+    assert(r1.status && r1.productsExtracted == 1, r1.message)
+
+    // header-only extraction → zero products → failure result, nothing staged
+    val empty = "```csv\nProducto,Provedor,Precio\n```"
+    val r2 = p.processInvoice(Array[Byte](9), "empty.jpg", InvoiceExtractor.Stub(empty))
+    assert(!r2.status && r2.productsExtracted == 0)
+  }
+
   test("EP4 header validation: missing => error, extra => warn+store") {
     val p = freshPipeline()
     val bad = "Producto,Precio\nArroz,100"
