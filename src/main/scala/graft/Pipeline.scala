@@ -79,19 +79,19 @@ class Pipeline(val spark: SparkSession, val wh: Warehouse) {
     if (ledger.statusOf(container, fileName) == FileStatus.Success)
       return ProcessingResult(status = true, s"File $fileName already processed successfully, skipping")
 
-    ledger.markInProgress(container, fileName)
+    val attemptId = ledger.markInProgress(container, fileName)
     try {
       if (raw.isEmpty) {
-        ledger.setStatus(container, fileName, FileStatus.Failed)
+        ledger.setStatus(attemptId, FileStatus.Failed)
         return ProcessingResult(status = false, "CSV file is empty")
       }
       val summary = runBatch(raw)
-      ledger.setStatus(container, fileName, FileStatus.Success)
+      ledger.setStatus(attemptId, FileStatus.Success)
       ProcessingResult(status = true,
         s"Processed $fileName: providers=${summary.providers} products=${summary.products} provider_products=${summary.providerProducts}")
     } catch {
       case e: Exception =>
-        ledger.setStatus(container, fileName, FileStatus.Failed)
+        ledger.setStatus(attemptId, FileStatus.Failed)
         ProcessingResult(status = false, s"Error processing $fileName: ${e.getMessage}")
     }
   }

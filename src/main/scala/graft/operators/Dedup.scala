@@ -71,12 +71,12 @@ object Dedup {
         element_at(col("sig"), i + 1).as(s"mh$i")): _*)
   }
 
-  /** LSH banding: with `rowsPerBand` signature values per band, docs sharing
-    * any band key become candidate pairs. Returns (id_a, id_b) with a < b.
+  /** Band-key pairs from a signature frame. Docs too short to shingle have
+    * null signatures and are dropped (concat_ws would otherwise fold every
+    * null signature to the SAME empty band key, pairing all short docs).
     */
-  def lshCandidatePairs(df: DataFrame, id: String, text: String, k: Int = 5,
-      numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    val sigs = minhashSignatures(df, id, text, k, numHashes)
+  private def candidatePairsFromSigs(sigs: DataFrame, id: String,
+      numHashes: Int, rowsPerBand: Int): DataFrame = {
     val numBands = numHashes / rowsPerBand
     val bandCols = (0 until numBands).map { b =>
       val key = concat_ws("_",
@@ -84,6 +84,7 @@ object Dedup {
       struct(lit(b).as("band"), key.as("key"))
     }
     val banded = sigs
+      .filter(col("mh0").isNotNull)
       .select(col(id), explode(array(bandCols: _*)).as("bk"))
       .select(col(id), col("bk.band").as("band"), col("bk.key").as("key"))
     val a = banded.alias("a")
@@ -94,6 +95,14 @@ object Dedup {
       .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"))
       .distinct()
   }
+
+  /** LSH banding: with `rowsPerBand` signature values per band, docs sharing
+    * any band key become candidate pairs. Returns (id_a, id_b) with a < b.
+    */
+  def lshCandidatePairs(df: DataFrame, id: String, text: String, k: Int = 5,
+      numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame =
+    candidatePairsFromSigs(minhashSignatures(df, id, text, k, numHashes), id,
+      numHashes, rowsPerBand)
 
   /** The scale-shaped near-dup pipeline: LSH candidate generation followed by
     * exact Jaccard verification ON THE CANDIDATES ONLY. The all-pairs shingle
@@ -106,14 +115,19 @@ object Dedup {
   def lshVerifiedPairs(df: DataFrame, id: String, text: String, k: Int = 5,
       numHashes: Int = 8, rowsPerBand: Int = 2, minJaccard: Double = 0.5,
       minSigMatches: Int = 4): DataFrame = {
+    // signatures are computed ONCE and persisted: banding and the similarity
+    // pre-filter both consume them, and without the persist each branch of
+    // the plan would redo the md5-per-shingle scan (the most expensive narrow
+    // stage in the pipeline)
+    val sigs = minhashSignatures(df, id, text, k, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // stage 1: band collisions (recall net)
-    val cand0 = lshCandidatePairs(df, id, text, k, numHashes, rowsPerBand)
+    val cand0 = candidatePairsFromSigs(sigs, id, numHashes, rowsPerBand)
     // stage 2: signature-similarity pre-filter — the fraction of agreeing
     // minhashes estimates jaccard for free, discarding the vocabulary-overlap
     // false positives BEFORE the expensive array verification. (On a common-
     // vocabulary corpus band collisions are ~quadratic; pairs at jaccard≈0.15
     // agree on ≥4 of 8 hashes with p≈0.03, true near-dups with p≈1.)
-    val sigs = minhashSignatures(df, id, text, k, numHashes)
     val sigA = sigs.toDF(sigs.columns.map(c => if (c == id) "id_a" else s"a_$c").toIndexedSeq: _*)
     val sigB = sigs.toDF(sigs.columns.map(c => if (c == id) "id_b" else s"b_$c").toIndexedSeq: _*)
     val sigMatches = (0 until numHashes)

@@ -46,11 +46,13 @@ class Ledger(wh: Warehouse) {
     nextId
   }
 
-  /** S10 — flip status (2 → 3 success / 4 failed). */
-  def setStatus(container: String, fileName: String, statusId: Int): Unit = {
+  /** S10 — flip status (2 → 3 success / 4 failed) on ONE attempt row (the id
+    * returned by markInProgress), preserving the history of earlier attempts
+    * exactly as the reference updates only the current ProcessFile row.
+    */
+  def setStatus(rowId: Int, statusId: Int): Unit = {
     val updated = all().withColumn("StatusId",
-      when(col("Container") === container && col("FileName") === fileName, lit(statusId))
-        .otherwise(col("StatusId")))
+      when(col("Id") === rowId, lit(statusId)).otherwise(col("StatusId")))
     wh.replace(table, updated)
   }
 }

@@ -183,13 +183,27 @@ object Merge {
       .join(broadcast(prodKey), Seq("hash"), "left")
       .filter(col("r_ProductId").isNotNull && col("ProviderId").isNotNull)
 
-    // one upsert row per (provider, product): latest review wins, deterministic
+    // one upsert row per (provider, product): the WHOLE latest-review row wins
+    // (not independent per-column maxes, which would fabricate a row mixing
+    // fields from different staging rows). Null dates lose; ties break on
+    // (price, package, iva) for determinism.
+    val stagedRow = struct(
+      to_timestamp(col("LastReviewDt"), "yyyy-MM-dd").as("dt"),
+      col("PackageUnits").try_cast(IntegerType).as("pkg"),
+      col("IVA").try_cast(DecimalType(18, 2)).as("iva"),
+      col("Price").try_cast(DecimalType(18, 2)).as("price"))
+    val orderKey = struct(
+      to_timestamp(col("LastReviewDt"), "yyyy-MM-dd"),
+      col("Price").try_cast(DecimalType(18, 2)),
+      col("PackageUnits").try_cast(IntegerType),
+      col("IVA").try_cast(DecimalType(18, 2)))
     val staged = resolved.groupBy(col("ProviderId"), col("r_ProductId").as("ProductId"))
-      .agg(
-        max(to_timestamp(col("LastReviewDt"), "yyyy-MM-dd")).as("s_LastReviewDt"),
-        max(col("PackageUnits").try_cast(IntegerType)).as("s_PackageUnits"),
-        max(col("IVA").try_cast(DecimalType(18, 2))).as("s_IVA"),
-        max(col("Price").try_cast(DecimalType(18, 2))).as("s_Price"))
+      .agg(max_by(stagedRow, orderKey).as("w"))
+      .select(col("ProviderId"), col("ProductId"),
+        col("w.dt").as("s_LastReviewDt"),
+        col("w.pkg").as("s_PackageUnits"),
+        col("w.iva").as("s_IVA"),
+        col("w.price").as("s_Price"))
 
     // Upsert without shuffling the fact: the staged side is file-sized, so
     // (a) update pass = fact LEFT JOIN broadcast(staged) — BroadcastHashJoin,

@@ -18,12 +18,19 @@ object CsvSource {
       .option("inferSchema", "false")
       .csv(path)
 
-  /** S2 — parse an in-memory CSV string (validation/extraction path). */
+  /** S2 — parse an in-memory CSV string (validation/extraction path).
+    * Parsed from a temp file with `multiLine=true` so RFC-4180 quoted fields
+    * with embedded newlines survive — pre-splitting the string into lines
+    * would corrupt such records (pandas' read_csv handles them).
+    */
   def readString(spark: SparkSession, csv: String): DataFrame = {
-    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempFile("graft-csv-", ".csv")
+    java.nio.file.Files.writeString(tmp, csv)
+    tmp.toFile.deleteOnExit()
     spark.read
       .option("header", "true")
       .option("inferSchema", "false")
-      .csv(csv.linesIterator.toSeq.toDS())
+      .option("multiLine", "true")
+      .csv(tmp.toString)
   }
 }

@@ -33,16 +33,26 @@ class Warehouse(val spark: SparkSession, val root: String) {
 
   /** Atomically replace a table's contents (safe when `df` reads the old
     * contents): write to `.tmp`, then swap directories.
+    *
+    * Only the WRITE is retried — once the old directory has been renamed
+    * away, re-running `df.write` would re-read a path that no longer exists,
+    * so the swap itself runs once, restoring the old directory if the final
+    * rename fails.
     */
-  def replace(table: String, df: DataFrame): Unit = withRetry() {
+  def replace(table: String, df: DataFrame): Unit = {
     val target = new Path(path(table))
     val tmp = new Path(s"$root/.tmp/$table-${java.util.UUID.randomUUID()}")
-    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    withRetry()(df.write.mode(SaveMode.Overwrite).parquet(tmp.toString))
     val old = new Path(s"$root/.tmp/$table-old-${java.util.UUID.randomUUID()}")
-    if (fs.exists(target)) fs.rename(target, old)
+    val hadOld = fs.exists(target)
+    if (hadOld && !fs.rename(target, old))
+      throw new java.io.IOException(s"could not move aside current $table")
     fs.mkdirs(target.getParent)
-    if (!fs.rename(tmp, target)) throw new java.io.IOException(s"swap failed for $table")
-    if (fs.exists(old)) fs.delete(old, true)
+    if (!fs.rename(tmp, target)) {
+      if (hadOld) fs.rename(old, target) // restore; table stays readable
+      throw new java.io.IOException(s"swap failed for $table")
+    }
+    if (hadOld) fs.delete(old, true)
   }
 
   def delete(table: String): Unit = fs.delete(new Path(path(table)), true)

@@ -4,7 +4,7 @@ import graft.Pipeline
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** §2.8 — the reference's blob-trigger micro-batching as Structured
   * Streaming: a file source watches a container path; each discovered file
@@ -21,9 +21,18 @@ import org.apache.spark.sql.types.{StringType, StructType}
 class StreamRunner(pipeline: Pipeline, schemaHint: Option[StructType] = None) {
 
   private def inferredSchema(dir: String): StructType =
-    schemaHint.getOrElse(
-      pipeline.spark.read.option("header", "true").option("inferSchema", "false")
-        .csv(s"$dir/*.csv").schema)
+    schemaHint.getOrElse {
+      try pipeline.spark.read.option("header", "true").option("inferSchema", "false")
+        .csv(s"$dir/*.csv").schema
+      catch {
+        // empty container at start-up (the normal deployment shape): fall
+        // back to the canonical Spanish price-list headers; pass schemaHint
+        // for containers with a different layout
+        case _: org.apache.spark.sql.AnalysisException =>
+          StructType(graft.model.Schemas.requiredHeaders.map(h =>
+            StructField(h, StringType)))
+      }
+    }
 
   /** Start watching `dir` for CSV files. `Trigger.AvailableNow` drains
     * pending files then stops — use for tests/batch catch-up; pass

@@ -52,6 +52,15 @@ class PipelineSpec extends SparkSpec {
     val capPp = pp.filter(col("ProductId") === capId).collect().head
     assert(capPp.getDecimal(7) == new java.math.BigDecimal("1347.00")) // Price
 
+    // the WHOLE latest-review row wins: Queso has (1/07/2025, 1.800) and a
+    // malformed-date row (price 1.900) — the valid-date row's price must win,
+    // NOT a fabricated mix of max(date) with max(price)
+    val queso = products.find(_.getString(2).startsWith("Queso Tierno")).get
+    val quesoPp = pp.filter(col("ProductId") === queso.getInt(0)).collect().head
+    assert(quesoPp.getTimestamp(4).toString.startsWith("2025-07-01"), "latest valid date")
+    assert(quesoPp.getDecimal(7) == new java.math.BigDecimal("1800.00"),
+      s"price must come from the winning row, got ${quesoPp.getDecimal(7)}")
+
     // UOM auto-created from extracted units (ml, kg, g — plus "x" from
     // "1X30", where the measure regex legitimately matches measure=1 unit=X,
     // exactly as the reference's regex does)

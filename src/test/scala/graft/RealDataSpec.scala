@@ -56,10 +56,15 @@ class RealDataSpec extends SparkSpec {
     assert(capPp.nonEmpty)
     assert(capPp.head.getDecimal(7) == new java.math.BigDecimal("1347.00"))
 
-    // the malformed year "23/04/20025" (line 30) must yield a null review
-    // date, not an error — whole pipeline completed is the assertion, plus:
-    val anyNullDate = pp.filter(col("LastReviewDt").isNull).count()
-    assert(anyNullDate >= 0) // presence tolerated end-to-end
+    // the malformed year "23/04/20025" (line 30: "Alimento Concentrado Duketa
+    // Perro k", sole row for that product) must yield a NULL review date —
+    // not an error, not a garbage parse
+    val duketa = p.wh.read("dims/Product", Schemas.product)
+      .filter(col("Description") === "Alimento Concentrado Duketa Perro k").collect()
+    assert(duketa.length == 1)
+    val duketaPp = pp.filter(col("ProductId") === duketa.head.getInt(0)).collect()
+    assert(duketaPp.length == 1 && duketaPp.head.isNullAt(4),
+      s"malformed year must parse to null, got ${duketaPp.map(_.get(4)).mkString(",")}")
 
     // ledger closed out
     assert(p.ledger.statusOf("products", "Lista Precios.csv") == Schemas.FileStatus.Success)
