@@ -73,6 +73,40 @@ object Similarity {
         any_value(col(vec)).as(vec))
   }
 
+  /** Lloyd's k-means for IVF centroids: seed with the first `numCells`
+    * vectors (deterministic), then `iterations` rounds of
+    * assign → element-wise mean. Each round is one broadcast-assign pass over
+    * the corpus plus a (cell, dim)-keyed average — both partial-aggregating,
+    * so training cost is `iterations` linear scans regardless of cluster
+    * count. Returns (cell id, centroid vector) with unit-normalized means
+    * (cosine IVF wants spherical k-means).
+    */
+  def trainCentroids(corpus: DataFrame, corpusId: String, vec: String,
+      numCells: Int, iterations: Int = 3): DataFrame = {
+    var centroids = corpus
+      .orderBy(col(corpusId)).limit(numCells)
+      .select(col(corpusId).cast("int").as("cell_id"), col(vec).as("centroid"))
+    var it = 0
+    while (it < iterations) {
+      val centAsVec = centroids.select(col("cell_id"), col("centroid").as(vec))
+      val assigned = assignCells(corpus, centAsVec, corpusId, "cell_id", vec)
+        .select(col("cell"), posexplode(col(vec)).as(Seq("pos", "x")))
+      val means = assigned.groupBy(col("cell"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell").as("cell_id"),
+          transform(col("pm"), e => e.getField("m").cast("float")).as("centroid"))
+      // unit-normalize (spherical); empty cells simply drop out
+      centroids = means.select(col("cell_id"),
+        transform(col("centroid"),
+          x => (x / greatest(Transforms.vecNorm(col("centroid")), lit(1e-12))).cast("float"))
+          .as("centroid"))
+      it += 1
+    }
+    centroids
+  }
+
   /** IVF top-k: probe only the query's own cell. Recall < 1 by construction;
     * verify against bruteForceTopK on a sample when tuning cell counts.
     */

@@ -81,6 +81,10 @@ object Smoke {
     Similarity.bruteForceTopK(emb, queries, "vec_id", "vec_id", "embedding", 3).show(false)
     Similarity.ivfTopK(emb, queries, emb.filter(col("vec_id") < 8),
       "vec_id", "vec_id", "vec_id", "embedding", 3).show(false)
+    println("-- IVF with k-means-trained centroids --")
+    val trained = Similarity.trainCentroids(emb, "vec_id", "embedding", numCells = 8)
+      .select(col("cell_id").as("vec_id"), col("centroid").as("embedding"))
+    Similarity.ivfTopK(emb, queries, trained, "vec_id", "vec_id", "vec_id", "embedding", 3).show(false)
     spark.stop()
   }
 }

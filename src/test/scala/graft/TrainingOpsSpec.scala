@@ -135,6 +135,25 @@ class TrainingOpsSpec extends SparkSpec {
     byQ.values.foreach(rows => assert(rows.length <= 5))
   }
 
+  test("k-means centroid training: unit-norm cells, IVF over them works with decent recall") {
+    val trained = Similarity.trainCentroids(emb, "vec_id", "embedding", numCells = 8)
+    val cents = trained.collect()
+    assert(cents.length <= 8 && cents.nonEmpty)
+    // spherical k-means: centroids come out unit-normalized
+    val norms = trained.select(graft.functions.Transforms.vecNorm($"centroid").as("n"))
+      .collect().map(_.getDouble(0))
+    assert(norms.forall(n => math.abs(n - 1.0) < 1e-3), norms.mkString(","))
+
+    val queries = emb.filter($"vec_id" >= 100 && $"vec_id" < 120)
+    val centAsEmb = trained.select($"cell_id".as("vec_id"), $"centroid".as("embedding"))
+    val ivf = Similarity.ivfTopK(emb, queries, centAsEmb, "vec_id", "vec_id", "vec_id", "embedding", 5)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "vec_id", "embedding", 5)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(recall > 0.15, s"ivf recall@5 too low: $recall") // 1 of 8 cells probed
+  }
+
   test("embedding near-dup pairs kernel works on real data") {
     val sub = emb.filter($"vec_id" < 50)
     val pairs = Dedup.embeddingNearDupPairs(sub, "vec_id", "embedding", -1.1)
