@@ -300,6 +300,14 @@ object SparkEntry {
         k = 5, numHashes = 8, rowsPerBand = 2, minJaccard = 0.35, minSigMatches = 4)
         .orderBy(col("id_a"), col("id_b"))
 
+    // transitive near-dup clusters over the verified pairs (a~b, b~c => one
+    // cluster) — the resolution step before "keep one per cluster"
+    q("dedup_components") = (s, dir) =>
+      Dedup.connectedComponents(
+        Dedup.lshVerifiedPairs(t(s, dir, "documents"), "doc_id", "text",
+          k = 5, numHashes = 8, rowsPerBand = 2, minJaccard = 0.35, minSigMatches = 4))
+        .orderBy(col("id"))
+
     q("dedup_jaccard") = (s, dir) =>
       Dedup.ngramJaccardPairs(
         t(s, dir, "documents").filter(col("doc_id") < 100), "doc_id", "text",
@@ -370,7 +378,63 @@ object SparkEntry {
     s"""SELECT doc_id, ${h31("substr(text, i, 5)")} AS h
        |    FROM documents, generate_series(1, 2048) t(i) WHERE i <= length(text)-4""".stripMargin
 
+  /** dedup_lsh_verified body (no ORDER BY) — also embedded as the pair
+    * source of the connected-components oracle.
+    */
+  private lazy val lshVerifiedCore: String =
+    s"""WITH sh AS (
+       |  $shingle5),
+       |sig AS (
+       | SELECT doc_id,
+       |   $minhashMins
+       | FROM sh GROUP BY doc_id),
+       |bands AS (
+       | SELECT doc_id, 0 AS band, CAST(mh0 AS VARCHAR)||'_'||CAST(mh1 AS VARCHAR) AS key FROM sig
+       | UNION ALL SELECT doc_id, 1, CAST(mh2 AS VARCHAR)||'_'||CAST(mh3 AS VARCHAR) FROM sig
+       | UNION ALL SELECT doc_id, 2, CAST(mh4 AS VARCHAR)||'_'||CAST(mh5 AS VARCHAR) FROM sig
+       | UNION ALL SELECT doc_id, 3, CAST(mh6 AS VARCHAR)||'_'||CAST(mh7 AS VARCHAR) FROM sig),
+       |cand0 AS (
+       | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       | FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |cand AS (
+       | SELECT id_a, id_b FROM cand0 c
+       |  JOIN sig sa ON sa.doc_id = c.id_a JOIN sig sb ON sb.doc_id = c.id_b
+       | WHERE (CASE WHEN sa.mh0 = sb.mh0 THEN 1 ELSE 0 END)
+       |     + (CASE WHEN sa.mh1 = sb.mh1 THEN 1 ELSE 0 END)
+       |     + (CASE WHEN sa.mh2 = sb.mh2 THEN 1 ELSE 0 END)
+       |     + (CASE WHEN sa.mh3 = sb.mh3 THEN 1 ELSE 0 END)
+       |     + (CASE WHEN sa.mh4 = sb.mh4 THEN 1 ELSE 0 END)
+       |     + (CASE WHEN sa.mh5 = sb.mh5 THEN 1 ELSE 0 END)
+       |     + (CASE WHEN sa.mh6 = sb.mh6 THEN 1 ELSE 0 END)
+       |     + (CASE WHEN sa.mh7 = sb.mh7 THEN 1 ELSE 0 END) >= 4),
+       |str_sh AS (
+       | SELECT DISTINCT doc_id, substr(text, i, 5) AS s
+       | FROM documents, generate_series(1, 2048) t(i) WHERE i <= length(text)-4),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM str_sh GROUP BY 1),
+       |it AS (
+       | SELECT c.id_a, c.id_b, count(*) AS inter
+       | FROM cand c JOIN str_sh a ON a.doc_id = c.id_a
+       |   JOIN str_sh b ON b.doc_id = c.id_b AND b.s = a.s
+       | GROUP BY 1,2)
+       |SELECT id_a, id_b,
+       | round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard
+       |FROM it JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+       |WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) >= 0.35""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "dedup_components" ->
+      s"""WITH RECURSIVE pairs AS (
+         |$lshVerifiedCore),
+         |edges AS (
+         | SELECT id_a AS src, id_b AS dst FROM pairs
+         | UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         | SELECT src, dst FROM edges
+         | UNION
+         | SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |comp AS (SELECT src AS id, least(src, min(dst)) AS component FROM reach GROUP BY src)
+         |SELECT id, component FROM comp ORDER BY id""".stripMargin,
+
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
@@ -595,44 +659,7 @@ object SparkEntry {
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "dedup_lsh_verified" ->
-      s"""WITH sh AS (
-         |  $shingle5),
-         |sig AS (
-         | SELECT doc_id,
-         |   $minhashMins
-         | FROM sh GROUP BY doc_id),
-         |bands AS (
-         | SELECT doc_id, 0 AS band, CAST(mh0 AS VARCHAR)||'_'||CAST(mh1 AS VARCHAR) AS key FROM sig
-         | UNION ALL SELECT doc_id, 1, CAST(mh2 AS VARCHAR)||'_'||CAST(mh3 AS VARCHAR) FROM sig
-         | UNION ALL SELECT doc_id, 2, CAST(mh4 AS VARCHAR)||'_'||CAST(mh5 AS VARCHAR) FROM sig
-         | UNION ALL SELECT doc_id, 3, CAST(mh6 AS VARCHAR)||'_'||CAST(mh7 AS VARCHAR) FROM sig),
-         |cand0 AS (
-         | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         | FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-         |cand AS (
-         | SELECT id_a, id_b FROM cand0 c
-         |  JOIN sig sa ON sa.doc_id = c.id_a JOIN sig sb ON sb.doc_id = c.id_b
-         | WHERE (CASE WHEN sa.mh0 = sb.mh0 THEN 1 ELSE 0 END)
-         |     + (CASE WHEN sa.mh1 = sb.mh1 THEN 1 ELSE 0 END)
-         |     + (CASE WHEN sa.mh2 = sb.mh2 THEN 1 ELSE 0 END)
-         |     + (CASE WHEN sa.mh3 = sb.mh3 THEN 1 ELSE 0 END)
-         |     + (CASE WHEN sa.mh4 = sb.mh4 THEN 1 ELSE 0 END)
-         |     + (CASE WHEN sa.mh5 = sb.mh5 THEN 1 ELSE 0 END)
-         |     + (CASE WHEN sa.mh6 = sb.mh6 THEN 1 ELSE 0 END)
-         |     + (CASE WHEN sa.mh7 = sb.mh7 THEN 1 ELSE 0 END) >= 4),
-         |str_sh AS (
-         | SELECT DISTINCT doc_id, substr(text, i, 5) AS s
-         | FROM documents, generate_series(1, 2048) t(i) WHERE i <= length(text)-4),
-         |sz AS (SELECT doc_id, count(*) AS sz FROM str_sh GROUP BY 1),
-         |it AS (
-         | SELECT c.id_a, c.id_b, count(*) AS inter
-         | FROM cand c JOIN str_sh a ON a.doc_id = c.id_a
-         |   JOIN str_sh b ON b.doc_id = c.id_b AND b.s = a.s
-         | GROUP BY 1,2)
-         |SELECT id_a, id_b,
-         | round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard
-         |FROM it JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-         |WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) >= 0.35
+      s"""$lshVerifiedCore
          |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_jaccard" ->

@@ -148,6 +148,57 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Connected components over an undirected pair list (id_a, id_b) —
+    * near-dup CLUSTER resolution: pairwise matches must become transitive
+    * groups before "keep one per cluster" makes sense (a~b, b~c ⇒ {a,b,c}).
+    *
+    * Iterative min-label propagation: every vertex starts as its own label;
+    * each round takes the min of its own and its neighbors' labels, until a
+    * fixpoint. Rounds needed = cluster diameter — near-dup clusters are
+    * shallow, and `maxIterations` caps pathological chains. Each round is a
+    * broadcast-free join + partial-aggregating min, so the shuffle volume is
+    * edge-count per round.
+    *
+    * Returns (id, component) with component = min id in the cluster.
+    */
+  def connectedComponents(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var it = 0
+    var converged = false
+    while (it < maxIterations && !converged) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("component")).as("n_comp"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"), least(col("component"), coalesce(col("n_comp"), col("component"))).as("component"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("component", "old"), Seq("id"))
+        .filter(col("component") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Near-dup dedup end state: one surviving doc per transitive cluster
+    * (min id wins), all other cluster members dropped.
+    */
+  def nearDupDedup(df: DataFrame, id: String, text: String, minJaccard: Double = 0.5): DataFrame = {
+    val comps = connectedComponents(lshVerifiedPairs(df, id, text, minJaccard = minJaccard))
+    val losers = comps.filter(col("id") =!= col("component")).select(col("id").as(id))
+    df.join(losers, Seq(id), "left_anti")
+  }
+
   /** 60-bit SimHash sketch column (custom single-pass expression). */
   def simhash(text: Column): Column = shims.column(SimHashExpr(shims.expression(text)))
 

@@ -186,6 +186,21 @@ class TrainingOpsSpec extends SparkSpec {
     assert(exhaustive.nonEmpty) // the corpus really has planted near-dups
   }
 
+  test("connected components: transitivity, chains, and near-dup survivor set") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (22L, 23L))
+      .toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps(1L) == 1L && comps(2L) == 1L && comps(3L) == 1L) // chain a-b-c
+    assert(comps(10L) == 10L && comps(11L) == 10L)
+    assert(Seq(20L, 21L, 22L, 23L).forall(comps(_) == 20L)) // longer chain
+
+    val df = Seq((1L, "aaaa bbbb cccc dddd"), (2L, "aaaa bbbb cccc dddd"),
+      (3L, "aaaa bbbb cccc dddd"), (9L, "totally different words here")).toDF("doc_id", "text")
+    val survivors = Dedup.nearDupDedup(df, "doc_id", "text").collect().map(_.getLong(0)).sorted
+    assert(survivors.toSeq == Seq(1L, 9L)) // one per cluster + the singleton
+  }
+
   test("salted join equals plain join on skewed keys") {
     val big = spark.range(0, 10000)
       .select((col("id") % 3).as("k"), col("id").as("v")) // 3 hot keys
