@@ -267,6 +267,29 @@ object SparkEntry {
         .orderBy(col("region"), col("nation"))
     }
 
+    // deterministic content-hash sampling: the standard held-out-split
+    // mechanism (stable across runs/engines, unlike rand(seed))
+    q("doc_sample") = (s, dir) =>
+      t(s, dir, "documents")
+        .filter(pmod(TextOps.md5Long(col("text")), lit(100)) < 10)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+
+    // per-language quality quota: top-5 docs per guessed language — the
+    // curation shape "best N per stratum"
+    q("doc_quota") = (s, dir) => {
+      val scored = t(s, dir, "documents")
+        .withColumn("p", TextOps.textProfile(col("text")))
+        .select(col("doc_id"),
+          TextOps.languageIdFromProfile(col("p")).as("lang_guess"),
+          TextOps.qualityScoreFromProfile(col("text"), col("p")).as("quality"))
+      val w = Window.partitionBy(col("lang_guess"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      scored.withColumn("rnk", row_number().over(w).cast(LongType))
+        .filter(col("rnk") <= 5)
+        .orderBy(col("lang_guess"), col("rnk"))
+    }
+
     q("doc_fingerprint") = (s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -420,6 +443,40 @@ object SparkEntry {
        | round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard
        |FROM it JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
        |WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) >= 0.35""".stripMargin
+
+  /** doc_quality_lang body (no ORDER BY) — also the stratum source of the
+    * doc_quota oracle.
+    */
+  private lazy val docQualityCore: String = {
+    def hits(words: Seq[String]) =
+      s"CAST(len(list_filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(",")}))) AS DOUBLE)"
+    val allWords = TextOps.stopwords.flatMap(_._2)
+    val Seq(en, es, de, fr) = TextOps.stopwords.map(x => hits(x._2))
+    s"""WITH b AS (
+       | SELECT doc_id, text, list_filter(string_split(text, ' '), t -> t <> '') AS toks,
+       |  CAST(length(text) AS DOUBLE) AS len,
+       |  CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+       |  CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) AS n_punct
+       | FROM documents),
+       |sc AS (
+       | SELECT doc_id, len, n_alpha, n_punct,
+       |  CAST(len(toks) AS DOUBLE) AS toks_n,
+       |  $en AS s_en, $es AS s_es, $de AS s_de, $fr AS s_fr,
+       |  ${hits(allWords)} AS s_all
+       | FROM b)
+       |SELECT doc_id,
+       | CASE WHEN s_en + s_es + s_de + s_fr = 0 THEN 'und'
+       |      WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+       |      WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+       |      WHEN s_de >= s_fr THEN 'de'
+       |      ELSE 'fr' END AS lang_guess,
+       | round(0.5 * (n_alpha / greatest(len, 1.0))
+       |   + 0.2 * (CASE WHEN (len - (toks_n - 1)) / greatest(toks_n, 1.0) >= 3
+       |                  AND (len - (toks_n - 1)) / greatest(toks_n, 1.0) <= 10 THEN 1.0 ELSE 0.0 END)
+       |   + 0.3 * least((s_all / greatest(toks_n, 1.0)) * 3, 1.0)
+       |   - 0.2 * (n_punct / greatest(len, 1.0)), 4) AS quality
+       |FROM sc""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "dedup_components" ->
@@ -579,36 +636,23 @@ object SparkEntry {
         |FROM documents d JOIN sh ON d.doc_id = sh.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 
-    "doc_quality_lang" -> {
-      def hits(words: Seq[String]) =
-        s"CAST(len(list_filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(",")}))) AS DOUBLE)"
-      val allWords = TextOps.stopwords.flatMap(_._2)
-      val Seq(en, es, de, fr) = TextOps.stopwords.map(x => hits(x._2))
-      s"""WITH b AS (
-         | SELECT doc_id, text, list_filter(string_split(text, ' '), t -> t <> '') AS toks,
-         |  CAST(length(text) AS DOUBLE) AS len,
-         |  CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
-         |  CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) AS n_punct
-         | FROM documents),
-         |sc AS (
-         | SELECT doc_id, len, n_alpha, n_punct,
-         |  CAST(len(toks) AS DOUBLE) AS toks_n,
-         |  $en AS s_en, $es AS s_es, $de AS s_de, $fr AS s_fr,
-         |  ${hits(allWords)} AS s_all
-         | FROM b)
-         |SELECT doc_id,
-         | CASE WHEN s_en + s_es + s_de + s_fr = 0 THEN 'und'
-         |      WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
-         |      WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
-         |      WHEN s_de >= s_fr THEN 'de'
-         |      ELSE 'fr' END AS lang_guess,
-         | round(0.5 * (n_alpha / greatest(len, 1.0))
-         |   + 0.2 * (CASE WHEN (len - (toks_n - 1)) / greatest(toks_n, 1.0) >= 3
-         |                  AND (len - (toks_n - 1)) / greatest(toks_n, 1.0) <= 10 THEN 1.0 ELSE 0.0 END)
-         |   + 0.3 * least((s_all / greatest(toks_n, 1.0)) * 3, 1.0)
-         |   - 0.2 * (n_punct / greatest(len, 1.0)), 4) AS quality
-         |FROM sc ORDER BY doc_id""".stripMargin
-    },
+    "doc_quality_lang" ->
+      s"""$docQualityCore
+         |ORDER BY doc_id""".stripMargin,
+
+    "doc_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE ('0x'||substr(md5(text),1,15))::BIGINT % 100 < 10
+        |ORDER BY doc_id""".stripMargin,
+
+    "doc_quota" ->
+      s"""WITH q AS (
+         |$docQualityCore)
+         |SELECT doc_id, lang_guess, quality, rnk FROM (
+         | SELECT doc_id, lang_guess, quality,
+         |  CAST(row_number() OVER (PARTITION BY lang_guess ORDER BY quality DESC, doc_id) AS BIGINT) AS rnk
+         | FROM q)
+         |WHERE rnk <= 5 ORDER BY lang_guess, rnk""".stripMargin,
 
     "doc_fingerprint" ->
       s"""SELECT doc_id,
