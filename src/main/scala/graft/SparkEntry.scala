@@ -320,7 +320,7 @@ object SparkEntry {
     // quadratic shingle join); catches the corpus's planted near-dups
     q("dedup_lsh_verified") = (s, dir) =>
       Dedup.lshVerifiedPairs(t(s, dir, "documents"), "doc_id", "text",
-        k = 5, numHashes = 8, rowsPerBand = 2, minJaccard = 0.35, minSigMatches = 4)
+        k = 5, numHashes = 8, rowsPerBand = 2, minJaccard = 0.35, minSigMatchesOverride = 4)
         .orderBy(col("id_a"), col("id_b"))
 
     // transitive near-dup clusters over the verified pairs (a~b, b~c => one
@@ -328,7 +328,7 @@ object SparkEntry {
     q("dedup_components") = (s, dir) =>
       Dedup.connectedComponents(
         Dedup.lshVerifiedPairs(t(s, dir, "documents"), "doc_id", "text",
-          k = 5, numHashes = 8, rowsPerBand = 2, minJaccard = 0.35, minSigMatches = 4))
+          k = 5, numHashes = 8, rowsPerBand = 2, minJaccard = 0.35, minSigMatchesOverride = 4))
         .orderBy(col("id"))
 
     q("dedup_jaccard") = (s, dir) =>

@@ -40,7 +40,9 @@ object Dedup {
     * one sorted window partition.
     */
   def exactDedup(df: DataFrame, id: String, text: String): DataFrame = {
-    val keyed = df.withColumn("text_sha", sha2(col(text), 256))
+    // null texts form their own dedup group via the sentinel — a plain join
+    // key would null-compare false and silently DROP every null-text row
+    val keyed = df.withColumn("text_sha", coalesce(sha2(col(text), 256), lit("__null_text__")))
     val winners = keyed.groupBy(col("text_sha")).agg(min(col(id)).as(id))
     keyed.join(winners, Seq("text_sha", id), "left_semi").drop("text_sha")
   }
@@ -114,11 +116,19 @@ object Dedup {
     */
   def lshVerifiedPairs(df: DataFrame, id: String, text: String, k: Int = 5,
       numHashes: Int = 8, rowsPerBand: Int = 2, minJaccard: Double = 0.5,
-      minSigMatches: Int = 4): DataFrame = {
+      minSigMatchesOverride: Int = -1): DataFrame = {
+    // the signature pre-filter must track the requested threshold: a fixed
+    // gate of 4/8 would make minJaccard below ~0.5 inoperative (pairs at the
+    // requested similarity rarely agree on half the hashes). E[matches] =
+    // numHashes * jaccard, so gate one below the expectation for recall.
+    val minSigMatches =
+      if (minSigMatchesOverride >= 0) minSigMatchesOverride
+      else math.max(1, math.floor(numHashes * minJaccard).toInt - 1)
     // signatures are computed ONCE and persisted: banding and the similarity
     // pre-filter both consume them, and without the persist each branch of
     // the plan would redo the md5-per-shingle scan (the most expensive narrow
-    // stage in the pipeline)
+    // stage in the pipeline). The cached blocks are reclaimed by Spark's
+    // ContextCleaner once the returned plan is unreachable.
     val sigs = minhashSignatures(df, id, text, k, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // stage 1: band collisions (recall net)
@@ -187,6 +197,11 @@ object Dedup {
       it += 1
     }
     edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIterations rounds " +
+          "(cluster diameter exceeds the cap); raise maxIterations — returning " +
+          "partially-propagated labels would silently split clusters")
     labels
   }
 

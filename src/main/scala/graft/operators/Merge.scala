@@ -187,16 +187,12 @@ object Merge {
     // (not independent per-column maxes, which would fabricate a row mixing
     // fields from different staging rows). Null dates lose; ties break on
     // (price, package, iva) for determinism.
-    val stagedRow = struct(
-      to_timestamp(col("LastReviewDt"), "yyyy-MM-dd").as("dt"),
-      col("PackageUnits").try_cast(IntegerType).as("pkg"),
-      col("IVA").try_cast(DecimalType(18, 2)).as("iva"),
-      col("Price").try_cast(DecimalType(18, 2)).as("price"))
-    val orderKey = struct(
-      to_timestamp(col("LastReviewDt"), "yyyy-MM-dd"),
-      col("Price").try_cast(DecimalType(18, 2)),
-      col("PackageUnits").try_cast(IntegerType),
-      col("IVA").try_cast(DecimalType(18, 2)))
+    val sDt = to_timestamp(col("LastReviewDt"), "yyyy-MM-dd")
+    val sPkg = col("PackageUnits").try_cast(IntegerType)
+    val sIva = col("IVA").try_cast(DecimalType(18, 2))
+    val sPrice = col("Price").try_cast(DecimalType(18, 2))
+    val stagedRow = struct(sDt.as("dt"), sPkg.as("pkg"), sIva.as("iva"), sPrice.as("price"))
+    val orderKey = struct(sDt, sPrice, sPkg, sIva)
     val staged = resolved.groupBy(col("ProviderId"), col("r_ProductId").as("ProductId"))
       .agg(max_by(stagedRow, orderKey).as("w"))
       .select(col("ProviderId"), col("ProductId"),

@@ -97,11 +97,13 @@ object Similarity {
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cell").as("cell_id"),
           transform(col("pm"), e => e.getField("m").cast("float")).as("centroid"))
-      // unit-normalize (spherical); empty cells simply drop out
-      centroids = means.select(col("cell_id"),
-        transform(col("centroid"),
-          x => (x / greatest(Transforms.vecNorm(col("centroid")), lit(1e-12))).cast("float"))
-          .as("centroid"))
+      // unit-normalize (spherical); empty cells simply drop out. Norm is
+      // computed ONCE per centroid — inside the transform lambda it would
+      // re-scan the whole array per element (O(d^2))
+      centroids = means
+        .withColumn("nrm", greatest(Transforms.vecNorm(col("centroid")), lit(1e-12)))
+        .select(col("cell_id"),
+          transform(col("centroid"), x => (x / col("nrm")).cast("float")).as("centroid"))
       it += 1
     }
     centroids

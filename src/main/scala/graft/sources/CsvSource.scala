@@ -22,15 +22,25 @@ object CsvSource {
     * Parsed from a temp file with `multiLine=true` so RFC-4180 quoted fields
     * with embedded newlines survive — pre-splitting the string into lines
     * would corrupt such records (pandas' read_csv handles them).
+    *
+    * The frame is materialized eagerly (these strings are small — LLM
+    * extractions / upload validations) so the temp file can be deleted
+    * immediately instead of accumulating until JVM exit. Note: the temp path
+    * must be visible to executors — true in local mode; a cluster deployment
+    * should point java.io.tmpdir at shared scratch or pass data by path.
     */
   def readString(spark: SparkSession, csv: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempFile("graft-csv-", ".csv")
-    java.nio.file.Files.writeString(tmp, csv)
-    tmp.toFile.deleteOnExit()
-    spark.read
-      .option("header", "true")
-      .option("inferSchema", "false")
-      .option("multiLine", "true")
-      .csv(tmp.toString)
+    try {
+      java.nio.file.Files.writeString(tmp, csv)
+      val df = spark.read
+        .option("header", "true")
+        .option("inferSchema", "false")
+        .option("multiLine", "true")
+        .csv(tmp.toString)
+        .cache()
+      df.count() // force the read before the file disappears
+      df
+    } finally java.nio.file.Files.deleteIfExists(tmp)
   }
 }

@@ -45,11 +45,14 @@ class Warehouse(val spark: SparkSession, val root: String) {
     withRetry()(df.write.mode(SaveMode.Overwrite).parquet(tmp.toString))
     val old = new Path(s"$root/.tmp/$table-old-${java.util.UUID.randomUUID()}")
     val hadOld = fs.exists(target)
-    if (hadOld && !fs.rename(target, old))
+    if (hadOld && !fs.rename(target, old)) {
+      fs.delete(tmp, true) // don't strand the table-sized tmp copy
       throw new java.io.IOException(s"could not move aside current $table")
+    }
     fs.mkdirs(target.getParent)
     if (!fs.rename(tmp, target)) {
       if (hadOld) fs.rename(old, target) // restore; table stays readable
+      fs.delete(tmp, true)
       throw new java.io.IOException(s"swap failed for $table")
     }
     if (hadOld) fs.delete(old, true)

@@ -22,16 +22,23 @@ class StreamRunner(pipeline: Pipeline, schemaHint: Option[StructType] = None) {
 
   private def inferredSchema(dir: String): StructType =
     schemaHint.getOrElse {
-      try pipeline.spark.read.option("header", "true").option("inferSchema", "false")
-        .csv(s"$dir/*.csv").schema
-      catch {
-        // empty container at start-up (the normal deployment shape): fall
-        // back to the canonical Spanish price-list headers; pass schemaHint
-        // for containers with a different layout
-        case _: org.apache.spark.sql.AnalysisException =>
-          StructType(graft.model.Schemas.requiredHeaders.map(h =>
-            StructField(h, StringType)))
-      }
+      // pre-check for files instead of catching AnalysisException broadly —
+      // a typo'd path or permission error must fail fast, not silently fall
+      // back and mis-parse later arrivals
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(pipeline.spark.sparkContext.hadoopConfiguration)
+      val hasCsv = fs.exists(p) &&
+        fs.globStatus(new org.apache.hadoop.fs.Path(s"$dir/*.csv")).nonEmpty
+      if (hasCsv)
+        pipeline.spark.read.option("header", "true").option("inferSchema", "false")
+          .csv(s"$dir/*.csv").schema
+      else if (fs.exists(p))
+        // empty container at start-up (the normal deployment shape): start
+        // with the canonical Spanish price-list headers; pass schemaHint for
+        // containers with a different layout
+        StructType(graft.model.Schemas.requiredHeaders.map(h => StructField(h, StringType)))
+      else
+        throw new IllegalArgumentException(s"stream directory does not exist: $dir")
     }
 
   /** Start watching `dir` for CSV files. `Trigger.AvailableNow` drains

@@ -174,16 +174,18 @@ class TrainingOpsSpec extends SparkSpec {
     assert(sampled.select(size($"frame_idx")).collect().forall(_.getInt(0) >= 1))
   }
 
-  test("LSH-verified near-dups match the exhaustive jaccard at the same threshold") {
-    val exhaustive = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 5, minJaccard = 0.5)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  test("LSH-verified near-dups: subset of exhaustive, full recall on strong dups") {
+    val exhaustiveAll = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 5, minJaccard = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     val viaLsh = Dedup.lshVerifiedPairs(docs, "doc_id", "text", minJaccard = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(viaLsh.subsetOf(exhaustive)) // verification can't invent pairs
-    // with 4 bands of 2 rows, jaccard>=0.5 pairs collide with prob ~1; the
-    // planted near-dups in the corpus are ~0.99
-    assert(viaLsh == exhaustive, s"missed: ${exhaustive -- viaLsh}")
-    assert(exhaustive.nonEmpty) // the corpus really has planted near-dups
+    assert(viaLsh.subsetOf(exhaustiveAll.keySet)) // verification can't invent pairs
+    // banding is probabilistic for borderline jaccard (~0.68 collision at
+    // j=0.5 with 4x2 bands), so only require FULL recall where it is near
+    // certain: pairs at jaccard >= 0.9 collide with prob > 0.999
+    val strong = exhaustiveAll.filter(_._2 >= 0.9).keySet
+    assert(strong.nonEmpty) // the corpus really has planted near-dups
+    assert(strong.subsetOf(viaLsh), s"missed strong dups: ${strong -- viaLsh}")
   }
 
   test("connected components: transitivity, chains, and near-dup survivor set") {
