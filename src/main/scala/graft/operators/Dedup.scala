@@ -143,11 +143,22 @@ object Dedup {
     val sigMatches = (0 until numHashes)
       .map(i => when(col(s"a_mh$i") === col(s"b_mh$i"), 1).otherwise(0))
       .reduce(_ + _)
+    // surviving candidates are few (near-dups + a small FP tail); materialize
+    // them once — they feed BOTH the verification join and the doc semi-join
+    // below, which would otherwise re-run banding per branch
     val cand = cand0.join(sigA, Seq("id_a")).join(sigB, Seq("id_b"))
       .filter(sigMatches >= minSigMatches)
       .select(col("id_a"), col("id_b"))
-    // stage 3: exact verification on the survivors only
-    val sh = df.select(col(id), distinctShingles(col(text), k).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cand.count()
+    // stage 3: exact verification on the survivors only. Shingle sets are
+    // materialized ONLY for docs appearing in surviving pairs (broadcast
+    // semi-join before the projection) — computing them corpus-wide would
+    // redo the dominant narrow stage for documents verification never touches.
+    val candIds = cand.select(col("id_a").as(id))
+      .union(cand.select(col("id_b").as(id))).distinct()
+    val sh = df.join(broadcast(candIds), Seq(id), "left_semi")
+      .select(col(id), distinctShingles(col(text), k).as("sh"))
     val a = sh.select(col(id).as("id_a"), col("sh").as("sh_a"))
     val b = sh.select(col(id).as("id_b"), col("sh").as("sh_b"))
     cand.join(a, Seq("id_a")).join(b, Seq("id_b"))
@@ -171,11 +182,40 @@ object Dedup {
     *
     * Returns (id, component) with component = min id in the cluster.
     */
-  def connectedComponents(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIterations: Int = 20,
+      localThreshold: Long = 1000000L): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // Adaptive: near-dup graphs are usually TINY relative to the corpus
+    // (pairs, not documents). Below the threshold, a driver-side union-find
+    // answers in microseconds where the distributed loop pays ~seconds of
+    // job overhead PER ROUND; above it, fall through to the scalable
+    // propagation. Both produce identical (id, min-id component) labels.
+    val edgeCount = edges.count()
+    if (edgeCount <= localThreshold) {
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val rows = parent.keys.toSeq.sorted.map(v => (v, find(v)))
+      edges.unpersist()
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return rows.toDF("id", "component")
+    }
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -191,11 +191,17 @@ class TrainingOpsSpec extends SparkSpec {
   test("connected components: transitivity, chains, and near-dup survivor set") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (22L, 23L))
       .toDF("id_a", "id_b")
+    // exercise BOTH execution paths: driver union-find and distributed
+    // min-label propagation (localThreshold = 0 forces the loop)
+    for (threshold <- Seq(1000000L, 0L)) {
+      val comps = Dedup.connectedComponents(pairs, localThreshold = threshold).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(comps(1L) == 1L && comps(2L) == 1L && comps(3L) == 1L) // chain a-b-c
+      assert(comps(10L) == 10L && comps(11L) == 10L)
+      assert(Seq(20L, 21L, 22L, 23L).forall(comps(_) == 20L)) // longer chain
+    }
     val comps = Dedup.connectedComponents(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(comps(1L) == 1L && comps(2L) == 1L && comps(3L) == 1L) // chain a-b-c
-    assert(comps(10L) == 10L && comps(11L) == 10L)
-    assert(Seq(20L, 21L, 22L, 23L).forall(comps(_) == 20L)) // longer chain
 
     val df = Seq((1L, "aaaa bbbb cccc dddd"), (2L, "aaaa bbbb cccc dddd"),
       (3L, "aaaa bbbb cccc dddd"), (9L, "totally different words here")).toDF("doc_id", "text")
