@@ -331,6 +331,14 @@ object SparkEntry {
           k = 5, numHashes = 8, rowsPerBand = 2, minJaccard = 0.35, minSigMatchesOverride = 4))
         .orderBy(col("id"))
 
+    // the dedup END STATE: corpus after dropping every non-canonical member
+    // of each near-dup cluster (pairs -> components -> survivors)
+    q("dedup_survivors") = (s, dir) =>
+      Dedup.nearDupDedup(t(s, dir, "documents"), "doc_id", "text",
+        minJaccard = 0.35, minSigMatchesOverride = 4) // mirror the oracle gate
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+
     q("dedup_jaccard") = (s, dir) =>
       Dedup.ngramJaccardPairs(
         t(s, dir, "documents").filter(col("doc_id") < 100), "doc_id", "text",
@@ -705,6 +713,21 @@ object SparkEntry {
     "dedup_lsh_verified" ->
       s"""$lshVerifiedCore
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_survivors" ->
+      s"""WITH RECURSIVE pairs AS (
+         |$lshVerifiedCore),
+         |edges AS (
+         | SELECT id_a AS src, id_b AS dst FROM pairs
+         | UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         | SELECT src, dst FROM edges
+         | UNION
+         | SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |comp AS (SELECT src AS id, least(src, min(dst)) AS component FROM reach GROUP BY src)
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
+         |ORDER BY doc_id""".stripMargin,
 
     "dedup_jaccard" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),

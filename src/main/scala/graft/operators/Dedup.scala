@@ -248,8 +248,11 @@ object Dedup {
   /** Near-dup dedup end state: one surviving doc per transitive cluster
     * (min id wins), all other cluster members dropped.
     */
-  def nearDupDedup(df: DataFrame, id: String, text: String, minJaccard: Double = 0.5): DataFrame = {
-    val comps = connectedComponents(lshVerifiedPairs(df, id, text, minJaccard = minJaccard))
+  def nearDupDedup(df: DataFrame, id: String, text: String, minJaccard: Double = 0.5,
+      k: Int = 5, numHashes: Int = 8, rowsPerBand: Int = 2,
+      minSigMatchesOverride: Int = -1): DataFrame = {
+    val comps = connectedComponents(lshVerifiedPairs(df, id, text, k, numHashes,
+      rowsPerBand, minJaccard, minSigMatchesOverride))
     val losers = comps.filter(col("id") =!= col("component")).select(col("id").as(id))
     df.join(losers, Seq(id), "left_anti")
   }
