@@ -192,6 +192,22 @@ object SparkEntry {
         .orderBy(col("p_type"))
     }
 
+    // correlated-subquery shape: orders priced far above their customer's own
+    // average (decorrelated into an aggregate + self-join, the plan Catalyst
+    // produces for the subquery form)
+    q("q14_above_avg_orders") = (s, dir) => {
+      val o = t(s, dir, "orders")
+      val avgP = o.groupBy(col("o_custkey").as("k"))
+        .agg((sumMoney(col("o_totalprice")) / count(lit(1))).as("avg_price"))
+      o.join(avgP, col("o_custkey") === col("k"))
+        .filter(col("o_totalprice") > col("avg_price") * 1.5)
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_above"),
+          round(sumMoney(col("o_totalprice")), 2).as("above_revenue"))
+        .orderBy(col("c_mktsegment"))
+    }
+
     // ---- the reference ETL's scalar surface over synthesized Spanish rows ----
 
     // F1/F2/F5/F8-F13 end-to-end on constructed Producto/Fecha/Precio columns
@@ -601,6 +617,19 @@ object SparkEntry {
         |   / CAST(sum(rev) AS DOUBLE) AS brand1_share,
         | CAST(count(*) AS BIGINT) AS n_lines
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q14_above_avg_orders" ->
+      """WITH a AS (
+        | SELECT o_custkey AS k,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS avg_price
+        | FROM orders GROUP BY 1)
+        |SELECT c_mktsegment,
+        | CAST(count(*) AS BIGINT) AS n_above,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS above_revenue
+        |FROM orders JOIN a ON o_custkey = a.k
+        | JOIN customer ON o_custkey = c_custkey
+        |WHERE o_totalprice > avg_price * 1.5
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "etl_clean" ->
       """WITH base AS (
