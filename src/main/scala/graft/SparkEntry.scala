@@ -208,6 +208,48 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"))
     }
 
+    // as-of join (operator Spark lacks natively): attribute each purchase to the
+    // user's latest click at-or-before it. Implemented as the scale-correct
+    // union+running-window shape — ONE shuffle on user_id, linear in events —
+    // rather than an inequality join (quadratic explode) or per-row subquery.
+    // Oracle uses DuckDB's native ASOF LEFT JOIN as an independent implementation.
+    q("q15_asof_attribution") = (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), expr("ts DIV 1000").as("us"), col("event_type"), col("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+      val clicks = ev.filter(col("event_type") === "click").select("user_id", "us")
+      graft.operators.TimeJoins
+        .asOfJoin(purchases, clicks, Seq("user_id"), "us", "us", Seq("us"), "click_")
+        .withColumn("gap_min",
+          when(col("click_us").isNull, lit(-1L))
+            .otherwise(expr("(us - click_us) DIV 60000000")))
+        .groupBy(col("gap_min"))
+        .agg(count(lit(1)).as("n_purchases"),
+          round(sumMoney(col("value")), 2).as("attributed_value"))
+        .orderBy(col("gap_min"))
+    }
+
+    // range join (operator Spark lacks natively): same-user event pairs within a
+    // 5-minute window. Implemented as the bucketed equi-join shape — each left
+    // row explodes to its two candidate 5-min buckets, the join is a pure
+    // (user_id, bucket) equi-join, and the range predicate filters after — so
+    // the shuffle keys are uniform and nothing goes quadratic at scale.
+    // Oracle is DuckDB's native inequality (IE) join.
+    q("q16_range_pairs") = (s, dir) => {
+      val win = 300000000L // 5 minutes in microseconds
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), expr("ts DIV 1000").as("us"), col("event_type"))
+      graft.operators.TimeJoins
+        .rangeJoin(
+          ev.withColumnRenamed("event_type", "a_type"), ev,
+          Seq("user_id"), "us", "us", win, Seq("us", "event_type"), "b_")
+        .groupBy(col("a_type"), col("b_event_type").as("b_type"))
+        .agg(count(lit(1)).as("n_pairs"),
+          // exact integer sum → double, then IEEE division (bit-exact; no round)
+          (sum(col("b_us") - col("us")).cast("double") / count(lit(1))).as("avg_gap_us"))
+        .orderBy(col("a_type"), col("b_type"))
+    }
+
     // ---- the reference ETL's scalar surface over synthesized Spanish rows ----
 
     // F1/F2/F5/F8-F13 end-to-end on constructed Producto/Fecha/Precio columns
@@ -630,6 +672,30 @@ object SparkEntry {
         | JOIN customer ON o_custkey = c_custkey
         |WHERE o_totalprice > avg_price * 1.5
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q15_asof_attribution" ->
+      """WITH p AS (
+        | SELECT user_id, epoch_us(ts) AS us, value FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        | SELECT user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'click'),
+        |j AS (
+        | SELECT CASE WHEN c.us IS NULL THEN CAST(-1 AS BIGINT)
+        |             ELSE (p.us - c.us) // 60000000 END AS gap_min, p.value
+        | FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.us >= c.us)
+        |SELECT gap_min,
+        | CAST(count(*) AS BIGINT) AS n_purchases,
+        | round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS attributed_value
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q16_range_pairs" ->
+      """WITH e AS (
+        | SELECT user_id, epoch_us(ts) AS us, event_type FROM events)
+        |SELECT a.event_type AS a_type, b.event_type AS b_type,
+        | CAST(count(*) AS BIGINT) AS n_pairs,
+        | CAST(sum(b.us - a.us) AS DOUBLE) / count(*) AS avg_gap_us
+        |FROM e a JOIN e b
+        | ON a.user_id = b.user_id AND b.us > a.us AND b.us <= a.us + 300000000
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "etl_clean" ->
       """WITH base AS (

@@ -1,0 +1,97 @@
+package graft
+
+import graft.operators.TimeJoins
+import org.apache.spark.sql.functions._
+
+/** TimeJoins equivalence tests: the scale shapes (union+window as-of, bucketed
+  * range join) must produce exactly the rows the naive inequality-join forms
+  * produce — on hand-built edge fixtures (equal timestamps, no-match keys,
+  * bucket boundaries) and on the real sf0.001 events table.
+  */
+class TimeJoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val events = spark.read
+    .parquet("/root/testdata/sf0.001/events.parquet")
+    .select(col("user_id"), expr("ts DIV 1000").as("us"), col("event_type"), col("value"))
+
+  test("asOfJoin matches naive greatest-right-<=-left on edge fixture") {
+    val left = Seq(
+      (1L, 100L, "l1"), // exact-tie with a right row at 100
+      (1L, 150L, "l2"), // between rights
+      (1L, 10L, "l3"),  // before any right → null
+      (2L, 500L, "l4"), // key with no right rows → null
+      (3L, 70L, "l5")   // single right exactly at its ts
+    ).toDF("k", "ts", "tag")
+    val right = Seq(
+      (1L, 100L, "r100"),
+      (1L, 90L, "r90"),
+      (1L, 120L, "r120"),
+      (3L, 70L, "r70")
+    ).toDF("k", "ts", "v")
+
+    val got = TimeJoins
+      .asOfJoin(left, right, Seq("k"), "ts", "ts", Seq("ts", "v"), "m_")
+      .select("tag", "m_ts", "m_v")
+      .collect().map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2)))).toSet
+
+    assert(got === Set(
+      ("l1", Some(100L), Some("r100")), // >= semantics: tie matches
+      ("l2", Some(120L), Some("r120")),
+      ("l3", None, None),
+      ("l4", None, None),
+      ("l5", Some(70L), Some("r70"))))
+  }
+
+  test("asOfJoin matches naive max-right join on real events") {
+    val purchases = events.filter($"event_type" === "purchase").select("user_id", "us")
+    val clicks = events.filter($"event_type" === "click").select("user_id", "us")
+
+    val fast = TimeJoins
+      .asOfJoin(purchases, clicks, Seq("user_id"), "us", "us", Seq("us"), "click_")
+      .select($"user_id", $"us", $"click_us")
+
+    // naive: left join all earlier-or-equal clicks, take the max per purchase
+    val naive = purchases
+      .join(clicks.select($"user_id".as("cu"), $"us".as("c_us")),
+        $"user_id" === $"cu" && $"c_us" <= $"us", "left")
+      .groupBy($"user_id", $"us")
+      .agg(max($"c_us").as("click_us"))
+
+    assert(fast.count() === purchases.count())
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+  }
+
+  test("rangeJoin matches naive inequality join, incl. bucket boundaries") {
+    val gap = 10L
+    val left = Seq((1L, 95L, "a"), (1L, 100L, "b"), (2L, 7L, "c")).toDF("k", "ts", "tag")
+    val right = Seq(
+      (1L, 95L),  // equal ts: excluded (strictly after)
+      (1L, 100L), // within 95+10, bucket boundary (100 DIV 10 = 10 vs 95 DIV 10 = 9)
+      (1L, 105L), // exactly at 95+gap: included; also within 100+10
+      (1L, 110L), // exactly at 100+gap: included for b, beyond 95+gap for a
+      (2L, 18L),  // beyond 7+10
+      (3L, 8L)    // wrong key
+    ).toDF("k", "ts")
+
+    val got = TimeJoins
+      .rangeJoin(left, right, Seq("k"), "ts", "ts", gap, Seq("ts"), "r_")
+      .select("tag", "r_ts")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+
+    assert(got === Set(("a", 100L), ("a", 105L), ("b", 105L), ("b", 110L)))
+  }
+
+  test("rangeJoin matches naive inequality join on real events") {
+    val gap = 300000000L
+    val fast = TimeJoins
+      .rangeJoin(events.select($"user_id", $"us"), events.select($"user_id", $"us"),
+        Seq("user_id"), "us", "us", gap, Seq("us"), "b_")
+    val naive = events.select($"user_id", $"us")
+      .join(events.select($"user_id".as("bu"), $"us".as("b_us")),
+        $"user_id" === $"bu" && $"b_us" > $"us" && $"b_us" <= $"us" + gap)
+      .select($"user_id", $"us", $"b_us")
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+    assert(fast.count() === naive.count())
+  }
+}
