@@ -46,8 +46,12 @@ object TimeJoins {
       prefix: String = "asof_"): DataFrame = {
     require(on.nonEmpty, "asOfJoin needs at least one equality key")
     require(rightCols.nonEmpty, "asOfJoin needs at least one right column to attach")
+    // a right row with a null timestamp or a null key component can never
+    // match (SQL equality: null ≠ null) — and must be dropped BEFORE the
+    // window, whose partitioning would otherwise group null keys together
+    // and hand a null-key left row a match ASOF semantics forbids
     val r2 = right
-      .filter(col(rightTs).isNotNull)
+      .filter(col(rightTs).isNotNull && on.map(col(_).isNotNull).reduce(_ && _))
       .select(on.map(col) ++ Seq(
         col(rightTs).as("__asof_ts"),
         struct(rightCols.map(col): _*).as("__asof_payload"),

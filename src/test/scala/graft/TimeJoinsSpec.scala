@@ -43,6 +43,20 @@ class TimeJoinsSpec extends SparkSpec {
       ("l5", Some(70L), Some("r70"))))
   }
 
+  test("asOfJoin: null keys never match (left preserved, right dropped)") {
+    val left = Seq((Option(1L), 100L, "l1"), (Option.empty[Long], 100L, "lnull"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((Option(1L), 90L, "r1"), (Option.empty[Long], 90L, "rnull"))
+      .toDF("k", "ts", "v")
+    val got = TimeJoins
+      .asOfJoin(left, right, Seq("k"), "ts", "ts", Seq("v"), "m_")
+      .select("tag", "m_v")
+      .collect().map(r => (r.getString(0), Option(r.get(1)))).toSet
+    // SQL equality: null key matches nothing — the null-key left row survives
+    // unmatched instead of pairing with the null-key right row
+    assert(got === Set(("l1", Some("r1")), ("lnull", None)))
+  }
+
   test("asOfJoin matches naive max-right join on real events") {
     val purchases = events.filter($"event_type" === "purchase").select("user_id", "us")
     val clicks = events.filter($"event_type" === "click").select("user_id", "us")
