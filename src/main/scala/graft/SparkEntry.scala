@@ -408,6 +408,14 @@ object SparkEntry {
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
         .orderBy(col("id_a"), col("id_b"))
 
+    // the embedding-dedup SCALE path: sign-LSH buckets + exact cosine verify
+    // on candidates only (the all-pairs scan above is the verification
+    // kernel; this is what runs at corpus scale)
+    q("dedup_embedding_lsh") = (s, dir) =>
+      Dedup.cosineLshVerifiedPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, bitsPerBand = 8, nBands = 4, minCosine = 0.45)
+        .orderBy(col("id_a"), col("id_b"))
+
     // ---- similarity search over embeddings ----
 
     q("sim_topk") = (s, dir) => {
@@ -845,6 +853,35 @@ object SparkEntry {
         |  sqrt(sum(b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) AS nb
         | FROM embeddings a, embeddings b, generate_series(1, 64) t(i)
         | WHERE a.vec_id < b.vec_id GROUP BY 1,2)
+        |SELECT id_a, id_b,
+        | round(CASE WHEN na = 0 OR nb = 0 THEN 0 ELSE dot/(na*nb) END, 4) AS cosine
+        |FROM p
+        |WHERE round(CASE WHEN na = 0 OR nb = 0 THEN 0 ELSE dot/(na*nb) END, 4) >= 0.45
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_embedding_lsh" ->
+      """WITH sgn AS (
+        | SELECT b, j, i,
+        |  CASE WHEN substr(md5('hp:'||b||':'||j||':'||i),1,1) < '8' THEN 1 ELSE -1 END AS s
+        | FROM range(0,4) t1(b), range(0,8) t2(j), range(0,64) t3(i)),
+        |bits AS (
+        | SELECT e.vec_id, g.b, g.j,
+        |  CASE WHEN sum(floor(e.embedding[g.i+1]::DOUBLE * 1000000) * g.s) >= 0
+        |       THEN '1' ELSE '0' END AS bit
+        | FROM embeddings e, sgn g GROUP BY 1,2,3),
+        |keys AS (
+        | SELECT vec_id, b, string_agg(bit, '' ORDER BY j) AS key FROM bits GROUP BY 1,2),
+        |cand AS (
+        | SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+        | FROM keys x JOIN keys y ON x.b = y.b AND x.key = y.key AND x.vec_id < y.vec_id),
+        |p AS (
+        | SELECT c.id_a, c.id_b,
+        |  sum(a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE) AS dot,
+        |  sqrt(sum(a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)) AS na,
+        |  sqrt(sum(b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) AS nb
+        | FROM cand c JOIN embeddings a ON a.vec_id = c.id_a
+        |  JOIN embeddings b ON b.vec_id = c.id_b, generate_series(1,64) t(i)
+        | GROUP BY 1,2)
         |SELECT id_a, id_b,
         | round(CASE WHEN na = 0 OR nb = 0 THEN 0 ELSE dot/(na*nb) END, 4) AS cosine
         |FROM p

@@ -320,4 +320,56 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  /** The embedding-dedup scale path: sign-LSH (random hyperplane) candidate
+    * generation + exact cosine verification on the candidates only — the
+    * all-pairs scan ([[embeddingNearDupPairs]]) is the verification kernel
+    * and goes quadratic at corpus scale; here the shuffle carries
+    * (band, bitKey) pairs and the quadratic step only happens inside a
+    * bucket (2^bitsPerBand buckets per band, so bucket width tracks corpus
+    * size ÷ 2^bits).
+    *
+    * Determinism across engines: hyperplane signs derive from md5 of
+    * "hp:band:bit:dim" (reproducible in the SQL oracle), and each bit
+    * thresholds a sum of `floor(x·10⁶)·sign` terms — integer-valued doubles,
+    * so the sum is EXACT regardless of accumulation order and no
+    * engine-boundary float tie can flip a bit.
+    *
+    * Recall is the standard sign-LSH curve (P[bit agrees] = 1 − θ/π): tune
+    * `nBands` up for near-threshold pairs; precision is exact (verified).
+    */
+  def cosineLshVerifiedPairs(df: DataFrame, id: String, vec: String, dim: Int,
+      bitsPerBand: Int, nBands: Int, minCosine: Double): DataFrame = {
+    def sign(b: Int, j: Int, i: Int): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"hp:$b:$j:$i".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xf) < 8) 1 else -1 // first hex digit < '8'
+    }
+    val bandCols = (0 until nBands).map { b =>
+      val bits = (0 until bitsPerBand).map { j =>
+        val signs = array((0 until dim).map(i => lit(sign(b, j, i).toDouble)): _*)
+        when(aggregate(
+          zip_with(col(vec), signs, (x, s) => floor(x * lit(1000000d)) * s),
+          lit(0d), (acc, x) => acc + x) >= 0, lit("1")).otherwise(lit("0"))
+      }
+      struct(lit(b).as("band"), concat(bits: _*).as("key"))
+    }
+    val banded = df
+      .select(col(id), explode(array(bandCols: _*)).as("bk"))
+      .select(col(id), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = banded.alias("a").join(banded.alias("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col(s"a.$id") < col(s"b.$id"))
+      .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"))
+      .distinct()
+    val normed = df.select(col(id), col(vec), Transforms.vecNorm(col(vec)).as("nrm"))
+    cand
+      .join(normed.select(col(id).as("id_a"), col(vec).as("v_a"), col("nrm").as("n_a")), "id_a")
+      .join(normed.select(col(id).as("id_b"), col(vec).as("v_b"), col("nrm").as("n_b")), "id_b")
+      .withColumn("cosine", round(
+        when(col("n_a") === 0 || col("n_b") === 0, lit(0.0))
+          .otherwise(Transforms.vecDot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))), 4))
+      .filter(col("cosine") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
 }

@@ -10,6 +10,35 @@ import org.apache.spark.sql.functions._
 class TrainingOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("cosineLshVerifiedPairs: planted near-dups found, subset of brute force") {
+    // deterministic pseudo-random base vectors + 5 planted near-identical
+    // pairs (tiny perturbation => cosine ~0.99+)
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64)(i => (((seed * 31 + i) * 2654435761L % 1000) / 500.0f) - 1.0f)
+    val base = (0 until 100).map(n => (n.toLong, vec(n)))
+    val planted = (0 until 5).map { n =>
+      val v = vec(n * 7)
+      v(0) = v(0) + 0.01f
+      ((100 + n).toLong, v)
+    }
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+
+    val lsh = graft.operators.Dedup
+      .cosineLshVerifiedPairs(df, "vec_id", "embedding", 64, 8, 4, 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = graft.operators.Dedup
+      .embeddingNearDupPairs(df, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // precision is exact by construction (candidates are verified)
+    assert(lsh.subsetOf(brute))
+    // all 5 planted pairs are near-identical => every band key collides
+    (0 until 5).foreach { n =>
+      assert(lsh.contains(((n * 7).toLong, (100 + n).toLong)),
+        s"planted pair ${n * 7} <-> ${100 + n} missed")
+    }
+  }
+
   private val sf = "/root/testdata/sf0.001"
   private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
   private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
