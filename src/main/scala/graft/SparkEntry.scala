@@ -270,7 +270,10 @@ object SparkEntry {
         lower(T.extractUnit(producto)).as("unit"),
         T.extractPackageUnits(producto).as("package_units"),
         T.extractIva(producto).cast(LongType).as("iva"),
-        T.cleanPrice(precio).as("clean_price"),
+        // DOUBLE not raw DECIMAL: the driver hasher renders Decimal
+        // differently per engine; CRC prices are integer-valued so the
+        // cast is exact (oracle casts identically)
+        T.cleanPrice(precio).cast("double").as("clean_price"),
         T.inferDate(fecha).as("clean_date"))
         .orderBy(col("p_partkey"))
     }
@@ -719,7 +722,7 @@ object SparkEntry {
         | lower(nullif(regexp_extract(producto, '(\d+\.?\d*)\s*([a-zA-Z]{1,3})', 2), '')) AS unit,
         | nullif(regexp_extract(producto, '[x]\s*(\d+)', 1), '') AS package_units,
         | TRY_CAST(nullif(regexp_extract(producto, '\(\s*[Gg]\s*(\d+)\s*\)', 1), '') AS BIGINT) AS iva,
-        | TRY_CAST(regexp_replace(precio, '[.,$ ]', '', 'g') AS DECIMAL(18,2)) AS clean_price,
+        | CAST(TRY_CAST(regexp_replace(precio, '[.,$ ]', '', 'g') AS DECIMAL(18,2)) AS DOUBLE) AS clean_price,
         | expected_date AS clean_date
         |FROM base ORDER BY p_partkey""".stripMargin,
 

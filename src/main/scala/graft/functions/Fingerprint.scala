@@ -32,10 +32,14 @@ object Fingerprint {
       var j = 0
       while (j < 7) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
       h = (h << 4) | ((d(7) & 0xffL) >>> 4)
-      acc += (i + 1).toLong * (h % P) // 1-based position, like the SQL oracle
+      // reduce every step: a raw sum of i*(h%P) overflows 2^63 past ~100K
+      // chars and turns negative; both factors are < P so the product stays
+      // < 2^62 and the result stays congruent to the oracle's exact sum.
+      // 1-based position, like the SQL oracle.
+      acc = (acc + (((i + 1).toLong % P) * (h % P)) % P) % P
       i += 1
     }
-    acc % P
+    acc
   }
 }
 

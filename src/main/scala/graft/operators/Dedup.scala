@@ -151,6 +151,11 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cand.count()
+    // cand is materialized, so nothing downstream re-reads the signatures:
+    // release them NOW rather than leaking cached blocks to the
+    // ContextCleaner when callers loop over corpora. cand itself stays
+    // cached (it is tiny — surviving pairs) and backs the returned plan.
+    sigs.unpersist(false)
     // stage 3: exact verification on the survivors only. Shingle sets are
     // materialized ONLY for docs appearing in surviving pairs (broadcast
     // semi-join before the projection) — computing them corpus-wide would
@@ -184,8 +189,13 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, maxIterations: Int = 20,
       localThreshold: Long = 1000000L): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // both edge orientations from ONE scan of `pairs` — a select/union of two
+    // branches evaluates the (potentially expensive, unpersisted) upstream
+    // plan twice; explode reads each pair row once
+    val edges = pairs.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -196,9 +206,13 @@ object Dedup {
     // propagation. Both produce identical (id, min-id component) labels.
     val edgeCount = edges.count()
     if (edgeCount <= localThreshold) {
-      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
-      val parent = scala.collection.mutable.Map[Long, Long]()
-      def find(x: Long): Long = {
+      // generic over the id type (long, int, string, ...) — the distributed
+      // path below is type-agnostic via least/min, so the fast path must be
+      // too; all orderable Spark external types implement Comparable
+      def lt(x: Any, y: Any): Boolean = x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+      val es = edges.collect().map(r => (r.get(0), r.get(1)))
+      val parent = scala.collection.mutable.Map[Any, Any]()
+      def find(x: Any): Any = {
         var r = x
         while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
         var c = x
@@ -208,13 +222,17 @@ object Dedup {
       es.foreach { case (a, b) =>
         parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
         val (ra, rb) = (find(a), find(b))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        if (ra != rb) { if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb }
       }
-      val rows = parent.keys.toSeq.sorted.map(v => (v, find(v)))
+      val rows = parent.keys.toSeq.sortWith(lt)
+        .map(v => org.apache.spark.sql.Row(v, find(v)))
       edges.unpersist()
-      val spark = pairs.sparkSession
-      import spark.implicits._
-      return rows.toDF("id", "component")
+      val idType = pairs.schema("id_a").dataType
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType),
+        org.apache.spark.sql.types.StructField("component", idType)))
+      import scala.jdk.CollectionConverters._
+      return pairs.sparkSession.createDataFrame(rows.asJava, schema)
     }
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))

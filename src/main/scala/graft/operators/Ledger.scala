@@ -16,6 +16,14 @@ import org.apache.spark.sql.functions._
   * lookups are a filter + limit over a small parquet — and the status flip is
   * a read-modify-replace of that small table. On a production deployment the
   * same API maps onto a Delta MERGE.
+  *
+  * SINGLE-WRITER contract: `markInProgress` mints ids by scanning max(Id)
+  * and `setStatus` rewrites the table, so two concurrent pipelines (or a
+  * second StreamRunner on the same warehouse) could mint duplicate ids or
+  * lose a status flip. The reference delegates this to the database's
+  * transactionality; here it holds because the driver runs one pipeline and
+  * foreachBatch is sequential. Multi-writer deployments key attempts by
+  * (container, fileName, batchGuid) on a transactional sink instead.
   */
 class Ledger(wh: Warehouse) {
   private val table = "ledger/ProcessFile"

@@ -151,10 +151,13 @@ object TextOps {
     * term array and runs lambdas interpreted; kept as executable spec).
     */
   def fingerprintComposed(c: Column, k: Int = 8): Column = {
+    // each term and the running sum are reduced mod P — a raw sum overflows
+    // 2^63 for megabyte documents; per-step reduction keeps every
+    // intermediate < 2^32 and bit-agrees with FingerprintExpr at any length
     val terms = when(length(c) >= k,
       transform(sequence(lit(1), length(c) - k + 1),
-        i => i.cast(LongType) * h31(c.substr(i, lit(k)))))
+        i => pmod(pmod(i.cast(LongType), lit(P31)) * h31(c.substr(i, lit(k))), lit(P31))))
       .otherwise(array().cast("array<bigint>"))
-    pmod(aggregate(terms, lit(0L), (acc, x) => acc + x), lit(P31))
+    aggregate(terms, lit(0L), (acc, x) => pmod(acc + x, lit(P31)))
   }
 }

@@ -31,8 +31,16 @@ class Warehouse(val spark: SparkSession, val root: String) {
   def append(table: String, df: DataFrame): Unit =
     withRetry()(df.write.mode(SaveMode.Append).parquet(path(table)))
 
-  /** Atomically replace a table's contents (safe when `df` reads the old
-    * contents): write to `.tmp`, then swap directories.
+  /** Replace a table's contents (safe when `df` reads the old contents):
+    * write to `.tmp`, then swap directories.
+    *
+    * NOT atomic for readers: the swap is two renames, and between moving the
+    * old directory aside and renaming tmp into place a concurrent reader
+    * sees the table missing (a crash in that window leaves it recoverable
+    * only from `.tmp`). Single-writer, no-concurrent-reader is the
+    * documented contract here (see [[graft.operators.Ledger]]); a production
+    * deployment gets real atomicity from a table format with a pointer
+    * commit (Delta/Iceberg version file) instead of directory renames.
     *
     * Only the WRITE is retried — once the old directory has been renamed
     * away, re-running `df.write` would re-read a path that no longer exists,

@@ -48,7 +48,10 @@ class SessionizeStreamSpec extends SparkSpec {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (b: Dataset[Sessionize.PerUser], _: Long) =>
         batches += 1
-        b.collect().foreach(p => latest(p.user_id) = (p.n_sessions, p.n_events))
+        b.collect().foreach { p =>
+          assert(p.n_late === 0L, s"time-ordered chunks must not count late events (user ${p.user_id})")
+          latest(p.user_id) = (p.n_sessions, p.n_events)
+        }
       }
       .start()
     q.awaitTermination(180000)
