@@ -1,11 +1,11 @@
 package graft
 
 import graft.functions.{Transforms => T}
-import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+import graft.operators.{Dedup, Merge, Multimodal, Similarity, TextOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, LongType}
+import org.apache.spark.sql.types.{DecimalType, IntegerType, LongType}
 
 /** Driver contract: one query per operator family from SURVEY.md §2 plus the
   * training-data operator suite, each with a DuckDB oracle over the same
@@ -30,6 +30,81 @@ object SparkEntry {
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("etl_clean")(spark, "/root/testdata/sf0.001")
+
+  /** Deterministic merge-layer scenario (J1-J5): a synthetic staging batch
+    * from `part` runs through all three MERGE procedures against seeded,
+    * non-empty dims. Exercises every key rule the reference delegates to the
+    * database: CI-AS + rtrim name keys (3 spellings per provider), synonym
+    * resolution (one staged name is a synonym of seed provider 1), UoM alias
+    * + auto-create ('gr' aliases 'g'; 'ml' is novel), product upsert on
+    * description hash (seed product 1 is restaged -> updated; 'Producto
+    * Legado' is never staged -> survives untouched), whole-row latest-review
+    * winner per (provider, product), and max-id + row_number id assignment.
+    */
+  private def mergeEndState(s: SparkSession, dir: String): Merge.MergeResult = {
+    val src = t(s, dir, "part").filter(col("p_partkey") <= 300)
+      .select(col("p_partkey").as("pk"), col("p_brand"),
+        col("p_size"), col("p_retailprice").cast(dec2).as("rp"))
+    val base = concat(lit("Proveedor "), col("p_brand"))
+    val stg = src.select(
+      when(pmod(col("pk"), lit(37)) === 0, lit("Proveedor Marca Especial"))
+        .when(pmod(col("pk"), lit(3)) === 0, upper(base))
+        .when(pmod(col("pk"), lit(3)) === 1, concat(base, lit("  ")))
+        .otherwise(base).as("ProviderName"),
+      concat(lit("Producto "), col("p_brand"), lit(" N"),
+        pmod(col("pk"), lit(6)).cast("string")).as("Description"),
+      col("p_size").cast("string").as("Measure"),
+      when(pmod(col("pk"), lit(4)) === 0, lit("g"))
+        .when(pmod(col("pk"), lit(4)) === 1, lit("G "))
+        .when(pmod(col("pk"), lit(4)) === 2, lit("gr"))
+        .otherwise(lit("ml")).as("UnitOfMeasure"),
+      col("rp").as("UnitPrice"),
+      (col("rp") + pmod(col("pk"), lit(7))).cast("string").as("Price"),
+      pmod(col("pk"), lit(5)).cast("string").as("PackageUnits"),
+      (pmod(col("pk"), lit(3)) * 5).cast("string").as("IVA"),
+      date_format(date_add(to_date(lit("2024-01-01")),
+        pmod(col("pk"), lit(28)).cast("int")), "yyyy-MM-dd").as("LastReviewDt"))
+
+    // seeds derive from the pk=1 row so the scenario is sf-agnostic: seed
+    // provider 1 / product 1 are restaged by the batch (update path), the
+    // "Legado" rows never are (must survive untouched)
+    val anchor = src.filter(col("pk") === 1)
+    val anchorDesc = concat(lit("Producto "), col("p_brand"), lit(" N1"))
+    def intl(v: Int): Column = lit(v).cast(IntegerType)
+    val seedProvider = anchor
+      .select(intl(1).as("Id"), base.as("Name"), lit(null).cast("timestamp").as("CreateDt"))
+      .unionByName(anchor.select(intl(2).as("Id"), lit("Proveedor Legado").as("Name"),
+        lit(null).cast("timestamp").as("CreateDt")))
+    val synonyms = anchor.select(intl(1).as("Id"),
+      lit("Proveedor Marca Especial").as("Synonym"), intl(1).as("ProviderId"))
+    val seedUom = anchor
+      .select(intl(1).as("Id"), lit("g").as("Acronym"), lit("Gram").as("Name"))
+      .unionByName(anchor.select(intl(2).as("Id"), lit("kg").as("Acronym"),
+        lit("Kilogram").as("Name")))
+    val uomAcronyms = anchor.select(intl(1).as("Id"), lit("gr").as("Acronym"),
+      intl(1).as("UnitOfMeasureId"))
+    def seedProd(id: Int, price: String, desc: Column) = anchor.select(
+      intl(id).as("Id"), lit(price).cast(dec2).as("UnitPrice"), desc.as("Description"),
+      lit(null).cast(dec2).as("Measure"), intl(2).as("UnitOfMeasureId"),
+      to_timestamp(lit("2020-01-01")).as("CreatedDt"),
+      lit(null).cast("timestamp").as("UpdatedDt"),
+      Merge.descHash(desc).as("DescriptionHash"))
+    val seedProduct = seedProd(1, "1.00", anchorDesc)
+      .unionByName(seedProd(2, "2.00", lit("Producto Legado")))
+    val seedPP = anchor.select(intl(1).as("Id"), intl(1).as("ProductId"),
+      intl(1).as("ProviderId"), lit(true).as("IsValidated"),
+      to_timestamp(lit("2019-01-01")).as("LastReviewDt"),
+      intl(99).as("PackageUnits"),
+      lit("0.00").cast(dec2).as("IVA"), lit("9.99").cast(dec2).as("Price"))
+
+    val provider = Merge.mergeProviders(seedProvider, synonyms,
+      stg.select(col("ProviderName").as("Name")))
+    val uom = Merge.mergeUnitsOfMeasure(seedUom, uomAcronyms, stg)
+    val product = Merge.mergeProducts(seedProduct, uom, uomAcronyms, stg)
+    val pp = Merge.mergeProviderProducts(seedPP, provider, synonyms, product,
+      stg.withColumn("ProductDescription", col("Description")))
+    Merge.MergeResult(provider, uom, product, pp)
+  }
 
   // ---------------------------------------------------------------- queries
 
@@ -276,6 +351,46 @@ object SparkEntry {
         T.cleanPrice(precio).cast("double").as("clean_price"),
         T.inferDate(fecha).as("clean_date"))
         .orderBy(col("p_partkey"))
+    }
+
+    // ---- merge layer end state (J1-J5): the reference's MERGE procedures
+    // run against seeded dims on a deterministic synthetic staging batch;
+    // the oracle restates the same MERGE semantics as DuckDB CTEs
+    // (insert-if-absent on lower(rtrim(name)), upsert on
+    // sha256(lower(rtrim(desc))), FK resolution, max-id + row_number ids).
+
+    q("etl_merge_endstate") = (s, dir) => {
+      val r = mergeEndState(s, dir)
+      r.providerProduct.alias("pp")
+        .join(r.provider.alias("pr"), col("pp.ProviderId") === col("pr.Id"))
+        .join(r.product.alias("pd"), col("pp.ProductId") === col("pd.Id"))
+        .join(r.unitOfMeasure.alias("u"), col("pd.UnitOfMeasureId") === col("u.Id"), "left")
+        .select(
+          col("pp.Id").cast(LongType).as("pp_id"),
+          col("pp.ProviderId").cast(LongType).as("provider_id"),
+          col("pr.Name").as("provider_name"),
+          col("pp.ProductId").cast(LongType).as("product_id"),
+          col("pd.Description").as("description"),
+          col("pd.Measure").cast("double").as("measure"),
+          col("u.Acronym").as("uom"),
+          col("pd.UnitPrice").cast("double").as("unit_price"),
+          col("pd.UpdatedDt").isNotNull.as("product_updated"),
+          col("pp.IsValidated").as("is_validated"),
+          date_format(col("pp.LastReviewDt"), "yyyy-MM-dd").as("last_review"),
+          col("pp.PackageUnits").cast(LongType).as("package_units"),
+          col("pp.IVA").cast("double").as("iva"),
+          col("pp.Price").cast("double").as("price"))
+        .orderBy(col("pp_id"))
+    }
+
+    // provider dim end state alone: proves insert-if-absent keeps seeded
+    // rows (incl. one never staged), skips synonym-resolved names, and
+    // assigns dense key-ordered ids to novelty
+    q("etl_merge_providers") = (s, dir) => {
+      val r = mergeEndState(s, dir)
+      r.provider
+        .select(col("Id").cast(LongType).as("provider_id"), col("Name").as("provider_name"))
+        .orderBy(col("provider_id"))
     }
 
     // F7 + A1: provider-name pipeline + distinct aggregation
@@ -555,7 +670,159 @@ object SparkEntry {
        |FROM sc""".stripMargin
   }
 
+  /** Shared CTE prefix of the merge-layer oracles: replays the synthetic
+    * staging batch and all three MERGEs (provider insert-if-absent, product
+    * hash-upsert, provider-product whole-row-winner upsert) in DuckDB SQL as
+    * an independent implementation of Merge.scala's contract.
+    */
+  private lazy val mergeOracleCore: String =
+    """src AS (
+      | SELECT p_partkey AS pk, p_brand, p_size,
+      |        CAST(p_retailprice AS DECIMAL(18,2)) AS rp
+      | FROM part WHERE p_partkey <= 300),
+      |stg AS (
+      | SELECT pk,
+      |  CASE WHEN pk % 37 = 0 THEN 'Proveedor Marca Especial'
+      |       WHEN pk % 3 = 0 THEN upper('Proveedor ' || p_brand)
+      |       WHEN pk % 3 = 1 THEN 'Proveedor ' || p_brand || '  '
+      |       ELSE 'Proveedor ' || p_brand END AS provider_name,
+      |  'Producto ' || p_brand || ' N' || CAST(pk % 6 AS VARCHAR) AS descr,
+      |  CAST(p_size AS VARCHAR) AS measure,
+      |  CASE pk % 4 WHEN 0 THEN 'g' WHEN 1 THEN 'G ' WHEN 2 THEN 'gr' ELSE 'ml' END AS unit,
+      |  rp AS s_unit_price,
+      |  CAST(rp + pk % 7 AS VARCHAR) AS price_s,
+      |  CAST(pk % 5 AS VARCHAR) AS pkg_s,
+      |  CAST((pk % 3) * 5 AS VARCHAR) AS iva_s,
+      |  strftime(DATE '2024-01-01' + CAST(pk % 28 AS INTEGER), '%Y-%m-%d') AS review_s
+      | FROM src),
+      |seed_provider AS (
+      | SELECT 1 AS id, 'Proveedor ' || p_brand AS name FROM src WHERE pk = 1
+      | UNION ALL SELECT 2, 'Proveedor Legado' FROM src WHERE pk = 1),
+      |seed_synonym AS (SELECT 'Proveedor Marca Especial' AS synonym, 1 AS provider_id),
+      |prov_cand AS (
+      | SELECT lower(rtrim(provider_name)) AS k, min(provider_name) AS name
+      | FROM stg GROUP BY 1),
+      |prov_novel AS (
+      | SELECT k, name FROM prov_cand
+      | WHERE k NOT IN (SELECT lower(rtrim(synonym)) FROM seed_synonym)
+      |   AND k NOT IN (SELECT lower(rtrim(name)) FROM seed_provider)),
+      |provider AS (
+      | SELECT id, name FROM seed_provider
+      | UNION ALL
+      | SELECT 2 + row_number() OVER (ORDER BY k) AS id, name FROM prov_novel)""".stripMargin
+
+  private lazy val mergeOracleFull: String =
+    s"""$mergeOracleCore,
+       |uom_staged AS (
+       | SELECT lower(rtrim(unit)) AS k, min(unit) AS acronym
+       | FROM stg WHERE unit IS NOT NULL GROUP BY 1),
+       |uom_novel AS (
+       | SELECT k, acronym FROM uom_staged
+       | WHERE k NOT IN ('g', 'kg') AND k NOT IN ('gr')),
+       |uom AS (
+       | SELECT 1 AS id, 'g' AS acronym UNION ALL SELECT 2, 'kg'
+       | UNION ALL SELECT 2 + row_number() OVER (ORDER BY k), acronym FROM uom_novel),
+       |uom_lookup AS (
+       | SELECT lower(rtrim(acronym)) AS k, id AS uom_id FROM uom
+       | UNION ALL
+       | SELECT 'gr', 1 WHERE 'gr' NOT IN (SELECT lower(rtrim(acronym)) FROM uom)),
+       |prod_staged AS (
+       | SELECT sha256(lower(rtrim(descr))) AS hash, min(descr) AS s_descr,
+       |   min(measure) AS s_measure, min(unit) AS s_unit, min(s_unit_price) AS s_price
+       | FROM stg WHERE descr IS NOT NULL GROUP BY 1),
+       |prod_staged2 AS (
+       | SELECT ps.hash, ps.s_descr, ps.s_measure, ps.s_price, ul.uom_id AS s_uom_id
+       | FROM prod_staged ps LEFT JOIN uom_lookup ul ON lower(rtrim(ps.s_unit)) = ul.k),
+       |seed_product AS (
+       | SELECT 1 AS id, CAST(1.00 AS DECIMAL(18,2)) AS unit_price,
+       |   'Producto ' || p_brand || ' N1' AS descr,
+       |   CAST(NULL AS DECIMAL(18,2)) AS measure, 2 AS uom_id,
+       |   sha256(lower(rtrim('Producto ' || p_brand || ' N1'))) AS hash
+       | FROM src WHERE pk = 1
+       | UNION ALL
+       | SELECT 2, CAST(2.00 AS DECIMAL(18,2)), 'Producto Legado',
+       |   CAST(NULL AS DECIMAL(18,2)), 2, sha256(lower(rtrim('Producto Legado')))
+       | FROM src WHERE pk = 1),
+       |prod_matched AS (
+       | SELECT sp.id, coalesce(sp.unit_price, ps.s_price) AS unit_price, sp.descr,
+       |   CASE WHEN ps.hash IS NOT NULL THEN TRY_CAST(ps.s_measure AS DECIMAL(18,2))
+       |        ELSE sp.measure END AS measure,
+       |   CASE WHEN ps.hash IS NOT NULL THEN coalesce(ps.s_uom_id, sp.uom_id)
+       |        ELSE sp.uom_id END AS uom_id,
+       |   ps.hash IS NOT NULL AS updated, sp.hash
+       | FROM seed_product sp LEFT JOIN prod_staged2 ps ON ps.hash = sp.hash),
+       |prod_novel AS (
+       | SELECT * FROM prod_staged2 WHERE hash NOT IN (SELECT hash FROM seed_product)),
+       |product AS (
+       | SELECT id, unit_price, descr, measure, uom_id, updated, hash FROM prod_matched
+       | UNION ALL
+       | SELECT 2 + row_number() OVER (ORDER BY hash), s_price, s_descr,
+       |   TRY_CAST(s_measure AS DECIMAL(18,2)), s_uom_id, false, hash
+       | FROM prod_novel),
+       |prov_lookup AS (
+       | SELECT lower(rtrim(name)) AS k, id AS provider_id FROM provider
+       | UNION ALL
+       | SELECT lower(rtrim(synonym)), provider_id FROM seed_synonym
+       | WHERE lower(rtrim(synonym)) NOT IN (SELECT lower(rtrim(name)) FROM provider)),
+       |pp_resolved AS (
+       | SELECT pl.provider_id, pr.id AS product_id,
+       |   CAST(s.review_s AS DATE) AS dt,
+       |   TRY_CAST(s.pkg_s AS INTEGER) AS pkg,
+       |   TRY_CAST(s.iva_s AS DECIMAL(18,2)) AS iva,
+       |   TRY_CAST(s.price_s AS DECIMAL(18,2)) AS price
+       | FROM stg s
+       | JOIN prov_lookup pl ON lower(rtrim(s.provider_name)) = pl.k
+       | JOIN product pr ON sha256(lower(rtrim(s.descr))) = pr.hash),
+       |pp_win AS (
+       | SELECT provider_id, product_id, dt, pkg, iva, price FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY provider_id, product_id
+       |    ORDER BY dt DESC NULLS LAST, price DESC NULLS LAST,
+       |             pkg DESC NULLS LAST, iva DESC NULLS LAST) AS rn
+       |  FROM pp_resolved) WHERE rn = 1),
+       |seed_pp AS (
+       | SELECT 1 AS id, 1 AS product_id, 1 AS provider_id, true AS is_validated,
+       |   DATE '2019-01-01' AS dt, 99 AS pkg, CAST(0.00 AS DECIMAL(18,2)) AS iva,
+       |   CAST(9.99 AS DECIMAL(18,2)) AS price),
+       |pp_existing AS (
+       | SELECT sp.id, sp.product_id, sp.provider_id, sp.is_validated,
+       |   coalesce(w.dt, sp.dt) AS dt, coalesce(w.pkg, sp.pkg) AS pkg,
+       |   coalesce(w.iva, sp.iva) AS iva, coalesce(w.price, sp.price) AS price
+       | FROM seed_pp sp LEFT JOIN pp_win w
+       |   ON w.provider_id = sp.provider_id AND w.product_id = sp.product_id),
+       |pp_novel AS (
+       | SELECT * FROM pp_win w WHERE NOT EXISTS (
+       |   SELECT 1 FROM seed_pp sp
+       |   WHERE sp.provider_id = w.provider_id AND sp.product_id = w.product_id)),
+       |pp AS (
+       | SELECT id, product_id, provider_id, is_validated, dt, pkg, iva, price
+       | FROM pp_existing
+       | UNION ALL
+       | SELECT 1 + row_number() OVER (ORDER BY provider_id, product_id), product_id,
+       |   provider_id, false, dt, pkg, iva, price
+       | FROM pp_novel)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "etl_merge_endstate" ->
+      s"""WITH $mergeOracleFull
+         |SELECT CAST(pp.id AS BIGINT) AS pp_id,
+         | CAST(pp.provider_id AS BIGINT) AS provider_id, pr.name AS provider_name,
+         | CAST(pp.product_id AS BIGINT) AS product_id, pd.descr AS description,
+         | CAST(pd.measure AS DOUBLE) AS measure, u.acronym AS uom,
+         | CAST(pd.unit_price AS DOUBLE) AS unit_price, pd.updated AS product_updated,
+         | pp.is_validated,
+         | strftime(pp.dt, '%Y-%m-%d') AS last_review,
+         | CAST(pp.pkg AS BIGINT) AS package_units,
+         | CAST(pp.iva AS DOUBLE) AS iva, CAST(pp.price AS DOUBLE) AS price
+         |FROM pp JOIN provider pr ON pp.provider_id = pr.id
+         | JOIN product pd ON pp.product_id = pd.id
+         | LEFT JOIN uom u ON pd.uom_id = u.id
+         |ORDER BY pp_id""".stripMargin,
+
+    "etl_merge_providers" ->
+      s"""WITH $mergeOracleCore
+         |SELECT CAST(id AS BIGINT) AS provider_id, name AS provider_name
+         |FROM provider ORDER BY provider_id""".stripMargin,
+
     "dedup_components" ->
       s"""WITH RECURSIVE pairs AS (
          |$lshVerifiedCore),
