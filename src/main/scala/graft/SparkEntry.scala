@@ -353,6 +353,60 @@ object SparkEntry {
         .orderBy(col("p_partkey"))
     }
 
+    // F12/F15/P6: package-unit removal, pandas astype(str) raw preservation
+    // ("nan" for missing cells), and price validity — the three scalar
+    // surfaces etl_clean doesn't exercise
+    q("etl_clean2") = (s, dir) => {
+      val p = t(s, dir, "part")
+      val pk = col("p_partkey")
+      val producto = concat(col("p_name"), lit(" "), col("p_size").cast("string"),
+        lit("g x "), (pk % 24 + 1).cast("string"))
+      // 1-in-7 missing cell (F15 must yield "nan"), 1-in-5 unparseable (P6
+      // must yield false with the raw cell preserved), rest well-formed
+      val precio = when(pk % 7 === 0, lit(null).cast("string"))
+        .when(pk % 5 === 0, lit("N/A"))
+        .otherwise(concat(lit("$ "), col("p_retailprice").cast(dec2).cast("string")))
+      val clean = T.cleanPrice(precio)
+      p.select(
+        pk,
+        T.removePackageUnits(producto).as("no_pkg"),
+        T.rawString(precio).as("raw_precio"),
+        clean.cast("double").as("clean_price"),
+        T.isValidPrice(precio, clean).as("is_valid_price"))
+        .orderBy(pk)
+    }
+
+    // P8 + P1: upload-validation header check and header canonicalization on
+    // canned header sets (plan-time logic over df.columns — made
+    // driver-visible as literal result rows; oracle = the same literals)
+    q("etl_headers") = (s, dir) => {
+      import org.apache.spark.sql.types.{StructField, StructType, StringType}
+      val cases = Seq(
+        // the upload contract's exact required set
+        "exact" -> Seq("Producto", "Fecha", "Provedor", "Precio", "IVA"),
+        // docs/Lista Precios.csv:1 real shape: "Fecha 1" variant + unnamed
+        // junk columns (Spark's CSV reader surfaces them as _cN)
+        "real_file" -> Seq("Producto", "Fecha 1", "Provedor", "Precio", "IVA", "_c5", "_c6"),
+        "missing_price" -> Seq("Producto", "Fecha", "Provedor", "IVA"),
+        // padded header + a genuinely extra named column
+        "padded_extra" -> Seq(" Producto", "Fecha", "Provedor", "Precio", "IVA", "Nota"))
+      val rows = cases.map { case (id, hdrs) =>
+        val v = graft.operators.Canonicalize.validateHeaders(hdrs)
+        val empty = s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(hdrs.map(h => StructField(h, StringType))))
+        val canon = graft.operators.Canonicalize.canonicalize(
+          graft.operators.Canonicalize.dropJunkColumns(empty)).columns.mkString(",")
+        org.apache.spark.sql.Row(id, v.ok, v.missing.mkString(","), v.extra.mkString(","), canon)
+      }
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.asJava, StructType(Seq(
+        StructField("case_id", StringType), StructField("ok", org.apache.spark.sql.types.BooleanType),
+        StructField("missing", StringType), StructField("extra", StringType),
+        StructField("canonical", StringType))))
+        .orderBy(col("case_id"))
+    }
+
     // ---- merge layer end state (J1-J5): the reference's MERGE procedures
     // run against seeded dims on a deterministic synthetic staging batch;
     // the oracle restates the same MERGE semantics as DuckDB CTEs
@@ -992,6 +1046,33 @@ object SparkEntry {
         | CAST(TRY_CAST(regexp_replace(precio, '[.,$ ]', '', 'g') AS DECIMAL(18,2)) AS DOUBLE) AS clean_price,
         | expected_date AS clean_date
         |FROM base ORDER BY p_partkey""".stripMargin,
+
+    "etl_clean2" ->
+      """WITH base AS (
+        | SELECT p_partkey,
+        |  p_name || ' ' || CAST(p_size AS VARCHAR) || 'g x ' ||
+        |    CAST(p_partkey % 24 + 1 AS VARCHAR) AS producto,
+        |  CASE WHEN p_partkey % 7 = 0 THEN NULL
+        |       WHEN p_partkey % 5 = 0 THEN 'N/A'
+        |       ELSE '$ ' || CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS VARCHAR) END AS precio
+        | FROM part),
+        |c AS (
+        | SELECT *, TRY_CAST(regexp_replace(precio, '[.,$ ]', '', 'g') AS DECIMAL(18,2)) AS clean
+        | FROM base)
+        |SELECT p_partkey,
+        | regexp_replace(producto, '[x]\s*(\d+)', '', 'g') AS no_pkg,
+        | coalesce(precio, 'nan') AS raw_precio,
+        | CAST(clean AS DOUBLE) AS clean_price,
+        | (precio IS NOT NULL AND clean IS NOT NULL) AS is_valid_price
+        |FROM c ORDER BY p_partkey""".stripMargin,
+
+    "etl_headers" ->
+      """SELECT * FROM (VALUES
+        | ('exact', true, '', '', 'Description,LastReviewDt,ProviderName,Price,PercentageIVA'),
+        | ('missing_price', false, 'Precio', '', 'Description,LastReviewDt,ProviderName,PercentageIVA'),
+        | ('padded_extra', true, '', 'Nota', ' Producto,LastReviewDt,ProviderName,Price,PercentageIVA,Nota'),
+        | ('real_file', false, 'Fecha', 'Fecha 1,_c5,_c6', 'Description,LastReviewDt,ProviderName,Price,PercentageIVA')
+        |) AS t(case_id, ok, missing, extra, canonical) ORDER BY case_id""".stripMargin,
 
     "etl_provider_dedup" ->
       """WITH c AS (
