@@ -546,6 +546,16 @@ object SparkEntry {
         .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
         .orderBy(col("doc_id"))
 
+    // the simhash PAIRS path: 4x15-bit band candidates + exact Hamming
+    // verify. At maxHamming=3 the banding is lossless (pigeonhole: 3 flipped
+    // bits touch at most 3 of the 4 bands, so one band always matches
+    // exactly), which is why the oracle can be a direct all-pairs bit_count
+    // cross-check with no banding at all.
+    q("dedup_simhash_pairs") = (s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+        .withColumn("hamming", col("hamming").cast(LongType))
+        .orderBy(col("id_a"), col("id_b"))
+
     // the scale pipeline: LSH candidates -> exact jaccard verify (no
     // quadratic shingle join); catches the corpus's planted near-dups
     q("dedup_lsh_verified") = (s, dir) =>
@@ -650,6 +660,23 @@ object SparkEntry {
   /** dedup_lsh_verified body (no ORDER BY) — also embedded as the pair
     * source of the connected-components oracle.
     */
+  /** Shared CTE: 60-bit SimHash sketch per document — `sk(doc_id, simhash)`
+    * (independent restatement of functions/SimHash.scala's convention:
+    * whitespace tokens, 60-bit md5 token hash, sign-majority bits).
+    */
+  private lazy val simhashCore: String =
+    """tok AS (
+      | SELECT doc_id, tok FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+      | WHERE tok <> ''),
+      |h AS (SELECT doc_id, ('0x'||substr(md5(tok),1,15))::BIGINT AS hv FROM tok),
+      |bits AS (
+      | SELECT doc_id, j, sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      | FROM h, generate_series(0, 59) t(j) GROUP BY doc_id, j),
+      |sk AS (
+      | SELECT doc_id,
+      |  CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+      | FROM bits GROUP BY doc_id)""".stripMargin
+
   private lazy val lshVerifiedCore: String =
     s"""WITH sh AS (
        |  $shingle5),
@@ -1153,16 +1180,16 @@ object SparkEntry {
          |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_simhash" ->
-      """WITH tok AS (
-        | SELECT doc_id, tok FROM documents, unnest(string_split(text, ' ')) AS t(tok)
-        | WHERE tok <> ''),
-        |h AS (SELECT doc_id, ('0x'||substr(md5(tok),1,15))::BIGINT AS hv FROM tok),
-        |bits AS (
-        | SELECT doc_id, j, sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
-        | FROM h, generate_series(0, 59) t(j) GROUP BY doc_id, j)
-        |SELECT doc_id,
-        | CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
-        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH $simhashCore
+         |SELECT doc_id, simhash FROM sk ORDER BY doc_id""".stripMargin,
+
+    "dedup_simhash_pairs" ->
+      s"""WITH $simhashCore
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         | CAST(bit_count(xor(a.simhash::BIT, b.simhash::BIT)) AS BIGINT) AS hamming
+         |FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash::BIT, b.simhash::BIT)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_lsh_verified" ->
       s"""$lshVerifiedCore
