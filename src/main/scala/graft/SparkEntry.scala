@@ -618,6 +618,21 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rank"))
     }
 
+    // the training loop itself: 2 Lloyd's rounds from deterministic seeds
+    // (first 8 vectors), then IVF over the trained centroids. Float casts at
+    // every training step (element means, normalized elements) quantize away
+    // cross-engine double-sum ordering, so the oracle can replay the rounds.
+    q("sim_ivf_trained") = (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val trained = Similarity.trainCentroids(emb, "vec_id", "embedding",
+        numCells = 8, iterations = 2)
+        .select(col("cell_id").as("vec_id"), col("centroid").as("embedding"))
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") >= 8 && col("vec_id") < 18),
+        trained, "vec_id", "vec_id", "vec_id", "embedding", 5)
+        .select(col("q_id"), col("rank").cast(LongType).as("rank"), col("c_id"), col("cosine"))
+        .orderBy(col("q_id"), col("rank"))
+    }
+
     // ---- multimodal plumbing ----
 
     q("multimodal_meta") = (s, dir) =>
@@ -676,6 +691,34 @@ object SparkEntry {
       | SELECT doc_id,
       |  CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
       | FROM bits GROUP BY doc_id)""".stripMargin
+
+  /** One Lloyd's round in DuckDB: given long-format centroid CTE `c{p}`
+    * (cell, i, m), emits CTEs through `c{n}` — cos6 assignment (ties to the
+    * lowest cell, matching `max_by(cell, struct(cos6, -cell))`), float-cast
+    * element means, float-cast spherical normalization with the same 1e-12
+    * norm floor as `Similarity.trainCentroids`. `m` is stored as DOUBLE but
+    * always holds an exactly-representable float value, mirroring Spark's
+    * `array<float>` centroids read back as doubles by the cosine kernel.
+    */
+  private def lloydRound(p: Int, n: Int): String =
+    s"""cn$p AS (SELECT cell, sqrt(sum(m*m)) AS cnrm FROM c$p GROUP BY 1),
+       |a$n AS (
+       | SELECT e.vec_id, c.cell,
+       |  round(CASE WHEN en.nrm = 0 OR cn.cnrm = 0 THEN 0
+       |   ELSE sum(e.x * c.m) / (en.nrm * cn.cnrm) END, 6) AS cos6
+       | FROM e JOIN c$p c ON e.i = c.i
+       |  JOIN en ON en.vec_id = e.vec_id JOIN cn$p cn ON cn.cell = c.cell
+       | GROUP BY e.vec_id, c.cell, en.nrm, cn.cnrm),
+       |g$n AS (SELECT vec_id, cell FROM (
+       |  SELECT vec_id, cell,
+       |   row_number() OVER (PARTITION BY vec_id ORDER BY cos6 DESC, cell) AS rn
+       |  FROM a$n) WHERE rn = 1),
+       |m$n AS (SELECT g.cell, e.i, CAST(avg(e.x) AS FLOAT) AS mr
+       | FROM e JOIN g$n g USING (vec_id) GROUP BY 1, 2),
+       |nn$n AS (SELECT cell, greatest(sqrt(sum(mr::DOUBLE * mr::DOUBLE)), 1e-12) AS nn
+       | FROM m$n GROUP BY 1),
+       |c$n AS (SELECT m.cell, m.i, CAST(CAST(m.mr::DOUBLE / n.nn AS FLOAT) AS DOUBLE) AS m
+       | FROM m$n m JOIN nn$n n USING (cell))""".stripMargin
 
   private lazy val lshVerifiedCore: String =
     s"""WITH sh AS (
@@ -1322,6 +1365,46 @@ object SparkEntry {
         | FROM scored)
         |SELECT q_id, rank, c_id, cosine FROM ranked WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin,
+
+    "sim_ivf_trained" ->
+      s"""WITH e AS (
+         | SELECT vec_id, i, embedding[i]::DOUBLE AS x
+         | FROM embeddings, generate_series(1, 64) t(i)),
+         |en AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM e GROUP BY 1),
+         |c0 AS (SELECT vec_id::INT AS cell, i, x AS m FROM e
+         | WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+         |${lloydRound(0, 1)},
+         |${lloydRound(1, 2)},
+         |cn2 AS (SELECT cell, sqrt(sum(m*m)) AS cnrm FROM c2 GROUP BY 1),
+         |af AS (
+         | SELECT e.vec_id, c.cell,
+         |  round(CASE WHEN en.nrm = 0 OR cn.cnrm = 0 THEN 0
+         |   ELSE sum(e.x * c.m) / (en.nrm * cn.cnrm) END, 6) AS cos6
+         | FROM e JOIN c2 c ON e.i = c.i
+         |  JOIN en ON en.vec_id = e.vec_id JOIN cn2 cn ON cn.cell = c.cell
+         | GROUP BY e.vec_id, c.cell, en.nrm, cn.cnrm),
+         |cells AS (SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell,
+         |   row_number() OVER (PARTITION BY vec_id ORDER BY cos6 DESC, cell) AS rn
+         |  FROM af) WHERE rn = 1),
+         |qs AS (SELECT vec_id AS q_id, cell FROM cells WHERE vec_id >= 8 AND vec_id < 18),
+         |cs AS (SELECT vec_id AS c_id, cell FROM cells),
+         |p AS (
+         | SELECT qs.q_id, cs.c_id,
+         |  round(CASE WHEN qn.nrm = 0 OR cn.nrm = 0 THEN 0
+         |   ELSE sum(ec.x * eq.x) / (cn.nrm * qn.nrm) END, 4) AS cosine
+         | FROM qs JOIN cs ON qs.cell = cs.cell AND cs.c_id <> qs.q_id
+         |  JOIN e eq ON eq.vec_id = qs.q_id
+         |  JOIN e ec ON ec.vec_id = cs.c_id AND ec.i = eq.i
+         |  JOIN en qn ON qn.vec_id = qs.q_id
+         |  JOIN en cn ON cn.vec_id = cs.c_id
+         | GROUP BY qs.q_id, cs.c_id, qn.nrm, cn.nrm),
+         |ranked AS (
+         | SELECT q_id, c_id, cosine,
+         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS BIGINT) AS rank
+         | FROM p)
+         |SELECT q_id, rank, c_id, cosine FROM ranked WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin,
 
     "q12_rollup" ->
       """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
