@@ -447,6 +447,56 @@ object SparkEntry {
         .orderBy(col("provider_id"))
     }
 
+    // ---- ledger lifecycle (S8/S10/EP1): success, skip-if-done (no second
+    // attempt row), empty-file failure, failed-is-retryable — run against a
+    // fresh temp warehouse; the sorted ProcessFile ledger IS the result.
+    // Oracle = the literal expected lifecycle rows
+    // (core/etl_orchestrator.py:280-350 status machine).
+    q("etl_ledger") = (s, dir) => {
+      import org.apache.spark.sql.types.{StringType, StructField, StructType}
+      val wh = new graft.sources.Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-ledger-").toString)
+      val p = new Pipeline(s, wh)
+      val good = graft.sources.CsvSource.readString(s, ledgerCsv)
+      val empty = s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("Producto", StringType))))
+      p.processCsv(good, "products", "a.csv")  // attempt 1 → success (3)
+      p.processCsv(good, "products", "a.csv")  // skip-if-done: NO new row
+      p.processCsv(empty, "products", "b.csv") // attempt 2 → failed (4)
+      p.processCsv(good, "products", "b.csv")  // attempt 3 → success: failed retries
+      p.ledger.all()
+        .select(col("Id").cast(LongType).as("attempt_id"),
+          col("Container").as("container"), col("FileName").as("file_name"),
+          col("StatusId").cast(LongType).as("status_id"))
+        .orderBy(col("attempt_id"))
+    }
+
+    // ---- invoice extraction path (EP2/F17/S6): canned fenced model output
+    // through fence strip + string-CSV parse + the composite transform;
+    // oracle = the literal expected cleaned rows
+    q("etl_invoice") = (s, dir) => {
+      val text = graft.sources.InvoiceExtractor.stripMarkdownFence(
+        graft.sources.InvoiceExtractor.Stub(invoiceFencedCsv)
+          .extract(Array[Byte](1), "invoice.jpg"))
+      val raw = graft.sources.CsvSource.readString(s, text)
+      graft.operators.TransformPipeline(
+        graft.operators.Canonicalize.canonicalize(
+          graft.operators.Canonicalize.dropJunkColumns(raw)))
+        .select(
+          col("RawDescription").as("raw_desc"),
+          col("CleanDescription").as("clean_desc"),
+          col("Measure").cast("double").as("measure"),
+          col("UnitOfMeasure").as("unit"),
+          col("PackageUnits").cast(LongType).as("package_units"),
+          col("PercentageIVA").cast(LongType).as("iva"),
+          col("RawPrice").as("raw_price"),
+          col("CleanPrice").cast("double").as("clean_price"),
+          col("IsValidPrice").as("is_valid_price"),
+          col("CleanProviderName").as("provider"),
+          col("CleanLastReviewDt").as("clean_date"))
+        .orderBy(col("clean_desc"))
+    }
+
     // F7 + A1: provider-name pipeline + distinct aggregation
     q("etl_provider_dedup") = (s, dir) =>
       t(s, dir, "part")
@@ -654,6 +704,28 @@ object SparkEntry {
 
     q.toMap
   }
+
+  /** Canned lifecycle batch for `etl_ledger` — same shape as the reference's
+    * real price list (docs/Lista Precios.csv:1): "Fecha 1" header variant,
+    * trailing unnamed junk columns.
+    */
+  private val ledgerCsv: String =
+    """Producto,Fecha 1,Provedor,Precio,,,,
+      |Aceite Capullo 500ml x 12,07/03/2025,Vicente,1.347,,,,
+      |Arroz Premium 1kg,07/03/2025,DosPinos,2.500,,,,
+      |""".stripMargin
+
+  /** Canned vision-model output for `etl_invoice`: fenced CSV covering a
+    * thousands-dot price, a trailing-space provider, an unparseable price,
+    * and all three date formats the reference's fuzzy parser accepts.
+    */
+  private val invoiceFencedCsv: String =
+    "```csv\n" +
+      """Producto,Fecha,Provedor,Precio
+        |Aceite Capullo 500ml x 12 (G13),07/03/2025,DosPinos,$ 1.347
+        |Queso Tierno 400g,23/04/2025,Serrano ,2.600
+        |MINI PAPA KITTY 1X30(G1),April 7 2025,La Favorita,N/A
+        |""".stripMargin + "```"
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -1143,6 +1215,39 @@ object SparkEntry {
         | ('padded_extra', true, '', 'Nota', ' Producto,LastReviewDt,ProviderName,Price,PercentageIVA,Nota'),
         | ('real_file', false, 'Fecha', 'Fecha 1,_c5,_c6', 'Description,LastReviewDt,ProviderName,Price,PercentageIVA')
         |) AS t(case_id, ok, missing, extra, canonical) ORDER BY case_id""".stripMargin,
+
+    // literal expected rows: the ledger lifecycle is a state machine over
+    // side effects, not a relational computation — the oracle pins its
+    // end state (skip-if-done mints no row 4; failed b.csv retries as row 3)
+    "etl_ledger" ->
+      """SELECT CAST(attempt_id AS BIGINT) AS attempt_id, container, file_name,
+        | CAST(status_id AS BIGINT) AS status_id
+        |FROM (VALUES
+        | (1, 'products', 'a.csv', 3),
+        | (2, 'products', 'b.csv', 4),
+        | (3, 'products', 'b.csv', 3))
+        | AS t(attempt_id, container, file_name, status_id)
+        |ORDER BY attempt_id""".stripMargin,
+
+    // literal expected rows, each hand-derived from the reference's rules:
+    // dot-thousands prices, dayfirst + English-month fuzzy dates, G-code IVA,
+    // camel-split provider names (trailing space preserved — only the merge
+    // KEY is rtrimmed), Python str.title() casing, N/A -> null + invalid
+    "etl_invoice" ->
+      """SELECT raw_desc, clean_desc, CAST(measure AS DOUBLE) AS measure, unit,
+        | CAST(package_units AS BIGINT) AS package_units, CAST(iva AS BIGINT) AS iva,
+        | raw_price, CAST(clean_price AS DOUBLE) AS clean_price, is_valid_price,
+        | provider, clean_date
+        |FROM (VALUES
+        | ('Aceite Capullo 500ml x 12 (G13)', 'Aceite Capullo 500Ml X 12 (G13)',
+        |  500.0, 'ml', 12, 13, '$ 1.347', 1347.0, true, 'Dos Pinos', '2025-03-07'),
+        | ('MINI PAPA KITTY 1X30(G1)', 'Mini Papa Kitty 1X30(G1)',
+        |  1.0, 'x', NULL, 1, 'N/A', NULL, false, 'La Favorita', '2025-04-07'),
+        | ('Queso Tierno 400g', 'Queso Tierno 400G',
+        |  400.0, 'g', NULL, NULL, '2.600', 2600.0, true, 'Serrano ', '2025-04-23'))
+        | AS t(raw_desc, clean_desc, measure, unit, package_units, iva,
+        |      raw_price, clean_price, is_valid_price, provider, clean_date)
+        |ORDER BY clean_desc""".stripMargin,
 
     "etl_provider_dedup" ->
       """WITH c AS (
