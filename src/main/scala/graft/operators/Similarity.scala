@@ -80,12 +80,24 @@ object Similarity {
     * so training cost is `iterations` linear scans regardless of cluster
     * count. Returns (cell id, centroid vector) with unit-normalized means
     * (cosine IVF wants spherical k-means).
+    *
+    * Each round's result is materialized on the driver (`collect` of
+    * numCells ≈ √N rows — bounded by the same contract that makes centroids
+    * broadcastable in [[assignCells]]): without it, round r's lazy plan
+    * re-derives every earlier round from the corpus scan (O(iterations²)
+    * scans), and downstream consumers like [[ivfTopK]] — which reference the
+    * centroids twice — would recompute the entire training. Same pattern as
+    * Spark MLlib's KMeans, which collects centroids per iteration.
     */
   def trainCentroids(corpus: DataFrame, corpusId: String, vec: String,
       numCells: Int, iterations: Int = 3): DataFrame = {
-    var centroids = corpus
+    val spark = corpus.sparkSession
+    def localize(df: DataFrame): DataFrame =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(df.collect().toIndexedSeq, 1), df.schema)
+    var centroids = localize(corpus
       .orderBy(col(corpusId)).limit(numCells)
-      .select(col(corpusId).cast("int").as("cell_id"), col(vec).as("centroid"))
+      .select(col(corpusId).cast("int").as("cell_id"), col(vec).as("centroid")))
     var it = 0
     while (it < iterations) {
       val centAsVec = centroids.select(col("cell_id"), col("centroid").as(vec))
@@ -100,10 +112,10 @@ object Similarity {
       // unit-normalize (spherical); empty cells simply drop out. Norm is
       // computed ONCE per centroid — inside the transform lambda it would
       // re-scan the whole array per element (O(d^2))
-      centroids = means
+      centroids = localize(means
         .withColumn("nrm", greatest(Transforms.vecNorm(col("centroid")), lit(1e-12)))
         .select(col("cell_id"),
-          transform(col("centroid"), x => (x / col("nrm")).cast("float")).as("centroid"))
+          transform(col("centroid"), x => (x / col("nrm")).cast("float")).as("centroid")))
       it += 1
     }
     centroids
