@@ -529,6 +529,24 @@ object SparkEntry {
           TextOps.qualityScoreFromProfile(col("text"), col("p")).as("quality"))
         .orderBy(col("doc_id"))
 
+    // intra-doc repetition quality rules (duplicate-trigram fraction,
+    // top-token fraction) from the one-pass counts. Ratios are UNROUNDED:
+    // integer-valued doubles divide bit-exactly in both engines, while
+    // round() on a derived division is the one op they disagree on
+    q("doc_repetition") = (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("rs", TextOps.repetitionStats(col("text")))
+        .select(
+          col("doc_id"),
+          element_at(col("rs"), 1).as("n_toks"),
+          when(element_at(col("rs"), 1) > 0,
+            element_at(col("rs"), 2).cast("double") / element_at(col("rs"), 1))
+            .otherwise(lit(0.0)).as("top_tok_frac"),
+          when(element_at(col("rs"), 3) > 0,
+            lit(1.0) - element_at(col("rs"), 4).cast("double") / element_at(col("rs"), 3))
+            .otherwise(lit(0.0)).as("dup_trigram_frac"))
+        .orderBy(col("doc_id"))
+
     // grouping sets: region/nation revenue with rollup totals
     q("q12_rollup") = (s, dir) => {
       val o = t(s, dir, "orders")
@@ -605,6 +623,20 @@ object SparkEntry {
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
         .withColumn("hamming", col("hamming").cast(LongType))
         .orderBy(col("id_a"), col("id_b"))
+
+    // incremental dedup: a new batch (doc_id >= 400) against the persisted
+    // signature index of an already-deduped corpus (doc_id < 400). Result ==
+    // the full-corpus run restricted to pairs touching the batch — which is
+    // exactly what the oracle checks (lshVerifiedCore + id_b >= 400)
+    q("dedup_incremental") = (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") < 400)
+      val fresh = docs.filter(col("doc_id") >= 400)
+      val idx = Dedup.minhashSignatures(corpus, "doc_id", "text")
+      Dedup.incrementalLshVerifiedPairs(corpus, idx, fresh, "doc_id", "text",
+        k = 5, numHashes = 8, rowsPerBand = 2, minJaccard = 0.35, minSigMatchesOverride = 4)
+        .orderBy(col("id_a"), col("id_b"))
+    }
 
     // the scale pipeline: LSH candidates -> exact jaccard verify (no
     // quadratic shingle join); catches the corpus's planted near-dups
@@ -1342,6 +1374,32 @@ object SparkEntry {
     "dedup_lsh_verified" ->
       s"""$lshVerifiedCore
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // incremental == full-corpus restricted to pairs touching the new batch
+    // (ids >= 400; id_a < id_b, so id_b is the fresh side whenever any is)
+    "dedup_incremental" ->
+      s"""$lshVerifiedCore
+         | AND id_b >= 400
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "doc_repetition" ->
+      """WITH l AS (
+        | SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        | FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS tok FROM l),
+        |tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+        |mx AS (SELECT doc_id, max(c) AS max_c FROM tc GROUP BY 1),
+        |tri AS (
+        | SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS tri
+        | FROM l, generate_series(1, 2048) t(i) WHERE i <= len(toks) - 2),
+        |ts AS (SELECT doc_id, count(*) AS n_tri, count(DISTINCT tri) AS n_dis FROM tri GROUP BY 1)
+        |SELECT l.doc_id,
+        | CAST(len(l.toks) AS BIGINT) AS n_toks,
+        | CASE WHEN len(l.toks) = 0 THEN 0.0 ELSE mx.max_c::DOUBLE / len(l.toks) END AS top_tok_frac,
+        | CASE WHEN coalesce(ts.n_tri, 0) = 0 THEN 0.0
+        |  ELSE 1.0 - ts.n_dis::DOUBLE / ts.n_tri END AS dup_trigram_frac
+        |FROM l LEFT JOIN mx USING (doc_id) LEFT JOIN ts USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "dedup_survivors" ->
       s"""WITH RECURSIVE pairs AS (

@@ -73,11 +73,12 @@ object Dedup {
         element_at(col("sig"), i + 1).as(s"mh$i")): _*)
   }
 
-  /** Band-key pairs from a signature frame. Docs too short to shingle have
-    * null signatures and are dropped (concat_ws would otherwise fold every
-    * null signature to the SAME empty band key, pairing all short docs).
+  /** (id, band, key) rows from a signature frame. Docs too short to shingle
+    * have null signatures and are dropped (concat_ws would otherwise fold
+    * every null signature to the SAME empty band key, pairing all short
+    * docs).
     */
-  private def candidatePairsFromSigs(sigs: DataFrame, id: String,
+  private def bandKeys(sigs: DataFrame, id: String,
       numHashes: Int, rowsPerBand: Int): DataFrame = {
     val numBands = numHashes / rowsPerBand
     val bandCols = (0 until numBands).map { b =>
@@ -85,10 +86,16 @@ object Dedup {
         (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
       struct(lit(b).as("band"), key.as("key"))
     }
-    val banded = sigs
+    sigs
       .filter(col("mh0").isNotNull)
       .select(col(id), explode(array(bandCols: _*)).as("bk"))
       .select(col(id), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Band-collision candidate pairs (id_a < id_b) from a signature frame. */
+  private def candidatePairsFromSigs(sigs: DataFrame, id: String,
+      numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val banded = bandKeys(sigs, id, numHashes, rowsPerBand)
     val a = banded.alias("a")
     val b = banded.alias("b")
     a.join(b,
@@ -133,36 +140,48 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // stage 1: band collisions (recall net)
     val cand0 = candidatePairsFromSigs(sigs, id, numHashes, rowsPerBand)
-    // stage 2: signature-similarity pre-filter — the fraction of agreeing
-    // minhashes estimates jaccard for free, discarding the vocabulary-overlap
-    // false positives BEFORE the expensive array verification. (On a common-
-    // vocabulary corpus band collisions are ~quadratic; pairs at jaccard≈0.15
-    // agree on ≥4 of 8 hashes with p≈0.03, true near-dups with p≈1.)
+    prefilterAndVerify(cand0, sigs, df, id, text, k, numHashes, minSigMatches,
+      minJaccard, releaseAfterCandidates = () => sigs.unpersist(false))
+  }
+
+  /** Stages 2+3 of the LSH pipeline, shared by the full-corpus and
+    * incremental variants.
+    *
+    * Stage 2: signature-similarity pre-filter — the fraction of agreeing
+    * minhashes estimates jaccard for free, discarding the vocabulary-overlap
+    * false positives BEFORE the expensive array verification. (On a common-
+    * vocabulary corpus band collisions are ~quadratic; pairs at jaccard≈0.15
+    * agree on ≥4 of 8 hashes with p≈0.03, true near-dups with p≈1.)
+    *
+    * Stage 3: exact verification on the survivors only. Shingle sets are
+    * materialized ONLY for docs appearing in surviving pairs (broadcast
+    * semi-join before the projection) — computing them corpus-wide would
+    * redo the dominant narrow stage for documents verification never touches.
+    *
+    * Surviving candidates are few (near-dups + a small FP tail); they are
+    * materialized once — they feed BOTH the verification join and the doc
+    * semi-join, which would otherwise re-run candidate generation per branch.
+    * `releaseAfterCandidates` runs right after that materialization so
+    * callers can release persisted signatures instead of leaking cached
+    * blocks to the ContextCleaner when looping over corpora.
+    */
+  private def prefilterAndVerify(cand0: DataFrame, sigs: DataFrame, docs: DataFrame,
+      id: String, text: String, k: Int, numHashes: Int, minSigMatches: Int,
+      minJaccard: Double, releaseAfterCandidates: () => Unit): DataFrame = {
     val sigA = sigs.toDF(sigs.columns.map(c => if (c == id) "id_a" else s"a_$c").toIndexedSeq: _*)
     val sigB = sigs.toDF(sigs.columns.map(c => if (c == id) "id_b" else s"b_$c").toIndexedSeq: _*)
     val sigMatches = (0 until numHashes)
       .map(i => when(col(s"a_mh$i") === col(s"b_mh$i"), 1).otherwise(0))
       .reduce(_ + _)
-    // surviving candidates are few (near-dups + a small FP tail); materialize
-    // them once — they feed BOTH the verification join and the doc semi-join
-    // below, which would otherwise re-run banding per branch
     val cand = cand0.join(sigA, Seq("id_a")).join(sigB, Seq("id_b"))
       .filter(sigMatches >= minSigMatches)
       .select(col("id_a"), col("id_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cand.count()
-    // cand is materialized, so nothing downstream re-reads the signatures:
-    // release them NOW rather than leaking cached blocks to the
-    // ContextCleaner when callers loop over corpora. cand itself stays
-    // cached (it is tiny — surviving pairs) and backs the returned plan.
-    sigs.unpersist(false)
-    // stage 3: exact verification on the survivors only. Shingle sets are
-    // materialized ONLY for docs appearing in surviving pairs (broadcast
-    // semi-join before the projection) — computing them corpus-wide would
-    // redo the dominant narrow stage for documents verification never touches.
+    releaseAfterCandidates()
     val candIds = cand.select(col("id_a").as(id))
       .union(cand.select(col("id_b").as(id))).distinct()
-    val sh = df.join(broadcast(candIds), Seq(id), "left_semi")
+    val sh = docs.join(broadcast(candIds), Seq(id), "left_semi")
       .select(col(id), distinctShingles(col(text), k).as("sh"))
     val a = sh.select(col(id).as("id_a"), col("sh").as("sh_a"))
     val b = sh.select(col(id).as("id_b"), col("sh").as("sh_b"))
@@ -172,6 +191,53 @@ object Dedup {
         / (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Incremental near-dup detection: a NEW batch against an already-deduped
+    * corpus through its persisted signature index ([[minhashSignatures]]
+    * output — the artifact a production pipeline keeps alongside the corpus).
+    * Returns verified pairs (id_a < id_b) where AT LEAST ONE side is new:
+    * fresh×corpus matches and fresh×fresh matches, never corpus×corpus
+    * (the corpus is already deduped by construction).
+    *
+    * This is the shape that makes dedup sustainable at 100 TB: per-batch
+    * cost scales with the batch and its bucket collisions, never with corpus
+    * size. The corpus contributes only (a) a narrow scan of the signature
+    * index into the (band,key) equi-join — fresh band keys are a tiny
+    * broadcast-able set, so at scale this prunes to the matched buckets —
+    * and (b) a semi-join point-read of the few matched documents' texts for
+    * exact verification. Re-running the full-corpus [[lshVerifiedPairs]] per
+    * arriving batch would be quadratic over the pipeline's lifetime.
+    *
+    * Equivalence contract (what the oracle checks): because signatures,
+    * banding, the prefilter and verification are all per-doc/per-pair local,
+    * the result is EXACTLY the full-corpus run on `corpus ∪ fresh`
+    * restricted to pairs touching `fresh`.
+    */
+  def incrementalLshVerifiedPairs(corpus: DataFrame, corpusSigs: DataFrame,
+      fresh: DataFrame, id: String, text: String, k: Int = 5, numHashes: Int = 8,
+      rowsPerBand: Int = 2, minJaccard: Double = 0.5,
+      minSigMatchesOverride: Int = -1): DataFrame = {
+    val minSigMatches =
+      if (minSigMatchesOverride >= 0) minSigMatchesOverride
+      else math.max(1, math.floor(numHashes * minJaccard).toInt - 1)
+    val freshSigs = minhashSignatures(fresh, id, text, k, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val freshBands = bandKeys(freshSigs, id, numHashes, rowsPerBand)
+    // corpus bands on the LEFT, fresh on the RIGHT: every emitted pair has a
+    // fresh side, and corpus×corpus pairs can never form
+    val allBands = bandKeys(corpusSigs, id, numHashes, rowsPerBand).union(freshBands)
+    val cand0 = allBands.alias("a")
+      .join(freshBands.alias("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col(s"a.$id") =!= col(s"b.$id"))
+      .select(least(col(s"a.$id"), col(s"b.$id")).as("id_a"),
+        greatest(col(s"a.$id"), col(s"b.$id")).as("id_b"))
+      .distinct()
+    val allSigs = corpusSigs.union(freshSigs)
+    val allDocs = corpus.select(col(id), col(text)).union(fresh.select(col(id), col(text)))
+    prefilterAndVerify(cand0, allSigs, allDocs, id, text, k, numHashes,
+      minSigMatches, minJaccard, releaseAfterCandidates = () => freshSigs.unpersist(false))
   }
 
   /** Connected components over an undirected pair list (id_a, id_b) —

@@ -136,6 +136,41 @@ object TextOps {
       + lit(0.3) * least(stopRatio * 3, lit(1.0)) - lit(0.2) * punctRatio, 4)
   }
 
+  /** Single-pass intra-document repetition counts `[nToks, maxTokCount,
+    * nTrigrams, nDistinctTrigrams]` (see
+    * [[graft.functions.RepetitionStatsExpr]]) — the inputs to Gopher-style
+    * duplicate-n-gram quality rules. Derived ratios (top-token fraction,
+    * duplicate-trigram fraction) are exact integer divisions: compute them
+    * UNROUNDED — IEEE division of identical integer-valued doubles is
+    * bit-exact across engines, while rounding a derived division is not.
+    */
+  def repetitionStats(c: Column): Column =
+    org.apache.spark.sql.graft.shims.column(
+      graft.functions.RepetitionStatsExpr(org.apache.spark.sql.graft.shims.expression(c)))
+
+  /** Built-in-composition form of [[repetitionStats]] (executable spec:
+    * sorts the token array per row and runs interpreted lambdas — the
+    * max-run-of-sorted equals the max token multiplicity).
+    */
+  def repetitionStatsComposed(c: Column): Column = {
+    val toks = tokens(c)
+    val nt = size(toks)
+    val zero = struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"))
+    val maxCount = aggregate(array_sort(toks), zero,
+      (s, t) => {
+        val run = when(t === s.getField("prev"), s.getField("run") + 1).otherwise(lit(1L))
+        struct(t.as("prev"), run.as("run"), greatest(s.getField("best"), run).as("best"))
+      },
+      s => s.getField("best"))
+    val tris = when(nt >= 3,
+      transform(sequence(lit(1), nt - 2),
+        i => concat_ws(" ",
+          element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    array(nt.cast(LongType), maxCount,
+      size(tris).cast(LongType), size(array_distinct(tris)).cast(LongType))
+  }
+
   /** Positional rolling-hash document fingerprint:
     * sum_i( i * h31(shingle_i) ) mod 2^31-1 over overlapping k-shingles.
     * Order-sensitive (a permuted document fingerprints differently) yet

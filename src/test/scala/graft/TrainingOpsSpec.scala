@@ -255,4 +255,39 @@ class TrainingOpsSpec extends SparkSpec {
       .groupBy("lang").count().collect()
     assert(out.map(_.getLong(1)).sum == docs.count())
   }
+
+  test("repetitionStats: hand goldens + single-pass ≡ composed on real docs") {
+    val hand = Seq(("a a a b", 1L), ("x", 2L), ("", 3L),
+      ("w1 w2 w3 w1 w2 w3 w1 w2 w3", 4L)).toDF("text", "id")
+    val m = hand.select($"id", TextOps.repetitionStats($"text").as("rs"))
+      .collect().map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Long]]("rs")).toMap
+    assert(m(1L) == Seq(4L, 3L, 2L, 2L)) // trigrams "a a a", "a a b"
+    assert(m(2L) == Seq(1L, 1L, 0L, 0L))
+    assert(m(3L) == Seq(0L, 0L, 0L, 0L))
+    // 3x "w1 w2 w3": 9 toks, each x3, 7 trigram windows, 3 distinct rotations
+    assert(m(4L) == Seq(9L, 3L, 7L, 3L))
+
+    val one = docs.select($"doc_id", TextOps.repetitionStats($"text").as("rs"))
+      .orderBy($"doc_id").collect().map(_.toString)
+    val composed = docs.select($"doc_id", TextOps.repetitionStatsComposed($"text").as("rs"))
+      .orderBy($"doc_id").collect().map(_.toString)
+    assert(one.sameElements(composed))
+  }
+
+  test("incremental LSH == full-corpus run restricted to pairs touching the batch") {
+    val split = docs.agg(max($"doc_id")).head().getLong(0) * 4 / 5
+    val corpus = docs.filter($"doc_id" < split)
+    val fresh = docs.filter($"doc_id" >= split)
+    val idx = Dedup.minhashSignatures(corpus, "doc_id", "text")
+    val inc = Dedup.incrementalLshVerifiedPairs(corpus, idx, fresh, "doc_id", "text",
+        minJaccard = 0.35, minSigMatchesOverride = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = Dedup.lshVerifiedPairs(docs, "doc_id", "text",
+        minJaccard = 0.35, minSigMatchesOverride = 4)
+      .filter($"id_b" >= split)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(inc == full)
+    // no corpus-x-corpus pair can ever form
+    assert(inc.forall { case (_, b, _) => b >= split })
+  }
 }
