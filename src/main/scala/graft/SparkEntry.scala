@@ -638,6 +638,32 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }
 
+    // streaming incremental dedup: the corpus arrives as 3 micro-batches
+    // (split by doc_id mod 3 — the invariant holds for ANY batching); each
+    // batch dedups against the accumulated signature index, then joins the
+    // corpus. Oracle = the FULL-corpus LSH SQL: accumulated pairs after the
+    // drain equal the from-scratch batch run exactly
+    q("dedup_stream") = (s, dir) => {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val inDir = Files.createTempDirectory("graft-dstream-in-").toString
+      val ckpt = Files.createTempDirectory("graft-dstream-ck-").toString
+      val whDir = Files.createTempDirectory("graft-dstream-wh-").toString
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").cast(LongType).as("doc_id"), col("text"))
+      (0 until 3).foreach { i =>
+        val tmp = Files.createTempDirectory(s"graft-dstream-c$i-").toString + "/out"
+        docs.filter(pmod(col("doc_id"), lit(3)) === i).coalesce(1).write.parquet(tmp)
+        val part = Files.list(Paths.get(tmp))
+          .filter(_.toString.endsWith(".parquet")).findFirst.get
+        Files.move(part, Paths.get(inDir, f"chunk_$i%02d.parquet"),
+          StandardCopyOption.ATOMIC_MOVE)
+      }
+      val ds = new graft.streaming.DedupStream(new graft.sources.Warehouse(s, whDir),
+        minJaccard = 0.35, minSigMatchesOverride = 4)
+      ds.start(inDir, ckpt).awaitTermination(300000)
+      ds.pairs().orderBy(col("id_a"), col("id_b"))
+    }
+
     // the scale pipeline: LSH candidates -> exact jaccard verify (no
     // quadratic shingle join); catches the corpus's planted near-dups
     q("dedup_lsh_verified") = (s, dir) =>
@@ -1372,6 +1398,12 @@ object SparkEntry {
          |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_lsh_verified" ->
+      s"""$lshVerifiedCore
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // streamed micro-batches accumulate EXACTLY the full-corpus pairs —
+    // the oracle is the same SQL as dedup_lsh_verified, no stream in sight
+    "dedup_stream" ->
       s"""$lshVerifiedCore
          |ORDER BY id_a, id_b""".stripMargin,
 

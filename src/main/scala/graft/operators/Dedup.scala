@@ -217,11 +217,16 @@ object Dedup {
   def incrementalLshVerifiedPairs(corpus: DataFrame, corpusSigs: DataFrame,
       fresh: DataFrame, id: String, text: String, k: Int = 5, numHashes: Int = 8,
       rowsPerBand: Int = 2, minJaccard: Double = 0.5,
-      minSigMatchesOverride: Int = -1): DataFrame = {
+      minSigMatchesOverride: Int = -1,
+      freshSigsPre: Option[DataFrame] = None): DataFrame = {
     val minSigMatches =
       if (minSigMatchesOverride >= 0) minSigMatchesOverride
       else math.max(1, math.floor(numHashes * minJaccard).toInt - 1)
-    val freshSigs = minhashSignatures(fresh, id, text, k, numHashes)
+    // signature computation is the dominant narrow stage: callers that
+    // already hold the batch's signatures (e.g. the streaming wrapper, which
+    // must also append them to the index) pass them in instead of paying the
+    // md5-per-shingle scan twice
+    val freshSigs = freshSigsPre.getOrElse(minhashSignatures(fresh, id, text, k, numHashes))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val freshBands = bandKeys(freshSigs, id, numHashes, rowsPerBand)
     // corpus bands on the LEFT, fresh on the RIGHT: every emitted pair has a

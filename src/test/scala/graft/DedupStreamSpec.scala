@@ -1,0 +1,51 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import graft.operators.Dedup
+import graft.sources.Warehouse
+import graft.streaming.DedupStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming incremental dedup must reproduce the from-scratch batch run:
+  * every pair is emitted exactly once, in the micro-batch containing its
+  * later document, so the accumulated pairs table after draining equals
+  * `lshVerifiedPairs` over the full corpus regardless of batching.
+  */
+class DedupStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("3 micro-batches of documents accumulate exactly the full-corpus pairs") {
+    val inDir = Files.createTempDirectory("graft-dstream-in-").toString
+    val ckpt = Files.createTempDirectory("graft-dstream-ck-").toString
+    val whDir = Files.createTempDirectory("graft-dstream-wh-").toString
+
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id".cast("long").as("doc_id"), $"text")
+
+    // three id-ordered chunk files -> three micro-batches
+    val rows = docs.orderBy("doc_id").as[(Long, String)].collect()
+    rows.grouped((rows.length + 2) / 3).zipWithIndex.foreach { case (chunk, i) =>
+      val tmp = Files.createTempDirectory(s"graft-dstream-c$i-").toString + "/out"
+      chunk.toSeq.toDF("doc_id", "text").coalesce(1).write.parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).filter(_.toString.endsWith(".parquet")).findFirst.get
+      Files.move(part, Paths.get(inDir, f"chunk_$i%02d.parquet"), StandardCopyOption.ATOMIC_MOVE)
+    }
+
+    val ds = new DedupStream(new Warehouse(spark, whDir),
+      minJaccard = 0.35, minSigMatchesOverride = 4)
+    val q = ds.start(inDir, ckpt, Trigger.AvailableNow())
+    q.awaitTermination(300000)
+
+    val streamed = ds.pairs().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = Dedup.lshVerifiedPairs(docs, "doc_id", "text",
+        minJaccard = 0.35, minSigMatchesOverride = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    assert(streamed == batch,
+      s"streamed ${streamed.size} pairs vs batch ${batch.size}")
+    assert(ds.corpus().count() == docs.count())
+  }
+}
