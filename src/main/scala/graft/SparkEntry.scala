@@ -547,6 +547,28 @@ object SparkEntry {
             .otherwise(lit(0.0)).as("dup_trigram_frac"))
         .orderBy(col("doc_id"))
 
+    // the composite curation pipeline a training-data run actually executes:
+    // quality + length + repetition filters first (filters are one narrow
+    // pass; dedup is the expensive stage — shrink its input), then near-dup
+    // cluster resolution over the filtered set only
+    q("doc_curated") = (s, dir) => {
+      val filtered = t(s, dir, "documents")
+        .withColumn("p", TextOps.textProfile(col("text")))
+        .withColumn("rs", TextOps.repetitionStats(col("text")))
+        .withColumn("quality", TextOps.qualityScoreFromProfile(col("text"), col("p")))
+        .withColumn("dup3",
+          when(element_at(col("rs"), 3) > 0,
+            lit(1.0) - element_at(col("rs"), 4).cast("double") / element_at(col("rs"), 3))
+            .otherwise(lit(0.0)))
+        .filter(col("quality") >= 0.63 && element_at(col("rs"), 1) >= 18
+          && col("dup3") <= 0.015)
+        .select(col("doc_id"), col("text"))
+      Dedup.nearDupDedup(filtered, "doc_id", "text",
+        minJaccard = 0.35, minSigMatchesOverride = 4)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }
+
     // grouping sets: region/nation revenue with rollup totals
     q("q12_rollup") = (s, dir) => {
       val o = t(s, dir, "orders")
@@ -798,9 +820,10 @@ object SparkEntry {
   // DuckDB v1.0 can't take lateral column args in generate_series, so the
   // oracles cross-join a constant range and filter to the per-row length
   // (documents are well under 2048 chars at every sf the oracle runs at)
-  private val shingle5 =
+  private def shingle5On(src: String): String =
     s"""SELECT doc_id, ${h31("substr(text, i, 5)")} AS h
-       |    FROM documents, generate_series(1, 2048) t(i) WHERE i <= length(text)-4""".stripMargin
+       |    FROM $src, generate_series(1, 2048) t(i) WHERE i <= length(text)-4""".stripMargin
+  private val shingle5 = shingle5On("documents")
 
   /** dedup_lsh_verified body (no ORDER BY) — also embedded as the pair
     * source of the connected-components oracle.
@@ -850,9 +873,12 @@ object SparkEntry {
        |c$n AS (SELECT m.cell, m.i, CAST(CAST(m.mr::DOUBLE / n.nn AS FLOAT) AS DOUBLE) AS m
        | FROM m$n m JOIN nn$n n USING (cell))""".stripMargin
 
-  private lazy val lshVerifiedCore: String =
+  /** The LSH+verify pipeline SQL over any (doc_id, text) source `src` —
+    * starts its own WITH, so embed inside a CTE body when composing.
+    */
+  private def lshVerifiedCoreOn(src: String): String =
     s"""WITH sh AS (
-       |  $shingle5),
+       |  ${shingle5On(src)}),
        |sig AS (
        | SELECT doc_id,
        |   $minhashMins
@@ -878,7 +904,7 @@ object SparkEntry {
        |     + (CASE WHEN sa.mh7 = sb.mh7 THEN 1 ELSE 0 END) >= 4),
        |str_sh AS (
        | SELECT DISTINCT doc_id, substr(text, i, 5) AS s
-       | FROM documents, generate_series(1, 2048) t(i) WHERE i <= length(text)-4),
+       | FROM $src, generate_series(1, 2048) t(i) WHERE i <= length(text)-4),
        |sz AS (SELECT doc_id, count(*) AS sz FROM str_sh GROUP BY 1),
        |it AS (
        | SELECT c.id_a, c.id_b, count(*) AS inter
@@ -889,6 +915,30 @@ object SparkEntry {
        | round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard
        |FROM it JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
        |WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) >= 0.35""".stripMargin
+
+  private lazy val lshVerifiedCore: String = lshVerifiedCoreOn("documents")
+
+  /** doc_repetition body (no ORDER BY): per-doc token count, top-token
+    * fraction and duplicate-trigram fraction — starts its own WITH, embed
+    * inside a CTE body when composing.
+    */
+  private lazy val repetitionCore: String =
+    """WITH l AS (
+      | SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      | FROM documents),
+      |tok AS (SELECT doc_id, unnest(toks) AS tok FROM l),
+      |tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+      |mx AS (SELECT doc_id, max(c) AS max_c FROM tc GROUP BY 1),
+      |tri AS (
+      | SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS tri
+      | FROM l, generate_series(1, 2048) t(i) WHERE i <= len(toks) - 2),
+      |ts AS (SELECT doc_id, count(*) AS n_tri, count(DISTINCT tri) AS n_dis FROM tri GROUP BY 1)
+      |SELECT l.doc_id,
+      | CAST(len(l.toks) AS BIGINT) AS n_toks,
+      | CASE WHEN len(l.toks) = 0 THEN 0.0 ELSE mx.max_c::DOUBLE / len(l.toks) END AS top_tok_frac,
+      | CASE WHEN coalesce(ts.n_tri, 0) = 0 THEN 0.0
+      |  ELSE 1.0 - ts.n_dis::DOUBLE / ts.n_tri END AS dup_trigram_frac
+      |FROM l LEFT JOIN mx USING (doc_id) LEFT JOIN ts USING (doc_id)""".stripMargin
 
   /** doc_quality_lang body (no ORDER BY) — also the stratum source of the
     * doc_quota oracle.
@@ -1415,23 +1465,37 @@ object SparkEntry {
          |ORDER BY id_a, id_b""".stripMargin,
 
     "doc_repetition" ->
-      """WITH l AS (
-        | SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
-        | FROM documents),
-        |tok AS (SELECT doc_id, unnest(toks) AS tok FROM l),
-        |tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
-        |mx AS (SELECT doc_id, max(c) AS max_c FROM tc GROUP BY 1),
-        |tri AS (
-        | SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS tri
-        | FROM l, generate_series(1, 2048) t(i) WHERE i <= len(toks) - 2),
-        |ts AS (SELECT doc_id, count(*) AS n_tri, count(DISTINCT tri) AS n_dis FROM tri GROUP BY 1)
-        |SELECT l.doc_id,
-        | CAST(len(l.toks) AS BIGINT) AS n_toks,
-        | CASE WHEN len(l.toks) = 0 THEN 0.0 ELSE mx.max_c::DOUBLE / len(l.toks) END AS top_tok_frac,
-        | CASE WHEN coalesce(ts.n_tri, 0) = 0 THEN 0.0
-        |  ELSE 1.0 - ts.n_dis::DOUBLE / ts.n_tri END AS dup_trigram_frac
-        |FROM l LEFT JOIN mx USING (doc_id) LEFT JOIN ts USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
+      s"""$repetitionCore
+         |ORDER BY doc_id""".stripMargin,
+
+    // the composite curation pipeline: quality + length + repetition filters
+    // FIRST (the production order — filtering is cheaper than dedup), then
+    // near-dup cluster resolution over the filtered set only. Every stage is
+    // an independently-proven fragment recomposed over the `cur` CTE.
+    "doc_curated" ->
+      s"""WITH RECURSIVE qual AS (
+         |$docQualityCore),
+         |rep AS (
+         |$repetitionCore),
+         |cur AS (
+         | SELECT d.doc_id, d.text FROM documents d
+         |  JOIN qual ON qual.doc_id = d.doc_id
+         |  JOIN rep ON rep.doc_id = d.doc_id
+         | WHERE qual.quality >= 0.63 AND rep.n_toks >= 18
+         |   AND rep.dup_trigram_frac <= 0.015),
+         |pairs AS (
+         |${lshVerifiedCoreOn("cur")}),
+         |edges AS (
+         | SELECT id_a AS src, id_b AS dst FROM pairs
+         | UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         | SELECT src, dst FROM edges
+         | UNION
+         | SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |comp AS (SELECT src AS id, least(src, min(dst)) AS component FROM reach GROUP BY src)
+         |SELECT doc_id FROM cur
+         |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
+         |ORDER BY doc_id""".stripMargin,
 
     "dedup_survivors" ->
       s"""WITH RECURSIVE pairs AS (
