@@ -325,6 +325,22 @@ object SparkEntry {
         .orderBy(col("a_type"), col("b_type"))
     }
 
+    // explicit salt-and-replicate skew join (plan-level tool for hot fact
+    // keys where AQE can't help, e.g. broadcast-ineligible mediums):
+    // semantically identical to the plain inner join, which IS the oracle
+    q("q17_salted_agg") = (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_suppkey").as("suppkey"), col("l_quantity"))
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+      graft.operators.Skew.saltedJoin(li, sup, "suppkey", 8)
+        .groupBy(col("s_nationkey"))
+        .agg(
+          round(sum(col("l_quantity").cast(dec2)).cast("double"), 2).as("sum_qty"),
+          count(lit(1)).cast(LongType).as("n_items"))
+        .orderBy(col("s_nationkey"))
+    }
+
     // ---- the reference ETL's scalar surface over synthesized Spanish rows ----
 
     // F1/F2/F5/F8-F13 end-to-end on constructed Producto/Fecha/Precio columns
@@ -1278,6 +1294,15 @@ object SparkEntry {
         |FROM e a JOIN e b
         | ON a.user_id = b.user_id AND b.us > a.us AND b.us <= a.us + 300000000
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the salted join is semantically the plain inner join
+    "q17_salted_agg" ->
+      """SELECT s_nationkey,
+        | round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+        | CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey
+        |ORDER BY s_nationkey""".stripMargin,
 
     "etl_clean" ->
       """WITH base AS (
