@@ -228,10 +228,17 @@ object Dedup {
     // md5-per-shingle scan twice
     val freshSigs = freshSigsPre.getOrElse(minhashSignatures(fresh, id, text, k, numHashes))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // BOTH signature frames feed three consumers (band join left side, sigA,
+    // sigB in the prefilter) — persist the corpus index too, or its plan
+    // (a parquet read in production, a live recompute in tests) re-executes
+    // per consumer. Both caches release once candidates materialize; callers
+    // passing an externally-persisted frame keep their own handle.
+    val corpusSigsP = corpusSigs
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val freshBands = bandKeys(freshSigs, id, numHashes, rowsPerBand)
     // corpus bands on the LEFT, fresh on the RIGHT: every emitted pair has a
     // fresh side, and corpus×corpus pairs can never form
-    val allBands = bandKeys(corpusSigs, id, numHashes, rowsPerBand).union(freshBands)
+    val allBands = bandKeys(corpusSigsP, id, numHashes, rowsPerBand).union(freshBands)
     val cand0 = allBands.alias("a")
       .join(freshBands.alias("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -239,10 +246,14 @@ object Dedup {
       .select(least(col(s"a.$id"), col(s"b.$id")).as("id_a"),
         greatest(col(s"a.$id"), col(s"b.$id")).as("id_b"))
       .distinct()
-    val allSigs = corpusSigs.union(freshSigs)
+    val allSigs = corpusSigsP.union(freshSigs)
     val allDocs = corpus.select(col(id), col(text)).union(fresh.select(col(id), col(text)))
     prefilterAndVerify(cand0, allSigs, allDocs, id, text, k, numHashes,
-      minSigMatches, minJaccard, releaseAfterCandidates = () => freshSigs.unpersist(false))
+      minSigMatches, minJaccard,
+      releaseAfterCandidates = () => {
+        corpusSigsP.unpersist(false)
+        freshSigs.unpersist(false)
+      })
   }
 
   /** Connected components over an undirected pair list (id_a, id_b) —
