@@ -26,6 +26,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fn("graft_vec_dot", exprs => VectorDotExpr(exprs(0), exprs(1)))
     fn("graft_vec_cosine", exprs => VectorCosineExpr(exprs(0), exprs(1)))
     fn("graft_vec_norm", exprs => VectorNormExpr(exprs.head))
+    // one-pass profile family, registered with the operator-level defaults
+    fn("graft_text_profile", exprs =>
+      TextProfileExpr(exprs.head, graft.operators.TextOps.stopwords.map(_._2)))
+    fn("graft_repetition_stats", exprs => RepetitionStatsExpr(exprs.head))
+    fn("graft_fingerprint", exprs => FingerprintExpr(exprs.head, k = 8))
+    fn("graft_shingle_count", exprs => ShingleCountExpr(exprs.head, k = 3))
+    fn("graft_minhash_sig", exprs => MinHashSigExpr(exprs.head, k = 5,
+      graft.operators.Dedup.MinHashA.take(8), graft.operators.Dedup.MinHashB.take(8)))
   }
 }
 

@@ -72,6 +72,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("repetition stats invariants over generated text") {
+    val inputs = samples(asciiText, 150)
+    val rows = evalCases(inputs)(c =>
+      TextOps.repetitionStats(c).as("rs"))
+    rows.zip(inputs).foreach { case (r, in) =>
+      val rs = r.asInstanceOf[scala.collection.Seq[Long]]
+      val Seq(nt, maxC, nTri, nDis) = rs.toSeq
+      assert(nt == in.split(" ").count(_.nonEmpty), s"token count on '$in'")
+      assert(maxC >= (if (nt > 0) 1L else 0L) && maxC <= nt, s"max count on '$in'")
+      assert(nTri == math.max(0L, nt - 2), s"trigram total on '$in'")
+      assert(nDis >= (if (nTri > 0) 1L else 0L) && nDis <= nTri, s"trigram distinct on '$in'")
+    }
+  }
+
+  test("new one-pass expressions resolve through SQL registration") {
+    val r = spark.sql(
+      """SELECT graft_repetition_stats('a a a b') AS rs,
+        |       graft_text_profile('the cat sat') AS p,
+        |       graft_fingerprint('abcdefghijklmnop') AS fp,
+        |       graft_shingle_count('abcdef') AS sc,
+        |       graft_minhash_sig('abcdefghij') AS mh""".stripMargin).collect().head
+    assert(r.getAs[scala.collection.Seq[Long]]("rs") == Seq(4L, 3L, 2L, 2L))
+    assert(r.getAs[scala.collection.Seq[Long]]("p").head == 3L)
+    assert(r.getAs[Long]("fp") >= 0L)
+    assert(r.getAs[Long]("sc") == 4L) // "abcdef": abc bcd cde def
+    assert(r.getAs[scala.collection.Seq[Long]]("mh").length == 8)
+  }
+
   test("language/quality from profile equal the composed forms on real docs") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val both = docs
