@@ -304,6 +304,26 @@ object SparkEntry {
         .orderBy(col("gap_min"))
     }
 
+    // same attribution workload through the hot-key scale path: per-key
+    // sequential work bounded by time-range/bucket instead of row count.
+    // Oracle identical to q15 — the two forms must agree exactly
+    q("q15b_asof_bucketed") = (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), expr("ts DIV 1000").as("us"), col("event_type"), col("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+      val clicks = ev.filter(col("event_type") === "click").select("user_id", "us")
+      graft.operators.TimeJoins
+        .asOfJoinBucketed(purchases, clicks, Seq("user_id"), "us", "us", Seq("us"),
+          bucketWidth = 3600000000L, "click_") // 1-hour buckets
+        .withColumn("gap_min",
+          when(col("click_us").isNull, lit(-1L))
+            .otherwise(expr("(us - click_us) DIV 60000000")))
+        .groupBy(col("gap_min"))
+        .agg(count(lit(1)).as("n_purchases"),
+          round(sumMoney(col("value")), 2).as("attributed_value"))
+        .orderBy(col("gap_min"))
+    }
+
     // range join (operator Spark lacks natively): same-user event pairs within a
     // 5-minute window. Implemented as the bucketed equi-join shape — each left
     // row explodes to its two candidate 5-min buckets, the join is a pure
@@ -1276,6 +1296,21 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q15_asof_attribution" ->
+      """WITH p AS (
+        | SELECT user_id, epoch_us(ts) AS us, value FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        | SELECT user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'click'),
+        |j AS (
+        | SELECT CASE WHEN c.us IS NULL THEN CAST(-1 AS BIGINT)
+        |             ELSE (p.us - c.us) // 60000000 END AS gap_min, p.value
+        | FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.us >= c.us)
+        |SELECT gap_min,
+        | CAST(count(*) AS BIGINT) AS n_purchases,
+        | round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS attributed_value
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the bucketed form must agree with the window form exactly
+    "q15b_asof_bucketed" ->
       """WITH p AS (
         | SELECT user_id, epoch_us(ts) AS us, value FROM events WHERE event_type = 'purchase'),
         |c AS (

@@ -75,6 +75,90 @@ object TimeJoins {
       .drop("__asof_ts", "__asof_side", "__asof_payload", "__asof_match")
   }
 
+  /** [[asOfJoin]] with the per-key sequential work bounded by TIME RANGE
+    * instead of row count — the hot-key scale path.
+    *
+    * The union+running-window form partitions by key alone, so one
+    * pathological key (a bot user, a default tenant) serializes its entire
+    * history into a single task. Here the running window partitions by
+    * (key, `ts DIV bucketWidth`) — a hot key's rows split evenly across its
+    * buckets — and cross-bucket state flows through a bucket-level carry:
+    * per-(key, bucket) latest-payload summaries (one partial-aggregating
+    * pass), then a per-key running window over BUCKET rows, whose partition
+    * size is the key's active time range / bucketWidth, independent of how
+    * many rows the key has. A left row's match is its in-bucket running
+    * match if one exists, else the carry from strictly-earlier buckets
+    * (which is always older than any in-bucket match, so coalesce is exact).
+    *
+    * Semantics match [[asOfJoin]], with one tie refinement: among right rows
+    * sharing their key's single latest timestamp ≤ t, this form picks the
+    * greatest payload struct (max_by) deterministically where the window
+    * form keeps whichever sorted last. Timestamps must be integral and
+    * non-negative (`DIV` bucketing, like [[rangeJoin]]).
+    */
+  def asOfJoinBucketed(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightCols: Seq[String],
+      bucketWidth: Long,
+      prefix: String = "asof_"): DataFrame = {
+    require(on.nonEmpty, "asOfJoinBucketed needs at least one equality key")
+    require(rightCols.nonEmpty, "asOfJoinBucketed needs at least one right column to attach")
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val onCols = on.map(col)
+    val r2 = right
+      .filter(col(rightTs).isNotNull && on.map(col(_).isNotNull).reduce(_ && _))
+      .select(onCols ++ Seq(
+        col(rightTs).as("__ab_ts"),
+        struct(rightCols.map(col): _*).as("__ab_payload"),
+        lit(0).as("__ab_side")): _*)
+      .withColumn("__ab_bkt", expr(s"__ab_ts DIV ${bucketWidth}L"))
+    val l2 = left
+      .withColumn("__ab_ts", col(leftTs))
+      .withColumn("__ab_side", lit(1))
+      .withColumn("__ab_bkt", expr(s"__ab_ts DIV ${bucketWidth}L"))
+
+    // in-bucket running match: the hot key's rows are spread across its
+    // buckets, so no partition exceeds one bucket's traffic
+    val wIn = Window
+      .partitionBy((onCols :+ col("__ab_bkt")): _*)
+      .orderBy(col("__ab_ts").asc, col("__ab_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lefts = l2
+      .unionByName(r2, allowMissingColumns = true)
+      .withColumn("__ab_in", last(col("__ab_payload"), ignoreNulls = true).over(wIn))
+      .filter(col("__ab_side") === 1)
+
+    // bucket-level carry: per-(key, bucket) latest payload, then a running
+    // last over the key's bucket TIMELINE (left ∪ right buckets — right-only
+    // buckets must appear so their value propagates forward)
+    val best = r2.groupBy((onCols :+ col("__ab_bkt")): _*)
+      .agg(max_by(col("__ab_payload"), struct(col("__ab_ts"), col("__ab_payload")))
+        .as("__ab_best"))
+    val timeline = l2.select((onCols :+ col("__ab_bkt")): _*)
+      .union(best.select((onCols :+ col("__ab_bkt")): _*))
+      .distinct()
+      .join(best, on :+ "__ab_bkt", "left")
+    val wCarry = Window
+      .partitionBy(onCols: _*)
+      .orderBy(col("__ab_bkt").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = timeline
+      .withColumn("__ab_carry", last(col("__ab_best"), ignoreNulls = true).over(wCarry))
+      .select(onCols ++ Seq(col("__ab_bkt"), col("__ab_carry")): _*)
+
+    val matched = lefts
+      .join(carry, on :+ "__ab_bkt", "left")
+      .withColumn("__ab_match", coalesce(col("__ab_in"), col("__ab_carry")))
+    rightCols
+      .foldLeft(matched) { (df, c) => df.withColumn(prefix + c, col("__ab_match").getField(c)) }
+      .drop("__ab_ts", "__ab_side", "__ab_bkt", "__ab_payload", "__ab_in",
+        "__ab_carry", "__ab_match")
+  }
+
   /** Bounded range join: all (left, right) pairs with the same `on` key and
     * `leftTs < rightTs <= leftTs + maxGap` (strictly-after within the gap).
     * Inner semantics — unmatched left rows drop out. Timestamps must be

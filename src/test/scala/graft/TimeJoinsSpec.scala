@@ -76,6 +76,55 @@ class TimeJoinsSpec extends SparkSpec {
     assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
   }
 
+  test("asOfJoinBucketed == asOfJoin on the edge fixture at several widths") {
+    val left = Seq(
+      (1L, 100L, "l1"), (1L, 150L, "l2"), (1L, 10L, "l3"),
+      (2L, 500L, "l4"), (3L, 70L, "l5")
+    ).toDF("k", "ts", "tag")
+    val right = Seq(
+      (1L, 100L, "r100"), (1L, 90L, "r90"), (1L, 120L, "r120"), (3L, 70L, "r70")
+    ).toDF("k", "ts", "v")
+    val want = Set(
+      ("l1", Some(100L), Some("r100")), ("l2", Some(120L), Some("r120")),
+      ("l3", None, None), ("l4", None, None), ("l5", Some(70L), Some("r70")))
+    // width 1 (every row its own bucket: pure carry), 7 (boundaries straddle),
+    // 1000 (single bucket: pure in-bucket window, == asOfJoin shape)
+    Seq(1L, 7L, 1000L).foreach { w =>
+      val got = TimeJoins
+        .asOfJoinBucketed(left, right, Seq("k"), "ts", "ts", Seq("ts", "v"), w, "m_")
+        .select("tag", "m_ts", "m_v")
+        .collect().map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2)))).toSet
+      assert(got === want, s"bucketWidth=$w")
+    }
+  }
+
+  test("asOfJoinBucketed: null keys never match (left preserved)") {
+    val left = Seq((Option(1L), 100L, "l1"), (Option.empty[Long], 100L, "lnull"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((Option(1L), 90L, "r1"), (Option.empty[Long], 90L, "rnull"))
+      .toDF("k", "ts", "v")
+    val got = TimeJoins
+      .asOfJoinBucketed(left, right, Seq("k"), "ts", "ts", Seq("v"), 16L, "m_")
+      .select("tag", "m_v")
+      .collect().map(r => (r.getString(0), Option(r.get(1)))).toSet
+    assert(got === Set(("l1", Some("r1")), ("lnull", None)))
+  }
+
+  test("asOfJoinBucketed == asOfJoin on real events (unique right timestamps)") {
+    val purchases = events.filter($"event_type" === "purchase").select("user_id", "us")
+    // dedupe (user, ts): among equal right timestamps the two forms may pick
+    // different payload rows (window arrival order vs max_by) — match times
+    // are identical either way, and unique timestamps make rows identical
+    val clicks = events.filter($"event_type" === "click")
+      .select("user_id", "us").distinct()
+    val a = TimeJoins
+      .asOfJoin(purchases, clicks, Seq("user_id"), "us", "us", Seq("us"), "c_")
+    val b = TimeJoins
+      .asOfJoinBucketed(purchases, clicks, Seq("user_id"), "us", "us", Seq("us"), 3600000000L, "c_")
+    assert(a.count() === b.count())
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("rangeJoin matches naive inequality join, incl. bucket boundaries") {
     val gap = 10L
     val left = Seq((1L, 95L, "a"), (1L, 100L, "b"), (2L, 7L, "c")).toDF("k", "ts", "tag")
