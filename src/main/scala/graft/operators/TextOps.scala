@@ -171,6 +171,41 @@ object TextOps {
       size(tris).cast(LongType), size(array_distinct(tris)).cast(LongType))
   }
 
+  /** Sliding token-window chunking — the standard long-document
+    * preprocessing step before tokenizer-bounded model input. Windows of
+    * `chunkSize` whitespace tokens advance by `chunkSize - overlap`; the
+    * last window starts at the smallest step multiple covering the final
+    * token, so every token lands in ≥ 1 chunk. Pure per-row Column logic —
+    * no explode until the caller chooses to, no shuffle.
+    */
+  def chunkByTokens(c: Column, chunkSize: Int, overlap: Int): Column = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      "need chunkSize > 0 and 0 <= overlap < chunkSize")
+    val step = chunkSize - overlap
+    val toks = tokens(c)
+    val n = size(toks)
+    // ceil over exact small-int doubles — reproduces identically in SQL,
+    // unlike integer division whose negative rounding differs across engines
+    val kMinus1 = greatest(
+      ceil((n - lit(chunkSize)).cast("double") / step).cast("int"), lit(0))
+    when(n === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), kMinus1),
+        i => concat_ws(" ", slice(toks, i * step + 1, chunkSize))))
+  }
+
+  /** Curation-grade PII masking: URLs, then emails, then long digit runs
+    * (order matters — URLs and emails contain digits). Deliberately simple
+    * engine-portable regexes; a production deployment swaps in its own
+    * pattern set without changing the plan shape (three fused
+    * `regexp_replace` calls in one codegen'd projection).
+    */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, "https?://[^\\s]+", "<URL>"),
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      "[0-9]{7,}", "<NUM>")
+
   /** Positional rolling-hash document fingerprint:
     * sum_i( i * h31(shingle_i) ) mod 2^31-1 over overlapping k-shingles.
     * Order-sensitive (a permuted document fingerprints differently) yet
