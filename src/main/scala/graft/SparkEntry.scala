@@ -583,6 +583,31 @@ object SparkEntry {
             .otherwise(lit(0.0)).as("dup_trigram_frac"))
         .orderBy(col("doc_id"))
 
+    // sliding token-window chunking (chunk=40 tokens, overlap=10): the
+    // standard long-document split before tokenizer-bounded model input.
+    // posexplode keeps (doc, position) — empty docs vanish, short docs get
+    // exactly one whole-doc chunk
+    q("doc_chunks") = (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(TextOps.chunkByTokens(col("text"), chunkSize = 40, overlap = 10)))
+        .select(col("doc_id"), col("pos").cast(LongType).as("chunk_idx"),
+          col("col").as("chunk"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+
+    // PII masking over text with synthetic PII injected from doc_id (the
+    // testdata contains none) — URL, then email, then long digit runs, the
+    // order-sensitive cascade redactPii fixes
+    q("doc_redact") = (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("noisy", concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.org or "),
+          lit("https://ex.org/d/"), col("doc_id").cast("string"),
+          lit("?t=1 ref 1234567"), col("doc_id").cast("string")))
+        .select(col("doc_id"), TextOps.redactPii(col("noisy")).as("redacted"))
+        .orderBy(col("doc_id"))
+
     // the composite curation pipeline a training-data run actually executes:
     // quality + length + repetition filters first (filters are one narrow
     // pass; dedup is the expensive stage — shrink its input), then near-dup
@@ -1522,15 +1547,52 @@ object SparkEntry {
          |ORDER BY id_a, id_b""".stripMargin,
 
     // incremental == full-corpus restricted to pairs touching the new batch
-    // (ids >= 400; id_a < id_b, so id_b is the fresh side whenever any is)
+    // (id_a < id_b, so id_b is the fresh side whenever any is). The split is
+    // derived the same way the Spark query derives it — (max(doc_id)+1)*4/5 —
+    // so oracle and query stay coupled at any scale, not just sf0.01
     "dedup_incremental" ->
-      s"""$lshVerifiedCore
-         | AND id_b >= 400
+      s"""WITH split AS (SELECT (max(doc_id) + 1) * 4 // 5 AS cut FROM documents),
+         |pairs AS (
+         |$lshVerifiedCore)
+         |SELECT id_a, id_b, jaccard FROM pairs
+         |WHERE id_b >= (SELECT cut FROM split)
          |ORDER BY id_a, id_b""".stripMargin,
 
     "doc_repetition" ->
       s"""$repetitionCore
          |ORDER BY doc_id""".stripMargin,
+
+    // sliding 40-token windows advancing by 30 (overlap 10); last window
+    // starts at the smallest step multiple covering the final token. DuckDB
+    // list slice l[a:b] is 1-based inclusive and clamps, exactly like
+    // Spark's slice(arr, start, len) at the array tail
+    "doc_chunks" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        | FROM documents),
+        |k AS (
+        | SELECT doc_id, tk,
+        |   CASE WHEN len(tk) = 0 THEN -1
+        |        ELSE greatest(CAST(ceil((len(tk) - 40) / 30.0) AS INT), 0) END AS km1
+        | FROM toks)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |  array_to_string(tk[i*30+1 : i*30+40], ' ') AS chunk
+        |FROM k, generate_series(0, 64) t(i)
+        |WHERE i <= km1
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "doc_redact" ->
+      """SELECT doc_id,
+        | regexp_replace(
+        |   regexp_replace(
+        |     regexp_replace(
+        |       text || ' contact user' || doc_id || '@mail.example.org or '
+        |            || 'https://ex.org/d/' || doc_id || '?t=1 ref 1234567' || doc_id,
+        |       'https?://[^\s]+', '<URL>', 'g'),
+        |     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '[0-9]{7,}', '<NUM>', 'g') AS redacted
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     // the composite curation pipeline: quality + length + repetition filters
     // FIRST (the production order — filtering is cheaper than dedup), then

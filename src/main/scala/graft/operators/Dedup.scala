@@ -225,14 +225,18 @@ object Dedup {
     // signature computation is the dominant narrow stage: callers that
     // already hold the batch's signatures (e.g. the streaming wrapper, which
     // must also append them to the index) pass them in instead of paying the
-    // md5-per-shingle scan twice
-    val freshSigs = freshSigsPre.getOrElse(minhashSignatures(fresh, id, text, k, numHashes))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // md5-per-shingle scan twice. Caller-supplied frames keep their
+    // caller-owned cache lifecycle — Spark caching is per-plan, so
+    // unpersisting here would evict the caller's cache too and force its
+    // later consumers (e.g. the index append) to recompute the scan.
+    val ownsFreshSigs = freshSigsPre.isEmpty
+    val freshSigs = freshSigsPre.getOrElse(
+      minhashSignatures(fresh, id, text, k, numHashes)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // BOTH signature frames feed three consumers (band join left side, sigA,
     // sigB in the prefilter) — persist the corpus index too, or its plan
     // (a parquet read in production, a live recompute in tests) re-executes
-    // per consumer. Both caches release once candidates materialize; callers
-    // passing an externally-persisted frame keep their own handle.
+    // per consumer. Caches WE created release once candidates materialize.
     val corpusSigsP = corpusSigs
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val freshBands = bandKeys(freshSigs, id, numHashes, rowsPerBand)
@@ -252,7 +256,7 @@ object Dedup {
       minSigMatches, minJaccard,
       releaseAfterCandidates = () => {
         corpusSigsP.unpersist(false)
-        freshSigs.unpersist(false)
+        if (ownsFreshSigs) freshSigs.unpersist(false)
       })
   }
 
@@ -289,9 +293,17 @@ object Dedup {
     val edgeCount = edges.count()
     if (edgeCount <= localThreshold) {
       // generic over the id type (long, int, string, ...) — the distributed
-      // path below is type-agnostic via least/min, so the fast path must be
-      // too; all orderable Spark external types implement Comparable
-      def lt(x: Any, y: Any): Boolean = x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+      // path below is type-agnostic via least/min, so the fast path must
+      // order identically: Spark compares strings as UTF-8 bytes (code-point
+      // order), while java.lang.String compares UTF-16 code units — these
+      // diverge for supplementary characters, so route strings through
+      // UTF8String to keep both paths' component labels identical
+      def lt(x: Any, y: Any): Boolean = (x, y) match {
+        case (a: String, b: String) =>
+          org.apache.spark.unsafe.types.UTF8String.fromString(a)
+            .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
+        case _ => x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+      }
       val es = edges.collect().map(r => (r.get(0), r.get(1)))
       val parent = scala.collection.mutable.Map[Any, Any]()
       def find(x: Any): Any = {

@@ -190,7 +190,7 @@ object TextOps {
       ceil((n - lit(chunkSize)).cast("double") / step).cast("int"), lit(0))
     when(n === 0, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(0), kMinus1),
-        i => concat_ws(" ", slice(toks, i * step + 1, chunkSize))))
+        i => concat_ws(" ", slice(toks, i * step + lit(1), lit(chunkSize)))))
   }
 
   /** Curation-grade PII masking: URLs, then emails, then long digit runs

@@ -122,10 +122,14 @@ object TimeJoins {
       .withColumn("__ab_bkt", expr(s"__ab_ts DIV ${bucketWidth}L"))
 
     // in-bucket running match: the hot key's rows are spread across its
-    // buckets, so no partition exceeds one bucket's traffic
+    // buckets, so no partition exceeds one bucket's traffic. Payload is the
+    // final sort key so that among right rows TIED on timestamp the greatest
+    // payload sorts last and wins the running `last` — the same tie-break
+    // the cross-bucket carry's max_by applies, keeping results independent
+    // of bucketWidth and partitioning
     val wIn = Window
       .partitionBy((onCols :+ col("__ab_bkt")): _*)
-      .orderBy(col("__ab_ts").asc, col("__ab_side").asc)
+      .orderBy(col("__ab_ts").asc, col("__ab_side").asc, col("__ab_payload").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val lefts = l2
       .unionByName(r2, allowMissingColumns = true)
