@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{Transforms => T}
-import graft.operators.{Dedup, Merge, Multimodal, Similarity, TextOps}
+import graft.operators.{Corpus, Dedup, Merge, Multimodal, Similarity, TextOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -361,6 +361,19 @@ object SparkEntry {
         .orderBy(col("s_nationkey"))
     }
 
+    // exact group percentiles (continuous interpolation) — the sort-based
+    // exact form; the 100 TB path swaps in approx_percentile (t-digest
+    // partial-agg, not oracle-matchable) without changing the plan around it
+    q("q18_percentiles") = (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile(col("l_extendedprice"), lit(0.25)).as("p25"),
+          percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
+          percentile(col("l_extendedprice"), lit(0.9)).as("p90"),
+          count(lit(1)).cast(LongType).as("n_items"))
+        .orderBy(col("l_returnflag"))
+
     // ---- the reference ETL's scalar surface over synthesized Spanish rows ----
 
     // F1/F2/F5/F8-F13 end-to-end on constructed Producto/Fecha/Precio columns
@@ -606,6 +619,42 @@ object SparkEntry {
           lit("https://ex.org/d/"), col("doc_id").cast("string"),
           lit("?t=1 ref 1234567"), col("doc_id").cast("string")))
         .select(col("doc_id"), TextOps.redactPii(col("noisy")).as("redacted"))
+        .orderBy(col("doc_id"))
+
+    // corpus-level top-k tokens: explode → partial-agg count → per-partition
+    // top-k merge (TakeOrderedAndProject) — the full vocabulary never
+    // reaches the driver
+    q("doc_top_tokens") = (s, dir) =>
+      Corpus.topTokens(t(s, dir, "documents"), "text", 20)
+        .orderBy(col("cnt").desc, col("token"))
+
+    // per-(doc, token) TF-IDF from ONE tokenization pass (df derived from
+    // the tf frame); weights rounded 4dp to absorb cross-engine ln ulp noise
+    q("doc_tfidf") = (s, dir) =>
+      Corpus.tfidf(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"), col("token"))
+
+    // benchmark decontamination: train docs (19/20 of corpus) sharing any
+    // 5-token-gram with the held-out eval slice (doc_id ≡ 0 mod 20) —
+    // eval grams broadcast, train side never shuffles
+    q("doc_decontaminate") = (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Corpus.contaminated(
+        docs.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(20)) === 0),
+        "doc_id", "text", n = 5)
+        .orderBy(col("doc_id"))
+    }
+
+    // sequence packing into 2000-token training shards, grouped by language
+    // (homogeneous shards; languages pack in parallel) — running prefix-sum
+    // window per language
+    q("doc_shards") = (s, dir) =>
+      Corpus.packShards(
+        t(s, dir, "documents")
+          .withColumn("lang", TextOps.languageId(col("text"))),
+        "doc_id", "text", col("lang"), budgetTokens = 2000)
+        .select(col("doc_id"), col("lang"), col("n_toks"), col("shard"))
         .orderBy(col("doc_id"))
 
     // the composite curation pipeline a training-data run actually executes:
@@ -1368,6 +1417,16 @@ object SparkEntry {
         |GROUP BY s_nationkey
         |ORDER BY s_nationkey""".stripMargin,
 
+    "q18_percentiles" ->
+      """SELECT l_returnflag,
+        | quantile_cont(l_extendedprice, 0.25) AS p25,
+        | quantile_cont(l_extendedprice, 0.5) AS p50,
+        | quantile_cont(l_extendedprice, 0.9) AS p90,
+        | CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
     "etl_clean" ->
       """WITH base AS (
         | SELECT p_partkey, p_name, p_retailprice,
@@ -1593,6 +1652,55 @@ object SparkEntry {
         |   '[0-9]{7,}', '<NUM>', 'g') AS redacted
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    "doc_top_tokens" ->
+      """WITH tok AS (
+        | SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+        | FROM documents)
+        |SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        |FROM tok GROUP BY token
+        |ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+
+    "doc_tfidf" ->
+      """WITH tok AS (
+        | SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+        | FROM documents),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+        |dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents)
+        |SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+        | round(tf.tf * ln(nd / dfq.df), 4) AS tfidf
+        |FROM tf JOIN dfq USING (token) CROSS JOIN n
+        |ORDER BY doc_id, token""".stripMargin,
+
+    // 5-gram containment train↔eval; the Spark side joins 60-bit gram hashes
+    // (collision odds ~1e-10 here), the oracle joins the gram STRINGS — an
+    // independent implementation that also cross-checks hash fidelity
+    "doc_decontaminate" ->
+      """WITH tk AS (
+        | SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        | FROM documents),
+        |g AS (
+        | SELECT doc_id, array_to_string(toks[i : i + 4], ' ') AS gram
+        | FROM tk, generate_series(1, 2048) t(i)
+        | WHERE i <= len(toks) - 4),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0)
+        |SELECT DISTINCT doc_id FROM g
+        |WHERE doc_id % 20 <> 0 AND gram IN (SELECT gram FROM ev)
+        |ORDER BY doc_id""".stripMargin,
+
+    "doc_shards" ->
+      s"""WITH lang AS (
+         |$docQualityCore),
+         |tk AS (
+         | SELECT doc_id,
+         |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_toks
+         | FROM documents)
+         |SELECT t.doc_id, l.lang_guess AS lang, t.n_toks,
+         | CAST(floor((sum(t.n_toks) OVER (PARTITION BY l.lang_guess ORDER BY t.doc_id)
+         |   - t.n_toks) / 2000.0) AS BIGINT) AS shard
+         |FROM tk t JOIN lang l ON l.doc_id = t.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
 
     // the composite curation pipeline: quality + length + repetition filters
     // FIRST (the production order — filtering is cheaper than dedup), then

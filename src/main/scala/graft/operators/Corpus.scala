@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Corpus-LEVEL statistics and curation operators — the aggregating
+  * complement to the per-row [[TextOps]] primitives. Everything here
+  * shuffles, so every operator states its shuffle key and why that key
+  * stays uniform at 100 TB:
+  *
+  *   - [[topTokens]]/[[tfidf]] shuffle on `token` — a power-law key space,
+  *     but partial (map-side) aggregation collapses each partition's
+  *     duplicates first, so the shuffle carries one row per (partition,
+  *     token), not one per occurrence; the hot-token skew never leaves the
+  *     mappers.
+  *   - [[contaminated]] shuffles nothing on the big side: the eval set's
+  *     n-gram hashes broadcast (eval benchmarks are ~10⁴–10⁶ grams), and
+  *     the train side is a narrow scan + broadcast semi-join.
+  *   - [[packShards]] shuffles on the pack key (e.g. language) — its window
+  *     is a running cumulative sum, evaluated incrementally per partition.
+  *
+  * Reference scope: the reference engine has no corpus analytics; these
+  * extend the engine for LLM training-data pipelines (SURVEY §2 addendum),
+  * keyed to the same documents schema the dedup family uses.
+  */
+object Corpus {
+
+  /** Global top-`k` tokens by occurrence count, tie-broken deterministically
+    * (count desc, then token asc). Physical shape: explode → hash aggregate
+    * with map-side combine → `TakeOrderedAndProject` (each partition keeps
+    * only its local top-k; the driver merges k-sized heaps, never the full
+    * vocabulary).
+    */
+  def topTokens(docs: DataFrame, text: String, k: Int): DataFrame =
+    docs.select(explode(TextOps.tokens(col(text))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(k)
+
+  /** Per-(document, token) TF-IDF: `tf * ln(N / df)` with `tf` = in-doc
+    * occurrences, `df` = documents containing the token, `N` = corpus size.
+    * The two aggregations reuse ONE tokenization: `df` is derived from the
+    * (doc, token) term-frequency frame (`count per token` over it ≡ distinct
+    * docs containing the token — no second scan, no count-distinct).
+    * Weights are rounded to 4dp so cross-engine `ln` ulp noise cannot
+    * surface. N is a single driver scalar (one count job), the same bounded
+    * driver-action class as the merge layer's max-id lookups.
+    */
+  def tfidf(docs: DataFrame, id: String, text: String): DataFrame = {
+    val n = docs.count()
+    val tf = docs
+      .select(col(id), explode(TextOps.tokens(col(text))).as("token"))
+      .groupBy(col(id), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "token")
+      .select(col(id), col("token"), col("tf"), col("df"),
+        round(col("tf") * log(lit(n).cast("double") / col("df")), 4).as("tfidf"))
+  }
+
+  /** Benchmark decontamination: ids of `train` documents sharing ANY token
+    * `n`-gram with the `eval` set — the standard pre-training hygiene pass
+    * that keeps test benchmarks out of the training corpus.
+    *
+    * The eval side collapses to a distinct set of 60-bit portable n-gram
+    * hashes and BROADCASTS (eval benchmarks are tiny next to a training
+    * corpus), so the 100 TB train side is one narrow projection + broadcast
+    * semi-join — no shuffle of train data at all. Hash collisions can only
+    * over-flag (a false contamination), never miss one.
+    */
+  def contaminated(train: DataFrame, eval: DataFrame, id: String, text: String,
+      n: Int = 5): DataFrame = {
+    val evalGrams = eval
+      .select(explode(TextOps.ngramHashes(col(text), n)).as("g")).distinct()
+    train.select(col(id), explode(TextOps.ngramHashes(col(text), n)).as("g"))
+      .join(broadcast(evalGrams), Seq("g"), "left_semi")
+      .select(col(id)).distinct()
+  }
+
+  /** Sequence packing: assign documents to fixed-token-budget training
+    * shards. Docs are packed greedily in `id` order within each `packKey`
+    * group (e.g. language or domain — shards stay homogeneous and the
+    * groups pack in parallel): shard = exclusive-prefix-sum(tokens) DIV
+    * budget, so a shard closes once the budget is crossed and the straddling
+    * document opens the next one. The window is a running frame —
+    * incrementally maintained, one pass after the shuffle on `packKey`.
+    *
+    * Returns the input keyed with `n_toks`, `shard` (0-based per group).
+    */
+  def packShards(docs: DataFrame, id: String, text: String, packKey: Column,
+      budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val w = Window.partitionBy(packKey).orderBy(col(id))
+    docs
+      .withColumn("n_toks", TextOps.tokenCountWs(col(text)).cast(LongType))
+      .withColumn("shard",
+        floor((sum(col("n_toks")).over(w) - col("n_toks")) / budgetTokens)
+          .cast(LongType))
+  }
+}

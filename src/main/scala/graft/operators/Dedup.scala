@@ -213,6 +213,13 @@ object Dedup {
     * banding, the prefilter and verification are all per-doc/per-pair local,
     * the result is EXACTLY the full-corpus run on `corpus ∪ fresh`
     * restricted to pairs touching `fresh`.
+    *
+    * Small-scale bench note: below ~10⁵ docs this path measures SLOWER than
+    * the full-corpus run — the two signature caches, band union and dual doc
+    * scans each add fixed stage overhead that dwarfs the signature work they
+    * avoid (signatures at sf0.1 cost <0.5 s of a ~4 s query). The crossover
+    * is where corpus/batch gets large: the full run re-pays the whole-corpus
+    * scan per batch, this path pays only batch + matched buckets.
     */
   def incrementalLshVerifiedPairs(corpus: DataFrame, corpusSigs: DataFrame,
       fresh: DataFrame, id: String, text: String, k: Int = 5, numHashes: Int = 8,

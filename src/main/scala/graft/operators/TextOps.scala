@@ -193,6 +193,20 @@ object TextOps {
         i => concat_ws(" ", slice(toks, i * step + lit(1), lit(chunkSize)))))
   }
 
+  /** Token `n`-gram 60-bit portable hashes (space-joined gram → [[md5Long]]);
+    * empty array when the document has fewer than `n` tokens. The hash keeps
+    * the downstream join/shuffle payload at 8 bytes per gram instead of the
+    * gram text, and reproduces exactly in the SQL oracle.
+    */
+  def ngramHashes(c: Column, n: Int): Column = {
+    require(n > 0, "n must be positive")
+    val toks = tokens(c)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - n + 1),
+        i => md5Long(concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
   /** Curation-grade PII masking: URLs, then emails, then long digit runs
     * (order matters — URLs and emails contain digits). Deliberately simple
     * engine-portable regexes; a production deployment swaps in its own

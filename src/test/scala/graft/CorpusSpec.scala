@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.{Corpus, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Corpus-level operators: top-k tokens, TF-IDF, decontamination, packing. */
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "the cat sat on the mat"),
+    (1L, "the dog sat on the log"),
+    (2L, "a b c d e f g h"),
+    (3L, "the cat sat on the mat today")).toDF("doc_id", "text")
+
+  test("topTokens counts globally with deterministic tie-break") {
+    val top = Corpus.topTokens(docs, "text", 3).as[(String, Long)].collect()
+    assert(top.head == ("the", 6))
+    // sat/on tie at 3 → token asc
+    assert(top.slice(1, 3).toSeq == Seq(("on", 3), ("sat", 3)))
+  }
+
+  test("tfidf: corpus-wide tokens score zero, rare tokens score high") {
+    val w = Corpus.tfidf(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(4)).toMap
+    // "sat" appears in 3 of 4 docs: idf = ln(4/3) > 0 but small
+    assert(w((0L, "sat")) == math.rint(math.log(4.0 / 3) * 1e4) / 1e4)
+    // "dog" only in doc 1: tf=1, idf=ln(4)
+    assert(w((1L, "dog")) == math.rint(math.log(4.0) * 1e4) / 1e4)
+    // tf scales linearly: "the" tf=2 in doc 0
+    assert(w((0L, "the")) == math.rint(2 * math.log(4.0 / 3) * 1e4) / 1e4)
+  }
+
+  test("contaminated flags train docs sharing an n-gram with eval only") {
+    val train = docs.filter($"doc_id" =!= 0L)
+    val eval = docs.filter($"doc_id" === 0L)
+    // doc 3 shares "the cat sat on the (mat)" 5-grams with doc 0; docs 1, 2 do not
+    val hit = Corpus.contaminated(train, eval, "doc_id", "text", n = 5)
+      .as[Long].collect().toSeq
+    assert(hit == Seq(3L))
+  }
+
+  test("ngramHashes: short docs yield empty, grams are order-sensitive") {
+    val g = docs.select(size(TextOps.ngramHashes($"text", 5)).as("n"))
+      .as[Int].collect()
+    assert(g.toSeq == Seq(2, 2, 4, 3)) // nTokens - n + 1, never negative
+    val rev = Seq((0L, "mat the on sat cat the")).toDF("doc_id", "text")
+    val h1 = docs.filter($"doc_id" === 0L)
+      .select(TextOps.ngramHashes($"text", 5)).as[Seq[Long]].head()
+    val h2 = rev.select(TextOps.ngramHashes($"text", 5)).as[Seq[Long]].head()
+    assert(h1.intersect(h2).isEmpty)
+  }
+
+  test("packShards respects the budget boundary per group") {
+    val d = (0L until 20L).map(i => (i, if (i % 2 == 0) "en" else "es",
+      Seq.fill(10)("tok").mkString(" "))).toDF("doc_id", "lang", "text")
+    val packed = Corpus.packShards(d, "doc_id", "text", $"lang", budgetTokens = 25)
+      .select($"doc_id", $"lang", $"n_toks", $"shard")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    // each lang has 10 docs × 10 tokens; shard = floor(exclusive-cumsum/25)
+    // → shards of sizes [3,2,2,3] docs per lang (cumsum 0,10,20|30,40|50,60|70,80,90)
+    val en = packed.filter(_._2 == "en").map(_._4).toSeq
+    assert(en == Seq(0, 0, 0, 1, 1, 2, 2, 2, 3, 3))
+    // within a group, shard ids are nondecreasing in doc order
+    packed.groupBy(_._2).foreach { case (_, rows) =>
+      val shards = rows.sortBy(_._1).map(_._4).toSeq
+      assert(shards == shards.sorted)
+    }
+  }
+}
