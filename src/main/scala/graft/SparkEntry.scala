@@ -236,6 +236,27 @@ object SparkEntry {
           countDistinct(col("user_id")).as("n_users"))
         .orderBy(col("hour"), col("event_type"))
 
+    // the hourly aggregation as a 3-micro-batch STREAM (events split by
+    // event_id mod 3 — equivalence holds for any batching): watermarked
+    // tumbling window, complete-mode drain. Oracle = the batch SQL, minus
+    // n_users (streaming forbids exact distinct; approx_count_distinct is
+    // the production path and no exact oracle can match it)
+    q("q10_stream") = (s, dir) => {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val inDir = Files.createTempDirectory("graft-estream-in-").toString
+      val ev = t(s, dir, "events")
+      (0 until 3).foreach { i =>
+        val tmp = Files.createTempDirectory(s"graft-estream-c$i-").toString + "/out"
+        ev.filter(pmod(col("event_id"), lit(3)) === i).coalesce(1).write.parquet(tmp)
+        val part = Files.list(Paths.get(tmp))
+          .filter(_.toString.endsWith(".parquet")).findFirst.get
+        Files.move(part, Paths.get(inDir, f"chunk_$i%02d.parquet"),
+          StandardCopyOption.ATOMIC_MOVE)
+      }
+      graft.streaming.EventStream.hourlyAgg(s, inDir, "q10_stream_out")
+        .orderBy(col("hour"), col("event_type"))
+    }
+
     // sessionization: lag + gap flag (stateful-stream shape as a batch window)
     q("q11_sessionize") = (s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -1333,6 +1354,14 @@ object SparkEntry {
         | CAST(count(*) AS BIGINT) AS n_events,
         | round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value,
         | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    // the streamed hourly agg accumulates EXACTLY the batch result — same
+    // SQL as q10_events_hourly minus the distinct-count (not streamable)
+    "q10_stream" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+        | CAST(count(*) AS BIGINT) AS n_events,
+        | round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
 
     "q11_sessionize" ->
