@@ -31,6 +31,30 @@ class Warehouse(val spark: SparkSession, val root: String) {
   def append(table: String, df: DataFrame): Unit =
     withRetry()(df.write.mode(SaveMode.Append).parquet(path(table)))
 
+  /** Append with hive-style partition directories (`col=value/`). The layout
+    * choice that makes 100 TB scans affordable: a filter on a partition
+    * column prunes whole directories at PLANNING time — the files are never
+    * listed into the scan (LayoutSpec asserts the pruned plan). Choose
+    * low-cardinality columns (date, source); per-key directories for a
+    * high-cardinality key melt the namenode/listing instead of helping.
+    */
+  def appendPartitioned(table: String, df: DataFrame, partitionCols: Seq[String]): Unit =
+    withRetry()(df.write.mode(SaveMode.Append)
+      .partitionBy(partitionCols: _*).parquet(path(table)))
+
+  /** Rewrite a table's accumulated small files into `targetFiles` — the
+    * maintenance pass every append-heavy table needs (each micro-batch
+    * append leaves one file per task; thousands of small files turn scan
+    * planning and open() overhead into the bottleneck). `coalesce` keeps the
+    * rewrite shuffle-free. Unpartitioned tables only — a partitioned table
+    * compacts per-partition (directory granularity), which this local
+    * warehouse doesn't need.
+    */
+  def compact(table: String, schema: StructType, targetFiles: Int = 1): Unit = {
+    require(targetFiles > 0, "targetFiles must be positive")
+    replace(table, read(table, schema).coalesce(targetFiles))
+  }
+
   /** Replace a table's contents (safe when `df` reads the old contents):
     * write to `.tmp`, then swap directories.
     *
