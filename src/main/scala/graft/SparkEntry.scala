@@ -382,17 +382,17 @@ object SparkEntry {
         .orderBy(col("s_nationkey"))
     }
 
-    // exact group percentiles (continuous interpolation) — the sort-based
-    // exact form; the 100 TB path swaps in approx_percentile (t-digest
-    // partial-agg, not oracle-matchable) without changing the plan around it
+    // exact group percentiles via the sort+window rewrite (one spill-able
+    // sort; no per-group value map like the built-in `percentile`, whose
+    // single-threaded per-group merge costs ~5s at sf0.1 and whose maps
+    // can't fit at 100 TB). approx_percentile stays the lossy alternative
+    // (t-digest, not oracle-matchable); PercentilesSpec pins equality with
+    // the built-in
     q("q18_percentiles") = (s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          percentile(col("l_extendedprice"), lit(0.25)).as("p25"),
-          percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
-          percentile(col("l_extendedprice"), lit(0.9)).as("p90"),
-          count(lit(1)).cast(LongType).as("n_items"))
+      graft.operators.Percentiles.exactGroupPercentiles(
+        t(s, dir, "lineitem"), Seq("l_returnflag"), "l_extendedprice",
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9),
+        extraAggs = Seq(count(lit(1)).cast(LongType).as("n_items")))
         .orderBy(col("l_returnflag"))
 
     // ---- the reference ETL's scalar surface over synthesized Spanish rows ----
@@ -712,6 +712,28 @@ object SparkEntry {
         .rollup(col("r_name"), col("n_name"))
         .agg(round(sumMoney(col("o_totalprice")), 2).as("revenue"),
           count(lit(1)).as("n_orders"))
+        .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+          coalesce(col("n_name"), lit("ALL")).as("nation"),
+          col("revenue"), col("n_orders"))
+        .orderBy(col("region"), col("nation"))
+    }
+
+    // arbitrary GROUPING SETS (q12 covers only the rollup lattice): the
+    // (nation)-alone set is NOT in the rollup hierarchy — one aggregation
+    // pass expands each row to its grouping sets, no per-set re-scan
+    q("q19_grouping_sets") = (s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupingSets(
+          Seq(Seq(col("r_name"), col("n_name")), Seq(col("n_name")), Seq()),
+          col("r_name"), col("n_name"))
+        .agg(round(sumMoney(col("o_totalprice")), 2).as("revenue"),
+          count(lit(1)).cast(LongType).as("n_orders"))
         .select(coalesce(col("r_name"), lit("ALL")).as("region"),
           coalesce(col("n_name"), lit("ALL")).as("nation"),
           col("revenue"), col("n_orders"))
@@ -1936,6 +1958,16 @@ object SparkEntry {
         | JOIN nation ON c_nationkey = n_nationkey
         | JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY region, nation""".stripMargin,
+
+    "q19_grouping_sets" ->
+      """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue,
+        | CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name, n_name), (n_name), ())
         |ORDER BY region, nation""".stripMargin,
 
     "multimodal_meta" ->
