@@ -48,26 +48,25 @@ class Pipeline(val spark: SparkSession, val wh: Warehouse) {
     val spp = wh.spark.read.parquet(wh.path(s"$stagingDir/Provider_Product"))
     val summary = StagingSummary(sp.count(), spr.count(), spp.count())
 
-    // merge staging → dims (J1-J5), in dependency order
+    // merge staging → dims (J1-J5), in dependency order. Each merged frame
+    // is consumed exactly once (replace stages to a tmp dir BEFORE swapping,
+    // so the plan's reads of the old dim stay valid during the write) — no
+    // cache/materialize step; each merge is one job
     val d = dims
-    val newUom = Merge.mergeUnitsOfMeasure(d.unitOfMeasure, d.uomAcronym, spr).cache()
-    newUom.count()
-    wh.replace("dims/UnitOfMeasure", newUom)
+    wh.replace("dims/UnitOfMeasure",
+      Merge.mergeUnitsOfMeasure(d.unitOfMeasure, d.uomAcronym, spr))
 
-    val newProvider = Merge.mergeProviders(d.provider, d.providerSynonym, sp).cache()
-    newProvider.count()
-    wh.replace("dims/Provider", newProvider)
+    wh.replace("dims/Provider",
+      Merge.mergeProviders(d.provider, d.providerSynonym, sp))
 
     val d2 = dims
-    val newProduct = Merge.mergeProducts(d2.product, d2.unitOfMeasure, d.uomAcronym, spr).cache()
-    newProduct.count()
-    wh.replace("dims/Product", newProduct)
+    wh.replace("dims/Product",
+      Merge.mergeProducts(d2.product, d2.unitOfMeasure, d.uomAcronym, spr))
 
     val d3 = dims
-    val newPP = Merge.mergeProviderProducts(
-      d3.providerProduct, d3.provider, d.providerSynonym, d3.product, spp).cache()
-    newPP.count()
-    wh.replace("dims/Provider_Product", newPP)
+    wh.replace("dims/Provider_Product",
+      Merge.mergeProviderProducts(
+        d3.providerProduct, d3.provider, d.providerSynonym, d3.product, spp))
 
     // post-merge staging cleanup (etl_orchestrator.py:182-184)
     wh.delete(stagingDir)

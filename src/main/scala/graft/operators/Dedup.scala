@@ -225,7 +225,8 @@ object Dedup {
       fresh: DataFrame, id: String, text: String, k: Int = 5, numHashes: Int = 8,
       rowsPerBand: Int = 2, minJaccard: Double = 0.5,
       minSigMatchesOverride: Int = -1,
-      freshSigsPre: Option[DataFrame] = None): DataFrame = {
+      freshSigsPre: Option[DataFrame] = None,
+      persistCorpusSigs: Boolean = true): DataFrame = {
     val minSigMatches =
       if (minSigMatchesOverride >= 0) minSigMatchesOverride
       else math.max(1, math.floor(numHashes * minJaccard).toInt - 1)
@@ -240,12 +241,18 @@ object Dedup {
     val freshSigs = freshSigsPre.getOrElse(
       minhashSignatures(fresh, id, text, k, numHashes)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    // BOTH signature frames feed three consumers (band join left side, sigA,
-    // sigB in the prefilter) — persist the corpus index too, or its plan
-    // (a parquet read in production, a live recompute in tests) re-executes
-    // per consumer. Caches WE created release once candidates materialize.
-    val corpusSigsP = corpusSigs
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The corpus index feeds three consumers (band join left side, sigA,
+    // sigB in the prefilter). When its plan is a live recompute (the
+    // batch-query path derives it from the corpus text), persist it or the
+    // signature scan re-executes per consumer. When it is ALREADY a
+    // file-backed table (the streaming path reads the persisted index),
+    // pass persistCorpusSigs=false: three narrow parquet scans cost less
+    // than materializing the ENTIRE accumulated index into executor memory
+    // every batch — per-batch work must never scale with corpus size.
+    val corpusSigsP =
+      if (persistCorpusSigs)
+        corpusSigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else corpusSigs
     val freshBands = bandKeys(freshSigs, id, numHashes, rowsPerBand)
     // corpus bands on the LEFT, fresh on the RIGHT: every emitted pair has a
     // fresh side, and corpus×corpus pairs can never form
@@ -262,7 +269,7 @@ object Dedup {
     prefilterAndVerify(cand0, allSigs, allDocs, id, text, k, numHashes,
       minSigMatches, minJaccard,
       releaseAfterCandidates = () => {
-        corpusSigsP.unpersist(false)
+        if (persistCorpusSigs) corpusSigsP.unpersist(false)
         if (ownsFreshSigs) freshSigs.unpersist(false)
       })
   }

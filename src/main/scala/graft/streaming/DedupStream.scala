@@ -53,10 +53,14 @@ class DedupStream(wh: Warehouse, k: Int = 5, numHashes: Int = 8,
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val batchSigs = Dedup.minhashSignatures(batch, "doc_id", "text", k, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persistCorpusSigs=false: the index is already a parquet table — its
+    // three consumers re-scan it narrowly instead of materializing the whole
+    // accumulated index into executor memory every batch
     val pairs = Dedup.incrementalLshVerifiedPairs(
       wh.read(corpusTable, docSchema), wh.read(indexTable, sigSchema), batch,
       "doc_id", "text", k, numHashes, rowsPerBand, minJaccard,
-      minSigMatchesOverride, freshSigsPre = Some(batchSigs))
+      minSigMatchesOverride, freshSigsPre = Some(batchSigs),
+      persistCorpusSigs = false)
     wh.append(pairsTable, pairs)
     wh.append(indexTable, batchSigs)
     wh.append(corpusTable, batch)
