@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{Transforms => T}
-import graft.operators.{Corpus, Dedup, Merge, Multimodal, Similarity, TextOps}
+import graft.operators.{Corpus, Dedup, Merge, Multimodal, Similarity, TextOps, TimeJoins}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -380,6 +380,21 @@ object SparkEntry {
           round(sum(col("l_quantity").cast(dec2)).cast("double"), 2).as("sum_qty"),
           count(lit(1)).cast(LongType).as("n_items"))
         .orderBy(col("s_nationkey"))
+    }
+
+    // point-in-interval join: events against synthesized per-user 45-minute
+    // campaign windows (every 10th event opens one) — m:n matches where
+    // windows overlap; oracle is DuckDB's plain inequality join
+    q("q20_interval_join") = (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("us"))
+      val iv = ev.filter(pmod(col("event_id"), lit(10)) === 0)
+        .select(col("user_id"), col("event_id").as("campaign_id"),
+          col("us").as("start_us"), (col("us") + lit(2700000000L)).as("end_us"))
+      TimeJoins.intervalJoin(ev, iv, Seq("user_id"), "us", "start_us", "end_us",
+        rightCols = Seq("campaign_id"), bucketWidth = 1800000000L)
+        .select(col("event_id"), col("iv_campaign_id").as("campaign_id"))
+        .orderBy(col("event_id"), col("campaign_id"))
     }
 
     // exact group percentiles via the sort+window rewrite (one spill-able
@@ -1467,6 +1482,14 @@ object SparkEntry {
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_nationkey
         |ORDER BY s_nationkey""".stripMargin,
+
+    "q20_interval_join" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |iv AS (SELECT user_id, event_id AS campaign_id, us AS s, us + 2700000000 AS e
+        |       FROM ev WHERE event_id % 10 = 0)
+        |SELECT ev.event_id, iv.campaign_id
+        |FROM ev JOIN iv ON ev.user_id = iv.user_id AND ev.us >= iv.s AND ev.us < iv.e
+        |ORDER BY event_id, campaign_id""".stripMargin,
 
     "q18_percentiles" ->
       """SELECT l_returnflag,

@@ -163,6 +163,59 @@ object TimeJoins {
         "__ab_carry", "__ab_match")
   }
 
+  /** Point-in-interval join: attach to each left row every right row whose
+    * `[startCol, endCol)` interval contains `leftTs` (same `on` key) — the
+    * validity-period lookup (price lists, SCD dimension rows, geo ranges).
+    * Inner semantics; half-open so back-to-back periods never double-match.
+    *
+    * Naive inequality joins plan as nested loops; here each interval
+    * explodes to the `bucketWidth`-quantized buckets it covers and the join
+    * is an equi-join on (key..., bucket) with an exact post-filter — linear
+    * in (rows + interval length / bucketWidth), skew-free keys. Choose
+    * `bucketWidth` ≈ the typical interval length: each interval then lands
+    * in ~2 buckets. `maxIntervalBuckets` bounds degenerate intervals (an
+    * unbounded end would explode forever); longer intervals are rejected
+    * loudly rather than silently dropped — cap them (or split the dimension
+    * into bounded validity rows) before joining. Timestamps must be integral
+    * and non-negative, like [[rangeJoin]].
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftTs: String,
+      startCol: String,
+      endCol: String,
+      rightCols: Seq[String],
+      bucketWidth: Long,
+      maxIntervalBuckets: Int = 4096,
+      prefix: String = "iv_"): DataFrame = {
+    require(on.nonEmpty, "intervalJoin needs at least one equality key")
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val l2 = left
+      .withColumn("__ij_t", col(leftTs).cast("long"))
+      .withColumn("__ij_bkt", expr(s"__ij_t DIV ${bucketWidth}L"))
+    val r2 = right
+      .select(on.map(col) ++ Seq(
+        col(startCol).cast("long").as("__ij_s"),
+        col(endCol).cast("long").as("__ij_e")) ++
+        rightCols.map(c => col(c).as(prefix + c)): _*)
+      .filter(col("__ij_s") < col("__ij_e"))
+    // the guard lives INSIDE the sequence bound so it cannot be pruned:
+    // an over-long interval hard-fails (silent truncation would silently
+    // drop matches)
+    val lo = expr(s"__ij_s DIV ${bucketWidth}L")
+    val hi = expr(s"(__ij_e - 1) DIV ${bucketWidth}L")
+    val hiGuarded = when(hi - lo < lit(maxIntervalBuckets.toLong), hi)
+      .otherwise(raise_error(lit(
+        s"intervalJoin: interval exceeds $maxIntervalBuckets buckets; " +
+          "raise bucketWidth or bound the intervals")).cast("long"))
+    val exploded = r2.withColumn("__ij_bkt", explode(sequence(lo, hiGuarded)))
+    l2.join(exploded, on :+ "__ij_bkt")
+      .filter(col("__ij_t") >= col("__ij_s") && col("__ij_t") < col("__ij_e"))
+      .drop("__ij_t", "__ij_bkt", "__ij_s", "__ij_e")
+  }
+
   /** Bounded range join: all (left, right) pairs with the same `on` key and
     * `leftTs < rightTs <= leftTs + maxGap` (strictly-after within the gap).
     * Inner semantics — unmatched left rows drop out. Timestamps must be

@@ -157,4 +157,51 @@ class TimeJoinsSpec extends SparkSpec {
     assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
     assert(fast.count() === naive.count())
   }
+
+  test("intervalJoin: half-open containment, m:n overlap, bucket boundaries") {
+    val points = Seq(
+      (1L, 10L, "p10"),  // in [5,15) and [10,20)
+      (1L, 15L, "p15"),  // end-exclusive for [5,15); in [10,20)
+      (1L, 5L, "p5"),    // start-inclusive for [5,15)
+      (1L, 20L, "p20"),  // end-exclusive for [10,20) → no match
+      (2L, 10L, "q10")   // wrong key
+    ).toDF("k", "t", "tag")
+    val ivs = Seq(
+      (1L, 5L, 15L, "A"),
+      (1L, 10L, 20L, "B"),
+      (1L, 30L, 30L, "EMPTY") // zero-length: dropped
+    ).toDF("k", "s", "e", "name")
+    val got = TimeJoins
+      .intervalJoin(points, ivs, Seq("k"), "t", "s", "e", Seq("name"), bucketWidth = 4L)
+      .select("tag", "iv_name")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set(("p10", "A"), ("p10", "B"), ("p15", "B"), ("p5", "A")))
+  }
+
+  test("intervalJoin matches naive inequality join on real events") {
+    val iv = events.filter(pmod($"us", lit(7)) === 0)
+      .select($"user_id", $"us".as("s"), ($"us" + 600000000L).as("e"), $"event_type".as("p"))
+    val pts = events.select($"user_id", $"us")
+    val fast = TimeJoins
+      .intervalJoin(pts, iv, Seq("user_id"), "us", "s", "e", Seq("p"), bucketWidth = 450000000L)
+    val naive = pts.join(
+        iv.select($"user_id".as("iu"), $"s", $"e", $"p".as("iv_p")),
+        $"user_id" === $"iu" && $"us" >= $"s" && $"us" < $"e")
+      .select($"user_id", $"us", $"iv_p")
+    val fastSel = fast.select($"user_id", $"us", $"iv_p")
+    assert(fastSel.exceptAll(naive).isEmpty && naive.exceptAll(fastSel).isEmpty)
+    assert(fastSel.count() === naive.count())
+  }
+
+  test("intervalJoin hard-fails on intervals exceeding the bucket cap") {
+    val points = Seq((1L, 10L)).toDF("k", "t")
+    val ivs = Seq((1L, 0L, 100000L, "big")).toDF("k", "s", "e", "name")
+    val ex = intercept[Exception] {
+      TimeJoins.intervalJoin(points, ivs, Seq("k"), "t", "s", "e", Seq("name"),
+        bucketWidth = 2L, maxIntervalBuckets = 16).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("exceeds 16 buckets")))
+  }
 }
