@@ -127,7 +127,12 @@ object Merge {
 
     val dimKeyed = dim.withColumn("hash", coalesce(col("DescriptionHash"), descHash(col("Description"))))
 
-    val joined = dimKeyed.join(broadcast(staged), Seq("hash"), "full_outer")
+    // NO broadcast hint: Spark cannot broadcast-hash a FULL outer join, so a
+    // hint silently degrades it to BroadcastNestedLoopJoin — O(dim×staged)
+    // pair compares. Unhinted, the equi full-outer plans as a sort-merge /
+    // shuffled-hash join: O(n+m) on dimension-sized sides (PlanAudit flags
+    // any BNLJ reappearing here)
+    val joined = dimKeyed.join(staged, Seq("hash"), "full_outer")
 
     val matchedOrExisting = joined.filter(col("Id").isNotNull).select(
       col("Id"),
