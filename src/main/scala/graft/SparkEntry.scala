@@ -257,6 +257,49 @@ object SparkEntry {
         .orderBy(col("hour"), col("event_type"))
     }
 
+    // the stateful sessionizer (flatMapGroupsWithState, constant state per
+    // user) driven as a 3-micro-batch stream over time-ordered chunks; every
+    // update batch appends its cumulative per-user counts with the batch id,
+    // and the final answer is each user's LAST emission (max_by batch id) —
+    // distributed end to end, no driver-side state. Oracle = the q11 batch
+    // window SQL: chunked time-ordered arrival reproduces it exactly
+    q("q11_stream") = (s, dir) => {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      import org.apache.spark.sql.Dataset
+      val inDir = Files.createTempDirectory("graft-sstream-in-").toString
+      val ckpt = Files.createTempDirectory("graft-sstream-ck-").toString
+      val outDir = Files.createTempDirectory("graft-sstream-out-").toString + "/state"
+      val ev = t(s, dir, "events").select(col("user_id"), expr("ts DIV 1000").as("us"))
+      val chunked = ev.withColumn("c", ntile(3).over(Window.orderBy(col("us"), col("user_id"))))
+      (1 to 3).foreach { i =>
+        val tmp = Files.createTempDirectory(s"graft-sstream-c$i-").toString + "/out"
+        chunked.filter(col("c") === i).drop("c").coalesce(1).write.parquet(tmp)
+        val part = Files.list(Paths.get(tmp))
+          .filter(_.toString.endsWith(".parquet")).findFirst.get
+        Files.move(part, Paths.get(inDir, f"chunk_$i%02d.parquet"),
+          StandardCopyOption.ATOMIC_MOVE)
+      }
+      import s.implicits._
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+        .as[graft.streaming.Sessionize.Event]
+      val q2 = graft.streaming.Sessionize.sessions(stream, gapUs = 1800000000L)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: Dataset[graft.streaming.Sessionize.PerUser], bid: Long) =>
+          b.toDF().withColumn("bid", lit(bid)).write.mode("append").parquet(outDir)
+        }
+        .start()
+      q2.awaitTermination(300000)
+      s.read.parquet(outDir)
+        .groupBy(col("user_id"))
+        .agg(max_by(struct(col("n_sessions"), col("n_events")), col("bid")).as("w"))
+        .select(col("user_id"), col("w.n_sessions").as("n_sessions"),
+          col("w.n_events").as("n_events"))
+        .orderBy(col("user_id"))
+    }
+
     // sessionization: lag + gap flag (stateful-stream shape as a batch window)
     q("q11_sessionize") = (s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -1402,6 +1445,18 @@ object SparkEntry {
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
 
     "q11_sessionize" ->
+      """WITH g AS (
+        | SELECT user_id, epoch_us(ts) AS us,
+        |  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        | FROM events)
+        |SELECT user_id,
+        | CAST(sum(CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        | CAST(count(*) AS BIGINT) AS n_events
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // streamed stateful sessions == the batch window answer (time-ordered
+    // chunked arrival; same SQL as q11_sessionize)
+    "q11_stream" ->
       """WITH g AS (
         | SELECT user_id, epoch_us(ts) AS us,
         |  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
