@@ -25,6 +25,11 @@ object Percentiles {
 
   /** One row per group with a column per requested percentile.
     *
+    * Contract difference vs the built-in aggregate: groups whose values are
+    * ALL null are OMITTED from the output (nulls are filtered before the
+    * sort), where the built-in emits the group with null percentiles. Groups
+    * with at least one non-null value agree bit-for-bit.
+    *
     * @param qs (outputName, percentile in [0,1]) pairs
     */
   def exactGroupPercentiles(df: DataFrame, groupCols: Seq[String],
