@@ -115,4 +115,31 @@ class PropertySpec extends SparkSpec {
       assert(r.getDouble(2) == r.getDouble(3))
     }
   }
+
+  test("chunkByTokens: full coverage, window bounds, overlap, reassembly") {
+    val inputs = samples(asciiText, 120)
+    val (chunkSize, overlap) = (7, 3)
+    val rows = evalCases(inputs)(c => struct(
+      TextOps.chunkByTokens(c, chunkSize, overlap).as("ch"),
+      TextOps.tokens(c).as("tk")))
+    rows.foreach { r =>
+      val row = r.asInstanceOf[org.apache.spark.sql.Row]
+      val chunks = row.getSeq[String](0)
+      val toks = row.getSeq[String](1)
+      if (toks.isEmpty) assert(chunks.isEmpty)
+      else {
+        val step = chunkSize - overlap
+        // every window is ≤ chunkSize tokens and starts step tokens after
+        // the previous; together they cover every token exactly
+        val winToks = chunks.map(_.split(" ").toSeq)
+        assert(winToks.forall(w => w.nonEmpty && w.size <= chunkSize))
+        winToks.zipWithIndex.foreach { case (w, i) =>
+          assert(w == toks.slice(i * step, i * step + chunkSize),
+            s"window $i mismatch for toks=$toks")
+        }
+        // the last window reaches the final token
+        assert((winToks.size - 1) * step + winToks.last.size == toks.size)
+      }
+    }
+  }
 }
