@@ -238,6 +238,31 @@ class TrainingOpsSpec extends SparkSpec {
     assert(survivors.toSeq == Seq(1L, 9L)) // one per cluster + the singleton
   }
 
+  test("connected components: string ids with supplementary chars label identically on both paths") {
+    // U+1D54F (𝕏) is a UTF-16 surrogate pair sorting AFTER U+FFFD in UTF-16
+    // code units but by code point in UTF-8 bytes — java.lang.String and
+    // Spark's least/min disagree on which of these ids is smaller, so the
+    // local union-find must use UTF8String ordering to match the
+    // distributed path's component representatives
+    val a = "𝕏-doc" // 𝕏-doc (supplementary)
+    val b = "�-doc"       // replacement char (BMP, > surrogate halves)
+    assert(a.compareTo(b) < 0 !=
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0,
+      "fixture must disagree between UTF-16 and UTF-8 orderings")
+    val pairs = Seq((a, b)).toDF("id_a", "id_b")
+    val results = Seq(1000000L, 0L).map { threshold =>
+      Dedup.connectedComponents(pairs, localThreshold = threshold).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    }
+    assert(results(0) == results(1),
+      s"local ${results(0)} vs distributed ${results(1)}")
+    // the representative is the UTF-8-minimal id (what least/min picks):
+    // U+FFFD (EF BF BD) sorts before the surrogate pair (F0 9D 95 8F) in
+    // UTF-8 bytes, the OPPOSITE of the UTF-16 code-unit answer
+    assert(results(0).values.toSet == Set(b))
+  }
+
   test("salted join equals plain join on skewed keys") {
     val big = spark.range(0, 10000)
       .select((col("id") % 3).as("k"), col("id").as("v")) // 3 hot keys
