@@ -75,14 +75,19 @@ object SparkEntry {
       .select(intl(1).as("Id"), base.as("Name"), lit(null).cast("timestamp").as("CreateDt"))
       .unionByName(anchor.select(intl(2).as("Id"), lit("Proveedor Legado").as("Name"),
         lit(null).cast("timestamp").as("CreateDt")))
-    val synonyms = anchor.select(intl(1).as("Id"),
-      lit("Proveedor Marca Especial").as("Synonym"), intl(1).as("ProviderId"))
+    // synonym/acronym seeds as LocalRelations with DATA rows, not literal
+    // columns over `anchor`: FoldablePropagation turns a single-literal-row
+    // frame's join key into a constant, which degrades the merge layer's
+    // broadcast anti-joins to BroadcastNestedLoopJoin (no equi column left).
+    // Real lookup tables are data, so the fixture should plan like data.
+    import s.implicits._
+    val synonyms = Seq((1, "Proveedor Marca Especial", 1))
+      .toDF("Id", "Synonym", "ProviderId")
     val seedUom = anchor
       .select(intl(1).as("Id"), lit("g").as("Acronym"), lit("Gram").as("Name"))
       .unionByName(anchor.select(intl(2).as("Id"), lit("kg").as("Acronym"),
         lit("Kilogram").as("Name")))
-    val uomAcronyms = anchor.select(intl(1).as("Id"), lit("gr").as("Acronym"),
-      intl(1).as("UnitOfMeasureId"))
+    val uomAcronyms = Seq((1, "gr", 1)).toDF("Id", "Acronym", "UnitOfMeasureId")
     def seedProd(id: Int, price: String, desc: Column) = anchor.select(
       intl(id).as("Id"), lit(price).cast(dec2).as("UnitPrice"), desc.as("Description"),
       lit(null).cast(dec2).as("Measure"), intl(2).as("UnitOfMeasureId"),
@@ -91,11 +96,14 @@ object SparkEntry {
       Merge.descHash(desc).as("DescriptionHash"))
     val seedProduct = seedProd(1, "1.00", anchorDesc)
       .unionByName(seedProd(2, "2.00", lit("Producto Legado")))
-    val seedPP = anchor.select(intl(1).as("Id"), intl(1).as("ProductId"),
-      intl(1).as("ProviderId"), lit(true).as("IsValidated"),
-      to_timestamp(lit("2019-01-01")).as("LastReviewDt"),
-      intl(99).as("PackageUnits"),
-      lit("0.00").cast(dec2).as("IVA"), lit("9.99").cast(dec2).as("Price"))
+    // data rows, not foldable literals: the PP upsert joins on this dim's
+    // (ProviderId, ProductId) and folded keys degrade those joins to
+    // nested loops (same reason as the synonym seed above)
+    val seedPP = Seq((1, 1, 1, true, "2019-01-01", 99, "0.00", "9.99"))
+      .toDF("Id", "ProductId", "ProviderId", "IsValidated", "dt", "PackageUnits", "iva", "pr")
+      .select(col("Id"), col("ProductId"), col("ProviderId"), col("IsValidated"),
+        to_timestamp(col("dt")).as("LastReviewDt"), col("PackageUnits"),
+        col("iva").cast(dec2).as("IVA"), col("pr").cast(dec2).as("Price"))
 
     val provider = Merge.mergeProviders(seedProvider, synonyms,
       stg.select(col("ProviderName").as("Name")))

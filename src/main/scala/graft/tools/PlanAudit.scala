@@ -18,15 +18,13 @@ object PlanAudit {
     //     quadratic BY DESIGN, bucketed scale path implemented beside them;
     //   - sim_topk/sim_ivf*: deliberate crossJoin(broadcast(querySet)) /
     //     broadcast(centroids) — the corpus side streams, never shuffles;
-    //   - etl_merge_*: the fixtures seed synonym/lookup rows with LITERAL
-    //     keys; keyOf(literal) constant-folds, leaving an anti-join with no
-    //     equi column → a few-row IdentityBroadcast existence probe (real
-    //     synonym tables have column keys and plan as BroadcastHashJoin —
-    //     mergeProducts' full-outer is deliberately UNhinted for the same
-    //     reason: a broadcast hint there degrades to BNLJ).
+    // The merge queries are deliberately NOT here: their joins must plan as
+    // hash joins (their fixtures seed lookups as LocalRelation DATA rows —
+    // literal-column seeds would FoldablePropagation-fold the join keys
+    // away and degrade to BNLJ, as would a broadcast hint on the product
+    // upsert's full outer).
     val kernelAllowlist = Set("dedup_jaccard", "dedup_embedding",
-      "sim_topk", "sim_ivf", "sim_ivf_trained",
-      "etl_merge_providers", "etl_merge_endstate")
+      "sim_topk", "sim_ivf", "sim_ivf_trained")
     val spark = GraftSession.get("local[8]")
     var flagged = List.empty[String]
     println(f"${"query"}%-28s shuf bcast sort cart bnlj")
