@@ -52,6 +52,13 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // runtime bloom-filter injection: joins with a selective build side get
+      // a bloom filter pushed into the probe-side scan, pruning row groups
+      // before the shuffle. Inert below the (10 GB) probe-size threshold, so
+      // local runs are unaffected; at 100 TB it is what keeps per-batch
+      // index probes (e.g. incremental dedup's corpus-band join) from paying
+      // a full index scan per batch
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       // events.ts is parquet TIMESTAMP(NANOS); Spark has no nanos timestamp
       // type, so read it as a nanos-since-epoch long (public legacy flag)

@@ -77,8 +77,14 @@ object Dedup {
     * have null signatures and are dropped (concat_ws would otherwise fold
     * every null signature to the SAME empty band key, pairing all short
     * docs).
+    *
+    * Public as the INDEX LAYOUT for incremental pipelines: a persisted band
+    * table (sorted by `key` on write) makes the per-batch corpus probe a
+    * scan over a stored join column — row-group stats + runtime bloom
+    * filters can then prune it, where bands derived in-query from the
+    * signature table always cost a full index scan.
     */
-  private def bandKeys(sigs: DataFrame, id: String,
+  def bandKeys(sigs: DataFrame, id: String,
       numHashes: Int, rowsPerBand: Int): DataFrame = {
     val numBands = numHashes / rowsPerBand
     val bandCols = (0 until numBands).map { b =>
@@ -226,7 +232,8 @@ object Dedup {
       rowsPerBand: Int = 2, minJaccard: Double = 0.5,
       minSigMatchesOverride: Int = -1,
       freshSigsPre: Option[DataFrame] = None,
-      persistCorpusSigs: Boolean = true): DataFrame = {
+      persistCorpusSigs: Boolean = true,
+      corpusBandsPre: Option[DataFrame] = None): DataFrame = {
     val minSigMatches =
       if (minSigMatchesOverride >= 0) minSigMatchesOverride
       else math.max(1, math.floor(numHashes * minJaccard).toInt - 1)
@@ -255,8 +262,13 @@ object Dedup {
       else corpusSigs
     val freshBands = bandKeys(freshSigs, id, numHashes, rowsPerBand)
     // corpus bands on the LEFT, fresh on the RIGHT: every emitted pair has a
-    // fresh side, and corpus×corpus pairs can never form
-    val allBands = bandKeys(corpusSigsP, id, numHashes, rowsPerBand).union(freshBands)
+    // fresh side, and corpus×corpus pairs can never form. Callers holding a
+    // PERSISTED band table (see [[bandKeys]]) pass it in: the probe then
+    // reads a stored join column, which runtime bloom filters / row-group
+    // stats can prune to the matched buckets instead of the whole index
+    val corpusBands = corpusBandsPre
+      .getOrElse(bandKeys(corpusSigsP, id, numHashes, rowsPerBand))
+    val allBands = corpusBands.union(freshBands)
     val cand0 = allBands.alias("a")
       .join(freshBands.alias("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&

@@ -5,7 +5,7 @@ import graft.sources.Warehouse
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 
 /** Streaming incremental near-dup detection: each micro-batch of documents is
   * deduped against the corpus-so-far through the persisted signature index
@@ -31,11 +31,16 @@ class DedupStream(wh: Warehouse, k: Int = 5, numHashes: Int = 8,
     rowsPerBand: Int = 2, minJaccard: Double = 0.5, minSigMatchesOverride: Int = -1) {
 
   val indexTable = "dedup/SignatureIndex"
+  val bandTable = "dedup/BandIndex"
   val corpusTable = "dedup/Corpus"
   val pairsTable = "dedup/NearDupPairs"
 
   private val sigSchema = StructType(StructField("doc_id", LongType, nullable = false) +:
     (0 until numHashes).map(i => StructField(s"mh$i", LongType, nullable = true)))
+  private val bandSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("band", IntegerType, nullable = false),
+    StructField("key", StringType, nullable = true)))
   private val docSchema = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("text", StringType, nullable = true)))
@@ -53,16 +58,24 @@ class DedupStream(wh: Warehouse, k: Int = 5, numHashes: Int = 8,
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val batchSigs = Dedup.minhashSignatures(batch, "doc_id", "text", k, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val batchBands = Dedup.bandKeys(batchSigs, "doc_id", numHashes, rowsPerBand)
     // persistCorpusSigs=false: the index is already a parquet table — its
-    // three consumers re-scan it narrowly instead of materializing the whole
-    // accumulated index into executor memory every batch
+    // consumers re-scan it narrowly instead of materializing the whole
+    // accumulated index into executor memory every batch. The corpus side
+    // of the band join reads the PERSISTED band table (stored join column,
+    // key-sorted files): row-group stats + runtime bloom filters prune the
+    // probe toward the matched buckets, so per-batch cost tracks the batch,
+    // not the accumulated corpus.
     val pairs = Dedup.incrementalLshVerifiedPairs(
       wh.read(corpusTable, docSchema), wh.read(indexTable, sigSchema), batch,
       "doc_id", "text", k, numHashes, rowsPerBand, minJaccard,
       minSigMatchesOverride, freshSigsPre = Some(batchSigs),
-      persistCorpusSigs = false)
+      persistCorpusSigs = false,
+      corpusBandsPre = Some(wh.read(bandTable, bandSchema)))
     wh.append(pairsTable, pairs)
     wh.append(indexTable, batchSigs)
+    // key-sorted within files so parquet min/max stats stay tight per group
+    wh.append(bandTable, batchBands.sortWithinPartitions("key"))
     wh.append(corpusTable, batch)
     batchSigs.unpersist(false)
     batch.unpersist(false)
