@@ -14,7 +14,9 @@ import org.apache.spark.sql.types.{DecimalType, IntegerType, LongType}
   * Oracle-parity conventions (cross-engine determinism):
   *   - money/double aggregates: sum exact DECIMAL, cast DOUBLE, round — float
   *     accumulation order can differ between engines, decimal sums cannot;
-  *   - cosine/jaccard doubles rounded to 4dp (error ~1e-13 « grid);
+  *   - cosine doubles (FLOAT accumulations, order-nondeterministic) rounded
+  *     to 4dp; jaccard (exact integer ratio) deliberately UNROUNDED — IEEE
+  *     division is bit-exact, round() at a .xxxx5 boundary is not;
   *   - every integer aggregate cast to BIGINT on both sides;
   *   - every query ends in a total ORDER BY;
   *   - hashes via md5 (portable), never engine-private xxhash/murmur.
@@ -1135,9 +1137,9 @@ object SparkEntry {
        |   JOIN str_sh b ON b.doc_id = c.id_b AND b.s = a.s
        | GROUP BY 1,2)
        |SELECT id_a, id_b,
-       | round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard
+       | CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
        |FROM it JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-       |WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) >= 0.35""".stripMargin
+       |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.35""".stripMargin
 
   private lazy val lshVerifiedCore: String = lshVerifiedCoreOn("documents")
 
@@ -1891,9 +1893,9 @@ object SparkEntry {
         |it AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
         |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2)
         |SELECT id_a, id_b,
-        | round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard
+        | CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
         |FROM it JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-        |WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) >= 0.05
+        |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.05
         |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_embedding" ->

@@ -193,8 +193,13 @@ object Dedup {
     val b = sh.select(col(id).as("id_b"), col("sh").as("sh_b"))
     cand.join(a, Seq("id_a")).join(b, Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard", round(col("inter").cast("double")
-        / (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
+      // UNROUNDED: jaccard is a ratio of exact integer counts, so IEEE
+      // division is bit-exact across engines — round() is the one op that
+      // can disagree (HALF_UP on the binary double vs decimal-aware, at
+      // values landing on a .xxxx5 boundary). Rounding is for FLOAT
+      // accumulations (cosine), never integer ratios.
+      .withColumn("jaccard", col("inter").cast("double")
+        / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -435,8 +440,8 @@ object Dedup {
     inter
       .join(sizes.select(col(id).as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
       .join(sizes.select(col(id).as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
-      .withColumn("jaccard",
-        round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 4))
+      .withColumn("jaccard", // unrounded integer ratio — see prefilterAndVerify
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
