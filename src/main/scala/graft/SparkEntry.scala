@@ -934,6 +934,16 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("doc_id"))
 
+    // survivor POLICY variant: per cluster keep the LONGEST document (the
+    // production curation choice — quality over id order); ties fall back to
+    // smallest id for determinism
+    q("dedup_survivors_best") = (s, dir) =>
+      Dedup.nearDupDedupBy(t(s, dir, "documents"), "doc_id", "text",
+        length(col("text")),
+        minJaccard = 0.35, minSigMatchesOverride = 4)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+
     q("dedup_jaccard") = (s, dir) =>
       Dedup.ngramJaccardPairs(
         t(s, dir, "documents").filter(col("doc_id") < 100), "doc_id", "text",
@@ -1883,6 +1893,32 @@ object SparkEntry {
          |comp AS (SELECT src AS id, least(src, min(dst)) AS component FROM reach GROUP BY src)
          |SELECT doc_id, lang, source FROM documents
          |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
+         |ORDER BY doc_id""".stripMargin,
+
+    // survivor POLICY variant: per cluster keep the LONGEST document (ties:
+    // smallest id) instead of the smallest id
+    "dedup_survivors_best" ->
+      s"""WITH RECURSIVE pairs AS (
+         |$lshVerifiedCore),
+         |edges AS (
+         | SELECT id_a AS src, id_b AS dst FROM pairs
+         | UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         | SELECT src, dst FROM edges
+         | UNION
+         | SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |comp AS (SELECT src AS id, least(src, min(dst)) AS component FROM reach GROUP BY src),
+         |scored AS (
+         | SELECT c.component, c.id, length(d.text) AS sc
+         | FROM comp c JOIN documents d ON d.doc_id = c.id),
+         |best AS (SELECT component, max(sc) AS b FROM scored GROUP BY 1),
+         |winners AS (
+         | SELECT s.component, min(s.id) AS id
+         | FROM scored s JOIN best b ON s.component = b.component AND s.sc = b.b
+         | GROUP BY 1)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (
+         |  SELECT id FROM scored WHERE id NOT IN (SELECT id FROM winners))
          |ORDER BY doc_id""".stripMargin,
 
     "dedup_jaccard" ->

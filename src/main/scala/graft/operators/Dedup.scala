@@ -400,6 +400,37 @@ object Dedup {
     df.join(losers, Seq(id), "left_anti")
   }
 
+  /** [[nearDupDedup]] with a caller-chosen survivor POLICY: within each
+    * near-dup cluster the row maximizing `prefer` survives (ties broken by
+    * smallest id — deterministic). Production curation keeps the
+    * highest-quality or longest document, not the smallest id.
+    *
+    * Shape: the cluster map is pairs-sized (tiny next to the corpus), so
+    * picking winners is a broadcast-able aggregation over clustered rows
+    * only; untouched rows (no near-dup) never join anything but the
+    * pairs-sized loser list.
+    */
+  def nearDupDedupBy(df: DataFrame, id: String, text: String, prefer: Column,
+      minJaccard: Double = 0.5, k: Int = 5, numHashes: Int = 8,
+      rowsPerBand: Int = 2, minSigMatchesOverride: Int = -1): DataFrame = {
+    val comps = connectedComponents(lshVerifiedPairs(df, id, text, k, numHashes,
+      rowsPerBand, minJaccard, minSigMatchesOverride))
+    // winner per cluster: max prefer, then min id — expressed as max_by over
+    // (prefer, negated-orderable id) would need numeric ids; instead take
+    // min id among rows tied on the cluster's max prefer
+    val clustered = df.join(comps.withColumnRenamed("id", id), Seq(id))
+    val best = clustered.groupBy(col("component"))
+      .agg(max(prefer).as("__best"))
+    val winners = clustered
+      .join(broadcast(best), Seq("component"))
+      .filter(prefer === col("__best"))
+      .groupBy(col("component")).agg(min(col(id)).as(id))
+      .select(col(id))
+    val losers = comps.select(col("id").as(id))
+      .join(winners, Seq(id), "left_anti")
+    df.join(broadcast(losers), Seq(id), "left_anti")
+  }
+
   /** 60-bit SimHash sketch column (custom single-pass expression). */
   def simhash(text: Column): Column = shims.column(SimHashExpr(shims.expression(text)))
 

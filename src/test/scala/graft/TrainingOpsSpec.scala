@@ -238,6 +238,26 @@ class TrainingOpsSpec extends SparkSpec {
     assert(survivors.toSeq == Seq(1L, 9L)) // one per cluster + the singleton
   }
 
+  test("nearDupDedupBy keeps the preferred cluster member, min id on ties") {
+    val df = Seq(
+      (1L, "aaaa bbbb cccc dddd"),            // cluster {1,2,3}; 2 is longest
+      (2L, "aaaa bbbb cccc dddd eeee"),
+      (3L, "aaaa bbbb cccc dddd"),            // same length as 1 → not winner
+      (9L, "totally different words here"))   // singleton survives untouched
+      .toDF("doc_id", "text")
+    val byLen = Dedup.nearDupDedupBy(df, "doc_id", "text", length(col("text")),
+        minJaccard = 0.35)
+      .select("doc_id").as[Long].collect().sorted
+    assert(byLen.toSeq == Seq(2L, 9L))
+    // equal-length cluster: tie falls back to the smallest id
+    val tied = Seq((5L, "aaaa bbbb cccc dddd"), (4L, "aaaa bbbb cccc dddd"))
+      .toDF("doc_id", "text")
+    val t = Dedup.nearDupDedupBy(tied, "doc_id", "text", length(col("text")),
+        minJaccard = 0.35)
+      .select("doc_id").as[Long].collect().sorted
+    assert(t.toSeq == Seq(4L))
+  }
+
   test("connected components: string ids with supplementary chars label identically on both paths") {
     // U+1D54F (𝕏) is a UTF-16 surrogate pair sorting AFTER U+FFFD in UTF-16
     // code units but by code point in UTF-8 bytes — java.lang.String and
