@@ -6,30 +6,55 @@ import org.apache.spark.sql.SparkSession
   * prints one JSON line. Results are fully materialized through the `noop`
   * sink (a plain count() would let Catalyst prune away the very columns the
   * query exists to compute).
+  *
+  * Each query runs SPARK_GRAFT_BENCH_REPS times (default 3) and reports the
+  * MEDIAN; the per-rep numbers are kept in the JSON under "reps". Single-shot
+  * numbers on a shared session proved untrustworthy: reruns of an identical
+  * binary swung individual queries 2-4x in both directions (GC, codegen
+  * cache, page cache, compaction of neighbors' temp dirs), which a median of
+  * consecutive reps absorbs. SPARK_GRAFT_ONLY=a,b,c restricts the run for
+  * single-query attribution work.
   */
 object Bench {
+  private def median(ts: Seq[Double]): Double = {
+    val s = ts.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val spark: SparkSession = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val qs = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+
     // warm the JVM/codegen once on the smallest sf so per-query numbers
     // measure the plan, not first-run classloading
-    SparkEntry.queries.foreach { case (_, fn) =>
+    qs.foreach { case (_, fn) =>
       try fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
+    val results = qs.map { case (name, fn) =>
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total_runtime","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val medians = results.map { case (k, ts) => k -> median(ts) }
+    val qsJson = medians.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val repsJson = results.map { case (k, ts) =>
+      "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val total = medians.map(_._2).sum
+    println(f"""{"metric":"total_runtime","value":$total%.3f,"unit":"sec","queries":$qsJson,"reps":$repsJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -116,8 +116,14 @@ class Pipeline(val spark: SparkSession, val wh: Warehouse) {
           s"No products extracted from $imageName", 0, None, None)
 
       val csvName = imageName.replaceAll("\\.[^.]+$", "") + "_extracted.csv"
-      // S11 — persist the extracted table as a single CSV artifact
+      // S11 — persist the extracted table as a single CSV artifact. The
+      // writer's whitespace trimming is OFF (it defaults ON, unlike the
+      // reader): cell text must round-trip exactly — the reference's pandas
+      // to_csv preserves e.g. trailing-space provider names, and the merge
+      // layer is what decides which fields get trimmed
       raw.coalesce(1).write.mode("overwrite").option("header", "true")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
         .csv(wh.path(s"$outputContainer/$csvName"))
 
       val n = raw.count()

@@ -280,10 +280,19 @@ object SparkEntry {
       val ckpt = Files.createTempDirectory("graft-sstream-ck-").toString
       val outDir = Files.createTempDirectory("graft-sstream-out-").toString + "/state"
       val ev = t(s, dir, "events").select(col("user_id"), expr("ts DIV 1000").as("us"))
-      val chunked = ev.withColumn("c", ntile(3).over(Window.orderBy(col("us"), col("user_id"))))
+      // event_id makes the ntile order TOTAL: (us, user_id) alone can tie,
+      // and the chunked plan is recomputed once per filter pass below — a
+      // tie ordered differently across the three jobs would drop or
+      // duplicate a row. event_id is carried only for ordering, never
+      // written (the stream schema stays ev's)
+      val chunked = t(s, dir, "events")
+        .select(col("user_id"), expr("ts DIV 1000").as("us"), col("event_id"))
+        .withColumn("c",
+          ntile(3).over(Window.orderBy(col("us"), col("user_id"), col("event_id"))))
       (1 to 3).foreach { i =>
         val tmp = Files.createTempDirectory(s"graft-sstream-c$i-").toString + "/out"
-        chunked.filter(col("c") === i).drop("c").coalesce(1).write.parquet(tmp)
+        chunked.filter(col("c") === i).select(col("user_id"), col("us"))
+          .coalesce(1).write.parquet(tmp)
         val part = Files.list(Paths.get(tmp))
           .filter(_.toString.endsWith(".parquet")).findFirst.get
         Files.move(part, Paths.get(inDir, f"chunk_$i%02d.parquet"),
@@ -301,7 +310,10 @@ object SparkEntry {
           b.toDF().withColumn("bid", lit(bid)).write.mode("append").parquet(outDir)
         }
         .start()
-      q2.awaitTermination(300000)
+      if (!q2.awaitTermination(300000)) {
+        q2.stop()
+        throw new IllegalStateException("q11_stream failed to drain within 300 s")
+      }
       s.read.parquet(outDir)
         .groupBy(col("user_id"))
         .agg(max_by(struct(col("n_sessions"), col("n_events")), col("bid")).as("w"))
@@ -476,12 +488,18 @@ object SparkEntry {
         .when(col("p_partkey") % 3 === 1, date_format(d, "MMMM d, yyyy"))
         .otherwise(date_format(d, "yyyy-MM-dd"))
       val precio = concat(lit("$ "), col("p_retailprice").cast(dec2).cast("string"))
+      // F11 STRUCT form drives measure/unit/package: the driver row proves
+      // the struct builder end-to-end (fields are extracted back out because
+      // the hasher renders nested structs engine-specifically; Catalyst
+      // folds CreateNamedStruct+GetStructField to the scalar exprs, so the
+      // plan is identical to the scalar form)
+      val mu = T.extractMeasureAndUnit(producto)
       p.select(
         col("p_partkey"),
         T.cleanDescription(col("p_name")).as("clean_name"),
-        T.extractMeasure(producto).as("measure"),
-        lower(T.extractUnit(producto)).as("unit"),
-        T.extractPackageUnits(producto).as("package_units"),
+        mu.getField("measure").as("measure"),
+        mu.getField("unit").as("unit"),
+        mu.getField("package_units").as("package_units"),
         T.extractIva(producto).cast(LongType).as("iva"),
         // DOUBLE not raw DECIMAL: the driver hasher renders Decimal
         // differently per engine; CRC prices are integer-valued so the
@@ -633,6 +651,48 @@ object SparkEntry {
           col("CleanProviderName").as("provider"),
           col("CleanLastReviewDt").as("clean_date"))
         .orderBy(col("clean_desc"))
+    }
+
+    // ---- EP2 end-to-end (S11/A2): processInvoice against a temp warehouse —
+    // extractor stub → fence strip → parse → SINGLE-CSV artifact persist →
+    // full merge pipeline. The result is the artifact read back (exact cell
+    // text round-trips, incl. the trailing-space provider) plus the
+    // reference's result envelope (count / status / artifact name —
+    // core/etl_orchestrator.py:369-415). Oracle = literal expected rows
+    q("etl_invoice_persist") = (s, dir) => {
+      val wh = new graft.sources.Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-invpersist-").toString)
+      val p = new Pipeline(s, wh)
+      val res = p.processInvoice(Array[Byte](1), "invoice.jpg",
+        graft.sources.InvoiceExtractor.Stub(invoiceFencedCsv))
+      assert(res.status, s"processInvoice failed: ${res.message}")
+      s.read.option("header", "true").option("inferSchema", "false")
+        .csv(wh.path(s"${res.outputContainer.get}/${res.csvFilename.get}"))
+        .select(col("Producto").as("producto"), col("Fecha").as("fecha"),
+          col("Provedor").as("provedor"), col("Precio").as("precio"))
+        .withColumn("n_products", lit(res.productsExtracted))
+        .withColumn("csv_name", lit(res.csvFilename.get))
+        .orderBy(col("producto"))
+    }
+
+    // ---- EP4 (P8): validateCsv on exact / missing-required / extra-column
+    // headers — status, message, and whether the upload was stored
+    // (core/etl_orchestrator.py:418-464: missing ⇒ reject, extra ⇒ warn +
+    // store). Oracle = literal expected rows
+    q("etl_validate") = (s, dir) => {
+      import s.implicits._
+      val wh = new graft.sources.Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-validate-").toString)
+      val p = new Pipeline(s, wh)
+      val cases = Seq(
+        ("ok", "Producto,Fecha,Provedor,Precio,IVA\nQueso,01/02/2025,Serrano,100,13\n", "ok.csv"),
+        ("missing_price", "Producto,Fecha,Provedor,IVA\nQueso,01/02/2025,Serrano,13\n", "missing.csv"),
+        ("extra_ignored", "Producto,Fecha,Provedor,Precio,IVA,Nota\nQueso,01/02/2025,Serrano,100,13,x\n", "extra.csv"))
+      cases.map { case (id, csv, name) =>
+        val r = p.validateCsv(csv, name)
+        (id, r.status, r.message, wh.exists(s"products-upload/$name"))
+      }.toDF("case_id", "accepted", "message", "stored")
+        .orderBy(col("case_id"))
     }
 
     // F7 + A1: provider-name pipeline + distinct aggregation
@@ -1007,12 +1067,17 @@ object SparkEntry {
         sha2(col("text"), 256).as("content_sha"))
         .orderBy(col("doc_id"))
 
-    // stub decode: Spark-side plumbing only — no SQL oracle (rows-only check)
+    // batched binary decode through the md5Long stub — the oracle restates
+    // the stub's width/height/frame derivation from md5(text) in SQL, so the
+    // whole plumbing path (binary column → per-partition decode → typed
+    // output) is oracle-exact, not just rows-counted
     q("multimodal_features") = (s, dir) => {
       val media = Multimodal.withSyntheticMedia(
-        t(s, dir, "documents").limit(200), "text", "video")
+        t(s, dir, "documents").filter(col("doc_id") < 200), "text", "video")
       Multimodal.extractFeatures(s, media, "doc_id", Multimodal.MediaDecoder.DeterministicStub)
-        .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
+        .select(col("doc_id"), col("width").cast(LongType).as("width"),
+          col("height").cast(LongType).as("height"),
+          col("n_frames").cast(LongType).as("n_frames"),
           size(col("feature")).cast(LongType).as("feature_dim"))
         .orderBy(col("doc_id"))
     }
@@ -1052,12 +1117,16 @@ object SparkEntry {
     case ((a, b), i) => s"CAST(min(($a*h + $b) % 2147483647) AS BIGINT) AS mh$i"
   }.mkString(",\n   ")
 
-  // DuckDB v1.0 can't take lateral column args in generate_series, so the
-  // oracles cross-join a constant range and filter to the per-row length
-  // (documents are well under 2048 chars at every sf the oracle runs at)
+  // DuckDB v1.0 can't take lateral column args in generate_series (and
+  // rejects scalar-subquery bounds too), so the oracles cross-join a
+  // constant range and filter to the per-row length. Every such range
+  // carries a CASE/error() guard: a document that outgrows the constant cap
+  // makes the oracle FAIL LOUDLY instead of silently truncating and
+  // producing a wrong expected result at a larger scale factor.
   private def shingle5On(src: String): String =
     s"""SELECT doc_id, ${h31("substr(text, i, 5)")} AS h
-       |    FROM $src, generate_series(1, 2048) t(i) WHERE i <= length(text)-4""".stripMargin
+       |    FROM $src, generate_series(1, 2048) t(i) WHERE i <= length(text)-4
+       |     AND CASE WHEN length(text)-4 > 2048 THEN error('oracle shingle cap 2048 exceeded') ELSE true END""".stripMargin
   private val shingle5 = shingle5On("documents")
 
   /** dedup_lsh_verified body (no ORDER BY) — also embedded as the pair
@@ -1139,7 +1208,8 @@ object SparkEntry {
        |     + (CASE WHEN sa.mh7 = sb.mh7 THEN 1 ELSE 0 END) >= 4),
        |str_sh AS (
        | SELECT DISTINCT doc_id, substr(text, i, 5) AS s
-       | FROM $src, generate_series(1, 2048) t(i) WHERE i <= length(text)-4),
+       | FROM $src, generate_series(1, 2048) t(i) WHERE i <= length(text)-4
+       |  AND CASE WHEN length(text)-4 > 2048 THEN error('oracle shingle cap 2048 exceeded') ELSE true END),
        |sz AS (SELECT doc_id, count(*) AS sz FROM str_sh GROUP BY 1),
        |it AS (
        | SELECT c.id_a, c.id_b, count(*) AS inter
@@ -1166,7 +1236,8 @@ object SparkEntry {
       |mx AS (SELECT doc_id, max(c) AS max_c FROM tc GROUP BY 1),
       |tri AS (
       | SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS tri
-      | FROM l, generate_series(1, 2048) t(i) WHERE i <= len(toks) - 2),
+      | FROM l, generate_series(1, 2048) t(i) WHERE i <= len(toks) - 2
+      |  AND CASE WHEN len(toks) - 2 > 2048 THEN error('oracle trigram cap 2048 exceeded') ELSE true END),
       |ts AS (SELECT doc_id, count(*) AS n_tri, count(DISTINCT tri) AS n_dis FROM tri GROUP BY 1)
       |SELECT l.doc_id,
       | CAST(len(l.toks) AS BIGINT) AS n_toks,
@@ -1654,6 +1725,33 @@ object SparkEntry {
         |      raw_price, clean_price, is_valid_price, provider, clean_date)
         |ORDER BY clean_desc""".stripMargin,
 
+    // literal expected rows: the persisted artifact is the RAW extracted
+    // table (no transforms — typing happens downstream), so the oracle pins
+    // exact cell text including '$ 1.347', 'N/A' and 'Serrano ' (trailing
+    // space survives the round trip)
+    "etl_invoice_persist" ->
+      """SELECT producto, fecha, provedor, precio,
+        | CAST(n_products AS BIGINT) AS n_products, csv_name
+        |FROM (VALUES
+        | ('Aceite Capullo 500ml x 12 (G13)', '07/03/2025', 'DosPinos', '$ 1.347',
+        |  3, 'invoice_extracted.csv'),
+        | ('MINI PAPA KITTY 1X30(G1)', 'April 7 2025', 'La Favorita', 'N/A',
+        |  3, 'invoice_extracted.csv'),
+        | ('Queso Tierno 400g', '23/04/2025', 'Serrano ', '2.600',
+        |  3, 'invoice_extracted.csv'))
+        | AS t(producto, fecha, provedor, precio, n_products, csv_name)
+        |ORDER BY producto""".stripMargin,
+
+    // literal expected rows: missing required header ⇒ rejected + not
+    // stored; extra header ⇒ warned + stored; exact ⇒ stored
+    "etl_validate" ->
+      """SELECT case_id, accepted, message, stored FROM (VALUES
+        | ('extra_ignored', true, 'Extra columns ignored: Nota', true),
+        | ('missing_price', false, 'Missing required columns: Precio', false),
+        | ('ok', true, 'Stored ok.csv', true))
+        | AS t(case_id, accepted, message, stored)
+        |ORDER BY case_id""".stripMargin,
+
     "etl_provider_dedup" ->
       """WITH c AS (
         | SELECT regexp_replace(regexp_replace('Proveedor' || p_brand,
@@ -1667,7 +1765,9 @@ object SparkEntry {
     "doc_stats" ->
       """WITH sh AS (
         | SELECT doc_id, CAST(count(DISTINCT substr(text, i, 3)) AS BIGINT) AS n_shingles3
-        | FROM documents, generate_series(1, 2048) t(i) WHERE i <= length(text)-2 GROUP BY doc_id)
+        | FROM documents, generate_series(1, 2048) t(i) WHERE i <= length(text)-2
+        |  AND CASE WHEN length(text)-2 > 2048 THEN error('oracle shingle cap 2048 exceeded') ELSE true END
+        | GROUP BY doc_id)
         |SELECT d.doc_id,
         | CAST(length(text) AS BIGINT) AS n_chars,
         | CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS ws_tokens,
@@ -1700,6 +1800,7 @@ object SparkEntry {
       s"""SELECT doc_id,
          | CAST(sum(i * ${h31("substr(text, i, 8)")}) % 2147483647 AS BIGINT) AS fp
          |FROM documents, generate_series(1, 2048) t(i) WHERE i <= length(text)-7
+         | AND CASE WHEN length(text)-7 > 2048 THEN error('oracle fingerprint cap 2048 exceeded') ELSE true END
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "dedup_exact" ->
@@ -1787,6 +1888,7 @@ object SparkEntry {
         |  array_to_string(tk[i*30+1 : i*30+40], ' ') AS chunk
         |FROM k, generate_series(0, 64) t(i)
         |WHERE i <= km1
+        | AND CASE WHEN km1 > 64 THEN error('oracle chunk-window cap 64 exceeded') ELSE true END
         |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "doc_redact" ->
@@ -1832,7 +1934,8 @@ object SparkEntry {
         |g AS (
         | SELECT doc_id, array_to_string(toks[i : i + 4], ' ') AS gram
         | FROM tk, generate_series(1, 2048) t(i)
-        | WHERE i <= len(toks) - 4),
+        | WHERE i <= len(toks) - 4
+        |  AND CASE WHEN len(toks) - 4 > 2048 THEN error('oracle gram-start cap 2048 exceeded') ELSE true END),
         |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0)
         |SELECT DISTINCT doc_id FROM g
         |WHERE doc_id % 20 <> 0 AND gram IN (SELECT gram FROM ev)
@@ -1924,7 +2027,8 @@ object SparkEntry {
     "dedup_jaccard" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
         |sh AS (SELECT DISTINCT doc_id, substr(text, i, 8) AS s
-        |       FROM d, generate_series(1, 2048) t(i) WHERE i <= length(text)-7),
+        |       FROM d, generate_series(1, 2048) t(i) WHERE i <= length(text)-7
+        |        AND CASE WHEN length(text)-7 > 2048 THEN error('oracle shingle cap 2048 exceeded') ELSE true END),
         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
         |it AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
         |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2)
@@ -2098,5 +2202,19 @@ object SparkEntry {
       """SELECT doc_id,
         | CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
         | sha256(text) AS content_sha
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // restates MediaDecoder.DeterministicStub's md5Long derivation: the
+    // synthetic "media" bytes are the utf-8 text, so md5(text) in DuckDB
+    // hashes the same bytes the stub decoder receives
+    "multimodal_features" ->
+      """WITH m AS (
+        | SELECT doc_id, ('0x'||substr(md5(text),1,15))::BIGINT AS h
+        | FROM documents WHERE doc_id < 200)
+        |SELECT doc_id,
+        | 16 + h % 1024 AS width,
+        | 16 + (h // 1024) % 1024 AS height,
+        | 1 + h % 300 AS n_frames,
+        | CAST(8 AS BIGINT) AS feature_dim
+        |FROM m ORDER BY doc_id""".stripMargin)
 }

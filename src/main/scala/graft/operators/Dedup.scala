@@ -428,7 +428,11 @@ object Dedup {
       .select(col(id))
     val losers = comps.select(col("id").as(id))
       .join(winners, Seq(id), "left_anti")
-    df.join(broadcast(losers), Seq(id), "left_anti")
+    // no broadcast hint: losers is bounded by cluster MEMBERSHIP, which a
+    // high-duplication corpus can grow past broadcast limits — let AQE pick
+    // (it still broadcasts when the runtime size allows, and survives when
+    // it doesn't, like the plain left_anti in nearDupDedup)
+    df.join(losers, Seq(id), "left_anti")
   }
 
   /** 60-bit SimHash sketch column (custom single-pass expression). */

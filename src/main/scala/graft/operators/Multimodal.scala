@@ -40,13 +40,19 @@ object Multimodal {
     /** Deterministic stand-in: dimensions and an 8-dim feature vector derived
       * from content bytes. STUB — replace with a codec-backed impl to run on
       * real media; everything around it is production plumbing.
+      *
+      * Derivation uses the repo's md5Long convention (first 15 hex chars of
+      * md5 as a 60-bit non-negative long) so a SQL oracle can restate it
+      * exactly: `('0x'||substr(md5(s),1,15))::BIGINT` in DuckDB.
       */
     object DeterministicStub extends MediaDecoder {
       override def decode(kind: String, bytes: Array[Byte]): Row = {
-        val h = java.util.Arrays.hashCode(bytes)
-        val w = 16 + math.abs(h % 1024)
-        val ht = 16 + math.abs((h / 1024) % 1024)
-        val frames = if (kind == "video") 1 + math.abs(h % 300) else 1
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(bytes).map("%02x".format(_)).mkString
+        val h = java.lang.Long.parseLong(hex.substring(0, 15), 16) // 60-bit, >= 0
+        val w = (16 + h % 1024).toInt
+        val ht = (16 + (h / 1024) % 1024).toInt
+        val frames = if (kind == "video") (1 + h % 300).toInt else 1
         val feat = Array.tabulate(8)(i => ((h >>> (i * 4)) & 0xff) / 255.0f)
         Row(w, ht, frames, feat.toSeq)
       }
@@ -66,6 +72,10 @@ object Multimodal {
 
   /** Batched per-partition decode: one decoder per task, rows streamed
     * through it. Output = input id + featureType columns.
+    *
+    * Typed `Dataset.mapPartitions` (not `df.rdd`): the row encoder keeps the
+    * stage inside Tungsten — no deserialization hop out of the optimized
+    * plan, and downstream operators keep whole-stage codegen.
     */
   def extractFeatures(spark: SparkSession, df: DataFrame, idCol: String,
       decoder: MediaDecoder): DataFrame = {
@@ -73,15 +83,14 @@ object Multimodal {
     val idIdx = df.schema.fieldIndex(idCol)
     val contentIdx = df.schema.fieldIndex("content")
     val metaIdx = df.schema.fieldIndex("media_meta")
-    val rdd = df.rdd.mapPartitions { rows =>
+    df.mapPartitions { rows =>
       // decoder init happens here, once per partition
       rows.map { r =>
         val decoded = decoder.decode(
           r.getStruct(metaIdx).getString(0), r.getAs[Array[Byte]](contentIdx))
         Row.fromSeq(r.getLong(idIdx) +: decoded.toSeq)
       }
-    }
-    spark.createDataFrame(rdd, outSchema)
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /** Frame-sampling plan for video payloads: every `stride`-th frame index up

@@ -45,7 +45,13 @@ object EventStream {
       .writeStream.format("memory").queryName(name).outputMode("complete")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(300000)
+    // a false return means the stream has NOT drained: the table would hold
+    // a partial aggregate that surfaces as an inscrutable oracle mismatch —
+    // fail loudly instead
+    if (!q.awaitTermination(300000)) {
+      q.stop()
+      throw new IllegalStateException(s"stream $name failed to drain within 300 s")
+    }
     spark.table(name).select(
       date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
       col("event_type"),
