@@ -695,6 +695,55 @@ object SparkEntry {
         .orderBy(col("case_id"))
     }
 
+    // ---- A2: the staging-count summary EP1 reports after steps 6-10
+    // (providers deduped, products, provider_products) on the canned ledger
+    // batch — pins the counts the reference's success message carries
+    // (core/etl_orchestrator.py:327-336). Oracle = literal expected counts
+    q("etl_staging_counts") = (s, dir) => {
+      import s.implicits._
+      val wh = new graft.sources.Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-staging-").toString)
+      val sum = new Pipeline(s, wh)
+        .runBatch(graft.sources.CsvSource.readString(s, ledgerCsv))
+      Seq((sum.providers, sum.products, sum.providerProducts))
+        .toDF("n_providers", "n_products", "n_provider_products")
+        .orderBy(col("n_providers"))
+    }
+
+    // ---- J6: the ledger status dimension the ProcessFile FK points into
+    // (1/2/3/4 — core/etl_orchestrator.py:288,305,330,343 use the raw ids).
+    // Oracle = the literal dimension
+    q("etl_status_dim") = (s, dir) => {
+      import s.implicits._
+      val F = graft.model.Schemas.FileStatus
+      Seq((F.NotSeen.toLong, "not_seen"), (F.InProgress.toLong, "in_progress"),
+        (F.Success.toLong, "success"), (F.Failed.toLong, "failed"))
+        .toDF("status_id", "status_name")
+        .orderBy(col("status_id"))
+    }
+
+    // ---- S5: blob/table existence + row-count properties through the
+    // warehouse lifecycle (exists → append → append → delete), the
+    // list/properties surface the reference reads off the blob SDK.
+    // Oracle = literal expected lifecycle flags
+    q("etl_warehouse_props") = (s, dir) => {
+      import s.implicits._
+      val wh = new graft.sources.Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-wprops-").toString)
+      val before = wh.exists("t")
+      wh.append("t", Seq((1L, "a")).toDF("id", "v"))
+      val afterWrite = wh.exists("t")
+      val n1 = s.read.parquet(wh.path("t")).count()
+      wh.append("t", Seq((2L, "b")).toDF("id", "v"))
+      val n2 = s.read.parquet(wh.path("t")).count()
+      wh.delete("t")
+      val afterDelete = wh.exists("t")
+      Seq(("t", before, afterWrite, n1, n2, afterDelete))
+        .toDF("tbl", "exists_before", "exists_after_write",
+          "rows_after_append1", "rows_after_append2", "exists_after_delete")
+        .orderBy(col("tbl"))
+    }
+
     // F7 + A1: provider-name pipeline + distinct aggregation
     q("etl_provider_dedup") = (s, dir) =>
       t(s, dir, "part")
@@ -1751,6 +1800,33 @@ object SparkEntry {
         | ('ok', true, 'Stored ok.csv', true))
         | AS t(case_id, accepted, message, stored)
         |ORDER BY case_id""".stripMargin,
+
+    // the canned ledger batch stages 2 distinct providers, 2 products and
+    // 2 provider_product links
+    "etl_staging_counts" ->
+      """SELECT CAST(n_providers AS BIGINT) AS n_providers,
+        | CAST(n_products AS BIGINT) AS n_products,
+        | CAST(n_provider_products AS BIGINT) AS n_provider_products
+        |FROM (VALUES (2, 2, 2))
+        | AS t(n_providers, n_products, n_provider_products)
+        |ORDER BY n_providers""".stripMargin,
+
+    "etl_status_dim" ->
+      """SELECT CAST(status_id AS BIGINT) AS status_id, status_name
+        |FROM (VALUES (1, 'not_seen'), (2, 'in_progress'),
+        |             (3, 'success'), (4, 'failed'))
+        | AS t(status_id, status_name)
+        |ORDER BY status_id""".stripMargin,
+
+    "etl_warehouse_props" ->
+      """SELECT tbl, exists_before, exists_after_write,
+        | CAST(rows_after_append1 AS BIGINT) AS rows_after_append1,
+        | CAST(rows_after_append2 AS BIGINT) AS rows_after_append2,
+        | exists_after_delete
+        |FROM (VALUES ('t', false, true, 1, 2, false))
+        | AS t(tbl, exists_before, exists_after_write,
+        |      rows_after_append1, rows_after_append2, exists_after_delete)
+        |ORDER BY tbl""".stripMargin,
 
     "etl_provider_dedup" ->
       """WITH c AS (

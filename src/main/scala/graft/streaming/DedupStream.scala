@@ -72,11 +72,23 @@ class DedupStream(wh: Warehouse, k: Int = 5, numHashes: Int = 8,
       minSigMatchesOverride, freshSigsPre = Some(batchSigs),
       persistCorpusSigs = false,
       corpusBandsPre = Some(wh.read(bandTable, bandSchema)))
+    // pairs FIRST and alone: its plan scans the index/band/corpus tables,
+    // so the admit appends below must not land new files while it runs
+    // (a probe that saw the batch's own signatures would re-emit
+    // fresh×fresh pairs through the fresh×corpus path)
     wh.append(pairsTable, pairs)
-    wh.append(indexTable, batchSigs)
-    // key-sorted within files so parquet min/max stats stay tight per group
-    wh.append(bandTable, batchBands.sortWithinPartitions("key"))
-    wh.append(corpusTable, batch)
+    // the three admit appends are independent writes of already-persisted
+    // frames (no reads) — run them concurrently to collapse three job
+    // latencies into one; the per-batch harness overhead is the dominant
+    // cost of small micro-batches
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.sequence(Seq(
+      Future(wh.append(indexTable, batchSigs)),
+      // key-sorted within files so parquet min/max stats stay tight per group
+      Future(wh.append(bandTable, batchBands.sortWithinPartitions("key"))),
+      Future(wh.append(corpusTable, batch)))),
+      scala.concurrent.duration.Duration(10, "min"))
     batchSigs.unpersist(false)
     batch.unpersist(false)
   }
