@@ -1107,6 +1107,53 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rank"))
     }
 
+    // ---- source formats beyond parquet: JSONL (the training-data
+    // interchange format), ORC and CSV each round-trip the documents table
+    // through a write+read cycle; the result counts rows and text
+    // mismatches per format (full outer join on doc_id, so drops AND
+    // extras both surface). Oracle = per-format (count(documents), 0).
+    // Distributed shape: every write/read is a parallel scan, the join is
+    // a hash join on doc_id — nothing driver-side
+    q("source_roundtrips") = (s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val base = java.nio.file.Files.createTempDirectory("graft-fmt-").toString
+      val jsonSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      def roundTrip(fmt: String, back: DataFrame): DataFrame = {
+        val b = back.select(col("doc_id").cast(LongType).as("doc_id"),
+          col("text").as("text_back"))
+        docs.join(b, Seq("doc_id"), "full_outer")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("text").isNull || col("text_back").isNull ||
+              col("text") =!= col("text_back"), 1L).otherwise(0L)).as("n_mismatch"))
+          .select(lit(fmt).as("format"), col("n_docs"), col("n_mismatch"))
+      }
+      docs.write.json(s"$base/jsonl")
+      docs.write.orc(s"$base/orc")
+      docs.write.option("header", "true")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false").csv(s"$base/csv")
+      roundTrip("csv", s.read.option("header", "true").option("multiLine", "true")
+          .csv(s"$base/csv"))
+        .union(roundTrip("jsonl", s.read.schema(jsonSchema).json(s"$base/jsonl")))
+        .union(roundTrip("orc", s.read.orc(s"$base/orc")))
+        .orderBy(col("format"))
+    }
+
+    // ---- data-mixture resampling: downsample language strata toward a
+    // uniform 20% target mix at half corpus size; result = per-language
+    // sampled counts. Deterministic content-addressed keep rule, so the
+    // oracle restates the whole derivation (rates + md5 threshold)
+    q("doc_mixture") = (s, dir) => {
+      Corpus.mixtureSample(t(s, dir, "documents"), "lang", "text",
+        Map("de" -> 0.2, "en" -> 0.2, "es" -> 0.2, "fr" -> 0.2, "zh" -> 0.2),
+        targetFraction = 0.5)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+        .orderBy(col("lang"))
+    }
+
     // ---- multimodal plumbing ----
 
     q("multimodal_meta") = (s, dir) =>
@@ -2273,6 +2320,30 @@ object SparkEntry {
         | JOIN region ON n_regionkey = r_regionkey
         |GROUP BY GROUPING SETS ((r_name, n_name), (n_name), ())
         |ORDER BY region, nation""".stripMargin,
+
+    // scale-proof oracle: the expected row count comes from the corpus, not
+    // a literal, so the same SQL holds at every sf
+    "source_roundtrips" ->
+      """SELECT f.format, n.n AS n_docs, CAST(0 AS BIGINT) AS n_mismatch
+        |FROM (VALUES ('csv'), ('jsonl'), ('orc')) f(format)
+        |CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n FROM documents) n
+        |ORDER BY f.format""".stripMargin,
+
+    // restates mixtureSample exactly: identical rate arithmetic (same
+    // operation order, so the doubles are bit-identical) and the md5Long
+    // keep threshold
+    "doc_mixture" ->
+      """WITH n AS (SELECT lang, CAST(count(*) AS BIGINT) AS nl
+        |           FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM documents),
+        |r AS (SELECT lang,
+        |  least(1.0, 0.2 * 0.5 * t / nl) AS rate
+        | FROM n CROSS JOIN tot)
+        |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_sampled
+        |FROM documents d JOIN r ON d.lang = r.lang
+        |WHERE ('0x'||substr(md5(d.text),1,15))::BIGINT % 1000000
+        |      < floor(rate * 1000000)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id,

@@ -78,6 +78,48 @@ object Corpus {
       .select(col(id)).distinct()
   }
 
+  /** Deterministic data-mixture resampling: downsample each stratum (e.g.
+    * language or source) toward caller-specified target WEIGHTS, yielding a
+    * corpus of roughly `targetFraction` × the input in which stratum `l`
+    * holds ≈ `weights(l)` of the mass. The per-stratum keep rate is
+    * `min(1, w_l * targetFraction * N / n_l)` — downsample-only, the
+    * standard mixture pass before training (upsampling is an epoch policy,
+    * not a data transform).
+    *
+    * Determinism: a document survives iff `md5Long(text) mod 10^6` falls
+    * under `floor(rate × 10^6)` — content-addressed, so reruns and engines
+    * agree row-for-row (the oracle restates the whole derivation), and
+    * the same doc keeps/drops consistently as the corpus grows only via
+    * rate drift, never via RNG state.
+    *
+    * Shape at 100 TB: stratum counts are one map-side-combined aggregate,
+    * collected to the DRIVER (bounded by stratum cardinality — languages or
+    * sources, not rows; the same bounded driver-action class as the merge
+    * layer's max-id lookups and k-means centroid rounds). The rates become
+    * literal thresholds, so the corpus side is ONE narrow filtered scan —
+    * no join, no shuffle, nothing but the aggregate touches the cluster
+    * twice. (A broadcast-join formulation planned a BroadcastNestedLoopJoin
+    * for the 1-row total frame — PlanAuditSpec caught it.)
+    */
+  def mixtureSample(docs: DataFrame, strata: String, text: String,
+      weights: Map[String, Double], targetFraction: Double): DataFrame = {
+    require(targetFraction > 0 && targetFraction <= 1, "targetFraction in (0,1]")
+    val counts = docs.groupBy(col(strata)).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum.toDouble
+    // absent strata get threshold 0 (dropped) — explicit, like mixture
+    // configs that enumerate every kept source. Same arithmetic (and
+    // operation order) as the SQL oracle, so the doubles are bit-identical
+    val thresholds: Map[String, Long] = counts.map { case (l, n) =>
+      val rate = math.min(1.0, weights.getOrElse(l, 0.0) * targetFraction * total / n)
+      l -> math.floor(rate * 1000000d).toLong
+    }
+    val thr = thresholds.foldLeft(lit(0L)) { case (acc, (l, t)) =>
+      when(col(strata) === l, lit(t)).otherwise(acc)
+    }
+    docs.filter(pmod(TextOps.md5Long(col(text)), lit(1000000L)) < thr)
+  }
+
   /** Sequence packing: assign documents to fixed-token-budget training
     * shards. Docs are packed greedily in `id` order within each `packKey`
     * group (e.g. language or domain — shards stay homogeneous and the

@@ -67,4 +67,28 @@ class CorpusSpec extends SparkSpec {
       assert(shards == shards.sorted)
     }
   }
+
+  test("mixtureSample: deterministic, rate-capped, drops unweighted strata") {
+    val d = (0L until 300L).map(i =>
+      (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "es" else "zz",
+        s"document number $i with some text")).toDF("doc_id", "lang", "text")
+    // en/es weighted; zz absent → dropped entirely
+    val weights = Map("en" -> 0.7, "es" -> 0.3)
+    val s1 = Corpus.mixtureSample(d, "lang", "text", weights, targetFraction = 0.5)
+      .select($"doc_id", $"lang").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(s1.nonEmpty && !s1.exists(_._2 == "zz"))
+    // subset of input, and a rerun is row-identical (content-addressed rule)
+    assert(s1.map(_._1).forall(_ < 300L))
+    val s2 = Corpus.mixtureSample(d, "lang", "text", weights, targetFraction = 0.5)
+      .select($"doc_id", $"lang").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(s1 == s2)
+    // rate cap: a stratum whose target exceeds its size keeps ALL its rows
+    val all = Corpus.mixtureSample(d, "lang", "text", Map("en" -> 1.0), 1.0)
+      .select($"lang").as[String].collect()
+    assert(all.length == 100 && all.forall(_ == "en"))
+    // expected keep rate ≈ w*frac*N/n = 0.7*0.5*300/100 = 1.05 → capped to 1
+    // for en at frac 0.7: sanity-check the es rate actually thins the stratum
+    val es = s1.count(_._2 == "es")
+    assert(es > 10 && es < 100, s"es sampled $es of 100")
+  }
 }
