@@ -104,12 +104,20 @@ class DedupStream(wh: Warehouse, k: Int = 5, numHashes: Int = 8,
 
   /** Watch `dir` for parquet document files (doc_id, text). AvailableNow
     * drains pending files then stops; ProcessingTime watches continuously.
+    *
+    * `maxFilesPerTrigger` sizes each micro-batch: the pairs-emitted
+    * invariant holds for ANY batching (DedupStreamSpec proves it), so
+    * production tuning is purely the per-batch harness cost (~1-2 s of
+    * fixed job overhead per batch here) against dedup latency — larger
+    * batches amortize the overhead, 1 file per trigger minimizes
+    * time-to-detection.
     */
   def start(dir: String, checkpoint: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxFilesPerTrigger: Int = 1): StreamingQuery =
     wh.spark.readStream
       .schema(docSchema)
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .parquet(dir)
       .writeStream
       .option("checkpointLocation", checkpoint)

@@ -38,6 +38,23 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("mixtureSample is nested in targetFraction and drops zero-weight strata") {
+    import spark.implicits._
+    val langs = Seq("aa", "bb", "cc")
+    val docs = (0 until 240).map(i => (i.toLong, langs(i % 3), s"text body $i"))
+      .toDF("doc_id", "lang", "text")
+    val w = Map("aa" -> 0.5, "bb" -> 0.5)
+    def ids(frac: Double) = graft.operators.Corpus
+      .mixtureSample(docs, "lang", "text", w, frac)
+      .select($"doc_id").as[Long].collect().toSet
+    // keep thresholds grow monotonically with the fraction and the rule is
+    // content-addressed, so smaller target corpora NEST inside larger ones
+    val (s25, s50, s100) = (ids(0.25), ids(0.5), ids(1.0))
+    assert(s25.subsetOf(s50) && s50.subsetOf(s100) && s100.nonEmpty)
+    // unweighted stratum cc never appears at any fraction
+    assert(!s100.exists(_ % 3 == 2))
+  }
+
   test("PyTitle is idempotent (like Python str.title)") {
     samples(asciiText, 300).foreach { s =>
       assert(PyTitle.title(PyTitle.title(s)) == PyTitle.title(s), s"not idempotent on '$s'")
