@@ -147,7 +147,7 @@ object Dedup {
     // stage 1: band collisions (recall net)
     val cand0 = candidatePairsFromSigs(sigs, id, numHashes, rowsPerBand)
     prefilterAndVerify(cand0, sigs, df, id, text, k, numHashes, minSigMatches,
-      minJaccard, releaseAfterCandidates = () => sigs.unpersist(false))
+      minJaccard, releaseAfterCandidates = Some(() => sigs.unpersist(false)))
   }
 
   /** Stages 2+3 of the LSH pipeline, shared by the full-corpus and
@@ -174,16 +174,18 @@ object Dedup {
     * The eager `cand.count()` barrier is MEASURED, not assumed (sf0.1,
     * median of 5 quiet-machine reps): full query 4.1 s with the barrier,
     * 3.7 s without it, 3.8 s with no signature persist at all — the barrier
-    * costs ~10% here and is kept because releasing BEFORE materialization
-    * would mark the signature cache dead and recompute the corpus-wide
-    * signature scan once per consuming branch (3×), the wrong trade at
-    * scale. (The 14-23 s figures earlier single-shot benches attributed to
-    * this query were CPU-contention noise, resolved by the median-of-N
-    * bench.)
+    * costs ~10% here and is kept WHEN there is a cache to release, because
+    * releasing BEFORE materialization would mark the signature cache dead
+    * and recompute the corpus-wide signature scan once per consuming branch
+    * (3×), the wrong trade at scale. Callers with NOTHING to release (the
+    * streaming path: file-backed index, caller-owned batch sigs) pass None
+    * and skip the barrier entirely — it would buy nothing. (The 14-23 s
+    * figures earlier single-shot benches attributed to this query were
+    * CPU-contention noise, resolved by the median-of-N bench.)
     */
   private def prefilterAndVerify(cand0: DataFrame, sigs: DataFrame, docs: DataFrame,
       id: String, text: String, k: Int, numHashes: Int, minSigMatches: Int,
-      minJaccard: Double, releaseAfterCandidates: () => Unit): DataFrame = {
+      minJaccard: Double, releaseAfterCandidates: Option[() => Unit]): DataFrame = {
     val sigA = sigs.toDF(sigs.columns.map(c => if (c == id) "id_a" else s"a_$c").toIndexedSeq: _*)
     val sigB = sigs.toDF(sigs.columns.map(c => if (c == id) "id_b" else s"b_$c").toIndexedSeq: _*)
     val sigMatches = (0 until numHashes)
@@ -193,8 +195,7 @@ object Dedup {
       .filter(sigMatches >= minSigMatches)
       .select(col("id_a"), col("id_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cand.count()
-    releaseAfterCandidates()
+    releaseAfterCandidates.foreach { release => cand.count(); release() }
     val candIds = cand.select(col("id_a").as(id))
       .union(cand.select(col("id_b").as(id))).distinct()
     val sh = docs.join(broadcast(candIds), Seq(id), "left_semi")
@@ -295,10 +296,12 @@ object Dedup {
     val allDocs = corpus.select(col(id), col(text)).union(fresh.select(col(id), col(text)))
     prefilterAndVerify(cand0, allSigs, allDocs, id, text, k, numHashes,
       minSigMatches, minJaccard,
-      releaseAfterCandidates = () => {
-        if (persistCorpusSigs) corpusSigsP.unpersist(false)
-        if (ownsFreshSigs) freshSigs.unpersist(false)
-      })
+      releaseAfterCandidates =
+        if (!persistCorpusSigs && !ownsFreshSigs) None // nothing cached here
+        else Some(() => {
+          if (persistCorpusSigs) corpusSigsP.unpersist(false)
+          if (ownsFreshSigs) freshSigs.unpersist(false)
+        }))
   }
 
   /** Connected components over an undirected pair list (id_a, id_b) —
