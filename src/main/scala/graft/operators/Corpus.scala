@@ -114,10 +114,33 @@ object Corpus {
       val rate = math.min(1.0, weights.getOrElse(l, 0.0) * targetFraction * total / n)
       l -> math.floor(rate * 1000000d).toLong
     }
-    val thr = thresholds.foldLeft(lit(0L)) { case (acc, (l, t)) =>
-      when(col(strata) === l, lit(t)).otherwise(acc)
+    val hash = pmod(TextOps.md5Long(col(text)), lit(1000000L))
+    if (thresholds.size <= 64) {
+      // few strata (languages): literal CASE chain — joinless narrow scan
+      val thr = thresholds.foldLeft(lit(0L)) { case (acc, (l, t)) =>
+        when(col(strata) === l, lit(t)).otherwise(acc)
+      }
+      docs.filter(hash < thr)
+    } else {
+      // many strata (e.g. per-source mixtures, 10^3-10^4 keys): a literal
+      // chain that long breaks whole-stage codegen, so ship the thresholds
+      // as a broadcast DATA-row table instead (data rows keep the equi-join
+      // a BroadcastHashJoin — literal-column seeds would fold the key and
+      // degrade to a nested loop, the FoldablePropagation trap)
+      val spark = docs.sparkSession
+      val thrDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(thresholds.toSeq.map {
+          case (l, t) => org.apache.spark.sql.Row(l, t)
+        }),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(strata,
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("__thr",
+            org.apache.spark.sql.types.LongType))))
+      docs.join(broadcast(thrDf), Seq(strata))
+        .filter(hash < col("__thr"))
+        .drop("__thr")
     }
-    docs.filter(pmod(TextOps.md5Long(col(text)), lit(1000000L)) < thr)
   }
 
   /** Sequence packing: assign documents to fixed-token-budget training

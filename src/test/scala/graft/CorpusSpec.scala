@@ -91,4 +91,23 @@ class CorpusSpec extends SparkSpec {
     val es = s1.count(_._2 == "es")
     assert(es > 10 && es < 100, s"es sampled $es of 100")
   }
+
+  test("mixtureSample broadcast-join path (many strata) matches the rule exactly") {
+    val n = 70 // > the literal-chain cutoff, forces the join formulation
+    val d = (0 until 700).map(i => (i.toLong, s"s${i % n}", s"body text $i"))
+      .toDF("doc_id", "strata", "text")
+    val weights = (0 until n).map(i => s"s$i" -> (if (i % 2 == 0) 0.02 else 0.0)).toMap
+    val got = Corpus.mixtureSample(d, "strata", "text", weights, targetFraction = 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    def md5mod(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % 1000000L
+    }
+    val expected = (0 until 700).filter { i =>
+      val rate = math.min(1.0, weights(s"s${i % n}") * 0.5 * 700.0 / 10.0)
+      md5mod(s"body text $i") < math.floor(rate * 1000000d).toLong
+    }.map(_.toLong).toSet
+    assert(got == expected && got.nonEmpty)
+  }
 }
