@@ -1142,6 +1142,25 @@ object SparkEntry {
         .orderBy(col("format"))
     }
 
+    // ---- incremental EXACT dedup: a fresh batch (20 docs already in the
+    // corpus + 5 re-keyed exact copies of corpus texts + 5 within-batch
+    // copies of novel texts + the novel tail) probed against the corpus
+    // hash index — seen content drops, within-batch dups resolve to min id,
+    // novel content survives. Oracle restates the whole rule
+    q("dedup_exact_incremental") = (s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") < 400)
+      val seen = corpus.select(sha2(col("text"), 256).as("text_sha")).distinct()
+      val fresh = docs.filter(col("doc_id") >= 380)
+        .union(docs.filter(col("doc_id") < 5)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        .union(docs.filter(col("doc_id") >= 450 && col("doc_id") < 455)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      Dedup.incrementalExactNew(fresh, seen, "doc_id", "text")
+        .select(col("doc_id"), sha2(col("text"), 256).as("text_sha"))
+        .orderBy(col("doc_id"))
+    }
+
     // ---- data-mixture resampling: downsample language strata toward a
     // uniform 20% target mix at half corpus size; result = per-language
     // sampled counts. Deterministic content-addressed keep rule, so the
@@ -2328,6 +2347,21 @@ object SparkEntry {
         |FROM (VALUES ('csv'), ('jsonl'), ('orc')) f(format)
         |CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n FROM documents) n
         |ORDER BY f.format""".stripMargin,
+
+    "dedup_exact_incremental" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+        |seen AS (SELECT DISTINCT sha256(text) AS text_sha FROM corpus),
+        |fresh AS (
+        | SELECT doc_id, text FROM documents WHERE doc_id >= 380
+        | UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 5
+        | UNION ALL SELECT doc_id + 10000, text FROM documents
+        |  WHERE doc_id >= 450 AND doc_id < 455),
+        |keyed AS (SELECT doc_id, text, sha256(text) AS text_sha FROM fresh),
+        |w AS (SELECT text_sha, min(doc_id) AS doc_id FROM keyed GROUP BY 1)
+        |SELECT k.doc_id, k.text_sha FROM keyed k
+        |JOIN w ON w.text_sha = k.text_sha AND w.doc_id = k.doc_id
+        |WHERE k.text_sha NOT IN (SELECT text_sha FROM seen)
+        |ORDER BY k.doc_id""".stripMargin,
 
     // restates mixtureSample exactly: identical rate arithmetic (same
     // operation order, so the doubles are bit-identical) and the md5Long

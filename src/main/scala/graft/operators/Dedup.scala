@@ -47,6 +47,30 @@ object Dedup {
     keyed.join(winners, Seq("text_sha", id), "left_semi").drop("text_sha")
   }
 
+  /** Incremental EXACT dedup: the rows of `fresh` that survive against a
+    * persisted content-hash index — the cheapest and most common continuous-
+    * ingest dedup (probe the seen-hash set, admit only novel content). A row
+    * survives iff (a) it wins its within-batch hash group (min id) and (b)
+    * its hash is absent from `seenHashes` (a `text_sha` column — the
+    * artifact [[exactGroups]] maintains).
+    *
+    * Scale shape: one shuffle of the BATCH on its 32-byte hash (map-side
+    * combined), then a left-anti probe of the index. The index side is a
+    * narrow single-column scan; stored sorted-by-hash (like the LSH band
+    * index) it prunes via row-group stats + runtime bloom filters, so
+    * per-batch cost tracks the batch, not the corpus.
+    */
+  def incrementalExactNew(fresh: DataFrame, seenHashes: DataFrame,
+      id: String, text: String): DataFrame = {
+    // null texts form one group via the sentinel, as in [[exactDedup]]
+    val keyed = fresh.withColumn("text_sha",
+      coalesce(sha2(col(text), 256), lit("__null_text__")))
+    val batchWinners = keyed.groupBy(col("text_sha")).agg(min(col(id)).as(id))
+    keyed.join(batchWinners, Seq("text_sha", id), "left_semi")
+      .join(seenHashes.select(col("text_sha")), Seq("text_sha"), "left_anti")
+      .drop("text_sha")
+  }
+
   /** Fixed universal-hash parameters for the MinHash permutations — literal
     * constants so the SQL oracle states the identical numbers.
     */
