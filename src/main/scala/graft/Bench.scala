@@ -39,22 +39,42 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
+    // Per-rep outcome is tracked: a rep whose query throws records the error,
+    // NOT its (fast-fail) elapsed time — a broken query must not contribute
+    // near-zero times that deflate the median and make the JSON look healthy.
     val results = qs.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      val reps0 = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Right((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+        }
       }
-      name -> times
+      (name, reps0.collect { case Right(t) => t }, reps0.collect { case Left(m) => m })
     }
-    val medians = results.map { case (k, ts) => k -> median(ts) }
+    val medians = results.collect { case (k, ts, _) if ts.nonEmpty => k -> median(ts) }
     val qsJson = medians.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    val repsJson = results.map { case (k, ts) =>
+    val repsJson = results.collect { case (k, ts, _) if ts.nonEmpty =>
       "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    def esc(s: String): String =
+      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }
+    val errsJson = results.collect { case (k, _, ms) if ms.nonEmpty =>
+      "\"" + k + "\":\"" + esc(ms.head) + s""" (${ms.size}/$reps reps failed)""""
+    }.mkString("{", ",", "}")
     val total = medians.map(_._2).sum
-    println(f"""{"metric":"total_runtime","value":$total%.3f,"unit":"sec","queries":$qsJson,"reps":$repsJson,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total_runtime","value":$total%.3f,"unit":"sec","queries":$qsJson,"reps":$repsJson,"errors":$errsJson,"sf":"$sfDir"}"""
+    println(line)
+    // stdout alone proved lossy (the driver's tail-capture truncated r5's
+    // artifact); the bench is its own evidence, so persist the line too
+    val out = java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
+    Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -59,6 +59,14 @@ object GraftSession {
       // index probes (e.g. incremental dedup's corpus-band join) from paying
       // a full index scan per batch
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // the incremental-dedup point probe pushes a micro-batch's band keys /
+      // candidate doc ids into the index scans as literal In predicates
+      // (Dedup.prefilterAndVerify pointLookup). Above this threshold Spark
+      // rewrites a parquet In pushdown to a min/max range check, which is
+      // useless for uniformly-distributed hash keys — keep the exact OR-of-eq
+      // form up to the probe caps (row-group stat evaluation at this width is
+      // microseconds per group)
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "20000")
       .config("spark.sql.session.timeZone", "UTC")
       // events.ts is parquet TIMESTAMP(NANOS); Spark has no nanos timestamp
       // type, so read it as a nanos-since-epoch long (public legacy flag)

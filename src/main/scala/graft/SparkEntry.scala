@@ -1016,7 +1016,11 @@ object SparkEntry {
       }
       val ds = new graft.streaming.DedupStream(new graft.sources.Warehouse(s, whDir),
         minJaccard = 0.35, minSigMatchesOverride = 4)
-      ds.start(inDir, ckpt).awaitTermination(300000)
+      val dq = ds.start(inDir, ckpt)
+      if (!dq.awaitTermination(300000)) {
+        dq.stop()
+        throw new IllegalStateException("dedup_stream failed to drain within 300 s")
+      }
       ds.pairs().orderBy(col("id_a"), col("id_b"))
     }
 
@@ -1150,14 +1154,17 @@ object SparkEntry {
     q("dedup_exact_incremental") = (s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val corpus = docs.filter(col("doc_id") < 400)
-      val seen = corpus.select(sha2(col("text"), 256).as("text_sha")).distinct()
+      // sentinel-keyed like exactGroups — the index convention the probe expects
+      val seen = corpus.select(
+        coalesce(sha2(col("text"), 256), lit("__null_text__")).as("text_sha")).distinct()
       val fresh = docs.filter(col("doc_id") >= 380)
         .union(docs.filter(col("doc_id") < 5)
           .select((col("doc_id") + 10000).as("doc_id"), col("text")))
         .union(docs.filter(col("doc_id") >= 450 && col("doc_id") < 455)
           .select((col("doc_id") + 10000).as("doc_id"), col("text")))
       Dedup.incrementalExactNew(fresh, seen, "doc_id", "text")
-        .select(col("doc_id"), sha2(col("text"), 256).as("text_sha"))
+        .select(col("doc_id"),
+          coalesce(sha2(col("text"), 256), lit("__null_text__")).as("text_sha"))
         .orderBy(col("doc_id"))
     }
 
@@ -1946,7 +1953,7 @@ object SparkEntry {
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "dedup_exact" ->
-      """SELECT sha256(text) AS text_sha,
+      """SELECT coalesce(sha256(text), '__null_text__') AS text_sha,
         | CAST(min(doc_id) AS BIGINT) AS keep_id,
         | CAST(count(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -2350,13 +2357,15 @@ object SparkEntry {
 
     "dedup_exact_incremental" ->
       """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
-        |seen AS (SELECT DISTINCT sha256(text) AS text_sha FROM corpus),
+        |seen AS (SELECT DISTINCT coalesce(sha256(text), '__null_text__') AS text_sha
+        |  FROM corpus),
         |fresh AS (
         | SELECT doc_id, text FROM documents WHERE doc_id >= 380
         | UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 5
         | UNION ALL SELECT doc_id + 10000, text FROM documents
         |  WHERE doc_id >= 450 AND doc_id < 455),
-        |keyed AS (SELECT doc_id, text, sha256(text) AS text_sha FROM fresh),
+        |keyed AS (SELECT doc_id, text,
+        |  coalesce(sha256(text), '__null_text__') AS text_sha FROM fresh),
         |w AS (SELECT text_sha, min(doc_id) AS doc_id FROM keyed GROUP BY 1)
         |SELECT k.doc_id, k.text_sha FROM keyed k
         |JOIN w ON w.text_sha = k.text_sha AND w.doc_id = k.doc_id

@@ -104,13 +104,20 @@ object Corpus {
   def mixtureSample(docs: DataFrame, strata: String, text: String,
       weights: Map[String, Double], targetFraction: Double): DataFrame = {
     require(targetFraction > 0 && targetFraction <= 1, "targetFraction in (0,1]")
-    val counts = docs.groupBy(col(strata)).agg(count(lit(1)).as("__n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // mixture configs are string-keyed, so the stratum column is compared AS
+    // a string — a numeric source-id column casts rather than throwing
+    // ClassCastException at the driver collect
+    val sCol = col(strata).cast("string")
+    val counts = docs.groupBy(sCol.as("__stratum")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
     val total = counts.values.sum.toDouble
     // absent strata get threshold 0 (dropped) — explicit, like mixture
-    // configs that enumerate every kept source. Same arithmetic (and
-    // operation order) as the SQL oracle, so the doubles are bit-identical
-    val thresholds: Map[String, Long] = counts.map { case (l, n) =>
+    // configs that enumerate every kept source. A NULL stratum can never be
+    // a weights key, so null-stratum rows are likewise dropped (they still
+    // count toward `total`, matching the oracle's plain count(*)) — pinned
+    // by CorpusSpec. Same arithmetic (and operation order) as the SQL
+    // oracle, so the doubles are bit-identical
+    val thresholds: Map[String, Long] = counts.collect { case (Some(l), n) =>
       val rate = math.min(1.0, weights.getOrElse(l, 0.0) * targetFraction * total / n)
       l -> math.floor(rate * 1000000d).toLong
     }
@@ -118,7 +125,7 @@ object Corpus {
     if (thresholds.size <= 64) {
       // few strata (languages): literal CASE chain — joinless narrow scan
       val thr = thresholds.foldLeft(lit(0L)) { case (acc, (l, t)) =>
-        when(col(strata) === l, lit(t)).otherwise(acc)
+        when(sCol === l, lit(t)).otherwise(acc)
       }
       docs.filter(hash < thr)
     } else {
@@ -133,13 +140,13 @@ object Corpus {
           case (l, t) => org.apache.spark.sql.Row(l, t)
         }),
         org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField(strata,
+          org.apache.spark.sql.types.StructField("__stratum",
             org.apache.spark.sql.types.StringType),
           org.apache.spark.sql.types.StructField("__thr",
             org.apache.spark.sql.types.LongType))))
-      docs.join(broadcast(thrDf), Seq(strata))
+      docs.join(broadcast(thrDf), sCol === col("__stratum"))
         .filter(hash < col("__thr"))
-        .drop("__thr")
+        .drop("__stratum", "__thr")
     }
   }
 

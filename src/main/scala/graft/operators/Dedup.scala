@@ -27,9 +27,15 @@ import org.apache.spark.sql.graft.shims
   */
 object Dedup {
 
-  /** Exact duplicate groups by full-text hash: keeps min doc id as canonical. */
+  /** Exact duplicate groups by full-text hash: keeps min doc id as canonical.
+    * Null texts are keyed to the same `__null_text__` sentinel the rest of
+    * the exact-dedup family uses — this table is the index
+    * [[incrementalExactNew]] probes, so a raw (null) sha here would let every
+    * fresh null-text row be admitted as novel even when the index already
+    * recorded null texts.
+    */
   def exactGroups(df: DataFrame, id: String, text: String): DataFrame =
-    df.groupBy(sha2(col(text), 256).as("text_sha"))
+    df.groupBy(coalesce(sha2(col(text), 256), lit("__null_text__")).as("text_sha"))
       .agg(
         min(col(id)).as("keep_id"),
         count(lit(1)).as("n_copies"))
@@ -207,11 +213,39 @@ object Dedup {
     * figures earlier single-shot benches attributed to this query were
     * CPU-contention noise, resolved by the median-of-N bench.)
     */
-  private def prefilterAndVerify(cand0: DataFrame, sigs: DataFrame, docs: DataFrame,
+  private def prefilterAndVerify(cand0In: DataFrame, sigs: DataFrame, docs: DataFrame,
       id: String, text: String, k: Int, numHashes: Int, minSigMatches: Int,
-      minJaccard: Double, releaseAfterCandidates: Option[() => Unit]): DataFrame = {
-    val sigA = sigs.toDF(sigs.columns.map(c => if (c == id) "id_a" else s"a_$c").toIndexedSeq: _*)
-    val sigB = sigs.toDF(sigs.columns.map(c => if (c == id) "id_b" else s"b_$c").toIndexedSeq: _*)
+      minJaccard: Double, releaseAfterCandidates: Option[() => Unit],
+      pointLookupMaxIds: Int = 0): DataFrame = {
+    // Point-lookup mode (incremental/streaming paths, where sigs and docs are
+    // FILE-BACKED index tables): materialize the band-collision candidate set
+    // — small by construction, near-dups plus the banding false-positive tail
+    // — and push its distinct doc ids into the signature and document reads
+    // as literal In predicates. Without this, the prefilter's two signature
+    // joins and the verification's text semi-join each stream the ENTIRE
+    // accumulated index/corpus through a broadcast join per batch — per-batch
+    // cost scaling with corpus size, exactly what incremental dedup exists to
+    // avoid. With id-sorted index files the In predicate prunes via parquet
+    // row-group stats to the matched groups (ScaleProbe measures scan bytes
+    // flat across corpus doublings). A collision blow-up past
+    // `pointLookupMaxIds` falls back to the full-scan joins rather than
+    // shipping an unbounded literal list to the driver.
+    val (cand0, lookupIds, releaseCand0) =
+      if (pointLookupMaxIds > 0) {
+        val c0 = cand0In.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val ids = c0.select(col("id_a").as(id)).union(c0.select(col("id_b").as(id)))
+          .distinct().limit(pointLookupMaxIds + 1).collect().map(_.get(0)).toSeq
+        (c0, if (ids.size <= pointLookupMaxIds) Some(ids) else None,
+          Some(() => { c0.unpersist(false); () }))
+      } else (cand0In, None, None)
+    val sigsL = lookupIds.map(ids => sigs.filter(col(id).isin(ids: _*))).getOrElse(sigs)
+    val docsIn = lookupIds.map(ids => docs.filter(col(id).isin(ids: _*))).getOrElse(docs)
+    val release: Option[() => Unit] = (releaseAfterCandidates, releaseCand0) match {
+      case (Some(a), Some(b)) => Some(() => { a(); b() })
+      case (a, b) => a.orElse(b)
+    }
+    val sigA = sigsL.toDF(sigsL.columns.map(c => if (c == id) "id_a" else s"a_$c").toIndexedSeq: _*)
+    val sigB = sigsL.toDF(sigsL.columns.map(c => if (c == id) "id_b" else s"b_$c").toIndexedSeq: _*)
     val sigMatches = (0 until numHashes)
       .map(i => when(col(s"a_mh$i") === col(s"b_mh$i"), 1).otherwise(0))
       .reduce(_ + _)
@@ -219,10 +253,10 @@ object Dedup {
       .filter(sigMatches >= minSigMatches)
       .select(col("id_a"), col("id_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    releaseAfterCandidates.foreach { release => cand.count(); release() }
+    release.foreach { rel => cand.count(); rel() }
     val candIds = cand.select(col("id_a").as(id))
       .union(cand.select(col("id_b").as(id))).distinct()
-    val sh = docs.join(broadcast(candIds), Seq(id), "left_semi")
+    val sh = docsIn.join(broadcast(candIds), Seq(id), "left_semi")
       .select(col(id), distinctShingles(col(text), k).as("sh"))
     val a = sh.select(col(id).as("id_a"), col("sh").as("sh_a"))
     val b = sh.select(col(id).as("id_b"), col("sh").as("sh_b"))
@@ -273,7 +307,9 @@ object Dedup {
       minSigMatchesOverride: Int = -1,
       freshSigsPre: Option[DataFrame] = None,
       persistCorpusSigs: Boolean = true,
-      corpusBandsPre: Option[DataFrame] = None): DataFrame = {
+      corpusBandsPre: Option[DataFrame] = None,
+      probeKeyLimit: Int = 0,
+      pointLookupMaxIds: Int = 0): DataFrame = {
     val minSigMatches =
       if (minSigMatchesOverride >= 0) minSigMatchesOverride
       else math.max(1, math.floor(numHashes * minJaccard).toInt - 1)
@@ -306,8 +342,22 @@ object Dedup {
     // PERSISTED band table (see [[bandKeys]]) pass it in: the probe then
     // reads a stored join column, which runtime bloom filters / row-group
     // stats can prune to the matched buckets instead of the whole index
-    val corpusBands = corpusBandsPre
+    val corpusBands0 = corpusBandsPre
       .getOrElse(bandKeys(corpusSigsP, id, numHashes, rowsPerBand))
+    // Band-key point probe: a micro-batch's distinct band keys are a small
+    // set (≤ batch docs × numBands). Collecting them and pushing an In
+    // predicate into the persisted band table's scan turns the probe into a
+    // literal point lookup — key-sorted index files prune via row-group
+    // min/max stats to just the groups holding matched buckets, so the probe
+    // reads a bounded slice of the index no matter how large the corpus has
+    // grown (ScaleProbe measures this). Past the cap, fall back to the plain
+    // equi-join: a batch that large amortizes a full index scan anyway.
+    val corpusBands = if (probeKeyLimit > 0) {
+      val keys = freshBands.select(col("key")).distinct()
+        .limit(probeKeyLimit + 1).collect().map(_.getString(0)).toSeq
+      if (keys.size <= probeKeyLimit) corpusBands0.filter(col("key").isin(keys: _*))
+      else corpusBands0
+    } else corpusBands0
     val allBands = corpusBands.union(freshBands)
     val cand0 = allBands.alias("a")
       .join(freshBands.alias("b"),
@@ -325,7 +375,8 @@ object Dedup {
         else Some(() => {
           if (persistCorpusSigs) corpusSigsP.unpersist(false)
           if (ownsFreshSigs) freshSigs.unpersist(false)
-        }))
+        }),
+      pointLookupMaxIds = pointLookupMaxIds)
   }
 
   /** Connected components over an undirected pair list (id_a, id_b) —

@@ -49,10 +49,20 @@ class Warehouse(val spark: SparkSession, val root: String) {
     * rewrite shuffle-free. Unpartitioned tables only — a partitioned table
     * compacts per-partition (directory granularity), which this local
     * warehouse doesn't need.
+    *
+    * `sortCols` re-sorts within the rewritten partitions: tables whose scan
+    * pruning depends on tight parquet min/max stats on a join column (the
+    * dedup band index) would otherwise come out of compaction as
+    * concatenated sorted runs, widening every row-group's stats range to
+    * near-useless.
     */
-  def compact(table: String, schema: StructType, targetFiles: Int = 1): Unit = {
+  def compact(table: String, schema: StructType, targetFiles: Int = 1,
+      sortCols: Seq[String] = Nil): Unit = {
     require(targetFiles > 0, "targetFiles must be positive")
-    replace(table, read(table, schema).coalesce(targetFiles))
+    val coalesced = read(table, schema).coalesce(targetFiles)
+    val out = if (sortCols.isEmpty) coalesced
+      else coalesced.sortWithinPartitions(sortCols.map(org.apache.spark.sql.functions.col): _*)
+    replace(table, out)
   }
 
   /** Replace a table's contents (safe when `df` reads the old contents):

@@ -26,22 +26,45 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType
   * crash mid-batch can leave a partial batch (same single-writer,
   * non-transactional contract as [[graft.operators.Ledger]]; a production
   * deployment gets batch atomicity from a transactional table format).
+  * Recovery contract — AT-LEAST-ONCE admission, proved adversarially by
+  * CrashConsistencySpec: when the checkpoint replays a partially-admitted
+  * batch, rows may be duplicated in any of the four tables, but the SET of
+  * discovered pairs and admitted documents equals the from-scratch batch run
+  * — candidate `distinct()`, the sig-completeness of `index ∪ freshSigs`,
+  * and set-level downstream consumers (components, survivors) make
+  * duplicates harmless. Consumers must treat `pairs()`/`corpus()` as sets
+  * (or run [[compactAll]]-style maintenance with a dedup rewrite). The
+  * three admit appends run CONCURRENTLY: on a failure the siblings are
+  * awaited to completion before the error propagates, so the partial-batch
+  * window stays the same set of ≤3 tables as the sequential form — only the
+  * completion order within the batch is nondeterministic.
+  *
+  * `compactEvery` = N > 0 compacts all four tables every N micro-batches
+  * (see [[compactAll]]): each append lands ≥1 file per table, so an
+  * always-on stream otherwise accretes thousands of tiny parquet files and
+  * scan PLANNING (listing + footer reads) becomes the per-batch floor. 0
+  * disables the automatic pass for callers that schedule [[compactAll]] as
+  * out-of-band maintenance instead.
   */
 class DedupStream(wh: Warehouse, k: Int = 5, numHashes: Int = 8,
-    rowsPerBand: Int = 2, minJaccard: Double = 0.5, minSigMatchesOverride: Int = -1) {
+    rowsPerBand: Int = 2, minJaccard: Double = 0.5, minSigMatchesOverride: Int = -1,
+    compactEvery: Int = 0,
+    probeKeyLimit: Int = 10000, pointLookupMaxIds: Int = 10000) {
 
   val indexTable = "dedup/SignatureIndex"
   val bandTable = "dedup/BandIndex"
   val corpusTable = "dedup/Corpus"
   val pairsTable = "dedup/NearDupPairs"
 
-  private val sigSchema = StructType(StructField("doc_id", LongType, nullable = false) +:
+  // the index LAYOUT contract — public so maintenance tools (ScaleProbe,
+  // external compaction) can read the tables with the exact stored schemas
+  val sigSchema = StructType(StructField("doc_id", LongType, nullable = false) +:
     (0 until numHashes).map(i => StructField(s"mh$i", LongType, nullable = true)))
-  private val bandSchema = StructType(Seq(
+  val bandSchema = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("band", IntegerType, nullable = false),
     StructField("key", StringType, nullable = true)))
-  private val docSchema = StructType(Seq(
+  val docSchema = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("text", StringType, nullable = true)))
   private val pairSchema = StructType(Seq(
@@ -66,12 +89,19 @@ class DedupStream(wh: Warehouse, k: Int = 5, numHashes: Int = 8,
     // key-sorted files): row-group stats + runtime bloom filters prune the
     // probe toward the matched buckets, so per-batch cost tracks the batch,
     // not the accumulated corpus.
+    // probeKeyLimit / pointLookupMaxIds: the batch's band keys and the
+    // matched candidate ids are pushed into the three index reads as literal
+    // In predicates, so on key-/id-sorted index files the per-batch reads
+    // prune to the matched row groups instead of the whole accumulated
+    // corpus (see the scaladoc on Dedup.incrementalLshVerifiedPairs;
+    // ScaleProbe measures the effect)
     val pairs = Dedup.incrementalLshVerifiedPairs(
       wh.read(corpusTable, docSchema), wh.read(indexTable, sigSchema), batch,
       "doc_id", "text", k, numHashes, rowsPerBand, minJaccard,
       minSigMatchesOverride, freshSigsPre = Some(batchSigs),
       persistCorpusSigs = false,
-      corpusBandsPre = Some(wh.read(bandTable, bandSchema)))
+      corpusBandsPre = Some(wh.read(bandTable, bandSchema)),
+      probeKeyLimit = probeKeyLimit, pointLookupMaxIds = pointLookupMaxIds)
     // pairs FIRST and alone: its plan scans the index/band/corpus tables,
     // so the admit appends below must not land new files while it runs
     // (a probe that saw the batch's own signatures would re-emit
@@ -80,17 +110,48 @@ class DedupStream(wh: Warehouse, k: Int = 5, numHashes: Int = 8,
     // the three admit appends are independent writes of already-persisted
     // frames (no reads) — run them concurrently to collapse three job
     // latencies into one; the per-batch harness overhead is the dominant
-    // cost of small micro-batches
+    // cost of small micro-batches. ALL futures are awaited to settlement
+    // before any failure propagates — bailing on the first error would leave
+    // siblings writing in the background, widening the partial-batch window
+    // beyond the documented ≤3-table contract
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
-    Await.result(Future.sequence(Seq(
-      Future(wh.append(indexTable, batchSigs)),
-      // key-sorted within files so parquet min/max stats stay tight per group
-      Future(wh.append(bandTable, batchBands.sortWithinPartitions("key"))),
-      Future(wh.append(corpusTable, batch)))),
+    import scala.util.{Failure, Try}
+    val settled: Seq[Try[Unit]] = Await.result(
+      Future.sequence(Seq(
+        Future(wh.append(indexTable, batchSigs)),
+        // key-sorted within files so parquet min/max stats stay tight per group
+        Future(wh.append(bandTable, batchBands.sortWithinPartitions("key"))),
+        Future(wh.append(corpusTable, batch))
+      ).map(_.transform(scala.util.Success(_)))),
       scala.concurrent.duration.Duration(10, "min"))
     batchSigs.unpersist(false)
     batch.unpersist(false)
+    settled.collectFirst { case Failure(e) => throw e }
+    batchesSinceCompact += 1
+    if (compactEvery > 0 && batchesSinceCompact >= compactEvery) {
+      compactAll()
+      batchesSinceCompact = 0
+    }
+  }
+
+  // foreachBatch runs batches sequentially on the stream thread, so a plain
+  // var is safe; the counter is per-run (a restart recompacts after N more)
+  private var batchesSinceCompact = 0
+
+  /** Compact all four stream tables into `targetFiles` files each — the
+    * small-file maintenance pass. The band index is re-sorted by `key` on
+    * rewrite: its probe pruning rides on tight per-row-group min/max stats,
+    * which a plain concatenating rewrite would destroy. Safe mid-stream only
+    * between micro-batches (same single-writer contract as everything else
+    * here); [[processBatch]] calls it on the stream thread when
+    * `compactEvery` > 0.
+    */
+  def compactAll(targetFiles: Int = 1): Unit = {
+    wh.compact(indexTable, sigSchema, targetFiles)
+    wh.compact(bandTable, bandSchema, targetFiles, sortCols = Seq("key"))
+    wh.compact(corpusTable, docSchema, targetFiles)
+    wh.compact(pairsTable, pairSchema, targetFiles)
   }
 
   /** All near-dup pairs discovered so far. */

@@ -1,0 +1,125 @@
+package graft.tools
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicLong
+
+import graft.GraftSession
+import graft.operators.Dedup
+import graft.sources.Warehouse
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Scale-proof for the engine's central incremental-dedup claim: the
+  * per-batch probe of a persisted dedup index reads a bounded slice of the
+  * index — per-batch scan BYTES stay roughly flat while the corpus doubles
+  * and doubles again (`Dedup.incrementalLshVerifiedPairs` point-lookup path,
+  * `DedupStream` defaults).
+  *
+  * Method: replicate the sf dir's documents ×N for N in `scales` (each
+  * replica TOKEN-SALTED so replicas are genuinely distinct documents — no
+  * manufactured near-dups), build the three index tables the way a
+  * long-running stream would hold them (band index sorted by `key`,
+  * signature index and corpus sorted by `doc_id`, small parquet row groups
+  * to emulate many-row-group files at laptop scale), then run ONE fixed
+  * micro-batch (25 novel docs + 10 planted copies of corpus docs) against
+  * each corpus and measure task-level input bytes/records via a listener —
+  * probe-enabled vs full-scan — plus wall time.
+  *
+  * Expected shape: full-scan bytes grow ~linearly with N; probe bytes stay
+  * ~flat (bounded by probe keys × row-group size), and the planted pairs are
+  * found at every scale. Emits a JSON line per (scale, mode) to stdout AND
+  * target/scaleprobe.json (self-sufficient artifact, like Bench).
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val scales = if (args.length > 1) args(1).split(",").map(_.trim.toInt).toSeq
+      else Seq(25, 50, 100)
+    val spark = GraftSession.builder().appName("scale-probe").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val bytesRead = new AtomicLong(); val recordsRead = new AtomicLong()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val im = t.taskMetrics.inputMetrics
+        bytesRead.addAndGet(im.bytesRead); recordsRead.addAndGet(im.recordsRead)
+      }
+    })
+
+    val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+
+    // replica i: re-keyed ids, every token salted with the replica tag so the
+    // shingle set is disjoint from every other replica's
+    def salted(i: Int): DataFrame = docs0.select(
+      (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+      concat_ws(" ", transform(split(col("text"), " "),
+        w => concat(w, lit(s"_r$i")))).as("text"))
+
+    // fixed fresh micro-batch: novel docs (salt tag no corpus replica uses)
+    // + exact copies of replica-0 docs re-keyed — so true-match work is
+    // CONSTANT across scales and nonzero at every scale. Fresh ids live at
+    // 10^12+, far above any replica's id range (max ~10^9): an id shared
+    // between a fresh and a corpus doc would alias two different texts under
+    // one key and corrupt both the verification joins and the measurement
+    val freshNovel = salted(999999).filter(col("doc_id") % 1000 < 8)
+      .select((col("doc_id") % 10000000L + 1000000000000L).as("doc_id"), col("text"))
+    val freshPlanted = salted(0).filter(col("doc_id") % 1000 < 2)
+      .select((col("doc_id") + 2000000000000L).as("doc_id"), col("text"))
+    val fresh = freshNovel.union(freshPlanted)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nFresh = fresh.count()
+
+    // small row groups: at sf0.1×100 the whole band index is ~100 MB, far
+    // under one production 128 MB row group — shrink groups so the file
+    // layout has the many-row-groups shape pruning acts on at 100 TB
+    val writeOpts = Map("parquet.block.size" -> "32768", "parquet.page.size" -> "8192")
+
+    def sortedWrite(df: DataFrame, path: String, sortCol: String): Unit =
+      df.repartitionByRange(32, col(sortCol)).sortWithinPartitions(sortCol)
+        .write.options(writeOpts).mode(SaveMode.Overwrite).parquet(path)
+
+    val out = new StringBuilder
+    def emit(line: String): Unit = { println(line); out.append(line).append('\n') }
+
+    scales.foreach { n =>
+      val whDir = Files.createTempDirectory(s"graft-scaleprobe-x$n-").toString
+      val wh = new Warehouse(spark, whDir)
+      val corpus = (0 until n).map(salted).reduce(_ union _)
+      val sigs = Dedup.minhashSignatures(corpus, "doc_id", "text", 5, 8)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sortedWrite(sigs, wh.path("dedup/SignatureIndex"), "doc_id")
+      sortedWrite(Dedup.bandKeys(sigs, "doc_id", 8, 2), wh.path("dedup/BandIndex"), "key")
+      sortedWrite(corpus, wh.path("dedup/Corpus"), "doc_id")
+      sigs.unpersist(true)
+      val idxBytes = Files.walk(java.nio.file.Paths.get(whDir))
+        .filter(p => p.toString.endsWith(".parquet")).mapToLong(p => Files.size(p)).sum()
+
+      val ds = new graft.streaming.DedupStream(wh, minJaccard = 0.35, minSigMatchesOverride = 4)
+      Seq(("probe", 10000, 10000), ("fullscan", 0, 0)).foreach { case (mode, keyLim, idLim) =>
+        // warm the page cache + codegen once, then measure a clean run
+        (1 to 2).foreach { rep =>
+          bytesRead.set(0); recordsRead.set(0)
+          val t0 = System.nanoTime()
+          val pairs = Dedup.incrementalLshVerifiedPairs(
+            wh.read("dedup/Corpus", ds.docSchema),
+            wh.read("dedup/SignatureIndex", ds.sigSchema),
+            fresh, "doc_id", "text", 5, 8, 2, 0.35, 4,
+            corpusBandsPre = Some(wh.read("dedup/BandIndex", ds.bandSchema)),
+            persistCorpusSigs = false,
+            probeKeyLimit = keyLim, pointLookupMaxIds = idLim)
+          val nPairs = pairs.select("id_a", "id_b").distinct().count()
+          val secs = (System.nanoTime() - t0) / 1e9
+          if (rep == 2) emit(
+            f"""{"tool":"scaleprobe","scale_x":$n,"mode":"$mode","index_bytes":$idxBytes,"probe_bytes":${bytesRead.get()},"probe_records":${recordsRead.get()},"pairs":$nPairs,"sec":$secs%.2f,"fresh_docs":$nFresh}""")
+          assert(nPairs >= 10, s"planted pairs missing at x$n/$mode: $nPairs")
+        }
+      }
+    }
+    val p = java.nio.file.Paths.get("target/scaleprobe.json")
+    Option(p.getParent).foreach(Files.createDirectories(_))
+    Files.write(p, out.toString.getBytes("UTF-8"))
+    spark.stop()
+  }
+}

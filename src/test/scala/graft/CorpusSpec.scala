@@ -110,4 +110,24 @@ class CorpusSpec extends SparkSpec {
     }.map(_.toLong).toSet
     assert(got == expected && got.nonEmpty)
   }
+
+  test("mixtureSample: null strata drop but count toward total; numeric strata cast") {
+    // 100 en + 100 null-stratum rows. Null can never match a string-keyed
+    // weights config, so null rows are dropped — but they DO inflate the
+    // total (count(*) semantics), which raises en's keep rate:
+    // rate_en = 1.0 * 0.5 * 200 / 100 = 1.0 → every en row kept.
+    val d = (0L until 200L).map(i =>
+      (i, if (i < 100) "en" else null, s"some text $i")).toDF("doc_id", "lang", "text")
+    val kept = Corpus.mixtureSample(d, "lang", "text", Map("en" -> 1.0), 0.5)
+      .select($"doc_id", $"lang").as[(Long, String)].collect()
+    assert(kept.length == 100 && kept.forall(_._2 == "en"))
+
+    // a numeric stratum column casts to its string form instead of throwing
+    // ClassCastException at the driver collect; weights key on "0"/"1"
+    val dn = (0L until 100L).map(i => (i, i % 2, s"numeric text $i"))
+      .toDF("doc_id", "src", "text")
+    val keptN = Corpus.mixtureSample(dn, "src", "text", Map("0" -> 1.0), 1.0)
+      .select($"src").as[Long].collect()
+    assert(keptN.length == 50 && keptN.forall(_ == 0L))
+  }
 }

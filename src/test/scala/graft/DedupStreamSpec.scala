@@ -36,7 +36,7 @@ class DedupStreamSpec extends SparkSpec {
     val ds = new DedupStream(new Warehouse(spark, whDir),
       minJaccard = 0.35, minSigMatchesOverride = 4)
     val q = ds.start(inDir, ckpt, Trigger.AvailableNow())
-    q.awaitTermination(300000)
+    assert(q.awaitTermination(300000), "stream failed to drain within 300 s")
 
     val streamed = ds.pairs().collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
@@ -47,5 +47,37 @@ class DedupStreamSpec extends SparkSpec {
     assert(streamed == batch,
       s"streamed ${streamed.size} pairs vs batch ${batch.size}")
     assert(ds.corpus().count() == docs.count())
+  }
+
+  test("compactEvery bounds warehouse file count across 50 micro-batches, pairs unchanged") {
+    val whDir = Files.createTempDirectory("graft-dstream-compact-").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id".cast("long").as("doc_id"), $"text")
+      .orderBy("doc_id").limit(100).as[(Long, String)].collect()
+
+    // 50 two-doc batches through the exact code path foreachBatch drives
+    val ds = new DedupStream(new Warehouse(spark, whDir),
+      minJaccard = 0.35, minSigMatchesOverride = 4, compactEvery = 5)
+    docs.grouped(2).foreach(chunk => ds.processBatch(chunk.toSeq.toDF("doc_id", "text")))
+
+    def parquetFiles(dir: java.nio.file.Path): Long = {
+      val s = Files.walk(dir)
+      try s.filter(_.toString.endsWith(".parquet")).count() finally s.close()
+    }
+    // without compaction: >=4 tables x 50 appends = 200+ files. With
+    // compactEvery=5 each table is 1 file after every 5th batch and gains
+    // <=5 more before the next pass -> a few dozen at any moment
+    val nFiles = parquetFiles(Paths.get(whDir, "dedup"))
+    assert(nFiles <= 40, s"expected bounded file count, found $nFiles parquet files")
+
+    // compaction is pure maintenance: accumulated pairs still equal the
+    // from-scratch batch run over the same corpus
+    val streamed = ds.pairs().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = Dedup.lshVerifiedPairs(docs.toSeq.toDF("doc_id", "text"), "doc_id", "text",
+        minJaccard = 0.35, minSigMatchesOverride = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == full, s"streamed ${streamed.size} pairs vs batch ${full.size}")
+    assert(ds.corpus().count() == 100)
   }
 }

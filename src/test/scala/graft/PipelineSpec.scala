@@ -189,7 +189,7 @@ class PipelineSpec extends SparkSpec {
       "Producto,Fecha 1,Provedor,Precio,,,,\nNuevo Item 250g,01/02/2025,NuevoProv,500,,,,\n")
 
     val q = new streaming.StreamRunner(p).start(inDir, "stream", cp)
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream failed to drain within 120 s")
 
     assert(p.ledger.statusOf("stream", "f1.csv") == Schemas.FileStatus.Success)
     assert(p.ledger.statusOf("stream", "f2.csv") == Schemas.FileStatus.Success)

@@ -54,7 +54,7 @@ class SessionizeStreamSpec extends SparkSpec {
         }
       }
       .start()
-    q.awaitTermination(180000)
+    assert(q.awaitTermination(180000), "stream failed to drain within 180 s")
 
     assert(batches >= 3, s"expected one micro-batch per chunk, got $batches")
 

@@ -34,7 +34,7 @@ class StreamingAggSpec extends SparkSpec {
       .format("memory").queryName("agg_out").outputMode("complete")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream failed to drain within 120 s")
 
     val out = spark.sql(
       "SELECT date_format(window.start,'HH:mm') s, event_type, n, total FROM agg_out ORDER BY s, event_type")
@@ -63,7 +63,7 @@ class StreamingAggSpec extends SparkSpec {
       .writeStream.format("memory").queryName("dd_out").outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream failed to drain within 120 s")
 
     assert(spark.sql("SELECT count(*) FROM dd_out").head().getLong(0) == 2)
   }

@@ -78,6 +78,22 @@ class TrainingOpsSpec extends SparkSpec {
     assert(Dedup.exactDedup(df, "doc_id", "text").count() == 2)
   }
 
+  test("exact dedup: null texts share one sentinel group across index and probe") {
+    val df = Seq((1L, null: String), (2L, null: String), (3L, "real text"))
+      .toDF("doc_id", "text")
+    // index side: null texts land under the sentinel, not a NULL key
+    val groups = Dedup.exactGroups(df, "doc_id", "text").collect()
+    val nullGroup = groups.find(_.getAs[String]("text_sha") == "__null_text__").get
+    assert(nullGroup.getAs[Long]("n_copies") == 2 && nullGroup.getAs[Long]("keep_id") == 1L)
+    // probe side: a fresh null-text row hits the index entry and is NOT
+    // admitted as novel (the convention-mismatch bug this pins against)
+    val fresh = Seq((10L, null: String), (11L, "brand new")).toDF("doc_id", "text")
+    val admitted = Dedup.incrementalExactNew(
+      fresh, Dedup.exactGroups(df, "doc_id", "text").select("text_sha"), "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(11L))
+  }
+
   test("minhash: identical texts share signatures, near-dups collide in LSH bands") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
@@ -334,5 +350,20 @@ class TrainingOpsSpec extends SparkSpec {
     assert(inc == full)
     // no corpus-x-corpus pair can ever form
     assert(inc.forall { case (_, b, _) => b >= split })
+
+    // the point-lookup probe (literal band-key + candidate-id pushdown, the
+    // DedupStream default) is a pure scan optimization: identical pairs
+    val probed = Dedup.incrementalLshVerifiedPairs(corpus, idx, fresh, "doc_id", "text",
+        minJaccard = 0.35, minSigMatchesOverride = 4,
+        probeKeyLimit = 10000, pointLookupMaxIds = 10000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(probed == full)
+
+    // a cap below the batch's key/id count falls back to full scans, still exact
+    val capped = Dedup.incrementalLshVerifiedPairs(corpus, idx, fresh, "doc_id", "text",
+        minJaccard = 0.35, minSigMatchesOverride = 4,
+        probeKeyLimit = 3, pointLookupMaxIds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(capped == full)
   }
 }
