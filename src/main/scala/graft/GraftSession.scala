@@ -63,10 +63,13 @@ object GraftSession {
       // candidate doc ids into the index scans as literal In predicates
       // (Dedup.prefilterAndVerify pointLookup). Above this threshold Spark
       // rewrites a parquet In pushdown to a min/max range check, which is
-      // useless for uniformly-distributed hash keys — keep the exact OR-of-eq
-      // form up to the probe caps (row-group stat evaluation at this width is
-      // microseconds per group)
-      .config("spark.sql.parquet.pushdown.inFilterThreshold", "20000")
+      // useless for uniformly-distributed hash keys — so raise it to the
+      // probe caps. NOT higher: parquet-mr builds the In as a LEFT-DEEP
+      // or(eq, or(eq, ...)) tree and evaluates it by recursion, one frame
+      // per value — a 10k-literal list overflows a default 1 MB executor
+      // stack inside the vectorized reader (observed as StackOverflowError
+      // in nextBatch). 1024 values ≈ a few hundred KB of visitor frames.
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "1024")
       .config("spark.sql.session.timeZone", "UTC")
       // events.ts is parquet TIMESTAMP(NANOS); Spark has no nanos timestamp
       // type, so read it as a nanos-since-epoch long (public legacy flag)

@@ -49,7 +49,7 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType
 class DedupStream(wh: Warehouse, k: Int = 5, numHashes: Int = 8,
     rowsPerBand: Int = 2, minJaccard: Double = 0.5, minSigMatchesOverride: Int = -1,
     compactEvery: Int = 0,
-    probeKeyLimit: Int = 10000, pointLookupMaxIds: Int = 10000) {
+    probeKeyLimit: Int = 1000, pointLookupMaxIds: Int = 1000) {
 
   val indexTable = "dedup/SignatureIndex"
   val bandTable = "dedup/BandIndex"

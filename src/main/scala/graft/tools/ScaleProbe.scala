@@ -50,12 +50,17 @@ object ScaleProbe {
     val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
 
-    // replica i: re-keyed ids, every token salted with the replica tag so the
-    // shingle set is disjoint from every other replica's
+    // replica i: re-keyed ids, every token REPLACED by a replica-keyed md5
+    // prefix. Shingles are CHARACTER 5-grams (TextOps.shingles), so merely
+    // suffixing tokens would leave the original grams intact and make every
+    // replica a near-dup of every other (a first draft did exactly that and
+    // pair counts grew with corpus size); hashed tokens share only chance
+    // hex grams across replicas (jaccard ~0.001) while preserving
+    // within-replica similarity structure (shared tokens stay shared)
     def salted(i: Int): DataFrame = docs0.select(
       (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
       concat_ws(" ", transform(split(col("text"), " "),
-        w => concat(w, lit(s"_r$i")))).as("text"))
+        w => substring(md5(concat(w, lit(s"#$i"))), 1, 8))).as("text"))
 
     // fixed fresh micro-batch: novel docs (salt tag no corpus replica uses)
     // + exact copies of replica-0 docs re-keyed — so true-match work is
@@ -86,18 +91,24 @@ object ScaleProbe {
     scales.foreach { n =>
       val whDir = Files.createTempDirectory(s"graft-scaleprobe-x$n-").toString
       val wh = new Warehouse(spark, whDir)
+      // rowsPerBand = 4 (2 bands of 4 minhashes): at corpus scale the band
+      // width is what keeps BUCKET COLLISIONS sparse — 2-minhash bands
+      // random-collide often enough at 500k docs that the candidate-id tail
+      // blows past the point-lookup cap and the probe degrades to the
+      // full-scan fallback (measured here before widening). Planted exact
+      // dups still collide with probability 1.
       val corpus = (0 until n).map(salted).reduce(_ union _)
       val sigs = Dedup.minhashSignatures(corpus, "doc_id", "text", 5, 8)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       sortedWrite(sigs, wh.path("dedup/SignatureIndex"), "doc_id")
-      sortedWrite(Dedup.bandKeys(sigs, "doc_id", 8, 2), wh.path("dedup/BandIndex"), "key")
+      sortedWrite(Dedup.bandKeys(sigs, "doc_id", 8, 4), wh.path("dedup/BandIndex"), "key")
       sortedWrite(corpus, wh.path("dedup/Corpus"), "doc_id")
       sigs.unpersist(true)
       val idxBytes = Files.walk(java.nio.file.Paths.get(whDir))
         .filter(p => p.toString.endsWith(".parquet")).mapToLong(p => Files.size(p)).sum()
 
       val ds = new graft.streaming.DedupStream(wh, minJaccard = 0.35, minSigMatchesOverride = 4)
-      Seq(("probe", 10000, 10000), ("fullscan", 0, 0)).foreach { case (mode, keyLim, idLim) =>
+      Seq(("probe", 1000, 1000), ("fullscan", 0, 0)).foreach { case (mode, keyLim, idLim) =>
         // warm the page cache + codegen once, then measure a clean run
         (1 to 2).foreach { rep =>
           bytesRead.set(0); recordsRead.set(0)
@@ -105,7 +116,7 @@ object ScaleProbe {
           val pairs = Dedup.incrementalLshVerifiedPairs(
             wh.read("dedup/Corpus", ds.docSchema),
             wh.read("dedup/SignatureIndex", ds.sigSchema),
-            fresh, "doc_id", "text", 5, 8, 2, 0.35, 4,
+            fresh, "doc_id", "text", 5, 8, 4, 0.35, 4,
             corpusBandsPre = Some(wh.read("dedup/BandIndex", ds.bandSchema)),
             persistCorpusSigs = false,
             probeKeyLimit = keyLim, pointLookupMaxIds = idLim)
