@@ -1063,6 +1063,30 @@ object SparkEntry {
         k = 8, minJaccard = 0.05)
         .orderBy(col("id_a"), col("id_b"))
 
+    // paragraph-level dedup (FineWeb/CCNet-style boilerplate removal). The
+    // synthetic docs have no internal paragraph structure, so the query first
+    // builds overlapping composite documents — composite c = docs
+    // {2c, 2c+1, 2c+2} joined by blank lines, so consecutive composites share
+    // one member doc and ~half of all paragraphs are corpus-wide duplicates —
+    // then keeps each paragraph's first occurrence. Membership is derived
+    // per-doc (even docs belong to two composites) so the build is an
+    // explode + groupBy, not a range join.
+    q("dedup_paragraphs") = (s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val members = docs.select(
+        explode(filter(
+          when(col("doc_id") % 2 === 0,
+            array(shiftright(col("doc_id"), 1) - 1, shiftright(col("doc_id"), 1)))
+            .otherwise(array(shiftright(col("doc_id"), 1))),
+          c => c >= 0)).as("cid"),
+        col("doc_id"), col("text"))
+      val comp = members.groupBy(col("cid"))
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+            e => e.getField("text")), "\n\n").as("text"))
+      Dedup.paragraphDedup(comp, "cid", "text").orderBy(col("cid"))
+    }
+
     // embedding near-duplicate pairs (cosine threshold verification kernel)
     q("dedup_embedding") = (s, dir) =>
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
@@ -1957,6 +1981,34 @@ object SparkEntry {
         | CAST(min(doc_id) AS BIGINT) AS keep_id,
         | CAST(count(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // composite build mirrors the Spark query: doc d joins composites
+    // {d//2 - 1 (even d only), d//2}; row_number()=1 over (cid, pos) is the
+    // same keep-first rule as Spark's min(struct(id, pos)) since (cid, pos)
+    // is unique per occurrence; zipped unnest(range(len))/unnest(lst) is
+    // DuckDB's positional explode
+    "dedup_paragraphs" ->
+      """WITH m AS (
+        |  SELECT doc_id//2 AS cid, doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id//2 - 1 AS cid, doc_id, text FROM documents WHERE doc_id % 2 = 0
+        |),
+        |comp AS (
+        |  SELECT cid, string_agg(text, chr(10)||chr(10) ORDER BY doc_id) AS text
+        |  FROM m WHERE cid >= 0 GROUP BY cid
+        |),
+        |paras AS (
+        |  SELECT cid, unnest(range(len(lst))) AS pos, unnest(lst) AS para
+        |  FROM (SELECT cid, str_split(text, chr(10)||chr(10)) AS lst FROM comp)
+        |),
+        |kept AS (
+        |  SELECT cid, pos, para FROM (
+        |    SELECT cid, pos, para,
+        |           row_number() OVER (PARTITION BY para ORDER BY cid, pos) AS rn
+        |    FROM paras) t WHERE rn = 1
+        |)
+        |SELECT cid, string_agg(para, chr(10)||chr(10) ORDER BY pos) AS text
+        |FROM kept GROUP BY cid ORDER BY cid""".stripMargin,
 
     "dedup_minhash" ->
       s"""WITH sh AS (

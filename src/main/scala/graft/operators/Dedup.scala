@@ -638,4 +638,37 @@ object Dedup {
       .filter(col("cosine") >= minCosine)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  /** Paragraph-level corpus dedup (the FineWeb/CCNet boilerplate-removal
+    * pass): split every document on `sep`, keep only the corpus-wide FIRST
+    * occurrence of each distinct paragraph — ordered by (id, position) — and
+    * reassemble each document's surviving paragraphs in their original
+    * order. Repeated boilerplate (headers, footers, license blocks) survives
+    * once, in the document that saw it first; a document whose every
+    * paragraph was first seen elsewhere disappears from the output, and a
+    * null-text document contributes no paragraphs (posexplode of null).
+    *
+    * Scale shape: posexplode is narrow; the keep-set IS the result of
+    * groupBy(paragraph).agg(min(struct(id, pos))) — no join back, and min()
+    * combines map-side, so a paragraph duplicated 10M times (exactly the
+    * boilerplate this op exists for) reaches the reducer as one row per map
+    * partition instead of one sorted 10M-row window partition. Reassembly is
+    * a second groupBy on the document id: two shuffles total. At 100 TB,
+    * group by sha2(para) and carry the text on one side to bound
+    * shuffle-record width (not done here: grouping by the raw string keeps
+    * the oracle free of hash conventions).
+    */
+  def paragraphDedup(df: DataFrame, id: String, text: String,
+      sep: String = "\n\n"): DataFrame = {
+    val paras = df.select(col(id),
+      posexplode(split(col(text), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "para")))
+    val kept = paras.groupBy(col("para"))
+      .agg(min(struct(col(id), col("pos"))).as("w"))
+      .select(col(s"w.$id").as(id), col("w.pos").as("pos"), col("para"))
+    kept.groupBy(col(id))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("para")))),
+          e => e.getField("para")), sep).as(text))
+  }
 }

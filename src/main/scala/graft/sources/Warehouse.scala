@@ -23,6 +23,14 @@ class Warehouse(val spark: SparkSession, val root: String) {
 
   def exists(table: String): Boolean = fs.exists(new Path(path(table)))
 
+  /** Total stored bytes under a table's directory (0 when absent). One
+    * namenode round trip — cheap enough to consult per micro-batch for
+    * size-adaptive planning decisions (see [[graft.streaming.DedupStream]]'s
+    * probe gate).
+    */
+  def sizeBytes(table: String): Long =
+    if (exists(table)) fs.getContentSummary(new Path(path(table))).getLength else 0L
+
   /** Read a table; empty frame with the declared schema when absent. */
   def read(table: String, schema: StructType): DataFrame =
     if (exists(table)) spark.read.schema(schema).parquet(path(table))

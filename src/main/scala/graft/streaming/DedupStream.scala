@@ -49,7 +49,8 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType
 class DedupStream(wh: Warehouse, k: Int = 5, numHashes: Int = 8,
     rowsPerBand: Int = 2, minJaccard: Double = 0.5, minSigMatchesOverride: Int = -1,
     compactEvery: Int = 0,
-    probeKeyLimit: Int = 1000, pointLookupMaxIds: Int = 1000) {
+    probeKeyLimit: Int = 1000, pointLookupMaxIds: Int = 1000,
+    probeMinIndexBytes: Long = 256L << 20) {
 
   val indexTable = "dedup/SignatureIndex"
   val bandTable = "dedup/BandIndex"
@@ -71,6 +72,15 @@ class DedupStream(wh: Warehouse, k: Int = 5, numHashes: Int = 8,
     StructField("id_a", LongType, nullable = false),
     StructField("id_b", LongType, nullable = false),
     StructField("jaccard", DoubleType, nullable = true)))
+
+  /** The size-adaptive probe decision: point-probe limits apply only once
+    * the persisted index outgrows `probeMinIndexBytes`; under it, (0, 0)
+    * selects the full-scan path. Factored out so the gate itself is
+    * unit-testable without driving a stream to 256 MB.
+    */
+  def effectiveProbeLimits(indexBytes: Long): (Int, Int) =
+    if (indexBytes >= probeMinIndexBytes) (probeKeyLimit, pointLookupMaxIds)
+    else (0, 0)
 
   /** Dedup one micro-batch against the corpus-so-far, append the discovered
     * pairs, and admit the batch (docs + signatures).
@@ -94,14 +104,20 @@ class DedupStream(wh: Warehouse, k: Int = 5, numHashes: Int = 8,
     // In predicates, so on key-/id-sorted index files the per-batch reads
     // prune to the matched row groups instead of the whole accumulated
     // corpus (see the scaladoc on Dedup.incrementalLshVerifiedPairs;
-    // ScaleProbe measures the effect)
+    // ScaleProbe measures the effect). The probe is gated on index SIZE:
+    // collecting keys/ids costs two extra driver jobs per batch (~4 s
+    // measured at sf0.1 over 3 batches), which only pays for itself once
+    // index scan I/O dominates — below `probeMinIndexBytes` the whole index
+    // is a handful of row groups and the full scan is strictly cheaper.
+    val (keyLim, idLim) = effectiveProbeLimits(
+      wh.sizeBytes(bandTable) + wh.sizeBytes(indexTable))
     val pairs = Dedup.incrementalLshVerifiedPairs(
       wh.read(corpusTable, docSchema), wh.read(indexTable, sigSchema), batch,
       "doc_id", "text", k, numHashes, rowsPerBand, minJaccard,
       minSigMatchesOverride, freshSigsPre = Some(batchSigs),
       persistCorpusSigs = false,
       corpusBandsPre = Some(wh.read(bandTable, bandSchema)),
-      probeKeyLimit = probeKeyLimit, pointLookupMaxIds = pointLookupMaxIds)
+      probeKeyLimit = keyLim, pointLookupMaxIds = idLim)
     // pairs FIRST and alone: its plan scans the index/band/corpus tables,
     // so the admit appends below must not land new files while it runs
     // (a probe that saw the batch's own signatures would re-emit

@@ -80,4 +80,23 @@ class DedupStreamSpec extends SparkSpec {
     assert(streamed == full, s"streamed ${streamed.size} pairs vs batch ${full.size}")
     assert(ds.corpus().count() == 100)
   }
+
+  test("probe gate: full scan below the size threshold, point-probe above") {
+    val whDir = Files.createTempDirectory("graft-dstream-gate-").toString
+    val wh = new Warehouse(spark, whDir)
+    val ds = new DedupStream(wh, probeKeyLimit = 1000, pointLookupMaxIds = 500,
+      probeMinIndexBytes = 1024)
+    assert(ds.effectiveProbeLimits(0L) == (0, 0))
+    assert(ds.effectiveProbeLimits(1023L) == (0, 0))
+    assert(ds.effectiveProbeLimits(1024L) == (1000, 500))
+    assert(ds.effectiveProbeLimits(Long.MaxValue) == (1000, 500))
+
+    // and the size the gate consults: absent table = 0, grows with appends
+    assert(wh.sizeBytes("t") == 0L)
+    wh.append("t", Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text"))
+    val s1 = wh.sizeBytes("t")
+    assert(s1 > 0L)
+    wh.append("t", Seq((3L, "c")).toDF("doc_id", "text"))
+    assert(wh.sizeBytes("t") > s1)
+  }
 }

@@ -94,6 +94,26 @@ class TrainingOpsSpec extends SparkSpec {
     assert(admitted == Set(11L))
   }
 
+  test("paragraph dedup: keep-first across corpus, order preserved, vanishing doc") {
+    val df = Seq(
+      (1L, "intro one\n\nshared boilerplate\n\nbody one"),
+      (2L, "shared boilerplate\n\nbody two"),
+      (3L, "shared boilerplate"), // every paragraph first seen elsewhere
+      (4L, "body two\n\nbody two\n\ntail four"), // within-doc repeat collapses too
+      (5L, null: String) // null text contributes no paragraphs
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 1 saw the boilerplate first and keeps it, in original order
+    assert(out(1L) == "intro one\n\nshared boilerplate\n\nbody one")
+    // doc 2 loses the boilerplate, keeps its own body
+    assert(out(2L) == "body two")
+    // docs 3 (all paragraphs seen first elsewhere) and 5 (null) vanish
+    assert(!out.contains(3L) && !out.contains(5L))
+    // doc 4: "body two" lost to doc 2 entirely (both copies); tail survives
+    assert(out(4L) == "tail four")
+  }
+
   test("minhash: identical texts share signatures, near-dups collide in LSH bands") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
