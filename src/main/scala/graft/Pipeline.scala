@@ -23,13 +23,13 @@ class Pipeline(val spark: SparkSession, val wh: Warehouse) {
   final case class Dims(provider: DataFrame, product: DataFrame, providerProduct: DataFrame,
       unitOfMeasure: DataFrame, providerSynonym: DataFrame, uomAcronym: DataFrame)
 
-  private def dims: Dims = Dims(
-    provider = wh.read("dims/Provider", Schemas.provider),
-    product = wh.read("dims/Product", Schemas.product),
-    providerProduct = wh.read("dims/Provider_Product", Schemas.providerProduct),
-    unitOfMeasure = wh.read("dims/UnitOfMeasure", Schemas.unitOfMeasure),
-    providerSynonym = wh.read("lookup/ProviderSynonym", Schemas.providerSynonym),
-    uomAcronym = wh.read("lookup/UnitOfMeasureAcronym", Schemas.unitOfMeasureAcronym))
+  private def dims(w: Warehouse): Dims = Dims(
+    provider = w.read("dims/Provider", Schemas.provider),
+    product = w.read("dims/Product", Schemas.product),
+    providerProduct = w.read("dims/Provider_Product", Schemas.providerProduct),
+    unitOfMeasure = w.read("dims/UnitOfMeasure", Schemas.unitOfMeasure),
+    providerSynonym = w.read("lookup/ProviderSynonym", Schemas.providerSynonym),
+    uomAcronym = w.read("lookup/UnitOfMeasureAcronym", Schemas.unitOfMeasureAcronym))
 
   /** EP1 steps 6-10 on an already-parsed raw frame; returns staging counts. */
   def runBatch(raw: DataFrame): StagingSummary = {
@@ -48,28 +48,39 @@ class Pipeline(val spark: SparkSession, val wh: Warehouse) {
     val spp = wh.spark.read.parquet(wh.path(s"$stagingDir/Provider_Product"))
     val summary = StagingSummary(sp.count(), spr.count(), spp.count())
 
-    // merge staging → dims (J1-J5), in dependency order. Each merged frame
-    // is consumed exactly once (replace stages to a tmp dir BEFORE swapping,
-    // so the plan's reads of the old dim stay valid during the write) — no
-    // cache/materialize step; each merge is one job
-    val d = dims
-    wh.replace("dims/UnitOfMeasure",
-      Merge.mergeUnitsOfMeasure(d.unitOfMeasure, d.uomAcronym, spr))
+    // merge staging → dims (J1-J5), in dependency order, as ONE declared
+    // transaction — the boundary the reference gets from SQL Server
+    // (etl_orchestrator.py:168-189). On the base warehouse `atomically` is
+    // pass-through (the documented re-run-converges contract applies,
+    // CrashConsistencySpec); on an AtomicWarehouse a crash mid-merge leaves
+    // every dim at its pre-batch snapshot. Later merges read dims the
+    // earlier replaces wrote, so the transactional view's reads must see
+    // its own staged writes. Each merged frame is consumed exactly once
+    // (replace stages BEFORE swapping/publishing, so the plan's reads of
+    // the old dim stay valid during the write) — no cache/materialize
+    // step; each merge is one job. Staging-table writes stay OUTSIDE the
+    // transaction: they are batch-scoped scratch, deleted at commit and
+    // orphaned (not corrupted) by a crash.
+    wh.atomically { w =>
+      val d = dims(w)
+      w.replace("dims/UnitOfMeasure",
+        Merge.mergeUnitsOfMeasure(d.unitOfMeasure, d.uomAcronym, spr))
 
-    wh.replace("dims/Provider",
-      Merge.mergeProviders(d.provider, d.providerSynonym, sp))
+      w.replace("dims/Provider",
+        Merge.mergeProviders(d.provider, d.providerSynonym, sp))
 
-    val d2 = dims
-    wh.replace("dims/Product",
-      Merge.mergeProducts(d2.product, d2.unitOfMeasure, d.uomAcronym, spr))
+      val d2 = dims(w)
+      w.replace("dims/Product",
+        Merge.mergeProducts(d2.product, d2.unitOfMeasure, d.uomAcronym, spr))
 
-    val d3 = dims
-    wh.replace("dims/Provider_Product",
-      Merge.mergeProviderProducts(
-        d3.providerProduct, d3.provider, d.providerSynonym, d3.product, spp))
+      val d3 = dims(w)
+      w.replace("dims/Provider_Product",
+        Merge.mergeProviderProducts(
+          d3.providerProduct, d3.provider, d.providerSynonym, d3.product, spp))
 
-    // post-merge staging cleanup (etl_orchestrator.py:182-184)
-    wh.delete(stagingDir)
+      // post-merge staging cleanup (etl_orchestrator.py:182-184)
+      w.delete(stagingDir)
+    }
     summary
   }
 

@@ -1,0 +1,360 @@
+package graft.sources
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Transactional warehouse: all-or-nothing visibility for any group of table
+  * writes — the capability the reference gets from SQL Server transactions
+  * around its staging→merge→ledger batch (`core/etl_orchestrator.py:168-189`)
+  * and the base [[Warehouse]] explicitly scopes out as a connector concern.
+  * This is the connector built: a minimal manifest-commit table format
+  * (the Delta/Iceberg "pointer commit" idea) over plain parquet files.
+  *
+  * Mechanics:
+  *   - Every write in a transaction is STAGED: data files land under
+  *     `root/txstage/<txid>/`, invisible to every reader.
+  *   - Commit moves the staged files into their table directories (under
+  *     unique names) and then publishes ONE manifest — a TSV of
+  *     `add table file` / `truncate table` lines — by atomic rename into
+  *     `root/_txlog/v<n>.tsv`. The rename is the single point of
+  *     visibility: readers resolve a table to the file set obtained by
+  *     folding all committed manifests in version order, so a crash
+  *     anywhere before the rename leaves every table at its prior
+  *     snapshot, across ALL tables in the transaction.
+  *   - `truncate` entries apply by table prefix, so `delete("staging/x")`
+  *     hides `staging/x/Provider` exactly like the base warehouse's
+  *     directory delete.
+  *   - Reads inside a transaction see the transaction's own staged writes
+  *     (read-your-own-writes) — EP1's merge chain requires it (each merge
+  *     reads the dim the previous merge replaced). Unsupported only for
+  *     staged PARTITIONED appends (no caller needs it; loud error).
+  *   - Tables never written through a manifest (raw `df.write` into
+  *     `wh.path(...)`, e.g. CSV artifacts or ScaleProbe's hand-laid
+  *     indexes) fall back to the base directory read — manifest history
+  *     takes over the first time a table is written through this class.
+  *
+  * Non-goals, documented honestly: single-writer (concurrent committers
+  * are detected by the losing rename and retried, but writer isolation is
+  * not serializable-snapshot); `exists` stays PHYSICAL (raw-path callers
+  * check CSV artifact dirs, so a truncated table with not-yet-vacuumed
+  * files still "exists" — `read` is the manifest-true surface); orphan
+  * data files from a crashed transaction are invisible garbage until
+  * [[vacuum]] removes them; every commit adds one small manifest file
+  * until [[vacuum]]'s snapshot folds the log. A crash BETWEEN the file
+  * moves and the manifest rename can strand moved files in the table
+  * directory — invisible to manifest readers, visible to raw-path readers
+  * (the same class of reader the contract already excludes).
+  *
+  * Cited shape: Delta Lake's `_delta_log` JSON actions and Iceberg's
+  * snapshot manifests (public formats); this is the smallest
+  * rename-atomic subset that gives multi-table batches.
+  */
+class AtomicWarehouse(spark0: SparkSession, root0: String)
+    extends Warehouse(spark0, root0) {
+
+  private val logDir = new Path(s"$root/_txlog")
+  // NOT dot- or underscore-prefixed: read-your-own-writes reads staged
+  // files through Spark, whose hidden-file filter silently drops paths
+  // under `.`/`_` directories — a dot-named stage dir reads as EMPTY
+  private val stageRoot = new Path(s"$root/txstage")
+
+  // ---- manifest log -------------------------------------------------------
+
+  private def commitFiles(): Seq[Path] = {
+    if (!fs.exists(logDir)) return Nil
+    fs.listStatus(logDir).toSeq.map(_.getPath)
+      .filter(p => p.getName.matches("v\\d{8}\\.tsv"))
+      .sortBy(_.getName)
+  }
+
+  private def readLines(p: Path): Seq[String] = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+    finally in.close()
+  }
+
+  /** Fold the committed log. Returns None when the table has no manifest
+    * history at all (legacy/raw directory — caller falls back to the base
+    * behavior), Some(files) otherwise (possibly empty after a truncate).
+    * A `snapshot` marker line (written by [[vacuum]]) resets the fold: only
+    * that manifest and later ones matter.
+    */
+  private def visibleFiles(table: String): Option[Seq[String]] = {
+    var touched = false
+    var files = Vector.empty[String]
+    commitFiles().foreach { cf =>
+      readLines(cf).foreach { line =>
+        val f = line.split('\t')
+        f(0) match {
+          case "snapshot" => // marker only; the adds that follow rebuild state
+          case "truncate" =>
+            val t = f(1)
+            if (table == t || table.startsWith(t + "/")) { touched = true; files = Vector.empty }
+          case "add" =>
+            if (f(1) == table) { touched = true; files = files :+ f(2) }
+          case other => throw new IllegalStateException(s"unknown txlog action '$other' in $cf")
+        }
+      }
+    }
+    if (touched) Some(files) else None
+  }
+
+  /** Publish one manifest atomically: write to a dot-temp in `_txlog`, then
+    * rename to the next version. A losing rename (concurrent committer, or
+    * a version computed before a racing commit) re-reads the log and
+    * retries with the next number.
+    */
+  private def publish(lines: Seq[String]): Unit = synchronized {
+    fs.mkdirs(logDir)
+    val tmp = new Path(logDir, s".tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
+    var attempts = 0
+    while (attempts < 50) {
+      val next = commitFiles().lastOption
+        .map(p => p.getName.stripPrefix("v").stripSuffix(".tsv").toInt + 1).getOrElse(1)
+      if (fs.rename(tmp, new Path(logDir, f"v$next%08d.tsv"))) return
+      attempts += 1
+    }
+    fs.delete(tmp, true)
+    throw new java.io.IOException("could not publish txlog manifest after 50 attempts")
+  }
+
+  // ---- staged transaction state -------------------------------------------
+
+  /** One staged write: `truncate` optionally first (replace/delete), then
+    * the staged files to add. `stageDir` is where the data files currently
+    * sit; relative subpaths are preserved on move (partition dirs).
+    */
+  private case class Staged(table: String, truncate: Boolean,
+      stageDir: Option[Path], partitioned: Boolean)
+
+  private class Tx {
+    val txid: String = java.util.UUID.randomUUID().toString
+    val entries = new ArrayBuffer[Staged]() // guarded by Tx.this
+    var seq = 0
+    def nextStageDir(): Path = { seq += 1; new Path(stageRoot, s"$txid/$seq") }
+  }
+
+  private def stagedDataFiles(dir: Path): Seq[String] = {
+    if (!fs.exists(dir)) return Nil
+    // listFiles returns fully-qualified URIs (file:/...); qualify the base
+    // the same way or the prefix strip silently yields absolute paths
+    val base = fs.makeQualified(dir).toString + "/"
+    val it = fs.listFiles(dir, true)
+    val b = ArrayBuffer[String]()
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = st.getPath.toString.stripPrefix(base)
+      // Spark writes _SUCCESS and dot-CRCs alongside data; only data files
+      // enter the manifest
+      if (!rel.split('/').exists(s => s.startsWith("_") || s.startsWith(".")))
+        b += rel
+    }
+    b.toSeq
+  }
+
+  /** A table's current readable file set: manifest-resolved once the table
+    * has history, physical directory contents before (raw/legacy tables —
+    * the first manifest write ADOPTS those files so no rows vanish when a
+    * directory-laid table starts being written transactionally).
+    */
+  private def committedOrPhysical(table: String): Seq[String] =
+    visibleFiles(table).getOrElse(stagedDataFiles(new Path(path(table))))
+
+  /** The in-transaction view handed to `atomically`'s body: writes stage,
+    * reads see the transaction's own staged state first. A nested
+    * `atomically` joins the ambient transaction.
+    */
+  private class TxView(tx: Tx) extends Warehouse(spark0, root0) {
+    private def stage(table: String, truncate: Boolean, partitioned: Boolean,
+        write: Option[Path => Unit]): Unit = {
+      val dirOpt = write.map { w =>
+        val d = tx.synchronized(tx.nextStageDir())
+        withRetry()(w(d))
+        d
+      }
+      tx.synchronized(tx.entries += Staged(table, truncate, dirOpt, partitioned))
+    }
+
+    override def append(table: String, df: DataFrame): Unit =
+      stage(table, truncate = false, partitioned = false,
+        Some(d => df.write.mode(SaveMode.Overwrite).parquet(d.toString)))
+
+    override def appendPartitioned(table: String, df: DataFrame,
+        partitionCols: Seq[String]): Unit =
+      stage(table, truncate = false, partitioned = true,
+        Some(d => df.write.mode(SaveMode.Overwrite)
+          .partitionBy(partitionCols: _*).parquet(d.toString)))
+
+    // staged source files are never disturbed by the staged write, so
+    // replace needs none of the base class's tmp-and-swap choreography
+    override def replace(table: String, df: DataFrame): Unit =
+      stage(table, truncate = true, partitioned = false,
+        Some(d => df.write.mode(SaveMode.Overwrite).parquet(d.toString)))
+
+    override def delete(table: String): Unit =
+      stage(table, truncate = true, partitioned = false, None)
+
+    override def read(table: String, schema: StructType): DataFrame = {
+      val staged = tx.synchronized(tx.entries.filter(e =>
+        e.table == table || (e.truncate &&
+          (table == e.table || table.startsWith(e.table + "/")))).toVector)
+      if (staged.isEmpty) return AtomicWarehouse.this.read(table, schema)
+      if (staged.exists(_.partitioned))
+        throw new UnsupportedOperationException(
+          s"read-your-own-writes over a staged PARTITIONED append to $table is not supported")
+      var files = committedOrPhysical(table).map(f => s"${path(table)}/$f")
+      staged.foreach { e =>
+        if (e.truncate) files = Nil
+        if (e.table == table) files = files ++ e.stageDir.toSeq.flatMap(d =>
+          stagedDataFiles(d).map(f => s"$d/$f"))
+      }
+      if (files.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(files: _*)
+    }
+
+    override def exists(table: String): Boolean =
+      tx.synchronized(tx.entries.exists(e => e.table == table && !e.truncate)) ||
+        AtomicWarehouse.this.exists(table)
+
+    override def atomically(fn: Warehouse => Unit): Unit = fn(this)
+  }
+
+  // ---- public transactional surface ---------------------------------------
+
+  override def atomically(fn: Warehouse => Unit): Unit = {
+    val tx = new Tx()
+    try {
+      fn(new TxView(tx))
+      commit(tx)
+    } catch {
+      case e: Throwable =>
+        fs.delete(new Path(stageRoot, tx.txid), true) // staged files only
+        throw e
+    }
+  }
+
+  private def commit(tx: Tx): Unit = {
+    val lines = ArrayBuffer[String]()
+    val deletesAfter = ArrayBuffer[String]()
+    // adoption: the first manifest write to a table laid down by raw
+    // df.write (legacy) records the existing physical files, so switching a
+    // table to transactional writes never makes its old rows vanish. A
+    // truncate-first entry (replace/delete) discards them anyway.
+    tx.entries.groupBy(_.table).foreach { case (t, es) =>
+      if (!es.head.truncate && visibleFiles(t).isEmpty) // isEmpty: None = no history
+        stagedDataFiles(new Path(path(t))).foreach(f => lines += s"add\t$t\t$f")
+    }
+    tx.entries.zipWithIndex.foreach { case (e, i) =>
+      if (e.truncate) {
+        lines += s"truncate\t${e.table}"
+        if (e.stageDir.isEmpty) deletesAfter += e.table
+      }
+      e.stageDir.foreach { d =>
+        val tdir = new Path(path(e.table))
+        fs.mkdirs(tdir)
+        stagedDataFiles(d).foreach { rel =>
+          // keep partition subdirs; uniquify the leaf so concurrent
+          // transactions and replays can never collide
+          val (sub, leaf) = rel.lastIndexOf('/') match {
+            case -1 => ("", rel)
+            case n  => (rel.substring(0, n + 1), rel.substring(n + 1))
+          }
+          val destRel = s"$sub${"tx-" + tx.txid + "-" + i + "-" + leaf}"
+          val dest = new Path(tdir, destRel)
+          Option(dest.getParent).foreach(fs.mkdirs)
+          if (!fs.rename(new Path(d, rel), dest))
+            throw new java.io.IOException(s"staging move failed for ${e.table}/$destRel")
+          lines += s"add\t${e.table}\t$destRel"
+        }
+      }
+    }
+    if (lines.nonEmpty) publish(lines.toSeq)
+    fs.delete(new Path(stageRoot, tx.txid), true)
+    // physical delete AFTER the commit is visible: a crash before this point
+    // leaves the files as unreferenced garbage (vacuum), never as a
+    // partially-deleted committed state
+    deletesAfter.foreach(t => fs.delete(new Path(path(t)), true))
+  }
+
+  override def append(table: String, df: DataFrame): Unit =
+    atomically(_.append(table, df))
+
+  override def appendPartitioned(table: String, df: DataFrame,
+      partitionCols: Seq[String]): Unit =
+    atomically(_.appendPartitioned(table, df, partitionCols))
+
+  override def replace(table: String, df: DataFrame): Unit =
+    atomically(_.replace(table, df))
+
+  override def delete(table: String): Unit =
+    atomically(_.delete(table))
+
+  override def read(table: String, schema: StructType): DataFrame =
+    visibleFiles(table) match {
+      case None => super.read(table, schema) // raw/legacy directory
+      case Some(Nil) =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      case Some(files) =>
+        // basePath recovers hive partition columns for partitioned tables
+        spark.read.option("basePath", path(table)).schema(schema)
+          .parquet(files.map(f => s"${path(table)}/$f"): _*)
+    }
+
+  override def sizeBytes(table: String): Long =
+    visibleFiles(table) match {
+      case None        => super.sizeBytes(table)
+      case Some(files) =>
+        files.map(f => fs.getFileStatus(new Path(s"${path(table)}/$f")).getLen).sum
+    }
+
+  /** Log + storage maintenance: (1) fold the whole committed log into one
+    * snapshot manifest (bounds manifest-read cost on long-lived
+    * warehouses), (2) delete data files no manifest references and stage
+    * leftovers, both only when older than `olderThanMs` (an in-flight
+    * transaction's staged files and a racing reader's snapshot stay safe).
+    */
+  def vacuum(olderThanMs: Long = 3600000L): Unit = synchronized {
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    // 1. snapshot: one manifest reproducing the current visible state
+    val old = commitFiles()
+    if (old.size > 1) {
+      val tables = old.flatMap(readLines).collect {
+        case l if l.startsWith("add\t") || l.startsWith("truncate\t") => l.split('\t')(1)
+      }.distinct
+      val lines = "snapshot" +: tables.flatMap { t =>
+        s"truncate\t$t" +: visibleFiles(t).getOrElse(Nil).map(f => s"add\t$t\t$f")
+      }
+      publish(lines)
+      old.foreach(p => fs.delete(p, false)) // superseded by the snapshot
+    }
+    // 2. unreferenced data files under manifest-managed tables
+    val managed = commitFiles().flatMap(readLines).collect {
+      case l if l.startsWith("add\t") => l.split('\t')(1)
+    }.distinct
+    managed.foreach { t =>
+      val tdir = new Path(path(t))
+      if (fs.exists(tdir)) {
+        val visible = visibleFiles(t).getOrElse(Nil).toSet
+        val base = fs.makeQualified(tdir).toString + "/"
+        val it = fs.listFiles(tdir, true)
+        while (it.hasNext) {
+          val st = it.next()
+          val rel = st.getPath.toString.stripPrefix(base)
+          if (!visible.contains(rel) && st.getModificationTime < cutoff)
+            fs.delete(st.getPath, false)
+        }
+      }
+    }
+    // 3. crashed-transaction staging leftovers
+    if (fs.exists(stageRoot))
+      fs.listStatus(stageRoot).foreach { st =>
+        if (st.getModificationTime < cutoff) fs.delete(st.getPath, true)
+      }
+  }
+}

@@ -17,7 +17,7 @@ import org.apache.spark.sql.types.StructType
   */
 class Warehouse(val spark: SparkSession, val root: String) {
 
-  private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  protected def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   def path(table: String): String = s"$root/$table"
 
@@ -109,6 +109,17 @@ class Warehouse(val spark: SparkSession, val root: String) {
   }
 
   def delete(table: String): Unit = fs.delete(new Path(path(table)), true)
+
+  /** Run a group of writes as one unit. The base warehouse provides NO
+    * atomicity — `fn` runs against `this` and each write publishes
+    * immediately (the documented non-transactional contract above). An
+    * [[AtomicWarehouse]] overrides this to stage every write in `fn` and
+    * publish them with a single manifest commit, which is how operators
+    * declare their transaction boundaries (EP1's merge section,
+    * DedupStream's per-batch admit) without depending on any particular
+    * storage backend being transactional.
+    */
+  def atomically(fn: Warehouse => Unit): Unit = fn(this)
 
   /** Connection "awakening" retry: ≤3 attempts, exponential backoff 1s, 2s —
     * mirrors core/database.py:38-50 as a sink-connector concern.

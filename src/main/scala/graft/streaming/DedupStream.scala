@@ -118,32 +118,42 @@ class DedupStream(wh: Warehouse, k: Int = 5, numHashes: Int = 8,
       persistCorpusSigs = false,
       corpusBandsPre = Some(wh.read(bandTable, bandSchema)),
       probeKeyLimit = keyLim, pointLookupMaxIds = idLim)
-    // pairs FIRST and alone: its plan scans the index/band/corpus tables,
-    // so the admit appends below must not land new files while it runs
-    // (a probe that saw the batch's own signatures would re-emit
-    // fresh×fresh pairs through the fresh×corpus path)
-    wh.append(pairsTable, pairs)
-    // the three admit appends are independent writes of already-persisted
-    // frames (no reads) — run them concurrently to collapse three job
-    // latencies into one; the per-batch harness overhead is the dominant
-    // cost of small micro-batches. ALL futures are awaited to settlement
-    // before any failure propagates — bailing on the first error would leave
-    // siblings writing in the background, widening the partial-batch window
-    // beyond the documented ≤3-table contract
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.util.{Failure, Try}
-    val settled: Seq[Try[Unit]] = Await.result(
-      Future.sequence(Seq(
-        Future(wh.append(indexTable, batchSigs)),
-        // key-sorted within files so parquet min/max stats stay tight per group
-        Future(wh.append(bandTable, batchBands.sortWithinPartitions("key"))),
-        Future(wh.append(corpusTable, batch))
-      ).map(_.transform(scala.util.Success(_)))),
-      scala.concurrent.duration.Duration(10, "min"))
-    batchSigs.unpersist(false)
-    batch.unpersist(false)
-    settled.collectFirst { case Failure(e) => throw e }
+    // the batch's 4 writes form ONE declared transaction: on the base
+    // warehouse this is a plain sequential/concurrent run (the documented
+    // at-least-once contract below applies); on an AtomicWarehouse every
+    // write stages and a single manifest commit makes the whole batch
+    // visible at once — a crash anywhere leaves the prior snapshot, and
+    // the at-least-once caveat upgrades to exactly-once visibility
+    try wh.atomically { w =>
+      // pairs FIRST and alone: on the base warehouse its plan scans the
+      // index/band/corpus tables, so the admit appends must not land new
+      // files while it runs (a probe that saw the batch's own signatures
+      // would re-emit fresh×fresh pairs through the fresh×corpus path);
+      // under staged writes the admits are invisible to the plan anyway
+      w.append(pairsTable, pairs)
+      // the three admit appends are independent writes of already-persisted
+      // frames (no reads) — run them concurrently to collapse three job
+      // latencies into one; the per-batch harness overhead is the dominant
+      // cost of small micro-batches. ALL futures are awaited to settlement
+      // before any failure propagates — bailing on the first error would
+      // leave siblings writing in the background, widening the partial-batch
+      // window beyond the documented ≤3-table contract
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.util.{Failure, Try}
+      val settled: Seq[Try[Unit]] = Await.result(
+        Future.sequence(Seq(
+          Future(w.append(indexTable, batchSigs)),
+          // key-sorted within files so parquet min/max stats stay tight per group
+          Future(w.append(bandTable, batchBands.sortWithinPartitions("key"))),
+          Future(w.append(corpusTable, batch))
+        ).map(_.transform(scala.util.Success(_)))),
+        scala.concurrent.duration.Duration(10, "min"))
+      settled.collectFirst { case Failure(e) => throw e }
+    } finally {
+      batchSigs.unpersist(false)
+      batch.unpersist(false)
+    }
     batchesSinceCompact += 1
     if (compactEvery > 0 && batchesSinceCompact >= compactEvery) {
       compactAll()

@@ -1,0 +1,180 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.model.Schemas
+import graft.model.Schemas.FileStatus
+import graft.operators.Dedup
+import graft.sources.{AtomicWarehouse, CsvSource, Warehouse}
+import graft.streaming.DedupStream
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** The transactional warehouse's contract: a group of writes inside
+  * `atomically` is all-or-nothing across tables, readers inside the
+  * transaction see its staged writes, readers outside never see a partial
+  * batch — and the engine code (Pipeline EP1, DedupStream) picks this up
+  * through the `Warehouse.atomically` seam with zero operator changes.
+  */
+class AtomicWarehouseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val kv = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("v", StringType, nullable = true)))
+
+  private def rows(wh: Warehouse, t: String): Set[(Long, String)] =
+    wh.read(t, kv).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+  test("multi-table commit is all-or-nothing; failure publishes nothing") {
+    val wh = new AtomicWarehouse(spark, Files.createTempDirectory("graft-aw-").toString)
+    wh.append("a", Seq((1L, "a1")).toDF("id", "v"))
+    wh.append("b", Seq((1L, "b1")).toDF("id", "v"))
+
+    // failing transaction: the first append stages, then the body throws —
+    // NOTHING becomes visible, including the already-staged write
+    intercept[RuntimeException](wh.atomically { w =>
+      w.append("a", Seq((2L, "a2")).toDF("id", "v"))
+      throw new RuntimeException("boom")
+    })
+    assert(rows(wh, "a") == Set((1L, "a1")) && rows(wh, "b") == Set((1L, "b1")))
+
+    // successful transaction: both tables move together
+    wh.atomically { w =>
+      w.append("a", Seq((2L, "a2")).toDF("id", "v"))
+      w.replace("b", Seq((9L, "b9")).toDF("id", "v"))
+    }
+    assert(rows(wh, "a") == Set((1L, "a1"), (2L, "a2")))
+    assert(rows(wh, "b") == Set((9L, "b9")))
+  }
+
+  test("read-your-own-writes: replace then read inside one transaction") {
+    val wh = new AtomicWarehouse(spark, Files.createTempDirectory("graft-aw-ryow-").toString)
+    wh.append("t", Seq((1L, "old")).toDF("id", "v"))
+    wh.atomically { w =>
+      w.replace("t", Seq((2L, "new")).toDF("id", "v"))
+      assert(rows(w, "t") == Set((2L, "new")), "in-tx read must see the staged replace")
+      w.append("t", Seq((3L, "more")).toDF("id", "v"))
+      assert(rows(w, "t") == Set((2L, "new"), (3L, "more")))
+      // the outside world still sees the old snapshot while we're in here
+      assert(rows(wh, "t") == Set((1L, "old")))
+    }
+    assert(rows(wh, "t") == Set((2L, "new"), (3L, "more")))
+  }
+
+  test("prefix delete hides subtables, like the base directory delete") {
+    val wh = new AtomicWarehouse(spark, Files.createTempDirectory("graft-aw-del-").toString)
+    wh.append("staging/x/Provider", Seq((1L, "p")).toDF("id", "v"))
+    wh.append("staging/x/Product", Seq((1L, "q")).toDF("id", "v"))
+    wh.delete("staging/x")
+    assert(rows(wh, "staging/x/Provider").isEmpty)
+    assert(rows(wh, "staging/x/Product").isEmpty)
+  }
+
+  test("first transactional write adopts a raw-laid table's existing rows") {
+    val dir = Files.createTempDirectory("graft-aw-adopt-").toString
+    val wh = new AtomicWarehouse(spark, dir)
+    // rows written around the warehouse, straight into the directory
+    Seq((1L, "raw")).toDF("id", "v").write.parquet(wh.path("t"))
+    assert(rows(wh, "t") == Set((1L, "raw"))) // legacy fallback read
+    wh.append("t", Seq((2L, "tx")).toDF("id", "v"))
+    assert(rows(wh, "t") == Set((1L, "raw"), (2L, "tx")), "adoption must keep raw rows")
+  }
+
+  test("EP1 on AtomicWarehouse: same end state as base; crash mid-merge leaves the pre-batch snapshot") {
+    val sampleCsv =
+      """Producto,Fecha 1,Provedor,Precio,,,,
+        |Aceite Capullo 500ml *,07/03/2025,Vicente,1.347,,,,
+        |Arroz Premium 1kg x 12,07/03/2025,DosPinos,2.500,,,,
+        |""".stripMargin
+    def dimState(wh: Warehouse) = (
+      wh.read("dims/Provider", Schemas.provider).collect().map(_.getString(1)).sorted.toSeq,
+      wh.read("dims/Product", Schemas.product).collect().map(_.getString(2)).sorted.toSeq,
+      wh.read("dims/Provider_Product", Schemas.providerProduct).count())
+
+    // seam proof: identical dims through the transactional warehouse
+    val base = new Warehouse(spark, Files.createTempDirectory("graft-aw-ep1b-").toString)
+    assert(new Pipeline(spark, base)
+      .processCsv(CsvSource.readString(spark, sampleCsv), "products", "l.csv").status)
+    val aw = new AtomicWarehouse(spark, Files.createTempDirectory("graft-aw-ep1a-").toString)
+    val p = new Pipeline(spark, aw)
+    assert(p.processCsv(CsvSource.readString(spark, sampleCsv), "products", "l.csv").status)
+    assert(dimState(aw) == dimState(base))
+    val want = dimState(aw)
+
+    // crash mid-merge (3rd of 4 dim replaces dies): with the base warehouse
+    // this leaves partially-merged dims (CrashConsistencySpec); with the
+    // atomic warehouse EVERY dim stays at its pre-batch snapshot
+    class CrashingAw(dir: String) extends AtomicWarehouse(spark, dir) {
+      @volatile var armed = false
+      override def atomically(fn: Warehouse => Unit): Unit =
+        super.atomically { w =>
+          fn(new Warehouse(spark, root) {
+            override def read(t: String, s: StructType): DataFrame = w.read(t, s)
+            override def append(t: String, df: DataFrame): Unit = w.append(t, df)
+            override def replace(t: String, df: DataFrame): Unit = {
+              if (armed && t == "dims/Product")
+                throw new java.io.IOException("injected crash")
+              w.replace(t, df)
+            }
+            override def delete(t: String): Unit = w.delete(t)
+            override def exists(t: String): Boolean = w.exists(t)
+          })
+        }
+    }
+    val failing = new CrashingAw(Files.createTempDirectory("graft-aw-ep1c-").toString)
+    val p2 = new Pipeline(spark, failing)
+    assert(p2.processCsv(CsvSource.readString(spark, sampleCsv), "products", "l.csv").status)
+    failing.armed = true
+    val secondCsv = sampleCsv + "Queso Tierno 400g,1/07/2025,Serrano ,1.800,,,,\n"
+    val crashed = p2.processCsv(CsvSource.readString(spark, secondCsv), "products", "l2.csv")
+    assert(!crashed.status && crashed.message.contains("injected crash"))
+    assert(p2.ledger.statusOf("products", "l2.csv") == FileStatus.Failed)
+    // NO partial merge: all dims exactly as after the first batch
+    assert(dimState(failing) == want)
+    // recovery: plain re-run converges, same as the base contract
+    failing.armed = false
+    assert(p2.processCsv(CsvSource.readString(spark, secondCsv), "products", "l2.csv").status)
+    // the merge layer preserves the reference's trailing-space provider text
+    assert(dimState(failing)._1.exists(_.trim == "Serrano"))
+  }
+
+  test("DedupStream batches on AtomicWarehouse equal the base-warehouse run") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id".cast("long").as("doc_id"), $"text")
+      .orderBy("doc_id").limit(90).as[(Long, String)].collect()
+
+    def drive(wh: Warehouse): Set[(Long, Long, Double)] = {
+      val ds = new DedupStream(wh, minJaccard = 0.35, minSigMatchesOverride = 4)
+      docs.grouped(30).foreach(c => ds.processBatch(c.toSeq.toDF("doc_id", "text")))
+      ds.pairs().collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+    val basePairs = drive(new Warehouse(spark, Files.createTempDirectory("graft-aw-dsb-").toString))
+    val awPairs = drive(new AtomicWarehouse(spark, Files.createTempDirectory("graft-aw-dsa-").toString))
+    assert(awPairs == basePairs && awPairs.nonEmpty)
+    assert(awPairs == Dedup.lshVerifiedPairs(docs.toSeq.toDF("doc_id", "text"), "doc_id", "text",
+        minJaccard = 0.35, minSigMatchesOverride = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet)
+  }
+
+  test("vacuum folds the log to one snapshot and removes unreferenced files") {
+    val dir = Files.createTempDirectory("graft-aw-vac-").toString
+    val wh = new AtomicWarehouse(spark, dir)
+    (1 to 5).foreach(i => wh.append("t", Seq((i.toLong, s"v$i")).toDF("id", "v")))
+    wh.replace("t", Seq((99L, "kept")).toDF("id", "v")) // orphans the 5 appends
+    val before = rows(wh, "t")
+    assert(before == Set((99L, "kept")))
+
+    Thread.sleep(50) // file mtimes are millisecond-granular; age past the cutoff
+    wh.vacuum(olderThanMs = 1)
+    assert(rows(wh, "t") == before, "vacuum must not change visible state")
+    val logFiles = Files.list(java.nio.file.Paths.get(dir, "_txlog"))
+      .filter(p => p.getFileName.toString.matches("v\\d{8}\\.tsv")).count()
+    assert(logFiles == 1, s"expected one snapshot manifest, found $logFiles")
+    // the orphaned data files are physically gone
+    val dataFiles = Files.walk(java.nio.file.Paths.get(dir, "t"))
+      .filter(_.toString.endsWith(".parquet")).count()
+    assert(dataFiles == 1, s"expected 1 referenced data file, found $dataFiles")
+  }
+}
