@@ -1014,7 +1014,11 @@ object SparkEntry {
         Files.move(part, Paths.get(inDir, f"chunk_$i%02d.parquet"),
           StandardCopyOption.ATOMIC_MOVE)
       }
-      val ds = new graft.streaming.DedupStream(new graft.sources.Warehouse(s, whDir),
+      // AtomicWarehouse (not the base): every micro-batch's 4-table admit
+      // commits as one manifest transaction, so the oracle gate also proves
+      // the transactional write path end-to-end every round
+      // (AtomicWarehouseSpec proves base ≡ atomic on this exact pipeline)
+      val ds = new graft.streaming.DedupStream(new graft.sources.AtomicWarehouse(s, whDir),
         minJaccard = 0.35, minSigMatchesOverride = 4)
       val dq = ds.start(inDir, ckpt)
       if (!dq.awaitTermination(300000)) {

@@ -10,10 +10,11 @@ import graft.streaming.DedupStream
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Adversarial proof of the documented crash-recovery contracts. The
+/** Adversarial proof of the documented crash-recovery contracts. The BASE
   * warehouse is non-transactional (multi-table batches are not atomic —
-  * Warehouse/Ledger/DedupStream scaladoc), so the contract is NOT "no
-  * partial state"; it is:
+  * Warehouse/Ledger/DedupStream scaladoc; AtomicWarehouseSpec proves the
+  * stronger no-partial-state contract of the transactional impl), so the
+  * base contract is NOT "no partial state"; it is:
   *
   *   - EP1/ledger: a crash mid-merge leaves some dims merged and an attempt
   *     stuck non-Success — and a plain RE-RUN converges the dims to exactly
