@@ -158,6 +158,22 @@ class AtomicWarehouseSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet)
   }
 
+  test("racing commits from separate instances all land (publish rename-retry)") {
+    val dir = Files.createTempDirectory("graft-aw-race-").toString
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    // 8 concurrent appends through 8 SEPARATE warehouse instances on one
+    // root: same-instance publishes serialize on a lock, so distinct
+    // instances are what actually race the version rename — losers must
+    // re-number and retry rather than silently dropping a manifest
+    Await.result(Future.sequence((1 to 8).map { i =>
+      val wh = new AtomicWarehouse(spark, dir)
+      Future(wh.append("t", Seq((i.toLong, s"v$i")).toDF("id", "v")))
+    }), Duration(5, "min"))
+    assert(rows(new AtomicWarehouse(spark, dir), "t").map(_._1) == (1L to 8L).toSet)
+  }
+
   test("vacuum folds the log to one snapshot and removes unreferenced files") {
     val dir = Files.createTempDirectory("graft-aw-vac-").toString
     val wh = new AtomicWarehouse(spark, dir)
