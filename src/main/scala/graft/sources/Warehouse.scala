@@ -80,9 +80,9 @@ class Warehouse(val spark: SparkSession, val root: String) {
     * old directory aside and renaming tmp into place a concurrent reader
     * sees the table missing (a crash in that window leaves it recoverable
     * only from `.tmp`). Single-writer, no-concurrent-reader is the
-    * documented contract here (see [[graft.operators.Ledger]]); a production
-    * deployment gets real atomicity from a table format with a pointer
-    * commit (Delta/Iceberg version file) instead of directory renames.
+    * documented contract here (see [[graft.operators.Ledger]]); real
+    * atomicity comes from a table format with a pointer commit instead of
+    * directory renames — built as [[AtomicWarehouse]].
     *
     * Only the WRITE is retried — once the old directory has been renamed
     * away, re-running `df.write` would re-read a path that no longer exists,

@@ -22,11 +22,15 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType
   *
   * Signatures are computed ONCE per batch and serve both the join and the
   * index append. Idempotency: the Spark checkpoint gives at-most-once file
-  * discovery, and the three appends per batch are not transactional — a
-  * crash mid-batch can leave a partial batch (same single-writer,
-  * non-transactional contract as [[graft.operators.Ledger]]; a production
-  * deployment gets batch atomicity from a transactional table format).
-  * Recovery contract — AT-LEAST-ONCE admission, proved adversarially by
+  * discovery, and the batch's 4 writes run inside ONE declared
+  * `Warehouse.atomically` section — on an
+  * [[graft.sources.AtomicWarehouse]] the whole batch commits as one
+  * manifest and a crash anywhere leaves the prior snapshot (exactly-once
+  * visibility, AtomicWarehouseSpec). On the BASE warehouse the section is
+  * pass-through and a crash mid-batch can leave a partial batch (same
+  * single-writer, non-transactional contract as
+  * [[graft.operators.Ledger]]). Base recovery contract — AT-LEAST-ONCE
+  * admission, proved adversarially by
   * CrashConsistencySpec: when the checkpoint replays a partially-admitted
   * batch, rows may be duplicated in any of the four tables, but the SET of
   * discovered pairs and admitted documents equals the from-scratch batch run
