@@ -61,19 +61,36 @@ object Dedup {
     * artifact [[exactGroups]] maintains).
     *
     * Scale shape: one shuffle of the BATCH on its 32-byte hash (map-side
-    * combined), then a left-anti probe of the index. The index side is a
-    * narrow single-column scan; stored sorted-by-hash (like the LSH band
-    * index) it prunes via row-group stats + runtime bloom filters, so
-    * per-batch cost tracks the batch, not the corpus.
+    * combined), then a left-anti probe of the index. With
+    * `probeHashLimit` > 0 and a batch of ≤ that many distinct hashes, the
+    * batch's hashes are pushed into the index scan as a literal `In`
+    * predicate first — on a sha-sorted index this prunes to the matched
+    * row groups exactly like the LSH band probe (same measured mechanism,
+    * `tools/ScaleProbe`/`PushdownCheck`; same ≤1000 literal cap — see
+    * GraftSession on the parquet `In` stack-depth limit). A larger batch
+    * falls back to the plain anti-join, where row-group stats + runtime
+    * bloom filters still help. Either way per-batch cost tracks the
+    * batch, not the corpus. The pre-filter preserves anti-join semantics
+    * exactly: rows of the index OUTSIDE the batch's hash set can never
+    * anti-match a batch row.
     */
   def incrementalExactNew(fresh: DataFrame, seenHashes: DataFrame,
-      id: String, text: String): DataFrame = {
+      id: String, text: String, probeHashLimit: Int = 1000): DataFrame = {
     // null texts form one group via the sentinel, as in [[exactDedup]]
     val keyed = fresh.withColumn("text_sha",
       coalesce(sha2(col(text), 256), lit("__null_text__")))
     val batchWinners = keyed.groupBy(col("text_sha")).agg(min(col(id)).as(id))
+    val index = seenHashes.select(col("text_sha"))
+    val probed = if (probeHashLimit > 0) {
+      val hashes = batchWinners.select(col("text_sha"))
+        .limit(probeHashLimit + 1).collect().map(_.getString(0)).toSeq
+      // batchWinners is already hash-distinct, so the limit IS the distinct
+      // count; over the cap → full-scan fallback
+      if (hashes.size <= probeHashLimit) index.filter(col("text_sha").isin(hashes: _*))
+      else index
+    } else index
     keyed.join(batchWinners, Seq("text_sha", id), "left_semi")
-      .join(seenHashes.select(col("text_sha")), Seq("text_sha"), "left_anti")
+      .join(probed, Seq("text_sha"), "left_anti")
       .drop("text_sha")
   }
 

@@ -94,6 +94,21 @@ class TrainingOpsSpec extends SparkSpec {
     assert(admitted == Set(11L))
   }
 
+  test("incremental exact dedup: hash point-probe ≡ full anti-join ≡ capped fallback") {
+    val corpus = Seq((1L, "seen one"), (2L, "seen two"), (3L, null: String))
+      .toDF("doc_id", "text")
+    val idx = Dedup.exactGroups(corpus, "doc_id", "text").select("text_sha")
+    val fresh = Seq((10L, "seen one"), (11L, "novel"), (12L, null: String),
+      (13L, "novel"), (14L, "also new")).toDF("doc_id", "text")
+    def admitted(limit: Int): Set[Long] =
+      Dedup.incrementalExactNew(fresh, idx, "doc_id", "text", probeHashLimit = limit)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = Set(11L, 14L) // novel wins its batch group; seen + null rejected
+    assert(admitted(1000) == want) // probe path
+    assert(admitted(0) == want)    // full anti-join
+    assert(admitted(2) == want)    // 4 distinct batch hashes > cap 2 → fallback
+  }
+
   test("paragraph dedup: keep-first across corpus, order preserved, vanishing doc") {
     val df = Seq(
       (1L, "intro one\n\nshared boilerplate\n\nbody one"),
