@@ -3,9 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query against SPARK_GRAFT_SF_DIR and
-  * prints one JSON line. Results are fully materialized through the `noop`
-  * sink (a plain count() would let Catalyst prune away the very columns the
-  * query exists to compute).
+  * prints one JSON summary line. Results are fully materialized through the
+  * `noop` sink (a plain count() would let Catalyst prune away the very columns
+  * the query exists to compute).
   *
   * Each query runs SPARK_GRAFT_BENCH_REPS times (default 3) and reports the
   * MEDIAN; the per-rep numbers are kept in the JSON under "reps". Single-shot
@@ -14,6 +14,21 @@ import org.apache.spark.sql.SparkSession
   * cache, page cache, compaction of neighbors' temp dirs), which a median of
   * consecutive reps absorbs. SPARK_GRAFT_ONLY=a,b,c restricts the run for
   * single-query attribution work.
+  *
+  * Evidence robustness (BENCH_r06 was killed at rc:124 after ≥39 min with the
+  * whole artifact lost — the JSON was written only once, at the end):
+  *   - SPARK_GRAFT_BENCH_OUT is JSONL, appended and fsync'd one line per
+  *     query THE MOMENT that query's reps finish; the final line is the same
+  *     summary printed to stdout. A kill -9 mid-run leaves a valid partial
+  *     JSONL with every completed query's medians intact.
+  *   - Each query gets a wall-clock budget (SPARK_GRAFT_BENCH_BUDGET_S,
+  *     default 150 s across all reps — the slowest r6 median was 14.4 s, so
+  *     10× headroom). On breach the query's job group is cancelled, active
+  *     streams are stopped, "timeout" is recorded, and the run MOVES ON
+  *     instead of stalling everything after it.
+  *   - The stream fixtures' drain guard is lowered to 120 s for the bench
+  *     via GraftSession.streamDrainTimeoutMs (3 streams × 3 reps × 300 s of
+  *     legal stalling is how r6 died); SPARK_GRAFT_STREAM_DRAIN_MS overrides.
   */
 object Bench {
   private def median(ts: Seq[Double]): Double = {
@@ -21,48 +36,118 @@ object Bench {
     if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
   }
 
+  private def esc(s: String): String =
+    s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val budgetMs = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "150").toLong * 1000
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    // lower the stream-drain guard for bench runs unless explicitly set
+    if (sys.env.get("SPARK_GRAFT_STREAM_DRAIN_MS").isEmpty &&
+        sys.props.get("graft.stream.drain.ms").isEmpty)
+      sys.props("graft.stream.drain.ms") = "120000"
     val spark: SparkSession = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
+    Option(outPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.deleteIfExists(outPath)
+    // append + force-to-disk per line: a later kill (even -9) cannot take
+    // already-flushed query lines with it
+    def appendLine(line: String): Unit = {
+      import java.nio.file.StandardOpenOption._
+      val ch = java.nio.channels.FileChannel.open(outPath, CREATE, WRITE, APPEND)
+      try { ch.write(java.nio.ByteBuffer.wrap((line + "\n").getBytes("UTF-8"))); ch.force(false) }
+      finally ch.close()
+    }
 
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
 
-    // warm the JVM/codegen once on the smallest sf so per-query numbers
-    // measure the plan, not first-run classloading
-    qs.foreach { case (_, fn) =>
-      try fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+    // One rep, run on a daemon thread so a stall can be abandoned: the job
+    // group is set inside the thread (thread-local) and cancelled by name on
+    // breach. Streams run their batches on their own threads, which do NOT
+    // inherit the group — stopping active streams covers those.
+    val pool = java.util.concurrent.Executors.newCachedThreadPool(
+      (r: Runnable) => { val t = new Thread(r, "bench-rep"); t.setDaemon(true); t })
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    def runRep(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        dir: String, remainingMs: Long): Either[String, Double] = {
+      import scala.concurrent.duration._
+      val group = s"bench-$name"
+      // leftovers from an abandoned (timed-out) rep poison later reps with
+      // name collisions on memory-sink streams — sweep before starting
+      // (stop() waits for termination; a no-op when nothing is active)
+      spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
+      val t0 = System.nanoTime()
+      val fut = scala.concurrent.Future {
+        spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+        try fn(spark, dir).write.format("noop").mode("overwrite").save()
+        finally spark.sparkContext.clearJobGroup()
+      }
+      try {
+        scala.concurrent.Await.result(fut, remainingMs.max(1).millis)
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case _: java.util.concurrent.TimeoutException =>
+          System.err.println(s"[bench] $name exceeded its ${budgetMs / 1000} s budget; cancelling")
+          spark.sparkContext.cancelJobGroup(group)
+          // The abandoned thread may START a stream after a one-shot sweep
+          // (observed: the next rep then dies on a queryName collision), so
+          // sweep in a bounded loop until the thread actually finishes.
+          var waitedMs = 0
+          while (!fut.isCompleted && waitedMs < 15000) {
+            spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
+            Thread.sleep(250); waitedMs += 250
+          }
+          Left("timeout")
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+      }
     }
+
+    // warm the JVM/codegen once on the smallest sf so per-query numbers
+    // measure the plan, not first-run classloading (budget applies here too —
+    // a warmup stall must not eat the run)
+    qs.foreach { case (name, fn) => runRep(name, fn, "/root/testdata/sf0.001", budgetMs) }
 
     // Per-rep outcome is tracked: a rep whose query throws records the error,
     // NOT its (fast-fail) elapsed time — a broken query must not contribute
     // near-zero times that deflate the median and make the JSON look healthy.
     val results = qs.map { case (name, fn) =>
-      val reps0 = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Right((System.nanoTime() - t0) / 1e9)
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
-        }
+      val qStart = System.nanoTime()
+      var outcomes = Vector.empty[Either[String, Double]]
+      (1 to reps).foreach { _ =>
+        val remaining = budgetMs - (System.nanoTime() - qStart) / 1000000
+        // a timed-out rep ends the query (its successor would stall the same
+        // way); a budget exhausted by SLOW-BUT-FINISHED reps just means fewer
+        // reps feed the median
+        if (remaining > 0 && !outcomes.contains(Left("timeout")))
+          outcomes :+= runRep(name, fn, sfDir, remaining)
       }
-      (name, reps0.collect { case Right(t) => t }, reps0.collect { case Left(m) => m })
+      val ts = outcomes.collect { case Right(t) => t }
+      val errs = outcomes.collect { case Left(m) => m }
+      val repsJson = ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+      val qLine =
+        if (ts.nonEmpty)
+          f"""{"query":"$name","median":${median(ts)}%.3f,"reps":$repsJson}"""
+        else
+          s"""{"query":"$name","median":null,"reps":$repsJson,"error":"${esc(errs.head)}"}"""
+      appendLine(qLine)
+      println(s"[bench] $qLine")
+      (name, ts, errs)
     }
     val medians = results.collect { case (k, ts, _) if ts.nonEmpty => k -> median(ts) }
     val qsJson = medians.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val repsJson = results.collect { case (k, ts, _) if ts.nonEmpty =>
       "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    def esc(s: String): String =
-      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }
     val errsJson = results.collect { case (k, _, ms) if ms.nonEmpty =>
       "\"" + k + "\":\"" + esc(ms.head) + s""" (${ms.size}/$reps reps failed)""""
     }.mkString("{", ",", "}")
@@ -70,11 +155,7 @@ object Bench {
     val line =
       f"""{"metric":"total_runtime","value":$total%.3f,"unit":"sec","queries":$qsJson,"reps":$repsJson,"errors":$errsJson,"sf":"$sfDir"}"""
     println(line)
-    // stdout alone proved lossy (the driver's tail-capture truncated r5's
-    // artifact); the bench is its own evidence, so persist the line too
-    val out = java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
-    Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
-    java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+    appendLine(line) // final JSONL line = the summary; partial file is still valid JSONL
     spark.stop()
   }
 }

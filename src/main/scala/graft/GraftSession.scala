@@ -81,4 +81,17 @@ object GraftSession {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** Drain budget (ms) for the AvailableNow stream fixtures (q10_stream,
+    * q11_stream, dedup_stream, dedup_exact_stream). 300 s is deliberately
+    * generous for correctness runs, but it is read per call so harnesses can
+    * lower it: BENCH_r06 was killed at rc:124 with zero data in part because
+    * three stream queries could each legally stall 300 s × 3 reps before
+    * their drain guards threw (~45 min of sanctioned silence). Bench sets
+    * the system property to ~120 s; the env var wins for driver overrides.
+    */
+  def streamDrainTimeoutMs: Long =
+    sys.env.get("SPARK_GRAFT_STREAM_DRAIN_MS")
+      .orElse(sys.props.get("graft.stream.drain.ms"))
+      .map(_.toLong).getOrElse(300000L)
 }

@@ -310,9 +310,10 @@ object SparkEntry {
           b.toDF().withColumn("bid", lit(bid)).write.mode("append").parquet(outDir)
         }
         .start()
-      if (!q2.awaitTermination(300000)) {
+      val drainMs = GraftSession.streamDrainTimeoutMs
+      if (!q2.awaitTermination(drainMs)) {
         q2.stop()
-        throw new IllegalStateException("q11_stream failed to drain within 300 s")
+        throw new IllegalStateException(s"q11_stream failed to drain within ${drainMs / 1000} s")
       }
       s.read.parquet(outDir)
         .groupBy(col("user_id"))
@@ -1021,9 +1022,10 @@ object SparkEntry {
       val ds = new graft.streaming.DedupStream(new graft.sources.AtomicWarehouse(s, whDir),
         minJaccard = 0.35, minSigMatchesOverride = 4)
       val dq = ds.start(inDir, ckpt)
-      if (!dq.awaitTermination(300000)) {
+      val drainMs = GraftSession.streamDrainTimeoutMs
+      if (!dq.awaitTermination(drainMs)) {
         dq.stop()
-        throw new IllegalStateException("dedup_stream failed to drain within 300 s")
+        throw new IllegalStateException(s"dedup_stream failed to drain within ${drainMs / 1000} s")
       }
       ds.pairs().orderBy(col("id_a"), col("id_b"))
     }

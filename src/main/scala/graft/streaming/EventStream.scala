@@ -48,9 +48,10 @@ object EventStream {
     // a false return means the stream has NOT drained: the table would hold
     // a partial aggregate that surfaces as an inscrutable oracle mismatch —
     // fail loudly instead
-    if (!q.awaitTermination(300000)) {
+    val drainMs = graft.GraftSession.streamDrainTimeoutMs
+    if (!q.awaitTermination(drainMs)) {
       q.stop()
-      throw new IllegalStateException(s"stream $name failed to drain within 300 s")
+      throw new IllegalStateException(s"stream $name failed to drain within ${drainMs / 1000} s")
     }
     spark.table(name).select(
       date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
