@@ -1030,6 +1030,41 @@ object SparkEntry {
       ds.pairs().orderBy(col("id_a"), col("id_b"))
     }
 
+    // streaming EXACT dedup: the corpus arrives as 3 micro-batches (split by
+    // doc_id mod 3 — DETERMINISTIC batching, so the oracle can state the
+    // arrival order); each batch probes the accumulated content-hash index
+    // and only novel-content rows are admitted. FIRST-ARRIVAL-WINS: the
+    // survivor of a duplicated text is the min-id row of its earliest batch,
+    // which the oracle states directly as
+    // row_number() OVER (PARTITION BY text_sha ORDER BY batch, doc_id) = 1.
+    // Runs on AtomicWarehouse: each survivors+hashes admit is one manifest txn
+    q("dedup_exact_stream") = (s, dir) => {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val inDir = Files.createTempDirectory("graft-xstream-in-").toString
+      val ckpt = Files.createTempDirectory("graft-xstream-ck-").toString
+      val whDir = Files.createTempDirectory("graft-xstream-wh-").toString
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").cast(LongType).as("doc_id"), col("text"))
+      (0 until 3).foreach { i =>
+        val tmp = Files.createTempDirectory(s"graft-xstream-c$i-").toString + "/out"
+        docs.filter(pmod(col("doc_id"), lit(3)) === i).coalesce(1).write.parquet(tmp)
+        val part = Files.list(Paths.get(tmp))
+          .filter(_.toString.endsWith(".parquet")).findFirst.get
+        Files.move(part, Paths.get(inDir, f"chunk_$i%02d.parquet"),
+          StandardCopyOption.ATOMIC_MOVE)
+      }
+      val xs = new graft.streaming.ExactDedupStream(
+        new graft.sources.AtomicWarehouse(s, whDir))
+      val xq = xs.start(inDir, ckpt)
+      val drainMs = GraftSession.streamDrainTimeoutMs
+      if (!xq.awaitTermination(drainMs)) {
+        xq.stop()
+        throw new IllegalStateException(
+          s"dedup_exact_stream failed to drain within ${drainMs / 1000} s")
+      }
+      xs.survivors().orderBy(col("doc_id"))
+    }
+
     // the scale pipeline: LSH candidates -> exact jaccard verify (no
     // quadratic shingle join); catches the corpus's planted near-dups
     q("dedup_lsh_verified") = (s, dir) =>
@@ -2061,6 +2096,20 @@ object SparkEntry {
     "dedup_stream" ->
       s"""$lshVerifiedCore
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // first-arrival-wins over the deterministic doc_id%3 batching: the
+    // survivor of each content group is the min-id row of its earliest
+    // micro-batch (null texts form one group via the sentinel, as in the
+    // rest of the exact-dedup family)
+    "dedup_exact_stream" ->
+      """WITH keyed AS (SELECT doc_id, text,
+        |  coalesce(sha256(text), '__null_text__') AS text_sha,
+        |  doc_id % 3 AS batch FROM documents),
+        |r AS (SELECT doc_id, text,
+        |  row_number() OVER (PARTITION BY text_sha ORDER BY batch, doc_id) AS rn
+        | FROM keyed)
+        |SELECT doc_id, text FROM r WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
 
     // incremental == full-corpus restricted to pairs touching the new batch
     // (id_a < id_b, so id_b is the fresh side whenever any is). The split is
