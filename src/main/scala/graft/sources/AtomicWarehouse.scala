@@ -42,8 +42,11 @@ import org.apache.spark.sql.types.StructType
   * check CSV artifact dirs, so a truncated table with not-yet-vacuumed
   * files still "exists" — `read` is the manifest-true surface); orphan
   * data files from a crashed transaction are invisible garbage until
-  * [[vacuum]] removes them; every commit adds one small manifest file
-  * until [[vacuum]]'s snapshot folds the log. A crash BETWEEN the file
+  * [[vacuum]] removes them; every commit adds one small manifest file —
+  * the log auto-folds into one snapshot manifest once it exceeds
+  * `logFoldEvery` commits (and on [[vacuum]]), and reads fold a given log
+  * version once (cached), so per-batch manifest work on an always-on
+  * stream stays flat. A crash BETWEEN the file
   * moves and the manifest rename can strand moved files in the table
   * directory — invisible to manifest readers, visible to raw-path readers
   * (the same class of reader the contract already excludes).
@@ -52,7 +55,20 @@ import org.apache.spark.sql.types.StructType
   * snapshot manifests (public formats); this is the smallest
   * rename-atomic subset that gives multi-table batches.
   */
-class AtomicWarehouse(spark0: SparkSession, root0: String)
+object AtomicWarehouse {
+  /** One commit lock per warehouse log, JVM-wide. On the local FileSystems a
+    * version-rename race between two INSTANCES is a silent overwrite (POSIX
+    * rename(2) semantics), and in a local[...] deployment every racing
+    * instance lives in this JVM — so the JVM-wide lock is exactly the
+    * serialization the backend fails to provide. Keyed by the QUALIFIED log
+    * URI so `/a/wh` and `file:/a/wh` share one lock.
+    */
+  private val publishLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+}
+
+class AtomicWarehouse(spark0: SparkSession, root0: String,
+    val logFoldEvery: Int = 64,
+    val vacuumGraceMs: Long = 3600000L)
     extends Warehouse(spark0, root0) {
 
   private val logDir = new Path(s"$root/_txlog")
@@ -70,57 +86,157 @@ class AtomicWarehouse(spark0: SparkSession, root0: String)
       .sortBy(_.getName)
   }
 
+  /** Manifest files actually opened and read by this instance — the cost the
+    * fold cache + auto-fold exist to bound; specs assert it stays flat
+    * per micro-batch on an always-on stream.
+    */
+  private[graft] val manifestReads = new java.util.concurrent.atomic.AtomicLong(0)
+
   private def readLines(p: Path): Seq[String] = {
+    manifestReads.incrementAndGet()
     val in = fs.open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
     finally in.close()
   }
 
-  /** Fold the committed log. Returns None when the table has no manifest
-    * history at all (legacy/raw directory — caller falls back to the base
-    * behavior), Some(files) otherwise (possibly empty after a truncate).
-    * A `snapshot` marker line (written by [[vacuum]]) resets the fold: only
-    * that manifest and later ones matter.
+  /** The whole committed log, folded: per-table visible files (deduped —
+    * a double-add can only come from an adoption race, see [[commit]], but
+    * duplicated ROWS are bad enough that the fold defends anyway) plus every
+    * prefix ever truncated (so `visibleFiles("t/sub")` knows the table was
+    * touched even when nothing was re-added under it).
     */
-  private def visibleFiles(table: String): Option[Seq[String]] = {
-    var touched = false
-    var files = Vector.empty[String]
-    commitFiles().foreach { cf =>
+  private case class LogState(adds: Map[String, Vector[String]], truncated: Set[String])
+
+  /** One-pass fold CACHE, keyed by the latest manifest name: an always-on
+    * stream commits one manifest per micro-batch and reads ≥3 tables per
+    * batch, so an uncached fold re-reads the whole log several times per
+    * batch — per-batch driver cost growing with batches since the last
+    * snapshot. With the cache a given log version is folded ONCE (any
+    * instance noticing a new version refolds); per-read work is one
+    * `listStatus` + a map lookup. [[commit]]'s auto-fold bounds the refold
+    * cost itself.
+    */
+  @volatile private var foldCache: (String, LogState) = ("", LogState(Map.empty, Set.empty))
+
+  private def foldedState(): LogState = {
+    val cfs = commitFiles()
+    if (cfs.isEmpty) return LogState(Map.empty, Set.empty)
+    val key = cfs.last.getName
+    val cached = foldCache
+    if (cached._1 == key) return cached._2
+    var adds = Map.empty[String, Vector[String]]
+    var truncated = Set.empty[String]
+    cfs.foreach { cf =>
       readLines(cf).foreach { line =>
         val f = line.split('\t')
         f(0) match {
-          case "snapshot" => // marker only; the adds that follow rebuild state
+          case "snapshot" => // marker only; the truncate+add lines that follow rebuild state
           case "truncate" =>
             val t = f(1)
-            if (table == t || table.startsWith(t + "/")) { touched = true; files = Vector.empty }
+            truncated += t
+            adds = adds.map { case (k, v) =>
+              (k, if (k == t || k.startsWith(t + "/")) Vector.empty[String] else v)
+            }
           case "add" =>
-            if (f(1) == table) { touched = true; files = files :+ f(2) }
+            val cur = adds.getOrElse(f(1), Vector.empty)
+            if (!cur.contains(f(2))) adds += (f(1) -> (cur :+ f(2)))
           case other => throw new IllegalStateException(s"unknown txlog action '$other' in $cf")
         }
       }
     }
-    if (touched) Some(files) else None
+    val st = LogState(adds, truncated)
+    foldCache = (key, st)
+    st
   }
 
-  /** Publish one manifest atomically: write to a dot-temp in `_txlog`, then
-    * rename to the next version. A losing rename (concurrent committer, or
-    * a version computed before a racing commit) re-reads the log and
-    * retries with the next number.
+  /** Manifest-visible file count for a table (-1 when the table has no
+    * manifest history) — observability for maintenance tooling: the physical
+    * directory also holds superseded files inside their vacuum grace window.
     */
-  private def publish(lines: Seq[String]): Unit = synchronized {
+  private[graft] def visibleFileCount(table: String): Int =
+    visibleFiles(table).map(_.size).getOrElse(-1)
+
+  /** Returns None when the table has no manifest history at all (legacy/raw
+    * directory — caller falls back to the base behavior), Some(files)
+    * otherwise (possibly empty after a truncate).
+    */
+  private def visibleFiles(table: String): Option[Seq[String]] = {
+    val st = foldedState()
+    val touched = st.adds.contains(table) ||
+      st.truncated.exists(t => table == t || table.startsWith(t + "/"))
+    if (touched) Some(st.adds.getOrElse(table, Vector.empty)) else None
+  }
+
+  // one commit lock per log DIRECTORY, JVM-wide: see the companion scaladoc
+  private lazy val publishLock: Object = AtomicWarehouse.publishLocks
+    .computeIfAbsent(fs.makeQualified(logDir).toString, _ => new Object)
+
+  /** Try to publish one manifest at EXACTLY `version`: write to a dot-temp
+    * in `_txlog`, then rename. Returns false when that version is already
+    * taken — the caller decides whether to renumber (ordinary commit) or
+    * recompute (snapshot: its content is only valid against the log it was
+    * folded from, so landing it at a later version would erase the racing
+    * commit's rows).
+    *
+    * Same-JVM racers (every instance a local[...] deployment can have)
+    * serialize on the JVM-wide per-log lock, which makes the exists→rename
+    * window exclusive: POSIX rename(2) — what the local FileSystems
+    * delegate to — silently OVERWRITES an existing destination, and
+    * without the lock two commits publishing the same version lose one
+    * manifest while both report success (observed: 8 racing appends, 7
+    * manifests, every future green). Cross-JVM deployments must provide
+    * the HDFS-style contract instead: atomic rename that fails (returns
+    * false) on an existing destination.
+    */
+  private def publishAt(lines: Seq[String], version: Int): Boolean = publishLock.synchronized {
     fs.mkdirs(logDir)
+    val dest = new Path(logDir, f"v$version%08d.tsv")
+    if (fs.exists(dest)) return false
     val tmp = new Path(logDir, s".tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
     try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
+    if (fs.rename(tmp, dest)) true
+    else { fs.delete(tmp, true); false }
+  }
+
+  private def nextVersion(): Int = commitFiles().lastOption
+    .map(p => p.getName.stripPrefix("v").stripSuffix(".tsv").toInt + 1).getOrElse(1)
+
+  /** Publish one manifest at the next free version. A losing attempt
+    * (concurrent committer) re-reads the log and retries with the next
+    * number — safe for ordinary commits, whose lines are valid at ANY
+    * version; snapshots go through [[foldLogToSnapshot]]'s CAS instead.
+    */
+  private def publish(lines: Seq[String]): Unit = {
     var attempts = 0
     while (attempts < 50) {
-      val next = commitFiles().lastOption
-        .map(p => p.getName.stripPrefix("v").stripSuffix(".tsv").toInt + 1).getOrElse(1)
-      if (fs.rename(tmp, new Path(logDir, f"v$next%08d.tsv"))) return
+      if (publishAt(lines, nextVersion())) return
       attempts += 1
     }
-    fs.delete(tmp, true)
     throw new java.io.IOException("could not publish txlog manifest after 50 attempts")
+  }
+
+  /** Fold the whole committed log into one self-contained snapshot manifest
+    * and delete the superseded ones. CAS semantics: the snapshot lands only
+    * at the version it was computed against + 1; a racing commit aborts the
+    * attempt (returns false) rather than landing a stale snapshot whose
+    * leading truncates would erase the racing commit's rows. Deleting the
+    * old manifests AFTER the snapshot is safe in any order: the snapshot's
+    * truncate-then-add lines make them redundant, not conflicting.
+    */
+  private def foldLogToSnapshot(): Boolean = synchronized {
+    val old = commitFiles()
+    if (old.size <= 1) return true
+    val tables = old.flatMap(readLines).collect {
+      case l if l.startsWith("add\t") || l.startsWith("truncate\t") => l.split('\t')(1)
+    }.distinct
+    val lines = "snapshot" +: tables.flatMap { t =>
+      s"truncate\t$t" +: visibleFiles(t).getOrElse(Nil).map(f => s"add\t$t\t$f")
+    }
+    val expected = old.last.getName.stripPrefix("v").stripSuffix(".tsv").toInt + 1
+    if (!publishAt(lines, expected)) return false
+    old.foreach(p => fs.delete(p, false))
+    true
   }
 
   // ---- staged transaction state -------------------------------------------
@@ -246,9 +362,17 @@ class AtomicWarehouse(spark0: SparkSession, root0: String)
     // df.write (legacy) records the existing physical files, so switching a
     // table to transactional writes never makes its old rows vanish. A
     // truncate-first entry (replace/delete) discards them anyway.
+    // `tx-`-prefixed leaves are SKIPPED: every file a manifest commit moves
+    // in carries that prefix, so under a concurrent first commit to the same
+    // table the other transaction's already-moved-but-unpublished files are
+    // its to publish (adopting them here would double-add the file — rows
+    // duplicated for every reader); raw legacy files (Spark part-*) never
+    // carry the prefix, so adoption still captures all of them.
     tx.entries.groupBy(_.table).foreach { case (t, es) =>
       if (!es.head.truncate && visibleFiles(t).isEmpty) // isEmpty: None = no history
-        stagedDataFiles(new Path(path(t))).foreach(f => lines += s"add\t$t\t$f")
+        stagedDataFiles(new Path(path(t)))
+          .filterNot(_.split('/').last.startsWith("tx-"))
+          .foreach(f => lines += s"add\t$t\t$f")
     }
     tx.entries.zipWithIndex.foreach { case (e, i) =>
       if (e.truncate) {
@@ -280,6 +404,12 @@ class AtomicWarehouse(spark0: SparkSession, root0: String)
     // leaves the files as unreferenced garbage (vacuum), never as a
     // partially-deleted committed state
     deletesAfter.foreach(t => fs.delete(new Path(path(t)), true))
+    // auto-fold: bound the manifest log so a long-running stream (one commit
+    // per micro-batch) keeps per-fold cost flat instead of growing until
+    // someone remembers to vacuum. Fold-only — superseded DATA files keep
+    // their vacuum grace window. A lost CAS just means a racing commit
+    // folds on ITS next commit.
+    if (logFoldEvery > 0 && commitFiles().size > logFoldEvery) foldLogToSnapshot()
   }
 
   override def append(table: String, df: DataFrame): Unit =
@@ -319,20 +449,14 @@ class AtomicWarehouse(spark0: SparkSession, root0: String)
     * leftovers, both only when older than `olderThanMs` (an in-flight
     * transaction's staged files and a racing reader's snapshot stay safe).
     */
-  def vacuum(olderThanMs: Long = 3600000L): Unit = synchronized {
+  def vacuum(olderThanMs: Long = vacuumGraceMs): Unit = synchronized {
     val cutoff = System.currentTimeMillis() - olderThanMs
-    // 1. snapshot: one manifest reproducing the current visible state
-    val old = commitFiles()
-    if (old.size > 1) {
-      val tables = old.flatMap(readLines).collect {
-        case l if l.startsWith("add\t") || l.startsWith("truncate\t") => l.split('\t')(1)
-      }.distinct
-      val lines = "snapshot" +: tables.flatMap { t =>
-        s"truncate\t$t" +: visibleFiles(t).getOrElse(Nil).map(f => s"add\t$t\t$f")
-      }
-      publish(lines)
-      old.foreach(p => fs.delete(p, false)) // superseded by the snapshot
-    }
+    // 1. snapshot: one manifest reproducing the current visible state.
+    // CAS-retried: each lost race (a commit from another instance landing
+    // between fold and publish) recomputes the snapshot from the NEW log —
+    // a stale snapshot landing later would erase the racing commit's rows.
+    var attempts = 0
+    while (!foldLogToSnapshot() && attempts < 50) attempts += 1
     // 2. unreferenced data files under manifest-managed tables
     val managed = commitFiles().flatMap(readLines).collect {
       case l if l.startsWith("add\t") => l.split('\t')(1)

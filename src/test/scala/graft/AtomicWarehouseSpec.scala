@@ -171,7 +171,82 @@ class AtomicWarehouseSpec extends SparkSpec {
       val wh = new AtomicWarehouse(spark, dir)
       Future(wh.append("t", Seq((i.toLong, s"v$i")).toDF("id", "v")))
     }), Duration(5, "min"))
-    assert(rows(new AtomicWarehouse(spark, dir), "t").map(_._1) == (1L to 8L).toSet)
+    // EXACT row list, not a set: a double-adopted file (two first-commits
+    // racing on one raw table) duplicates rows, which a Set would hide
+    val got = new AtomicWarehouse(spark, dir).read("t", kv)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (1L to 8L), s"expected exactly ids 1..8, got $got")
+  }
+
+  test("adoption skips a racing transaction's moved-but-unpublished tx- files") {
+    val dir = Files.createTempDirectory("graft-aw-adopt-").toString
+    val wh = new AtomicWarehouse(spark, dir)
+    // a raw (legacy, no-manifest) table with one real data file...
+    Seq((1L, "legacy")).toDF("id", "v").write.parquet(wh.path("t"))
+    // ...plus the mid-commit state of a racing transaction: its staged file
+    // already MOVED into the table dir under the tx- naming, manifest not
+    // yet published (simulated with a parquet copy under that name)
+    val tdir = java.nio.file.Paths.get(dir, "t")
+    val dataFile = Files.list(tdir).filter(_.toString.endsWith(".parquet")).findFirst.get
+    Files.copy(dataFile, tdir.resolve(s"tx-${java.util.UUID.randomUUID()}-0-part-racer.parquet"))
+
+    // first manifest commit to the table: must adopt the legacy file ONLY
+    wh.append("t", Seq((2L, "txn")).toDF("id", "v"))
+    val got = wh.read("t", kv).collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 2L),
+      s"adoption must take the legacy file once and never a tx- file: got $got")
+  }
+
+  test("vacuum racing concurrent commits never erases them (snapshot CAS)") {
+    val dir = Files.createTempDirectory("graft-aw-vacrace-").toString
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val writer = new AtomicWarehouse(spark, dir)
+    writer.append("t", Seq((0L, "v0")).toDF("id", "v"))
+    // one instance vacuums in a loop while another lands 12 commits: every
+    // committed row must survive every snapshot (a stale snapshot landing
+    // after a racing commit would truncate that commit's rows away)
+    // olderThanMs stays a real grace window: 0 would let step 3 delete the
+    // writer's IN-FLIGHT staging dirs (the documented contract excludes
+    // that); the snapshot CAS under test here doesn't depend on it
+    val vac = new AtomicWarehouse(spark, dir)
+    @volatile var done = false
+    val vacuuming = Future { while (!done) vac.vacuum(olderThanMs = 60000) }
+    (1 to 12).foreach(i => writer.append("t", Seq((i.toLong, s"v$i")).toDF("id", "v")))
+    done = true
+    Await.result(vacuuming, Duration(5, "min"))
+    val got = new AtomicWarehouse(spark, dir).read("t", kv)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (0L to 12L), s"a vacuum snapshot erased committed rows: $got")
+  }
+
+  test("per-batch manifest reads stay flat across 50 stream micro-batches") {
+    import graft.streaming.ExactDedupStream
+    val wh = new AtomicWarehouse(spark,
+      Files.createTempDirectory("graft-aw-flat-").toString, logFoldEvery = 8)
+    val xs = new ExactDedupStream(wh)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id".cast("long").as("doc_id"), $"text")
+      .orderBy("doc_id").limit(100).as[(Long, String)].collect()
+    // 50 two-doc batches; record the manifest files opened per batch
+    val deltas = docs.grouped(2).map { chunk =>
+      val before = wh.manifestReads.get()
+      xs.processBatch(chunk.toSeq.toDF("doc_id", "text"))
+      wh.manifestReads.get() - before
+    }.toVector
+    // uncached + unfolded this grows linearly (batch n folds ~n manifests
+    // several times); cached + auto-folded it is periodic with bound
+    // ~logFoldEvery — so the last ten batches must not read more than the
+    // batches right after the first fold cycle
+    val early = deltas.slice(10, 20).sum
+    val late = deltas.slice(40, 50).sum
+    assert(late <= early * 3 / 2 + 5,
+      s"per-batch manifest reads grew: early(11-20)=$early late(41-50)=$late deltas=$deltas")
+    // and the log itself is bounded
+    val logFiles = Files.list(java.nio.file.Paths.get(wh.root, "_txlog"))
+      .filter(p => p.getFileName.toString.matches("v\\d{8}\\.tsv")).count()
+    assert(logFiles <= 10, s"manifest log not bounded: $logFiles files")
   }
 
   test("vacuum folds the log to one snapshot and removes unreferenced files") {
