@@ -31,6 +31,13 @@ class Warehouse(val spark: SparkSession, val root: String) {
   def sizeBytes(table: String): Long =
     if (exists(table)) fs.getContentSummary(new Path(path(table))).getLength else 0L
 
+  /** A table's current schema, inferred from its stored parquet footers
+    * (None when absent). Maintenance tooling needs this: [[compact]] takes
+    * an explicit schema, and an ops pass doesn't know every table's layout.
+    */
+  def inferSchema(table: String): Option[StructType] =
+    if (exists(table)) Some(spark.read.parquet(path(table)).schema) else None
+
   /** Read a table; empty frame with the declared schema when absent. */
   def read(table: String, schema: StructType): DataFrame =
     if (exists(table)) spark.read.schema(schema).parquet(path(table))

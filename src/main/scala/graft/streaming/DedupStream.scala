@@ -182,6 +182,13 @@ class DedupStream(wh: Warehouse, k: Int = 5, numHashes: Int = 8,
     wh.compact(bandTable, bandSchema, targetFiles, sortCols = Seq("key"))
     wh.compact(corpusTable, docSchema, targetFiles)
     wh.compact(pairsTable, pairSchema, targetFiles)
+    // on a transactional warehouse the small-file floor compactEvery bounds
+    // would otherwise reappear as manifest-log growth (4 more manifests per
+    // pass) and superseded-data accretion: fold + collect garbage here
+    wh match {
+      case aw: graft.sources.AtomicWarehouse => aw.vacuum()
+      case _ => ()
+    }
   }
 
   /** All near-dup pairs discovered so far. */

@@ -77,6 +77,12 @@ class ExactDedupStream(wh: Warehouse, probeHashLimit: Int = 1000,
   def compactAll(targetFiles: Int = 1): Unit = {
     wh.compact(indexTable, idxSchema, targetFiles, sortCols = Seq("text_sha"))
     wh.compact(corpusTable, docSchema, targetFiles)
+    // transactional warehouse: also fold the manifest log + collect
+    // superseded files (see DedupStream.compactAll)
+    wh match {
+      case aw: graft.sources.AtomicWarehouse => aw.vacuum()
+      case _ => ()
+    }
   }
 
   /** Every admitted (first-arrival-unique) document so far. */

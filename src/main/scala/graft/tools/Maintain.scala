@@ -1,0 +1,97 @@
+package graft.tools
+
+import graft.GraftSession
+import graft.sources.{AtomicWarehouse, Warehouse}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Warehouse maintenance entry point — the ops command an always-on
+  * deployment schedules between (or alongside, on the transactional
+  * warehouse) stream micro-batches:
+  *
+  *   sbt "runMain graft.tools.Maintain <root> [table[:sortCol] ...]"
+  *
+  * For each named table (default: every unpartitioned parquet-bearing
+  * directory under the root) it compacts the accumulated per-batch small
+  * files into one, re-sorted by `sortCol` when given (index tables whose
+  * point-probe pruning rides on tight per-row-group min/max stats must NOT
+  * be concatenated back together — see Warehouse.compact). If the root has
+  * a `_txlog`, the warehouse is opened as an [[AtomicWarehouse]] and the
+  * pass finishes with [[AtomicWarehouse.vacuum]]: fold the manifest log to
+  * one snapshot and collect superseded/orphaned data files past the grace
+  * window (SPARK_GRAFT_VACUUM_GRACE_MS, default 1 h).
+  *
+  * Streams do their own inline maintenance (`compactEvery` + vacuum, commit
+  * auto-fold); this tool is for warehouses whose writers don't — or for
+  * reclaiming space out-of-band without touching the stream.
+  */
+object Maintain {
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: Maintain <warehouseRoot> [table[:sortCol] ...]")
+    val graceMs = sys.env.getOrElse("SPARK_GRAFT_VACUUM_GRACE_MS", "3600000").toLong
+    val spark = GraftSession.builder().appName("graft-maintain").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    run(spark, args(0), args.drop(1).toSeq, graceMs)
+    spark.stop()
+  }
+
+  /** The whole pass, session-injected so specs can drive it. */
+  def run(spark: SparkSession, root: String, tableSpecs: Seq[String],
+      graceMs: Long = 3600000L): Unit = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val wh: Warehouse =
+      if (fs.exists(new Path(s"$root/_txlog"))) new AtomicWarehouse(spark, root)
+      else new Warehouse(spark, root)
+
+    val specs: Seq[(String, Seq[String])] =
+      if (tableSpecs.nonEmpty) tableSpecs.map { a =>
+        a.split(':') match {
+          case Array(t)    => (t, Nil)
+          case Array(t, s) => (t, Seq(s))
+          case _ => throw new IllegalArgumentException(s"bad table spec '$a'")
+        }
+      }
+      else discoverTables(fs, root).map((_, Nil))
+
+    specs.foreach { case (table, sortCols) =>
+      wh.inferSchema(table) match {
+        case None => println(s"MAINTAIN skip $table (absent/empty)")
+        case Some(schema) =>
+          val before = wh.sizeBytes(table)
+          wh.compact(table, schema, targetFiles = 1, sortCols = sortCols)
+          println(f"MAINTAIN compacted $table%-40s ${before / 1024}%d KiB" +
+            (if (sortCols.nonEmpty) s" (sorted by ${sortCols.mkString(",")})" else ""))
+      }
+    }
+    wh match {
+      case aw: AtomicWarehouse =>
+        aw.vacuum(olderThanMs = graceMs)
+        println(s"MAINTAIN vacuumed (log folded; grace ${graceMs / 1000} s)")
+      case _ => ()
+    }
+  }
+
+  /** Every directory under `root` that directly holds parquet files — the
+    * table set when the caller doesn't name one. `_`/`.`-prefixed dirs
+    * (txlog, tmp) and `txstage/` are infrastructure; hive-partitioned
+    * layouts (`col=value/` segments) are skipped — compaction is
+    * directory-granular there and out of this tool's unpartitioned scope.
+    */
+  private[graft] def discoverTables(fs: org.apache.hadoop.fs.FileSystem,
+      root: String): Seq[String] = {
+    val base = fs.makeQualified(new Path(root)).toString + "/"
+    val out = scala.collection.mutable.SortedSet[String]()
+    val it = fs.listFiles(new Path(root), true)
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = st.getPath.toString.stripPrefix(base)
+      val segs = rel.split('/')
+      if (segs.last.endsWith(".parquet") && segs.length > 1 &&
+          !segs.exists(s => s.startsWith("_") || s.startsWith(".") || s.contains("=")) &&
+          segs.head != "txstage")
+        out += segs.init.mkString("/")
+    }
+    out.toSeq
+  }
+}
