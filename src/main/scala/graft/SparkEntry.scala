@@ -315,8 +315,12 @@ object SparkEntry {
             StandardCopyOption.ATOMIC_MOVE)
         }
       }
-      import s.implicits._
-      val stream = s.readStream.schema(ev.schema)
+      // state partitions sized to the 33k-rows/batch fixture volume — the
+      // checkpoint freezes the count, so it must be chosen here (see
+      // GraftSession.streamSession; StreamProbe measures the 32→8 win)
+      val ss = GraftSession.streamSession(s)
+      import ss.implicits._
+      val stream = ss.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1").parquet(inDir)
         .as[graft.streaming.Sessionize.Event]
       val q2 = graft.streaming.Sessionize.sessions(stream, gapUs = 1800000000L)
@@ -1037,7 +1041,12 @@ object SparkEntry {
       // commits as one manifest transaction, so the oracle gate also proves
       // the transactional write path end-to-end every round
       // (AtomicWarehouseSpec proves base ≡ atomic on this exact pipeline)
-      val ds = new graft.streaming.DedupStream(new graft.sources.AtomicWarehouse(s, whDir),
+      // the stream session sizes state/shuffle partitions to per-batch
+      // volume; the warehouse carries it, so every per-batch plan (sig
+      // compute, band join, admits) and every warehouse file write uses it —
+      // fewer sink files per commit is also less compaction pressure
+      val ds = new graft.streaming.DedupStream(
+        new graft.sources.AtomicWarehouse(GraftSession.streamSession(s), whDir),
         minJaccard = 0.35, minSigMatchesOverride = 4)
       val dq = ds.start(inDir, ckpt)
       val drainMs = GraftSession.streamDrainTimeoutMs
@@ -1073,7 +1082,7 @@ object SparkEntry {
         }
       }
       val xs = new graft.streaming.ExactDedupStream(
-        new graft.sources.AtomicWarehouse(s, whDir))
+        new graft.sources.AtomicWarehouse(GraftSession.streamSession(s), whDir))
       val xq = xs.start(inDir, ckpt)
       val drainMs = GraftSession.streamDrainTimeoutMs
       if (!xq.awaitTermination(drainMs)) {

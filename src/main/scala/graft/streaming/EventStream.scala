@@ -30,8 +30,11 @@ object EventStream {
     * drained; returns the finished result (hour, event_type, n_events,
     * total_value).
     */
-  def hourlyAgg(spark: SparkSession, inDir: String, name: String,
-      watermarkDelay: String = "3650 days"): DataFrame = {
+  def hourlyAgg(spark0: SparkSession, inDir: String, name: String,
+      watermarkDelay: String = "3650 days", statePartitions: Int = 8): DataFrame = {
+    // isolated conf: state partition count is frozen into the checkpoint at
+    // start, so size it to the per-batch volume (GraftSession.streamSession)
+    val spark = graft.GraftSession.streamSession(spark0, statePartitions)
     spark.catalog.dropTempView(name) // re-runs in one session reuse the name
     val schema = spark.read.parquet(inDir).schema
     val q = spark.readStream.schema(schema)
