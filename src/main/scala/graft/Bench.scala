@@ -29,6 +29,12 @@ import org.apache.spark.sql.SparkSession
   *   - The stream fixtures' drain guard is lowered to 120 s for the bench
   *     via GraftSession.streamDrainTimeoutMs (3 streams × 3 reps × 300 s of
   *     legal stalling is how r6 died); SPARK_GRAFT_STREAM_DRAIN_MS overrides.
+  *   - Every query line carries an environment canary ("canary_s": the same
+  *     fixed CPU-bound range-sum timed just before the query's reps, plus
+  *     "load1m"): cross-round medians can then be adjudicated as real
+  *     (canary flat, query slower) or environmental (canary inflated too) —
+  *     the r6 q10/q11_stream "regression" was contention on identical code,
+  *     indistinguishable at the time because nothing measured the machine.
   */
 object Bench {
   private def median(ts: Seq[Double]): Double = {
@@ -117,10 +123,28 @@ object Bench {
     // a warmup stall must not eat the run)
     qs.foreach { case (name, fn) => runRep(name, fn, "/root/testdata/sf0.001", budgetMs) }
 
+    // Environment canary: the SAME fixed CPU-bound job (sum over a 200M
+    // range — no I/O, no shuffle, deterministic) timed immediately before
+    // each query, plus the 1-min system load average. Round-over-round bench
+    // deltas have twice been mis-attributed to code (r6: q10/q11_stream read
+    // 1.5-1.7× vs r5 on identical code paths; cause was machine contention);
+    // a per-query canary puts the contention measurement IN the artifact, so
+    // a regression can be adjudicated as real (canary flat, query slower) or
+    // environmental (canary inflated too) without re-running anything.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def canary(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(200000000L).selectExpr("sum(id * 3 + 1)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    canary() // once untimed: first call pays codegen for the canary itself
+
     // Per-rep outcome is tracked: a rep whose query throws records the error,
     // NOT its (fast-fail) elapsed time — a broken query must not contribute
     // near-zero times that deflate the median and make the JSON look healthy.
     val results = qs.map { case (name, fn) =>
+      val canaryS = canary()
+      val loadAvg = osBean.getSystemLoadAverage
       val qStart = System.nanoTime()
       var outcomes = Vector.empty[Either[String, Double]]
       (1 to reps).foreach { _ =>
@@ -134,26 +158,28 @@ object Bench {
       val ts = outcomes.collect { case Right(t) => t }
       val errs = outcomes.collect { case Left(m) => m }
       val repsJson = ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+      val envJson = f""""canary_s":$canaryS%.3f,"load1m":$loadAvg%.1f"""
       val qLine =
         if (ts.nonEmpty)
-          f"""{"query":"$name","median":${median(ts)}%.3f,"reps":$repsJson}"""
+          f"""{"query":"$name","median":${median(ts)}%.3f,"reps":$repsJson,$envJson}"""
         else
-          s"""{"query":"$name","median":null,"reps":$repsJson,"error":"${esc(errs.head)}"}"""
+          s"""{"query":"$name","median":null,"reps":$repsJson,$envJson,"error":"${esc(errs.head)}"}"""
       appendLine(qLine)
       println(s"[bench] $qLine")
-      (name, ts, errs)
+      (name, ts, errs, canaryS)
     }
-    val medians = results.collect { case (k, ts, _) if ts.nonEmpty => k -> median(ts) }
+    val medians = results.collect { case (k, ts, _, _) if ts.nonEmpty => k -> median(ts) }
     val qsJson = medians.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    val repsJson = results.collect { case (k, ts, _) if ts.nonEmpty =>
+    val repsJson = results.collect { case (k, ts, _, _) if ts.nonEmpty =>
       "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val errsJson = results.collect { case (k, _, ms) if ms.nonEmpty =>
+    val errsJson = results.collect { case (k, _, ms, _) if ms.nonEmpty =>
       "\"" + k + "\":\"" + esc(ms.head) + s""" (${ms.size}/$reps reps failed)""""
     }.mkString("{", ",", "}")
     val total = medians.map(_._2).sum
+    val canaryMedian = if (results.nonEmpty) median(results.map(_._4)) else 0.0
     val line =
-      f"""{"metric":"total_runtime","value":$total%.3f,"unit":"sec","queries":$qsJson,"reps":$repsJson,"errors":$errsJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total_runtime","value":$total%.3f,"unit":"sec","queries":$qsJson,"reps":$repsJson,"errors":$errsJson,"canary_median_s":$canaryMedian%.3f,"sf":"$sfDir"}"""
     println(line)
     appendLine(line) // final JSONL line = the summary; partial file is still valid JSONL
     spark.stop()
