@@ -107,6 +107,24 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     */
   private case class LogState(adds: Map[String, Vector[String]], truncated: Set[String])
 
+  /** A fold races concurrent folds from OTHER instances: their snapshot
+    * publish happens BEFORE they delete the superseded manifests, so when a
+    * listed manifest vanishes mid-read a fresh listing is guaranteed
+    * self-contained — re-list and retry instead of crashing the reader.
+    */
+  private def retryOnVanishedManifest[T](f: => T): T = {
+    var attempts = 0
+    while (true) {
+      try return f
+      catch {
+        case e: java.io.FileNotFoundException =>
+          attempts += 1
+          if (attempts >= 50) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** One-pass fold CACHE, keyed by the latest manifest name: an always-on
     * stream commits one manifest per micro-batch and reads ≥3 tables per
     * batch, so an uncached fold re-reads the whole log several times per
@@ -118,13 +136,21 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     */
   @volatile private var foldCache: (String, LogState) = ("", LogState(Map.empty, Set.empty))
 
-  private def foldedState(): LogState = {
+  private def foldedState(): LogState = retryOnVanishedManifest {
     val cfs = commitFiles()
-    if (cfs.isEmpty) return LogState(Map.empty, Set.empty)
-    val key = cfs.last.getName
     val cached = foldCache
-    if (cached._1 == key) return cached._2
+    if (cfs.isEmpty) LogState(Map.empty, Set.empty)
+    else if (cached._1 == cfs.last.getName) cached._2
+    else foldFrom(cfs)
+  }
+
+  private def foldFrom(cfs: Seq[Path]): LogState = {
+    val key = cfs.last.getName
     var adds = Map.empty[String, Vector[String]]
+    // membership mirror of `adds`: the double-add defense as Vector.contains
+    // is O(n^2) per refold in a table's file count — real money on a large
+    // un-compacted table's snapshot even with the fold cache
+    var addSets = Map.empty[String, Set[String]]
     var truncated = Set.empty[String]
     cfs.foreach { cf =>
       readLines(cf).foreach { line =>
@@ -137,9 +163,15 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
             adds = adds.map { case (k, v) =>
               (k, if (k == t || k.startsWith(t + "/")) Vector.empty[String] else v)
             }
+            addSets = addSets.map { case (k, v) =>
+              (k, if (k == t || k.startsWith(t + "/")) Set.empty[String] else v)
+            }
           case "add" =>
-            val cur = adds.getOrElse(f(1), Vector.empty)
-            if (!cur.contains(f(2))) adds += (f(1) -> (cur :+ f(2)))
+            val set = addSets.getOrElse(f(1), Set.empty)
+            if (!set.contains(f(2))) {
+              adds += (f(1) -> (adds.getOrElse(f(1), Vector.empty) :+ f(2)))
+              addSets += (f(1) -> (set + f(2)))
+            }
           case other => throw new IllegalStateException(s"unknown txlog action '$other' in $cf")
         }
       }
@@ -184,19 +216,56 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     * delegate to — silently OVERWRITES an existing destination, and
     * without the lock two commits publishing the same version lose one
     * manifest while both report success (observed: 8 racing appends, 7
-    * manifests, every future green). Cross-JVM deployments must provide
-    * the HDFS-style contract instead: atomic rename that fails (returns
-    * false) on an existing destination.
+    * manifests, every future green).
+    *
+    * Cross-PROCESS racers (two `sbt runMain` sessions against one warehouse —
+    * exactly the deployment `tools/Maintain` invites) can't see the JVM lock,
+    * so on a `file:` log the exists→rename window additionally takes an
+    * O_EXCL claim file: `Files.createFile` on `v<N>.lock` beside the manifest
+    * is atomic create-or-fail on POSIX, making two JVMs publishing version N
+    * serialize the way two threads already do. Claims older than 60 s are a
+    * crashed claimant's leftovers and get broken. Non-`file:` backends skip
+    * the claim and must provide the HDFS-style contract instead: atomic
+    * rename that fails (returns false) on an existing destination.
     */
-  private def publishAt(lines: Seq[String], version: Int): Boolean = publishLock.synchronized {
+  private def publishAt(lines: Seq[String], version: Int): Boolean =
+    publishLock.synchronized(publishAtCrossProcess(lines, version))
+
+  /** The cross-process publish path WITHOUT the JVM-wide lock — what a second
+    * JVM racing this one actually executes. Production callers go through
+    * [[publishAt]]; specs race this seam directly to prove two "JVMs" can
+    * never both land version N.
+    */
+  private[graft] def publishAtCrossProcess(lines: Seq[String], version: Int): Boolean = {
     fs.mkdirs(logDir)
     val dest = new Path(logDir, f"v$version%08d.tsv")
-    if (fs.exists(dest)) return false
-    val tmp = new Path(logDir, s".tmp-${java.util.UUID.randomUUID()}")
-    val out = fs.create(tmp, true)
-    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
-    if (fs.rename(tmp, dest)) true
-    else { fs.delete(tmp, true); false }
+    val qualifiedLog = fs.makeQualified(logDir)
+    val claim: Option[java.nio.file.Path] =
+      if (qualifiedLog.toUri.getScheme != "file") None
+      else {
+        val lock = java.nio.file.Paths.get(qualifiedLog.toUri.getPath, f"v$version%08d.lock")
+        try { java.nio.file.Files.createFile(lock); Some(lock) }
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            // another process is publishing this version (or crashed doing
+            // so): break only demonstrably stale claims, else lose the race
+            val stale = try {
+              java.nio.file.Files.getLastModifiedTime(lock).toMillis <
+                System.currentTimeMillis() - 60000
+            } catch { case _: java.io.IOException => false }
+            if (stale) java.nio.file.Files.deleteIfExists(lock)
+            return false
+          case _: java.io.IOException => return false
+        }
+      }
+    try {
+      if (fs.exists(dest)) return false
+      val tmp = new Path(logDir, s".tmp-${java.util.UUID.randomUUID()}")
+      val out = fs.create(tmp, true)
+      try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
+      if (fs.rename(tmp, dest)) true
+      else { fs.delete(tmp, true); false }
+    } finally claim.foreach(l => java.nio.file.Files.deleteIfExists(l))
   }
 
   private def nextVersion(): Int = commitFiles().lastOption
@@ -212,6 +281,10 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     while (attempts < 50) {
       if (publishAt(lines, nextVersion())) return
       attempts += 1
+      // a lost attempt can mean another PROCESS holds the version claim
+      // mid-write (nextVersion() won't advance until its rename lands) —
+      // back off briefly instead of burning all 50 attempts in microseconds
+      Thread.sleep(attempts.min(20).toLong)
     }
     throw new java.io.IOException("could not publish txlog manifest after 50 attempts")
   }
@@ -227,12 +300,22 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
   private def foldLogToSnapshot(): Boolean = synchronized {
     val old = commitFiles()
     if (old.size <= 1) return true
-    val tables = old.flatMap(readLines).collect {
-      case l if l.startsWith("add\t") || l.startsWith("truncate\t") => l.split('\t')(1)
-    }.distinct
-    val lines = "snapshot" +: tables.flatMap { t =>
-      s"truncate\t$t" +: visibleFiles(t).getOrElse(Nil).map(f => s"add\t$t\t$f")
-    }
+    val tables =
+      try old.flatMap(readLines).collect {
+        case l if l.startsWith("add\t") || l.startsWith("truncate\t") => l.split('\t')(1)
+      }.distinct
+      catch {
+        // a racing fold deleted a listed manifest mid-read; this attempt is
+        // stale anyway — report a lost CAS so the caller recomputes
+        case _: java.io.FileNotFoundException => return false
+      }
+    // ALL truncate lines precede ALL add lines. Truncate applies by PREFIX,
+    // so interleaving per table would let a truncated parent (Pipeline's
+    // per-batch delete("staging/<src>")) land AFTER a still-visible child's
+    // adds whenever the child appeared first in the log — and the next refold
+    // of that snapshot would silently clear the child's files.
+    val lines = ("snapshot" +: tables.map(t => s"truncate\t$t")) ++
+      tables.flatMap(t => visibleFiles(t).getOrElse(Nil).map(f => s"add\t$t\t$f"))
     val expected = old.last.getName.stripPrefix("v").stripSuffix(".tsv").toInt + 1
     if (!publishAt(lines, expected)) return false
     old.foreach(p => fs.delete(p, false))
@@ -436,6 +519,21 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
           .parquet(files.map(f => s"${path(table)}/$f"): _*)
     }
 
+  /** Schema from MANIFEST-VISIBLE files only: the raw directory also holds
+    * superseded files inside their vacuum grace window, so after a
+    * schema-changing replace the base class's directory inference would hand
+    * maintenance tooling a merged/stale schema (and `Maintain.compact` would
+    * then rewrite the table under it); a truncated-but-unvacuumed table must
+    * report None, not resurrect its dead files' schema.
+    */
+  override def inferSchema(table: String): Option[StructType] =
+    visibleFiles(table) match {
+      case None        => super.inferSchema(table)
+      case Some(Nil)   => None
+      case Some(files) =>
+        Some(spark.read.parquet(files.map(f => s"${path(table)}/$f"): _*).schema)
+    }
+
   override def sizeBytes(table: String): Long =
     visibleFiles(table) match {
       case None        => super.sizeBytes(table)
@@ -458,7 +556,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     var attempts = 0
     while (!foldLogToSnapshot() && attempts < 50) attempts += 1
     // 2. unreferenced data files under manifest-managed tables
-    val managed = commitFiles().flatMap(readLines).collect {
+    val managed = retryOnVanishedManifest(commitFiles().flatMap(readLines)).collect {
       case l if l.startsWith("add\t") => l.split('\t')(1)
     }.distinct
     managed.foreach { t =>
@@ -479,6 +577,15 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     if (fs.exists(stageRoot))
       fs.listStatus(stageRoot).foreach { st =>
         if (st.getModificationTime < cutoff) fs.delete(st.getPath, true)
+      }
+    // 4. version-claim files a crashed publisher left behind: live claims
+    // are sub-second, and the claim path itself breaks stale ones on reuse —
+    // but the log's versions advance, so an orphaned v<N>.lock for an
+    // already-published N would otherwise sit as garbage forever
+    if (fs.exists(logDir))
+      fs.listStatus(logDir).foreach { st =>
+        if (st.getPath.getName.matches("v\\d{8}\\.lock") && st.getModificationTime < cutoff)
+          fs.delete(st.getPath, false)
       }
   }
 }

@@ -249,6 +249,67 @@ class AtomicWarehouseSpec extends SparkSpec {
     assert(logFiles <= 10, s"manifest log not bounded: $logFiles files")
   }
 
+  test("snapshot fold keeps a child table's files across a truncated parent prefix") {
+    // the data-loss shape: the child's adds appear in the log BEFORE the
+    // parent's truncate (Pipeline.runBatch deletes staging/<src> each batch
+    // while staging/<src>/T subtables get re-added). A snapshot that emits
+    // per-table truncate+add blocks in first-appearance order puts the
+    // parent's truncate AFTER the child's adds — and refolding that snapshot
+    // (which every read of the folded log does) clears the child silently.
+    val wh = new AtomicWarehouse(spark, Files.createTempDirectory("graft-aw-fold-").toString)
+    wh.append("staging/x/T", Seq((1L, "gen1")).toDF("id", "v")) // child first in log
+    wh.delete("staging")                                        // parent truncate
+    wh.append("staging/x/T", Seq((2L, "gen2")).toDF("id", "v")) // child re-added
+    wh.vacuum(olderThanMs = 60000) // folds the log to one snapshot
+    assert(rows(wh, "staging/x/T") == Set((2L, "gen2")),
+      "refolding the snapshot must not clear a child whose parent prefix was truncated")
+    // and the snapshot must stay stable across ANOTHER fold cycle
+    wh.append("unrelated", Seq((9L, "u")).toDF("id", "v"))
+    wh.vacuum(olderThanMs = 60000)
+    assert(rows(wh, "staging/x/T") == Set((2L, "gen2")))
+  }
+
+  test("two 'JVMs' (no shared lock) publishing the same version: exactly one lands, none lost") {
+    // publishAtCrossProcess is the publish path minus the JVM-wide lock —
+    // i.e. what a second sbt/JVM session racing this one executes. The
+    // O_EXCL v<N>.lock claim must let exactly one racer land each version;
+    // without it POSIX rename silently overwrites and both report success.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val dir = Files.createTempDirectory("graft-aw-xjvm-").toString
+    val whs = (1 to 8).map(_ => new AtomicWarehouse(spark, dir))
+    (1 to 5).foreach { version =>
+      val wins = Await.result(Future.sequence(whs.zipWithIndex.map { case (wh, i) =>
+        Future(wh.publishAtCrossProcess(Seq(s"add\tt\tf-$version-$i.parquet"), version))
+      }), Duration(5, "min"))
+      assert(wins.count(identity) == 1,
+        s"version $version: expected exactly one winner, got ${wins.count(identity)}")
+      val winner = wins.indexOf(true)
+      val manifest = java.nio.file.Paths.get(dir, "_txlog", f"v$version%08d.tsv")
+      val content = new String(Files.readAllBytes(manifest), "UTF-8").trim
+      assert(content == s"add\tt\tf-$version-$winner.parquet",
+        s"version $version: manifest content is not the winner's (lost/overwritten publish)")
+    }
+    // all claims released: no v*.lock files left behind
+    val locks = Files.list(java.nio.file.Paths.get(dir, "_txlog"))
+      .filter(_.getFileName.toString.endsWith(".lock")).count()
+    assert(locks == 0, s"$locks claim files leaked")
+  }
+
+  test("inferSchema sees manifest-visible files only, and None after truncate") {
+    val wh = new AtomicWarehouse(spark, Files.createTempDirectory("graft-aw-schema-").toString)
+    wh.append("t", Seq((1L, "a")).toDF("id", "v"))
+    wh.replace("t", Seq((1L, "a", 2.0)).toDF("id", "v", "w")) // schema change
+    // superseded 2-column files still sit in the directory (grace window);
+    // inference must come from the manifest-visible 3-column generation only
+    assert(wh.inferSchema("t").map(_.fieldNames.toSeq) == Some(Seq("id", "v", "w")),
+      s"stale/merged schema inferred: ${wh.inferSchema("t")}")
+    wh.delete("t")
+    assert(wh.inferSchema("t").isEmpty,
+      "a truncated-but-unvacuumed table must not resurrect its dead files' schema")
+  }
+
   test("vacuum folds the log to one snapshot and removes unreferenced files") {
     val dir = Files.createTempDirectory("graft-aw-vac-").toString
     val wh = new AtomicWarehouse(spark, dir)
