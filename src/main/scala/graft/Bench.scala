@@ -29,12 +29,18 @@ import org.apache.spark.sql.SparkSession
   *   - The stream fixtures' drain guard is lowered to 120 s for the bench
   *     via GraftSession.streamDrainTimeoutMs (3 streams × 3 reps × 300 s of
   *     legal stalling is how r6 died); SPARK_GRAFT_STREAM_DRAIN_MS overrides.
-  *   - Every query line carries an environment canary ("canary_s": the same
-  *     fixed CPU-bound range-sum timed just before the query's reps, plus
-  *     "load1m"): cross-round medians can then be adjudicated as real
-  *     (canary flat, query slower) or environmental (canary inflated too) —
-  *     the r6 q10/q11_stream "regression" was contention on identical code,
-  *     indistinguishable at the time because nothing measured the machine.
+  *   - Every query line carries an environment canary (the same fixed
+  *     CPU-bound range-sum timed immediately before EACH rep, as
+  *     "rep_canary_s" plus "rep_load1m"; "canary_s" is their median and
+  *     "load1m" the rep max): cross-round medians can then be adjudicated
+  *     as real (canary flat, query slower) or environmental (canary inflated
+  *     on exactly the slow reps) — the r6 q10/q11_stream "regression" was
+  *     contention on identical code, indistinguishable at the time because
+  *     nothing measured the machine, and r7's etl_merge_endstate rep shape
+  *     (first rep fast, later reps 4× slower) was invisible to a
+  *     once-per-query sample.
+  *   - Reps whose spread says the median is noise (max/min > 3×) trigger up
+  *     to 2 extra reps within the same budget ("adaptive_reps" in the line).
   */
 object Bench {
   private def median(ts: Seq[Double]): Double = {
@@ -88,8 +94,11 @@ object Bench {
       val group = s"bench-$name"
       // leftovers from an abandoned (timed-out) rep poison later reps with
       // name collisions on memory-sink streams — sweep before starting
-      // (stop() waits for termination; a no-op when nothing is active)
-      spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
+      // (stop() waits for termination; a no-op when nothing is active).
+      // The sweep goes through GraftSession: stream fixtures run on isolated
+      // newSession()s whose queries register in their OWN per-session
+      // StreamingQueryManager, invisible to spark.streams.active here.
+      GraftSession.stopAllStreams(spark)
       val t0 = System.nanoTime()
       val fut = scala.concurrent.Future {
         spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
@@ -108,7 +117,7 @@ object Bench {
           // sweep in a bounded loop until the thread actually finishes.
           var waitedMs = 0
           while (!fut.isCompleted && waitedMs < 15000) {
-            spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
+            GraftSession.stopAllStreams(spark)
             Thread.sleep(250); waitedMs += 250
           }
           Left("timeout")
@@ -142,23 +151,49 @@ object Bench {
     // Per-rep outcome is tracked: a rep whose query throws records the error,
     // NOT its (fast-fail) elapsed time — a broken query must not contribute
     // near-zero times that deflate the median and make the JSON look healthy.
+    //
+    // The canary + load sample run per REP (not once per query): a query
+    // whose first rep is fast and later reps are 4× slower — exactly the
+    // r7 etl_merge_endstate shape — is invisible to a once-before-the-reps
+    // sample, so a contended rep could never self-identify in the artifact.
+    // The query-level "canary_s" stays (median of the rep canaries) so
+    // cross-round comparisons keep working; "load1m" reports the rep max.
     val results = qs.map { case (name, fn) =>
-      val canaryS = canary()
-      val loadAvg = osBean.getSystemLoadAverage
       val qStart = System.nanoTime()
       var outcomes = Vector.empty[Either[String, Double]]
-      (1 to reps).foreach { _ =>
+      var repCanaries = Vector.empty[Double]
+      var repLoads = Vector.empty[Double]
+      def runOne(): Unit = {
         val remaining = budgetMs - (System.nanoTime() - qStart) / 1000000
         // a timed-out rep ends the query (its successor would stall the same
         // way); a budget exhausted by SLOW-BUT-FINISHED reps just means fewer
         // reps feed the median
-        if (remaining > 0 && !outcomes.contains(Left("timeout")))
+        if (remaining > 0 && !outcomes.contains(Left("timeout"))) {
+          repCanaries :+= canary()
+          repLoads :+= osBean.getSystemLoadAverage
           outcomes :+= runRep(name, fn, sfDir, remaining)
+        }
       }
+      (1 to reps).foreach(_ => runOne())
+      // Adaptive reps: when the spread exceeds the median-trust threshold
+      // (max/min > 3 — r7's dedup_survivors_best 11.1/3.2/9.5 and
+      // doc_decontaminate 16.1/1.8/2.0 shapes), up to 2 extra reps run within
+      // the same wall budget so the median rests on more than noise.
+      var extra = 0
+      def spreadBad: Boolean = {
+        val ts = outcomes.collect { case Right(t) => t }
+        ts.size >= 2 && ts.min > 0 && ts.max / ts.min > 3.0
+      }
+      while (extra < 2 && spreadBad) { runOne(); extra += 1 }
       val ts = outcomes.collect { case Right(t) => t }
       val errs = outcomes.collect { case Left(m) => m }
+      val canaryS = if (repCanaries.nonEmpty) median(repCanaries) else 0.0
+      val loadAvg = if (repLoads.nonEmpty) repLoads.max else 0.0
       val repsJson = ts.map(t => f"$t%.3f").mkString("[", ",", "]")
-      val envJson = f""""canary_s":$canaryS%.3f,"load1m":$loadAvg%.1f"""
+      val envJson = f""""canary_s":$canaryS%.3f,"load1m":$loadAvg%.1f""" +
+        repCanaries.map(c => f"$c%.3f").mkString(""","rep_canary_s":[""", ",", "]") +
+        repLoads.map(l => f"$l%.1f").mkString(""","rep_load1m":[""", ",", "]") +
+        (if (extra > 0) s""","adaptive_reps":$extra""" else "")
       val qLine =
         if (ts.nonEmpty)
           f"""{"query":"$name","median":${median(ts)}%.3f,"reps":$repsJson,$envJson}"""

@@ -118,6 +118,32 @@ object GraftSession {
   def streamSession(s: SparkSession, statePartitions: Int = 8): SparkSession = {
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    issuedStreamSessions.synchronized(issuedStreamSessions.put(ss, java.lang.Boolean.TRUE))
     ss
+  }
+
+  /** Every session [[streamSession]] has handed out (weakly held — a session
+    * only the map still references is collectable). Needed because each
+    * `newSession()` has its OWN StreamingQueryManager: a harness sweeping
+    * `root.streams.active` cannot see — let alone stop — a stream started on
+    * an isolated session, so an abandoned (timed-out) stream fixture would
+    * keep draining and contend with every query after it.
+    */
+  private val issuedStreamSessions =
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()
+
+  /** Stop every active streaming query on `root` AND on every issued stream
+    * session. Per-query stop failures are swallowed: the caller is a cleanup
+    * sweep, and a query that died on its own is already what we want.
+    */
+  def stopAllStreams(root: SparkSession): Unit = {
+    val issued = issuedStreamSessions.synchronized {
+      import scala.jdk.CollectionConverters._
+      issuedStreamSessions.keySet().asScala.toVector
+    }
+    (root +: issued).distinct.foreach { s =>
+      try s.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
+      catch { case _: Throwable => () }
+    }
   }
 }
