@@ -79,12 +79,35 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
 
   // ---- manifest log -------------------------------------------------------
 
+  /** Committed manifests in version order. Ordinary commits are `vN.tsv`,
+    * snapshots `vN.snap.tsv` — the distinct name makes "latest snapshot"
+    * computable from one listing, which the whole concurrency story leans
+    * on: a POSIX readdir can MISS entries created or deleted DURING the
+    * iteration (observed: a fold racing a commit listed a partial log,
+    * folded a stale snapshot, and the resulting resurrected manifest pointed
+    * at vacuumed files), but entries untouched for the whole iteration are
+    * always listed — so by (a) never deleting at-or-above-snapshot manifests
+    * and (b) deleting below-snapshot ones only after a grace window
+    * ([[vacuum]]), every lister is guaranteed a view containing the latest
+    * snapshot and its whole tail, which is exactly the self-contained state.
+    */
   private def commitFiles(): Seq[Path] = {
     if (!fs.exists(logDir)) return Nil
     fs.listStatus(logDir).toSeq.map(_.getPath)
-      .filter(p => p.getName.matches("v\\d{8}\\.tsv"))
-      .sortBy(_.getName)
+      .filter(p => p.getName.matches("v\\d{8}(\\.snap)?\\.tsv"))
+      .sortBy(versionOf)
   }
+
+  private def versionOf(p: Path): Int = p.getName.slice(1, 9).toInt
+
+  private def isSnapshot(p: Path): Boolean = p.getName.endsWith(".snap.tsv")
+
+  /** Index of the latest snapshot in `cfs` (-1 when none): the fold origin —
+    * everything before it is subsumed by construction (the snapshot was
+    * CAS-published at its inputs' version + 1, so no manifest can exist
+    * between its last input and itself).
+    */
+  private def latestSnapshotIdx(cfs: Seq[Path]): Int = cfs.lastIndexWhere(isSnapshot)
 
   /** Manifest files actually opened and read by this instance — the cost the
     * fold cache + auto-fold exist to bound; specs assert it stays flat
@@ -137,8 +160,12 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
   @volatile private var foldCache: (String, LogState) = ("", LogState(Map.empty, Set.empty))
 
   private def foldedState(): LogState = retryOnVanishedManifest {
-    val cfs = commitFiles()
+    val all = commitFiles()
     val cached = foldCache
+    // fold from the latest snapshot onward: pre-snapshot manifests are
+    // subsumed (see latestSnapshotIdx) and may linger until vacuumed —
+    // reading them would make per-read cost grow with the vacuum backlog
+    val cfs = all.drop(latestSnapshotIdx(all).max(0))
     if (cfs.isEmpty) LogState(Map.empty, Set.empty)
     else if (cached._1 == cfs.last.getName) cached._2
     else foldFrom(cfs)
@@ -228,17 +255,30 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     * the claim and must provide the HDFS-style contract instead: atomic
     * rename that fails (returns false) on an existing destination.
     */
-  private def publishAt(lines: Seq[String], version: Int): Boolean =
-    publishLock.synchronized(publishAtCrossProcess(lines, version))
+  private def publishAt(lines: Seq[String], version: Int,
+      snapshot: Boolean = false): Boolean =
+    publishLock.synchronized(publishAtCrossProcess(lines, version, snapshot))
+
+  /** True when ANY manifest occupies the version slot. An exists() is a
+    * point stat — reliable even while the directory is being concurrently
+    * mutated, unlike a listing — so probing slots forward from a listing's
+    * max can never be fooled into landing a publish BELOW a manifest the
+    * listing happened to miss.
+    */
+  private def slotTaken(version: Int): Boolean =
+    fs.exists(new Path(logDir, f"v$version%08d.tsv")) ||
+      fs.exists(new Path(logDir, f"v$version%08d.snap.tsv"))
 
   /** The cross-process publish path WITHOUT the JVM-wide lock — what a second
     * JVM racing this one actually executes. Production callers go through
     * [[publishAt]]; specs race this seam directly to prove two "JVMs" can
     * never both land version N.
     */
-  private[graft] def publishAtCrossProcess(lines: Seq[String], version: Int): Boolean = {
+  private[graft] def publishAtCrossProcess(lines: Seq[String], version: Int,
+      snapshot: Boolean = false): Boolean = {
     fs.mkdirs(logDir)
-    val dest = new Path(logDir, f"v$version%08d.tsv")
+    val dest = new Path(logDir,
+      if (snapshot) f"v$version%08d.snap.tsv" else f"v$version%08d.tsv")
     val qualifiedLog = fs.makeQualified(logDir)
     val claim: Option[java.nio.file.Path] =
       if (qualifiedLog.toUri.getScheme != "file") None
@@ -259,7 +299,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
         }
       }
     try {
-      if (fs.exists(dest)) return false
+      if (slotTaken(version)) return false
       val tmp = new Path(logDir, s".tmp-${java.util.UUID.randomUUID()}")
       val out = fs.create(tmp, true)
       try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
@@ -268,18 +308,40 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     } finally claim.foreach(l => java.nio.file.Files.deleteIfExists(l))
   }
 
-  private def nextVersion(): Int = commitFiles().lastOption
-    .map(p => p.getName.stripPrefix("v").stripSuffix(".tsv").toInt + 1).getOrElse(1)
+  /** First free version slot: listing max + 1, then exists-probed FORWARD
+    * past any manifests the listing missed (a readdir racing concurrent
+    * creates may omit them). Freed slots only ever exist BELOW the latest
+    * snapshot — vacuum's manifest GC never touches the snapshot or its
+    * tail — so walking up from a listed max can skip but never undershoot.
+    */
+  private def nextVersion(): Int = {
+    var v = commitFiles().lastOption.map(versionOf(_) + 1).getOrElse(1)
+    while (slotTaken(v)) v += 1
+    v
+  }
 
   /** Publish one manifest at the next free version. A losing attempt
     * (concurrent committer) re-reads the log and retries with the next
     * number — safe for ordinary commits, whose lines are valid at ANY
     * version; snapshots go through [[foldLogToSnapshot]]'s CAS instead.
+    *
+    * `precondition` is re-evaluated under the publish lock immediately
+    * before every attempt (so it always sees the freshest log, including a
+    * racing commit that just beat this one): returning false aborts the
+    * commit with `ConcurrentModificationException` — the optimistic-
+    * concurrency check read-modify-write transactions (compaction) need to
+    * not silently truncate away a concurrent append.
     */
-  private def publish(lines: Seq[String]): Unit = {
+  private def publish(lines: Seq[String], precondition: () => Boolean = () => true): Unit = {
     var attempts = 0
     while (attempts < 50) {
-      if (publishAt(lines, nextVersion())) return
+      val landed = publishLock.synchronized {
+        if (!precondition())
+          throw new java.util.ConcurrentModificationException(
+            "commit precondition failed: a table changed since this transaction read it")
+        publishAtCrossProcess(lines, nextVersion())
+      }
+      if (landed) return
       attempts += 1
       // a lost attempt can mean another PROCESS holds the version claim
       // mid-write (nextVersion() won't advance until its rename lands) —
@@ -289,24 +351,32 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     throw new java.io.IOException("could not publish txlog manifest after 50 attempts")
   }
 
-  /** Fold the whole committed log into one self-contained snapshot manifest
-    * and delete the superseded ones. CAS semantics: the snapshot lands only
+  /** Fold the log's live tail (latest snapshot + later commits) into one
+    * self-contained snapshot manifest. CAS semantics: the snapshot lands only
     * at the version it was computed against + 1; a racing commit aborts the
     * attempt (returns false) rather than landing a stale snapshot whose
-    * leading truncates would erase the racing commit's rows. Deleting the
-    * old manifests AFTER the snapshot is safe in any order: the snapshot's
-    * truncate-then-add lines make them redundant, not conflicting.
+    * leading truncates would erase the racing commit's rows — and a listing
+    * that MISSED a racing commit targets that commit's own slot, so the
+    * claim/exists probe turns the miss into the same harmless abort.
+    *
+    * The superseded manifests are NOT deleted here: concurrent listers may
+    * be mid-readdir, and entries deleted during an iteration are allowed to
+    * vanish from it — a lister could then fold a partial log. They are
+    * garbage below the new snapshot, left for [[vacuum]]'s manifest GC
+    * (grace-windowed, like data files). Readers never pay for them:
+    * [[foldedState]] starts at the latest snapshot.
     */
   private def foldLogToSnapshot(): Boolean = synchronized {
-    val old = commitFiles()
+    val all = commitFiles()
+    val old = all.drop(latestSnapshotIdx(all).max(0))
     if (old.size <= 1) return true
     val tables =
       try old.flatMap(readLines).collect {
         case l if l.startsWith("add\t") || l.startsWith("truncate\t") => l.split('\t')(1)
       }.distinct
       catch {
-        // a racing fold deleted a listed manifest mid-read; this attempt is
-        // stale anyway — report a lost CAS so the caller recomputes
+        // a listed manifest aged out of the grace window and was GC'd
+        // mid-read; this attempt is stale anyway — a lost CAS, recompute
         case _: java.io.FileNotFoundException => return false
       }
     // ALL truncate lines precede ALL add lines. Truncate applies by PREFIX,
@@ -316,10 +386,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     // of that snapshot would silently clear the child's files.
     val lines = ("snapshot" +: tables.map(t => s"truncate\t$t")) ++
       tables.flatMap(t => visibleFiles(t).getOrElse(Nil).map(f => s"add\t$t\t$f"))
-    val expected = old.last.getName.stripPrefix("v").stripSuffix(".tsv").toInt + 1
-    if (!publishAt(lines, expected)) return false
-    old.foreach(p => fs.delete(p, false))
-    true
+    publishAt(lines, versionOf(old.last) + 1, snapshot = true)
   }
 
   // ---- staged transaction state -------------------------------------------
@@ -329,7 +396,8 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     * sit; relative subpaths are preserved on move (partition dirs).
     */
   private case class Staged(table: String, truncate: Boolean,
-      stageDir: Option[Path], partitioned: Boolean)
+      stageDir: Option[Path], partitioned: Boolean,
+      expected: Option[Seq[String]] = None)
 
   private class Tx {
     val txid: String = java.util.UUID.randomUUID().toString
@@ -370,14 +438,26 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     */
   private class TxView(tx: Tx) extends Warehouse(spark0, root0) {
     private def stage(table: String, truncate: Boolean, partitioned: Boolean,
-        write: Option[Path => Unit]): Unit = {
+        write: Option[Path => Unit], expected: Option[Seq[String]] = None): Unit = {
       val dirOpt = write.map { w =>
         val d = tx.synchronized(tx.nextStageDir())
         withRetry()(w(d))
         d
       }
-      tx.synchronized(tx.entries += Staged(table, truncate, dirOpt, partitioned))
+      tx.synchronized(tx.entries += Staged(table, truncate, dirOpt, partitioned, expected))
     }
+
+    /** Conflict-checked replace for read-modify-write maintenance
+      * ([[AtomicWarehouse.compact]]): `expected` is the file set the caller
+      * read; the commit aborts with `ConcurrentModificationException` if the
+      * table's visible set changed — a racing append landing mid-compaction
+      * would otherwise be truncated away by the rewrite (lost update).
+      */
+    private[sources] def replaceExpecting(table: String, df: DataFrame,
+        expected: Seq[String]): Unit =
+      stage(table, truncate = true, partitioned = false,
+        Some(d => df.write.mode(SaveMode.Overwrite).parquet(d.toString)),
+        expected = Some(expected))
 
     override def append(table: String, df: DataFrame): Unit =
       stage(table, truncate = false, partitioned = false,
@@ -481,18 +561,30 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
         }
       }
     }
-    if (lines.nonEmpty) publish(lines.toSeq)
+    // optimistic-concurrency checks from conflict-guarded entries
+    // (replaceExpecting): abort — staged/moved files become vacuumable
+    // garbage, never visible — rather than truncate a racing commit away
+    val checks = tx.entries.collect {
+      case e if e.expected.isDefined => (e.table, e.expected.get.sorted)
+    }.toSeq
+    if (lines.nonEmpty) publish(lines.toSeq,
+      precondition = () => checks.forall { case (t, exp) =>
+        committedOrPhysical(t).sorted == exp
+      })
     fs.delete(new Path(stageRoot, tx.txid), true)
     // physical delete AFTER the commit is visible: a crash before this point
     // leaves the files as unreferenced garbage (vacuum), never as a
     // partially-deleted committed state
     deletesAfter.foreach(t => fs.delete(new Path(path(t)), true))
-    // auto-fold: bound the manifest log so a long-running stream (one commit
-    // per micro-batch) keeps per-fold cost flat instead of growing until
-    // someone remembers to vacuum. Fold-only — superseded DATA files keep
-    // their vacuum grace window. A lost CAS just means a racing commit
-    // folds on ITS next commit.
-    if (logFoldEvery > 0 && commitFiles().size > logFoldEvery) foldLogToSnapshot()
+    // auto-fold: bound the LIVE manifest tail so a long-running stream (one
+    // commit per micro-batch) keeps per-fold cost flat instead of growing
+    // until someone remembers to vacuum. Fold-only — superseded manifests
+    // and DATA files both keep their vacuum grace window. A lost CAS just
+    // means a racing commit folds on ITS next commit.
+    if (logFoldEvery > 0) {
+      val cfs = commitFiles()
+      if (cfs.size - latestSnapshotIdx(cfs).max(0) > logFoldEvery) foldLogToSnapshot()
+    }
   }
 
   override def append(table: String, df: DataFrame): Unit =
@@ -518,6 +610,49 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
         spark.read.option("basePath", path(table)).schema(schema)
           .parquet(files.map(f => s"${path(table)}/$f"): _*)
     }
+
+  /** Conflict-safe compaction for ACTIVE tables — what out-of-band
+    * maintenance (`tools/Maintain`) against a live stream requires. The base
+    * class's compact is read-then-replace: a batch append committing between
+    * the read and the replace's truncate would be silently truncated away
+    * (lost update — the writer-isolation hole the class scaladoc disclaims
+    * for generic transactions). Here the rewrite pins the exact file set it
+    * read and commits through [[TxView.replaceExpecting]]'s optimistic
+    * check: if the visible set changed, the commit aborts and the compaction
+    * retries from the fresh state (Delta/Iceberg-style commit conflict
+    * detection, rebuilt on the manifest fold). Gives up — loudly — after 8
+    * lost races: compaction is maintenance; the data is never at risk, the
+    * caller just didn't get smaller files this pass.
+    */
+  override def compact(table: String, schema: StructType, targetFiles: Int = 1,
+      sortCols: Seq[String] = Nil): Unit = {
+    require(targetFiles > 0, "targetFiles must be positive")
+    var attempts = 0
+    while (attempts < 8) {
+      val expected = committedOrPhysical(table)
+      val src =
+        if (expected.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        else spark.read.option("basePath", path(table)).schema(schema)
+          .parquet(expected.map(f => s"${path(table)}/$f"): _*)
+      val coalesced = src.coalesce(targetFiles)
+      val out = if (sortCols.isEmpty) coalesced
+        else coalesced.sortWithinPartitions(
+          sortCols.map(org.apache.spark.sql.functions.col): _*)
+      try {
+        atomically {
+          case tv: TxView => tv.replaceExpecting(table, out, expected)
+          case w          => w.replace(table, out) // nested in an ambient tx: its commit is the guard
+        }
+        return
+      } catch {
+        case _: java.util.ConcurrentModificationException => attempts += 1
+      }
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"compaction of $table lost ${attempts} straight races to concurrent commits; " +
+        "table is intact — retry when the writer is quieter")
+  }
 
   /** Schema from MANIFEST-VISIBLE files only: the raw directory also holds
     * superseded files inside their vacuum grace window, so after a
@@ -555,6 +690,18 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     // a stale snapshot landing later would erase the racing commit's rows.
     var attempts = 0
     while (!foldLogToSnapshot() && attempts < 50) attempts += 1
+    // 1b. manifest GC: manifests strictly below the latest snapshot are
+    // subsumed garbage (foldedState never reads them) — but deleting them
+    // promptly would race concurrent listers, whose readdir may drop
+    // entries deleted mid-iteration and hand them a partial log. Past the
+    // grace window no lister started before the snapshot can still be
+    // iterating, so the delete is safe — the same reasoning as data files.
+    locally {
+      val cfs = commitFiles()
+      cfs.take(latestSnapshotIdx(cfs).max(0)).foreach { p =>
+        if (fs.getFileStatus(p).getModificationTime < cutoff) fs.delete(p, false)
+      }
+    }
     // 2. unreferenced data files under manifest-managed tables
     val managed = retryOnVanishedManifest(commitFiles().flatMap(readLines)).collect {
       case l if l.startsWith("add\t") => l.split('\t')(1)

@@ -40,8 +40,16 @@ object Maintain {
   def run(spark: SparkSession, root: String, tableSpecs: Seq[String],
       graceMs: Long = 3600000L): Unit = {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Transactional sniff: `_txlog` OR `txstage` — a transactional writer
+    // creates its stage dir BEFORE its first manifest publish, and opening a
+    // mid-bootstrap warehouse as a base one is how an ops pass once DESTROYED
+    // data (observed): base compact is a directory-swap replace, which
+    // physically deletes the raw tx- files the writer's racing first commit
+    // was about to reference — no conflict check can see it because the base
+    // path bypasses the manifest protocol entirely.
     val wh: Warehouse =
-      if (fs.exists(new Path(s"$root/_txlog"))) new AtomicWarehouse(spark, root)
+      if (fs.exists(new Path(s"$root/_txlog")) || fs.exists(new Path(s"$root/txstage")))
+        new AtomicWarehouse(spark, root)
       else new Warehouse(spark, root)
 
     val specs: Seq[(String, Seq[String])] =
@@ -54,14 +62,35 @@ object Maintain {
       }
       else discoverTables(fs, root).map((_, Nil))
 
+    // Belt to the sniff's braces: in base mode, refuse any table holding
+    // tx-prefixed files — those names only ever come from manifest commits,
+    // so their presence proves a transactional writer raced the sniff
+    // (its txstage/_txlog appeared after we looked). Base-compacting such a
+    // table would delete files a manifest references.
+    def hasManifestFiles(table: String): Boolean = {
+      val d = new Path(wh.path(table))
+      fs.exists(d) && fs.listStatus(d).exists(_.getPath.getName.startsWith("tx-"))
+    }
+    val isBase = !wh.isInstanceOf[AtomicWarehouse]
+
     specs.foreach { case (table, sortCols) =>
-      wh.inferSchema(table) match {
+      if (isBase && hasManifestFiles(table)) {
+        println(s"MAINTAIN skipped $table (transactional writer bootstrapping; rerun)")
+      } else wh.inferSchema(table) match {
         case None => println(s"MAINTAIN skip $table (absent/empty)")
         case Some(schema) =>
           val before = wh.sizeBytes(table)
-          wh.compact(table, schema, targetFiles = 1, sortCols = sortCols)
-          println(f"MAINTAIN compacted $table%-40s ${before / 1024}%d KiB" +
-            (if (sortCols.nonEmpty) s" (sorted by ${sortCols.mkString(",")})" else ""))
+          try {
+            wh.compact(table, schema, targetFiles = 1, sortCols = sortCols)
+            println(f"MAINTAIN compacted $table%-40s ${before / 1024}%d KiB" +
+              (if (sortCols.nonEmpty) s" (sorted by ${sortCols.mkString(",")})" else ""))
+          } catch {
+            // out-of-band pass racing a hot writer: the conflict-checked
+            // compact aborted rather than truncate the writer's commits
+            // away — data intact, just no smaller files this pass
+            case e: java.util.ConcurrentModificationException =>
+              println(s"MAINTAIN skipped $table (lost to concurrent writers)")
+          }
       }
     }
     wh match {
@@ -80,18 +109,40 @@ object Maintain {
     */
   private[graft] def discoverTables(fs: org.apache.hadoop.fs.FileSystem,
       root: String): Seq[String] = {
-    val base = fs.makeQualified(new Path(root)).toString + "/"
-    val out = scala.collection.mutable.SortedSet[String]()
-    val it = fs.listFiles(new Path(root), true)
-    while (it.hasNext) {
-      val st = it.next()
-      val rel = st.getPath.toString.stripPrefix(base)
-      val segs = rel.split('/')
-      if (segs.last.endsWith(".parquet") && segs.length > 1 &&
-          !segs.exists(s => s.startsWith("_") || s.startsWith(".") || s.contains("=")) &&
-          segs.head != "txstage")
-        out += segs.init.mkString("/")
+    // Never DESCEND into infrastructure dirs (txstage, _txlog, .tmp) — on a
+    // LIVE warehouse an in-flight staged write is creating and deleting
+    // `_temporary` task dirs under txstage faster than a recursive walk can
+    // stat them (observed: listing crashed mid-soak on a vanished task dir).
+    // Filtering the RESULTS is not enough; the walk itself must skip them.
+    def walk(): Seq[String] = {
+      val base = fs.makeQualified(new Path(root)).toString + "/"
+      val out = scala.collection.mutable.SortedSet[String]()
+      fs.listStatus(new Path(root)).foreach { top =>
+        val n = top.getPath.getName
+        if (top.isDirectory && !n.startsWith("_") && !n.startsWith(".") && n != "txstage") {
+          val it = fs.listFiles(top.getPath, true)
+          while (it.hasNext) {
+            val st = it.next()
+            val segs = st.getPath.toString.stripPrefix(base).split('/')
+            if (segs.last.endsWith(".parquet") && segs.length > 1 &&
+                !segs.exists(s => s.startsWith("_") || s.startsWith(".") || s.contains("=")))
+              out += segs.init.mkString("/")
+          }
+        }
+      }
+      out.toSeq
     }
-    out.toSeq
+    // table dirs themselves still mutate under a hot writer (vacuum deleting
+    // superseded files mid-walk) — transient stat races re-list, not crash
+    var attempts = 0
+    while (true) {
+      try return walk()
+      catch {
+        case e @ (_: java.io.FileNotFoundException | _: RuntimeException) =>
+          attempts += 1
+          if (attempts >= 5) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 }

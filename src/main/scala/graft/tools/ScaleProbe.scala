@@ -30,6 +30,11 @@ import org.apache.spark.sql.functions._
   * ~flat (bounded by probe keys × row-group size), and the planted pairs are
   * found at every scale. Emits a JSON line per (scale, mode) to stdout AND
   * target/scaleprobe.json (self-sufficient artifact, like Bench).
+  *
+  * The same measurement runs for the EXACT-dedup path (modes `exact_probe` /
+  * `exact_fullscan`): `Dedup.incrementalExactNew` probing a sha-sorted
+  * content-hash index — the mechanism `ExactDedupStream` rides per batch —
+  * with planted exact copies rejected and novel docs admitted at every scale.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -107,6 +112,13 @@ object ScaleProbe {
       val idxBytes = Files.walk(java.nio.file.Paths.get(whDir))
         .filter(p => p.toString.endsWith(".parquet")).mapToLong(p => Files.size(p)).sum()
 
+      // the sha-sorted content-hash index for the SAME corpus: the exact-
+      // dedup path (Dedup.incrementalExactNew, ExactDedupStream's per-batch
+      // admit) makes the same flat-probe claim as the LSH band index but via
+      // a ≤1000-literal In over text_sha — measure it with the same listener
+      sortedWrite(Dedup.exactGroups(corpus, "doc_id", "text"),
+        wh.path("dedup/HashIndex"), "text_sha")
+
       val ds = new graft.streaming.DedupStream(wh, minJaccard = 0.35, minSigMatchesOverride = 4)
       Seq(("probe", 1000, 1000), ("fullscan", 0, 0)).foreach { case (mode, keyLim, idLim) =>
         // warm the page cache + codegen once, then measure a clean run
@@ -125,6 +137,35 @@ object ScaleProbe {
           if (rep == 2) emit(
             f"""{"tool":"scaleprobe","scale_x":$n,"mode":"$mode","index_bytes":$idxBytes,"probe_bytes":${bytesRead.get()},"probe_records":${recordsRead.get()},"pairs":$nPairs,"sec":$secs%.2f,"fresh_docs":$nFresh}""")
           assert(nPairs >= 10, s"planted pairs missing at x$n/$mode: $nPairs")
+        }
+      }
+
+      // exact-hash admit over the same corpus: batch hashes pushed into the
+      // sha-sorted index scan (probe) vs plain anti-join (fullscan). The
+      // planted replica-0 copies must be REJECTED at every scale (their
+      // hashes are in the index); novel docs survive — identical survivor
+      // sets across modes, flat probe records across scales.
+      val hashSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("text_sha", org.apache.spark.sql.types.StringType, false),
+        org.apache.spark.sql.types.StructField("keep_id", org.apache.spark.sql.types.LongType, true),
+        org.apache.spark.sql.types.StructField("n_copies", org.apache.spark.sql.types.LongType, true)))
+      var survivorsAcrossModes = -1L
+      Seq(("exact_probe", 1000), ("exact_fullscan", 0)).foreach { case (mode, lim) =>
+        (1 to 2).foreach { rep =>
+          bytesRead.set(0); recordsRead.set(0)
+          val t0 = System.nanoTime()
+          val survivors = Dedup.incrementalExactNew(fresh,
+            wh.read("dedup/HashIndex", hashSchema), "doc_id", "text", probeHashLimit = lim)
+            .count()
+          val secs = (System.nanoTime() - t0) / 1e9
+          if (rep == 2) emit(
+            f"""{"tool":"scaleprobe","scale_x":$n,"mode":"$mode","index_bytes":$idxBytes,"probe_bytes":${bytesRead.get()},"probe_records":${recordsRead.get()},"survivors":$survivors,"sec":$secs%.2f,"fresh_docs":$nFresh}""")
+          assert(survivors > 0 && survivors < nFresh,
+            s"exact admit shape wrong at x$n/$mode: $survivors of $nFresh survived " +
+              "(planted copies must drop, novel docs must pass)")
+          if (survivorsAcrossModes < 0) survivorsAcrossModes = survivors
+          else assert(survivors == survivorsAcrossModes,
+            s"probe changed exact-dedup semantics at x$n: $survivors != $survivorsAcrossModes")
         }
       }
     }

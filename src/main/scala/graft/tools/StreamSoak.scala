@@ -4,12 +4,13 @@ import java.nio.file.Files
 
 import graft.GraftSession
 import graft.sources.AtomicWarehouse
-import graft.streaming.DedupStream
+import graft.streaming.{DedupStream, ExactDedupStream}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Always-on-stream soak for the transactional dedup path: drive DedupStream
-  * on an [[AtomicWarehouse]] through N micro-batches (default 50) with inline
-  * maintenance ON (compaction + vacuum every `compactEvery`, commit
+/** Always-on-stream soak for the transactional dedup paths: drive a dedup
+  * stream on an [[AtomicWarehouse]] through N micro-batches (default 50) with
+  * inline maintenance ON (compaction + vacuum every `compactEvery`, commit
   * auto-fold), and measure what an always-on deployment cares about — that
   * PER-BATCH cost stays flat as the accumulated corpus, manifest log, and
   * file population grow:
@@ -20,10 +21,23 @@ import org.apache.spark.sql.functions._
   *   - live manifest count and warehouse parquet-file count (the two
   *     unbounded-growth failure modes this exists to rule out)
   *
+  * Two modes (4th arg): `lsh` soaks [[DedupStream]] (near-dup LSH pipeline,
+  * artifact `target/streamsoak.json`), `exact` soaks [[ExactDedupStream]]
+  * (content-hash first-arrival-wins dedup, `target/streamsoak_exact.json`).
+  *
   * Batches are id-ordered slices of the sf dir's documents — the same data
-  * shape as the `dedup_stream` driver query, ~50× longer. Emits one JSON
-  * line per batch to stdout AND target/streamsoak.json, then a summary line
-  * comparing early vs late per-batch medians (the BASELINE.md artifact).
+  * shape as the `dedup_stream`/`dedup_exact_stream` driver queries, ~50×
+  * longer. Emits one JSON line per batch to stdout AND the artifact file,
+  * then a summary line comparing early vs late per-batch medians (the
+  * BASELINE.md artifact).
+  *
+  * Ops-day hook: `SPARK_GRAFT_SOAK_WH` pins the warehouse directory so a
+  * SECOND process (`tools/Maintain` in its own JVM) can run out-of-band
+  * maintenance against the LIVE warehouse mid-soak — the cross-process
+  * publish claim, snapshot CAS, conflict-checked compaction, and vacuum
+  * grace window are exactly the machinery that must hold. The exact-mode
+  * summary's `survivors` count is the lost-batch detector: it must equal
+  * the corpus's distinct-text count whether or not maintenance ran.
   */
 object StreamSoak {
   private def median(ts: Seq[Double]): Double = {
@@ -36,16 +50,27 @@ object StreamSoak {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val nBatches = if (args.length > 1) args(1).toInt else 50
     val compactEvery = if (args.length > 2) args(2).toInt else 10
-    val spark = GraftSession.builder().appName("stream-soak").getOrCreate()
+    val mode = if (args.length > 3) args(3) else "lsh"
+    require(mode == "lsh" || mode == "exact", s"mode must be lsh|exact, got '$mode'")
+    val spark = GraftSession.builder().appName(s"stream-soak-$mode").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val whDir = Files.createTempDirectory("graft-soak-wh-").toString
+    val whDir = sys.env.getOrElse("SPARK_GRAFT_SOAK_WH",
+      Files.createTempDirectory(s"graft-soak-wh-$mode-").toString)
     // soak-scaled vacuum grace: a deployment running for days uses the 1 h
     // default; a minutes-long soak needs a grace that actually expires to
     // show garbage being COLLECTED, not merely deferred
     val wh = new AtomicWarehouse(spark, whDir, vacuumGraceMs = 15000)
-    val ds = new DedupStream(wh, minJaccard = 0.35, minSigMatchesOverride = 4,
-      compactEvery = compactEvery, probeMinIndexBytes = 1024)
+    val (process, tables): (DataFrame => Unit, Seq[String]) = mode match {
+      case "lsh" =>
+        val ds = new DedupStream(wh, minJaccard = 0.35, minSigMatchesOverride = 4,
+          compactEvery = compactEvery, probeMinIndexBytes = 1024)
+        (ds.processBatch(_),
+          Seq(ds.indexTable, ds.bandTable, ds.corpusTable, ds.pairsTable))
+      case "exact" =>
+        val xs = new ExactDedupStream(wh, compactEvery = compactEvery)
+        (xs.processBatch(_), Seq(xs.indexTable, xs.corpusTable))
+    }
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
@@ -57,13 +82,18 @@ object StreamSoak {
       val s = Files.walk(java.nio.file.Paths.get(whDir))
       try s.filter(_.toString.endsWith(".parquet")).count() finally s.close()
     }
+    // "manifests" = the LIVE tail (latest snapshot + later commits — what
+    // every read folds); superseded manifests below the snapshot linger
+    // until vacuum's grace-windowed GC and cost readers nothing
     def manifests(): Long = {
       val log = java.nio.file.Paths.get(whDir, "_txlog")
       if (!Files.isDirectory(log)) 0
       else {
         val s = Files.list(log)
-        try s.filter(_.getFileName.toString.matches("v\\d{8}\\.tsv")).count()
+        val names = try s.map[String](_.getFileName.toString)
+          .filter(_.matches("v\\d{8}(\\.snap)?\\.tsv")).sorted.toArray.toSeq.map(_.toString)
         finally s.close()
+        (names.size - names.lastIndexWhere(_.endsWith(".snap.tsv")).max(0)).toLong
       }
     }
 
@@ -74,21 +104,36 @@ object StreamSoak {
       val batch = docs.filter(col("doc_id") >= i * per && col("doc_id") < (i + 1) * per)
       val mr0 = wh.manifestReads.get()
       val t0 = System.nanoTime()
-      ds.processBatch(batch) // the exact path foreachBatch drives
+      process(batch) // the exact path foreachBatch drives
       val sec = (System.nanoTime() - t0) / 1e9
-      val visible = Seq(ds.indexTable, ds.bandTable, ds.corpusTable, ds.pairsTable)
-        .map(t => wh.visibleFileCount(t).max(0)).sum
-      emit(f"""{"tool":"streamsoak","batch":$i,"sec":$sec%.2f,"manifest_reads":${wh.manifestReads.get() - mr0},"manifests":${manifests()},"visible_files":$visible,"parquet_files":${parquetFiles()}}""")
+      val visible = tables.map(t => wh.visibleFileCount(t).max(0)).sum
+      emit(f"""{"tool":"streamsoak","mode":"$mode","batch":$i,"sec":$sec%.2f,"manifest_reads":${wh.manifestReads.get() - mr0},"manifests":${manifests()},"visible_files":$visible,"parquet_files":${parquetFiles()}}""")
       sec
     }
     val early = median(wall.slice(5, 15))
     val late = median(wall.slice(nBatches - 10, nBatches))
-    val pairs = ds.pairs().count()
-    val finalVisible = Seq(ds.indexTable, ds.bandTable, ds.corpusTable, ds.pairsTable)
-      .map(t => wh.visibleFileCount(t).max(0)).sum
-    emit(f"""{"tool":"streamsoak","summary":true,"sf":"$sfDir","batches":$nBatches,"compact_every":$compactEvery,"early_median_sec":$early%.2f,"late_median_sec":$late%.2f,"late_over_early":${late / early}%.2f,"final_manifests":${manifests()},"final_visible_files":$finalVisible,"final_parquet_files":${parquetFiles()},"pairs":$pairs}""")
+    val finalVisible = tables.map(t => wh.visibleFileCount(t).max(0)).sum
+    // mode-specific result integrity: LSH reports the near-dup pair count;
+    // exact reports survivors AND the batch-invariant truth it must equal
+    // (distinct text count over everything ingested) — if an out-of-band
+    // maintenance pass lost a racing batch, these two numbers diverge
+    val resultJson = mode match {
+      case "lsh" =>
+        val ds = new DedupStream(wh, minJaccard = 0.35, minSigMatchesOverride = 4)
+        s""""pairs":${ds.pairs().count()}"""
+      case "exact" =>
+        val xs = new ExactDedupStream(wh)
+        val survivors = xs.survivors().count()
+        val expected = docs.filter(col("doc_id") < nBatches * per)
+          .select(coalesce(sha2(col("text"), 256), lit("__null_text__"))).distinct().count()
+        assert(survivors == expected,
+          s"LOST BATCH: $survivors survivors != $expected distinct texts")
+        s""""survivors":$survivors,"expected_distinct":$expected"""
+    }
+    emit(f"""{"tool":"streamsoak","mode":"$mode","summary":true,"sf":"$sfDir","batches":$nBatches,"compact_every":$compactEvery,"early_median_sec":$early%.2f,"late_median_sec":$late%.2f,"late_over_early":${late / early}%.2f,"final_manifests":${manifests()},"final_visible_files":$finalVisible,"final_parquet_files":${parquetFiles()},$resultJson}""")
 
-    val p = java.nio.file.Paths.get("target/streamsoak.json")
+    val p = java.nio.file.Paths.get(
+      if (mode == "exact") "target/streamsoak_exact.json" else "target/streamsoak.json")
     Option(p.getParent).foreach(Files.createDirectories(_))
     Files.write(p, out.toString.getBytes("UTF-8"))
     spark.stop()

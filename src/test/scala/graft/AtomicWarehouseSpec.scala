@@ -243,10 +243,20 @@ class AtomicWarehouseSpec extends SparkSpec {
     val late = deltas.slice(40, 50).sum
     assert(late <= early * 3 / 2 + 5,
       s"per-batch manifest reads grew: early(11-20)=$early late(41-50)=$late deltas=$deltas")
-    // and the log itself is bounded
-    val logFiles = Files.list(java.nio.file.Paths.get(wh.root, "_txlog"))
-      .filter(p => p.getFileName.toString.matches("v\\d{8}\\.tsv")).count()
-    assert(logFiles <= 10, s"manifest log not bounded: $logFiles files")
+    // and the LIVE log (latest snapshot + tail — what every read pays for)
+    // is bounded; superseded manifests linger only until a vacuum GC
+    val names = Files.list(java.nio.file.Paths.get(wh.root, "_txlog"))
+      .filter(p => p.getFileName.toString.matches("v\\d{8}(\\.snap)?\\.tsv"))
+      .map[String](_.getFileName.toString).sorted.toArray.toSeq.map(_.toString)
+    val lastSnap = names.lastIndexWhere(_.endsWith(".snap.tsv"))
+    val live = names.size - lastSnap.max(0)
+    assert(live <= 10, s"live manifest tail not bounded: $live of ${names.size} ($names)")
+    // a vacuum with expired grace collects the superseded backlog entirely
+    Thread.sleep(50)
+    wh.vacuum(olderThanMs = 1)
+    val after = Files.list(java.nio.file.Paths.get(wh.root, "_txlog"))
+      .filter(p => p.getFileName.toString.matches("v\\d{8}(\\.snap)?\\.tsv")).count()
+    assert(after <= 2, s"vacuum left $after manifests (want snapshot only)")
   }
 
   test("snapshot fold keeps a child table's files across a truncated parent prefix") {
@@ -310,6 +320,45 @@ class AtomicWarehouseSpec extends SparkSpec {
       "a truncated-but-unvacuumed table must not resurrect its dead files' schema")
   }
 
+  test("ops-day: out-of-band Maintain racing live exact-dedup batches loses nothing") {
+    // the lost-update shape conflict-checked compaction exists for: Maintain
+    // reads a table, a stream batch appends, Maintain's rewrite commits a
+    // truncate+add of only what it READ — without the optimistic check the
+    // racing batch's rows vanish while everything reports success. Drive 20
+    // small batches while a second "ops" loop runs the full Maintain pass
+    // (discovery compact + vacuum with a real grace window) against the SAME
+    // live warehouse, then assert the EXACT survivor set.
+    import graft.streaming.ExactDedupStream
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val dir = Files.createTempDirectory("graft-aw-opsday-").toString
+    val wh = new AtomicWarehouse(spark, dir, logFoldEvery = 8)
+    val xs = new ExactDedupStream(wh)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id".cast("long").as("doc_id"), $"text")
+      .orderBy("doc_id").limit(100).as[(Long, String)].collect().toSeq
+    @volatile var streaming = true
+    val ops = Future {
+      var passes = 0
+      while (streaming) {
+        tools.Maintain.run(spark, dir, Nil, graceMs = 60000)
+        passes += 1
+      }
+      passes
+    }
+    docs.grouped(5).foreach(c => xs.processBatch(c.toDF("doc_id", "text")))
+    streaming = false
+    val passes = Await.result(ops, Duration(5, "min"))
+    assert(passes >= 1, "the ops loop never completed a Maintain pass")
+    // first-arrival-wins over id-ordered 5-doc batches = global min-id per
+    // text: compare EXACT id sets (a Set of rows would hide duplicates, but
+    // ids are unique; sorted Seq catches loss AND duplication)
+    val want = docs.groupBy(_._2).map { case (_, rs) => rs.map(_._1).min }.toSeq.sorted
+    val got = xs.survivors().collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want, s"ops-day maintenance lost/duplicated rows: got ${got.size} want ${want.size}")
+  }
+
   test("vacuum folds the log to one snapshot and removes unreferenced files") {
     val dir = Files.createTempDirectory("graft-aw-vac-").toString
     val wh = new AtomicWarehouse(spark, dir)
@@ -322,7 +371,7 @@ class AtomicWarehouseSpec extends SparkSpec {
     wh.vacuum(olderThanMs = 1)
     assert(rows(wh, "t") == before, "vacuum must not change visible state")
     val logFiles = Files.list(java.nio.file.Paths.get(dir, "_txlog"))
-      .filter(p => p.getFileName.toString.matches("v\\d{8}\\.tsv")).count()
+      .filter(p => p.getFileName.toString.matches("v\\d{8}(\\.snap)?\\.tsv")).count()
     assert(logFiles == 1, s"expected one snapshot manifest, found $logFiles")
     // the orphaned data files are physically gone
     val dataFiles = Files.walk(java.nio.file.Paths.get(dir, "t"))

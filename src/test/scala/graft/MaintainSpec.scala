@@ -50,8 +50,10 @@ class MaintainSpec extends SparkSpec {
       s"expected 1 data file after compact+vacuum, got ${parquetFiles(s"$dir/docs")}")
     assert(parquetFiles(s"$dir/dedup").size == 1)
     val logFiles = Files.list(java.nio.file.Paths.get(dir, "_txlog"))
-      .filter(p => p.getFileName.toString.matches("v\\d{8}\\.tsv")).count()
-    assert(logFiles == 1, s"expected the log folded to one snapshot, found $logFiles")
+      .filter(p => p.getFileName.toString.matches("v\\d{8}(\\.snap)?\\.tsv"))
+      .map[String](_.getFileName.toString).toArray.toSeq.map(_.toString)
+    assert(logFiles.size == 1 && logFiles.head.endsWith(".snap.tsv"),
+      s"expected the log folded to one snapshot, found $logFiles")
   }
 
   test("maintain on a base warehouse: discovery path compacts everything") {
