@@ -94,6 +94,49 @@ object Dedup {
       .drop("text_sha")
   }
 
+  /** Bloom-prefiltered incremental exact dedup — same contract as
+    * [[incrementalExactNew]] (admit batch rows whose content hash is novel,
+    * within-batch dups resolve to min id), but the index membership test is
+    * split by a Bloom filter built over the WHOLE index:
+    *
+    *   - `mightContain = false` is authoritative absence — those batch
+    *     winners are admitted WITHOUT touching the index at all;
+    *   - `mightContain = true` (real hits + the configured false-positive
+    *     rate) go through the exact left-anti join as before.
+    *
+    * Results are therefore EXACT regardless of `fpp` — the bloom only
+    * routes, never decides — which is what makes the operator
+    * oracle-checkable (`dedup_exact_bloom`).
+    *
+    * Scale shape: for streaming ingest where most content is novel (the
+    * common case), the per-batch index I/O drops from "anti-join every
+    * batch winner" to "anti-join only the maybe-seen sliver" — at 1% fpp a
+    * fully-novel batch reads ~1% of what the plain anti-join would. The
+    * filter costs ~9.6 bits/item at 1% fpp (≈1.2 GB per 10^9 hashes): at
+    * 100 TB it is maintained as stream state and updated incrementally
+    * per batch (`BloomFilter.mergeInPlace` — union is associative), not
+    * rebuilt; here it is built per call via `stat.bloomFilter`'s
+    * treeAggregate, which is itself one distributed pass over the index.
+    * Correctness requires the filter cover the ENTIRE index — a partial
+    * (e.g. hot-window) bloom would turn its false into a wrong answer.
+    */
+  def incrementalExactNewBloom(fresh: DataFrame, seenHashes: DataFrame,
+      id: String, text: String, expectedItems: Long = 0L,
+      fpp: Double = 0.01): DataFrame = {
+    val keyed = fresh.withColumn("text_sha",
+      coalesce(sha2(col(text), 256), lit("__null_text__")))
+    val batchWinners = keyed.groupBy(col("text_sha")).agg(min(col(id)).as(id))
+    val n = math.max(if (expectedItems > 0) expectedItems else seenHashes.count(), 1L)
+    val bloom = seenHashes.stat.bloomFilter("text_sha", n, fpp)
+    val might = org.apache.spark.sql.graft.shims.column(
+      graft.functions.BloomMightContainExpr(
+        org.apache.spark.sql.graft.shims.expression(col("text_sha")), bloom))
+    val admitted = batchWinners.filter(might)
+      .join(seenHashes.select(col("text_sha")), Seq("text_sha"), "left_anti")
+      .unionByName(batchWinners.filter(!might))
+    keyed.join(admitted, Seq("text_sha", id), "left_semi").drop("text_sha")
+  }
+
   /** Fixed universal-hash parameters for the MinHash permutations — literal
     * constants so the SQL oracle states the identical numbers.
     */

@@ -109,6 +109,47 @@ class TrainingOpsSpec extends SparkSpec {
     assert(admitted(2) == want)    // 4 distinct batch hashes > cap 2 → fallback
   }
 
+  test("bloom-prefiltered exact dedup ≡ plain, at honest and adversarial fpp") {
+    val corpus = Seq((1L, "seen one"), (2L, "seen two"), (3L, null: String))
+      .toDF("doc_id", "text")
+    val idx = Dedup.exactGroups(corpus, "doc_id", "text").select("text_sha")
+    val fresh = Seq((10L, "seen one"), (11L, "novel"), (12L, null: String),
+      (13L, "novel"), (14L, "also new")).toDF("doc_id", "text")
+    val want = Dedup.incrementalExactNew(fresh, idx, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(want == Set(11L, 14L))
+    // fpp 0.01: the production setting. fpp 0.49 + tiny capacity: false
+    // positives near-certain — the routing must stay invisible in the
+    // result (a positive is a CANDIDATE for the anti-join, never a verdict)
+    Seq(0.01, 0.49).foreach { fpp =>
+      val got = Dedup.incrementalExactNewBloom(fresh, idx, "doc_id", "text",
+        expectedItems = 2L, fpp = fpp)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == want, s"bloom(fpp=$fpp) changed exact-dedup semantics: $got")
+    }
+  }
+
+  test("bloom membership expression: false is authoritative, stays codegen") {
+    import org.apache.spark.sql.graft.shims
+    val seen = (1 to 1000).map(i => s"key-$i").toDF("k")
+    val bloom = seen.stat.bloomFilter("k", 1000, 0.01)
+    // range-backed (not a LocalRelation: ConvertToLocalRelation would
+    // evaluate the predicate driver-side and leave no codegen span to check)
+    val probe = spark.range(901, 1101)
+      .select(concat(lit("key-"), col("id")).as("k"))
+    val might = shims.column(graft.functions.BloomMightContainExpr(
+      shims.expression(col("k")), bloom))
+    val flagged = probe.filter(might).collect().map(_.getString(0)).toSet
+    // every true member flagged (no false negatives — the exactness anchor)
+    assert((901 to 1000).forall(i => flagged(s"key-$i")),
+      "bloom dropped a true member (false negative) — would lose data")
+    // and the plan keeps whole-stage codegen around the native expression
+    // (the `*(n)` operator prefix is the codegen marker in the simple form)
+    val plan = probe.filter(might).queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Filter graft_bloom_might_contain""".r.findFirstIn(plan).isDefined,
+      s"bloom filter broke whole-stage codegen:\n$plan")
+  }
+
   test("paragraph dedup: keep-first across corpus, order preserved, vanishing doc") {
     val df = Seq(
       (1L, "intro one\n\nshared boilerplate\n\nbody one"),
