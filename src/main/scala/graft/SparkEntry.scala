@@ -484,6 +484,21 @@ object SparkEntry {
         .orderBy(col("event_id"), col("campaign_id"))
     }
 
+    // ---- Z-order (Morton) kernel over (user_id, seconds): the bit
+    // interleave the zorder layout sorts by — integer-exact shifts/masks
+    // only, so the oracle restates the identical formula (Layout.zvalueSql)
+    // and the curve itself is what's pinned, not a sample of its effects.
+    // The layout's row-group pruning benefit is probe-measured
+    // (tools/ZOrderProbe, BASELINE.md) — a LAYOUT choice has no
+    // result-visible behavior to oracle beyond this kernel
+    q("q21_zvalue") = (s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"),
+          operators.Layout.zvalue(
+            col("user_id"), 0L, 0,
+            expr("ts DIV 1000000000"), 1704067200L, 6, bits = 16).as("zval"))
+        .orderBy(col("zval"), col("event_id")).limit(50)
+
     // exact group percentiles via the sort+window rewrite (one spill-able
     // sort; no per-group value map like the built-in `percentile`, whose
     // single-threaded per-group merge costs ~5s at sf0.1 and whose maps
@@ -1261,6 +1276,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }
 
+    // ---- Bloom-prefiltered incremental exact dedup: same admit rule as
+    // dedup_exact_incremental but the index membership test routes through
+    // a Bloom filter first (false → admit without touching the index;
+    // maybe → exact anti-join). fpp deliberately HIGH (0.3) so false
+    // positives actually occur and the exactness-despite-bloom claim is
+    // what the oracle checks, not an accident of zero collisions
+    q("dedup_exact_bloom") = (s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") < 300)
+      val seen = corpus.select(
+        coalesce(sha2(col("text"), 256), lit("__null_text__")).as("text_sha")).distinct()
+      val fresh = docs.filter(col("doc_id") >= 280)
+        .union(docs.filter(col("doc_id") >= 10 && col("doc_id") < 20)
+          .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+      Dedup.incrementalExactNewBloom(fresh, seen, "doc_id", "text", fpp = 0.3)
+        .select(col("doc_id"),
+          coalesce(sha2(col("text"), 256), lit("__null_text__")).as("text_sha"))
+        .orderBy(col("doc_id"))
+    }
+
     // ---- data-mixture resampling: downsample language strata toward a
     // uniform 20% target mix at half corpus size; result = per-language
     // sampled counts. Deterministic content-addressed keep rule, so the
@@ -1851,6 +1886,15 @@ object SparkEntry {
         |SELECT ev.event_id, iv.campaign_id
         |FROM ev JOIN iv ON ev.user_id = iv.user_id AND ev.us >= iv.s AND ev.us < iv.e
         |ORDER BY event_id, campaign_id""".stripMargin,
+
+    // the identical integer shift/mask formula, emitted by the SAME code
+    // path the engine sorts by (Layout.zvalueSql) — DuckDB's epoch_us//1e6
+    // ≡ Spark's ts DIV 1e9 on the raw int64-nanos column
+    "q21_zvalue" ->
+      s"""SELECT event_id,
+         | ${operators.Layout.zvalueSql("user_id", 0L, 0,
+             "epoch_us(ts) // 1000000", 1704067200L, 6, bits = 16)} AS zval
+         |FROM events ORDER BY zval, event_id LIMIT 50""".stripMargin,
 
     "q18_percentiles" ->
       """SELECT l_returnflag,
@@ -2499,6 +2543,25 @@ object SparkEntry {
         | UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 5
         | UNION ALL SELECT doc_id + 10000, text FROM documents
         |  WHERE doc_id >= 450 AND doc_id < 455),
+        |keyed AS (SELECT doc_id, text,
+        |  coalesce(sha256(text), '__null_text__') AS text_sha FROM fresh),
+        |w AS (SELECT text_sha, min(doc_id) AS doc_id FROM keyed GROUP BY 1)
+        |SELECT k.doc_id, k.text_sha FROM keyed k
+        |JOIN w ON w.text_sha = k.text_sha AND w.doc_id = k.doc_id
+        |WHERE k.text_sha NOT IN (SELECT text_sha FROM seen)
+        |ORDER BY k.doc_id""".stripMargin,
+
+    // the bloom only routes (false = definitely-novel skips the index,
+    // maybe = exact anti-join), so the oracle is the plain exact rule —
+    // bloom false positives must be invisible in the result
+    "dedup_exact_bloom" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+        |seen AS (SELECT DISTINCT coalesce(sha256(text), '__null_text__') AS text_sha
+        |  FROM corpus),
+        |fresh AS (
+        | SELECT doc_id, text FROM documents WHERE doc_id >= 280
+        | UNION ALL SELECT doc_id + 20000, text FROM documents
+        |  WHERE doc_id >= 10 AND doc_id < 20),
         |keyed AS (SELECT doc_id, text,
         |  coalesce(sha256(text), '__null_text__') AS text_sha FROM fresh),
         |w AS (SELECT text_sha, min(doc_id) AS doc_id FROM keyed GROUP BY 1)

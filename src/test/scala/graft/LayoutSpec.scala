@@ -1,46 +1,65 @@
 package graft
 
-import java.nio.file.Files
-
-import graft.sources.Warehouse
+import graft.operators.Layout
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
-/** Storage layout at scale: hive-partitioned writes must prune at planning
-  * time, and small-file compaction must collapse append debris without
-  * changing the data.
+/** The Z-order kernel and layout: the Morton interleave must match a
+  * straightforward reference implementation bit-for-bit, the SQL
+  * restatement ([[Layout.zvalueSql]]) must equal the Column form on the
+  * same engine (the guard that keeps the DuckDB oracle honest), and
+  * re-laying a frame must never change its rows.
   */
 class LayoutSpec extends SparkSpec {
   import spark.implicits._
 
-  test("partitioned append prunes non-matching partitions from the scan") {
-    val wh = new Warehouse(spark, Files.createTempDirectory("graft-layout-").toString)
-    val df = spark.range(0, 1000)
-      .select(col("id"), concat(lit("2024-01-0"), (col("id") % 5 + 1)).as("day"),
-        (col("id") * 2).as("v"))
-    wh.appendPartitioned("events_p", df, Seq("day"))
+  private def mortonRef(a: Long, b: Long, bits: Int): Long =
+    (0 until bits).map { k =>
+      (((a >> k) & 1L) << (2 * k)) | (((b >> k) & 1L) << (2 * k + 1))
+    }.reduce(_ | _)
 
-    val q = spark.read.parquet(wh.path("events_p")).filter(col("day") === "2024-01-03")
-    // pruning happens at planning: the scan's partition count is 1 of 5
-    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
-    assert(scan.contains("PartitionFilters"), s"no partition filter in:\n$scan")
-    assert(q.count() == 200)
-    assert(q.agg(sum("v")).head().getLong(0) ==
-      (0L until 1000L).filter(_ % 5 == 2).map(_ * 2).sum)
+  test("zvalue matches the reference Morton interleave, incl. bucket truncation") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L), (70000L, 3L)) ++
+      (1 to 50).map(_ => (rnd.nextInt(1 << 20).toLong, rnd.nextInt(1 << 20).toLong))
+    val df = rows.toDF("a", "b")
+    val got = df.select($"a", $"b",
+      Layout.zvalue($"a", 0L, 2, $"b", 0L, 3, bits = 16).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    rows.foreach { case (a, b) =>
+      val want = mortonRef(a >> 2, b >> 3, 16)
+      assert(got((a, b)) == want, s"zvalue($a,$b) = ${got((a, b))}, want $want")
+    }
   }
 
-  test("compact collapses small files and preserves contents") {
-    val wh = new Warehouse(spark, Files.createTempDirectory("graft-compact-").toString)
-    val s2 = StructType(Seq(StructField("id", LongType), StructField("v", LongType)))
-    (0 until 12).foreach { i =>
-      wh.append("tiny", Seq((i.toLong, i * 10L)).toDF("id", "v").coalesce(1))
+  test("zvalueSql run as SQL equals the Column form (oracle-parity guard)") {
+    val df = (0L until 500L).map(i => (i * 37 % 1000, i * 91 % 4096)).toDF("a", "b")
+    df.createOrReplaceTempView("zv_parity")
+    val viaSql = spark.sql(
+      s"SELECT a, b, ${Layout.zvalueSql("a", 0L, 1, "b", 0L, 2, bits = 12)} AS z " +
+        "FROM zv_parity").collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val viaCol = df.select($"a", $"b",
+      Layout.zvalue($"a", 0L, 1, $"b", 0L, 2, bits = 12).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(viaSql == viaCol)
+  }
+
+  test("zorder re-lays rows without changing them, and orders files along the curve") {
+    val df = (0L until 2000L).map(i => (i, i * 131 % 97, i * 17 % 1024)).toDF("id", "u", "t")
+    val z = Layout.zvalue($"u", 0L, 0, $"t", 0L, 0, bits = 10)
+    val laid = Layout.zorder(df, z, numFiles = 4)
+    assert(laid.columns.toSeq == Seq("id", "u", "t"), "helper column leaked")
+    assert(laid.collect().map(_.getLong(0)).sorted.toSeq == (0L until 2000L).toSeq,
+      "zorder changed the row multiset")
+    // partitions own contiguous, non-overlapping curve segments (what makes
+    // row-group min/max stats tight in both dimensions)
+    val ranges = laid.select($"u", $"t")
+      .withColumn("z", Layout.zvalue($"u", 0L, 0, $"t", 0L, 0, bits = 10))
+      .withColumn("p", spark_partition_id())
+      .groupBy($"p").agg(min($"z").as("lo"), max($"z").as("hi"))
+      .orderBy($"lo").collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(ranges.length > 1)
+    ranges.sliding(2).foreach { case Array((_, hi1), (lo2, _)) =>
+      assert(hi1 <= lo2, s"partition curve segments overlap: $ranges")
     }
-    def files() = new java.io.File(wh.path("tiny"))
-      .listFiles().count(_.getName.endsWith(".parquet"))
-    assert(files() >= 12)
-    val before = wh.read("tiny", s2).orderBy("id").collect().toSeq
-    wh.compact("tiny", s2, targetFiles = 1)
-    assert(files() == 1)
-    assert(wh.read("tiny", s2).orderBy("id").collect().toSeq == before)
   }
 }
