@@ -48,6 +48,27 @@ object SparkEntry {
       inDir
     })
 
+  /** The exact-dedup streams' shared input fixture: `documents` split into 3
+    * deterministic micro-batch chunk files by doc_id mod 3 (so the oracle can
+    * state the arrival order). Shared by `dedup_exact_stream` and its
+    * bloom-forced twin — same bytes, cached once per sf dir.
+    */
+  private def xstreamChunks(s: SparkSession, dir: String): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id").cast(LongType).as("doc_id"), col("text"))
+    chunkedInput("xstream", dir) { inDir =>
+      (0 until 3).foreach { i =>
+        val tmp = Files.createTempDirectory(s"graft-xstream-c$i-").toString + "/out"
+        docs.filter(pmod(col("doc_id"), lit(3)) === i).coalesce(1).write.parquet(tmp)
+        val part = Files.list(Paths.get(tmp))
+          .filter(_.toString.endsWith(".parquet")).findFirst.get
+        Files.move(part, Paths.get(inDir, f"chunk_$i%02d.parquet"),
+          StandardCopyOption.ATOMIC_MOVE)
+      }
+    }
+  }
+
   /** Deterministic merge-layer scenario (J1-J5): a synthetic staging batch
     * from `part` runs through all three MERGE procedures against seeded,
     * non-empty dims. Exercises every key rule the reference delegates to the
@@ -1081,21 +1102,10 @@ object SparkEntry {
     // row_number() OVER (PARTITION BY text_sha ORDER BY batch, doc_id) = 1.
     // Runs on AtomicWarehouse: each survivors+hashes admit is one manifest txn
     q("dedup_exact_stream") = (s, dir) => {
-      import java.nio.file.{Files, Paths, StandardCopyOption}
+      import java.nio.file.Files
       val ckpt = Files.createTempDirectory("graft-xstream-ck-").toString
       val whDir = Files.createTempDirectory("graft-xstream-wh-").toString
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id").cast(LongType).as("doc_id"), col("text"))
-      val inDir = chunkedInput("xstream", dir) { inDir =>
-        (0 until 3).foreach { i =>
-          val tmp = Files.createTempDirectory(s"graft-xstream-c$i-").toString + "/out"
-          docs.filter(pmod(col("doc_id"), lit(3)) === i).coalesce(1).write.parquet(tmp)
-          val part = Files.list(Paths.get(tmp))
-            .filter(_.toString.endsWith(".parquet")).findFirst.get
-          Files.move(part, Paths.get(inDir, f"chunk_$i%02d.parquet"),
-            StandardCopyOption.ATOMIC_MOVE)
-        }
-      }
+      val inDir = xstreamChunks(s, dir)
       val xs = new graft.streaming.ExactDedupStream(
         new graft.sources.AtomicWarehouse(GraftSession.streamSession(s), whDir))
       val xq = xs.start(inDir, ckpt)
@@ -1106,6 +1116,36 @@ object SparkEntry {
           s"dedup_exact_stream failed to drain within ${drainMs / 1000} s")
       }
       xs.survivors().orderBy(col("doc_id"))
+    }
+
+    // same stream, bloom routing FORCED from the first batch
+    // (bloomMinIndexBytes = 0): bloom-negative winners skip the index probe
+    // entirely, maybe-seen winners take the exact anti-join — the survivor
+    // set must be bit-identical to the plain path (same oracle), which is
+    // precisely the route-don't-decide invariant. The query also asserts the
+    // persisted bloom state covers every admitted hash, so the driver run
+    // exercises state maintenance, not just routing.
+    q("dedup_exact_stream_bloom") = (s, dir) => {
+      import java.nio.file.Files
+      val ckpt = Files.createTempDirectory("graft-xstreamb-ck-").toString
+      val whDir = Files.createTempDirectory("graft-xstreamb-wh-").toString
+      val inDir = xstreamChunks(s, dir)
+      val xs = new graft.streaming.ExactDedupStream(
+        new graft.sources.AtomicWarehouse(GraftSession.streamSession(s), whDir),
+        bloomMinIndexBytes = 0)
+      val xq = xs.start(inDir, ckpt)
+      val drainMs = GraftSession.streamDrainTimeoutMs
+      if (!xq.awaitTermination(drainMs)) {
+        xq.stop()
+        throw new IllegalStateException(
+          s"dedup_exact_stream_bloom failed to drain within ${drainMs / 1000} s")
+      }
+      val surv = xs.survivors()
+      val st = xs.readBloomState().getOrElse(
+        sys.error("bloom state not persisted after drain"))
+      val n = surv.count()
+      if (st._2 != n) sys.error(s"bloom n_items ${st._2} != survivors $n")
+      surv.orderBy(col("doc_id"))
     }
 
     // the scale pipeline: LSH candidates -> exact jaccard verify (no
@@ -2174,6 +2214,19 @@ object SparkEntry {
     // micro-batch (null texts form one group via the sentinel, as in the
     // rest of the exact-dedup family)
     "dedup_exact_stream" ->
+      """WITH keyed AS (SELECT doc_id, text,
+        |  coalesce(sha256(text), '__null_text__') AS text_sha,
+        |  doc_id % 3 AS batch FROM documents),
+        |r AS (SELECT doc_id, text,
+        |  row_number() OVER (PARTITION BY text_sha ORDER BY batch, doc_id) AS rn
+        | FROM keyed)
+        |SELECT doc_id, text FROM r WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    // bloom routing must not change the survivor set — same oracle as the
+    // plain stream (the bloom routes winners around the index probe, it
+    // never decides admission)
+    "dedup_exact_stream_bloom" ->
       """WITH keyed AS (SELECT doc_id, text,
         |  coalesce(sha256(text), '__null_text__') AS text_sha,
         |  doc_id % 3 AS batch FROM documents),

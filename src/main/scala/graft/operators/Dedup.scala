@@ -123,16 +123,39 @@ object Dedup {
   def incrementalExactNewBloom(fresh: DataFrame, seenHashes: DataFrame,
       id: String, text: String, expectedItems: Long = 0L,
       fpp: Double = 0.01): DataFrame = {
+    val n = math.max(if (expectedItems > 0) expectedItems else seenHashes.count(), 1L)
+    incrementalExactNewRouted(fresh, seenHashes, id, text,
+      seenHashes.stat.bloomFilter("text_sha", n, fpp))
+  }
+
+  /** The bloom-routed admit with a CALLER-OWNED filter — what
+    * [[graft.streaming.ExactDedupStream]] uses with its incrementally-
+    * maintained bloom state. The filter MUST be a superset of the index's
+    * hashes (a false negative would re-admit a duplicate); maybe-seen
+    * winners additionally get the same ≤`probeHashLimit` literal-`In`
+    * index pushdown as [[incrementalExactNew]] — and since only the
+    * maybe-seen sliver needs the index at all, the literal list is
+    * smaller and the cap correspondingly harder to hit.
+    */
+  def incrementalExactNewRouted(fresh: DataFrame, seenHashes: DataFrame,
+      id: String, text: String,
+      bloom: org.apache.spark.util.sketch.BloomFilter,
+      probeHashLimit: Int = 1000): DataFrame = {
     val keyed = fresh.withColumn("text_sha",
       coalesce(sha2(col(text), 256), lit("__null_text__")))
     val batchWinners = keyed.groupBy(col("text_sha")).agg(min(col(id)).as(id))
-    val n = math.max(if (expectedItems > 0) expectedItems else seenHashes.count(), 1L)
-    val bloom = seenHashes.stat.bloomFilter("text_sha", n, fpp)
     val might = org.apache.spark.sql.graft.shims.column(
       graft.functions.BloomMightContainExpr(
         org.apache.spark.sql.graft.shims.expression(col("text_sha")), bloom))
-    val admitted = batchWinners.filter(might)
-      .join(seenHashes.select(col("text_sha")), Seq("text_sha"), "left_anti")
+    val maybeSeen = batchWinners.filter(might)
+    val index = seenHashes.select(col("text_sha"))
+    val probed = if (probeHashLimit > 0) {
+      val hashes = maybeSeen.select(col("text_sha"))
+        .limit(probeHashLimit + 1).collect().map(_.getString(0)).toSeq
+      if (hashes.size <= probeHashLimit) index.filter(col("text_sha").isin(hashes: _*))
+      else index
+    } else index
+    val admitted = maybeSeen.join(probed, Seq("text_sha"), "left_anti")
       .unionByName(batchWinners.filter(!might))
     keyed.join(admitted, Seq("text_sha", id), "left_semi").drop("text_sha")
   }

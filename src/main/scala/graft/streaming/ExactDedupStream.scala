@@ -31,35 +31,97 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * warehouse, checkpoint replay of a partial batch re-admits — hash-index
   * rows may duplicate but the SURVIVOR SET is unchanged (the probe rejects
   * what the index already has, whichever write survived).
+  *
+  * ==Bloom routing==
+  * Once the index crosses `bloomMinIndexBytes`, the stream bootstraps a
+  * Bloom filter over it (one scan, amortized once) and persists it as a
+  * 1-row warehouse table updated IN THE SAME atomic section as each admit.
+  * Subsequent batches route through [[Dedup.incrementalExactNewRouted]]:
+  * bloom-negative winners (definitely novel — the common case in
+  * continuous ingest) are admitted without touching the index at all;
+  * only the maybe-seen sliver pays the exact anti-join. Exactness is
+  * unchanged at any fpp (the bloom routes, never decides —
+  * `tools/ScaleProbe` mode `exact_bloom` measures the index I/O drop).
+  * The invariant that makes false negatives impossible: every hash in the
+  * index was merged into the bloom in the same transaction that appended
+  * it (or preceded the bloom's bootstrap scan). On the base warehouse the
+  * bloom is written FIRST, so a crash mid-admit leaves the bloom a strict
+  * superset — extra maybes, never misses. At saturation (`n_items` >
+  * capacity) the filter is rebuilt at 2× from index ∪ batch, so the fpp
+  * stays honest as the corpus grows; a missing/corrupt bloom row just
+  * re-bootstraps from the index.
   */
 class ExactDedupStream(wh: Warehouse, probeHashLimit: Int = 1000,
-    compactEvery: Int = 0) {
+    compactEvery: Int = 0, bloomMinIndexBytes: Long = 64L << 20,
+    bloomFpp: Double = 0.01, bloomInitialCapacity: Long = 1L << 20) {
 
   val indexTable = "dedup/ExactHashIndex"
   val corpusTable = "dedup/ExactSurvivors"
+  val bloomTable = "dedup/ExactBloomState"
 
   val docSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("text", StringType, nullable = true)))
   val idxSchema: StructType = StructType(Seq(
     StructField("text_sha", StringType, nullable = false)))
+  val bloomSchema: StructType = StructType(Seq(
+    StructField("capacity", LongType, nullable = false),
+    StructField("n_items", LongType, nullable = false),
+    StructField("bloom", org.apache.spark.sql.types.BinaryType, nullable = false)))
 
   /** Probe one micro-batch against the index and admit the novel rows. */
   def processBatch(batch0: DataFrame): Unit = {
     val batch = batch0.select(col("doc_id").cast(LongType).as("doc_id"), col("text"))
+    // an existing bloom MUST be used and maintained regardless of the size
+    // gate — skipping a batch's hashes would plant future false negatives;
+    // the gate only decides when to BOOTSTRAP
+    val bloomState = readBloomState().orElse {
+      if (bloomMinIndexBytes >= 0 && wh.sizeBytes(indexTable) >= bloomMinIndexBytes) {
+        val idx = wh.read(indexTable, idxSchema)
+        val n = idx.count()
+        val cap = math.max(bloomInitialCapacity, n * 2)
+        Some((cap, n, buildBloom(idx.select(col("text_sha")), cap)))
+      } else None
+    }
     // persisted because it is written twice below AND its plan reads the
     // index table the second write appends to — materializing once keeps
     // the read's file set fixed (same pattern as DedupStream's batchSigs)
-    val admitted = Dedup.incrementalExactNew(
-      batch, wh.read(indexTable, idxSchema), "doc_id", "text", probeHashLimit)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try wh.atomically { w =>
-      w.append(corpusTable, admitted)
-      // sha-sorted within files: the point-probe's row-group pruning rides
-      // on tight min/max stats for this column
-      w.append(indexTable, admitted
+    val admitted = (bloomState match {
+      case Some((_, _, bf)) => Dedup.incrementalExactNewRouted(
+        batch, wh.read(indexTable, idxSchema), "doc_id", "text", bf, probeHashLimit)
+      case None => Dedup.incrementalExactNew(
+        batch, wh.read(indexTable, idxSchema), "doc_id", "text", probeHashLimit)
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val admittedHashes = admitted
         .select(coalesce(sha2(col("text"), 256), lit("__null_text__")).as("text_sha"))
-        .sortWithinPartitions("text_sha"))
+      val newBloomRow = bloomState.map { case (cap, n, bf) =>
+        val nAdm = admitted.count()
+        val newN = n + nAdm
+        if (newN > cap) {
+          // saturated: rebuild at 2× from index ∪ batch so fpp stays honest
+          val ncap = math.max(cap * 2, newN * 2)
+          (ncap, newN, buildBloom(wh.read(indexTable, idxSchema)
+            .select(col("text_sha")).unionByName(admittedHashes), ncap))
+        } else {
+          // same (capacity, fpp) → identical bit layout → mergeable
+          if (nAdm > 0) bf.mergeInPlace(buildBloom(admittedHashes, cap))
+          (cap, newN, bf)
+        }
+      }
+      wh.atomically { w =>
+        // bloom FIRST: on the base warehouse writes land sequentially, and
+        // a crash after this point leaves the bloom a superset (extra
+        // maybes → exact anti-join still correct); the reverse order could
+        // leave indexed hashes missing from the bloom → false negatives
+        newBloomRow.foreach { case (cap, n, bf) =>
+          w.replace(bloomTable, bloomRowDf(cap, n, bf))
+        }
+        w.append(corpusTable, admitted)
+        // sha-sorted within files: the point-probe's row-group pruning rides
+        // on tight min/max stats for this column
+        w.append(indexTable, admittedHashes.sortWithinPartitions("text_sha"))
+      }
     } finally admitted.unpersist(false)
     batchesSinceCompact += 1
     if (compactEvery > 0 && batchesSinceCompact >= compactEvery) {
@@ -69,6 +131,33 @@ class ExactDedupStream(wh: Warehouse, probeHashLimit: Int = 1000,
   }
 
   private var batchesSinceCompact = 0
+
+  /** The persisted bloom, or None when absent/unreadable (either way the
+    * stream re-bootstraps from the index — the bloom is derived state).
+    */
+  private[graft] def readBloomState():
+      Option[(Long, Long, org.apache.spark.util.sketch.BloomFilter)] =
+    try wh.read(bloomTable, bloomSchema).collect().headOption.map { r =>
+      (r.getLong(0), r.getLong(1), org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom"))))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** `stat.bloomFilter` NPEs on an empty frame (null aggregate buffer) —
+    * an empty input gets a fresh filter of the same layout instead.
+    */
+  private def buildBloom(hashes: DataFrame,
+      cap: Long): org.apache.spark.util.sketch.BloomFilter =
+    if (hashes.isEmpty) org.apache.spark.util.sketch.BloomFilter.create(cap, bloomFpp)
+    else hashes.stat.bloomFilter("text_sha", cap, bloomFpp)
+
+  private def bloomRowDf(cap: Long, n: Long,
+      bf: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    wh.spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(cap, n, bos.toByteArray)),
+      bloomSchema)
+  }
 
   /** Small-file maintenance; the index re-sorts by hash on rewrite (see
     * [[DedupStream.compactAll]] on why concatenating rewrites would ruin

@@ -32,9 +32,11 @@ import org.apache.spark.sql.functions._
   * target/scaleprobe.json (self-sufficient artifact, like Bench).
   *
   * The same measurement runs for the EXACT-dedup path (modes `exact_probe` /
-  * `exact_fullscan`): `Dedup.incrementalExactNew` probing a sha-sorted
-  * content-hash index — the mechanism `ExactDedupStream` rides per batch —
-  * with planted exact copies rejected and novel docs admitted at every scale.
+  * `exact_fullscan` / `exact_bloom`): `Dedup.incrementalExactNew(Routed)`
+  * probing a sha-sorted content-hash index — the mechanism
+  * `ExactDedupStream` rides per batch — with planted exact copies rejected
+  * and novel docs admitted at every scale, and the bloom-routed mode
+  * measuring how much index I/O the maintained filter saves.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -167,6 +169,30 @@ object ScaleProbe {
           else assert(survivors == survivorsAcrossModes,
             s"probe changed exact-dedup semantics at x$n: $survivors != $survivorsAcrossModes")
         }
+      }
+
+      // bloom routing over the same index (mode `exact_bloom`): the filter
+      // is MAINTAINED state in ExactDedupStream (bootstrapped once, merged
+      // per admit), so it is built OUTSIDE the measured section — the
+      // per-batch cost is routing plus the maybe-seen sliver's exact probe.
+      // Planted copies are bloom-positive by construction and still pay the
+      // index; novel docs mostly route around it entirely, so probe bytes
+      // drop below even exact_probe and stay flat across scales. Survivor
+      // set must be identical (the bloom routes, never decides).
+      val bloomIdx = wh.read("dedup/HashIndex", hashSchema)
+      val bloom = bloomIdx.stat.bloomFilter(
+        "text_sha", math.max(bloomIdx.count(), 1L), 0.01)
+      (1 to 2).foreach { rep =>
+        bytesRead.set(0); recordsRead.set(0)
+        val t0 = System.nanoTime()
+        val survivors = Dedup.incrementalExactNewRouted(fresh,
+          wh.read("dedup/HashIndex", hashSchema), "doc_id", "text", bloom,
+          probeHashLimit = 1000).count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        if (rep == 2) emit(
+          f"""{"tool":"scaleprobe","scale_x":$n,"mode":"exact_bloom","index_bytes":$idxBytes,"probe_bytes":${bytesRead.get()},"probe_records":${recordsRead.get()},"survivors":$survivors,"sec":$secs%.2f,"fresh_docs":$nFresh}""")
+        assert(survivors == survivorsAcrossModes,
+          s"bloom routing changed exact-dedup semantics at x$n: $survivors != $survivorsAcrossModes")
       }
     }
     val p = java.nio.file.Paths.get("target/scaleprobe.json")

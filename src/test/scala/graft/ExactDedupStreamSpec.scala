@@ -124,4 +124,56 @@ class ExactDedupStreamSpec extends SparkSpec {
     ys.processBatch(copies)
     assert(survivorSet(ys) == expected, "replayed hashes must reject later copies")
   }
+
+  test("bloom routing: survivors identical to the plain path, state persists across instances") {
+    val batches = (0 until 4).map(i => docs.filter(pmod($"doc_id", lit(4)) === i)
+      .unionByName(docs.filter(pmod($"doc_id", lit(4)) === i)
+        .select(($"doc_id" + 50000).as("doc_id"), $"text"))) // exact copies in every batch
+    val plain = new ExactDedupStream(new AtomicWarehouse(spark,
+      Files.createTempDirectory("graft-xstream-pl-").toString), bloomMinIndexBytes = -1)
+    val bwh = new AtomicWarehouse(spark,
+      Files.createTempDirectory("graft-xstream-bl-").toString)
+    // gate 0: bloom bootstraps on the first batch; tiny capacity + high fpp
+    // forces BOTH saturation rebuilds and real false positives
+    batches.take(2).foreach(new ExactDedupStream(bwh, bloomMinIndexBytes = 0,
+      bloomFpp = 0.25, bloomInitialCapacity = 64).processBatch(_))
+    // a FRESH instance must pick the persisted bloom back up mid-stream
+    val resumed = new ExactDedupStream(bwh, bloomMinIndexBytes = 0,
+      bloomFpp = 0.25, bloomInitialCapacity = 64)
+    assert(resumed.readBloomState().isDefined, "bloom state not persisted")
+    batches.drop(2).foreach(resumed.processBatch(_))
+    batches.foreach(plain.processBatch(_))
+    assert(survivorSet(resumed) == survivorSet(plain),
+      "bloom routing changed the survivor set")
+    // the maintained count covers every admitted hash, and capacity grew
+    val (cap, n, _) = resumed.readBloomState().get
+    assert(n == resumed.survivors().count(), s"bloom n_items $n != survivors")
+    assert(cap > 64, s"saturated bloom never rebuilt (capacity $cap)")
+  }
+
+  test("bloom state survives crash-mid-admit and never plants false negatives") {
+    val awh = new AtomicWarehouse(spark,
+      Files.createTempDirectory("graft-xstream-blcrash-").toString)
+    val mk = () => new ExactDedupStream(awh, bloomMinIndexBytes = 0)
+    val b1 = docs.filter($"doc_id" < 20)
+    mk().processBatch(b1)
+    // crash AFTER the bloom merge would have happened: simulate by a failed
+    // transaction — atomically rolls everything (incl. the bloom row) back
+    val expected = survivorSet(mk())
+    intercept[RuntimeException] {
+      awh.atomically { w =>
+        w.replace(mk().bloomTable,
+          spark.range(0).select(lit(0L).as("capacity"), lit(0L).as("n_items"),
+            lit(Array.emptyByteArray).as("bloom")))
+        throw new RuntimeException("crash mid-admit")
+      }
+    }
+    val xs = mk()
+    assert(xs.readBloomState().isDefined, "bloom state lost to a rolled-back tx")
+    // replay + later copies: the recovered bloom must still reject all seen
+    xs.processBatch(b1)
+    xs.processBatch(b1.select(($"doc_id" + 90000).as("doc_id"), $"text"))
+    assert(survivorSet(xs) == expected,
+      "recovered bloom state admitted a duplicate (false negative)")
+  }
 }

@@ -43,6 +43,27 @@ class LayoutSpec extends SparkSpec {
     assert(viaSql == viaCol)
   }
 
+  test("partitioned warehouse read prunes partitions at planning time") {
+    // the Warehouse.appendPartitioned scaladoc's claim, held here: a filter
+    // on the partition column never lists the other partitions into the scan
+    val wh = new graft.sources.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft-layout-part-").toString)
+    val df = (0L until 300L).map(i => (i, s"src${i % 3}", s"payload$i"))
+      .toDF("id", "source", "payload")
+    wh.appendPartitioned("events_p", df, Seq("source"))
+    val q = spark.read.parquet(wh.path("events_p")).filter($"source" === "src1")
+    assert(q.count() == 100)
+    val scan = q.queryExecution.executedPlan.collectLeaves().head
+    val scanStr = scan.toString
+    assert(scanStr.contains("PartitionFilters") && scanStr.contains("src1"),
+      s"partition filter not pushed to the scan:\n$scanStr")
+    // and the scan's selected file listing excludes the other two partitions
+    val files = scan.asInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]
+      .selectedPartitions.toPartitionArray.map(_.filePath.toString).toSeq
+    assert(files.nonEmpty && files.forall(_.contains("source=src1")),
+      s"scan lists non-matching partitions: $files")
+  }
+
   test("zorder re-lays rows without changing them, and orders files along the curve") {
     val df = (0L until 2000L).map(i => (i, i * 131 % 97, i * 17 % 1024)).toDF("id", "u", "t")
     val z = Layout.zvalue($"u", 0L, 0, $"t", 0L, 0, bits = 10)
