@@ -123,7 +123,21 @@ object Dedup {
   def incrementalExactNewBloom(fresh: DataFrame, seenHashes: DataFrame,
       id: String, text: String, expectedItems: Long = 0L,
       fpp: Double = 0.01): DataFrame = {
-    val n = math.max(if (expectedItems > 0) expectedItems else seenHashes.count(), 1L)
+    // an empty index needs no routing — and `stat.bloomFilter` throws on an
+    // empty frame (null aggregate buffer), the same failure
+    // ExactDedupStream.buildBloom documents and guards
+    if (seenHashes.isEmpty) return incrementalExactNew(fresh, seenHashes, id, text)
+    // Capacity only needs an UPPER bound: the bloom routes, never decides,
+    // so an under-sized filter merely raises the maybe-seen sliver — results
+    // stay exact. When the caller doesn't know, size from the plan's file
+    // statistics (free — no job) instead of a full count() over the index,
+    // which costs a whole extra index scan per batch. ~16 B/row is
+    // conservative for a stored 64-char sha column in snappy'd parquet, so
+    // the estimate over-provisions bits rather than under-counting; capped
+    // so a wild stats estimate can't allocate a multi-GB filter.
+    val n = math.max(if (expectedItems > 0) expectedItems
+      else (seenHashes.queryExecution.optimizedPlan.stats.sizeInBytes / 16)
+        .min(BigInt(1L << 31)).toLong, 1024L)
     incrementalExactNewRouted(fresh, seenHashes, id, text,
       seenHashes.stat.bloomFilter("text_sha", n, fpp))
   }

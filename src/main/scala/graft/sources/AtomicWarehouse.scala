@@ -274,18 +274,36 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     * [[publishAt]]; specs race this seam directly to prove two "JVMs" can
     * never both land version N.
     */
+  /** Test seam: runs right after a version claim is created — specs use it to
+    * simulate a claimant stalled past the staleness window (claim broken and
+    * reclaimed by a new owner mid-publish).
+    */
+  private[graft] var postClaimHook: () => Unit = () => ()
+
   private[graft] def publishAtCrossProcess(lines: Seq[String], version: Int,
       snapshot: Boolean = false): Boolean = {
     fs.mkdirs(logDir)
     val dest = new Path(logDir,
       if (snapshot) f"v$version%08d.snap.tsv" else f"v$version%08d.tsv")
     val qualifiedLog = fs.makeQualified(logDir)
+    // Fencing token: the claim FILE alone can't protect a claimant stalled
+    // past the 60 s staleness window — its claim gets broken, a new owner
+    // claims and publishes, and the resumed staller's rename would OVERWRITE
+    // the new owner's manifest (POSIX rename replaces the destination) while
+    // its cleanup deletes the owner's lock, reopening the double-publish the
+    // claim exists to prevent. A unique token written into the lock, re-read
+    // immediately before the rename and before the cleanup delete, turns the
+    // resumed staller into a detected lost race instead.
+    val token = java.util.UUID.randomUUID().toString
     val claim: Option[java.nio.file.Path] =
       if (qualifiedLog.toUri.getScheme != "file") None
       else {
         val lock = java.nio.file.Paths.get(qualifiedLog.toUri.getPath, f"v$version%08d.lock")
-        try { java.nio.file.Files.createFile(lock); Some(lock) }
-        catch {
+        try {
+          java.nio.file.Files.write(lock, token.getBytes("UTF-8"),
+            java.nio.file.StandardOpenOption.CREATE_NEW)
+          Some(lock)
+        } catch {
           case _: java.nio.file.FileAlreadyExistsException =>
             // another process is publishing this version (or crashed doing
             // so): break only demonstrably stale claims, else lose the race
@@ -298,14 +316,25 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
           case _: java.io.IOException => return false
         }
       }
+    def ownsClaim: Boolean = claim.forall { l =>
+      try new String(java.nio.file.Files.readAllBytes(l), "UTF-8") == token
+      catch { case _: java.io.IOException => false }
+    }
+    claim.foreach(_ => postClaimHook())
     try {
       if (slotTaken(version)) return false
       val tmp = new Path(logDir, s".tmp-${java.util.UUID.randomUUID()}")
       val out = fs.create(tmp, true)
       try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
+      if (!ownsClaim) { fs.delete(tmp, true); return false } // fenced: claim broken mid-stall
       if (fs.rename(tmp, dest)) true
       else { fs.delete(tmp, true); false }
-    } finally claim.foreach(l => java.nio.file.Files.deleteIfExists(l))
+    } finally claim.foreach { l =>
+      // delete only OUR claim: after a broken claim this lock belongs to the
+      // new owner, and deleting it would reopen the very double-publish
+      // window the claim closes
+      if (ownsClaim) java.nio.file.Files.deleteIfExists(l)
+    }
   }
 
   /** First free version slot: listing max + 1, then exists-probed FORWARD
@@ -336,10 +365,21 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     var attempts = 0
     while (attempts < 50) {
       val landed = publishLock.synchronized {
+        // CAS, not append-anywhere: pin this attempt at the first slot free
+        // BEFORE the precondition reads the log. Any cross-process commit
+        // landing after the precondition passed must take this same slot
+        // (slot probing is monotone and freed slots only exist below the
+        // latest snapshot), so it either makes this publish fail — full
+        // retry with a fresh precondition — or it came strictly later.
+        // Choosing the slot AFTER the precondition (the old order) let an
+        // unseen cross-process commit land between the two, and a
+        // conflict-checked truncate+add published one slot above it erased
+        // the append (lost update) — the JVM-wide lock can't see it.
+        val v = nextVersion()
         if (!precondition())
           throw new java.util.ConcurrentModificationException(
             "commit precondition failed: a table changed since this transaction read it")
-        publishAtCrossProcess(lines, nextVersion())
+        publishAtCrossProcess(lines, v)
       }
       if (landed) return
       attempts += 1
@@ -501,6 +541,23 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       tx.synchronized(tx.entries.exists(e => e.table == table && !e.truncate)) ||
         AtomicWarehouse.this.exists(table)
 
+    /** Compaction inside an ambient transaction carries the SAME optimistic
+      * check as the top-level override: the expected file set rides the
+      * ambient commit's precondition. The inherited read-then-replace would
+      * otherwise silently truncate away a commit landing before the ambient
+      * transaction publishes — the lost-update hole replaceExpecting closes.
+      */
+    override def compact(table: String, schema: StructType, targetFiles: Int = 1,
+        sortCols: Seq[String] = Nil): Unit = {
+      require(targetFiles > 0, "targetFiles must be positive")
+      val expected = committedOrPhysical(table)
+      val coalesced = read(table, schema).coalesce(targetFiles)
+      val out = if (sortCols.isEmpty) coalesced
+        else coalesced.sortWithinPartitions(
+          sortCols.map(org.apache.spark.sql.functions.col): _*)
+      replaceExpecting(table, out, expected)
+    }
+
     override def atomically(fn: Warehouse => Unit): Unit = fn(this)
   }
 
@@ -563,13 +620,20 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     }
     // optimistic-concurrency checks from conflict-guarded entries
     // (replaceExpecting): abort — staged/moved files become vacuumable
-    // garbage, never visible — rather than truncate a racing commit away
+    // garbage, never visible — rather than truncate a racing commit away.
+    // The comparison excludes THIS transaction's own tx-<txid>- files: by
+    // precondition time the staged files above have already MOVED into the
+    // table directories, so on a raw (no-manifest-history) table the
+    // physical-listing fallback would see them and fail forever — each of
+    // compact's retries leaving another visible duplicate rewrite behind.
+    val ownTx = "tx-" + tx.txid + "-"
     val checks = tx.entries.collect {
       case e if e.expected.isDefined => (e.table, e.expected.get.sorted)
     }.toSeq
     if (lines.nonEmpty) publish(lines.toSeq,
       precondition = () => checks.forall { case (t, exp) =>
-        committedOrPhysical(t).sorted == exp
+        committedOrPhysical(t)
+          .filterNot(_.split('/').last.startsWith(ownTx)).sorted == exp
       })
     fs.delete(new Path(stageRoot, tx.txid), true)
     // physical delete AFTER the commit is visible: a crash before this point
@@ -642,7 +706,9 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       try {
         atomically {
           case tv: TxView => tv.replaceExpecting(table, out, expected)
-          case w          => w.replace(table, out) // nested in an ambient tx: its commit is the guard
+          case w => throw new IllegalStateException( // unreachable: atomically always hands a TxView
+            s"AtomicWarehouse.atomically produced a ${w.getClass.getName}; " +
+              "conflict-checked compaction requires its TxView")
         }
         return
       } catch {

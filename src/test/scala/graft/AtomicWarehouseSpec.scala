@@ -359,6 +359,99 @@ class AtomicWarehouseSpec extends SparkSpec {
     assert(got == want, s"ops-day maintenance lost/duplicated rows: got ${got.size} want ${want.size}")
   }
 
+  test("conflict-checked compact works on a raw (no-manifest-history) table") {
+    val dir = Files.createTempDirectory("graft-aw-rawcompact-").toString
+    val wh = new AtomicWarehouse(spark, dir)
+    // several raw generations straight into the directory: no manifest
+    // exists, so the conflict precondition runs against the PHYSICAL listing
+    // — which by publish time already contains this transaction's own moved
+    // tx- files; without excluding them the precondition fails all 8
+    // retries, each leaving a visible duplicate rewrite behind
+    (1 to 4).foreach(i => Seq((i.toLong, s"v$i")).toDF("id", "v")
+      .write.mode("append").parquet(wh.path("t")))
+    wh.compact("t", kv)
+    // EXACT id list, not a set: duplicated rows from retried rewrites would
+    // hide inside a Set
+    val ids = wh.read("t", kv).collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == (1L to 4L), s"raw compact lost/duplicated rows: $ids")
+    assert(wh.visibleFileCount("t") == 1,
+      s"compaction must leave one visible file, got ${wh.visibleFileCount("t")}")
+  }
+
+  test("compact inside an ambient transaction stays conflict-checked") {
+    val dir = Files.createTempDirectory("graft-aw-nestedcompact-").toString
+    val wh = new AtomicWarehouse(spark, dir)
+    (1 to 3).foreach(i => wh.append("t", Seq((i.toLong, s"v$i")).toDF("id", "v")))
+    wh.atomically { w =>
+      w.append("other", Seq((9L, "o")).toDF("id", "v"))
+      w.compact("t", kv) // routes through replaceExpecting on the TxView
+    }
+    val ids = wh.read("t", kv).collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == (1L to 3L), s"nested compact changed contents: $ids")
+    assert(wh.visibleFileCount("t") == 1 && rows(wh, "other") == Set((9L, "o")))
+  }
+
+  test("cross-process appends landing mid-compaction are never erased (publish CAS)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val dir = Files.createTempDirectory("graft-aw-caslost-").toString
+    val wh = new AtomicWarehouse(spark, dir)
+    wh.append("t", Seq((0L, "v0")).toDF("id", "v"))
+    // the racer is a "second JVM": it publishes through the raw cross-process
+    // seam (no shared publishLock) — the out-of-band-Maintain-vs-live-writer
+    // shape. Each append lays a real data file, then lands its add manifest
+    // at whatever slot is free; a compaction whose truncate+add publishes
+    // above an append its precondition never saw would erase that append.
+    val racer = new AtomicWarehouse(spark, dir)
+    val n = 25
+    val appender = Future {
+      var v = 1
+      (1 to n).foreach { i =>
+        val stage = java.nio.file.Paths.get(dir, ".racer", i.toString)
+        Seq((i.toLong, s"v$i")).toDF("id", "v").coalesce(1)
+          .write.mode("overwrite").parquet(stage.toString)
+        val part = Files.list(stage).filter(_.toString.endsWith(".parquet")).findFirst.get
+        val name = s"racer-$i.parquet"
+        Files.move(part, java.nio.file.Paths.get(dir, "t", name))
+        while (!racer.publishAtCrossProcess(Seq(s"add\tt\t$name"), v)) v += 1
+      }
+    }
+    // compact continuously while the appends land; lost races may
+    // legitimately exhaust compaction's retries — the table must stay intact
+    while (!appender.isCompleted) {
+      try wh.compact("t", kv)
+      catch { case _: java.util.ConcurrentModificationException => }
+    }
+    Await.result(appender, Duration(5, "min"))
+    val got = new AtomicWarehouse(spark, dir).read("t", kv)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (0L to n.toLong), s"a compaction erased cross-process appends: $got")
+  }
+
+  test("a fenced staller can neither publish over the new owner nor delete its claim") {
+    val dir = Files.createTempDirectory("graft-aw-fence-").toString
+    val wh = new AtomicWarehouse(spark, dir)
+    wh.append("t", Seq((1L, "a")).toDF("id", "v"))
+    val lock = java.nio.file.Paths.get(dir, "_txlog", f"v${7}%08d.lock")
+    // simulate the >60s stall through the post-claim seam: while this
+    // publisher is paused, its claim is broken (staleness) and a new owner
+    // claims the slot with its own token
+    wh.postClaimHook = () => Files.write(lock, "new-owner-token".getBytes("UTF-8"))
+    try assert(!wh.publishAtCrossProcess(Seq("add\tt\tstaller.parquet"), 7),
+      "a claimant whose claim was broken must report a lost race")
+    finally wh.postClaimHook = () => ()
+    assert(!Files.exists(java.nio.file.Paths.get(dir, "_txlog", f"v${7}%08d.tsv")),
+      "the fenced staller still published its manifest")
+    assert(new String(Files.readAllBytes(lock), "UTF-8") == "new-owner-token",
+      "the fenced staller deleted/overwrote the new owner's claim")
+    // and a fresh foreign claim is simply honored: lose the race, leave it be
+    val lock2 = java.nio.file.Paths.get(dir, "_txlog", f"v${8}%08d.lock")
+    Files.write(lock2, "owner".getBytes("UTF-8"))
+    assert(!wh.publishAtCrossProcess(Seq("add\tt\tx.parquet"), 8))
+    assert(new String(Files.readAllBytes(lock2), "UTF-8") == "owner")
+  }
+
   test("vacuum folds the log to one snapshot and removes unreferenced files") {
     val dir = Files.createTempDirectory("graft-aw-vac-").toString
     val wh = new AtomicWarehouse(spark, dir)

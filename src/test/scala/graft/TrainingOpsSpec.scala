@@ -129,6 +129,45 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("default-sized bloom path: no count() job over the index; empty index safe") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloomsize-").toString
+    val corpus = Seq((1L, "seen one"), (2L, "seen two")).toDF("doc_id", "text")
+    Dedup.exactGroups(corpus, "doc_id", "text").select("text_sha")
+      .write.parquet(s"$dir/idx")
+    val idx = spark.read.parquet(s"$dir/idx")
+    val fresh = Seq((10L, "seen one"), (11L, "novel")).toDF("doc_id", "text")
+    // the default capacity must come from the plan's file statistics, not a
+    // count() action over the index (a whole extra index scan per batch)
+    val calls = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        calls.add(funcName)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val got = Dedup.incrementalExactNewBloom(fresh, idx, "doc_id", "text")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == Set(11L))
+      // the listener bus is async but ordered: once the collect above shows
+      // up, any earlier count() event would already have been delivered
+      val deadline = System.currentTimeMillis() + 10000
+      while (!calls.contains("collect") && System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      assert(calls.contains("collect"), s"listener never saw the collect: $calls")
+      assert(!calls.contains("count"),
+        s"default bloom sizing ran a count() job over the index: $calls")
+    } finally spark.listenerManager.unregister(listener)
+    // empty index: stat.bloomFilter NPEs on an empty frame — the guard must
+    // fall back to the plain incremental path, admitting every batch winner
+    val got2 = Dedup.incrementalExactNewBloom(fresh, idx.filter(lit(false)),
+        "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got2 == Set(10L, 11L), s"empty-index bloom path wrong: $got2")
+  }
+
   test("bloom membership expression: false is authoritative, stays codegen") {
     import org.apache.spark.sql.graft.shims
     val seen = (1 to 1000).map(i => s"key-$i").toDF("k")
