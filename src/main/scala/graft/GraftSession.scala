@@ -71,8 +71,11 @@ object GraftSession {
       // in nextBatch). 1024 values ≈ a few hundred KB of visitor frames.
       .config("spark.sql.parquet.pushdown.inFilterThreshold", "1024")
       .config("spark.sql.session.timeZone", "UTC")
-      // events.ts is parquet TIMESTAMP(NANOS); Spark has no nanos timestamp
-      // type, so read it as a nanos-since-epoch long (public legacy flag)
+      // some testdata generations wrote events.ts as parquet
+      // TIMESTAMP(NANOS); Spark has no nanos timestamp type, so read those
+      // as a nanos-since-epoch long (public legacy flag). Current
+      // generations write TIMESTAMP(MICROS) — SparkEntry.eventsTable
+      // normalizes either shape to the same nanos long.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 

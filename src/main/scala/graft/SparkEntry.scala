@@ -26,6 +26,25 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** The events table with `ts` ALWAYS a nanos-since-epoch long, whatever the
+    * parquet generation stored. Early testdata wrote parquet
+    * TIMESTAMP(NANOS), which Spark reads as a long under
+    * `spark.sql.legacy.parquet.nanosAsLong` (set in GraftSession); the
+    * current generation writes TIMESTAMP(MICROS), which arrives as
+    * TIMESTAMP_NTZ — normalize it to the same nanos long so every event-time
+    * query, stream fixture, and probe keeps ONE time arithmetic (the session
+    * timezone is UTC, so the NTZ → instant conversion is exact). The oracles
+    * are already type-agnostic: DuckDB reads either generation as a
+    * timestamp and they use epoch_us(ts)/date_trunc on it.
+    */
+  def eventsTable(s: SparkSession, dir: String): DataFrame = {
+    val df = t(s, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ => df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+    }
+  }
+
   private val dec2 = DecimalType(18, 2)
   private def sumMoney(c: Column): Column = sum(c.cast(dec2)).cast("double")
 
@@ -272,7 +291,7 @@ object SparkEntry {
     // event-time tumbling aggregation (batch equivalent of the streaming agg).
     // ts arrives as nanos-since-epoch long (see GraftSession nanosAsLong).
     q("q10_events_hourly") = (s, dir) =>
-      t(s, dir, "events")
+      eventsTable(s, dir)
         .withColumn("tsm", timestamp_micros(expr("ts DIV 1000")))
         .groupBy(
           date_format(date_trunc("hour", col("tsm")), "yyyy-MM-dd HH:mm:ss").as("hour"),
@@ -290,7 +309,7 @@ object SparkEntry {
     q("q10_stream") = (s, dir) => {
       import java.nio.file.{Files, Paths, StandardCopyOption}
       val inDir = chunkedInput("estream", dir) { inDir =>
-        val ev = t(s, dir, "events")
+        val ev = eventsTable(s, dir)
         (0 until 3).foreach { i =>
           val tmp = Files.createTempDirectory(s"graft-estream-c$i-").toString + "/out"
           ev.filter(pmod(col("event_id"), lit(3)) === i).coalesce(1).write.parquet(tmp)
@@ -315,14 +334,14 @@ object SparkEntry {
       import org.apache.spark.sql.Dataset
       val ckpt = Files.createTempDirectory("graft-sstream-ck-").toString
       val outDir = Files.createTempDirectory("graft-sstream-out-").toString + "/state"
-      val ev = t(s, dir, "events").select(col("user_id"), expr("ts DIV 1000").as("us"))
+      val ev = eventsTable(s, dir).select(col("user_id"), expr("ts DIV 1000").as("us"))
       val inDir = chunkedInput("sstream", dir) { inDir =>
         // event_id makes the ntile order TOTAL: (us, user_id) alone can tie,
         // and the chunked plan is recomputed once per filter pass below — a
         // tie ordered differently across the three jobs would drop or
         // duplicate a row. event_id is carried only for ordering, never
         // written (the stream schema stays ev's)
-        val chunked = t(s, dir, "events")
+        val chunked = eventsTable(s, dir)
           .select(col("user_id"), expr("ts DIV 1000").as("us"), col("event_id"))
           .withColumn("c",
             ntile(3).over(Window.orderBy(col("us"), col("user_id"), col("event_id"))))
@@ -368,7 +387,7 @@ object SparkEntry {
     // sessionization: lag + gap flag (stateful-stream shape as a batch window)
     q("q11_sessionize") = (s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      t(s, dir, "events")
+      eventsTable(s, dir)
         .withColumn("us", expr("ts DIV 1000"))
         .withColumn("prev", lag(col("us"), 1).over(w))
         .withColumn("new_session",
@@ -418,7 +437,7 @@ object SparkEntry {
     // rather than an inequality join (quadratic explode) or per-row subquery.
     // Oracle uses DuckDB's native ASOF LEFT JOIN as an independent implementation.
     q("q15_asof_attribution") = (s, dir) => {
-      val ev = t(s, dir, "events")
+      val ev = eventsTable(s, dir)
         .select(col("user_id"), expr("ts DIV 1000").as("us"), col("event_type"), col("value"))
       val purchases = ev.filter(col("event_type") === "purchase")
       val clicks = ev.filter(col("event_type") === "click").select("user_id", "us")
@@ -437,7 +456,7 @@ object SparkEntry {
     // sequential work bounded by time-range/bucket instead of row count.
     // Oracle identical to q15 — the two forms must agree exactly
     q("q15b_asof_bucketed") = (s, dir) => {
-      val ev = t(s, dir, "events")
+      val ev = eventsTable(s, dir)
         .select(col("user_id"), expr("ts DIV 1000").as("us"), col("event_type"), col("value"))
       val purchases = ev.filter(col("event_type") === "purchase")
       val clicks = ev.filter(col("event_type") === "click").select("user_id", "us")
@@ -461,7 +480,7 @@ object SparkEntry {
     // Oracle is DuckDB's native inequality (IE) join.
     q("q16_range_pairs") = (s, dir) => {
       val win = 300000000L // 5 minutes in microseconds
-      val ev = t(s, dir, "events")
+      val ev = eventsTable(s, dir)
         .select(col("user_id"), expr("ts DIV 1000").as("us"), col("event_type"))
       graft.operators.TimeJoins
         .rangeJoin(
@@ -494,7 +513,7 @@ object SparkEntry {
     // campaign windows (every 10th event opens one) — m:n matches where
     // windows overlap; oracle is DuckDB's plain inequality join
     q("q20_interval_join") = (s, dir) => {
-      val ev = t(s, dir, "events")
+      val ev = eventsTable(s, dir)
         .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("us"))
       val iv = ev.filter(pmod(col("event_id"), lit(10)) === 0)
         .select(col("user_id"), col("event_id").as("campaign_id"),
@@ -513,7 +532,7 @@ object SparkEntry {
     // (tools/ZOrderProbe, BASELINE.md) — a LAYOUT choice has no
     // result-visible behavior to oracle beyond this kernel
     q("q21_zvalue") = (s, dir) =>
-      t(s, dir, "events")
+      eventsTable(s, dir)
         .select(col("event_id"),
           operators.Layout.zvalue(
             col("user_id"), 0L, 0,
@@ -1052,6 +1071,27 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }
 
+    // the same incremental probe with BLOOM ROUTING on the band keys:
+    // bloom-negative fresh keys (novel content) skip the corpus probe
+    // entirely, and the literal In pushed into the index holds only the
+    // maybe-seen sliver. fpp deliberately 0.3 so false positives actually
+    // occur — the oracle (identical to dedup_incremental's) checks that
+    // pairs are exact DESPITE them: the bloom routes, never decides.
+    q("dedup_incremental_bloom") = (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val split = (docs.agg(max(col("doc_id"))).head().getLong(0) + 1) * 4 / 5
+      val corpus = docs.filter(col("doc_id") < split)
+      val fresh = docs.filter(col("doc_id") >= split)
+      val idx = Dedup.minhashSignatures(corpus, "doc_id", "text")
+      // the filter a stream would persist: built over the corpus's band keys
+      val bloom = Dedup.bandKeys(idx, "doc_id", 8, 2).select(col("key"))
+        .stat.bloomFilter("key", math.max(split * 4, 64L), 0.3)
+      Dedup.incrementalLshVerifiedPairs(corpus, idx, fresh, "doc_id", "text",
+        k = 5, numHashes = 8, rowsPerBand = 2, minJaccard = 0.35,
+        minSigMatchesOverride = 4, probeKeyLimit = 1000, bandBloom = Some(bloom))
+        .orderBy(col("id_a"), col("id_b"))
+    }
+
     // streaming incremental dedup: the corpus arrives as 3 micro-batches
     // (split by doc_id mod 3 — the invariant holds for ANY batching); each
     // batch dedups against the accumulated signature index, then joins the
@@ -1090,6 +1130,44 @@ object SparkEntry {
         dq.stop()
         throw new IllegalStateException(s"dedup_stream failed to drain within ${drainMs / 1000} s")
       }
+      ds.pairs().orderBy(col("id_a"), col("id_b"))
+    }
+
+    // the same stream with band-key bloom routing FORCED from the first
+    // batch (bloomMinIndexBytes = 0): accumulated pairs must be bit-identical
+    // to the plain stream (same oracle); the query also asserts the persisted
+    // bloom state exists after the drain, so the driver run exercises state
+    // maintenance (bootstrap, per-batch merge, atomic write order), not just
+    // the routing expression.
+    q("dedup_stream_bloom") = (s, dir) => {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val ckpt = Files.createTempDirectory("graft-dstreamb-ck-").toString
+      val whDir = Files.createTempDirectory("graft-dstreamb-wh-").toString
+      // same fixture key as dedup_stream: identical chunk bytes, built by
+      // whichever of the two queries runs first in the session
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").cast(LongType).as("doc_id"), col("text"))
+      val inDir = chunkedInput("dstream", dir) { inDir =>
+        (0 until 3).foreach { i =>
+          val tmp = Files.createTempDirectory(s"graft-dstream-c$i-").toString + "/out"
+          docs.filter(pmod(col("doc_id"), lit(3)) === i).coalesce(1).write.parquet(tmp)
+          val part = Files.list(Paths.get(tmp))
+            .filter(_.toString.endsWith(".parquet")).findFirst.get
+          Files.move(part, Paths.get(inDir, f"chunk_$i%02d.parquet"),
+            StandardCopyOption.ATOMIC_MOVE)
+        }
+      }
+      val ds = new graft.streaming.DedupStream(
+        new graft.sources.AtomicWarehouse(GraftSession.streamSession(s), whDir),
+        minJaccard = 0.35, minSigMatchesOverride = 4, bloomMinIndexBytes = 0)
+      val dq = ds.start(inDir, ckpt)
+      val drainMs = GraftSession.streamDrainTimeoutMs
+      if (!dq.awaitTermination(drainMs)) {
+        dq.stop()
+        throw new IllegalStateException(
+          s"dedup_stream_bloom failed to drain within ${drainMs / 1000} s")
+      }
+      if (ds.readBloomState().isEmpty) sys.error("band bloom state not persisted after drain")
       ds.pairs().orderBy(col("id_a"), col("id_b"))
     }
 
@@ -2209,6 +2287,13 @@ object SparkEntry {
       s"""$lshVerifiedCore
          |ORDER BY id_a, id_b""".stripMargin,
 
+    // bloom routing must not change the accumulated pairs — same oracle as
+    // the plain stream (the bloom routes band keys around the corpus probe,
+    // it never decides matches)
+    "dedup_stream_bloom" ->
+      s"""$lshVerifiedCore
+         |ORDER BY id_a, id_b""".stripMargin,
+
     // first-arrival-wins over the deterministic doc_id%3 batching: the
     // survivor of each content group is the min-id row of its earliest
     // micro-batch (null texts form one group via the sentinel, as in the
@@ -2241,6 +2326,16 @@ object SparkEntry {
     // derived the same way the Spark query derives it — (max(doc_id)+1)*4/5 —
     // so oracle and query stay coupled at any scale, not just sf0.01
     "dedup_incremental" ->
+      s"""WITH split AS (SELECT (max(doc_id) + 1) * 4 // 5 AS cut FROM documents),
+         |pairs AS (
+         |$lshVerifiedCore)
+         |SELECT id_a, id_b, jaccard FROM pairs
+         |WHERE id_b >= (SELECT cut FROM split)
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // bloom-routed probe, exact despite a deliberately-high fpp — identical
+    // oracle to dedup_incremental
+    "dedup_incremental_bloom" ->
       s"""WITH split AS (SELECT (max(doc_id) + 1) * 4 // 5 AS cut FROM documents),
          |pairs AS (
          |$lshVerifiedCore)

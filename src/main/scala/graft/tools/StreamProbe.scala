@@ -34,7 +34,7 @@ object StreamProbe {
     println(s"shuffle.partitions=$shuffleParts")
     import s.implicits._
 
-    def events = s.read.parquet(s"$dir/events.parquet")
+    def events = graft.SparkEntry.eventsTable(s, dir) // ts normalized to nanos long
 
     // --- q10_stream shape: chunk prep once, then stream reps ---
     val (eDir, ePrep) = timed {

@@ -43,8 +43,8 @@ object ZOrderProbe {
       }
     })
 
-    // raw int64-nanos ts → seconds, same convention as the q21_zvalue gate
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    // normalized int64-nanos ts → seconds, same convention as the q21_zvalue gate
+    val events = graft.SparkEntry.eventsTable(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("value"),
         expr("ts DIV 1000000000").as("secs"))
     val tsMin = 1704067200L // 2024-01-01T00:00:00Z, the corpus epoch

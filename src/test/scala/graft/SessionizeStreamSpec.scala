@@ -21,7 +21,7 @@ class SessionizeStreamSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft-sess-in-").toString
     val ckpt = Files.createTempDirectory("graft-sess-ck-").toString
 
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val ev = SparkEntry.eventsTable(spark, "/root/testdata/sf0.001")
       .select($"user_id", expr("ts DIV 1000").as("us"))
 
     // three time-ordered chunk files: per-user order across chunks follows

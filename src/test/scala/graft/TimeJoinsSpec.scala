@@ -11,8 +11,7 @@ import org.apache.spark.sql.functions._
 class TimeJoinsSpec extends SparkSpec {
   import spark.implicits._
 
-  private lazy val events = spark.read
-    .parquet("/root/testdata/sf0.001/events.parquet")
+  private lazy val events = SparkEntry.eventsTable(spark, "/root/testdata/sf0.001")
     .select(col("user_id"), expr("ts DIV 1000").as("us"), col("event_type"), col("value"))
 
   test("asOfJoin matches naive greatest-right-<=-left on edge fixture") {
