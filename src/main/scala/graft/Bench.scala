@@ -39,8 +39,16 @@ import org.apache.spark.sql.SparkSession
   *     nothing measured the machine, and r7's etl_merge_endstate rep shape
   *     (first rep fast, later reps 4× slower) was invisible to a
   *     once-per-query sample.
-  *   - Reps whose spread says the median is noise (max/min > 3×) trigger up
-  *     to 2 extra reps within the same budget ("adaptive_reps" in the line).
+  *   - Reps whose spread says the median is noise (max/min > 2.5×), or whose
+  *     own canaries ran >2× the run's canary median (contention on exactly
+  *     the measured reps), trigger up to 2 extra reps within the same budget
+  *     ("adaptive_reps" in the line).
+  *   - A FULL run (no SPARK_GRAFT_ONLY filter) appends one line per round to
+  *     the git-tracked BENCHBOOK.jsonl: `{"round":N,"sf":...,"medians":{...},
+  *     "canary_median_s":...}`. The driver's BENCH_r*.json keeps only a
+  *     2,000-char tail, which truncates the alphabetically-early dedup/doc
+  *     block — the engine's most expensive queries had no committed
+  *     cross-round history before the book.
   */
 object Bench {
   private def median(ts: Seq[Double]): Double = {
@@ -70,12 +78,13 @@ object Bench {
     java.nio.file.Files.deleteIfExists(outPath)
     // append + force-to-disk per line: a later kill (even -9) cannot take
     // already-flushed query lines with it
-    def appendLine(line: String): Unit = {
+    def appendTo(p: java.nio.file.Path, line: String): Unit = {
       import java.nio.file.StandardOpenOption._
-      val ch = java.nio.channels.FileChannel.open(outPath, CREATE, WRITE, APPEND)
+      val ch = java.nio.channels.FileChannel.open(p, CREATE, WRITE, APPEND)
       try { ch.write(java.nio.ByteBuffer.wrap((line + "\n").getBytes("UTF-8"))); ch.force(false) }
       finally ch.close()
     }
+    def appendLine(line: String): Unit = appendTo(outPath, line)
 
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -158,6 +167,10 @@ object Bench {
     // sample, so a contended rep could never self-identify in the artifact.
     // The query-level "canary_s" stays (median of the rep canaries) so
     // cross-round comparisons keep working; "load1m" reports the rep max.
+    // every rep canary across the whole run: the baseline for the per-query
+    // contention trigger below (a contended rep's canary is judged against
+    // the run's typical canary, not an absolute number)
+    val allRepCanaries = scala.collection.mutable.ArrayBuffer[Double]()
     val results = qs.map { case (name, fn) =>
       val qStart = System.nanoTime()
       var outcomes = Vector.empty[Either[String, Double]]
@@ -169,22 +182,32 @@ object Bench {
         // way); a budget exhausted by SLOW-BUT-FINISHED reps just means fewer
         // reps feed the median
         if (remaining > 0 && !outcomes.contains(Left("timeout"))) {
-          repCanaries :+= canary()
+          val c = canary()
+          repCanaries :+= c
+          allRepCanaries += c
           repLoads :+= osBean.getSystemLoadAverage
           outcomes :+= runRep(name, fn, sfDir, remaining)
         }
       }
       (1 to reps).foreach(_ => runOne())
-      // Adaptive reps: when the spread exceeds the median-trust threshold
-      // (max/min > 3 — r7's dedup_survivors_best 11.1/3.2/9.5 and
-      // doc_decontaminate 16.1/1.8/2.0 shapes), up to 2 extra reps run within
-      // the same wall budget so the median rests on more than noise.
+      // Adaptive reps: up to 2 extra reps within the same wall budget when
+      // the median looks untrustworthy. Two triggers:
+      //   - spread: max/min > 2.5 (r8's dedup_components 4.36/12.93/7.21 —
+      //     spread 2.97 — slipped under the old 3.0 threshold with rising
+      //     per-rep load saying contention);
+      //   - canary inflation: any rep's canary > 2× the run's canary median
+      //     so far (r8's dedup_embedding_lsh reps carried 2.4×-inflated
+      //     canaries with a spread the old rule never saw).
       var extra = 0
       def spreadBad: Boolean = {
         val ts = outcomes.collect { case Right(t) => t }
-        ts.size >= 2 && ts.min > 0 && ts.max / ts.min > 3.0
+        ts.size >= 2 && ts.min > 0 && ts.max / ts.min > 2.5
       }
-      while (extra < 2 && spreadBad) { runOne(); extra += 1 }
+      def canaryInflated: Boolean = allRepCanaries.size >= 6 && {
+        val base = median(allRepCanaries.toVector)
+        base > 0 && repCanaries.exists(_ > 2 * base)
+      }
+      while (extra < 2 && (spreadBad || canaryInflated)) { runOne(); extra += 1 }
       val ts = outcomes.collect { case Right(t) => t }
       val errs = outcomes.collect { case Left(m) => m }
       val canaryS = if (repCanaries.nonEmpty) median(repCanaries) else 0.0
@@ -217,6 +240,22 @@ object Bench {
       f"""{"metric":"total_runtime","value":$total%.3f,"unit":"sec","queries":$qsJson,"reps":$repsJson,"errors":$errsJson,"canary_median_s":$canaryMedian%.3f,"sf":"$sfDir"}"""
     println(line)
     appendLine(line) // final JSONL line = the summary; partial file is still valid JSONL
+    // cross-round bench book: one tracked line per FULL run. Round number
+    // from SPARK_GRAFT_ROUND when the driver provides it, else inferred from
+    // the committed BENCH_r<N>.json artifacts (the round-N artifact lands
+    // AFTER round N's bench runs, so max+1 is the in-flight round).
+    if (only.isEmpty) {
+      val round = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt).getOrElse {
+        val names = java.nio.file.Files.list(java.nio.file.Paths.get("."))
+          .map[String](_.getFileName.toString).toArray.map(_.toString)
+        val rs = names.collect { case s if s.matches("BENCH_r\\d+\\.json") =>
+          s.stripPrefix("BENCH_r").stripSuffix(".json").toInt }
+        (rs.toSeq :+ 0).max + 1
+      }
+      val bookLine = f"""{"round":$round,"sf":"$sfDir","ts":${System.currentTimeMillis() / 1000},"canary_median_s":$canaryMedian%.3f,"total_s":$total%.3f,"medians":$qsJson}"""
+      appendTo(java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCHBOOK", "BENCHBOOK.jsonl")), bookLine)
+    }
     spark.stop()
   }
 }

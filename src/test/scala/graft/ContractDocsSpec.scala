@@ -34,6 +34,30 @@ class ContractDocsSpec extends AnyFunSuite {
       s"README says $counts queries, SparkEntry.queries has ${keys.size}")
   }
 
+  test("BENCHBOOK.jsonl parses, rounds ascend, and its queries exist in SparkEntry") {
+    // the tracked cross-round bench record (written by Bench on every full
+    // run; the driver's BENCH_r*.json tails truncate the expensive
+    // alphabetically-early queries). Structure drift or a line recording
+    // queries the engine no longer has would silently break cross-round
+    // adjudication — make it a build failure like the prose counts.
+    val lines = read("BENCHBOOK.jsonl").filter(_.nonEmpty)
+    assert(lines.nonEmpty, "BENCHBOOK.jsonl is missing or empty")
+    val rounds = lines.map { l =>
+      val r = """"round":(\d+)""".r.findFirstMatchIn(l)
+      assert(r.isDefined, s"BENCHBOOK line without a round: ${l.take(120)}")
+      assert(l.contains("\"medians\":{\""), s"BENCHBOOK line without medians: ${l.take(120)}")
+      assert(l.contains("\"sf\":"), s"BENCHBOOK line without sf: ${l.take(120)}")
+      r.get.group(1).toInt
+    }
+    assert(rounds == rounds.sorted, s"BENCHBOOK rounds not ascending: $rounds")
+    // latest line: every recorded query must still exist (a renamed/removed
+    // query must be re-benched under its new name, not compared blindly)
+    val medians = """"medians":\{(.*)\}""".r.findFirstMatchIn(lines.last).get.group(1)
+    val recorded = """"([a-z0-9_]+)":""".r.findAllMatchIn(medians).map(_.group(1)).toSet
+    assert(recorded.nonEmpty && (recorded -- keys).isEmpty,
+      s"BENCHBOOK latest line records unknown queries: ${(recorded -- keys).toSeq.sorted}")
+  }
+
   test("SURVEY §2.10 ledger lists every driver query (and nothing stale)") {
     val lines = read("SURVEY.md")
     val start = lines.indexWhere(_.startsWith("### 2.10"))
