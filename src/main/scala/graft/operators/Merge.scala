@@ -24,16 +24,37 @@ import org.apache.spark.sql.types.{DecimalType, IntegerType}
   * rows but one dimension row).
   *
   * Scale notes: every join here has a dimension on one side, and the staged
-  * side collapses to dimension cardinality after its per-batch dedup, so all
-  * joins are `broadcast()` hash joins — no shuffle of the big side. Dense id
-  * assignment uses a single-partition window over NEW rows only (per-batch
-  * novelty is file-sized, not fact-sized); if a deployment ever bulk-loads
+  * side collapses to dimension cardinality after its per-batch dedup, so the
+  * joins want to be broadcast hash joins — no shuffle of the big side. The
+  * hints are CONDITIONAL on the side's plan-stats size ([[broadcastIfSmall]]):
+  * a hard `broadcast()` overrides AQE, so a dimension that outgrew executor
+  * memory (10⁸ products is a multi-GB hash set) would be force-shipped with
+  * no escape hatch; unhinted, AQE still broadcasts at runtime when the actual
+  * size allows and falls back to a shuffled join when it doesn't — the same
+  * reasoning documented at `Dedup.nearDupDedupBy`. Dense id assignment uses a
+  * single-partition window over NEW rows only (per-batch novelty is
+  * file-sized, not fact-sized); if a deployment ever bulk-loads
   * dimension-scale novelty, switch to `monotonically_increasing_id` + offset.
   */
 object Merge {
 
   /** CI-AS + ANSI-padding equality key. */
   def keyOf(c: Column): Column = lower(rtrim(c))
+
+  /** Broadcast hint only while the side's optimized-plan size estimate stays
+    * under `spark.graft.merge.broadcastMaxBytes` (default 64 MB; -1 = never
+    * hint, which specs use to prove the unhinted chain still plans sanely).
+    * Above the threshold the join goes out unhinted and AQE decides — it
+    * still broadcasts genuinely-small sides at runtime, and a stats
+    * OVERestimate therefore costs nothing worse than AQE's own choice.
+    */
+  private def broadcastIfSmall(df: DataFrame): DataFrame = {
+    val maxBytes = df.sparkSession.conf
+      .get("spark.graft.merge.broadcastMaxBytes", (64L << 20).toString).toLong
+    if (maxBytes >= 0 &&
+        df.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBytes) broadcast(df)
+    else df
+  }
 
   /** Product natural key — sha2-256 of the normalized description, stored as
     * 32 raw bytes like the reference's `DescriptionHash LargeBinary(32)`.
@@ -64,10 +85,10 @@ object Merge {
       .agg(min(col("Name")).as("Name"))
 
     val viaSynonym = candidates.join(
-      broadcast(synonyms.select(keyOf(col("Synonym")).as("k"))), Seq("k"), "left_anti")
+      broadcastIfSmall(synonyms.select(keyOf(col("Synonym")).as("k"))), Seq("k"), "left_anti")
 
     val novel = viaSynonym.join(
-      broadcast(dim.select(keyOf(col("Name")).as("k"))), Seq("k"), "left_anti")
+      broadcastIfSmall(dim.select(keyOf(col("Name")).as("k"))), Seq("k"), "left_anti")
 
     val inserted = nextIds(novel, col("k"), maxIdOf(dim))
       .select(col("Id"), col("Name"), current_timestamp().as("CreateDt"))
@@ -88,7 +109,7 @@ object Merge {
     val known = dim.select(keyOf(col("Acronym")).as("k"))
       .union(acronyms.select(keyOf(col("Acronym")).as("k")))
 
-    val novel = staged.join(broadcast(known), Seq("k"), "left_anti")
+    val novel = staged.join(broadcastIfSmall(known), Seq("k"), "left_anti")
     val inserted = nextIds(novel, col("k"), maxIdOf(dim))
       .select(col("Id"), col("Acronym"), col("Acronym").as("Name"))
 
@@ -121,7 +142,7 @@ object Merge {
         min(col("Measure")).as("s_Measure"),
         min(col("UnitOfMeasure")).as("s_Unit"),
         min(col("UnitPrice")).as("s_UnitPrice"))
-      .join(broadcast(uomLookup(uom, uomAcronyms)), keyOf(col("s_Unit")) === col("k"), "left")
+      .join(broadcastIfSmall(uomLookup(uom, uomAcronyms)), keyOf(col("s_Unit")) === col("k"), "left")
       .drop("k")
       .withColumnRenamed("UnitOfMeasureId", "s_UomId")
 
@@ -182,10 +203,10 @@ object Merge {
     val resolved = stagingProviderProduct
       .drop("ProductId", "ProviderId") // placeholder 0s; real ids resolved here
       .withColumn("hash", descHash(col("ProductDescription")))
-      .join(broadcast(providerLookup(provider, synonyms)),
+      .join(broadcastIfSmall(providerLookup(provider, synonyms)),
         keyOf(col("ProviderName")) === col("k"), "left")
       .drop("k")
-      .join(broadcast(prodKey), Seq("hash"), "left")
+      .join(broadcastIfSmall(prodKey), Seq("hash"), "left")
       .filter(col("r_ProductId").isNotNull && col("ProviderId").isNotNull)
 
     // one upsert row per (provider, product): the WHOLE latest-review row wins
@@ -212,7 +233,7 @@ object Merge {
     // where matched keys come from an inner broadcast probe of the fact.
     // (Production path for a truly huge bridge: partition by id-bucket and
     // rewrite only touched partitions; the join shape stays identical.)
-    val existing = dim.join(broadcast(staged), Seq("ProviderId", "ProductId"), "left").select(
+    val existing = dim.join(broadcastIfSmall(staged), Seq("ProviderId", "ProductId"), "left").select(
       col("Id"), col("ProductId"), col("ProviderId"),
       col("IsValidated"),
       coalesce(col("s_LastReviewDt"), col("LastReviewDt")).as("LastReviewDt"),
@@ -221,12 +242,12 @@ object Merge {
       coalesce(col("s_Price"), col("Price")).as("Price"))
 
     val matchedKeys = dim
-      .join(broadcast(staged.select(col("ProviderId"), col("ProductId"))),
+      .join(broadcastIfSmall(staged.select(col("ProviderId"), col("ProductId"))),
         Seq("ProviderId", "ProductId"), "inner")
       .select(col("ProviderId"), col("ProductId"))
 
     val inserted = nextIds(
-        staged.join(broadcast(matchedKeys), Seq("ProviderId", "ProductId"), "left_anti"),
+        staged.join(broadcastIfSmall(matchedKeys), Seq("ProviderId", "ProductId"), "left_anti"),
         struct(col("ProviderId"), col("ProductId")), maxIdOf(dim))
       .select(
         col("Id"), col("ProductId"), col("ProviderId"),
