@@ -74,4 +74,36 @@ object Layout {
       .sortWithinPartitions("__z")
       .drop("__z")
   }
+
+  /** [[zorder]] with DATA-DERIVED curve constants, for maintenance passes
+    * that don't know the table's ranges: one small aggregate reads each
+    * column's min/max, then each dimension gets the smallest shift that fits
+    * its observed range into `bits` buckets. Unlike [[zvalue]]'s explicit
+    * constants the curve depends on the data — fine for a compaction-time
+    * re-layout, where the curve affects only pruning tightness, never
+    * results. Integer (long-castable) columns only; an empty table (or
+    * all-null key) returns the frame unchanged.
+    */
+  def zorderAuto(df: DataFrame, colA: String, colB: String,
+      bits: Int = 16, numFiles: Int = 1): DataFrame = {
+    val r = df.agg(
+      min(col(colA).cast("long")), max(col(colA).cast("long")),
+      min(col(colB).cast("long")), max(col(colB).cast("long"))).head()
+    if (r.isNullAt(0) || r.isNullAt(2)) return df
+    val (aLo, aHi, bLo, bHi) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    def needed(lo: Long, hi: Long): Int =
+      math.max(64 - java.lang.Long.numberOfLeadingZeros(hi - lo), 1)
+    // BALANCED widths (tools/ZOrderProbe, measured): interleaving a wide
+    // dimension against a narrow one leaves the curve's high bits all one
+    // dimension — a degenerate single-key sort that stops the other
+    // dimension pruning. Both dimensions get the SAME effective width: the
+    // narrower one's significant bits (capped by `bits`), with the wider
+    // one shifted down to match.
+    val effBits = math.min(bits, math.min(needed(aLo, aHi), needed(bLo, bHi)))
+    def shiftFor(lo: Long, hi: Long): Int = math.max(needed(lo, hi) - effBits, 0)
+    zorder(df,
+      zvalue(col(colA).cast("long"), aLo, shiftFor(aLo, aHi),
+        col(colB).cast("long"), bLo, shiftFor(bLo, bHi), effBits),
+      numFiles)
+  }
 }

@@ -541,21 +541,18 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       tx.synchronized(tx.entries.exists(e => e.table == table && !e.truncate)) ||
         AtomicWarehouse.this.exists(table)
 
-    /** Compaction inside an ambient transaction carries the SAME optimistic
-      * check as the top-level override: the expected file set rides the
-      * ambient commit's precondition. The inherited read-then-replace would
-      * otherwise silently truncate away a commit landing before the ambient
-      * transaction publishes — the lost-update hole replaceExpecting closes.
+    /** Layout rewrites inside an ambient transaction carry the SAME
+      * optimistic check as the top-level override: the expected file set
+      * rides the ambient commit's precondition. The inherited
+      * read-then-replace would otherwise silently truncate away a commit
+      * landing before the ambient transaction publishes — the lost-update
+      * hole replaceExpecting closes. (Covers `compact` too: the base class
+      * routes it through here.)
       */
-    override def compact(table: String, schema: StructType, targetFiles: Int = 1,
-        sortCols: Seq[String] = Nil): Unit = {
-      require(targetFiles > 0, "targetFiles must be positive")
+    override def compactWith(table: String, schema: StructType,
+        transform: DataFrame => DataFrame): Unit = {
       val expected = committedOrPhysical(table)
-      val coalesced = read(table, schema).coalesce(targetFiles)
-      val out = if (sortCols.isEmpty) coalesced
-        else coalesced.sortWithinPartitions(
-          sortCols.map(org.apache.spark.sql.functions.col): _*)
-      replaceExpecting(table, out, expected)
+      replaceExpecting(table, transform(read(table, schema)), expected)
     }
 
     override def atomically(fn: Warehouse => Unit): Unit = fn(this)
@@ -675,9 +672,10 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
           .parquet(files.map(f => s"${path(table)}/$f"): _*)
     }
 
-  /** Conflict-safe compaction for ACTIVE tables — what out-of-band
-    * maintenance (`tools/Maintain`) against a live stream requires. The base
-    * class's compact is read-then-replace: a batch append committing between
+  /** Conflict-safe layout rewrite (compaction, Z-order) for ACTIVE tables —
+    * what out-of-band maintenance (`tools/Maintain`) against a live stream
+    * requires; `compact` routes through here via the base class. The base
+    * class's rewrite is read-then-replace: a batch append committing between
     * the read and the replace's truncate would be silently truncated away
     * (lost update — the writer-isolation hole the class scaladoc disclaims
     * for generic transactions). Here the rewrite pins the exact file set it
@@ -688,9 +686,8 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     * lost races: compaction is maintenance; the data is never at risk, the
     * caller just didn't get smaller files this pass.
     */
-  override def compact(table: String, schema: StructType, targetFiles: Int = 1,
-      sortCols: Seq[String] = Nil): Unit = {
-    require(targetFiles > 0, "targetFiles must be positive")
+  override def compactWith(table: String, schema: StructType,
+      transform: DataFrame => DataFrame): Unit = {
     var attempts = 0
     while (attempts < 8) {
       val expected = committedOrPhysical(table)
@@ -699,10 +696,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
           spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         else spark.read.option("basePath", path(table)).schema(schema)
           .parquet(expected.map(f => s"${path(table)}/$f"): _*)
-      val coalesced = src.coalesce(targetFiles)
-      val out = if (sortCols.isEmpty) coalesced
-        else coalesced.sortWithinPartitions(
-          sortCols.map(org.apache.spark.sql.functions.col): _*)
+      val out = transform(src)
       try {
         atomically {
           case tv: TxView => tv.replaceExpecting(table, out, expected)

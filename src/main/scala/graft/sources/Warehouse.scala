@@ -74,11 +74,25 @@ class Warehouse(val spark: SparkSession, val root: String) {
   def compact(table: String, schema: StructType, targetFiles: Int = 1,
       sortCols: Seq[String] = Nil): Unit = {
     require(targetFiles > 0, "targetFiles must be positive")
-    val coalesced = read(table, schema).coalesce(targetFiles)
-    val out = if (sortCols.isEmpty) coalesced
-      else coalesced.sortWithinPartitions(sortCols.map(org.apache.spark.sql.functions.col): _*)
-    replace(table, out)
+    compactWith(table, schema, { df =>
+      val coalesced = df.coalesce(targetFiles)
+      if (sortCols.isEmpty) coalesced
+      else coalesced.sortWithinPartitions(
+        sortCols.map(org.apache.spark.sql.functions.col): _*)
+    })
   }
+
+  /** Rewrite a table through an arbitrary LAYOUT transform — [[compact]] is
+    * the `coalesce` + sort instance; a Z-order re-layout
+    * ([[graft.operators.Layout.zorder]]) is another. The transform must be a
+    * pure re-layout (same rows out as in): readers treat the rewrite as
+    * invisible maintenance. [[AtomicWarehouse]] overrides THIS method with
+    * its conflict-checked read-pin-replace, so every layout rewrite gets the
+    * same lost-update protection as plain compaction.
+    */
+  def compactWith(table: String, schema: StructType,
+      transform: DataFrame => DataFrame): Unit =
+    replace(table, transform(read(table, schema)))
 
   /** Replace a table's contents (safe when `df` reads the old contents):
     * write to `.tmp`, then swap directories.

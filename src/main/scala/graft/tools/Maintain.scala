@@ -10,6 +10,14 @@ import org.apache.spark.sql.SparkSession
   * warehouse) stream micro-batches:
   *
   *   sbt "runMain graft.tools.Maintain <root> [table[:sortCol] ...]"
+  *   table spec:  t            compact to one file
+  *                t:c          compact re-sorted by column c
+  *                t:zorder=a,b[:bits]   compact re-laid along the (a,b)
+  *                             Morton curve (Layout.zorderAuto; default 16
+  *                             bits/dimension) — the OPTIMIZE ZORDER pass
+  *                             that makes BOTH dimensions' predicates prune
+  *                             row groups (measured 26× on 2-D predicates,
+  *                             tools/ZOrderProbe → BASELINE.md)
   *
   * For each named table (default: every unpartitioned parquet-bearing
   * directory under the root) it compacts the accumulated per-batch small
@@ -52,15 +60,23 @@ object Maintain {
         new AtomicWarehouse(spark, root)
       else new Warehouse(spark, root)
 
-    val specs: Seq[(String, Seq[String])] =
-      if (tableSpecs.nonEmpty) tableSpecs.map { a =>
-        a.split(':') match {
-          case Array(t)    => (t, Nil)
-          case Array(t, s) => (t, Seq(s))
-          case _ => throw new IllegalArgumentException(s"bad table spec '$a'")
+    // per-table action: plain compact, sorted compact, or z-order re-layout
+    sealed trait Action
+    case object Plain extends Action
+    case class Sorted(col: String) extends Action
+    case class ZOrder(a: String, b: String, bits: Int) extends Action
+    val ZSpec = """zorder=([^,:]+),([^,:]+)""".r
+    val specs: Seq[(String, Action)] =
+      if (tableSpecs.nonEmpty) tableSpecs.map { spec =>
+        spec.split(':') match {
+          case Array(t)                    => (t, Plain)
+          case Array(t, ZSpec(a, b))       => (t, ZOrder(a, b, 16))
+          case Array(t, ZSpec(a, b), bits) => (t, ZOrder(a, b, bits.toInt))
+          case Array(t, s)                 => (t, Sorted(s))
+          case _ => throw new IllegalArgumentException(s"bad table spec '$spec'")
         }
       }
-      else discoverTables(fs, root).map((_, Nil))
+      else discoverTables(fs, root).map((_, Plain: Action))
 
     // Belt to the sniff's braces: in base mode, refuse any table holding
     // tx-prefixed files — those names only ever come from manifest commits,
@@ -73,7 +89,7 @@ object Maintain {
     }
     val isBase = !wh.isInstanceOf[AtomicWarehouse]
 
-    specs.foreach { case (table, sortCols) =>
+    specs.foreach { case (table, action) =>
       if (isBase && hasManifestFiles(table)) {
         println(s"MAINTAIN skipped $table (transactional writer bootstrapping; rerun)")
       } else wh.inferSchema(table) match {
@@ -81,9 +97,18 @@ object Maintain {
         case Some(schema) =>
           val before = wh.sizeBytes(table)
           try {
-            wh.compact(table, schema, targetFiles = 1, sortCols = sortCols)
-            println(f"MAINTAIN compacted $table%-40s ${before / 1024}%d KiB" +
-              (if (sortCols.nonEmpty) s" (sorted by ${sortCols.mkString(",")})" else ""))
+            val label = action match {
+              case Plain => wh.compact(table, schema); ""
+              case Sorted(c) => wh.compact(table, schema, sortCols = Seq(c))
+                s" (sorted by $c)"
+              case ZOrder(a, b, bits) =>
+                // same conflict-checked rewrite path as compaction — the
+                // transform is the only difference
+                wh.compactWith(table, schema,
+                  df => graft.operators.Layout.zorderAuto(df, a, b, bits, numFiles = 1))
+                s" (zorder $a,$b @${bits}b)"
+            }
+            println(f"MAINTAIN compacted $table%-40s ${before / 1024}%d KiB$label")
           } catch {
             // out-of-band pass racing a hot writer: the conflict-checked
             // compact aborted rather than truncate the writer's commits

@@ -56,6 +56,57 @@ class MaintainSpec extends SparkSpec {
       s"expected the log folded to one snapshot, found $logFiles")
   }
 
+  test("maintain zorder spec: both dimensions prune row groups, state unchanged") {
+    val dir = Files.createTempDirectory("graft-maint-z-").toString
+    val wh = new AtomicWarehouse(spark, dir)
+    val n = 60000L
+    // every user spread across the whole time range: a 1-D (time) sort would
+    // leave user predicates reading every row group
+    wh.append("ev", spark.range(n).selectExpr("id AS event_id",
+      "id % 128 AS user_id", "1704067200 + CAST(id / 128 AS BIGINT) * 60 AS secs"))
+    val schema = wh.inferSchema("ev").get
+    val before = wh.read("ev", schema).collect().map(_.getLong(0)).sorted.toSeq
+    // tiny row groups so a 60k-row table has many (same trick as ZOrderProbe)
+    val hc = spark.sparkContext.hadoopConfiguration
+    val oldBlock = Option(hc.get("parquet.block.size"))
+    val oldPage = Option(hc.get("parquet.page.size"))
+    hc.set("parquet.block.size", "32768"); hc.set("parquet.page.size", "8192")
+    try Maintain.run(spark, dir, Seq("ev:zorder=user_id,secs:11"), graceMs = 60000)
+    finally {
+      oldBlock.fold(hc.unset("parquet.block.size"))(hc.set("parquet.block.size", _))
+      oldPage.fold(hc.unset("parquet.page.size"))(hc.set("parquet.page.size", _))
+    }
+    val after = wh.read("ev", schema)
+    assert(after.collect().map(_.getLong(0)).sorted.toSeq == before,
+      "z-order re-layout changed the table's rows")
+    // row-group pruning on BOTH dimensions, measured like ZOrderProbe: task
+    // input records across a count — surviving row groups' rows get read,
+    // pruned groups don't
+    val recs = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        recs.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    def measured(f: => Long): (Long, Long) = {
+      f // warm: codegen + page cache, and lets stragglers' events land
+      Thread.sleep(300); recs.set(0)
+      val rows = f
+      Thread.sleep(500) // listener events are async; let them drain
+      (rows, recs.get())
+    }
+    try {
+      val (allRows, allRead) = measured(after.count())
+      val (uRows, uRead) = measured(after.filter($"user_id" === 7).count())
+      val (tRows, tRead) = measured(after.filter($"secs" < 1704067200L + 3600L).count())
+      assert(allRows == n && uRows > 0 && tRows > 0)
+      assert(uRead < allRead / 2,
+        s"user-slice read $uRead of $allRead records — user dimension not pruning")
+      assert(tRead < allRead / 2,
+        s"time-slice read $tRead of $allRead records — time dimension not pruning")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("maintain on a base warehouse: discovery path compacts everything") {
     val dir = Files.createTempDirectory("graft-maint-base-").toString
     val wh = new Warehouse(spark, dir)
