@@ -406,7 +406,8 @@ object Dedup {
       persistCorpusSigs: Boolean = true,
       corpusBandsPre: Option[DataFrame] = None,
       probeKeyLimit: Int = 0,
-      pointLookupMaxIds: Int = 0): DataFrame = {
+      pointLookupMaxIds: Int = 0,
+      bandBloom: Option[org.apache.spark.util.sketch.BloomFilter] = None): DataFrame = {
     val minSigMatches =
       if (minSigMatchesOverride >= 0) minSigMatchesOverride
       else math.max(1, math.floor(numHashes * minJaccard).toInt - 1)
@@ -449,8 +450,26 @@ object Dedup {
     // reads a bounded slice of the index no matter how large the corpus has
     // grown (ScaleProbe measures this). Past the cap, fall back to the plain
     // equi-join: a batch that large amortizes a full index scan anyway.
+    // Bloom routing (route, never decide — same contract as the exact
+    // stream's [[incrementalExactNewRouted]]): `bandBloom` is a filter
+    // maintained over the persisted band table's keys. A bloom-NEGATIVE
+    // fresh key is authoritatively absent from the corpus index, so it can
+    // never contribute a corpus-side pair — drop it from the probe BEFORE
+    // the index is touched. In continuous ingest most content is novel, so
+    // most band keys are negatives and the literal probe shrinks to the
+    // maybe-seen sliver (ScaleProbe mode `lsh_bloom` measures it). False
+    // positives only add probe keys for the equi-join to reject; a false
+    // NEGATIVE would lose pairs, so the filter must be a SUPERSET of the
+    // index's keys (the stream writes it first in each atomic admit).
+    // Fresh×fresh candidates come from `freshBands` below and never pass
+    // through this routing.
+    val freshProbeBands = bandBloom match {
+      case Some(bf) => freshBands.filter(shims.column(
+        graft.functions.BloomMightContainExpr(shims.expression(col("key")), bf)))
+      case None => freshBands
+    }
     val corpusBands = if (probeKeyLimit > 0) {
-      val keys = freshBands.select(col("key")).distinct()
+      val keys = freshProbeBands.select(col("key")).distinct()
         .limit(probeKeyLimit + 1).collect().map(_.getString(0)).toSeq
       if (keys.size <= probeKeyLimit) corpusBands0.filter(col("key").isin(keys: _*))
       else corpusBands0

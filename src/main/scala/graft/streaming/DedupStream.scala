@@ -43,6 +43,17 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType
   * window stays the same set of ≤3 tables as the sequential form — only the
   * completion order within the batch is nondeterministic.
   *
+  * ==Bloom routing==
+  * Same lifecycle as [[ExactDedupStream]]'s: once the band table crosses
+  * `bloomMinIndexBytes` (0 = from the first batch, negative = disabled) the
+  * stream bootstraps a Bloom filter over its KEYS, persists it as a 1-row
+  * table, and updates it in the same atomic admit (written before the band
+  * append — a crash leaves a superset: extra maybes, never misses). Batches
+  * then route through `Dedup.incrementalLshVerifiedPairs(bandBloom = ...)`:
+  * bloom-negative fresh band keys (novel content — the common case) skip
+  * the corpus probe entirely; pairs are identical at any fpp because the
+  * bloom routes candidates, never decides matches.
+  *
   * `compactEvery` = N > 0 compacts all four tables every N micro-batches
   * (see [[compactAll]]): each append lands ≥1 file per table, so an
   * always-on stream otherwise accretes thousands of tiny parquet files and
@@ -54,12 +65,15 @@ class DedupStream(wh: Warehouse, k: Int = 5, numHashes: Int = 8,
     rowsPerBand: Int = 2, minJaccard: Double = 0.5, minSigMatchesOverride: Int = -1,
     compactEvery: Int = 0,
     probeKeyLimit: Int = 1000, pointLookupMaxIds: Int = 1000,
-    probeMinIndexBytes: Long = 256L << 20) {
+    probeMinIndexBytes: Long = 256L << 20,
+    bloomMinIndexBytes: Long = 64L << 20,
+    bloomFpp: Double = 0.01, bloomInitialCapacity: Long = 1L << 20) {
 
   val indexTable = "dedup/SignatureIndex"
   val bandTable = "dedup/BandIndex"
   val corpusTable = "dedup/Corpus"
   val pairsTable = "dedup/NearDupPairs"
+  val bloomTable = "dedup/BandBloomState"
 
   // the index LAYOUT contract — public so maintenance tools (ScaleProbe,
   // external compaction) can read the tables with the exact stored schemas
@@ -76,6 +90,10 @@ class DedupStream(wh: Warehouse, k: Int = 5, numHashes: Int = 8,
     StructField("id_a", LongType, nullable = false),
     StructField("id_b", LongType, nullable = false),
     StructField("jaccard", DoubleType, nullable = true)))
+  val bloomSchema: StructType = StructType(Seq(
+    StructField("capacity", LongType, nullable = false),
+    StructField("n_items", LongType, nullable = false),
+    StructField("bloom", org.apache.spark.sql.types.BinaryType, nullable = false)))
 
   /** The size-adaptive probe decision: point-probe limits apply only once
     * the persisted index outgrows `probeMinIndexBytes`; under it, (0, 0)
@@ -113,21 +131,54 @@ class DedupStream(wh: Warehouse, k: Int = 5, numHashes: Int = 8,
     // measured at sf0.1 over 3 batches), which only pays for itself once
     // index scan I/O dominates — below `probeMinIndexBytes` the whole index
     // is a handful of row groups and the full scan is strictly cheaper.
-    val (keyLim, idLim) = effectiveProbeLimits(
+    // Bloom over the persisted band table's KEYS, mirroring
+    // ExactDedupStream's lifecycle: an existing filter MUST be used and
+    // maintained — skipping a batch's keys would plant false negatives —
+    // while the size gate only decides when to BOOTSTRAP (one band-table
+    // scan, amortized once). Negative `bloomMinIndexBytes` disables.
+    val bloomState = readBloomState().orElse {
+      if (bloomMinIndexBytes >= 0 && wh.sizeBytes(bandTable) >= bloomMinIndexBytes) {
+        val keys = wh.read(bandTable, bandSchema).select(col("key"))
+        val n = keys.count()
+        val cap = math.max(bloomInitialCapacity, n * 2)
+        Some((cap, n, buildBloom(keys, cap)))
+      } else None
+    }
+    val (keyLim0, idLim) = effectiveProbeLimits(
       wh.sizeBytes(bandTable) + wh.sizeBytes(indexTable))
+    // bloom routing rides the literal key probe (Dedup scaladoc): with a
+    // filter present the probe is always on — the maybe-list IS the routing
+    val keyLim = if (bloomState.isDefined) math.max(keyLim0, probeKeyLimit) else keyLim0
     val pairs = Dedup.incrementalLshVerifiedPairs(
       wh.read(corpusTable, docSchema), wh.read(indexTable, sigSchema), batch,
       "doc_id", "text", k, numHashes, rowsPerBand, minJaccard,
       minSigMatchesOverride, freshSigsPre = Some(batchSigs),
       persistCorpusSigs = false,
       corpusBandsPre = Some(wh.read(bandTable, bandSchema)),
-      probeKeyLimit = keyLim, pointLookupMaxIds = idLim)
+      probeKeyLimit = keyLim, pointLookupMaxIds = idLim,
+      bandBloom = bloomState.map(_._3))
     // the batch's 4 writes form ONE declared transaction: on the base
     // warehouse this is a plain sequential/concurrent run (the documented
     // at-least-once contract below applies); on an AtomicWarehouse every
     // write stages and a single manifest commit makes the whole batch
     // visible at once — a crash anywhere leaves the prior snapshot, and
     // the at-least-once caveat upgrades to exactly-once visibility
+    // bloom maintenance BEFORE the admit lands (write-ordering below): the
+    // batch's band keys merge in, with a 2× rebuild from band-table ∪ batch
+    // at saturation so the fpp stays honest as the corpus grows
+    val newBloomRow = bloomState.map { case (cap, n, bf) =>
+      val nNew = batchBands.count()
+      val newN = n + nNew
+      if (newN > cap) {
+        val ncap = math.max(cap * 2, newN * 2)
+        (ncap, newN, buildBloom(wh.read(bandTable, bandSchema).select(col("key"))
+          .unionByName(batchBands.select(col("key"))), ncap))
+      } else {
+        // same (capacity, fpp) → identical bit layout → mergeable
+        if (nNew > 0) bf.mergeInPlace(buildBloom(batchBands.select(col("key")), cap))
+        (cap, newN, bf)
+      }
+    }
     try wh.atomically { w =>
       // pairs FIRST and alone: on the base warehouse its plan scans the
       // index/band/corpus tables, so the admit appends must not land new
@@ -135,6 +186,12 @@ class DedupStream(wh: Warehouse, k: Int = 5, numHashes: Int = 8,
       // would re-emit fresh×fresh pairs through the fresh×corpus path);
       // under staged writes the admits are invisible to the plan anyway
       w.append(pairsTable, pairs)
+      // bloom BEFORE the band append (ExactDedupStream's ordering): a crash
+      // mid-admit leaves the filter a SUPERSET of the index — extra maybes,
+      // never the false negatives that would lose pairs
+      newBloomRow.foreach { case (cap, n, bf) =>
+        w.replace(bloomTable, bloomRowDf(cap, n, bf))
+      }
       // the three admit appends are independent writes of already-persisted
       // frames (no reads) — run them concurrently to collapse three job
       // latencies into one; the per-batch harness overhead is the dominant
@@ -168,6 +225,33 @@ class DedupStream(wh: Warehouse, k: Int = 5, numHashes: Int = 8,
   // foreachBatch runs batches sequentially on the stream thread, so a plain
   // var is safe; the counter is per-run (a restart recompacts after N more)
   private var batchesSinceCompact = 0
+
+  /** The persisted band-key bloom, or None when absent/unreadable (it is
+    * derived state — the stream re-bootstraps from the band table).
+    */
+  private[graft] def readBloomState():
+      Option[(Long, Long, org.apache.spark.util.sketch.BloomFilter)] =
+    try wh.read(bloomTable, bloomSchema).collect().headOption.map { r =>
+      (r.getLong(0), r.getLong(1), org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom"))))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** `stat.bloomFilter` NPEs on an empty frame — same guard as
+    * [[ExactDedupStream]].
+    */
+  private def buildBloom(keys: DataFrame,
+      cap: Long): org.apache.spark.util.sketch.BloomFilter =
+    if (keys.isEmpty) org.apache.spark.util.sketch.BloomFilter.create(cap, bloomFpp)
+    else keys.stat.bloomFilter("key", cap, bloomFpp)
+
+  private def bloomRowDf(cap: Long, n: Long,
+      bf: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    wh.spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(cap, n, bos.toByteArray)),
+      bloomSchema)
+  }
 
   /** Compact all four stream tables into `targetFiles` files each — the
     * small-file maintenance pass. The band index is re-sorted by `key` on

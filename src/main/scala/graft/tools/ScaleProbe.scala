@@ -28,8 +28,12 @@ import org.apache.spark.sql.functions._
   *
   * Expected shape: full-scan bytes grow ~linearly with N; probe bytes stay
   * ~flat (bounded by probe keys × row-group size), and the planted pairs are
-  * found at every scale. Emits a JSON line per (scale, mode) to stdout AND
-  * target/scaleprobe.json (self-sufficient artifact, like Bench).
+  * found at every scale. Mode `lsh_bloom` additionally routes the probe
+  * through a band-key Bloom filter (DedupStream's maintained state): novel
+  * band keys skip the corpus probe, so its literal list shrinks to the
+  * maybe-seen sliver with the pair set unchanged. Emits a JSON line per
+  * (scale, mode) to stdout AND target/scaleprobe.json (self-sufficient
+  * artifact, like Bench).
   *
   * The same measurement runs for the EXACT-dedup path (modes `exact_probe` /
   * `exact_fullscan` / `exact_bloom`): `Dedup.incrementalExactNew(Routed)`
@@ -122,7 +126,17 @@ object ScaleProbe {
         wh.path("dedup/HashIndex"), "text_sha")
 
       val ds = new graft.streaming.DedupStream(wh, minJaccard = 0.35, minSigMatchesOverride = 4)
-      Seq(("probe", 1000, 1000), ("fullscan", 0, 0)).foreach { case (mode, keyLim, idLim) =>
+      // band-key bloom for mode `lsh_bloom`, built OUTSIDE the measured
+      // section — it is maintained stream state in DedupStream (bootstrapped
+      // once, merged per admit), not a per-batch cost. Novel docs' band keys
+      // are bloom-negative and skip the corpus probe; only the maybe sliver
+      // (planted copies + fpp) pays the index.
+      val bandKeysDf = wh.read("dedup/BandIndex", ds.bandSchema).select(col("key"))
+      val bandBloom = bandKeysDf.stat.bloomFilter(
+        "key", math.max(bandKeysDf.count(), 1L), 0.01)
+      var pairsAcrossModes = -1L
+      Seq(("probe", 1000, 1000), ("fullscan", 0, 0), ("lsh_bloom", 1000, 1000))
+        .foreach { case (mode, keyLim, idLim) =>
         // warm the page cache + codegen once, then measure a clean run
         (1 to 2).foreach { rep =>
           bytesRead.set(0); recordsRead.set(0)
@@ -133,12 +147,18 @@ object ScaleProbe {
             fresh, "doc_id", "text", 5, 8, 4, 0.35, 4,
             corpusBandsPre = Some(wh.read("dedup/BandIndex", ds.bandSchema)),
             persistCorpusSigs = false,
-            probeKeyLimit = keyLim, pointLookupMaxIds = idLim)
+            probeKeyLimit = keyLim, pointLookupMaxIds = idLim,
+            bandBloom = if (mode == "lsh_bloom") Some(bandBloom) else None)
           val nPairs = pairs.select("id_a", "id_b").distinct().count()
           val secs = (System.nanoTime() - t0) / 1e9
           if (rep == 2) emit(
             f"""{"tool":"scaleprobe","scale_x":$n,"mode":"$mode","index_bytes":$idxBytes,"probe_bytes":${bytesRead.get()},"probe_records":${recordsRead.get()},"pairs":$nPairs,"sec":$secs%.2f,"fresh_docs":$nFresh}""")
           assert(nPairs >= 10, s"planted pairs missing at x$n/$mode: $nPairs")
+          if (rep == 2) {
+            if (pairsAcrossModes < 0) pairsAcrossModes = nPairs
+            else assert(nPairs == pairsAcrossModes,
+              s"mode $mode changed the pair set size at x$n: $nPairs != $pairsAcrossModes")
+          }
         }
       }
 

@@ -49,6 +49,33 @@ class DedupStreamSpec extends SparkSpec {
     assert(ds.corpus().count() == docs.count())
   }
 
+  test("band-key bloom routing: pairs identical to the plain stream, state maintained") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id".cast("long").as("doc_id"), $"text")
+      .orderBy("doc_id").limit(120).as[(Long, String)].collect()
+
+    def drive(bloomMin: Long): (Set[(Long, Long, Double)], DedupStream, Warehouse) = {
+      val wh = new Warehouse(spark, Files.createTempDirectory("graft-dstream-bloom-").toString)
+      val ds = new DedupStream(wh,
+        minJaccard = 0.35, minSigMatchesOverride = 4, bloomMinIndexBytes = bloomMin)
+      docs.grouped(30).foreach(c => ds.processBatch(c.toSeq.toDF("doc_id", "text")))
+      (ds.pairs().collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet, ds, wh)
+    }
+    val (plain, _, _) = drive(-1)           // bloom disabled
+    val (routed, ds, wh) = drive(0)         // bloom forced from the first batch
+    assert(routed == plain && routed.nonEmpty,
+      s"bloom routing changed the pair set: ${routed.size} vs ${plain.size}")
+    // state was bootstrapped, persisted, and maintained across the batches
+    val st = ds.readBloomState().getOrElse(fail("band bloom state not persisted"))
+    assert(st._2 > 0, "bloom n_items never advanced")
+    // superset invariant: EVERY persisted band key is bloom-positive (a
+    // negative would silently lose future corpus pairs)
+    val bf = st._3
+    val missed = wh.read(ds.bandTable, ds.bandSchema)
+      .select("key").collect().map(_.getString(0)).count(k => !bf.mightContainString(k))
+    assert(missed == 0, s"$missed persisted band keys are bloom-NEGATIVE (false negatives)")
+  }
+
   test("compactEvery bounds warehouse file count across 50 micro-batches, pairs unchanged") {
     val whDir = Files.createTempDirectory("graft-dstream-compact-").toString
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
