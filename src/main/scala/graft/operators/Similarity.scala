@@ -136,4 +136,44 @@ object Similarity {
         round(Transforms.vecCosine(col("c_vec"), col("q_vec")), 4).as("cosine"))
     topKPerKey(scored, "q_id", "cosine", "c_id", k)
   }
+
+  /** Multi-probe query fan-out: each query's `nProbe` nearest centroids, as
+    * (query id, rank, cell, cos6) rows. The standard IVF recall knob —
+    * probing more cells scores more candidates. Rank-1 matches
+    * [[assignCells]]' argmax exactly (same score-desc, cell-asc tie-break
+    * through the bounded [[graft.functions.TopKAgg]]).
+    */
+  def assignCellsProbes(queries: DataFrame, centroids: DataFrame, queryId: String,
+      centroidId: String, vec: String, nProbe: Int): DataFrame = {
+    val c = centroids.select(col(centroidId).as("cell"), col(vec).as("cent_vec"))
+    val scored = queries.crossJoin(broadcast(c))
+      .select(col(queryId), col("cell"),
+        round(Transforms.vecCosine(col(vec), col("cent_vec")), 6).as("cos6"))
+    topKPerKey(scored, queryId, "cos6", "cell", nProbe)
+  }
+
+  /** IVF top-k with multi-probe: candidates come from each query's `nProbe`
+    * nearest cells. `nProbe = 1` equals [[ivfTopK]]; `nProbe = numCells`
+    * degenerates to [[bruteForceTopK]] EXACTLY (every corpus vector becomes
+    * a candidate — the spec-level exactness anchor), and recall@k is
+    * monotone in `nProbe` because a corpus vector lives in exactly one cell,
+    * so the candidate set only grows. `tools/AnnRecallProbe` measures the
+    * recall/candidate trade across the sweep.
+    */
+  def ivfTopKProbes(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      corpusId: String, queryId: String, centroidId: String, vec: String,
+      k: Int, nProbe: Int): DataFrame = {
+    val corpusCells = assignCells(corpus, centroids, corpusId, centroidId, vec)
+      .select(col(corpusId).as("c_id"), col(vec).as("c_vec"), col("cell"))
+    val queryCells = assignCellsProbes(queries, centroids, queryId, centroidId, vec, nProbe)
+      .select(col(queryId).as("q_id"), col("cell"))
+      .join(queries.select(col(queryId).as("q_id"), col(vec).as("q_vec")), Seq("q_id"))
+    // no distinct needed on (q, c): a corpus vector is assigned to exactly
+    // one cell, so a pair can only arise from one probed cell
+    val scored = corpusCells.join(broadcast(queryCells), Seq("cell"))
+      .filter(col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"),
+        round(Transforms.vecCosine(col("c_vec"), col("q_vec")), 4).as("cosine"))
+    topKPerKey(scored, "q_id", "cosine", "c_id", k)
+  }
 }

@@ -1,0 +1,84 @@
+package graft.tools
+
+import java.nio.file.Files
+
+import graft.GraftSession
+import graft.operators.Similarity
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Measured recall curve for the IVF ANN path — the treatment every other
+  * scale claim in BASELINE.md already has. `sim_ivf_trained`'s recall is
+  * spec-pinned at one operating point; this probe sweeps the two knobs that
+  * matter in production:
+  *
+  *   - `nProbe` ∈ {1, 2, 4, 8}: how many nearest cells each query scores
+  *     ([[Similarity.ivfTopKProbes]] — candidates grow, recall is monotone
+  *     because each corpus vector lives in exactly one cell);
+  *   - corpus replication ×{1, 4}: replicas are ROTATED copies of the real
+  *     embeddings (element rotation keeps the value distribution, yields
+  *     genuinely distinct vectors), so cells fill up the way a larger corpus
+  *     fills them.
+  *
+  * For each point: recall@k against [[Similarity.bruteForceTopK]] ground
+  * truth on the same corpus, plus the scored-candidate count — the cost side
+  * of the trade (candidates/query ≈ N·nProbe/cells vs N for brute force).
+  * Emits one JSON line per point to stdout AND target/annrecall.json.
+  */
+object AnnRecallProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val k = 10
+    val nQueries = 25
+    val spark = GraftSession.builder().appName("ann-recall-probe").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+
+    // replica i: ids offset, embedding rotated by i elements — distinct
+    // vectors with the same distribution (rotation is a permutation)
+    def replica(i: Int): DataFrame =
+      if (i == 0) base
+      else base.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+        concat(slice(col("embedding"), i + 1, 10000),
+          slice(col("embedding"), 1, i)).as("embedding"))
+
+    val out = new StringBuilder
+    def emit(line: String): Unit = { println(line); out.append(line).append('\n') }
+
+    Seq(1, 4).foreach { rep =>
+      val corpus = (0 until rep).map(replica).reduce(_ union _)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = corpus.count()
+      val queries = base.orderBy("vec_id").limit(nQueries)
+      val numCells = math.max(math.sqrt(n.toDouble).toInt, 4)
+      val centroids = Similarity.trainCentroids(corpus, "vec_id", "embedding", numCells)
+        .select(col("cell_id"), col("centroid").as("embedding"))
+
+      def keyset(df: DataFrame): Map[Long, Set[Long]] =
+        df.select("q_id", "c_id").collect()
+          .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val truth = keyset(Similarity.bruteForceTopK(
+        corpus, queries, "vec_id", "vec_id", "embedding", k))
+
+      Seq(1, 2, 4, 8).foreach { nProbe =>
+        val t0 = System.nanoTime()
+        val got = keyset(Similarity.ivfTopKProbes(corpus, queries, centroids,
+          "vec_id", "vec_id", "cell_id", "embedding", k, nProbe))
+        val secs = (System.nanoTime() - t0) / 1e9
+        val recall = truth.map { case (q, t) =>
+          got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+        }.sum / truth.size
+        // cost side: candidates scored ≈ corpus fraction actually probed
+        val candPerQuery = n.toDouble * nProbe / numCells
+        emit(f"""{"tool":"annrecall","corpus_x":$rep,"n":$n,"cells":$numCells,"n_probe":$nProbe,"k":$k,"recall":$recall%.4f,"cand_per_query":$candPerQuery%.0f,"brute_cand":$n,"sec":$secs%.2f}""")
+      }
+      corpus.unpersist(true)
+    }
+    val p = java.nio.file.Paths.get("target/annrecall.json")
+    Option(p.getParent).foreach(Files.createDirectories(_))
+    Files.write(p, out.toString.getBytes("UTF-8"))
+    spark.stop()
+  }
+}

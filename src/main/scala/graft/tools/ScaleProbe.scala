@@ -134,6 +134,14 @@ object ScaleProbe {
       val bandKeysDf = wh.read("dedup/BandIndex", ds.bandSchema).select(col("key"))
       val bandBloom = bandKeysDf.stat.bloomFilter(
         "key", math.max(bandKeysDf.count(), 1L), 0.01)
+      // the maybe-sliver itself: how many of the batch's distinct band keys
+      // survive the bloom and become probe literals (novel keys route out)
+      val freshKeys = Dedup.bandKeys(
+        Dedup.minhashSignatures(fresh, "doc_id", "text", 5, 8), "doc_id", 8, 4)
+        .select(col("key")).distinct()
+        .collect().map(_.getString(0))
+      val nFreshKeys = freshKeys.length
+      val nMaybeKeys = freshKeys.count(bandBloom.mightContainString)
       var pairsAcrossModes = -1L
       Seq(("probe", 1000, 1000), ("fullscan", 0, 0), ("lsh_bloom", 1000, 1000))
         .foreach { case (mode, keyLim, idLim) =>
@@ -151,8 +159,13 @@ object ScaleProbe {
             bandBloom = if (mode == "lsh_bloom") Some(bandBloom) else None)
           val nPairs = pairs.select("id_a", "id_b").distinct().count()
           val secs = (System.nanoTime() - t0) / 1e9
+          val probeKeys = mode match {
+            case "lsh_bloom" => nMaybeKeys
+            case "probe"     => nFreshKeys
+            case _           => 0
+          }
           if (rep == 2) emit(
-            f"""{"tool":"scaleprobe","scale_x":$n,"mode":"$mode","index_bytes":$idxBytes,"probe_bytes":${bytesRead.get()},"probe_records":${recordsRead.get()},"pairs":$nPairs,"sec":$secs%.2f,"fresh_docs":$nFresh}""")
+            f"""{"tool":"scaleprobe","scale_x":$n,"mode":"$mode","index_bytes":$idxBytes,"probe_bytes":${bytesRead.get()},"probe_records":${recordsRead.get()},"probe_keys":$probeKeys,"pairs":$nPairs,"sec":$secs%.2f,"fresh_docs":$nFresh}""")
           assert(nPairs >= 10, s"planted pairs missing at x$n/$mode: $nPairs")
           if (rep == 2) {
             if (pairsAcrossModes < 0) pairsAcrossModes = nPairs

@@ -314,6 +314,34 @@ class TrainingOpsSpec extends SparkSpec {
     assert(recall > 0.15, s"ivf recall@5 too low: $recall") // 1 of 8 cells probed
   }
 
+  test("multi-probe IVF: nProbe=cells equals brute force; recall monotone in nProbe") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id".cast("long").as("vec_id"), $"embedding")
+    val queries = emb.orderBy("vec_id").limit(10)
+    val numCells = 8
+    val centroids = Similarity.trainCentroids(emb, "vec_id", "embedding", numCells)
+      .select($"cell_id", $"centroid".as("embedding"))
+    def keyset(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("q_id", "c_id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val brute = keyset(Similarity.bruteForceTopK(emb, queries, "vec_id", "vec_id", "embedding", 5))
+    // probing EVERY cell makes every corpus vector a candidate — the result
+    // must equal brute force exactly, not approximately
+    val all = keyset(Similarity.ivfTopKProbes(emb, queries, centroids,
+      "vec_id", "vec_id", "cell_id", "embedding", 5, numCells))
+    assert(all == brute, "nProbe=numCells must reproduce brute force exactly")
+    // candidates only grow with nProbe, so recall@k is monotone
+    def recall(nProbe: Int): Double = {
+      val got = keyset(Similarity.ivfTopKProbes(emb, queries, centroids,
+        "vec_id", "vec_id", "cell_id", "embedding", 5, nProbe))
+      brute.map { case (q, t) => got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+        .sum / brute.size
+    }
+    val (r1, r4) = (recall(1), recall(4))
+    assert(r4 >= r1, s"recall not monotone in nProbe: r1=$r1 r4=$r4")
+    assert(r4 > 0.5, s"recall@5 with half the cells probed is implausibly low: $r4")
+  }
+
   test("embedding near-dup pairs kernel works on real data") {
     val sub = emb.filter($"vec_id" < 50)
     val pairs = Dedup.embeddingNearDupPairs(sub, "vec_id", "embedding", -1.1)
