@@ -107,6 +107,44 @@ class MaintainSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("zorder maintenance racing cross-process appends loses nothing") {
+    // the ops-day shape for the re-layout pass: Maintain runs
+    // t:zorder=... repeatedly while a "second JVM" (raw cross-process
+    // publish seam, no shared lock) lands appends. The conflict-checked
+    // rewrite must abort-and-retry rather than truncate an unseen append —
+    // same CAS contract as plain compaction, now carrying a transform.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val dir = Files.createTempDirectory("graft-maint-zrace-").toString
+    val wh = new AtomicWarehouse(spark, dir)
+    wh.append("ev", spark.range(100).selectExpr(
+      "id AS event_id", "id % 8 AS user_id", "1704067200 + id AS secs"))
+    val racer = new AtomicWarehouse(spark, dir)
+    val n = 10
+    val appender = Future {
+      var v = 1
+      (1 to n).foreach { i =>
+        val stage = java.nio.file.Paths.get(dir, ".racer", i.toString)
+        spark.range(1).selectExpr(s"${1000L + i} AS event_id",
+            s"${i % 8} AS user_id", s"${1704067400L + i} AS secs")
+          .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = Files.list(stage).filter(_.toString.endsWith(".parquet")).findFirst.get
+        val name = s"racer-$i.parquet"
+        Files.move(part, java.nio.file.Paths.get(dir, "ev", name))
+        while (!racer.publishAtCrossProcess(Seq(s"add\tev\t$name"), v)) v += 1
+      }
+    }
+    while (!appender.isCompleted)
+      Maintain.run(spark, dir, Seq("ev:zorder=user_id,secs:8"), graceMs = 60000)
+    Await.result(appender, Duration(5, "min"))
+    Maintain.run(spark, dir, Seq("ev:zorder=user_id,secs:8"), graceMs = 60000)
+    val schema = wh.inferSchema("ev").get
+    val ids = wh.read("ev", schema).collect().map(_.getLong(0)).sorted.toSeq
+    val want = (0L until 100L) ++ (1 to n).map(1000L + _)
+    assert(ids == want.sorted, s"zorder maintenance lost/duplicated rows: ${ids.size} vs ${want.size}")
+  }
+
   test("maintain on a base warehouse: discovery path compacts everything") {
     val dir = Files.createTempDirectory("graft-maint-base-").toString
     val wh = new Warehouse(spark, dir)
