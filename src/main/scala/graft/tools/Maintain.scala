@@ -113,7 +113,7 @@ object Maintain {
             // out-of-band pass racing a hot writer: the conflict-checked
             // compact aborted rather than truncate the writer's commits
             // away — data intact, just no smaller files this pass
-            case e: java.util.ConcurrentModificationException =>
+            case _: java.util.ConcurrentModificationException =>
               println(s"MAINTAIN skipped $table (lost to concurrent writers)")
           }
       }

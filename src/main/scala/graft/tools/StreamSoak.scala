@@ -21,9 +21,13 @@ import org.apache.spark.sql.functions._
   *   - live manifest count and warehouse parquet-file count (the two
   *     unbounded-growth failure modes this exists to rule out)
   *
-  * Two modes (4th arg): `lsh` soaks [[DedupStream]] (near-dup LSH pipeline,
+  * Modes (4th arg): `lsh` soaks [[DedupStream]] (near-dup LSH pipeline,
   * artifact `target/streamsoak.json`), `exact` soaks [[ExactDedupStream]]
-  * (content-hash first-arrival-wins dedup, `target/streamsoak_exact.json`).
+  * (content-hash first-arrival-wins dedup, `target/streamsoak_exact.json`);
+  * `lsh_bloom`/`exact_bloom` force the respective stream's Bloom routing on
+  * from the first batch, so the soak also proves bloom-STATE maintenance
+  * (bootstrap, per-batch merge, saturation rebuild, atomic write order)
+  * stays flat over a stream lifetime.
   *
   * Batches are id-ordered slices of the sf dir's documents — the same data
   * shape as the `dedup_stream`/`dedup_exact_stream` driver queries, ~50×
@@ -51,7 +55,8 @@ object StreamSoak {
     val nBatches = if (args.length > 1) args(1).toInt else 50
     val compactEvery = if (args.length > 2) args(2).toInt else 10
     val mode = if (args.length > 3) args(3) else "lsh"
-    require(mode == "lsh" || mode == "exact", s"mode must be lsh|exact, got '$mode'")
+    require(Set("lsh", "exact", "lsh_bloom", "exact_bloom")(mode),
+      s"mode must be lsh|exact|lsh_bloom|exact_bloom, got '$mode'")
     val spark = GraftSession.builder().appName(s"stream-soak-$mode").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -61,14 +66,19 @@ object StreamSoak {
     // default; a minutes-long soak needs a grace that actually expires to
     // show garbage being COLLECTED, not merely deferred
     val wh = new AtomicWarehouse(spark, whDir, vacuumGraceMs = 15000)
+    // *_bloom: the routed path forced on from batch 1 — the soak then also
+    // exercises per-batch bloom-state maintenance (read, merge, atomic
+    // replace) for the stream's whole lifetime, not just a 3-batch drain
     val (process, tables): (DataFrame => Unit, Seq[String]) = mode match {
-      case "lsh" =>
+      case "lsh" | "lsh_bloom" =>
         val ds = new DedupStream(wh, minJaccard = 0.35, minSigMatchesOverride = 4,
-          compactEvery = compactEvery, probeMinIndexBytes = 1024)
+          compactEvery = compactEvery, probeMinIndexBytes = 1024,
+          bloomMinIndexBytes = if (mode == "lsh_bloom") 0 else 64L << 20)
         (ds.processBatch(_),
           Seq(ds.indexTable, ds.bandTable, ds.corpusTable, ds.pairsTable))
-      case "exact" =>
-        val xs = new ExactDedupStream(wh, compactEvery = compactEvery)
+      case _ =>
+        val xs = new ExactDedupStream(wh, compactEvery = compactEvery,
+          bloomMinIndexBytes = if (mode == "exact_bloom") 0 else 64L << 20)
         (xs.processBatch(_), Seq(xs.indexTable, xs.corpusTable))
     }
 
@@ -118,22 +128,36 @@ object StreamSoak {
     // (distinct text count over everything ingested) — if an out-of-band
     // maintenance pass lost a racing batch, these two numbers diverge
     val resultJson = mode match {
-      case "lsh" =>
+      case "lsh" | "lsh_bloom" =>
         val ds = new DedupStream(wh, minJaccard = 0.35, minSigMatchesOverride = 4)
-        s""""pairs":${ds.pairs().count()}"""
-      case "exact" =>
+        val bloomJson = if (mode == "lsh_bloom") {
+          val st = ds.readBloomState().getOrElse(
+            sys.error("band bloom state missing after soak"))
+          s""","bloom_n_items":${st._2}"""
+        } else ""
+        s""""pairs":${ds.pairs().count()}$bloomJson"""
+      case _ =>
         val xs = new ExactDedupStream(wh)
         val survivors = xs.survivors().count()
         val expected = docs.filter(col("doc_id") < nBatches * per)
           .select(coalesce(sha2(col("text"), 256), lit("__null_text__"))).distinct().count()
         assert(survivors == expected,
           s"LOST BATCH: $survivors survivors != $expected distinct texts")
-        s""""survivors":$survivors,"expected_distinct":$expected"""
+        val bloomJson = if (mode == "exact_bloom") {
+          val st = xs.readBloomState().getOrElse(
+            sys.error("exact bloom state missing after soak"))
+          s""","bloom_n_items":${st._2}"""
+        } else ""
+        s""""survivors":$survivors,"expected_distinct":$expected$bloomJson"""
     }
     emit(f"""{"tool":"streamsoak","mode":"$mode","summary":true,"sf":"$sfDir","batches":$nBatches,"compact_every":$compactEvery,"early_median_sec":$early%.2f,"late_median_sec":$late%.2f,"late_over_early":${late / early}%.2f,"final_manifests":${manifests()},"final_visible_files":$finalVisible,"final_parquet_files":${parquetFiles()},$resultJson}""")
 
-    val p = java.nio.file.Paths.get(
-      if (mode == "exact") "target/streamsoak_exact.json" else "target/streamsoak.json")
+    val p = java.nio.file.Paths.get(mode match {
+      case "lsh"         => "target/streamsoak.json"
+      case "exact"       => "target/streamsoak_exact.json"
+      case "lsh_bloom"   => "target/streamsoak_lshbloom.json"
+      case "exact_bloom" => "target/streamsoak_exactbloom.json"
+    })
     Option(p.getParent).foreach(Files.createDirectories(_))
     Files.write(p, out.toString.getBytes("UTF-8"))
     spark.stop()
