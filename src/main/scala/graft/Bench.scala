@@ -43,17 +43,84 @@ import org.apache.spark.sql.SparkSession
   *     own canaries ran >2× the run's canary median (contention on exactly
   *     the measured reps), trigger up to 2 extra reps within the same budget
   *     ("adaptive_reps" in the line).
+  *   - Alongside the raw median every query reports "median_clean" — the
+  *     canary-gated median ([[cleanMedian]]): contention on a subset of reps
+  *     can no longer put a contaminated number on record as THE number (r9's
+  *     doc_stats median straddled two inflated reps while its clean reps sat
+  *     at 0.6 s).
   *   - A FULL run (no SPARK_GRAFT_ONLY filter) appends one line per round to
-  *     the git-tracked BENCHBOOK.jsonl: `{"round":N,"sf":...,"medians":{...},
-  *     "canary_median_s":...}`. The driver's BENCH_r*.json keeps only a
+  *     the git-tracked BENCHBOOK.jsonl: `{"round":N,"sf":...,
+  *     "data_fingerprint":{table:{bytes,rows}},"medians_clean":{...},
+  *     "medians":{...},...}`. The driver's BENCH_r*.json keeps only a
   *     2,000-char tail, which truncates the alphabetically-early dedup/doc
   *     block — the engine's most expensive queries had no committed
-  *     cross-round history before the book.
+  *     cross-round history before the book. The data fingerprint records
+  *     WHICH testdata was measured (the driver regenerates it between
+  *     rounds), so cross-round deltas can separate code drift from data
+  *     drift.
   */
 object Bench {
-  private def median(ts: Seq[Double]): Double = {
+  private[graft] def median(ts: Seq[Double]): Double = {
     val s = ts.sorted
     if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+  }
+
+  /** Canary-gated median: the median over only the reps whose own canary ran
+    * ≤ 1.5× the run's canary median (i.e. the machine was quiet while THAT
+    * rep was measured). With fewer than 2 clean reps the min over all reps is
+    * reported instead — under contention the minimum is the least-inflated
+    * sample, and a contaminated median (r9: doc_stats' five reps were
+    * 0.595/0.618/1.919/3.766/4.308 with canaries flat/flat/flat/2.5×/2.2×,
+    * and the raw median landed on the 1.919 straddler) should never be the
+    * only number on record. `times` and `canaries` are index-aligned (one
+    * canary timed immediately before each successful rep); `baseCanary ≤ 0`
+    * (no baseline yet) gates nothing out.
+    */
+  private[graft] def cleanMedian(times: Seq[Double], canaries: Seq[Double],
+      baseCanary: Double): Option[Double] = {
+    if (times.isEmpty) None
+    else {
+      val clean = times.zip(canaries)
+        .collect { case (t, c) if baseCanary <= 0 || c <= 1.5 * baseCanary => t }
+      if (clean.size >= 2) Some(median(clean)) else Some(times.min)
+    }
+  }
+
+  /** Identity of the benched data: per-table on-disk bytes + footer row
+    * counts. The driver regenerates /root/testdata between rounds (the r8↔r9
+    * comparison silently straddled one — events.ts even changed type), so
+    * every BENCHBOOK line records what was measured: cross-round deltas can
+    * then distinguish code drift from data drift. Row counts come from a
+    * zero-column scan — the parquet reader answers it from footer metadata,
+    * no data pages read.
+    */
+  private[graft] def dataFingerprint(spark: SparkSession, sfDir: String): String = {
+    val dir = java.nio.file.Paths.get(sfDir)
+    if (!java.nio.file.Files.isDirectory(dir)) return "{}"
+    val tables = {
+      val s = java.nio.file.Files.list(dir)
+      try {
+        val b = Vector.newBuilder[java.nio.file.Path]
+        val it = s.iterator(); while (it.hasNext) b += it.next()
+        b.result()
+      } finally s.close()
+    }.filter(_.getFileName.toString.endsWith(".parquet"))
+      .sortBy(_.getFileName.toString)
+    tables.map { p =>
+      val name = p.getFileName.toString.stripSuffix(".parquet")
+      val bytes = {
+        val s = java.nio.file.Files.walk(p)
+        try {
+          var total = 0L
+          val it = s.iterator()
+          while (it.hasNext) { val q = it.next(); if (java.nio.file.Files.isRegularFile(q)) total += java.nio.file.Files.size(q) }
+          total
+        } finally s.close()
+      }
+      val rows = try spark.read.parquet(p.toString).count()
+        catch { case _: Throwable => -1L }
+      s""""$name":{"bytes":$bytes,"rows":$rows}"""
+    }.mkString("{", ",", "}")
   }
 
   private def esc(s: String): String =
@@ -210,6 +277,9 @@ object Bench {
       while (extra < 2 && (spreadBad || canaryInflated)) { runOne(); extra += 1 }
       val ts = outcomes.collect { case Right(t) => t }
       val errs = outcomes.collect { case Left(m) => m }
+      // times paired with the canary sampled immediately before each rep
+      // (index-aligned: one canary per runOne(), failed reps drop out of both)
+      val tcPairs = outcomes.zip(repCanaries).collect { case (Right(t), c) => (t, c) }
       val canaryS = if (repCanaries.nonEmpty) median(repCanaries) else 0.0
       val loadAvg = if (repLoads.nonEmpty) repLoads.max else 0.0
       val repsJson = ts.map(t => f"$t%.3f").mkString("[", ",", "]")
@@ -217,44 +287,69 @@ object Bench {
         repCanaries.map(c => f"$c%.3f").mkString(""","rep_canary_s":[""", ",", "]") +
         repLoads.map(l => f"$l%.1f").mkString(""","rep_load1m":[""", ",", "]") +
         (if (extra > 0) s""","adaptive_reps":$extra""" else "")
+      // per-query line gates on the run-so-far canary median (all that exists
+      // if the run dies here); the end-of-run summary/BENCHBOOK recompute
+      // with the full-run baseline
+      val baseSoFar = median(allRepCanaries.toVector)
       val qLine =
-        if (ts.nonEmpty)
-          f"""{"query":"$name","median":${median(ts)}%.3f,"reps":$repsJson,$envJson}"""
-        else
+        if (ts.nonEmpty) {
+          val mc = cleanMedian(tcPairs.map(_._1), tcPairs.map(_._2), baseSoFar).get
+          f"""{"query":"$name","median":${median(ts)}%.3f,"median_clean":$mc%.3f,"reps":$repsJson,$envJson}"""
+        } else
           s"""{"query":"$name","median":null,"reps":$repsJson,$envJson,"error":"${esc(errs.head)}"}"""
       appendLine(qLine)
       println(s"[bench] $qLine")
-      (name, ts, errs, canaryS)
+      (name, ts, errs, canaryS, tcPairs)
     }
-    val medians = results.collect { case (k, ts, _, _) if ts.nonEmpty => k -> median(ts) }
+    val medians = results.collect { case (k, ts, _, _, _) if ts.nonEmpty => k -> median(ts) }
     val qsJson = medians.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    val repsJson = results.collect { case (k, ts, _, _) if ts.nonEmpty =>
+    val runBase = {
+      val all = results.flatMap(_._5.map(_._2))
+      if (all.nonEmpty) median(all) else 0.0
+    }
+    val qsCleanJson = results.collect { case (k, ts, _, _, tc) if ts.nonEmpty =>
+      "\"" + k + f"\":${cleanMedian(tc.map(_._1), tc.map(_._2), runBase).get}%.3f"
+    }.mkString("{", ",", "}")
+    val repsJson = results.collect { case (k, ts, _, _, _) if ts.nonEmpty =>
       "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val errsJson = results.collect { case (k, _, ms, _) if ms.nonEmpty =>
+    val errsJson = results.collect { case (k, _, ms, _, _) if ms.nonEmpty =>
       "\"" + k + "\":\"" + esc(ms.head) + s""" (${ms.size}/$reps reps failed)""""
     }.mkString("{", ",", "}")
     val total = medians.map(_._2).sum
     val canaryMedian = if (results.nonEmpty) median(results.map(_._4)) else 0.0
     val line =
-      f"""{"metric":"total_runtime","value":$total%.3f,"unit":"sec","queries":$qsJson,"reps":$repsJson,"errors":$errsJson,"canary_median_s":$canaryMedian%.3f,"sf":"$sfDir"}"""
+      f"""{"metric":"total_runtime","value":$total%.3f,"unit":"sec","queries":$qsJson,"queries_clean":$qsCleanJson,"reps":$repsJson,"errors":$errsJson,"canary_median_s":$canaryMedian%.3f,"sf":"$sfDir"}"""
     println(line)
     appendLine(line) // final JSONL line = the summary; partial file is still valid JSONL
     // cross-round bench book: one tracked line per FULL run. Round number
-    // from SPARK_GRAFT_ROUND when the driver provides it, else inferred from
-    // the committed BENCH_r<N>.json artifacts (the round-N artifact lands
-    // AFTER round N's bench runs, so max+1 is the in-flight round).
+    // from SPARK_GRAFT_ROUND when the driver provides it (non-numeric values
+    // fall through to inference), else inferred from the committed
+    // BENCH_r<N>.json artifacts NEXT TO the book file — not the cwd, so a
+    // run launched outside the repo root can't misnumber the tracked history
+    // (the round-N artifact lands AFTER round N's bench runs, so max+1 is
+    // the in-flight round). `medians` stays the LAST key: ContractDocsSpec's
+    // latest-line query-name extraction captures from `"medians":{` to the
+    // end of the line.
     if (only.isEmpty) {
-      val round = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt).getOrElse {
-        val names = java.nio.file.Files.list(java.nio.file.Paths.get("."))
-          .map[String](_.getFileName.toString).toArray.map(_.toString)
-        val rs = names.collect { case s if s.matches("BENCH_r\\d+\\.json") =>
-          s.stripPrefix("BENCH_r").stripSuffix(".json").toInt }
-        (rs.toSeq :+ 0).max + 1
-      }
-      val bookLine = f"""{"round":$round,"sf":"$sfDir","ts":${System.currentTimeMillis() / 1000},"canary_median_s":$canaryMedian%.3f,"total_s":$total%.3f,"medians":$qsJson}"""
-      appendTo(java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCHBOOK", "BENCHBOOK.jsonl")), bookLine)
+      val bookPath = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCHBOOK", "BENCHBOOK.jsonl")).toAbsolutePath
+      val round = sys.env.get("SPARK_GRAFT_ROUND")
+        .flatMap(v => scala.util.Try(v.trim.toInt).toOption).getOrElse {
+          val scanDir = Option(bookPath.getParent).getOrElse(java.nio.file.Paths.get("."))
+          val s = java.nio.file.Files.list(scanDir)
+          val names = try {
+            val b = Vector.newBuilder[String]
+            val it = s.iterator(); while (it.hasNext) b += it.next().getFileName.toString
+            b.result()
+          } finally s.close()
+          val rs = names.collect { case n if n.matches("BENCH_r\\d+\\.json") =>
+            n.stripPrefix("BENCH_r").stripSuffix(".json").toInt }
+          (rs :+ 0).max + 1
+        }
+      val fpJson = dataFingerprint(spark, sfDir)
+      val bookLine = f"""{"round":$round,"sf":"$sfDir","ts":${System.currentTimeMillis() / 1000},"canary_median_s":$canaryMedian%.3f,"total_s":$total%.3f,"data_fingerprint":$fpJson,"medians_clean":$qsCleanJson,"medians":$qsJson}"""
+      appendTo(bookPath, bookLine)
     }
     spark.stop()
   }

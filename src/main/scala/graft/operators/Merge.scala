@@ -26,7 +26,7 @@ import org.apache.spark.sql.types.{DecimalType, IntegerType}
   * Scale notes: every join here has a dimension on one side, and the staged
   * side collapses to dimension cardinality after its per-batch dedup, so the
   * joins want to be broadcast hash joins — no shuffle of the big side. The
-  * hints are CONDITIONAL on the side's plan-stats size ([[broadcastIfSmall]]):
+  * hints are CONDITIONAL on the side's leaf-stats size ([[broadcastIfSmall]]):
   * a hard `broadcast()` overrides AQE, so a dimension that outgrew executor
   * memory (10⁸ products is a multi-GB hash set) would be force-shipped with
   * no escape hatch; unhinted, AQE still broadcasts at runtime when the actual
@@ -41,19 +41,38 @@ object Merge {
   /** CI-AS + ANSI-padding equality key. */
   def keyOf(c: Column): Column = lower(rtrim(c))
 
-  /** Broadcast hint only while the side's optimized-plan size estimate stays
-    * under `spark.graft.merge.broadcastMaxBytes` (default 64 MB; -1 = never
-    * hint, which specs use to prove the unhinted chain still plans sanely).
-    * Above the threshold the join goes out unhinted and AQE decides — it
-    * still broadcasts genuinely-small sides at runtime, and a stats
-    * OVERestimate therefore costs nothing worse than AQE's own choice.
+  /** Broadcast hint only while the side's size estimate stays under
+    * `spark.graft.merge.broadcastMaxBytes` (default 64 MB; -1 = never hint,
+    * which specs use to prove the unhinted chain still plans sanely).
+    *
+    * The estimate is the SUM OF LEAF-RELATION STATS on the side's ANALYZED
+    * plan — deliberately not `optimizedPlan.stats`: the analyzed plan is
+    * computed eagerly when the Dataset is constructed, and each leaf's stats
+    * (file-index bytes for parquet relations, literal bytes for local data)
+    * are memoized on the immutable leaf node that derived frames share, so
+    * the check is free. Forcing `optimizedPlan` here cost a full extra
+    * analyze+optimize pass (with relation stat resolution) per hinted join —
+    * ×6 call sites × every merge in a pipeline — and measurably doubled the
+    * merge-chain wall clock (round-9 bench, flat canaries).
+    *
+    * Leaf-sum is an upper bound on the side's output for the subplans used
+    * here (selections, per-batch aggregations, lookup unions, key-restricting
+    * joins — nothing row-expanding), so relative to the old behavior it can
+    * only SKIP hints it would have issued, never add one: the underestimate
+    * hazard (forcing a genuinely-large side onto every executor with no
+    * escape hatch) would need a leaf stat smaller than the files it indexes.
+    * An unhinted join is always safe — AQE still broadcasts genuinely-small
+    * sides at runtime and falls back to a shuffled join when it must.
     */
   private def broadcastIfSmall(df: DataFrame): DataFrame = {
     val maxBytes = df.sparkSession.conf
       .get("spark.graft.merge.broadcastMaxBytes", (64L << 20).toString).toLong
-    if (maxBytes >= 0 &&
-        df.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBytes) broadcast(df)
-    else df
+    if (maxBytes < 0) df
+    else {
+      val leafBytes = df.queryExecution.analyzed.collectLeaves()
+        .map(_.stats.sizeInBytes).sum
+      if (leafBytes <= maxBytes) broadcast(df) else df
+    }
   }
 
   /** Product natural key — sha2-256 of the normalized description, stored as

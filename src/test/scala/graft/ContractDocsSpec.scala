@@ -47,7 +47,16 @@ class ContractDocsSpec extends AnyFunSuite {
       assert(r.isDefined, s"BENCHBOOK line without a round: ${l.take(120)}")
       assert(l.contains("\"medians\":{\""), s"BENCHBOOK line without medians: ${l.take(120)}")
       assert(l.contains("\"sf\":"), s"BENCHBOOK line without sf: ${l.take(120)}")
-      r.get.group(1).toInt
+      val round = r.get.group(1).toInt
+      // round 10 added the canary-gated medians and the testdata identity;
+      // every line from then on must carry both (earlier lines predate them)
+      if (round >= 10) {
+        assert(l.contains("\"medians_clean\":{\""),
+          s"BENCHBOOK r$round line without medians_clean: ${l.take(120)}")
+        assert(l.contains("\"data_fingerprint\":{"),
+          s"BENCHBOOK r$round line without data_fingerprint: ${l.take(120)}")
+      }
+      round
     }
     assert(rounds == rounds.sorted, s"BENCHBOOK rounds not ascending: $rounds")
     // latest line: every recorded query must still exist (a renamed/removed
