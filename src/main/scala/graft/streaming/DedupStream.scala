@@ -45,7 +45,10 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType
   *
   * ==Bloom routing==
   * Same lifecycle as [[ExactDedupStream]]'s: once the band table crosses
-  * `bloomMinIndexBytes` (0 = from the first batch, negative = disabled) the
+  * `bloomMinIndexBytes` (0 = from the first batch; negative = never
+  * BOOTSTRAP — an already-persisted filter is still loaded, routed, and
+  * maintained, since ignoring it would let the state go stale and plant
+  * false negatives on re-enable) the
   * stream bootstraps a Bloom filter over its KEYS, persists it as a 1-row
   * table, and updates it in the same atomic admit (written before the band
   * append — a crash leaves a superset: extra maybes, never misses). Batches
@@ -135,8 +138,16 @@ class DedupStream(wh: Warehouse, k: Int = 5, numHashes: Int = 8,
     // ExactDedupStream's lifecycle: an existing filter MUST be used and
     // maintained — skipping a batch's keys would plant false negatives —
     // while the size gate only decides when to BOOTSTRAP (one band-table
-    // scan, amortized once). Negative `bloomMinIndexBytes` disables.
-    val bloomState = readBloomState().orElse {
+    // scan, amortized once). Negative `bloomMinIndexBytes` disables
+    // bootstrap ONLY: an already-persisted filter is still loaded, routed,
+    // and maintained (ignoring it would let the state go stale and plant
+    // false negatives on re-enable). The persisted row is read once per
+    // stream lifetime, not per batch — processBatch runs sequentially on
+    // the stream thread, so the in-memory copy IS the state between
+    // batches, and the table only needs re-reading after a failed commit
+    // (cache invalidated below) or a restart (fresh object).
+    if (!bloomLoaded) { bloomCache = readBloomState(); bloomLoaded = true }
+    val bloomState = bloomCache.orElse {
       if (bloomMinIndexBytes >= 0 && wh.sizeBytes(bandTable) >= bloomMinIndexBytes) {
         val keys = wh.read(bandTable, bandSchema).select(col("key"))
         val n = keys.count()
@@ -167,7 +178,10 @@ class DedupStream(wh: Warehouse, k: Int = 5, numHashes: Int = 8,
     // batch's band keys merge in, with a 2× rebuild from band-table ∪ batch
     // at saturation so the fpp stays honest as the corpus grows
     val newBloomRow = bloomState.map { case (cap, n, bf) =>
-      val nNew = batchBands.count()
+      // count + build in ONE pass over the batch keys (the separate
+      // batchBands.count() job was half the forced-on mode's per-batch
+      // overhead at sf0.1)
+      val (batchBf, nNew) = buildBloomCounting(batchBands.select(col("key")), cap)
       val newN = n + nNew
       if (newN > cap) {
         val ncap = math.max(cap * 2, newN * 2)
@@ -175,11 +189,12 @@ class DedupStream(wh: Warehouse, k: Int = 5, numHashes: Int = 8,
           .unionByName(batchBands.select(col("key"))), ncap))
       } else {
         // same (capacity, fpp) → identical bit layout → mergeable
-        if (nNew > 0) bf.mergeInPlace(buildBloom(batchBands.select(col("key")), cap))
+        if (nNew > 0) bf.mergeInPlace(batchBf)
         (cap, newN, bf)
       }
     }
-    try wh.atomically { w =>
+    try {
+      wh.atomically { w =>
       // pairs FIRST and alone: on the base warehouse its plan scans the
       // index/band/corpus tables, so the admit appends must not land new
       // files while it runs (a probe that saw the batch's own signatures
@@ -211,6 +226,15 @@ class DedupStream(wh: Warehouse, k: Int = 5, numHashes: Int = 8,
         ).map(_.transform(scala.util.Success(_)))),
         scala.concurrent.duration.Duration(10, "min"))
       settled.collectFirst { case Failure(e) => throw e }
+      }
+      // the committed filter now matches the persisted row — keep it as the
+      // state for the next batch (no per-batch re-read)
+      bloomCache = newBloomRow.orElse(bloomCache)
+    } catch {
+      // a failed commit leaves table vs memory in an unknown relation
+      // (mergeInPlace already mutated the cached filter) — reload from the
+      // persisted row before the checkpoint retries
+      case e: Throwable => bloomLoaded = false; bloomCache = None; throw e
     } finally {
       batchSigs.unpersist(false)
       batch.unpersist(false)
@@ -225,6 +249,26 @@ class DedupStream(wh: Warehouse, k: Int = 5, numHashes: Int = 8,
   // foreachBatch runs batches sequentially on the stream thread, so a plain
   // var is safe; the counter is per-run (a restart recompacts after N more)
   private var batchesSinceCompact = 0
+
+  // bloom state cache: the persisted row is re-read only on the first batch
+  // of this object's life or after a failed commit (same sequential-stream
+  // argument as the counter above). `bloomLoaded` distinguishes "not read
+  // yet" from "read, and absent".
+  private var bloomLoaded = false
+  private var bloomCache: Option[(Long, Long, org.apache.spark.util.sketch.BloomFilter)] = None
+
+  /** Insert `keys` into a fresh filter AND count them in one distributed
+    * pass (`stat.bloomFilter` + a separate `count()` is two). Null keys are
+    * counted but not inserted — exactly `stat.bloomFilter`'s null handling,
+    * keeping the soak's `n_items = docs × bands` ledger intact. The RDD hop
+    * is the same treeAggregate `stat.bloomFilter` itself performs.
+    */
+  private def buildBloomCounting(keys: DataFrame,
+      cap: Long): (org.apache.spark.util.sketch.BloomFilter, Long) =
+    keys.rdd.treeAggregate((org.apache.spark.util.sketch.BloomFilter.create(cap, bloomFpp), 0L))(
+      { case ((bf, n), row) =>
+        if (!row.isNullAt(0)) bf.putString(row.getString(0)); (bf, n + 1) },
+      { case ((a, na), (b, nb)) => a.mergeInPlace(b); (a, na + nb) })
 
   /** The persisted band-key bloom, or None when absent/unreadable (it is
     * derived state — the stream re-bootstraps from the band table).

@@ -33,7 +33,10 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * what the index already has, whichever write survived).
   *
   * ==Bloom routing==
-  * Once the index crosses `bloomMinIndexBytes`, the stream bootstraps a
+  * Once the index crosses `bloomMinIndexBytes` (negative = never bootstrap;
+  * an already-persisted filter is still loaded, routed, and maintained —
+  * ignoring it would let the state go stale and plant false negatives on
+  * re-enable), the stream bootstraps a
   * Bloom filter over it (one scan, amortized once) and persists it as a
   * 1-row warehouse table updated IN THE SAME atomic section as each admit.
   * Subsequent batches route through [[Dedup.incrementalExactNewRouted]]:
@@ -74,8 +77,14 @@ class ExactDedupStream(wh: Warehouse, probeHashLimit: Int = 1000,
     val batch = batch0.select(col("doc_id").cast(LongType).as("doc_id"), col("text"))
     // an existing bloom MUST be used and maintained regardless of the size
     // gate — skipping a batch's hashes would plant future false negatives;
-    // the gate only decides when to BOOTSTRAP
-    val bloomState = readBloomState().orElse {
+    // the gate (including a negative = disabled value) only decides when to
+    // BOOTSTRAP. The persisted row is read once per stream lifetime, not
+    // per batch: processBatch runs sequentially on the stream thread, so
+    // the in-memory copy IS the state, re-read only after a failed commit
+    val bloomState = {
+      if (!bloomLoaded) { bloomCache = readBloomState(); bloomLoaded = true }
+      bloomCache
+    }.orElse {
       if (bloomMinIndexBytes >= 0 && wh.sizeBytes(indexTable) >= bloomMinIndexBytes) {
         val idx = wh.read(indexTable, idxSchema)
         val n = idx.count()
@@ -96,7 +105,9 @@ class ExactDedupStream(wh: Warehouse, probeHashLimit: Int = 1000,
       val admittedHashes = admitted
         .select(coalesce(sha2(col("text"), 256), lit("__null_text__")).as("text_sha"))
       val newBloomRow = bloomState.map { case (cap, n, bf) =>
-        val nAdm = admitted.count()
+        // count + build in ONE pass over the admitted hashes (a separate
+        // count() job was half the forced-on mode's per-batch overhead)
+        val (admBf, nAdm) = buildBloomCounting(admittedHashes, cap)
         val newN = n + nAdm
         if (newN > cap) {
           // saturated: rebuild at 2× from index ∪ batch so fpp stays honest
@@ -105,7 +116,7 @@ class ExactDedupStream(wh: Warehouse, probeHashLimit: Int = 1000,
             .select(col("text_sha")).unionByName(admittedHashes), ncap))
         } else {
           // same (capacity, fpp) → identical bit layout → mergeable
-          if (nAdm > 0) bf.mergeInPlace(buildBloom(admittedHashes, cap))
+          if (nAdm > 0) bf.mergeInPlace(admBf)
           (cap, newN, bf)
         }
       }
@@ -122,6 +133,12 @@ class ExactDedupStream(wh: Warehouse, probeHashLimit: Int = 1000,
         // on tight min/max stats for this column
         w.append(indexTable, admittedHashes.sortWithinPartitions("text_sha"))
       }
+      // committed: the in-memory filter is the state for the next batch
+      bloomCache = newBloomRow.orElse(bloomCache)
+    } catch {
+      // failed commit → table vs memory unknown (mergeInPlace already
+      // mutated the cached filter): reload before the checkpoint retries
+      case e: Throwable => bloomLoaded = false; bloomCache = None; throw e
     } finally admitted.unpersist(false)
     batchesSinceCompact += 1
     if (compactEvery > 0 && batchesSinceCompact >= compactEvery) {
@@ -131,6 +148,22 @@ class ExactDedupStream(wh: Warehouse, probeHashLimit: Int = 1000,
   }
 
   private var batchesSinceCompact = 0
+
+  // bloom state cache — same sequential-stream argument as the counter;
+  // `bloomLoaded` distinguishes "not read yet" from "read, and absent"
+  private var bloomLoaded = false
+  private var bloomCache: Option[(Long, Long, org.apache.spark.util.sketch.BloomFilter)] = None
+
+  /** Insert `hashes` into a fresh filter AND count them in one distributed
+    * pass; see [[DedupStream.buildBloomCounting]] (hashes are never null
+    * here — `coalesce` stamps `__null_text__`).
+    */
+  private def buildBloomCounting(hashes: DataFrame,
+      cap: Long): (org.apache.spark.util.sketch.BloomFilter, Long) =
+    hashes.rdd.treeAggregate((org.apache.spark.util.sketch.BloomFilter.create(cap, bloomFpp), 0L))(
+      { case ((bf, n), row) =>
+        if (!row.isNullAt(0)) bf.putString(row.getString(0)); (bf, n + 1) },
+      { case ((a, na), (b, nb)) => a.mergeInPlace(b); (a, na + nb) })
 
   /** The persisted bloom, or None when absent/unreadable (either way the
     * stream re-bootstraps from the index — the bloom is derived state).

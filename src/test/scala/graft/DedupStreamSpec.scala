@@ -76,6 +76,48 @@ class DedupStreamSpec extends SparkSpec {
     assert(missed == 0, s"$missed persisted band keys are bloom-NEGATIVE (false negatives)")
   }
 
+  test("bloom gate flips at the size threshold; default gate stays off at test scale") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id".cast("long").as("doc_id"), $"text")
+      .orderBy("doc_id").limit(90).as[(Long, String)].collect()
+    val batches = docs.grouped(30).toSeq
+
+    // threshold of 1 byte: batch 1 sees an EMPTY band table (0 bytes < 1) →
+    // no bootstrap; batch 2 sees batch 1's files → bootstraps; batch 3
+    // maintains through the in-memory cached state
+    val wh = new Warehouse(spark, Files.createTempDirectory("graft-dstream-flip-").toString)
+    val ds = new DedupStream(wh, minJaccard = 0.35, minSigMatchesOverride = 4,
+      bloomMinIndexBytes = 1)
+    ds.processBatch(batches(0).toSeq.toDF("doc_id", "text"))
+    assert(ds.readBloomState().isEmpty, "bloom bootstrapped below the size threshold")
+    ds.processBatch(batches(1).toSeq.toDF("doc_id", "text"))
+    assert(ds.readBloomState().isDefined,
+      "bloom did not bootstrap once the band table crossed the threshold")
+    ds.processBatch(batches(2).toSeq.toDF("doc_id", "text"))
+    // maintenance went through the cached filter: the PERSISTED row still
+    // covers every persisted band key (superset invariant), and n_items
+    // advanced for batch 3's keys
+    val st = ds.readBloomState().get
+    val bf = st._3
+    val missed = wh.read(ds.bandTable, ds.bandSchema)
+      .select("key").collect().map(_.getString(0)).count(k => !bf.mightContainString(k))
+    assert(missed == 0, s"$missed persisted band keys are bloom-NEGATIVE after cached maintenance")
+    assert(st._2 == wh.read(ds.bandTable, ds.bandSchema).count(),
+      "persisted n_items is not the band-key ledger")
+
+    // the DEFAULT 64 MB gate never trips at this scale: no state table, no
+    // bloom jobs — small streams pay nothing for the feature
+    val wh2 = new Warehouse(spark, Files.createTempDirectory("graft-dstream-defgate-").toString)
+    val ds2 = new DedupStream(wh2, minJaccard = 0.35, minSigMatchesOverride = 4)
+    batches.foreach(c => ds2.processBatch(c.toSeq.toDF("doc_id", "text")))
+    assert(ds2.readBloomState().isEmpty, "default gate bootstrapped at test scale")
+
+    // routing is pure optimization: both runs accumulate identical pairs
+    val p1 = ds.pairs().collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val p2 = ds2.pairs().collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(p1 == p2 && p1.nonEmpty, s"gate-flip run pairs ${p1.size} != default run ${p2.size}")
+  }
+
   test("compactEvery bounds warehouse file count across 50 micro-batches, pairs unchanged") {
     val whDir = Files.createTempDirectory("graft-dstream-compact-").toString
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
