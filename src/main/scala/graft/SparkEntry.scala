@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{Transforms => T}
-import graft.operators.{Corpus, Dedup, Merge, Multimodal, Similarity, TextOps, TimeJoins}
+import graft.operators.{Corpus, Dedup, Merge, Multimodal, PersistedIvf, Similarity, TextOps, TimeJoins}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1337,6 +1337,29 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rank"))
     }
 
+    // the persisted/incremental IVF loop (operators/PersistedIvf): build on
+    // the first 300 vectors with the seed centroids, add the rest through
+    // the INCREMENTAL path (persisted-centroid assign, no retrain — the
+    // accumulated assignment table must equal a from-scratch assignment),
+    // then multi-probe (nProbe=2) top-5 reading ONLY the persisted tables.
+    // Covers what the batch entries skip: the float-array parquet
+    // round-trip, the cell-literal pushdown into the assignment scan, and
+    // incremental-append ≡ full-assign
+    q("sim_ivf_persisted") = (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val wh = new graft.sources.Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-ivfp-").toString)
+      val ivf = new PersistedIvf(wh)
+      ivf.buildWith(emb.filter(col("vec_id") < 300), "vec_id", "embedding",
+        emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cell"), col("embedding").as("centroid")))
+      ivf.addVectors(emb.filter(col("vec_id") >= 300), "vec_id", "embedding")
+      ivf.topK(emb.filter(col("vec_id") >= 8 && col("vec_id") < 18),
+          "vec_id", "embedding", 5, nProbe = 2)
+        .select(col("q_id"), col("rank").cast(LongType).as("rank"), col("c_id"), col("cosine"))
+        .orderBy(col("q_id"), col("rank"))
+    }
+
     // ---- source formats beyond parquet: JSONL (the training-data
     // interchange format), ORC and CSV each round-trip the documents table
     // through a write+read cycle; the result counts rows and text
@@ -2653,6 +2676,53 @@ object SparkEntry {
          | FROM p)
          |SELECT q_id, rank, c_id, cosine FROM ranked WHERE rank <= 5
          |ORDER BY q_id, rank""".stripMargin,
+
+    // same assignment math as sim_ivf (the persisted build uses the same
+    // seed centroids and the incremental adds must reproduce the full
+    // assignment); the one semantic addition is multi-probe: each query
+    // scores its TOP-2 cells (rn <= 2), candidates still live in exactly
+    // one cell so no pair dedup is needed
+    "sim_ivf_persisted" ->
+      """WITH cent AS (SELECT vec_id AS cell, embedding FROM embeddings WHERE vec_id < 8),
+        |assign_all AS (
+        | SELECT e.vec_id, c.cell,
+        |  round(CASE WHEN sqrt(sum(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)) = 0
+        |         OR sqrt(sum(c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) = 0 THEN 0
+        |   ELSE sum(e.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)
+        |    / (sqrt(sum(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))
+        |       * sqrt(sum(c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))) END, 6) AS cos6
+        | FROM embeddings e, cent c, generate_series(1, 64) t(i) GROUP BY 1,2),
+        |cells AS (
+        | SELECT vec_id, cell FROM (
+        |  SELECT vec_id, cell,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY cos6 DESC, cell) AS rn
+        |  FROM assign_all) WHERE rn = 1),
+        |qcells AS (
+        | SELECT vec_id AS q_id, cell FROM (
+        |  SELECT vec_id, cell,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY cos6 DESC, cell) AS rn
+        |  FROM assign_all WHERE vec_id >= 8 AND vec_id < 18) WHERE rn <= 2),
+        |qs AS (SELECT q.q_id, q.cell, e.embedding FROM qcells q
+        |       JOIN embeddings e ON e.vec_id = q.q_id),
+        |cs AS (SELECT vec_id AS c_id, embedding, cell FROM embeddings JOIN cells USING (vec_id)),
+        |p AS (
+        | SELECT qs.q_id, cs.c_id,
+        |  sum(cs.embedding[i]::DOUBLE * qs.embedding[i]::DOUBLE) AS dot,
+        |  sqrt(sum(cs.embedding[i]::DOUBLE * cs.embedding[i]::DOUBLE)) AS cn,
+        |  sqrt(sum(qs.embedding[i]::DOUBLE * qs.embedding[i]::DOUBLE)) AS qn
+        | FROM qs JOIN cs ON qs.cell = cs.cell AND cs.c_id <> qs.q_id,
+        |  generate_series(1, 64) t(i)
+        | GROUP BY 1,2),
+        |scored AS (
+        | SELECT q_id, c_id,
+        |  round(CASE WHEN cn = 0 OR qn = 0 THEN 0 ELSE dot/(cn*qn) END, 4) AS cosine
+        | FROM p),
+        |ranked AS (
+        | SELECT q_id, c_id, cosine,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS BIGINT) AS rank
+        | FROM scored)
+        |SELECT q_id, rank, c_id, cosine FROM ranked WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
 
     "q12_rollup" ->
       """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,

@@ -1,0 +1,220 @@
+package graft.operators
+
+import graft.functions.Transforms
+import graft.sources.Warehouse
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType, LongType, StringType, StructField, StructType}
+
+/** Persisted, incrementally-maintained IVF index — the dedup-index pattern
+  * ([[graft.streaming.ExactDedupStream]]'s hash index, [[Dedup]]'s signature
+  * index) applied to ANN search. The batch [[Similarity]] entry points
+  * retrain centroids and reassign every vector per call, which at 100 TB is
+  * a full-corpus k-means per query session; here the expensive structure
+  * survives as warehouse tables:
+  *
+  *   - `ann/Centroids` (cell, centroid) — trained once (or provided), √N
+  *     rows, broadcastable by the same contract as [[Similarity.assignCells]];
+  *   - `ann/CellAssignments` (id, cell, vec) — one row per corpus vector,
+  *     written CELL-SORTED within files so parquet min/max stats on `cell`
+  *     are tight: a query batch that probes a handful of cells reads only
+  *     the matching row groups (the dedup band-index layout, same reason);
+  *   - `ann/AssignStats` (seq, kind, n, mean_cos) — the mean cosine of each
+  *     assignment pass to its chosen centroid: one `train` row from the
+  *     build, one `batch` row per [[addVectors]]. The drift ledger:
+  *     centroids are stale when fresh batches land measurably farther from
+  *     their cells than the training data did ([[drifted]]).
+  *
+  * Incremental maintenance: [[addVectors]] assigns ONLY the new batch
+  * against the persisted centroids (per-row argmax — batch-sized work, no
+  * retrain, no reassignment of the existing corpus) and appends. Because
+  * assignment is a pure per-row function of (vector, centroids), the
+  * accumulated table is bit-identical to a from-scratch assignment of the
+  * full corpus under the same centroids — TrainingOpsSpec proves it, and the
+  * `sim_ivf_persisted` driver oracle checks the whole
+  * build → add → persist → probe loop against SQL replaying the same math.
+  *
+  * Query cost: [[topK]] probes each query's `nProbe` nearest cells
+  * ([[Similarity.assignCellsProbes]]), collects the ≤ queries×nProbe probed
+  * cell ids (query batches are broadcast-sized by contract), and pushes them
+  * into the assignment scan as an `In` literal — planning-time row-group
+  * pruning, the same mechanism as the dedup point probe. Above
+  * `probeCellLimit` distinct cells the filter is dropped (a full scan beats
+  * a 10k-literal predicate).
+  */
+class PersistedIvf(wh: Warehouse, probeCellLimit: Int = 1000) {
+
+  val centroidsTable = "ann/Centroids"
+  val assignTable = "ann/CellAssignments"
+  val statsTable = "ann/AssignStats"
+
+  val centroidSchema: StructType = StructType(Seq(
+    StructField("cell", IntegerType, nullable = false),
+    StructField("centroid", ArrayType(FloatType), nullable = true)))
+  val assignSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("cell", IntegerType, nullable = false),
+    StructField("vec", ArrayType(FloatType), nullable = true)))
+  val statsSchema: StructType = StructType(Seq(
+    StructField("seq", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("n", LongType, nullable = false),
+    StructField("mean_cos", DoubleType, nullable = true)))
+
+  /** Assignment keeping the winning cosine (the drift statistic's input).
+    * Same argmax as [[Similarity.assignCells]]: max_by over
+    * struct(cos6, -cell) = cosine desc, cell asc — aggregation, not a
+    * window, so the exchange carries one row per vector (map-side combined).
+    */
+  private def assignWithCos(df: DataFrame, cents: DataFrame): DataFrame =
+    df.crossJoin(broadcast(cents.select(col("cell"), col("centroid").as("cent_vec"))))
+      .withColumn("cos6", round(Transforms.vecCosine(col("vec"), col("cent_vec")), 6))
+      .groupBy(col("id"))
+      .agg(
+        max_by(struct(col("cell"), col("cos6")), struct(col("cos6"), -col("cell"))).as("w"),
+        any_value(col("vec")).as("vec"))
+      .select(col("id"), col("w.cell").as("cell"), col("vec"), col("w.cos6").as("cos6"))
+
+  private def normalized(corpus: DataFrame, idCol: String, vecCol: String): DataFrame =
+    corpus.select(col(idCol).cast(LongType).as("id"),
+      col(vecCol).cast(ArrayType(FloatType)).as("vec"))
+
+  private def statsRow(seq: Long, kind: String, n: Long, meanCos: Option[Double]): DataFrame =
+    wh.spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(seq, kind, n,
+        meanCos.map(Double.box).orNull)), statsSchema)
+
+  /** (rows, mean winning cosine) of an assignment pass — one aggregate job. */
+  private def meanCosOf(assigned: DataFrame): (Long, Option[Double]) = {
+    val r = assigned.agg(count(lit(1)), avg(col("cos6"))).head()
+    (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+  }
+
+  /** Build the index with CALLER-PROVIDED centroids (cell, centroid) —
+    * replaces all three tables. The assignment lands repartitioned by cell
+    * and cell-sorted within files (see class doc; a build is the one
+    * acceptable full-corpus shuffle — every later batch is incremental).
+    */
+  def buildWith(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): Unit = {
+    val cents = centroids.select(col("cell").cast(IntegerType).as("cell"),
+      col("centroid").cast(ArrayType(FloatType)).as("centroid"))
+    val assigned = assignWithCos(normalized(corpus, idCol, vecCol), cents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val (n, meanCos) = meanCosOf(assigned)
+      wh.atomically { w =>
+        w.replace(centroidsTable, cents)
+        w.replace(assignTable, assigned.drop("cos6")
+          .repartition(col("cell")).sortWithinPartitions("cell"))
+        w.replace(statsTable, statsRow(0L, "train", n, meanCos))
+      }
+    } finally assigned.unpersist(false)
+  }
+
+  /** Train centroids on the corpus ([[Similarity.trainCentroids]] — spherical
+    * Lloyd's from deterministic seeds), then [[buildWith]] them.
+    */
+  def build(corpus: DataFrame, idCol: String, vecCol: String,
+      numCells: Int, iterations: Int = 3): Unit = {
+    // normalize FIRST: a caller-side `cell` column (e.g. retrain() feeding
+    // assignments back in) must not collide with training's internal names
+    val norm = normalized(corpus, idCol, vecCol)
+    buildWith(norm, "id", "vec",
+      Similarity.trainCentroids(norm, "id", "vec", numCells, iterations)
+        .select(col("cell_id").as("cell"), col("centroid")))
+  }
+
+  /** Assign ONLY the fresh batch against the persisted centroids and append
+    * (+ its drift-ledger row). Batch-sized work; the existing corpus is
+    * untouched. Fails fast when the index was never built.
+    */
+  def addVectors(fresh: DataFrame, idCol: String, vecCol: String): Unit = {
+    require(wh.exists(centroidsTable), s"$centroidsTable absent — build() first")
+    val assigned = assignWithCos(normalized(fresh, idCol, vecCol), centroids())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val (n, meanCos) = meanCosOf(assigned)
+      val seq = wh.read(statsTable, statsSchema).agg(max(col("seq"))).head() match {
+        case r if r.isNullAt(0) => 1L
+        case r => r.getLong(0) + 1L
+      }
+      wh.atomically { w =>
+        w.append(assignTable, assigned.drop("cos6").sortWithinPartitions("cell"))
+        w.append(statsTable, statsRow(seq, "batch", n, meanCos))
+      }
+    } finally assigned.unpersist(false)
+  }
+
+  def centroids(): DataFrame = wh.read(centroidsTable, centroidSchema)
+  def assignments(): DataFrame = wh.read(assignTable, assignSchema)
+  def assignStats(): DataFrame = wh.read(statsTable, statsSchema)
+
+  /** Top-k over the persisted index; `nProbe = numCells` degenerates to
+    * exact brute force over the indexed corpus (every cell probed — the
+    * exactness anchor, same as [[Similarity.ivfTopKProbes]]).
+    */
+  def topK(queries: DataFrame, queryId: String, vecCol: String,
+      k: Int, nProbe: Int = 1): DataFrame = {
+    val q = queries.select(col(queryId).cast(LongType).as("q_id"),
+      col(vecCol).cast(ArrayType(FloatType)).as("v"))
+    val probes = Similarity.assignCellsProbes(q,
+      centroids().select(col("cell"), col("centroid").as("v")),
+      "q_id", "cell", "v", nProbe)
+      .select(col("q_id"), col("cell"))
+      .join(q.select(col("q_id"), col("v").as("q_vec")), Seq("q_id"))
+    // probed-cell literal pushdown (≤ queries×nProbe ids): parquet row-group
+    // pruning on the cell-sorted assignment files — the scan reads the
+    // probed cells, not the corpus. assignCellsProbes emits the cell through
+    // TopKAgg's long id slot; narrow back to the table's int so the In
+    // predicate stays on the raw column (a cast would defeat pushdown)
+    val cellIds = probes.select(col("cell")).distinct()
+      .limit(probeCellLimit + 1).collect().map(_.getLong(0).toInt)
+    val all = assignments()
+    val cand = if (cellIds.length <= probeCellLimit)
+      all.filter(col("cell").isin(cellIds.map(Int.box): _*)) else all
+    val scored = cand.join(broadcast(probes), Seq("cell"))
+      .filter(col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id").as("c_id"),
+        round(Transforms.vecCosine(col("vec"), col("q_vec")), 4).as("cosine"))
+    Similarity.topKPerKey(scored, "q_id", "cosine", "c_id", k)
+  }
+
+  /** Centroid staleness: true when the LATEST batch's mean winning cosine
+    * fell more than `margin` below the training-time mean — fresh data is
+    * landing measurably farther from every centroid than the data the
+    * centroids were fit to, the standard cheap re-train trigger (the
+    * expensive alternative is recall measurement against brute force, which
+    * needs ground truth). Statistical by nature → spec-pinned
+    * (TrainingOpsSpec) rather than oracle-checked; `tools/AnnRecallProbe`
+    * measures the recall decay the flag predicts.
+    */
+  def drifted(margin: Double = 0.05): Boolean = {
+    val rows = assignStats().collect()
+    val train = rows.find(_.getString(1) == "train").flatMap(r =>
+      if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+    val latest = rows.filter(_.getString(1) == "batch").sortBy(_.getLong(0)).lastOption
+      .flatMap(r => if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+    (train, latest) match {
+      case (Some(t), Some(b)) => b < t - margin
+      case _ => false
+    }
+  }
+
+  /** Re-train from the persisted corpus and rebuild — the action [[drifted]]
+    * triggers. Assignments already hold every vector, so no external corpus
+    * hand-off is needed.
+    */
+  def retrain(numCells: Int, iterations: Int = 3): Unit =
+    build(assignments(), "id", "vec", numCells, iterations)
+
+  /** Small-file maintenance: every [[addVectors]] append lands ≥1 file, and
+    * the probe pruning rides on tight per-row-group `cell` min/max stats —
+    * so the rewrite re-sorts by cell, exactly like the dedup band index
+    * ([[graft.streaming.DedupStream.compactAll]] documents why a plain
+    * concatenating rewrite would ruin the stats). `tools/Maintain` reaches
+    * the same layout with a `ann/CellAssignments:cell` table spec.
+    */
+  def compact(targetFiles: Int = 1): Unit =
+    wh.compact(assignTable, assignSchema, targetFiles, sortCols = Seq("cell"))
+}

@@ -76,6 +76,45 @@ object AnnRecallProbe {
       }
       corpus.unpersist(true)
     }
+    // ---- persisted-index lifecycle: recall decay without retrain vs with.
+    // Centroids are trained on the BASE corpus only; rotated replicas then
+    // land through the INCREMENTAL path (addVectors — persisted-centroid
+    // assignment). Rotation preserves the value distribution but moves the
+    // vectors relative to the trained centroids, so the index goes stale the
+    // way a production corpus drifts: recall@k decays, the drift ledger
+    // (mean assignment cosine vs training mean) flags it, and retrain()
+    // recovers it. Ground truth is brute force over the grown corpus.
+    locally {
+      val wh = new graft.sources.Warehouse(spark,
+        Files.createTempDirectory("graft-annp-").toString)
+      val ivf = new graft.operators.PersistedIvf(wh)
+      val queries = base.orderBy("vec_id").limit(nQueries)
+      def keyset(df: DataFrame): Map[Long, Set[Long]] =
+        df.select("q_id", "c_id").collect()
+          .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      def recallOf(corpus: DataFrame, nProbe: Int): Double = {
+        val truth = keyset(Similarity.bruteForceTopK(corpus, queries, "vec_id", "vec_id", "embedding", k))
+        val got = keyset(ivf.topK(queries, "vec_id", "embedding", k, nProbe))
+        truth.map { case (q, t) =>
+          got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+        }.sum / truth.size
+      }
+      val n0 = base.count()
+      val cells = math.max(math.sqrt(n0.toDouble).toInt, 4)
+      ivf.build(base, "vec_id", "embedding", cells)
+      emit(f"""{"tool":"annrecall_persisted","stage":"built","n":$n0,"cells":$cells,"n_probe":4,"recall":${recallOf(base, 4)}%.4f,"drifted":${ivf.drifted()}}""")
+
+      val grown = (0 until 3).map(replica).reduce(_ union _)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (1 until 3).foreach(i => ivf.addVectors(replica(i), "vec_id", "embedding"))
+      val n1 = grown.count()
+      emit(f"""{"tool":"annrecall_persisted","stage":"stale","n":$n1,"cells":$cells,"n_probe":4,"recall":${recallOf(grown, 4)}%.4f,"drifted":${ivf.drifted()}}""")
+
+      ivf.retrain(math.max(math.sqrt(n1.toDouble).toInt, 4))
+      emit(f"""{"tool":"annrecall_persisted","stage":"retrained","n":$n1,"cells":${math.max(math.sqrt(n1.toDouble).toInt, 4)},"n_probe":4,"recall":${recallOf(grown, 4)}%.4f,"drifted":${ivf.drifted()}}""")
+      grown.unpersist(true)
+    }
+
     val p = java.nio.file.Paths.get("target/annrecall.json")
     Option(p.getParent).foreach(Files.createDirectories(_))
     Files.write(p, out.toString.getBytes("UTF-8"))

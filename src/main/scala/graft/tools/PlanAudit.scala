@@ -24,7 +24,7 @@ object PlanAudit {
   // away and degrade to BNLJ, as would a broadcast hint on the product
   // upsert's full outer).
   val kernelAllowlist: Set[String] = Set("dedup_jaccard", "dedup_embedding",
-    "sim_topk", "sim_ivf", "sim_ivf_trained")
+    "sim_topk", "sim_ivf", "sim_ivf_trained", "sim_ivf_persisted")
 
   final case class Audit(report: String, flagged: List[String], errors: List[String])
 

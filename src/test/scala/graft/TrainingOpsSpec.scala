@@ -342,6 +342,91 @@ class TrainingOpsSpec extends SparkSpec {
     assert(r4 > 0.5, s"recall@5 with half the cells probed is implausibly low: $r4")
   }
 
+  test("persisted IVF: incremental addVectors ≡ full assignment; probes match the batch path") {
+    import graft.operators.PersistedIvf
+    val embL = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id".cast("long").as("vec_id"), $"embedding")
+    val cents = embL.filter($"vec_id" < 8)
+      .select($"vec_id".cast("int").as("cell"), $"embedding".as("centroid"))
+    val wh = new graft.sources.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft-pivf-").toString)
+    val ivf = new PersistedIvf(wh)
+
+    // addVectors before any build must fail fast, not write an orphan table
+    intercept[IllegalArgumentException](ivf.addVectors(embL, "vec_id", "embedding"))
+
+    // build on the first half, add the second half in TWO incremental batches
+    ivf.buildWith(embL.filter($"vec_id" < 250), "vec_id", "embedding", cents)
+    ivf.addVectors(embL.filter($"vec_id" >= 250 && $"vec_id" < 400), "vec_id", "embedding")
+    ivf.addVectors(embL.filter($"vec_id" >= 400), "vec_id", "embedding")
+
+    // accumulated assignments ≡ one-shot assignment of the full corpus under
+    // the same centroids (assignment is a pure per-row argmax)
+    val persisted = ivf.assignments().select("id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val full = Similarity.assignCells(embL,
+        cents.select($"cell".as("cell_id"), $"centroid".as("embedding")),
+        "vec_id", "cell_id", "embedding")
+      .select($"vec_id", $"cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(persisted == full, "incremental assignment diverged from full reassignment")
+
+    // multi-probe through the persisted tables ≡ the direct batch operator
+    val queries = embL.filter($"vec_id" >= 8 && $"vec_id" < 18)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "rank", "c_id", "cosine").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val viaIndex = rows(ivf.topK(queries, "vec_id", "embedding", 5, nProbe = 3))
+    val direct = rows(Similarity.ivfTopKProbes(embL, queries,
+      cents.select($"cell".as("cell_id"), $"centroid".as("embedding")),
+      "vec_id", "vec_id", "cell_id", "embedding", 5, 3))
+    assert(viaIndex == direct, "persisted multi-probe diverged from the batch operator")
+
+    // exactness anchor: probing every cell through the index = brute force
+    val allCells = rows(ivf.topK(queries, "vec_id", "embedding", 5, nProbe = 8))
+    val brute = rows(Similarity.bruteForceTopK(embL, queries,
+      "vec_id", "vec_id", "embedding", 5))
+    assert(allCells == brute, "nProbe=numCells over the persisted index must equal brute force")
+  }
+
+  test("persisted IVF drift ledger: in-distribution batch quiet, shifted batch flags, retrain resets") {
+    import graft.operators.PersistedIvf
+    val embL = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id".cast("long").as("vec_id"), $"embedding")
+    val wh = new graft.sources.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft-pivf-drift-").toString)
+    val ivf = new PersistedIvf(wh)
+    // trained-centroid build path (deterministic seeds)
+    ivf.build(embL.filter($"vec_id" < 400), "vec_id", "embedding", numCells = 8)
+    assert(!ivf.drifted(), "no batches yet — nothing to drift")
+
+    // same-distribution batch: mean cosine to centroids stays near the
+    // training mean, no flag
+    ivf.addVectors(embL.filter($"vec_id" >= 400), "vec_id", "embedding")
+    assert(!ivf.drifted(margin = 0.1), "in-distribution batch flagged as drift")
+
+    // adversarial shift: ZERO vectors score cosine 0 against every centroid
+    // (the kernel's zero-norm guard), so the batch mean collapses to 0 —
+    // measurably below any meaningful training mean — and the flag trips.
+    // Guard the premise first: spherical k-means on the real embeddings
+    // must align training data well above the margin, else the case proves
+    // nothing
+    val trainMean = ivf.assignStats().filter($"kind" === "train")
+      .select("mean_cos").head().getDouble(0)
+    assert(trainMean > 0.15, s"training alignment implausibly low: $trainMean")
+    val shifted = embL.limit(50).select(($"vec_id" + 100000L).as("vec_id"),
+      transform($"embedding", x => lit(0.0f)).as("embedding"))
+    ivf.addVectors(shifted, "vec_id", "embedding")
+    assert(ivf.drifted(margin = 0.1), "zero-aligned batch did not flag drift")
+
+    // the drift response: retrain on the accumulated corpus resets the
+    // ledger (fresh train row, no batch rows)
+    ivf.retrain(numCells = 8)
+    assert(!ivf.drifted(), "retrain must reset the drift ledger")
+    assert(ivf.assignments().count() == embL.count() + 50,
+      "retrain lost or duplicated corpus vectors")
+  }
+
   test("embedding near-dup pairs kernel works on real data") {
     val sub = emb.filter($"vec_id" < 50)
     val pairs = Dedup.embeddingNearDupPairs(sub, "vec_id", "embedding", -1.1)
