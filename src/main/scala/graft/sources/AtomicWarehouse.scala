@@ -292,8 +292,11 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     // the new owner's manifest (POSIX rename replaces the destination) while
     // its cleanup deletes the owner's lock, reopening the double-publish the
     // claim exists to prevent. A unique token written into the lock, re-read
-    // immediately before the rename and before the cleanup delete, turns the
-    // resumed staller into a detected lost race instead.
+    // immediately before the publish and before the cleanup delete, catches
+    // the resumed staller early; the PUBLISH ITSELF is then non-replacing on
+    // local FS (hard-link + EEXIST below), so even a staller that loses the
+    // claim in the re-read→publish gap FAILS instead of clobbering — the
+    // token is an early exit, not the safety argument.
     val token = java.util.UUID.randomUUID().toString
     val claim: Option[java.nio.file.Path] =
       if (qualifiedLog.toUri.getScheme != "file") None
@@ -327,7 +330,26 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       val out = fs.create(tmp, true)
       try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
       if (!ownsClaim) { fs.delete(tmp, true); return false } // fenced: claim broken mid-stall
-      if (fs.rename(tmp, dest)) true
+      if (claim.isDefined) {
+        // local FS: land the manifest with a HARD LINK — atomic
+        // fail-on-existing-destination (EEXIST), unlike rename(2) which
+        // silently replaces. This closes the residual TOCTOU between the
+        // ownsClaim re-read and the publish: a racer fenced in that gap gets
+        // an exception here, never a clobbered manifest. (createLink
+        // unsupported → fall back to rename: such filesystems are outside
+        // the `file:` claim path's POSIX assumptions anyway.)
+        val tmpP = java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath)
+        val destP = java.nio.file.Paths.get(fs.makeQualified(dest).toUri.getPath)
+        try { java.nio.file.Files.createLink(destP, tmpP); fs.delete(tmp, false); true }
+        catch {
+          case _: UnsupportedOperationException =>
+            if (fs.rename(tmp, dest)) true else { fs.delete(tmp, true); false }
+          case _: java.nio.file.FileAlreadyExistsException =>
+            fs.delete(tmp, false); false // lost the race: slot already published
+          case _: java.io.IOException =>
+            fs.delete(tmp, false); false
+        }
+      } else if (fs.rename(tmp, dest)) true
       else { fs.delete(tmp, true); false }
     } finally claim.foreach { l =>
       // delete only OUR claim: after a broken claim this lock belongs to the

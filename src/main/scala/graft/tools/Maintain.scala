@@ -71,8 +71,11 @@ object Maintain {
         spec.split(':') match {
           case Array(t)                    => (t, Plain)
           case Array(t, ZSpec(a, b))       => (t, ZOrder(a, b, 16))
-          case Array(t, ZSpec(a, b), bits) => (t, ZOrder(a, b, bits.toInt))
-          case Array(t, s)                 => (t, Sorted(s))
+          // bits must PARSE to match — 't:zorder=a,b:x' falls through to the
+          // uniform bad-spec error instead of a raw NumberFormatException
+          case Array(t, ZSpec(a, b), bits) if bits.matches("\\d+") =>
+            (t, ZOrder(a, b, bits.toInt))
+          case Array(t, s) if !s.startsWith("zorder=") => (t, Sorted(s))
           case _ => throw new IllegalArgumentException(s"bad table spec '$spec'")
         }
       }
