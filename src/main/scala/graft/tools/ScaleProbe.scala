@@ -47,6 +47,8 @@ object ScaleProbe {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val scales = if (args.length > 1) args(1).split(",").map(_.trim.toInt).toSeq
       else Seq(25, 50, 100)
+    // optional third arg restricts to one family: "dedup" | "ivf" (default both)
+    val section = if (args.length > 2) args(2) else "all"
     val spark = GraftSession.builder().appName("scale-probe").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -99,7 +101,7 @@ object ScaleProbe {
     val out = new StringBuilder
     def emit(line: String): Unit = { println(line); out.append(line).append('\n') }
 
-    scales.foreach { n =>
+    if (section != "ivf") scales.foreach { n =>
       val whDir = Files.createTempDirectory(s"graft-scaleprobe-x$n-").toString
       val wh = new Warehouse(spark, whDir)
       // rowsPerBand = 4 (2 bands of 4 minhashes): at corpus scale the band
@@ -228,6 +230,78 @@ object ScaleProbe {
           s"bloom routing changed exact-dedup semantics at x$n: $survivors != $survivorsAcrossModes")
       }
     }
+
+    // ---- persisted-IVF probe pruning (modes `ivf_probe` / `ivf_fullscan`):
+    // the same flat-probe claim as the dedup indexes, measured for ANN. The
+    // assignment table is cell-sorted with small row groups (production
+    // many-row-group shape); a 10-query batch at nProbe=4 probes ≤40
+    // distinct cells, so with cells = √N the pushed In literal should keep
+    // scanned records ≈ probedCells·(N/cells) ≈ 40·√N — SUBLINEAR in corpus
+    // size, a FALLING fraction of the fullscan variant's N (literal cap
+    // disabled) as the corpus grows. Same results either way: the cell
+    // filter is a scan optimization, the join on `cell` already restricts
+    // candidates. `probe_records` is the claim's metric; `probe_bytes` at
+    // these toy 32 KB row groups is dominated by per-group metadata
+    // re-reads on the filtered path (production 128 MB groups amortize
+    // that) and by dictionary compression of the replicated floats on the
+    // sequential path — reported for completeness, not comparability.
+    if (section != "dedup") locally {
+      val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      def rot(i: Int): DataFrame = {
+        val r = i % 63 + 1
+        if (i == 0) emb0
+        else emb0.select((col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+          concat(slice(col("embedding"), r + 1, 10000),
+            slice(col("embedding"), 1, r)).as("embedding"))
+      }
+      val queries = emb0.orderBy("vec_id").limit(10)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      queries.count()
+      // warehouse writes must come out many-row-grouped like the other
+      // indexes (wh.replace carries no per-write options → set hadoop-level)
+      val hc = spark.sparkContext.hadoopConfiguration
+      val (oldBlock, oldPage) = (hc.get("parquet.block.size"), hc.get("parquet.page.size"))
+      hc.setInt("parquet.block.size", 32768); hc.setInt("parquet.page.size", 8192)
+      try scales.foreach { n =>
+        val corpus = (0 until n).map(rot).reduce(_ union _)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nVec = corpus.count()
+        val cells = math.max(math.sqrt(nVec.toDouble).toInt, 8)
+        // seed centroids (no Lloyd rounds): centroid QUALITY is irrelevant to
+        // the scan measurement, cell COUNT is what scales the claim
+        val cents = corpus.orderBy("vec_id").limit(cells)
+          .select(col("vec_id").cast("int").as("cell"), col("embedding").as("centroid"))
+        val wh = new Warehouse(spark,
+          Files.createTempDirectory(s"graft-scaleprobe-ivf-x$n-").toString)
+        new graft.operators.PersistedIvf(wh)
+          .buildWith(corpus, "vec_id", "embedding", cents)
+        var acrossModes = Set.empty[(Long, Long)]
+        Seq(("ivf_probe", 1000), ("ivf_fullscan", 0)).foreach { case (mode, lim) =>
+          val ivf = new graft.operators.PersistedIvf(wh, probeCellLimit = lim)
+          (1 to 2).foreach { rep => // rep 1 warms page cache; rep 2 measured
+            bytesRead.set(0); recordsRead.set(0)
+            val t0 = System.nanoTime()
+            val got = ivf.topK(queries, "vec_id", "embedding", 10, nProbe = 4)
+              .select(col("q_id"), col("c_id")).collect()
+              .map(r => (r.getLong(0), r.getLong(1))).toSet
+            val secs = (System.nanoTime() - t0) / 1e9
+            if (rep == 2) emit(
+              f"""{"tool":"scaleprobe","scale_x":$n,"mode":"$mode","n_vec":$nVec,"cells":$cells,"probe_bytes":${bytesRead.get()},"probe_records":${recordsRead.get()},"topk_rows":${got.size},"sec":$secs%.2f}""")
+            assert(got.size == 10 * 10, s"IVF top-k shape wrong at x$n/$mode: ${got.size}")
+            if (acrossModes.isEmpty) acrossModes = got
+            else assert(got == acrossModes,
+              s"cell-literal pushdown changed IVF results at x$n/$mode")
+          }
+        }
+        corpus.unpersist(true)
+      } finally {
+        if (oldBlock == null) hc.unset("parquet.block.size") else hc.set("parquet.block.size", oldBlock)
+        if (oldPage == null) hc.unset("parquet.page.size") else hc.set("parquet.page.size", oldPage)
+      }
+      queries.unpersist(true)
+    }
+
     val p = java.nio.file.Paths.get("target/scaleprobe.json")
     Option(p.getParent).foreach(Files.createDirectories(_))
     Files.write(p, out.toString.getBytes("UTF-8"))

@@ -389,6 +389,32 @@ class TrainingOpsSpec extends SparkSpec {
     assert(allCells == brute, "nProbe=numCells over the persisted index must equal brute force")
   }
 
+  test("persisted IVF probe pushes the probed-cell literals into the assignment scan") {
+    import graft.operators.PersistedIvf
+    val embL = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id".cast("long").as("vec_id"), $"embedding")
+    val wh = new graft.sources.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft-pivf-push-").toString)
+    val ivf = new PersistedIvf(wh)
+    ivf.buildWith(embL, "vec_id", "embedding",
+      embL.filter($"vec_id" < 8).select($"vec_id".cast("int").as("cell"), $"embedding".as("centroid")))
+    val queries = embL.filter($"vec_id" >= 8 && $"vec_id" < 13)
+    // the probed-cell In literal must reach the parquet scan (planning-time
+    // row-group pruning — the scan reads the probed cells, not the corpus)
+    val plan = ivf.topK(queries, "vec_id", "embedding", 5, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("In(cell"),
+      s"probed-cell literals did not reach the assignment scan:\n${plan.take(2000)}")
+    // and with the literal cap disabled the filter is gone (full-scan path),
+    // results identical either way — the filter is purely a scan optimization
+    val noPush = new PersistedIvf(wh, probeCellLimit = 0)
+    val p2 = noPush.topK(queries, "vec_id", "embedding", 5, nProbe = 2)
+    assert(!p2.queryExecution.executedPlan.toString.contains("In(cell"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(rows(p2) == rows(ivf.topK(queries, "vec_id", "embedding", 5, nProbe = 2)))
+  }
+
   test("persisted IVF drift ledger: in-distribution batch quiet, shifted batch flags, retrain resets") {
     import graft.operators.PersistedIvf
     val embL = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
