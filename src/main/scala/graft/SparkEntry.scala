@@ -88,6 +88,32 @@ object SparkEntry {
     }
   }
 
+  /** The IVF stream's input fixture: the incremental tail of `embeddings`
+    * (vec_id ≥ 300 — the same build/add split as `sim_ivf_persisted`) as 2
+    * deterministic micro-batch chunk files by vec_id mod 2. Batch ORDER is
+    * immaterial to the final index (assignment is a pure per-row function of
+    * (vector, persisted centroids)), which is why the persisted-path oracle
+    * states this stream's result too.
+    */
+  private def ivfStreamChunks(s: SparkSession, dir: String): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val emb = t(s, dir, "embeddings").select(
+      col("vec_id").cast(LongType).as("vec_id"),
+      col("embedding").cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType)).as("embedding"))
+    chunkedInput("ivfstream", dir) { inDir =>
+      (0 until 2).foreach { i =>
+        val tmp = Files.createTempDirectory(s"graft-ivfs-c$i-").toString + "/out"
+        emb.filter(col("vec_id") >= 300 && pmod(col("vec_id"), lit(2)) === i)
+          .coalesce(1).write.parquet(tmp)
+        val part = Files.list(Paths.get(tmp))
+          .filter(_.toString.endsWith(".parquet")).findFirst.get
+        Files.move(part, Paths.get(inDir, f"chunk_$i%02d.parquet"),
+          StandardCopyOption.ATOMIC_MOVE)
+      }
+    }
+  }
+
   /** Deterministic merge-layer scenario (J1-J5): a synthetic staging batch
     * from `part` runs through all three MERGE procedures against seeded,
     * non-empty dims. Exercises every key rule the reference delegates to the
@@ -1302,6 +1328,20 @@ object SparkEntry {
         dim = 64, bitsPerBand = 8, nBands = 4, minCosine = 0.45)
         .orderBy(col("id_a"), col("id_b"))
 
+    // ---- SemDeDup-style cluster-scoped semantic dedup: assign every vector
+    // to its nearest deterministic centroid (first 8 vectors — the sim_ivf
+    // cells), then drop any vector with an EARLIER (lower-id) same-cell
+    // neighbor at cosine ≥ 0.45. The quadratic step never leaves a cell —
+    // the scale trade the oracle restates verbatim
+    q("dedup_semantic") = (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Dedup.semanticDedup(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cell"), col("embedding").as("centroid")),
+        minCosine = 0.45)
+        .orderBy(col("vec_id"))
+    }
+
     // ---- similarity search over embeddings ----
 
     q("sim_topk") = (s, dir) => {
@@ -1355,6 +1395,38 @@ object SparkEntry {
           .select(col("vec_id").as("cell"), col("embedding").as("centroid")))
       ivf.addVectors(emb.filter(col("vec_id") >= 300), "vec_id", "embedding")
       ivf.topK(emb.filter(col("vec_id") >= 8 && col("vec_id") < 18),
+          "vec_id", "embedding", 5, nProbe = 2)
+        .select(col("q_id"), col("rank").cast(LongType).as("rank"), col("c_id"), col("cosine"))
+        .orderBy(col("q_id"), col("rank"))
+    }
+
+    // ---- the same index maintained by STRUCTURED STREAMING: build on the
+    // first 300 vectors, then the tail arrives as micro-batch files
+    // (streaming/IvfStream — ledgered atomic admits, replay-idempotent),
+    // then the identical multi-probe top-5 over the persisted tables.
+    // Assignment is a pure per-row function of (vector, centroids), so the
+    // streamed index ≡ the batch-built one and the ORACLE IS THE SAME SQL as
+    // sim_ivf_persisted — micro-batch ≡ batch, the dedup_stream argument
+    // applied to ANN
+    q("sim_ivf_stream") = (s, dir) => {
+      import java.nio.file.Files
+      val emb = t(s, dir, "embeddings")
+      val inDir = ivfStreamChunks(s, dir)
+      val ckpt = Files.createTempDirectory("graft-ivfs-ck-").toString
+      val whDir = Files.createTempDirectory("graft-ivfs-wh-").toString
+      val st = new graft.streaming.IvfStream(
+        new graft.sources.AtomicWarehouse(GraftSession.streamSession(s), whDir))
+      st.ivf.buildWith(emb.filter(col("vec_id") < 300), "vec_id", "embedding",
+        emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cell"), col("embedding").as("centroid")))
+      val sq = st.start(inDir, ckpt)
+      val drainMs = GraftSession.streamDrainTimeoutMs
+      if (!sq.awaitTermination(drainMs)) {
+        sq.stop()
+        throw new IllegalStateException(
+          s"sim_ivf_stream failed to drain within ${drainMs / 1000} s")
+      }
+      st.ivf.topK(emb.filter(col("vec_id") >= 8 && col("vec_id") < 18),
           "vec_id", "embedding", 5, nProbe = 2)
         .select(col("q_id"), col("rank").cast(LongType).as("rank"), col("c_id"), col("cosine"))
         .orderBy(col("q_id"), col("rank"))
@@ -2723,6 +2795,85 @@ object SparkEntry {
         | FROM scored)
         |SELECT q_id, rank, c_id, cosine FROM ranked WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin,
+
+    // the streamed index is bit-identical to the batch-built one (assignment
+    // is a pure per-row function of vector × persisted centroids; the ledger
+    // makes replays no-ops), so the oracle is sim_ivf_persisted's SQL
+    "sim_ivf_stream" ->
+      """WITH cent AS (SELECT vec_id AS cell, embedding FROM embeddings WHERE vec_id < 8),
+        |assign_all AS (
+        | SELECT e.vec_id, c.cell,
+        |  round(CASE WHEN sqrt(sum(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)) = 0
+        |         OR sqrt(sum(c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) = 0 THEN 0
+        |   ELSE sum(e.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)
+        |    / (sqrt(sum(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))
+        |       * sqrt(sum(c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))) END, 6) AS cos6
+        | FROM embeddings e, cent c, generate_series(1, 64) t(i) GROUP BY 1,2),
+        |cells AS (
+        | SELECT vec_id, cell FROM (
+        |  SELECT vec_id, cell,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY cos6 DESC, cell) AS rn
+        |  FROM assign_all) WHERE rn = 1),
+        |qcells AS (
+        | SELECT vec_id AS q_id, cell FROM (
+        |  SELECT vec_id, cell,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY cos6 DESC, cell) AS rn
+        |  FROM assign_all WHERE vec_id >= 8 AND vec_id < 18) WHERE rn <= 2),
+        |qs AS (SELECT q.q_id, q.cell, e.embedding FROM qcells q
+        |       JOIN embeddings e ON e.vec_id = q.q_id),
+        |cs AS (SELECT vec_id AS c_id, embedding, cell FROM embeddings JOIN cells USING (vec_id)),
+        |p AS (
+        | SELECT qs.q_id, cs.c_id,
+        |  sum(cs.embedding[i]::DOUBLE * qs.embedding[i]::DOUBLE) AS dot,
+        |  sqrt(sum(cs.embedding[i]::DOUBLE * cs.embedding[i]::DOUBLE)) AS cn,
+        |  sqrt(sum(qs.embedding[i]::DOUBLE * qs.embedding[i]::DOUBLE)) AS qn
+        | FROM qs JOIN cs ON qs.cell = cs.cell AND cs.c_id <> qs.q_id,
+        |  generate_series(1, 64) t(i)
+        | GROUP BY 1,2),
+        |scored AS (
+        | SELECT q_id, c_id,
+        |  round(CASE WHEN cn = 0 OR qn = 0 THEN 0 ELSE dot/(cn*qn) END, 4) AS cosine
+        | FROM p),
+        |ranked AS (
+        | SELECT q_id, c_id, cosine,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS BIGINT) AS rank
+        | FROM scored)
+        |SELECT q_id, rank, c_id, cosine FROM ranked WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
+
+    // cluster-scoped semantic dedup: same deterministic cells as sim_ivf,
+    // then "exists an earlier same-cell neighbor at cos6 ≥ 0.45" drops
+    "dedup_semantic" ->
+      """WITH cent AS (SELECT vec_id AS cell, embedding FROM embeddings WHERE vec_id < 8),
+        |assign_all AS (
+        | SELECT e.vec_id, c.cell,
+        |  round(CASE WHEN sqrt(sum(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)) = 0
+        |         OR sqrt(sum(c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) = 0 THEN 0
+        |   ELSE sum(e.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)
+        |    / (sqrt(sum(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))
+        |       * sqrt(sum(c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))) END, 6) AS cos6
+        | FROM embeddings e, cent c, generate_series(1, 64) t(i) GROUP BY 1,2),
+        |cells AS (
+        | SELECT vec_id, cell FROM (
+        |  SELECT vec_id, cell,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY cos6 DESC, cell) AS rn
+        |  FROM assign_all) WHERE rn = 1),
+        |v AS (SELECT c.vec_id, c.cell, e.embedding FROM cells c
+        |      JOIN embeddings e USING (vec_id)),
+        |p AS (
+        | SELECT a.vec_id AS id_a,
+        |  sum(a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE) AS dot,
+        |  sqrt(sum(a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)) AS na,
+        |  sqrt(sum(b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) AS nb
+        | FROM v a JOIN v b ON a.cell = b.cell AND b.vec_id < a.vec_id,
+        |  generate_series(1, 64) t(i)
+        | GROUP BY a.vec_id, b.vec_id),
+        |dropped AS (
+        | SELECT DISTINCT id_a AS vec_id FROM p
+        | WHERE round(CASE WHEN na = 0 OR nb = 0 THEN 0 ELSE dot/(na*nb) END, 6) >= 0.45)
+        |SELECT v.vec_id, v.cell FROM v
+        |WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.vec_id = v.vec_id)
+        |ORDER BY v.vec_id""".stripMargin,
 
     "q12_rollup" ->
       """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,

@@ -703,6 +703,76 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** SemDeDup-style cluster-scoped semantic dedup (the public concept —
+    * Abbas et al. 2023, arXiv:2303.09540: k-means the embedding space, then
+    * dedup only WITHIN each cluster). The candidate structure is the key to
+    * its 100 TB shape: one shuffle keyed on `cell`, with the quadratic
+    * pairwise step confined inside a cell — choose `numCells ∝ corpus size ÷
+    * target cell width` (the [[Similarity]] √N default, or finer) and the
+    * per-cell work stays constant as the corpus grows; a skew-heavy cell is
+    * AQE's skew-join case. Cross-cell near-duplicates are out of scope BY
+    * DESIGN (that is the SemDeDup trade; [[cosineLshVerifiedPairs]] is the
+    * overlapping-bucket alternative when they matter).
+    *
+    * Drop rule, deterministic and locally decidable: a vector is dropped iff
+    * some LOWER-id vector in the SAME cell has cosine ≥ `minCosine` (at the
+    * engine's 6-decimal quantization). Note this is not transitive-closure
+    * survivorship ([[connectedComponents]]): in a chain A~B~C with A≁C, B
+    * drops (A is earlier) and C drops too — B still counts as an earlier
+    * near-duplicate even though B itself lost. Every rule here is restated
+    * by the `dedup_semantic` DuckDB oracle over the same deterministic
+    * centroids.
+    *
+    * @param centroids (cell, centroid) — caller-provided, e.g.
+    *   [[Similarity.trainCentroids]] output or a [[PersistedIvf]]'s persisted
+    *   table (semantic dedup and ANN share the partitioning structure).
+    * @return survivors as (idCol, cell)
+    */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, minCosine: Double): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, FloatType, LongType}
+    val norm = emb.select(col(idCol).cast(LongType).as("id"),
+      col(vecCol).cast(ArrayType(FloatType)).as("vec"))
+    val cents = centroids.select(col("cell").cast(LongType).as("cell"),
+      col("centroid").cast(ArrayType(FloatType)).as("vec"))
+    // (id, cell, vec) — broadcast-centroid argmax, same quantization (and
+    // tie-break: min cell) as the ANN family, so the two share oracles
+    semanticDedupAssigned(
+      Similarity.assignCells(norm, cents, "id", "cell", "vec"), minCosine)
+      .select(col("id").as(idCol), col("cell"))
+  }
+
+  /** The same drop rule over an ALREADY-ASSIGNED `(id, cell, vec)` frame —
+    * which is exactly the shape of a [[PersistedIvf]]'s persisted assignment
+    * table: at corpus scale, call this on `ivf.assignments()` so the three
+    * subplan references below re-read a cheap columnar table instead of
+    * re-running the centroid-assign kernel three times (Spark only reuses
+    * repeated subplans at AQE exchange boundaries, not arbitrary DAG
+    * sharing — the inline [[semanticDedup]] plan carries the kernel ×3,
+    * visible in `tools/PlanAudit`'s operator counts). Semantic dedup and ANN
+    * sharing one persisted structure is the point: one k-means, two
+    * capabilities.
+    */
+  def semanticDedupAssigned(cells: DataFrame, minCosine: Double): DataFrame = {
+    // norms once per vector (embeddingNearDupPairs' flop argument); the
+    // within-cell equi-join is the only shuffle
+    val sided = cells.select(col("cell"), col("id"), col("vec"),
+      Transforms.vecNorm(col("vec")).as("nrm"))
+    val a = sided.select(col("cell"), col("id").as("id_a"),
+      col("vec").as("v_a"), col("nrm").as("n_a"))
+    val b = sided.select(col("cell"), col("id").as("id_b"),
+      col("vec").as("v_b"), col("nrm").as("n_b"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("id_b") < col("id_a"))
+      .filter(round(
+        when(col("n_a") === 0 || col("n_b") === 0, lit(0.0))
+          .otherwise(Transforms.vecDot(col("v_a"), col("v_b"))
+            / (col("n_a") * col("n_b"))), 6) >= minCosine)
+      .select(col("id_a").as("id")).distinct()
+    cells.join(dropped, Seq("id"), "left_anti")
+      .select(col("id"), col("cell"))
+  }
+
   /** The embedding-dedup scale path: sign-LSH (random hyperplane) candidate
     * generation + exact cosine verification on the candidates only — the
     * all-pairs scan ([[embeddingNearDupPairs]]) is the verification kernel

@@ -47,6 +47,7 @@ class PersistedIvf(wh: Warehouse, probeCellLimit: Int = 1000) {
   val centroidsTable = "ann/Centroids"
   val assignTable = "ann/CellAssignments"
   val statsTable = "ann/AssignStats"
+  val ingestTable = "ann/IngestLedger"
 
   val centroidSchema: StructType = StructType(Seq(
     StructField("cell", IntegerType, nullable = false),
@@ -60,6 +61,8 @@ class PersistedIvf(wh: Warehouse, probeCellLimit: Int = 1000) {
     StructField("kind", StringType, nullable = false),
     StructField("n", LongType, nullable = false),
     StructField("mean_cos", DoubleType, nullable = true)))
+  val ingestSchema: StructType = StructType(Seq(
+    StructField("batch_id", LongType, nullable = false)))
 
   /** Assignment keeping the winning cosine (the drift statistic's input).
     * Same argmax as [[Similarity.assignCells]]: max_by over
@@ -129,7 +132,31 @@ class PersistedIvf(wh: Warehouse, probeCellLimit: Int = 1000) {
     * (+ its drift-ledger row). Batch-sized work; the existing corpus is
     * untouched. Fails fast when the index was never built.
     */
-  def addVectors(fresh: DataFrame, idCol: String, vecCol: String): Unit = {
+  def addVectors(fresh: DataFrame, idCol: String, vecCol: String): Unit =
+    admit(fresh, idCol, vecCol, batchId = None)
+
+  /** [[addVectors]] plus a `(batch_id)` ingest-ledger row written in the SAME
+    * atomic section — the streaming-replay guard ([[graft.streaming.IvfStream]]):
+    * a checkpoint retry of an already-committed micro-batch sees its id in the
+    * ledger and no-ops instead of double-appending assignment rows (which would
+    * duplicate candidates into every later probe). Exactly-once therefore needs
+    * the admit to be transactional — run streams on an
+    * [[graft.sources.AtomicWarehouse]]; on the base warehouse a crash between
+    * the sequential appends downgrades this to at-least-once.
+    */
+  def addVectorsLedgered(fresh: DataFrame, idCol: String, vecCol: String,
+      batchId: Long): Unit =
+    if (!ingested(batchId)) admit(fresh, idCol, vecCol, Some(batchId))
+
+  /** True when `batchId` was already admitted (a checkpoint replay). */
+  def ingested(batchId: Long): Boolean =
+    wh.exists(ingestTable) && !wh.read(ingestTable, ingestSchema)
+      .filter(col("batch_id") === batchId).isEmpty
+
+  def ingestLedger(): DataFrame = wh.read(ingestTable, ingestSchema)
+
+  private def admit(fresh: DataFrame, idCol: String, vecCol: String,
+      batchId: Option[Long]): Unit = {
     require(wh.exists(centroidsTable), s"$centroidsTable absent — build() first")
     val assigned = assignWithCos(normalized(fresh, idCol, vecCol), centroids())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -142,6 +169,10 @@ class PersistedIvf(wh: Warehouse, probeCellLimit: Int = 1000) {
       wh.atomically { w =>
         w.append(assignTable, assigned.drop("cos6").sortWithinPartitions("cell"))
         w.append(statsTable, statsRow(seq, "batch", n, meanCos))
+        batchId.foreach { b =>
+          w.append(ingestTable, wh.spark.createDataFrame(
+            java.util.Arrays.asList(org.apache.spark.sql.Row(Long.box(b))), ingestSchema))
+        }
       }
     } finally assigned.unpersist(false)
   }

@@ -18,13 +18,17 @@ object PlanAudit {
   //     quadratic BY DESIGN, bucketed scale path implemented beside them;
   //   - sim_topk/sim_ivf*: deliberate crossJoin(broadcast(querySet)) /
   //     broadcast(centroids) — the corpus side streams, never shuffles;
+  //   - dedup_semantic: the same broadcast(centroids) assign kernel (×3
+  //     subplan references inline; the scale path feeds a persisted
+  //     assignment table through semanticDedupAssigned instead);
   // The merge queries are deliberately NOT here: their joins must plan as
   // hash joins (their fixtures seed lookups as LocalRelation DATA rows —
   // literal-column seeds would FoldablePropagation-fold the join keys
   // away and degrade to BNLJ, as would a broadcast hint on the product
   // upsert's full outer).
   val kernelAllowlist: Set[String] = Set("dedup_jaccard", "dedup_embedding",
-    "sim_topk", "sim_ivf", "sim_ivf_trained", "sim_ivf_persisted")
+    "sim_topk", "sim_ivf", "sim_ivf_trained", "sim_ivf_persisted",
+    "sim_ivf_stream", "dedup_semantic")
 
   final case class Audit(report: String, flagged: List[String], errors: List[String])
 

@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.SimHash
-import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+import graft.operators.{Dedup, Multimodal, PersistedIvf, Similarity, TextOps}
 import org.apache.spark.sql.functions._
 
 /** Training-data operator tests over the real documents/embeddings testdata
@@ -619,5 +619,36 @@ class TrainingOpsSpec extends SparkSpec {
         probeKeyLimit = 3, pointLookupMaxIds = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(capped == full)
+  }
+
+  test("semantic dedup: inline ≡ persisted-assignment path; planted dup drops, earlier copy wins") {
+    val embL = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id".cast("long").as("vec_id"),
+        $"embedding".cast("array<float>").as("embedding"))
+    val seeds = embL.filter($"vec_id" < 8)
+      .select($"vec_id".as("cell"), $"embedding".as("centroid"))
+
+    val inline = Dedup.semanticDedup(embL, "vec_id", "embedding", seeds, 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inline.nonEmpty && inline.size < 500, s"trivial result: ${inline.size}")
+
+    // the scale path: the SAME drop rule over a PersistedIvf's assignment
+    // table (its (id, cell, vec) shape is the operator's input contract)
+    val wh = new graft.sources.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft-semivf-").toString)
+    val ivf = new PersistedIvf(wh)
+    ivf.buildWith(embL, "vec_id", "embedding", seeds)
+    val persisted = Dedup.semanticDedupAssigned(ivf.assignments(), 0.45)
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong)).toSet
+    assert(persisted == inline, "persisted-assignment path diverged from inline")
+
+    // drop-rule semantics on planted data: an exact copy of an earlier
+    // vector drops; a vector alone in its cell survives at any threshold
+    val planted = embL.filter($"vec_id" < 100)
+      .union(embL.filter($"vec_id" === 3).select(lit(9001L).as("vec_id"), $"embedding"))
+    val got = Dedup.semanticDedup(planted, "vec_id", "embedding", seeds, 0.999)
+      .collect().map(_.getLong(0)).toSet
+    assert(!got.contains(9001L), "planted exact duplicate survived")
+    assert(got.contains(3L), "the EARLIER copy must survive")
   }
 }
