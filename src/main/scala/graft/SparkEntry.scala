@@ -114,6 +114,33 @@ object SparkEntry {
     }
   }
 
+  /** The semantic-dedup stream's input fixture: ALL of `embeddings` as 3
+    * ID-ORDERED range chunks — id order is what makes first-arrival-wins
+    * coincide with batch semanticDedup's lower-id-wins rule, letting the
+    * stream share `dedup_semantic`'s oracle.
+    */
+  private def semStreamChunks(s: SparkSession, dir: String): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val emb = t(s, dir, "embeddings").select(
+      col("vec_id").cast(LongType).as("vec_id"),
+      col("embedding").cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType)).as("embedding"))
+    chunkedInput("semstream", dir) { inDir =>
+      // range bounds from the data, not a literal — a regenerated testdata
+      // with a different corpus size must still stream EVERY vector
+      val width = emb.agg(max(col("vec_id"))).head().getLong(0) / 3 + 1
+      (0 until 3).foreach { i =>
+        val tmp = Files.createTempDirectory(s"graft-sems-c$i-").toString + "/out"
+        emb.filter(col("vec_id") >= i * width && col("vec_id") < (i + 1) * width)
+          .coalesce(1).write.parquet(tmp)
+        val part = Files.list(Paths.get(tmp))
+          .filter(_.toString.endsWith(".parquet")).findFirst.get
+        Files.move(part, Paths.get(inDir, f"chunk_$i%02d.parquet"),
+          StandardCopyOption.ATOMIC_MOVE)
+      }
+    }
+  }
+
   /** Deterministic merge-layer scenario (J1-J5): a synthetic staging batch
     * from `part` runs through all three MERGE procedures against seeded,
     * non-empty dims. Exercises every key rule the reference delegates to the
@@ -1339,6 +1366,35 @@ object SparkEntry {
         emb.filter(col("vec_id") < 8)
           .select(col("vec_id").as("cell"), col("embedding").as("centroid")),
         minCosine = 0.45)
+        .orderBy(col("vec_id"))
+    }
+
+    // ---- the STREAMING form: the whole corpus arrives as 3 id-ordered
+    // micro-batch files; every batch probes only ITS cells of the
+    // accumulated cell index (In-literal row-group pruning), survivors admit
+    // atomically with the arrival-retaining index append. Id-ordered batches
+    // make first-arrival-wins ≡ the batch rule, so the oracle is
+    // dedup_semantic's SQL verbatim
+    q("dedup_semantic_stream") = (s, dir) => {
+      import java.nio.file.Files
+      val emb = t(s, dir, "embeddings")
+      val inDir = semStreamChunks(s, dir)
+      val ckpt = Files.createTempDirectory("graft-sems-ck-").toString
+      val whDir = Files.createTempDirectory("graft-sems-wh-").toString
+      val sd = new graft.streaming.SemanticDedupStream(
+        new graft.sources.AtomicWarehouse(GraftSession.streamSession(s), whDir),
+        minCosine = 0.45)
+      sd.init(emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cell"), col("embedding").as("centroid")))
+      val sq = sd.start(inDir, ckpt)
+      val drainMs = GraftSession.streamDrainTimeoutMs
+      if (!sq.awaitTermination(drainMs)) {
+        sq.stop()
+        throw new IllegalStateException(
+          s"dedup_semantic_stream failed to drain within ${drainMs / 1000} s")
+      }
+      sd.survivors()
+        .select(col("id").as("vec_id"), col("cell").cast(LongType).as("cell"))
         .orderBy(col("vec_id"))
     }
 
@@ -2844,6 +2900,41 @@ object SparkEntry {
     // cluster-scoped semantic dedup: same deterministic cells as sim_ivf,
     // then "exists an earlier same-cell neighbor at cos6 ≥ 0.45" drops
     "dedup_semantic" ->
+      """WITH cent AS (SELECT vec_id AS cell, embedding FROM embeddings WHERE vec_id < 8),
+        |assign_all AS (
+        | SELECT e.vec_id, c.cell,
+        |  round(CASE WHEN sqrt(sum(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)) = 0
+        |         OR sqrt(sum(c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) = 0 THEN 0
+        |   ELSE sum(e.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)
+        |    / (sqrt(sum(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))
+        |       * sqrt(sum(c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))) END, 6) AS cos6
+        | FROM embeddings e, cent c, generate_series(1, 64) t(i) GROUP BY 1,2),
+        |cells AS (
+        | SELECT vec_id, cell FROM (
+        |  SELECT vec_id, cell,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY cos6 DESC, cell) AS rn
+        |  FROM assign_all) WHERE rn = 1),
+        |v AS (SELECT c.vec_id, c.cell, e.embedding FROM cells c
+        |      JOIN embeddings e USING (vec_id)),
+        |p AS (
+        | SELECT a.vec_id AS id_a,
+        |  sum(a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE) AS dot,
+        |  sqrt(sum(a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)) AS na,
+        |  sqrt(sum(b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) AS nb
+        | FROM v a JOIN v b ON a.cell = b.cell AND b.vec_id < a.vec_id,
+        |  generate_series(1, 64) t(i)
+        | GROUP BY a.vec_id, b.vec_id),
+        |dropped AS (
+        | SELECT DISTINCT id_a AS vec_id FROM p
+        | WHERE round(CASE WHEN na = 0 OR nb = 0 THEN 0 ELSE dot/(na*nb) END, 6) >= 0.45)
+        |SELECT v.vec_id, v.cell FROM v
+        |WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.vec_id = v.vec_id)
+        |ORDER BY v.vec_id""".stripMargin,
+
+    // id-ordered micro-batches + arrival-retaining index make the stream's
+    // first-arrival-wins rule coincide with the batch lower-id-wins rule:
+    // the oracle is dedup_semantic's SQL verbatim
+    "dedup_semantic_stream" ->
       """WITH cent AS (SELECT vec_id AS cell, embedding FROM embeddings WHERE vec_id < 8),
         |assign_all AS (
         | SELECT e.vec_id, c.cell,

@@ -1,0 +1,177 @@
+package graft.streaming
+
+import graft.functions.Transforms
+import graft.operators.Similarity
+import graft.sources.Warehouse
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, LongType, StructField, StructType}
+
+/** Streaming SemDeDup — [[graft.operators.Dedup.semanticDedup]]'s
+  * continuous-ingest form, completing the dedup-family symmetry (exact and
+  * LSH dedup both have batch + incremental + streaming members; this is the
+  * semantic member). Embedding batches arrive as parquet files; each batch
+  * is assigned to its nearest persisted centroid, probed against the
+  * accumulated CELL INDEX for earlier same-cell neighbors at
+  * `cosine ≥ minCosine`, and only un-matched vectors are admitted as
+  * survivors.
+  *
+  * ==Semantics: first-arrival-wins, arrival retention = batch equivalence==
+  * Any already-arrived same-cell neighbor drops a batch vector regardless of
+  * id (the [[ExactDedupStream]] contract); within a batch, lower id wins.
+  * The cell index retains EVERY arrived vector, admitted or not — because
+  * the batch drop rule counts any earlier near-duplicate, not just surviving
+  * ones (the A~B~C chain in [[graft.operators.Dedup.semanticDedup]]'s doc).
+  * With id-ordered batches every index member has a lower id than the batch,
+  * so the streamed survivor set is bit-identical to batch `semanticDedup`
+  * over the full corpus — which is why the `dedup_semantic_stream` driver
+  * query shares `dedup_semantic`'s DuckDB oracle (the dedup_stream
+  * micro-batch ≡ batch argument, semantic edition). An admit-only index
+  * would instead compute a greedy independent set — a different policy,
+  * deliberately not offered.
+  *
+  * ==Per-batch cost at corpus scale==
+  * Assignment is a broadcast-centroid argmax (batch-sized). The neighbor
+  * probe reads only the BATCH's cells from the index: the distinct cell ids
+  * (≤ batch size, capped at `probeCellLimit`) are pushed into the scan as an
+  * `In` literal over cell-sorted files — planning-time row-group pruning,
+  * the [[graft.operators.PersistedIvf.topK]] mechanism. Work per batch
+  * tracks batch size × cell width, never the accumulated corpus.
+  *
+  * ==Replay idempotency==
+  * The admit (index append + survivors append + `(batch_id)` ledger row) is
+  * one `atomically` section; a checkpoint retry of a committed batch sees
+  * its ledger row and no-ops. Run on an
+  * [[graft.sources.AtomicWarehouse]] for exactly-once (the other streams'
+  * arrangement); on the base warehouse a mid-admit crash downgrades to
+  * at-least-once.
+  */
+class SemanticDedupStream(wh: Warehouse, minCosine: Double,
+    probeCellLimit: Int = 1000, idCol: String = "vec_id",
+    vecCol: String = "embedding") {
+
+  val centroidsTable = "semdedup/Centroids"
+  val indexTable = "semdedup/CellIndex"
+  val survivorsTable = "semdedup/Survivors"
+  val ledgerTable = "semdedup/IngestLedger"
+
+  val centroidSchema: StructType = StructType(Seq(
+    StructField("cell", IntegerType, nullable = false),
+    StructField("centroid", ArrayType(FloatType), nullable = true)))
+  val indexSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("cell", IntegerType, nullable = false),
+    StructField("vec", ArrayType(FloatType), nullable = true)))
+  val survivorSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("cell", IntegerType, nullable = false)))
+  val ledgerSchema: StructType = StructType(Seq(
+    StructField("batch_id", LongType, nullable = false)))
+
+  def vecSchema: StructType = StructType(Seq(
+    StructField(idCol, LongType, nullable = false),
+    StructField(vecCol, ArrayType(FloatType), nullable = true)))
+
+  /** Install the (cell, centroid) partitioning before streaming — e.g.
+    * [[Similarity.trainCentroids]] output or a [[graft.operators.PersistedIvf]]'s
+    * centroids table (ANN and semantic dedup share the structure).
+    */
+  def init(centroids: DataFrame): Unit =
+    wh.replace(centroidsTable, centroids.select(
+      col("cell").cast(IntegerType).as("cell"),
+      col("centroid").cast(ArrayType(FloatType)).as("centroid")))
+
+  def survivors(): DataFrame = wh.read(survivorsTable, survivorSchema)
+  def index(): DataFrame = wh.read(indexTable, indexSchema)
+  private[graft] def ledger(): DataFrame = wh.read(ledgerTable, ledgerSchema)
+
+  def processBatch(batch0: DataFrame, batchId: Long): Unit = {
+    if (wh.exists(ledgerTable) &&
+        !ledger().filter(col("batch_id") === batchId).isEmpty) return
+    require(wh.exists(centroidsTable), s"$centroidsTable absent — init() first")
+    val cents = wh.read(centroidsTable, centroidSchema)
+      .select(col("cell"), col("centroid").as("vec"))
+    val norm = batch0.select(col(idCol).cast(LongType).as("id"),
+      col(vecCol).cast(ArrayType(FloatType)).as("vec"))
+    // (id, cell, vec) — materialized once: referenced by the probe, the
+    // within-batch pair join, and the admit (the semanticDedupAssigned ×3
+    // argument, paid here as one batch-sized persist)
+    val assigned = Similarity.assignCells(norm, cents, "id", "cell", "vec")
+      .select(col("id"), col("cell").cast(IntegerType).as("cell"), col("vec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // probe only the batch's cells: ≤ batch-distinct literals, row-group
+      // pruning on the cell-sorted index files; past the cap, full scan
+      val cellIds = assigned.select(col("cell")).distinct()
+        .limit(probeCellLimit + 1).collect().map(_.getInt(0))
+      val idx = if (wh.exists(indexTable)) {
+        val all = index()
+        if (cellIds.length <= probeCellLimit)
+          all.filter(col("cell").isin(cellIds.map(Int.box): _*)) else all
+      } else wh.spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), indexSchema)
+      // FIRST-ARRIVAL-WINS (the ExactDedupStream contract): any
+      // already-arrived same-cell neighbor drops a batch vector regardless
+      // of id; within the batch, lower id wins. With id-ordered batches
+      // every index member has a lower id anyway, so this coincides with
+      // batch semanticDedup's rule — the oracle-equivalence case
+      def near(x: DataFrame, y: DataFrame) = x
+        .select(col("cell"), col("id").as("id_a"),
+          col("vec").as("v_a"), Transforms.vecNorm(col("vec")).as("n_a"))
+        .join(y.select(col("cell"), col("id").as("id_b"),
+          col("vec").as("v_b"), Transforms.vecNorm(col("vec")).as("n_b")),
+          Seq("cell"))
+      val cos6 = round(
+        when(col("n_a") === 0 || col("n_b") === 0, lit(0.0))
+          .otherwise(Transforms.vecDot(col("v_a"), col("v_b"))
+            / (col("n_a") * col("n_b"))), 6)
+      val dropped = near(assigned, idx).filter(cos6 >= minCosine)
+        .select(col("id_a").as("id"))
+        .unionByName(near(assigned, assigned)
+          .filter(col("id_b") < col("id_a")).filter(cos6 >= minCosine)
+          .select(col("id_a").as("id")))
+        .distinct()
+      val admitted = assigned.join(dropped, Seq("id"), "left_anti")
+        .select(col("id"), col("cell"))
+      wh.atomically { w =>
+        // cell-sorted within files — the next batch's probe pruning rides
+        // on tight per-row-group cell min/max stats
+        w.append(indexTable, assigned.sortWithinPartitions("cell"))
+        w.append(survivorsTable, admitted)
+        w.append(ledgerTable, wh.spark.createDataFrame(
+          java.util.Arrays.asList(org.apache.spark.sql.Row(Long.box(batchId))),
+          ledgerSchema))
+      }
+    } finally assigned.unpersist(false)
+  }
+
+  /** Small-file maintenance; the index re-sorts by cell on rewrite (see
+    * [[DedupStream.compactAll]] on why a concatenating rewrite would ruin
+    * the probe's row-group stats).
+    */
+  def compactAll(targetFiles: Int = 1): Unit = {
+    wh.compact(indexTable, indexSchema, targetFiles, sortCols = Seq("cell"))
+    wh.compact(survivorsTable, survivorSchema, targetFiles)
+    wh match {
+      case aw: graft.sources.AtomicWarehouse => aw.vacuum()
+      case _ => ()
+    }
+  }
+
+  /** Watch `dir` for parquet embedding files (idCol, vecCol); see
+    * [[DedupStream.start]] for trigger/batch-size tradeoffs.
+    */
+  def start(dir: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxFilesPerTrigger: Int = 1): StreamingQuery =
+    wh.spark.readStream
+      .schema(vecSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(dir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) => processBatch(batch, batchId) }
+      .start()
+}

@@ -1,0 +1,94 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import graft.operators.Dedup
+import graft.sources.AtomicWarehouse
+import graft.streaming.SemanticDedupStream
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** The semantic-dedup stream's contracts: id-ordered micro-batches reproduce
+  * batch [[Dedup.semanticDedup]] bit-identically (arrival retention + the
+  * first-arrival rule collapsing to lower-id-wins), replays are ledgered
+  * no-ops, and out-of-order arrival honors FIRST-ARRIVAL-WINS — an admitted
+  * survivor repels a later near-duplicate even when the later one has the
+  * smaller id. The `dedup_semantic_stream` driver oracle restates the
+  * id-ordered case in SQL; these cases pin the mechanisms and the
+  * out-of-order semantics the oracle cannot reach.
+  */
+class SemanticDedupStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    .select($"vec_id".cast("long").as("vec_id"),
+      $"embedding".cast("array<float>").as("embedding"))
+
+  private def seeds = emb.filter($"vec_id" < 8)
+    .select($"vec_id".as("cell"), $"embedding".as("centroid"))
+
+  private def writeChunks(inDir: String, parts: Seq[DataFrame]): Unit =
+    parts.zipWithIndex.foreach { case (p, i) =>
+      val tmp = Files.createTempDirectory(s"graft-sems-c$i-").toString + "/out"
+      p.coalesce(1).write.parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).filter(_.toString.endsWith(".parquet")).findFirst.get
+      Files.move(part, Paths.get(inDir, f"chunk_$i%02d.parquet"), StandardCopyOption.ATOMIC_MOVE)
+    }
+
+  private def freshStream(minCosine: Double): SemanticDedupStream = {
+    val whDir = Files.createTempDirectory("graft-sems-wh-").toString
+    val sd = new SemanticDedupStream(new AtomicWarehouse(spark, whDir), minCosine)
+    sd.init(seeds)
+    sd
+  }
+
+  private def survivorSet(sd: SemanticDedupStream): Set[(Long, Int)] =
+    sd.survivors().collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+
+  test("id-ordered micro-batches reproduce batch semanticDedup exactly") {
+    val inDir = Files.createTempDirectory("graft-sems-in-").toString
+    val ckpt = Files.createTempDirectory("graft-sems-ck-").toString
+    writeChunks(inDir, (0 until 3).map(i =>
+      emb.filter($"vec_id" >= i * 167 && $"vec_id" < (i + 1) * 167)))
+    val sd = freshStream(0.45)
+    val q = sd.start(inDir, ckpt, Trigger.AvailableNow())
+    assert(q.awaitTermination(300000), "stream failed to drain within 300 s")
+
+    val batch = Dedup.semanticDedup(emb, "vec_id", "embedding", seeds, 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1).toInt)).toSet
+    val got = survivorSet(sd)
+    assert(got == batch, s"streamed ${got.size} survivors vs batch ${batch.size}")
+    // arrival retention: the index holds EVERY vector, admitted or not
+    assert(sd.index().count() == emb.count())
+  }
+
+  test("checkpoint replay of a committed batch is a ledgered no-op") {
+    val sd = freshStream(0.45)
+    val b0 = emb.filter($"vec_id" < 100)
+    sd.processBatch(b0, batchId = 0L)
+    val (surv, idx) = (survivorSet(sd), sd.index().count())
+    sd.processBatch(b0, batchId = 0L)
+    assert(survivorSet(sd) == surv, "replay changed the survivor set")
+    assert(sd.index().count() == idx, "replay duplicated index rows")
+  }
+
+  test("out-of-order arrival: first admitted wins, regardless of id") {
+    // two near-identical vectors; the HIGHER id arrives first
+    def one(id: Long, v: Seq[Float]): DataFrame =
+      Seq((id, v)).toDF("vec_id", "embedding")
+        .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val v = Seq.fill(4)(0.5f)
+    val sd = {
+      val whDir = Files.createTempDirectory("graft-sems-wh-").toString
+      val s = new SemanticDedupStream(new AtomicWarehouse(spark, whDir), 0.999,
+        idCol = "vec_id", vecCol = "embedding")
+      s.init(one(0L, v).select($"vec_id".as("cell"), $"embedding".as("centroid")))
+      s
+    }
+    sd.processBatch(one(50L, v), batchId = 0L)
+    sd.processBatch(one(10L, v), batchId = 1L)
+    assert(survivorSet(sd).map(_._1) == Set(50L),
+      "the first-arrived survivor must repel the later lower-id near-dup")
+  }
+}
