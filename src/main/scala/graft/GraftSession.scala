@@ -26,6 +26,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fn("graft_vec_dot", exprs => VectorDotExpr(exprs(0), exprs(1)))
     fn("graft_vec_cosine", exprs => VectorCosineExpr(exprs(0), exprs(1)))
     fn("graft_vec_norm", exprs => VectorNormExpr(exprs.head))
+    fn("graft_sq8_encode", exprs => Sq8EncodeExpr(exprs.head))
+    fn("graft_sq8_cosine", exprs => Sq8CosineExpr(exprs(0), exprs(1)))
     // one-pass profile family, registered with the operator-level defaults
     fn("graft_text_profile", exprs =>
       TextProfileExpr(exprs.head, graft.operators.TextOps.stopwords.map(_._2)))

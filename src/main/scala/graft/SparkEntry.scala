@@ -1408,6 +1408,19 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rank"))
     }
 
+    // ---- the same top-k over int8 codes (SQ8 scalar quantization): the
+    // candidate side is scored as 1-byte-per-dim binary — the 4× scan-I/O
+    // lever at corpus scale. Approximate but DETERMINISTIC (floor-based
+    // quantization, exact integer sums), so the oracle replays the whole
+    // encode→score→rank pipeline in SQL
+    q("sim_topk_sq8") = (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopKSq8(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "vec_id", "embedding", 5)
+        .select(col("q_id"), col("rank").cast(LongType).as("rank"), col("c_id"), col("cosine"))
+        .orderBy(col("q_id"), col("rank"))
+    }
+
     q("sim_ivf") = (s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.ivfTopK(emb,
@@ -2720,6 +2733,38 @@ object SparkEntry {
         |scored AS (
         | SELECT q_id, c_id,
         |  round(CASE WHEN cn = 0 OR qn = 0 THEN 0 ELSE dot/(cn*qn) END, 4) AS cosine
+        | FROM p),
+        |ranked AS (
+        | SELECT q_id, c_id, cosine,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS BIGINT) AS rank
+        | FROM scored)
+        |SELECT q_id, rank, c_id, cosine FROM ranked WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
+
+    // replays the SQ8 pipeline: per-vector maxabs → floor-based int8 codes
+    // (floor(x·127/maxabs + 0.5); round() avoided — engines disagree on
+    // half-even vs half-up, floor(·+0.5) does not) → exact integer sums →
+    // cosine. maxabs over ::DOUBLE equals the engine's float max widened:
+    // abs/max commute with exact float→double widening
+    "sim_topk_sq8" ->
+      """WITH mx AS (
+        | SELECT vec_id, max(abs(embedding[i]::DOUBLE)) AS maxabs
+        | FROM embeddings, generate_series(1, 64) t(i) GROUP BY 1),
+        |codes AS (
+        | SELECT e.vec_id, t.i,
+        |  CASE WHEN m.maxabs = 0 THEN 0
+        |   ELSE floor(e.embedding[t.i]::DOUBLE * 127.0 / m.maxabs + 0.5) END AS c
+        | FROM embeddings e JOIN mx m USING (vec_id), generate_series(1, 64) t(i)),
+        |p AS (
+        | SELECT b.vec_id AS q_id, a.vec_id AS c_id,
+        |  sum(a.c * b.c) AS dot, sum(a.c * a.c) AS na, sum(b.c * b.c) AS nb
+        | FROM codes a JOIN codes b ON a.i = b.i
+        | WHERE b.vec_id < 10 AND a.vec_id <> b.vec_id
+        | GROUP BY 1,2),
+        |scored AS (
+        | SELECT q_id, c_id,
+        |  round(CASE WHEN na = 0 OR nb = 0 THEN 0
+        |   ELSE dot/(sqrt(na)*sqrt(nb)) END, 4) AS cosine
         | FROM p),
         |ranked AS (
         | SELECT q_id, c_id, cosine,

@@ -110,4 +110,10 @@ object Transforms {
     shims.column(VectorCosineExpr(shims.expression(a), shims.expression(b)))
   def vecNorm(a: Column): Column =
     shims.column(VectorNormExpr(shims.expression(a)))
+
+  /** SQ8 quantization kernels (see Sq8Ops). */
+  def sq8Encode(a: Column): Column =
+    shims.column(Sq8EncodeExpr(shims.expression(a)))
+  def sq8Cosine(a: Column, b: Column): Column =
+    shims.column(Sq8CosineExpr(shims.expression(a), shims.expression(b)))
 }

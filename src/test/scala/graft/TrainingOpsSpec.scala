@@ -621,6 +621,45 @@ class TrainingOpsSpec extends SparkSpec {
     assert(capped == full)
   }
 
+  test("SQ8: hand goldens, exact self-similarity, quantization error bounded, top-k near exact") {
+    // floor-based goldens: 0.5*127/1+0.5=64.0→64; -1*127+0.5=-126.5→-127;
+    // 0.25*127+0.5=32.25→32 — via the SQL-registered expression
+    val enc = spark.sql(
+      "SELECT graft_sq8_encode(array(float(0.5), float(-1.0), float(0.25)))")
+      .head.getAs[Array[Byte]](0)
+    assert(enc.toSeq == Seq[Byte](64, -127, 32))
+    // all-zero vector → all-zero codes → cosine 0 against anything
+    val z = spark.sql(
+      """SELECT graft_sq8_cosine(graft_sq8_encode(array(float(0), float(0))),
+        |graft_sq8_encode(array(float(1), float(1))))""".stripMargin).head.getDouble(0)
+    assert(z == 0.0)
+
+    val embL = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id".cast("long").as("vec_id"),
+        $"embedding".cast("array<float>").as("embedding"))
+    // per-vector scaling preserves direction: code-cosine within ~2/127 of
+    // float cosine on every real pair scored below
+    val err = embL.limit(30).as("a").crossJoin(embL.limit(30).as("b"))
+      .select(abs(
+        graft.functions.Transforms.sq8Cosine(
+          graft.functions.Transforms.sq8Encode($"a.embedding"),
+          graft.functions.Transforms.sq8Encode($"b.embedding")) -
+        graft.functions.Transforms.vecCosine($"a.embedding", $"b.embedding")).as("e"))
+      .agg(max($"e")).head.getDouble(0)
+    assert(err < 0.03, s"quantization cosine error $err exceeds the SQ8 bound")
+    // ranking survives quantization: top-5 overlap with exact ≥ 4/5 per query
+    def tops(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(r => r.getLong(2)).toSet).toMap
+    val exact = tops(Similarity.bruteForceTopK(embL, embL.filter($"vec_id" < 10),
+      "vec_id", "vec_id", "embedding", 5)
+      .select($"q_id", $"rank".cast("long"), $"c_id"))
+    val sq8 = tops(Similarity.bruteForceTopKSq8(embL, embL.filter($"vec_id" < 10),
+      "vec_id", "vec_id", "embedding", 5)
+      .select($"q_id", $"rank".cast("long"), $"c_id"))
+    val overlaps = exact.map { case (q, s) => (s & sq8(q)).size }
+    assert(overlaps.forall(_ >= 4), s"SQ8 top-5 overlap per query: $overlaps")
+  }
+
   test("semantic dedup: inline ≡ persisted-assignment path; planted dup drops, earlier copy wins") {
     val embL = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select($"vec_id".cast("long").as("vec_id"),
