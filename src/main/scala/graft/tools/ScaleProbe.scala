@@ -47,7 +47,8 @@ object ScaleProbe {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val scales = if (args.length > 1) args(1).split(",").map(_.trim.toInt).toSeq
       else Seq(25, 50, 100)
-    // optional third arg restricts to one family: "dedup" | "ivf" (default both)
+    // optional third arg restricts to one family: "dedup" | "ivf" | "sem"
+    // (default: all)
     val section = if (args.length > 2) args(2) else "all"
     val spark = GraftSession.builder().appName("scale-probe").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -101,7 +102,7 @@ object ScaleProbe {
     val out = new StringBuilder
     def emit(line: String): Unit = { println(line); out.append(line).append('\n') }
 
-    if (section != "ivf") scales.foreach { n =>
+    if (section == "all" || section == "dedup") scales.foreach { n =>
       val whDir = Files.createTempDirectory(s"graft-scaleprobe-x$n-").toString
       val wh = new Warehouse(spark, whDir)
       // rowsPerBand = 4 (2 bands of 4 minhashes): at corpus scale the band
@@ -245,7 +246,7 @@ object ScaleProbe {
     // re-reads on the filtered path (production 128 MB groups amortize
     // that) and by dictionary compression of the replicated floats on the
     // sequential path — reported for completeness, not comparability.
-    if (section != "dedup") locally {
+    if (section == "all" || section == "ivf") locally {
       val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
         .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
       def rot(i: Int): DataFrame = {
@@ -300,6 +301,93 @@ object ScaleProbe {
         if (oldPage == null) hc.unset("parquet.page.size") else hc.set("parquet.page.size", oldPage)
       }
       queries.unpersist(true)
+    }
+
+    // ---- semantic-dedup stream: the per-batch neighbor probe reads only
+    // the BATCH's cells of the accumulated cell index (In-literal row-group
+    // pruning over cell-sorted files — SemanticDedupStream.processBatch).
+    // Claim measured here: probed records grow ~√N with the corpus (cell
+    // width at √N cells) while the pushdown-disabled path grows linearly,
+    // with the ADMITTED SET identical. Modes `sem_probe` / `sem_fullscan`;
+    // each mode runs on its own CLONE of the pre-built state dir because the
+    // admit mutates it.
+    if (section == "sem" || section == "all") locally {
+      val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id").cast("long").as("vec_id"),
+          col("embedding").cast("array<float>").as("embedding"))
+      def rot(i: Int): DataFrame = {
+        val r = i % 63 + 1
+        if (i == 0) emb0
+        else emb0.select((col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+          concat(slice(col("embedding"), r + 1, 10000),
+            slice(col("embedding"), 1, r)).as("embedding"))
+      }
+      // fresh batch: 25 NOVEL vectors (negations of base vectors — cosine to
+      // any corpus rotation stays far from the 0.8 threshold; a rotated salt
+      // would collide with a corpus replica's rotation at large N) + 25
+      // re-keyed EXACT copies of replica-0 vectors (must all drop)
+      val freshNovel = emb0.orderBy("vec_id").limit(25)
+        .select((col("vec_id") + 1000000000000L).as("vec_id"),
+          transform(col("embedding"), x => -x).as("embedding"))
+      val freshCopies = emb0.orderBy("vec_id").limit(25)
+        .select((col("vec_id") + 2000000000000L).as("vec_id"), col("embedding"))
+      val fresh = freshNovel.union(freshCopies)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      fresh.count()
+      def cloneDir(src: String): String = {
+        val dst = Files.createTempDirectory("graft-scaleprobe-sem-clone-")
+        val s = java.nio.file.Paths.get(src)
+        Files.walk(s).forEach { p =>
+          val q = dst.resolve(s.relativize(p).toString)
+          if (Files.isDirectory(p)) Files.createDirectories(q)
+          else Files.copy(p, q)
+        }
+        dst.toString
+      }
+      scales.foreach { n =>
+        val corpus = (0 until n).map(rot).reduce(_ union _)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nVec = corpus.count()
+        val cells = math.max(math.sqrt(nVec.toDouble).toInt, 8)
+        val cents = corpus.orderBy("vec_id").limit(cells)
+          .select(col("vec_id").cast("int").as("cell"), col("embedding").as("centroid"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // pre-built stream state: centroids via init(), the cell index
+        // written directly cell-sorted + many-row-grouped (the layout a
+        // long-running stream's compaction maintains)
+        val whDir = Files.createTempDirectory(s"graft-scaleprobe-sem-x$n-").toString
+        val wh = new Warehouse(spark, whDir)
+        val seed = new graft.streaming.SemanticDedupStream(wh, minCosine = 0.8)
+        seed.init(cents)
+        val assigned = graft.operators.Similarity.assignCells(
+          corpus.select(col("vec_id").as("id"), col("embedding").as("vec")),
+          cents.select(col("cell"), col("centroid").as("vec")), "id", "cell", "vec")
+          .select(col("id"), col("cell").cast("int").as("cell"), col("vec"))
+        sortedWrite(assigned, wh.path(seed.indexTable), "cell")
+        var acrossModes = Set.empty[Long]
+        Seq(("sem_probe", 1000), ("sem_fullscan", 0)).foreach { case (mode, lim) =>
+          val sd = new graft.streaming.SemanticDedupStream(
+            new Warehouse(spark, cloneDir(whDir)), minCosine = 0.8,
+            probeCellLimit = lim)
+          sd.index().count() // warm page cache; the measured rep follows
+          bytesRead.set(0); recordsRead.set(0)
+          val t0 = System.nanoTime()
+          sd.processBatch(fresh, batchId = 0L)
+          val secs = (System.nanoTime() - t0) / 1e9
+          val surv = sd.survivors().collect().map(_.getLong(0)).toSet
+          emit(
+            f"""{"tool":"scaleprobe","scale_x":$n,"mode":"$mode","n_vec":$nVec,"cells":$cells,"probe_bytes":${bytesRead.get()},"probe_records":${recordsRead.get()},"survivors":${surv.size},"sec":$secs%.2f}""")
+          assert(surv.forall(_ < 2000000000000L),
+            s"planted exact copy admitted at x$n/$mode")
+          assert(surv.exists(_ >= 1000000000000L),
+            s"no novel vector admitted at x$n/$mode")
+          if (acrossModes.isEmpty) acrossModes = surv
+          else assert(surv == acrossModes,
+            s"cell-literal pushdown changed the admitted set at x$n/$mode")
+        }
+        cents.unpersist(true); corpus.unpersist(true)
+      }
+      fresh.unpersist(true)
     }
 
     val p = java.nio.file.Paths.get("target/scaleprobe.json")
