@@ -1469,6 +1469,25 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rank"))
     }
 
+    // ---- IVF-SQ over the same persisted index: coarse quantizer (which
+    // cells to probe) float-exact, fine scoring on the stored int8 codes —
+    // parquet column pruning reads (id, cell, code) and skips the float
+    // vec column, the 4× candidate-I/O saving with no second table
+    q("sim_ivf_sq8") = (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val wh = new graft.sources.Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-ivfsq-").toString)
+      val ivf = new PersistedIvf(wh)
+      ivf.buildWith(emb.filter(col("vec_id") < 300), "vec_id", "embedding",
+        emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cell"), col("embedding").as("centroid")))
+      ivf.addVectors(emb.filter(col("vec_id") >= 300), "vec_id", "embedding")
+      ivf.topKSq8(emb.filter(col("vec_id") >= 8 && col("vec_id") < 18),
+          "vec_id", "embedding", 5, nProbe = 2)
+        .select(col("q_id"), col("rank").cast(LongType).as("rank"), col("c_id"), col("cosine"))
+        .orderBy(col("q_id"), col("rank"))
+    }
+
     // ---- the same index maintained by STRUCTURED STREAMING: build on the
     // first 300 vectors, then the tail arrives as micro-batch files
     // (streaming/IvfStream — ledgered atomic admits, replay-idempotent),
@@ -2889,6 +2908,56 @@ object SparkEntry {
         |scored AS (
         | SELECT q_id, c_id,
         |  round(CASE WHEN cn = 0 OR qn = 0 THEN 0 ELSE dot/(cn*qn) END, 4) AS cosine
+        | FROM p),
+        |ranked AS (
+        | SELECT q_id, c_id, cosine,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS BIGINT) AS rank
+        | FROM scored)
+        |SELECT q_id, rank, c_id, cosine FROM ranked WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
+
+    // IVF-SQ: float-exact cell assignment (cells/qcells — as
+    // sim_ivf_persisted) + int8-code scoring (codes — as sim_topk_sq8)
+    "sim_ivf_sq8" ->
+      """WITH cent AS (SELECT vec_id AS cell, embedding FROM embeddings WHERE vec_id < 8),
+        |assign_all AS (
+        | SELECT e.vec_id, c.cell,
+        |  round(CASE WHEN sqrt(sum(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)) = 0
+        |         OR sqrt(sum(c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) = 0 THEN 0
+        |   ELSE sum(e.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)
+        |    / (sqrt(sum(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))
+        |       * sqrt(sum(c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))) END, 6) AS cos6
+        | FROM embeddings e, cent c, generate_series(1, 64) t(i) GROUP BY 1,2),
+        |cells AS (
+        | SELECT vec_id, cell FROM (
+        |  SELECT vec_id, cell,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY cos6 DESC, cell) AS rn
+        |  FROM assign_all) WHERE rn = 1),
+        |qcells AS (
+        | SELECT vec_id AS q_id, cell FROM (
+        |  SELECT vec_id, cell,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY cos6 DESC, cell) AS rn
+        |  FROM assign_all WHERE vec_id >= 8 AND vec_id < 18) WHERE rn <= 2),
+        |mx AS (
+        | SELECT vec_id, max(abs(embedding[i]::DOUBLE)) AS maxabs
+        | FROM embeddings, generate_series(1, 64) t(i) GROUP BY 1),
+        |codes AS (
+        | SELECT e.vec_id, t.i,
+        |  CASE WHEN m.maxabs = 0 THEN 0
+        |   ELSE floor(e.embedding[t.i]::DOUBLE * 127.0 / m.maxabs + 0.5) END AS c
+        | FROM embeddings e JOIN mx m USING (vec_id), generate_series(1, 64) t(i)),
+        |p AS (
+        | SELECT q.q_id, cc.vec_id AS c_id,
+        |  sum(ca.c * cb.c) AS dot, sum(ca.c * ca.c) AS na, sum(cb.c * cb.c) AS nb
+        | FROM qcells q
+        |  JOIN cells cc ON cc.cell = q.cell AND cc.vec_id <> q.q_id
+        |  JOIN codes ca ON ca.vec_id = cc.vec_id
+        |  JOIN codes cb ON cb.vec_id = q.q_id AND cb.i = ca.i
+        | GROUP BY 1,2),
+        |scored AS (
+        | SELECT q_id, c_id,
+        |  round(CASE WHEN na = 0 OR nb = 0 THEN 0
+        |   ELSE dot/(sqrt(na)*sqrt(nb)) END, 4) AS cosine
         | FROM p),
         |ranked AS (
         | SELECT q_id, c_id, cosine,

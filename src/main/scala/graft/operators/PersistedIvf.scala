@@ -55,7 +55,12 @@ class PersistedIvf(wh: Warehouse, probeCellLimit: Int = 1000) {
   val assignSchema: StructType = StructType(Seq(
     StructField("id", LongType, nullable = false),
     StructField("cell", IntegerType, nullable = false),
-    StructField("vec", ArrayType(FloatType), nullable = true)))
+    StructField("vec", ArrayType(FloatType), nullable = true),
+    // SQ8 code of `vec` ([[Transforms.sq8Encode]]), written at admit:
+    // [[topKSq8]] scores on THIS column and parquet column pruning turns
+    // the 4-bytes-per-dim float read into a 1-byte-per-dim code read —
+    // same table, no second structure to maintain
+    StructField("code", org.apache.spark.sql.types.BinaryType, nullable = true)))
   val statsSchema: StructType = StructType(Seq(
     StructField("seq", LongType, nullable = false),
     StructField("kind", StringType, nullable = false),
@@ -81,6 +86,9 @@ class PersistedIvf(wh: Warehouse, probeCellLimit: Int = 1000) {
   private def normalized(corpus: DataFrame, idCol: String, vecCol: String): DataFrame =
     corpus.select(col(idCol).cast(LongType).as("id"),
       col(vecCol).cast(ArrayType(FloatType)).as("vec"))
+
+  private def withCode(df: DataFrame): DataFrame =
+    df.withColumn("code", Transforms.sq8Encode(col("vec")))
 
   private def statsRow(seq: Long, kind: String, n: Long, meanCos: Option[Double]): DataFrame =
     wh.spark.createDataFrame(
@@ -108,7 +116,7 @@ class PersistedIvf(wh: Warehouse, probeCellLimit: Int = 1000) {
       val (n, meanCos) = meanCosOf(assigned)
       wh.atomically { w =>
         w.replace(centroidsTable, cents)
-        w.replace(assignTable, assigned.drop("cos6")
+        w.replace(assignTable, withCode(assigned.drop("cos6"))
           .repartition(col("cell")).sortWithinPartitions("cell"))
         w.replace(statsTable, statsRow(0L, "train", n, meanCos))
       }
@@ -167,7 +175,8 @@ class PersistedIvf(wh: Warehouse, probeCellLimit: Int = 1000) {
         case r => r.getLong(0) + 1L
       }
       wh.atomically { w =>
-        w.append(assignTable, assigned.drop("cos6").sortWithinPartitions("cell"))
+        w.append(assignTable, withCode(assigned.drop("cos6"))
+          .sortWithinPartitions("cell"))
         w.append(statsTable, statsRow(seq, "batch", n, meanCos))
         batchId.foreach { b =>
           w.append(ingestTable, wh.spark.createDataFrame(
@@ -189,26 +198,63 @@ class PersistedIvf(wh: Warehouse, probeCellLimit: Int = 1000) {
       k: Int, nProbe: Int = 1): DataFrame = {
     val q = queries.select(col(queryId).cast(LongType).as("q_id"),
       col(vecCol).cast(ArrayType(FloatType)).as("v"))
-    val probes = Similarity.assignCellsProbes(q,
-      centroids().select(col("cell"), col("centroid").as("v")),
-      "q_id", "cell", "v", nProbe)
-      .select(col("q_id"), col("cell"))
+    val probes = queryProbes(q, nProbe)
       .join(q.select(col("q_id"), col("v").as("q_vec")), Seq("q_id"))
-    // probed-cell literal pushdown (≤ queries×nProbe ids): parquet row-group
-    // pruning on the cell-sorted assignment files — the scan reads the
-    // probed cells, not the corpus. assignCellsProbes emits the cell through
-    // TopKAgg's long id slot; narrow back to the table's int so the In
-    // predicate stays on the raw column (a cast would defeat pushdown)
-    val cellIds = probes.select(col("cell")).distinct()
-      .limit(probeCellLimit + 1).collect().map(_.getLong(0).toInt)
-    val all = assignments()
-    val cand = if (cellIds.length <= probeCellLimit)
-      all.filter(col("cell").isin(cellIds.map(Int.box): _*)) else all
-    val scored = cand.join(broadcast(probes), Seq("cell"))
+    val scored = probedSlice(probes).join(broadcast(probes), Seq("cell"))
       .filter(col("id") =!= col("q_id"))
       .select(col("q_id"), col("id").as("c_id"),
         round(Transforms.vecCosine(col("vec"), col("q_vec")), 4).as("cosine"))
     Similarity.topKPerKey(scored, "q_id", "cosine", "c_id", k)
+  }
+
+  /** [[topK]] scored on the stored SQ8 codes instead of the float vectors —
+    * the IVF-SQ split ([[graft.functions.Sq8Ops]]): the coarse quantizer
+    * (which cells to probe) stays float-exact, the fine scoring runs on
+    * 1-byte-per-dim codes. Parquet column pruning makes the candidate scan
+    * read `(id, cell, code)` and skip the float `vec` column entirely — the
+    * 4× I/O saving needs no second table. Approximate scores, fully
+    * deterministic: `nProbe = numCells` here equals
+    * [[Similarity.bruteForceTopKSq8]] over the indexed corpus exactly
+    * (TrainingOpsSpec), and the `sim_ivf_sq8` driver oracle replays
+    * cells + codes + ranking in SQL.
+    */
+  def topKSq8(queries: DataFrame, queryId: String, vecCol: String,
+      k: Int, nProbe: Int = 1): DataFrame = {
+    val q = queries.select(col(queryId).cast(LongType).as("q_id"),
+      col(vecCol).cast(ArrayType(FloatType)).as("v"))
+    val probes = queryProbes(q, nProbe)
+      .join(q.select(col("q_id"), Transforms.sq8Encode(col("v")).as("q_code")),
+        Seq("q_id"))
+    val scored = probedSlice(probes).select(col("id"), col("cell"), col("code"))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id").as("c_id"),
+        round(Transforms.sq8Cosine(col("code"), col("q_code")), 4).as("cosine"))
+    Similarity.topKPerKey(scored, "q_id", "cosine", "c_id", k)
+  }
+
+  /** Each query's `nProbe` nearest cells as (q_id, cell). */
+  private def queryProbes(q: DataFrame, nProbe: Int): DataFrame =
+    Similarity.assignCellsProbes(q,
+      centroids().select(col("cell"), col("centroid").as("v")),
+      "q_id", "cell", "v", nProbe)
+      .select(col("q_id"), col("cell"))
+
+  /** The probed-cell slice of the assignment table: probed-cell literal
+    * pushdown (≤ queries×nProbe ids) gives parquet row-group pruning on the
+    * cell-sorted assignment files — the scan reads the probed cells, not the
+    * corpus. assignCellsProbes emits the cell through TopKAgg's long id
+    * slot; narrow back to the table's int so the In predicate stays on the
+    * raw column (a cast would defeat pushdown). Above `probeCellLimit`
+    * distinct cells the filter is dropped (a full scan beats a 10k-literal
+    * predicate).
+    */
+  private def probedSlice(probes: DataFrame): DataFrame = {
+    val cellIds = probes.select(col("cell")).distinct()
+      .limit(probeCellLimit + 1).collect().map(_.getLong(0).toInt)
+    val all = assignments()
+    if (cellIds.length <= probeCellLimit)
+      all.filter(col("cell").isin(cellIds.map(Int.box): _*)) else all
   }
 
   /** Centroid staleness: true when the LATEST batch's mean winning cosine

@@ -28,7 +28,7 @@ object PlanAudit {
   // upsert's full outer).
   val kernelAllowlist: Set[String] = Set("dedup_jaccard", "dedup_embedding",
     "sim_topk", "sim_topk_sq8", "sim_ivf", "sim_ivf_trained",
-    "sim_ivf_persisted", "sim_ivf_stream", "dedup_semantic")
+    "sim_ivf_persisted", "sim_ivf_sq8", "sim_ivf_stream", "dedup_semantic")
 
   final case class Audit(report: String, flagged: List[String], errors: List[String])
 

@@ -658,6 +658,23 @@ class TrainingOpsSpec extends SparkSpec {
       .select($"q_id", $"rank".cast("long"), $"c_id"))
     val overlaps = exact.map { case (q, s) => (s & sq8(q)).size }
     assert(overlaps.forall(_ >= 4), s"SQ8 top-5 overlap per query: $overlaps")
+
+    // IVF-SQ exactness anchor: probing EVERY cell through the persisted
+    // index with code scoring ≡ brute-force SQ8 over the same corpus — the
+    // quantized twin of the float-path anchor
+    val seeds8 = embL.filter($"vec_id" < 8)
+      .select($"vec_id".cast("int").as("cell"), $"embedding".as("centroid"))
+    val wh = new graft.sources.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft-ivfsq-spec-").toString)
+    val ivf = new PersistedIvf(wh)
+    ivf.buildWith(embL, "vec_id", "embedding", seeds8)
+    val queries = embL.filter($"vec_id" >= 8 && $"vec_id" < 18)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "rank", "c_id", "cosine").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(rows(ivf.topKSq8(queries, "vec_id", "embedding", 5, nProbe = 8)) ==
+      rows(Similarity.bruteForceTopKSq8(embL, queries, "vec_id", "vec_id", "embedding", 5)),
+      "nProbe=numCells IVF-SQ must equal brute-force SQ8")
   }
 
   test("semantic dedup: inline ≡ persisted-assignment path; planted dup drops, earlier copy wins") {
