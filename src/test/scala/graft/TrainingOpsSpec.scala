@@ -413,6 +413,20 @@ class TrainingOpsSpec extends SparkSpec {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
     assert(rows(p2) == rows(ivf.topK(queries, "vec_id", "embedding", 5, nProbe = 2)))
+
+    // IVF-SQ's I/O claim is COLUMN pruning: the code-scoring scan's
+    // ReadSchema must carry the byte codes and NOT the float vectors (and
+    // the float path, conversely, must not drag the codes along)
+    val sqScan = ivf.topKSq8(queries, "vec_id", "embedding", 5, nProbe = 2)
+      .queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(sqScan.contains("code") && !sqScan.contains("vec:"),
+      s"IVF-SQ scan did not prune the float vec column:\n$sqScan")
+    val fScan = ivf.topK(queries, "vec_id", "embedding", 5, nProbe = 2)
+      .queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(fScan.contains("vec:") && !fScan.contains("code"),
+      s"float scan did not prune the code column:\n$fScan")
   }
 
   test("persisted IVF drift ledger: in-distribution batch quiet, shifted batch flags, retrain resets") {
