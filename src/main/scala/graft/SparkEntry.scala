@@ -1355,6 +1355,17 @@ object SparkEntry {
         dim = 64, bitsPerBand = 8, nBands = 4, minCosine = 0.45)
         .orderBy(col("id_a"), col("id_b"))
 
+    // ---- substring-level duplication stats: every 10-token sliding window
+    // hashed; a window seen in ≥2 distinct docs is duplicated — per-doc
+    // duplicated-span counts, the signal document-level dedup cannot see.
+    // All-linear plan (explode + two hash shuffles + semi-join); the oracle
+    // replays windows/hashes/counts with identical tokenization
+    q("dedup_windows") = (s, dir) =>
+      Dedup.duplicatedWindowStats(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", windowTokens = 10)
+        .orderBy(col("doc_id"))
+
     // ---- SemDeDup-style cluster-scoped semantic dedup: assign every vector
     // to its nearest deterministic centroid (first 8 vectors — the sim_ivf
     // cells), then drop any vector with an EARLIER (lower-id) same-cell
@@ -3010,6 +3021,25 @@ object SparkEntry {
         | FROM scored)
         |SELECT q_id, rank, c_id, cosine FROM ranked WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin,
+
+    // window = 10 tokens → slice t[i:i+9], positions 1..len-9; duplicated =
+    // hash in ≥2 DISTINCT docs; per-doc counts are per POSITION
+    "dedup_windows" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |win AS (
+        | SELECT doc_id, i, md5(array_to_string(t[i:i+9], ' ')) AS h
+        | FROM toks, unnest(generate_series(1, greatest(len(t) - 9, 0))) u(i)),
+        |nwin AS (SELECT doc_id, count(*) AS n_windows FROM win GROUP BY 1),
+        |dup AS (SELECT h FROM (
+        |  SELECT h, count(DISTINCT doc_id) AS nd FROM win GROUP BY 1) WHERE nd >= 2),
+        |ndup AS (SELECT doc_id, count(*) AS n_dup FROM win
+        | WHERE h IN (SELECT h FROM dup) GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(n.n_windows, 0) AS BIGINT) AS n_windows,
+        | CAST(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup_windows
+        |FROM documents d LEFT JOIN nwin n USING (doc_id)
+        | LEFT JOIN ndup p USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // cluster-scoped semantic dedup: same deterministic cells as sim_ivf,
     // then "exists an earlier same-cell neighbor at cos6 ≥ 0.45" drops

@@ -703,6 +703,53 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** Substring-level duplication stats (the public concept behind exact
+    * substring dedup — Lee et al. 2021, arXiv:2107.06499: training corpora
+    * carry verbatim SPANS shared across otherwise-distinct documents, which
+    * document-level dedup cannot see). Every `windowTokens`-token sliding
+    * window of every document is hashed; a window is DUPLICATED when its
+    * hash occurs in ≥2 distinct documents. Returns one row per input
+    * document: `(idCol, n_windows, n_dup_windows)` — the duplicated-span
+    * fraction is the curation signal (FineWeb's duplicated-line filters are
+    * the same idea at line granularity); docs too short for one window (or
+    * with null text) report (0, 0) rather than vanishing.
+    *
+    * 100 TB shape: everything is linear in corpus token count — one
+    * tokenization, a window explode (≈ tokens rows), a (hash, doc) distinct
+    * + per-hash count (both partial-agged hash shuffles), and a semi-join of
+    * the doc windows against the duplicated-hash set. No pairwise step at
+    * any point: a span shared by 10k documents costs its 10k (hash, doc)
+    * rows, never 10k² pairs. Boilerplate hashes (a header in every doc) are
+    * the skew case — counts partial-aggregate map-side, and the semi-join is
+    * AQE's skew territory.
+    *
+    * Tokenization is whitespace-split (`\s+`), deliberately identical to
+    * ANSI `regexp_split_to_array` semantics so the `dedup_windows` oracle
+    * replays windows + hashes + counts verbatim in SQL.
+    */
+  def duplicatedWindowStats(docs: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int): DataFrame = {
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), split(col(textCol), "\\s+").as("t"))
+    val win = toks.select(col(idCol),
+      when(size(col("t")) >= windowTokens,
+        transform(sequence(lit(1), size(col("t")) - windowTokens + 1),
+          i => md5(concat_ws(" ", slice(col("t"), i, lit(windowTokens))))))
+        .otherwise(typedlit(Seq.empty[String])).as("hs"))
+    val exploded = win.select(col(idCol), explode(col("hs")).as("h"))
+    val dupHashes = exploded.distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select(col("h"))
+    val perDoc = exploded.join(dupHashes, Seq("h"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_dup_windows"))
+    docs.select(col(idCol))
+      .join(win.select(col(idCol), size(col("hs")).cast("long").as("n_windows")),
+        Seq(idCol), "left")
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
+  }
+
   /** SemDeDup-style cluster-scoped semantic dedup (the public concept —
     * Abbas et al. 2023, arXiv:2303.09540: k-means the embedding space, then
     * dedup only WITHIN each cluster). The candidate structure is the key to

@@ -635,6 +635,26 @@ class TrainingOpsSpec extends SparkSpec {
     assert(capped == full)
   }
 
+  test("duplicated windows: planted shared span found, short/null docs report zero") {
+    val span = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $span gamma"),        // 12-token span shared with doc 2
+      (2L, s"$span delta epsilon zeta"),       // ... at a different position
+      (3L, "alpha beta gamma"),                // 3 tokens < window → 0 windows
+      (4L, (1 to 30).map(i => s"uniq$i").mkString(" ")), // long, no shared spans
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicatedWindowStats(docs, "doc_id", "text", 10)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc 1: 15 tokens → 6 windows; span occupies positions 3..14, so its
+    // 10-token subwindows at offsets 3,4,5 (3 of them) also occur in doc 2
+    assert(got(1L) == ((6L, 3L)), s"doc1: ${got(1L)}")
+    // doc 2: 15 tokens → 6 windows; the shared subwindows start at 1,2,3
+    assert(got(2L) == ((6L, 3L)), s"doc2: ${got(2L)}")
+    assert(got(3L) == ((0L, 0L)) && got(5L) == ((0L, 0L)))
+    assert(got(4L) == ((21L, 0L)), s"doc4: ${got(4L)}")
+  }
+
   test("SQ8: hand goldens, exact self-similarity, quantization error bounded, top-k near exact") {
     // floor-based goldens: 0.5*127/1+0.5=64.0→64; -1*127+0.5=-126.5→-127;
     // 0.25*127+0.5=32.25→32 — via the SQL-registered expression
