@@ -1355,6 +1355,18 @@ object SparkEntry {
         dim = 64, bitsPerBand = 8, nBands = 4, minCosine = 0.45)
         .orderBy(col("id_a"), col("id_b"))
 
+    // ---- CCNet-style LM familiarity: add-one unigram LM fit on the first
+    // half of the corpus (doc_id < 250), every doc scored by mean negative
+    // log-likelihood — the perplexity-filter signal. Per-token log-probs
+    // quantized to integer micro-nats (ln is not correctly-rounded across
+    // engines; floor(1e6·ln(int)) is replayable), LM broadcast
+    q("doc_lm_score") = (s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      Corpus.lmScore(docs, "doc_id", "text",
+        docs.filter(col("doc_id") < 250), "text")
+        .orderBy(col("doc_id"))
+    }
+
     // ---- substring-level duplication stats: every 10-token sliding window
     // hashed; a window seen in ≥2 distinct docs is duplicated — per-doc
     // duplicated-span counts, the signal document-level dedup cannot see.
@@ -3021,6 +3033,37 @@ object SparkEntry {
         | FROM scored)
         |SELECT q_id, rank, c_id, cosine FROM ranked WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin,
+
+    // add-one unigram LM on doc_id<250; cost of a token with train count c
+    // is lpD - floor(1e6·ln(c+1)) micro-nats, lpD = floor(1e6·ln(N+V+1));
+    // c=0 (OOV) flows through the same formula. Only the final mean divides
+    "doc_lm_score" ->
+      """WITH ttoks AS (
+        | SELECT unnest(regexp_split_to_array(text, '\s+')) AS tok
+        | FROM documents WHERE doc_id < 250 AND text IS NOT NULL),
+        |cnt AS (SELECT tok, count(*) AS c FROM ttoks GROUP BY 1),
+        |d AS (SELECT CAST(floor(1000000 * ln(
+        |  (SELECT count(*) FROM ttoks) + (SELECT count(*) FROM cnt) + 1))
+        |  AS BIGINT) AS lpd),
+        |stoks AS (
+        | SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
+        | FROM documents WHERE text IS NOT NULL),
+        |scored AS (
+        | SELECT s.doc_id, coalesce(c.c, 0) AS c
+        | FROM stoks s LEFT JOIN cnt c USING (tok)),
+        |agg AS (
+        | SELECT doc_id, count(*) AS n_tokens,
+        |  sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS n_oov,
+        |  sum((SELECT lpd FROM d)
+        |      - CAST(floor(1000000 * ln(c + 1)) AS BIGINT)) AS s_micro
+        | FROM scored GROUP BY 1)
+        |SELECT doc.doc_id,
+        | CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+        | CAST(coalesce(a.n_oov, 0) AS BIGINT) AS n_oov,
+        | CASE WHEN a.n_tokens > 0
+        |  THEN round(a.s_micro::DOUBLE / a.n_tokens / 1000000.0, 4) END AS nll
+        |FROM documents doc LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc.doc_id""".stripMargin,
 
     // window = 10 tokens → slice t[i:i+9], positions 1..len-9; duplicated =
     // hash in ≥2 DISTINCT docs; per-doc counts are per POSITION

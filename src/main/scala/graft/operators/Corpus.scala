@@ -27,6 +27,55 @@ import org.apache.spark.sql.types.LongType
   */
 object Corpus {
 
+  /** CCNet-style LM familiarity scoring (the public concept — Wenzek et al.
+    * 2019, arXiv:1911.00359: score documents by their likelihood under a
+    * language model fit to a reference corpus; high negative-log-likelihood
+    * = out-of-distribution = filter candidate). Here the LM is an add-one-
+    * smoothed UNIGRAM model over whitespace tokens of `train`:
+    * `p(tok) = (c+1)/(N+V+1)` with `c` the train count (0 for OOV), `N`
+    * train token occurrences, `V` train vocabulary size. Output per scored
+    * document: `(idCol, n_tokens, n_oov, nll)` — `nll` the mean negative
+    * log-likelihood in nats (4dp), null for token-less docs.
+    *
+    * 100 TB shape: exactly CCNet's — the LM is vocabulary-sized and
+    * BROADCAST; scoring is one tokenization + explode + broadcast left join
+    * + per-doc aggregate. The train side is one partial-agged token count.
+    * Nothing shuffles on the corpus side except the per-doc groupBy.
+    *
+    * Determinism across engines (the `doc_lm_score` oracle replays this in
+    * SQL): `ln` is not guaranteed correctly-rounded, so per-token log-probs
+    * are QUANTIZED to integer micro-nats — `floor(1e6·ln(c+1))` over the
+    * small set of distinct integer counts — and summed exactly;
+    * `-ln p = lpD - lp(c)` with `lpD = floor(1e6·ln(N+V+1))` covers OOV
+    * (c=0 → lp=0 → cost lpD) through the same formula. The only floating
+    * division is the final mean, rounded to 4dp like every score in this
+    * engine.
+    */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String,
+      train: DataFrame, trainTextCol: String): DataFrame = {
+    def toks(df: DataFrame, c: String) = df.filter(col(c).isNotNull)
+      .select(df.columns.map(col) :+ explode(split(col(c), "\\s+")).as("tok"): _*)
+    val counts = toks(train.select(col(trainTextCol)), trainTextCol)
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val nv = counts.agg(sum(col("c")), count(lit(1))).head()
+    val d = nv.getLong(0) + nv.getLong(1) + 1L
+    val lpD = math.floor(1e6 * math.log(d.toDouble)).toLong
+    val scored = toks(docs.select(col(idCol), col(textCol)), textCol)
+      .join(broadcast(counts), Seq("tok"), "left")
+      .select(col(idCol), coalesce(col("c"), lit(0L)).as("c"))
+    val agg = scored.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_tokens"),
+      sum(when(col("c") === 0, 1L).otherwise(0L)).as("n_oov"),
+      sum(lit(lpD) - floor(lit(1e6) * log(col("c") + 1)).cast(LongType)).as("s_micro"))
+    docs.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        when(col("n_tokens") > 0,
+          round(col("s_micro").cast("double") / col("n_tokens") / lit(1e6), 4))
+          .as("nll"))
+  }
+
   /** Global top-`k` tokens by occurrence count, tie-broken deterministically
     * (count desc, then token asc). Physical shape: explode → hash aggregate
     * with map-side combine → `TakeOrderedAndProject` (each partition keeps

@@ -635,6 +635,46 @@ class TrainingOpsSpec extends SparkSpec {
     assert(capped == full)
   }
 
+  test("LM score: in-vocab cheap, OOV costly, goldens exact, null/empty handled") {
+    import graft.operators.Corpus
+    val train = Seq((1L, "a a a b")).toDF("doc_id", "text")
+    // N=4, V=2, D=7: lpD = floor(1e6·ln7) = 1945910
+    // p(a): c=3 → lp = floor(1e6·ln4) = 1386294 → cost 559616 µnats
+    // p(b): c=1 → lp = floor(1e6·ln2) = 693147  → cost 1252763
+    // OOV:  c=0 → lp = 0                        → cost 1945910
+    val docs = Seq(
+      (10L, "a a"), (11L, "b"), (12L, "zzz"), (13L, "a zzz"),
+      (14L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = Corpus.lmScore(docs, "doc_id", "text", train, "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]))))
+      .toMap
+    assert(got(10L) == ((2L, 0L, Some(0.5596))))
+    assert(got(11L) == ((1L, 0L, Some(1.2528))))
+    assert(got(12L) == ((1L, 1L, Some(1.9459))))
+    assert(got(13L) == ((2L, 1L, Some((559616L + 1945910L) / 2.0 / 1e6).map(x => math.round(x * 1e4) / 1e4))))
+    assert(got(14L) == ((0L, 0L, None)))
+    // real-data invariants (the synthetic halves share one distribution, so
+    // no train/held familiarity GAP exists to assert — the bounds do):
+    // every token's cost lies in (0, ln D], so every doc's mean does too,
+    // and an all-OOV doc pays exactly the cap
+    val docsR = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+      .union(Seq((99990L, "qqqx qqqy qqqz")).toDF("doc_id", "text"))
+    val s = Corpus.lmScore(docsR, "doc_id", "text",
+      docsR.filter($"doc_id" < 250), "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+    val cap = s.collectFirst {
+      case (99990L, n, oov, Some(nll)) =>
+        assert(n == 3 && oov == 3, "planted all-OOV doc miscounted"); nll
+    }.get
+    assert(s.forall { case (_, n, _, nll) => (n == 0) == nll.isEmpty })
+    assert(s.forall { case (_, _, _, nll) => nll.forall(v => v > 0 && v <= cap) },
+      "a doc scored outside (0, ln D] — impossible under add-one smoothing")
+  }
+
   test("duplicated windows: planted shared span found, short/null docs report zero") {
     val span = (1 to 12).map(i => s"tok$i").mkString(" ")
     val docs = Seq(
