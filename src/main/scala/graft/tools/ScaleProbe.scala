@@ -6,6 +6,8 @@ import java.util.concurrent.atomic.AtomicLong
 import graft.GraftSession
 import graft.operators.Dedup
 import graft.sources.Warehouse
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
@@ -278,21 +280,59 @@ object ScaleProbe {
         new graft.operators.PersistedIvf(wh)
           .buildWith(corpus, "vec_id", "embedding", cents)
         var acrossModes = Set.empty[(Long, Long)]
-        Seq(("ivf_probe", 1000), ("ivf_fullscan", 0)).foreach { case (mode, lim) =>
+        // ivf_sq8 scores the same probe on the stored int8 codes — same
+        // row-group pruning (records match ivf_probe), but the scan's
+        // ReadSchema drops the float vec column. The LISTENER cannot see
+        // column pruning (Spark's parquet input metrics are split-level:
+        // measured byte-identical across modes here), so the claim is
+        // quantified from the parquet FOOTERS instead: per-column
+        // compressed bytes of the assignment table = what a column-pruned
+        // scan must read (vec_col_bytes vs code_col_bytes in the ivf_sq8
+        // line). Result set differs from the float modes by design
+        // (quantized scores), so it is excluded from the equality check.
+        val colBytes: Map[String, Long] = {
+          import scala.jdk.CollectionConverters._
+          val conf = spark.sparkContext.hadoopConfiguration
+          Files.walk(java.nio.file.Paths.get(wh.path(
+              new graft.operators.PersistedIvf(wh).assignTable)))
+            .iterator().asScala
+            .filter(_.toString.endsWith(".parquet")).toSeq
+            .flatMap { f =>
+              val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+                new org.apache.hadoop.fs.Path(f.toString), conf))
+              try r.getFooter.getBlocks.asScala
+                .flatMap(_.getColumns.asScala)
+                .map(c => c.getPath.toDotString.takeWhile(_ != '.') -> c.getTotalSize)
+                .toSeq
+              finally r.close()
+            }
+            .groupMapReduce(_._1)(_._2)(_ + _)
+        }
+        Seq(("ivf_probe", 1000), ("ivf_fullscan", 0), ("ivf_sq8", 1000))
+          .foreach { case (mode, lim) =>
           val ivf = new graft.operators.PersistedIvf(wh, probeCellLimit = lim)
           (1 to 2).foreach { rep => // rep 1 warms page cache; rep 2 measured
             bytesRead.set(0); recordsRead.set(0)
             val t0 = System.nanoTime()
-            val got = ivf.topK(queries, "vec_id", "embedding", 10, nProbe = 4)
-              .select(col("q_id"), col("c_id")).collect()
+            val run = if (mode == "ivf_sq8")
+              ivf.topKSq8(queries, "vec_id", "embedding", 10, nProbe = 4)
+            else ivf.topK(queries, "vec_id", "embedding", 10, nProbe = 4)
+            val got = run.select(col("q_id"), col("c_id")).collect()
               .map(r => (r.getLong(0), r.getLong(1))).toSet
             val secs = (System.nanoTime() - t0) / 1e9
-            if (rep == 2) emit(
-              f"""{"tool":"scaleprobe","scale_x":$n,"mode":"$mode","n_vec":$nVec,"cells":$cells,"probe_bytes":${bytesRead.get()},"probe_records":${recordsRead.get()},"topk_rows":${got.size},"sec":$secs%.2f}""")
+            if (rep == 2) {
+              val cols = if (mode == "ivf_sq8")
+                s""","vec_col_bytes":${colBytes.getOrElse("vec", 0L)},"code_col_bytes":${colBytes.getOrElse("code", 0L)}"""
+              else ""
+              emit(
+                f"""{"tool":"scaleprobe","scale_x":$n,"mode":"$mode","n_vec":$nVec,"cells":$cells,"probe_bytes":${bytesRead.get()},"probe_records":${recordsRead.get()},"topk_rows":${got.size}$cols,"sec":$secs%.2f}""")
+            }
             assert(got.size == 10 * 10, s"IVF top-k shape wrong at x$n/$mode: ${got.size}")
-            if (acrossModes.isEmpty) acrossModes = got
-            else assert(got == acrossModes,
-              s"cell-literal pushdown changed IVF results at x$n/$mode")
+            if (mode != "ivf_sq8") {
+              if (acrossModes.isEmpty) acrossModes = got
+              else assert(got == acrossModes,
+                s"cell-literal pushdown changed IVF results at x$n/$mode")
+            }
           }
         }
         corpus.unpersist(true)
