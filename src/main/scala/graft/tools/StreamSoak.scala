@@ -27,7 +27,13 @@ import org.apache.spark.sql.functions._
   * `lsh_bloom`/`exact_bloom` force the respective stream's Bloom routing on
   * from the first batch, so the soak also proves bloom-STATE maintenance
   * (bootstrap, per-batch merge, saturation rebuild, atomic write order)
-  * stays flat over a stream lifetime.
+  * stays flat over a stream lifetime. `sem` soaks
+  * [[graft.streaming.SemanticDedupStream]] and `ivf` soaks
+  * [[graft.streaming.IvfStream]] — one dim-rotated embeddings replica per
+  * micro-batch, cell-sorted compaction + vacuum inline every `compactEvery`;
+  * their lost-batch detectors are arrival retention (cell-index rows ≡
+  * vectors ingested) and the assignment/ingest-ledger counts respectively
+  * (artifacts `target/streamsoak_sem.json` / `_ivf.json`).
   *
   * Batches are id-ordered slices of the sf dir's documents — the same data
   * shape as the `dedup_stream`/`dedup_exact_stream` driver queries, ~50×
@@ -55,8 +61,8 @@ object StreamSoak {
     val nBatches = if (args.length > 1) args(1).toInt else 50
     val compactEvery = if (args.length > 2) args(2).toInt else 10
     val mode = if (args.length > 3) args(3) else "lsh"
-    require(Set("lsh", "exact", "lsh_bloom", "exact_bloom")(mode),
-      s"mode must be lsh|exact|lsh_bloom|exact_bloom, got '$mode'")
+    require(Set("lsh", "exact", "lsh_bloom", "exact_bloom", "sem", "ivf")(mode),
+      s"mode must be lsh|exact|lsh_bloom|exact_bloom|sem|ivf, got '$mode'")
     val spark = GraftSession.builder().appName(s"stream-soak-$mode").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -66,27 +72,68 @@ object StreamSoak {
     // default; a minutes-long soak needs a grace that actually expires to
     // show garbage being COLLECTED, not merely deferred
     val wh = new AtomicWarehouse(spark, whDir, vacuumGraceMs = 15000)
-    // *_bloom: the routed path forced on from batch 1 — the soak then also
-    // exercises per-batch bloom-state maintenance (read, merge, atomic
-    // replace) for the stream's whole lifetime, not just a 3-batch drain
-    val (process, tables): (DataFrame => Unit, Seq[String]) = mode match {
-      case "lsh" | "lsh_bloom" =>
-        val ds = new DedupStream(wh, minJaccard = 0.35, minSigMatchesOverride = 4,
-          compactEvery = compactEvery, probeMinIndexBytes = 1024,
-          bloomMinIndexBytes = if (mode == "lsh_bloom") 0 else 64L << 20)
-        (ds.processBatch(_),
-          Seq(ds.indexTable, ds.bandTable, ds.corpusTable, ds.pairsTable))
-      case _ =>
-        val xs = new ExactDedupStream(wh, compactEvery = compactEvery,
-          bloomMinIndexBytes = if (mode == "exact_bloom") 0 else 64L << 20)
-        (xs.processBatch(_), Seq(xs.indexTable, xs.corpusTable))
+    // embedding-stream soak input: base embeddings dim-rotated per replica
+    // (distinct vectors, ids offset per replica — the ScaleProbe salting);
+    // one replica per micro-batch
+    lazy val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def rot(i: Int): DataFrame = {
+      val r = i % 63 + 1
+      if (i == 0) emb0
+      else emb0.select((col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+        concat(slice(col("embedding"), r + 1, 10000),
+          slice(col("embedding"), 1, r)).as("embedding"))
     }
 
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // *_bloom: the routed path forced on from batch 1 — the soak then also
+    // exercises per-batch bloom-state maintenance (read, merge, atomic
+    // replace) for the stream's whole lifetime, not just a 3-batch drain.
+    // `sem`/`ivf` soak the embedding streams: one dim-rotated replica per
+    // batch, maintenance (cell-sorted compaction + vacuum) inline every
+    // `compactEvery` like the doc streams do internally
+    val (process, tables, maintain): (DataFrame => Unit, Seq[String], () => Unit) =
+      mode match {
+        case "lsh" | "lsh_bloom" =>
+          val ds = new DedupStream(wh, minJaccard = 0.35, minSigMatchesOverride = 4,
+            compactEvery = compactEvery, probeMinIndexBytes = 1024,
+            bloomMinIndexBytes = if (mode == "lsh_bloom") 0 else 64L << 20)
+          (ds.processBatch(_),
+            Seq(ds.indexTable, ds.bandTable, ds.corpusTable, ds.pairsTable),
+            () => ())
+        case "exact" | "exact_bloom" =>
+          val xs = new ExactDedupStream(wh, compactEvery = compactEvery,
+            bloomMinIndexBytes = if (mode == "exact_bloom") 0 else 64L << 20)
+          (xs.processBatch(_), Seq(xs.indexTable, xs.corpusTable), () => ())
+        case "sem" =>
+          val sd = new graft.streaming.SemanticDedupStream(wh, minCosine = 0.45)
+          sd.init(emb0.orderBy("vec_id").limit(160) // √(50×500) ≈ 158 cells
+            .select(col("vec_id").cast("int").as("cell"),
+              col("embedding").as("centroid")))
+          var b = -1L
+          ({ df => b += 1; sd.processBatch(df, b) },
+            Seq(sd.indexTable, sd.survivorsTable), () => sd.compactAll())
+        case _ =>
+          val st = new graft.streaming.IvfStream(wh)
+          st.ivf.buildWith(rot(0), "vec_id", "embedding",
+            emb0.orderBy("vec_id").limit(160).select(col("vec_id").cast("int").as("cell"),
+              col("embedding").as("centroid")))
+          var b = -1L
+          ({ df => b += 1; st.processBatch(df, b) },
+            Seq(st.ivf.assignTable, st.ivf.statsTable),
+            () => { st.ivf.compact(); wh.vacuum() })
+      }
+
+    lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
-    val per = (maxId + nBatches) / nBatches
+    lazy val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    lazy val per = (maxId + nBatches) / nBatches
+    val embMode = mode == "sem" || mode == "ivf"
+    def batchOf(i: Int): DataFrame =
+      if (embMode) rot(i + 1)
+      else docs.filter(col("doc_id") >= i * per && col("doc_id") < (i + 1) * per)
 
     def parquetFiles(): Long = {
       val s = Files.walk(java.nio.file.Paths.get(whDir))
@@ -111,10 +158,11 @@ object StreamSoak {
     def emit(line: String): Unit = { println(line); out.append(line).append('\n') }
 
     val wall = (0 until nBatches).map { i =>
-      val batch = docs.filter(col("doc_id") >= i * per && col("doc_id") < (i + 1) * per)
+      val batch = batchOf(i)
       val mr0 = wh.manifestReads.get()
       val t0 = System.nanoTime()
       process(batch) // the exact path foreachBatch drives
+      if (embMode && compactEvery > 0 && (i + 1) % compactEvery == 0) maintain()
       val sec = (System.nanoTime() - t0) / 1e9
       val visible = tables.map(t => wh.visibleFileCount(t).max(0)).sum
       emit(f"""{"tool":"streamsoak","mode":"$mode","batch":$i,"sec":$sec%.2f,"manifest_reads":${wh.manifestReads.get() - mr0},"manifests":${manifests()},"visible_files":$visible,"parquet_files":${parquetFiles()}}""")
@@ -128,6 +176,21 @@ object StreamSoak {
     // (distinct text count over everything ingested) — if an out-of-band
     // maintenance pass lost a racing batch, these two numbers diverge
     val resultJson = mode match {
+      case "sem" =>
+        // arrival retention is the lost-batch detector: the cell index must
+        // hold EVERY ingested vector, admitted or not
+        val sd = new graft.streaming.SemanticDedupStream(wh, minCosine = 0.45)
+        val (idx, surv) = (sd.index().count(), sd.survivors().count())
+        val expected = emb0.count() * nBatches
+        assert(idx == expected, s"LOST BATCH: index $idx != ingested $expected")
+        s""""index_rows":$idx,"survivors":$surv,"expected_ingested":$expected"""
+      case "ivf" =>
+        val ivf = new graft.operators.PersistedIvf(wh)
+        val (n, led) = (ivf.assignments().count(), ivf.ingestLedger().count())
+        val expected = emb0.count() * (nBatches + 1) // + the built replica 0
+        assert(n == expected, s"LOST BATCH: assignments $n != expected $expected")
+        assert(led == nBatches, s"ledger $led rows != $nBatches batches")
+        s""""assignments":$n,"ledger_batches":$led,"expected_ingested":$expected"""
       case "lsh" | "lsh_bloom" =>
         val ds = new DedupStream(wh, minJaccard = 0.35, minSigMatchesOverride = 4)
         val bloomJson = if (mode == "lsh_bloom") {
@@ -157,6 +220,8 @@ object StreamSoak {
       case "exact"       => "target/streamsoak_exact.json"
       case "lsh_bloom"   => "target/streamsoak_lshbloom.json"
       case "exact_bloom" => "target/streamsoak_exactbloom.json"
+      case "sem"         => "target/streamsoak_sem.json"
+      case _             => "target/streamsoak_ivf.json"
     })
     Option(p.getParent).foreach(Files.createDirectories(_))
     Files.write(p, out.toString.getBytes("UTF-8"))
