@@ -45,7 +45,10 @@ import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, LongType, 
   * its ledger row and no-ops. Run on an
   * [[graft.sources.AtomicWarehouse]] for exactly-once (the other streams'
   * arrangement); on the base warehouse a mid-admit crash downgrades to
-  * at-least-once.
+  * at-least-once — index/survivor ROWS may duplicate on replay but the
+  * survivor SET is crash-free-exact, because a partially-admitted batch's
+  * ghost index rows carry the batch's own ids and the probe excludes
+  * same-id matches (CrashConsistencySpec).
   */
 class SemanticDedupStream(wh: Warehouse, minCosine: Double,
     probeCellLimit: Int = 1000, idCol: String = "vec_id",
@@ -126,7 +129,14 @@ class SemanticDedupStream(wh: Warehouse, minCosine: Double,
         when(col("n_a") === 0 || col("n_b") === 0, lit(0.0))
           .otherwise(Transforms.vecDot(col("v_a"), col("v_b"))
             / (col("n_a") * col("n_b"))), 6)
-      val dropped = near(assigned, idx).filter(cos6 >= minCosine)
+      // id_b =!= id_a: ids are unique corpus-wide, so an index row with the
+      // BATCH's own id can only be this batch's partially-admitted ghost
+      // from a crashed base-warehouse attempt — without the exclusion a
+      // checkpoint replay would drop the whole batch against itself
+      // (CrashConsistencySpec pins the replay; AtomicWarehouse makes the
+      // window impossible in the recommended arrangement)
+      val dropped = near(assigned, idx).filter(col("id_b") =!= col("id_a"))
+        .filter(cos6 >= minCosine)
         .select(col("id_a").as("id"))
         .unionByName(near(assigned, assigned)
           .filter(col("id_b") < col("id_a")).filter(cos6 >= minCosine)

@@ -119,4 +119,88 @@ class CrashConsistencySpec extends SparkSpec {
     assert(corpusIds == 150)
     assert(ds.corpus().count() >= 150) // duplicates tolerated, never lost
   }
+
+  test("SemanticDedupStream crash mid-admit: replay survivor SET crash-free-exact") {
+    def emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id".cast("long").as("vec_id"),
+        $"embedding".cast("array<float>").as("embedding"))
+    def seeds = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("cell"), $"embedding".as("centroid"))
+    val Seq(b1, b2, b3) = Seq(
+      emb.filter($"vec_id" < 150),
+      emb.filter($"vec_id" >= 150 && $"vec_id" < 300),
+      emb.filter($"vec_id" >= 300))
+
+    // crash-free reference run
+    val cleanSd = new graft.streaming.SemanticDedupStream(
+      new Warehouse(spark, Files.createTempDirectory("graft-crash-sem-clean-").toString),
+      minCosine = 0.45)
+    cleanSd.init(seeds)
+    Seq(b1, b2, b3).zipWithIndex.foreach { case (b, i) => cleanSd.processBatch(b, i.toLong) }
+    val want = cleanSd.survivors().select("id").collect().map(_.getLong(0)).toSet
+
+    // crashed run: WORST window — the index append lands (the batch's own
+    // ghost rows are now visible), survivors/ledger do not. Without the
+    // same-id probe exclusion the replay would drop all of b2 against its
+    // own ghosts
+    val wh = new FailingWarehouse(Files.createTempDirectory("graft-crash-sem-").toString)
+    val sd = new graft.streaming.SemanticDedupStream(wh, minCosine = 0.45)
+    sd.init(seeds)
+    sd.processBatch(b1, 0L)
+    wh.failOn = Some(sd.survivorsTable)
+    assert(intercept[java.io.IOException](sd.processBatch(b2, 1L))
+      .getMessage.contains("injected crash"))
+    assert(wh.exists(sd.indexTable), "the crash window needs the index landed")
+    assert(!wh.exists(sd.ledgerTable) || sd.ledger().filter($"batch_id" === 1L).isEmpty,
+      "batch 1 must not be ledgered after the crash")
+    wh.failOn = None
+    sd.processBatch(b2, 1L) // checkpoint replay
+    sd.processBatch(b3, 2L)
+
+    assert(sd.survivors().select("id").collect().map(_.getLong(0)).toSet == want,
+      "replay changed the survivor set")
+    // at-least-once: index rows may duplicate (b2's ghosts), ids may not be lost
+    assert(sd.index().select("id").distinct().count() == 500)
+    assert(sd.index().count() >= 500)
+
+    // second window: survivors landed, the ledger append crashed — replay
+    // re-admits; survivor ROWS duplicate, the SET does not
+    val wh2 = new FailingWarehouse(Files.createTempDirectory("graft-crash-sem2-").toString)
+    val sd2 = new graft.streaming.SemanticDedupStream(wh2, minCosine = 0.45)
+    sd2.init(seeds)
+    sd2.processBatch(b1, 0L)
+    wh2.failOn = Some(sd2.ledgerTable)
+    assert(intercept[java.io.IOException](sd2.processBatch(b2, 1L))
+      .getMessage.contains("injected crash"))
+    wh2.failOn = None
+    sd2.processBatch(b2, 1L)
+    sd2.processBatch(b3, 2L)
+    assert(sd2.survivors().select("id").collect().map(_.getLong(0)).toSet == want)
+    assert(sd2.survivors().count() >= want.size) // duplicates tolerated, never lost
+  }
+
+  test("IvfStream crash between appends: replay keeps the assignment ID set intact") {
+    def emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id".cast("long").as("vec_id"),
+        $"embedding".cast("array<float>").as("embedding"))
+    val wh = new FailingWarehouse(Files.createTempDirectory("graft-crash-ivf-").toString)
+    val st = new graft.streaming.IvfStream(wh)
+    st.ivf.buildWith(emb.filter($"vec_id" < 300), "vec_id", "embedding",
+      emb.filter($"vec_id" < 8).select($"vec_id".as("cell"), $"embedding".as("centroid")))
+
+    // assignment append lands, the stats/ledger appends crash
+    wh.failOn = Some(st.ivf.statsTable)
+    assert(intercept[java.io.IOException](
+      st.processBatch(emb.filter($"vec_id" >= 300), 0L))
+      .getMessage.contains("injected crash"))
+    wh.failOn = None
+    st.processBatch(emb.filter($"vec_id" >= 300), 0L) // checkpoint replay
+
+    // base-warehouse contract (the reason the streams run on AtomicWarehouse):
+    // rows duplicate, ids are never lost, the ledger converges
+    val ids = st.ivf.assignments().select("id").distinct().count()
+    assert(ids == 500, s"assignment id set $ids != 500")
+    assert(st.ivf.assignments().count() >= 500)
+    assert(st.ivf.ingestLedger().collect().map(_.getLong(0)).toSet == Set(0L))
+  }
 }
