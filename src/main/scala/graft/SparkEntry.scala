@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{Transforms => T}
-import graft.operators.{Corpus, Dedup, Merge, Multimodal, PersistedIvf, Similarity, TextOps, TimeJoins}
+import graft.operators.{Corpus, Dedup, Merge, Multimodal, PersistedIvf, Pq, Similarity, TextOps, TimeJoins}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1492,6 +1492,20 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rank"))
     }
 
+    // ---- product-quantized ADC top-k: 4 subspaces × 16 seed codewords
+    // (vec_id < 16, the seed convention), candidates scored from 4 codeword
+    // ids via the broadcast LUT — the compression rung past SQ8 (256 B
+    // float vector → 4 B of codes). Deterministic end to end, so the oracle
+    // replays codebook → encode argmin → LUT → ranking in SQL
+    q("sim_topk_pq") = (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Pq.topK(emb, emb.filter(col("vec_id") >= 8 && col("vec_id") < 18),
+        "vec_id", "vec_id", "embedding", 5,
+        seeds = emb.filter(col("vec_id") < 16), seedId = "vec_id")
+        .select(col("q_id"), col("rank").cast(LongType).as("rank"), col("c_id"), col("cosine"))
+        .orderBy(col("q_id"), col("rank"))
+    }
+
     // ---- IVF-SQ over the same persisted index: coarse quantizer (which
     // cells to probe) float-exact, fine scoring on the stored int8 codes —
     // parquet column pruning reads (id, cell, code) and skips the float
@@ -2932,6 +2946,51 @@ object SparkEntry {
         | SELECT q_id, c_id,
         |  round(CASE WHEN cn = 0 OR qn = 0 THEN 0 ELSE dot/(cn*qn) END, 4) AS cosine
         | FROM p),
+        |ranked AS (
+        | SELECT q_id, c_id, cosine,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS BIGINT) AS rank
+        | FROM scored)
+        |SELECT q_id, rank, c_id, cosine FROM ranked WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
+
+    // PQ-ADC: codebook = subspace slices of seeds (vec_id<16); encode =
+    // squared-L2 argmin at 6dp, ties to min codeword (the assign_all
+    // discipline); scoring = LUT partial sums; (x-y)*(x-y) written out —
+    // power() is not guaranteed identical to the engine's multiply
+    "sim_topk_pq" ->
+      """WITH sub AS (SELECT unnest(generate_series(0, 3)) AS s),
+        |cb AS (SELECT s.s AS sub, e.vec_id AS cw, e.embedding
+        |       FROM embeddings e, sub s WHERE e.vec_id < 16),
+        |enc0 AS (
+        | SELECT e.vec_id AS id, c.sub, c.cw,
+        |  round(sum((e.embedding[c.sub*16 + i]::DOUBLE - c.embedding[c.sub*16 + i]::DOUBLE)
+        |          * (e.embedding[c.sub*16 + i]::DOUBLE - c.embedding[c.sub*16 + i]::DOUBLE)), 6) AS d6
+        | FROM embeddings e, cb c, generate_series(1, 16) t(i)
+        | GROUP BY 1, 2, 3),
+        |enc AS (
+        | SELECT id, sub, cw FROM (
+        |  SELECT id, sub, cw,
+        |   row_number() OVER (PARTITION BY id, sub ORDER BY d6, cw) AS rn
+        |  FROM enc0) WHERE rn = 1),
+        |qn AS (
+        | SELECT vec_id AS q_id, sqrt(sum(embedding[i]::DOUBLE * embedding[i]::DOUBLE)) AS qn
+        | FROM embeddings, generate_series(1, 64) t(i)
+        | WHERE vec_id >= 8 AND vec_id < 18 GROUP BY 1),
+        |lut AS (
+        | SELECT q.vec_id AS q_id, c.sub, c.cw,
+        |  sum(q.embedding[c.sub*16 + i]::DOUBLE * c.embedding[c.sub*16 + i]::DOUBLE) AS dotp,
+        |  sum(c.embedding[c.sub*16 + i]::DOUBLE * c.embedding[c.sub*16 + i]::DOUBLE) AS n2p
+        | FROM embeddings q, cb c, generate_series(1, 16) t(i)
+        | WHERE q.vec_id >= 8 AND q.vec_id < 18 GROUP BY 1, 2, 3),
+        |p AS (
+        | SELECT l.q_id, e.id AS c_id, sum(l.dotp) AS dot, sum(l.n2p) AS n2
+        | FROM enc e JOIN lut l ON l.sub = e.sub AND l.cw = e.cw
+        | WHERE e.id <> l.q_id GROUP BY 1, 2),
+        |scored AS (
+        | SELECT p.q_id, p.c_id,
+        |  round(CASE WHEN q.qn = 0 OR p.n2 = 0 THEN 0
+        |   ELSE p.dot/(q.qn * sqrt(p.n2)) END, 4) AS cosine
+        | FROM p JOIN qn q USING (q_id)),
         |ranked AS (
         | SELECT q_id, c_id, cosine,
         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS BIGINT) AS rank

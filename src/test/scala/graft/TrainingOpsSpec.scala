@@ -635,6 +635,54 @@ class TrainingOpsSpec extends SparkSpec {
     assert(capped == full)
   }
 
+  test("PQ: lossless when the corpus is the seed set; real-data recall overlaps exact") {
+    import graft.operators.Pq
+    val embL = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id".cast("long").as("vec_id"),
+        $"embedding".cast("array<float>").as("embedding"))
+    val seeds = embL.filter($"vec_id" < 16)
+
+    // exactness anchor: corpus = seed set → every subvector is its own
+    // codeword (d6 = 0 beats any other codeword) → reconstruction is
+    // lossless → ADC cosine ≡ float cosine at 4dp, ranks and all
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "rank", "c_id", "cosine").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val qs = embL.filter($"vec_id" >= 4 && $"vec_id" < 10)
+    val adc = rows(Pq.topK(seeds, qs, "vec_id", "vec_id", "embedding", 5,
+      seeds = seeds, seedId = "vec_id"))
+    val exact = rows(Similarity.bruteForceTopK(seeds, qs,
+      "vec_id", "vec_id", "embedding", 5))
+    assert(adc == exact, "seed-corpus PQ must reconstruct losslessly")
+
+    // full real corpus against the 16-codeword book: on these near-uniform
+    // synthetic vectors absolute top-5 overlap is weak BY NATURE (the
+    // quantization error is on the order of the neighbor separation), so
+    // the robust claim is that PQ's picks are REAL neighbors — for every
+    // query, the TRUE mean cosine of the PQ top-5 beats the query's mean
+    // cosine over the whole corpus
+    def tops(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val queries = embL.filter($"vec_id" >= 8 && $"vec_id" < 18)
+    val pq = tops(Pq.topK(embL, queries, "vec_id", "vec_id", "embedding", 5,
+      seeds = seeds, seedId = "vec_id")
+      .select($"q_id", $"rank".cast("long"), $"c_id"))
+    assert(pq.size == 10 && pq.values.forall(_.size == 5))
+    val truth = embL.as("c")
+      .crossJoin(broadcast(queries.select($"vec_id".as("q_id"), $"embedding".as("qv"))))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("c_id"),
+        graft.functions.Transforms.vecCosine($"embedding", $"qv").as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    pq.foreach { case (q, picks) =>
+      val avgPick = picks.toSeq.map(c => truth((q, c))).sum / picks.size
+      val all = truth.collect { case ((`q`, _), c) => c }
+      val avgAll = all.sum / all.size
+      assert(avgPick > avgAll,
+        f"PQ picks for q=$q are not better than average: $avgPick%.4f <= $avgAll%.4f")
+    }
+  }
+
   test("LM score: in-vocab cheap, OOV costly, goldens exact, null/empty handled") {
     import graft.operators.Corpus
     val train = Seq((1L, "a a a b")).toDF("doc_id", "text")
