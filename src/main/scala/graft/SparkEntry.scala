@@ -1378,6 +1378,15 @@ object SparkEntry {
         "doc_id", "text", windowTokens = 10)
         .orderBy(col("doc_id"))
 
+    // ---- the scrub ACTION to the window stats: every duplicated 10-token
+    // span removed from every doc except its first-seeing (min-id) owner,
+    // survivors reassembled in order; text_clean whitespace-normalized
+    q("dedup_scrub") = (s, dir) =>
+      Dedup.scrubDuplicatedWindows(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", windowTokens = 10)
+        .orderBy(col("doc_id"))
+
     // ---- SemDeDup-style cluster-scoped semantic dedup: assign every vector
     // to its nearest deterministic centroid (first 8 vectors — the sim_ivf
     // cells), then drop any vector with an EARLIER (lower-id) same-cell
@@ -3092,6 +3101,41 @@ object SparkEntry {
         | FROM scored)
         |SELECT q_id, rank, c_id, cosine FROM ranked WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin,
+
+    // window = 10 → spans p..p+9; owner = min doc_id containing the hash;
+    // scrubbed text = surviving tokens rejoined (whitespace-normalized),
+    // '' when everything was scrubbed, NULL only for null text
+    "dedup_scrub" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |win AS (
+        | SELECT doc_id, i AS p, md5(array_to_string(t[i:i+9], ' ')) AS h
+        | FROM toks, unnest(generate_series(1, greatest(len(t) - 9, 0))) u(i)),
+        |owners AS (
+        | SELECT h, min(doc_id) AS owner FROM win GROUP BY 1
+        | HAVING count(DISTINCT doc_id) >= 2),
+        |rem AS (
+        | SELECT DISTINCT w.doc_id, w.p + u.k AS pos
+        | FROM win w JOIN owners o ON o.h = w.h AND w.doc_id <> o.owner,
+        |  unnest(generate_series(0, 9)) u(k)),
+        |tokpos AS (
+        | SELECT doc_id, i AS pos, t[i] AS tok
+        | FROM toks, unnest(generate_series(1, len(t))) u(i)),
+        |kept AS (
+        | SELECT tp.doc_id, count(*) AS n_kept,
+        |  string_agg(tp.tok, ' ' ORDER BY tp.pos) AS text_clean
+        | FROM tokpos tp
+        | WHERE NOT EXISTS (SELECT 1 FROM rem r
+        |   WHERE r.doc_id = tp.doc_id AND r.pos = tp.pos)
+        | GROUP BY 1),
+        |remc AS (SELECT doc_id, count(*) AS n_removed FROM rem GROUP BY 1)
+        |SELECT d.doc_id,
+        | CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+        | CAST(coalesce(r.n_removed, 0) AS BIGINT) AS n_removed,
+        | CASE WHEN d.text IS NOT NULL THEN coalesce(k.text_clean, '') END AS text_clean
+        |FROM documents d LEFT JOIN kept k USING (doc_id)
+        | LEFT JOIN remc r USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // add-one unigram LM on doc_id<250; cost of a token with train count c
     // is lpD - floor(1e6·ln(c+1)) micro-nats, lpD = floor(1e6·ln(N+V+1));

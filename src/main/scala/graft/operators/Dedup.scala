@@ -760,6 +760,65 @@ object Dedup {
         coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
   }
 
+  /** The ACTION to [[duplicatedWindowStats]]'s signal — exact-substring
+    * scrubbing (Lee et al. 2021's transformation): every duplicated
+    * `windowTokens`-token span is removed from every document EXCEPT the one
+    * that saw it first (the min-id document containing the hash — the
+    * keep-first convention of [[paragraphDedup]], at window granularity).
+    * A document's removed token positions are the union of its non-owned
+    * duplicated windows' spans; survivors reassemble in original order.
+    *
+    * Output: `(idCol, n_kept, n_removed, text_clean)` — `text_clean` is
+    * WHITESPACE-NORMALIZED (tokens rejoined with single spaces; exact
+    * whitespace cannot survive token surgery), `""` when every token was
+    * scrubbed, null only for null-text documents.
+    *
+    * Scale shape: same all-linear skeleton as the stats pass (window
+    * explode, one (hash, doc)-distinct aggregate for the owner/dup table,
+    * a span explode bounded by `w ×` duplicated windows, and two doc-keyed
+    * aggregates); nothing pairwise. The hash subtree is referenced twice
+    * (owner table + removal join) — the unavoidable second pass the stats
+    * operator engineered away, paid only over the hashes.
+    */
+  def scrubDuplicatedWindows(docs: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int): DataFrame = {
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), split(col(textCol), "\\s+").as("t"))
+    // (id, p, h): window starting at 1-based token position p
+    def win = toks.filter(size(col("t")) >= windowTokens)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(1), size(col("t")) - windowTokens + 1),
+          i => md5(concat_ws(" ", slice(col("t"), i, lit(windowTokens))))))
+        .as(Seq("p0", "h")))
+      .select(col(idCol), (col("p0") + 1).as("p"), col("h"))
+    val owners = win.select(col("h"), col(idCol)).distinct()
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("nd"), min(col(idCol)).as("owner"))
+      .filter(col("nd") >= 2)
+    val removedPos = win.join(owners, Seq("h"))
+      .filter(col(idCol) =!= col("owner"))
+      .select(col(idCol), explode(sequence(col("p"),
+        col("p") + windowTokens - 1)).as("pos"))
+      .distinct()
+    val tokPos = toks.select(col(idCol),
+      posexplode(col("t")).as(Seq("pos0", "tok")))
+      .select(col(idCol), (col("pos0") + 1).as("pos"), col("tok"))
+    val rebuilt = tokPos.join(removedPos, Seq(idCol, "pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          e => e.getField("tok")), " ").as("text_clean"))
+    val removedCount = removedPos.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_removed"))
+    docs.select(col(idCol), col(textCol).isNotNull.as("has_text"))
+      .join(rebuilt, Seq(idCol), "left")
+      .join(removedCount, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        when(col("has_text"), coalesce(col("text_clean"), lit(""))).as("text_clean"))
+  }
+
   /** SemDeDup-style cluster-scoped semantic dedup (the public concept —
     * Abbas et al. 2023, arXiv:2303.09540: k-means the embedding space, then
     * dedup only WITHIN each cluster). The candidate structure is the key to

@@ -635,6 +635,25 @@ class TrainingOpsSpec extends SparkSpec {
     assert(capped == full)
   }
 
+  test("window scrub: owner keeps the span, non-owner loses it, rest untouched") {
+    val span = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $span gamma"),
+      (2L, s"$span delta epsilon zeta"),
+      (3L, "alpha beta gamma"),
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = Dedup.scrubDuplicatedWindows(docs, "doc_id", "text", 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.getString(3))))).toMap
+    // doc 1 owns every shared hash (min id) → untouched (normalized join)
+    assert(got(1L) == ((15L, 0L, Some(s"alpha beta $span gamma"))))
+    // doc 2's shared windows start at 1,2,3 → positions 1..12 removed
+    assert(got(2L) == ((3L, 12L, Some("delta epsilon zeta"))))
+    assert(got(3L) == ((3L, 0L, Some("alpha beta gamma"))))
+    assert(got(5L) == ((0L, 0L, None)))
+  }
+
   test("PQ: lossless when the corpus is the seed set; real-data recall overlaps exact") {
     import graft.operators.Pq
     val embL = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
