@@ -159,4 +159,47 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("SQ8/PQ quantizer invariants over generated vectors") {
+    import spark.implicits._
+    import graft.functions.Transforms
+    import graft.operators.Pq
+    val vecGen: Gen[List[Float]] = Gen.listOfN(64, Gen.chooseNum(-10.0f, 10.0f))
+    val vecs = (0 until 60).flatMap(i =>
+      vecGen.apply(Gen.Parameters.default, Seed(7L + i))).map(_.toSeq)
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+
+    // codes bounded by construction; POWER-OF-TWO scale invariance is exact
+    // (×2^k is exact in float, and (2^k·a)/(2^k·b) rounds identically to
+    // a/b), and self-cosine is 1 up to the sqrt(n)² wobble
+    val rows = df.select(
+      Transforms.sq8Encode($"embedding").as("c"),
+      Transforms.sq8Encode(transform($"embedding", x => x * lit(4.0f))).as("c4"),
+      Transforms.sq8Encode(transform($"embedding", x => x * lit(0.25f))).as("cq"),
+      Transforms.sq8Cosine(Transforms.sq8Encode($"embedding"),
+        Transforms.sq8Encode($"embedding")).as("self"))
+      .collect()
+    rows.foreach { r =>
+      val c = r.getAs[Array[Byte]]("c")
+      assert(c.forall(b => b >= -127 && b <= 127), "code out of int8 range")
+      assert(java.util.Arrays.equals(c, r.getAs[Array[Byte]]("c4")),
+        "codes not invariant under ×4")
+      assert(java.util.Arrays.equals(c, r.getAs[Array[Byte]]("cq")),
+        "codes not invariant under ×1/4")
+      assert(math.abs(r.getAs[Double]("self") - 1.0) < 1e-9)
+    }
+
+    // PQ: encoding the seed set itself is lossless value-wise — the chosen
+    // codeword's vector equals the subvector (d6=0 wins every argmin)
+    val seeds = df.filter($"vec_id" < 16)
+    val cb = Pq.codebook(seeds, "vec_id", "embedding", 4, 16)
+    val bad = Pq.encode(seeds, "vec_id", "embedding", cb, 4, 16)
+      .join(cb, Seq("sub", "cw"))
+      .join(seeds.select($"vec_id".as("id"),
+        $"embedding".cast("array<double>").as("v")), Seq("id"))
+      .filter(col("cvec") =!= slice(col("v"), col("sub") * 16 + 1, lit(16)))
+    assert(bad.isEmpty, "PQ seed-set encoding not lossless")
+  }
 }
