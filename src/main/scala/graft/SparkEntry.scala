@@ -874,6 +874,47 @@ object SparkEntry {
         .orderBy(col("tbl"))
     }
 
+    // ---- time travel on the transactional warehouse: four commits (two
+    // appends, a replace, a multi-table transaction), then every version
+    // read back AS OF its commit plus CDC reads of the append-only windows;
+    // the window crossing the replace must refuse (file diff != row diff
+    // there). All observations collapse to one literal-checkable row
+    q("etl_time_travel") = (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.{LongType => LT, StringType => ST, StructField => SF, StructType => STT}
+      val wh = new graft.sources.AtomicWarehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-ttravel-").toString)
+      val sch = STT(Seq(SF("id", LT), SF("v", ST)))
+      wh.append("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))         // v1
+      wh.append("t", Seq((3L, "c")).toDF("id", "v"))                    // v2
+      wh.replace("t", Seq((9L, "z")).toDF("id", "v"))                   // v3
+      wh.atomically { w =>                                              // v4
+        w.append("t", Seq((10L, "y")).toDF("id", "v"))
+        w.append("u", Seq((100L, "q")).toDF("id", "v"))
+      }
+      def sumN(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+        val r = df.agg(coalesce(sum(col("id")), lit(0L)), count(lit(1))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val (s1, n1) = sumN(wh.readAt("t", sch, 1))
+      val (s2, n2) = sumN(wh.readAt("t", sch, 2))
+      val (s3, n3) = sumN(wh.readAt("t", sch, 3))
+      val (s4, n4) = sumN(wh.readAt("t", sch, 4))
+      val (_, u3) = sumN(wh.readAt("u", sch, 3))
+      val (_, u4) = sumN(wh.readAt("u", sch, 4))
+      val (d12, dn12) = sumN(wh.appendsBetween("t", sch, 1, 2))
+      val (d34, dn34) = sumN(wh.appendsBetween("t", sch, 3, 4))
+      val refused =
+        try { wh.appendsBetween("t", sch, 2, 3); false }
+        catch { case _: IllegalStateException => true }
+      Seq((wh.versions().mkString(","), s1, n1, s2, n2, s3, n3, s4, n4,
+          u3, u4, d12, dn12, d34, dn34, refused))
+        .toDF("versions", "t1_sum", "t1_n", "t2_sum", "t2_n", "t3_sum", "t3_n",
+          "t4_sum", "t4_n", "u3_n", "u4_n", "d12_sum", "d12_n", "d34_sum",
+          "d34_n", "replace_window_refused")
+        .orderBy(col("versions"))
+    }
+
     // F7 + A1: provider-name pipeline + distinct aggregation
     q("etl_provider_dedup") = (s, dir) =>
       t(s, dir, "part")
@@ -2384,6 +2425,25 @@ object SparkEntry {
         | AS t(tbl, exists_before, exists_after_write,
         |      rows_after_append1, rows_after_append2, exists_after_delete)
         |ORDER BY tbl""".stripMargin,
+
+    // deterministic end-state of the versioned-commit scenario the query
+    // builds: v1 append {1,2}, v2 append {3}, v3 replace {9}, v4 txn
+    // append t{10}+u{100}; CDC windows (1,2] and (3,4]; (2,3] crosses the
+    // replace and must refuse
+    "etl_time_travel" ->
+      """SELECT versions,
+        | CAST(t1_sum AS BIGINT) AS t1_sum, CAST(t1_n AS BIGINT) AS t1_n,
+        | CAST(t2_sum AS BIGINT) AS t2_sum, CAST(t2_n AS BIGINT) AS t2_n,
+        | CAST(t3_sum AS BIGINT) AS t3_sum, CAST(t3_n AS BIGINT) AS t3_n,
+        | CAST(t4_sum AS BIGINT) AS t4_sum, CAST(t4_n AS BIGINT) AS t4_n,
+        | CAST(u3_n AS BIGINT) AS u3_n, CAST(u4_n AS BIGINT) AS u4_n,
+        | CAST(d12_sum AS BIGINT) AS d12_sum, CAST(d12_n AS BIGINT) AS d12_n,
+        | CAST(d34_sum AS BIGINT) AS d34_sum, CAST(d34_n AS BIGINT) AS d34_n,
+        | replace_window_refused
+        |FROM (VALUES ('1,2,3,4', 3, 2, 6, 3, 9, 1, 19, 2, 0, 1, 3, 1, 10, 1, true))
+        | AS t(versions, t1_sum, t1_n, t2_sum, t2_n, t3_sum, t3_n, t4_sum, t4_n,
+        |      u3_n, u4_n, d12_sum, d12_n, d34_sum, d34_n, replace_window_refused)
+        |ORDER BY versions""".stripMargin,
 
     "etl_provider_dedup" ->
       """WITH c AS (

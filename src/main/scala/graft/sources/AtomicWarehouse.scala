@@ -171,7 +171,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     else foldFrom(cfs)
   }
 
-  private def foldFrom(cfs: Seq[Path]): LogState = {
+  private def foldFrom(cfs: Seq[Path], updateCache: Boolean = true): LogState = {
     val key = cfs.last.getName
     var adds = Map.empty[String, Vector[String]]
     // membership mirror of `adds`: the double-add defense as Vector.contains
@@ -204,7 +204,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       }
     }
     val st = LogState(adds, truncated)
-    foldCache = (key, st)
+    if (updateCache) foldCache = (key, st)
     st
   }
 
@@ -693,6 +693,114 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
         spark.read.option("basePath", path(table)).schema(schema)
           .parquet(files.map(f => s"${path(table)}/$f"): _*)
     }
+
+  // ---- time travel ---------------------------------------------------------
+
+  /** Committed log versions currently on disk, ascending — the valid
+    * `asOfVersion` arguments. Retention is bounded by maintenance exactly as
+    * in the pointer-commit formats this rebuilds: a fold-snapshot subsumes
+    * the manifests before it and [[vacuum]] eventually deletes them (plus
+    * any data files no current manifest references), so history survives
+    * only until then — and [[readAt]] REFUSES once the chain to a version is
+    * gone, rather than silently reconstructing a partial state.
+    */
+  def versions(): Seq[Int] = commitFiles().map(versionOf)
+
+  /** The table's rows as of commit `version` — every transaction's writes
+    * with version ≤ `version` visible, nothing after. Throws when the
+    * manifest chain or the version's data files were vacuumed away. A table
+    * with no manifest activity at `version` (first committed later, or a
+    * raw directory that never went through the log) reads as EMPTY — the
+    * log is the source of truth for history, and at that version it says
+    * the table had nothing.
+    */
+  def readAt(table: String, schema: StructType, version: Int): DataFrame = {
+    val st = stateAt(version)
+    val touched = st.adds.contains(table) ||
+      st.truncated.exists(t => table == t || table.startsWith(t + "/"))
+    if (!touched)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val files = st.adds.getOrElse(table, Vector.empty)
+    val gone = files.filterNot(f => fs.exists(new Path(s"${path(table)}/$f")))
+    if (gone.nonEmpty) throw new IllegalStateException(
+      s"version $version of $table is no longer reconstructible: " +
+        s"${gone.size} of its data files were vacuumed (first: ${gone.head})")
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.option("basePath", path(table)).schema(schema)
+      .parquet(files.map(f => s"${path(table)}/$f"): _*)
+  }
+
+  /** Rows appended to `table` in versions (`fromVersion`, `toVersion`] — the
+    * CDC read for append-only windows (streaming ingest, the ledger). The
+    * window must be append-only for the table: a truncate (replace, delete,
+    * compaction rewrite) inside it means file-set difference no longer
+    * equals row-level change, so this throws instead of under-reporting.
+    * Snapshot manifests inside the window are bookkeeping (their leading
+    * truncates rebuild state, they change nothing) and are ignored.
+    */
+  def appendsBetween(table: String, schema: StructType,
+      fromVersion: Int, toVersion: Int): DataFrame = {
+    require(fromVersion <= toVersion, s"fromVersion $fromVersion > toVersion $toVersion")
+    val window = commitFiles()
+      .filter(p => versionOf(p) > fromVersion && versionOf(p) <= toVersion)
+    // versions are allocated contiguously (publish CAS), so any hole in the
+    // window is a vacuumed manifest — the truncate scan below would miss it
+    val have = window.map(versionOf)
+    val missing = ((fromVersion + 1) to toVersion).filterNot(have.contains)
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"manifests ${missing.mkString(",")} in ($fromVersion,$toVersion] were vacuumed; " +
+        "the change window is no longer reconstructible")
+    val truncatedInWindow = window.filterNot(isSnapshot).exists(cf =>
+      readLines(cf).exists { line =>
+        val f = line.split('\t')
+        f(0) == "truncate" && (table == f(1) || table.startsWith(f(1) + "/"))
+      })
+    if (truncatedInWindow) throw new IllegalStateException(
+      s"$table was truncated inside ($fromVersion,$toVersion]; " +
+        "the window is not append-only and file diff != row diff")
+    val before = stateAt(fromVersion).adds.getOrElse(table, Vector.empty).toSet
+    val added = stateAt(toVersion).adds.getOrElse(table, Vector.empty)
+      .filterNot(before)
+    val gone = added.filterNot(f => fs.exists(new Path(s"${path(table)}/$f")))
+    if (gone.nonEmpty) throw new IllegalStateException(
+      s"window ($fromVersion,$toVersion] of $table lost ${gone.size} data files to vacuum")
+    if (added.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.option("basePath", path(table)).schema(schema)
+      .parquet(added.map(f => s"${path(table)}/$f"): _*)
+  }
+
+  /** Fold the log as of `version`: manifests ≤ `version`, starting at the
+    * latest snapshot within that prefix. Correct only when the retained
+    * chain is complete — a snapshot origin is self-contained by its CAS
+    * contract; without one the chain must reach back to genesis (version 1,
+    * versions being contiguously allocated). Does NOT touch the fold cache
+    * (historical folds must never shadow the live state).
+    */
+  private def stateAt(version: Int): LogState =
+    if (version <= 0) LogState(Map.empty, Set.empty) // genesis: before any commit
+    else retryOnVanishedManifest {
+    val all = commitFiles()
+    val upTo = all.filter(p => versionOf(p) <= version)
+    if (upTo.isEmpty) throw new IllegalStateException(
+      s"version $version predates retained history (earliest on disk: " +
+        s"${all.headOption.map(versionOf).getOrElse(-1)})")
+    val cfs = upTo.drop(latestSnapshotIdx(upTo).max(0))
+    val vs = cfs.map(versionOf)
+    // versions are allocated contiguously (publish CAS) and the live head is
+    // never vacuumed, so the chain must cover every integer from its origin
+    // through min(version, head) — a hole is a vacuumed manifest whose
+    // writes would silently vanish from the reconstruction
+    val target = math.min(version, versionOf(all.last))
+    val complete = (isSnapshot(cfs.head) || vs.head == 1) &&
+      vs.sameElements(vs.head to target)
+    if (!complete) throw new IllegalStateException(
+      s"manifest chain to version $version has vacuumed gaps " +
+        s"(retained: ${vs.mkString(",")}); state is not reconstructible")
+    foldFrom(cfs, updateCache = false)
+  }
 
   /** Conflict-safe layout rewrite (compaction, Z-order) for ACTIVE tables —
     * what out-of-band maintenance (`tools/Maintain`) against a live stream

@@ -471,4 +471,57 @@ class AtomicWarehouseSpec extends SparkSpec {
       .filter(_.toString.endsWith(".parquet")).count()
     assert(dataFiles == 1, s"expected 1 referenced data file, found $dataFiles")
   }
+
+  test("time travel: readAt per version, CDC windows, snapshot transparency, vacuum bounds") {
+    val wh = new AtomicWarehouse(spark, Files.createTempDirectory("graft-aw-tt-").toString)
+    wh.append("t", Seq((1L, "a")).toDF("id", "v"))  // v1
+    wh.append("t", Seq((2L, "b")).toDF("id", "v"))  // v2
+    wh.replace("t", Seq((9L, "z")).toDF("id", "v")) // v3
+    wh.atomically { w =>                            // v4: multi-table txn
+      w.append("t", Seq((10L, "y")).toDF("id", "v"))
+      w.append("u", Seq((100L, "q")).toDF("id", "v"))
+    }
+    assert(wh.versions() == Seq(1, 2, 3, 4))
+    def at(t: String, v: Int) = wh.readAt(t, kv, v).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(at("t", 1) == Set((1L, "a")))
+    assert(at("t", 2) == Set((1L, "a"), (2L, "b")))
+    assert(at("t", 3) == Set((9L, "z")), "replace must reset history at its version")
+    assert(at("t", 4) == Set((9L, "z"), (10L, "y")))
+    assert(at("t", 99) == at("t", 4), "beyond-head as-of = current state")
+    assert(at("t", 0).isEmpty, "version 0 = genesis, before any commit")
+    assert(at("u", 3).isEmpty && at("u", 4) == Set((100L, "q")),
+      "a table first committed at v4 is empty at v3")
+
+    def delta(t: String, a: Int, b: Int) = wh.appendsBetween(t, kv, a, b).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(delta("t", 1, 2) == Set((2L, "b")))
+    assert(delta("t", 3, 4) == Set((10L, "y")))
+    assert(delta("t", 0, 2) == Set((1L, "a"), (2L, "b")))
+    assert(delta("t", 4, 4) == Set.empty)
+    // windows crossing the replace are not append-only → refuse, both the
+    // tight window and a wider one containing it
+    intercept[IllegalStateException](wh.appendsBetween("t", kv, 2, 3))
+    intercept[IllegalStateException](wh.appendsBetween("t", kv, 1, 4))
+
+    // a fold-snapshot inside a window is bookkeeping, not a truncate
+    wh.vacuum() // default grace keeps every manifest; publishes snapshot v5
+    wh.append("t", Seq((11L, "w")).toDF("id", "v")) // v6
+    assert(wh.versions() == Seq(1, 2, 3, 4, 5, 6))
+    assert(delta("t", 3, 6) == Set((10L, "y"), (11L, "w")),
+      "the snapshot's rebuild-truncates must not read as table truncates")
+    assert(at("t", 2) == Set((1L, "a"), (2L, "b")),
+      "pre-snapshot history stays readable until vacuumed")
+
+    // zero-grace vacuum folds again and deletes the superseded manifests:
+    // pre-snapshot history is gone and says so, live state is untouched
+    Thread.sleep(50) // mtime granularity
+    wh.vacuum(olderThanMs = 1L)
+    intercept[IllegalStateException](wh.readAt("t", kv, 2))
+    intercept[IllegalStateException](wh.appendsBetween("t", kv, 1, 2))
+    assert(rows(wh, "t") == Set((9L, "z"), (10L, "y"), (11L, "w")))
+    val head = wh.versions().last
+    assert(at("t", head) == Set((9L, "z"), (10L, "y"), (11L, "w")),
+      "the snapshot version itself must remain readable")
+  }
 }
