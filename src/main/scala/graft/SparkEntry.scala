@@ -1575,6 +1575,29 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rank"))
     }
 
+    // ---- IVF-PQ over the persisted index: coarse quantizer float-exact,
+    // fine scoring by ADC over the STORED codeword ids (4 ints per
+    // candidate — the compression rung past IVF-SQ's 64 bytes). Codebook =
+    // subspace slices of the first 16 vectors (the sim_topk_pq seed
+    // convention), persisted with the index; the incremental addVectors
+    // path encodes only the fresh batch
+    q("sim_ivf_pq") = (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val wh = new graft.sources.Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-ivfpq-").toString)
+      val ivf = new PersistedIvf(wh)
+      ivf.buildWith(emb.filter(col("vec_id") < 300), "vec_id", "embedding",
+        emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cell"), col("embedding").as("centroid")),
+        pq = Some(PersistedIvf.PqSpec(
+          emb.filter(col("vec_id") < 16), "vec_id", "embedding")))
+      ivf.addVectors(emb.filter(col("vec_id") >= 300), "vec_id", "embedding")
+      ivf.topKPq(emb.filter(col("vec_id") >= 8 && col("vec_id") < 18),
+          "vec_id", "embedding", 5, nProbe = 2)
+        .select(col("q_id"), col("rank").cast(LongType).as("rank"), col("c_id"), col("cosine"))
+        .orderBy(col("q_id"), col("rank"))
+    }
+
     // ---- the same index maintained by STRUCTURED STREAMING: build on the
     // first 300 vectors, then the tail arrives as micro-batch files
     // (streaming/IvfStream — ledgered atomic admits, replay-idempotent),
@@ -3110,6 +3133,73 @@ object SparkEntry {
         |  round(CASE WHEN na = 0 OR nb = 0 THEN 0
         |   ELSE dot/(sqrt(na)*sqrt(nb)) END, 4) AS cosine
         | FROM p),
+        |ranked AS (
+        | SELECT q_id, c_id, cosine,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS BIGINT) AS rank
+        | FROM scored)
+        |SELECT q_id, rank, c_id, cosine FROM ranked WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
+
+    // IVF-PQ: float-exact cell assignment (cells/qcells — as sim_ivf_sq8)
+    // + PQ-ADC scoring from the stored codeword ids (cb/enc/lut — as
+    // sim_topk_pq), candidate pairs restricted to each query's 2 probed
+    // cells before the LUT sum
+    "sim_ivf_pq" ->
+      """WITH cent AS (SELECT vec_id AS cell, embedding FROM embeddings WHERE vec_id < 8),
+        |assign_all AS (
+        | SELECT e.vec_id, c.cell,
+        |  round(CASE WHEN sqrt(sum(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)) = 0
+        |         OR sqrt(sum(c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) = 0 THEN 0
+        |   ELSE sum(e.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)
+        |    / (sqrt(sum(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))
+        |       * sqrt(sum(c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))) END, 6) AS cos6
+        | FROM embeddings e, cent c, generate_series(1, 64) t(i) GROUP BY 1,2),
+        |cells AS (
+        | SELECT vec_id, cell FROM (
+        |  SELECT vec_id, cell,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY cos6 DESC, cell) AS rn
+        |  FROM assign_all) WHERE rn = 1),
+        |qcells AS (
+        | SELECT vec_id AS q_id, cell FROM (
+        |  SELECT vec_id, cell,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY cos6 DESC, cell) AS rn
+        |  FROM assign_all WHERE vec_id >= 8 AND vec_id < 18) WHERE rn <= 2),
+        |sub AS (SELECT unnest(generate_series(0, 3)) AS s),
+        |cb AS (SELECT s.s AS sub, e.vec_id AS cw, e.embedding
+        |       FROM embeddings e, sub s WHERE e.vec_id < 16),
+        |enc0 AS (
+        | SELECT e.vec_id AS id, c.sub, c.cw,
+        |  round(sum((e.embedding[c.sub*16 + i]::DOUBLE - c.embedding[c.sub*16 + i]::DOUBLE)
+        |          * (e.embedding[c.sub*16 + i]::DOUBLE - c.embedding[c.sub*16 + i]::DOUBLE)), 6) AS d6
+        | FROM embeddings e, cb c, generate_series(1, 16) t(i)
+        | GROUP BY 1, 2, 3),
+        |enc AS (
+        | SELECT id, sub, cw FROM (
+        |  SELECT id, sub, cw,
+        |   row_number() OVER (PARTITION BY id, sub ORDER BY d6, cw) AS rn
+        |  FROM enc0) WHERE rn = 1),
+        |qn AS (
+        | SELECT vec_id AS q_id, sqrt(sum(embedding[i]::DOUBLE * embedding[i]::DOUBLE)) AS qn
+        | FROM embeddings, generate_series(1, 64) t(i)
+        | WHERE vec_id >= 8 AND vec_id < 18 GROUP BY 1),
+        |lut AS (
+        | SELECT q.vec_id AS q_id, c.sub, c.cw,
+        |  sum(q.embedding[c.sub*16 + i]::DOUBLE * c.embedding[c.sub*16 + i]::DOUBLE) AS dotp,
+        |  sum(c.embedding[c.sub*16 + i]::DOUBLE * c.embedding[c.sub*16 + i]::DOUBLE) AS n2p
+        | FROM embeddings q, cb c, generate_series(1, 16) t(i)
+        | WHERE q.vec_id >= 8 AND q.vec_id < 18 GROUP BY 1, 2, 3),
+        |p AS (
+        | SELECT l.q_id, e.id AS c_id, sum(l.dotp) AS dot, sum(l.n2p) AS n2
+        | FROM enc e
+        |  JOIN cells cc ON cc.vec_id = e.id
+        |  JOIN qcells qc ON qc.cell = cc.cell
+        |  JOIN lut l ON l.q_id = qc.q_id AND l.sub = e.sub AND l.cw = e.cw
+        | WHERE e.id <> qc.q_id GROUP BY 1, 2),
+        |scored AS (
+        | SELECT p.q_id, p.c_id,
+        |  round(CASE WHEN q.qn = 0 OR p.n2 = 0 THEN 0
+        |   ELSE p.dot/(q.qn * sqrt(p.n2)) END, 4) AS cosine
+        | FROM p JOIN qn q USING (q_id)),
         |ranked AS (
         | SELECT q_id, c_id, cosine,
         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS BIGINT) AS rank

@@ -48,6 +48,7 @@ class PersistedIvf(wh: Warehouse, probeCellLimit: Int = 1000) {
   val assignTable = "ann/CellAssignments"
   val statsTable = "ann/AssignStats"
   val ingestTable = "ann/IngestLedger"
+  val pqCodebookTable = "ann/PqCodebook"
 
   val centroidSchema: StructType = StructType(Seq(
     StructField("cell", IntegerType, nullable = false),
@@ -60,7 +61,18 @@ class PersistedIvf(wh: Warehouse, probeCellLimit: Int = 1000) {
     // [[topKSq8]] scores on THIS column and parquet column pruning turns
     // the 4-bytes-per-dim float read into a 1-byte-per-dim code read —
     // same table, no second structure to maintain
-    StructField("code", org.apache.spark.sql.types.BinaryType, nullable = true)))
+    StructField("code", org.apache.spark.sql.types.BinaryType, nullable = true),
+    // PQ codeword ids of `vec` ([[Pq.encode]] against the persisted
+    // codebook), written at admit when the index was built with a
+    // [[PersistedIvf.PqSpec]] — null otherwise (and for rows admitted
+    // before PQ was enabled; parquet fills absent columns with nulls).
+    // [[topKPq]] scores on THIS column: m ints per vector, the compression
+    // rung past SQ8
+    StructField("pq", ArrayType(IntegerType), nullable = true)))
+  val pqCodebookSchema: StructType = StructType(Seq(
+    StructField("sub", IntegerType, nullable = false),
+    StructField("cw", LongType, nullable = false),
+    StructField("cvec", ArrayType(DoubleType), nullable = true)))
   val statsSchema: StructType = StructType(Seq(
     StructField("seq", LongType, nullable = false),
     StructField("kind", StringType, nullable = false),
@@ -90,6 +102,43 @@ class PersistedIvf(wh: Warehouse, probeCellLimit: Int = 1000) {
   private def withCode(df: DataFrame): DataFrame =
     df.withColumn("code", Transforms.sq8Encode(col("vec")))
 
+  /** PQ-encode `df`'s vectors against `cbOpt` (None → null codes). Encoding
+    * is a pure per-row function of (vector, codebook) — the same incremental
+    * ≡ full argument as cell assignment — shaped as [[Pq.encode]]'s exploded
+    * argmin folded back to an id-ordered codeword array.
+    */
+  private def withPq(df: DataFrame, cbOpt: Option[DataFrame]): DataFrame =
+    cbOpt match {
+      case None =>
+        df.withColumn("pq", lit(null).cast(ArrayType(IntegerType)))
+      case Some(cb) =>
+        val (m, subDim) = pqParams(cb)
+        val codes = Pq.encode(df.select(col("id"), col("vec")), "id", "vec",
+            cb, m, subDim)
+          .groupBy(col("id"))
+          .agg(array_sort(collect_list(struct(col("sub"), col("cw")))).as("sc"))
+          .select(col("id"),
+            transform(col("sc"), s => s.getField("cw").cast(IntegerType)).as("pq"))
+        df.join(codes, Seq("id"), "left")
+    }
+
+  /** (m, subDim) read off the codebook itself — the persisted index is
+    * self-describing, no caller-side config to drift.
+    */
+  private def pqParams(cb: DataFrame): (Int, Int) = {
+    val r = cb.agg(max(col("sub")), min(size(col("cvec")))).head()
+    (r.getInt(0) + 1, r.getInt(1))
+  }
+
+  /** The persisted codebook when PQ is enabled on this index. */
+  def pqCodebook(): DataFrame = wh.read(pqCodebookTable, pqCodebookSchema)
+
+  /** The codebook to encode an admit batch with: None when the index was
+    * built without PQ.
+    */
+  private def currentCb(): Option[DataFrame] =
+    if (wh.exists(pqCodebookTable)) Some(pqCodebook()) else None
+
   private def statsRow(seq: Long, kind: String, n: Long, meanCos: Option[Double]): DataFrame =
     wh.spark.createDataFrame(
       java.util.Arrays.asList(org.apache.spark.sql.Row(seq, kind, n,
@@ -105,18 +154,32 @@ class PersistedIvf(wh: Warehouse, probeCellLimit: Int = 1000) {
     * replaces all three tables. The assignment lands repartitioned by cell
     * and cell-sorted within files (see class doc; a build is the one
     * acceptable full-corpus shuffle — every later batch is incremental).
+    *
+    * `pq`: enable product-quantized scoring ([[topKPq]]) — the codebook
+    * derives from the spec's seeds and persists alongside the index; every
+    * assignment row (this build and all later admits) carries its PQ codes.
+    * A rebuild WITHOUT a spec (e.g. [[retrain]]) keeps an already-persisted
+    * codebook and keeps encoding: the codebook is corpus-independent once
+    * built, and silently losing the codes would break [[topKPq]] callers.
     */
   def buildWith(corpus: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame): Unit = {
+      centroids: DataFrame, pq: Option[PersistedIvf.PqSpec] = None): Unit = {
     val cents = centroids.select(col("cell").cast(IntegerType).as("cell"),
       col("centroid").cast(ArrayType(FloatType)).as("centroid"))
+    val cbNew = pq.map(p => Pq.codebook(p.seeds, p.seedId, p.vecCol, p.m, p.subDim)
+      .select(col("sub"), col("cw"), col("cvec").cast(ArrayType(DoubleType)).as("cvec")))
+    val cbOpt = cbNew.orElse(currentCb())
     val assigned = assignWithCos(normalized(corpus, idCol, vecCol), cents)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val (n, meanCos) = meanCosOf(assigned)
       wh.atomically { w =>
         w.replace(centroidsTable, cents)
-        w.replace(assignTable, withCode(assigned.drop("cos6"))
+        // a fresh codebook replaces; a reused one is NOT rewritten (its
+        // encode plan reads the very files a replace would overwrite on the
+        // base warehouse)
+        cbNew.foreach(cb => w.replace(pqCodebookTable, cb))
+        w.replace(assignTable, withCode(withPq(assigned.drop("cos6"), cbOpt))
           .repartition(col("cell")).sortWithinPartitions("cell"))
         w.replace(statsTable, statsRow(0L, "train", n, meanCos))
       }
@@ -175,7 +238,7 @@ class PersistedIvf(wh: Warehouse, probeCellLimit: Int = 1000) {
         case r => r.getLong(0) + 1L
       }
       wh.atomically { w =>
-        w.append(assignTable, withCode(assigned.drop("cos6"))
+        w.append(assignTable, withCode(withPq(assigned.drop("cos6"), currentCb()))
           .sortWithinPartitions("cell"))
         w.append(statsTable, statsRow(seq, "batch", n, meanCos))
         batchId.foreach { b =>
@@ -231,6 +294,39 @@ class PersistedIvf(wh: Warehouse, probeCellLimit: Int = 1000) {
       .select(col("q_id"), col("id").as("c_id"),
         round(Transforms.sq8Cosine(col("code"), col("q_code")), 4).as("cosine"))
     Similarity.topKPerKey(scored, "q_id", "cosine", "c_id", k)
+  }
+
+  /** [[topK]] scored by PQ asymmetric distance computation from the stored
+    * codeword ids — the compression rung past [[topKSq8]]: the coarse
+    * quantizer (which cells to probe) stays float-exact, the fine scoring
+    * reads `(id, cell, pq)` — m ints per candidate, a 64× shrink of the
+    * candidate column at m=4/dim=64 — and reconstructs nothing: each
+    * (query, candidate) pair sums m broadcast-LUT partials ([[Pq]] class
+    * doc). Fully deterministic: `nProbe = numCells` equals [[Pq.topK]] over
+    * the indexed corpus with the same codebook exactly (TrainingOpsSpec),
+    * and the `sim_ivf_pq` driver oracle replays cells + encode + LUT +
+    * ranking in SQL.
+    */
+  def topKPq(queries: DataFrame, queryId: String, vecCol: String,
+      k: Int, nProbe: Int = 1): DataFrame = {
+    require(wh.exists(pqCodebookTable),
+      s"$pqCodebookTable absent — buildWith(pq = Some(...)) first")
+    val cb = pqCodebook()
+    val (m, subDim) = pqParams(cb)
+    val q = queries.select(col(queryId).cast(LongType).as("q_id"),
+      col(vecCol).cast(ArrayType(FloatType)).as("v"))
+    val probes = queryProbes(q, nProbe)
+    val l = Pq.lut(queries, queryId, vecCol, cb, m, subDim)
+    val cand = probedSlice(probes)
+      .select(col("id"), col("cell"), col("pq"))
+      .filter(col("pq").isNotNull)
+      .select(col("id"), col("cell"), posexplode(col("pq")).as(Seq("sub", "cw")))
+      .select(col("id"), col("cell"), col("sub").cast(IntegerType).as("sub"),
+        col("cw").cast(LongType).as("cw"))
+    val joined = cand.join(broadcast(l), Seq("sub", "cw"))
+      .join(broadcast(probes.select(col("q_id"), col("cell"))), Seq("q_id", "cell"))
+      .filter(col("id") =!= col("q_id"))
+    Similarity.topKPerKey(Pq.adcReduce(joined), "q_id", "cosine", "c_id", k)
   }
 
   /** Each query's `nProbe` nearest cells as (q_id, cell). */
@@ -294,4 +390,14 @@ class PersistedIvf(wh: Warehouse, probeCellLimit: Int = 1000) {
     */
   def compact(targetFiles: Int = 1): Unit =
     wh.compact(assignTable, assignSchema, targetFiles, sortCols = Seq("cell"))
+}
+
+object PersistedIvf {
+  /** PQ configuration for [[PersistedIvf.buildWith]]: `seeds` supply the
+    * per-subspace codebooks ([[Pq.codebook]] — codeword `cw = seed id`,
+    * vector = the seed's subspace slice), `m` subspaces × `subDim` dims
+    * each must tile the embedding dimension.
+    */
+  case class PqSpec(seeds: DataFrame, seedId: String, vecCol: String,
+      m: Int = 4, subDim: Int = 16)
 }

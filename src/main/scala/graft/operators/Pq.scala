@@ -74,6 +74,36 @@ object Pq {
       .groupBy(col("id"), col("sub"))
       .agg(max_by(col("cw"), struct(-col("d6"), -col("cw"))).as("cw"))
 
+  /** Per-query ADC lookup table `(q_id, sub, cw, dotp, n2p, qn)`: the
+    * queries × codebook partial dot products and codeword norms (m·k rows
+    * per query — broadcast-sized by the query-batch contract) every ADC
+    * scorer joins codes against.
+    */
+  def lut(queries: DataFrame, queryId: String, vecCol: String,
+      cb: DataFrame, m: Int, subDim: Int): DataFrame =
+    queries.select(col(queryId).cast(LongType).as("q_id"), dbl(col(vecCol)).as("qv"))
+      .select(col("q_id"), explode(sequence(lit(0), lit(m - 1))).as("s"), col("qv"),
+        sqrt(dotD(col("qv"), col("qv"))).as("qn"))
+      .select(col("q_id"), col("s").cast(IntegerType).as("sub"),
+        slice(col("qv"), col("s") * subDim + 1, lit(subDim)).as("qsv"), col("qn"))
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("q_id"), col("sub"), col("cw"),
+        dotD(col("qsv"), col("cvec")).as("dotp"),
+        dotD(col("cvec"), col("cvec")).as("n2p"), col("qn"))
+
+  /** The ADC reduction: LUT-joined code rows (`q_id, id, dotp, n2p, qn`,
+    * m per pair) → `(q_id, c_id, cosine)` at 4dp. Partial sums are exact
+    * (each pair contributes exactly its m LUT partials), so the groupBy is
+    * map-side combined and order-safe.
+    */
+  private[operators] def adcReduce(joined: DataFrame): DataFrame =
+    joined.groupBy(col("q_id"), col("id"))
+      .agg(sum(col("dotp")).as("dot"), sum(col("n2p")).as("n2"),
+        any_value(col("qn")).as("qn"))
+      .select(col("q_id"), col("id").as("c_id"),
+        round(when(col("qn") === 0 || col("n2") === 0, lit(0d))
+          .otherwise(col("dot") / (col("qn") * sqrt(col("n2")))), 4).as("cosine"))
+
   /** ADC top-k: score every corpus code against every query via the
     * broadcast LUT (see class doc), bounded TopKAgg reduction, (cosine
     * desc, id) ties — the [[Similarity.bruteForceTopK]] contract on codes.
@@ -83,25 +113,9 @@ object Pq {
       seedId: String, m: Int = 4, subDim: Int = 16): DataFrame = {
     val cb = codebook(seeds, seedId, vecCol, m, subDim)
     val codes = encode(corpus, corpusId, vecCol, cb, m, subDim)
-    val q = queries.select(col(queryId).cast(LongType).as("q_id"),
-      dbl(col(vecCol)).as("qv"))
-    val lut = q
-      .select(col("q_id"), explode(sequence(lit(0), lit(m - 1))).as("s"), col("qv"),
-        sqrt(dotD(col("qv"), col("qv"))).as("qn"))
-      .select(col("q_id"), col("s").cast(IntegerType).as("sub"),
-        slice(col("qv"), col("s") * subDim + 1, lit(subDim)).as("qsv"), col("qn"))
-      .join(broadcast(cb), Seq("sub"))
-      .select(col("q_id"), col("sub"), col("cw"),
-        dotD(col("qsv"), col("cvec")).as("dotp"),
-        dotD(col("cvec"), col("cvec")).as("n2p"), col("qn"))
-    val scored = codes.join(broadcast(lut), Seq("sub", "cw"))
-      .filter(col("id") =!= col("q_id"))
-      .groupBy(col("q_id"), col("id"))
-      .agg(sum(col("dotp")).as("dot"), sum(col("n2p")).as("n2"),
-        any_value(col("qn")).as("qn"))
-      .select(col("q_id"), col("id").as("c_id"),
-        round(when(col("qn") === 0 || col("n2") === 0, lit(0d))
-          .otherwise(col("dot") / (col("qn") * sqrt(col("n2")))), 4).as("cosine"))
+    val l = lut(queries, queryId, vecCol, cb, m, subDim)
+    val scored = adcReduce(codes.join(broadcast(l), Seq("sub", "cw"))
+      .filter(col("id") =!= col("q_id")))
     Similarity.topKPerKey(scored, "q_id", "cosine", "c_id", k)
   }
 }

@@ -818,6 +818,59 @@ class TrainingOpsSpec extends SparkSpec {
       "nProbe=numCells IVF-SQ must equal brute-force SQ8")
   }
 
+  test("IVF-PQ: every-cell probe ≡ PQ-ADC; incremental encode ≡ build encode; retrain keeps codes") {
+    import graft.operators.{PersistedIvf, Pq}
+    val embL = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id".cast("long").as("vec_id"), $"embedding")
+    val cents = embL.filter($"vec_id" < 8)
+      .select($"vec_id".cast("int").as("cell"), $"embedding".as("centroid"))
+    val seeds = embL.filter($"vec_id" < 16)
+    val queries = embL.filter($"vec_id" >= 8 && $"vec_id" < 18)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "rank", "c_id", "cosine").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    def codesOf(ivf: PersistedIvf) = ivf.assignments().select("id", "pq").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+
+    // an index built WITHOUT a PqSpec must refuse PQ scoring, not guess
+    val whNoPq = new graft.sources.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft-ivfpq-no-").toString)
+    val noPq = new PersistedIvf(whNoPq)
+    noPq.buildWith(embL.filter($"vec_id" < 64), "vec_id", "embedding", cents)
+    intercept[IllegalArgumentException](
+      noPq.topKPq(queries, "vec_id", "embedding", 5))
+
+    // build WITH pq on the first half, add the rest incrementally —
+    // encoding is a pure per-row function of (vector, codebook), so the
+    // accumulated codes must equal a from-scratch build's
+    val wh = new graft.sources.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft-ivfpq-inc-").toString)
+    val ivf = new PersistedIvf(wh)
+    ivf.buildWith(embL.filter($"vec_id" < 250), "vec_id", "embedding", cents,
+      pq = Some(PersistedIvf.PqSpec(seeds, "vec_id", "embedding")))
+    ivf.addVectors(embL.filter($"vec_id" >= 250), "vec_id", "embedding")
+    val whFull = new graft.sources.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft-ivfpq-full-").toString)
+    val ivfFull = new PersistedIvf(whFull)
+    ivfFull.buildWith(embL, "vec_id", "embedding", cents,
+      pq = Some(PersistedIvf.PqSpec(seeds, "vec_id", "embedding")))
+    assert(codesOf(ivf) == codesOf(ivfFull),
+      "incremental PQ encode diverged from a from-scratch build")
+
+    // exactness anchor: probing EVERY cell through the persisted index ≡
+    // the batch PQ-ADC operator over the same corpus and codebook
+    assert(rows(ivf.topKPq(queries, "vec_id", "embedding", 5, nProbe = 8)) ==
+      rows(Pq.topK(embL, queries, "vec_id", "vec_id", "embedding", 5,
+        seeds = seeds, seedId = "vec_id")),
+      "nProbe=numCells IVF-PQ must equal batch PQ-ADC")
+
+    // retrain keeps the codebook and re-encodes every row (no silent nulls)
+    ivf.retrain(numCells = 8, iterations = 1)
+    assert(wh.exists(ivf.pqCodebookTable), "retrain dropped the PQ codebook")
+    assert(ivf.assignments().filter($"pq".isNull).count() == 0,
+      "retrain left unencoded assignment rows")
+  }
+
   test("semantic dedup: inline ≡ persisted-assignment path; planted dup drops, earlier copy wins") {
     val embL = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select($"vec_id".cast("long").as("vec_id"),
