@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{Transforms => T}
-import graft.operators.{Corpus, Dedup, Merge, Multimodal, PersistedIvf, Pq, Similarity, TextOps, TimeJoins}
+import graft.operators.{Corpus, Dedup, Merge, Multimodal, PersistedIvf, Pq, Retrieval, Similarity, TextOps, TimeJoins}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1406,6 +1406,25 @@ object SparkEntry {
       Corpus.lmScore(docs, "doc_id", "text",
         docs.filter(col("doc_id") < 250), "text")
         .orderBy(col("doc_id"))
+    }
+
+    // ---- BM25 full-text retrieval: three literal keyword queries against
+    // the documents corpus, Lucene-variant idf, k1=1.2/b=0.75, top-10 per
+    // query. Per-(query,term,doc) contributions quantized to integer
+    // micro-units and summed as longs (double sum order is partition-
+    // nondeterministic; the lmScore discipline), score = s_micro/1e6 at 4dp,
+    // (score desc, id) ties — the oracle replays the whole derivation
+    q("doc_bm25") = (s, dir) => {
+      import s.implicits._
+      val queries = Seq(
+        (1L, "merge join order sort"),
+        (2L, "vector window stream"),
+        (3L, "customer data value zzz")).toDF("q_id", "qtext")
+      Retrieval.bm25(t(s, dir, "documents"), "doc_id", "text",
+        queries, "q_id", "qtext", k = 10)
+        .select(col("q_id"), col("rank").cast(LongType).as("rank"),
+          col("id").as("doc_id"), col("bm25"))
+        .orderBy(col("q_id"), col("rank"))
     }
 
     // ---- substring-level duplication stats: every 10-token sliding window
@@ -3317,6 +3336,47 @@ object SparkEntry {
         |  THEN round(a.s_micro::DOUBLE / a.n_tokens / 1000000.0, 4) END AS nll
         |FROM documents doc LEFT JOIN agg a USING (doc_id)
         |ORDER BY doc.doc_id""".stripMargin,
+
+    // Okapi BM25, Lucene idf variant; contributions floored to integer
+    // micro-units and summed exactly (addition-order-proof), score =
+    // s_micro/1e6 at 4dp, (score desc, doc_id) rank ties. Identical
+    // operation ORDER to the Scala expression — ln/div/mul don't reassociate
+    "doc_bm25" ->
+      """WITH q(q_id, qtext) AS (VALUES
+        |  (1, 'merge join order sort'),
+        |  (2, 'vector window stream'),
+        |  (3, 'customer data value zzz')),
+        |qt AS (SELECT DISTINCT CAST(q_id AS BIGINT) AS q_id,
+        |  unnest(list_filter(string_split(qtext, ' '), x -> x <> '')) AS t
+        | FROM q),
+        |stats AS (SELECT count(*) AS n,
+        |  sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS sumdl
+        | FROM documents),
+        |tok AS (SELECT doc_id AS id,
+        |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS DOUBLE) AS dl,
+        |  unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+        | FROM documents),
+        |tf AS (
+        | SELECT id, t, CAST(count(*) AS DOUBLE) AS tf, any_value(dl) AS dl
+        | FROM tok WHERE t IN (SELECT t FROM qt)
+        | GROUP BY 1, 2),
+        |dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        | SELECT qt.q_id, tf.id,
+        |  sum(CAST(floor(1000000.0
+        |   * ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+        |   * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n)))))
+        |   AS BIGINT)) AS s_micro
+        | FROM tf JOIN dfreq USING (t) JOIN qt USING (t) CROSS JOIN stats
+        | GROUP BY 1, 2),
+        |ranked AS (
+        | SELECT q_id, id, round(CAST(s_micro AS DOUBLE) / 1000000.0, 4) AS bm25,
+        |  row_number() OVER (PARTITION BY q_id
+        |   ORDER BY round(CAST(s_micro AS DOUBLE) / 1000000.0, 4) DESC, id) AS rank
+        | FROM scored)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, id AS doc_id, bm25
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY q_id, rank""".stripMargin,
 
     // window = 10 tokens → slice t[i:i+9], positions 1..len-9; duplicated =
     // hash in ≥2 DISTINCT docs; per-doc counts are per POSITION

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Full-text retrieval over the documents corpus — the keyword complement to
+  * the embedding-space [[Similarity]] family (a training-data pipeline needs
+  * both: BM25 for lexical recall/decontamination lookups, ANN for semantic).
+  *
+  * [[bm25]] is the public Okapi BM25 ranking function (Robertson & Walker,
+  * SIGIR 1994; the `k1`/`b` saturation form every search engine documents):
+  * `score(q,d) = Σ_{t∈q} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`
+  * with `idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)` (the Lucene variant —
+  * never negative).
+  *
+  * 100 TB shape — nothing corpus-sized shuffles except matched postings:
+  *   - `N`/`avgdl` are ONE map-side-combined aggregate collapsed to driver
+  *     scalars (the [[Corpus.tfidf]] discipline);
+  *   - query terms (a query BATCH is human-sized) broadcast, so the corpus
+  *     side is tokenize → broadcast semi-join: only rows whose token matches
+  *     some query term survive to the `(doc, term)` groupBy — the shuffle
+  *     carries matched postings, not the corpus;
+  *   - `df` derives from that same tf frame (no second tokenization), is
+  *     query-term-bounded, and broadcasts back;
+  *   - the final per-(query, doc) reduction is [[Similarity.topKPerKey]]'s
+  *     bounded [[graft.functions.TopKAgg]] — map-side top-k, the exchange
+  *     carries queries×k rows, never the score matrix.
+  *
+  * Determinism across engines (the `doc_bm25` oracle replays all of this in
+  * SQL): per-(query, term, doc) contributions are QUANTIZED to integer
+  * micro-units — `floor(1e6 · idf · sat)` — and summed as longs, so the
+  * cross-partition addition order that makes a double `sum()`
+  * nondeterministic cannot move the result (the [[Corpus.lmScore]]
+  * micro-nat discipline); the final score is the exact integer sum / 1e6
+  * rounded to 4dp. Query terms are deduplicated (set-of-terms semantics —
+  * the common simplification; term multiplicity in a query is a weighting
+  * refinement BM25's qtf extension covers, not implemented here).
+  * Tokenization is the corpus-wide whitespace convention
+  * ([[TextOps.tokens]]), restated in SQL as
+  * `list_filter(string_split(text, ' '), x -> x <> '')`.
+  */
+object Retrieval {
+
+  /** Top-`k` documents per query by BM25. `docs` = (idCol, textCol, …),
+    * `queries` = (qIdCol, qTextCol) with long-castable ids. Output:
+    * `(q_id, rank, doc id, bm25)` — rank 1-based, (score desc, id asc) ties,
+    * documents matching zero query terms absent (score 0 by definition).
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qIdCol: String, qTextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val stats = docs.agg(
+      count(lit(1)).as("n"),
+      sum(TextOps.tokenCountWs(col(textCol)).cast(LongType)).as("sumdl")).head()
+    val n = stats.getLong(0)
+    require(n > 0, "bm25 needs a non-empty corpus")
+    // exact IEEE division of two integer-valued doubles — bit-identical to
+    // the oracle's CAST(sum AS DOUBLE)/n, so injecting it as a literal is safe
+    val avgdl = stats.getLong(1).toDouble / n
+
+    val qterms = queries.select(col(qIdCol).cast(LongType).as("q_id"),
+        explode(TextOps.tokens(col(qTextCol))).as("t"))
+      .distinct()
+    val terms = qterms.select(col("t")).distinct()
+
+    val tf = docs.select(col(idCol).cast(LongType).as("id"),
+        TextOps.tokenCountWs(col(textCol)).cast("double").as("dl"),
+        explode(TextOps.tokens(col(textCol))).as("t"))
+      .join(broadcast(terms), Seq("t"))
+      .groupBy(col("id"), col("t"))
+      .agg(count(lit(1)).cast("double").as("tf"), any_value(col("dl")).as("dl"))
+    val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+
+    // idf · saturation, quantized (class doc). Operation ORDER mirrors the
+    // oracle SQL exactly — ln/div/mul are not associative-safe to rearrange.
+    val idf = log((lit(n.toDouble) - col("df") + 0.5d) / (col("df") + 0.5d) + 1.0d)
+    val sat = (col("tf") * (k1 + 1.0d)) /
+      (col("tf") + lit(k1) * (lit(1.0d - b) + lit(b) * col("dl") / avgdl))
+    val scored = tf.join(broadcast(dfreq), Seq("t"))
+      .join(broadcast(qterms), Seq("t"))
+      .withColumn("c_micro", floor(lit(1e6) * idf * sat).cast(LongType))
+      .groupBy(col("q_id"), col("id"))
+      .agg(sum(col("c_micro")).as("s_micro"))
+      .select(col("q_id"), col("id"),
+        round(col("s_micro").cast("double") / 1e6, 4).as("bm25"))
+    Similarity.topKPerKey(scored, "q_id", "bm25", "id", k)
+  }
+}

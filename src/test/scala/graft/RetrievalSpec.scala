@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.Retrieval
+import org.apache.spark.sql.functions._
+
+/** BM25 full-text retrieval: hand-derived goldens on a 3-doc corpus, the
+  * length-normalization ordering, unknown-term no-op, and edge shapes.
+  */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val K1 = 1.2
+  private val B = 0.75
+
+  private def docs = Seq(
+    (1L, "apple banana apple"),
+    (2L, "banana cherry"),
+    (3L, "durian durian durian durian")).toDF("doc_id", "text")
+  // N = 3, sumdl = 9, avgdl = 3.0
+
+  /** The operator's exact arithmetic, restated independently: idf·sat
+    * floored to micro-units, /1e6, HALF_UP at 4dp.
+    */
+  private def expected(tf: Double, df: Long, dl: Double,
+      terms: Seq[(Double, Long, Double)] = Nil): Double = {
+    val parts = if (terms.nonEmpty) terms else Seq((tf, df, dl))
+    val micro = parts.map { case (tfv, dfv, dlv) =>
+      val idf = math.log((3.0 - dfv + 0.5) / (dfv + 0.5) + 1.0)
+      val sat = (tfv * (K1 + 1.0)) / (tfv + K1 * ((1.0 - B) + B * dlv / 3.0))
+      math.floor(1e6 * idf * sat).toLong
+    }.sum
+    BigDecimal(micro.toDouble / 1e6)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  private def run(queries: Seq[(Long, String)], k: Int = 10) =
+    Retrieval.bm25(docs, "doc_id", "text",
+        queries.toDF("q_id", "qtext"), "q_id", "qtext", k)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+
+  test("single-term golden: tf saturation and exact micro-unit score") {
+    val got = run(Seq((1L, "apple")))
+    assert(got.toSeq == Seq((1L, 1, 1L, expected(tf = 2, df = 1, dl = 3))))
+  }
+
+  test("length normalization: same tf, shorter doc wins") {
+    val got = run(Seq((1L, "banana")))
+    assert(got.map(_._3).toSeq == Seq(2L, 1L), "shorter doc must rank first")
+    assert(got.toSeq == Seq(
+      (1L, 1, 2L, expected(tf = 1, df = 2, dl = 2)),
+      (1L, 2, 1L, expected(tf = 1, df = 2, dl = 3))))
+  }
+
+  test("unknown query term contributes nothing") {
+    assert(run(Seq((1L, "cherry zzz"))).toSeq == run(Seq((1L, "cherry"))).toSeq)
+  }
+
+  test("multi-term sum, k bound, duplicate query terms collapse") {
+    // doc1 matches apple+banana, doc2 banana+cherry — doc1 wins on tf=2 apple
+    val got = run(Seq((1L, "apple banana cherry")))
+    assert(got.length == 2)
+    assert(got(0) == ((1L, 1, 1L, expected(0, 0, 0, terms = Seq(
+      (2.0, 1L, 3.0), (1.0, 2L, 3.0))))))
+    assert(got(1) == ((1L, 2, 2L, expected(0, 0, 0, terms = Seq(
+      (1.0, 2L, 2.0), (1.0, 1L, 2.0))))))
+    // set-of-terms semantics: repeating a term must not double its weight
+    assert(run(Seq((2L, "apple apple"))).map(r => (r._3, r._4)).toSeq ==
+      run(Seq((2L, "apple"))).map(r => (r._3, r._4)).toSeq)
+    // k bound
+    assert(run(Seq((3L, "banana")), k = 1).length == 1)
+  }
+
+  test("no-match query yields no rows; empty query text yields no rows") {
+    assert(run(Seq((1L, "zzz"))).isEmpty)
+    assert(run(Seq((1L, ""))).isEmpty)
+  }
+}
