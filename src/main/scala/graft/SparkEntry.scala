@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{Transforms => T}
-import graft.operators.{Corpus, Dedup, Merge, Multimodal, PersistedIvf, Pq, Retrieval, Similarity, TextOps, TimeJoins}
+import graft.operators.{Corpus, Dedup, Merge, Multimodal, PersistedIvf, PersistedPostings, Pq, Retrieval, Similarity, TextOps, TimeJoins}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1427,6 +1427,31 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rank"))
     }
 
+    // ---- the same ranking over the PERSISTED inverted index: build on the
+    // lower half of the corpus, addDocs the upper half (incremental admit —
+    // only the fresh batch tokenizes), then the identical query batch reads
+    // matched postings via term-literal pruning. Postings are per-(term,doc)
+    // rows and stats per-batch long sums, so the accumulated index ≡ a
+    // from-scratch build and the oracle is doc_bm25's, verbatim
+    q("doc_bm25_persisted") = (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val queries = Seq(
+        (1L, "merge join order sort"),
+        (2L, "vector window stream"),
+        (3L, "customer data value zzz")).toDF("q_id", "qtext")
+      val wh = new graft.sources.Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-fts-").toString)
+      val fts = new PersistedPostings(wh)
+      val split = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      fts.build(docs.filter(col("doc_id") <= split), "doc_id", "text")
+      fts.addDocs(docs.filter(col("doc_id") > split), "doc_id", "text")
+      fts.query(queries, "q_id", "qtext", k = 10)
+        .select(col("q_id"), col("rank").cast(LongType).as("rank"),
+          col("id").as("doc_id"), col("bm25"))
+        .orderBy(col("q_id"), col("rank"))
+    }
+
     // ---- substring-level duplication stats: every 10-token sliding window
     // hashed; a window seen in ≥2 distinct docs is duplicated — per-doc
     // duplicated-span counts, the signal document-level dedup cannot see.
@@ -1808,6 +1833,43 @@ object SparkEntry {
        |    FROM $src, generate_series(1, 2048) t(i) WHERE i <= length(text)-4
        |     AND CASE WHEN length(text)-4 > 2048 THEN error('oracle shingle cap 2048 exceeded') ELSE true END""".stripMargin
   private val shingle5 = shingle5On("documents")
+
+  private val bm25Sql: String =
+    """WITH q(q_id, qtext) AS (VALUES
+        |  (1, 'merge join order sort'),
+        |  (2, 'vector window stream'),
+        |  (3, 'customer data value zzz')),
+        |qt AS (SELECT DISTINCT CAST(q_id AS BIGINT) AS q_id,
+        |  unnest(list_filter(string_split(qtext, ' '), x -> x <> '')) AS t
+        | FROM q),
+        |stats AS (SELECT count(*) AS n,
+        |  sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS sumdl
+        | FROM documents),
+        |tok AS (SELECT doc_id AS id,
+        |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS DOUBLE) AS dl,
+        |  unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+        | FROM documents),
+        |tf AS (
+        | SELECT id, t, CAST(count(*) AS DOUBLE) AS tf, any_value(dl) AS dl
+        | FROM tok WHERE t IN (SELECT t FROM qt)
+        | GROUP BY 1, 2),
+        |dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        | SELECT qt.q_id, tf.id,
+        |  sum(CAST(floor(1000000.0
+        |   * ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+        |   * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n)))))
+        |   AS BIGINT)) AS s_micro
+        | FROM tf JOIN dfreq USING (t) JOIN qt USING (t) CROSS JOIN stats
+        | GROUP BY 1, 2),
+        |ranked AS (
+        | SELECT q_id, id, round(CAST(s_micro AS DOUBLE) / 1000000.0, 4) AS bm25,
+        |  row_number() OVER (PARTITION BY q_id
+        |   ORDER BY round(CAST(s_micro AS DOUBLE) / 1000000.0, 4) DESC, id) AS rank
+        | FROM scored)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, id AS doc_id, bm25
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY q_id, rank""".stripMargin
 
   /** dedup_lsh_verified body (no ORDER BY) — also embedded as the pair
     * source of the connected-components oracle.
@@ -3341,42 +3403,12 @@ object SparkEntry {
     // micro-units and summed exactly (addition-order-proof), score =
     // s_micro/1e6 at 4dp, (score desc, doc_id) rank ties. Identical
     // operation ORDER to the Scala expression — ln/div/mul don't reassociate
-    "doc_bm25" ->
-      """WITH q(q_id, qtext) AS (VALUES
-        |  (1, 'merge join order sort'),
-        |  (2, 'vector window stream'),
-        |  (3, 'customer data value zzz')),
-        |qt AS (SELECT DISTINCT CAST(q_id AS BIGINT) AS q_id,
-        |  unnest(list_filter(string_split(qtext, ' '), x -> x <> '')) AS t
-        | FROM q),
-        |stats AS (SELECT count(*) AS n,
-        |  sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS sumdl
-        | FROM documents),
-        |tok AS (SELECT doc_id AS id,
-        |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS DOUBLE) AS dl,
-        |  unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
-        | FROM documents),
-        |tf AS (
-        | SELECT id, t, CAST(count(*) AS DOUBLE) AS tf, any_value(dl) AS dl
-        | FROM tok WHERE t IN (SELECT t FROM qt)
-        | GROUP BY 1, 2),
-        |dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
-        |scored AS (
-        | SELECT qt.q_id, tf.id,
-        |  sum(CAST(floor(1000000.0
-        |   * ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
-        |   * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n)))))
-        |   AS BIGINT)) AS s_micro
-        | FROM tf JOIN dfreq USING (t) JOIN qt USING (t) CROSS JOIN stats
-        | GROUP BY 1, 2),
-        |ranked AS (
-        | SELECT q_id, id, round(CAST(s_micro AS DOUBLE) / 1000000.0, 4) AS bm25,
-        |  row_number() OVER (PARTITION BY q_id
-        |   ORDER BY round(CAST(s_micro AS DOUBLE) / 1000000.0, 4) DESC, id) AS rank
-        | FROM scored)
-        |SELECT q_id, CAST(rank AS BIGINT) AS rank, id AS doc_id, bm25
-        |FROM ranked WHERE rank <= 10
-        |ORDER BY q_id, rank""".stripMargin,
+    "doc_bm25" -> bm25Sql,
+
+    // the persisted-index path is bit-identical to the inline one over the
+    // same corpus (postings rows and per-batch stat sums are exact under
+    // union — PersistedPostings class doc), so its oracle IS doc_bm25's
+    "doc_bm25_persisted" -> bm25Sql,
 
     // window = 10 tokens → slice t[i:i+9], positions 1..len-9; duplicated =
     // hash in ≥2 DISTINCT docs; per-doc counts are per POSITION

@@ -1,0 +1,169 @@
+package graft.operators
+
+import graft.sources.Warehouse
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Persisted, incrementally-maintained inverted index for BM25 — the
+  * dedup-index pattern ([[Dedup]]'s signature index, [[PersistedIvf]]'s cell
+  * assignments) applied to full-text retrieval. [[Retrieval.bm25]] tokenizes
+  * the whole corpus per query batch, which at 100 TB is a full-corpus scan
+  * per lookup; here the expensive structure survives as warehouse tables:
+  *
+  *   - `fts/Postings` `(t, id, tf, dl)` — one row per (term, document),
+  *     written TERM-SORTED within files so parquet min/max stats on `t` are
+  *     tight: a query batch reads only the row groups of its own terms (the
+  *     dedup band-index layout, same reason). `dl` is denormalized into the
+  *     posting (8 bytes/row) so scoring needs NO join against a corpus-sized
+  *     doc-length table — matched postings arrive self-contained;
+  *   - `fts/CorpusStats` `(seq, n, sumdl)` — one row per build/admit batch.
+  *     `N` and `Σ dl` are sums of these longs (integer addition commutes —
+  *     exact at any batch count), so query-time stats cost a scan of a
+  *     batches-sized table, not the corpus.
+  *
+  * Incremental maintenance: [[addDocs]] tokenizes ONLY the fresh batch and
+  * appends. Postings are per-(term, doc) rows and stats are per-batch sums,
+  * so for disjoint doc ids the accumulated index is row-identical to a
+  * from-scratch [[build]] of the union — and therefore [[query]] is
+  * bit-identical to [[Retrieval.bm25]] over the same corpus (RetrievalSpec
+  * proves both; the `doc_bm25_persisted` driver oracle IS `doc_bm25`'s,
+  * replaying the math over the full corpus).
+  *
+  * Query cost: the ≤ `probeTermLimit` distinct query terms (human-sized by
+  * contract) are pushed into the postings scan as an `In` literal —
+  * planning-time row-group pruning, the same mechanism as the dedup point
+  * probe and the IVF probed-cell slice. Above the cap the filter degrades to
+  * a broadcast semi-join over a full scan (exact either way).
+  */
+class PersistedPostings(wh: Warehouse, probeTermLimit: Int = 1000) {
+
+  val postingsTable = "fts/Postings"
+  val statsTable = "fts/CorpusStats"
+  val ingestTable = "fts/IngestLedger"
+
+  val postingsSchema: StructType = StructType(Seq(
+    StructField("t", StringType, nullable = true),
+    StructField("id", LongType, nullable = false),
+    StructField("tf", LongType, nullable = false),
+    StructField("dl", LongType, nullable = false)))
+  val statsSchema: StructType = StructType(Seq(
+    StructField("seq", LongType, nullable = false),
+    StructField("n", LongType, nullable = false),
+    StructField("sumdl", LongType, nullable = false)))
+  val ingestSchema: StructType = StructType(Seq(
+    StructField("batch_id", LongType, nullable = false)))
+
+  /** `(t, id, tf, dl)` of a doc batch — [[Retrieval.bm25]]'s tf frame shape
+    * with the counts kept integral for storage.
+    */
+  private def postingsOf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).cast(LongType).as("id"),
+        TextOps.tokenCountWs(col(textCol)).cast(LongType).as("dl"),
+        explode(TextOps.tokens(col(textCol))).as("t"))
+      .groupBy(col("id"), col("t"))
+      .agg(count(lit(1)).as("tf"), any_value(col("dl")).as("dl"))
+      .select(col("t"), col("id"), col("tf"), col("dl"))
+
+  private def statsRow(seq: Long, n: Long, sumdl: Long): DataFrame =
+    wh.spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(seq, n, sumdl)), statsSchema)
+
+  /** Index the corpus from scratch — replaces both tables. The postings land
+    * repartitioned by term and term-sorted within files (see class doc; a
+    * build is the one acceptable full-corpus shuffle — every later batch is
+    * incremental).
+    */
+  def build(docs: DataFrame, idCol: String, textCol: String): Unit = {
+    val (n, sumdl) = Retrieval.corpusStats(docs, textCol)
+    val p = postingsOf(docs, idCol, textCol)
+    wh.atomically { w =>
+      w.replace(postingsTable, p.repartition(col("t")).sortWithinPartitions("t"))
+      w.replace(statsTable, statsRow(0L, n, sumdl))
+    }
+  }
+
+  /** Tokenize ONLY the fresh batch and append its postings + stats row.
+    * Batch-sized work; the existing index is untouched. Caller contract:
+    * doc ids are new (re-admitting an id double-counts it — the same
+    * first-arrival contract as every incremental index here; route streams
+    * through [[addDocsLedgered]] for replay safety).
+    */
+  def addDocs(fresh: DataFrame, idCol: String, textCol: String): Unit =
+    admit(fresh, idCol, textCol, batchId = None)
+
+  /** [[addDocs]] plus a `(batch_id)` ingest-ledger row written in the SAME
+    * atomic section: a checkpoint retry of an already-committed micro-batch
+    * sees its id and no-ops instead of double-counting every document.
+    * Exactly-once therefore needs the admit to be transactional — run
+    * streams on an [[graft.sources.AtomicWarehouse]]; on the base warehouse
+    * a crash between the sequential appends downgrades this to
+    * at-least-once.
+    */
+  def addDocsLedgered(fresh: DataFrame, idCol: String, textCol: String,
+      batchId: Long): Unit =
+    if (!ingested(batchId)) admit(fresh, idCol, textCol, Some(batchId))
+
+  /** True when `batchId` was already admitted (a checkpoint replay). */
+  def ingested(batchId: Long): Boolean =
+    wh.exists(ingestTable) && !wh.read(ingestTable, ingestSchema)
+      .filter(col("batch_id") === batchId).isEmpty
+
+  private def admit(fresh: DataFrame, idCol: String, textCol: String,
+      batchId: Option[Long]): Unit = {
+    require(wh.exists(statsTable), s"$statsTable absent — build() first")
+    val (n, sumdl) = Retrieval.corpusStats(fresh, textCol)
+    val seq = wh.read(statsTable, statsSchema).agg(max(col("seq"))).head() match {
+      case r if r.isNullAt(0) => 1L
+      case r => r.getLong(0) + 1L
+    }
+    wh.atomically { w =>
+      w.append(postingsTable, postingsOf(fresh, idCol, textCol)
+        .sortWithinPartitions("t"))
+      w.append(statsTable, statsRow(seq, n, sumdl))
+      batchId.foreach { b =>
+        w.append(ingestTable, wh.spark.createDataFrame(
+          java.util.Arrays.asList(org.apache.spark.sql.Row(Long.box(b))), ingestSchema))
+      }
+    }
+  }
+
+  def postings(): DataFrame = wh.read(postingsTable, postingsSchema)
+  def corpusStats(): DataFrame = wh.read(statsTable, statsSchema)
+
+  /** Top-`k` documents per query by BM25 over the persisted index —
+    * bit-identical to [[Retrieval.bm25]] over the indexed corpus (class
+    * doc). The corpus never re-tokenizes: the scan reads the ≤ queries×terms
+    * matched postings via `In`-literal row-group pruning, stats come from
+    * the batches-sized stats table, and the reduction is the shared
+    * [[Retrieval.scoreMatched]].
+    */
+  def query(queries: DataFrame, qIdCol: String, qTextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(wh.exists(statsTable), s"$statsTable absent — build() first")
+    val sr = corpusStats().agg(sum(col("n")), sum(col("sumdl"))).head()
+    val n = sr.getLong(0)
+    require(n > 0, "bm25 needs a non-empty corpus")
+    val avgdl = sr.getLong(1).toDouble / n
+
+    val qterms = Retrieval.queryTerms(queries, qIdCol, qTextCol)
+    val terms = qterms.select(col("t")).distinct()
+    val termLits = terms.limit(probeTermLimit + 1).collect().map(_.getString(0))
+    val matched =
+      if (termLits.length <= probeTermLimit)
+        postings().filter(col("t").isin(termLits: _*))
+      else postings().join(broadcast(terms), Seq("t"))
+    val tf = matched.select(col("id"), col("t"),
+      col("tf").cast("double").as("tf"), col("dl").cast("double").as("dl"))
+    Retrieval.scoreMatched(tf, qterms, n, avgdl, k1, b, k)
+  }
+
+  /** Small-file maintenance: every [[addDocs]] append lands ≥1 file, and the
+    * term pruning rides on tight per-row-group `t` min/max stats — the
+    * rewrite re-sorts by term ([[PersistedIvf.compact]]'s argument on
+    * `cell`). `tools/Maintain` reaches the same layout with a
+    * `fts/Postings:t` table spec.
+    */
+  def compact(targetFiles: Int = 1): Unit =
+    wh.compact(postingsTable, postingsSchema, targetFiles, sortCols = Seq("t"))
+}

@@ -50,18 +50,13 @@ object Retrieval {
   def bm25(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qIdCol: String, qTextCol: String,
       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val stats = docs.agg(
-      count(lit(1)).as("n"),
-      sum(TextOps.tokenCountWs(col(textCol)).cast(LongType)).as("sumdl")).head()
-    val n = stats.getLong(0)
+    val (n, sumdl) = corpusStats(docs, textCol)
     require(n > 0, "bm25 needs a non-empty corpus")
     // exact IEEE division of two integer-valued doubles — bit-identical to
     // the oracle's CAST(sum AS DOUBLE)/n, so injecting it as a literal is safe
-    val avgdl = stats.getLong(1).toDouble / n
+    val avgdl = sumdl.toDouble / n
 
-    val qterms = queries.select(col(qIdCol).cast(LongType).as("q_id"),
-        explode(TextOps.tokens(col(qTextCol))).as("t"))
-      .distinct()
+    val qterms = queryTerms(queries, qIdCol, qTextCol)
     val terms = qterms.select(col("t")).distinct()
 
     val tf = docs.select(col(idCol).cast(LongType).as("id"),
@@ -70,8 +65,37 @@ object Retrieval {
       .join(broadcast(terms), Seq("t"))
       .groupBy(col("id"), col("t"))
       .agg(count(lit(1)).cast("double").as("tf"), any_value(col("dl")).as("dl"))
-    val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    scoreMatched(tf, qterms, n, avgdl, k1, b, k)
+  }
 
+  /** `(N, Σ dl)` of a corpus — ONE map-side-combined aggregate. Documents
+    * with empty (or null) text count toward `N`; null text contributes
+    * nothing to `Σ dl` (sum skips nulls — the oracle's semantics).
+    */
+  private[operators] def corpusStats(docs: DataFrame, textCol: String): (Long, Long) = {
+    val r = docs.agg(
+      count(lit(1)).as("n"),
+      sum(TextOps.tokenCountWs(col(textCol)).cast(LongType)).as("sumdl")).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** Deduplicated `(q_id, t)` query terms (set-of-terms semantics). */
+  private[operators] def queryTerms(queries: DataFrame, qIdCol: String,
+      qTextCol: String): DataFrame =
+    queries.select(col(qIdCol).cast(LongType).as("q_id"),
+        explode(TextOps.tokens(col(qTextCol))).as("t"))
+      .distinct()
+
+  /** The BM25 reduction shared by the inline path and the persisted-index
+    * path ([[PersistedPostings.query]]): `tf` = the query-term-matched
+    * postings `(id, t, tf, dl)` — tf/dl as doubles — `qterms` = `(q_id, t)`.
+    * `df` derives from `tf` itself (exact: a matched term's postings are
+    * complete in both producers), is query-term-bounded, and broadcasts
+    * back. Quantized micro-unit scoring per the class doc.
+    */
+  private[operators] def scoreMatched(tf: DataFrame, qterms: DataFrame,
+      n: Long, avgdl: Double, k1: Double, b: Double, k: Int): DataFrame = {
+    val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
     // idf · saturation, quantized (class doc). Operation ORDER mirrors the
     // oracle SQL exactly — ln/div/mul are not associative-safe to rearrange.
     val idf = log((lit(n.toDouble) - col("df") + 0.5d) / (col("df") + 0.5d) + 1.0d)

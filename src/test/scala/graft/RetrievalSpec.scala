@@ -74,4 +74,50 @@ class RetrievalSpec extends SparkSpec {
     assert(run(Seq((1L, "zzz"))).isEmpty)
     assert(run(Seq((1L, ""))).isEmpty)
   }
+
+  test("persisted index ≡ inline bm25; term pruning pinned; cap fallback; replay no-ops") {
+    import graft.operators.PersistedPostings
+    // empty and null texts count toward N (and nothing else) on BOTH paths
+    val allDocs = docs.union(
+      Seq((4L, ""), (5L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val queries = Seq(
+      (1L, "apple banana cherry"), (2L, "durian"), (3L, "zzz")).toDF("q_id", "qtext")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    def inlineOn(ds: org.apache.spark.sql.DataFrame) =
+      rows(Retrieval.bm25(ds, "doc_id", "text", queries, "q_id", "qtext", 10))
+
+    val wh = new graft.sources.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft-fts-").toString)
+    val fts = new PersistedPostings(wh)
+    // query-before-build refuses
+    intercept[IllegalArgumentException](fts.query(queries, "q_id", "qtext", 10))
+    fts.build(allDocs.filter($"doc_id" <= 2), "doc_id", "text")
+    fts.addDocs(allDocs.filter($"doc_id" > 2), "doc_id", "text")
+    val persisted = fts.query(queries, "q_id", "qtext", 10)
+    assert(rows(persisted) == inlineOn(allDocs),
+      "persisted-index ranking diverged from the inline corpus scan")
+    // the query-term In literal must reach the postings scan (planning-time
+    // row-group pruning — the scan reads matched terms, not the corpus)
+    val plan = persisted.queryExecution.executedPlan.toString
+    assert(plan.contains("In(t"),
+      s"query-term literals did not reach the postings scan:\n${plan.take(2000)}")
+    // above the literal cap the filter degrades to a broadcast semi-join —
+    // gone from the scan, results identical (a pure scan optimization)
+    val fb = new PersistedPostings(wh, probeTermLimit = 1)
+      .query(queries, "q_id", "qtext", 10)
+    assert(!fb.queryExecution.executedPlan.toString.contains("In(t"))
+    assert(rows(fb) == inlineOn(allDocs))
+
+    // ledgered admit: a checkpoint replay of the same batch id no-ops
+    val batch = Seq((9L, "apple")).toDF("doc_id", "text")
+    val before = fts.postings().count()
+    fts.addDocsLedgered(batch, "doc_id", "text", batchId = 7L)
+    assert(fts.postings().count() == before + 1)
+    fts.addDocsLedgered(batch, "doc_id", "text", batchId = 7L)
+    assert(fts.postings().count() == before + 1, "replayed batch was double-counted")
+    assert(rows(fts.query(queries, "q_id", "qtext", 10)) ==
+      inlineOn(allDocs.union(batch)),
+      "index after ledgered admit diverged from the grown corpus")
+  }
 }
