@@ -907,11 +907,20 @@ object SparkEntry {
       val refused =
         try { wh.appendsBetween("t", sch, 2, 3); false }
         catch { case _: IllegalStateException => true }
+      // restore = the rollback ACTION on the same history: back to v2
+      // (metadata-only truncate+re-add, v5), then forward again to the v4
+      // state (v6) — pre-restore history stays readable through both
+      wh.restore("t", 2)                                              // v5
+      val (r2s, r2n) = sumN(wh.read("t", sch))
+      wh.restore("t", 4)                                              // v6
+      val (r4s, r4n) = sumN(wh.read("t", sch))
+      val (h3s, h3n) = sumN(wh.readAt("t", sch, 3)) // history through restores
       Seq((wh.versions().mkString(","), s1, n1, s2, n2, s3, n3, s4, n4,
-          u3, u4, d12, dn12, d34, dn34, refused))
+          u3, u4, d12, dn12, d34, dn34, refused, r2s, r2n, r4s, r4n, h3s, h3n))
         .toDF("versions", "t1_sum", "t1_n", "t2_sum", "t2_n", "t3_sum", "t3_n",
           "t4_sum", "t4_n", "u3_n", "u4_n", "d12_sum", "d12_n", "d34_sum",
-          "d34_n", "replace_window_refused")
+          "d34_n", "replace_window_refused", "r2_sum", "r2_n", "r4_sum", "r4_n",
+          "h3_sum", "h3_n")
         .orderBy(col("versions"))
     }
 
@@ -2533,7 +2542,8 @@ object SparkEntry {
     // deterministic end-state of the versioned-commit scenario the query
     // builds: v1 append {1,2}, v2 append {3}, v3 replace {9}, v4 txn
     // append t{10}+u{100}; CDC windows (1,2] and (3,4]; (2,3] crosses the
-    // replace and must refuse
+    // replace and must refuse; v5 restore→v2 state {1,2,3}, v6 restore→v4
+    // state {9,10}, with v3 history readable through both restores
     "etl_time_travel" ->
       """SELECT versions,
         | CAST(t1_sum AS BIGINT) AS t1_sum, CAST(t1_n AS BIGINT) AS t1_n,
@@ -2543,10 +2553,15 @@ object SparkEntry {
         | CAST(u3_n AS BIGINT) AS u3_n, CAST(u4_n AS BIGINT) AS u4_n,
         | CAST(d12_sum AS BIGINT) AS d12_sum, CAST(d12_n AS BIGINT) AS d12_n,
         | CAST(d34_sum AS BIGINT) AS d34_sum, CAST(d34_n AS BIGINT) AS d34_n,
-        | replace_window_refused
-        |FROM (VALUES ('1,2,3,4', 3, 2, 6, 3, 9, 1, 19, 2, 0, 1, 3, 1, 10, 1, true))
+        | replace_window_refused,
+        | CAST(r2_sum AS BIGINT) AS r2_sum, CAST(r2_n AS BIGINT) AS r2_n,
+        | CAST(r4_sum AS BIGINT) AS r4_sum, CAST(r4_n AS BIGINT) AS r4_n,
+        | CAST(h3_sum AS BIGINT) AS h3_sum, CAST(h3_n AS BIGINT) AS h3_n
+        |FROM (VALUES ('1,2,3,4,5,6', 3, 2, 6, 3, 9, 1, 19, 2, 0, 1, 3, 1, 10, 1, true,
+        |              6, 3, 19, 2, 9, 1))
         | AS t(versions, t1_sum, t1_n, t2_sum, t2_n, t3_sum, t3_n, t4_sum, t4_n,
-        |      u3_n, u4_n, d12_sum, d12_n, d34_sum, d34_n, replace_window_refused)
+        |      u3_n, u4_n, d12_sum, d12_n, d34_sum, d34_n, replace_window_refused,
+        |      r2_sum, r2_n, r4_sum, r4_n, h3_sum, h3_n)
         |ORDER BY versions""".stripMargin,
 
     "etl_provider_dedup" ->

@@ -772,6 +772,35 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       .parquet(added.map(f => s"${path(table)}/$f"): _*)
   }
 
+  /** Restore `table` to its state as of commit `version`, as a NEW commit —
+    * the RESTORE shape of the pointer-commit formats this rebuilds: the old
+    * file set is RE-REFERENCED (truncate + re-add), never copied, so a
+    * restore is metadata-only regardless of table size, is itself
+    * time-travelable, and is undone by another restore. Refuses with
+    * [[readAt]]'s contract when the manifest chain or the version's data
+    * files were vacuumed, and with `ConcurrentModificationException` when
+    * the table changes between reading its current state and publishing (a
+    * racing append must abort the restore, not be silently truncated away —
+    * the compaction precondition). Restoring to a version where the table
+    * had no rows leaves it committed-empty. The files the restore
+    * un-references stay on disk as vacuum-eligible garbage; a concurrent
+    * cross-process [[vacuum]] inside this method's window is covered only by
+    * its grace period, like every other reader.
+    */
+  def restore(table: String, version: Int): Unit = {
+    val st = stateAt(version)
+    val files = st.adds.getOrElse(table, Vector.empty)
+    val gone = files.filterNot(f => fs.exists(new Path(s"${path(table)}/$f")))
+    if (gone.nonEmpty) throw new IllegalStateException(
+      s"cannot restore $table to version $version: ${gone.size} of its data " +
+        s"files were vacuumed (first: ${gone.head})")
+    val expected = committedOrPhysical(table).sorted
+    if (files.sorted == expected) return // already that state — nothing to commit
+    val lines = s"truncate\t$table" +: files.map(f => s"add\t$table\t$f")
+    publish(lines,
+      precondition = () => committedOrPhysical(table).sorted == expected)
+  }
+
   /** Fold the log as of `version`: manifests ≤ `version`, starting at the
     * latest snapshot within that prefix. Correct only when the retained
     * chain is complete — a snapshot origin is self-contained by its CAS

@@ -472,6 +472,89 @@ class AtomicWarehouseSpec extends SparkSpec {
     assert(dataFiles == 1, s"expected 1 referenced data file, found $dataFiles")
   }
 
+  test("restore: metadata-only rollback, undo, genesis, CDC refusal, vacuumed target refuses") {
+    val wh = new AtomicWarehouse(spark, Files.createTempDirectory("graft-aw-rst-").toString)
+    wh.append("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v")) // v1
+    wh.replace("t", Seq((9L, "z")).toDF("id", "v"))           // v2
+    wh.append("t", Seq((10L, "y")).toDF("id", "v"))           // v3
+    val dataBefore = Files.list(java.nio.file.Paths.get(wh.root, "t"))
+      .filter(_.toString.endsWith(".parquet")).count()
+
+    wh.restore("t", 1)                                        // v4
+    assert(rows(wh, "t") == Set((1L, "a"), (2L, "b")))
+    assert(wh.versions() == Seq(1, 2, 3, 4))
+    // metadata-only: the restore re-references, it copies no data files
+    val dataAfter = Files.list(java.nio.file.Paths.get(wh.root, "t"))
+      .filter(_.toString.endsWith(".parquet")).count()
+    assert(dataAfter == dataBefore, "restore must not copy data files")
+    // pre-restore history stays time-travelable THROUGH the restore
+    def at(v: Int) = wh.readAt("t", kv, v).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(at(3) == Set((9L, "z"), (10L, "y")))
+    // undo = restore to the pre-restore head
+    wh.restore("t", 3)                                        // v5
+    assert(rows(wh, "t") == Set((9L, "z"), (10L, "y")))
+    // restoring to the current state publishes nothing
+    wh.restore("t", 3)
+    assert(wh.versions().last == 5)
+    // a CDC window crossing a restore refuses (its truncate breaks
+    // append-only, exactly like a replace)
+    intercept[IllegalStateException](wh.appendsBetween("t", kv, 3, 5))
+    // genesis restore = committed-empty table
+    wh.restore("t", 0)                                        // v6
+    assert(rows(wh, "t").isEmpty)
+    wh.restore("t", 5)                                        // v7
+    assert(rows(wh, "t") == Set((9L, "z"), (10L, "y")))
+
+    // vacuum away pre-snapshot history: restore to it must refuse, and the
+    // files version 2's replace un-referenced are gone with it
+    wh.vacuum() // publishes snapshot v8
+    Thread.sleep(50)
+    wh.vacuum(olderThanMs = 1L)
+    intercept[IllegalStateException](wh.restore("t", 1))
+    assert(rows(wh, "t") == Set((9L, "z"), (10L, "y")), "live state must survive vacuum")
+  }
+
+  test("restore racing cross-process appends never corrupts the table") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val dir = Files.createTempDirectory("graft-aw-rstrace-").toString
+    val wh = new AtomicWarehouse(spark, dir)
+    wh.append("t", Seq((0L, "v0")).toDF("id", "v")) // v1 — the restore target
+    val racer = new AtomicWarehouse(spark, dir)
+    val n = 20
+    val appender = Future {
+      var v = 2
+      (1 to n).foreach { i =>
+        val stage = java.nio.file.Paths.get(dir, ".racer", i.toString)
+        Seq((i.toLong, s"v$i")).toDF("id", "v").coalesce(1)
+          .write.mode("overwrite").parquet(stage.toString)
+        val part = Files.list(stage).filter(_.toString.endsWith(".parquet")).findFirst.get
+        val name = s"racer-$i.parquet"
+        Files.move(part, java.nio.file.Paths.get(dir, "t", name))
+        while (!racer.publishAtCrossProcess(Seq(s"add\tt\t$name"), v)) v += 1
+      }
+    }
+    // restore-to-v1 continuously while appends land; a raced attempt may
+    // abort (precondition) — the table must stay coherent throughout
+    while (!appender.isCompleted) {
+      try wh.restore("t", 1)
+      catch { case _: java.util.ConcurrentModificationException => }
+    }
+    Await.result(appender, Duration(5, "min"))
+    val got = new AtomicWarehouse(spark, dir).read("t", kv)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // every surviving append postdates the last landed restore, and appends
+    // land in id order — so the survivors are a contiguous SUFFIX of 1..n
+    // (plus the always-restored 0). A hole = a clobbered manifest.
+    assert(got.headOption.contains(0L), s"restore target row lost: $got")
+    val suffix = got.tail
+    assert(suffix == (if (suffix.isEmpty) Seq.empty[Long]
+      else suffix.head to n.toLong),
+      s"append erased out of order (manifest corruption): $got")
+  }
+
   test("time travel: readAt per version, CDC windows, snapshot transparency, vacuum bounds") {
     val wh = new AtomicWarehouse(spark, Files.createTempDirectory("graft-aw-tt-").toString)
     wh.append("t", Seq((1L, "a")).toDF("id", "v"))  // v1
