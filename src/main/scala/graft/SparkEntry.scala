@@ -924,6 +924,33 @@ object SparkEntry {
         .orderBy(col("versions"))
     }
 
+    // ---- CDC-driven incremental materialized aggregate: lineitem committed
+    // in three append batches with a refresh folding each delta into the
+    // persisted state, then a replace (same logical rows, new files) forces
+    // the invalidation path — rebuild as-of head. End state ≡ a one-shot
+    // GROUP BY over the whole table, which is exactly what the oracle runs.
+    // Sums are order-proof by the sumMoney discipline (integer-valued qty,
+    // decimal-cast price), so the incremental fold is oracle-exact
+    q("etl_materialized_agg") = (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val wh = new graft.sources.AtomicWarehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-mv-").toString)
+      val agg = new graft.operators.IncrementalAgg(wh, "li", "src/lineitem",
+        li.schema, Seq("l_returnflag", "l_linestatus"),
+        Seq("sum_qty" -> col("l_quantity"),
+          "sum_base" -> col("l_extendedprice").cast(DecimalType(18, 2))))
+      (0 to 2).foreach { i =>
+        wh.append("src/lineitem", li.filter(col("l_orderkey") % 3 === i))
+        agg.refresh()
+      }
+      wh.replace("src/lineitem", li) // truncate in window → rebuild path
+      agg.refresh()
+      agg.state()
+        .select(col("l_returnflag"), col("l_linestatus"), col("cnt"),
+          col("sum_qty"), round(col("sum_base").cast("double"), 2).as("sum_base"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }
+
     // F7 + A1: provider-name pipeline + distinct aggregation
     q("etl_provider_dedup") = (s, dir) =>
       t(s, dir, "part")
@@ -2538,6 +2565,16 @@ object SparkEntry {
         | AS t(tbl, exists_before, exists_after_write,
         |      rows_after_append1, rows_after_append2, exists_after_delete)
         |ORDER BY tbl""".stripMargin,
+
+    // the materialized state after 3 incremental folds + 1 invalidation
+    // rebuild ≡ one GROUP BY over the full table (the IVM identity)
+    "etl_materialized_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        | sum(l_quantity) AS sum_qty,
+        | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base
+        |FROM lineitem
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
 
     // deterministic end-state of the versioned-commit scenario the query
     // builds: v1 append {1,2}, v2 append {3}, v3 replace {9}, v4 txn
