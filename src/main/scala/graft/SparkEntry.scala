@@ -1488,6 +1488,31 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rank"))
     }
 
+    // ---- hybrid retrieval: RRF-fuse the lexical BM25 ranking with a
+    // semantic ANN ranking over the aligned embeddings table (vec_id ≡
+    // doc_id). Query vectors are embeddings 11-13 remapped to q_id 1-3 so
+    // both legs share the query key space; each leg contributes its top-20,
+    // contributions are exact integer 1e9 div (60 + rank), and the oracle
+    // replays BOTH legs and the fusion
+    q("doc_hybrid_rrf") = (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val queries = Seq(
+        (1L, "merge join order sort"),
+        (2L, "vector window stream"),
+        (3L, "customer data value zzz")).toDF("q_id", "qtext")
+      val lex = Retrieval.bm25(docs, "doc_id", "text", queries, "q_id", "qtext", k = 20)
+        .select(col("q_id"), col("id"), col("rank"))
+      val sem = Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id").between(11, 13)), "vec_id", "vec_id", "embedding", 20)
+        .select((col("q_id") - 10).as("q_id"), col("c_id").as("id"), col("rank"))
+      Retrieval.rrf(Seq(lex, sem), k = 10)
+        .select(col("q_id"), col("rank").cast(LongType).as("rank"),
+          col("id").as("doc_id"), col("rrf"))
+        .orderBy(col("q_id"), col("rank"))
+    }
+
     // ---- substring-level duplication stats: every 10-token sliding window
     // hashed; a window seen in ≥2 distinct docs is duplicated — per-doc
     // duplicated-span counts, the signal document-level dedup cannot see.
@@ -1870,8 +1895,12 @@ object SparkEntry {
        |     AND CASE WHEN length(text)-4 > 2048 THEN error('oracle shingle cap 2048 exceeded') ELSE true END""".stripMargin
   private val shingle5 = shingle5On("documents")
 
-  private val bm25Sql: String =
-    """WITH q(q_id, qtext) AS (VALUES
+  /** The BM25 derivation as a CTE chain ending in `ranked` (q_id, id, bm25,
+    * rank over every matched doc) — the shared head of doc_bm25,
+    * doc_bm25_persisted, and doc_hybrid_rrf's lexical leg.
+    */
+  private val bm25Ctes: String =
+    """q(q_id, qtext) AS (VALUES
         |  (1, 'merge join order sort'),
         |  (2, 'vector window stream'),
         |  (3, 'customer data value zzz')),
@@ -1902,10 +1931,50 @@ object SparkEntry {
         | SELECT q_id, id, round(CAST(s_micro AS DOUBLE) / 1000000.0, 4) AS bm25,
         |  row_number() OVER (PARTITION BY q_id
         |   ORDER BY round(CAST(s_micro AS DOUBLE) / 1000000.0, 4) DESC, id) AS rank
-        | FROM scored)
-        |SELECT q_id, CAST(rank AS BIGINT) AS rank, id AS doc_id, bm25
-        |FROM ranked WHERE rank <= 10
-        |ORDER BY q_id, rank""".stripMargin
+        | FROM scored)""".stripMargin
+
+  private val bm25Sql: String =
+    s"""WITH $bm25Ctes
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, id AS doc_id, bm25
+       |FROM ranked WHERE rank <= 10
+       |ORDER BY q_id, rank""".stripMargin
+
+  /** doc_hybrid_rrf: both legs (BM25 top-20 via [[bm25Ctes]]; brute-force
+    * cosine top-20 over embeddings 11-13 remapped to q_id 1-3) fused by
+    * integer-exact reciprocal-rank contributions `1e9 // (60 + rank)`.
+    */
+  private val hybridRrfSql: String =
+    s"""WITH $bm25Ctes,
+       |lex AS (SELECT q_id, id, rank FROM ranked WHERE rank <= 20),
+       |qv AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id BETWEEN 11 AND 13),
+       |sp AS (
+       | SELECT qv.vec_id AS sq_id, e.vec_id AS c_id,
+       |  sum(e.embedding[i]::DOUBLE * qv.embedding[i]::DOUBLE) AS dot,
+       |  sqrt(sum(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)) AS cn,
+       |  sqrt(sum(qv.embedding[i]::DOUBLE * qv.embedding[i]::DOUBLE)) AS qn
+       | FROM qv, embeddings e, generate_series(1, 64) t2(i)
+       | WHERE e.vec_id <> qv.vec_id GROUP BY 1, 2),
+       |sscored AS (
+       | SELECT sq_id, c_id,
+       |  round(CASE WHEN cn = 0 OR qn = 0 THEN 0 ELSE dot/(cn*qn) END, 4) AS cosine
+       | FROM sp),
+       |sranked AS (
+       | SELECT sq_id, c_id,
+       |  CAST(row_number() OVER (PARTITION BY sq_id
+       |   ORDER BY cosine DESC, c_id) AS BIGINT) AS rank
+       | FROM sscored),
+       |sem AS (SELECT sq_id - 10 AS q_id, c_id AS id, rank FROM sranked WHERE rank <= 20),
+       |fused AS (
+       | SELECT q_id, id, sum(1000000000 // (60 + rank)) AS s
+       | FROM (SELECT * FROM lex UNION ALL SELECT * FROM sem) u GROUP BY 1, 2),
+       |franked AS (
+       | SELECT q_id, id, s,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY CAST(s AS DOUBLE) DESC, id) AS rank
+       | FROM fused)
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, id AS doc_id,
+       | round(CAST(s AS DOUBLE) / 1000000000.0, 6) AS rrf
+       |FROM franked WHERE rank <= 10
+       |ORDER BY q_id, rank""".stripMargin
 
   /** dedup_lsh_verified body (no ORDER BY) — also embedded as the pair
     * source of the connected-components oracle.
@@ -3461,6 +3530,10 @@ object SparkEntry {
     // same corpus (postings rows and per-batch stat sums are exact under
     // union — PersistedPostings class doc), so its oracle IS doc_bm25's
     "doc_bm25_persisted" -> bm25Sql,
+
+    // lexical top-20 + semantic top-20, reciprocal-rank fused with integer
+    // contributions — both legs and the fusion replayed
+    "doc_hybrid_rrf" -> hybridRrfSql,
 
     // window = 10 tokens → slice t[i:i+9], positions 1..len-9; duplicated =
     // hash in ≥2 DISTINCT docs; per-doc counts are per POSITION

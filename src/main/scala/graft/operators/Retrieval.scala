@@ -86,6 +86,39 @@ object Retrieval {
         explode(TextOps.tokens(col(qTextCol))).as("t"))
       .distinct()
 
+  /** Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR 2009 —
+    * the standard hybrid-retrieval combiner): `fused(q, d) = Σ_r 1 / (kRrf
+    * + rank_r(q, d))` over the rankings that contain `d`, `kRrf = 60` per
+    * the paper. Rank-based, so a lexical leg ([[bm25]]) and a semantic leg
+    * ([[Similarity.bruteForceTopK]] and friends) fuse without score
+    * calibration — exactly the lexical+ANN hybrid a curation pipeline runs.
+    *
+    * Each ranking is `(q_id, id, rank)` with rank 1-based. Inputs are
+    * top-k-bounded rank lists (queries × k rows — driver-small by
+    * construction), so the fusion itself costs one bounded union + groupBy:
+    * the heavy lifting stays in the legs, which keep their own 100 TB
+    * shapes. Determinism: each contribution is the exact integer
+    * `1e9 div (kRrf + rank)` — integer division, so no engine can round
+    * differently and long addition commutes; ranking is by the exact sum
+    * ((sum desc, id) ties), the displayed score is sum/1e9 at 6dp.
+    */
+  def rrf(rankings: Seq[DataFrame], k: Int, kRrf: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrf needs at least one ranking")
+    val contrib = rankings.map(_.select(col("q_id").cast(LongType).as("q_id"),
+        col("id").cast(LongType).as("id"),
+        expr(s"CAST(1000000000 AS BIGINT) div " +
+          s"(CAST($kRrf AS BIGINT) + CAST(rank AS BIGINT))").as("c")))
+      .reduce(_ union _)
+    val scored = contrib.groupBy(col("q_id"), col("id"))
+      .agg(sum(col("c")).as("s"))
+      // the long sum is < 2^53 (≤ rankings × 1e9/61 per doc) — exact as the
+      // double TopKAgg ranks on
+      .select(col("q_id"), col("id"), col("s").cast("double").as("rrf_s"))
+    Similarity.topKPerKey(scored, "q_id", "rrf_s", "id", k)
+      .select(col("q_id"), col("rank"), col("id"),
+        round(col("rrf_s") / 1e9, 6).as("rrf"))
+  }
+
   /** The BM25 reduction shared by the inline path and the persisted-index
     * path ([[PersistedPostings.query]]): `tf` = the query-term-matched
     * postings `(id, t, tf, dl)` — tf/dl as doubles — `qterms` = `(q_id, t)`.

@@ -75,6 +75,27 @@ class RetrievalSpec extends SparkSpec {
     assert(run(Seq((1L, ""))).isEmpty)
   }
 
+  test("rrf: integer-exact fusion golden, overlap wins, equal-score ties by id") {
+    def c(rank: Int): Long = 1000000000L / (60 + rank)
+    def d(s: Long): Double = BigDecimal(s.toDouble / 1e9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r1 = Seq((1L, 10L, 1), (1L, 20L, 2)).toDF("q_id", "id", "rank")
+    val r2 = Seq((1L, 20L, 1), (1L, 30L, 2)).toDF("q_id", "id", "rank")
+    val got = Retrieval.rrf(Seq(r1, r2), k = 10).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // doc 20 appears in both lists → fused contribution beats either single
+    assert(got.toSeq == Seq(
+      (1L, 1, 20L, d(c(1) + c(2))),
+      (1L, 2, 10L, d(c(1))),
+      (1L, 3, 30L, d(c(2)))))
+    // same fused score (both rank-1 in one list each) → lower id first
+    val ties = Retrieval.rrf(Seq(
+        Seq((2L, 5L, 1)).toDF("q_id", "id", "rank"),
+        Seq((2L, 3L, 1)).toDF("q_id", "id", "rank")), k = 10)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(ties.toSeq == Seq((1, 3L), (2, 5L)))
+  }
+
   test("persisted index ≡ inline bm25; term pruning pinned; cap fallback; replay no-ops") {
     import graft.operators.PersistedPostings
     // empty and null texts count toward N (and nothing else) on BOTH paths
