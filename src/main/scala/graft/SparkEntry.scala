@@ -1488,6 +1488,40 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rank"))
     }
 
+    // ---- the inverted index maintained by STRUCTURED STREAMING: an empty
+    // genesis build, then the whole corpus arrives as the exact-dedup
+    // streams' 3 micro-batch chunk files (streaming/FtsStream — ledgered
+    // atomic admits, replay-idempotent), then the identical query batch
+    // over the persisted tables. Postings rows and per-batch stat sums are
+    // exact under union whatever the batching, so the streamed index ≡ the
+    // batch-built one and the ORACLE IS bm25Sql VERBATIM — micro-batch ≡
+    // batch, the dedup_stream argument applied to retrieval
+    q("doc_bm25_stream") = (s, dir) => {
+      import s.implicits._
+      import java.nio.file.Files
+      val queries = Seq(
+        (1L, "merge join order sort"),
+        (2L, "vector window stream"),
+        (3L, "customer data value zzz")).toDF("q_id", "qtext")
+      val inDir = xstreamChunks(s, dir)
+      val ckpt = Files.createTempDirectory("graft-ftss-ck-").toString
+      val whDir = Files.createTempDirectory("graft-ftss-wh-").toString
+      val st = new graft.streaming.FtsStream(
+        new graft.sources.AtomicWarehouse(GraftSession.streamSession(s), whDir))
+      st.fts.build(t(s, dir, "documents").limit(0), "doc_id", "text")
+      val sq = st.start(inDir, ckpt)
+      val drainMs = GraftSession.streamDrainTimeoutMs
+      if (!sq.awaitTermination(drainMs)) {
+        sq.stop()
+        throw new IllegalStateException(
+          s"doc_bm25_stream failed to drain within ${drainMs / 1000} s")
+      }
+      st.fts.query(queries, "q_id", "qtext", k = 10)
+        .select(col("q_id"), col("rank").cast(LongType).as("rank"),
+          col("id").as("doc_id"), col("bm25"))
+        .orderBy(col("q_id"), col("rank"))
+    }
+
     // ---- hybrid retrieval: RRF-fuse the lexical BM25 ranking with a
     // semantic ANN ranking over the aligned embeddings table (vec_id ≡
     // doc_id). Query vectors are embeddings 11-13 remapped to q_id 1-3 so
@@ -3530,6 +3564,10 @@ object SparkEntry {
     // same corpus (postings rows and per-batch stat sums are exact under
     // union — PersistedPostings class doc), so its oracle IS doc_bm25's
     "doc_bm25_persisted" -> bm25Sql,
+
+    // streamed postings ≡ batch postings whatever the batching (exact under
+    // union), so the streaming index answers with doc_bm25's oracle too
+    "doc_bm25_stream" -> bm25Sql,
 
     // lexical top-20 + semantic top-20, reciprocal-rank fused with integer
     // contributions — both legs and the fusion replayed
