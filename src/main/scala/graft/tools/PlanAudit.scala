@@ -17,7 +17,12 @@ object PlanAudit {
   //   - dedup_jaccard/dedup_embedding: all-pairs verification kernels,
   //     quadratic BY DESIGN, bucketed scale path implemented beside them;
   //   - sim_topk/sim_ivf*: deliberate crossJoin(broadcast(querySet)) /
-  //     broadcast(centroids) — the corpus side streams, never shuffles;
+  //     broadcast(centroids) — the corpus side streams, never shuffles
+  //     (sim_ivf_pq rides the same assignCellsProbes centroid broadcast;
+  //     its ADC scoring itself is equi-joined);
+  //   - doc_hybrid_rrf: its semantic leg IS the sim_topk kernel (broadcast
+  //     query-set brute force); the lexical leg and the fusion are
+  //     equi-joined and bounded;
   //   - dedup_semantic: the same broadcast(centroids) assign kernel (×3
   //     subplan references inline; the scale path feeds a persisted
   //     assignment table through semanticDedupAssigned instead);
@@ -28,7 +33,8 @@ object PlanAudit {
   // upsert's full outer).
   val kernelAllowlist: Set[String] = Set("dedup_jaccard", "dedup_embedding",
     "sim_topk", "sim_topk_sq8", "sim_ivf", "sim_ivf_trained",
-    "sim_ivf_persisted", "sim_ivf_sq8", "sim_ivf_stream", "dedup_semantic")
+    "sim_ivf_persisted", "sim_ivf_sq8", "sim_ivf_stream", "sim_ivf_pq",
+    "dedup_semantic", "doc_hybrid_rrf")
 
   final case class Audit(report: String, flagged: List[String], errors: List[String])
 
