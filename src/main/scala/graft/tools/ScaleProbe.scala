@@ -49,8 +49,8 @@ object ScaleProbe {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val scales = if (args.length > 1) args(1).split(",").map(_.trim.toInt).toSeq
       else Seq(25, 50, 100)
-    // optional third arg restricts to one family: "dedup" | "ivf" | "sem"
-    // (default: all)
+    // optional third arg restricts to one family: "dedup" | "ivf" | "sem" |
+    // "fts" (default: all)
     val section = if (args.length > 2) args(2) else "all"
     val spark = GraftSession.builder().appName("scale-probe").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -428,6 +428,81 @@ object ScaleProbe {
         cents.unpersist(true); corpus.unpersist(true)
       }
       fresh.unpersist(true)
+    }
+
+    // ---- persisted-BM25 probe pruning (modes `fts_probe` / `fts_fullscan`
+    // / `fts_inline`): the flat-probe claim measured for retrieval. Query
+    // terms are drawn from replica 0 (they MATCH; other replicas' salted
+    // tokens never collide), so matched postings stay CONSTANT while the
+    // corpus and its postings grow ×N: the term-literal probe should read a
+    // flat sliver, `fts_fullscan` (term cap 0 → broadcast semi-join over the
+    // whole postings table) grows linearly, and `fts_inline`
+    // (Retrieval.bm25 — re-tokenize the raw corpus per query batch, the
+    // no-index baseline) grows linearly AND pays tokenization. Rankings must
+    // be identical across all three (same corpus, same stats — the In
+    // filter and the index are pure scan optimizations).
+    if (section == "fts" || section == "all") locally {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val docSchema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("text", StringType, nullable = true)))
+      val qSchema = StructType(Seq(
+        StructField("q_id", LongType, nullable = false),
+        StructField("qtext", StringType, nullable = true)))
+      val toks = salted(0).orderBy("doc_id").limit(2).select(col("text"))
+        .collect().flatMap(r => Option(r.getString(0)).toSeq.flatMap(_.split(" ").take(4)))
+      val queries = spark.createDataFrame(java.util.Arrays.asList(
+        Row(1L, toks.take(4).mkString(" ")),
+        Row(2L, (toks.drop(4).take(3) :+ "zzz_absent_term").mkString(" "))), qSchema)
+      val hc = spark.sparkContext.hadoopConfiguration
+      val (oldBlock, oldPage) = (hc.get("parquet.block.size"), hc.get("parquet.page.size"))
+      hc.setInt("parquet.block.size", 32768); hc.setInt("parquet.page.size", 8192)
+      try scales.foreach { n =>
+        val corpus = (0 until n).map(salted).reduce(_ union _)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nDocs = corpus.count()
+        val whDir = Files.createTempDirectory(s"graft-scaleprobe-fts-x$n-").toString
+        val wh = new Warehouse(spark, whDir)
+        val fts = new graft.operators.PersistedPostings(wh)
+        fts.build(corpus, "doc_id", "text")
+        // the raw corpus as a table too, so fts_inline's scan is measured
+        // from disk like the index reads (a cached frame reads 0 bytes)
+        sortedWrite(corpus, wh.path("fts/RawDocs"), "doc_id")
+        corpus.unpersist(true)
+        val idxBytes = Files.walk(java.nio.file.Paths.get(wh.path(fts.postingsTable)))
+          .filter(_.toString.endsWith(".parquet")).mapToLong(Files.size(_)).sum()
+        var acrossModes = Set.empty[(Long, Int, Long, Double)]
+        Seq("fts_probe", "fts_fullscan", "fts_inline").foreach { mode =>
+          (1 to 2).foreach { rep =>
+            bytesRead.set(0); recordsRead.set(0)
+            val t0 = System.nanoTime()
+            val ranked = mode match {
+              case "fts_probe" => fts.query(queries, "q_id", "qtext", 10)
+              case "fts_fullscan" =>
+                new graft.operators.PersistedPostings(wh, probeTermLimit = 0)
+                  .query(queries, "q_id", "qtext", 10)
+              case _ => graft.operators.Retrieval.bm25(
+                wh.read("fts/RawDocs", docSchema), "doc_id", "text",
+                queries, "q_id", "qtext", 10)
+            }
+            val rows = ranked.collect()
+              .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+            val secs = (System.nanoTime() - t0) / 1e9
+            if (rep == 2) {
+              emit(
+                f"""{"tool":"scaleprobe","scale_x":$n,"mode":"$mode","n_docs":$nDocs,"index_bytes":$idxBytes,"probe_bytes":${bytesRead.get()},"probe_records":${recordsRead.get()},"hits":${rows.size},"sec":$secs%.2f}""")
+              assert(rows.nonEmpty, s"no BM25 hits at x$n/$mode — query terms lost")
+              if (acrossModes.isEmpty) acrossModes = rows
+              else assert(rows == acrossModes,
+                s"mode $mode changed the ranking at x$n")
+            }
+          }
+        }
+      } finally {
+        if (oldBlock != null) hc.set("parquet.block.size", oldBlock) else hc.unset("parquet.block.size")
+        if (oldPage != null) hc.set("parquet.page.size", oldPage) else hc.unset("parquet.page.size")
+      }
     }
 
     val p = java.nio.file.Paths.get("target/scaleprobe.json")
