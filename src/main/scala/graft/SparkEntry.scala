@@ -1522,6 +1522,29 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rank"))
     }
 
+    // ---- exact-phrase search over the positional inverted index: each
+    // matched posting position p for phrase offset o votes for start p−o, a
+    // start with every offset voting is an occurrence (overlaps count), docs
+    // ranked by occurrence count. The oracle brute-forces the same
+    // semantics by sliding the token array; the index path reads only the
+    // phrase terms' postings. Phrase 3 has hits only at some scales — the
+    // zero-hit shape is part of the check
+    q("doc_phrase") = (s, dir) => {
+      import s.implicits._
+      val phrases = Seq(
+        (1L, "merge join"),
+        (2L, "table scan"),
+        (3L, "value table part")).toDF("q_id", "qtext")
+      val wh = new graft.sources.Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-phrase-").toString)
+      val fts = new PersistedPostings(wh)
+      fts.build(t(s, dir, "documents"), "doc_id", "text")
+      fts.phrase(phrases, "q_id", "qtext", k = 10)
+        .select(col("q_id"), col("rank").cast(LongType).as("rank"),
+          col("id").as("doc_id"), col("occurrences"))
+        .orderBy(col("q_id"), col("rank"))
+    }
+
     // ---- hybrid retrieval: RRF-fuse the lexical BM25 ranking with a
     // semantic ANN ranking over the aligned embeddings table (vec_id ≡
     // doc_id). Query vectors are embeddings 11-13 remapped to q_id 1-3 so
@@ -3568,6 +3591,32 @@ object SparkEntry {
     // streamed postings ≡ batch postings whatever the batching (exact under
     // union), so the streaming index answers with doc_bm25's oracle too
     "doc_bm25_stream" -> bm25Sql,
+
+    // phrase occurrence = a token-array slice equal to the phrase; the
+    // index path intersects position lists instead — same semantics,
+    // including overlapping occurrences
+    "doc_phrase" ->
+      """WITH ph(q_id, phrase) AS (VALUES
+        |  (1, 'merge join'), (2, 'table scan'), (3, 'value table part')),
+        |toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |pt AS (SELECT q_id, phrase,
+        |  len(list_filter(string_split(phrase, ' '), x -> x <> '')) AS plen FROM ph),
+        |hits AS (
+        | SELECT pt.q_id, toks.doc_id AS id, count(*) AS occurrences
+        | FROM toks, pt,
+        |  unnest(generate_series(1, greatest(len(t) - plen + 1, 0))) s(i)
+        | WHERE array_to_string(t[i:i+plen-1], ' ') = phrase
+        | GROUP BY 1, 2),
+        |ranked AS (
+        | SELECT q_id, id, occurrences,
+        |  row_number() OVER (PARTITION BY q_id
+        |   ORDER BY occurrences DESC, id) AS rank
+        | FROM hits)
+        |SELECT CAST(q_id AS BIGINT) AS q_id, CAST(rank AS BIGINT) AS rank,
+        | id AS doc_id, CAST(occurrences AS BIGINT) AS occurrences
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY q_id, rank""".stripMargin,
 
     // lexical top-20 + semantic top-20, reciprocal-rank fused with integer
     // contributions — both legs and the fusion replayed

@@ -11,12 +11,14 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * the whole corpus per query batch, which at 100 TB is a full-corpus scan
   * per lookup; here the expensive structure survives as warehouse tables:
   *
-  *   - `fts/Postings` `(t, id, tf, dl)` — one row per (term, document),
+  *   - `fts/Postings` `(t, id, tf, dl, pos)` — one row per (term, document),
   *     written TERM-SORTED within files so parquet min/max stats on `t` are
   *     tight: a query batch reads only the row groups of its own terms (the
   *     dedup band-index layout, same reason). `dl` is denormalized into the
   *     posting (8 bytes/row) so scoring needs NO join against a corpus-sized
-  *     doc-length table — matched postings arrive self-contained;
+  *     doc-length table — matched postings arrive self-contained; `pos`
+  *     holds the term's positions for [[phrase]] and is column-pruned away
+  *     from every BM25 scan;
   *   - `fts/CorpusStats` `(seq, n, sumdl)` — one row per build/admit batch.
   *     `N` and `Σ dl` are sums of these longs (integer addition commutes —
   *     exact at any batch count), so query-time stats cost a scan of a
@@ -46,7 +48,14 @@ class PersistedPostings(wh: Warehouse, probeTermLimit: Int = 1000) {
     StructField("t", StringType, nullable = true),
     StructField("id", LongType, nullable = false),
     StructField("tf", LongType, nullable = false),
-    StructField("dl", LongType, nullable = false)))
+    StructField("dl", LongType, nullable = false),
+    // 1-based positions of `t` in the doc's whitespace-token array, sorted —
+    // the positional half of the index ([[phrase]] intersects these).
+    // [[query]] never selects the column, so parquet column pruning keeps
+    // BM25 scans paying only (t, id, tf, dl); an index built before
+    // positions existed reads as null here and [[phrase]] refuses it
+    StructField("pos", org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType), nullable = true)))
   val statsSchema: StructType = StructType(Seq(
     StructField("seq", LongType, nullable = false),
     StructField("n", LongType, nullable = false),
@@ -54,16 +63,18 @@ class PersistedPostings(wh: Warehouse, probeTermLimit: Int = 1000) {
   val ingestSchema: StructType = StructType(Seq(
     StructField("batch_id", LongType, nullable = false)))
 
-  /** `(t, id, tf, dl)` of a doc batch — [[Retrieval.bm25]]'s tf frame shape
-    * with the counts kept integral for storage.
+  /** `(t, id, tf, dl, pos)` of a doc batch — [[Retrieval.bm25]]'s tf frame
+    * shape with the counts kept integral for storage, plus the sorted
+    * 1-based position list the phrase intersection runs on.
     */
   private def postingsOf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).cast(LongType).as("id"),
         TextOps.tokenCountWs(col(textCol)).cast(LongType).as("dl"),
-        explode(TextOps.tokens(col(textCol))).as("t"))
+        posexplode(TextOps.tokens(col(textCol))).as(Seq("p0", "t")))
       .groupBy(col("id"), col("t"))
-      .agg(count(lit(1)).as("tf"), any_value(col("dl")).as("dl"))
-      .select(col("t"), col("id"), col("tf"), col("dl"))
+      .agg(count(lit(1)).as("tf"), any_value(col("dl")).as("dl"),
+        sort_array(collect_list((col("p0") + 1).cast("int"))).as("pos"))
+      .select(col("t"), col("id"), col("tf"), col("dl"), col("pos"))
 
   private def statsRow(seq: Long, n: Long, sumdl: Long): DataFrame =
     wh.spark.createDataFrame(
@@ -156,6 +167,49 @@ class PersistedPostings(wh: Warehouse, probeTermLimit: Int = 1000) {
     val tf = matched.select(col("id"), col("t"),
       col("tf").cast("double").as("tf"), col("dl").cast("double").as("dl"))
     Retrieval.scoreMatched(tf, qterms, n, avgdl, k1, b, k)
+  }
+
+  /** Exact-phrase search over the positional index: top-`k` documents per
+    * query by occurrence count ((count desc, id) ties). A phrase occurs at
+    * start `s` when for EVERY phrase offset `o` the doc's token `s + o`
+    * equals the phrase's o-th term — computed by intersecting the stored
+    * position lists (each matched posting position `p` for offset `o` votes
+    * for start `p - o`; a start with all `len` distinct offsets voting is an
+    * occurrence), never by re-reading text: the scan reads only the phrase
+    * terms' postings via the [[query]] `In`-literal pruning, now including
+    * the `pos` column. Overlapping occurrences count separately — the
+    * sliding-window semantics the `doc_phrase` oracle restates by slicing
+    * the token array. Phrases matching nothing are absent; an index
+    * persisted before positions existed is refused (null `pos`), not
+    * silently empty.
+    */
+  def phrase(queries: DataFrame, qIdCol: String, qTextCol: String, k: Int): DataFrame = {
+    require(wh.exists(statsTable), s"$statsTable absent — build() first")
+    val qt = queries.select(col(qIdCol).cast(LongType).as("q_id"),
+        posexplode(TextOps.tokens(col(qTextCol))).as(Seq("off", "t")))
+      .select(col("q_id"), col("off").cast("int").as("off"), col("t"))
+    val qlen = qt.groupBy(col("q_id")).agg(count(lit(1)).as("len"))
+    val terms = qt.select(col("t")).distinct()
+    val termLits = terms.limit(probeTermLimit + 1).collect().map(_.getString(0))
+    val matched =
+      (if (termLits.length <= probeTermLimit)
+        postings().filter(col("t").isin(termLits: _*))
+      else postings().join(broadcast(terms), Seq("t")))
+        .select(col("t"), col("id"), col("pos"))
+    require(matched.filter(col("pos").isNull).isEmpty,
+      "index has postings without positions — rebuild with a position-aware build()")
+    val starts = matched.select(col("t"), col("id"), explode(col("pos")).as("p"))
+      .join(broadcast(qt), Seq("t"))
+      .select(col("q_id"), col("id"), (col("p") - col("off")).as("start"), col("off"))
+    val hits = starts.groupBy(col("q_id"), col("id"), col("start"))
+      .agg(countDistinct(col("off")).as("noff"))
+      .join(broadcast(qlen), Seq("q_id"))
+      .filter(col("noff") === col("len"))
+    val occ = hits.groupBy(col("q_id"), col("id"))
+      .agg(count(lit(1)).cast("double").as("occ"))
+    Similarity.topKPerKey(occ, "q_id", "occ", "id", k)
+      .select(col("q_id"), col("rank"), col("id"),
+        col("occ").cast(LongType).as("occurrences"))
   }
 
   /** Small-file maintenance: every [[addDocs]] append lands ≥1 file, and the

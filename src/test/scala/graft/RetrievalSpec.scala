@@ -96,6 +96,41 @@ class RetrievalSpec extends SparkSpec {
     assert(ties.toSeq == Seq((1, 3L), (2, 5L)))
   }
 
+  test("phrase search: overlaps count, duplicate-term phrases, single term ≡ tf, misses absent") {
+    import graft.operators.PersistedPostings
+    val corpus = Seq(
+      (1L, "a b a b a"),       // "a b a" occurs at 1 and 3 (overlapping)
+      (2L, "a a a"),           // "a a" occurs at 1 and 2
+      (3L, "x a b y"),         // "a b" once; "a b a" never
+      (4L, "b a b a b")).toDF("doc_id", "text")
+    val wh = new graft.sources.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft-phr-").toString)
+    val fts = new PersistedPostings(wh)
+    fts.build(corpus, "doc_id", "text")
+    def run(ps: Seq[(Long, String)]) =
+      fts.phrase(ps.toDF("q_id", "qtext"), "q_id", "qtext", 10)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    // overlapping occurrences count separately; ranking by count desc, id
+    assert(run(Seq((1L, "a b a"))).toSeq == Seq((1L, 1, 1L, 2L), (1L, 2, 4L, 1L)))
+    // duplicate-term phrase intersects the SAME position list at two offsets
+    assert(run(Seq((2L, "a a"))).toSeq == Seq((2L, 1, 2L, 2L)))
+    // single-term phrase = term frequency
+    assert(run(Seq((3L, "a"))).toSeq ==
+      Seq((3L, 1, 1L, 3L), (3L, 2, 2L, 3L), (3L, 3, 4L, 2L), (3L, 4, 3L, 1L)))
+    // no-match phrase absent
+    assert(run(Seq((4L, "b x"))).isEmpty)
+    // an index built WITHOUT positions is refused, not silently empty: write
+    // a postings table lacking the pos column through the same warehouse
+    val legacyWh = new graft.sources.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft-phr-legacy-").toString)
+    val legacy = new PersistedPostings(legacyWh)
+    legacy.build(corpus, "doc_id", "text")
+    legacyWh.replace(legacy.postingsTable,
+      legacyWh.read(legacy.postingsTable, legacy.postingsSchema).drop("pos"))
+    intercept[IllegalArgumentException](
+      legacy.phrase(Seq((1L, "a b")).toDF("q_id", "qtext"), "q_id", "qtext", 10))
+  }
+
   test("persisted index ≡ inline bm25; term pruning pinned; cap fallback; replay no-ops") {
     import graft.operators.PersistedPostings
     // empty and null texts count toward N (and nothing else) on BOTH paths
