@@ -1371,6 +1371,34 @@ object SparkEntry {
           k = 5, numHashes = 8, rowsPerBand = 2, minJaccard = 0.35, minSigMatchesOverride = 4))
         .orderBy(col("id"))
 
+    // ---- the dedup graph kept ALIVE across batches: the same verified
+    // pair set arrives as three id-range batches against a persisted
+    // component state — new nodes append, bridging edges land as lazy
+    // merge-journal rows, a mid-way fold() amortizes the journal into a
+    // clean rewrite — and the accumulated labels ≡ one-shot CC, so the
+    // oracle is dedup_components' recursive closure restated on the same
+    // pairs. The piece that lets continuous ingest skip re-clustering the
+    // full accumulated pair set per batch
+    q("dedup_components_incremental") = (s, dir) => {
+      val pairs = Dedup.lshVerifiedPairs(t(s, dir, "documents"), "doc_id", "text",
+          k = 5, numHashes = 8, rowsPerBand = 2, minJaccard = 0.35, minSigMatchesOverride = 4)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val cut = pairs.agg(max(col("id_b"))).head() match {
+          case r if r.isNullAt(0) => 0L
+          case r => r.getLong(0) / 3
+        }
+        val wh = new graft.sources.Warehouse(s,
+          java.nio.file.Files.createTempDirectory("graft-cc-").toString)
+        val cc = new graft.operators.PersistedComponents(wh)
+        cc.build(pairs.filter(col("id_b") <= cut))
+        cc.addEdges(pairs.filter(col("id_b") > cut && col("id_b") <= cut * 2))
+        cc.fold()
+        cc.addEdges(pairs.filter(col("id_b") > cut * 2))
+        cc.components().orderBy(col("id"))
+      } finally pairs.unpersist(false)
+    }
+
     // the dedup END STATE: corpus after dropping every non-canonical member
     // of each near-dup cluster (pairs -> components -> survivors)
     q("dedup_survivors") = (s, dir) =>
@@ -1990,6 +2018,22 @@ object SparkEntry {
         |   ORDER BY round(CAST(s_micro AS DOUBLE) / 1000000.0, 4) DESC, id) AS rank
         | FROM scored)""".stripMargin
 
+  /** dedup_components (and its incremental twin): min-id component labels
+    * via recursive closure over the verified pair set.
+    */
+  private lazy val componentsSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |$lshVerifiedCore),
+       |edges AS (
+       | SELECT id_a AS src, id_b AS dst FROM pairs
+       | UNION SELECT id_b, id_a FROM pairs),
+       |reach AS (
+       | SELECT src, dst FROM edges
+       | UNION
+       | SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |comp AS (SELECT src AS id, least(src, min(dst)) AS component FROM reach GROUP BY src)
+       |SELECT id, component FROM comp ORDER BY id""".stripMargin
+
   private val bm25Sql: String =
     s"""WITH $bm25Ctes
        |SELECT q_id, CAST(rank AS BIGINT) AS rank, id AS doc_id, bm25
@@ -2337,18 +2381,12 @@ object SparkEntry {
          |SELECT CAST(id AS BIGINT) AS provider_id, name AS provider_name
          |FROM provider ORDER BY provider_id""".stripMargin,
 
-    "dedup_components" ->
-      s"""WITH RECURSIVE pairs AS (
-         |$lshVerifiedCore),
-         |edges AS (
-         | SELECT id_a AS src, id_b AS dst FROM pairs
-         | UNION SELECT id_b, id_a FROM pairs),
-         |reach AS (
-         | SELECT src, dst FROM edges
-         | UNION
-         | SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-         |comp AS (SELECT src AS id, least(src, min(dst)) AS component FROM reach GROUP BY src)
-         |SELECT id, component FROM comp ORDER BY id""".stripMargin,
+    "dedup_components" -> componentsSql,
+
+    // edge-set union is order-independent and the persisted state's lazy
+    // merge journal resolves to min-id labels, so the incremental path
+    // answers with the one-shot recursive-closure oracle verbatim
+    "dedup_components_incremental" -> componentsSql,
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
