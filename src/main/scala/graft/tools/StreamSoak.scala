@@ -33,7 +33,13 @@ import org.apache.spark.sql.functions._
   * micro-batch, cell-sorted compaction + vacuum inline every `compactEvery`;
   * their lost-batch detectors are arrival retention (cell-index rows ≡
   * vectors ingested) and the assignment/ingest-ledger counts respectively
-  * (artifacts `target/streamsoak_sem.json` / `_ivf.json`).
+  * (artifacts `target/streamsoak_sem.json` / `_ivf.json`). `fts` soaks
+  * [[graft.streaming.FtsStream]] — doc-slice batches into the persisted
+  * postings index, term-sorted compaction + vacuum every `compactEvery`;
+  * its lost-batch detector is the strongest of the set: the streamed
+  * index's BM25 ranking must equal inline bm25 over everything ingested
+  * (N/df/tf/dl all participate) plus stats-n ≡ ingested-docs
+  * (`target/streamsoak_fts.json`).
   *
   * Batches are id-ordered slices of the sf dir's documents — the same data
   * shape as the `dedup_stream`/`dedup_exact_stream` driver queries, ~50×
@@ -61,8 +67,8 @@ object StreamSoak {
     val nBatches = if (args.length > 1) args(1).toInt else 50
     val compactEvery = if (args.length > 2) args(2).toInt else 10
     val mode = if (args.length > 3) args(3) else "lsh"
-    require(Set("lsh", "exact", "lsh_bloom", "exact_bloom", "sem", "ivf")(mode),
-      s"mode must be lsh|exact|lsh_bloom|exact_bloom|sem|ivf, got '$mode'")
+    require(Set("lsh", "exact", "lsh_bloom", "exact_bloom", "sem", "ivf", "fts")(mode),
+      s"mode must be lsh|exact|lsh_bloom|exact_bloom|sem|ivf|fts, got '$mode'")
     val spark = GraftSession.builder().appName(s"stream-soak-$mode").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -114,6 +120,18 @@ object StreamSoak {
           var b = -1L
           ({ df => b += 1; sd.processBatch(df, b) },
             Seq(sd.indexTable, sd.survivorsTable), () => sd.compactAll())
+        case "fts" =>
+          // postings maintenance: per-batch tokenize + ledgered admit; the
+          // flat-cost claim is that admit wall tracks the BATCH while the
+          // postings table grows; maintenance = term-sorted compaction
+          val fs = new graft.streaming.FtsStream(wh)
+          fs.fts.build(spark.read.parquet(s"$sfDir/documents.parquet")
+            .select(col("doc_id").cast("long").as("doc_id"), col("text")).limit(0),
+            "doc_id", "text")
+          var b = -1L
+          ({ df => b += 1; fs.processBatch(df, b) },
+            Seq(fs.fts.postingsTable, fs.fts.statsTable),
+            () => { fs.fts.compact(targetFiles = 4); wh.vacuum() })
         case _ =>
           val st = new graft.streaming.IvfStream(wh)
           st.ivf.buildWith(rot(0), "vec_id", "embedding",
@@ -131,6 +149,8 @@ object StreamSoak {
     lazy val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
     lazy val per = (maxId + nBatches) / nBatches
     val embMode = mode == "sem" || mode == "ivf"
+    // modes whose maintenance is an external hook rather than stream-inline
+    val externalMaintain = embMode || mode == "fts"
     def batchOf(i: Int): DataFrame =
       if (embMode) rot(i + 1)
       else docs.filter(col("doc_id") >= i * per && col("doc_id") < (i + 1) * per)
@@ -162,7 +182,7 @@ object StreamSoak {
       val mr0 = wh.manifestReads.get()
       val t0 = System.nanoTime()
       process(batch) // the exact path foreachBatch drives
-      if (embMode && compactEvery > 0 && (i + 1) % compactEvery == 0) maintain()
+      if (externalMaintain && compactEvery > 0 && (i + 1) % compactEvery == 0) maintain()
       val sec = (System.nanoTime() - t0) / 1e9
       val visible = tables.map(t => wh.visibleFileCount(t).max(0)).sum
       emit(f"""{"tool":"streamsoak","mode":"$mode","batch":$i,"sec":$sec%.2f,"manifest_reads":${wh.manifestReads.get() - mr0},"manifests":${manifests()},"visible_files":$visible,"parquet_files":${parquetFiles()}}""")
@@ -191,6 +211,32 @@ object StreamSoak {
         assert(n == expected, s"LOST BATCH: assignments $n != expected $expected")
         assert(led == nBatches, s"ledger $led rows != $nBatches batches")
         s""""assignments":$n,"ledger_batches":$led,"expected_ingested":$expected"""
+      case "fts" =>
+        // lost-batch detector: the streamed index must rank EXACTLY like
+        // inline bm25 over everything ingested — N/df/tf/dl all participate,
+        // so a lost or double-counted batch cannot hide
+        val fts = new graft.operators.PersistedPostings(wh)
+        val ingested = docs.filter(col("doc_id") < nBatches * per)
+        val queries = spark.createDataFrame(java.util.Arrays.asList(
+            org.apache.spark.sql.Row(1L, "merge join order sort"),
+            org.apache.spark.sql.Row(2L, "vector window stream")),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("q_id",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("qtext",
+              org.apache.spark.sql.types.StringType, nullable = true))))
+        def rows(df: DataFrame) = df.collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+        val streamed = rows(fts.query(queries, "q_id", "qtext", 10))
+        val inline = rows(graft.operators.Retrieval.bm25(
+          ingested, "doc_id", "text", queries, "q_id", "qtext", 10))
+        assert(streamed == inline,
+          s"LOST/DOUBLED BATCH: streamed index ranking != inline bm25")
+        val nIndexed = fts.corpusStats().agg(sum(col("n"))).head().getLong(0)
+        val nIngested = ingested.count()
+        assert(nIndexed == nIngested,
+          s"LOST BATCH: stats n $nIndexed != ingested $nIngested")
+        s""""indexed_docs":$nIndexed,"postings_rows":${fts.postings().count()}"""
       case "lsh" | "lsh_bloom" =>
         val ds = new DedupStream(wh, minJaccard = 0.35, minSigMatchesOverride = 4)
         val bloomJson = if (mode == "lsh_bloom") {
@@ -221,6 +267,7 @@ object StreamSoak {
       case "lsh_bloom"   => "target/streamsoak_lshbloom.json"
       case "exact_bloom" => "target/streamsoak_exactbloom.json"
       case "sem"         => "target/streamsoak_sem.json"
+      case "fts"         => "target/streamsoak_fts.json"
       case _             => "target/streamsoak_ivf.json"
     })
     Option(p.getParent).foreach(Files.createDirectories(_))
