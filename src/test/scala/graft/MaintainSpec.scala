@@ -145,6 +145,44 @@ class MaintainSpec extends SparkSpec {
     assert(ids == want.sorted, s"zorder maintenance lost/duplicated rows: ${ids.size} vs ${want.size}")
   }
 
+  test("postings maintenance racing live FtsStream admits keeps the ranking exact") {
+    // the ops-day shape for the retrieval index: `fts/Postings:t` re-sorted
+    // compaction loops while the stream admits batches through the ledgered
+    // transactional path. A lost race must abort the rewrite, never a batch;
+    // the detector is the strongest available — BM25 over the maintained
+    // index must equal inline BM25 over everything ingested.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    import org.apache.spark.sql.functions.{lit, pmod}
+    val dir = Files.createTempDirectory("graft-maint-fts-").toString
+    val wh = new AtomicWarehouse(spark, dir)
+    val st = new graft.streaming.FtsStream(wh)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id".cast("long").as("doc_id"), $"text")
+    st.fts.build(docs.limit(0), "doc_id", "text")
+    val n = 8
+    val admitter = Future {
+      (0 until n).foreach { i =>
+        st.processBatch(docs.filter(pmod($"doc_id", lit(n)) === i), i.toLong)
+      }
+    }
+    while (!admitter.isCompleted)
+      Maintain.run(spark, dir, Seq("fts/Postings:t"), graceMs = 60000)
+    Await.result(admitter, Duration(5, "min"))
+    Maintain.run(spark, dir, Seq("fts/Postings:t"), graceMs = 60000)
+    val queries = Seq((1L, "merge join order sort"), (2L, "vector window stream"))
+      .toDF("q_id", "qtext")
+    def r(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getLong(2), x.getDouble(3))).toSet
+    assert(r(st.fts.query(queries, "q_id", "qtext", 10)) ==
+      r(graft.operators.Retrieval.bm25(docs, "doc_id", "text",
+        queries, "q_id", "qtext", 10)),
+      "maintenance lost or duplicated an admitted batch")
+    assert(wh.visibleFileCount("fts/Postings") <= 2,
+      "final compaction left the postings fragmented")
+  }
+
   test("maintain on a base warehouse: discovery path compacts everything") {
     val dir = Files.createTempDirectory("graft-maint-base-").toString
     val wh = new Warehouse(spark, dir)
