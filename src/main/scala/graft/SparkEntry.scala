@@ -1399,6 +1399,55 @@ object SparkEntry {
       } finally pairs.unpersist(false)
     }
 
+    // ---- the full continuous-dedup composition: docs stream in micro-
+    // batches (per-batch transactional pair admits), then the pair table's
+    // CDC windows feed the persisted component graph — appendsBetween() is
+    // the hand-off a downstream maintainer would poll. Streamed pairs ≡
+    // full-corpus pairs (dedup_stream's proof) and batching cannot move CC
+    // labels (dedup_components_incremental's proof), so the composed oracle
+    // is dedup_components' closure verbatim
+    q("dedup_stream_components") = (s, dir) => {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      import org.apache.spark.sql.types.{DoubleType => DT, StructField => SF, StructType => STT}
+      val ckpt = Files.createTempDirectory("graft-dsc-ck-").toString
+      val whDir = Files.createTempDirectory("graft-dsc-wh-").toString
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").cast(LongType).as("doc_id"), col("text"))
+      val inDir = chunkedInput("dstream", dir) { inDir =>
+        (0 until 3).foreach { i =>
+          val tmp = Files.createTempDirectory(s"graft-dsc-c$i-").toString + "/out"
+          docs.filter(pmod(col("doc_id"), lit(3)) === i).coalesce(1).write.parquet(tmp)
+          val part = Files.list(Paths.get(tmp))
+            .filter(_.toString.endsWith(".parquet")).findFirst.get
+          Files.move(part, Paths.get(inDir, f"chunk_$i%02d.parquet"),
+            StandardCopyOption.ATOMIC_MOVE)
+        }
+      }
+      val awh = new graft.sources.AtomicWarehouse(GraftSession.streamSession(s), whDir)
+      val ds = new graft.streaming.DedupStream(awh,
+        minJaccard = 0.35, minSigMatchesOverride = 4)
+      val dq = ds.start(inDir, ckpt)
+      val drainMs = GraftSession.streamDrainTimeoutMs
+      if (!dq.awaitTermination(drainMs)) {
+        dq.stop()
+        throw new IllegalStateException(
+          s"dedup_stream_components failed to drain within ${drainMs / 1000} s")
+      }
+      val pairSch = STT(Seq(SF("id_a", LongType, nullable = false),
+        SF("id_b", LongType, nullable = false), SF("jaccard", DT, nullable = true)))
+      val cc = new graft.operators.PersistedComponents(new graft.sources.Warehouse(s,
+        Files.createTempDirectory("graft-dsc-cc-").toString))
+      cc.build(awh.spark.createDataFrame(
+        awh.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], pairSch))
+      val head = awh.versions().last
+      val mid = head / 2
+      Seq((0, mid), (mid, head)).foreach { case (from, to) =>
+        val delta = awh.appendsBetween(ds.pairsTable, pairSch, from, to)
+        if (!delta.isEmpty) cc.addEdges(delta)
+      }
+      cc.components().orderBy(col("id"))
+    }
+
     // the dedup END STATE: corpus after dropping every non-canonical member
     // of each near-dup cluster (pairs -> components -> survivors)
     q("dedup_survivors") = (s, dir) =>
@@ -2387,6 +2436,10 @@ object SparkEntry {
     // merge journal resolves to min-id labels, so the incremental path
     // answers with the one-shot recursive-closure oracle verbatim
     "dedup_components_incremental" -> componentsSql,
+
+    // stream → CDC windows → incremental graph composes the two proofs
+    // above: streamed pairs ≡ full pairs, batched folds ≡ one-shot CC
+    "dedup_stream_components" -> componentsSql,
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
