@@ -50,7 +50,7 @@ object ScaleProbe {
     val scales = if (args.length > 1) args(1).split(",").map(_.trim.toInt).toSeq
       else Seq(25, 50, 100)
     // optional third arg restricts to one family: "dedup" | "ivf" | "sem" |
-    // "fts" (default: all)
+    // "fts" | "cc" (default: all)
     val section = if (args.length > 2) args(2) else "all"
     val spark = GraftSession.builder().appName("scale-probe").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -502,6 +502,87 @@ object ScaleProbe {
       } finally {
         if (oldBlock != null) hc.set("parquet.block.size", oldBlock) else hc.unset("parquet.block.size")
         if (oldPage != null) hc.set("parquet.page.size", oldPage) else hc.unset("parquet.page.size")
+      }
+    }
+
+    // ---- incremental-CC endpoint probe (modes `cc_probe` / `cc_fullscan`):
+    // the persisted component state grows with every node ever seen; a
+    // batch's addEdges must pay for its ENDPOINTS, not the graph. State is
+    // synthesized directly (pair chains over n×100k nodes — node count is
+    // what scales the claim, edge realism is irrelevant to the scan), built
+    // id-sorted; ONE fixed 200-edge batch (half touching existing nodes,
+    // half novel) runs against each scale and the listener measures the
+    // endpoint-lookup records — flat for the In-literal probe, linear for
+    // the probe-disabled broadcast-join fallback. Final labels asserted
+    // identical across modes.
+    if (section == "cc" || section == "all") locally {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val pairSchema = StructType(Seq(
+        StructField("id_a", LongType, nullable = false),
+        StructField("id_b", LongType, nullable = false)))
+      def batchEdges(maxNode: Long): java.util.List[Row] = {
+        val rows = new java.util.ArrayList[Row]()
+        (0 until 100).foreach { i => // existing-node edges: bridge far chains
+          rows.add(Row(Long.box(i * 1000L % maxNode), Long.box((i * 7777L + 13) % maxNode)))
+        }
+        (0 until 100).foreach { i => // novel-node edges
+          rows.add(Row(Long.box(9000000000L + i), Long.box(9000000000L + i + 100)))
+        }
+        rows
+      }
+      scales.foreach { n =>
+        val maxNode = n * 100000L
+        // state synthesized DIRECTLY (node i in a 10-chain labeled by its
+        // chain head) and written in the id-sorted many-row-group layout a
+        // long-running maintainer holds — the probe measures addEdges
+        // against the state, so how the state was originally computed is
+        // irrelevant (a full build at 10M nodes is the thing the
+        // incremental path exists to avoid)
+        val whDir = Files.createTempDirectory(s"graft-scaleprobe-cc-x$n-").toString
+        val wh = new Warehouse(spark, whDir)
+        val cc0 = new graft.operators.PersistedComponents(wh)
+        val state = spark.range(maxNode)
+          .selectExpr("id", "(id div 10) * 10 AS comp")
+        val hc = spark.sparkContext.hadoopConfiguration
+        val (ob, op) = (hc.get("parquet.block.size"), hc.get("parquet.page.size"))
+        hc.setInt("parquet.block.size", 32768); hc.setInt("parquet.page.size", 8192)
+        try {
+          wh.replace(cc0.stateTable,
+            state.repartitionByRange(32, col("id")).sortWithinPartitions("id"))
+          wh.replace(cc0.mergesTable, spark.createDataFrame(
+            spark.sparkContext.emptyRDD[Row], cc0.mergesSchema))
+        } finally {
+          if (ob != null) hc.set("parquet.block.size", ob) else hc.unset("parquet.block.size")
+          if (op != null) hc.set("parquet.page.size", op) else hc.unset("parquet.page.size")
+        }
+        val stateBytes = Files.walk(java.nio.file.Paths.get(whDir))
+          .filter(_.toString.endsWith(".parquet")).mapToLong(Files.size(_)).sum()
+        var acrossModes = Map.empty[Long, Long]
+        Seq(("cc_probe", 1000), ("cc_fullscan", 0)).foreach { case (mode, lim) =>
+          // clone the state so each mode folds the same batch independently
+          val dst = Files.createTempDirectory(s"graft-scaleprobe-cc-$mode-")
+          val src = java.nio.file.Paths.get(whDir)
+          Files.walk(src).forEach { p =>
+            val q = dst.resolve(src.relativize(p).toString)
+            if (Files.isDirectory(p)) Files.createDirectories(q) else Files.copy(p, q)
+          }
+          val cc = new graft.operators.PersistedComponents(
+            new Warehouse(spark, dst.toString), probeIdLimit = lim)
+          val batch = spark.createDataFrame(batchEdges(maxNode), pairSchema)
+          bytesRead.set(0); recordsRead.set(0)
+          val t0 = System.nanoTime()
+          cc.addEdges(batch)
+          val secs = (System.nanoTime() - t0) / 1e9
+          emit(
+            f"""{"tool":"scaleprobe","scale_x":$n,"mode":"$mode","n_nodes":$maxNode,"state_bytes":$stateBytes,"probe_bytes":${bytesRead.get()},"probe_records":${recordsRead.get()},"sec":$secs%.2f}""")
+          val labels = cc.components()
+            .filter(col("id") >= 9000000000L || col("id") % 1000L === 0)
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          if (acrossModes.isEmpty) acrossModes = labels
+          else assert(labels == acrossModes,
+            s"probe changed component labels at x$n/$mode")
+        }
       }
     }
 
