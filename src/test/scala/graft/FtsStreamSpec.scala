@@ -32,9 +32,10 @@ class FtsStreamSpec extends SparkSpec {
       Files.move(part, Paths.get(inDir, f"chunk_$i%02d.parquet"), StandardCopyOption.ATOMIC_MOVE)
     }
 
-  private def postingsSet(fts: PersistedPostings): Set[(String, Long, Long, Long)] =
+  private def postingsSet(fts: PersistedPostings): Set[(String, Long, Long, Long, Seq[Int])] =
     fts.postings().collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getSeq[Int](4))).toSet
 
   private def rows(df: DataFrame): Set[(Long, Int, Long, Double)] =
     df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
