@@ -1448,6 +1448,31 @@ object SparkEntry {
       cc.components().orderBy(col("id"))
     }
 
+    // ---- the end-state ACTION on the incrementally-maintained graph: the
+    // same batched build/addEdges/fold flow as dedup_components_incremental,
+    // then Dedup.survivorsFromComponents anti-joins the corpus against the
+    // journal-resolved losers — continuous ingest refreshes the end state
+    // without re-clustering; oracle = dedup_survivors' verbatim
+    q("dedup_survivors_incremental") = (s, dir) => {
+      val pairs = Dedup.lshVerifiedPairs(t(s, dir, "documents"), "doc_id", "text",
+          k = 5, numHashes = 8, rowsPerBand = 2, minJaccard = 0.35, minSigMatchesOverride = 4)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val cut = pairs.agg(max(col("id_b"))).head() match {
+          case r if r.isNullAt(0) => 0L
+          case r => r.getLong(0) / 2
+        }
+        val wh = new graft.sources.Warehouse(s,
+          java.nio.file.Files.createTempDirectory("graft-ccs-").toString)
+        val cc = new graft.operators.PersistedComponents(wh)
+        cc.build(pairs.filter(col("id_b") <= cut))
+        cc.addEdges(pairs.filter(col("id_b") > cut))
+        Dedup.survivorsFromComponents(t(s, dir, "documents"), "doc_id", cc.components())
+          .select(col("doc_id"), col("lang"), col("source"))
+          .orderBy(col("doc_id"))
+      } finally pairs.unpersist(false)
+    }
+
     // the dedup END STATE: corpus after dropping every non-canonical member
     // of each near-dup cluster (pairs -> components -> survivors)
     q("dedup_survivors") = (s, dir) =>
@@ -2066,6 +2091,24 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY q_id
         |   ORDER BY round(CAST(s_micro AS DOUBLE) / 1000000.0, 4) DESC, id) AS rank
         | FROM scored)""".stripMargin
+
+  /** dedup_survivors (and its incremental twin): documents minus every
+    * non-canonical near-dup cluster member.
+    */
+  private lazy val survivorsSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |$lshVerifiedCore),
+       |edges AS (
+       | SELECT id_a AS src, id_b AS dst FROM pairs
+       | UNION SELECT id_b, id_a FROM pairs),
+       |reach AS (
+       | SELECT src, dst FROM edges
+       | UNION
+       | SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |comp AS (SELECT src AS id, least(src, min(dst)) AS component FROM reach GROUP BY src)
+       |SELECT doc_id, lang, source FROM documents
+       |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
+       |ORDER BY doc_id""".stripMargin
 
   /** dedup_components (and its incremental twin): min-id component labels
     * via recursive closure over the verified pair set.
@@ -3121,20 +3164,12 @@ object SparkEntry {
          |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
          |ORDER BY doc_id""".stripMargin,
 
-    "dedup_survivors" ->
-      s"""WITH RECURSIVE pairs AS (
-         |$lshVerifiedCore),
-         |edges AS (
-         | SELECT id_a AS src, id_b AS dst FROM pairs
-         | UNION SELECT id_b, id_a FROM pairs),
-         |reach AS (
-         | SELECT src, dst FROM edges
-         | UNION
-         | SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-         |comp AS (SELECT src AS id, least(src, min(dst)) AS component FROM reach GROUP BY src)
-         |SELECT doc_id, lang, source FROM documents
-         |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
-         |ORDER BY doc_id""".stripMargin,
+    "dedup_survivors" -> survivorsSql,
+
+    // the end-state ACTION on the incrementally-maintained graph: losers
+    // derive from PersistedComponents' journal-resolved labels, which any
+    // batching leaves ≡ one-shot CC — same oracle as dedup_survivors
+    "dedup_survivors_incremental" -> survivorsSql,
 
     // survivor POLICY variant: per cluster keep the LONGEST document (ties:
     // smallest id) instead of the smallest id

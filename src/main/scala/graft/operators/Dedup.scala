@@ -597,9 +597,18 @@ object Dedup {
     */
   def nearDupDedup(df: DataFrame, id: String, text: String, minJaccard: Double = 0.5,
       k: Int = 5, numHashes: Int = 8, rowsPerBand: Int = 2,
-      minSigMatchesOverride: Int = -1): DataFrame = {
-    val comps = connectedComponents(lshVerifiedPairs(df, id, text, k, numHashes,
-      rowsPerBand, minJaccard, minSigMatchesOverride))
+      minSigMatchesOverride: Int = -1): DataFrame =
+    survivorsFromComponents(df, id,
+      connectedComponents(lshVerifiedPairs(df, id, text, k, numHashes,
+        rowsPerBand, minJaccard, minSigMatchesOverride)))
+
+  /** The [[nearDupDedup]] end state from an EXTERNALLY-maintained component
+    * map (`(id, component)` — e.g. [[PersistedComponents.components]]): the
+    * loser anti-join alone, so continuous ingest refreshes the corpus end
+    * state by folding the batch into the incremental graph instead of
+    * re-clustering the accumulated pair set.
+    */
+  def survivorsFromComponents(df: DataFrame, id: String, comps: DataFrame): DataFrame = {
     val losers = comps.filter(col("id") =!= col("component")).select(col("id").as(id))
     df.join(losers, Seq(id), "left_anti")
   }
