@@ -951,6 +951,30 @@ object SparkEntry {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }
 
+    // ---- time travel COMPOSED with the materialized view: the mv state
+    // lives in the same manifest log, so readAt() answers "what did the
+    // aggregate say after the second fold" — the audit/debug read IVM
+    // tables usually can't offer. Commit layout is deterministic (append=v1,
+    // refresh=v2, append=v3, refresh=v4, ...), so state-as-of-v4 ≡ a GROUP
+    // BY over the first two source thirds, which is exactly the oracle
+    q("etl_agg_asof") = (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val wh = new graft.sources.AtomicWarehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-mvasof-").toString)
+      val agg = new graft.operators.IncrementalAgg(wh, "li", "src/lineitem",
+        li.schema, Seq("l_returnflag", "l_linestatus"),
+        Seq("sum_qty" -> col("l_quantity"),
+          "sum_base" -> col("l_extendedprice").cast(DecimalType(18, 2))))
+      (0 to 2).foreach { i =>
+        wh.append("src/lineitem", li.filter(col("l_orderkey") % 3 === i))
+        agg.refresh()
+      }
+      wh.readAt(agg.stateTable, agg.stateSchema, 4) // after the SECOND fold
+        .select(col("l_returnflag"), col("l_linestatus"), col("cnt"),
+          col("sum_qty"), round(col("sum_base").cast("double"), 2).as("sum_base"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }
+
     // F7 + A1: provider-name pipeline + distinct aggregation
     q("etl_provider_dedup") = (s, dir) =>
       t(s, dir, "part")
@@ -2825,6 +2849,17 @@ object SparkEntry {
         | AS t(tbl, exists_before, exists_after_write,
         |      rows_after_append1, rows_after_append2, exists_after_delete)
         |ORDER BY tbl""".stripMargin,
+
+    // as-of read of the mv state after the second fold = a GROUP BY over
+    // the first two source thirds (time travel composing with IVM)
+    "etl_agg_asof" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        | sum(l_quantity) AS sum_qty,
+        | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base
+        |FROM lineitem
+        |WHERE l_orderkey % 3 <= 1
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
 
     // the materialized state after 3 incremental folds + 1 invalidation
     // rebuild ≡ one GROUP BY over the full table (the IVM identity)
