@@ -202,4 +202,37 @@ class PropertySpec extends SparkSpec {
       .filter(col("cvec") =!= slice(col("v"), col("sub") * 16 + 1, lit(16)))
     assert(bad.isEmpty, "PQ seed-set encoding not lossless")
   }
+
+  test("incremental CC ≡ one-shot CC for random graphs under random batchings") {
+    import graft.operators.{Dedup, PersistedComponents}
+    import spark.implicits._
+    val gEdge: Gen[(Long, Long)] = for {
+      a <- Gen.choose(0L, 40L); b <- Gen.choose(0L, 40L) if a != b
+    } yield (a, b)
+    val gCase: Gen[(List[(Long, Long)], Int, Int)] = for {
+      edges <- Gen.listOfN(30, gEdge)
+      nBatches <- Gen.choose(1, 4)
+      foldAt <- Gen.choose(0, nBatches) // 0 = never fold mid-way
+    } yield (edges, nBatches, foldAt)
+    (0 until 12).foreach { i =>
+      val (edges, nBatches, foldAt) =
+        gCase.apply(Gen.Parameters.default, Seed(4242L + i)).get
+      val pairs = edges.toDF("id_a", "id_b")
+      val want = Dedup.connectedComponents(pairs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val cc = new PersistedComponents(new graft.sources.Warehouse(spark,
+        java.nio.file.Files.createTempDirectory(s"graft-ccprop-$i-").toString))
+      // deterministic round-robin batching of the generated edge list
+      val batches = edges.zipWithIndex.groupBy(_._2 % nBatches).toSeq.sortBy(_._1)
+        .map(_._2.map(_._1))
+      cc.build(batches.head.toDF("id_a", "id_b"))
+      batches.tail.zipWithIndex.foreach { case (b, j) =>
+        cc.addEdges(b.toDF("id_a", "id_b"))
+        if (j + 1 == foldAt) cc.fold()
+      }
+      val got = cc.components().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want,
+        s"case $i (batches=$nBatches foldAt=$foldAt): incremental != one-shot")
+    }
+  }
 }
