@@ -59,6 +59,43 @@ object Pq {
       .select(col("sub").cast(IntegerType).as("sub"), col("cw"),
         slice(col("v"), col("sub") * subDim + 1, lit(subDim)).as("cvec"))
 
+  /** Codebook TRAINED per subspace — plain (non-spherical) Lloyd's on the
+    * subvector slices, the production PQ codebook the seed-slice
+    * [[codebook]] approximates: codeword vectors converge to subspace
+    * cluster MEANS, magnitudes preserved (reconstruction needs them — the
+    * spherical [[Similarity.trainCentroids]] would normalize them away).
+    * Initialized from the first `k` corpus rows' slices (deterministic
+    * seeds, the `sim_ivf` convention); empty clusters drop out. Codebook
+    * quality is what recall rides on — `tools/AnnRecallProbe`'s rung table
+    * measures seed-slice vs trained on the real embeddings.
+    */
+  def trainedCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 4, subDim: Int = 16, k: Int = 64, iterations: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    // collect per round: k·m tiny rows — without it round r's lazy plan
+    // re-derives every earlier round (the trainCentroids argument)
+    def localize(df: DataFrame): DataFrame = spark.createDataFrame(
+      spark.sparkContext.parallelize(df.collect().toIndexedSeq, 1), df.schema)
+    val sv = corpus.select(col(idCol).cast(LongType).as("id"), dbl(col(vecCol)).as("v"))
+      .select(col("id"), explode(sequence(lit(0), lit(m - 1))).as("s"), col("v"))
+      .select(col("id"), col("s").cast(IntegerType).as("sub"),
+        slice(col("v"), col("s") * subDim + 1, lit(subDim)).as("sv"))
+    var cb = localize(codebook(corpus.orderBy(col(idCol)).limit(k), idCol, vecCol, m, subDim))
+    var it = 0
+    while (it < iterations) {
+      cb = localize(encode(corpus, idCol, vecCol, cb, m, subDim)
+        .join(sv, Seq("id", "sub"))
+        .select(col("sub"), col("cw"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("sub"), col("cw"), col("pos")).agg(avg(col("x")).as("mc"))
+        .groupBy(col("sub"), col("cw"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("mc")))).as("pm"))
+        .select(col("sub"), col("cw"),
+          transform(col("pm"), e => e.getField("mc")).as("cvec")))
+      it += 1
+    }
+    cb
+  }
+
   /** Encode: nearest codeword per (vector, subspace) — squared-L2 argmin at
     * 6dp, ties to the lowest codeword id. Output `(id, sub, cw)`, the
     * narrow candidate-side shape scoring joins on.
@@ -110,8 +147,14 @@ object Pq {
     */
   def topK(corpus: DataFrame, queries: DataFrame, corpusId: String,
       queryId: String, vecCol: String, k: Int, seeds: DataFrame,
-      seedId: String, m: Int = 4, subDim: Int = 16): DataFrame = {
-    val cb = codebook(seeds, seedId, vecCol, m, subDim)
+      seedId: String, m: Int = 4, subDim: Int = 16): DataFrame =
+    topKWith(corpus, queries, corpusId, queryId, vecCol, k,
+      codebook(seeds, seedId, vecCol, m, subDim), m, subDim)
+
+  /** [[topK]] against a caller-provided codebook (e.g. [[trainedCodebook]]). */
+  def topKWith(corpus: DataFrame, queries: DataFrame, corpusId: String,
+      queryId: String, vecCol: String, k: Int, cb: DataFrame,
+      m: Int = 4, subDim: Int = 16): DataFrame = {
     val codes = encode(corpus, corpusId, vecCol, cb, m, subDim)
     val l = lut(queries, queryId, vecCol, cb, m, subDim)
     val scored = adcReduce(codes.join(broadcast(l), Seq("sub", "cw"))

@@ -115,6 +115,53 @@ object AnnRecallProbe {
       grown.unpersist(true)
     }
 
+    // ---- compression rungs: the recall cost of scoring the SAME probed
+    // candidates on SQ8 codes (1 byte/dim) and PQ codes (m ints/vector)
+    // instead of floats, nProbe fixed at 4 — the quality side of the
+    // bandwidth trade BASELINE's footer-measured column bytes quantify.
+    // Candidate sets are identical across rungs (the coarse quantizer stays
+    // float-exact), so the delta is purely the fine-scoring approximation.
+    locally {
+      val wh = new graft.sources.Warehouse(spark,
+        Files.createTempDirectory("graft-annrung-").toString)
+      val ivf = new graft.operators.PersistedIvf(wh)
+      val queries = base.orderBy("vec_id").limit(nQueries)
+      val n = base.count()
+      val cells = math.max(math.sqrt(n.toDouble).toInt, 4)
+      val cents = Similarity.trainCentroids(base, "vec_id", "embedding", cells)
+        .select(col("cell_id").as("cell"), col("centroid"))
+      ivf.buildWith(base, "vec_id", "embedding", cents,
+        pq = Some(graft.operators.PersistedIvf.PqSpec(
+          base.filter(col("vec_id") < 16), "vec_id", "embedding")))
+      def keyset(df: DataFrame): Map[Long, Set[Long]] =
+        df.select("q_id", "c_id").collect()
+          .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val truth = keyset(Similarity.bruteForceTopK(
+        base, queries, "vec_id", "vec_id", "embedding", k))
+      def recallOf(got: Map[Long, Set[Long]]): Double =
+        truth.map { case (q, t) =>
+          got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+        }.sum / truth.size
+      // pq_trained scores the FULL corpus (codebook quality isolated from
+      // probing): 64 trained codewords/subspace vs the oracle-replayable
+      // 16-seed-slice book — the knob that closes PQ's recall gap
+      val cbTrained = graft.operators.Pq.trainedCodebook(
+        base, "vec_id", "embedding", m = 8, subDim = 8, k = 256)
+      Seq(
+        ("float", () => ivf.topK(queries, "vec_id", "embedding", k, nProbe = 4), 4),
+        ("sq8", () => ivf.topKSq8(queries, "vec_id", "embedding", k, nProbe = 4), 1),
+        ("pq", () => ivf.topKPq(queries, "vec_id", "embedding", k, nProbe = 4), 0),
+        ("pq_trained", () => graft.operators.Pq.topKWith(
+          base, queries, "vec_id", "vec_id", "embedding", k, cbTrained,
+          m = 8, subDim = 8), 0)
+      ).foreach { case (rung, run, bytesPerDim) =>
+        val t0 = System.nanoTime()
+        val r = recallOf(keyset(run()))
+        val secs = (System.nanoTime() - t0) / 1e9
+        emit(f"""{"tool":"annrecall_rungs","rung":"$rung","n":$n,"cells":$cells,"n_probe":4,"k":$k,"recall":$r%.4f,"bytes_per_dim":$bytesPerDim,"sec":$secs%.2f}""")
+      }
+    }
+
     val p = java.nio.file.Paths.get("target/annrecall.json")
     Option(p.getParent).foreach(Files.createDirectories(_))
     Files.write(p, out.toString.getBytes("UTF-8"))

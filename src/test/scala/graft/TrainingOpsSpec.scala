@@ -901,4 +901,33 @@ class TrainingOpsSpec extends SparkSpec {
     assert(!got.contains(9001L), "planted exact duplicate survived")
     assert(got.contains(3L), "the EARLIER copy must survive")
   }
+
+  test("trained PQ codebook: shape invariants hold and recall beats the seed-slice book") {
+    import graft.operators.{Pq, Similarity}
+    val embL = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id".cast("long").as("vec_id"), $"embedding")
+    val (m, subDim, kcw) = (8, 8, 64)
+    val cbT = Pq.trainedCodebook(embL, "vec_id", "embedding", m, subDim, kcw, iterations = 2)
+    val rows = cbT.collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
+    // every subspace present, at most k codewords each, vectors subDim wide
+    assert(rows.map(_._1).toSet == (0 until m).toSet, "missing subspaces")
+    rows.groupBy(_._1).foreach { case (sub, cws) =>
+      assert(cws.length <= kcw, s"subspace $sub has ${cws.length} > $kcw codewords")
+      assert(cws.forall(_._3.length == subDim), s"subspace $sub vector width wrong")
+    }
+    // recall@10 vs brute force: training must not LOSE to the seed slices
+    val queries = embL.filter($"vec_id" >= 16 && $"vec_id" < 36)
+    def keyset(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "c_id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val truth = keyset(Similarity.bruteForceTopK(embL, queries, "vec_id", "vec_id", "embedding", 10))
+    def recallOf(got: Map[Long, Set[Long]]): Double =
+      truth.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }.sum / truth.size
+    val seedBook = Pq.codebook(embL.filter($"vec_id" < 16), "vec_id", "embedding", m, subDim)
+    val rSeed = recallOf(keyset(Pq.topKWith(embL, queries, "vec_id", "vec_id", "embedding", 10, seedBook, m, subDim)))
+    val rTrained = recallOf(keyset(Pq.topKWith(embL, queries, "vec_id", "vec_id", "embedding", 10, cbT, m, subDim)))
+    assert(rTrained >= rSeed,
+      f"trained codebook recall $rTrained%.3f below seed-slice $rSeed%.3f")
+  }
 }
