@@ -975,6 +975,33 @@ object SparkEntry {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }
 
+    // ---- SCD Type 2 on the supplier dimension: three upsert batches (full
+    // load, then two partial attribute changes) folded through Scd
+    // .scd2Upsert with batch-sequence validity — every state survives with
+    // its half-open [from, to) window, unchanged keys never grow version
+    // rows. The oracle reconstructs the identical history from the raw
+    // batches with LAG-dedup + LEAD windows — deterministic because
+    // validity is the sequence, never a clock
+    q("etl_scd2") = (s, dir) => {
+      import org.apache.spark.sql.types.{BooleanType => BT, LongType => LT, StructField => SF, StructType => STT}
+      val sup = t(s, dir, "supplier")
+      val b1 = sup.select(col("s_suppkey"),
+        col("s_nationkey").cast(LongType).as("attr"))
+      val b2 = sup.filter(col("s_suppkey") % 4 === 0).select(col("s_suppkey"),
+        (col("s_nationkey") + 100).cast(LongType).as("attr"))
+      val b3 = sup.filter(col("s_suppkey") % 6 === 0).select(col("s_suppkey"),
+        (col("s_nationkey") + 200).cast(LongType).as("attr"))
+      val genesis = s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        STT(Seq(SF("s_suppkey", LT), SF("attr", LT), SF("valid_from", LT),
+          SF("valid_to", LT), SF("is_current", BT))))
+      val h = Seq(b1 -> 1L, b2 -> 2L, b3 -> 3L).foldLeft(genesis) {
+        case (acc, (b, i)) =>
+          graft.operators.Scd.scd2Upsert(acc, b, Seq("s_suppkey"), Seq("attr"), i)
+      }
+      h.orderBy(col("s_suppkey"), col("valid_from"))
+    }
+
     // F7 + A1: provider-name pipeline + distinct aggregation
     q("etl_provider_dedup") = (s, dir) =>
       t(s, dir, "part")
@@ -2849,6 +2876,29 @@ object SparkEntry {
         | AS t(tbl, exists_before, exists_after_write,
         |      rows_after_append1, rows_after_append2, exists_after_delete)
         |ORDER BY tbl""".stripMargin,
+
+    // SCD2 history reconstructed from the raw batches: LAG-dedup keeps only
+    // real transitions, LEAD supplies each window's close
+    "etl_scd2" ->
+      """WITH b AS (
+        |  SELECT 1 AS seq, s_suppkey AS k, CAST(s_nationkey AS BIGINT) AS attr
+        |  FROM supplier
+        |  UNION ALL
+        |  SELECT 2, s_suppkey, CAST(s_nationkey + 100 AS BIGINT)
+        |  FROM supplier WHERE s_suppkey % 4 = 0
+        |  UNION ALL
+        |  SELECT 3, s_suppkey, CAST(s_nationkey + 200 AS BIGINT)
+        |  FROM supplier WHERE s_suppkey % 6 = 0),
+        |d AS (SELECT seq, k, attr,
+        |  LAG(attr) OVER (PARTITION BY k ORDER BY seq) AS prev FROM b),
+        |ch AS (SELECT seq, k, attr FROM d WHERE prev IS NULL OR attr <> prev),
+        |hist AS (SELECT k, attr, CAST(seq AS BIGINT) AS valid_from,
+        |  CAST(LEAD(seq) OVER (PARTITION BY k ORDER BY seq) AS BIGINT) AS valid_to
+        | FROM ch)
+        |SELECT k AS s_suppkey, attr, valid_from, valid_to,
+        | (valid_to IS NULL) AS is_current
+        |FROM hist
+        |ORDER BY s_suppkey, valid_from""".stripMargin,
 
     // as-of read of the mv state after the second fold = a GROUP BY over
     // the first two source thirds (time travel composing with IVM)

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BooleanType, LongType}
+
+/** Slowly-changing-dimension Type 2 — the history-keeping variant of the
+  * reference's SCD1 dimension merge (`core/etl_orchestrator.py`'s MERGE
+  * keeps only the latest provider/product state; an auditable deployment
+  * keeps every state with its validity window, the standard Kimball SCD2).
+  * Deterministic by construction: validity is a caller-supplied batch
+  * SEQUENCE, never a clock, so the whole lifecycle is oracle-replayable
+  * (the `etl_scd2` oracle reconstructs the same history from the raw
+  * batches with LAG/LEAD windows).
+  *
+  * History schema: key cols ++ attr cols ++ `(valid_from, valid_to,
+  * is_current)` — `valid_to` null while current, else the closing batch's
+  * seq (half-open `[from, to)` windows; a key's windows tile its change
+  * sequence).
+  *
+  * 100 TB shape: one null-safe equi-join of the CURRENT slice against the
+  * batch on the key (dimensions are small next to facts; AQE broadcasts
+  * the batch side when it fits), closed history passes through untouched
+  * as a union branch. Unchanged current rows are NOT rewritten as new
+  * versions — attribute equality is null-safe, so null→null is "no
+  * change" and null→value is a real transition.
+  */
+object Scd {
+
+  /** Apply one upsert batch at sequence `seq` to `history` (empty history
+    * = genesis: pass a frame with the history schema and zero rows, or
+    * build the first one via `scd2Upsert(emptyHistory, b1, ..., 1)`).
+    * `batch` carries key + attr columns; keys absent from the batch are
+    * untouched. Returns the NEW history (caller persists it — the
+    * [[graft.sources.Warehouse]] replace/commit discipline).
+    */
+  def scd2Upsert(history: DataFrame, batch: DataFrame, keyCols: Seq[String],
+      attrCols: Seq[String], seq: Long): DataFrame = {
+    val outCols = (keyCols ++ attrCols).map(col) ++
+      Seq(col("valid_from"), col("valid_to"), col("is_current"))
+    val cur = history.filter(col("is_current"))
+    val closedHist = history.filter(!col("is_current"))
+    // presence markers survive the outer join even for all-null key values
+    val b = batch.select(keyCols.map(k => col(k).as(s"b_$k")) ++
+      attrCols.map(a => col(a).as(s"b_$a")) :+
+      lit(true).as("b_present"): _*)
+    val joined = cur.join(b,
+      keyCols.map(k => col(k) <=> col(s"b_$k")).reduce(_ && _), "full_outer")
+    val inBatch = col("b_present").isNotNull
+    val inCur = col("is_current").isNotNull
+    val attrsEqual =
+      if (attrCols.isEmpty) lit(true)
+      else attrCols.map(a => col(a) <=> col(s"b_$a")).reduce(_ && _)
+
+    // untouched: current rows with no batch match, or batch match with
+    // identical attributes (no new version row — SCD2's no-op case)
+    val untouched = joined.filter(inCur && (!inBatch || attrsEqual))
+      .select(outCols: _*)
+    // closed: current rows whose batch row changed an attribute
+    val closed = joined.filter(inCur && inBatch && !attrsEqual)
+      .select((keyCols ++ attrCols).map(col) ++ Seq(col("valid_from"),
+        lit(seq).cast(LongType).as("valid_to"),
+        lit(false).cast(BooleanType).as("is_current")): _*)
+    // opened: the changed rows' NEW state plus genuinely new keys
+    val opened = joined.filter(inBatch && (!inCur || !attrsEqual))
+      .select(keyCols.map(k => col(s"b_$k").as(k)) ++
+        attrCols.map(a => col(s"b_$a").as(a)) ++ Seq(
+        lit(seq).cast(LongType).as("valid_from"),
+        lit(null).cast(LongType).as("valid_to"),
+        lit(true).cast(BooleanType).as("is_current")): _*)
+    closedHist.select(outCols: _*)
+      .union(untouched).union(closed).union(opened)
+  }
+
+  /** The current slice — what an SCD1 consumer reads. */
+  def current(history: DataFrame): DataFrame = history.filter(col("is_current"))
+
+  /** The dimension as of sequence `seq` (rows whose window covers it) —
+    * the batch-sequence analogue of the warehouse's [[graft.sources
+    * .AtomicWarehouse.readAt]].
+    */
+  def asOf(history: DataFrame, seq: Long): DataFrame =
+    history.filter(col("valid_from") <= seq &&
+      (col("valid_to").isNull || col("valid_to") > seq))
+}

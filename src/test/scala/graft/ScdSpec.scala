@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.Scd
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructField, StructType}
+
+/** SCD Type-2 contracts: real transitions open/close windows, identical
+  * re-presentation is a no-op (no version churn), late-arriving keys start
+  * their history at their first batch, null attrs transition null-safely,
+  * and `asOf`/`current` slice the history exactly.
+  */
+class ScdSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val genesis = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    StructType(Seq(StructField("k", LongType), StructField("a", StringType),
+      StructField("valid_from", LongType), StructField("valid_to", LongType),
+      StructField("is_current", BooleanType))))
+
+  private def rows(df: DataFrame): Set[(Long, Option[String], Long, Option[Long], Boolean)] =
+    df.collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2),
+      if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4))).toSet
+
+  test("transitions, no-op re-presentation, late key, null-safe attrs, asOf/current") {
+    val b1 = Seq((1L, "x"), (2L, "y"), (3L, null.asInstanceOf[String])).toDF("k", "a")
+    val b2 = Seq((1L, "x"), (2L, "y2"), (3L, "z")).toDF("k", "a") // 1 unchanged, 2 changed, 3 null→z
+    val b3 = Seq((2L, "y2"), (4L, "w")).toDF("k", "a")            // 2 re-presented same, 4 late-arriving
+    val h = Seq(b1 -> 1L, b2 -> 2L, b3 -> 3L).foldLeft(genesis) {
+      case (acc, (b, i)) => Scd.scd2Upsert(acc, b, Seq("k"), Seq("a"), i)
+    }
+    assert(rows(h) == Set(
+      (1L, Some("x"), 1L, None, true),       // never changed — ONE row
+      (2L, Some("y"), 1L, Some(2L), false),  // closed at its change
+      (2L, Some("y2"), 2L, None, true),      // re-presentation at 3 was a no-op
+      (3L, None, 1L, Some(2L), false),       // null → value is a real transition
+      (3L, Some("z"), 2L, None, true),
+      (4L, Some("w"), 3L, None, true)))      // late key starts at ITS batch
+    // windows tile: per key, ordered by valid_from, each close = next open
+    h.collect().groupBy(_.getLong(0)).foreach { case (k, rs) =>
+      val sorted = rs.sortBy(_.getLong(2))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getLong(3) == b.getLong(2),
+          s"key $k windows do not tile")
+        case _ =>
+      }
+      assert(sorted.init.forall(!_.getBoolean(4)) && sorted.last.getBoolean(4))
+    }
+    // current ≡ SCD1 end state; asOf replays each batch's view
+    assert(rows(Scd.current(h)).map(r => (r._1, r._2)) ==
+      Set(1L -> Some("x"), 2L -> Some("y2"), 3L -> Some("z"), 4L -> Some("w")))
+    assert(rows(Scd.asOf(h, 1L)).map(r => (r._1, r._2)) ==
+      Set(1L -> Some("x"), 2L -> Some("y"), 3L -> None))
+    assert(rows(Scd.asOf(h, 2L)).map(r => (r._1, r._2)) ==
+      Set(1L -> Some("x"), 2L -> Some("y2"), 3L -> Some("z")))
+  }
+}
