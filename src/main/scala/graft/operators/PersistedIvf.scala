@@ -123,10 +123,22 @@ class PersistedIvf(wh: Warehouse, probeCellLimit: Int = 1000) {
     }
 
   /** (m, subDim) read off the codebook itself — the persisted index is
-    * self-describing, no caller-side config to drift.
+    * self-describing, no caller-side config to drift. Refuses an EMPTY
+    * codebook (a PqSpec built from zero seed rows) with a diagnosable
+    * message instead of the opaque NPE the null aggregate row would throw
+    * later, and refuses codeword ids above Int.MaxValue: the assignment
+    * table stores codes as array<int> (the narrow on-disk shape), so a
+    * wider seed id would silently WRAP at encode time and every LUT join
+    * on the wrapped id would drop that subspace's partial — wrong cosines
+    * with no error.
     */
   private def pqParams(cb: DataFrame): (Int, Int) = {
-    val r = cb.agg(max(col("sub")), min(size(col("cvec")))).head()
+    val r = cb.agg(max(col("sub")), min(size(col("cvec"))), max(col("cw"))).head()
+    require(!r.isNullAt(0),
+      s"$pqCodebookTable is empty — buildWith(pq = Some(...)) needs non-empty seeds")
+    require(r.getLong(2) <= Int.MaxValue.toLong,
+      s"codeword id ${r.getLong(2)} exceeds Int.MaxValue; the stored array<int> " +
+        "codes would wrap — use seed ids that fit in Int")
     (r.getInt(0) + 1, r.getInt(1))
   }
 

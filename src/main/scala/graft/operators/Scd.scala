@@ -33,9 +33,21 @@ object Scd {
     * `batch` carries key + attr columns; keys absent from the batch are
     * untouched. Returns the NEW history (caller persists it — the
     * [[graft.sources.Warehouse]] replace/commit discipline).
+    *
+    * Contract: ONE row per key in the batch — the same rule SQL MERGE
+    * enforces on its source. A duplicate key would fan the full-outer join
+    * out and silently corrupt history (one current row landing in both the
+    * untouched and closed branches, several `is_current` rows per key), so
+    * it is REFUSED here: the check is one aggregate over the batch, which
+    * is dimension-sized by the same contract that makes the join cheap.
     */
   def scd2Upsert(history: DataFrame, batch: DataFrame, keyCols: Seq[String],
       attrCols: Seq[String], seq: Long): DataFrame = {
+    val dup = batch.groupBy(keyCols.map(col): _*).count()
+      .filter(col("count") > 1)
+    require(dup.isEmpty,
+      s"scd2Upsert batch has duplicate keys on (${keyCols.mkString(", ")}) — " +
+        "one row per key per batch (the SQL MERGE source contract)")
     val outCols = (keyCols ++ attrCols).map(col) ++
       Seq(col("valid_from"), col("valid_to"), col("is_current"))
     val cur = history.filter(col("is_current"))

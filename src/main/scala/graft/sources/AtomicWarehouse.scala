@@ -708,7 +708,9 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
 
   /** The table's rows as of commit `version` — every transaction's writes
     * with version ≤ `version` visible, nothing after. Throws when the
-    * manifest chain or the version's data files were vacuumed away. A table
+    * manifest chain or the version's data files were vacuumed away, and when
+    * `version` is beyond the current head (a typo'd version must fail loudly,
+    * not read as the live state). A table
     * with no manifest activity at `version` (first committed later, or a
     * raw directory that never went through the log) reads as EMPTY — the
     * log is the source of truth for history, and at that version it says
@@ -812,6 +814,12 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     if (version <= 0) LogState(Map.empty, Set.empty) // genesis: before any commit
     else retryOnVanishedManifest {
     val all = commitFiles()
+    // a beyond-head version is a caller error (typo'd asOfVersion), not a
+    // request for the live state — silently clamping to head would hand back
+    // current data under a historical label (versions() lists the valid range)
+    val head = all.lastOption.map(versionOf).getOrElse(0)
+    if (version > head) throw new IllegalArgumentException(
+      s"version $version is beyond the head ($head); versions() lists the valid arguments")
     val upTo = all.filter(p => versionOf(p) <= version)
     if (upTo.isEmpty) throw new IllegalStateException(
       s"version $version predates retained history (earliest on disk: " +

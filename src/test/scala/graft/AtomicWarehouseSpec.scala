@@ -571,7 +571,7 @@ class AtomicWarehouseSpec extends SparkSpec {
     assert(at("t", 2) == Set((1L, "a"), (2L, "b")))
     assert(at("t", 3) == Set((9L, "z")), "replace must reset history at its version")
     assert(at("t", 4) == Set((9L, "z"), (10L, "y")))
-    assert(at("t", 99) == at("t", 4), "beyond-head as-of = current state")
+    intercept[IllegalArgumentException](wh.readAt("t", kv, 99)) // beyond-head = caller error, never the live state
     assert(at("t", 0).isEmpty, "version 0 = genesis, before any commit")
     assert(at("u", 3).isEmpty && at("u", 4) == Set((100L, "q")),
       "a table first committed at v4 is empty at v3")

@@ -55,4 +55,13 @@ class ScdSpec extends SparkSpec {
     assert(rows(Scd.asOf(h, 2L)).map(r => (r._1, r._2)) ==
       Set(1L -> Some("x"), 2L -> Some("y2"), 3L -> Some("z")))
   }
+
+  test("a batch with duplicate keys is refused, not silently fanned out") {
+    val b1 = Seq((1L, "x")).toDF("k", "a")
+    val h1 = Scd.scd2Upsert(genesis, b1, Seq("k"), Seq("a"), 1L)
+    val dup = Seq((1L, "y"), (1L, "z")).toDF("k", "a")
+    val e = intercept[IllegalArgumentException](
+      Scd.scd2Upsert(h1, dup, Seq("k"), Seq("a"), 2L))
+    assert(e.getMessage.contains("duplicate keys"))
+  }
 }

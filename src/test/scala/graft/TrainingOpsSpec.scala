@@ -871,6 +871,33 @@ class TrainingOpsSpec extends SparkSpec {
       "retrain left unencoded assignment rows")
   }
 
+  test("PQ guards: empty seeds and Int-overflowing codeword ids are refused") {
+    import graft.operators.PersistedIvf
+    val embL = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id".cast("long").as("vec_id"), $"embedding")
+    val cents = embL.filter($"vec_id" < 8)
+      .select($"vec_id".cast("int").as("cell"), $"embedding".as("centroid"))
+    // a PqSpec with ZERO seed rows would persist an empty codebook and NPE
+    // later in topKPq/admit — refuse at build with a diagnosable message
+    val whE = new graft.sources.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft-pq-empty-").toString)
+    val e = intercept[IllegalArgumentException](
+      new PersistedIvf(whE).buildWith(embL.filter($"vec_id" < 64), "vec_id", "embedding",
+        cents, pq = Some(PersistedIvf.PqSpec(
+          embL.filter($"vec_id" < 0), "vec_id", "embedding"))))
+    assert(e.getMessage.contains("PqCodebook"), s"undiagnosable: ${e.getMessage}")
+    // a seed id above Int.MaxValue would silently WRAP in the stored
+    // array<int> codes (LUT joins then miss the wrapped subspace) — refuse
+    val whW = new graft.sources.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft-pq-wide-").toString)
+    val wide = embL.filter($"vec_id" < 16)
+      .withColumn("vec_id", $"vec_id" + lit(Int.MaxValue.toLong + 7L))
+    val w = intercept[IllegalArgumentException](
+      new PersistedIvf(whW).buildWith(embL.filter($"vec_id" < 64), "vec_id", "embedding",
+        cents, pq = Some(PersistedIvf.PqSpec(wide, "vec_id", "embedding"))))
+    assert(w.getMessage.contains("Int.MaxValue"), s"undiagnosable: ${w.getMessage}")
+  }
+
   test("semantic dedup: inline ≡ persisted-assignment path; planted dup drops, earlier copy wins") {
     val embL = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select($"vec_id".cast("long").as("vec_id"),
