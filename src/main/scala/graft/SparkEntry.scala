@@ -1913,6 +1913,54 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rank"))
     }
 
+    // ---- two-stage retrieve-then-rerank: PQ-ADC generates each query's
+    // top-20 candidates from the stored codes (the 64×-narrower scan), then
+    // ONLY those 20 are re-scored float-exact and cut to top-5 — the
+    // composition the compression rungs exist for (PQ's recall ceiling is a
+    // RANKING ceiling; its candidate pool + an exact rescore of a small
+    // fraction recovers near-exact recall). Both stages deterministic, so
+    // the oracle replays ADC → rank ≤ 20 → exact cosine → re-rank in SQL
+    q("sim_rerank") = (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val wh = new graft.sources.Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-rerank-").toString)
+      val ivf = new PersistedIvf(wh)
+      ivf.buildWith(emb.filter(col("vec_id") < 300), "vec_id", "embedding",
+        emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cell"), col("embedding").as("centroid")),
+        pq = Some(PersistedIvf.PqSpec(
+          emb.filter(col("vec_id") < 16), "vec_id", "embedding")))
+      ivf.addVectors(emb.filter(col("vec_id") >= 300), "vec_id", "embedding")
+      ivf.topKPqRerank(emb.filter(col("vec_id") >= 8 && col("vec_id") < 18),
+          "vec_id", "embedding", 5, c = 20, nProbe = 2)
+        .select(col("q_id"), col("rank").cast(LongType).as("rank"), col("c_id"), col("cosine"))
+        .orderBy(col("q_id"), col("rank"))
+    }
+
+    // ---- residual IVF-PQ (IVFADC, Jégou et al. 2011 §IV): codes quantize
+    // vec − centroid(cell) instead of the raw vector, scoring expands
+    // x̂ = c + r̂ into per-cell lookup terms (dot(q,c), dot(c_j,cw_j), ‖c‖²)
+    // plus the usual LUT partials — every term deterministic, so the oracle
+    // replays residuals → encode argmin → both LUTs → expansion in SQL.
+    // Codebook = residual slices of the first 16 vectors against THEIR
+    // assigned cells (the seed convention applied to residuals)
+    q("sim_ivf_pq_residual") = (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val wh = new graft.sources.Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-ivfpqr-").toString)
+      val ivf = new PersistedIvf(wh)
+      ivf.buildWith(emb.filter(col("vec_id") < 300), "vec_id", "embedding",
+        emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cell"), col("embedding").as("centroid")),
+        pq = Some(PersistedIvf.PqSpec(
+          emb.filter(col("vec_id") < 16), "vec_id", "embedding", residual = true)))
+      ivf.addVectors(emb.filter(col("vec_id") >= 300), "vec_id", "embedding")
+      ivf.topKPq(emb.filter(col("vec_id") >= 8 && col("vec_id") < 18),
+          "vec_id", "embedding", 5, nProbe = 2)
+        .select(col("q_id"), col("rank").cast(LongType).as("rank"), col("c_id"), col("cosine"))
+        .orderBy(col("q_id"), col("rank"))
+    }
+
     // ---- the same index maintained by STRUCTURED STREAMING: build on the
     // first 300 vectors, then the tail arrives as micro-batch files
     // (streaming/IvfStream — ledgered atomic admits, replay-idempotent),
@@ -2182,6 +2230,74 @@ object SparkEntry {
        |SELECT q_id, CAST(rank AS BIGINT) AS rank, id AS doc_id, bm25
        |FROM ranked WHERE rank <= 10
        |ORDER BY q_id, rank""".stripMargin
+
+  /** sim_ivf_pq's full CTE chain up to the ADC `ranked` relation — float-
+    * exact cell assignment (cells/qcells, as sim_ivf_sq8), seed-slice
+    * codebook + encode argmin + query LUT (cb/enc/lut, as sim_topk_pq),
+    * candidate pairs restricted to each query's 2 probed cells. Shared by
+    * `sim_ivf_pq` (cut at rank ≤ 5) and `sim_rerank` (cut at rank ≤ 20,
+    * then exact-rescored).
+    */
+  private val ivfPqRankedCtes: String =
+    """WITH cent AS (SELECT vec_id AS cell, embedding FROM embeddings WHERE vec_id < 8),
+      |assign_all AS (
+      | SELECT e.vec_id, c.cell,
+      |  round(CASE WHEN sqrt(sum(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)) = 0
+      |         OR sqrt(sum(c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) = 0 THEN 0
+      |   ELSE sum(e.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)
+      |    / (sqrt(sum(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))
+      |       * sqrt(sum(c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))) END, 6) AS cos6
+      | FROM embeddings e, cent c, generate_series(1, 64) t(i) GROUP BY 1,2),
+      |cells AS (
+      | SELECT vec_id, cell FROM (
+      |  SELECT vec_id, cell,
+      |   row_number() OVER (PARTITION BY vec_id ORDER BY cos6 DESC, cell) AS rn
+      |  FROM assign_all) WHERE rn = 1),
+      |qcells AS (
+      | SELECT vec_id AS q_id, cell FROM (
+      |  SELECT vec_id, cell,
+      |   row_number() OVER (PARTITION BY vec_id ORDER BY cos6 DESC, cell) AS rn
+      |  FROM assign_all WHERE vec_id >= 8 AND vec_id < 18) WHERE rn <= 2),
+      |sub AS (SELECT unnest(generate_series(0, 3)) AS s),
+      |cb AS (SELECT s.s AS sub, e.vec_id AS cw, e.embedding
+      |       FROM embeddings e, sub s WHERE e.vec_id < 16),
+      |enc0 AS (
+      | SELECT e.vec_id AS id, c.sub, c.cw,
+      |  round(sum((e.embedding[c.sub*16 + i]::DOUBLE - c.embedding[c.sub*16 + i]::DOUBLE)
+      |          * (e.embedding[c.sub*16 + i]::DOUBLE - c.embedding[c.sub*16 + i]::DOUBLE)), 6) AS d6
+      | FROM embeddings e, cb c, generate_series(1, 16) t(i)
+      | GROUP BY 1, 2, 3),
+      |enc AS (
+      | SELECT id, sub, cw FROM (
+      |  SELECT id, sub, cw,
+      |   row_number() OVER (PARTITION BY id, sub ORDER BY d6, cw) AS rn
+      |  FROM enc0) WHERE rn = 1),
+      |qn AS (
+      | SELECT vec_id AS q_id, sqrt(sum(embedding[i]::DOUBLE * embedding[i]::DOUBLE)) AS qn
+      | FROM embeddings, generate_series(1, 64) t(i)
+      | WHERE vec_id >= 8 AND vec_id < 18 GROUP BY 1),
+      |lut AS (
+      | SELECT q.vec_id AS q_id, c.sub, c.cw,
+      |  sum(q.embedding[c.sub*16 + i]::DOUBLE * c.embedding[c.sub*16 + i]::DOUBLE) AS dotp,
+      |  sum(c.embedding[c.sub*16 + i]::DOUBLE * c.embedding[c.sub*16 + i]::DOUBLE) AS n2p
+      | FROM embeddings q, cb c, generate_series(1, 16) t(i)
+      | WHERE q.vec_id >= 8 AND q.vec_id < 18 GROUP BY 1, 2, 3),
+      |p AS (
+      | SELECT l.q_id, e.id AS c_id, sum(l.dotp) AS dot, sum(l.n2p) AS n2
+      | FROM enc e
+      |  JOIN cells cc ON cc.vec_id = e.id
+      |  JOIN qcells qc ON qc.cell = cc.cell
+      |  JOIN lut l ON l.q_id = qc.q_id AND l.sub = e.sub AND l.cw = e.cw
+      | WHERE e.id <> qc.q_id GROUP BY 1, 2),
+      |scored AS (
+      | SELECT p.q_id, p.c_id,
+      |  round(CASE WHEN q.qn = 0 OR p.n2 = 0 THEN 0
+      |   ELSE p.dot/(q.qn * sqrt(p.n2)) END, 4) AS cosine
+      | FROM p JOIN qn q USING (q_id)),
+      |ranked AS (
+      | SELECT q_id, c_id, cosine,
+      |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS BIGINT) AS rank
+      | FROM scored)""".stripMargin
 
   /** doc_hybrid_rrf: both legs (BM25 top-20 via [[bm25Ctes]]; brute-force
     * cosine top-20 over embeddings 11-13 remapped to q_id 1-3) fused by
@@ -3613,8 +3729,44 @@ object SparkEntry {
     // IVF-PQ: float-exact cell assignment (cells/qcells — as sim_ivf_sq8)
     // + PQ-ADC scoring from the stored codeword ids (cb/enc/lut — as
     // sim_topk_pq), candidate pairs restricted to each query's 2 probed
-    // cells before the LUT sum
+    // cells before the LUT sum. The CTE chain is shared with sim_rerank
+    // (which re-cuts the SAME ranking at 20 and rescores exactly)
     "sim_ivf_pq" ->
+      (ivfPqRankedCtes +
+      """
+        |SELECT q_id, rank, c_id, cosine FROM ranked WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin),
+
+    // two-stage retrieve-then-rerank: the sim_ivf_pq ADC ranking generates
+    // each query's top-20 candidate ids; ONLY those pairs are re-scored
+    // with the exact double cosine and re-ranked to top-5
+    "sim_rerank" ->
+      (ivfPqRankedCtes +
+      """,
+        |cand AS (SELECT q_id, c_id FROM ranked WHERE rank <= 20),
+        |ex AS (
+        | SELECT cd.q_id, cd.c_id,
+        |  round(CASE WHEN sqrt(sum(q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)) = 0
+        |         OR sqrt(sum(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)) = 0 THEN 0
+        |   ELSE sum(e.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)
+        |    / (sqrt(sum(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))
+        |       * sqrt(sum(q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE))) END, 4) AS cosine
+        | FROM cand cd JOIN embeddings e ON e.vec_id = cd.c_id
+        |  JOIN embeddings q ON q.vec_id = cd.q_id, generate_series(1, 64) t(i)
+        | GROUP BY 1, 2),
+        |reranked AS (
+        | SELECT q_id, c_id, cosine,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS BIGINT) AS rank
+        | FROM ex)
+        |SELECT q_id, rank, c_id, cosine FROM reranked WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin),
+
+    // residual IVF-PQ (IVFADC): cells/qcells as sim_ivf_pq; residuals
+    // r = x − c(cell(x)) on exact float→double widenings; seed residual
+    // codebook (rseed); encode argmin over residual distances; scoring
+    // expands x̂ = c + r̂: dot = qc + Σ dotp, ‖x̂‖² = cn2 + 2Σ cdotp + Σ n2p.
+    // floor((i-1)/16) buckets the 1-based element index into its subspace
+    "sim_ivf_pq_residual" ->
       """WITH cent AS (SELECT vec_id AS cell, embedding FROM embeddings WHERE vec_id < 8),
         |assign_all AS (
         | SELECT e.vec_id, c.cell,
@@ -3634,14 +3786,16 @@ object SparkEntry {
         |  SELECT vec_id, cell,
         |   row_number() OVER (PARTITION BY vec_id ORDER BY cos6 DESC, cell) AS rn
         |  FROM assign_all WHERE vec_id >= 8 AND vec_id < 18) WHERE rn <= 2),
-        |sub AS (SELECT unnest(generate_series(0, 3)) AS s),
-        |cb AS (SELECT s.s AS sub, e.vec_id AS cw, e.embedding
-        |       FROM embeddings e, sub s WHERE e.vec_id < 16),
+        |res AS (
+        | SELECT e.vec_id AS id, t.i,
+        |  e.embedding[t.i]::DOUBLE - c.embedding[t.i]::DOUBLE AS r
+        | FROM embeddings e JOIN cells s ON s.vec_id = e.vec_id
+        |  JOIN cent c ON c.cell = s.cell, generate_series(1, 64) t(i)),
+        |rseed AS (SELECT id AS cw, i, r FROM res WHERE id < 16),
         |enc0 AS (
-        | SELECT e.vec_id AS id, c.sub, c.cw,
-        |  round(sum((e.embedding[c.sub*16 + i]::DOUBLE - c.embedding[c.sub*16 + i]::DOUBLE)
-        |          * (e.embedding[c.sub*16 + i]::DOUBLE - c.embedding[c.sub*16 + i]::DOUBLE)), 6) AS d6
-        | FROM embeddings e, cb c, generate_series(1, 16) t(i)
+        | SELECT r.id, CAST(floor((r.i - 1) / 16) AS INT) AS sub, rs.cw,
+        |  round(sum((r.r - rs.r) * (r.r - rs.r)), 6) AS d6
+        | FROM res r JOIN rseed rs ON rs.i = r.i
         | GROUP BY 1, 2, 3),
         |enc AS (
         | SELECT id, sub, cw FROM (
@@ -3653,23 +3807,39 @@ object SparkEntry {
         | FROM embeddings, generate_series(1, 64) t(i)
         | WHERE vec_id >= 8 AND vec_id < 18 GROUP BY 1),
         |lut AS (
-        | SELECT q.vec_id AS q_id, c.sub, c.cw,
-        |  sum(q.embedding[c.sub*16 + i]::DOUBLE * c.embedding[c.sub*16 + i]::DOUBLE) AS dotp,
-        |  sum(c.embedding[c.sub*16 + i]::DOUBLE * c.embedding[c.sub*16 + i]::DOUBLE) AS n2p
-        | FROM embeddings q, cb c, generate_series(1, 16) t(i)
+        | SELECT q.vec_id AS q_id, CAST(floor((rs.i - 1) / 16) AS INT) AS sub, rs.cw,
+        |  sum(q.embedding[rs.i]::DOUBLE * rs.r) AS dotp, sum(rs.r * rs.r) AS n2p
+        | FROM embeddings q, rseed rs
         | WHERE q.vec_id >= 8 AND q.vec_id < 18 GROUP BY 1, 2, 3),
+        |qc AS (
+        | SELECT qc0.q_id, qc0.cell,
+        |  sum(q.embedding[t.i]::DOUBLE * c.embedding[t.i]::DOUBLE) AS qc
+        | FROM qcells qc0 JOIN embeddings q ON q.vec_id = qc0.q_id
+        |  JOIN cent c ON c.cell = qc0.cell, generate_series(1, 64) t(i)
+        | GROUP BY 1, 2),
+        |cn AS (
+        | SELECT cell, sum(embedding[i]::DOUBLE * embedding[i]::DOUBLE) AS cn2
+        | FROM cent, generate_series(1, 64) t(i) GROUP BY 1),
+        |clut AS (
+        | SELECT c.cell, CAST(floor((rs.i - 1) / 16) AS INT) AS sub, rs.cw,
+        |  sum(c.embedding[rs.i]::DOUBLE * rs.r) AS cdotp
+        | FROM cent c, rseed rs GROUP BY 1, 2, 3),
         |p AS (
-        | SELECT l.q_id, e.id AS c_id, sum(l.dotp) AS dot, sum(l.n2p) AS n2
+        | SELECT l.q_id, e.id AS c_id, cc.cell,
+        |  sum(l.dotp) AS dotr, sum(l.n2p) AS n2r, sum(cl.cdotp) AS cd
         | FROM enc e
         |  JOIN cells cc ON cc.vec_id = e.id
-        |  JOIN qcells qc ON qc.cell = cc.cell
-        |  JOIN lut l ON l.q_id = qc.q_id AND l.sub = e.sub AND l.cw = e.cw
-        | WHERE e.id <> qc.q_id GROUP BY 1, 2),
+        |  JOIN qcells qcl ON qcl.cell = cc.cell
+        |  JOIN lut l ON l.q_id = qcl.q_id AND l.sub = e.sub AND l.cw = e.cw
+        |  JOIN clut cl ON cl.cell = cc.cell AND cl.sub = e.sub AND cl.cw = e.cw
+        | WHERE e.id <> qcl.q_id GROUP BY 1, 2, 3),
         |scored AS (
         | SELECT p.q_id, p.c_id,
-        |  round(CASE WHEN q.qn = 0 OR p.n2 = 0 THEN 0
-        |   ELSE p.dot/(q.qn * sqrt(p.n2)) END, 4) AS cosine
-        | FROM p JOIN qn q USING (q_id)),
+        |  round(CASE WHEN q.qn = 0 OR (cn.cn2 + 2 * p.cd + p.n2r) <= 0 THEN 0
+        |   ELSE (qc.qc + p.dotr) / (q.qn * sqrt(cn.cn2 + 2 * p.cd + p.n2r)) END, 4) AS cosine
+        | FROM p JOIN qn q USING (q_id)
+        |  JOIN qc ON qc.q_id = p.q_id AND qc.cell = p.cell
+        |  JOIN cn ON cn.cell = p.cell),
         |ranked AS (
         | SELECT q_id, c_id, cosine,
         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS BIGINT) AS rank

@@ -49,6 +49,7 @@ class PersistedIvf(wh: Warehouse, probeCellLimit: Int = 1000) {
   val statsTable = "ann/AssignStats"
   val ingestTable = "ann/IngestLedger"
   val pqCodebookTable = "ann/PqCodebook"
+  val pqMetaTable = "ann/PqMeta"
 
   val centroidSchema: StructType = StructType(Seq(
     StructField("cell", IntegerType, nullable = false),
@@ -73,6 +74,13 @@ class PersistedIvf(wh: Warehouse, probeCellLimit: Int = 1000) {
     StructField("sub", IntegerType, nullable = false),
     StructField("cw", LongType, nullable = false),
     StructField("cvec", ArrayType(DoubleType), nullable = true)))
+  // one row: does the persisted codebook quantize RESIDUALS (x − centroid,
+  // the IVFADC formulation) or raw vectors? Part of the index's on-disk
+  // self-description: encode and scoring must agree forever after, so the
+  // flag rides the warehouse, not a constructor argument. Absent table =
+  // raw (indexes persisted before residual encoding existed)
+  val pqMetaSchema: StructType = StructType(Seq(
+    StructField("residual", org.apache.spark.sql.types.BooleanType, nullable = false)))
   val statsSchema: StructType = StructType(Seq(
     StructField("seq", LongType, nullable = false),
     StructField("kind", StringType, nullable = false),
@@ -102,19 +110,41 @@ class PersistedIvf(wh: Warehouse, probeCellLimit: Int = 1000) {
   private def withCode(df: DataFrame): DataFrame =
     df.withColumn("code", Transforms.sq8Encode(col("vec")))
 
+  /** `df` (id, cell, vec, …) with each row's RESIDUAL against its own cell
+    * centroid — `rvec = vec − centroid(cell)`, element-wise on exact
+    * float→double widenings (the IVFADC encode input: residual magnitudes
+    * are a fraction of vector magnitudes, so the same codebook budget
+    * quantizes them much more finely). Broadcast centroid join; a plain
+    * projection otherwise.
+    */
+  private def withResidual(df: DataFrame, cents: DataFrame): DataFrame =
+    df.join(broadcast(cents.select(col("cell"),
+        col("centroid").cast(ArrayType(DoubleType)).as("cent_d"))), Seq("cell"))
+      .withColumn("rvec", zip_with(col("vec").cast(ArrayType(DoubleType)),
+        col("cent_d"), (x, y) => x - y))
+      .drop("cent_d")
+
   /** PQ-encode `df`'s vectors against `cbOpt` (None → null codes). Encoding
     * is a pure per-row function of (vector, codebook) — the same incremental
     * ≡ full argument as cell assignment — shaped as [[Pq.encode]]'s exploded
-    * argmin folded back to an id-ordered codeword array.
+    * argmin folded back to an id-ordered codeword array. In residual mode
+    * the encode input is `vec − centroid(cell)` ([[withResidual]]) — still a
+    * pure per-row function, now of (vector, cell, centroids, codebook), and
+    * the centroids are frozen at build time, so incremental ≡ full still
+    * holds.
     */
-  private def withPq(df: DataFrame, cbOpt: Option[DataFrame]): DataFrame =
+  private def withPq(df: DataFrame, cbOpt: Option[DataFrame],
+      residual: Boolean, cents: => DataFrame): DataFrame =
     cbOpt match {
       case None =>
         df.withColumn("pq", lit(null).cast(ArrayType(IntegerType)))
       case Some(cb) =>
         val (m, subDim) = pqParams(cb)
-        val codes = Pq.encode(df.select(col("id"), col("vec")), "id", "vec",
-            cb, m, subDim)
+        val encodeIn =
+          if (residual) withResidual(df.select(col("id"), col("cell"), col("vec")), cents)
+            .select(col("id"), col("rvec").as("vec"))
+          else df.select(col("id"), col("vec"))
+        val codes = Pq.encode(encodeIn, "id", "vec", cb, m, subDim)
           .groupBy(col("id"))
           .agg(array_sort(collect_list(struct(col("sub"), col("cw")))).as("sc"))
           .select(col("id"),
@@ -145,6 +175,13 @@ class PersistedIvf(wh: Warehouse, probeCellLimit: Int = 1000) {
   /** The persisted codebook when PQ is enabled on this index. */
   def pqCodebook(): DataFrame = wh.read(pqCodebookTable, pqCodebookSchema)
 
+  /** Whether the persisted codebook quantizes residuals (see pqMetaSchema).
+    * Absent meta table = raw, the pre-residual on-disk format.
+    */
+  def pqResidual(): Boolean =
+    wh.exists(pqMetaTable) &&
+      wh.read(pqMetaTable, pqMetaSchema).head().getBoolean(0)
+
   /** The codebook to encode an admit batch with: None when the index was
     * built without PQ.
     */
@@ -170,19 +207,45 @@ class PersistedIvf(wh: Warehouse, probeCellLimit: Int = 1000) {
     * `pq`: enable product-quantized scoring ([[topKPq]]) — the codebook
     * derives from the spec's seeds and persists alongside the index; every
     * assignment row (this build and all later admits) carries its PQ codes.
-    * A rebuild WITHOUT a spec (e.g. [[retrain]]) keeps an already-persisted
-    * codebook and keeps encoding: the codebook is corpus-independent once
-    * built, and silently losing the codes would break [[topKPq]] callers.
+    * With `residual = true` the codebook is built over the seeds' residuals
+    * against THEIR assigned cells and every row encodes `vec −
+    * centroid(cell)` — the IVFADC formulation (Jégou et al. 2011, §IV):
+    * residuals are smaller than vectors, so the same code budget buys a
+    * finer quantization (the published fix for the raw-encode recall
+    * ceiling the rung table measures). A rebuild WITHOUT a spec (e.g.
+    * [[retrain]]) keeps an already-persisted codebook (and its
+    * raw/residual mode) and keeps encoding: the codebook is
+    * corpus-independent once built, and silently losing the codes would
+    * break [[topKPq]] callers — residual codes are re-derived against the
+    * NEW centroids, which is exactly IVFADC's re-encode-on-retrain.
     */
   def buildWith(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, pq: Option[PersistedIvf.PqSpec] = None): Unit = {
     val cents = centroids.select(col("cell").cast(IntegerType).as("cell"),
       col("centroid").cast(ArrayType(FloatType)).as("centroid"))
-    val cbNew = pq.map(p => Pq.codebook(p.seeds, p.seedId, p.vecCol, p.m, p.subDim)
-      .select(col("sub"), col("cw"), col("cvec").cast(ArrayType(DoubleType)).as("cvec")))
-    val cbOpt = cbNew.orElse(currentCb())
+    val residual = pq.map(_.residual).getOrElse(pqResidual())
     val assigned = assignWithCos(normalized(corpus, idCol, vecCol), cents)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cbNew = pq.map { p =>
+      val raw = (p.trained, p.residual) match {
+        case (false, false) => Pq.codebook(p.seeds, p.seedId, p.vecCol, p.m, p.subDim)
+        case (false, true) => Pq.codebook(
+          withResidual(assignWithCos(normalized(p.seeds, p.seedId, p.vecCol), cents)
+            .drop("cos6"), cents),
+          "id", "rvec", p.m, p.subDim)
+        // trained books learn from the BUILD corpus itself (or its
+        // residuals) — Lloyd's from the deterministic first-k init
+        case (true, false) => Pq.trainedCodebook(
+          assigned.select(col("id"), col("vec")), "id", "vec",
+          p.m, p.subDim, p.k, p.iterations)
+        case (true, true) => Pq.trainedCodebook(
+          withResidual(assigned.drop("cos6"), cents)
+            .select(col("id"), col("rvec").as("vec")),
+          "id", "vec", p.m, p.subDim, p.k, p.iterations)
+      }
+      raw.select(col("sub"), col("cw"), col("cvec").cast(ArrayType(DoubleType)).as("cvec"))
+    }
+    val cbOpt = cbNew.orElse(currentCb())
     try {
       val (n, meanCos) = meanCosOf(assigned)
       wh.atomically { w =>
@@ -190,9 +253,15 @@ class PersistedIvf(wh: Warehouse, probeCellLimit: Int = 1000) {
         // a fresh codebook replaces; a reused one is NOT rewritten (its
         // encode plan reads the very files a replace would overwrite on the
         // base warehouse)
-        cbNew.foreach(cb => w.replace(pqCodebookTable, cb))
-        w.replace(assignTable, withCode(withPq(assigned.drop("cos6"), cbOpt))
-          .repartition(col("cell")).sortWithinPartitions("cell"))
+        cbNew.foreach { cb =>
+          w.replace(pqCodebookTable, cb)
+          w.replace(pqMetaTable, wh.spark.createDataFrame(
+            java.util.Arrays.asList(org.apache.spark.sql.Row(Boolean.box(residual))),
+            pqMetaSchema))
+        }
+        w.replace(assignTable,
+          withCode(withPq(assigned.drop("cos6"), cbOpt, residual, cents))
+            .repartition(col("cell")).sortWithinPartitions("cell"))
         w.replace(statsTable, statsRow(0L, "train", n, meanCos))
       }
     } finally assigned.unpersist(false)
@@ -250,8 +319,9 @@ class PersistedIvf(wh: Warehouse, probeCellLimit: Int = 1000) {
         case r => r.getLong(0) + 1L
       }
       wh.atomically { w =>
-        w.append(assignTable, withCode(withPq(assigned.drop("cos6"), currentCb()))
-          .sortWithinPartitions("cell"))
+        w.append(assignTable,
+          withCode(withPq(assigned.drop("cos6"), currentCb(), pqResidual(), centroids()))
+            .sortWithinPartitions("cell"))
         w.append(statsTable, statsRow(seq, "batch", n, meanCos))
         batchId.foreach { b =>
           w.append(ingestTable, wh.spark.createDataFrame(
@@ -335,10 +405,95 @@ class PersistedIvf(wh: Warehouse, probeCellLimit: Int = 1000) {
       .select(col("id"), col("cell"), posexplode(col("pq")).as(Seq("sub", "cw")))
       .select(col("id"), col("cell"), col("sub").cast(IntegerType).as("sub"),
         col("cw").cast(LongType).as("cw"))
+    val scored =
+      if (!pqResidual()) {
+        val joined = cand.join(broadcast(l), Seq("sub", "cw"))
+          .join(broadcast(probes.select(col("q_id"), col("cell"))), Seq("q_id", "cell"))
+          .filter(col("id") =!= col("q_id"))
+        Pq.adcReduce(joined)
+      } else residualAdc(cand, probes, q, l, cb, m, subDim)
+    Similarity.topKPerKey(scored, "q_id", "cosine", "c_id", k)
+  }
+
+  /** Residual-ADC reduction (IVFADC scoring): the implicit reconstruction is
+    * `x̂ = c_cell + r̂`, so against query `q`
+    *
+    *   `dot(q, x̂)  = dot(q, c_cell) + Σ_j dot(q_j, r̂_j)`
+    *   `‖x̂‖²       = ‖c_cell‖² + 2·Σ_j dot(c_cell,j, r̂_j) + Σ_j ‖r̂_j‖²`
+    *
+    * — every term a LOOKUP: the query LUT carries `dot(q_j, r̂_j)` and
+    * `‖r̂_j‖²` exactly as in raw ADC, and the two cell terms come from
+    * per-probed-cell tables (`qcell`: queries × probed centroids;
+    * `cellLut`: probed centroids × codebook — both broadcast-sized by the
+    * query-batch and probed-cell contracts). Scoring a candidate still
+    * costs m lookups + one (q, cell) and one (cell) join — no
+    * reconstruction, no per-candidate d-dim loop. Fully deterministic
+    * (same index-ordered double sums as the raw path), so `sim_ivf_pq_
+    * residual` replays it in SQL.
+    */
+  private def residualAdc(cand: DataFrame, probes: DataFrame, q: DataFrame,
+      l: DataFrame, cb: DataFrame, m: Int, subDim: Int): DataFrame = {
+    val dcents = centroids().select(col("cell"),
+      col("centroid").cast(ArrayType(DoubleType)).as("cvecd"))
+    val qcell = probes.join(
+        q.select(col("q_id"), col("v").cast(ArrayType(DoubleType)).as("qv")), Seq("q_id"))
+      .join(broadcast(dcents), Seq("cell"))
+      .select(col("q_id"), col("cell"), Pq.dotD(col("qv"), col("cvecd")).as("qc"))
+    val probedCents = dcents
+      .join(broadcast(probes.select(col("cell")).distinct()), Seq("cell"))
+    val cellLut = probedCents
+      .select(col("cell"), explode(sequence(lit(0), lit(m - 1))).as("s"), col("cvecd"))
+      .select(col("cell"), col("s").cast(IntegerType).as("sub"),
+        slice(col("cvecd"), col("s") * subDim + 1, lit(subDim)).as("csv"))
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("cell"), col("sub"), col("cw"),
+        Pq.dotD(col("csv"), col("cvec")).as("cdotp"))
+    val cellN2 = probedCents.select(col("cell"),
+      Pq.dotD(col("cvecd"), col("cvecd")).as("cn2"))
     val joined = cand.join(broadcast(l), Seq("sub", "cw"))
       .join(broadcast(probes.select(col("q_id"), col("cell"))), Seq("q_id", "cell"))
+      .join(broadcast(cellLut), Seq("cell", "sub", "cw"))
       .filter(col("id") =!= col("q_id"))
-    Similarity.topKPerKey(Pq.adcReduce(joined), "q_id", "cosine", "c_id", k)
+    val n2 = col("cn2") + lit(2d) * col("cd") + col("n2r")
+    joined.groupBy(col("q_id"), col("id"), col("cell"))
+      .agg(sum(col("dotp")).as("dotr"), sum(col("n2p")).as("n2r"),
+        sum(col("cdotp")).as("cd"), any_value(col("qn")).as("qn"))
+      .join(broadcast(qcell), Seq("q_id", "cell"))
+      .join(broadcast(cellN2), Seq("cell"))
+      .select(col("q_id"), col("id").as("c_id"),
+        // ‖x̂‖² is mathematically ≥ 0 but the expanded form can round a
+        // hair below zero when r̂ ≈ −c — guard ≤ 0, same CASE in the oracle
+        round(when(col("qn") === 0 || n2 <= 0, lit(0d))
+          .otherwise((col("qc") + col("dotr")) / (col("qn") * sqrt(n2))), 4)
+          .as("cosine"))
+  }
+
+  /** Two-stage retrieve-then-rerank over the persisted index: [[topKPq]]
+    * GENERATES each query's top-`c` candidates from the stored codes (the
+    * 64×-narrower scan), then ONLY those candidates are re-scored with the
+    * float-exact cosine ([[Similarity.rerankExact]]) and reduced to top-`k`
+    * — the composition the compression-rung table exists for: PQ's recall
+    * ceiling applies to its RANKING, not its candidate pool, so an exact
+    * rescore of a small candidate fraction recovers near-exact recall while
+    * the float vectors are only fetched for ≤ queries×c rows. The fetch
+    * reuses the probed-cell slice (same In-literal row-group pruning as
+    * stage 1 — the float read is confined to the probed cells too).
+    * Deterministic end to end: stage 1 is the oracle-replayable ADC, stage
+    * 2 exact cosine on a deterministic pair set (`sim_rerank`). With
+    * `c` ≥ the probed candidate count and `nProbe` = numCells this is
+    * exactly [[topK]] (the spec anchor).
+    */
+  def topKPqRerank(queries: DataFrame, queryId: String, vecCol: String,
+      k: Int, c: Int, nProbe: Int = 1): DataFrame = {
+    require(c >= k, s"candidate count c=$c must be ≥ k=$k")
+    val cand = topKPq(queries, queryId, vecCol, c, nProbe)
+      .select(col("q_id"), col("c_id"))
+    val q = queries.select(col(queryId).cast(LongType).as("q_id"),
+      col(vecCol).cast(ArrayType(FloatType)).as("v"))
+    val slice = probedSlice(queryProbes(q, nProbe))
+      .select(col("id"), col("vec"))
+    Similarity.rerankExact(cand, slice,
+      q.select(col("q_id"), col("v").as("vec")), "id", "q_id", "vec", k)
   }
 
   /** Each query's `nProbe` nearest cells as (q_id, cell). */
@@ -408,8 +563,19 @@ object PersistedIvf {
   /** PQ configuration for [[PersistedIvf.buildWith]]: `seeds` supply the
     * per-subspace codebooks ([[Pq.codebook]] — codeword `cw = seed id`,
     * vector = the seed's subspace slice), `m` subspaces × `subDim` dims
-    * each must tile the embedding dimension.
+    * each must tile the embedding dimension. `residual = true` switches
+    * the index to the IVFADC formulation: the codebook is built over the
+    * seeds' residuals against their assigned cells and every stored code
+    * quantizes `vec − centroid(cell)` (see [[PersistedIvf.buildWith]]).
+    * `trained = true` replaces the seed-slice codebook with
+    * [[Pq.trainedCodebook]] run over the BUILD corpus (or its residuals
+    * when `residual`) — `k` codewords per subspace, `iterations` Lloyd's
+    * rounds, deterministic first-k init; `seeds` are then unused. The
+    * production configuration is `trained + residual` (codebook quality is
+    * what recall rides on — AnnRecallProbe's rung table); the seed-slice
+    * books exist for the SQL-replayable driver oracles.
     */
   case class PqSpec(seeds: DataFrame, seedId: String, vecCol: String,
-      m: Int = 4, subDim: Int = 16)
+      m: Int = 4, subDim: Int = 16, residual: Boolean = false,
+      trained: Boolean = false, k: Int = 64, iterations: Int = 3)
 }

@@ -40,8 +40,10 @@ object Pq {
   /** Index-ordered Σ a_i·b_i over double arrays (builtin fold — PQ vectors
     * are subspace-sized, so the custom float kernels buy nothing here and
     * the builtin keeps the formula identical to the oracle's SQL).
+    * `private[operators]`: [[PersistedIvf]]'s residual-ADC terms (query ×
+    * centroid, centroid × codeword) must use the SAME formula shape.
     */
-  private def dotD(a: Column, b: Column): Column =
+  private[operators] def dotD(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0d), (acc, x) => acc + x)
 
   private def d2(a: Column, b: Column): Column =

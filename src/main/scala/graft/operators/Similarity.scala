@@ -61,6 +61,34 @@ object Similarity {
     topKPerKey(scored, "q_id", "cosine", "c_id", k)
   }
 
+  /** Exact re-scoring of a candidate list — the second stage of
+    * retrieve-then-rerank: `candidates` carries (q_id, c_id) pairs from ANY
+    * cheap first rung (PQ-ADC, SQ8, an IVF probe), and only those pairs are
+    * re-scored with the float-exact cosine and reduced to top-k (cosine
+    * desc, id ties — the [[bruteForceTopK]] contract). The candidate list
+    * is queries×C rows (broadcast-sized by the query-batch contract), so
+    * the corpus-side work is a semi-join fetch of ≤ Q·C vectors — the
+    * composition that makes PQ useful: a 64×-narrower code scan GENERATES
+    * candidates, the exact rescore touches only the C survivors, and with
+    * C a small corpus fraction recall recovers to near-exact
+    * (`tools/AnnRecallProbe`'s rerank curve measures it). With `candidates`
+    * = every (q, c) pair this IS brute force — the spec anchor.
+    */
+  def rerankExact(candidates: DataFrame, corpus: DataFrame, queries: DataFrame,
+      corpusId: String, queryId: String, vec: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val cv = corpus.select(col(corpusId).cast(LongType).as("c_id"), col(vec).as("c_vec"))
+    val qv = queries.select(col(queryId).cast(LongType).as("q_id"), col(vec).as("q_vec"))
+    val scored = cv
+      .join(broadcast(candidates.select(col("q_id").cast(LongType).as("q_id"),
+        col("c_id").cast(LongType).as("c_id"))), Seq("c_id"))
+      .join(broadcast(qv), Seq("q_id"))
+      .filter(col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"),
+        round(Transforms.vecCosine(col("c_vec"), col("q_vec")), 4).as("cosine"))
+    topKPerKey(scored, "q_id", "cosine", "c_id", k)
+  }
+
   /** Group `df` by `key` and keep the top-k (score desc, id asc) rows via the
     * bounded partial aggregator; output matches the equivalent
     * `row_number().over(Window...)` filter exactly.

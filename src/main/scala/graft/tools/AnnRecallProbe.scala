@@ -160,6 +160,74 @@ object AnnRecallProbe {
         val secs = (System.nanoTime() - t0) / 1e9
         emit(f"""{"tool":"annrecall_rungs","rung":"$rung","n":$n,"cells":$cells,"n_probe":4,"k":$k,"recall":$r%.4f,"bytes_per_dim":$bytesPerDim,"sec":$secs%.2f}""")
       }
+      // ---- retrieve-then-rerank curve: PQ generates top-C candidates, an
+      // exact rescore of ONLY those C produces the final top-k. Recall
+      // climbs with C toward the probed-cells float ceiling while the float
+      // fetch stays ≤ queries×C rows — the composition that makes the PQ
+      // rung useful as candidate GENERATION (the rung table's own
+      // conclusion, now measured instead of asserted).
+      Seq(k, 2 * k, 5 * k, 10 * k).foreach { c =>
+        val t0 = System.nanoTime()
+        val r = recallOf(keyset(
+          ivf.topKPqRerank(queries, "vec_id", "embedding", k, c = c, nProbe = 4)))
+        val secs = (System.nanoTime() - t0) / 1e9
+        emit(f"""{"tool":"annrecall_rerank","c":$c,"n":$n,"cells":$cells,"n_probe":4,"k":$k,"recall":$r%.4f,"cand_frac":${c.toDouble / n}%.4f,"sec":$secs%.2f}""")
+      }
+    }
+
+    // ---- residual (IVFADC) rungs: same bytes/dim as pq_trained, codes
+    // quantize x − centroid(cell) instead of x (Jégou et al. 2011 §IV).
+    // Honest record, both regimes measured: on the ISOTROPIC testdata
+    // embeddings residuals are LARGER than vectors (no cluster structure —
+    // measured residual norm 1.21 vs vector norm 1.0) and residual encoding
+    // LOSES; on a corpus that actually clusters (planted: 8 clusters,
+    // residual norm ≈ 0.33) it recovers the published uplift. The trade is
+    // data-dependent, not free — pick the encode per corpus geometry.
+    locally {
+      def rungPair(corpus: DataFrame, tag: String): Unit = {
+        val c = corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = c.count()
+        val cells = math.max(math.sqrt(n.toDouble).toInt, 4)
+        val queries = c.orderBy("vec_id").limit(nQueries)
+        val cents = Similarity.trainCentroids(c, "vec_id", "embedding", cells)
+          .select(col("cell_id").as("cell"), col("centroid"))
+        def keyset(df: DataFrame): Map[Long, Set[Long]] =
+          df.select("q_id", "c_id").collect()
+            .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+        val truth = keyset(Similarity.bruteForceTopK(
+          c, queries, "vec_id", "vec_id", "embedding", k))
+        Seq(false, true).foreach { residual =>
+          val wh = new graft.sources.Warehouse(spark,
+            Files.createTempDirectory(s"graft-annres-").toString)
+          val ivf = new graft.operators.PersistedIvf(wh)
+          ivf.buildWith(c, "vec_id", "embedding", cents,
+            pq = Some(graft.operators.PersistedIvf.PqSpec(
+              c.filter(col("vec_id") % 97 < 16), "vec_id", "embedding",
+              m = 8, subDim = 8, residual = residual, trained = true, k = 256)))
+          val t0 = System.nanoTime()
+          val got = keyset(ivf.topKPq(queries, "vec_id", "embedding", k, nProbe = 4))
+          val secs = (System.nanoTime() - t0) / 1e9
+          val r = truth.map { case (q, t) =>
+            got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+          }.sum / truth.size
+          emit(f"""{"tool":"annrecall_residual","corpus":"$tag","residual":$residual,"n":$n,"cells":$cells,"n_probe":4,"k":$k,"recall":$r%.4f,"sec":$secs%.2f}""")
+        }
+        c.unpersist(true)
+      }
+      rungPair(base, "isotropic")
+      // planted clustered corpus: v_i = normalize(c_{i mod 8} + 0.35·e_i),
+      // clusters anchored on the first 8 real vectors — deterministic, same
+      // value distribution, genuine cluster structure
+      val b = base.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val anchors = b.filter(col("vec_id") < 8).select(col("vec_id").as("cid"), col("e").as("c"))
+      val planted = b.withColumn("cid", col("vec_id") % 8)
+        .join(broadcast(anchors), Seq("cid"))
+        .withColumn("v", zip_with(col("c"), col("e"), (cc, x) => cc + lit(0.35) * x))
+        .withColumn("nrm", sqrt(aggregate(
+          zip_with(col("v"), col("v"), (a, bb) => a * bb), lit(0d), (s, x) => s + x)))
+        .select(col("vec_id"),
+          transform(col("v"), x => (x / col("nrm")).cast("float")).as("embedding"))
+      rungPair(planted, "clustered")
     }
 
     val p = java.nio.file.Paths.get("target/annrecall.json")

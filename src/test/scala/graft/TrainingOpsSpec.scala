@@ -871,6 +871,140 @@ class TrainingOpsSpec extends SparkSpec {
       "retrain left unencoded assignment rows")
   }
 
+  test("residual IVF-PQ: seed-corpus lossless anchor; incremental ≡ build; recall ≥ raw") {
+    import graft.operators.{PersistedIvf, Similarity}
+    val embL = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id".cast("long").as("vec_id"), $"embedding")
+    val cents = embL.filter($"vec_id" < 8)
+      .select($"vec_id".cast("int").as("cell"), $"embedding".as("centroid"))
+    val queries = embL.filter($"vec_id" >= 8 && $"vec_id" < 18)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "rank", "c_id", "cosine").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    def codesOf(ivf: PersistedIvf) = ivf.assignments().select("id", "pq").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+
+    // lossless anchor: corpus = seed set → every residual is its own
+    // codeword → x̂ = c + (x − c) = x → every-cell residual ADC ≡ the
+    // float-exact probe at 4dp
+    val slice = embL.filter($"vec_id" < 64)
+    val whL = new graft.sources.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft-ivfres-anchor-").toString)
+    val ivfL = new PersistedIvf(whL)
+    ivfL.buildWith(slice, "vec_id", "embedding", cents,
+      pq = Some(PersistedIvf.PqSpec(slice, "vec_id", "embedding", residual = true)))
+    assert(ivfL.pqResidual(), "meta flag lost")
+    assert(rows(ivfL.topKPq(queries, "vec_id", "embedding", 5, nProbe = 8)) ==
+      rows(ivfL.topK(queries, "vec_id", "embedding", 5, nProbe = 8)),
+      "seed-corpus residual ADC must reconstruct losslessly")
+
+    // incremental admits encode against the SAME frozen centroids+codebook,
+    // so accumulated codes ≡ a from-scratch build's
+    val seeds = embL.filter($"vec_id" < 16)
+    def residIvf(corpus: org.apache.spark.sql.DataFrame) = {
+      val wh = new graft.sources.Warehouse(spark,
+        java.nio.file.Files.createTempDirectory("graft-ivfres-").toString)
+      val ivf = new PersistedIvf(wh)
+      ivf.buildWith(corpus, "vec_id", "embedding", cents,
+        pq = Some(PersistedIvf.PqSpec(seeds, "vec_id", "embedding", residual = true)))
+      ivf
+    }
+    val inc = residIvf(embL.filter($"vec_id" < 250))
+    inc.addVectors(embL.filter($"vec_id" >= 250), "vec_id", "embedding")
+    val full = residIvf(embL)
+    assert(codesOf(inc) == codesOf(full),
+      "incremental residual encode diverged from a from-scratch build")
+
+    // The IVFADC claim, in the configuration it was published for: real
+    // cluster centroids (trained spherical k-means), trained codebooks, and
+    // data that actually CLUSTERS — residual norms then sit well below
+    // vector norms, so the same code budget quantizes residuals finer and
+    // recall rises. The testdata embeddings are isotropic (measured:
+    // off-diagonal cosine ≈ 0, residual norm 1.21 > vector norm 1.0), where
+    // residual encoding measurably LOSES (engine 0.44 → 0.35, independent
+    // numpy replica 0.455 → 0.36) — so the inequality is pinned on a
+    // deterministically planted clustered corpus (8 clusters, residual norm
+    // ≈ 0.33), and AnnRecallProbe records both regimes as the honest rung
+    // table.
+    val base = embL.select($"vec_id", $"embedding".cast("array<double>").as("e"))
+    val cents8 = base.filter($"vec_id" < 8).select($"vec_id".as("cid"), $"e".as("c"))
+    val planted = base.withColumn("cid", $"vec_id" % 8)
+      .join(broadcast(cents8), Seq("cid"))
+      .withColumn("v", zip_with($"c", $"e", (c, x) => c + lit(0.35) * x))
+      .withColumn("nrm", sqrt(aggregate(
+        zip_with($"v", $"v", (a, b) => a * b), lit(0d), (s, x) => s + x)))
+      .select($"vec_id",
+        transform($"v", x => (x / $"nrm").cast("float")).as("embedding"))
+    val plN = planted.select($"vec_id".cast("long").as("id"),
+      $"embedding".cast("array<float>").as("vec"))
+    val trainedCents = Similarity.trainCentroids(plN, "id", "vec", 8, iterations = 3)
+      .select($"cell_id".as("cell"), $"centroid")
+    def trainedIvf(residual: Boolean) = {
+      val wh = new graft.sources.Warehouse(spark,
+        java.nio.file.Files.createTempDirectory(
+          s"graft-ivftr-$residual-").toString)
+      val ivf = new PersistedIvf(wh)
+      ivf.buildWith(planted, "vec_id", "embedding", trainedCents,
+        pq = Some(PersistedIvf.PqSpec(seeds, "vec_id", "embedding",
+          m = 8, subDim = 8, residual = residual, trained = true, iterations = 2)))
+      ivf
+    }
+    val raw = trainedIvf(residual = false)
+    val res = trainedIvf(residual = true)
+    val probeQs = planted.filter($"vec_id" >= 16 && $"vec_id" < 36)
+    def keyset(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "c_id").collect()
+        .groupBy(_.getLong(0)).map { case (qq, rs) => qq -> rs.map(_.getLong(1)).toSet }
+    val truth = keyset(Similarity.bruteForceTopK(planted, probeQs, "vec_id", "vec_id", "embedding", 10))
+    def recallOf(got: Map[Long, Set[Long]]): Double =
+      truth.map { case (qq, t) =>
+        got.getOrElse(qq, Set.empty).intersect(t).size.toDouble / t.size }.sum / truth.size
+    val rRaw = recallOf(keyset(raw.topKPq(probeQs, "vec_id", "embedding", 10, nProbe = 8)))
+    val rRes = recallOf(keyset(res.topKPq(probeQs, "vec_id", "embedding", 10, nProbe = 8)))
+    info(f"clustered-corpus trained-book recall@10 raw=$rRaw%.3f residual=$rRes%.3f")
+    assert(rRes >= rRaw,
+      f"residual encoding recalled $rRes%.3f < raw $rRaw%.3f on the clustered corpus")
+  }
+
+  test("retrieve-then-rerank: C=corpus ≡ brute force; small C recovers recall PQ alone cannot") {
+    import graft.operators.{PersistedIvf, Similarity}
+    val embL = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id".cast("long").as("vec_id"), $"embedding")
+    val cents = embL.filter($"vec_id" < 8)
+      .select($"vec_id".cast("int").as("cell"), $"embedding".as("centroid"))
+    val seeds = embL.filter($"vec_id" < 16)
+    val queries = embL.filter($"vec_id" >= 8 && $"vec_id" < 18)
+    val wh = new graft.sources.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft-rerank-spec-").toString)
+    val ivf = new PersistedIvf(wh)
+    ivf.buildWith(embL, "vec_id", "embedding", cents,
+      pq = Some(PersistedIvf.PqSpec(seeds, "vec_id", "embedding")))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "rank", "c_id", "cosine").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    // exactness anchor: every cell probed + every candidate rescored ⇒ the
+    // PQ stage only permutes the pool and the exact rescore restores truth
+    assert(rows(ivf.topKPqRerank(queries, "vec_id", "embedding", 5, c = 500, nProbe = 8)) ==
+      rows(Similarity.bruteForceTopK(embL, queries, "vec_id", "vec_id", "embedding", 5)),
+      "C=corpus rerank must equal brute force")
+    // the composition claim: a small candidate fraction rescored exactly
+    // recalls MORE of the true top-5 than the PQ ranking it started from
+    def keyset(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "c_id").collect()
+        .groupBy(_.getLong(0)).map { case (qq, rs) => qq -> rs.map(_.getLong(1)).toSet }
+    val truth = keyset(Similarity.bruteForceTopK(embL, queries, "vec_id", "vec_id", "embedding", 5))
+    def recallOf(got: Map[Long, Set[Long]]): Double =
+      truth.map { case (qq, t) =>
+        got.getOrElse(qq, Set.empty).intersect(t).size.toDouble / t.size }.sum / truth.size
+    val rPq = recallOf(keyset(ivf.topKPq(queries, "vec_id", "embedding", 5, nProbe = 8)))
+    val rRerank = recallOf(keyset(ivf.topKPqRerank(queries, "vec_id", "embedding", 5, c = 50, nProbe = 8)))
+    info(f"recall@5 pq=$rPq%.3f rerank(C=50)=$rRerank%.3f")
+    assert(rRerank >= rPq,
+      f"rerank(C=50) recalled $rRerank%.3f < bare PQ $rPq%.3f")
+    intercept[IllegalArgumentException](
+      ivf.topKPqRerank(queries, "vec_id", "embedding", 5, c = 3))
+  }
+
   test("PQ guards: empty seeds and Int-overflowing codeword ids are refused") {
     import graft.operators.PersistedIvf
     val embL = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
