@@ -53,13 +53,23 @@ class PersistedPostings(wh: Warehouse, probeTermLimit: Int = 1000) {
     // the positional half of the index ([[phrase]] intersects these).
     // [[query]] never selects the column, so parquet column pruning keeps
     // BM25 scans paying only (t, id, tf, dl); an index built before
-    // positions existed reads as null here and [[phrase]] refuses it
+    // positions existed reads as null here and [[phrase]] refuses it (via
+    // the per-batch `haspos` stats flag, not a postings scan)
     StructField("pos", org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.IntegerType), nullable = true)))
   val statsSchema: StructType = StructType(Seq(
     StructField("seq", LongType, nullable = false),
     StructField("n", LongType, nullable = false),
-    StructField("sumdl", LongType, nullable = false)))
+    StructField("sumdl", LongType, nullable = false),
+    // does this batch's postings carry position lists? Written `true` by
+    // every current build/admit; stats rows persisted BEFORE positions
+    // existed read as null (parquet null-fills the absent column). [[phrase]]
+    // refuses an index with any non-true row — a per-index property answered
+    // from the batches-sized stats table instead of the old per-query
+    // validation scan over the term-matched postings, and per-BATCH accurate
+    // where a footer sniff is not (a legacy index that keeps admitting new
+    // position-bearing batches still has position-less rows on disk)
+    StructField("haspos", org.apache.spark.sql.types.BooleanType, nullable = true)))
   val ingestSchema: StructType = StructType(Seq(
     StructField("batch_id", LongType, nullable = false)))
 
@@ -78,7 +88,8 @@ class PersistedPostings(wh: Warehouse, probeTermLimit: Int = 1000) {
 
   private def statsRow(seq: Long, n: Long, sumdl: Long): DataFrame =
     wh.spark.createDataFrame(
-      java.util.Arrays.asList(org.apache.spark.sql.Row(seq, n, sumdl)), statsSchema)
+      java.util.Arrays.asList(org.apache.spark.sql.Row(seq, n, sumdl,
+        Boolean.box(true))), statsSchema)
 
   /** Index the corpus from scratch — replaces both tables. The postings land
     * repartitioned by term and term-sorted within files (see class doc; a
@@ -180,11 +191,16 @@ class PersistedPostings(wh: Warehouse, probeTermLimit: Int = 1000) {
     * the `pos` column. Overlapping occurrences count separately — the
     * sliding-window semantics the `doc_phrase` oracle restates by slicing
     * the token array. Phrases matching nothing are absent; an index
-    * persisted before positions existed is refused (null `pos`), not
-    * silently empty.
+    * persisted before positions existed is refused, not silently empty —
+    * via the per-batch `haspos` stats flag (any batch admitted without
+    * positions poisons the index for phrase search until a rebuild), a
+    * batches-sized stats read replacing the old per-query validation scan
+    * over the term-matched postings.
     */
   def phrase(queries: DataFrame, qIdCol: String, qTextCol: String, k: Int): DataFrame = {
     require(wh.exists(statsTable), s"$statsTable absent — build() first")
+    require(corpusStats().filter(col("haspos").isNull || !col("haspos")).isEmpty,
+      "index has batches without positions — rebuild with a position-aware build()")
     val qt = queries.select(col(qIdCol).cast(LongType).as("q_id"),
         posexplode(TextOps.tokens(col(qTextCol))).as(Seq("off", "t")))
       .select(col("q_id"), col("off").cast("int").as("off"), col("t"))
@@ -196,8 +212,6 @@ class PersistedPostings(wh: Warehouse, probeTermLimit: Int = 1000) {
         postings().filter(col("t").isin(termLits: _*))
       else postings().join(broadcast(terms), Seq("t")))
         .select(col("t"), col("id"), col("pos"))
-    require(matched.filter(col("pos").isNull).isEmpty,
-      "index has postings without positions — rebuild with a position-aware build()")
     val starts = matched.select(col("t"), col("id"), explode(col("pos")).as("p"))
       .join(broadcast(qt), Seq("t"))
       .select(col("q_id"), col("id"), (col("p") - col("off")).as("start"), col("off"))

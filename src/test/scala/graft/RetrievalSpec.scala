@@ -119,14 +119,25 @@ class RetrievalSpec extends SparkSpec {
       Seq((3L, 1, 1L, 3L), (3L, 2, 2L, 3L), (3L, 3, 4L, 2L), (3L, 4, 3L, 1L)))
     // no-match phrase absent
     assert(run(Seq((4L, "b x"))).isEmpty)
-    // an index built WITHOUT positions is refused, not silently empty: write
-    // a postings table lacking the pos column through the same warehouse
+    // an index built WITHOUT positions is refused, not silently empty:
+    // rewrite BOTH tables to the pre-positions on-disk shape (postings
+    // lacking pos, stats lacking haspos — parquet null-fills on read)
     val legacyWh = new graft.sources.Warehouse(spark,
       java.nio.file.Files.createTempDirectory("graft-phr-legacy-").toString)
     val legacy = new PersistedPostings(legacyWh)
     legacy.build(corpus, "doc_id", "text")
     legacyWh.replace(legacy.postingsTable,
       legacyWh.read(legacy.postingsTable, legacy.postingsSchema).drop("pos"))
+    legacyWh.replace(legacy.statsTable,
+      legacyWh.read(legacy.statsTable, legacy.statsSchema).drop("haspos"))
+    intercept[IllegalArgumentException](
+      legacy.phrase(Seq((1L, "a b")).toDF("q_id", "qtext"), "q_id", "qtext", 10))
+    // BM25 over the legacy index still works (positions are phrase-only)
+    assert(legacy.query(Seq((1L, "a")).toDF("q_id", "qtext"), "q_id", "qtext", 2)
+      .count() > 0)
+    // an admit to the legacy index does NOT resurrect phrase search: the
+    // new batch carries positions but the old rows still don't
+    legacy.addDocs(Seq((9L, "a b c")).toDF("doc_id", "text"), "doc_id", "text")
     intercept[IllegalArgumentException](
       legacy.phrase(Seq((1L, "a b")).toDF("q_id", "qtext"), "q_id", "qtext", 10))
   }
