@@ -1002,6 +1002,38 @@ object SparkEntry {
       h.orderBy(col("s_suppkey"), col("valid_from"))
     }
 
+    // ---- the same history as a WAREHOUSE LIFECYCLE (ScdDimension): each
+    // batch persists through the transactional warehouse — b1/b2 as their
+    // own commits with the sequence derived from the persisted history
+    // (nextSeq), b3 through upsertIn INSIDE a caller transaction beside a
+    // rebuild of the SCD1 view it feeds (one manifest commit covers both,
+    // read-your-own-writes lets the view read the history replaced two
+    // lines up). End state ≡ the pure fold, so the oracle is etl_scd2's
+    q("etl_scd2_lifecycle") = (s, dir) => {
+      import org.apache.spark.sql.types.{LongType => LT, StructField => SF, StructType => STT}
+      val sup = t(s, dir, "supplier")
+      val b1 = sup.select(col("s_suppkey"),
+        col("s_nationkey").cast(LongType).as("attr"))
+      val b2 = sup.filter(col("s_suppkey") % 4 === 0).select(col("s_suppkey"),
+        (col("s_nationkey") + 100).cast(LongType).as("attr"))
+      val b3 = sup.filter(col("s_suppkey") % 6 === 0).select(col("s_suppkey"),
+        (col("s_nationkey") + 200).cast(LongType).as("attr"))
+      val wh = new graft.sources.AtomicWarehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-scdlc-").toString)
+      val dim = new graft.operators.ScdDimension(wh, "provider",
+        Seq("s_suppkey"), Seq("attr"),
+        STT(Seq(SF("s_suppkey", LT), SF("attr", LT))))
+      dim.upsert(b1, dim.nextSeq())
+      dim.upsert(b2, dim.nextSeq())
+      wh.atomically { w =>
+        dim.upsertIn(w, b3, 3L)
+        w.replace("dim/provider/Current",
+          graft.operators.Scd.current(w.read(dim.historyTable, dim.historySchema))
+            .select(col("s_suppkey"), col("attr")))
+      }
+      dim.history().orderBy(col("s_suppkey"), col("valid_from"))
+    }
+
     // F7 + A1: provider-name pipeline + distinct aggregation
     q("etl_provider_dedup") = (s, dir) =>
       t(s, dir, "part")
@@ -2231,6 +2263,32 @@ object SparkEntry {
        |FROM ranked WHERE rank <= 10
        |ORDER BY q_id, rank""".stripMargin
 
+  /** etl_scd2 / etl_scd2_lifecycle: SCD2 history reconstructed from the raw
+    * batches — LAG-dedup keeps only real transitions, LEAD supplies each
+    * window's close. The lifecycle variant persists the same fold through
+    * the transactional warehouse, so one oracle serves both.
+    */
+  private val scd2Sql: String =
+    """WITH b AS (
+      |  SELECT 1 AS seq, s_suppkey AS k, CAST(s_nationkey AS BIGINT) AS attr
+      |  FROM supplier
+      |  UNION ALL
+      |  SELECT 2, s_suppkey, CAST(s_nationkey + 100 AS BIGINT)
+      |  FROM supplier WHERE s_suppkey % 4 = 0
+      |  UNION ALL
+      |  SELECT 3, s_suppkey, CAST(s_nationkey + 200 AS BIGINT)
+      |  FROM supplier WHERE s_suppkey % 6 = 0),
+      |d AS (SELECT seq, k, attr,
+      |  LAG(attr) OVER (PARTITION BY k ORDER BY seq) AS prev FROM b),
+      |ch AS (SELECT seq, k, attr FROM d WHERE prev IS NULL OR attr <> prev),
+      |hist AS (SELECT k, attr, CAST(seq AS BIGINT) AS valid_from,
+      |  CAST(LEAD(seq) OVER (PARTITION BY k ORDER BY seq) AS BIGINT) AS valid_to
+      | FROM ch)
+      |SELECT k AS s_suppkey, attr, valid_from, valid_to,
+      | (valid_to IS NULL) AS is_current
+      |FROM hist
+      |ORDER BY s_suppkey, valid_from""".stripMargin
+
   /** sim_ivf_pq's full CTE chain up to the ADC `ranked` relation — float-
     * exact cell assignment (cells/qcells, as sim_ivf_sq8), seed-slice
     * codebook + encode argmin + query LUT (cb/enc/lut, as sim_topk_pq),
@@ -2994,27 +3052,11 @@ object SparkEntry {
         |ORDER BY tbl""".stripMargin,
 
     // SCD2 history reconstructed from the raw batches: LAG-dedup keeps only
-    // real transitions, LEAD supplies each window's close
-    "etl_scd2" ->
-      """WITH b AS (
-        |  SELECT 1 AS seq, s_suppkey AS k, CAST(s_nationkey AS BIGINT) AS attr
-        |  FROM supplier
-        |  UNION ALL
-        |  SELECT 2, s_suppkey, CAST(s_nationkey + 100 AS BIGINT)
-        |  FROM supplier WHERE s_suppkey % 4 = 0
-        |  UNION ALL
-        |  SELECT 3, s_suppkey, CAST(s_nationkey + 200 AS BIGINT)
-        |  FROM supplier WHERE s_suppkey % 6 = 0),
-        |d AS (SELECT seq, k, attr,
-        |  LAG(attr) OVER (PARTITION BY k ORDER BY seq) AS prev FROM b),
-        |ch AS (SELECT seq, k, attr FROM d WHERE prev IS NULL OR attr <> prev),
-        |hist AS (SELECT k, attr, CAST(seq AS BIGINT) AS valid_from,
-        |  CAST(LEAD(seq) OVER (PARTITION BY k ORDER BY seq) AS BIGINT) AS valid_to
-        | FROM ch)
-        |SELECT k AS s_suppkey, attr, valid_from, valid_to,
-        | (valid_to IS NULL) AS is_current
-        |FROM hist
-        |ORDER BY s_suppkey, valid_from""".stripMargin,
+    // real transitions, LEAD supplies each window's close. Shared verbatim
+    // by etl_scd2_lifecycle: the warehouse lifecycle persists the SAME fold
+    "etl_scd2" -> scd2Sql,
+    "etl_scd2_lifecycle" -> scd2Sql,
+
 
     // as-of read of the mv state after the second fold = a GROUP BY over
     // the first two source thirds (time travel composing with IVM)

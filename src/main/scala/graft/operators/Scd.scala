@@ -95,3 +95,64 @@ object Scd {
     history.filter(col("valid_from") <= seq &&
       (col("valid_to").isNull || col("valid_to") > seq))
 }
+
+/** [[Scd]] as a WAREHOUSE LIFECYCLE — the persisted-index treatment
+  * ([[PersistedIvf]], [[PersistedPostings]]) applied to dimension history:
+  * the pure `scd2Upsert` fold becomes a `dim/<name>/History` table
+  * maintained through [[graft.sources.Warehouse.atomically]], so history
+  * rides the same transaction as the merge batch that changed the
+  * dimension (the reference's SCD1 merges in `core/etl_orchestrator.py`
+  * keep only the latest state; this keeps every state beside it with no
+  * second commit to lose). [[upsertIn]] is the composable form: call it
+  * inside a caller's `atomically` section and the history replace
+  * publishes with the caller's dim writes in ONE manifest commit on an
+  * [[graft.sources.AtomicWarehouse]] — a crash mid-batch leaves BOTH the
+  * dim and its history at the prior snapshot (ScdSpec pins it), where a
+  * separate history store could drift one batch ahead of or behind the
+  * dimension it describes.
+  *
+  * Sequences are caller-supplied and monotone by contract ([[nextSeq]]
+  * derives the next one from the persisted history); determinism and the
+  * one-row-per-key batch contract are [[Scd.scd2Upsert]]'s.
+  */
+class ScdDimension(wh: graft.sources.Warehouse, name: String,
+    keyCols: Seq[String], attrCols: Seq[String],
+    baseSchema: org.apache.spark.sql.types.StructType) {
+  import org.apache.spark.sql.types.{StructField, StructType}
+  require((keyCols ++ attrCols).toSet == baseSchema.fieldNames.toSet,
+    s"baseSchema fields ${baseSchema.fieldNames.mkString(",")} must be exactly " +
+      s"keyCols ++ attrCols (${(keyCols ++ attrCols).mkString(",")})")
+
+  val historyTable = s"dim/$name/History"
+  val historySchema: StructType = StructType(baseSchema.fields ++ Seq(
+    StructField("valid_from", LongType, nullable = false),
+    StructField("valid_to", LongType, nullable = true),
+    StructField("is_current", BooleanType, nullable = true)))
+
+  def history(): DataFrame = wh.read(historyTable, historySchema)
+
+  /** The current slice — the SCD1 view a merge consumer reads. */
+  def current(): DataFrame = Scd.current(history())
+
+  /** The dimension as of batch sequence `seq`. */
+  def asOf(seq: Long): DataFrame = Scd.asOf(history(), seq)
+
+  /** The next batch sequence (max open `valid_from` + 1; 1 at genesis). */
+  def nextSeq(): Long =
+    history().agg(org.apache.spark.sql.functions.max(col("valid_from"))).head() match {
+      case r if r.isNullAt(0) => 1L
+      case r => r.getLong(0) + 1L
+    }
+
+  /** Apply one upsert batch as its own transaction. */
+  def upsert(batch: DataFrame, seq: Long): Unit =
+    wh.atomically(w => upsertIn(w, batch, seq))
+
+  /** The composable form: record history INSIDE a caller's `atomically`
+    * section — reads through `w` (read-your-own-writes), so consecutive
+    * upserts and the caller's own dim writes all publish in one commit.
+    */
+  def upsertIn(w: graft.sources.Warehouse, batch: DataFrame, seq: Long): Unit =
+    w.replace(historyTable,
+      Scd.scd2Upsert(w.read(historyTable, historySchema), batch, keyCols, attrCols, seq))
+}

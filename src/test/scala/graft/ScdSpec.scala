@@ -56,6 +56,57 @@ class ScdSpec extends SparkSpec {
       Set(1L -> Some("x"), 2L -> Some("y2"), 3L -> Some("z")))
   }
 
+  test("ScdDimension lifecycle: persisted ≡ pure fold on both warehouses; crash-mid-batch atomic") {
+    import graft.operators.ScdDimension
+    import graft.sources.{AtomicWarehouse, Warehouse}
+    import java.nio.file.Files
+    val baseSchema = StructType(Seq(StructField("k", LongType), StructField("a", StringType)))
+    val b1 = Seq((1L, "x"), (2L, "y")).toDF("k", "a")
+    val b2 = Seq((2L, "y2"), (3L, "z")).toDF("k", "a")
+    val pure = Scd.scd2Upsert(Scd.scd2Upsert(genesis, b1, Seq("k"), Seq("a"), 1L),
+      b2, Seq("k"), Seq("a"), 2L)
+
+    Seq(
+      new Warehouse(spark, Files.createTempDirectory("graft-scddim-b-").toString),
+      new AtomicWarehouse(spark, Files.createTempDirectory("graft-scddim-a-").toString)
+    ).foreach { wh =>
+      val dim = new ScdDimension(wh, "d", Seq("k"), Seq("a"), baseSchema)
+      assert(dim.nextSeq() == 1L, "genesis sequence")
+      dim.upsert(b1, dim.nextSeq())
+      dim.upsert(b2, dim.nextSeq())
+      assert(dim.nextSeq() == 3L)
+      assert(rows(dim.history()) == rows(pure),
+        s"persisted history diverged from the pure fold on ${wh.getClass.getSimpleName}")
+      assert(rows(dim.current()) == rows(Scd.current(pure)))
+      assert(rows(dim.asOf(1L)) == rows(Scd.asOf(pure, 1L)))
+    }
+
+    // crash mid-transaction: the history replace lands in the txn, then the
+    // SCD1-view write dies before commit — NOTHING becomes visible (history
+    // cannot drift a batch ahead of the dim it describes); the retry
+    // converges to the same end state as the pure fold
+    val awh = new AtomicWarehouse(spark,
+      Files.createTempDirectory("graft-scddim-crash-").toString)
+    val dim = new ScdDimension(awh, "d", Seq("k"), Seq("a"), baseSchema)
+    dim.upsert(b1, 1L)
+    val before = rows(dim.history())
+    val boom = intercept[RuntimeException](awh.atomically { w =>
+      dim.upsertIn(w, b2, 2L)
+      throw new RuntimeException("injected crash after history replace")
+    })
+    assert(boom.getMessage.contains("injected crash"))
+    assert(rows(dim.history()) == before,
+      "aborted transaction leaked history")
+    awh.atomically { w =>
+      dim.upsertIn(w, b2, 2L)
+      w.replace("dim/d/Current",
+        Scd.current(w.read(dim.historyTable, dim.historySchema)))
+    }
+    assert(rows(dim.history()) == rows(pure), "retry did not converge")
+    assert(rows(awh.read("dim/d/Current", dim.historySchema)) == rows(Scd.current(pure)),
+      "the SCD1 view must see the history replaced in its own transaction")
+  }
+
   test("a batch with duplicate keys is refused, not silently fanned out") {
     val b1 = Seq((1L, "x")).toDF("k", "a")
     val h1 = Scd.scd2Upsert(genesis, b1, Seq("k"), Seq("a"), 1L)
