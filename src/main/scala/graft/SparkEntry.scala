@@ -1002,6 +1002,28 @@ object SparkEntry {
       h.orderBy(col("s_suppkey"), col("valid_from"))
     }
 
+    // ---- schema evolution on the transactional warehouse: v1 lands the
+    // narrow (key, name) dimension, v2 evolves it by appending wider rows
+    // with a region column. The manifest records each write's shape, so
+    // the as-of read of v1 comes back in ITS era's 2-column schema while
+    // the live read (through the recorded current schema) null-fills the
+    // pre-evolution rows — the add-column story of the pointer-commit
+    // table formats, driver-proven
+    q("etl_schema_evolution") = (s, dir) => {
+      val nat = t(s, dir, "nation")
+      val wh = new graft.sources.AtomicWarehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-se-").toString)
+      wh.append("dim/nation",
+        nat.filter(col("n_nationkey") < 10).select(col("n_nationkey"), col("n_name")))
+      wh.append("dim/nation",
+        nat.filter(col("n_nationkey") >= 10)
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey")))
+      val asOf1Cols = wh.readAt("dim/nation", 1).columns.mkString(",")
+      wh.read("dim/nation", wh.currentSchema("dim/nation").get)
+        .withColumn("asof1_cols", lit(asOf1Cols))
+        .orderBy(col("n_nationkey"))
+    }
+
     // ---- the same history as a WAREHOUSE LIFECYCLE (ScdDimension): each
     // batch persists through the transactional warehouse — b1/b2 as their
     // own commits with the sequence derived from the persisted history
@@ -3056,6 +3078,16 @@ object SparkEntry {
     // by etl_scd2_lifecycle: the warehouse lifecycle persists the SAME fold
     "etl_scd2" -> scd2Sql,
     "etl_scd2_lifecycle" -> scd2Sql,
+
+    // add-column evolution: rows landed before the wider write null-fill
+    // the added column; the v1 as-of read keeps its era's 2-column shape
+    // (restated as the literal column list)
+    "etl_schema_evolution" ->
+      """SELECT n_nationkey, n_name,
+        | CASE WHEN n_nationkey < 10 THEN NULL ELSE n_regionkey END AS n_regionkey,
+        | 'n_nationkey,n_name' AS asof1_cols
+        |FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
 
 
     // as-of read of the mv state after the second fold = a GROUP BY over

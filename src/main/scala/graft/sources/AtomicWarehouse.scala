@@ -126,9 +126,12 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     * a double-add can only come from an adoption race, see [[commit]], but
     * duplicated ROWS are bad enough that the fold defends anyway) plus every
     * prefix ever truncated (so `visibleFiles("t/sub")` knows the table was
-    * touched even when nothing was re-added under it).
+    * touched even when nothing was re-added under it), plus each table's
+    * LATEST recorded schema JSON (`schema` lines — written by every staged
+    * data write since schema evolution landed; absent for legacy history).
     */
-  private case class LogState(adds: Map[String, Vector[String]], truncated: Set[String])
+  private case class LogState(adds: Map[String, Vector[String]],
+      truncated: Set[String], schemas: Map[String, String] = Map.empty)
 
   /** A fold races concurrent folds from OTHER instances: their snapshot
     * publish happens BEFORE they delete the superseded manifests, so when a
@@ -179,9 +182,11 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     // un-compacted table's snapshot even with the fold cache
     var addSets = Map.empty[String, Set[String]]
     var truncated = Set.empty[String]
+    var schemas = Map.empty[String, String]
     cfs.foreach { cf =>
       readLines(cf).foreach { line =>
-        val f = line.split('\t')
+        // limit 3: a schema line's third field is JSON, opaque to the TSV
+        val f = line.split("\t", 3)
         f(0) match {
           case "snapshot" => // marker only; the truncate+add lines that follow rebuild state
           case "truncate" =>
@@ -199,11 +204,13 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
               adds += (f(1) -> (adds.getOrElse(f(1), Vector.empty) :+ f(2)))
               addSets += (f(1) -> (set + f(2)))
             }
+          case "schema" =>
+            schemas += (f(1) -> f(2)) // last line per table wins
           case other => throw new IllegalStateException(s"unknown txlog action '$other' in $cf")
         }
       }
     }
-    val st = LogState(adds, truncated)
+    val st = LogState(adds, truncated, schemas)
     if (updateCache) foldCache = (key, st)
     st
   }
@@ -432,22 +439,33 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     val all = commitFiles()
     val old = all.drop(latestSnapshotIdx(all).max(0))
     if (old.size <= 1) return true
-    val tables =
-      try old.flatMap(readLines).collect {
-        case l if l.startsWith("add\t") || l.startsWith("truncate\t") => l.split('\t')(1)
-      }.distinct
+    val parsed =
+      try old.flatMap(readLines)
       catch {
         // a listed manifest aged out of the grace window and was GC'd
         // mid-read; this attempt is stale anyway — a lost CAS, recompute
         case _: java.io.FileNotFoundException => return false
       }
+    val tables = parsed.collect {
+      case l if l.startsWith("add\t") || l.startsWith("truncate\t") => l.split('\t')(1)
+    }.distinct
+    // last schema line per table survives the fold: a snapshot subsumes the
+    // manifests before it, and dropping the lines would amnesia every
+    // table's recorded shape (schemaAt/readAt-without-schema break)
+    var schemaMap = Map.empty[String, String]
+    parsed.foreach { l =>
+      if (l.startsWith("schema\t")) {
+        val f = l.split("\t", 3); schemaMap += (f(1) -> f(2))
+      }
+    }
     // ALL truncate lines precede ALL add lines. Truncate applies by PREFIX,
     // so interleaving per table would let a truncated parent (Pipeline's
     // per-batch delete("staging/<src>")) land AFTER a still-visible child's
     // adds whenever the child appeared first in the log — and the next refold
     // of that snapshot would silently clear the child's files.
     val lines = ("snapshot" +: tables.map(t => s"truncate\t$t")) ++
-      tables.flatMap(t => visibleFiles(t).getOrElse(Nil).map(f => s"add\t$t\t$f"))
+      tables.flatMap(t => visibleFiles(t).getOrElse(Nil).map(f => s"add\t$t\t$f")) ++
+      schemaMap.toSeq.sortBy(_._1).map { case (t, j) => s"schema\t$t\t$j" }
     publishAt(lines, versionOf(old.last) + 1, snapshot = true)
   }
 
@@ -459,7 +477,8 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     */
   private case class Staged(table: String, truncate: Boolean,
       stageDir: Option[Path], partitioned: Boolean,
-      expected: Option[Seq[String]] = None)
+      expected: Option[Seq[String]] = None,
+      schemaJson: Option[String] = None)
 
   private class Tx {
     val txid: String = java.util.UUID.randomUUID().toString
@@ -500,13 +519,21 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     */
   private class TxView(tx: Tx) extends Warehouse(spark0, root0) {
     private def stage(table: String, truncate: Boolean, partitioned: Boolean,
-        write: Option[Path => Unit], expected: Option[Seq[String]] = None): Unit = {
+        write: Option[Path => Unit], expected: Option[Seq[String]] = None,
+        schemaOf: Option[StructType] = None): Unit = {
       val dirOpt = write.map { w =>
         val d = tx.synchronized(tx.nextStageDir())
         withRetry()(w(d))
         d
       }
-      tx.synchronized(tx.entries += Staged(table, truncate, dirOpt, partitioned, expected))
+      // the written schema rides the manifest (one compact-JSON line) so
+      // history stays self-describing across add-column evolution — a tab
+      // or newline inside a field name would corrupt the TSV, so refuse
+      val json = schemaOf.map(_.json)
+      json.foreach(j => require(!j.contains('\t') && !j.contains('\n'),
+        s"schema JSON for $table contains TSV control characters"))
+      tx.synchronized(tx.entries +=
+        Staged(table, truncate, dirOpt, partitioned, expected, json))
     }
 
     /** Conflict-checked replace for read-modify-write maintenance
@@ -519,23 +546,26 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
         expected: Seq[String]): Unit =
       stage(table, truncate = true, partitioned = false,
         Some(d => df.write.mode(SaveMode.Overwrite).parquet(d.toString)),
-        expected = Some(expected))
+        expected = Some(expected), schemaOf = Some(df.schema))
 
     override def append(table: String, df: DataFrame): Unit =
       stage(table, truncate = false, partitioned = false,
-        Some(d => df.write.mode(SaveMode.Overwrite).parquet(d.toString)))
+        Some(d => df.write.mode(SaveMode.Overwrite).parquet(d.toString)),
+        schemaOf = Some(df.schema))
 
     override def appendPartitioned(table: String, df: DataFrame,
         partitionCols: Seq[String]): Unit =
       stage(table, truncate = false, partitioned = true,
         Some(d => df.write.mode(SaveMode.Overwrite)
-          .partitionBy(partitionCols: _*).parquet(d.toString)))
+          .partitionBy(partitionCols: _*).parquet(d.toString)),
+        schemaOf = Some(df.schema))
 
     // staged source files are never disturbed by the staged write, so
     // replace needs none of the base class's tmp-and-swap choreography
     override def replace(table: String, df: DataFrame): Unit =
       stage(table, truncate = true, partitioned = false,
-        Some(d => df.write.mode(SaveMode.Overwrite).parquet(d.toString)))
+        Some(d => df.write.mode(SaveMode.Overwrite).parquet(d.toString)),
+        schemaOf = Some(df.schema))
 
     override def delete(table: String): Unit =
       stage(table, truncate = true, partitioned = false, None)
@@ -636,6 +666,11 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
           lines += s"add\t${e.table}\t$destRel"
         }
       }
+      // the write's schema, recorded beside its adds: the fold keeps the
+      // LAST schema line per table, so each version knows the table's shape
+      // as of its last write (add-column evolution = a wider later write;
+      // readAt reconciles older, narrower files by parquet null-fill)
+      e.schemaJson.foreach(j => lines += s"schema\t${e.table}\t$j")
     }
     // optimistic-concurrency checks from conflict-guarded entries
     // (replaceExpecting): abort — staged/moved files become vacuumable
@@ -734,6 +769,36 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       .parquet(files.map(f => s"${path(table)}/$f"): _*)
   }
 
+  /** The table's manifest-recorded schema as of commit `version` (the shape
+    * of its last write at or before that version) — None for tables whose
+    * retained history predates schema recording or that never went through
+    * the manifest. The self-description that keeps [[readAt]] honest across
+    * add-column evolution: an as-of read reconstructs the table as it
+    * LOOKED then, not squeezed through today's schema.
+    */
+  def schemaAt(table: String, version: Int): Option[StructType] =
+    stateAt(version).schemas.get(table)
+      .map(org.apache.spark.sql.types.DataType.fromJson(_).asInstanceOf[StructType])
+
+  /** The live recorded schema ([[schemaAt]] at the head), None for
+    * legacy/raw tables.
+    */
+  def currentSchema(table: String): Option[StructType] =
+    foldedState().schemas.get(table)
+      .map(org.apache.spark.sql.types.DataType.fromJson(_).asInstanceOf[StructType])
+
+  /** [[readAt]] with the schema the MANIFEST recorded at that version —
+    * columns added by later writes do not appear, files older than the
+    * version's last write null-fill columns they predate. Throws when the
+    * version has no recorded schema (history from before schema recording):
+    * pass an explicit schema through the 3-argument overload instead of
+    * letting the read guess.
+    */
+  def readAt(table: String, version: Int): DataFrame =
+    readAt(table, schemaAt(table, version).getOrElse(throw new IllegalStateException(
+      s"no schema recorded for $table at version $version (pre-evolution history) — " +
+        "use readAt(table, schema, version)")), version)
+
   /** Rows appended to `table` in versions (`fromVersion`, `toVersion`] — the
     * CDC read for append-only windows (streaming ingest, the ledger). The
     * window must be append-only for the table: a truncate (replace, delete,
@@ -798,7 +863,11 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
         s"files were vacuumed (first: ${gone.head})")
     val expected = committedOrPhysical(table).sorted
     if (files.sorted == expected) return // already that state — nothing to commit
-    val lines = s"truncate\t$table" +: files.map(f => s"add\t$table\t$f")
+    // the restored version's recorded SHAPE comes back with its files —
+    // without this line the table would keep the newer schema label over
+    // the older data it just restored
+    val lines = (s"truncate\t$table" +: files.map(f => s"add\t$table\t$f")) ++
+      st.schemas.get(table).map(j => s"schema\t$table\t$j").toSeq
     publish(lines,
       precondition = () => committedOrPhysical(table).sorted == expected)
   }

@@ -555,6 +555,46 @@ class AtomicWarehouseSpec extends SparkSpec {
       s"append erased out of order (manifest corruption): $got")
   }
 
+  test("schema evolution: per-version schemas, null-fill reconciliation, fold/restore keep the shape") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val wh = new AtomicWarehouse(spark, Files.createTempDirectory("graft-aw-se-").toString)
+    val narrow = StructType(Seq(StructField("id", LongType), StructField("v", StringType)))
+    val wide = StructType(narrow.fields :+ StructField("w", LongType))
+    def shape(s: StructType) = s.fields.map(f => (f.name, f.dataType)).toSeq
+    wh.append("t", Seq((1L, "a")).toDF("id", "v"))              // v1: 2 cols
+    wh.append("t", Seq((2L, "b", 20L)).toDF("id", "v", "w"))    // v2: add-column evolution
+    assert(wh.schemaAt("t", 1).map(shape).contains(shape(narrow)), "v1 shape")
+    assert(wh.schemaAt("t", 2).map(shape).contains(shape(wide)), "v2 shape")
+    assert(wh.currentSchema("t").map(shape).contains(shape(wide)))
+    // as-of reads use the shape of their ERA: v1 has no `w` column at all;
+    // v2 null-fills it for the file that predates it
+    assert(wh.readAt("t", 1).columns.toSeq == Seq("id", "v"))
+    val v2 = wh.readAt("t", 2).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(v2 == Set((1L, "a", None), (2L, "b", Some(20L))),
+      "older files must null-fill the added column")
+    // a fold-snapshot subsumes the manifests without forgetting the shape
+    wh.vacuum() // publishes snapshot v3
+    assert(wh.currentSchema("t").map(shape).contains(shape(wide)),
+      "snapshot dropped the schema line")
+    assert(wh.readAt("t", 1).columns.toSeq == Seq("id", "v"),
+      "pre-snapshot version lost its era's schema")
+    // restore brings the VERSION's shape back with its files
+    wh.restore("t", 1) // v4
+    assert(wh.currentSchema("t").map(shape).contains(shape(narrow)),
+      "restore must restore the recorded shape, not keep the newer label")
+    assert(wh.read("t", narrow).collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // a truncate-only commit records no schema: readAt without one refuses
+    wh.delete("u") // v5: manifest history for u, but no write ever recorded a shape
+    val e = intercept[IllegalStateException](wh.readAt("u", 5))
+    assert(e.getMessage.contains("no schema recorded"))
+    assert(wh.schemaAt("u", 5).isEmpty)
+    // raw directory (no manifest history): no recorded schema either
+    Seq((9L, "z")).toDF("id", "v").write.parquet(wh.path("raw_t"))
+    assert(wh.currentSchema("raw_t").isEmpty)
+  }
+
   test("time travel: readAt per version, CDC windows, snapshot transparency, vacuum bounds") {
     val wh = new AtomicWarehouse(spark, Files.createTempDirectory("graft-aw-tt-").toString)
     wh.append("t", Seq((1L, "a")).toDF("id", "v"))  // v1
