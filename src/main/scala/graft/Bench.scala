@@ -331,6 +331,12 @@ object Bench {
     // the in-flight round). `medians` stays the LAST key: ContractDocsSpec's
     // latest-line query-name extraction captures from `"medians":{` to the
     // end of the line.
+    //
+    // A round can legitimately record SEVERAL full runs (r10 ran one
+    // mid-round and one final): every line carries a unique `run_id` and a
+    // monotone `ts`, and the documented contract for cross-round tooling is
+    // LAST LINE PER ROUND WINS — ContractDocsSpec gates the ts ordering
+    // that makes "last" well-defined.
     if (only.isEmpty) {
       val bookPath = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCHBOOK", "BENCHBOOK.jsonl")).toAbsolutePath
@@ -348,7 +354,8 @@ object Bench {
           (rs :+ 0).max + 1
         }
       val fpJson = dataFingerprint(spark, sfDir)
-      val bookLine = f"""{"round":$round,"sf":"$sfDir","ts":${System.currentTimeMillis() / 1000},"canary_median_s":$canaryMedian%.3f,"total_s":$total%.3f,"data_fingerprint":$fpJson,"medians_clean":$qsCleanJson,"medians":$qsJson}"""
+      val runId = java.util.UUID.randomUUID().toString.take(8)
+      val bookLine = f"""{"round":$round,"run_id":"$runId","sf":"$sfDir","ts":${System.currentTimeMillis() / 1000},"canary_median_s":$canaryMedian%.3f,"total_s":$total%.3f,"data_fingerprint":$fpJson,"medians_clean":$qsCleanJson,"medians":$qsJson}"""
       appendTo(bookPath, bookLine)
     }
     spark.stop()

@@ -59,6 +59,17 @@ class ContractDocsSpec extends AnyFunSuite {
       round
     }
     assert(rounds == rounds.sorted, s"BENCHBOOK rounds not ascending: $rounds")
+    // a round may record several full runs (r10: mid-round + final) — the
+    // tooling contract is LAST LINE PER ROUND WINS, which needs (a) a run_id
+    // on every line from r11 on so lines are distinguishable, and (b) file
+    // order ≡ time order (ts non-decreasing) so "last" is well-defined
+    val ts = lines.map(l => """"ts":(\d+)""".r.findFirstMatchIn(l).map(_.group(1).toLong))
+    assert(ts.flatten == ts.flatten.sorted,
+      "BENCHBOOK ts not non-decreasing: last-line-per-round is ill-defined")
+    lines.zip(rounds).foreach { case (l, r) =>
+      if (r >= 11) assert(l.contains("\"run_id\":\""),
+        s"BENCHBOOK r$r line without run_id: ${l.take(120)}")
+    }
     // latest line: every recorded query must still exist (a renamed/removed
     // query must be re-benched under its new name, not compared blindly)
     val medians = """"medians":\{(.*)\}""".r.findFirstMatchIn(lines.last).get.group(1)
