@@ -1777,6 +1777,33 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rank"))
     }
 
+    // ---- WEIGHTED hybrid fusion with per-leg depth cuts: the lexical leg
+    // dominates (700‰) and is cut to its top-10, the semantic leg assists
+    // (300‰) at depth 20 — the quality-skewed mix a production hybrid
+    // search runs. Contributions stay exact integers (w · (1e9 div
+    // (60+rank))), so the oracle replays both legs, the cuts, and the
+    // weighted fusion digit for digit
+    q("doc_hybrid_rrf_weighted") = (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val queries = Seq(
+        (1L, "merge join order sort"),
+        (2L, "vector window stream"),
+        (3L, "customer data value zzz")).toDF("q_id", "qtext")
+      val lex = Retrieval.bm25(docs, "doc_id", "text", queries, "q_id", "qtext", k = 20)
+        .select(col("q_id"), col("id"), col("rank"))
+      val sem = Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id").between(11, 13)), "vec_id", "vec_id", "embedding", 20)
+        .select((col("q_id") - 10).as("q_id"), col("c_id").as("id"), col("rank"))
+      Retrieval.rrfWeighted(Seq(
+          Retrieval.RrfLeg(lex, weight = 700, topN = Some(10)),
+          Retrieval.RrfLeg(sem, weight = 300, topN = Some(20))), k = 10)
+        .select(col("q_id"), col("rank").cast(LongType).as("rank"),
+          col("id").as("doc_id"), col("rrf"))
+        .orderBy(col("q_id"), col("rank"))
+    }
+
     // ---- substring-level duplication stats: every 10-token sliding window
     // hashed; a window seen in ≥2 distinct docs is duplicated — per-doc
     // duplicated-span counts, the signal document-level dedup cannot see.
@@ -2413,6 +2440,45 @@ object SparkEntry {
        | FROM fused)
        |SELECT q_id, CAST(rank AS BIGINT) AS rank, id AS doc_id,
        | round(CAST(s AS DOUBLE) / 1000000000.0, 6) AS rrf
+       |FROM franked WHERE rank <= 10
+       |ORDER BY q_id, rank""".stripMargin
+
+  /** doc_hybrid_rrf_weighted: the same two legs, lexical cut to top-10 at
+    * weight 700‰ and semantic at depth 20 / 300‰; contributions are the
+    * exact integers `w · (1e9 // (60 + rank))`, displayed as sum/1e12.
+    */
+  private val hybridRrfWeightedSql: String =
+    s"""WITH $bm25Ctes,
+       |lex AS (SELECT q_id, id, rank FROM ranked WHERE rank <= 10),
+       |qv AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id BETWEEN 11 AND 13),
+       |sp AS (
+       | SELECT qv.vec_id AS sq_id, e.vec_id AS c_id,
+       |  sum(e.embedding[i]::DOUBLE * qv.embedding[i]::DOUBLE) AS dot,
+       |  sqrt(sum(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)) AS cn,
+       |  sqrt(sum(qv.embedding[i]::DOUBLE * qv.embedding[i]::DOUBLE)) AS qn
+       | FROM qv, embeddings e, generate_series(1, 64) t2(i)
+       | WHERE e.vec_id <> qv.vec_id GROUP BY 1, 2),
+       |sscored AS (
+       | SELECT sq_id, c_id,
+       |  round(CASE WHEN cn = 0 OR qn = 0 THEN 0 ELSE dot/(cn*qn) END, 4) AS cosine
+       | FROM sp),
+       |sranked AS (
+       | SELECT sq_id, c_id,
+       |  CAST(row_number() OVER (PARTITION BY sq_id
+       |   ORDER BY cosine DESC, c_id) AS BIGINT) AS rank
+       | FROM sscored),
+       |sem AS (SELECT sq_id - 10 AS q_id, c_id AS id, rank FROM sranked WHERE rank <= 20),
+       |fused AS (
+       | SELECT q_id, id, sum(w * (1000000000 // (60 + rank))) AS s
+       | FROM (SELECT q_id, id, rank, CAST(700 AS BIGINT) AS w FROM lex
+       |       UNION ALL SELECT q_id, id, rank, CAST(300 AS BIGINT) FROM sem) u
+       | GROUP BY 1, 2),
+       |franked AS (
+       | SELECT q_id, id, s,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY CAST(s AS DOUBLE) DESC, id) AS rank
+       | FROM fused)
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, id AS doc_id,
+       | round(CAST(s AS DOUBLE) / 1000000000000.0, 6) AS rrf
        |FROM franked WHERE rank <= 10
        |ORDER BY q_id, rank""".stripMargin
 
@@ -4076,6 +4142,7 @@ object SparkEntry {
     // lexical top-20 + semantic top-20, reciprocal-rank fused with integer
     // contributions — both legs and the fusion replayed
     "doc_hybrid_rrf" -> hybridRrfSql,
+    "doc_hybrid_rrf_weighted" -> hybridRrfWeightedSql,
 
     // window = 10 tokens → slice t[i:i+9], positions 1..len-9; duplicated =
     // hash in ≥2 DISTINCT docs; per-doc counts are per POSITION

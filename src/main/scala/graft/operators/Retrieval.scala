@@ -119,6 +119,43 @@ object Retrieval {
         round(col("rrf_s") / 1e9, 6).as("rrf"))
   }
 
+  /** WEIGHTED Reciprocal Rank Fusion with per-leg depth cuts — the [[rrf]]
+    * extension a hybrid query needs the moment its legs differ in quality:
+    * `fused(q, d) = Σ_r w_r / (kRrf + rank_r(q, d))`, the weighted variant
+    * Cormack et al. note and every production hybrid search exposes.
+    * `weight` is PER-MILLE (1000 = 1.0 — the unweighted contribution), so
+    * contributions stay exact integers: `w · (1e9 div (kRrf + rank))`
+    * summed as longs (≤ legs · 1000 · 1.7e7 ≪ 2^53), addition-order-proof
+    * like everything else in this file; the displayed score is the exact
+    * sum / 1e12 at 6dp, which for all-1000 weights equals [[rrf]]'s
+    * display digit for digit. `topN` cuts a leg to its first n ranks
+    * BEFORE fusion — deep tail ranks from a weak leg otherwise leak rank
+    * juice into documents the strong leg never surfaced.
+    */
+  def rrfWeighted(legs: Seq[Retrieval.RrfLeg], k: Int, kRrf: Int = 60): DataFrame = {
+    require(legs.nonEmpty, "rrfWeighted needs at least one leg")
+    legs.foreach(l => require(l.weight > 0, s"leg weight ${l.weight} must be positive"))
+    val contrib = legs.map { l =>
+      val cut = l.topN.map(n => l.ranking.filter(col("rank") <= n)).getOrElse(l.ranking)
+      cut.select(col("q_id").cast(LongType).as("q_id"),
+        col("id").cast(LongType).as("id"),
+        expr(s"CAST(${l.weight} AS BIGINT) * (CAST(1000000000 AS BIGINT) div " +
+          s"(CAST($kRrf AS BIGINT) + CAST(rank AS BIGINT)))").as("c"))
+    }.reduce(_ union _)
+    val scored = contrib.groupBy(col("q_id"), col("id"))
+      .agg(sum(col("c")).as("s"))
+      .select(col("q_id"), col("id"), col("s").cast("double").as("rrf_s"))
+    Similarity.topKPerKey(scored, "q_id", "rrf_s", "id", k)
+      .select(col("q_id"), col("rank"), col("id"),
+        round(col("rrf_s") / 1e12, 6).as("rrf"))
+  }
+
+  /** One [[rrfWeighted]] leg: a `(q_id, id, rank)` ranking, its per-mille
+    * weight (1000 = 1.0), and an optional depth cut applied before fusion.
+    */
+  final case class RrfLeg(ranking: DataFrame, weight: Int = 1000,
+      topN: Option[Int] = None)
+
   /** The BM25 reduction shared by the inline path and the persisted-index
     * path ([[PersistedPostings.query]]): `tf` = the query-term-matched
     * postings `(id, t, tf, dl)` — tf/dl as doubles — `qterms` = `(q_id, t)`.

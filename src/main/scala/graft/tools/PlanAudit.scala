@@ -34,7 +34,8 @@ object PlanAudit {
   val kernelAllowlist: Set[String] = Set("dedup_jaccard", "dedup_embedding",
     "sim_topk", "sim_topk_sq8", "sim_ivf", "sim_ivf_trained",
     "sim_ivf_persisted", "sim_ivf_sq8", "sim_ivf_stream", "sim_ivf_pq",
-    "sim_ivf_pq_residual", "sim_rerank", "dedup_semantic", "doc_hybrid_rrf")
+    "sim_ivf_pq_residual", "sim_rerank", "dedup_semantic", "doc_hybrid_rrf",
+    "doc_hybrid_rrf_weighted")
 
   final case class Audit(report: String, flagged: List[String], errors: List[String])
 

@@ -96,6 +96,33 @@ class RetrievalSpec extends SparkSpec {
     assert(ties.toSeq == Seq((1, 3L), (2, 5L)))
   }
 
+  test("weighted rrf: all-1000 ≡ unweighted, weights skew, cuts drop tail ranks") {
+    import graft.operators.Retrieval
+    import graft.operators.Retrieval.RrfLeg
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3)).toDF("q_id", "id", "rank")
+    val b = Seq((1L, 11L, 1), (1L, 12L, 2), (1L, 13L, 3)).toDF("q_id", "id", "rank")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "rank", "id", "rrf").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    // all-1000 weights reproduce the unweighted fusion digit for digit
+    assert(rows(Retrieval.rrfWeighted(Seq(RrfLeg(a), RrfLeg(b)), k = 10)) ==
+      rows(Retrieval.rrf(Seq(a, b), k = 10)),
+      "weight 1000 per mille must equal the unweighted path exactly")
+    // a dominant leg drags its exclusive picks above the shared ones:
+    // with a at 1000 and b at 1, a's rank-1 (id 10) must beat b's rank-1
+    // (id 11, which a only has at rank 2)
+    val skew = rows(Retrieval.rrfWeighted(Seq(RrfLeg(a, 1000), RrfLeg(b, 1)), k = 10))
+    assert(skew.head._3 == 10L, s"dominant leg's top pick lost: $skew")
+    // golden: id 10 scores 1000·(1e9 div 61) = 16393442000 → 0.016393
+    assert(skew.head._4 == 0.016393, s"weighted score drifted: ${skew.head}")
+    // a topN cut removes tail contributions entirely: cutting b to depth 1
+    // leaves id 13 (b rank 3) out of the fused candidates
+    val cut = rows(Retrieval.rrfWeighted(Seq(RrfLeg(a), RrfLeg(b, 1000, Some(1))), k = 10))
+    assert(!cut.exists(_._3 == 13L), s"cut leg leaked tail rank: $cut")
+    intercept[IllegalArgumentException](
+      Retrieval.rrfWeighted(Seq(RrfLeg(a, 0)), k = 10))
+  }
+
   test("phrase search: overlaps count, duplicate-term phrases, single term ≡ tf, misses absent") {
     import graft.operators.PersistedPostings
     val corpus = Seq(
