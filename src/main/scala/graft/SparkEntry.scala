@@ -1002,6 +1002,58 @@ object SparkEntry {
       h.orderBy(col("s_suppkey"), col("valid_from"))
     }
 
+    // ---- the same history maintained by STRUCTURED STREAMING (ScdStream):
+    // the three supplier update batches arrive as parquet files in order
+    // (maxFilesPerTrigger=1), each micro-batch folds as one SCD2 upsert
+    // with a ledgered atomic admit (replay no-ops). Stream ≡ the pure
+    // fold, so the oracle is etl_scd2's verbatim
+    q("etl_scd2_stream") = (s, dir) => {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      import org.apache.spark.sql.types.{LongType => LT, StructField => SF, StructType => STT}
+      val sup = t(s, dir, "supplier")
+      val batches = Seq(
+        sup.select(col("s_suppkey"), col("s_nationkey").cast(LongType).as("attr")),
+        sup.filter(col("s_suppkey") % 4 === 0).select(col("s_suppkey"),
+          (col("s_nationkey") + 100).cast(LongType).as("attr")),
+        sup.filter(col("s_suppkey") % 6 === 0).select(col("s_suppkey"),
+          (col("s_nationkey") + 200).cast(LongType).as("attr")))
+      val inDir = chunkedInput("scdstream", dir) { d =>
+        batches.zipWithIndex.foreach { case (df, i) =>
+          val tmp = Files.createTempDirectory(s"graft-scds-c$i-").toString + "/out"
+          df.coalesce(1).write.parquet(tmp)
+          val part = Files.list(Paths.get(tmp))
+            .filter(_.toString.endsWith(".parquet")).findFirst.get
+          Files.move(part, Paths.get(d, f"chunk_$i%02d.parquet"),
+            StandardCopyOption.ATOMIC_MOVE)
+        }
+      }
+      val ckpt = Files.createTempDirectory("graft-scds-ck-").toString
+      val whDir = Files.createTempDirectory("graft-scds-wh-").toString
+      val st = new graft.streaming.ScdStream(
+        new graft.sources.AtomicWarehouse(GraftSession.streamSession(s), whDir),
+        "provider", Seq("s_suppkey"), Seq("attr"),
+        STT(Seq(SF("s_suppkey", LT), SF("attr", LT))))
+      val sq = st.start(inDir, ckpt)
+      val drainMs = GraftSession.streamDrainTimeoutMs
+      if (!sq.awaitTermination(drainMs)) {
+        sq.stop()
+        throw new IllegalStateException(
+          s"etl_scd2_stream failed to drain within ${drainMs / 1000} s")
+      }
+      st.dim.history().orderBy(col("s_suppkey"), col("valid_from"))
+    }
+
+    // ---- deterministic train/val/test split: membership is a pure
+    // function of the document ID (md5Long(id) mod 100, cumulative 80/10/10
+    // ranges) — reruns, engines, and corpus growth agree row-for-row, and
+    // an edited document can never migrate between splits (the eval-leak
+    // content addressing would allow). Joinless narrow projection
+    q("doc_split") = (s, dir) =>
+      Corpus.assignSplit(t(s, dir, "documents").select(col("doc_id")), "doc_id",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))
+
     // ---- schema evolution on the transactional warehouse: v1 lands the
     // narrow (key, name) dimension, v2 evolves it by appending wider rows
     // with a region column. The manifest records each write's shape, so
@@ -3144,6 +3196,20 @@ object SparkEntry {
     // by etl_scd2_lifecycle: the warehouse lifecycle persists the SAME fold
     "etl_scd2" -> scd2Sql,
     "etl_scd2_lifecycle" -> scd2Sql,
+    // the streamed history is the same fold applied per micro-batch in
+    // arrival order (ledgered replays no-op), so the oracle is again shared
+    "etl_scd2_stream" -> scd2Sql,
+
+    // split membership = md5 of the id's decimal string, first 15 hex chars
+    // as a 60-bit int, mod 100 into cumulative 80/10/10 ranges — the
+    // simhash/md5Long convention restated
+    "doc_split" ->
+      """SELECT doc_id,
+        | CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
+        | FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     // add-column evolution: rows landed before the wider write null-fill
     // the added column; the v1 as-of read keeps its era's 2-column shape

@@ -219,4 +219,34 @@ object Corpus {
         floor((sum(col("n_toks")).over(w) - col("n_toks")) / budgetTokens)
           .cast(LongType))
   }
+
+  /** Deterministic train/validation/test split by ID hash — the assignment
+    * every training pipeline makes exactly once and must never revisit:
+    * membership is a pure function of the document ID (`md5Long(id as
+    * string) mod 100` — the repo's md5 convention, restated in SQL by the
+    * `doc_split` oracle), so reruns, engines, and corpus GROWTH all agree —
+    * a document keeps its split forever, new arrivals distribute
+    * proportionally, and nothing resembles RNG state. ID-addressed rather
+    * than content-addressed deliberately: an edited document must STAY in
+    * its split (content addressing would let eval examples migrate into
+    * train on revision — the leak the split exists to prevent).
+    *
+    * `splits` are (name, percent) in declaration order, summing to 100;
+    * bucket ranges are assigned cumulatively (80/10/10 → train [0,80),
+    * val [80,90), test [90,100)). Shape: one narrow projection, no
+    * shuffle, no join — the label is a literal CASE chain over the hash.
+    */
+  def assignSplit(docs: DataFrame, id: String, splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      "splits need positive percents")
+    require(splits.map(_._2).sum == 100,
+      s"split percents must sum to 100, got ${splits.map(_._2).sum}")
+    require(splits.map(_._1).distinct.size == splits.size, "duplicate split names")
+    val bucket = pmod(TextOps.md5Long(col(id).cast("string")), lit(100L))
+    val (label, _) = splits.foldLeft((lit(null).cast("string"), 0)) {
+      case ((e, lo), (name, pct)) =>
+        (when(bucket >= lo && bucket < lo + pct, name).otherwise(e), lo + pct)
+    }
+    docs.withColumn("split", label)
+  }
 }

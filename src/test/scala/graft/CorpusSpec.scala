@@ -130,4 +130,37 @@ class CorpusSpec extends SparkSpec {
       .select($"src").as[Long].collect()
     assert(keptN.length == 50 && keptN.forall(_ == 0L))
   }
+
+  test("split: total, deterministic, id-addressed, proportional, bad configs refused") {
+    val d = (0L until 1000L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val splits = Seq("train" -> 80, "val" -> 10, "test" -> 10)
+    val got = Corpus.assignSplit(d, "doc_id", splits)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    // total: every row labeled, labels only from the config
+    assert(got.size == 1000 && got.values.toSet == Set("train", "val", "test"))
+    // deterministic: a rerun is row-identical
+    val again = Corpus.assignSplit(d, "doc_id", splits)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(again == got)
+    // id-addressed: editing the text moves nothing between splits
+    val edited = (0L until 1000L).map(i => (i, s"REVISED $i")).toDF("doc_id", "text")
+    val gotE = Corpus.assignSplit(edited, "doc_id", splits)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(gotE == got, "content must not influence split membership")
+    // proportional within hash tolerance at n=1000
+    val counts = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts("train") > 700 && counts("train") < 900, s"train skewed: $counts")
+    assert(counts("val") > 50 && counts("val") < 160, s"val skewed: $counts")
+    // growth: new ids distribute without disturbing old assignments
+    val grown = (0L until 2000L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val gotG = Corpus.assignSplit(grown, "doc_id", splits)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(got.forall { case (k, v) => gotG(k) == v }, "growth reassigned old ids")
+    // bad configs refuse loudly
+    intercept[IllegalArgumentException](Corpus.assignSplit(d, "doc_id", Seq("a" -> 50)))
+    intercept[IllegalArgumentException](
+      Corpus.assignSplit(d, "doc_id", Seq("a" -> 50, "a" -> 50)))
+    intercept[IllegalArgumentException](
+      Corpus.assignSplit(d, "doc_id", Seq("a" -> 100, "b" -> 0)))
+  }
 }

@@ -107,6 +107,39 @@ class ScdSpec extends SparkSpec {
       "the SCD1 view must see the history replaced in its own transaction")
   }
 
+  test("ScdStream: per-batch fold ≡ pure fold; replays no-op; empty batches burn nothing") {
+    import graft.sources.AtomicWarehouse
+    import graft.streaming.ScdStream
+    import java.nio.file.Files
+    val baseSchema = StructType(Seq(StructField("k", LongType), StructField("a", StringType)))
+    val b1 = Seq((1L, "x"), (2L, "y")).toDF("k", "a")
+    val b2 = Seq((2L, "y2"), (3L, "z")).toDF("k", "a")
+    val pure = Scd.scd2Upsert(Scd.scd2Upsert(genesis, b1, Seq("k"), Seq("a"), 1L),
+      b2, Seq("k"), Seq("a"), 2L)
+    val wh = new AtomicWarehouse(spark,
+      Files.createTempDirectory("graft-scdstream-").toString)
+    val st = new ScdStream(wh, "d", Seq("k"), Seq("a"), baseSchema)
+    st.processBatch(b1, 0L)
+    st.processBatch(b2, 1L)
+    assert(rows(st.dim.history()) == rows(pure), "streamed fold diverged from pure fold")
+    // checkpoint replay of a committed batch: ledgered no-op — history
+    // files untouched, no sequence burned
+    val before = rows(st.dim.history())
+    st.processBatch(b2, 1L)
+    assert(rows(st.dim.history()) == before, "replay mutated history")
+    assert(st.dim.nextSeq() == 3L, "replay burned a sequence")
+    // an empty micro-batch ledgers but neither versions nor rewrites
+    st.processBatch(b1.filter($"k" < 0), 2L)
+    assert(rows(st.dim.history()) == before && st.dim.nextSeq() == 3L,
+      "empty batch disturbed the dimension")
+    assert(st.ingested(2L), "empty batch must still ledger (its replay would re-run)")
+    // a later real batch lands at the next sequence as if the gap never was
+    st.processBatch(Seq((1L, "x9")).toDF("k", "a"), 3L)
+    assert(rows(Scd.current(st.dim.history())).map(r => (r._1, r._2))
+      .contains(1L -> Some("x9")))
+    assert(st.dim.nextSeq() == 4L)
+  }
+
   test("a batch with duplicate keys is refused, not silently fanned out") {
     val b1 = Seq((1L, "x")).toDF("k", "a")
     val h1 = Scd.scd2Upsert(genesis, b1, Seq("k"), Seq("a"), 1L)

@@ -915,6 +915,12 @@ class TrainingOpsSpec extends SparkSpec {
     assert(codesOf(inc) == codesOf(full),
       "incremental residual encode diverged from a from-scratch build")
 
+    // composition: rerank over a RESIDUAL index — residual-ADC candidates +
+    // exact rescore hit the same C=corpus brute-force anchor as the raw path
+    assert(rows(full.topKPqRerank(queries, "vec_id", "embedding", 5, c = 500, nProbe = 8)) ==
+      rows(Similarity.bruteForceTopK(embL, queries, "vec_id", "vec_id", "embedding", 5)),
+      "C=corpus rerank over the residual index must equal brute force")
+
     // The IVFADC claim, in the configuration it was published for: real
     // cluster centroids (trained spherical k-means), trained codebooks, and
     // data that actually CLUSTERS — residual norms then sit well below
