@@ -1043,6 +1043,27 @@ object SparkEntry {
       st.dim.history().orderBy(col("s_suppkey"), col("valid_from"))
     }
 
+    // ---- row-level data-quality expectations (the P8 header validation
+    // extended to row contents — dbt-tests shape): six rules over orders,
+    // compiled into one fused aggregate scan (all row-local rules), one
+    // unique-key aggregate, and one broadcast anti-join FK probe. The
+    // range and set rules are chosen to FAIL (TPC-H totalprice exceeds
+    // 100k; status P exists) so the report proves it counts, not rubber-
+    // stamps. Exact long counts, so the oracle replays each rule as SQL
+    q("etl_expectations") = (s, dir) => {
+      val orders = t(s, dir, "orders")
+      val customer = t(s, dir, "customer")
+      import graft.operators.Expectations
+      Expectations.check(orders, Seq(
+        Expectations.NotNull("o_custkey"),
+        Expectations.Unique(Seq("o_orderkey")),
+        Expectations.RefIn("o_custkey", customer, "c_custkey"),
+        Expectations.InRange("o_totalprice", 0, 100000),
+        Expectations.InSet("o_orderstatus", Seq("O", "F")),
+        Expectations.Matches("o_orderpriority", "^[1-5]-.*")))
+        .orderBy(col("rule_id"))
+    }
+
     // ---- deterministic train/val/test split: membership is a pure
     // function of the document ID (md5Long(id) mod 100, cumulative 80/10/10
     // ranges) — reruns, engines, and corpus growth agree row-for-row, and
@@ -3199,6 +3220,38 @@ object SparkEntry {
     // the streamed history is the same fold applied per micro-batch in
     // arrival order (ledgered replays no-op), so the oracle is again shared
     "etl_scd2_stream" -> scd2Sql,
+
+    // each expectation rule restated as its SQL count; pass = zero
+    // violations. Null semantics per the operator: range/set/pattern skip
+    // nulls (NotNull's job), FK probes non-null values only
+    "etl_expectations" ->
+      """WITH t AS (SELECT count(*) AS n FROM orders),
+        |r AS (
+        | SELECT CAST(0 AS BIGINT) AS rule_id, 'not_null' AS rule, 'o_custkey' AS target,
+        |  (SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS violations
+        | UNION ALL
+        | SELECT 1, 'unique', 'o_orderkey',
+        |  (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+        | UNION ALL
+        | SELECT 2, 'ref_in', 'o_custkey',
+        |  (SELECT count(*) FROM orders o WHERE o.o_custkey IS NOT NULL
+        |    AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        | UNION ALL
+        | SELECT 3, 'in_range', 'o_totalprice',
+        |  (SELECT count(*) FROM orders WHERE o_totalprice IS NOT NULL
+        |    AND (o_totalprice < 0 OR o_totalprice > 100000))
+        | UNION ALL
+        | SELECT 4, 'in_set', 'o_orderstatus',
+        |  (SELECT count(*) FROM orders WHERE o_orderstatus IS NOT NULL
+        |    AND o_orderstatus NOT IN ('O', 'F'))
+        | UNION ALL
+        | SELECT 5, 'matches', 'o_orderpriority',
+        |  (SELECT count(*) FROM orders WHERE o_orderpriority IS NOT NULL
+        |    AND NOT regexp_matches(o_orderpriority, '^[1-5]-.*')))
+        |SELECT r.rule_id, r.rule, r.target, CAST(r.violations AS BIGINT) AS violations,
+        | CAST(t.n AS BIGINT) AS total, r.violations = 0 AS pass
+        |FROM r, t
+        |ORDER BY rule_id""".stripMargin,
 
     // split membership = md5 of the id's decimal string, first 15 hex chars
     // as a 60-bit int, mod 100 into cumulative 80/10/10 ranges — the
