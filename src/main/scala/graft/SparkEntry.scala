@@ -1064,6 +1064,31 @@ object SparkEntry {
         .orderBy(col("rule_id"))
     }
 
+    // ---- quality as a TIME SERIES: Expectations composed with the CDC
+    // reads (the IncrementalAgg cursor discipline). Three ingest commits
+    // are each measured delta-only; a cleanup REPLACE then makes the
+    // window non-append-only and the monitor rebases on the full as-of
+    // state, flagging the row — per-commit attributable quality, itself
+    // riding the same manifest log as the data
+    q("etl_quality_monitor") = (s, dir) => {
+      import graft.operators.{Expectations, QualityMonitor}
+      val orders = t(s, dir, "orders")
+      val wh = new graft.sources.AtomicWarehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-qm-").toString)
+      val rules = Seq(
+        Expectations.NotNull("o_custkey"),
+        Expectations.InRange("o_totalprice", 0, 100000),
+        Expectations.InSet("o_orderstatus", Seq("O", "F")))
+      val qm = new QualityMonitor(wh, "facts/Orders", orders.schema, rules)
+      (0 until 3).foreach { i =>
+        wh.append("facts/Orders", orders.filter(col("o_orderkey") % 3 === i))
+        qm.refresh()
+      }
+      wh.replace("facts/Orders", orders.filter(col("o_orderkey") % 3 <= 1))
+      qm.refresh()
+      qm.report().orderBy(col("to_version"), col("rule_id"))
+    }
+
     // ---- deterministic train/val/test split: membership is a pure
     // function of the document ID (md5Long(id) mod 100, cumulative 80/10/10
     // ranges) — reruns, engines, and corpus growth agree row-for-row, and
@@ -3220,6 +3245,41 @@ object SparkEntry {
     // the streamed history is the same fold applied per micro-batch in
     // arrival order (ledgered replays no-op), so the oracle is again shared
     "etl_scd2_stream" -> scd2Sql,
+
+    // four measured windows: three delta-only ingest thirds, then the
+    // cleanup replace's REBASE over the full as-of state. Window version
+    // numbers interleave with the monitor's own report commits (append v1,
+    // report v2, append v3, ... replace v7): from = 0 then 2w-1, to = 2w+1
+    "etl_quality_monitor" ->
+      """WITH src AS (
+        | SELECT 0 AS win, * FROM orders WHERE o_orderkey % 3 = 0
+        | UNION ALL SELECT 1, * FROM orders WHERE o_orderkey % 3 = 1
+        | UNION ALL SELECT 2, * FROM orders WHERE o_orderkey % 3 = 2
+        | UNION ALL SELECT 3, * FROM orders WHERE o_orderkey % 3 <= 1),
+        |agg AS (
+        | SELECT win, count(*) AS total,
+        |  count(*) FILTER (WHERE o_custkey IS NULL) AS v0,
+        |  count(*) FILTER (WHERE o_totalprice IS NOT NULL
+        |    AND (o_totalprice < 0 OR o_totalprice > 100000)) AS v1,
+        |  count(*) FILTER (WHERE o_orderstatus IS NOT NULL
+        |    AND o_orderstatus NOT IN ('O', 'F')) AS v2
+        | FROM src GROUP BY win),
+        |rules AS (SELECT * FROM (VALUES
+        |  (0, 'not_null', 'o_custkey'),
+        |  (1, 'in_range', 'o_totalprice'),
+        |  (2, 'in_set', 'o_orderstatus')) t(rule_id, rule, target)),
+        |rep AS (
+        | SELECT a.win, r.rule_id, r.rule, r.target,
+        |  CASE r.rule_id WHEN 0 THEN a.v0 WHEN 1 THEN a.v1 ELSE a.v2 END AS violations,
+        |  a.total
+        | FROM agg a CROSS JOIN rules r)
+        |SELECT CAST(CASE WHEN win = 0 THEN 0 ELSE 2 * win - 1 END AS BIGINT) AS from_version,
+        | CAST(2 * win + 1 AS BIGINT) AS to_version,
+        | win = 3 AS rebase, CAST(rule_id AS BIGINT) AS rule_id, rule, target,
+        | CAST(violations AS BIGINT) AS violations, CAST(total AS BIGINT) AS total,
+        | violations = 0 AS pass
+        |FROM rep
+        |ORDER BY to_version, rule_id""".stripMargin,
 
     // each expectation rule restated as its SQL count; pass = zero
     // violations. Null semantics per the operator: range/set/pattern skip

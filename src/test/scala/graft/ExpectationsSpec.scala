@@ -62,6 +62,42 @@ class ExpectationsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Expectations.check(clean, Nil))
   }
 
+  test("QualityMonitor: delta windows, quiet no-src windows, truncate rebase, replay no-op") {
+    import graft.operators.QualityMonitor
+    import graft.sources.AtomicWarehouse
+    import java.nio.file.Files
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val schema = StructType(Seq(StructField("k", LongType), StructField("s", StringType)))
+    val wh = new AtomicWarehouse(spark, Files.createTempDirectory("graft-qmspec-").toString)
+    val qm = new QualityMonitor(wh, "t", schema, Seq(NotNull("s")))
+    def reports = qm.report().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(6), r.getLong(7)))
+      .sortBy(_._2).toSeq
+
+    assert(qm.refresh() == 0, "nothing committed yet")
+    wh.append("t", Seq((1L, "a"), (2L, null.asInstanceOf[String])).toDF("k", "s")) // v1
+    assert(qm.refresh() == 1)                    // report commit = v2
+    assert(reports == Seq((0L, 1L, false, 1L, 2L)), s"first window wrong: $reports")
+    // re-refresh at a quiet head: the only newer commit is the monitor's own
+    // report — no src rows, NO new commit (the cursor-table ratchet trap)
+    val vBefore = wh.versions().size
+    assert(qm.refresh() == 0 && reports.size == 1)
+    assert(wh.versions().size == vBefore, "a no-op refresh must not commit")
+    // commits to OTHER tables likewise measure nothing and commit nothing
+    wh.append("u", Seq((9L, "z")).toDF("k", "s")) // v3
+    assert(qm.refresh() == 0, "no-src window must not report")
+    assert(reports.size == 1 && qm.cursor() == 1L)
+    // a clean delta reports clean — only ITS rows measured
+    wh.append("t", Seq((3L, "c")).toDF("k", "s")) // v4
+    assert(qm.refresh() == 1)
+    assert(reports.last == ((1L, 4L, false, 0L, 1L)), s"delta window wrong: $reports")
+    // truncate in the window → rebase over the full as-of state, flagged
+    wh.replace("t", Seq((1L, "a"), (3L, null.asInstanceOf[String])).toDF("k", "s")) // v6
+    assert(qm.refresh() == 1)
+    val rb = reports.last
+    assert(rb._3 && rb._4 == 1L && rb._5 == 2L, s"rebase row wrong: $rb")
+  }
+
   test("row-local rules fuse into one aggregate job over the frame") {
     // the fused pass means rule count does not multiply scans: all four
     // row-local rules resolve from ONE aggregate — assert via the listener
