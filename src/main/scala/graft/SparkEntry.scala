@@ -1122,6 +1122,91 @@ object SparkEntry {
         .orderBy(col("n_nationkey"))
     }
 
+    /** Orders laid out as four single-file o_orderkey quartile bands, each
+      * commit recording its footer min/max in the manifest — the fixture
+      * the data-skipping and row-level-DML queries share. Returns the
+      * warehouse and the quartile boundary (maxKey/4, floor).
+      */
+    def bandedOrdersWh(s: SparkSession, orders: DataFrame, tag: String)
+        : (graft.sources.AtomicWarehouse, Long) = {
+      val wh = new graft.sources.AtomicWarehouse(s,
+        java.nio.file.Files.createTempDirectory(s"graft-$tag-").toString)
+      val maxKey = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      val qtr = maxKey / 4
+      wh.append("facts/orders", orders.filter(col("o_orderkey") < qtr).coalesce(1))
+      wh.append("facts/orders", orders.filter(col("o_orderkey") >= qtr &&
+        col("o_orderkey") < qtr * 2).coalesce(1))
+      wh.append("facts/orders", orders.filter(col("o_orderkey") >= qtr * 2 &&
+        col("o_orderkey") < qtr * 3).coalesce(1))
+      wh.append("facts/orders", orders.filter(col("o_orderkey") >= qtr * 3).coalesce(1))
+      (wh, qtr)
+    }
+
+    // order-proof money: totalprice cents as exact longs
+    def centsAgg = Seq(count(lit(1)).as("n"),
+      sum(round(col("o_totalprice") * 100).cast(LongType)).as("cents"))
+
+    // ---- manifest data skipping: a one-band range scan over the banded
+    // layout. planFiles must keep exactly the covering band file and skip
+    // the other three FROM DRIVER METADATA (footer min/max riding the
+    // commit log) — the kept/skipped counts are literals in the oracle, so
+    // the driver gate verifies the pruning DECISION itself, not just the
+    // rows; scanWhere's row result ≡ a plain filter, which the oracle
+    // restates over the raw table
+    q("etl_skipping_scan") = (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+      val (wh, qtr) = bandedOrdersWh(s, orders, "skip")
+      val preds = Seq(graft.sources.ColGe("o_orderkey", qtr),
+        graft.sources.ColLt("o_orderkey", qtr * 2))
+      val (kept, skipped) = wh.planFiles("facts/orders", preds)
+      val r = wh.scanWhere("facts/orders", orders.schema, preds)
+        .agg(centsAgg.head, centsAgg.tail: _*).head()
+      Seq((kept.size, skipped.size, r.getLong(0), r.getLong(1)))
+        .toDF("files_kept", "files_skipped", "n", "cents")
+        .orderBy(col("n"))
+    }
+
+    // ---- copy-on-write DELETE: the second quartile band deleted by
+    // predicate. Stats confine the rewrite to the one covering file, the
+    // commit is remove+add in one manifest, and the pre-delete state stays
+    // readable as-of the prior version — deleted count, end state, and the
+    // time-travel read all restated by the oracle from the raw table
+    q("etl_delete_where") = (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+      val (wh, qtr) = bandedOrdersWh(s, orders, "del")
+      val headBefore = wh.versions().last
+      val deleted = wh.deleteWhere("facts/orders", orders.schema,
+        Seq(graft.sources.ColGe("o_orderkey", qtr),
+          graft.sources.ColLt("o_orderkey", qtr * 2)))
+      def cn(df: DataFrame): (Long, Long) = {
+        val r = df.agg(centsAgg.head, centsAgg.tail: _*).head(); (r.getLong(0), r.getLong(1))
+      }
+      val (an, ac) = cn(wh.read("facts/orders", orders.schema))
+      val (bn, bc) = cn(wh.readAt("facts/orders", orders.schema, headBefore))
+      Seq((deleted, an, ac, bn, bc))
+        .toDF("deleted", "after_n", "after_cents", "before_n", "before_cents")
+        .orderBy(col("deleted"))
+    }
+
+    // ---- copy-on-write UPDATE: first-quartile rows get a rewritten
+    // priority; assignments may reference the row's own columns and only
+    // the covering band file is rewritten. End-state distribution + the
+    // updated count ≡ the oracle's CASE restatement
+    q("etl_update_where") = (s, dir) => {
+      val orders = t(s, dir, "orders")
+      val (wh, qtr) = bandedOrdersWh(s, orders, "upd")
+      val updated = wh.updateWhere("facts/orders", orders.schema,
+        Seq(graft.sources.ColLt("o_orderkey", qtr)),
+        Seq("o_orderpriority" -> concat(lit("X-"), col("o_orderpriority"))))
+      wh.read("facts/orders", orders.schema)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("updated", lit(updated))
+        .orderBy(col("o_orderpriority"))
+    }
+
     // ---- the same history as a WAREHOUSE LIFECYCLE (ScdDimension): each
     // batch persists through the transactional warehouse — b1/b2 as their
     // own commits with the sequence derived from the persisted history
@@ -3333,6 +3418,47 @@ object SparkEntry {
         | 'n_nationkey,n_name' AS asof1_cols
         |FROM nation
         |ORDER BY n_nationkey""".stripMargin,
+
+    // manifest data skipping over the 4-band layout: the oracle pins BOTH
+    // the pruning decision (1 band file kept, 3 skipped — literals) and the
+    // scan's rows (a plain range filter over the raw table)
+    "etl_skipping_scan" ->
+      """WITH m AS (SELECT max(o_orderkey) // 4 AS q FROM orders)
+        |SELECT 1 AS files_kept, 3 AS files_skipped,
+        | count(*) AS n,
+        | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders, m
+        |WHERE o_orderkey >= m.q AND o_orderkey < m.q * 2
+        |ORDER BY n""".stripMargin,
+
+    // DELETE WHERE second-quartile band: deleted count, post-delete
+    // aggregate, and the as-of pre-delete aggregate, all from the raw table
+    "etl_delete_where" ->
+      """WITH m AS (SELECT max(o_orderkey) // 4 AS q FROM orders),
+        | del AS (SELECT count(*) AS d FROM orders, m
+        |         WHERE o_orderkey >= m.q AND o_orderkey < m.q * 2)
+        |SELECT CAST(del.d AS BIGINT) AS deleted,
+        | CAST((SELECT count(*) FROM orders) - del.d AS BIGINT) AS after_n,
+        | CAST((SELECT sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |       FROM orders, m
+        |       WHERE NOT (o_orderkey >= m.q AND o_orderkey < m.q * 2)) AS BIGINT) AS after_cents,
+        | CAST((SELECT count(*) FROM orders) AS BIGINT) AS before_n,
+        | CAST((SELECT sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |       FROM orders) AS BIGINT) AS before_cents
+        |FROM del
+        |ORDER BY deleted""".stripMargin,
+
+    // UPDATE WHERE first-quartile band: the CASE restatement of the
+    // rewritten priority column plus the updated-row count
+    "etl_update_where" ->
+      """WITH m AS (SELECT max(o_orderkey) // 4 AS q FROM orders)
+        |SELECT CASE WHEN o_orderkey < m.q THEN 'X-' || o_orderpriority
+        |        ELSE o_orderpriority END AS o_orderpriority,
+        | count(*) AS cnt,
+        | CAST((SELECT count(*) FROM orders, m WHERE o_orderkey < m.q) AS BIGINT) AS updated
+        |FROM orders, m
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
 
 
     // as-of read of the mv state after the second fold = a GROUP BY over

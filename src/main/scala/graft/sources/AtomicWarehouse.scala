@@ -3,7 +3,8 @@ package graft.sources
 import scala.collection.mutable.ArrayBuffer
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, lit, when}
 import org.apache.spark.sql.types.StructType
 
 /** Transactional warehouse: all-or-nothing visibility for any group of table
@@ -68,7 +69,8 @@ object AtomicWarehouse {
 
 class AtomicWarehouse(spark0: SparkSession, root0: String,
     val logFoldEvery: Int = 64,
-    val vacuumGraceMs: Long = 3600000L)
+    val vacuumGraceMs: Long = 3600000L,
+    val recordStats: Boolean = true)
     extends Warehouse(spark0, root0) {
 
   private val logDir = new Path(s"$root/_txlog")
@@ -128,10 +130,16 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     * prefix ever truncated (so `visibleFiles("t/sub")` knows the table was
     * touched even when nothing was re-added under it), plus each table's
     * LATEST recorded schema JSON (`schema` lines — written by every staged
-    * data write since schema evolution landed; absent for legacy history).
+    * data write since schema evolution landed; absent for legacy history),
+    * plus per-(table, file) column-stats JSON (`stats` lines — footer-derived
+    * min/max/null counts that [[scanWhere]]/[[deleteWhere]] prune with;
+    * absence is always safe, so legacy files simply never skip). `remove`
+    * lines un-reference SINGLE files (row-level DML's copy-on-write commits)
+    * without the prefix semantics of `truncate`.
     */
   private case class LogState(adds: Map[String, Vector[String]],
-      truncated: Set[String], schemas: Map[String, String] = Map.empty)
+      truncated: Set[String], schemas: Map[String, String] = Map.empty,
+      stats: Map[(String, String), String] = Map.empty)
 
   /** A fold races concurrent folds from OTHER instances: their snapshot
     * publish happens BEFORE they delete the superseded manifests, so when a
@@ -183,10 +191,13 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     var addSets = Map.empty[String, Set[String]]
     var truncated = Set.empty[String]
     var schemas = Map.empty[String, String]
+    var stats = Map.empty[(String, String), String]
     cfs.foreach { cf =>
       readLines(cf).foreach { line =>
-        // limit 3: a schema line's third field is JSON, opaque to the TSV
-        val f = line.split("\t", 3)
+        // limit 4: a schema line's third field and a stats line's fourth are
+        // JSON, opaque to the TSV (both are compact-jackson output, which
+        // escapes control characters — the writers additionally require it)
+        val f = line.split("\t", 4)
         f(0) match {
           case "snapshot" => // marker only; the truncate+add lines that follow rebuild state
           case "truncate" =>
@@ -198,19 +209,26 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
             addSets = addSets.map { case (k, v) =>
               (k, if (k == t || k.startsWith(t + "/")) Set.empty[String] else v)
             }
+            stats = stats.filterNot { case ((k, _), _) => k == t || k.startsWith(t + "/") }
           case "add" =>
             val set = addSets.getOrElse(f(1), Set.empty)
             if (!set.contains(f(2))) {
               adds += (f(1) -> (adds.getOrElse(f(1), Vector.empty) :+ f(2)))
               addSets += (f(1) -> (set + f(2)))
             }
+          case "remove" =>
+            adds += (f(1) -> adds.getOrElse(f(1), Vector.empty).filterNot(_ == f(2)))
+            addSets += (f(1) -> (addSets.getOrElse(f(1), Set.empty) - f(2)))
+            stats -= ((f(1), f(2)))
           case "schema" =>
             schemas += (f(1) -> f(2)) // last line per table wins
+          case "stats" =>
+            stats += ((f(1), f(2)) -> f(3))
           case other => throw new IllegalStateException(s"unknown txlog action '$other' in $cf")
         }
       }
     }
-    val st = LogState(adds, truncated, schemas)
+    val st = LogState(adds, truncated, schemas, stats)
     if (updateCache) foldCache = (key, st)
     st
   }
@@ -447,15 +465,21 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
         case _: java.io.FileNotFoundException => return false
       }
     val tables = parsed.collect {
-      case l if l.startsWith("add\t") || l.startsWith("truncate\t") => l.split('\t')(1)
+      case l if l.startsWith("add\t") || l.startsWith("truncate\t") ||
+        l.startsWith("remove\t") => l.split('\t')(1)
     }.distinct
     // last schema line per table survives the fold: a snapshot subsumes the
     // manifests before it, and dropping the lines would amnesia every
     // table's recorded shape (schemaAt/readAt-without-schema break)
     var schemaMap = Map.empty[String, String]
+    // last stats line per (table, file) likewise — dropping them would turn
+    // every vacuum/auto-fold into a silent skipping-regression for old files
+    var statsMap = Map.empty[(String, String), String]
     parsed.foreach { l =>
       if (l.startsWith("schema\t")) {
         val f = l.split("\t", 3); schemaMap += (f(1) -> f(2))
+      } else if (l.startsWith("stats\t")) {
+        val f = l.split("\t", 4); statsMap += ((f(1), f(2)) -> f(3))
       }
     }
     // ALL truncate lines precede ALL add lines. Truncate applies by PREFIX,
@@ -463,9 +487,12 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     // per-batch delete("staging/<src>")) land AFTER a still-visible child's
     // adds whenever the child appeared first in the log — and the next refold
     // of that snapshot would silently clear the child's files.
+    val visibleNow = tables.map(t => t -> visibleFiles(t).getOrElse(Nil)).toMap
     val lines = ("snapshot" +: tables.map(t => s"truncate\t$t")) ++
-      tables.flatMap(t => visibleFiles(t).getOrElse(Nil).map(f => s"add\t$t\t$f")) ++
-      schemaMap.toSeq.sortBy(_._1).map { case (t, j) => s"schema\t$t\t$j" }
+      tables.flatMap(t => visibleNow(t).map(f => s"add\t$t\t$f")) ++
+      schemaMap.toSeq.sortBy(_._1).map { case (t, j) => s"schema\t$t\t$j" } ++
+      tables.flatMap(t => visibleNow(t).flatMap(f =>
+        statsMap.get((t, f)).map(j => s"stats\t$t\t$f\t$j")))
     publishAt(lines, versionOf(old.last) + 1, snapshot = true)
   }
 
@@ -478,7 +505,9 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
   private case class Staged(table: String, truncate: Boolean,
       stageDir: Option[Path], partitioned: Boolean,
       expected: Option[Seq[String]] = None,
-      schemaJson: Option[String] = None)
+      schemaJson: Option[String] = None,
+      removes: Seq[String] = Nil,
+      requirePresent: Option[Seq[String]] = None)
 
   private class Tx {
     val txid: String = java.util.UUID.randomUUID().toString
@@ -520,7 +549,8 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
   private class TxView(tx: Tx) extends Warehouse(spark0, root0) {
     private def stage(table: String, truncate: Boolean, partitioned: Boolean,
         write: Option[Path => Unit], expected: Option[Seq[String]] = None,
-        schemaOf: Option[StructType] = None): Unit = {
+        schemaOf: Option[StructType] = None, removes: Seq[String] = Nil,
+        requirePresent: Option[Seq[String]] = None): Unit = {
       val dirOpt = write.map { w =>
         val d = tx.synchronized(tx.nextStageDir())
         withRetry()(w(d))
@@ -533,7 +563,8 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       json.foreach(j => require(!j.contains('\t') && !j.contains('\n'),
         s"schema JSON for $table contains TSV control characters"))
       tx.synchronized(tx.entries +=
-        Staged(table, truncate, dirOpt, partitioned, expected, json))
+        Staged(table, truncate, dirOpt, partitioned, expected, json,
+          removes, requirePresent))
     }
 
     /** Conflict-checked replace for read-modify-write maintenance
@@ -547,6 +578,22 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       stage(table, truncate = true, partitioned = false,
         Some(d => df.write.mode(SaveMode.Overwrite).parquet(d.toString)),
         expected = Some(expected), schemaOf = Some(df.schema))
+
+    /** Copy-on-write file rewrite for row-level DML ([[AtomicWarehouse
+      * .deleteWhere]]/[[AtomicWarehouse.updateWhere]]): un-reference exactly
+      * `removedFiles` (single-file `remove` lines, no truncate semantics) and
+      * add `df`'s files in the same commit. The precondition requires every
+      * removed file to still be visible at publish time — a racing compaction
+      * or replace that rewrote them aborts this commit (the rewrite would
+      * resurrect rows it had already folded elsewhere); racing APPENDS are
+      * untouched and unaffected.
+      */
+    private[sources] def rewriteExcluding(table: String, removedFiles: Seq[String],
+        df: DataFrame): Unit =
+      stage(table, truncate = false, partitioned = false,
+        Some(d => df.write.mode(SaveMode.Overwrite).parquet(d.toString)),
+        schemaOf = Some(df.schema), removes = removedFiles,
+        requirePresent = Some(removedFiles))
 
     override def append(table: String, df: DataFrame): Unit =
       stage(table, truncate = false, partitioned = false,
@@ -578,6 +625,9 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       if (staged.exists(_.partitioned))
         throw new UnsupportedOperationException(
           s"read-your-own-writes over a staged PARTITIONED append to $table is not supported")
+      if (staged.exists(_.removes.nonEmpty))
+        throw new UnsupportedOperationException(
+          s"read-your-own-writes over a staged file REWRITE of $table is not supported")
       var files = committedOrPhysical(table).map(f => s"${path(table)}/$f")
       staged.foreach { e =>
         if (e.truncate) files = Nil
@@ -637,17 +687,28 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     // its to publish (adopting them here would double-add the file — rows
     // duplicated for every reader); raw legacy files (Spark part-*) never
     // carry the prefix, so adoption still captures all of them.
+    // footer-derived column stats for one just-landed (or adopted) file —
+    // Try-guarded: stats are an optimization and must never fail a commit,
+    // and any JSON that would corrupt the TSV is dropped rather than written
+    def statsLine(table: String, rel: String): Option[String] =
+      if (!recordStats) None
+      else FileStatsRec.fromFooter(new Path(path(table), rel),
+          spark.sparkContext.hadoopConfiguration)
+        .map(_.toJson)
+        .filter(j => !j.contains('\t') && !j.contains('\n'))
+        .map(j => s"stats\t$table\t$rel\t$j")
     tx.entries.groupBy(_.table).foreach { case (t, es) =>
       if (!es.head.truncate && visibleFiles(t).isEmpty) // isEmpty: None = no history
         stagedDataFiles(new Path(path(t)))
           .filterNot(_.split('/').last.startsWith("tx-"))
-          .foreach(f => lines += s"add\t$t\t$f")
+          .foreach { f => lines += s"add\t$t\t$f"; statsLine(t, f).foreach(lines += _) }
     }
     tx.entries.zipWithIndex.foreach { case (e, i) =>
       if (e.truncate) {
         lines += s"truncate\t${e.table}"
         if (e.stageDir.isEmpty) deletesAfter += e.table
       }
+      e.removes.foreach(f => lines += s"remove\t${e.table}\t$f")
       e.stageDir.foreach { d =>
         val tdir = new Path(path(e.table))
         fs.mkdirs(tdir)
@@ -664,6 +725,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
           if (!fs.rename(new Path(d, rel), dest))
             throw new java.io.IOException(s"staging move failed for ${e.table}/$destRel")
           lines += s"add\t${e.table}\t$destRel"
+          statsLine(e.table, destRel).foreach(lines += _)
         }
       }
       // the write's schema, recorded beside its adds: the fold keeps the
@@ -684,10 +746,19 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     val checks = tx.entries.collect {
       case e if e.expected.isDefined => (e.table, e.expected.get.sorted)
     }.toSeq
+    // subset checks from rewriteExcluding: every file this commit REMOVES
+    // must still be visible — a racing truncate/compaction that already
+    // folded those rows elsewhere makes this rewrite resurrect them
+    val presentChecks = tx.entries.collect {
+      case e if e.requirePresent.isDefined => (e.table, e.requirePresent.get)
+    }.toSeq
     if (lines.nonEmpty) publish(lines.toSeq,
       precondition = () => checks.forall { case (t, exp) =>
         committedOrPhysical(t)
           .filterNot(_.split('/').last.startsWith(ownTx)).sorted == exp
+      } && presentChecks.forall { case (t, req) =>
+        val vis = committedOrPhysical(t).toSet
+        req.forall(vis.contains)
       })
     fs.delete(new Path(stageRoot, tx.txid), true)
     // physical delete AFTER the commit is visible: a crash before this point
@@ -821,11 +892,12 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
         "the change window is no longer reconstructible")
     val truncatedInWindow = window.filterNot(isSnapshot).exists(cf =>
       readLines(cf).exists { line =>
-        val f = line.split('\t')
-        f(0) == "truncate" && (table == f(1) || table.startsWith(f(1) + "/"))
+        val f = line.split("\t", 4)
+        (f(0) == "truncate" && (table == f(1) || table.startsWith(f(1) + "/"))) ||
+          (f(0) == "remove" && f(1) == table) // row-level DML rewrote files
       })
     if (truncatedInWindow) throw new IllegalStateException(
-      s"$table was truncated inside ($fromVersion,$toVersion]; " +
+      s"$table was truncated or row-rewritten inside ($fromVersion,$toVersion]; " +
         "the window is not append-only and file diff != row diff")
     val before = stateAt(fromVersion).adds.getOrElse(table, Vector.empty).toSet
     val added = stateAt(toVersion).adds.getOrElse(table, Vector.empty)
@@ -865,11 +937,137 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     if (files.sorted == expected) return // already that state — nothing to commit
     // the restored version's recorded SHAPE comes back with its files —
     // without this line the table would keep the newer schema label over
-    // the older data it just restored
+    // the older data it just restored; per-file stats likewise (skipping
+    // would otherwise silently stop working for the restored files)
     val lines = (s"truncate\t$table" +: files.map(f => s"add\t$table\t$f")) ++
-      st.schemas.get(table).map(j => s"schema\t$table\t$j").toSeq
+      st.schemas.get(table).map(j => s"schema\t$table\t$j").toSeq ++
+      files.flatMap(f => st.stats.get((table, f)).map(j => s"stats\t$table\t$f\t$j"))
     publish(lines,
       precondition = () => committedOrPhysical(table).sorted == expected)
+  }
+
+  // ---- data skipping & row-level DML ---------------------------------------
+
+  /** Parsed footer-derived column stats for each of a table's visible files
+    * (files with no recorded stats are absent — legacy history, un-decodable
+    * column types). Observability surface for specs and tools; scans go
+    * through [[planFiles]].
+    */
+  def fileStats(table: String): Map[String, FileStatsRec] = {
+    val st = foldedState()
+    st.adds.getOrElse(table, Vector.empty).flatMap(f =>
+      st.stats.get((table, f)).map(j => f -> FileStatsRec.fromJson(j))).toMap
+  }
+
+  /** Partition a table's readable files into (kept, skipped) under a
+    * predicate conjunction: a `skipped` file provably contains no matching
+    * row (manifest min/max/null-count stats — [[FileStatsRec.mayContain]]).
+    * Files without stats are always kept, so skipping can only ever remove
+    * I/O, never rows.
+    */
+  def planFiles(table: String, preds: Seq[FilePred]): (Seq[String], Seq[String]) = {
+    val st = foldedState()
+    committedOrPhysical(table).partition { f =>
+      st.stats.get((table, f)) match {
+        case Some(j) => FileStatsRec.fromJson(j).mayContainAll(preds)
+        case None => true
+      }
+    }
+  }
+
+  /** Predicate scan with manifest-level data skipping: only files that may
+    * contain matching rows are OPENED (parquet row-group pruning then
+    * applies within them via the pushed filter); the exact row filter is
+    * applied either way, so the result is identical to `read().filter(...)`
+    * whatever the stats say. At 100 TB and a tight range predicate this is
+    * the difference between footer-reading every file of the table and
+    * opening the handful the manifest says can match — pruning happens on
+    * the DRIVER from metadata already in memory, before any task launches.
+    */
+  def scanWhere(table: String, schema: StructType, preds: Seq[FilePred]): DataFrame = {
+    val cond = FilePred.toColumn(preds, schema)
+    val (kept, _) = planFiles(table, preds)
+    if (kept.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.option("basePath", path(table)).schema(schema)
+      .parquet(kept.map(f => s"${path(table)}/$f"): _*).filter(cond)
+  }
+
+  /** `DELETE FROM table WHERE <conjunction>`, copy-on-write: stats-prune to
+    * the candidate files, rewrite ONLY those with their matching rows
+    * dropped, and commit single-file `remove` lines plus the rewritten adds
+    * in one manifest — untouched files are never rewritten or even opened.
+    * Returns the deleted row count. SQL three-valued semantics: rows where
+    * the predicate evaluates NULL survive (DELETE removes WHERE-true rows
+    * only). Retries up to 8 lost races against concurrent commits that
+    * rewrote a candidate file (compaction/replace); concurrent APPENDS are
+    * never blocked or lost. Time travel composes — `readAt` before the
+    * delete's version still reconstructs the removed rows (until [[vacuum]]
+    * collects the un-referenced files), and [[appendsBetween]] refuses
+    * windows crossing the delete (file diff != row diff there).
+    */
+  def deleteWhere(table: String, schema: StructType, preds: Seq[FilePred]): Long =
+    rewriteWhere(table, schema, preds, { case (df, hit) => df.filter(hit === false) })
+
+  /** `UPDATE table SET ... WHERE <conjunction>`, copy-on-write on the
+    * candidate files only. Assignment expressions may reference the row's
+    * own columns; each is cast back to the column's declared type so the
+    * table schema is stable under updates. Returns the updated row count.
+    * Same conflict/time-travel contract as [[deleteWhere]].
+    */
+  def updateWhere(table: String, schema: StructType, preds: Seq[FilePred],
+      sets: Seq[(String, Column)]): Long = {
+    require(sets.nonEmpty, "updateWhere with no assignments")
+    sets.foreach { case (c, _) =>
+      require(schema.fieldNames.contains(c), s"unknown column '$c' in updateWhere SET") }
+    val setMap = sets.toMap
+    rewriteWhere(table, schema, preds, { case (df, hit) =>
+      df.select(schema.fields.toSeq.map { f =>
+        setMap.get(f.name) match {
+          case Some(expr) => when(hit, expr.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }: _*)
+    })
+  }
+
+  /** Shared copy-on-write core: candidates → matched count → rewrite →
+    * remove+add commit. `rewrite(df, hit)` produces the candidate files'
+    * replacement rows (delete: the non-matching survivors; update: all rows
+    * with assignments applied where `hit`). Candidate files are immutable,
+    * so the matched count and the rewrite read the same bytes; the commit
+    * precondition aborts if a racing commit un-referenced a candidate.
+    */
+  private def rewriteWhere(table: String, schema: StructType, preds: Seq[FilePred],
+      rewrite: ((DataFrame, Column)) => DataFrame): Long = {
+    val cond = FilePred.toColumn(preds, schema)
+    var attempts = 0
+    while (attempts < 8) {
+      val (cands, _) = planFiles(table, preds)
+      require(cands.forall(!_.contains("/")),
+        s"row-level DML on partition-dir layouts is not supported (table $table); " +
+          "rewrite the affected partition via replace/compactWith instead")
+      if (cands.isEmpty) return 0L
+      val df = spark.read.option("basePath", path(table)).schema(schema)
+        .parquet(cands.map(f => s"${path(table)}/$f"): _*)
+      val hit = coalesce(cond, lit(false))
+      val matched = df.filter(hit).count()
+      if (matched == 0L) return 0L
+      val out = rewrite((df, hit))
+      try {
+        atomically {
+          case tv: TxView => tv.rewriteExcluding(table, cands, out)
+          case w => throw new IllegalStateException( // unreachable: atomically always hands a TxView
+            s"AtomicWarehouse.atomically produced a ${w.getClass.getName}")
+        }
+        return matched
+      } catch {
+        case _: java.util.ConcurrentModificationException => attempts += 1
+      }
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"row-level DML on $table lost $attempts straight races to concurrent " +
+        "commits; table is intact — retry when the writer is quieter")
   }
 
   /** Fold the log as of `version`: manifests ≤ `version`, starting at the

@@ -1,0 +1,335 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types.{DataType, DateType, StructType, TimestampType}
+
+/** File-level predicates a manifest-stats scan can prune with — the
+  * deliberately small comparison algebra (>=, >, <=, <, =, AND) whose
+  * file-exclusion decision is decidable from per-file min/max/null-count
+  * alone. Each predicate is BOTH the pruning rule and (via [[FilePred.toColumn]])
+  * the exact row filter applied after pruning, so a scan built from these can
+  * never return different rows than an unpruned scan + filter — skipping only
+  * decides which files are opened.
+  *
+  * Values may be Byte/Short/Int/Long/Float/Double (numeric columns), String
+  * (string columns; also DATE columns as ISO `yyyy-MM-dd`, TIMESTAMP columns
+  * via cast), java.time.LocalDate / java.sql.Date (DATE), java.time.Instant /
+  * java.sql.Timestamp (TIMESTAMP). A value/stat type mismatch makes pruning
+  * conservatively keep the file — the row filter still applies.
+  */
+sealed trait FilePred { def colName: String; def value: Any }
+case class ColGe(colName: String, value: Any) extends FilePred
+case class ColGt(colName: String, value: Any) extends FilePred
+case class ColLe(colName: String, value: Any) extends FilePred
+case class ColLt(colName: String, value: Any) extends FilePred
+case class ColEq(colName: String, value: Any) extends FilePred
+
+object FilePred {
+  /** The exact row-filter Column for a conjunction of predicates. String
+    * values against DATE/TIMESTAMP columns are cast (the lit would otherwise
+    * compare as string); everything else relies on Spark's numeric coercion,
+    * which agrees with the BigDecimal-exact stats comparison.
+    */
+  def toColumn(preds: Seq[FilePred], schema: StructType): Column = {
+    require(preds.nonEmpty, "empty predicate list — use read() for a full scan")
+    preds.map(one(_, schema)).reduce(_ && _)
+  }
+
+  private def one(p: FilePred, schema: StructType): Column = {
+    val dt = schema(p.colName).dataType
+    val c = col(p.colName)
+    val l = litFor(p.value, dt)
+    p match {
+      case _: ColGe => c >= l
+      case _: ColGt => c > l
+      case _: ColLe => c <= l
+      case _: ColLt => c < l
+      case _: ColEq => c === l
+    }
+  }
+
+  private def litFor(v: Any, dt: DataType): Column = v match {
+    case s: String if dt == DateType || dt == TimestampType => lit(s).cast(dt)
+    case ld: java.time.LocalDate => lit(java.sql.Date.valueOf(ld))
+    case i: java.time.Instant => lit(java.sql.Timestamp.from(i))
+    case other => lit(other)
+  }
+}
+
+/** Per-column stats of one data file, decoded from its parquet footer.
+  * `tag`: "i" integral (Long), "f" floating (Double), "s" string (String,
+  * UTF-8 byte order), "d" date (ISO string), "t" timestamp (epoch micros
+  * Long). `nulls` is -1 when unknown. min/max are None when the footer had
+  * no usable values (all-null file, missing stats, NaN) — absence always
+  * means "cannot skip", never "skip".
+  */
+case class ColStats(tag: String, nulls: Long, min: Option[Any], max: Option[Any])
+
+case class FileStatsRec(rows: Long, cols: Map[String, ColStats]) {
+
+  /** False ⇒ NO row of this file can satisfy `pred` — the skip decision.
+    * Sound under SQL three-valued logic because every predicate here is
+    * null-rejecting: a file whose column is entirely null satisfies nothing.
+    * Unknown stats, type mismatches, or an untracked column keep the file.
+    */
+  def mayContain(pred: FilePred): Boolean = if (rows == 0L) false
+  else cols.get(pred.colName) match {
+    // a zero-row file (an empty append, a delete's empty rewrite) has no
+    // footer blocks and therefore NO column entries — without the rows==0
+    // short-circuit above it would never be skippable
+    case None => true
+    case Some(cs) =>
+      if (cs.nulls >= 0 && cs.nulls == rows) false
+      else (cs.min, cs.max) match {
+        case (Some(mn), Some(mx)) =>
+          def cmpMin = FileStatsRec.cmp(mn, pred.value, cs.tag)
+          def cmpMax = FileStatsRec.cmp(mx, pred.value, cs.tag)
+          pred match {
+            case _: ColGe => cmpMax.forall(_ >= 0)
+            case _: ColGt => cmpMax.forall(_ > 0)
+            case _: ColLe => cmpMin.forall(_ <= 0)
+            case _: ColLt => cmpMin.forall(_ < 0)
+            case _: ColEq => cmpMin.forall(_ <= 0) && cmpMax.forall(_ >= 0)
+          }
+        case _ => true
+      }
+  }
+
+  def mayContainAll(preds: Seq[FilePred]): Boolean = preds.forall(mayContain)
+
+  def toJson: String = {
+    import org.json4s.JsonDSL._
+    import org.json4s._
+    val colsJ = JObject(cols.toList.sortBy(_._1).map { case (c, cs) =>
+      val base = List[JField]("t" -> JString(cs.tag), "n" -> JLong(cs.nulls))
+      val mm = (cs.min, cs.max) match {
+        case (Some(mn), Some(mx)) =>
+          List[JField]("min" -> FileStatsRec.valJson(mn), "max" -> FileStatsRec.valJson(mx))
+        case _ => Nil
+      }
+      c -> JObject(base ++ mm)
+    })
+    org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(
+        JObject("rows" -> JLong(rows), "cols" -> colsJ)))
+  }
+}
+
+object FileStatsRec {
+  import org.json4s._
+
+  private[sources] def valJson(v: Any): JValue = v match {
+    case l: Long => JLong(l)
+    case d: Double => JDouble(d)
+    case s: String => JString(s)
+    case other => JString(other.toString)
+  }
+
+  /** Ordering used by the skip decision: stat value (already normalized per
+    * tag) vs predicate value. None = incomparable (type mismatch) — caller
+    * keeps the file. Numeric comparisons go through exact BigDecimal (no
+    * long→double rounding traps); strings compare as unsigned UTF-8 bytes,
+    * matching BOTH parquet's min/max ordering and Spark's UTF8String
+    * comparison, so the skip decision and the row filter can never disagree.
+    */
+  private[sources] def cmp(stat: Any, predVal: Any, tag: String): Option[Int] = tag match {
+    case "i" | "f" | "t" =>
+      for {
+        a <- asBigDec(stat)
+        b <- tag match {
+          case "t" => asMicros(predVal).map(m => new java.math.BigDecimal(m))
+          case _ => asBigDec(predVal)
+        }
+      } yield a.compareTo(b)
+    case "s" =>
+      predVal match {
+        case s: String => Some(utf8Cmp(stat.asInstanceOf[String], s))
+        case _ => None
+      }
+    case "d" =>
+      asIsoDate(predVal).map(d => stat.asInstanceOf[String].compareTo(d))
+    case _ => None
+  }
+
+  private def asBigDec(v: Any): Option[java.math.BigDecimal] = v match {
+    case b: Byte => Some(java.math.BigDecimal.valueOf(b.toLong))
+    case s: Short => Some(java.math.BigDecimal.valueOf(s.toLong))
+    case i: Int => Some(java.math.BigDecimal.valueOf(i.toLong))
+    case l: Long => Some(java.math.BigDecimal.valueOf(l))
+    case f: Float => if (f.isNaN || f.isInfinite) None else Some(new java.math.BigDecimal(f.toDouble))
+    case d: Double => if (d.isNaN || d.isInfinite) None else Some(new java.math.BigDecimal(d))
+    case _ => None
+  }
+
+  private def asMicros(v: Any): Option[Long] = v match {
+    case l: Long => Some(l)
+    case i: java.time.Instant => Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+    case t: java.sql.Timestamp =>
+      Some(java.lang.Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L)
+    case _ => None
+  }
+
+  private def asIsoDate(v: Any): Option[String] = v match {
+    case s: String if s.matches("\\d{4}-\\d{2}-\\d{2}") => Some(s)
+    case d: java.sql.Date => Some(d.toLocalDate.toString)
+    case ld: java.time.LocalDate => Some(ld.toString)
+    case _ => None
+  }
+
+  private def utf8Cmp(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(a.getBytes(UTF_8), b.getBytes(UTF_8))
+
+  def fromJson(json: String): FileStatsRec = {
+    val jv = org.json4s.jackson.JsonMethods.parse(json)
+    def num(j: JValue): Long = j match {
+      case JLong(l) => l
+      case JInt(i) => i.toLong
+      case other => throw new IllegalArgumentException(s"expected integer, got $other")
+    }
+    val rows = num(jv \ "rows")
+    val cols = (jv \ "cols") match {
+      case JObject(fields) => fields.map { case (c, cj) =>
+        val tag = (cj \ "t") match { case JString(s) => s; case o => throw new IllegalArgumentException(s"bad tag $o") }
+        val nulls = num(cj \ "n")
+        def decode(j: JValue): Option[Any] = (tag, j) match {
+          case (_, JNothing) => None
+          case ("i" | "t", v) => Some(num(v))
+          case ("f", JDouble(d)) => Some(d)
+          case ("f", JLong(l)) => Some(l.toDouble)
+          case ("f", JInt(i)) => Some(i.toDouble)
+          case ("s" | "d", JString(s)) => Some(s)
+          case _ => None
+        }
+        val mn = decode(cj \ "min")
+        val mx = decode(cj \ "max")
+        // both-or-neither: a lone bound came from a malformed line — drop
+        c -> (if (mn.isDefined && mx.isDefined) ColStats(tag, nulls, mn, mx)
+              else ColStats(tag, nulls, None, None))
+      }.toMap
+      case _ => Map.empty[String, ColStats]
+    }
+    FileStatsRec(rows, cols)
+  }
+
+  /** Decode one data file's column stats from its parquet FOOTER — a
+    * bytes-sized metadata read, never the data pages. Chunk-level parquet
+    * statistics are exact for the types decoded here (string truncation, when
+    * a writer configures it, keeps bounds conservative by contract —
+    * parquet-format Statistics). Columns whose physical/logical type is
+    * outside the algebra (decimals, nested, INT96, booleans) are simply not
+    * recorded: absent stats never skip. Returns None when the footer cannot
+    * be read — stats are an optimization and their absence must never fail a
+    * commit.
+    */
+  def fromFooter(p: Path, conf: Configuration): Option[FileStatsRec] = {
+    val reader = try ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+    catch { case _: Exception => return None }
+    try {
+      val blocks = reader.getFooter.getBlocks
+      import scala.jdk.CollectionConverters._
+      val rows = blocks.asScala.map(_.getRowCount).sum
+      // per column: (tag, nulls, nullsOk, min, max, mmOk)
+      val acc = scala.collection.mutable.LinkedHashMap[String, (String, Long, Boolean, Option[Any], Option[Any], Boolean)]()
+      blocks.asScala.foreach { block =>
+        block.getColumns.asScala.foreach { cc =>
+          val pathArr = cc.getPath.toArray
+          if (pathArr.length == 1) {
+            val name = pathArr(0)
+            tagOf(cc.getPrimitiveType).foreach { decodeTag =>
+              // "tm" drives the millis→micros decode only; stored tag is "t"
+              val tag = if (decodeTag == "tm") "t" else decodeTag
+              val st = cc.getStatistics
+              val prev = acc.getOrElse(name, (tag, 0L, true, None: Option[Any], None: Option[Any], true))
+              val next =
+                if (st == null || !st.isNumNullsSet) (tag, prev._2, false, prev._4, prev._5, false)
+                else {
+                  val nulls = prev._2 + st.getNumNulls
+                  if (st.hasNonNullValue) {
+                    decodeMinMax(st, cc.getPrimitiveType, decodeTag) match {
+                      case Some((mn, mx)) =>
+                        val nmn = prev._4.map(m => if (ge(m, mn, tag)) mn else m).orElse(Some(mn))
+                        val nmx = prev._5.map(m => if (ge(mx, m, tag)) mx else m).orElse(Some(mx))
+                        (tag, nulls, prev._3, nmn, nmx, prev._6)
+                      case None => (tag, nulls, prev._3, prev._4, prev._5, false)
+                    }
+                  } else if (st.getNumNulls == block.getRowCount)
+                    (tag, nulls, prev._3, prev._4, prev._5, prev._6) // all-null block: no bound to merge
+                  else (tag, nulls, prev._3, prev._4, prev._5, false) // values exist but no stats
+                }
+              acc(name) = next
+            }
+          }
+        }
+      }
+      val cols = acc.collect {
+        case (c, (tag, nulls, nullsOk, mn, mx, mmOk)) if nullsOk || mmOk =>
+          c -> ColStats(tag, if (nullsOk) nulls else -1L,
+            if (mmOk) mn else None, if (mmOk) mx else None)
+      }.toMap
+      Some(FileStatsRec(rows, cols))
+    } catch { case _: Exception => None }
+    finally reader.close()
+  }
+
+  private def ge(a: Any, b: Any, tag: String): Boolean = cmp(a, b, tag).exists(_ >= 0)
+
+  private def tagOf(pt: org.apache.parquet.schema.PrimitiveType): Option[String] = {
+    val logical = pt.getLogicalTypeAnnotation
+    pt.getPrimitiveTypeName match {
+      case INT32 => logical match {
+        case null => Some("i")
+        case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => Some("d")
+        case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation if i.isSigned => Some("i")
+        case _ => None
+      }
+      case INT64 => logical match {
+        case null => Some("i")
+        case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          ts.getUnit match {
+            case LogicalTypeAnnotation.TimeUnit.MICROS => Some("t")
+            case LogicalTypeAnnotation.TimeUnit.MILLIS => Some("tm")
+            case _ => None
+          }
+        case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation if i.isSigned => Some("i")
+        case _ => None
+      }
+      case FLOAT | DOUBLE => Some("f")
+      case BINARY => logical match {
+        case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation => Some("s")
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  private def decodeMinMax(st: org.apache.parquet.column.statistics.Statistics[_],
+      pt: org.apache.parquet.schema.PrimitiveType, tag: String): Option[(Any, Any)] = {
+    def one(v: Any): Option[Any] = (tag, v) match {
+      case ("i", i: java.lang.Integer) => Some(i.longValue)
+      case ("i", l: java.lang.Long) => Some(l.longValue)
+      case ("d", i: java.lang.Integer) => Some(java.time.LocalDate.ofEpochDay(i.longValue).toString)
+      case ("t", l: java.lang.Long) => Some(l.longValue)
+      case ("tm", l: java.lang.Long) => Some(l.longValue * 1000L) // millis → micros
+      case ("f", f: java.lang.Float) =>
+        if (f.isNaN || f.isInfinite) None else Some(f.doubleValue)
+      case ("f", d: java.lang.Double) =>
+        if (d.isNaN || d.isInfinite) None else Some(d.doubleValue)
+      case ("s", b: Binary) => Some(new String(b.getBytes, UTF_8))
+      case _ => None
+    }
+    for {
+      mn <- one(st.genericGetMin)
+      mx <- one(st.genericGetMax)
+    } yield (mn, mx)
+  }
+}

@@ -1,0 +1,229 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.{AtomicWarehouse, ColEq, ColGe, ColGt, ColLe, ColLt, FilePred, Warehouse}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType, TimestampType}
+
+/** Manifest-level data skipping (footer-derived per-file column stats riding
+  * the commit log) and copy-on-write row-level DML (`deleteWhere` /
+  * `updateWhere` via single-file `remove` actions). The contract under test:
+  * skipping only ever removes I/O, never rows (scanWhere ≡ read+filter,
+  * bit-exact); DML rewrites ONLY the candidate files; both compose with the
+  * existing time-travel / CDC / restore / vacuum machinery.
+  */
+class DmlSkippingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val kv = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("v", StringType, nullable = true)))
+
+  private val idVal = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("x", DoubleType, nullable = true)))
+
+  private def newWh() =
+    new AtomicWarehouse(spark, Files.createTempDirectory("graft-dml-").toString)
+
+  /** Three single-file commits with disjoint id bands [0,10), [10,20), [20,30). */
+  private def banded(wh: AtomicWarehouse, table: String = "t"): Unit =
+    (0 until 3).foreach { b =>
+      wh.append(table, (b * 10 until (b + 1) * 10).map(i => (i.toLong, s"v$i"))
+        .toDF("id", "v").coalesce(1))
+    }
+
+  test("stats are recorded at commit and planFiles prunes disjoint bands") {
+    val wh = newWh()
+    banded(wh)
+    val stats = wh.fileStats("t")
+    assert(stats.size == 3, s"expected stats for all 3 files, got ${stats.keySet}")
+    assert(stats.values.forall(_.rows == 10))
+    val idStats = stats.values.map(_.cols("id")).toSeq
+    assert(idStats.map(s => (s.min.get, s.max.get)).toSet ==
+      Set((0L, 9L), (10L, 19L), (20L, 29L)))
+    // middle band only
+    val (kept, skipped) = wh.planFiles("t", Seq(ColGe("id", 10L), ColLt("id", 20L)))
+    assert(kept.size == 1 && skipped.size == 2)
+    // nothing can match
+    val (k2, s2) = wh.planFiles("t", Seq(ColGt("id", 1000L)))
+    assert(k2.isEmpty && s2.size == 3)
+    // string stats prune too (UTF-8 order; all values start "v")
+    val (k3, s3) = wh.planFiles("t", Seq(ColLt("v", "a")))
+    assert(k3.isEmpty && s3.size == 3)
+  }
+
+  test("scanWhere ≡ read+filter regardless of pruning; empty plan is empty frame") {
+    val wh = newWh()
+    banded(wh)
+    val preds = Seq(ColGe("id", 5L), ColLe("id", 24L))
+    val viaScan = wh.scanWhere("t", kv, preds).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val viaRead = wh.read("t", kv).filter(col("id") >= 5 && col("id") <= 24)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(viaScan == viaRead && viaScan.size == 20)
+    assert(wh.scanWhere("t", kv, Seq(ColEq("id", -1L))).isEmpty)
+  }
+
+  test("all-null and zero-row files are skipped; null stats never lose rows") {
+    val wh = newWh()
+    wh.append("n", Seq((1L, Option.empty[Double]), (2L, Option.empty[Double]))
+      .toDF("id", "x").coalesce(1))                      // x entirely null
+    wh.append("n", Seq((3L, Some(7.5)), (4L, Some(9.0))).toDF("id", "x").coalesce(1))
+    wh.append("n", spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], idVal).coalesce(1))
+    val (kept, skipped) = wh.planFiles("n", Seq(ColGe("x", 0.0)))
+    assert(kept.size == 1, s"only the file with x values may survive, kept=$kept")
+    assert(skipped.size >= 1) // all-null file must be skipped (empty file may write 0 files)
+    val got = wh.scanWhere("n", idVal, Seq(ColGe("x", 0.0)))
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(3L, 4L))
+  }
+
+  test("timestamp stats prune with Instant/Timestamp predicates") {
+    val wh = newWh()
+    val sch = StructType(Seq(StructField("id", LongType, nullable = false),
+      StructField("ts", TimestampType, nullable = true)))
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // Spark's legacy INT96 timestamp encoding has spec-invalid parquet stats
+    // (correctly untracked — no pruning); modern TIMESTAMP_MICROS is what
+    // pyarrow/the table formats write and what the stats algebra covers
+    val key = "spark.sql.parquet.outputTimestampType"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try {
+      wh.append("e", Seq((1L, t("2024-01-01 00:00:00")), (2L, t("2024-01-31 00:00:00")))
+        .toDF("id", "ts").coalesce(1))
+      wh.append("e", Seq((3L, t("2024-03-01 00:00:00")), (4L, t("2024-03-31 00:00:00")))
+        .toDF("id", "ts").coalesce(1))
+    } finally spark.conf.set(key, old)
+    val preds = Seq(ColGe("ts", java.time.Instant.parse("2024-02-15T00:00:00Z")))
+    val (kept, skipped) = wh.planFiles("e", preds)
+    assert(kept.size == 1 && skipped.size == 1)
+    assert(wh.scanWhere("e", sch, preds).collect().map(_.getLong(0)).toSet == Set(3L, 4L))
+  }
+
+  test("deleteWhere rewrites only candidate files, keeps NULL-predicate rows, composes with time travel") {
+    val wh = newWh()
+    wh.append("d", Seq((1L, Some(1.0)), (2L, Some(50.0)), (3L, None: Option[Double]))
+      .toDF("id", "x").coalesce(1))                                    // v1: mixed band
+    wh.append("d", Seq((4L, Some(2.0)), (5L, Some(3.0))).toDF("id", "x").coalesce(1)) // v2: all < 10
+    val before = wh.fileStats("d").keySet
+    val deleted = wh.deleteWhere("d", idVal, Seq(ColGe("x", 10.0)))    // v3
+    assert(deleted == 1L)
+    // survivors: the NULL row survives (pred NULL ⇒ keep), the low band untouched
+    val after = wh.read("d", idVal).collect().map(_.getLong(0)).toSet
+    assert(after == Set(1L, 3L, 4L, 5L))
+    // the all-below-10 file was never a candidate: its file name survives verbatim
+    val afterFiles = wh.fileStats("d").keySet
+    val untouched = before.intersect(afterFiles)
+    assert(untouched.size == 1, s"low band must not be rewritten (before=$before after=$afterFiles)")
+    // time travel still reconstructs the pre-delete state
+    assert(wh.readAt("d", idVal, 2).collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L, 5L))
+    // CDC refuses a window crossing the delete
+    intercept[IllegalStateException](wh.appendsBetween("d", idVal, 1, 3))
+    // fixpoint: deleting again matches nothing and commits nothing
+    val head = wh.versions().last
+    assert(wh.deleteWhere("d", idVal, Seq(ColGe("x", 10.0))) == 0L)
+    assert(wh.versions().last == head)
+    // restore undoes the delete, carrying the old files' stats back
+    wh.restore("d", 2)
+    assert(wh.read("d", idVal).count() == 5)
+    assert(wh.fileStats("d").nonEmpty)
+  }
+
+  test("updateWhere applies assignments to matching rows only and counts them") {
+    val wh = newWh()
+    banded(wh)
+    val n = wh.updateWhere("t", kv, Seq(ColGe("id", 10L), ColLt("id", 20L)),
+      Seq("v" -> concat(lit("UPD-"), col("v"))))
+    assert(n == 10L)
+    val got = wh.read("t", kv).collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got(15L) == "UPD-v15" && got(5L) == "v5" && got(25L) == "v25")
+    assert(got.size == 30)
+    // only the middle band's file was rewritten
+    val stats = wh.fileStats("t")
+    assert(stats.size == 3)
+  }
+
+  test("a racing append during deleteWhere is never blocked or lost") {
+    val wh = newWh()
+    wh.append("r", (0 until 50).map(i => (i.toLong, s"v$i")).toDF("id", "v").coalesce(1))
+    val appender = new Thread(() => (100 until 108).foreach { i =>
+      wh.append("r", Seq((i.toLong, s"late$i")).toDF("id", "v").coalesce(1))
+    })
+    appender.start()
+    val deleted = wh.deleteWhere("r", kv, Seq(ColLt("id", 25L)))
+    appender.join()
+    assert(deleted == 25L)
+    val ids = wh.read("r", kv).collect().map(_.getLong(0)).toSet
+    assert(ids == ((25 until 50).map(_.toLong).toSet ++ (100 until 108).map(_.toLong)),
+      s"racing appends must all survive the delete commit, got ${ids.size} ids")
+  }
+
+  test("deleteWhere adopts a raw directory-laid table before removing") {
+    val root = Files.createTempDirectory("graft-dmlraw-").toString
+    val base = new Warehouse(spark, root)
+    base.append("raw", Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").coalesce(1))
+    val wh = new AtomicWarehouse(spark, root)
+    val deleted = wh.deleteWhere("raw", kv, Seq(ColEq("id", 2L)))
+    assert(deleted == 1L)
+    assert(wh.read("raw", kv).collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+  }
+
+  test("stats survive the snapshot fold and vacuum; vacuum collects removed files") {
+    val wh = newWh()
+    banded(wh)
+    wh.deleteWhere("t", kv, Seq(ColGe("id", 20L)))
+    wh.vacuum(olderThanMs = 0L)
+    // post-vacuum: the log is one snapshot, stats still prune
+    val (kept, skipped) = wh.planFiles("t", Seq(ColLt("id", 10L)))
+    assert(kept.size == 1 && skipped.size >= 1,
+      s"stats must survive the fold (kept=$kept skipped=$skipped)")
+    assert(wh.read("t", kv).count() == 20)
+    // pre-delete history is gone with its files
+    intercept[IllegalStateException](wh.readAt("t", kv, 3))
+  }
+
+  test("layout rewrites refresh stats: compaction re-records bounds for the new files") {
+    val wh = newWh()
+    banded(wh)
+    wh.compact("t", kv, targetFiles = 1, sortCols = Seq("id"))
+    val stats = wh.fileStats("t")
+    assert(stats.size == 1)
+    val s = stats.values.head.cols("id")
+    assert(s.min.contains(0L) && s.max.contains(29L))
+    // pruning now keeps the single file for any in-range predicate
+    val (kept, skipped) = wh.planFiles("t", Seq(ColEq("id", 15L)))
+    assert(kept.size == 1 && skipped.isEmpty)
+    val (k2, s2) = wh.planFiles("t", Seq(ColGt("id", 29L)))
+    assert(k2.isEmpty && s2.size == 1)
+  }
+
+  test("a deleteWhere inside a CDC window triggers the materialized-view rebuild path") {
+    val wh = newWh()
+    wh.append("src/f", (0 until 20).map(i => (i.toLong, i.toDouble)).toDF("id", "x"))
+    val agg = new graft.operators.IncrementalAgg(wh, "mv", "src/f",
+      idVal, Seq("id"), Seq("sum_x" -> col("x")))
+    agg.refresh()
+    // the delete makes (lastFold, head] non-append-only — the next refresh
+    // must detect it (appendsBetween refuses) and rebuild as-of head
+    assert(wh.deleteWhere("src/f", idVal, Seq(ColGe("x", 10.0))) == 10L)
+    agg.refresh()
+    val st = agg.state().agg(sum(col("sum_x")).cast(DoubleType), count(lit(1))).head()
+    assert(st.getDouble(0) == (0 until 10).map(_.toDouble).sum &&
+      st.getLong(1) == 10L, s"mv must rebase to post-delete state, got $st")
+  }
+
+  test("FilePred row filters and stats comparison agree on string UTF-8 order") {
+    val wh = newWh()
+    // "Z" (0x5A) < "a" (0x61) in UTF-8; a naive case-insensitive or locale
+    // comparison would disagree with Spark's binary string ordering
+    wh.append("s", Seq((1L, "Apple"), (2L, "Zebra")).toDF("id", "v").coalesce(1))
+    wh.append("s", Seq((3L, "apple"), (4L, "zebra")).toDF("id", "v").coalesce(1))
+    val preds = Seq(ColGe("v", "a"))
+    val (kept, skipped) = wh.planFiles("s", preds)
+    assert(kept.size == 1 && skipped.size == 1)
+    assert(wh.scanWhere("s", kv, preds).collect().map(_.getLong(0)).toSet == Set(3L, 4L))
+  }
+}
