@@ -1207,6 +1207,41 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"))
     }
 
+    // ---- metadata-assisted COUNT: a range straddling the band layout —
+    // band 1 is FULLY inside the range (counted from its manifest-recorded
+    // row count, never read), band 0 straddles the lower edge (the one
+    // boundary file actually scanned), bands 2-3 are excluded. The file
+    // breakdown is literal in the oracle, so the driver verifies the
+    // metadata/read/skip routing itself; the count is exact either way
+    q("etl_stats_count") = (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+      val (wh, qtr) = bandedOrdersWh(s, orders, "cnt")
+      val r = wh.countWhere("facts/orders", orders.schema,
+        Seq(graft.sources.ColGe("o_orderkey", qtr / 2),
+          graft.sources.ColLt("o_orderkey", qtr * 2)))
+      Seq((r.count, r.filesMetadata, r.filesRead, r.filesSkipped))
+        .toDF("n", "files_meta", "files_read", "files_skipped")
+        .orderBy(col("n"))
+    }
+
+    // ---- metadata-only MIN/MAX: numeric parquet chunk bounds are exact
+    // values, so over the fully-stats-covered band layout both extremes of
+    // o_orderkey (long) and o_totalprice (double) are answered without
+    // reading a single row — files_read = 0 is a literal in the oracle
+    q("etl_stats_minmax") = (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+      val (wh, _) = bandedOrdersWh(s, orders, "mm")
+      val k = wh.statsMinMax("facts/orders", orders.schema, "o_orderkey")
+      val p = wh.statsMinMax("facts/orders", orders.schema, "o_totalprice")
+      Seq((k.min.get.asInstanceOf[Long], k.max.get.asInstanceOf[Long],
+          p.min.get.asInstanceOf[Double], p.max.get.asInstanceOf[Double],
+          k.filesRead + p.filesRead, k.filesMetadata))
+        .toDF("key_min", "key_max", "price_min", "price_max", "files_read", "files_meta")
+        .orderBy(col("key_min"))
+    }
+
     // ---- the same history as a WAREHOUSE LIFECYCLE (ScdDimension): each
     // batch persists through the transactional warehouse — b1/b2 as their
     // own commits with the sequence derived from the persisted history
@@ -3447,6 +3482,28 @@ object SparkEntry {
         |       FROM orders) AS BIGINT) AS before_cents
         |FROM del
         |ORDER BY deleted""".stripMargin,
+
+    // metadata-assisted COUNT over the band layout: exact count for the
+    // straddling range + the literal metadata/read/skip file routing
+    // (band 1 fully included → counted from the manifest, band 0 boundary
+    // → read, bands 2-3 excluded)
+    "etl_stats_count" ->
+      """WITH m AS (SELECT max(o_orderkey) // 4 AS q FROM orders)
+        |SELECT count(*) AS n,
+        | 1 AS files_meta, 1 AS files_read, 2 AS files_skipped
+        |FROM orders, m
+        |WHERE o_orderkey >= m.q // 2 AND o_orderkey < m.q * 2
+        |ORDER BY n""".stripMargin,
+
+    // metadata-only MIN/MAX: both extremes of the long and double columns
+    // from manifest stats alone — zero files read, all four band files
+    // answered from metadata
+    "etl_stats_minmax" ->
+      """SELECT min(o_orderkey) AS key_min, max(o_orderkey) AS key_max,
+        | min(o_totalprice) AS price_min, max(o_totalprice) AS price_max,
+        | 0 AS files_read, 4 AS files_meta
+        |FROM orders
+        |ORDER BY key_min""".stripMargin,
 
     // UPDATE WHERE first-quartile band: the CASE restatement of the
     // rewritten priority column plus the updated-row count

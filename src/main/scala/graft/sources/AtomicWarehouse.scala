@@ -993,6 +993,103 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       .parquet(kept.map(f => s"${path(table)}/$f"): _*).filter(cond)
   }
 
+  /** Exact `COUNT(*) WHERE <conjunction>` answered as far as possible from
+    * the manifest alone: excluded files contribute 0, fully-included files
+    * (bounds inside the range, zero nulls — [[FileStatsRec.allMatch]])
+    * contribute their recorded row count, and only BOUNDARY files are
+    * scanned. With `preds = Nil` this is metadata-only `COUNT(*)` over any
+    * fully-stats-covered table — the Delta-style trick that answers a
+    * 100 TB count from driver-resident metadata. Always exact: anything the
+    * stats cannot decide is read, never guessed.
+    */
+  def countWhere(table: String, schema: StructType,
+      preds: Seq[FilePred] = Nil): CountWhere = {
+    val st = foldedState()
+    var meta = 0
+    var metaRows = 0L
+    var skipped = 0
+    val toRead = ArrayBuffer[String]()
+    committedOrPhysical(table).foreach { f =>
+      st.stats.get((table, f)).map(FileStatsRec.fromJson) match {
+        case Some(r) =>
+          if (!r.mayContainAll(preds)) skipped += 1
+          else if (r.allMatchAll(preds)) { meta += 1; metaRows += r.rows }
+          else toRead += f
+        case None => toRead += f
+      }
+    }
+    val readRows = if (toRead.isEmpty) 0L else {
+      val df = spark.read.option("basePath", path(table)).schema(schema)
+        .parquet(toRead.toSeq.map(f => s"${path(table)}/$f"): _*)
+      (if (preds.isEmpty) df else df.filter(FilePred.toColumn(preds, schema))).count()
+    }
+    CountWhere(metaRows + readRows, meta, toRead.size, skipped)
+  }
+
+  /** Exact MIN/MAX of a NUMERIC column, answered from manifest stats where
+    * possible: numeric parquet chunk bounds are exact values (fixed-width
+    * types are never truncated), so a fully-stats-covered table answers
+    * without reading a row. Files whose stats cannot answer — legacy, an
+    * untracked type, string columns (whose parquet bounds may be truncated
+    * and are bounds, not values) — are scanned with one min/max job over
+    * just those files. All-null and zero-row files contribute nothing,
+    * matching SQL MIN/MAX null semantics.
+    */
+  def statsMinMax(table: String, schema: StructType, colName: String): StatsMinMax = {
+    schema(colName).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => ()
+      case dt => throw new IllegalArgumentException(
+        s"statsMinMax supports numeric columns; '$colName' is $dt " +
+          "(string parquet bounds may be truncated — bounds, not values)")
+    }
+    val st = foldedState()
+    var mn: Option[Any] = None
+    var mx: Option[Any] = None
+    var tag = "i"
+    var meta = 0
+    val toRead = ArrayBuffer[String]()
+    def fold(lo: Any, hi: Any, t: String): Unit = {
+      tag = t
+      mn = mn.filter(m => FileStatsRec.cmp(m, lo, t).exists(_ <= 0)).orElse(Some(lo))
+      mx = mx.filter(m => FileStatsRec.cmp(m, hi, t).exists(_ >= 0)).orElse(Some(hi))
+    }
+    committedOrPhysical(table).foreach { f =>
+      st.stats.get((table, f)).map(FileStatsRec.fromJson) match {
+        case Some(r) if r.rows == 0L => meta += 1
+        case Some(r) => r.cols.get(colName) match {
+          case Some(cs) if (cs.tag == "i" || cs.tag == "f") && cs.min.isDefined =>
+            meta += 1; fold(cs.min.get, cs.max.get, cs.tag)
+          case Some(cs) if cs.nulls >= 0 && cs.nulls == r.rows =>
+            meta += 1 // entirely null: contributes nothing
+          case _ => toRead += f
+        }
+        case None => toRead += f
+      }
+    }
+    if (toRead.nonEmpty) {
+      val r = spark.read.option("basePath", path(table)).schema(schema)
+        .parquet(toRead.toSeq.map(f => s"${path(table)}/$f"): _*)
+        .agg(org.apache.spark.sql.functions.min(col(colName)),
+          org.apache.spark.sql.functions.max(col(colName))).head()
+      if (!r.isNullAt(0)) {
+        def norm(v: Any): (Any, String) = v match {
+          case i: java.lang.Integer => (i.longValue, "i")
+          case l: java.lang.Long => (l.longValue, "i")
+          case s: java.lang.Short => (s.longValue, "i")
+          case b: java.lang.Byte => (b.longValue, "i")
+          case f: java.lang.Float => (f.doubleValue, "f")
+          case d: java.lang.Double => (d.doubleValue, "f")
+          case other => throw new IllegalArgumentException(
+            s"statsMinMax supports numeric columns; $colName read back ${other.getClass}")
+        }
+        val (lo, t) = norm(r.get(0))
+        val (hi, _) = norm(r.get(1))
+        fold(lo, hi, t)
+      }
+    }
+    StatsMinMax(mn, mx, meta, toRead.size)
+  }
+
   /** `DELETE FROM table WHERE <conjunction>`, copy-on-write: stats-prune to
     * the candidate files, rewrite ONLY those with their matching rows
     * dropped, and commit single-file `remove` lines plus the rewritten adds

@@ -75,6 +75,20 @@ object FilePred {
   */
 case class ColStats(tag: String, nulls: Long, min: Option[Any], max: Option[Any])
 
+/** Breakdown of a metadata-assisted COUNT: `filesMetadata` answered from the
+  * manifest alone (fully included by the predicate, or excluded → 0),
+  * `filesRead` boundary files actually scanned, `filesSkipped` excluded.
+  */
+case class CountWhere(count: Long, filesMetadata: Int, filesRead: Int, filesSkipped: Int)
+
+/** Metadata-assisted MIN/MAX: None when the column has no non-null value
+  * anywhere. `filesRead` = files whose stats could not answer (legacy, string
+  * columns — parquet string bounds may be truncated and are never trusted as
+  * VALUES, only as bounds).
+  */
+case class StatsMinMax(min: Option[Any], max: Option[Any],
+    filesMetadata: Int, filesRead: Int)
+
 case class FileStatsRec(rows: Long, cols: Map[String, ColStats]) {
 
   /** False ⇒ NO row of this file can satisfy `pred` — the skip decision.
@@ -106,6 +120,31 @@ case class FileStatsRec(rows: Long, cols: Map[String, ColStats]) {
   }
 
   def mayContainAll(preds: Seq[FilePred]): Boolean = preds.forall(mayContain)
+
+  /** True ⇒ EVERY row of this file satisfies `pred` — the fully-included
+    * decision metadata-only COUNT rides on. Demands known-zero nulls (a null
+    * fails every predicate here) and bounds that pin all values inside the
+    * predicate's range; anything unknown returns false (the file gets read,
+    * never miscounted). A zero-row file is vacuously all-match.
+    */
+  def allMatch(pred: FilePred): Boolean = rows == 0L || (cols.get(pred.colName) match {
+    case Some(cs) if cs.nulls == 0L => (cs.min, cs.max) match {
+      case (Some(mn), Some(mx)) =>
+        def cmpMin = FileStatsRec.cmp(mn, pred.value, cs.tag)
+        def cmpMax = FileStatsRec.cmp(mx, pred.value, cs.tag)
+        pred match {
+          case _: ColGe => cmpMin.exists(_ >= 0)
+          case _: ColGt => cmpMin.exists(_ > 0)
+          case _: ColLe => cmpMax.exists(_ <= 0)
+          case _: ColLt => cmpMax.exists(_ < 0)
+          case _: ColEq => cmpMin.exists(_ == 0) && cmpMax.exists(_ == 0)
+        }
+      case _ => false
+    }
+    case _ => false
+  })
+
+  def allMatchAll(preds: Seq[FilePred]): Boolean = preds.forall(allMatch)
 
   def toJson: String = {
     import org.json4s.JsonDSL._

@@ -215,6 +215,44 @@ class DmlSkippingSpec extends SparkSpec {
       st.getLong(1) == 10L, s"mv must rebase to post-delete state, got $st")
   }
 
+  test("countWhere: metadata for fully-included files, read for boundaries, exact always") {
+    val wh = newWh()
+    banded(wh)
+    // [5, 20): band 0 straddles (read), band 1 fully inside (metadata), band 2 excluded
+    val r = wh.countWhere("t", kv, Seq(ColGe("id", 5L), ColLt("id", 20L)))
+    assert(r == graft.sources.CountWhere(15L, 1, 1, 1), s"got $r")
+    // no predicate: COUNT(*) entirely from the manifest
+    val full = wh.countWhere("t", kv)
+    assert(full == graft.sources.CountWhere(30L, 3, 0, 0), s"got $full")
+    // a null in the predicate column defeats fully-included (nulls fail
+    // predicates) — the file must be read, and the null row not counted
+    wh.append("nn", Seq((1L, Some(5.0)), (2L, None: Option[Double]))
+      .toDF("id", "x").coalesce(1))
+    val rn = wh.countWhere("nn", idVal, Seq(ColGe("x", 0.0)))
+    assert(rn.count == 1L && rn.filesRead == 1 && rn.filesMetadata == 0, s"got $rn")
+  }
+
+  test("statsMinMax: metadata-only extremes, hybrid over statless files, null/refusal semantics") {
+    val wh = newWh()
+    banded(wh)
+    val k = wh.statsMinMax("t", kv, "id")
+    assert(k.min.contains(0L) && k.max.contains(29L) && k.filesRead == 0 && k.filesMetadata == 3)
+    // statless legacy file → hybrid: that file read, result still exact
+    val root = java.nio.file.Files.createTempDirectory("graft-mmraw-").toString
+    new Warehouse(spark, root).append("h", Seq((100L, "z")).toDF("id", "v").coalesce(1))
+    val wh2 = new AtomicWarehouse(spark, root)
+    wh2.append("h", Seq((1L, "a")).toDF("id", "v").coalesce(1)) // adopts; adopted file gets stats too
+    val h = wh2.statsMinMax("h", kv, "id")
+    assert(h.min.contains(1L) && h.max.contains(100L))
+    // all-null column → None, no read needed (null count is in the stats)
+    val whn = newWh()
+    whn.append("n", Seq((1L, Option.empty[Double])).toDF("id", "x").coalesce(1))
+    val n = whn.statsMinMax("n", idVal, "x")
+    assert(n.min.isEmpty && n.max.isEmpty && n.filesRead == 0)
+    // string columns refuse loudly (parquet string bounds are bounds, not values)
+    intercept[IllegalArgumentException](wh.statsMinMax("t", kv, "v"))
+  }
+
   test("FilePred row filters and stats comparison agree on string UTF-8 order") {
     val wh = newWh()
     // "Z" (0x5A) < "a" (0x61) in UTF-8; a naive case-insensitive or locale
