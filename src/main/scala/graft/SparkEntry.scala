@@ -1225,6 +1225,30 @@ object SparkEntry {
         .orderBy(col("n"))
     }
 
+    // ---- dictionary value-set skipping: orders committed as one file per
+    // o_orderstatus — the orderkey ranges of the three files fully overlap,
+    // so min/max bounds can prune NOTHING here; the files' dictionary pages
+    // (exact value sets, recorded in the manifest) prune the equality scan
+    // to 1 of 3 files and answer the IN-list count for 2 of 3 files from
+    // metadata alone. All file routing is literal in the oracle
+    q("etl_valueset_scan") = (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+      val wh = new graft.sources.AtomicWarehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-vset-").toString)
+      Seq("O", "F", "P").foreach(st =>
+        wh.append("facts/orders", orders.filter(col("o_orderstatus") === st).coalesce(1)))
+      val eq = Seq(graft.sources.ColEq("o_orderstatus", "P"))
+      val (kept, skipped) = wh.planFiles("facts/orders", eq)
+      val pRows = wh.scanWhere("facts/orders", orders.schema, eq).count()
+      val c = wh.countWhere("facts/orders", orders.schema,
+        Seq(graft.sources.ColIn("o_orderstatus", Seq("P", "F"))))
+      Seq((kept.size, skipped.size, pRows, c.count, c.filesMetadata, c.filesRead, c.filesSkipped))
+        .toDF("files_kept", "files_skipped", "p_rows", "pf_rows",
+          "pf_meta", "pf_read", "pf_skipped")
+        .orderBy(col("p_rows"))
+    }
+
     // ---- metadata-only MIN/MAX: numeric parquet chunk bounds are exact
     // values, so over the fully-stats-covered band layout both extremes of
     // o_orderkey (long) and o_totalprice (double) are answered without
@@ -3494,6 +3518,16 @@ object SparkEntry {
         |FROM orders, m
         |WHERE o_orderkey >= m.q // 2 AND o_orderkey < m.q * 2
         |ORDER BY n""".stripMargin,
+
+    // dictionary value sets: equality scan pruned to the one P file,
+    // IN-list count answered from metadata for both matching files (the
+    // key ranges overlap — bounds could not have pruned any of this)
+    "etl_valueset_scan" ->
+      """SELECT 1 AS files_kept, 2 AS files_skipped,
+        | (SELECT count(*) FROM orders WHERE o_orderstatus = 'P') AS p_rows,
+        | (SELECT count(*) FROM orders WHERE o_orderstatus IN ('P','F')) AS pf_rows,
+        | 2 AS pf_meta, 0 AS pf_read, 1 AS pf_skipped
+        |ORDER BY p_rows""".stripMargin,
 
     // metadata-only MIN/MAX: both extremes of the long and double columns
     // from manifest stats alone — zero files read, all four band files

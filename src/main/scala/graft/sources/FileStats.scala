@@ -27,12 +27,18 @@ import org.apache.spark.sql.types.{DataType, DateType, StructType, TimestampType
   * java.sql.Timestamp (TIMESTAMP). A value/stat type mismatch makes pruning
   * conservatively keep the file — the row filter still applies.
   */
-sealed trait FilePred { def colName: String; def value: Any }
+sealed trait FilePred { def colName: String }
 case class ColGe(colName: String, value: Any) extends FilePred
 case class ColGt(colName: String, value: Any) extends FilePred
 case class ColLe(colName: String, value: Any) extends FilePred
 case class ColLt(colName: String, value: Any) extends FilePred
 case class ColEq(colName: String, value: Any) extends FilePred
+/** IN-list predicate. Prunes via min/max like the others, and EXACTLY via
+  * dictionary-derived value sets when the file records them.
+  */
+case class ColIn(colName: String, values: Seq[Any]) extends FilePred {
+  require(values.nonEmpty, s"ColIn($colName) with an empty value list matches nothing")
+}
 
 object FilePred {
   /** The exact row-filter Column for a conjunction of predicates. String
@@ -48,13 +54,13 @@ object FilePred {
   private def one(p: FilePred, schema: StructType): Column = {
     val dt = schema(p.colName).dataType
     val c = col(p.colName)
-    val l = litFor(p.value, dt)
     p match {
-      case _: ColGe => c >= l
-      case _: ColGt => c > l
-      case _: ColLe => c <= l
-      case _: ColLt => c < l
-      case _: ColEq => c === l
+      case ColGe(_, v) => c >= litFor(v, dt)
+      case ColGt(_, v) => c > litFor(v, dt)
+      case ColLe(_, v) => c <= litFor(v, dt)
+      case ColLt(_, v) => c < litFor(v, dt)
+      case ColEq(_, v) => c === litFor(v, dt)
+      case ColIn(_, vs) => vs.map(v => c === litFor(v, dt)).reduce(_ || _)
     }
   }
 
@@ -72,8 +78,17 @@ object FilePred {
   * Long). `nulls` is -1 when unknown. min/max are None when the footer had
   * no usable values (all-null file, missing stats, NaN) — absence always
   * means "cannot skip", never "skip".
+  *
+  * `vals` is the file's EXACT non-null value set, present only when every
+  * data page of the column is dictionary-encoded and the union of the row
+  * groups' dictionaries is small ([[FileStatsRec.maxValueSet]]): the
+  * dictionary page IS the value set — exact full values, never truncated
+  * (unlike string min/max), so equality/IN predicates prune and even
+  * fully-include on unsorted low-cardinality columns where bounds are
+  * useless.
   */
-case class ColStats(tag: String, nulls: Long, min: Option[Any], max: Option[Any])
+case class ColStats(tag: String, nulls: Long, min: Option[Any], max: Option[Any],
+    vals: Option[Seq[Any]] = None)
 
 /** Breakdown of a metadata-assisted COUNT: `filesMetadata` answered from the
   * manifest alone (fully included by the predicate, or excluded → 0),
@@ -104,18 +119,35 @@ case class FileStatsRec(rows: Long, cols: Map[String, ColStats]) {
     case None => true
     case Some(cs) =>
       if (cs.nulls >= 0 && cs.nulls == rows) false
-      else (cs.min, cs.max) match {
-        case (Some(mn), Some(mx)) =>
-          def cmpMin = FileStatsRec.cmp(mn, pred.value, cs.tag)
-          def cmpMax = FileStatsRec.cmp(mx, pred.value, cs.tag)
+      else cs.vals match {
+        // exact value set: a predicate holds for the file iff SOME value
+        // satisfies it; an incomparable value keeps the file
+        case Some(vs) =>
+          def any(v: Any, f: Int => Boolean) =
+            vs.exists(x => FileStatsRec.cmp(x, v, cs.tag).map(f).getOrElse(true))
           pred match {
-            case _: ColGe => cmpMax.forall(_ >= 0)
-            case _: ColGt => cmpMax.forall(_ > 0)
-            case _: ColLe => cmpMin.forall(_ <= 0)
-            case _: ColLt => cmpMin.forall(_ < 0)
-            case _: ColEq => cmpMin.forall(_ <= 0) && cmpMax.forall(_ >= 0)
+            case ColGe(_, v) => any(v, _ >= 0)
+            case ColGt(_, v) => any(v, _ > 0)
+            case ColLe(_, v) => any(v, _ <= 0)
+            case ColLt(_, v) => any(v, _ < 0)
+            case ColEq(_, v) => any(v, _ == 0)
+            case ColIn(_, pvs) => pvs.exists(v => any(v, _ == 0))
           }
-        case _ => true
+        case None => (cs.min, cs.max) match {
+          case (Some(mn), Some(mx)) =>
+            def cmpMin(v: Any) = FileStatsRec.cmp(mn, v, cs.tag)
+            def cmpMax(v: Any) = FileStatsRec.cmp(mx, v, cs.tag)
+            def inBounds(v: Any) = cmpMin(v).forall(_ <= 0) && cmpMax(v).forall(_ >= 0)
+            pred match {
+              case ColGe(_, v) => cmpMax(v).forall(_ >= 0)
+              case ColGt(_, v) => cmpMax(v).forall(_ > 0)
+              case ColLe(_, v) => cmpMin(v).forall(_ <= 0)
+              case ColLt(_, v) => cmpMin(v).forall(_ < 0)
+              case ColEq(_, v) => inBounds(v)
+              case ColIn(_, pvs) => pvs.exists(inBounds)
+            }
+          case _ => true
+        }
       }
   }
 
@@ -123,23 +155,41 @@ case class FileStatsRec(rows: Long, cols: Map[String, ColStats]) {
 
   /** True ⇒ EVERY row of this file satisfies `pred` — the fully-included
     * decision metadata-only COUNT rides on. Demands known-zero nulls (a null
-    * fails every predicate here) and bounds that pin all values inside the
-    * predicate's range; anything unknown returns false (the file gets read,
-    * never miscounted). A zero-row file is vacuously all-match.
+    * fails every predicate here) and bounds — or an exact value set — that
+    * pin all values inside the predicate; anything unknown returns false
+    * (the file gets read, never miscounted). A zero-row file is vacuously
+    * all-match.
     */
   def allMatch(pred: FilePred): Boolean = rows == 0L || (cols.get(pred.colName) match {
-    case Some(cs) if cs.nulls == 0L => (cs.min, cs.max) match {
-      case (Some(mn), Some(mx)) =>
-        def cmpMin = FileStatsRec.cmp(mn, pred.value, cs.tag)
-        def cmpMax = FileStatsRec.cmp(mx, pred.value, cs.tag)
+    case Some(cs) if cs.nulls == 0L => cs.vals match {
+      case Some(vs) =>
+        def all(v: Any, f: Int => Boolean) =
+          vs.forall(x => FileStatsRec.cmp(x, v, cs.tag).exists(f))
         pred match {
-          case _: ColGe => cmpMin.exists(_ >= 0)
-          case _: ColGt => cmpMin.exists(_ > 0)
-          case _: ColLe => cmpMax.exists(_ <= 0)
-          case _: ColLt => cmpMax.exists(_ < 0)
-          case _: ColEq => cmpMin.exists(_ == 0) && cmpMax.exists(_ == 0)
+          case ColGe(_, v) => all(v, _ >= 0)
+          case ColGt(_, v) => all(v, _ > 0)
+          case ColLe(_, v) => all(v, _ <= 0)
+          case ColLt(_, v) => all(v, _ < 0)
+          case ColEq(_, v) => all(v, _ == 0)
+          case ColIn(_, pvs) => vs.forall(x =>
+            pvs.exists(v => FileStatsRec.cmp(x, v, cs.tag).exists(_ == 0)))
         }
-      case _ => false
+      case None => (cs.min, cs.max) match {
+        case (Some(mn), Some(mx)) =>
+          def cmpMin(v: Any) = FileStatsRec.cmp(mn, v, cs.tag)
+          def cmpMax(v: Any) = FileStatsRec.cmp(mx, v, cs.tag)
+          pred match {
+            case ColGe(_, v) => cmpMin(v).exists(_ >= 0)
+            case ColGt(_, v) => cmpMin(v).exists(_ > 0)
+            case ColLe(_, v) => cmpMax(v).exists(_ <= 0)
+            case ColLt(_, v) => cmpMax(v).exists(_ < 0)
+            case ColEq(_, v) => cmpMin(v).exists(_ == 0) && cmpMax(v).exists(_ == 0)
+            // bounds alone prove IN only for a constant column equal to a listed value
+            case ColIn(_, pvs) => pvs.exists(v =>
+              cmpMin(v).exists(_ == 0) && cmpMax(v).exists(_ == 0))
+          }
+        case _ => false
+      }
     }
     case _ => false
   })
@@ -156,7 +206,9 @@ case class FileStatsRec(rows: Long, cols: Map[String, ColStats]) {
           List[JField]("min" -> FileStatsRec.valJson(mn), "max" -> FileStatsRec.valJson(mx))
         case _ => Nil
       }
-      c -> JObject(base ++ mm)
+      val vv = cs.vals.toList.map(vs =>
+        "vals" -> (JArray(vs.toList.map(FileStatsRec.valJson)): JValue))
+      c -> JObject(base ++ mm ++ vv)
     })
     org.json4s.jackson.JsonMethods.compact(
       org.json4s.jackson.JsonMethods.render(
@@ -166,6 +218,12 @@ case class FileStatsRec(rows: Long, cols: Map[String, ColStats]) {
 
 object FileStatsRec {
   import org.json4s._
+
+  /** Cap on recorded value sets: dictionaries above this are discarded
+    * (high-cardinality columns belong to min/max and bloom-style routing,
+    * not manifest value lists).
+    */
+  val maxValueSet = 64
 
   private[sources] def valJson(v: Any): JValue = v match {
     case l: Long => JLong(l)
@@ -251,9 +309,15 @@ object FileStatsRec {
         }
         val mn = decode(cj \ "min")
         val mx = decode(cj \ "max")
+        val vals = (cj \ "vals") match {
+          case JArray(items) =>
+            val decoded = items.map(decode)
+            if (decoded.forall(_.isDefined)) Some(decoded.flatten) else None
+          case _ => None
+        }
         // both-or-neither: a lone bound came from a malformed line — drop
-        c -> (if (mn.isDefined && mx.isDefined) ColStats(tag, nulls, mn, mx)
-              else ColStats(tag, nulls, None, None))
+        c -> (if (mn.isDefined && mx.isDefined) ColStats(tag, nulls, mn, mx, vals)
+              else ColStats(tag, nulls, None, None, vals))
       }.toMap
       case _ => Map.empty[String, ColStats]
     }
@@ -310,10 +374,49 @@ object FileStatsRec {
           }
         }
       }
+      // Dictionary-derived value sets for STRING columns: when every data
+      // page of a column chunk is dictionary-encoded, the dictionary page
+      // holds the file's exact non-null value set — full values, never
+      // truncated, so equality/IN skipping is sound where string bounds are
+      // not. Only small dictionaries are kept (maxValueSet); numeric columns
+      // are served well enough by min/max and skip the extra page read.
+      val schemaMsg = reader.getFooter.getFileMetaData.getSchema
+      val dictAcc = scala.collection.mutable.Map[String, Option[Set[String]]]()
+      blocks.asScala.foreach { block =>
+        // ascribe the public interface: getDictionaryReader's declared return
+        // type is package-private to parquet
+        lazy val dictStore: org.apache.parquet.column.page.DictionaryPageReadStore =
+          reader.getDictionaryReader(block)
+        block.getColumns.asScala.foreach { cc =>
+          val pathArr = cc.getPath.toArray
+          if (pathArr.length == 1 && tagOf(cc.getPrimitiveType).contains("s")) {
+            val name = pathArr(0)
+            if (!dictAcc.contains(name)) dictAcc(name) = Some(Set.empty)
+            dictAcc(name) = dictAcc(name).flatMap { sofar =>
+              val es = cc.getEncodingStats
+              val fullyDict = es != null && es.hasDictionaryPages && !es.hasNonDictionaryEncodedPages
+              if (!fullyDict) None
+              else {
+                val desc = schemaMsg.getColumnDescription(pathArr)
+                val page = dictStore.readDictionaryPage(desc)
+                if (page == null || page.getDictionarySize > maxValueSet) None
+                else {
+                  val dict = page.getEncoding.initDictionary(desc, page)
+                  val merged = sofar ++ (0 until page.getDictionarySize)
+                    .map(i => new String(dict.decodeToBinary(i).getBytes, UTF_8))
+                  if (merged.size > maxValueSet) None else Some(merged)
+                }
+              }
+            }
+          }
+        }
+      }
       val cols = acc.collect {
         case (c, (tag, nulls, nullsOk, mn, mx, mmOk)) if nullsOk || mmOk =>
+          val vals = dictAcc.get(c).flatten
+            .map(_.toSeq.sorted.map(_.asInstanceOf[Any]))
           c -> ColStats(tag, if (nullsOk) nulls else -1L,
-            if (mmOk) mn else None, if (mmOk) mx else None)
+            if (mmOk) mn else None, if (mmOk) mx else None, vals)
       }.toMap
       Some(FileStatsRec(rows, cols))
     } catch { case _: Exception => None }

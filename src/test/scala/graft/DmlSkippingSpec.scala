@@ -253,6 +253,41 @@ class DmlSkippingSpec extends SparkSpec {
     intercept[IllegalArgumentException](wh.statsMinMax("t", kv, "v"))
   }
 
+  test("dictionary value sets: equality/IN pruning and metadata COUNT on unsorted strings") {
+    val wh = newWh()
+    // two files with interleaved ids (min/max useless) but disjoint statuses
+    wh.append("st", Seq((1L, "O"), (3L, "F"), (5L, "O"), (7L, "F"))
+      .toDF("id", "v").coalesce(1))
+    wh.append("st", Seq((2L, "P"), (4L, "P"), (6L, "P")).toDF("id", "v").coalesce(1))
+    val stats = wh.fileStats("st")
+    assert(stats.values.forall(_.cols("v").vals.isDefined),
+      s"expected dictionary value sets, got ${stats.values.map(_.cols("v"))}")
+    assert(stats.values.map(_.cols("v").vals.get.toSet).toSet == Set(Set("O", "F"), Set("P")))
+    // equality: only the P file survives; id bounds alone could not decide
+    val (k1, s1) = wh.planFiles("st", Seq(graft.sources.ColEq("v", "P")))
+    assert(k1.size == 1 && s1.size == 1)
+    // IN-list against values present in neither file prunes both
+    val (k2, s2) = wh.planFiles("st", Seq(graft.sources.ColIn("v", Seq("X", "Y"))))
+    assert(k2.isEmpty && s2.size == 2)
+    // scanWhere row results stay exact
+    assert(wh.scanWhere("st", kv, Seq(graft.sources.ColIn("v", Seq("P", "O"))))
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 4L, 5L, 6L))
+    // the single-status file is FULLY included by the IN predicate — counted
+    // from metadata, never read (value sets prove what bounds cannot)
+    val c = wh.countWhere("st", kv, Seq(graft.sources.ColIn("v", Seq("P"))))
+    assert(c == graft.sources.CountWhere(3L, 1, 0, 1), s"got $c")
+  }
+
+  test("value sets cap out on high-cardinality columns; bounds still prune") {
+    val wh = newWh()
+    wh.append("hc", (0 until 500).map(i => (i.toLong, f"val$i%04d")).toDF("id", "v").coalesce(1))
+    val cs = wh.fileStats("hc").values.head.cols("v")
+    assert(cs.vals.isEmpty, "a 500-value dictionary must not be recorded")
+    assert(cs.min.contains("val0000") && cs.max.contains("val0499"))
+    val (k, s) = wh.planFiles("hc", Seq(graft.sources.ColEq("v", "zzz")))
+    assert(k.isEmpty && s.size == 1)
+  }
+
   test("FilePred row filters and stats comparison agree on string UTF-8 order") {
     val wh = newWh()
     // "Z" (0x5A) < "a" (0x61) in UTF-8; a naive case-insensitive or locale
