@@ -82,6 +82,39 @@ class Warehouse(val spark: SparkSession, val root: String) {
     })
   }
 
+  /** Append with WRITE-TIME range clustering: rows range-partition and sort
+    * on `clusterCols`, so each written file owns a contiguous, minimally
+    * overlapping key range — on an [[AtomicWarehouse]] the footer stats the
+    * commit records are then maximally tight, and scanWhere/countWhere/
+    * deleteWhere prune as if the table had been hand-banded. This is the
+    * write-side half of clustering; [[recluster]] is the maintenance half
+    * for tables whose appends arrived interleaved.
+    */
+  def appendClustered(table: String, df: DataFrame, clusterCols: Seq[String],
+      numFiles: Int): Unit = {
+    require(numFiles >= 1, s"numFiles must be positive, got $numFiles")
+    val cols = clusterCols.map(org.apache.spark.sql.functions.col)
+    append(table, df.repartitionByRange(numFiles, cols: _*)
+      .sortWithinPartitions(cols: _*))
+  }
+
+  /** Re-layout a whole table into `numFiles` range-clustered files — the
+    * maintenance pass that restores data skipping after interleaved appends
+    * (each append's files span the full key range, so every scan keeps every
+    * file; after reclustering a range predicate keeps only its band). Unlike
+    * [[compact]]'s coalesce+sort — concatenated sorted runs, near-useless
+    * file bounds — this range-partitions globally first. Routed through
+    * [[compactWith]], so on an [[AtomicWarehouse]] it is conflict-checked
+    * against racing commits and refreshes the manifest stats.
+    */
+  def recluster(table: String, schema: StructType, clusterCols: Seq[String],
+      numFiles: Int): Unit = {
+    require(numFiles >= 1, s"numFiles must be positive, got $numFiles")
+    val cols = clusterCols.map(org.apache.spark.sql.functions.col)
+    compactWith(table, schema, df => df.repartitionByRange(numFiles, cols: _*)
+      .sortWithinPartitions(cols: _*))
+  }
+
   /** Rewrite a table through an arbitrary LAYOUT transform — [[compact]] is
     * the `coalesce` + sort instance; a Z-order re-layout
     * ([[graft.operators.Layout.zorder]]) is another. The transform must be a

@@ -133,6 +133,26 @@ object SkipProbe {
           s""""full":{"bytes":$fB,"records":$fR,"tasks":$fT,"wall_s":${f"$fW%.3f"}}}""")
       }
 
+      // ---- recluster: interleaved ingest kills skipping; maintenance
+      // restores it (the liquid-clustering story at its smallest) ----
+      locally {
+        val root3 = Files.createTempDirectory(s"graft-skipprobe-rc-x$mult-").toString
+        val wh3 = new AtomicWarehouse(spark, root3)
+        (0 until nBands).foreach(b =>
+          wh3.append("t", corpus.filter(col("k") % nBands === b).coalesce(1)))
+        val lo = span * 5 / nBands; val hi = span * 6 / nBands
+        val preds = Seq(ColGe("k", lo), ColLt("k", hi))
+        val (kb, _) = wh3.planFiles("t", preds)
+        val (bRes, _, bR, bT, bW) = measured(agg2(wh3.scanWhere("t", sch, preds)))
+        val (_, _, _, _, rcW) = measured(wh3.recluster("t", sch, Seq("k"), nBands))
+        val (ka, _) = wh3.planFiles("t", preds)
+        val (aRes, _, aR, aT, aW) = measured(agg2(wh3.scanWhere("t", sch, preds)))
+        require(aRes == bRes, s"recluster changed the scan result at x$mult: $aRes vs $bRes")
+        emit(s"""{"probe":"skip","phase":"recluster","mult":$mult,"files_total":$nBands,""" +
+          s""""kept_before":${kb.size},"kept_after":${ka.size},"rows":${aRes._1},"recluster_wall_s":${f"$rcW%.3f"},""" +
+          s""""before":{"records":$bR,"tasks":$bT,"wall_s":${f"$bW%.3f"}},"after":{"records":$aR,"tasks":$aT,"wall_s":${f"$aW%.3f"}}}""")
+      }
+
       // ---- delete: rewrite fraction on a fresh banded copy ----
       locally {
         val root2 = Files.createTempDirectory(s"graft-skipprobe-del-x$mult-").toString

@@ -288,6 +288,33 @@ class DmlSkippingSpec extends SparkSpec {
     assert(k.isEmpty && s.size == 1)
   }
 
+  test("appendClustered writes tight-banded files; recluster restores skipping after interleaved appends") {
+    val wh = newWh()
+    // interleaved ingest: every append spans the full key range → every
+    // file's bounds cover everything → a range scan keeps all files
+    (0 until 4).foreach { b =>
+      wh.append("il", (0 until 100).filter(_ % 4 == b)
+        .map(i => (i.toLong, s"v$i")).toDF("id", "v").coalesce(1))
+    }
+    val preds = Seq(ColGe("id", 25L), ColLt("id", 50L))
+    val (k0, s0) = wh.planFiles("il", preds)
+    assert(k0.size == 4 && s0.isEmpty, "interleaved files must all be kept")
+    val before = wh.read("il", kv).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    wh.recluster("il", kv, Seq("id"), numFiles = 4)
+    val after = wh.read("il", kv).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(after == before, "recluster is a pure re-layout")
+    val (k1, _) = wh.planFiles("il", preds)
+    assert(k1.size <= 2, s"post-recluster a quarter-range scan must keep ≤2 of 4 files, kept $k1")
+    assert(wh.scanWhere("il", kv, preds).count() == 25)
+    // write-side: one clustered append gets the same tight layout directly
+    val wh2 = newWh()
+    wh2.appendClustered("cl", (0 until 100).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "v").orderBy(rand(7)), Seq("id"), numFiles = 4)
+    val (k2, _) = wh2.planFiles("cl", preds)
+    assert(k2.size <= 2, s"appendClustered must band the write, kept $k2")
+    assert(wh2.scanWhere("cl", kv, preds).count() == 25)
+  }
+
   test("FilePred row filters and stats comparison agree on string UTF-8 order") {
     val wh = newWh()
     // "Z" (0x5A) < "a" (0x61) in UTF-8; a naive case-insensitive or locale
