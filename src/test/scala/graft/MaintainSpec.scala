@@ -183,6 +183,26 @@ class MaintainSpec extends SparkSpec {
       "final compaction left the postings fragmented")
   }
 
+  test("maintain cluster spec: interleaved table re-banded, skipping restored, state unchanged") {
+    import graft.sources.{ColGe, ColLt}
+    val root = Files.createTempDirectory("graft-mt-cl-").toString
+    val wh = new AtomicWarehouse(spark, root)
+    (0 until 4).foreach { b =>
+      wh.append("t", (0 until 80).filter(_ % 4 == b)
+        .map(i => (i.toLong, s"v$i")).toDF("id", "v").coalesce(1))
+    }
+    val before = rows(wh, "t")
+    val preds = Seq(ColGe("id", 20L), ColLt("id", 40L))
+    assert(wh.planFiles("t", preds)._1.size == 4) // interleaved: nothing prunes
+    Maintain.run(spark, root, Seq("t:cluster=id:4"), graceMs = 0L)
+    assert(rows(wh, "t") == before, "recluster maintenance must not change state")
+    assert(wh.planFiles("t", preds)._1.size <= 2,
+      "post-recluster the quarter-range scan must prune")
+    // bad specs refuse uniformly
+    intercept[IllegalArgumentException](
+      Maintain.run(spark, root, Seq("t:cluster=id:x4"), graceMs = 0L))
+  }
+
   test("maintain on a base warehouse: discovery path compacts everything") {
     val dir = Files.createTempDirectory("graft-maint-base-").toString
     val wh = new Warehouse(spark, dir)
