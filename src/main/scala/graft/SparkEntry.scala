@@ -1225,6 +1225,34 @@ object SparkEntry {
         .orderBy(col("n"))
     }
 
+    // ---- MERGE INTO with source-bounds file pruning: the generalized form
+    // of the reference's staging→dimension merges run against the banded
+    // fact table. One statement updates quartile-2 rows (doubled price via
+    // the default upsert), deletes its P-status rows (matched-delete
+    // clause), and inserts re-keyed low-quartile rows beyond the key range —
+    // the source's key bounds confine the rewrite to 3 of 4 band files,
+    // band 0 is never opened. Clause counts, file routing, and the merged
+    // end state are all restated by the oracle from the raw table
+    q("etl_merge_into") = (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+      val (wh, qtr) = bandedOrdersWh(s, orders, "mi")
+      val inQ2 = col("o_orderkey") >= qtr && col("o_orderkey") < qtr * 2
+      val src = orders.filter(inQ2)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .unionByName(orders.filter(col("o_orderkey") < qtr / 2)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(qtr * 10)))
+      val r = wh.mergeInto("facts/orders", orders.schema, src, Seq("o_orderkey"),
+        whenMatchedDelete = Some(col("s.o_orderstatus") === lit("P")))
+      val e = wh.read("facts/orders", orders.schema)
+        .agg(centsAgg.head, centsAgg.tail: _*).head()
+      Seq((r.updated, r.deleted, r.inserted, r.filesRewritten, r.filesUntouched,
+          e.getLong(0), e.getLong(1)))
+        .toDF("updated", "deleted", "inserted", "files_rewritten",
+          "files_untouched", "n", "cents")
+        .orderBy(col("n"))
+    }
+
     // ---- dictionary value-set skipping: orders committed as one file per
     // o_orderstatus — the orderkey ranges of the three files fully overlap,
     // so min/max bounds can prune NOTHING here; the files' dictionary pages
@@ -3517,6 +3545,30 @@ object SparkEntry {
         | 1 AS files_meta, 1 AS files_read, 2 AS files_skipped
         |FROM orders, m
         |WHERE o_orderkey >= m.q // 2 AND o_orderkey < m.q * 2
+        |ORDER BY n""".stripMargin,
+
+    // MERGE INTO over the band layout: per-clause counts, the 3-of-4-file
+    // rewrite routing, and the merged end state (q2 non-P doubled, q2 P
+    // deleted, low-quartile rows re-keyed beyond the range inserted)
+    "etl_merge_into" ->
+      """WITH m AS (SELECT max(o_orderkey) // 4 AS q FROM orders),
+        | upd AS (SELECT count(*) FILTER (WHERE o_orderstatus <> 'P') AS u,
+        |                count(*) FILTER (WHERE o_orderstatus = 'P') AS d
+        |         FROM orders, m WHERE o_orderkey >= m.q AND o_orderkey < m.q * 2),
+        | ins AS (SELECT count(*) AS i FROM orders, m WHERE o_orderkey < m.q // 2),
+        | endstate AS (
+        |   SELECT CASE WHEN o_orderkey >= m.q AND o_orderkey < m.q * 2
+        |           THEN o_totalprice * 2 ELSE o_totalprice END AS p
+        |   FROM orders, m
+        |   WHERE NOT (o_orderkey >= m.q AND o_orderkey < m.q * 2 AND o_orderstatus = 'P')
+        |   UNION ALL
+        |   SELECT o_totalprice AS p FROM orders, m WHERE o_orderkey < m.q // 2)
+        |SELECT CAST(upd.u AS BIGINT) AS updated, CAST(upd.d AS BIGINT) AS deleted,
+        | CAST(ins.i AS BIGINT) AS inserted,
+        | 3 AS files_rewritten, 1 AS files_untouched,
+        | (SELECT count(*) FROM endstate) AS n,
+        | (SELECT CAST(sum(CAST(round(p * 100) AS BIGINT)) AS BIGINT) FROM endstate) AS cents
+        |FROM upd, ins
         |ORDER BY n""".stripMargin,
 
     // dictionary value sets: equality scan pruned to the one P file,

@@ -4,7 +4,7 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+import org.apache.spark.sql.functions.{coalesce, col, lit, sum, when}
 import org.apache.spark.sql.types.StructType
 
 /** Transactional warehouse: all-or-nothing visibility for any group of table
@@ -1126,6 +1126,108 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
         }
       }: _*)
     })
+  }
+
+  /** `MERGE INTO table USING source ON keyCols`, copy-on-write — the
+    * generalized form of the reference's staging→dimension merges, with the
+    * file pruning of [[deleteWhere]]: only target files whose key range can
+    * intersect the SOURCE's key range (first key column's min/max, one small
+    * agg job) are rewritten; everything else is untouched and unopened.
+    *
+    * Clause semantics (SQL MERGE):
+    *   - matched + `whenMatchedDelete` true → row deleted (delete wins
+    *     over update; NULL condition = not deleted);
+    *   - matched otherwise → row updated: `whenMatchedUpdate` assignments
+    *     (Columns over the joined frame — reference source columns as
+    *     `col("s.x")` and target as `col("t.x")`); empty = upsert default,
+    *     every non-key column SET to the source row's value;
+    *   - source row with no target match → inserted when `insertUnmatched`
+    *     (a NULL source key never matches, so it inserts — SQL join
+    *     semantics);
+    *   - target row with no source match → passes through untouched.
+    *
+    * Refuses a source with duplicate keys (the SQL MERGE cardinality rule —
+    * a fan-out would silently duplicate target rows; same contract as
+    * [[graft.operators.Scd.scd2Upsert]]). Source must carry every target
+    * column. Same conflict/retry/time-travel contract as [[deleteWhere]].
+    */
+  def mergeInto(table: String, schema: StructType, source: DataFrame,
+      keyCols: Seq[String],
+      whenMatchedUpdate: Seq[(String, Column)] = Nil,
+      whenMatchedDelete: Option[Column] = None,
+      insertUnmatched: Boolean = true): MergeIntoResult = {
+    require(keyCols.nonEmpty, "mergeInto requires at least one key column")
+    keyCols.foreach(k => require(schema.fieldNames.contains(k),
+      s"key column '$k' is not in the target schema"))
+    schema.fieldNames.foreach(c => require(source.columns.contains(c),
+      s"mergeInto source is missing target column '$c'"))
+    val src = source.select(schema.fieldNames.toSeq.map(col): _*)
+    // SQL MERGE cardinality rule, checked once up front (source is the same
+    // frame on every retry)
+    val dup = src.groupBy(keyCols.map(col): _*)
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).limit(1).count()
+    require(dup == 0L, s"mergeInto source has duplicate keys on " +
+      s"(${keyCols.mkString(", ")}) — SQL MERGE refuses ambiguous matches")
+    // source key bounds on the FIRST key column: target files whose range
+    // cannot intersect [lo, hi] cannot contain a match (null source keys
+    // match nothing). A type the stats algebra can't compare just keeps
+    // every file — sound, only less pruned.
+    val b = src.agg(org.apache.spark.sql.functions.min(col(keyCols.head)),
+      org.apache.spark.sql.functions.max(col(keyCols.head))).head()
+    val srcEmpty = b.isNullAt(0)
+    var attempts = 0
+    while (attempts < 8) {
+      val (cands0, untouched0) =
+        if (srcEmpty) (Nil, committedOrPhysical(table))
+        else planFiles(table, Seq(ColGe(keyCols.head, b.get(0)), ColLe(keyCols.head, b.get(1))))
+      val cands = cands0.toSeq
+      require(cands.forall(!_.contains("/")),
+        s"mergeInto on partition-dir layouts is not supported (table $table)")
+      if (srcEmpty) return MergeIntoResult(0L, 0L, 0L, 0, untouched0.size)
+      val candDf =
+        if (cands.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        else spark.read.option("basePath", path(table)).schema(schema)
+          .parquet(cands.map(f => s"${path(table)}/$f"): _*)
+      val t = candDf.withColumn("__t", lit(1)).alias("t")
+      val s = src.withColumn("__s", lit(1)).alias("s")
+      val j = t.join(s,
+        keyCols.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _), "full_outer")
+      val matched = col("t.__t").isNotNull && col("s.__s").isNotNull
+      val delHit = whenMatchedDelete
+        .map(c => matched && coalesce(c, lit(false))).getOrElse(lit(false))
+      val onlyS = col("t.__t").isNull && col("s.__s").isNotNull
+      val counts = j.agg(
+        sum(when(matched && !delHit, 1L).otherwise(0L)),
+        sum(when(delHit, 1L).otherwise(0L)),
+        sum(when(onlyS, 1L).otherwise(0L))).head()
+      def cnt(i: Int): Long = if (counts.isNullAt(i)) 0L else counts.getLong(i)
+      val updSet = whenMatchedUpdate.toMap
+      val keep = !delHit && (if (insertUnmatched) lit(true) else !onlyS)
+      val out = j.filter(keep).select(schema.fields.toSeq.map { f =>
+        val tCol = col(s"t.${f.name}"); val sCol = col(s"s.${f.name}")
+        val updated =
+          if (keyCols.contains(f.name)) tCol
+          else updSet.getOrElse(f.name, sCol)
+        when(matched, updated).when(col("s.__s").isNotNull, sCol).otherwise(tCol)
+          .cast(f.dataType).as(f.name)
+      }: _*)
+      try {
+        atomically {
+          case tv: TxView => tv.rewriteExcluding(table, cands, out)
+          case w => throw new IllegalStateException(
+            s"AtomicWarehouse.atomically produced a ${w.getClass.getName}")
+        }
+        return MergeIntoResult(cnt(0), cnt(1),
+          if (insertUnmatched) cnt(2) else 0L, cands.size, untouched0.size)
+      } catch {
+        case _: java.util.ConcurrentModificationException => attempts += 1
+      }
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"mergeInto on $table lost $attempts straight races to concurrent " +
+        "commits; table is intact — retry when the writer is quieter")
   }
 
   /** Shared copy-on-write core: candidates → matched count → rewrite →

@@ -104,6 +104,12 @@ case class CountWhere(count: Long, filesMetadata: Int, filesRead: Int, filesSkip
 case class StatsMinMax(min: Option[Any], max: Option[Any],
     filesMetadata: Int, filesRead: Int)
 
+/** Outcome of a [[AtomicWarehouse.mergeInto]]: row counts per clause plus
+  * the file routing (candidate files rewritten vs untouched).
+  */
+case class MergeIntoResult(updated: Long, deleted: Long, inserted: Long,
+    filesRewritten: Int, filesUntouched: Int)
+
 case class FileStatsRec(rows: Long, cols: Map[String, ColStats]) {
 
   /** False ⇒ NO row of this file can satisfy `pred` — the skip decision.

@@ -315,6 +315,48 @@ class DmlSkippingSpec extends SparkSpec {
     assert(wh2.scanWhere("cl", kv, preds).count() == 25)
   }
 
+  test("mergeInto: upsert + delete clause, source-bounds file pruning, cardinality refusal") {
+    val wh = newWh()
+    banded(wh) // files [0,10) [10,20) [20,30)
+    // source: update 12/15, delete 17 (via the matched-delete clause),
+    // insert 100/101 — key bounds [12,101] touch bands 1-2 but never band 0
+    val src = Seq((12L, "new12"), (15L, "new15"), (17L, "DEL"),
+      (100L, "ins100"), (101L, "ins101")).toDF("id", "v")
+    val headBefore = wh.versions().last
+    val band0File = wh.fileStats("t").keySet
+      .find(f => wh.fileStats("t")(f).cols("id").max.contains(9L)).get
+    val r = wh.mergeInto("t", kv, src, Seq("id"),
+      whenMatchedDelete = Some(col("s.v") === lit("DEL")))
+    assert(r == graft.sources.MergeIntoResult(2L, 1L, 2L, 2, 1), s"got $r")
+    val got = wh.read("t", kv).collect().map(x => (x.getLong(0), x.getString(1))).toMap
+    assert(got.size == 31 && got(12L) == "new12" && got(15L) == "new15" &&
+      !got.contains(17L) && got(100L) == "ins100" && got(5L) == "v5" && got(25L) == "v25")
+    // the untouched band keeps its exact file; time travel sees the pre-merge rows
+    assert(wh.fileStats("t").contains(band0File))
+    assert(wh.readAt("t", kv, headBefore).count() == 30)
+    // SQL MERGE cardinality rule: ambiguous source refuses
+    intercept[IllegalArgumentException](wh.mergeInto("t", kv,
+      Seq((1L, "a"), (1L, "b")).toDF("id", "v"), Seq("id")))
+    // empty source: no-op, no commit
+    val head = wh.versions().last
+    val r0 = wh.mergeInto("t", kv,
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], kv),
+      Seq("id"))
+    assert(r0.updated == 0 && r0.inserted == 0 && wh.versions().last == head)
+  }
+
+  test("mergeInto: custom update expressions over t/s aliases; insertUnmatched=false") {
+    val wh = newWh()
+    banded(wh)
+    val src = Seq((7L, "x"), (500L, "y")).toDF("id", "v")
+    val r = wh.mergeInto("t", kv, src, Seq("id"),
+      whenMatchedUpdate = Seq("v" -> concat(col("t.v"), lit("+"), col("s.v"))),
+      insertUnmatched = false)
+    assert(r.updated == 1L && r.inserted == 0L, s"got $r")
+    val got = wh.read("t", kv).collect().map(x => (x.getLong(0), x.getString(1))).toMap
+    assert(got(7L) == "v7+x" && !got.contains(500L) && got.size == 30)
+  }
+
   test("FilePred row filters and stats comparison agree on string UTF-8 order") {
     val wh = newWh()
     // "Z" (0x5A) < "a" (0x61) in UTF-8; a naive case-insensitive or locale
