@@ -1043,6 +1043,56 @@ object SparkEntry {
       st.dim.history().orderBy(col("s_suppkey"), col("valid_from"))
     }
 
+    // ---- streaming CDC APPLY (ApplyChangesStream): ordered change batches
+    // (upsert/delete ops with per-key sequences) stream into a warehouse
+    // table, each micro-batch collapsing to last-change-per-key and
+    // applying as ONE ledgered mergeInto — the Debezium-feed consumer.
+    // b1 loads every supplier, b2 bumps %4 keys and deletes %5 keys (a
+    // %20 key gets both changes in one batch; the higher-seq delete wins
+    // the collapse), b3 re-upserts %10 keys — resurrecting the deleted
+    // evens among them. The oracle restates the surviving keys and final
+    // attributes directly from the supplier table
+    q("etl_apply_changes_stream") = (s, dir) => {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      import org.apache.spark.sql.types.{LongType => LT, StructField => SF, StructType => STT}
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey").cast(LongType).as("attr"))
+      val k = col("s_suppkey")
+      val batches = Seq(
+        sup.select(k, col("attr"), lit("u").as("_op"), k.as("_seq")),
+        sup.filter(k % 4 === 0)
+          .select(k, (col("attr") + 100).as("attr"), lit("u").as("_op"),
+            (k + 1000000L).as("_seq"))
+          .unionByName(sup.filter(k % 5 === 0)
+            .select(k, col("attr"), lit("d").as("_op"), (k + 2000000L).as("_seq"))),
+        sup.filter(k % 10 === 0)
+          .select(k, (col("attr") + 500).as("attr"), lit("u").as("_op"),
+            (k + 3000000L).as("_seq")))
+      val inDir = chunkedInput("cdcapply", dir) { d =>
+        batches.zipWithIndex.foreach { case (df, i) =>
+          val tmp = Files.createTempDirectory(s"graft-cdca-c$i-").toString + "/out"
+          df.coalesce(1).write.parquet(tmp)
+          val part = Files.list(Paths.get(tmp))
+            .filter(_.toString.endsWith(".parquet")).findFirst.get
+          Files.move(part, Paths.get(d, f"chunk_$i%02d.parquet"),
+            StandardCopyOption.ATOMIC_MOVE)
+        }
+      }
+      val ckpt = Files.createTempDirectory("graft-cdca-ck-").toString
+      val whDir = Files.createTempDirectory("graft-cdca-wh-").toString
+      val baseSch = STT(Seq(SF("s_suppkey", LT), SF("attr", LT)))
+      val wh = new graft.sources.AtomicWarehouse(GraftSession.streamSession(s), whDir)
+      val acs = new graft.streaming.ApplyChangesStream(wh, "dim/sup", Seq("s_suppkey"), baseSch)
+      val sq = acs.start(inDir, ckpt)
+      val drainMs = GraftSession.streamDrainTimeoutMs
+      if (!sq.awaitTermination(drainMs)) {
+        sq.stop()
+        throw new IllegalStateException(
+          s"etl_apply_changes_stream failed to drain within ${drainMs / 1000} s")
+      }
+      wh.read("dim/sup", baseSch).orderBy(col("s_suppkey"))
+    }
+
     // ---- row-level data-quality expectations (the P8 header validation
     // extended to row contents — dbt-tests shape): six rules over orders,
     // compiled into one fused aggregate scan (all row-local rules), one
@@ -3546,6 +3596,18 @@ object SparkEntry {
         |FROM orders, m
         |WHERE o_orderkey >= m.q // 2 AND o_orderkey < m.q * 2
         |ORDER BY n""".stripMargin,
+
+    // streaming CDC apply, restated key-for-key: %10 keys end at +500
+    // (batch 3 re-upsert, resurrecting deleted evens), other %5 keys stay
+    // deleted, other %4 keys at +100, the rest untouched
+    "etl_apply_changes_stream" ->
+      """SELECT s_suppkey,
+        | CAST(CASE WHEN s_suppkey % 10 = 0 THEN s_nationkey + 500
+        |      WHEN s_suppkey % 4 = 0 THEN s_nationkey + 100
+        |      ELSE s_nationkey END AS BIGINT) AS attr
+        |FROM supplier
+        |WHERE NOT (s_suppkey % 5 = 0 AND s_suppkey % 10 <> 0)
+        |ORDER BY s_suppkey""".stripMargin,
 
     // MERGE INTO over the band layout: per-clause counts, the 3-of-4-file
     // rewrite routing, and the merged end state (q2 non-P doubled, q2 P

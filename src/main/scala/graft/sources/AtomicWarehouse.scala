@@ -1142,26 +1142,38 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     *     `col("s.x")` and target as `col("t.x")`); empty = upsert default,
     *     every non-key column SET to the source row's value;
     *   - source row with no target match → inserted when `insertUnmatched`
-    *     (a NULL source key never matches, so it inserts — SQL join
-    *     semantics);
+    *     and `insertWhen` (a conditional not-matched-insert clause; a NULL
+    *     source key never matches, so it lands here — SQL join semantics);
     *   - target row with no source match → passes through untouched.
     *
     * Refuses a source with duplicate keys (the SQL MERGE cardinality rule —
     * a fan-out would silently duplicate target rows; same contract as
     * [[graft.operators.Scd.scd2Upsert]]). Source must carry every target
-    * column. Same conflict/retry/time-travel contract as [[deleteWhere]].
+    * column; EXTRA source columns (a CDC op/sequence) are visible to the
+    * clause conditions via the `s` alias and dropped from the output.
+    * `alsoInTx` stages additional writes in the SAME commit as the rewrite
+    * (a streaming ingest-ledger row — the exactly-once seam); it does not
+    * run when the merge publishes nothing (empty source). Same
+    * conflict/retry/time-travel contract as [[deleteWhere]].
     */
   def mergeInto(table: String, schema: StructType, source: DataFrame,
       keyCols: Seq[String],
       whenMatchedUpdate: Seq[(String, Column)] = Nil,
       whenMatchedDelete: Option[Column] = None,
-      insertUnmatched: Boolean = true): MergeIntoResult = {
+      insertUnmatched: Boolean = true,
+      insertWhen: Option[Column] = None,
+      alsoInTx: Warehouse => Unit = _ => ()): MergeIntoResult = {
     require(keyCols.nonEmpty, "mergeInto requires at least one key column")
     keyCols.foreach(k => require(schema.fieldNames.contains(k),
       s"key column '$k' is not in the target schema"))
     schema.fieldNames.foreach(c => require(source.columns.contains(c),
       s"mergeInto source is missing target column '$c'"))
-    val src = source.select(schema.fieldNames.toSeq.map(col): _*)
+    Seq("__t", "__s").foreach(m => require(!source.columns.contains(m),
+      s"mergeInto source may not carry the reserved column '$m'"))
+    // the source keeps its EXTRA columns (a CDC op/sequence column) so the
+    // delete/insert conditions can reference them via the `s` alias; only
+    // schema columns reach the rewritten rows
+    val src = source
     // SQL MERGE cardinality rule, checked once up front (source is the same
     // frame on every retry)
     val dup = src.groupBy(keyCols.map(col): _*)
@@ -1198,13 +1210,15 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       val delHit = whenMatchedDelete
         .map(c => matched && coalesce(c, lit(false))).getOrElse(lit(false))
       val onlyS = col("t.__t").isNull && col("s.__s").isNotNull
+      val insertable = onlyS && lit(insertUnmatched) &&
+        insertWhen.map(c => coalesce(c, lit(false))).getOrElse(lit(true))
       val counts = j.agg(
         sum(when(matched && !delHit, 1L).otherwise(0L)),
         sum(when(delHit, 1L).otherwise(0L)),
-        sum(when(onlyS, 1L).otherwise(0L))).head()
+        sum(when(insertable, 1L).otherwise(0L))).head()
       def cnt(i: Int): Long = if (counts.isNullAt(i)) 0L else counts.getLong(i)
       val updSet = whenMatchedUpdate.toMap
-      val keep = !delHit && (if (insertUnmatched) lit(true) else !onlyS)
+      val keep = !delHit && (!onlyS || insertable)
       val out = j.filter(keep).select(schema.fields.toSeq.map { f =>
         val tCol = col(s"t.${f.name}"); val sCol = col(s"s.${f.name}")
         val updated =
@@ -1215,12 +1229,13 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       }: _*)
       try {
         atomically {
-          case tv: TxView => tv.rewriteExcluding(table, cands, out)
+          case tv: TxView =>
+            tv.rewriteExcluding(table, cands, out)
+            alsoInTx(tv) // e.g. a stream's ingest-ledger row, same commit
           case w => throw new IllegalStateException(
             s"AtomicWarehouse.atomically produced a ${w.getClass.getName}")
         }
-        return MergeIntoResult(cnt(0), cnt(1),
-          if (insertUnmatched) cnt(2) else 0L, cands.size, untouched0.size)
+        return MergeIntoResult(cnt(0), cnt(1), cnt(2), cands.size, untouched0.size)
       } catch {
         case _: java.util.ConcurrentModificationException => attempts += 1
       }
