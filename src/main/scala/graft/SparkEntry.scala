@@ -1287,10 +1287,16 @@ object SparkEntry {
       import s.implicits._
       val orders = t(s, dir, "orders")
       val (wh, qtr) = bandedOrdersWh(s, orders, "mi")
-      val inQ2 = col("o_orderkey") >= qtr && col("o_orderkey") < qtr * 2
+      // %16 keeps the source's distinct keys under the exact-key-set
+      // pruning cap at BOTH driver scales, so the file routing is the
+      // key-set path's at both: the one band-1 file rewritten, the insert
+      // keys living in no file, bands 0/2/3 never opened
+      val inQ2 = col("o_orderkey") >= qtr && col("o_orderkey") < qtr * 2 &&
+        col("o_orderkey") % 16 === 0
       val src = orders.filter(inQ2)
         .withColumn("o_totalprice", col("o_totalprice") * 2)
-        .unionByName(orders.filter(col("o_orderkey") < qtr / 2)
+        .unionByName(orders
+          .filter(col("o_orderkey") < qtr / 2 && col("o_orderkey") % 16 === 0)
           .withColumn("o_orderkey", col("o_orderkey") + lit(qtr * 10)))
       val r = wh.mergeInto("facts/orders", orders.schema, src, Seq("o_orderkey"),
         whenMatchedDelete = Some(col("s.o_orderstatus") === lit("P")))
@@ -3616,18 +3622,22 @@ object SparkEntry {
       """WITH m AS (SELECT max(o_orderkey) // 4 AS q FROM orders),
         | upd AS (SELECT count(*) FILTER (WHERE o_orderstatus <> 'P') AS u,
         |                count(*) FILTER (WHERE o_orderstatus = 'P') AS d
-        |         FROM orders, m WHERE o_orderkey >= m.q AND o_orderkey < m.q * 2),
-        | ins AS (SELECT count(*) AS i FROM orders, m WHERE o_orderkey < m.q // 2),
+        |         FROM orders, m
+        |         WHERE o_orderkey >= m.q AND o_orderkey < m.q * 2 AND o_orderkey % 16 = 0),
+        | ins AS (SELECT count(*) AS i FROM orders, m
+        |         WHERE o_orderkey < m.q // 2 AND o_orderkey % 16 = 0),
         | endstate AS (
-        |   SELECT CASE WHEN o_orderkey >= m.q AND o_orderkey < m.q * 2
+        |   SELECT CASE WHEN o_orderkey >= m.q AND o_orderkey < m.q * 2 AND o_orderkey % 16 = 0
         |           THEN o_totalprice * 2 ELSE o_totalprice END AS p
         |   FROM orders, m
-        |   WHERE NOT (o_orderkey >= m.q AND o_orderkey < m.q * 2 AND o_orderstatus = 'P')
+        |   WHERE NOT (o_orderkey >= m.q AND o_orderkey < m.q * 2
+        |              AND o_orderkey % 16 = 0 AND o_orderstatus = 'P')
         |   UNION ALL
-        |   SELECT o_totalprice AS p FROM orders, m WHERE o_orderkey < m.q // 2)
+        |   SELECT o_totalprice AS p FROM orders, m
+        |   WHERE o_orderkey < m.q // 2 AND o_orderkey % 16 = 0)
         |SELECT CAST(upd.u AS BIGINT) AS updated, CAST(upd.d AS BIGINT) AS deleted,
         | CAST(ins.i AS BIGINT) AS inserted,
-        | 3 AS files_rewritten, 1 AS files_untouched,
+        | 1 AS files_rewritten, 3 AS files_untouched,
         | (SELECT count(*) FROM endstate) AS n,
         | (SELECT CAST(sum(CAST(round(p * 100) AS BIGINT)) AS BIGINT) FROM endstate) AS cents
         |FROM upd, ins

@@ -1181,22 +1181,36 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       .filter(col("__n") > 1).limit(1).count()
     require(dup == 0L, s"mergeInto source has duplicate keys on " +
       s"(${keyCols.mkString(", ")}) — SQL MERGE refuses ambiguous matches")
-    // source key bounds on the FIRST key column: target files whose range
-    // cannot intersect [lo, hi] cannot contain a match (null source keys
-    // match nothing). A type the stats algebra can't compare just keeps
-    // every file — sound, only less pruned.
-    val b = src.agg(org.apache.spark.sql.functions.min(col(keyCols.head)),
-      org.apache.spark.sql.functions.max(col(keyCols.head))).head()
-    val srcEmpty = b.isNullAt(0)
+    if (src.isEmpty)
+      return MergeIntoResult(0L, 0L, 0L, 0, committedOrPhysical(table).size)
+    // Candidate pruning on the FIRST key column. Small sources (the CDC
+    // micro-batch case) prune with their EXACT distinct key set: a batch
+    // touching one band plus a few inserts beyond the range keeps only the
+    // files whose bounds/value-sets admit one of those keys, where the
+    // interval [min, max] would keep every band in between. Larger sources
+    // fall back to the interval. Null source keys match nothing (insert-
+    // only), so they never widen the candidate set; a key type the stats
+    // algebra can't compare keeps every file — sound, only less pruned.
+    val keyPruneCap = 1024
+    val distinctKeys = src.select(col(keyCols.head))
+      .filter(col(keyCols.head).isNotNull)
+      .distinct().limit(keyPruneCap + 1).collect().map(_.get(0)).toSeq
+    val prunePreds: Seq[FilePred] =
+      if (distinctKeys.isEmpty) Nil // every source key is null: nothing can match
+      else if (distinctKeys.size <= keyPruneCap) Seq(ColIn(keyCols.head, distinctKeys))
+      else {
+        val b = src.agg(org.apache.spark.sql.functions.min(col(keyCols.head)),
+          org.apache.spark.sql.functions.max(col(keyCols.head))).head()
+        Seq(ColGe(keyCols.head, b.get(0)), ColLe(keyCols.head, b.get(1)))
+      }
     var attempts = 0
     while (attempts < 8) {
       val (cands0, untouched0) =
-        if (srcEmpty) (Nil, committedOrPhysical(table))
-        else planFiles(table, Seq(ColGe(keyCols.head, b.get(0)), ColLe(keyCols.head, b.get(1))))
+        if (prunePreds.isEmpty) (Nil, committedOrPhysical(table))
+        else planFiles(table, prunePreds)
       val cands = cands0.toSeq
       require(cands.forall(!_.contains("/")),
         s"mergeInto on partition-dir layouts is not supported (table $table)")
-      if (srcEmpty) return MergeIntoResult(0L, 0L, 0L, 0, untouched0.size)
       val candDf =
         if (cands.isEmpty)
           spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -1219,7 +1233,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       def cnt(i: Int): Long = if (counts.isNullAt(i)) 0L else counts.getLong(i)
       val updSet = whenMatchedUpdate.toMap
       val keep = !delHit && (!onlyS || insertable)
-      val out = j.filter(keep).select(schema.fields.toSeq.map { f =>
+      val merged = j.filter(keep).select(schema.fields.toSeq.map { f =>
         val tCol = col(s"t.${f.name}"); val sCol = col(s"s.${f.name}")
         val updated =
           if (keyCols.contains(f.name)) tCol
@@ -1227,6 +1241,15 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
         when(matched, updated).when(col("s.__s").isNotNull, sCol).otherwise(tCol)
           .cast(f.dataType).as(f.name)
       }: _*)
+      // The join's hash partitioning would scatter each rewritten file's
+      // keys across every output file — one merge and the band layout (and
+      // every later merge's pruning) is gone. Range-cluster the rewrite on
+      // the keys back into ~as many files as it consumed, so merges
+      // PRESERVE clustering instead of eroding it (CdcSoak measures the
+      // difference as flat-vs-growing per-batch rewrite cost).
+      val out = merged
+        .repartitionByRange(math.max(cands.size, 1), keyCols.map(col): _*)
+        .sortWithinPartitions(keyCols.map(col): _*)
       try {
         atomically {
           case tv: TxView =>

@@ -327,7 +327,9 @@ class DmlSkippingSpec extends SparkSpec {
       .find(f => wh.fileStats("t")(f).cols("id").max.contains(9L)).get
     val r = wh.mergeInto("t", kv, src, Seq("id"),
       whenMatchedDelete = Some(col("s.v") === lit("DEL")))
-    assert(r == graft.sources.MergeIntoResult(2L, 1L, 2L, 2, 1), s"got $r")
+    // exact key-set pruning: 12/15/17 all live in band 1, the insert keys
+    // live in no file — ONE file rewritten (interval bounds would take 2)
+    assert(r == graft.sources.MergeIntoResult(2L, 1L, 2L, 1, 2), s"got $r")
     val got = wh.read("t", kv).collect().map(x => (x.getLong(0), x.getString(1))).toMap
     assert(got.size == 31 && got(12L) == "new12" && got(15L) == "new15" &&
       !got.contains(17L) && got(100L) == "ins100" && got(5L) == "v5" && got(25L) == "v25")
