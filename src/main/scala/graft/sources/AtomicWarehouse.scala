@@ -139,7 +139,8 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     */
   private case class LogState(adds: Map[String, Vector[String]],
       truncated: Set[String], schemas: Map[String, String] = Map.empty,
-      stats: Map[(String, String), String] = Map.empty)
+      stats: Map[(String, String), String] = Map.empty,
+      cluster: Map[String, String] = Map.empty)
 
   /** A fold races concurrent folds from OTHER instances: their snapshot
     * publish happens BEFORE they delete the superseded manifests, so when a
@@ -192,6 +193,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     var truncated = Set.empty[String]
     var schemas = Map.empty[String, String]
     var stats = Map.empty[(String, String), String]
+    var cluster = Map.empty[String, String]
     cfs.foreach { cf =>
       readLines(cf).foreach { line =>
         // limit 4: a schema line's third field and a stats line's fourth are
@@ -224,11 +226,15 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
             schemas += (f(1) -> f(2)) // last line per table wins
           case "stats" =>
             stats += ((f(1), f(2)) -> f(3))
+          case "cluster" =>
+            // last line per table wins; like schema, survives truncates (the
+            // table's DECLARED layout, not a property of any file set)
+            cluster += (f(1) -> f(2))
           case other => throw new IllegalStateException(s"unknown txlog action '$other' in $cf")
         }
       }
     }
-    val st = LogState(adds, truncated, schemas, stats)
+    val st = LogState(adds, truncated, schemas, stats, cluster)
     if (updateCache) foldCache = (key, st)
     st
   }
@@ -475,11 +481,14 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     // last stats line per (table, file) likewise — dropping them would turn
     // every vacuum/auto-fold into a silent skipping-regression for old files
     var statsMap = Map.empty[(String, String), String]
+    var clusterMap = Map.empty[String, String]
     parsed.foreach { l =>
       if (l.startsWith("schema\t")) {
         val f = l.split("\t", 3); schemaMap += (f(1) -> f(2))
       } else if (l.startsWith("stats\t")) {
         val f = l.split("\t", 4); statsMap += ((f(1), f(2)) -> f(3))
+      } else if (l.startsWith("cluster\t")) {
+        val f = l.split("\t", 3); clusterMap += (f(1) -> f(2))
       }
     }
     // ALL truncate lines precede ALL add lines. Truncate applies by PREFIX,
@@ -491,6 +500,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     val lines = ("snapshot" +: tables.map(t => s"truncate\t$t")) ++
       tables.flatMap(t => visibleNow(t).map(f => s"add\t$t\t$f")) ++
       schemaMap.toSeq.sortBy(_._1).map { case (t, j) => s"schema\t$t\t$j" } ++
+      clusterMap.toSeq.sortBy(_._1).map { case (t, c) => s"cluster\t$t\t$c" } ++
       tables.flatMap(t => visibleNow(t).flatMap(f =>
         statsMap.get((t, f)).map(j => s"stats\t$t\t$f\t$j")))
     publishAt(lines, versionOf(old.last) + 1, snapshot = true)
@@ -993,6 +1003,53 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       .parquet(kept.map(f => s"${path(table)}/$f"): _*).filter(cond)
   }
 
+  /** The table's declared cluster columns (manifest `cluster` line,
+    * last-wins, surviving truncates like the schema): recorded by
+    * [[appendClustered]]/[[recluster]], consulted by every DML rewrite so
+    * copy-on-write outputs keep the layout instead of eroding it.
+    */
+  def clusterBy(table: String): Option[Seq[String]] =
+    foldedState().cluster.get(table).map(_.split(",").toSeq)
+
+  /** Declare (or change) a table's cluster columns — one metadata-only
+    * commit. [[appendClustered]]/[[recluster]] call this implicitly.
+    */
+  def setClusterBy(table: String, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "setClusterBy with no columns")
+    cols.foreach(c => require(!c.contains(",") && !c.contains("\t") && !c.contains("\n"),
+      s"cluster column name '$c' contains TSV/list control characters"))
+    if (clusterBy(table).contains(cols)) return // already declared — no commit
+    publish(Seq(s"cluster\t$table\t${cols.mkString(",")}"))
+  }
+
+  override def appendClustered(table: String, df: DataFrame, clusterCols: Seq[String],
+      numFiles: Int): Unit = {
+    super.appendClustered(table, df, clusterCols, numFiles)
+    setClusterBy(table, clusterCols)
+  }
+
+  override def recluster(table: String, schema: StructType, clusterCols: Seq[String],
+      numFiles: Int): Unit = {
+    super.recluster(table, schema, clusterCols, numFiles)
+    setClusterBy(table, clusterCols)
+  }
+
+  /** Range-cluster a DML rewrite's output on the table's declared cluster
+    * columns (or `fallback`): the join/scan partitioning would otherwise
+    * scatter each rewritten file's keys across every output file — one
+    * rewrite and the band layout (and every later operation's pruning) is
+    * gone. Declared columns missing from this schema (pre-evolution
+    * history) fall back too.
+    */
+  private def clusteredRewrite(table: String, schema: StructType, df: DataFrame,
+      nFiles: Int, fallback: Seq[String]): DataFrame = {
+    val cols0 = clusterBy(table).filter(_.forall(schema.fieldNames.contains))
+      .getOrElse(fallback)
+    if (cols0.isEmpty) df
+    else df.repartitionByRange(math.max(nFiles, 1), cols0.map(col): _*)
+      .sortWithinPartitions(cols0.map(col): _*)
+  }
+
   /** Exact `COUNT(*) WHERE <conjunction>` answered as far as possible from
     * the manifest alone: excluded files contribute 0, fully-included files
     * (bounds inside the range, zero nulls — [[FileStatsRec.allMatch]])
@@ -1241,15 +1298,11 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
         when(matched, updated).when(col("s.__s").isNotNull, sCol).otherwise(tCol)
           .cast(f.dataType).as(f.name)
       }: _*)
-      // The join's hash partitioning would scatter each rewritten file's
-      // keys across every output file — one merge and the band layout (and
-      // every later merge's pruning) is gone. Range-cluster the rewrite on
-      // the keys back into ~as many files as it consumed, so merges
-      // PRESERVE clustering instead of eroding it (CdcSoak measures the
-      // difference as flat-vs-growing per-batch rewrite cost).
-      val out = merged
-        .repartitionByRange(math.max(cands.size, 1), keyCols.map(col): _*)
-        .sortWithinPartitions(keyCols.map(col): _*)
+      // Range-cluster the rewrite back into ~as many files as it consumed —
+      // on the table's declared cluster columns when recorded, else the
+      // merge keys — so merges PRESERVE clustering instead of eroding it
+      // (CdcSoak measures the difference as flat-vs-growing per-batch cost).
+      val out = clusteredRewrite(table, schema, merged, cands.size, keyCols)
       try {
         atomically {
           case tv: TxView =>
@@ -1290,7 +1343,9 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       val hit = coalesce(cond, lit(false))
       val matched = df.filter(hit).count()
       if (matched == 0L) return 0L
-      val out = rewrite((df, hit))
+      // declared-cluster tables keep their layout through deletes/updates;
+      // undeclared tables keep the scan's natural per-file partitioning
+      val out = clusteredRewrite(table, schema, rewrite((df, hit)), cands.size, Nil)
       try {
         atomically {
           case tv: TxView => tv.rewriteExcluding(table, cands, out)

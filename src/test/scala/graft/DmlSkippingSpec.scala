@@ -359,6 +359,32 @@ class DmlSkippingSpec extends SparkSpec {
     assert(got(7L) == "v7+x" && !got.contains(500L) && got.size == 30)
   }
 
+  test("cluster metadata: declared by appendClustered/recluster, DML rewrites preserve the layout, survives vacuum") {
+    val wh = newWh()
+    wh.appendClustered("c", (0 until 200).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "v").orderBy(rand(3)), Seq("id"), numFiles = 8)
+    assert(wh.clusterBy("c").contains(Seq("id")))
+    // a delete spanning two bands: the rewrite must come back banded, so a
+    // later range scan still prunes
+    assert(wh.deleteWhere("c", kv, Seq(ColGe("id", 40L), ColLt("id", 60L))) == 20L)
+    val (kept, skipped) = wh.planFiles("c", Seq(ColGe("id", 150L)))
+    assert(skipped.size >= 4,
+      s"post-delete the low bands must still prune (kept=${kept.size}, skipped=${skipped.size})")
+    assert(wh.read("c", kv).count() == 180)
+    // metadata survives the snapshot fold
+    wh.vacuum(olderThanMs = 0L)
+    assert(wh.clusterBy("c").contains(Seq("id")))
+    // mergeInto consults it too: after merging scattered updates, pruning still works
+    val src = (0 until 200 by 13).map(i => (i.toLong, s"m$i")).toDF("id", "v")
+    wh.mergeInto("c", kv, src, Seq("id"))
+    val (k2, s2) = wh.planFiles("c", Seq(ColLt("id", 25L)))
+    assert(s2.nonEmpty, s"post-merge the high bands must still prune (kept=${k2.size})")
+    // redeclaring the same columns publishes nothing
+    val head = wh.versions().last
+    wh.setClusterBy("c", Seq("id"))
+    assert(wh.versions().last == head)
+  }
+
   test("FilePred row filters and stats comparison agree on string UTF-8 order") {
     val wh = newWh()
     // "Z" (0x5A) < "a" (0x61) in UTF-8; a naive case-insensitive or locale
