@@ -1003,6 +1003,29 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       .parquet(kept.map(f => s"${path(table)}/$f"): _*).filter(cond)
   }
 
+  /** DESCRIBE DETAIL for ops tooling: everything the manifest knows about a
+    * table without reading a data row — visible files/bytes, exact row
+    * count when every file carries stats (`rows` is -1 otherwise: report,
+    * never guess), stats coverage, declared cluster columns, recorded
+    * schema width, and the current log head. Driver-side metadata only.
+    */
+  def describe(table: String): TableDetail = {
+    val st = foldedState()
+    val files = st.adds.getOrElse(table, Vector.empty)
+    val bytes = files.map(f =>
+      fs.getFileStatus(new Path(s"${path(table)}/$f")).getLen).sum
+    val recs = files.flatMap(f => st.stats.get((table, f)))
+    val rows =
+      if (files.nonEmpty && recs.size == files.size)
+        recs.map(FileStatsRec.fromJson(_).rows).sum
+      else -1L
+    TableDetail(table, files.size, bytes, rows, recs.size,
+      st.cluster.get(table).map(_.split(",").toSeq).getOrElse(Nil),
+      st.schemas.get(table).map(j => org.apache.spark.sql.types.DataType
+        .fromJson(j).asInstanceOf[StructType].fields.length).getOrElse(-1),
+      commitFiles().lastOption.map(versionOf).getOrElse(0))
+  }
+
   /** The table's declared cluster columns (manifest `cluster` line,
     * last-wins, surviving truncates like the schema): recorded by
     * [[appendClustered]]/[[recluster]], consulted by every DML rewrite so

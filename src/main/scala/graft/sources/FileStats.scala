@@ -110,6 +110,14 @@ case class StatsMinMax(min: Option[Any], max: Option[Any],
 case class MergeIntoResult(updated: Long, deleted: Long, inserted: Long,
     filesRewritten: Int, filesUntouched: Int)
 
+/** DESCRIBE DETAIL, metadata-only ([[AtomicWarehouse.describe]]): `rows` is
+  * -1 unless EVERY visible file carries stats; `schemaWidth` -1 for
+  * pre-evolution history; `headVersion` 0 for an empty log.
+  */
+case class TableDetail(table: String, files: Int, bytes: Long, rows: Long,
+    filesWithStats: Int, clusterCols: Seq[String], schemaWidth: Int,
+    headVersion: Int)
+
 case class FileStatsRec(rows: Long, cols: Map[String, ColStats]) {
 
   /** False ⇒ NO row of this file can satisfy `pred` — the skip decision.

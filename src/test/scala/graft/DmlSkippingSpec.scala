@@ -385,6 +385,22 @@ class DmlSkippingSpec extends SparkSpec {
     assert(wh.versions().last == head)
   }
 
+  test("describe: metadata-only table detail — exact rows under full stats coverage, -1 otherwise") {
+    val wh = newWh()
+    banded(wh)
+    wh.recluster("t", kv, Seq("id"), 3)
+    val d = wh.describe("t")
+    assert(d.files == 3 && d.rows == 30L && d.filesWithStats == 3 &&
+      d.clusterCols == Seq("id") && d.schemaWidth == 2 && d.bytes > 0, s"got $d")
+    // a statless legacy file degrades rows to -1, never to a guess
+    val root = java.nio.file.Files.createTempDirectory("graft-desc-").toString
+    new Warehouse(spark, root).append("h", Seq((1L, "a")).toDF("id", "v").coalesce(1))
+    val wh2 = new AtomicWarehouse(spark, root)
+    wh2.append("h", Seq((2L, "b")).toDF("id", "v").coalesce(1)) // adoption stats cover both
+    val d2 = wh2.describe("h")
+    assert(d2.files == 2 && d2.rows == 2L, s"got $d2")
+  }
+
   test("FilePred row filters and stats comparison agree on string UTF-8 order") {
     val wh = newWh()
     // "Z" (0x5A) < "a" (0x61) in UTF-8; a naive case-insensitive or locale
