@@ -60,7 +60,14 @@ object FilePred {
       case ColLe(_, v) => c <= litFor(v, dt)
       case ColLt(_, v) => c < litFor(v, dt)
       case ColEq(_, v) => c === litFor(v, dt)
-      case ColIn(_, vs) => vs.map(v => c === litFor(v, dt)).reduce(_ || _)
+      case ColIn(_, vs) =>
+        // native In expression (codegen'd, parquet-pushable) unless a value
+        // needs casting (string against a DATE/TIMESTAMP column — rare and
+        // small lists); a 1k-element OR-chain would be a deep tree instead
+        val needsCast = (dt == DateType || dt == TimestampType) &&
+          vs.exists(_.isInstanceOf[String])
+        if (needsCast) vs.map(v => c === litFor(v, dt)).reduce(_ || _)
+        else c.isInCollection(vs)
     }
   }
 
