@@ -347,6 +347,24 @@ class DmlSkippingSpec extends SparkSpec {
     assert(r0.updated == 0 && r0.inserted == 0 && wh.versions().last == head)
   }
 
+  test("mergeInto: a source above the key-set cap falls back to interval bounds and stays exact") {
+    val wh = newWh()
+    // 4 bands of 1000 keys; source updates 1500 keys spanning bands 1-2 —
+    // above the 1024 exact-key cap, so pruning uses [min,max] bounds
+    (0 until 4).foreach { b =>
+      wh.append("big", (b * 1000 until (b + 1) * 1000)
+        .map(i => (i.toLong, s"v$i")).toDF("id", "v").coalesce(1))
+    }
+    val src = (1200 until 2700).map(i => (i.toLong, s"u$i")).toDF("id", "v")
+    val r = wh.mergeInto("big", kv, src, Seq("id"))
+    assert(r.updated == 1500L && r.inserted == 0L, s"got $r")
+    assert(r.filesRewritten == 2 && r.filesUntouched == 2,
+      s"interval [1200,2699] must touch exactly bands 1-2, got $r")
+    val got = wh.read("big", kv)
+    assert(got.count() == 4000)
+    assert(got.filter(col("v").startsWith("u")).count() == 1500)
+  }
+
   test("mergeInto: custom update expressions over t/s aliases; insertUnmatched=false") {
     val wh = newWh()
     banded(wh)
