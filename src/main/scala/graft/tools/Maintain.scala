@@ -18,11 +18,14 @@ import org.apache.spark.sql.SparkSession
   *                             that makes BOTH dimensions' predicates prune
   *                             row groups (measured 26× on 2-D predicates,
   *                             tools/ZOrderProbe → BASELINE.md)
-  *                t:cluster=c[:files]   recluster: global range re-banding
-  *                             on column c into `files` files (default 16) —
-  *                             restores manifest file-level skipping after
-  *                             interleaved ingest (tools/SkipProbe: a 1-band
-  *                             scan drops from 16 to 2 kept files)
+  *                t:cluster=c1,c2[:files]  recluster: global range re-banding
+  *                             on the columns into `files` files (default
+  *                             16) — restores manifest file-level skipping
+  *                             after interleaved ingest (tools/SkipProbe: a
+  *                             1-band scan drops from 16 to 2 kept files).
+  *                             DISCOVERY mode reclusters any table whose
+  *                             manifest declares cluster columns instead of
+  *                             flattening it with the plain compact
   *
   * For each named table (default: every unpartitioned parquet-bearing
   * directory under the root) it compacts the accumulated per-batch small
@@ -70,9 +73,9 @@ object Maintain {
     case object Plain extends Action
     case class Sorted(col: String) extends Action
     case class ZOrder(a: String, b: String, bits: Int) extends Action
-    case class Recluster(col: String, files: Int) extends Action
+    case class Recluster(cols: Seq[String], files: Int) extends Action
     val ZSpec = """zorder=([^,:]+),([^,:]+)""".r
-    val CSpec = """cluster=([^,:]+)""".r
+    val CSpec = """cluster=([^:]+)""".r
     val specs: Seq[(String, Action)] =
       if (tableSpecs.nonEmpty) tableSpecs.map { spec =>
         spec.split(':') match {
@@ -82,9 +85,9 @@ object Maintain {
           // uniform bad-spec error instead of a raw NumberFormatException
           case Array(t, ZSpec(a, b), bits) if bits.matches("\\d+") =>
             (t, ZOrder(a, b, bits.toInt))
-          case Array(t, CSpec(c))          => (t, Recluster(c, 16))
+          case Array(t, CSpec(c))          => (t, Recluster(c.split(',').toSeq, 16))
           case Array(t, CSpec(c), files) if files.matches("\\d+") =>
-            (t, Recluster(c, files.toInt))
+            (t, Recluster(c.split(',').toSeq, files.toInt))
           case Array(t, s) if !s.startsWith("zorder=") && !s.startsWith("cluster=") =>
             (t, Sorted(s))
           case _ => throw new IllegalArgumentException(s"bad table spec '$spec'")
@@ -103,7 +106,19 @@ object Maintain {
     }
     val isBase = !wh.isInstanceOf[AtomicWarehouse]
 
-    specs.foreach { case (table, action) =>
+    specs.foreach { case (table, action0) =>
+      // a declared-cluster table must not be flattened by the default pass:
+      // plain compact (coalesce-to-one, unsorted) would erase the band
+      // layout the manifest says the table relies on — honor the
+      // declaration by reclustering instead
+      val action = (action0, wh) match {
+        case (Plain, aw: AtomicWarehouse) =>
+          aw.clusterBy(table) match {
+            case Some(cols) => Recluster(cols, 16)
+            case None => Plain
+          }
+        case _ => action0
+      }
       if (isBase && hasManifestFiles(table)) {
         println(s"MAINTAIN skipped $table (transactional writer bootstrapping; rerun)")
       } else wh.inferSchema(table) match {
@@ -121,11 +136,11 @@ object Maintain {
                 wh.compactWith(table, schema,
                   df => graft.operators.Layout.zorderAuto(df, a, b, bits, numFiles = 1))
                 s" (zorder $a,$b @${bits}b)"
-              case Recluster(c, files) =>
+              case Recluster(cs, files) =>
                 // global range re-banding: restores manifest/file-level data
                 // skipping after interleaved ingest (SkipProbe: 16→2 kept)
-                wh.recluster(table, schema, Seq(c), files)
-                s" (recluster $c → $files files)"
+                wh.recluster(table, schema, cs, files)
+                s" (recluster ${cs.mkString(",")} → $files files)"
             }
             println(f"MAINTAIN compacted $table%-40s ${before / 1024}%d KiB$label")
           } catch {

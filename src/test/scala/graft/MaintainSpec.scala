@@ -203,6 +203,25 @@ class MaintainSpec extends SparkSpec {
       Maintain.run(spark, root, Seq("t:cluster=id:x4"), graceMs = 0L))
   }
 
+  test("maintain discovery honors declared clustering: no flattening of banded tables") {
+    import graft.sources.{ColGe, ColLt}
+    val root = Files.createTempDirectory("graft-mt-dc-").toString
+    val wh = new AtomicWarehouse(spark, root)
+    wh.appendClustered("t", (0 until 100).map(i => (i.toLong, s"v$i")).toDF("id", "v"),
+      Seq("id"), numFiles = 4)
+    // small-file churn on top: three interleaved appends
+    (0 until 3).foreach(b => wh.append("t",
+      Seq(((100 + b).toLong, s"x$b")).toDF("id", "v").coalesce(1)))
+    val before = rows(wh, "t")
+    Maintain.run(spark, root, Seq.empty, graceMs = 0L) // DISCOVERY mode
+    assert(rows(wh, "t") == before)
+    assert(wh.clusterBy("t").contains(Seq("id")), "declaration must survive maintenance")
+    // the pass must have RE-BANDED, not flattened: a quarter-range scan prunes
+    val (kept, skipped) = wh.planFiles("t", Seq(ColGe("id", 10L), ColLt("id", 20L)))
+    assert(skipped.nonEmpty,
+      s"discovery maintenance flattened a declared-cluster table (kept=${kept.size})")
+  }
+
   test("maintain on a base warehouse: discovery path compacts everything") {
     val dir = Files.createTempDirectory("graft-maint-base-").toString
     val wh = new Warehouse(spark, dir)
