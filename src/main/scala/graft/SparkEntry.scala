@@ -1172,6 +1172,29 @@ object SparkEntry {
         .orderBy(col("n_nationkey"))
     }
 
+    // ---- column rename WITHOUT rewrite (column mapping): v1 lands the
+    // dimension, one metadata commit renames n_name → nation_name (zero
+    // data files touched — physical names are stable), and a post-rename
+    // append writes under the new logical name. The live read serves BOTH
+    // eras' files under the renamed schema while the as-of read of v1
+    // keeps ITS era's column name — restated by the oracle as a rename
+    // over the raw table plus the literal era column list
+    q("etl_rename_column") = (s, dir) => {
+      val nat = t(s, dir, "nation")
+      val wh = new graft.sources.AtomicWarehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-rn-").toString)
+      wh.append("dim/nation",
+        nat.filter(col("n_nationkey") < 10).select(col("n_nationkey"), col("n_name")))
+      wh.renameColumn("dim/nation", "n_name", "nation_name")
+      wh.append("dim/nation",
+        nat.filter(col("n_nationkey") >= 10)
+          .select(col("n_nationkey"), col("n_name").as("nation_name")))
+      val asOf1Cols = wh.readAt("dim/nation", 1).columns.mkString(",")
+      wh.read("dim/nation", wh.currentSchema("dim/nation").get)
+        .withColumn("asof1_cols", lit(asOf1Cols))
+        .orderBy(col("n_nationkey"))
+    }
+
     /** Orders laid out as four single-file o_orderkey quartile bands, each
       * commit recording its footer min/max in the manifest — the fixture
       * the data-skipping and row-level-DML queries share. Returns the
@@ -3558,6 +3581,14 @@ object SparkEntry {
     "etl_schema_evolution" ->
       """SELECT n_nationkey, n_name,
         | CASE WHEN n_nationkey < 10 THEN NULL ELSE n_regionkey END AS n_regionkey,
+        | 'n_nationkey,n_name' AS asof1_cols
+        |FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
+
+    // rename without rewrite: both eras' rows under the renamed column,
+    // the v1 as-of read keeping its era's name (literal column list)
+    "etl_rename_column" ->
+      """SELECT n_nationkey, n_name AS nation_name,
         | 'n_nationkey,n_name' AS asof1_cols
         |FROM nation
         |ORDER BY n_nationkey""".stripMargin,

@@ -140,7 +140,8 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
   private case class LogState(adds: Map[String, Vector[String]],
       truncated: Set[String], schemas: Map[String, String] = Map.empty,
       stats: Map[(String, String), String] = Map.empty,
-      cluster: Map[String, String] = Map.empty)
+      cluster: Map[String, String] = Map.empty,
+      colmap: Map[String, String] = Map.empty)
 
   /** A fold races concurrent folds from OTHER instances: their snapshot
     * publish happens BEFORE they delete the superseded manifests, so when a
@@ -194,6 +195,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     var schemas = Map.empty[String, String]
     var stats = Map.empty[(String, String), String]
     var cluster = Map.empty[String, String]
+    var colmap = Map.empty[String, String]
     cfs.foreach { cf =>
       readLines(cf).foreach { line =>
         // limit 4: a schema line's third field and a stats line's fourth are
@@ -230,11 +232,15 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
             // last line per table wins; like schema, survives truncates (the
             // table's DECLARED layout, not a property of any file set)
             cluster += (f(1) -> f(2))
+          case "colmap" =>
+            // logical→physical column mapping JSON; last line per table
+            // wins, survives truncates (renames are table metadata)
+            colmap += (f(1) -> f(2))
           case other => throw new IllegalStateException(s"unknown txlog action '$other' in $cf")
         }
       }
     }
-    val st = LogState(adds, truncated, schemas, stats, cluster)
+    val st = LogState(adds, truncated, schemas, stats, cluster, colmap)
     if (updateCache) foldCache = (key, st)
     st
   }
@@ -482,6 +488,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     // every vacuum/auto-fold into a silent skipping-regression for old files
     var statsMap = Map.empty[(String, String), String]
     var clusterMap = Map.empty[String, String]
+    var colmapMap = Map.empty[String, String]
     parsed.foreach { l =>
       if (l.startsWith("schema\t")) {
         val f = l.split("\t", 3); schemaMap += (f(1) -> f(2))
@@ -489,6 +496,8 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
         val f = l.split("\t", 4); statsMap += ((f(1), f(2)) -> f(3))
       } else if (l.startsWith("cluster\t")) {
         val f = l.split("\t", 3); clusterMap += (f(1) -> f(2))
+      } else if (l.startsWith("colmap\t")) {
+        val f = l.split("\t", 3); colmapMap += (f(1) -> f(2))
       }
     }
     // ALL truncate lines precede ALL add lines. Truncate applies by PREFIX,
@@ -501,6 +510,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       tables.flatMap(t => visibleNow(t).map(f => s"add\t$t\t$f")) ++
       schemaMap.toSeq.sortBy(_._1).map { case (t, j) => s"schema\t$t\t$j" } ++
       clusterMap.toSeq.sortBy(_._1).map { case (t, c) => s"cluster\t$t\t$c" } ++
+      colmapMap.toSeq.sortBy(_._1).map { case (t, j) => s"colmap\t$t\t$j" } ++
       tables.flatMap(t => visibleNow(t).flatMap(f =>
         statsMap.get((t, f)).map(j => s"stats\t$t\t$f\t$j")))
     publishAt(lines, versionOf(old.last) + 1, snapshot = true)
@@ -586,7 +596,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     private[sources] def replaceExpecting(table: String, df: DataFrame,
         expected: Seq[String]): Unit =
       stage(table, truncate = true, partitioned = false,
-        Some(d => df.write.mode(SaveMode.Overwrite).parquet(d.toString)),
+        Some(d => toPhysicalDf(table, df).write.mode(SaveMode.Overwrite).parquet(d.toString)),
         expected = Some(expected), schemaOf = Some(df.schema))
 
     /** Copy-on-write file rewrite for row-level DML ([[AtomicWarehouse
@@ -601,27 +611,29 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     private[sources] def rewriteExcluding(table: String, removedFiles: Seq[String],
         df: DataFrame): Unit =
       stage(table, truncate = false, partitioned = false,
-        Some(d => df.write.mode(SaveMode.Overwrite).parquet(d.toString)),
+        Some(d => toPhysicalDf(table, df).write.mode(SaveMode.Overwrite).parquet(d.toString)),
         schemaOf = Some(df.schema), removes = removedFiles,
         requirePresent = Some(removedFiles))
 
     override def append(table: String, df: DataFrame): Unit =
       stage(table, truncate = false, partitioned = false,
-        Some(d => df.write.mode(SaveMode.Overwrite).parquet(d.toString)),
+        Some(d => toPhysicalDf(table, df).write.mode(SaveMode.Overwrite).parquet(d.toString)),
         schemaOf = Some(df.schema))
 
     override def appendPartitioned(table: String, df: DataFrame,
         partitionCols: Seq[String]): Unit =
       stage(table, truncate = false, partitioned = true,
-        Some(d => df.write.mode(SaveMode.Overwrite)
-          .partitionBy(partitionCols: _*).parquet(d.toString)),
+        Some(d => toPhysicalDf(table, df).write.mode(SaveMode.Overwrite)
+          .partitionBy(partitionCols.map(c => physColOf(table, c)): _*).parquet(d.toString)),
         schemaOf = Some(df.schema))
 
     // staged source files are never disturbed by the staged write, so
-    // replace needs none of the base class's tmp-and-swap choreography
+    // replace needs none of the base class's tmp-and-swap choreography.
+    // Every staged write goes out under PHYSICAL column names (column
+    // mapping); the recorded schema line stays logical.
     override def replace(table: String, df: DataFrame): Unit =
       stage(table, truncate = true, partitioned = false,
-        Some(d => df.write.mode(SaveMode.Overwrite).parquet(d.toString)),
+        Some(d => toPhysicalDf(table, df).write.mode(SaveMode.Overwrite).parquet(d.toString)),
         schemaOf = Some(df.schema))
 
     override def delete(table: String): Unit =
@@ -646,7 +658,18 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       }
       if (files.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema).parquet(files: _*)
+      else {
+        // committed AND staged files are physical-named; translate back
+        val m = colMapOf(table)
+        if (m.isEmpty) spark.read.schema(schema).parquet(files: _*)
+        else {
+          val phys = StructType(schema.fields.map(f =>
+            f.copy(name = m.getOrElse(f.name, f.name))))
+          spark.read.schema(phys).parquet(files: _*)
+            .select(schema.fields.toSeq.map(f =>
+              col(m.getOrElse(f.name, f.name)).as(f.name)): _*)
+        }
+      }
     }
 
     override def exists(table: String): Boolean =
@@ -802,12 +825,10 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
   override def read(table: String, schema: StructType): DataFrame =
     visibleFiles(table) match {
       case None => super.read(table, schema) // raw/legacy directory
-      case Some(Nil) =>
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       case Some(files) =>
-        // basePath recovers hive partition columns for partitioned tables
-        spark.read.option("basePath", path(table)).schema(schema)
-          .parquet(files.map(f => s"${path(table)}/$f"): _*)
+        // readFiles: basePath recovers hive partition columns AND the
+        // logical→physical column mapping applies (rename support)
+        readFiles(table, schema, files)
     }
 
   // ---- time travel ---------------------------------------------------------
@@ -844,10 +865,9 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     if (gone.nonEmpty) throw new IllegalStateException(
       s"version $version of $table is no longer reconstructible: " +
         s"${gone.size} of its data files were vacuumed (first: ${gone.head})")
-    if (files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.option("basePath", path(table)).schema(schema)
-      .parquet(files.map(f => s"${path(table)}/$f"): _*)
+    // that ERA's column mapping: an as-of read before a rename reads under
+    // the names the table had then
+    readFiles(table, schema, files, Some(parseColMap(st.colmap.get(table))))
   }
 
   /** The table's manifest-recorded schema as of commit `version` (the shape
@@ -915,10 +935,8 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     val gone = added.filterNot(f => fs.exists(new Path(s"${path(table)}/$f")))
     if (gone.nonEmpty) throw new IllegalStateException(
       s"window ($fromVersion,$toVersion] of $table lost ${gone.size} data files to vacuum")
-    if (added.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.option("basePath", path(table)).schema(schema)
-      .parquet(added.map(f => s"${path(table)}/$f"): _*)
+    readFiles(table, schema, added,
+      Some(parseColMap(stateAt(toVersion).colmap.get(table))))
   }
 
   /** Restore `table` to its state as of commit `version`, as a NEW commit —
@@ -965,8 +983,13 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     */
   def fileStats(table: String): Map[String, FileStatsRec] = {
     val st = foldedState()
+    // present LOGICAL column names: stats are stored physical (footer truth)
+    val reverse = colMapOf(table).map(_.swap)
     st.adds.getOrElse(table, Vector.empty).flatMap(f =>
-      st.stats.get((table, f)).map(j => f -> FileStatsRec.fromJson(j))).toMap
+      st.stats.get((table, f)).map { j =>
+        val r = FileStatsRec.fromJson(j)
+        f -> r.copy(cols = r.cols.map { case (c, cs) => reverse.getOrElse(c, c) -> cs })
+      }).toMap
   }
 
   /** Partition a table's readable files into (kept, skipped) under a
@@ -977,9 +1000,11 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     */
   def planFiles(table: String, preds: Seq[FilePred]): (Seq[String], Seq[String]) = {
     val st = foldedState()
+    // stats ride physical column names (footer truth) — translate
+    val physPreds = preds.map(p => FilePred.withCol(p, physColOf(table, p.colName)))
     committedOrPhysical(table).partition { f =>
       st.stats.get((table, f)) match {
-        case Some(j) => FileStatsRec.fromJson(j).mayContainAll(preds)
+        case Some(j) => FileStatsRec.fromJson(j).mayContainAll(physPreds)
         case None => true
       }
     }
@@ -999,8 +1024,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     val (kept, _) = planFiles(table, preds)
     if (kept.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.option("basePath", path(table)).schema(schema)
-      .parquet(kept.map(f => s"${path(table)}/$f"): _*).filter(cond)
+    else readFiles(table, schema, kept).filter(cond)
   }
 
   /** DESCRIBE DETAIL for ops tooling: everything the manifest knows about a
@@ -1024,6 +1048,113 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       st.schemas.get(table).map(j => org.apache.spark.sql.types.DataType
         .fromJson(j).asInstanceOf[StructType].fields.length).getOrElse(-1),
       commitFiles().lastOption.map(versionOf).getOrElse(0))
+  }
+
+  // ---- column mapping (rename without rewrite) ----------------------------
+
+  /** Logical→physical column mapping for a table: identity unless a
+    * [[renameColumn]] happened. PHYSICAL names are stable — a data file is
+    * always read under the names it was written with; a rename only changes
+    * the logical label in the manifest (the Delta column-mapping idea in its
+    * smallest form), so it is metadata-only at any table size.
+    */
+  private def colMapOf(table: String): Map[String, String] =
+    parseColMap(foldedState().colmap.get(table))
+
+  private def parseColMap(json: Option[String]): Map[String, String] =
+    json.map { j =>
+      org.json4s.jackson.JsonMethods.parse(j) match {
+        case org.json4s.JObject(fs) =>
+          fs.collect { case (k, org.json4s.JString(v)) => k -> v }.toMap
+        case _ => Map.empty[String, String]
+      }
+    }.getOrElse(Map.empty)
+
+  private def colMapJson(m: Map[String, String]): String = {
+    import org.json4s.JsonDSL._
+    org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(
+      org.json4s.JObject(m.toList.sorted.map { case (k, v) =>
+        k -> (org.json4s.JString(v): org.json4s.JValue) })))
+  }
+
+  /** Translate a caller-facing (logical) frame to physical column names for
+    * a staged write. Refuses ambiguous layouts (a logical column named like
+    * another column's physical name) rather than writing colliding files.
+    */
+  private def toPhysicalDf(table: String, df: DataFrame): DataFrame = {
+    val m = colMapOf(table)
+    if (m.isEmpty) df
+    else {
+      val out = df.columns.map(c => m.getOrElse(c, c))
+      require(out.distinct.length == out.length,
+        s"column mapping for $table makes write names collide: ${out.mkString(",")}")
+      df.select(df.columns.toSeq.zip(out.toSeq).map { case (c, p) => col(c).as(p) }: _*)
+    }
+  }
+
+  /** Physical column name for a logical one (stats are recorded under
+    * physical names — footer truth — so every stats lookup translates).
+    */
+  private def physColOf(table: String, logical: String): String =
+    colMapOf(table).getOrElse(logical, logical)
+
+  /** The single seam every direct data-file read goes through: read the
+    * given table-relative files under `schema` (LOGICAL names), translating
+    * through the logical→physical mapping — current by default, a
+    * version-era map for time travel. Renames therefore need no
+    * per-operator handling.
+    */
+  private def readFiles(table: String, schema: StructType, files: Seq[String],
+      mapOpt: Option[Map[String, String]] = None): DataFrame = {
+    if (files.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val m = mapOpt.getOrElse(colMapOf(table))
+    val paths = files.map(f => s"${path(table)}/$f")
+    if (m.isEmpty)
+      spark.read.option("basePath", path(table)).schema(schema).parquet(paths: _*)
+    else {
+      val phys = StructType(schema.fields.map(f => f.copy(name = m.getOrElse(f.name, f.name))))
+      spark.read.option("basePath", path(table)).schema(phys).parquet(paths: _*)
+        .select(schema.fields.toSeq.map(f =>
+          col(m.getOrElse(f.name, f.name)).as(f.name)): _*)
+    }
+  }
+
+  /** Rename a column WITHOUT rewriting a byte of data: one metadata commit
+    * updating the recorded schema, the logical→physical mapping (the
+    * physical name — the FIRST logical name the column ever had — never
+    * changes), and the declared cluster columns if they reference it. Time
+    * travel composes: `readAt` before the rename reads under that era's
+    * name. Requires a manifest-recorded schema (write through the manifest
+    * first); refuses unknown/duplicate names.
+    */
+  def renameColumn(table: String, oldName: String, newName: String): Unit = {
+    require(oldName != newName, "renameColumn with identical names")
+    Seq(oldName, newName).foreach(n => require(
+      !n.contains("\t") && !n.contains("\n") && !n.contains(","),
+      s"column name '$n' contains control characters"))
+    val sch = currentSchema(table).getOrElse(throw new IllegalStateException(
+      s"renameColumn needs a manifest-recorded schema for $table — " +
+        "write through the manifest first"))
+    require(sch.fieldNames.contains(oldName),
+      s"renameColumn: '$oldName' is not a column of $table (${sch.fieldNames.mkString(",")})")
+    require(!sch.fieldNames.contains(newName),
+      s"renameColumn: '$newName' already exists in $table")
+    val m = colMapOf(table)
+    val physical = m.getOrElse(oldName, oldName)
+    // a mapping that lands back on the physical name is identity — drop it
+    val m2 = ((m - oldName) + (newName -> physical)).filter { case (k, v) => k != v }
+    val sch2 = StructType(sch.fields.map(f =>
+      if (f.name == oldName) f.copy(name = newName) else f))
+    val cluster2 = clusterBy(table)
+      .filter(_.contains(oldName))
+      .map(_.map(c => if (c == oldName) newName else c))
+    val lines = Seq(s"schema\t$table\t${sch2.json}",
+      s"colmap\t$table\t${colMapJson(m2)}") ++
+      cluster2.map(cs => s"cluster\t$table\t${cs.mkString(",")}")
+    require(!sch2.json.contains('\t') && !sch2.json.contains('\n'),
+      s"schema JSON for $table contains TSV control characters")
+    publish(lines)
   }
 
   /** The table's declared cluster columns (manifest `cluster` line,
@@ -1089,18 +1220,18 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     var metaRows = 0L
     var skipped = 0
     val toRead = ArrayBuffer[String]()
+    val physPreds = preds.map(p => FilePred.withCol(p, physColOf(table, p.colName)))
     committedOrPhysical(table).foreach { f =>
       st.stats.get((table, f)).map(FileStatsRec.fromJson) match {
         case Some(r) =>
-          if (!r.mayContainAll(preds)) skipped += 1
-          else if (r.allMatchAll(preds)) { meta += 1; metaRows += r.rows }
+          if (!r.mayContainAll(physPreds)) skipped += 1
+          else if (r.allMatchAll(physPreds)) { meta += 1; metaRows += r.rows }
           else toRead += f
         case None => toRead += f
       }
     }
     val readRows = if (toRead.isEmpty) 0L else {
-      val df = spark.read.option("basePath", path(table)).schema(schema)
-        .parquet(toRead.toSeq.map(f => s"${path(table)}/$f"): _*)
+      val df = readFiles(table, schema, toRead.toSeq)
       (if (preds.isEmpty) df else df.filter(FilePred.toColumn(preds, schema))).count()
     }
     CountWhere(metaRows + readRows, meta, toRead.size, skipped)
@@ -1133,10 +1264,11 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       mn = mn.filter(m => FileStatsRec.cmp(m, lo, t).exists(_ <= 0)).orElse(Some(lo))
       mx = mx.filter(m => FileStatsRec.cmp(m, hi, t).exists(_ >= 0)).orElse(Some(hi))
     }
+    val physCol = physColOf(table, colName)
     committedOrPhysical(table).foreach { f =>
       st.stats.get((table, f)).map(FileStatsRec.fromJson) match {
         case Some(r) if r.rows == 0L => meta += 1
-        case Some(r) => r.cols.get(colName) match {
+        case Some(r) => r.cols.get(physCol) match {
           case Some(cs) if (cs.tag == "i" || cs.tag == "f") && cs.min.isDefined =>
             meta += 1; fold(cs.min.get, cs.max.get, cs.tag)
           case Some(cs) if cs.nulls >= 0 && cs.nulls == r.rows =>
@@ -1147,8 +1279,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       }
     }
     if (toRead.nonEmpty) {
-      val r = spark.read.option("basePath", path(table)).schema(schema)
-        .parquet(toRead.toSeq.map(f => s"${path(table)}/$f"): _*)
+      val r = readFiles(table, schema, toRead.toSeq)
         .agg(org.apache.spark.sql.functions.min(col(colName)),
           org.apache.spark.sql.functions.max(col(colName))).head()
       if (!r.isNullAt(0)) {
@@ -1291,11 +1422,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       val cands = cands0.toSeq
       require(cands.forall(!_.contains("/")),
         s"mergeInto on partition-dir layouts is not supported (table $table)")
-      val candDf =
-        if (cands.isEmpty)
-          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        else spark.read.option("basePath", path(table)).schema(schema)
-          .parquet(cands.map(f => s"${path(table)}/$f"): _*)
+      val candDf = readFiles(table, schema, cands)
       val t = candDf.withColumn("__t", lit(1)).alias("t")
       val s = src.withColumn("__s", lit(1)).alias("s")
       val j = t.join(s,
@@ -1361,8 +1488,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
         s"row-level DML on partition-dir layouts is not supported (table $table); " +
           "rewrite the affected partition via replace/compactWith instead")
       if (cands.isEmpty) return 0L
-      val df = spark.read.option("basePath", path(table)).schema(schema)
-        .parquet(cands.map(f => s"${path(table)}/$f"): _*)
+      val df = readFiles(table, schema, cands)
       val hit = coalesce(cond, lit(false))
       val matched = df.filter(hit).count()
       if (matched == 0L) return 0L
@@ -1440,11 +1566,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     var attempts = 0
     while (attempts < 8) {
       val expected = committedOrPhysical(table)
-      val src =
-        if (expected.isEmpty)
-          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        else spark.read.option("basePath", path(table)).schema(schema)
-          .parquet(expected.map(f => s"${path(table)}/$f"): _*)
+      val src = readFiles(table, schema, expected)
       val out = transform(src)
       try {
         atomically {
@@ -1475,7 +1597,9 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       case None        => super.inferSchema(table)
       case Some(Nil)   => None
       case Some(files) =>
-        Some(spark.read.parquet(files.map(f => s"${path(table)}/$f"): _*).schema)
+        val phys = spark.read.parquet(files.map(f => s"${path(table)}/$f"): _*).schema
+        val reverse = colMapOf(table).map(_.swap)
+        Some(StructType(phys.fields.map(f => f.copy(name = reverse.getOrElse(f.name, f.name)))))
     }
 
   override def sizeBytes(table: String): Long =

@@ -41,6 +41,21 @@ case class ColIn(colName: String, values: Seq[Any]) extends FilePred {
 }
 
 object FilePred {
+  /** The same predicate against a different column name — the
+    * logical→physical translation seam for stats lookups (stats are
+    * recorded under the names the parquet footers carry).
+    */
+  def withCol(p: FilePred, c: String): FilePred =
+    if (c == p.colName) p
+    else p match {
+      case x: ColGe => x.copy(colName = c)
+      case x: ColGt => x.copy(colName = c)
+      case x: ColLe => x.copy(colName = c)
+      case x: ColLt => x.copy(colName = c)
+      case x: ColEq => x.copy(colName = c)
+      case x: ColIn => x.copy(colName = c)
+    }
+
   /** The exact row-filter Column for a conjunction of predicates. String
     * values against DATE/TIMESTAMP columns are cast (the lit would otherwise
     * compare as string); everything else relies on Spark's numeric coercion,

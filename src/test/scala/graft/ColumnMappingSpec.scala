@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.{AtomicWarehouse, ColGe, ColLt}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Column rename WITHOUT rewrite (column mapping): physical file column
+  * names stay stable forever; a rename is one metadata commit updating the
+  * recorded schema and the logical→physical map. Contract under test:
+  * zero data files touched, reads/writes/stats/DML translate transparently,
+  * time travel reads each era under its own names, and the declared cluster
+  * columns follow the rename.
+  */
+class ColumnMappingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val kv = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("v", StringType, nullable = true)))
+
+  private val kv2 = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("label", StringType, nullable = true)))
+
+  private def newWh() =
+    new AtomicWarehouse(spark, Files.createTempDirectory("graft-cm-").toString)
+
+  test("rename is metadata-only; old files read under the new logical name; time travel keeps eras apart") {
+    val wh = newWh()
+    wh.append("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1))
+    val filesBefore = wh.fileStats("t").keySet
+    val headBefore = wh.versions().last
+    wh.renameColumn("t", "v", "label")
+    // not a byte rewritten
+    assert(wh.fileStats("t").keySet == filesBefore)
+    // live read under the new logical name
+    val got = wh.read("t", kv2).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a"), (2L, "b")))
+    assert(wh.currentSchema("t").get.fieldNames.toSeq == Seq("id", "label"))
+    // the pre-rename era still reads under ITS name
+    assert(wh.readAt("t", headBefore).columns.toSeq == Seq("id", "v"))
+    assert(wh.readAt("t", kv, headBefore).collect().map(_.getString(1)).toSet == Set("a", "b"))
+  }
+
+  test("writes after a rename keep the PHYSICAL name stable; mixed-era files read as one table") {
+    val wh = newWh()
+    wh.append("t", Seq((1L, "a")).toDF("id", "v").coalesce(1))
+    wh.renameColumn("t", "v", "label")
+    wh.append("t", Seq((2L, "b")).toDF("id", "label").coalesce(1))
+    // both files carry physical column 'v' on disk
+    val physCols = wh.fileStats("t").keySet.map { f =>
+      spark.read.parquet(wh.path("t") + "/" + f).schema.fieldNames.toSeq
+    }
+    assert(physCols == Set(Seq("id", "v")),
+      s"physical names must stay 'v' across the rename, got $physCols")
+    val got = wh.read("t", kv2).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a"), (2L, "b")))
+    // rename BACK drops the mapping to identity and still reads
+    wh.renameColumn("t", "label", "v")
+    assert(wh.read("t", kv).collect().map(_.getString(1)).toSet == Set("a", "b"))
+  }
+
+  test("stats skipping, DML, and cluster declarations translate across a rename") {
+    val wh = newWh()
+    wh.appendClustered("t", (0 until 40).map(i => (i.toLong, s"v$i")).toDF("id", "v"),
+      Seq("id"), numFiles = 4)
+    wh.renameColumn("t", "id", "key")
+    assert(wh.clusterBy("t").contains(Seq("key")), "cluster declaration must follow the rename")
+    val sch = StructType(Seq(StructField("key", LongType, nullable = false),
+      StructField("v", StringType, nullable = true)))
+    // pruning on the NEW name (stats live under the physical name)
+    val (kept, skipped) = wh.planFiles("t", Seq(ColGe("key", 10L), ColLt("key", 20L)))
+    assert(kept.size == 1 && skipped.size == 3, s"kept=$kept")
+    assert(wh.scanWhere("t", sch, Seq(ColGe("key", 10L), ColLt("key", 20L))).count() == 10)
+    // metadata aggregates translate too
+    assert(wh.countWhere("t", sch, Seq(ColLt("key", 20L))).count == 20L)
+    val mm = wh.statsMinMax("t", sch, "key")
+    assert(mm.min.contains(0L) && mm.max.contains(39L) && mm.filesRead == 0)
+    // copy-on-write DML under the new name
+    assert(wh.deleteWhere("t", sch, Seq(ColGe("key", 30L))) == 10L)
+    assert(wh.read("t", sch).count() == 30)
+    val r = wh.mergeInto("t", sch, Seq((5L, "m5"), (100L, "m100")).toDF("key", "v"), Seq("key"))
+    assert(r.updated == 1L && r.inserted == 1L, s"got $r")
+  }
+
+  test("rename refusals: unknown column, duplicate name, no recorded schema") {
+    val wh = newWh()
+    wh.append("t", Seq((1L, "a")).toDF("id", "v"))
+    intercept[IllegalArgumentException](wh.renameColumn("t", "nope", "x"))
+    intercept[IllegalArgumentException](wh.renameColumn("t", "v", "id"))
+    intercept[IllegalStateException](wh.renameColumn("raw_never_written", "a", "b"))
+  }
+}
