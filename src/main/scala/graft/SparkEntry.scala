@@ -1195,6 +1195,26 @@ object SparkEntry {
         .orderBy(col("n_nationkey"))
     }
 
+    // ---- DROP COLUMN without rewrite: v1 lands the 3-column dimension,
+    // one metadata commit drops n_regionkey (bytes linger in the old files
+    // but are no longer a column — zero files touched), a post-drop append
+    // writes the narrow shape. Live read = 2 columns over both eras' files;
+    // the as-of read of v1 keeps its era's 3-column shape (literal list)
+    q("etl_drop_column") = (s, dir) => {
+      val nat = t(s, dir, "nation")
+      val wh = new graft.sources.AtomicWarehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-dropc-").toString)
+      wh.append("dim/nation", nat.filter(col("n_nationkey") < 10)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey")))
+      wh.dropColumn("dim/nation", "n_regionkey")
+      wh.append("dim/nation", nat.filter(col("n_nationkey") >= 10)
+        .select(col("n_nationkey"), col("n_name")))
+      val asOf1Cols = wh.readAt("dim/nation", 1).columns.mkString(",")
+      wh.read("dim/nation", wh.currentSchema("dim/nation").get)
+        .withColumn("asof1_cols", lit(asOf1Cols))
+        .orderBy(col("n_nationkey"))
+    }
+
     /** Orders laid out as four single-file o_orderkey quartile bands, each
       * commit recording its footer min/max in the manifest — the fixture
       * the data-skipping and row-level-DML queries share. Returns the
@@ -3582,6 +3602,14 @@ object SparkEntry {
       """SELECT n_nationkey, n_name,
         | CASE WHEN n_nationkey < 10 THEN NULL ELSE n_regionkey END AS n_regionkey,
         | 'n_nationkey,n_name' AS asof1_cols
+        |FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
+
+    // drop without rewrite: the narrow live shape over both eras, the v1
+    // as-of read keeping its era's 3-column shape (literal column list)
+    "etl_drop_column" ->
+      """SELECT n_nationkey, n_name,
+        | 'n_nationkey,n_name,n_regionkey' AS asof1_cols
         |FROM nation
         |ORDER BY n_nationkey""".stripMargin,
 

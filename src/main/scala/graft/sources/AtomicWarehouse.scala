@@ -984,7 +984,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
   def fileStats(table: String): Map[String, FileStatsRec] = {
     val st = foldedState()
     // present LOGICAL column names: stats are stored physical (footer truth)
-    val reverse = colMapOf(table).map(_.swap)
+    val reverse = colMapOf(table).filterNot(_._1.startsWith(droppedPrefix)).map(_.swap)
     st.adds.getOrElse(table, Vector.empty).flatMap(f =>
       st.stats.get((table, f)).map { j =>
         val r = FileStatsRec.fromJson(j)
@@ -1085,7 +1085,16 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     val m = colMapOf(table)
     if (m.isEmpty) df
     else {
+      val dropped = droppedPhysical(table)
       val out = df.columns.map(c => m.getOrElse(c, c))
+      // resurrection guard: a NEW column landing on a dropped column's
+      // physical name would read the dropped column's old bytes out of
+      // pre-drop files — refuse with a way out
+      df.columns.toSeq.zip(out.toSeq).foreach { case (c, p) =>
+        require(!(dropped.contains(p) && !m.contains(c)),
+          s"column '$c' of $table collides with a DROPPED column's physical " +
+            s"name '$p'; add it under another name (rename afterwards if needed)")
+      }
       require(out.distinct.length == out.length,
         s"column mapping for $table makes write names collide: ${out.mkString(",")}")
       df.select(df.columns.toSeq.zip(out.toSeq).map { case (c, p) => col(c).as(p) }: _*)
@@ -1156,6 +1165,45 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       s"schema JSON for $table contains TSV control characters")
     publish(lines)
   }
+
+  /** Drop a column WITHOUT rewriting a byte: one metadata commit removes it
+    * from the recorded schema (reads simply stop selecting it — the bytes
+    * linger in old files until some rewrite touches them, exactly the
+    * pointer-commit formats' contract) and tombstones its PHYSICAL name in
+    * the column map. The tombstone closes a resurrection hole: a later
+    * write adding a NEW column with the same name would otherwise read the
+    * dropped column's old bytes out of pre-drop files — so such a write is
+    * refused with instructions to pick another name (or rename after
+    * adding). Time travel still reads pre-drop eras with the column.
+    * Refuses to drop a declared cluster column (redeclare first) and the
+    * table's last column.
+    */
+  def dropColumn(table: String, name: String): Unit = {
+    val sch = currentSchema(table).getOrElse(throw new IllegalStateException(
+      s"dropColumn needs a manifest-recorded schema for $table — " +
+        "write through the manifest first"))
+    require(sch.fieldNames.contains(name),
+      s"dropColumn: '$name' is not a column of $table (${sch.fieldNames.mkString(",")})")
+    require(sch.fields.length > 1, s"dropColumn would leave $table without columns")
+    require(!clusterBy(table).exists(_.contains(name)),
+      s"dropColumn: '$name' is a declared cluster column of $table — setClusterBy first")
+    val m = colMapOf(table)
+    val physical = m.getOrElse(name, name)
+    val m2 = (m - name) + (s"$droppedPrefix$physical" -> physical)
+    val sch2 = StructType(sch.fields.filterNot(_.name == name))
+    publish(Seq(s"schema\t$table\t${sch2.json}",
+      s"colmap\t$table\t${colMapJson(m2)}"))
+  }
+
+  /** Reserved logical-name prefix marking a tombstoned physical column in
+    * the map (never a real logical name — contains a tab-safe sentinel).
+    */
+  private val droppedPrefix = "__dropped__:"
+
+  private def droppedPhysical(table: String): Set[String] =
+    colMapOf(table).collect {
+      case (k, v) if k.startsWith(droppedPrefix) => v
+    }.toSet
 
   /** The table's declared cluster columns (manifest `cluster` line,
     * last-wins, surviving truncates like the schema): recorded by
@@ -1598,8 +1646,12 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       case Some(Nil)   => None
       case Some(files) =>
         val phys = spark.read.parquet(files.map(f => s"${path(table)}/$f"): _*).schema
-        val reverse = colMapOf(table).map(_.swap)
-        Some(StructType(phys.fields.map(f => f.copy(name = reverse.getOrElse(f.name, f.name)))))
+        val m = colMapOf(table)
+        val dropped = droppedPhysical(table)
+        val reverse = m.filterNot(_._1.startsWith(droppedPrefix)).map(_.swap)
+        // dropped columns' bytes linger in old files — they are not columns
+        Some(StructType(phys.fields.filterNot(f => dropped.contains(f.name))
+          .map(f => f.copy(name = reverse.getOrElse(f.name, f.name)))))
     }
 
   override def sizeBytes(table: String): Long =

@@ -85,6 +85,41 @@ class ColumnMappingSpec extends SparkSpec {
     assert(r.updated == 1L && r.inserted == 1L, s"got $r")
   }
 
+  test("dropColumn: metadata-only, eras keep the column, resurrection is refused") {
+    val wh = newWh()
+    wh.append("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1))
+    val filesBefore = wh.fileStats("t").keySet
+    val headBefore = wh.versions().last
+    wh.dropColumn("t", "v")
+    assert(wh.fileStats("t").keySet == filesBefore, "drop must touch no data file")
+    assert(wh.currentSchema("t").get.fieldNames.toSeq == Seq("id"))
+    assert(wh.read("t", wh.currentSchema("t").get).columns.toSeq == Seq("id"))
+    assert(wh.inferSchema("t").get.fieldNames.toSeq == Seq("id"),
+      "inferSchema must not resurrect dropped bytes")
+    // the pre-drop era still carries the column
+    assert(wh.readAt("t", headBefore).columns.toSeq == Seq("id", "v"))
+    assert(wh.readAt("t", kv, headBefore).collect().map(_.getString(1)).toSet == Set("a", "b"))
+    // a NEW column named 'v' would read the dropped column's old bytes out
+    // of pre-drop files — refused with a way out
+    val boom = intercept[IllegalArgumentException](
+      wh.append("t", Seq((3L, "NEW")).toDF("id", "v")))
+    assert(boom.getMessage.contains("DROPPED"))
+    // adding under another name works; renames still compose
+    wh.append("t", Seq((3L, "w3")).toDF("id", "w").coalesce(1))
+    val sch2 = StructType(Seq(StructField("id", LongType, nullable = false),
+      StructField("w", StringType, nullable = true)))
+    val got = wh.read("t", sch2).collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(got == Set((1L, None), (2L, None), (3L, Some("w3"))))
+  }
+
+  test("dropColumn refusals: cluster column, last column") {
+    val wh = newWh()
+    wh.appendClustered("t", Seq((1L, "a")).toDF("id", "v"), Seq("id"), 1)
+    intercept[IllegalArgumentException](wh.dropColumn("t", "id")) // declared cluster col
+    wh.dropColumn("t", "v")
+    intercept[IllegalArgumentException](wh.dropColumn("t", "id")) // last column
+  }
+
   test("rename refusals: unknown column, duplicate name, no recorded schema") {
     val wh = newWh()
     wh.append("t", Seq((1L, "a")).toDF("id", "v"))
