@@ -230,12 +230,18 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
             stats += ((f(1), f(2)) -> f(3))
           case "cluster" =>
             // last line per table wins; like schema, survives truncates (the
-            // table's DECLARED layout, not a property of any file set)
-            cluster += (f(1) -> f(2))
+            // table's DECLARED layout, not a property of any file set). An
+            // EMPTY value clears the declaration — written by delete(table)
+            // and by restore() to a pre-declaration era.
+            if (f.length < 3 || f(2).isEmpty) cluster -= f(1)
+            else cluster += (f(1) -> f(2))
           case "colmap" =>
             // logical→physical column mapping JSON; last line per table
-            // wins, survives truncates (renames are table metadata)
-            colmap += (f(1) -> f(2))
+            // wins, survives truncates (renames are table metadata). `{}`
+            // (or empty) clears — a dropped-and-recreated table must start
+            // with identity metadata, not inherit tombstones.
+            if (f.length < 3 || f(2).isEmpty || f(2) == "{}") colmap -= f(1)
+            else colmap += (f(1) -> f(2))
           case other => throw new IllegalStateException(s"unknown txlog action '$other' in $cf")
         }
       }
@@ -495,9 +501,12 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       } else if (l.startsWith("stats\t")) {
         val f = l.split("\t", 4); statsMap += ((f(1), f(2)) -> f(3))
       } else if (l.startsWith("cluster\t")) {
-        val f = l.split("\t", 3); clusterMap += (f(1) -> f(2))
+        val f = l.split("\t", 3) // same clear semantics as the fold
+        if (f.length < 3 || f(2).isEmpty) clusterMap -= f(1) else clusterMap += (f(1) -> f(2))
       } else if (l.startsWith("colmap\t")) {
-        val f = l.split("\t", 3); colmapMap += (f(1) -> f(2))
+        val f = l.split("\t", 3)
+        if (f.length < 3 || f(2).isEmpty || f(2) == "{}") colmapMap -= f(1)
+        else colmapMap += (f(1) -> f(2))
       }
     }
     // ALL truncate lines precede ALL add lines. Truncate applies by PREFIX,
@@ -739,7 +748,19 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     tx.entries.zipWithIndex.foreach { case (e, i) =>
       if (e.truncate) {
         lines += s"truncate\t${e.table}"
-        if (e.stageDir.isEmpty) deletesAfter += e.table
+        if (e.stageDir.isEmpty) {
+          deletesAfter += e.table
+          // a FULL table drop (delete(), not truncate-within-replace) also
+          // clears colmap/cluster metadata for the table and its prefix
+          // children: a table re-created under the same name must start
+          // with identity metadata, not inherit rename mappings and drop
+          // tombstones (a new column matching an old physical name would be
+          // refused; one matching an old logical name silently remapped)
+          val st = foldedState()
+          def under(k: String) = k == e.table || k.startsWith(e.table + "/")
+          st.colmap.keys.filter(under).foreach(t => lines += s"colmap\t$t\t{}")
+          st.cluster.keys.filter(under).foreach(t => lines += s"cluster\t$t\t")
+        }
       }
       e.removes.foreach(f => lines += s"remove\t${e.table}\t$f")
       e.stageDir.foreach { d =>
@@ -962,13 +983,37 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       s"cannot restore $table to version $version: ${gone.size} of its data " +
         s"files were vacuumed (first: ${gone.head})")
     val expected = committedOrPhysical(table).sorted
-    if (files.sorted == expected) return // already that state — nothing to commit
+    val liveNow = foldedState()
+    // "already that state" covers METADATA too: a rename/drop/recluster is a
+    // metadata-only commit that leaves the file set identical, and restoring
+    // across one must still publish the era's schema/colmap/cluster lines
+    val sameMeta = st.schemas.get(table) == liveNow.schemas.get(table) &&
+      st.colmap.get(table) == liveNow.colmap.get(table) &&
+      st.cluster.get(table) == liveNow.cluster.get(table)
+    if (files.sorted == expected && sameMeta) return // nothing to commit
     // the restored version's recorded SHAPE comes back with its files —
     // without this line the table would keep the newer schema label over
     // the older data it just restored; per-file stats likewise (skipping
-    // would otherwise silently stop working for the restored files)
+    // would otherwise silently stop working for the restored files). The
+    // era's colmap and cluster declarations restore ATOMICALLY with the
+    // schema: a restore to a pre-drop version would otherwise regain the
+    // column in the schema while the current colmap still tombstones its
+    // physical name — readable but permanently unwritable. An era without
+    // a declaration CLEARS the current one (empty-value lines).
+    val live = foldedState()
+    val colmapLine: Seq[String] = (st.colmap.get(table), live.colmap.get(table)) match {
+      case (Some(j), _) => Seq(s"colmap\t$table\t$j")
+      case (None, Some(_)) => Seq(s"colmap\t$table\t{}")
+      case _ => Nil
+    }
+    val clusterLine: Seq[String] = (st.cluster.get(table), live.cluster.get(table)) match {
+      case (Some(c), _) => Seq(s"cluster\t$table\t$c")
+      case (None, Some(_)) => Seq(s"cluster\t$table\t")
+      case _ => Nil
+    }
     val lines = (s"truncate\t$table" +: files.map(f => s"add\t$table\t$f")) ++
       st.schemas.get(table).map(j => s"schema\t$table\t$j").toSeq ++
+      colmapLine ++ clusterLine ++
       files.flatMap(f => st.stats.get((table, f)).map(j => s"stats\t$table\t$f\t$j"))
     publish(lines,
       precondition = () => committedOrPhysical(table).sorted == expected)
@@ -1296,6 +1341,12 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     */
   def statsMinMax(table: String, schema: StructType, colName: String): StatsMinMax = {
     schema(colName).dataType match {
+      // decimals never get footer stats (outside the tag algebra), so every
+      // file would take the read path and then fail on the BigDecimal
+      // read-back — refuse up front instead of mid-query after the scan work
+      case dt: org.apache.spark.sql.types.DecimalType =>
+        throw new IllegalArgumentException(
+          s"statsMinMax does not support decimal columns; '$colName' is $dt")
       case _: org.apache.spark.sql.types.NumericType => ()
       case dt => throw new IllegalArgumentException(
         s"statsMinMax supports numeric columns; '$colName' is $dt " +
@@ -1425,6 +1476,15 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     require(keyCols.nonEmpty, "mergeInto requires at least one key column")
     keyCols.foreach(k => require(schema.fieldNames.contains(k),
       s"key column '$k' is not in the target schema"))
+    // SQL MERGE engines reject key-column updates explicitly; silently
+    // ignoring the assignment (the keyCols branch wins the output select)
+    // would violate least surprise. Unknown targets likewise fail loudly.
+    whenMatchedUpdate.foreach { case (c, _) =>
+      require(!keyCols.contains(c),
+        s"mergeInto cannot UPDATE key column '$c' — MERGE keys are immutable")
+      require(schema.fieldNames.contains(c),
+        s"whenMatchedUpdate targets unknown column '$c'")
+    }
     schema.fieldNames.foreach(c => require(source.columns.contains(c),
       s"mergeInto source is missing target column '$c'"))
     Seq("__t", "__s").foreach(m => require(!source.columns.contains(m),

@@ -127,4 +127,53 @@ class ColumnMappingSpec extends SparkSpec {
     intercept[IllegalArgumentException](wh.renameColumn("t", "v", "id"))
     intercept[IllegalStateException](wh.renameColumn("raw_never_written", "a", "b"))
   }
+
+  test("restore to a pre-drop version restores colmap atomically: the table is writable again") {
+    val wh = newWh()
+    wh.append("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1))
+    val preDrop = wh.versions().last
+    wh.dropColumn("t", "v")
+    wh.append("t", Seq((3L, 0L)).toDF("id", "pad").drop("pad").coalesce(1))
+    wh.restore("t", preDrop)
+    // schema regained 'v' AND the tombstone is gone — an append carrying the
+    // restored column must succeed, not hit the resurrection guard
+    assert(wh.currentSchema("t").get.fieldNames.toSeq == Seq("id", "v"))
+    wh.append("t", Seq((4L, "d")).toDF("id", "v").coalesce(1))
+    val got = wh.read("t", kv).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a"), (2L, "b"), (4L, "d")))
+  }
+
+  test("restore to a pre-rename version restores the era's colmap and cluster declaration") {
+    val wh = newWh()
+    wh.appendClustered("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"), Seq("id"), 1)
+    val preRename = wh.versions().last
+    wh.renameColumn("t", "v", "label")
+    wh.setClusterBy("t", Seq("label"))
+    wh.restore("t", preRename)
+    // the era had NO colmap (identity) and cluster=id: both come back
+    assert(wh.currentSchema("t").get.fieldNames.toSeq == Seq("id", "v"))
+    assert(wh.clusterBy("t").contains(Seq("id")))
+    wh.append("t", Seq((3L, "c")).toDF("id", "v").coalesce(1))
+    // physical files carry 'v' (identity map restored, not the rename's)
+    val physCols = wh.fileStats("t").keySet.map(f =>
+      spark.read.parquet(wh.path("t") + "/" + f).schema.fieldNames.toSeq)
+    assert(physCols == Set(Seq("id", "v")))
+  }
+
+  test("delete(table) clears colmap and cluster: a re-created table starts with identity metadata") {
+    val wh = newWh()
+    wh.appendClustered("t", Seq((1L, "a")).toDF("id", "v"), Seq("id"), 1)
+    wh.dropColumn("t", "v")
+    wh.renameColumn("t", "id", "key")
+    wh.delete("t")
+    assert(wh.clusterBy("t").isEmpty)
+    // a new column named like the dropped column's physical name is WELCOME
+    // now, and 'id' writes under its own name (no silent remap to 'key')
+    wh.append("t", Seq((1L, "fresh")).toDF("id", "v").coalesce(1))
+    val phys = wh.fileStats("t").keySet.map(f =>
+      spark.read.parquet(wh.path("t") + "/" + f).schema.fieldNames.toSeq)
+    assert(phys == Set(Seq("id", "v")))
+    val got = wh.read("t", kv).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "fresh")))
+  }
 }

@@ -377,6 +377,30 @@ class DmlSkippingSpec extends SparkSpec {
     assert(got(7L) == "v7+x" && !got.contains(500L) && got.size == 30)
   }
 
+  test("mergeInto refuses key-column and unknown-column UPDATE assignments up front") {
+    val wh = newWh()
+    banded(wh)
+    val src = Seq((7L, "x")).toDF("id", "v")
+    val keyBoom = intercept[IllegalArgumentException](wh.mergeInto("t", kv, src, Seq("id"),
+      whenMatchedUpdate = Seq("id" -> (col("s.id") + 1))))
+    assert(keyBoom.getMessage.contains("immutable"))
+    intercept[IllegalArgumentException](wh.mergeInto("t", kv, src, Seq("id"),
+      whenMatchedUpdate = Seq("nope" -> lit("x"))))
+    // nothing committed, table untouched
+    assert(wh.read("t", kv).count() == 30)
+  }
+
+  test("statsMinMax refuses decimal columns up front (no footer stats, no read-path fallback)") {
+    val wh = newWh()
+    val dec = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("d", org.apache.spark.sql.types.DecimalType(18, 2), nullable = true)))
+    wh.append("dec", Seq((1L, BigDecimal("1.50")), (2L, BigDecimal("2.75")))
+      .toDF("id", "d").select(col("id"), col("d").cast(dec("d").dataType)).coalesce(1))
+    val boom = intercept[IllegalArgumentException](wh.statsMinMax("dec", dec, "d"))
+    assert(boom.getMessage.contains("decimal"))
+  }
+
   test("cluster metadata: declared by appendClustered/recluster, DML rewrites preserve the layout, survives vacuum") {
     val wh = newWh()
     wh.appendClustered("c", (0 until 200).map(i => (i.toLong, s"v$i"))
