@@ -1090,7 +1090,36 @@ object SparkEntry {
         throw new IllegalStateException(
           s"etl_apply_changes_stream failed to drain within ${drainMs / 1000} s")
       }
-      wh.read("dim/sup", baseSch).orderBy(col("s_suppkey"))
+      acs.currentState().orderBy(col("s_suppkey"))
+    }
+
+    // ---- the SAME change feed applied OUT OF ORDER (b3, b1, b2 — with b2
+    // also replayed) through the batch surface: the sequence-guarded apply
+    // (every matched clause gated on s._seq >= t._seq, deletes retained as
+    // tombstones) makes application COMMUTATIVE and idempotent, so the
+    // shuffled fold must converge to the ordered oracle key-for-key — the
+    // order-insensitivity contract a real change feed (parallel partitions,
+    // redelivery) needs
+    q("etl_apply_changes_unordered") = (s, dir) => {
+      import org.apache.spark.sql.types.{LongType => LT, StructField => SF, StructType => STT}
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey").cast(LongType).as("attr"))
+      val k = col("s_suppkey")
+      val b1 = sup.select(k, col("attr"), lit("u").as("_op"), k.as("_seq"))
+      val b2 = sup.filter(k % 4 === 0)
+        .select(k, (col("attr") + 100).as("attr"), lit("u").as("_op"),
+          (k + 1000000L).as("_seq"))
+        .unionByName(sup.filter(k % 5 === 0)
+          .select(k, col("attr"), lit("d").as("_op"), (k + 2000000L).as("_seq")))
+      val b3 = sup.filter(k % 10 === 0)
+        .select(k, (col("attr") + 500).as("attr"), lit("u").as("_op"),
+          (k + 3000000L).as("_seq"))
+      val whDir = java.nio.file.Files.createTempDirectory("graft-cdcu-wh-").toString
+      val baseSch = STT(Seq(SF("s_suppkey", LT), SF("attr", LT)))
+      val wh = new graft.sources.AtomicWarehouse(s, whDir)
+      val acs = new graft.streaming.ApplyChangesStream(wh, "dim/sup", Seq("s_suppkey"), baseSch)
+      Seq(b3, b1, b2, b2).foreach(acs.applyChanges(_))
+      acs.currentState().orderBy(col("s_suppkey"))
     }
 
     // ---- row-level data-quality expectations (the P8 header validation
@@ -3666,6 +3695,17 @@ object SparkEntry {
     // (batch 3 re-upsert, resurrecting deleted evens), other %5 keys stay
     // deleted, other %4 keys at +100, the rest untouched
     "etl_apply_changes_stream" ->
+      """SELECT s_suppkey,
+        | CAST(CASE WHEN s_suppkey % 10 = 0 THEN s_nationkey + 500
+        |      WHEN s_suppkey % 4 = 0 THEN s_nationkey + 100
+        |      ELSE s_nationkey END AS BIGINT) AS attr
+        |FROM supplier
+        |WHERE NOT (s_suppkey % 5 = 0 AND s_suppkey % 10 <> 0)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    // the shuffled/replayed application must converge to the SAME state as
+    // the ordered feed — identical restatement by construction
+    "etl_apply_changes_unordered" ->
       """SELECT s_suppkey,
         | CAST(CASE WHEN s_suppkey % 10 = 0 THEN s_nationkey + 500
         |      WHEN s_suppkey % 4 = 0 THEN s_nationkey + 100

@@ -1447,6 +1447,10 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     * Clause semantics (SQL MERGE):
     *   - matched + `whenMatchedDelete` true → row deleted (delete wins
     *     over update; NULL condition = not deleted);
+    *   - matched + `updateWhen` false/NULL → target row passes through
+    *     UNTOUCHED (the `WHEN MATCHED AND <cond> THEN UPDATE` form — the
+    *     seam a sequence-guarded CDC apply gates staleness on:
+    *     `s._seq >= t._seq`); absent = always update;
     *   - matched otherwise → row updated: `whenMatchedUpdate` assignments
     *     (Columns over the joined frame — reference source columns as
     *     `col("s.x")` and target as `col("t.x")`); empty = upsert default,
@@ -1470,6 +1474,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       keyCols: Seq[String],
       whenMatchedUpdate: Seq[(String, Column)] = Nil,
       whenMatchedDelete: Option[Column] = None,
+      updateWhen: Option[Column] = None,
       insertUnmatched: Boolean = true,
       insertWhen: Option[Column] = None,
       alsoInTx: Warehouse => Unit = _ => ()): MergeIntoResult = {
@@ -1538,11 +1543,14 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       val matched = col("t.__t").isNotNull && col("s.__s").isNotNull
       val delHit = whenMatchedDelete
         .map(c => matched && coalesce(c, lit(false))).getOrElse(lit(false))
+      // conditional-update clause: a matched row failing it (or evaluating
+      // NULL) passes through untouched — SQL's WHEN MATCHED AND cond
+      val updOk = updateWhen.map(c => coalesce(c, lit(false))).getOrElse(lit(true))
       val onlyS = col("t.__t").isNull && col("s.__s").isNotNull
       val insertable = onlyS && lit(insertUnmatched) &&
         insertWhen.map(c => coalesce(c, lit(false))).getOrElse(lit(true))
       val counts = j.agg(
-        sum(when(matched && !delHit, 1L).otherwise(0L)),
+        sum(when(matched && !delHit && updOk, 1L).otherwise(0L)),
         sum(when(delHit, 1L).otherwise(0L)),
         sum(when(insertable, 1L).otherwise(0L))).head()
       def cnt(i: Int): Long = if (counts.isNullAt(i)) 0L else counts.getLong(i)
@@ -1553,7 +1561,8 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
         val updated =
           if (keyCols.contains(f.name)) tCol
           else updSet.getOrElse(f.name, sCol)
-        when(matched, updated).when(col("s.__s").isNotNull, sCol).otherwise(tCol)
+        when(matched && updOk, updated).when(matched, tCol)
+          .when(col("s.__s").isNotNull, sCol).otherwise(tCol)
           .cast(f.dataType).as(f.name)
       }: _*)
       // Range-cluster the rewrite back into ~as many files as it consumed —

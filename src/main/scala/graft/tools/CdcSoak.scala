@@ -60,7 +60,6 @@ object CdcSoak {
       val walls = new Array[Double](batches)
       var rewrittenTotal = 0L
       var inserted = 0L
-      var deleted = 0L
       (0 until batches).foreach { b =>
         val band = b % nBands
         val lo = span * band / nBands
@@ -74,17 +73,21 @@ object CdcSoak {
         walls(b) = (System.nanoTime() - t0) / 1e9
         rewrittenTotal += r.filesRewritten
         inserted += r.inserted
-        deleted += r.deleted
       }
       val early = walls.take(5).sum / 5
       val late = walls.takeRight(5).sum / 5
-      val endRows = wh.read("t", base).count()
-      require(endRows == startRows + inserted - deleted,
-        s"row reconciliation failed at x$mult: $endRows != $startRows + $inserted - $deleted")
+      // tombstone retention: every insert (live or tombstone) adds exactly
+      // one physical row; updates and tombstoning change none — so the
+      // UNFILTERED row count reconciles exactly, and the live count is
+      // total minus retained tombstones
+      val totalRows = wh.read("t", acs.storedSchema).count()
+      val tombstones = totalRows - acs.currentState().count()
+      require(totalRows == startRows + inserted,
+        s"row reconciliation failed at x$mult: $totalRows != $startRows + $inserted")
       emit(s"""{"probe":"cdcsoak","mult":$mult,"batches":$batches,"rows":$startRows,""" +
         s""""early_s":${f"$early%.3f"},"late_s":${f"$late%.3f"},"late_over_early":${f"${late / early}%.2f"},""" +
         s""""files_rewritten_per_batch":${f"${rewrittenTotal.toDouble / batches}%.2f"},""" +
-        s""""inserted":$inserted,"deleted":$deleted,"end_rows":$endRows}""")
+        s""""inserted":$inserted,"tombstones":$tombstones,"end_rows":${totalRows - tombstones}}""")
     }
     out.close()
     spark.stop()
