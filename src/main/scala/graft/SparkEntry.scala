@@ -1312,6 +1312,40 @@ object SparkEntry {
         .orderBy(col("deleted"))
     }
 
+    // ---- merge-on-read DELETE (deletion vectors): a scattered by-key
+    // purge (o_orderkey % 101 — rows in EVERY band) that copy-on-write
+    // would answer by rewriting the whole table commits ONE manifest line
+    // of tombstone ordinals per touched file and rewrites ZERO data files
+    // (files_rewritten literal in the oracle, the visible file set asserted
+    // identical). The live read ≡ the plain filter restatement, time travel
+    // still reads the pre-delete rows, and a compaction FOLDS the DV into
+    // new files (dv_after_compact = 0 literal) with the same live rows
+    q("etl_delete_dv") = (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+      val (wh, _) = bandedOrdersWh(s, orders, "dv")
+      val filesBefore = wh.describe("facts/orders").files
+      val keys = orders.filter(col("o_orderkey") % 101 === 0)
+        .select(col("o_orderkey")).collect().map(_.getLong(0)).toSeq
+      val headBefore = wh.versions().last
+      val r = wh.deleteWhereDv("facts/orders", orders.schema,
+        Seq(graft.sources.ColIn("o_orderkey", keys)))
+      val sameFiles = wh.describe("facts/orders").files == filesBefore
+      def cn(df: DataFrame): (Long, Long) = {
+        val x = df.agg(centsAgg.head, centsAgg.tail: _*).head(); (x.getLong(0), x.getLong(1))
+      }
+      val (an, ac) = cn(wh.read("facts/orders", orders.schema))
+      val (bn, _) = cn(wh.readAt("facts/orders", orders.schema, headBefore))
+      wh.compact("facts/orders", orders.schema, targetFiles = 2)
+      val dvLeft = wh.deletionVectors("facts/orders").size
+      val (pn, pc) = cn(wh.read("facts/orders", orders.schema))
+      Seq((r.deleted, r.filesTombstoned, r.filesRewritten, sameFiles,
+          an, ac, bn, dvLeft, pn == an && pc == ac))
+        .toDF("deleted", "files_tombstoned", "files_rewritten", "zero_rewrite",
+          "after_n", "after_cents", "before_n", "dv_after_compact", "compact_identity")
+        .orderBy(col("deleted"))
+    }
+
     // ---- copy-on-write UPDATE: first-quartile rows get a rewritten
     // priority; assignments may reference the row's own columns and only
     // the covering band file is rewritten. End-state distribution + the
@@ -3761,6 +3795,22 @@ object SparkEntry {
         | 0 AS files_read, 4 AS files_meta
         |FROM orders
         |ORDER BY key_min""".stripMargin,
+
+    // merge-on-read DELETE: scattered %101 purge touches all 4 bands, zero
+    // data files rewritten (literals), live state ≡ the filter restatement,
+    // time travel intact, compaction folds the DV with identical live rows
+    "etl_delete_dv" ->
+      """WITH d AS (SELECT count(*) AS del FROM orders WHERE o_orderkey % 101 = 0),
+        | live AS (SELECT count(*) AS n,
+        |   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |   FROM orders WHERE o_orderkey % 101 <> 0)
+        |SELECT CAST(d.del AS BIGINT) AS deleted,
+        | 4 AS files_tombstoned, 0 AS files_rewritten, true AS zero_rewrite,
+        | live.n AS after_n, live.cents AS after_cents,
+        | (SELECT count(*) FROM orders) AS before_n,
+        | 0 AS dv_after_compact, true AS compact_identity
+        |FROM d, live
+        |ORDER BY deleted""".stripMargin,
 
     // UPDATE WHERE first-quartile band: the CASE restatement of the
     // rewritten priority column plus the updated-row count

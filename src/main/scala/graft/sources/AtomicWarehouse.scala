@@ -141,7 +141,8 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       truncated: Set[String], schemas: Map[String, String] = Map.empty,
       stats: Map[(String, String), String] = Map.empty,
       cluster: Map[String, String] = Map.empty,
-      colmap: Map[String, String] = Map.empty)
+      colmap: Map[String, String] = Map.empty,
+      dvs: Map[(String, String), String] = Map.empty)
 
   /** A fold races concurrent folds from OTHER instances: their snapshot
     * publish happens BEFORE they delete the superseded manifests, so when a
@@ -196,6 +197,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     var stats = Map.empty[(String, String), String]
     var cluster = Map.empty[String, String]
     var colmap = Map.empty[String, String]
+    var dvs = Map.empty[(String, String), String]
     cfs.foreach { cf =>
       readLines(cf).foreach { line =>
         // limit 4: a schema line's third field and a stats line's fourth are
@@ -214,6 +216,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
               (k, if (k == t || k.startsWith(t + "/")) Set.empty[String] else v)
             }
             stats = stats.filterNot { case ((k, _), _) => k == t || k.startsWith(t + "/") }
+            dvs = dvs.filterNot { case ((k, _), _) => k == t || k.startsWith(t + "/") }
           case "add" =>
             val set = addSets.getOrElse(f(1), Set.empty)
             if (!set.contains(f(2))) {
@@ -224,6 +227,11 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
             adds += (f(1) -> adds.getOrElse(f(1), Vector.empty).filterNot(_ == f(2)))
             addSets += (f(1) -> (addSets.getOrElse(f(1), Set.empty) - f(2)))
             stats -= ((f(1), f(2)))
+            dvs -= ((f(1), f(2)))
+          case "dv" =>
+            // deletion vector: the file's COMPLETE tombstone ordinal set
+            // (each line carries the union — last line per file wins)
+            dvs += ((f(1), f(2)) -> f(3))
           case "schema" =>
             schemas += (f(1) -> f(2)) // last line per table wins
           case "stats" =>
@@ -246,7 +254,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
         }
       }
     }
-    val st = LogState(adds, truncated, schemas, stats, cluster, colmap)
+    val st = LogState(adds, truncated, schemas, stats, cluster, colmap, dvs)
     if (updateCache) foldCache = (key, st)
     st
   }
@@ -495,11 +503,14 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     var statsMap = Map.empty[(String, String), String]
     var clusterMap = Map.empty[String, String]
     var colmapMap = Map.empty[String, String]
+    var dvMap = Map.empty[(String, String), String]
     parsed.foreach { l =>
       if (l.startsWith("schema\t")) {
         val f = l.split("\t", 3); schemaMap += (f(1) -> f(2))
       } else if (l.startsWith("stats\t")) {
         val f = l.split("\t", 4); statsMap += ((f(1), f(2)) -> f(3))
+      } else if (l.startsWith("dv\t")) {
+        val f = l.split("\t", 4); dvMap += ((f(1), f(2)) -> f(3))
       } else if (l.startsWith("cluster\t")) {
         val f = l.split("\t", 3) // same clear semantics as the fold
         if (f.length < 3 || f(2).isEmpty) clusterMap -= f(1) else clusterMap += (f(1) -> f(2))
@@ -521,7 +532,9 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       clusterMap.toSeq.sortBy(_._1).map { case (t, c) => s"cluster\t$t\t$c" } ++
       colmapMap.toSeq.sortBy(_._1).map { case (t, j) => s"colmap\t$t\t$j" } ++
       tables.flatMap(t => visibleNow(t).flatMap(f =>
-        statsMap.get((t, f)).map(j => s"stats\t$t\t$f\t$j")))
+        statsMap.get((t, f)).map(j => s"stats\t$t\t$f\t$j"))) ++
+      tables.flatMap(t => visibleNow(t).flatMap(f =>
+        dvMap.get((t, f)).map(j => s"dv\t$t\t$f\t$j")))
     publishAt(lines, versionOf(old.last) + 1, snapshot = true)
   }
 
@@ -536,7 +549,8 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       expected: Option[Seq[String]] = None,
       schemaJson: Option[String] = None,
       removes: Seq[String] = Nil,
-      requirePresent: Option[Seq[String]] = None)
+      requirePresent: Option[Seq[String]] = None,
+      dvExpected: Seq[(String, Option[String])] = Nil)
 
   private class Tx {
     val txid: String = java.util.UUID.randomUUID().toString
@@ -579,7 +593,8 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     private def stage(table: String, truncate: Boolean, partitioned: Boolean,
         write: Option[Path => Unit], expected: Option[Seq[String]] = None,
         schemaOf: Option[StructType] = None, removes: Seq[String] = Nil,
-        requirePresent: Option[Seq[String]] = None): Unit = {
+        requirePresent: Option[Seq[String]] = None,
+        dvExpected: Seq[(String, Option[String])] = Nil): Unit = {
       val dirOpt = write.map { w =>
         val d = tx.synchronized(tx.nextStageDir())
         withRetry()(w(d))
@@ -593,7 +608,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
         s"schema JSON for $table contains TSV control characters"))
       tx.synchronized(tx.entries +=
         Staged(table, truncate, dirOpt, partitioned, expected, json,
-          removes, requirePresent))
+          removes, requirePresent, dvExpected))
     }
 
     /** Conflict-checked replace for read-modify-write maintenance
@@ -603,10 +618,10 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       * would otherwise be truncated away by the rewrite (lost update).
       */
     private[sources] def replaceExpecting(table: String, df: DataFrame,
-        expected: Seq[String]): Unit =
+        expected: Seq[String], dvExpected: Seq[(String, Option[String])] = Nil): Unit =
       stage(table, truncate = true, partitioned = false,
         Some(d => toPhysicalDf(table, df).write.mode(SaveMode.Overwrite).parquet(d.toString)),
-        expected = Some(expected), schemaOf = Some(df.schema))
+        expected = Some(expected), schemaOf = Some(df.schema), dvExpected = dvExpected)
 
     /** Copy-on-write file rewrite for row-level DML ([[AtomicWarehouse
       * .deleteWhere]]/[[AtomicWarehouse.updateWhere]]): un-reference exactly
@@ -618,11 +633,11 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       * untouched and unaffected.
       */
     private[sources] def rewriteExcluding(table: String, removedFiles: Seq[String],
-        df: DataFrame): Unit =
+        df: DataFrame, dvExpected: Seq[(String, Option[String])] = Nil): Unit =
       stage(table, truncate = false, partitioned = false,
         Some(d => toPhysicalDf(table, df).write.mode(SaveMode.Overwrite).parquet(d.toString)),
         schemaOf = Some(df.schema), removes = removedFiles,
-        requirePresent = Some(removedFiles))
+        requirePresent = Some(removedFiles), dvExpected = dvExpected)
 
     override def append(table: String, df: DataFrame): Unit =
       stage(table, truncate = false, partitioned = false,
@@ -659,6 +674,12 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       if (staged.exists(_.removes.nonEmpty))
         throw new UnsupportedOperationException(
           s"read-your-own-writes over a staged file REWRITE of $table is not supported")
+      // DV'd committed files would need the anti-join plumbing inside the
+      // hand-built union below; unless a staged truncate hides them, refuse
+      // loudly (no production caller mixes DV tables with staged reads)
+      if (!staged.exists(_.truncate) && dvOf(table).nonEmpty)
+        throw new UnsupportedOperationException(
+          s"read-your-own-writes over $table with deletion vectors is not supported")
       var files = committedOrPhysical(table).map(f => s"${path(table)}/$f")
       staged.foreach { e =>
         if (e.truncate) files = Nil
@@ -696,7 +717,9 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     override def compactWith(table: String, schema: StructType,
         transform: DataFrame => DataFrame): Unit = {
       val expected = committedOrPhysical(table)
-      replaceExpecting(table, transform(read(table, schema)), expected)
+      val stDv = foldedState()
+      val dvSnap = expected.map(f => f -> stDv.dvs.get((table, f)))
+      replaceExpecting(table, transform(read(table, schema)), expected, dvSnap)
     }
 
     override def atomically(fn: Warehouse => Unit): Unit = fn(this)
@@ -806,6 +829,14 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     val presentChecks = tx.entries.collect {
       case e if e.requirePresent.isDefined => (e.table, e.requirePresent.get)
     }.toSeq
+    // DV pins from conflict-guarded rewrites: a racing deleteWhereDv on a
+    // file this commit rewrites/replaces would be silently FOLDED AWAY
+    // (the rewrite was computed against the older, smaller tombstone set —
+    // deleted rows resurrect), so the commit aborts when any pinned file's
+    // dv entry changed since the rewrite read it
+    val dvChecks = tx.entries.collect {
+      case e if e.dvExpected.nonEmpty => (e.table, e.dvExpected)
+    }.toSeq
     if (lines.nonEmpty) publish(lines.toSeq,
       precondition = () => checks.forall { case (t, exp) =>
         committedOrPhysical(t)
@@ -813,6 +844,9 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       } && presentChecks.forall { case (t, req) =>
         val vis = committedOrPhysical(t).toSet
         req.forall(vis.contains)
+      } && dvChecks.forall { case (t, exp) =>
+        val now = foldedState()
+        exp.forall { case (f, j) => now.dvs.get((t, f)) == j }
       })
     fs.delete(new Path(stageRoot, tx.txid), true)
     // physical delete AFTER the commit is visible: a crash before this point
@@ -886,9 +920,11 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     if (gone.nonEmpty) throw new IllegalStateException(
       s"version $version of $table is no longer reconstructible: " +
         s"${gone.size} of its data files were vacuumed (first: ${gone.head})")
-    // that ERA's column mapping: an as-of read before a rename reads under
-    // the names the table had then
-    readFiles(table, schema, files, Some(parseColMap(st.colmap.get(table))))
+    // that ERA's column mapping and deletion vectors: an as-of read before
+    // a rename reads under the names the table had then, and before a DV
+    // delete reconstructs the then-live rows
+    readFiles(table, schema, files, Some(parseColMap(st.colmap.get(table))),
+      Some(parseDvs(st, table)))
   }
 
   /** The table's manifest-recorded schema as of commit `version` (the shape
@@ -945,19 +981,22 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       readLines(cf).exists { line =>
         val f = line.split("\t", 4)
         (f(0) == "truncate" && (table == f(1) || table.startsWith(f(1) + "/"))) ||
-          (f(0) == "remove" && f(1) == table) // row-level DML rewrote files
+          (f(0) == "remove" && f(1) == table) || // row-level DML rewrote files
+          (f(0) == "dv" && f(1) == table) // merge-on-read delete: rows vanished in place
       })
     if (truncatedInWindow) throw new IllegalStateException(
       s"$table was truncated or row-rewritten inside ($fromVersion,$toVersion]; " +
         "the window is not append-only and file diff != row diff")
     val before = stateAt(fromVersion).adds.getOrElse(table, Vector.empty).toSet
-    val added = stateAt(toVersion).adds.getOrElse(table, Vector.empty)
+    val endState = stateAt(toVersion)
+    val added = endState.adds.getOrElse(table, Vector.empty)
       .filterNot(before)
     val gone = added.filterNot(f => fs.exists(new Path(s"${path(table)}/$f")))
     if (gone.nonEmpty) throw new IllegalStateException(
       s"window ($fromVersion,$toVersion] of $table lost ${gone.size} data files to vacuum")
     readFiles(table, schema, added,
-      Some(parseColMap(stateAt(toVersion).colmap.get(table))))
+      Some(parseColMap(endState.colmap.get(table))),
+      Some(parseDvs(endState, table)))
   }
 
   /** Restore `table` to its state as of commit `version`, as a NEW commit —
@@ -989,7 +1028,8 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     // across one must still publish the era's schema/colmap/cluster lines
     val sameMeta = st.schemas.get(table) == liveNow.schemas.get(table) &&
       st.colmap.get(table) == liveNow.colmap.get(table) &&
-      st.cluster.get(table) == liveNow.cluster.get(table)
+      st.cluster.get(table) == liveNow.cluster.get(table) &&
+      st.dvs.filter(_._1._1 == table) == liveNow.dvs.filter(_._1._1 == table)
     if (files.sorted == expected && sameMeta) return // nothing to commit
     // the restored version's recorded SHAPE comes back with its files —
     // without this line the table would keep the newer schema label over
@@ -1014,7 +1054,10 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     val lines = (s"truncate\t$table" +: files.map(f => s"add\t$table\t$f")) ++
       st.schemas.get(table).map(j => s"schema\t$table\t$j").toSeq ++
       colmapLine ++ clusterLine ++
-      files.flatMap(f => st.stats.get((table, f)).map(j => s"stats\t$table\t$f\t$j"))
+      files.flatMap(f => st.stats.get((table, f)).map(j => s"stats\t$table\t$f\t$j")) ++
+      // the era's deletion vectors come back with its files (the leading
+      // truncate cleared all current ones)
+      files.flatMap(f => st.dvs.get((table, f)).map(j => s"dv\t$table\t$f\t$j"))
     publish(lines,
       precondition = () => committedOrPhysical(table).sorted == expected)
   }
@@ -1084,9 +1127,12 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     val bytes = files.map(f =>
       fs.getFileStatus(new Path(s"${path(table)}/$f")).getLen).sum
     val recs = files.flatMap(f => st.stats.get((table, f)))
+    // rows = LIVE rows: physical footer counts minus deletion-vector
+    // tombstones (still metadata-only)
+    val dvRows = files.flatMap(f => st.dvs.get((table, f))).map(DvRec.countOf).sum
     val rows =
       if (files.nonEmpty && recs.size == files.size)
-        recs.map(FileStatsRec.fromJson(_).rows).sum
+        recs.map(FileStatsRec.fromJson(_).rows).sum - dvRows
       else -1L
     TableDetail(table, files.size, bytes, rows, recs.size,
       st.cluster.get(table).map(_.split(",").toSeq).getOrElse(Nil),
@@ -1155,22 +1201,75 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
   /** The single seam every direct data-file read goes through: read the
     * given table-relative files under `schema` (LOGICAL names), translating
     * through the logical→physical mapping — current by default, a
-    * version-era map for time travel. Renames therefore need no
-    * per-operator handling.
+    * version-era map for time travel — and anti-filtering each file's
+    * DELETION VECTOR (merge-on-read deletes: manifest-recorded tombstone
+    * row ordinals; current by default, era DVs for time travel). Renames
+    * and DVs therefore need no per-operator handling. Files without a DV
+    * take the plain path — zero overhead until the first DV delete.
     */
   private def readFiles(table: String, schema: StructType, files: Seq[String],
-      mapOpt: Option[Map[String, String]] = None): DataFrame = {
+      mapOpt: Option[Map[String, String]] = None,
+      dvOpt: Option[Map[String, Seq[Long]]] = None): DataFrame = {
     if (files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     val m = mapOpt.getOrElse(colMapOf(table))
-    val paths = files.map(f => s"${path(table)}/$f")
-    if (m.isEmpty)
-      spark.read.option("basePath", path(table)).schema(schema).parquet(paths: _*)
+    val dvs = dvOpt.getOrElse(dvOf(table))
+    val (dvFiles, plainFiles) = files.partition(dvs.contains)
+    def sel(df: DataFrame): DataFrame =
+      if (m.isEmpty) df.select(schema.fieldNames.toSeq.map(col): _*)
+      else df.select(schema.fields.toSeq.map(f =>
+        col(m.getOrElse(f.name, f.name)).as(f.name)): _*)
+    val plain: Option[DataFrame] = if (plainFiles.isEmpty) None else Some {
+      val paths = plainFiles.map(f => s"${path(table)}/$f")
+      if (m.isEmpty)
+        spark.read.option("basePath", path(table)).schema(schema).parquet(paths: _*)
+      else {
+        val phys = StructType(schema.fields.map(f => f.copy(name = m.getOrElse(f.name, f.name))))
+        sel(spark.read.option("basePath", path(table)).schema(phys).parquet(paths: _*))
+      }
+    }
+    val alive: Option[DataFrame] = if (dvFiles.isEmpty) None else
+      Some(sel(readTagged(table, schema, dvFiles, m, dvs)))
+    (plain, alive) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case _ => throw new IllegalStateException("unreachable: files was non-empty")
+    }
+  }
+
+  /** DV JSON (table,file)-keyed ordinal sets for one table, rel-file keyed. */
+  private def dvOf(table: String): Map[String, Seq[Long]] = parseDvs(foldedState(), table)
+
+  private def parseDvs(st: LogState, table: String): Map[String, Seq[Long]] =
+    st.dvs.collect { case ((t, f), j) if t == table => f -> DvRec.fromJson(j) }
+
+  /** Read `files` under PHYSICAL names plus `__file` (leaf name) and `__ord`
+    * (row ordinal within the file, from the parquet reader's `_metadata.
+    * row_index`), with each file's deletion vector anti-filtered via a
+    * broadcast join on (leaf, ordinal). Leaf names are unique within a
+    * table by the commit protocol (`tx-<txid>-<i>-` prefixes), and DV
+    * operations refuse partition-dir layouts, so the leaf IS the file
+    * identity. The seam both the DV read path and [[deleteWhereDv]]'s
+    * tombstone planner go through.
+    */
+  private def readTagged(table: String, schema: StructType, files: Seq[String],
+      m: Map[String, String], dvs: Map[String, Seq[Long]]): DataFrame = {
+    require(files.forall(!_.contains("/")),
+      s"deletion vectors on partition-dir layouts are not supported (table $table)")
+    import org.apache.spark.sql.functions.{broadcast, element_at, split}
+    val phys = StructType(schema.fields.map(f => f.copy(name = m.getOrElse(f.name, f.name))))
+    val df = spark.read.schema(phys).parquet(files.map(f => s"${path(table)}/$f"): _*)
+      .withColumn("__file", element_at(split(col("_metadata.file_path"), "/"), -1))
+      .withColumn("__ord", col("_metadata.row_index"))
+    val tombs = files.flatMap(f => dvs.getOrElse(f, Nil).map(o => (f, o)))
+    if (tombs.isEmpty) df
     else {
-      val phys = StructType(schema.fields.map(f => f.copy(name = m.getOrElse(f.name, f.name))))
-      spark.read.option("basePath", path(table)).schema(phys).parquet(paths: _*)
-        .select(schema.fields.toSeq.map(f =>
-          col(m.getOrElse(f.name, f.name)).as(f.name)): _*)
+      import spark.implicits._
+      val tombDf = tombs.toDF("__dv_file", "__dv_ord")
+      df.join(broadcast(tombDf),
+        df("__file") === tombDf("__dv_file") && df("__ord") === tombDf("__dv_ord"),
+        "left_anti")
     }
   }
 
@@ -1318,7 +1417,13 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       st.stats.get((table, f)).map(FileStatsRec.fromJson) match {
         case Some(r) =>
           if (!r.mayContainAll(physPreds)) skipped += 1
-          else if (r.allMatchAll(physPreds)) { meta += 1; metaRows += r.rows }
+          else if (r.allMatchAll(physPreds)) {
+            // a fully-included file's DV'd rows matched too (subset of "all
+            // rows match") — exact survivors = rows - tombstones, still
+            // metadata-only
+            meta += 1
+            metaRows += r.rows - st.dvs.get((table, f)).map(DvRec.countOf).getOrElse(0L)
+          }
           else toRead += f
         case None => toRead += f
       }
@@ -1365,7 +1470,11 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     }
     val physCol = physColOf(table, colName)
     committedOrPhysical(table).foreach { f =>
-      st.stats.get((table, f)).map(FileStatsRec.fromJson) match {
+      // a DV-carrying file's recorded extremes may be DEAD rows — its
+      // surviving min/max is only learnable by reading (the read path
+      // anti-filters the DV), so stats never answer for it
+      if (st.dvs.contains((table, f))) { toRead += f }
+      else st.stats.get((table, f)).map(FileStatsRec.fromJson) match {
         case Some(r) if r.rows == 0L => meta += 1
         case Some(r) => r.cols.get(physCol) match {
           case Some(cs) if (cs.tag == "i" || cs.tag == "f") && cs.min.isDefined =>
@@ -1437,6 +1546,106 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       }: _*)
     })
   }
+
+  /** Current deletion vectors: rel file → sorted tombstone row ordinals.
+    * Observability surface; reads anti-filter through [[readFiles]].
+    */
+  def deletionVectors(table: String): Map[String, Seq[Long]] = dvOf(table)
+
+  /** `DELETE FROM table WHERE <conjunction>` as a MERGE-ON-READ delete
+    * (deletion vectors): instead of rewriting every file a scattered
+    * predicate touches (copy-on-write amplification — a by-id purge hitting
+    * one row per band rewrites the whole table), commit each touched file's
+    * tombstone ROW ORDINALS as a manifest `dv` line and rewrite NOTHING.
+    * Every read anti-filters through the DV (one broadcast anti-join over
+    * only the DV-carrying files), so `read`/`scanWhere`/`countWhere`/
+    * `mergeInto` results are identical to the copy-on-write delete's; a
+    * later [[compact]]/[[recluster]]/row rewrite FOLDS the DV into new
+    * files and drops it. Time travel composes: `readAt` before the delete
+    * applies that era's (smaller or absent) DV; [[appendsBetween]] refuses
+    * windows crossing a DV commit (file diff != row diff). Repeated DV
+    * deletes on one file UNION their ordinals.
+    *
+    * The DV rides the manifest inline, so it is deliberately CAPPED
+    * (`maxDvPerFile`, default 100k ordinals): a file above the cap has
+    * enough dead rows that rewriting it IS the right move — use
+    * [[deleteWhere]] (copy-on-write) or compact first. This is the
+    * Delta-style density tradeoff: DVs for few-rows-per-many-files deletes,
+    * rewrite for dense ones. Stats are NOT tightened by a DV (bounds stay
+    * conservative — sound for skipping, and [[statsMinMax]] routes
+    * DV-carrying files to the read path since their extremes may be dead).
+    * Same flat-layout requirement and retry/conflict contract as
+    * [[deleteWhere]]; returns exact counts and the literal file routing.
+    */
+  def deleteWhereDv(table: String, schema: StructType, preds: Seq[FilePred],
+      maxDvPerFile: Int = 100000): DvDeleteResult = {
+    val cond = FilePred.toColumn(preds, schema)
+    var attempts = 0
+    while (attempts < 8) {
+      val (cands, skipped) = planFiles(table, preds)
+      require(cands.forall(!_.contains("/")),
+        s"deletion vectors on partition-dir layouts are not supported (table $table); " +
+          "use deleteWhere after migrating the layout")
+      if (cands.isEmpty) return DvDeleteResult(0L, 0, 0, skipped.size)
+      val st = foldedState()
+      val dvBefore: Map[String, Option[String]] =
+        cands.map(f => f -> st.dvs.get((table, f))).toMap
+      val existing = parseDvs(st, table)
+      // per-candidate matching LIVE ordinals (existing DVs pre-filtered so a
+      // dead row is never re-deleted or double-counted)
+      val m = colMapOf(table)
+      import org.apache.spark.sql.functions.{collect_list, sort_array}
+      val hitRows = sel(readTagged(table, schema, cands, m, existing), schema, m,
+          keep = Seq("__file", "__ord"))
+        .filter(coalesce(cond, lit(false)))
+        .groupBy(col("__file"))
+        .agg(sort_array(collect_list(col("__ord"))).as("__ords"))
+        .collect()
+      if (hitRows.isEmpty) return DvDeleteResult(0L, 0, 0, skipped.size)
+      val newOrds: Map[String, Seq[Long]] = hitRows.map(r =>
+        r.getString(0) -> r.getSeq[Long](1).toVector).toMap
+      val deleted = newOrds.valuesIterator.map(_.size.toLong).sum
+      val merged: Map[String, Seq[Long]] = newOrds.map { case (f, ords) =>
+        f -> (existing.getOrElse(f, Nil) ++ ords).distinct.sorted.toSeq
+      }
+      merged.foreach { case (f, ords) =>
+        require(ords.size <= maxDvPerFile,
+          s"deletion vector for $table/$f would hold ${ords.size} ordinals " +
+            s"(cap $maxDvPerFile) — the file is dead enough to deserve a " +
+            "rewrite: use deleteWhere (copy-on-write) or compact first")
+      }
+      val lines = merged.toSeq.sortBy(_._1).map { case (f, ords) =>
+        val j = DvRec.toJson(ords)
+        require(!j.contains('\t') && !j.contains('\n'), "dv JSON contains TSV control chars")
+        s"dv\t$table\t$f\t$j"
+      }
+      try {
+        // precondition: every touched file still visible with the DV we
+        // read — a racing DV delete (last-line-wins would silently drop its
+        // ordinals) or rewrite (our ordinals would tombstone NEW rows)
+        // aborts and retries from fresh state
+        publish(lines, precondition = () => {
+          val now = foldedState()
+          val vis = now.adds.getOrElse(table, Vector.empty).toSet
+          dvBefore.forall { case (f, j) =>
+            !newOrds.contains(f) || (vis.contains(f) && now.dvs.get((table, f)) == j)
+          }
+        })
+        return DvDeleteResult(deleted, newOrds.size, 0, skipped.size)
+      } catch {
+        case _: java.util.ConcurrentModificationException => attempts += 1
+      }
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"deleteWhereDv on $table lost $attempts straight races to concurrent " +
+        "commits; table is intact — retry when the writer is quieter")
+  }
+
+  /** Project a tagged read back to LOGICAL names, keeping `keep` tag cols. */
+  private def sel(df: DataFrame, schema: StructType, m: Map[String, String],
+      keep: Seq[String] = Nil): DataFrame =
+    df.select(schema.fields.toSeq.map(f =>
+      col(m.getOrElse(f.name, f.name)).as(f.name)) ++ keep.map(col): _*)
 
   /** `MERGE INTO table USING source ON keyCols`, copy-on-write — the
     * generalized form of the reference's staging→dimension merges, with the
@@ -1535,7 +1744,10 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       val cands = cands0.toSeq
       require(cands.forall(!_.contains("/")),
         s"mergeInto on partition-dir layouts is not supported (table $table)")
-      val candDf = readFiles(table, schema, cands)
+      // same DV pin as rewriteWhere: the rewrite folds candidate DVs
+      val stDv = foldedState()
+      val dvSnap = cands.map(f => f -> stDv.dvs.get((table, f)))
+      val candDf = readFiles(table, schema, cands, dvOpt = Some(parseDvs(stDv, table)))
       val t = candDf.withColumn("__t", lit(1)).alias("t")
       val s = src.withColumn("__s", lit(1)).alias("s")
       val j = t.join(s,
@@ -1573,7 +1785,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       try {
         atomically {
           case tv: TxView =>
-            tv.rewriteExcluding(table, cands, out)
+            tv.rewriteExcluding(table, cands, out, dvSnap)
             alsoInTx(tv) // e.g. a stream's ingest-ledger row, same commit
           case w => throw new IllegalStateException(
             s"AtomicWarehouse.atomically produced a ${w.getClass.getName}")
@@ -1605,7 +1817,12 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
         s"row-level DML on partition-dir layouts is not supported (table $table); " +
           "rewrite the affected partition via replace/compactWith instead")
       if (cands.isEmpty) return 0L
-      val df = readFiles(table, schema, cands)
+      // pin the candidates' DV state: the rewrite folds these tombstones
+      // into the new files, and a DV racing in after this snapshot must
+      // abort the commit (precondition), not silently resurrect its rows
+      val stDv = foldedState()
+      val dvSnap = cands.map(f => f -> stDv.dvs.get((table, f)))
+      val df = readFiles(table, schema, cands, dvOpt = Some(parseDvs(stDv, table)))
       val hit = coalesce(cond, lit(false))
       val matched = df.filter(hit).count()
       if (matched == 0L) return 0L
@@ -1614,7 +1831,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       val out = clusteredRewrite(table, schema, rewrite((df, hit)), cands.size, Nil)
       try {
         atomically {
-          case tv: TxView => tv.rewriteExcluding(table, cands, out)
+          case tv: TxView => tv.rewriteExcluding(table, cands, out, dvSnap)
           case w => throw new IllegalStateException( // unreachable: atomically always hands a TxView
             s"AtomicWarehouse.atomically produced a ${w.getClass.getName}")
         }
@@ -1683,11 +1900,14 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     var attempts = 0
     while (attempts < 8) {
       val expected = committedOrPhysical(table)
-      val src = readFiles(table, schema, expected)
+      // pin DV state like the file set: the rewrite folds the tombstones
+      val stDv = foldedState()
+      val dvSnap = expected.map(f => f -> stDv.dvs.get((table, f)))
+      val src = readFiles(table, schema, expected, dvOpt = Some(parseDvs(stDv, table)))
       val out = transform(src)
       try {
         atomically {
-          case tv: TxView => tv.replaceExpecting(table, out, expected)
+          case tv: TxView => tv.replaceExpecting(table, out, expected, dvSnap)
           case w => throw new IllegalStateException( // unreachable: atomically always hands a TxView
             s"AtomicWarehouse.atomically produced a ${w.getClass.getName}; " +
               "conflict-checked compaction requires its TxView")

@@ -132,6 +132,48 @@ case class StatsMinMax(min: Option[Any], max: Option[Any],
 case class MergeIntoResult(updated: Long, deleted: Long, inserted: Long,
     filesRewritten: Int, filesUntouched: Int)
 
+/** Outcome of a [[AtomicWarehouse.deleteWhereDv]] (merge-on-read delete):
+  * `filesRewritten` is ALWAYS 0 — the method's whole contract — kept as a
+  * field so callers and oracles can assert the routing literally.
+  */
+case class DvDeleteResult(deleted: Long, filesTombstoned: Int,
+    filesRewritten: Int, filesSkipped: Int)
+
+/** Deletion-vector manifest JSON: `{"n":<count>,"ords":[<sorted ordinals>]}`
+  * — the file's COMPLETE tombstone set (row ordinals within the file);
+  * every `dv` line carries the union, last line per file wins.
+  */
+object DvRec {
+  def toJson(ords: Seq[Long]): String = {
+    import org.json4s._
+    org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(
+      JObject("n" -> JLong(ords.size.toLong),
+        "ords" -> JArray(ords.map(o => JLong(o): JValue).toList))))
+  }
+
+  def fromJson(json: String): Seq[Long] = {
+    import org.json4s._
+    (org.json4s.jackson.JsonMethods.parse(json) \ "ords") match {
+      case JArray(items) => items.map {
+        case JLong(l) => l
+        case JInt(i) => i.toLong
+        case other => throw new IllegalArgumentException(s"bad dv ordinal $other")
+      }
+      case other => throw new IllegalArgumentException(s"bad dv json: $other")
+    }
+  }
+
+  /** Tombstone count without materializing the ordinals (describe/count). */
+  def countOf(json: String): Long = {
+    import org.json4s._
+    (org.json4s.jackson.JsonMethods.parse(json) \ "n") match {
+      case JLong(l) => l
+      case JInt(i) => i.toLong
+      case _ => fromJson(json).size.toLong
+    }
+  }
+}
+
 /** DESCRIBE DETAIL, metadata-only ([[AtomicWarehouse.describe]]): `rows` is
   * -1 unless EVERY visible file carries stats; `schemaWidth` -1 for
   * pre-evolution history; `headVersion` 0 for an empty log.

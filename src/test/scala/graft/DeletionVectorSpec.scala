@@ -1,0 +1,138 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.{AtomicWarehouse, ColEq, ColGe, ColLt}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Merge-on-read deletes (deletion vectors): a scattered DELETE commits each
+  * touched file's tombstone row ordinals as one manifest line and rewrites
+  * ZERO data files; every read anti-filters through the DV; rewrites
+  * (compaction, DML, merge) FOLD the DV into new files. Contract under
+  * test: result identity with the copy-on-write delete, exact counts,
+  * zero-rewrite routing, time-travel/restore composition, metadata-assisted
+  * count/min-max correctness over DV'd files, the density cap, and the
+  * append-only CDC window refusal.
+  */
+class DeletionVectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val kv = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("v", StringType, nullable = true)))
+
+  private def newWh() =
+    new AtomicWarehouse(spark, Files.createTempDirectory("graft-dv-").toString)
+
+  /** Three single-file commits with disjoint id bands [0,10), [10,20), [20,30). */
+  private def banded(wh: AtomicWarehouse, table: String = "t"): Unit =
+    (0 until 3).foreach { b =>
+      wh.append(table, (b * 10 until (b + 1) * 10).map(i => (i.toLong, s"v$i"))
+        .toDF("id", "v").coalesce(1))
+    }
+
+  private def ids(wh: AtomicWarehouse, t: String = "t"): Set[Long] =
+    wh.read(t, kv).collect().map(_.getLong(0)).toSet
+
+  test("scattered delete: zero rewrites, exact count, read identity, DV union on repeat") {
+    val wh2 = newWh()
+    banded(wh2)
+    val files2 = wh2.fileStats("t").keySet
+    // scattered: delete ids {0,7,14,21,28} via an IN predicate
+    val scattered = Seq(0L, 7L, 14L, 21L, 28L)
+    val r2 = wh2.deleteWhereDv("t", kv, Seq(graft.sources.ColIn("id", scattered)))
+    assert(r2.deleted == 5L && r2.filesRewritten == 0 && r2.filesTombstoned == 3, s"got $r2")
+    // not a byte rewritten: the visible file set is IDENTICAL
+    assert(wh2.fileStats("t").keySet == files2)
+    assert(ids(wh2) == (0L until 30L).toSet -- scattered)
+    // read ≡ copy-on-write end state
+    val cow = newWh()
+    banded(cow)
+    cow.deleteWhere("t", kv, Seq(graft.sources.ColIn("id", scattered)))
+    assert(ids(cow) == ids(wh2))
+    // repeat on an overlapping set: only NEW rows count, ordinals union
+    val r3 = wh2.deleteWhereDv("t", kv, Seq(graft.sources.ColIn("id", Seq(7L, 8L))))
+    assert(r3.deleted == 1L, s"re-deleting a dead row must not count, got $r3")
+    assert(ids(wh2) == (0L until 30L).toSet -- scattered - 8L)
+    assert(wh2.deletionVectors("t").values.map(_.size).sum == 6)
+    // scanWhere over the DV'd table ≡ read+filter
+    val sw = wh2.scanWhere("t", kv, Seq(ColLt("id", 10L))).collect().map(_.getLong(0)).toSet
+    assert(sw == Set(1L, 2L, 3L, 4L, 5L, 6L, 9L))
+  }
+
+  test("time travel and restore compose with DVs") {
+    val wh = newWh()
+    banded(wh)
+    val preDv = wh.versions().last
+    wh.deleteWhereDv("t", kv, Seq(graft.sources.ColIn("id", Seq(3L, 13L, 23L))))
+    val postDv = wh.versions().last
+    wh.deleteWhereDv("t", kv, Seq(graft.sources.ColIn("id", Seq(4L))))
+    // as-of reads reconstruct each era's live rows
+    assert(wh.readAt("t", kv, preDv).count() == 30L)
+    assert(wh.readAt("t", kv, postDv).count() == 27L)
+    assert(wh.read("t", kv).count() == 26L)
+    // restore to the pre-DV version resurrects everything (metadata-only)
+    wh.restore("t", preDv)
+    assert(ids(wh) == (0L until 30L).toSet)
+    // restore forward to the post-DV version re-applies its DV
+    wh.restore("t", postDv)
+    assert(ids(wh) == (0L until 30L).toSet -- Seq(3L, 13L, 23L))
+  }
+
+  test("metadata count subtracts tombstones; statsMinMax routes DV files to the read path") {
+    val wh = newWh()
+    banded(wh)
+    wh.deleteWhereDv("t", kv, Seq(graft.sources.ColIn("id", Seq(9L, 29L))))
+    // band 0 fully inside [0,10): metadata answer must be 10 - 1 tombstone
+    val c = wh.countWhere("t", kv, Seq(ColGe("id", 0L), ColLt("id", 10L)))
+    assert(c.count == 9L && c.filesMetadata == 1 && c.filesRead == 0 && c.filesSkipped == 2,
+      s"got $c")
+    // preds=Nil metadata-only COUNT(*): 30 physical - 2 tombstones
+    val all = wh.countWhere("t", kv)
+    assert(all.count == 28L && all.filesRead == 0, s"got $all")
+    // the recorded max of band 2 (29) is DEAD: statsMinMax must read the
+    // DV'd files and report the surviving extremes
+    val mm = wh.statsMinMax("t", kv, "id")
+    assert(mm.min.contains(0L) && mm.max.contains(28L), s"got $mm")
+    assert(mm.filesRead == 2 && mm.filesMetadata == 1, s"got $mm")
+    // describe reports LIVE rows
+    assert(wh.describe("t").rows == 28L)
+  }
+
+  test("rewrites fold DVs: compaction, deleteWhere, mergeInto") {
+    val wh = newWh()
+    banded(wh)
+    wh.deleteWhereDv("t", kv, Seq(graft.sources.ColIn("id", Seq(1L, 11L, 21L))))
+    assert(wh.deletionVectors("t").size == 3)
+    // copy-on-write delete on band 1 folds ITS dv and drops its entry
+    wh.deleteWhere("t", kv, Seq(ColEq("id", 15L)))
+    assert(wh.deletionVectors("t").size == 2)
+    assert(ids(wh) == (0L until 30L).toSet -- Seq(1L, 11L, 21L, 15L))
+    // mergeInto over band 0 folds its dv (1 stays dead, 2 updates)
+    val r = wh.mergeInto("t", kv, Seq((2L, "upd")).toDF("id", "v"), Seq("id"))
+    assert(r.updated == 1L && wh.deletionVectors("t").size == 1)
+    assert(!ids(wh).contains(1L) && wh.read("t", kv)
+      .filter(col("id") === 2L).head().getString(1) == "upd")
+    // compaction folds the rest: no DVs, same rows
+    val before = ids(wh)
+    wh.compact("t", kv, targetFiles = 1)
+    assert(wh.deletionVectors("t").isEmpty)
+    assert(ids(wh) == before)
+  }
+
+  test("density cap refuses; appendsBetween refuses windows crossing a DV commit") {
+    val wh = newWh()
+    banded(wh)
+    val boom = intercept[IllegalArgumentException](
+      wh.deleteWhereDv("t", kv, Seq(ColLt("id", 9L)), maxDvPerFile = 5))
+    assert(boom.getMessage.contains("cap"))
+    assert(wh.deletionVectors("t").isEmpty, "a refused DV delete must commit nothing")
+    val from = wh.versions().last
+    wh.append("t", Seq((100L, "x")).toDF("id", "v"))
+    wh.deleteWhereDv("t", kv, Seq(ColEq("id", 5L)))
+    val to = wh.versions().last
+    val e = intercept[IllegalStateException](wh.appendsBetween("t", kv, from, to))
+    assert(e.getMessage.contains("not append-only"))
+  }
+}
