@@ -1312,6 +1312,39 @@ object SparkEntry {
         .orderBy(col("deleted"))
     }
 
+    // ---- DISJUNCTION in the skipping algebra (DNF): real predicates are
+    // rarely pure conjunctions — `key < a OR key >= b` must still prune.
+    // Over the 4-band layout the OR of the two edges keeps bands 0 and 3
+    // and skips 1-2 FROM DRIVER METADATA (literals in the oracle); a
+    // second predicate with a band-covering disjunct answers its count
+    // for band 3 metadata-only; a cross-column OR (key range OR status
+    // equality) can prune nothing here — the routing says so honestly —
+    // but stays row-exact. scanWhere ≡ the plain filter restatement
+    q("etl_skipping_or") = (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+      val (wh, qtr) = bandedOrdersWh(s, orders, "or")
+      import graft.sources.{ColOr => Or}
+      val edges = Seq(Or(Seq(
+        Seq(graft.sources.ColLt("o_orderkey", qtr / 2)),
+        Seq(graft.sources.ColGe("o_orderkey", qtr * 3 + qtr / 2)))))
+      val (kept, skipped) = wh.planFiles("facts/orders", edges)
+      val e = wh.scanWhere("facts/orders", orders.schema, edges)
+        .agg(centsAgg.head, centsAgg.tail: _*).head()
+      val c = wh.countWhere("facts/orders", orders.schema, Seq(Or(Seq(
+        Seq(graft.sources.ColLt("o_orderkey", qtr / 2)),
+        Seq(graft.sources.ColGe("o_orderkey", qtr * 3))))))
+      val cross = wh.scanWhere("facts/orders", orders.schema, Seq(Or(Seq(
+        Seq(graft.sources.ColLt("o_orderkey", qtr / 2)),
+        Seq(graft.sources.ColEq("o_orderstatus", "P"))))))
+        .count()
+      Seq((kept.size, skipped.size, e.getLong(0), e.getLong(1),
+          c.count, c.filesMetadata, c.filesRead, c.filesSkipped, cross))
+        .toDF("files_kept", "files_skipped", "n", "cents",
+          "cnt_n", "cnt_meta", "cnt_read", "cnt_skipped", "cross_n")
+        .orderBy(col("n"))
+    }
+
     // ---- merge-on-read DELETE (deletion vectors): a scattered by-key
     // purge (o_orderkey % 101 — rows in EVERY band) that copy-on-write
     // would answer by rewriting the whole table commits ONE manifest line
@@ -1454,6 +1487,28 @@ object SparkEntry {
           k.filesRead + p.filesRead, k.filesMetadata))
         .toDF("key_min", "key_max", "price_min", "price_max", "files_read", "files_meta")
         .orderBy(col("key_min"))
+    }
+
+    // ---- exact STRING MIN/MAX from dictionary value sets: parquet string
+    // bounds may be truncated (bounds, not values) so they are never
+    // trusted — but a recorded dictionary value set is the file's exact
+    // non-null values, so the status-banded layout answers min/max of
+    // o_orderstatus AND o_orderpriority from driver metadata alone
+    // (files_read = 0 literal); the spec covers the high-cardinality
+    // fallback where no value set is recorded and files are read
+    q("etl_stats_minmax_str") = (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+      val wh = new graft.sources.AtomicWarehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-mmstr-").toString)
+      Seq("O", "F", "P").foreach(st =>
+        wh.append("facts/orders", orders.filter(col("o_orderstatus") === st).coalesce(1)))
+      val st = wh.statsMinMax("facts/orders", orders.schema, "o_orderstatus")
+      val pr = wh.statsMinMax("facts/orders", orders.schema, "o_orderpriority")
+      Seq((st.min.get.toString, st.max.get.toString, pr.min.get.toString,
+          pr.max.get.toString, st.filesRead + pr.filesRead, st.filesMetadata))
+        .toDF("st_min", "st_max", "pr_min", "pr_max", "files_read", "files_meta")
+        .orderBy(col("st_min"))
     }
 
     // ---- the same history as a WAREHOUSE LIFECYCLE (ScdDimension): each
@@ -3796,6 +3851,27 @@ object SparkEntry {
         |FROM orders
         |ORDER BY key_min""".stripMargin,
 
+    // OR-predicate skipping over the band layout: edge disjunction keeps
+    // bands 0+3 and skips 1-2 (literals); the count predicate answers band 3
+    // from metadata (fully covered by its >= disjunct) and reads only the
+    // straddling band 0; the cross-column OR prunes nothing (every band
+    // holds status P) but stays exact
+    "etl_skipping_or" ->
+      """WITH m AS (SELECT max(o_orderkey) // 4 AS q FROM orders),
+        | e AS (SELECT count(*) AS n,
+        |   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |   FROM orders, m
+        |   WHERE o_orderkey < m.q // 2 OR o_orderkey >= m.q * 3 + m.q // 2),
+        | c AS (SELECT count(*) AS n FROM orders, m
+        |   WHERE o_orderkey < m.q // 2 OR o_orderkey >= m.q * 3),
+        | x AS (SELECT count(*) AS n FROM orders, m
+        |   WHERE o_orderkey < m.q // 2 OR o_orderstatus = 'P')
+        |SELECT 2 AS files_kept, 2 AS files_skipped, e.n AS n, e.cents AS cents,
+        | c.n AS cnt_n, 1 AS cnt_meta, 1 AS cnt_read, 2 AS cnt_skipped,
+        | x.n AS cross_n
+        |FROM e, c, x
+        |ORDER BY n""".stripMargin,
+
     // merge-on-read DELETE: scattered %101 purge touches all 4 bands, zero
     // data files rewritten (literals), live state ≡ the filter restatement,
     // time travel intact, compaction folds the DV with identical live rows
@@ -3811,6 +3887,15 @@ object SparkEntry {
         | 0 AS dv_after_compact, true AS compact_identity
         |FROM d, live
         |ORDER BY deleted""".stripMargin,
+
+    // exact string MIN/MAX from dictionary value sets: status and priority
+    // answered metadata-only (0 files read, all 3 files from the manifest)
+    "etl_stats_minmax_str" ->
+      """SELECT min(o_orderstatus) AS st_min, max(o_orderstatus) AS st_max,
+        | min(o_orderpriority) AS pr_min, max(o_orderpriority) AS pr_max,
+        | 0 AS files_read, 3 AS files_meta
+        |FROM orders
+        |ORDER BY st_min""".stripMargin,
 
     // UPDATE WHERE first-quartile band: the CASE restatement of the
     // rewritten priority column plus the updated-row count

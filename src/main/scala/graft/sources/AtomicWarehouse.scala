@@ -1089,7 +1089,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
   def planFiles(table: String, preds: Seq[FilePred]): (Seq[String], Seq[String]) = {
     val st = foldedState()
     // stats ride physical column names (footer truth) — translate
-    val physPreds = preds.map(p => FilePred.withCol(p, physColOf(table, p.colName)))
+    val physPreds = preds.map(p => FilePred.mapCols(p, c => physColOf(table, c)))
     committedOrPhysical(table).partition { f =>
       st.stats.get((table, f)) match {
         case Some(j) => FileStatsRec.fromJson(j).mayContainAll(physPreds)
@@ -1412,7 +1412,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     var metaRows = 0L
     var skipped = 0
     val toRead = ArrayBuffer[String]()
-    val physPreds = preds.map(p => FilePred.withCol(p, physColOf(table, p.colName)))
+    val physPreds = preds.map(p => FilePred.mapCols(p, c => physColOf(table, c)))
     committedOrPhysical(table).foreach { f =>
       st.stats.get((table, f)).map(FileStatsRec.fromJson) match {
         case Some(r) =>
@@ -1435,14 +1435,18 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     CountWhere(metaRows + readRows, meta, toRead.size, skipped)
   }
 
-  /** Exact MIN/MAX of a NUMERIC column, answered from manifest stats where
-    * possible: numeric parquet chunk bounds are exact values (fixed-width
-    * types are never truncated), so a fully-stats-covered table answers
-    * without reading a row. Files whose stats cannot answer — legacy, an
-    * untracked type, string columns (whose parquet bounds may be truncated
-    * and are bounds, not values) — are scanned with one min/max job over
-    * just those files. All-null and zero-row files contribute nothing,
-    * matching SQL MIN/MAX null semantics.
+  /** Exact MIN/MAX of a NUMERIC or STRING column, answered from manifest
+    * stats where possible. Numeric parquet chunk bounds are exact values
+    * (fixed-width types are never truncated), so a fully-stats-covered
+    * table answers without reading a row. String BOUNDS are never trusted
+    * as values (a writer may truncate them), but a recorded dictionary
+    * VALUE SET is exact full values — files carrying one answer
+    * metadata-only (UTF-8 byte order, matching Spark's comparison); string
+    * files without a value set are scanned. Files whose stats cannot
+    * answer — legacy, an untracked type, a deletion vector (extremes may be
+    * dead rows) — take one min/max job over just those files. All-null and
+    * zero-row files contribute nothing, matching SQL MIN/MAX null
+    * semantics.
     */
   def statsMinMax(table: String, schema: StructType, colName: String): StatsMinMax = {
     schema(colName).dataType match {
@@ -1453,9 +1457,9 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
         throw new IllegalArgumentException(
           s"statsMinMax does not support decimal columns; '$colName' is $dt")
       case _: org.apache.spark.sql.types.NumericType => ()
+      case _: org.apache.spark.sql.types.StringType => ()
       case dt => throw new IllegalArgumentException(
-        s"statsMinMax supports numeric columns; '$colName' is $dt " +
-          "(string parquet bounds may be truncated — bounds, not values)")
+        s"statsMinMax supports numeric and string columns; '$colName' is $dt")
     }
     val st = foldedState()
     var mn: Option[Any] = None
@@ -1479,6 +1483,17 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
         case Some(r) => r.cols.get(physCol) match {
           case Some(cs) if (cs.tag == "i" || cs.tag == "f") && cs.min.isDefined =>
             meta += 1; fold(cs.min.get, cs.max.get, cs.tag)
+          case Some(cs) if cs.tag == "s" && cs.vals.exists(_.nonEmpty) =>
+            // the dictionary value set is the file's exact non-null values:
+            // its extremes (UTF-8 byte order — cmp, not Scala's UTF-16
+            // String ordering) ARE the file's min/max
+            meta += 1
+            val vs = cs.vals.get
+            val lo = vs.reduce((a, b) =>
+              if (FileStatsRec.cmp(a, b, "s").exists(_ <= 0)) a else b)
+            val hi = vs.reduce((a, b) =>
+              if (FileStatsRec.cmp(a, b, "s").exists(_ >= 0)) a else b)
+            fold(lo, hi, "s")
           case Some(cs) if cs.nulls >= 0 && cs.nulls == r.rows =>
             meta += 1 // entirely null: contributes nothing
           case _ => toRead += f
@@ -1498,8 +1513,10 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
           case b: java.lang.Byte => (b.longValue, "i")
           case f: java.lang.Float => (f.doubleValue, "f")
           case d: java.lang.Double => (d.doubleValue, "f")
+          case s: String => (s, "s")
           case other => throw new IllegalArgumentException(
-            s"statsMinMax supports numeric columns; $colName read back ${other.getClass}")
+            s"statsMinMax supports numeric and string columns; " +
+              s"$colName read back ${other.getClass}")
         }
         val (lo, t) = norm(r.get(0))
         val (hi, _) = norm(r.get(1))

@@ -27,25 +27,36 @@ import org.apache.spark.sql.types.{DataType, DateType, StructType, TimestampType
   * java.sql.Timestamp (TIMESTAMP). A value/stat type mismatch makes pruning
   * conservatively keep the file — the row filter still applies.
   */
-sealed trait FilePred { def colName: String }
-case class ColGe(colName: String, value: Any) extends FilePred
-case class ColGt(colName: String, value: Any) extends FilePred
-case class ColLe(colName: String, value: Any) extends FilePred
-case class ColLt(colName: String, value: Any) extends FilePred
-case class ColEq(colName: String, value: Any) extends FilePred
+sealed trait FilePred
+/** A single-column comparison — the algebra's leaves. */
+sealed trait LeafPred extends FilePred { def colName: String }
+case class ColGe(colName: String, value: Any) extends LeafPred
+case class ColGt(colName: String, value: Any) extends LeafPred
+case class ColLe(colName: String, value: Any) extends LeafPred
+case class ColLt(colName: String, value: Any) extends LeafPred
+case class ColEq(colName: String, value: Any) extends LeafPred
 /** IN-list predicate. Prunes via min/max like the others, and EXACTLY via
   * dictionary-derived value sets when the file records them.
   */
-case class ColIn(colName: String, values: Seq[Any]) extends FilePred {
+case class ColIn(colName: String, values: Seq[Any]) extends LeafPred {
   require(values.nonEmpty, s"ColIn($colName) with an empty value list matches nothing")
+}
+/** Disjunction of conjunctions (DNF): satisfied when ANY disjunct — a
+  * conjunction of predicates, possibly across DIFFERENT columns — is. With
+  * the top-level `Seq[FilePred]` conjunction this closes the algebra under
+  * AND/OR: a file is skipped only when NO disjunct can match it, and
+  * fully-included (for metadata COUNT) when SOME disjunct provably matches
+  * every row. Real predicates (`status = 'P' OR price > x`) prune files
+  * instead of scanning everything.
+  */
+case class ColOr(disjuncts: Seq[Seq[FilePred]]) extends FilePred {
+  require(disjuncts.nonEmpty && disjuncts.forall(_.nonEmpty),
+    "ColOr needs at least one non-empty disjunct")
 }
 
 object FilePred {
-  /** The same predicate against a different column name — the
-    * logical→physical translation seam for stats lookups (stats are
-    * recorded under the names the parquet footers carry).
-    */
-  def withCol(p: FilePred, c: String): FilePred =
+  /** The same leaf against a different column name. */
+  def withCol(p: LeafPred, c: String): LeafPred =
     if (c == p.colName) p
     else p match {
       case x: ColGe => x.copy(colName = c)
@@ -55,6 +66,15 @@ object FilePred {
       case x: ColEq => x.copy(colName = c)
       case x: ColIn => x.copy(colName = c)
     }
+
+  /** Rename every column in the predicate tree — the logical→physical
+    * translation seam for stats lookups (stats are recorded under the names
+    * the parquet footers carry); recurses through disjunctions.
+    */
+  def mapCols(p: FilePred, f: String => String): FilePred = p match {
+    case ColOr(ds) => ColOr(ds.map(_.map(mapCols(_, f))))
+    case l: LeafPred => withCol(l, f(l.colName))
+  }
 
   /** The exact row-filter Column for a conjunction of predicates. String
     * values against DATE/TIMESTAMP columns are cast (the lit would otherwise
@@ -66,24 +86,27 @@ object FilePred {
     preds.map(one(_, schema)).reduce(_ && _)
   }
 
-  private def one(p: FilePred, schema: StructType): Column = {
-    val dt = schema(p.colName).dataType
-    val c = col(p.colName)
-    p match {
-      case ColGe(_, v) => c >= litFor(v, dt)
-      case ColGt(_, v) => c > litFor(v, dt)
-      case ColLe(_, v) => c <= litFor(v, dt)
-      case ColLt(_, v) => c < litFor(v, dt)
-      case ColEq(_, v) => c === litFor(v, dt)
-      case ColIn(_, vs) =>
-        // native In expression (codegen'd, parquet-pushable) unless a value
-        // needs casting (string against a DATE/TIMESTAMP column — rare and
-        // small lists); a 1k-element OR-chain would be a deep tree instead
-        val needsCast = (dt == DateType || dt == TimestampType) &&
-          vs.exists(_.isInstanceOf[String])
-        if (needsCast) vs.map(v => c === litFor(v, dt)).reduce(_ || _)
-        else c.isInCollection(vs)
-    }
+  private def one(p: FilePred, schema: StructType): Column = p match {
+    case ColOr(ds) =>
+      ds.map(d => d.map(one(_, schema)).reduce(_ && _)).reduce(_ || _)
+    case leaf: LeafPred =>
+      val dt = schema(leaf.colName).dataType
+      val c = col(leaf.colName)
+      leaf match {
+        case ColGe(_, v) => c >= litFor(v, dt)
+        case ColGt(_, v) => c > litFor(v, dt)
+        case ColLe(_, v) => c <= litFor(v, dt)
+        case ColLt(_, v) => c < litFor(v, dt)
+        case ColEq(_, v) => c === litFor(v, dt)
+        case ColIn(_, vs) =>
+          // native In expression (codegen'd, parquet-pushable) unless a value
+          // needs casting (string against a DATE/TIMESTAMP column — rare and
+          // small lists); a 1k-element OR-chain would be a deep tree instead
+          val needsCast = (dt == DateType || dt == TimestampType) &&
+            vs.exists(_.isInstanceOf[String])
+          if (needsCast) vs.map(v => c === litFor(v, dt)).reduce(_ || _)
+          else c.isInCollection(vs)
+      }
   }
 
   private def litFor(v: Any, dt: DataType): Column = v match {
@@ -188,9 +211,18 @@ case class FileStatsRec(rows: Long, cols: Map[String, ColStats]) {
     * Sound under SQL three-valued logic because every predicate here is
     * null-rejecting: a file whose column is entirely null satisfies nothing.
     * Unknown stats, type mismatches, or an untracked column keep the file.
+    * A disjunction may match iff SOME disjunct may (each disjunct is a
+    * conjunction — all of its legs must be individually possible; that is
+    * weaker than joint satisfiability, so it can only over-keep, never
+    * over-skip).
     */
   def mayContain(pred: FilePred): Boolean = if (rows == 0L) false
-  else cols.get(pred.colName) match {
+  else pred match {
+    case ColOr(ds) => ds.exists(_.forall(mayContain))
+    case leaf: LeafPred => mayContainLeaf(leaf)
+  }
+
+  private def mayContainLeaf(pred: LeafPred): Boolean = cols.get(pred.colName) match {
     // a zero-row file (an empty append, a delete's empty rewrite) has no
     // footer blocks and therefore NO column entries — without the rows==0
     // short-circuit above it would never be skippable
@@ -236,9 +268,16 @@ case class FileStatsRec(rows: Long, cols: Map[String, ColStats]) {
     * fails every predicate here) and bounds — or an exact value set — that
     * pin all values inside the predicate; anything unknown returns false
     * (the file gets read, never miscounted). A zero-row file is vacuously
-    * all-match.
+    * all-match. A disjunction is all-match when SOME disjunct provably
+    * covers every row (sufficient, not necessary — rows split across
+    * disjuncts just get read).
     */
-  def allMatch(pred: FilePred): Boolean = rows == 0L || (cols.get(pred.colName) match {
+  def allMatch(pred: FilePred): Boolean = rows == 0L || (pred match {
+    case ColOr(ds) => ds.exists(_.forall(allMatch))
+    case leaf: LeafPred => allMatchLeaf(leaf)
+  })
+
+  private def allMatchLeaf(pred: LeafPred): Boolean = (cols.get(pred.colName) match {
     case Some(cs) if cs.nulls == 0L => cs.vals match {
       case Some(vs) =>
         def all(v: Any, f: Int => Boolean) =

@@ -249,8 +249,27 @@ class DmlSkippingSpec extends SparkSpec {
     whn.append("n", Seq((1L, Option.empty[Double])).toDF("id", "x").coalesce(1))
     val n = whn.statsMinMax("n", idVal, "x")
     assert(n.min.isEmpty && n.max.isEmpty && n.filesRead == 0)
-    // string columns refuse loudly (parquet string bounds are bounds, not values)
-    intercept[IllegalArgumentException](wh.statsMinMax("t", kv, "v"))
+    // STRING extremes from dictionary value sets: exact full values (never
+    // the truncatable parquet bounds), UTF-8 order, metadata-only — needs a
+    // low-cardinality column (all-unique strings make the writer fall back
+    // from dictionary encoding and record no set: those files are READ)
+    val whs = newWh()
+    whs.append("sv", Seq((1L, "blue"), (2L, "red"), (3L, "blue")).toDF("id", "v").coalesce(1))
+    whs.append("sv", Seq((4L, "green"), (5L, "red"), (6L, "green")).toDF("id", "v").coalesce(1))
+    val sv = whs.statsMinMax("sv", kv, "v")
+    assert(sv.min.contains("blue") && sv.max.contains("red"), s"got $sv")
+    assert(sv.filesRead == 0 && sv.filesMetadata == 2, s"got $sv")
+    // the banded fixture's v strings are all-unique → no value sets → the
+    // hybrid read path answers, still exact
+    val bv = wh.statsMinMax("t", kv, "v")
+    assert(bv.min.contains("v0") && bv.max.contains("v9") && bv.filesRead == 3, s"got $bv")
+    // a high-cardinality string column records no value set → that file is
+    // READ (bounds are never trusted as values) and the answer stays exact
+    val whc = newWh()
+    whc.append("hc", (0 until 500).map(i => (i.toLong, f"val$i%04d")).toDF("id", "v").coalesce(1))
+    val hv = whc.statsMinMax("hc", kv, "v")
+    assert(hv.min.contains("val0000") && hv.max.contains("val0499") && hv.filesRead == 1,
+      s"got $hv")
   }
 
   test("dictionary value sets: equality/IN pruning and metadata COUNT on unsorted strings") {
@@ -388,6 +407,38 @@ class DmlSkippingSpec extends SparkSpec {
       whenMatchedUpdate = Seq("nope" -> lit("x"))))
     // nothing committed, table untouched
     assert(wh.read("t", kv).count() == 30)
+  }
+
+  test("ColOr: disjunctions prune files, count from metadata, and stay row-exact") {
+    val wh = newWh()
+    banded(wh) // [0,10) [10,20) [20,30)
+    import graft.sources.ColOr
+    // id < 5 OR id >= 25 — bands 0 and 2 kept, band 1 skipped
+    val orPred = Seq(ColOr(Seq(Seq(ColLt("id", 5L)), Seq(ColGe("id", 25L)))))
+    val (kept, skipped) = wh.planFiles("t", orPred)
+    assert(kept.size == 2 && skipped.size == 1, s"got kept=$kept skipped=$skipped")
+    val got = wh.scanWhere("t", kv, orPred).collect().map(_.getLong(0)).toSet
+    assert(got == ((0L until 5L) ++ (25L until 30L)).toSet)
+    // metadata COUNT: band 2 is FULLY covered by the id >= 20 disjunct,
+    // band 0 straddles id < 5 (read), band 1 excluded
+    val c = wh.countWhere("t", kv,
+      Seq(ColOr(Seq(Seq(ColLt("id", 5L)), Seq(ColGe("id", 20L))))))
+    assert(c.count == 15L && c.filesMetadata == 1 && c.filesRead == 1 && c.filesSkipped == 1,
+      s"got $c")
+    // disjuncts across DIFFERENT columns: id < 5 OR v = 'v27'
+    val cross = Seq(ColOr(Seq(Seq(ColLt("id", 5L)), Seq(ColEq("v", "v27")))))
+    val got2 = wh.scanWhere("t", kv, cross).collect().map(_.getLong(0)).toSet
+    assert(got2 == (0L until 5L).toSet + 27L)
+    // a conjunctive disjunct: (id >= 10 AND id < 12) OR id >= 28
+    val conj = Seq(ColOr(Seq(Seq(ColGe("id", 10L), ColLt("id", 12L)), Seq(ColGe("id", 28L)))))
+    val (k3, s3) = wh.planFiles("t", conj)
+    assert(k3.size == 2 && s3.size == 1)
+    assert(wh.scanWhere("t", kv, conj).count() == 4L)
+    // OR flows through DML: delete the two edges, band 1 untouched
+    val head = wh.versions().last
+    val n = wh.deleteWhere("t", kv, orPred)
+    assert(n == 10L && wh.read("t", kv).count() == 20L)
+    assert(wh.readAt("t", kv, head).count() == 30L)
   }
 
   test("statsMinMax refuses decimal columns up front (no footer stats, no read-path fallback)") {
