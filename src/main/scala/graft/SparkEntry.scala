@@ -1244,6 +1244,35 @@ object SparkEntry {
         .orderBy(col("n_nationkey"))
     }
 
+    // ---- TYPE WIDENING without rewrite: v1 lands the dimension with an
+    // INT key, one metadata commit widens it to BIGINT (zero files
+    // touched — Spark's parquet reader upcasts the narrow era natively),
+    // and a post-widen append carries keys only the wide type can hold
+    // (beyond Int.MaxValue). ONE scan serves both eras under the widened
+    // schema; the as-of read of v1 keeps its era's INT type (literal in
+    // the oracle) — the remaining Delta-parity schema-evolution move after
+    // add/rename/drop
+    q("etl_type_widening") = (s, dir) => {
+      val nat = t(s, dir, "nation")
+      val wh = new graft.sources.AtomicWarehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-widen-").toString)
+      wh.append("dim/nation", nat.filter(col("n_nationkey") < 10)
+        .select(col("n_nationkey").cast(org.apache.spark.sql.types.IntegerType)
+          .as("n_nationkey"), col("n_name")))
+      val preWiden = wh.versions().last
+      wh.widenColumn("dim/nation", "n_nationkey", LongType)
+      wh.append("dim/nation", nat.filter(col("n_nationkey") >= 10)
+        .select((col("n_nationkey") + lit(4000000000L)).as("n_nationkey"), col("n_name")))
+      val asof1Type = wh.schemaAt("dim/nation", preWiden).get("n_nationkey")
+        .dataType.simpleString
+      val liveType = wh.currentSchema("dim/nation").get("n_nationkey")
+        .dataType.simpleString
+      wh.read("dim/nation", wh.currentSchema("dim/nation").get)
+        .withColumn("asof1_type", lit(asof1Type))
+        .withColumn("live_type", lit(liveType))
+        .orderBy(col("n_nationkey"))
+    }
+
     /** Orders laid out as four single-file o_orderkey quartile bands, each
       * commit recording its footer min/max in the manifest — the fixture
       * the data-skipping and row-level-DML queries share. Returns the
@@ -3850,6 +3879,15 @@ object SparkEntry {
         | 0 AS files_read, 4 AS files_meta
         |FROM orders
         |ORDER BY key_min""".stripMargin,
+
+    // type widening: pre-widen keys pass through, post-widen keys shifted
+    // beyond Int.MaxValue; era type labels literal
+    "etl_type_widening" ->
+      """SELECT CAST(CASE WHEN n_nationkey < 10 THEN n_nationkey
+        |   ELSE n_nationkey + 4000000000 END AS BIGINT) AS n_nationkey,
+        | n_name, 'int' AS asof1_type, 'bigint' AS live_type
+        |FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
 
     // OR-predicate skipping over the band layout: edge disjunction keeps
     // bands 0+3 and skips 1-2 (literals); the count predicate answers band 3

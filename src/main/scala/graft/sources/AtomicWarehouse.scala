@@ -1339,6 +1339,47 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       s"colmap\t$table\t${colMapJson(m2)}"))
   }
 
+  /** Widen a column's type WITHOUT rewriting a byte — the remaining
+    * Delta-parity schema-evolution move after add/rename/drop: one metadata
+    * commit updates the recorded schema; Spark's parquet reader upcasts the
+    * narrower-era files natively on read (verified for every promotion
+    * admitted here), later writes land the wide type, and time travel keeps
+    * reading pre-widen eras under their own narrower recorded schema.
+    * Admitted promotions are exactly the VALUE-PRESERVING ones: the
+    * integral up-chain byte→short→int→long, float→double, and
+    * byte/short/int→double (every int fits a double exactly; long→double
+    * does NOT and is refused). Stats skipping is unaffected: footer stats
+    * compare through exact BigDecimal, not the logical width.
+    */
+  def widenColumn(table: String, name: String,
+      newType: org.apache.spark.sql.types.DataType): Unit = {
+    import org.apache.spark.sql.types._
+    val sch = currentSchema(table).getOrElse(throw new IllegalStateException(
+      s"widenColumn needs a manifest-recorded schema for $table — " +
+        "write through the manifest first"))
+    require(sch.fieldNames.contains(name),
+      s"widenColumn: '$name' is not a column of $table (${sch.fieldNames.mkString(",")})")
+    val oldType = sch(name).dataType
+    val intRank = Map[DataType, Int](ByteType -> 1, ShortType -> 2,
+      IntegerType -> 3, LongType -> 4)
+    val ok = (oldType, newType) match {
+      case (a, b) if a == b => false // not an error shape, but nothing to do
+      case (a, b) if intRank.contains(a) && intRank.contains(b) =>
+        intRank(a) < intRank(b)
+      case (FloatType, DoubleType) => true
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case _ => false
+    }
+    if (oldType == newType) return // already that type — no commit
+    require(ok, s"widenColumn: $oldType → $newType is not a value-preserving " +
+      "widening (admitted: byte→short→int→long, float→double, byte/short/int→double)")
+    val sch2 = StructType(sch.fields.map(f =>
+      if (f.name == name) f.copy(dataType = newType) else f))
+    require(!sch2.json.contains('\t') && !sch2.json.contains('\n'),
+      s"schema JSON for $table contains TSV control characters")
+    publish(Seq(s"schema\t$table\t${sch2.json}"))
+  }
+
   /** Reserved logical-name prefix marking a tombstoned physical column in
     * the map (never a real logical name — contains a tab-safe sentinel).
     */

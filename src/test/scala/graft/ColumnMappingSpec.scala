@@ -160,6 +160,53 @@ class ColumnMappingSpec extends SparkSpec {
     assert(physCols == Set(Seq("id", "v")))
   }
 
+  test("widenColumn: metadata-only int→long, mixed-era reads exact, eras keep their width") {
+    val wh = newWh()
+    val narrow = StructType(Seq(
+      StructField("id", org.apache.spark.sql.types.IntegerType, nullable = false),
+      StructField("x", org.apache.spark.sql.types.FloatType, nullable = true)))
+    wh.append("t", Seq((1, 1.5f), (2, 2.5f)).toDF("id", "x").coalesce(1))
+    val preWiden = wh.versions().last
+    val filesBefore = wh.fileStats("t").keySet
+    wh.widenColumn("t", "id", LongType)
+    wh.widenColumn("t", "x", org.apache.spark.sql.types.DoubleType)
+    assert(wh.fileStats("t").keySet == filesBefore, "widening must rewrite nothing")
+    // post-widen append carries values only the WIDE type can hold
+    val big = Int.MaxValue.toLong + 10L
+    wh.append("t", Seq((big, 9.25)).toDF("id", "x").coalesce(1))
+    val wide = wh.currentSchema("t").get
+    assert(wide("id").dataType == LongType)
+    val got = wh.read("t", wide).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == Set((1L, 1.5), (2L, 2.5), (big, 9.25)))
+    // the pre-widen era still reads under ITS narrower schema
+    assert(wh.schemaAt("t", preWiden).get("id").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(wh.readAt("t", preWiden).collect().map(_.getInt(0)).toSet == Set(1, 2))
+    // stats skipping across mixed-width eras: a long predicate prunes the
+    // int-era file (BigDecimal-exact comparison, width-agnostic)
+    val (kept, skipped) = wh.planFiles("t", Seq(ColGe("id", big)))
+    assert(kept.size == 1 && skipped.size == 1, s"got $kept / $skipped")
+    // DML over mixed eras keeps the wide schema
+    wh.updateWhere("t", wide, Seq(ColGe("id", big)), Seq("x" -> lit(0.5)))
+    assert(wh.read("t", wide).filter(col("id") === big).head().getDouble(1) == 0.5)
+  }
+
+  test("widenColumn refusals: narrowing, lossy, non-numeric, unknown; same-type no-ops") {
+    val wh = newWh()
+    wh.append("t", Seq((1L, "a")).toDF("id", "v").coalesce(1))
+    intercept[IllegalArgumentException](
+      wh.widenColumn("t", "id", org.apache.spark.sql.types.IntegerType)) // narrowing
+    intercept[IllegalArgumentException](
+      wh.widenColumn("t", "id", org.apache.spark.sql.types.DoubleType)) // long→double is lossy
+    intercept[IllegalArgumentException](
+      wh.widenColumn("t", "v", LongType)) // string→long
+    intercept[IllegalArgumentException](wh.widenColumn("t", "nope", LongType))
+    val head = wh.versions().last
+    wh.widenColumn("t", "id", LongType) // already long: no commit
+    assert(wh.versions().last == head)
+  }
+
   test("delete(table) clears colmap and cluster: a re-created table starts with identity metadata") {
     val wh = newWh()
     wh.appendClustered("t", Seq((1L, "a")).toDF("id", "v"), Seq("id"), 1)
