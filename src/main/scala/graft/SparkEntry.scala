@@ -1341,6 +1341,37 @@ object SparkEntry {
         .orderBy(col("deleted"))
     }
 
+    // ---- INCREMENTAL recluster (OPTIMIZE-style): the band layout eroded
+    // by 6 scattered appends that each span the whole key range — a band
+    // scan must open band + all 6 intruders (kept_before literal). The
+    // incremental pass re-bands ONLY the eroded tail (the 6 intruders; the
+    // 4 clean bands overlap ≤ maxOverlap others and are never opened —
+    // routing literal in the oracle), after which the same scan opens
+    // strictly fewer files and stays row-exact against the multiplicity
+    // restatement. At 100 TB this is the difference between rewriting the
+    // table and rewriting the day's intruders
+    q("etl_recluster_incremental") = (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+      val (wh, qtr) = bandedOrdersWh(s, orders, "rci")
+      (2 to 7).foreach { k =>
+        wh.append("facts/orders", orders.filter(col("o_orderkey") % k === 0).coalesce(1))
+      }
+      val band = Seq(graft.sources.ColGe("o_orderkey", qtr),
+        graft.sources.ColLt("o_orderkey", qtr * 2))
+      val keptBefore = wh.planFiles("facts/orders", band)._1.size
+      val r = wh.reclusterIncremental("facts/orders", orders.schema, Seq("o_orderkey"),
+        maxOverlap = 6, outFiles = 4)
+      val keptAfter = wh.planFiles("facts/orders", band)._1.size
+      val e = wh.scanWhere("facts/orders", orders.schema, band)
+        .agg(centsAgg.head, centsAgg.tail: _*).head()
+      Seq((r.filesRewritten, r.filesUntouched, keptBefore,
+          keptAfter < keptBefore, r.bytesRewritten > 0, e.getLong(0), e.getLong(1)))
+        .toDF("files_rewritten", "files_untouched", "kept_before",
+          "pruning_restored", "tail_bytes_only", "n", "cents")
+        .orderBy(col("n"))
+    }
+
     // ---- DISJUNCTION in the skipping algebra (DNF): real predicates are
     // rarely pure conjunctions — `key < a OR key >= b` must still prune.
     // Over the 4-band layout the OR of the two edges keeps bands 0 and 3
@@ -3879,6 +3910,28 @@ object SparkEntry {
         | 0 AS files_read, 4 AS files_meta
         |FROM orders
         |ORDER BY key_min""".stripMargin,
+
+    // incremental recluster: only the 6 intruder files rewritten, the 4
+    // clean bands untouched (literals); the band scan's rows carry each
+    // key's duplication multiplicity (1 + one per stride dividing it)
+    "etl_recluster_incremental" ->
+      """WITH m AS (SELECT max(o_orderkey) // 4 AS q FROM orders),
+        | w AS (SELECT o_orderkey,
+        |   CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |   1 + (CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN o_orderkey % 4 = 0 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN o_orderkey % 6 = 0 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END) AS mult
+        |   FROM orders)
+        |SELECT 6 AS files_rewritten, 4 AS files_untouched, 7 AS kept_before,
+        | true AS pruning_restored, true AS tail_bytes_only,
+        | CAST(sum(w.mult) AS BIGINT) AS n,
+        | CAST(sum(w.mult * w.cents) AS BIGINT) AS cents
+        |FROM w, m
+        |WHERE w.o_orderkey >= m.q AND w.o_orderkey < m.q * 2
+        |ORDER BY n""".stripMargin,
 
     // type widening: pre-widen keys pass through, post-widen keys shifted
     // beyond Int.MaxValue; era type labels literal

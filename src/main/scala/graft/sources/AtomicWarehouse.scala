@@ -1421,6 +1421,80 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     setClusterBy(table, clusterCols)
   }
 
+  /** Incremental recluster — the OPTIMIZE-style maintenance pass a 100 TB
+    * table needs where [[recluster]]'s global rewrite is unaffordable:
+    * re-band only the ERODED TAIL, the files whose first-cluster-column
+    * interval overlaps more than `maxOverlap` other files (a clean band
+    * overlaps at most its scattered intruders; the intruders overlap every
+    * band they span). Statless files (legacy, untracked column type) join
+    * the tail — they block pruning entirely and come out stats-covered.
+    * The tail is read once (deletion vectors folded), range-repartitioned
+    * on `clusterCols` into `outFiles` files (0 = tail size), and committed
+    * as a remove+add rewrite with the same conflict contract as row-level
+    * DML: untouched files are never opened, racing appends never lost, a
+    * racing DV delete aborts the rewrite. Declares `clusterCols` so later
+    * DML rewrites keep the restored layout. Returns the literal routing
+    * plus the tail's physical bytes — the cost a global rewrite would have
+    * multiplied by the whole table.
+    */
+  def reclusterIncremental(table: String, schema: StructType, clusterCols: Seq[String],
+      maxOverlap: Int = 2, outFiles: Int = 0): ReclusterResult = {
+    require(clusterCols.nonEmpty, "reclusterIncremental with no cluster columns")
+    clusterCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"cluster column '$c' is not in the schema"))
+    val physHead = physColOf(table, clusterCols.head)
+    var attempts = 0
+    while (attempts < 8) {
+      val st = foldedState()
+      val files = committedOrPhysical(table)
+      require(files.forall(!_.contains("/")),
+        s"reclusterIncremental on partition-dir layouts is not supported (table $table)")
+      case class Band(f: String, lo: Any, hi: Any, tag: String)
+      val parsed = files.map { f =>
+        f -> st.stats.get((table, f)).map(FileStatsRec.fromJson).flatMap { r =>
+          if (r.rows == 0L) None
+          else r.cols.get(physHead).flatMap(cs =>
+            for { lo <- cs.min; hi <- cs.max } yield Band(f, lo, hi, cs.tag))
+        }
+      }
+      val bands = parsed.collect { case (_, Some(b)) => b }
+      // incomparable bounds (mixed tags — shouldn't happen within a column)
+      // count as overlapping: conservative, rewrites more, never less
+      def le(a: Any, b: Any, t: String): Boolean =
+        FileStatsRec.cmp(a, b, t).forall(_ <= 0)
+      def overlaps(a: Band, b: Band): Boolean =
+        le(a.lo, b.hi, a.tag) && le(b.lo, a.hi, a.tag)
+      val eroded = bands.filter(b =>
+        bands.count(o => (o.f != b.f) && overlaps(b, o)) > maxOverlap).map(_.f)
+      // zero-row and statless files ride along: the former are free cleanup,
+      // the latter block driver pruning until they carry stats
+      val statless = parsed.collect { case (f, None) => f }
+      val tail = (eroded ++ statless).distinct
+      if (tail.isEmpty) return ReclusterResult(0, files.size, 0L)
+      val bytes = tail.map(f =>
+        fs.getFileStatus(new Path(s"${path(table)}/$f")).getLen).sum
+      val dvSnap = tail.map(f => f -> st.dvs.get((table, f)))
+      val src = readFiles(table, schema, tail, dvOpt = Some(parseDvs(st, table)))
+      val n = if (outFiles > 0) outFiles else tail.size
+      val out = src.repartitionByRange(math.max(n, 1), clusterCols.map(col): _*)
+        .sortWithinPartitions(clusterCols.map(col): _*)
+      try {
+        atomically {
+          case tv: TxView => tv.rewriteExcluding(table, tail, out, dvSnap)
+          case w => throw new IllegalStateException(
+            s"AtomicWarehouse.atomically produced a ${w.getClass.getName}")
+        }
+        setClusterBy(table, clusterCols)
+        return ReclusterResult(tail.size, files.size - tail.size, bytes)
+      } catch {
+        case _: java.util.ConcurrentModificationException => attempts += 1
+      }
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"reclusterIncremental on $table lost $attempts straight races to " +
+        "concurrent commits; table is intact — retry when the writer is quieter")
+  }
+
   /** Range-cluster a DML rewrite's output on the table's declared cluster
     * columns (or `fallback`): the join/scan partitioning would otherwise
     * scatter each rewritten file's keys across every output file — one

@@ -162,6 +162,13 @@ case class MergeIntoResult(updated: Long, deleted: Long, inserted: Long,
 case class DvDeleteResult(deleted: Long, filesTombstoned: Int,
     filesRewritten: Int, filesSkipped: Int)
 
+/** Outcome of an [[AtomicWarehouse.reclusterIncremental]]: only the eroded
+  * TAIL was rewritten; `bytesRewritten` is the tail's physical size (the
+  * 100 TB argument — a global recluster would rewrite everything).
+  */
+case class ReclusterResult(filesRewritten: Int, filesUntouched: Int,
+    bytesRewritten: Long)
+
 /** Deletion-vector manifest JSON: `{"n":<count>,"ords":[<sorted ordinals>]}`
   * — the file's COMPLETE tombstone set (row ordinals within the file);
   * every `dv` line carries the union, last line per file wins.

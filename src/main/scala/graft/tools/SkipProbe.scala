@@ -153,6 +153,39 @@ object SkipProbe {
           s""""before":{"records":$bR,"tasks":$bT,"wall_s":${f"$bW%.3f"}},"after":{"records":$aR,"tasks":$aT,"wall_s":${f"$aW%.3f"}}}""")
       }
 
+      // ---- incremental recluster: a banded table eroded by scattered
+      // intruder files; the tail-only pass restores band pruning while
+      // rewriting ONLY the intruders' bytes — vs the global recluster
+      // above, which rewrites the whole table every time ----
+      locally {
+        val root4 = Files.createTempDirectory(s"graft-skipprobe-rci-x$mult-").toString
+        val wh4 = new AtomicWarehouse(spark, root4)
+        (0 until nBands).foreach { b =>
+          val lo = span * b / nBands; val hi = span * (b + 1) / nBands
+          wh4.append("t", corpus.filter(col("k") >= lo && col("k") < hi).coalesce(1))
+        }
+        // 6 intruders, each a full-range scatter (~6/7ths of a band's rows)
+        (2 to 7).foreach(s7 =>
+          wh4.append("t", corpus.filter(col("k") % (s7 * nBands) === 0).coalesce(1)))
+        val totalBytes = wh4.sizeBytes("t")
+        val lo = span * 5 / nBands; val hi = span * 6 / nBands
+        val preds = Seq(ColGe("k", lo), ColLt("k", hi))
+        val (kb, _) = wh4.planFiles("t", preds)
+        val (bRes, _, _, bT, bW) = measured(agg2(wh4.scanWhere("t", sch, preds)))
+        val (rci, _, _, _, rciW) = measured(
+          wh4.reclusterIncremental("t", sch, Seq("k"), maxOverlap = 6, outFiles = 6))
+        val (ka, _) = wh4.planFiles("t", preds)
+        val (aRes, _, _, aT, aW) = measured(agg2(wh4.scanWhere("t", sch, preds)))
+        require(aRes == bRes,
+          s"reclusterIncremental changed the scan result at x$mult: $aRes vs $bRes")
+        emit(s"""{"probe":"skip","phase":"recluster_incremental","mult":$mult,""" +
+          s""""files_total":${nBands + 6},"files_rewritten":${rci.filesRewritten},""" +
+          s""""files_untouched":${rci.filesUntouched},"bytes_rewritten":${rci.bytesRewritten},""" +
+          s""""bytes_total":$totalBytes,"kept_before":${kb.size},"kept_after":${ka.size},""" +
+          s""""rows":${aRes._1},"recluster_wall_s":${f"$rciW%.3f"},""" +
+          s""""before":{"tasks":$bT,"wall_s":${f"$bW%.3f"}},"after":{"tasks":$aT,"wall_s":${f"$aW%.3f"}}}""")
+      }
+
       // ---- delete: rewrite fraction on a fresh banded copy ----
       locally {
         val root2 = Files.createTempDirectory(s"graft-skipprobe-del-x$mult-").toString

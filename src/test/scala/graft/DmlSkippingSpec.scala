@@ -452,6 +452,45 @@ class DmlSkippingSpec extends SparkSpec {
     assert(boom.getMessage.contains("decimal"))
   }
 
+  test("reclusterIncremental rewrites only the eroded tail, restores pruning, keeps every row") {
+    val wh = newWh()
+    // 4 clean 25-key bands...
+    (0 until 4).foreach { b =>
+      wh.append("big", (b * 25 until (b + 1) * 25).map(i => (i.toLong, s"v$i"))
+        .toDF("id", "v").coalesce(1))
+    }
+    val bandFiles = wh.fileStats("big").keySet
+    // ...eroded by 6 scattered appends that each span the whole key range
+    (2 to 7).foreach { stride =>
+      wh.append("big", (0 until 100 by stride).map(i => (i.toLong, s"x$stride-$i"))
+        .toDF("id", "v").coalesce(1))
+    }
+    val rowsBefore = wh.read("big", kv).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val midBand = Seq(ColGe("id", 25L), ColLt("id", 50L))
+    val (keptB, _) = wh.planFiles("big", midBand)
+    assert(keptB.size == 7, s"pre-recluster a band scan opens band+all 6 intruders, got ${keptB.size}")
+    // clean bands overlap exactly the 6 intruders (≤ maxOverlap); intruders
+    // overlap 4 bands + 5 siblings (> maxOverlap) → tail = the 6 intruders
+    val r = wh.reclusterIncremental("big", kv, Seq("id"), maxOverlap = 6, outFiles = 4)
+    assert(r.filesRewritten == 6 && r.filesUntouched == 4, s"got $r")
+    assert(r.bytesRewritten > 0)
+    // the clean bands are untouched — same physical files
+    assert(bandFiles.subsetOf(wh.fileStats("big").keySet))
+    // every row survived, value-exact
+    val rowsAfter = wh.read("big", kv).collect().map(r2 => (r2.getLong(0), r2.getString(1))).toSet
+    assert(rowsAfter == rowsBefore)
+    // pruning restored: the same band scan now opens strictly fewer files,
+    // and scanWhere stays row-exact
+    val (keptA, _) = wh.planFiles("big", midBand)
+    assert(keptA.size < keptB.size, s"got ${keptA.size} vs ${keptB.size}")
+    assert(wh.scanWhere("big", kv, midBand).count() ==
+      rowsBefore.count { case (id, _) => id >= 25 && id < 50 })
+    // declared layout recorded; a steady table reports an empty tail
+    assert(wh.clusterBy("big").contains(Seq("id")))
+    val r2 = wh.reclusterIncremental("big", kv, Seq("id"), maxOverlap = 6, outFiles = 4)
+    assert(r2.filesRewritten == 0 && r2.bytesRewritten == 0L, s"got $r2")
+  }
+
   test("cluster metadata: declared by appendClustered/recluster, DML rewrites preserve the layout, survives vacuum") {
     val wh = newWh()
     wh.appendClustered("c", (0 until 200).map(i => (i.toLong, s"v$i"))
