@@ -1839,35 +1839,42 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     // delete/insert conditions can reference them via the `s` alias; only
     // schema columns reach the rewritten rows
     val src = source
-    // SQL MERGE cardinality rule, checked once up front (source is the same
-    // frame on every retry)
-    val dup = src.groupBy(keyCols.map(col): _*)
-      .agg(org.apache.spark.sql.functions.count(lit(1)).as("__n"))
-      .filter(col("__n") > 1).limit(1).count()
-    require(dup == 0L, s"mergeInto source has duplicate keys on " +
+    // ONE fused pre-job (per-key counts → one-row aggregate) answers
+    // everything the merge needs to know about the source up front: the
+    // SQL MERGE cardinality rule (max rows per key tuple), emptiness
+    // (total rows), and the first-key pruning inputs (distinct
+    // cardinality + bounds) — previously three separate driver jobs over
+    // the same frame, real latency on a per-micro-batch CDC apply.
+    val kc = col(keyCols.head)
+    val fns = org.apache.spark.sql.functions
+    val pre = src.groupBy(keyCols.map(col): _*)
+      .agg(fns.count(lit(1)).as("__n"))
+      .agg(fns.max(col("__n")), fns.sum(col("__n")),
+        fns.count_distinct(kc), fns.min(kc), fns.max(kc)).head()
+    val maxPerKey = if (pre.isNullAt(0)) 0L else pre.getLong(0)
+    require(maxPerKey <= 1L, s"mergeInto source has duplicate keys on " +
       s"(${keyCols.mkString(", ")}) — SQL MERGE refuses ambiguous matches")
-    if (src.isEmpty)
+    val totalRows = if (pre.isNullAt(1)) 0L else pre.getLong(1)
+    if (totalRows == 0L)
       return MergeIntoResult(0L, 0L, 0L, 0, committedOrPhysical(table).size)
     // Candidate pruning on the FIRST key column. Small sources (the CDC
     // micro-batch case) prune with their EXACT distinct key set: a batch
     // touching one band plus a few inserts beyond the range keeps only the
     // files whose bounds/value-sets admit one of those keys, where the
     // interval [min, max] would keep every band in between. Larger sources
-    // fall back to the interval. Null source keys match nothing (insert-
-    // only), so they never widen the candidate set; a key type the stats
-    // algebra can't compare keeps every file — sound, only less pruned.
+    // fall back to the interval — its bounds already rode the fused
+    // aggregate, so only the ≤cap key-set path pays one more (tiny) job.
+    // Null source keys match nothing (insert-only), so they never widen
+    // the candidate set; a key type the stats algebra can't compare keeps
+    // every file — sound, only less pruned.
     val keyPruneCap = 1024
-    val distinctKeys = src.select(col(keyCols.head))
-      .filter(col(keyCols.head).isNotNull)
-      .distinct().limit(keyPruneCap + 1).collect().map(_.get(0)).toSeq
+    val nDistinctKeys = if (pre.isNullAt(2)) 0L else pre.getLong(2)
     val prunePreds: Seq[FilePred] =
-      if (distinctKeys.isEmpty) Nil // every source key is null: nothing can match
-      else if (distinctKeys.size <= keyPruneCap) Seq(ColIn(keyCols.head, distinctKeys))
-      else {
-        val b = src.agg(org.apache.spark.sql.functions.min(col(keyCols.head)),
-          org.apache.spark.sql.functions.max(col(keyCols.head))).head()
-        Seq(ColGe(keyCols.head, b.get(0)), ColLe(keyCols.head, b.get(1)))
-      }
+      if (nDistinctKeys == 0L) Nil // every source key is null: nothing can match
+      else if (nDistinctKeys <= keyPruneCap)
+        Seq(ColIn(keyCols.head,
+          src.select(kc).filter(kc.isNotNull).distinct().collect().map(_.get(0)).toSeq))
+      else Seq(ColGe(keyCols.head, pre.get(3)), ColLe(keyCols.head, pre.get(4)))
     var attempts = 0
     while (attempts < 8) {
       val (cands0, untouched0) =
