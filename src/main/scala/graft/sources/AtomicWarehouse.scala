@@ -1256,7 +1256,8 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
   private def readTagged(table: String, schema: StructType, files: Seq[String],
       m: Map[String, String], dvs: Map[String, Seq[Long]]): DataFrame = {
     require(files.forall(!_.contains("/")),
-      s"deletion vectors on partition-dir layouts are not supported (table $table)")
+      s"deletion vectors on partition-dir layouts are not supported (table $table); " +
+        "migrate once via recluster — see deleteWhere's contract")
     import org.apache.spark.sql.functions.{broadcast, element_at, split}
     val phys = StructType(schema.fields.map(f => f.copy(name = m.getOrElse(f.name, f.name))))
     val df = spark.read.schema(phys).parquet(files.map(f => s"${path(table)}/$f"): _*)
@@ -1882,7 +1883,8 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
         else planFiles(table, prunePreds)
       val cands = cands0.toSeq
       require(cands.forall(!_.contains("/")),
-        s"mergeInto on partition-dir layouts is not supported (table $table)")
+        s"mergeInto on partition-dir layouts is not supported (table $table); " +
+          "migrate once via recluster — see deleteWhere's contract")
       // same DV pin as rewriteWhere: the rewrite folds candidate DVs
       val stDv = foldedState()
       val dvSnap = cands.map(f => f -> stDv.dvs.get((table, f)))
@@ -1954,7 +1956,9 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       val (cands, _) = planFiles(table, preds)
       require(cands.forall(!_.contains("/")),
         s"row-level DML on partition-dir layouts is not supported (table $table); " +
-          "rewrite the affected partition via replace/compactWith instead")
+          "migrate once via recluster(table, schema, clusterCols, n) — a " +
+          "conflict-checked rewrite into flat band files (partition values " +
+          "become ordinary columns) — then DML prunes on the band stats")
       if (cands.isEmpty) return 0L
       // pin the candidates' DV state: the rewrite folds these tombstones
       // into the new files, and a DV racing in after this snapshot must

@@ -491,6 +491,36 @@ class DmlSkippingSpec extends SparkSpec {
     assert(r2.filesRewritten == 0 && r2.bytesRewritten == 0L, s"got $r2")
   }
 
+  test("partition-dir exit ramp: recluster migrates to band layout, then row-level DML works") {
+    val wh = newWh()
+    val part = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("v", StringType, nullable = true),
+      StructField("p", LongType, nullable = false)))
+    wh.appendPartitioned("pt",
+      (0 until 30).map(i => (i.toLong, s"v$i", (i % 3).toLong)).toDF("id", "v", "p"),
+      Seq("p"))
+    // row-level DML refuses the partition-dir layout, naming the exit ramp
+    val boom = intercept[IllegalArgumentException](
+      wh.deleteWhere("pt", part, Seq(ColEq("id", 7L))))
+    assert(boom.getMessage.contains("recluster"), s"got: ${boom.getMessage}")
+    // the migration: one conflict-checked recluster into flat band files —
+    // partition values become ordinary columns, bands carry footer stats
+    wh.recluster("pt", part, Seq("id"), 3)
+    assert(wh.fileStats("pt").keySet.forall(!_.contains("/")),
+      "migrated layout must be flat")
+    val rows = wh.read("pt", part).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows == (0 until 30).map(i => (i.toLong, s"v$i", (i % 3).toLong)).toSet,
+      "migration must preserve every row including partition values")
+    // DML now works, stats-pruned to the covering band
+    val n = wh.deleteWhere("pt", part, Seq(ColEq("id", 7L)))
+    assert(n == 1L && wh.read("pt", part).count() == 29L)
+    val dv = wh.deleteWhereDv("pt", part, Seq(graft.sources.ColIn("id", Seq(3L, 23L))))
+    assert(dv.deleted == 2L && dv.filesRewritten == 0)
+    assert(wh.read("pt", part).count() == 27L)
+  }
+
   test("cluster metadata: declared by appendClustered/recluster, DML rewrites preserve the layout, survives vacuum") {
     val wh = newWh()
     wh.appendClustered("c", (0 until 200).map(i => (i.toLong, s"v$i"))
