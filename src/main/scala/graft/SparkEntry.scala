@@ -1341,6 +1341,36 @@ object SparkEntry {
         .orderBy(col("deleted"))
     }
 
+    // ---- CHANGE DATA FEED (Delta CDF shape): with the per-table
+    // `changefeed` property on, every row-level DML commit records its
+    // exact row changes into <table>/_changes IN THE SAME manifest commit;
+    // changesBetween stitches a version window — pure-append commits read
+    // back as inserts from their data files (no write amplification), DML
+    // commits read their recorded slice. The window here crosses an
+    // update, a copy-on-write delete, and a DV delete — exactly where
+    // appendsBetween must refuse — and the per-type row counts and key
+    // sums are restated by the oracle from the raw table
+    q("etl_change_feed") = (s, dir) => {
+      val orders = t(s, dir, "orders")
+      val (wh, qtr) = bandedOrdersWh(s, orders, "cdf")
+      wh.setChangeFeed("facts/orders", on = true)
+      wh.updateWhere("facts/orders", orders.schema,
+        Seq(graft.sources.ColLt("o_orderkey", qtr / 2)),
+        Seq("o_orderpriority" -> concat(lit("X-"), col("o_orderpriority"))))
+      wh.deleteWhere("facts/orders", orders.schema,
+        Seq(graft.sources.ColGe("o_orderkey", qtr),
+          graft.sources.ColLt("o_orderkey", qtr * 3 / 2)))
+      val dvKeys = orders.filter(col("o_orderkey") % 101 === 0 &&
+          !(col("o_orderkey") >= qtr && col("o_orderkey") < qtr * 3 / 2))
+        .select(col("o_orderkey")).collect().map(_.getLong(0)).toSeq
+      wh.deleteWhereDv("facts/orders", orders.schema,
+        Seq(graft.sources.ColIn("o_orderkey", dvKeys)))
+      wh.changesBetween("facts/orders", orders.schema, 0, wh.versions().last)
+        .groupBy(col("_change_type"))
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+        .orderBy(col("_change_type"))
+    }
+
     // ---- INCREMENTAL recluster (OPTIMIZE-style): the band layout eroded
     // by 6 scattered appends that each span the whole key range — a band
     // scan must open band + all 6 intruders (kept_before literal). The
@@ -3910,6 +3940,28 @@ object SparkEntry {
         | 0 AS files_read, 4 AS files_meta
         |FROM orders
         |ORDER BY key_min""".stripMargin,
+
+    // change data feed per-type totals: inserts = the 4 band appends (all
+    // orders), update pre/post = the half-band update (same keys, both
+    // images), delete = the copy-on-write range delete ∪ the scattered DV
+    // delete (disjoint by construction)
+    "etl_change_feed" ->
+      """WITH m AS (SELECT max(o_orderkey) // 4 AS q FROM orders),
+        | upd AS (SELECT o_orderkey FROM orders, m WHERE o_orderkey < m.q // 2),
+        | del AS (SELECT o_orderkey FROM orders, m
+        |   WHERE o_orderkey >= m.q AND o_orderkey < m.q * 3 // 2),
+        | dvd AS (SELECT o_orderkey FROM orders, m
+        |   WHERE o_orderkey % 101 = 0
+        |     AND NOT (o_orderkey >= m.q AND o_orderkey < m.q * 3 // 2))
+        |SELECT * FROM (
+        | SELECT 'insert' AS _change_type, count(*) AS n,
+        |   sum(o_orderkey) AS key_sum FROM orders
+        | UNION ALL SELECT 'delete',
+        |   (SELECT count(*) FROM del) + (SELECT count(*) FROM dvd),
+        |   (SELECT sum(o_orderkey) FROM del) + (SELECT sum(o_orderkey) FROM dvd)
+        | UNION ALL SELECT 'update_preimage', count(*), sum(o_orderkey) FROM upd
+        | UNION ALL SELECT 'update_postimage', count(*), sum(o_orderkey) FROM upd)
+        |ORDER BY _change_type""".stripMargin,
 
     // incremental recluster: only the 6 intruder files rewritten, the 4
     // clean bands untouched (literals); the band scan's rows carry each

@@ -5,7 +5,7 @@ import scala.collection.mutable.ArrayBuffer
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions.{coalesce, col, lit, sum, when}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Transactional warehouse: all-or-nothing visibility for any group of table
   * writes — the capability the reference gets from SQL Server transactions
@@ -142,7 +142,8 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       stats: Map[(String, String), String] = Map.empty,
       cluster: Map[String, String] = Map.empty,
       colmap: Map[String, String] = Map.empty,
-      dvs: Map[(String, String), String] = Map.empty)
+      dvs: Map[(String, String), String] = Map.empty,
+      cdf: Set[String] = Set.empty)
 
   /** A fold races concurrent folds from OTHER instances: their snapshot
     * publish happens BEFORE they delete the superseded manifests, so when a
@@ -198,6 +199,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     var cluster = Map.empty[String, String]
     var colmap = Map.empty[String, String]
     var dvs = Map.empty[(String, String), String]
+    var cdf = Set.empty[String]
     cfs.foreach { cf =>
       readLines(cf).foreach { line =>
         // limit 4: a schema line's third field and a stats line's fourth are
@@ -232,6 +234,10 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
             // deletion vector: the file's COMPLETE tombstone ordinal set
             // (each line carries the union — last line per file wins)
             dvs += ((f(1), f(2)) -> f(3))
+          case "changefeed" =>
+            // per-table change-data-feed property (Delta's
+            // delta.enableChangeDataFeed); survives truncates like cluster
+            if (f.length >= 3 && f(2) == "on") cdf += f(1) else cdf -= f(1)
           case "schema" =>
             schemas += (f(1) -> f(2)) // last line per table wins
           case "stats" =>
@@ -254,7 +260,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
         }
       }
     }
-    val st = LogState(adds, truncated, schemas, stats, cluster, colmap, dvs)
+    val st = LogState(adds, truncated, schemas, stats, cluster, colmap, dvs, cdf)
     if (updateCache) foldCache = (key, st)
     st
   }
@@ -504,6 +510,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     var clusterMap = Map.empty[String, String]
     var colmapMap = Map.empty[String, String]
     var dvMap = Map.empty[(String, String), String]
+    var cdfSet = Set.empty[String]
     parsed.foreach { l =>
       if (l.startsWith("schema\t")) {
         val f = l.split("\t", 3); schemaMap += (f(1) -> f(2))
@@ -511,6 +518,9 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
         val f = l.split("\t", 4); statsMap += ((f(1), f(2)) -> f(3))
       } else if (l.startsWith("dv\t")) {
         val f = l.split("\t", 4); dvMap += ((f(1), f(2)) -> f(3))
+      } else if (l.startsWith("changefeed\t")) {
+        val f = l.split("\t", 3)
+        if (f.length >= 3 && f(2) == "on") cdfSet += f(1) else cdfSet -= f(1)
       } else if (l.startsWith("cluster\t")) {
         val f = l.split("\t", 3) // same clear semantics as the fold
         if (f.length < 3 || f(2).isEmpty) clusterMap -= f(1) else clusterMap += (f(1) -> f(2))
@@ -531,6 +541,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       schemaMap.toSeq.sortBy(_._1).map { case (t, j) => s"schema\t$t\t$j" } ++
       clusterMap.toSeq.sortBy(_._1).map { case (t, c) => s"cluster\t$t\t$c" } ++
       colmapMap.toSeq.sortBy(_._1).map { case (t, j) => s"colmap\t$t\t$j" } ++
+      cdfSet.toSeq.sorted.map(t => s"changefeed\t$t\ton") ++
       tables.flatMap(t => visibleNow(t).flatMap(f =>
         statsMap.get((t, f)).map(j => s"stats\t$t\t$f\t$j"))) ++
       tables.flatMap(t => visibleNow(t).flatMap(f =>
@@ -550,7 +561,8 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       schemaJson: Option[String] = None,
       removes: Seq[String] = Nil,
       requirePresent: Option[Seq[String]] = None,
-      dvExpected: Seq[(String, Option[String])] = Nil)
+      dvExpected: Seq[(String, Option[String])] = Nil,
+      extraLines: Seq[String] = Nil)
 
   private class Tx {
     val txid: String = java.util.UUID.randomUUID().toString
@@ -594,7 +606,8 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
         write: Option[Path => Unit], expected: Option[Seq[String]] = None,
         schemaOf: Option[StructType] = None, removes: Seq[String] = Nil,
         requirePresent: Option[Seq[String]] = None,
-        dvExpected: Seq[(String, Option[String])] = Nil): Unit = {
+        dvExpected: Seq[(String, Option[String])] = Nil,
+        extraLines: Seq[String] = Nil): Unit = {
       val dirOpt = write.map { w =>
         val d = tx.synchronized(tx.nextStageDir())
         withRetry()(w(d))
@@ -608,8 +621,19 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
         s"schema JSON for $table contains TSV control characters"))
       tx.synchronized(tx.entries +=
         Staged(table, truncate, dirOpt, partitioned, expected, json,
-          removes, requirePresent, dvExpected))
+          removes, requirePresent, dvExpected, extraLines))
     }
+
+    /** Stage raw manifest lines (deletion-vector commits) with the same
+      * optimistic checks as a file rewrite: `requirePresent` pins file
+      * visibility, `dvExpected` pins each file's current DV entry.
+      */
+    private[sources] def manifestLines(table: String, lines: Seq[String],
+        requirePresent: Seq[String],
+        dvExpected: Seq[(String, Option[String])]): Unit =
+      stage(table, truncate = false, partitioned = false, None,
+        requirePresent = Some(requirePresent), dvExpected = dvExpected,
+        extraLines = lines)
 
     /** Conflict-checked replace for read-modify-write maintenance
       * ([[AtomicWarehouse.compact]]): `expected` is the file set the caller
@@ -783,6 +807,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
           def under(k: String) = k == e.table || k.startsWith(e.table + "/")
           st.colmap.keys.filter(under).foreach(t => lines += s"colmap\t$t\t{}")
           st.cluster.keys.filter(under).foreach(t => lines += s"cluster\t$t\t")
+          st.cdf.filter(under).foreach(t => lines += s"changefeed\t$t\toff")
         }
       }
       e.removes.foreach(f => lines += s"remove\t${e.table}\t$f")
@@ -810,6 +835,8 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       // as of its last write (add-column evolution = a wider later write;
       // readAt reconciles older, narrower files by parquet null-fill)
       e.schemaJson.foreach(j => lines += s"schema\t${e.table}\t$j")
+      // raw manifest lines from manifestLines (deletion-vector commits)
+      e.extraLines.foreach(lines += _)
     }
     // optimistic-concurrency checks from conflict-guarded entries
     // (replaceExpecting): abort — staged/moved files become vacuumable
@@ -1656,7 +1683,9 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     * windows crossing the delete (file diff != row diff there).
     */
   def deleteWhere(table: String, schema: StructType, preds: Seq[FilePred]): Long =
-    rewriteWhere(table, schema, preds, { case (df, hit) => df.filter(hit === false) })
+    rewriteWhere(table, schema, preds, { case (df, hit) => df.filter(hit === false) },
+      { case (df, hit) =>
+        df.filter(hit).withColumn(changeTypeCol, lit("delete")) })
 
   /** `UPDATE table SET ... WHERE <conjunction>`, copy-on-write on the
     * candidate files only. Assignment expressions may reference the row's
@@ -1670,20 +1699,129 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     sets.foreach { case (c, _) =>
       require(schema.fieldNames.contains(c), s"unknown column '$c' in updateWhere SET") }
     val setMap = sets.toMap
-    rewriteWhere(table, schema, preds, { case (df, hit) =>
+    def applySets(df: DataFrame, hit: Column): DataFrame =
       df.select(schema.fields.toSeq.map { f =>
         setMap.get(f.name) match {
           case Some(expr) => when(hit, expr.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
           case None => col(f.name)
         }
       }: _*)
-    })
+    rewriteWhere(table, schema, preds,
+      { case (df, hit) => applySets(df, hit) },
+      { case (df, hit) =>
+        val touched = df.filter(hit)
+        touched.withColumn(changeTypeCol, lit("update_preimage"))
+          .unionByName(applySets(touched, hit)
+            .withColumn(changeTypeCol, lit("update_postimage"))) })
   }
 
   /** Current deletion vectors: rel file → sorted tombstone row ordinals.
     * Observability surface; reads anti-filter through [[readFiles]].
     */
   def deletionVectors(table: String): Map[String, Seq[Long]] = dvOf(table)
+
+  // ---- change data feed ------------------------------------------------
+
+  /** The change-type column every CDF row carries: `insert`,
+    * `update_preimage`, `update_postimage`, `delete` — Delta CDF's labels.
+    */
+  val changeTypeCol = "_change_type"
+
+  private def changesTable(table: String): String = s"$table/_changes"
+
+  private def cdfSchema(schema: StructType): StructType =
+    StructType(schema.fields.toSeq :+
+      StructField(changeTypeCol, org.apache.spark.sql.types.StringType, nullable = false))
+
+  /** Enable/disable the table's CHANGE DATA FEED (one metadata commit —
+    * Delta's `delta.enableChangeDataFeed` table property). While on, every
+    * row-level DML operation (deleteWhere/updateWhere/mergeInto/
+    * deleteWhereDv) records its row-level changes — pre/post images,
+    * deletes, merge inserts — into `<table>/_changes` IN THE SAME manifest
+    * commit as the rewrite, so the feed is exactly as atomic as the data.
+    * Plain appends record nothing (their rows ARE the change — derived
+    * from the added files at read time, the no-write-amplification rule).
+    * [[changesBetween]] is the consumer.
+    */
+  def setChangeFeed(table: String, on: Boolean): Unit = {
+    if (changeFeedEnabled(table) == on) return
+    publish(Seq(s"changefeed\t$table\t${if (on) "on" else "off"}"))
+  }
+
+  def changeFeedEnabled(table: String): Boolean = foldedState().cdf.contains(table)
+
+  /** Row-level changes to `table` in versions (`fromVersion`, `toVersion`]
+    * — the CDC read that keeps working where [[appendsBetween]] must
+    * refuse. Result columns: the table's plus `_change_type` (insert /
+    * update_preimage / update_postimage / delete) and `_commit_version`.
+    * Per version: a pure-append commit's added files read back as inserts
+    * (as committed — ignoring deletion vectors applied LATER, which
+    * contribute their own delete rows at their own version); a DML commit
+    * reads its recorded `_changes` slice. Refuses windows crossing a
+    * truncate/replace (not a row-level change), a vacuumed manifest, or a
+    * DML commit from before the feed was enabled (the changes were never
+    * recorded — silence would under-report).
+    */
+  def changesBetween(table: String, schema: StructType,
+      fromVersion: Int, toVersion: Int): DataFrame = {
+    require(fromVersion <= toVersion, s"fromVersion $fromVersion > toVersion $toVersion")
+    val chT = changesTable(table)
+    val window = commitFiles()
+      .filter(p => versionOf(p) > fromVersion && versionOf(p) <= toVersion)
+    val have = window.map(versionOf)
+    val missing = ((fromVersion + 1) to toVersion).filterNot(have.contains)
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"manifests ${missing.mkString(",")} in ($fromVersion,$toVersion] were vacuumed; " +
+        "the change window is no longer reconstructible")
+    val ct = cdfSchema(schema)
+    val vCol = "_commit_version"
+    val slices = window.filterNot(isSnapshot).flatMap { cf =>
+      val v = versionOf(cf)
+      var dataAdds = Vector.empty[String]
+      var cdfAdds = Vector.empty[String]
+      var rowLevel = false // removes or dv lines: a DML rewrite
+      readLines(cf).foreach { line =>
+        val f = line.split("\t", 4)
+        f(0) match {
+          case "truncate" if table == f(1) || table.startsWith(f(1) + "/") =>
+            throw new IllegalStateException(
+              s"$table was truncated/replaced at version $v inside " +
+                s"($fromVersion,$toVersion]; that is not a row-level change — " +
+                "read the as-of states instead")
+          case "add" if f(1) == table => dataAdds :+= f(2)
+          case "add" if f(1) == chT => cdfAdds :+= f(2)
+          case "remove" if f(1) == table => rowLevel = true
+          case "dv" if f(1) == table => rowLevel = true
+          case _ => ()
+        }
+      }
+      if (cdfAdds.nonEmpty) {
+        // a recorded DML slice covers EVERYTHING this commit did to the
+        // table (incl. merge inserts) — its data-file adds are rewrite
+        // outputs, not new rows
+        Some(readFiles(chT, ct, cdfAdds, dvOpt = Some(Map.empty))
+          .withColumn(vCol, lit(v)))
+      } else if (rowLevel) {
+        throw new IllegalStateException(
+          s"version $v of $table is a row-level rewrite with no recorded " +
+            "change slice — the change feed was not enabled when it ran " +
+            "(setChangeFeed before the DML, or use readAt reconstruction)")
+      } else if (dataAdds.nonEmpty) {
+        val gone = dataAdds.filterNot(f2 => fs.exists(new Path(s"${path(table)}/$f2")))
+        if (gone.nonEmpty) throw new IllegalStateException(
+          s"version $v of $table lost ${gone.size} data files to vacuum")
+        Some(readFiles(table, schema, dataAdds,
+            Some(parseColMap(stateAt(v).colmap.get(table))), Some(Map.empty))
+          .withColumn(changeTypeCol, lit("insert"))
+          .withColumn(vCol, lit(v)))
+      } else None
+    }
+    if (slices.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(ct.fields.toSeq :+
+          StructField(vCol, org.apache.spark.sql.types.IntegerType, nullable = false)))
+    else slices.reduce(_ unionByName _)
+  }
 
   /** `DELETE FROM table WHERE <conjunction>` as a MERGE-ON-READ delete
     * (deletion vectors): instead of rewriting every file a scattered
@@ -1752,18 +1890,25 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
         require(!j.contains('\t') && !j.contains('\n'), "dv JSON contains TSV control chars")
         s"dv\t$table\t$f\t$j"
       }
+      val feedOn = changeFeedEnabled(table)
       try {
-        // precondition: every touched file still visible with the DV we
-        // read — a racing DV delete (last-line-wins would silently drop its
-        // ordinals) or rewrite (our ordinals would tombstone NEW rows)
-        // aborts and retries from fresh state
-        publish(lines, precondition = () => {
-          val now = foldedState()
-          val vis = now.adds.getOrElse(table, Vector.empty).toSet
-          dvBefore.forall { case (f, j) =>
-            !newOrds.contains(f) || (vis.contains(f) && now.dvs.get((table, f)) == j)
-          }
-        })
+        // one transaction: the dv lines (+ the change-feed slice when
+        // enabled) publish atomically, pinned on every touched file's
+        // visibility AND its pre-read DV entry — a racing DV delete
+        // (last-line-wins would silently drop its ordinals) or rewrite
+        // (our ordinals would tombstone NEW rows) aborts and retries
+        val touched = newOrds.keys.toSeq
+        val pins = dvBefore.toSeq.filter { case (f, _) => newOrds.contains(f) }
+        atomically {
+          case tv: TxView =>
+            tv.manifestLines(table, lines, touched, pins)
+            if (feedOn) tv.append(changesTable(table),
+              sel(readTagged(table, schema, cands, m, existing), schema, m)
+                .filter(coalesce(cond, lit(false)))
+                .withColumn(changeTypeCol, lit("delete")))
+          case w => throw new IllegalStateException(
+            s"AtomicWarehouse.atomically produced a ${w.getClass.getName}")
+        }
         return DvDeleteResult(deleted, newOrds.size, 0, skipped.size)
       } catch {
         case _: java.util.ConcurrentModificationException => attempts += 1
@@ -1923,10 +2068,33 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       // merge keys — so merges PRESERVE clustering instead of eroding it
       // (CdcSoak measures the difference as flat-vs-growing per-batch cost).
       val out = clusteredRewrite(table, schema, merged, cands.size, keyCols)
+      val feedOn = changeFeedEnabled(table)
+      def changeSlice: DataFrame = {
+        val ctc = changeTypeCol
+        def tCols = schema.fields.toSeq.map(f =>
+          col(s"t.${f.name}").cast(f.dataType).as(f.name))
+        def sCols = schema.fields.toSeq.map(f =>
+          col(s"s.${f.name}").cast(f.dataType).as(f.name))
+        def postCols = schema.fields.toSeq.map { f =>
+          val updated =
+            if (keyCols.contains(f.name)) col(s"t.${f.name}")
+            else updSet.getOrElse(f.name, col(s"s.${f.name}"))
+          updated.cast(f.dataType).as(f.name)
+        }
+        val updHit = matched && !delHit && updOk
+        j.filter(delHit).select(tCols: _*).withColumn(ctc, lit("delete"))
+          .unionByName(j.filter(updHit).select(tCols: _*)
+            .withColumn(ctc, lit("update_preimage")))
+          .unionByName(j.filter(updHit).select(postCols: _*)
+            .withColumn(ctc, lit("update_postimage")))
+          .unionByName(j.filter(insertable).select(sCols: _*)
+            .withColumn(ctc, lit("insert")))
+      }
       try {
         atomically {
           case tv: TxView =>
             tv.rewriteExcluding(table, cands, out, dvSnap)
+            if (feedOn) tv.append(changesTable(table), changeSlice)
             alsoInTx(tv) // e.g. a stream's ingest-ledger row, same commit
           case w => throw new IllegalStateException(
             s"AtomicWarehouse.atomically produced a ${w.getClass.getName}")
@@ -1949,7 +2117,8 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     * precondition aborts if a racing commit un-referenced a candidate.
     */
   private def rewriteWhere(table: String, schema: StructType, preds: Seq[FilePred],
-      rewrite: ((DataFrame, Column)) => DataFrame): Long = {
+      rewrite: ((DataFrame, Column)) => DataFrame,
+      changeRows: ((DataFrame, Column)) => DataFrame): Long = {
     val cond = FilePred.toColumn(preds, schema)
     var attempts = 0
     while (attempts < 8) {
@@ -1972,9 +2141,13 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       // declared-cluster tables keep their layout through deletes/updates;
       // undeclared tables keep the scan's natural per-file partitioning
       val out = clusteredRewrite(table, schema, rewrite((df, hit)), cands.size, Nil)
+      val feedOn = changeFeedEnabled(table)
       try {
         atomically {
-          case tv: TxView => tv.rewriteExcluding(table, cands, out, dvSnap)
+          case tv: TxView =>
+            tv.rewriteExcluding(table, cands, out, dvSnap)
+            // the change slice rides the SAME manifest commit as the rewrite
+            if (feedOn) tv.append(changesTable(table), changeRows((df, hit)))
           case w => throw new IllegalStateException( // unreachable: atomically always hands a TxView
             s"AtomicWarehouse.atomically produced a ${w.getClass.getName}")
         }
