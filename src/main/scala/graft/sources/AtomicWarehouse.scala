@@ -238,6 +238,10 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
             // per-table change-data-feed property (Delta's
             // delta.enableChangeDataFeed); survives truncates like cluster
             if (f.length >= 3 && f(2) == "on") cdf += f(1) else cdf -= f(1)
+          case "cdfnoop" =>
+            // per-commit marker: this version's file churn is row-preserving
+            // maintenance (DV compaction, incremental recluster) — only
+            // changesBetween's per-manifest walk reads it; no folded state
           case "schema" =>
             schemas += (f(1) -> f(2)) // last line per table wins
           case "stats" =>
@@ -1508,7 +1512,12 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
         .sortWithinPartitions(clusterCols.map(col): _*)
       try {
         atomically {
-          case tv: TxView => tv.rewriteExcluding(table, tail, out, dvSnap)
+          case tv: TxView =>
+            tv.rewriteExcluding(table, tail, out, dvSnap)
+            // row-preserving maintenance: the change feed skips this
+            // version instead of refusing the window
+            if (changeFeedEnabled(table))
+              tv.manifestLines(table, Seq(s"cdfnoop\t$table"), Nil, Nil)
           case w => throw new IllegalStateException(
             s"AtomicWarehouse.atomically produced a ${w.getClass.getName}")
         }
@@ -1780,6 +1789,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       var dataAdds = Vector.empty[String]
       var cdfAdds = Vector.empty[String]
       var rowLevel = false // removes or dv lines: a DML rewrite
+      var noop = false // row-preserving maintenance marker
       readLines(cf).foreach { line =>
         val f = line.split("\t", 4)
         f(0) match {
@@ -1792,10 +1802,12 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
           case "add" if f(1) == chT => cdfAdds :+= f(2)
           case "remove" if f(1) == table => rowLevel = true
           case "dv" if f(1) == table => rowLevel = true
+          case "cdfnoop" if f(1) == table => noop = true
           case _ => ()
         }
       }
-      if (cdfAdds.nonEmpty) {
+      if (noop) None // row-preserving maintenance: file churn, zero row change
+      else if (cdfAdds.nonEmpty) {
         // a recorded DML slice covers EVERYTHING this commit did to the
         // table (incl. merge inserts) — its data-file adds are rewrite
         // outputs, not new rows
@@ -1916,6 +1928,59 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     }
     throw new java.util.ConcurrentModificationException(
       s"deleteWhereDv on $table lost $attempts straight races to concurrent " +
+        "commits; table is intact — retry when the writer is quieter")
+  }
+
+  /** Fold DENSE deletion vectors back into data files — the maintenance
+    * half of the DV density tradeoff: a file whose tombstone fraction
+    * reached `minDeadFraction` pays the DV anti-join on every read for
+    * rows that are mostly gone, so it gets rewritten (tombstones dropped,
+    * DV line removed) while sparse-DV and DV-free files are never opened.
+    * Row-preserving by construction (live rows identical), so the change
+    * feed skips the commit (`cdfnoop`) instead of refusing windows across
+    * it. Files whose row count the manifest does not know (stats recording
+    * off) count as dense — conservative cleanup. Same conflict contract as
+    * the other tail rewrites. Returns the literal routing and tail bytes.
+    */
+  def compactDv(table: String, schema: StructType,
+      minDeadFraction: Double = 0.1): ReclusterResult = {
+    require(minDeadFraction > 0 && minDeadFraction <= 1,
+      s"minDeadFraction must be in (0,1], got $minDeadFraction")
+    var attempts = 0
+    while (attempts < 8) {
+      val st = foldedState()
+      val files = committedOrPhysical(table)
+      val dense = files.filter { f =>
+        st.dvs.get((table, f)).exists { j =>
+          val dead = DvRec.countOf(j)
+          st.stats.get((table, f)).map(FileStatsRec.fromJson(_).rows) match {
+            case Some(rows) if rows > 0 => dead.toDouble / rows >= minDeadFraction
+            case _ => true // unknown row count: fold it, conservatively
+          }
+        }
+      }
+      if (dense.isEmpty) return ReclusterResult(0, files.size, 0L)
+      val bytes = dense.map(f =>
+        fs.getFileStatus(new Path(s"${path(table)}/$f")).getLen).sum
+      val dvSnap = dense.map(f => f -> st.dvs.get((table, f)))
+      val src = readFiles(table, schema, dense, dvOpt = Some(parseDvs(st, table)))
+      val out = clusteredRewrite(table, schema, src, dense.size, Nil)
+      try {
+        atomically {
+          case tv: TxView =>
+            tv.rewriteExcluding(table, dense, out, dvSnap)
+            if (changeFeedEnabled(table))
+              tv.manifestLines(table, Seq(s"cdfnoop\t$table"), Nil, Nil)
+          case w => throw new IllegalStateException(
+            s"AtomicWarehouse.atomically produced a ${w.getClass.getName}")
+        }
+        return ReclusterResult(dense.size, files.size - dense.size, bytes)
+      } catch {
+        case _: java.util.ConcurrentModificationException => attempts += 1
+      }
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"compactDv on $table lost $attempts straight races to concurrent " +
         "commits; table is intact — retry when the writer is quieter")
   }
 

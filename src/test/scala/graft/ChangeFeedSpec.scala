@@ -110,6 +110,23 @@ class ChangeFeedSpec extends SparkSpec {
     assert(!wh.changeFeedEnabled("t"))
   }
 
+  test("row-preserving maintenance is feed-transparent: compactDv/reclusterIncremental skip, not refuse") {
+    val wh = newWh()
+    wh.setChangeFeed("t", on = true)
+    wh.append("t", (0L until 10L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    wh.append("t", (5L until 15L).map(i => (i, s"w$i")).toDF("id", "v").coalesce(1))
+    val from = wh.versions().last
+    wh.deleteWhereDv("t", kv, Seq(ColIn("id", Seq(1L, 2L, 3L))))
+    wh.compactDv("t", kv, minDeadFraction = 0.1) // folds the DV — file churn, zero row change
+    // the two files overlap on [5,9] → both re-banded (row-preserving)
+    wh.reclusterIncremental("t", kv, Seq("id"), maxOverlap = 0, outFiles = 2)
+    wh.deleteWhere("t", kv, Seq(ColEq("id", 12L)))
+    val got = changes(wh, from, wh.versions().last)
+    // the feed sees ONLY the row changes; both maintenance commits vanish
+    assert(got.map(x => (x._1, x._2)).toSet ==
+      Set(("delete", 1L), ("delete", 2L), ("delete", 3L), ("delete", 12L)), s"got $got")
+  }
+
   test("CDC composition: changesBetween replays to the live state") {
     val wh = newWh()
     wh.setChangeFeed("t", on = true)

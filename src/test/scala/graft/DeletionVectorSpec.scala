@@ -121,6 +121,28 @@ class DeletionVectorSpec extends SparkSpec {
     assert(ids(wh) == before)
   }
 
+  test("compactDv folds only DENSE vectors; sparse and clean files never opened") {
+    val wh = newWh()
+    banded(wh)
+    // band 0: 3/10 dead (dense at 0.2); band 1: 1/10 (sparse); band 2: clean
+    wh.deleteWhereDv("t", kv, Seq(graft.sources.ColIn("id", Seq(1L, 2L, 3L, 11L))))
+    val before = ids(wh)
+    val sparseFile = wh.fileStats("t").keySet
+      .find(f => wh.fileStats("t")(f).cols("id").min.contains(10L)).get
+    val r = wh.compactDv("t", kv, minDeadFraction = 0.2)
+    assert(r.filesRewritten == 1 && r.filesUntouched == 2, s"got $r")
+    // band 0's DV folded away; band 1's sparse DV retained, file untouched
+    assert(wh.deletionVectors("t").keySet == Set(sparseFile))
+    assert(ids(wh) == before, "compactDv must preserve the live rows")
+    // a second pass at the same threshold is a no-op
+    val r2 = wh.compactDv("t", kv, minDeadFraction = 0.2)
+    assert(r2.filesRewritten == 0 && r2.bytesRewritten == 0L)
+    // threshold 0+ folds the sparse one too
+    val r3 = wh.compactDv("t", kv, minDeadFraction = 0.01)
+    assert(r3.filesRewritten == 1 && wh.deletionVectors("t").isEmpty)
+    assert(ids(wh) == before)
+  }
+
   test("density cap refuses; appendsBetween refuses windows crossing a DV commit") {
     val wh = newWh()
     banded(wh)
