@@ -1371,6 +1371,37 @@ object SparkEntry {
         .orderBy(col("_change_type"))
     }
 
+    // ---- retraction IVM: the materialized aggregate maintained ACROSS
+    // row-level DML via the change feed — inserts/update-postimages fold
+    // as +1 partials, deletes/update-preimages as −1 (the classic
+    // retraction form), so an update+delete+DV-delete window that
+    // appendsBetween must refuse stays DELTA-SIZED instead of forcing the
+    // rebuild. End state ≡ a one-shot GROUP BY over the post-DML table —
+    // exactly what the oracle restates (cents as exact longs, so
+    // retraction arithmetic is drift-free)
+    q("etl_mv_retraction") = (s, dir) => {
+      val orders = t(s, dir, "orders")
+      val (wh, qtr) = bandedOrdersWh(s, orders, "mvr")
+      wh.setChangeFeed("facts/orders", on = true)
+      val agg = new graft.operators.IncrementalAgg(wh, "ord", "facts/orders",
+        orders.schema, Seq("o_orderstatus"),
+        Seq("cents" -> round(col("o_totalprice") * 100).cast(LongType)))
+      agg.refresh() // append-only fold of the 4 band commits
+      wh.updateWhere("facts/orders", orders.schema,
+        Seq(graft.sources.ColLt("o_orderkey", qtr / 2)),
+        Seq("o_totalprice" -> (col("o_totalprice") * 2)))
+      wh.deleteWhere("facts/orders", orders.schema,
+        Seq(graft.sources.ColGe("o_orderkey", qtr),
+          graft.sources.ColLt("o_orderkey", qtr * 3 / 2)))
+      val dvKeys = orders.filter(col("o_orderkey") % 101 === 0 &&
+          !(col("o_orderkey") >= qtr && col("o_orderkey") < qtr * 3 / 2))
+        .select(col("o_orderkey")).collect().map(_.getLong(0)).toSeq
+      wh.deleteWhereDv("facts/orders", orders.schema,
+        Seq(graft.sources.ColIn("o_orderkey", dvKeys)))
+      agg.refresh() // retraction fold over the feed — no rebuild
+      agg.state().orderBy(col("o_orderstatus"))
+    }
+
     // ---- INCREMENTAL recluster (OPTIMIZE-style): the band layout eroded
     // by 6 scattered appends that each span the whole key range — a band
     // scan must open band + all 6 intruders (kept_before literal). The
@@ -3940,6 +3971,24 @@ object SparkEntry {
         | 0 AS files_read, 4 AS files_meta
         |FROM orders
         |ORDER BY key_min""".stripMargin,
+
+    // retraction IVM end state: the kept rows are everything outside the
+    // deleted range and off the %101 purge, first-half-quartile prices
+    // doubled; grouped by status with exact-cents sums
+    "etl_mv_retraction" ->
+      """WITH m AS (SELECT max(o_orderkey) // 4 AS q FROM orders),
+        | final AS (
+        |   SELECT o_orderstatus,
+        |     CASE WHEN o_orderkey < m.q // 2 THEN o_totalprice * 2
+        |          ELSE o_totalprice END AS p
+        |   FROM orders, m
+        |   WHERE NOT (o_orderkey >= m.q AND o_orderkey < m.q * 3 // 2)
+        |     AND o_orderkey % 101 <> 0)
+        |SELECT o_orderstatus, count(*) AS cnt,
+        | CAST(sum(CAST(round(p * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM final
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
 
     // change data feed per-type totals: inserts = the 4 band appends (all
     // orders), update pre/post = the half-band update (same keys, both

@@ -18,9 +18,18 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * is the cost that disappears; the merge shuffle is proportional to the
   * GROUP count, not the row count. When the window is not append-only (a
   * replace/compact/restore truncated the source — file diff ≠ row diff,
-  * `appendsBetween` refuses), the view is invalidated and rebuilt from
-  * `readAt(source, head)` — as-of the cursor target, so commits racing the
-  * rebuild cannot double-count on the next refresh.
+  * `appendsBetween` refuses), the refresh next tries the CHANGE FEED
+  * ([[graft.sources.AtomicWarehouse.changesBetween]]): with the source's
+  * `changefeed` property on, row-level DML windows fold as SIGNED partials
+  * — inserts and update post-images weigh +1, deletes and update
+  * pre-images −1 — the classic retraction form of incremental view
+  * maintenance, exact for the distributive count/sum family this class is
+  * limited to; groups whose count retracts to zero leave the state, so the
+  * accumulated view stays ≡ the one-shot aggregate. Only when the feed
+  * also refuses (a replace, or DML from before the feed was enabled) is
+  * the view invalidated and rebuilt from `readAt(source, head)` — as-of
+  * the cursor target, so commits racing the rebuild cannot double-count on
+  * the next refresh.
   *
   * Exactness contract (what makes the accumulated state ≡ a one-shot
   * aggregate, oracle-checkable): `count` partials are longs; each sum
@@ -101,6 +110,18 @@ class IncrementalAgg(wh: AtomicWarehouse, name: String,
     * instead waits for real source rows, and the re-examined empty window
     * costs manifest-line reads only, zero data files.
     */
+  /** Signed delta aggregate over a change-feed window: +1 partials for
+    * rows entering the view, −1 for rows leaving it (retraction IVM).
+    */
+  private def aggSigned(feed: DataFrame): DataFrame = {
+    val w = when(col("_change_type").isin("insert", "update_postimage"), 1L)
+      .otherwise(-1L)
+    feed.groupBy(groupCols.map(col): _*)
+      .agg(sum(w).cast(stateSchema("cnt").dataType).as("cnt"),
+        sums.map { case (n, c) =>
+          sum(w * c).cast(stateSchema(n).dataType).as(n) }: _*)
+  }
+
   def refresh(): Int = {
     val head = wh.versions().lastOption.getOrElse(0)
     val cur = cursor()
@@ -109,9 +130,17 @@ class IncrementalAgg(wh: AtomicWarehouse, name: String,
       try Some(wh.appendsBetween(srcTable, srcSchema, cur, head))
       catch { case _: IllegalStateException => None }
     if (deltaOpt.exists(_.isEmpty)) return cur
-    val newState = deltaOpt match {
-      case Some(delta) => merge(state(), aggOf(delta))
-      case None => aggOf(wh.readAt(srcTable, srcSchema, head))
+    // non-append-only window: the change feed keeps the refresh
+    // delta-sized across row-level DML; only its refusal costs a rebuild
+    val signedOpt = if (deltaOpt.isDefined) None else
+      try Some(wh.changesBetween(srcTable, srcSchema, cur, head))
+      catch { case _: IllegalStateException => None }
+    if (deltaOpt.isEmpty && signedOpt.exists(_.isEmpty)) return cur
+    val newState = (deltaOpt, signedOpt) match {
+      case (Some(delta), _) => merge(state(), aggOf(delta))
+      case (None, Some(feed)) =>
+        merge(state(), aggSigned(feed)).filter(col("cnt") > 0)
+      case _ => aggOf(wh.readAt(srcTable, srcSchema, head))
     }
     wh.atomically { w =>
       w.replace(stateTable, newState)

@@ -1931,6 +1931,62 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
         "commits; table is intact — retry when the writer is quieter")
   }
 
+  /** Bin-pack SMALL files — OPTIMIZE's other half beside
+    * [[reclusterIncremental]]: streaming ingest leaves a long tail of tiny
+    * files whose per-file cost (footer read, one task each) dominates at
+    * scale; files under `minBytes` merge into ~`targetBytes`-sized outputs
+    * (range-clustered on the declared cluster columns when present, plain
+    * coalesce otherwise) while every adequately-sized file is never
+    * opened. Row-preserving (deletion vectors folded, `cdfnoop` marker so
+    * change feeds skip the commit); same conflict contract as the other
+    * tail rewrites. A single small file is left alone — merging it with
+    * itself buys nothing.
+    */
+  def compactSmall(table: String, schema: StructType, minBytes: Long,
+      targetBytes: Long = 128L << 20): ReclusterResult = {
+    require(minBytes > 0 && targetBytes >= minBytes,
+      s"need 0 < minBytes <= targetBytes, got $minBytes/$targetBytes")
+    var attempts = 0
+    while (attempts < 8) {
+      val st = foldedState()
+      val files = committedOrPhysical(table)
+      require(files.forall(!_.contains("/")),
+        s"compactSmall on partition-dir layouts is not supported (table $table); " +
+          "migrate once via recluster — see deleteWhere's contract")
+      val sized = files.map(f =>
+        f -> fs.getFileStatus(new Path(s"${path(table)}/$f")).getLen)
+      val small = sized.filter(_._2 < minBytes)
+      if (small.size <= 1) return ReclusterResult(0, files.size, 0L)
+      val smallBytes = small.map(_._2).sum
+      val outFiles = math.max(1, ((smallBytes + targetBytes - 1) / targetBytes).toInt)
+      val tail = small.map(_._1)
+      val dvSnap = tail.map(f => f -> st.dvs.get((table, f)))
+      val src = readFiles(table, schema, tail, dvOpt = Some(parseDvs(st, table)))
+      val cols = clusterBy(table).filter(_.forall(schema.fieldNames.contains))
+      val out = cols match {
+        case Some(cs) => src.repartitionByRange(outFiles, cs.map(col): _*)
+          .sortWithinPartitions(cs.map(col): _*)
+        case None => src.coalesce(outFiles)
+      }
+      try {
+        atomically {
+          case tv: TxView =>
+            tv.rewriteExcluding(table, tail, out, dvSnap)
+            if (changeFeedEnabled(table))
+              tv.manifestLines(table, Seq(s"cdfnoop\t$table"), Nil, Nil)
+          case w => throw new IllegalStateException(
+            s"AtomicWarehouse.atomically produced a ${w.getClass.getName}")
+        }
+        return ReclusterResult(tail.size, files.size - tail.size, smallBytes)
+      } catch {
+        case _: java.util.ConcurrentModificationException => attempts += 1
+      }
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"compactSmall on $table lost $attempts straight races to concurrent " +
+        "commits; table is intact — retry when the writer is quieter")
+  }
+
   /** Fold DENSE deletion vectors back into data files — the maintenance
     * half of the DV density tradeoff: a file whose tombstone fraction
     * reached `minDeadFraction` pays the DV anti-join on every read for

@@ -138,6 +138,24 @@ class ApplyChangesStreamSpec extends SparkSpec {
     assert(state(acs) == state(ref))
   }
 
+  test("the applied table is itself a change-feed source (CDC-of-CDC composition)") {
+    val wh = new AtomicWarehouse(spark, Files.createTempDirectory("graft-cdcf-").toString)
+    val acs = new ApplyChangesStream(wh, "t", Seq("id"), base)
+    wh.setChangeFeed("t", on = true)
+    acs.applyChanges(changes((1L, "a", "u", 1L), (2L, "b", "u", 2L)))
+    val v1 = wh.versions().last
+    acs.applyChanges(changes((1L, "a2", "u", 10L), (2L, "x", "d", 11L), (3L, "c", "u", 12L)))
+    val feed = wh.changesBetween("t", acs.storedSchema, v1, wh.versions().last)
+      .collect().map(r => (r.getString(4), r.getLong(0), r.getString(1), r.getBoolean(3)))
+    // key 1 updated, key 2 tombstoned (an update of the stored row — the
+    // downstream sees the _deleted flag flip), key 3 inserted
+    val byType = feed.groupBy(_._1).view
+      .mapValues(_.map(x => (x._2, x._3, x._4)).toSet).toMap
+    assert(byType("update_preimage") == Set((1L, "a", false), (2L, "b", false)))
+    assert(byType("update_postimage") == Set((1L, "a2", false), (2L, "x", true)))
+    assert(byType("insert") == Set((3L, "c", false)))
+  }
+
   test("pure-absent-delete batch ledgers AND tombstones the never-seen key") {
     val wh = new AtomicWarehouse(spark, Files.createTempDirectory("graft-cdc3-").toString)
     val acs = new ApplyChangesStream(wh, "t", Seq("id"), base)

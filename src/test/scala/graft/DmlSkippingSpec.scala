@@ -491,6 +491,29 @@ class DmlSkippingSpec extends SparkSpec {
     assert(r2.filesRewritten == 0 && r2.bytesRewritten == 0L, s"got $r2")
   }
 
+  test("compactSmall bin-packs only the small-file tail; big files never opened") {
+    val wh = newWh()
+    // 4 tiny files + 1 big one
+    (0 until 4).foreach(b =>
+      wh.append("bp", Seq(((100 + b).toLong, s"t$b")).toDF("id", "v").coalesce(1)))
+    wh.append("bp", (0 until 3000).map(i => (i.toLong, s"v$i")).toDF("id", "v").coalesce(1))
+    val sizes = wh.fileStats("bp").keySet.map(f =>
+      f -> new java.io.File(wh.path("bp") + "/" + f).length).toMap
+    val bigFile = sizes.maxBy(_._2)._1
+    val cut = sizes(bigFile) // everything smaller than the big file merges
+    val before = wh.read("bp", kv).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val r = wh.compactSmall("bp", kv, minBytes = cut)
+    assert(r.filesRewritten == 4 && r.filesUntouched == 1, s"got $r")
+    // merged into ONE output beside the untouched big file
+    assert(wh.fileStats("bp").keySet.size == 2)
+    assert(wh.fileStats("bp").keySet.contains(bigFile))
+    assert(wh.read("bp", kv).collect().map(x => (x.getLong(0), x.getString(1))).toSet == before)
+    // steady state: nothing small left (the merged file exceeds the cut or
+    // stands alone) — and a single small file is never "merged with itself"
+    val r2 = wh.compactSmall("bp", kv, minBytes = cut)
+    assert(r2.filesRewritten == 0, s"got $r2")
+  }
+
   test("partition-dir exit ramp: recluster migrates to band layout, then row-level DML works") {
     val wh = newWh()
     val part = StructType(Seq(

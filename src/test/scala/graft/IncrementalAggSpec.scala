@@ -59,6 +59,35 @@ class IncrementalAggSpec extends SparkSpec {
     assert(stateOf(agg)(Some("a")) == ((3L, 7L)))
   }
 
+  test("row-level DML folds as retractions via the change feed — no rebuild needed") {
+    val (wh, agg) = fresh()
+    wh.setChangeFeed("src", on = true)
+    wh.append("src", mk(("a", 1L), ("a", 2L), ("b", 10L), ("c", 100L)).coalesce(1))
+    agg.refresh()
+    assert(stateOf(agg) == Map(Some("a") -> ((2L, 3L)), Some("b") -> ((1L, 10L)),
+      Some("c") -> ((1L, 100L))))
+    // a window mixing an append, an update (retract pre + assert post), a
+    // delete, and a merge — appendsBetween refuses all of it; the feed folds
+    wh.append("src", mk(("b", 20L)).coalesce(1))
+    wh.updateWhere("src", srcSchema,
+      Seq(graft.sources.ColEq("x", 2L)), Seq("x" -> lit(5L)))
+    wh.deleteWhere("src", srcSchema, Seq(graft.sources.ColEq("k", "c")))
+    wh.mergeInto("src", srcSchema, mk(("d", 7L)), Seq("k"))
+    agg.refresh()
+    // group c retracted to zero rows and LEFT the state, like a one-shot agg
+    assert(stateOf(agg) == Map(Some("a") -> ((2L, 6L)), Some("b") -> ((2L, 30L)),
+      Some("d") -> ((1L, 7L))), s"got ${stateOf(agg)}")
+    // ≡ one-shot over the live source
+    val oneShot = wh.read("src", srcSchema).groupBy(col("k"))
+      .agg(count(lit(1)), sum(col("x"))).collect()
+      .map(r => Option(r.getString(0)) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(stateOf(agg) == oneShot)
+    // maintenance in the next window is feed-transparent: no state movement
+    wh.compactSmall("src", srcSchema, minBytes = 1L << 20)
+    agg.refresh()
+    assert(stateOf(agg) == oneShot)
+  }
+
   test("a truncate in the window invalidates: rebuild as-of head, then deltas resume") {
     val (wh, agg) = fresh()
     wh.append("src", mk(("a", 1L), ("b", 2L)))
