@@ -1371,6 +1371,33 @@ object SparkEntry {
         .orderBy(col("_change_type"))
     }
 
+    // ---- small-file bin-packing (OPTIMIZE's other half): one adequate
+    // file plus six tiny ingest leftovers (the streaming tail); compactSmall
+    // merges ONLY the six under-threshold files into one output — the big
+    // file is never opened (routing literal in the oracle) — and the table
+    // lands at 2 files with every row intact (multiplicity restatement:
+    // the i-th leftover re-appends the first 10+i orderkeys)
+    q("etl_compact_small") = (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+      val wh = new graft.sources.AtomicWarehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-bp-").toString)
+      wh.append("facts/orders", orders.coalesce(1))
+      (0 until 6).foreach(i =>
+        wh.append("facts/orders",
+          orders.orderBy(col("o_orderkey")).limit(10 + i).coalesce(1)))
+      val sizes = wh.fileStats("facts/orders").keySet.map(f =>
+        f -> new java.io.File(wh.path("facts/orders") + "/" + f).length).toMap
+      val cut = sizes.values.max // everything smaller than the big file merges
+      val r = wh.compactSmall("facts/orders", orders.schema, minBytes = cut)
+      val filesAfter = wh.describe("facts/orders").files
+      val e = wh.read("facts/orders", orders.schema)
+        .agg(centsAgg.head, centsAgg.tail: _*).head()
+      Seq((r.filesRewritten, r.filesUntouched, filesAfter, e.getLong(0), e.getLong(1)))
+        .toDF("files_rewritten", "files_untouched", "files_after", "n", "cents")
+        .orderBy(col("n"))
+    }
+
     // ---- retraction IVM: the materialized aggregate maintained ACROSS
     // row-level DML via the change feed — inserts/update-postimages fold
     // as +1 partials, deletes/update-preimages as −1 (the classic
@@ -3971,6 +3998,23 @@ object SparkEntry {
         | 0 AS files_read, 4 AS files_meta
         |FROM orders
         |ORDER BY key_min""".stripMargin,
+
+    // small-file bin-packing: 6 tiny leftovers merged into one file beside
+    // the untouched big one (literals); row multiplicity = 1 + the number
+    // of leftovers long enough to include the key's rank (rank r picks up
+    // max(0, min(6, 16 - r)) extra copies)
+    "etl_compact_small" ->
+      """WITH ranked AS (
+        |  SELECT o_totalprice,
+        |    row_number() OVER (ORDER BY o_orderkey) AS r
+        |  FROM orders),
+        | w AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |   1 + greatest(0, least(6, 16 - r)) AS mult FROM ranked)
+        |SELECT 6 AS files_rewritten, 1 AS files_untouched, 2 AS files_after,
+        | CAST(sum(mult) AS BIGINT) AS n,
+        | CAST(sum(mult * cents) AS BIGINT) AS cents
+        |FROM w
+        |ORDER BY n""".stripMargin,
 
     // retraction IVM end state: the kept rows are everything outside the
     // deleted range and off the %101 purge, first-half-quartile prices
