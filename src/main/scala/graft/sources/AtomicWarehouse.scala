@@ -1165,11 +1165,14 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       if (files.nonEmpty && recs.size == files.size)
         recs.map(FileStatsRec.fromJson(_).rows).sum - dvRows
       else -1L
+    val dvEntries = files.flatMap(f => st.dvs.get((table, f)))
     TableDetail(table, files.size, bytes, rows, recs.size,
       st.cluster.get(table).map(_.split(",").toSeq).getOrElse(Nil),
       st.schemas.get(table).map(j => org.apache.spark.sql.types.DataType
         .fromJson(j).asInstanceOf[StructType].fields.length).getOrElse(-1),
-      commitFiles().lastOption.map(versionOf).getOrElse(0))
+      commitFiles().lastOption.map(versionOf).getOrElse(0),
+      dvEntries.size, dvEntries.map(DvRec.countOf).sum,
+      st.cdf.contains(table))
   }
 
   // ---- column mapping (rename without rewrite) ----------------------------

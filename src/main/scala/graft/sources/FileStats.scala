@@ -205,12 +205,16 @@ object DvRec {
 }
 
 /** DESCRIBE DETAIL, metadata-only ([[AtomicWarehouse.describe]]): `rows` is
-  * -1 unless EVERY visible file carries stats; `schemaWidth` -1 for
-  * pre-evolution history; `headVersion` 0 for an empty log.
+  * LIVE rows (physical minus deletion-vector tombstones), -1 unless EVERY
+  * visible file carries stats; `schemaWidth` -1 for pre-evolution history;
+  * `headVersion` 0 for an empty log; `dvFiles`/`dvRows` count the
+  * deletion-vector surface (compaction-pressure signal) and `changeFeed`
+  * reports the CDF property.
   */
 case class TableDetail(table: String, files: Int, bytes: Long, rows: Long,
     filesWithStats: Int, clusterCols: Seq[String], schemaWidth: Int,
-    headVersion: Int)
+    headVersion: Int, dvFiles: Int = 0, dvRows: Long = 0L,
+    changeFeed: Boolean = false)
 
 case class FileStatsRec(rows: Long, cols: Map[String, ColStats]) {
 

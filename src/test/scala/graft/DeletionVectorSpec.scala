@@ -96,8 +96,11 @@ class DeletionVectorSpec extends SparkSpec {
     val mm = wh.statsMinMax("t", kv, "id")
     assert(mm.min.contains(0L) && mm.max.contains(28L), s"got $mm")
     assert(mm.filesRead == 2 && mm.filesMetadata == 1, s"got $mm")
-    // describe reports LIVE rows
-    assert(wh.describe("t").rows == 28L)
+    // describe reports LIVE rows plus the DV surface (compaction signal)
+    val d = wh.describe("t")
+    assert(d.rows == 28L && d.dvFiles == 2 && d.dvRows == 2L && !d.changeFeed)
+    wh.setChangeFeed("t", on = true)
+    assert(wh.describe("t").changeFeed)
   }
 
   test("rewrites fold DVs: compaction, deleteWhere, mergeInto") {
@@ -141,6 +144,37 @@ class DeletionVectorSpec extends SparkSpec {
     val r3 = wh.compactDv("t", kv, minDeadFraction = 0.01)
     assert(r3.filesRewritten == 1 && wh.deletionVectors("t").isEmpty)
     assert(ids(wh) == before)
+  }
+
+  test("a DV delete racing a compaction aborts the stale rewrite; the retry folds it") {
+    val wh = newWh()
+    banded(wh)
+    val firstRead = new java.util.concurrent.CountDownLatch(1)
+    val dvLanded = new java.util.concurrent.CountDownLatch(1)
+    val passes = new java.util.concurrent.atomic.AtomicInteger(0)
+    // compaction whose first attempt reads BEFORE the racing DV delete and
+    // publishes AFTER it: without the DV pin in the commit precondition the
+    // stale rewrite (computed against zero tombstones) would resurrect the
+    // deleted rows; with it, attempt 1 aborts and attempt 2 folds the DV
+    val compactor = new Thread(() => wh.compactWith("t", kv, { df =>
+      if (passes.incrementAndGet() == 1) {
+        firstRead.countDown()
+        dvLanded.await(30, java.util.concurrent.TimeUnit.SECONDS)
+      }
+      df.coalesce(1)
+    }))
+    compactor.start()
+    assert(firstRead.await(30, java.util.concurrent.TimeUnit.SECONDS))
+    val r = wh.deleteWhereDv("t", kv, Seq(graft.sources.ColIn("id", Seq(5L, 15L, 25L))))
+    assert(r.deleted == 3L)
+    dvLanded.countDown()
+    compactor.join(60000)
+    assert(!compactor.isAlive, "compaction must finish")
+    assert(passes.get() >= 2, s"the stale first attempt must have been aborted (passes=${passes.get()})")
+    // deleted rows stay deleted, DV folded away by the retried compaction
+    assert(ids(wh) == (0L until 30L).toSet -- Seq(5L, 15L, 25L))
+    assert(wh.deletionVectors("t").isEmpty)
+    assert(wh.fileStats("t").size == 1)
   }
 
   test("density cap refuses; appendsBetween refuses windows crossing a DV commit") {
