@@ -1371,6 +1371,42 @@ object SparkEntry {
         .orderBy(col("_change_type"))
     }
 
+    // ---- cross-warehouse CDC REPLICATION: the source's write-time change
+    // feed applied to a SECOND warehouse through the sequence-guarded
+    // merge — the produce/consume composition of the whole change stack.
+    // The first refresh seeds the replica from version 0 (band appends
+    // read back as inserts); the second pulls one window holding an
+    // update + a copy-on-write range delete + a scattered DV delete and
+    // converges the replica to the source's live state, which the oracle
+    // restates row-for-row (grouped to keep the frame small)
+    q("etl_replicate") = (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+      val (src, qtr) = bandedOrdersWh(s, orders, "repl")
+      src.setChangeFeed("facts/orders", on = true)
+      val dst = new graft.sources.AtomicWarehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-repl-dst-").toString)
+      val repl = new graft.streaming.Replicator(src, "facts/orders",
+        orders.schema, Seq("o_orderkey"), dst, "facts/orders")
+      repl.refresh() // seed: the four band appends replicate as inserts
+      src.updateWhere("facts/orders", orders.schema,
+        Seq(graft.sources.ColLt("o_orderkey", qtr / 2)),
+        Seq("o_totalprice" -> (col("o_totalprice") * 2)))
+      src.deleteWhere("facts/orders", orders.schema,
+        Seq(graft.sources.ColGe("o_orderkey", qtr),
+          graft.sources.ColLt("o_orderkey", qtr * 3 / 2)))
+      val dvKeys = orders.filter(col("o_orderkey") % 101 === 0 &&
+          !(col("o_orderkey") >= qtr && col("o_orderkey") < qtr * 3 / 2))
+        .select(col("o_orderkey")).collect().map(_.getLong(0)).toSeq
+      src.deleteWhereDv("facts/orders", orders.schema,
+        Seq(graft.sources.ColIn("o_orderkey", dvKeys)))
+      repl.refresh() // one window: update + delete + DV delete
+      repl.state().groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"),
+          sum(round(col("o_totalprice") * 100).cast(LongType)).as("cents"))
+        .orderBy(col("o_orderstatus"))
+    }
+
     // ---- small-file bin-packing (OPTIMIZE's other half): one adequate
     // file plus six tiny ingest leftovers (the streaming tail); compactSmall
     // merges ONLY the six under-threshold files into one output — the big
@@ -3998,6 +4034,24 @@ object SparkEntry {
         | 0 AS files_read, 4 AS files_meta
         |FROM orders
         |ORDER BY key_min""".stripMargin,
+
+    // replica end state ≡ the source's post-DML rows: outside the deleted
+    // range, off the %101 purge, first-half-quartile prices doubled
+    "etl_replicate" ->
+      """WITH m AS (SELECT max(o_orderkey) // 4 AS q FROM orders),
+        | final AS (
+        |   SELECT o_orderstatus, o_orderkey,
+        |     CASE WHEN o_orderkey < m.q // 2 THEN o_totalprice * 2
+        |          ELSE o_totalprice END AS p
+        |   FROM orders, m
+        |   WHERE NOT (o_orderkey >= m.q AND o_orderkey < m.q * 3 // 2)
+        |     AND o_orderkey % 101 <> 0)
+        |SELECT o_orderstatus, count(*) AS n,
+        | CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        | CAST(sum(CAST(round(p * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM final
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
 
     // small-file bin-packing: 6 tiny leftovers merged into one file beside
     // the untouched big one (literals); row multiplicity = 1 + the number
