@@ -1656,6 +1656,42 @@ object SparkEntry {
         .orderBy(col("p_rows"))
     }
 
+    // ---- per-file Bloom index: the point-lookup regime the OTHER skipping
+    // machinery cannot serve — the fixture HASH-bands orders by
+    // o_orderkey % 4, so every file's [min,max] spans the whole key domain
+    // (bounds prune nothing) and the key's cardinality is far past the
+    // 64-value dictionary cap (value sets never recorded). With the index
+    // declared BEFORE the appends, each band file commits with a sidecar
+    // Bloom filter over o_orderkey in the SAME manifest, and a point
+    // lookup opens ~1 of 4 files (no false negatives ⇒ row-exact; false
+    // positives at fpp 1e-4 only cost an open, and the oracle claim is
+    // the tolerant "majority skipped"). Probes: the smallest key of each
+    // of three residue classes + a provably absent key; per-probe row
+    // count and cents are restated exactly by the oracle
+    q("etl_bloom_lookup") = (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+      val wh = new graft.sources.AtomicWarehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-bloom-").toString)
+      wh.setBloomIndex("facts/orders", Seq("o_orderkey"), fpp = 1e-4)
+      (0 until 4).foreach(r =>
+        wh.append("facts/orders", orders.filter(col("o_orderkey") % 4 === r).coalesce(1)))
+      val present = (0L until 3L).map(r => orders.filter(col("o_orderkey") % 4 === r)
+        .agg(min(col("o_orderkey"))).head().getLong(0))
+      val absent = orders.agg(max(col("o_orderkey"))).head().getLong(0) + 101L
+      val rows = (present :+ absent).map { k =>
+        val (_, skipped) = wh.planFiles("facts/orders",
+          Seq(graft.sources.ColEq("o_orderkey", k)))
+        val got = wh.scanWhere("facts/orders", orders.schema,
+            Seq(graft.sources.ColEq("o_orderkey", k)))
+          .agg(count(lit(1)),
+            sum(round(col("o_totalprice") * 100).cast(LongType))).head()
+        (k, got.getLong(0), if (got.isNullAt(1)) -1L else got.getLong(1),
+          skipped.size >= 2)
+      }
+      rows.toDF("k", "n", "cents", "pruned_majority").orderBy(col("k"))
+    }
+
     // ---- metadata-only MIN/MAX: numeric parquet chunk bounds are exact
     // values, so over the fully-stats-covered band layout both extremes of
     // o_orderkey (long) and o_totalprice (double) are answered without
@@ -4024,6 +4060,23 @@ object SparkEntry {
         | (SELECT count(*) FROM orders WHERE o_orderstatus IN ('P','F')) AS pf_rows,
         | 2 AS pf_meta, 0 AS pf_read, 1 AS pf_skipped
         |ORDER BY p_rows""".stripMargin,
+
+    // Bloom point lookups over the hash-banded layout: per-probe row count
+    // and cents restated exactly (LEFT JOIN keeps the absent probe as
+    // n=0/cents=-1); the routing claim is the tolerant "majority of files
+    // skipped", TRUE for every probe at fpp 1e-4
+    "etl_bloom_lookup" ->
+      """WITH mins AS (
+        |  SELECT min(o_orderkey) AS k FROM orders GROUP BY o_orderkey % 4
+        |  HAVING o_orderkey % 4 < 3),
+        | probes AS (SELECT k FROM mins
+        |   UNION ALL SELECT max(o_orderkey) + 101 FROM orders)
+        |SELECT p.k AS k, count(o.o_orderkey) AS n,
+        | coalesce(CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT), -1) AS cents,
+        | TRUE AS pruned_majority
+        |FROM probes p LEFT JOIN orders o ON o.o_orderkey = p.k
+        |GROUP BY p.k
+        |ORDER BY k""".stripMargin,
 
     // metadata-only MIN/MAX: both extremes of the long and double columns
     // from manifest stats alone — zero files read, all four band files

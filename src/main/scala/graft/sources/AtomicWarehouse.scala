@@ -5,7 +5,8 @@ import scala.collection.mutable.ArrayBuffer
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions.{coalesce, col, lit, sum, when}
-import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.util.sketch.BloomFilter
 
 /** Transactional warehouse: all-or-nothing visibility for any group of table
   * writes — the capability the reference gets from SQL Server transactions
@@ -143,7 +144,9 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       cluster: Map[String, String] = Map.empty,
       colmap: Map[String, String] = Map.empty,
       dvs: Map[(String, String), String] = Map.empty,
-      cdf: Set[String] = Set.empty)
+      cdf: Set[String] = Set.empty,
+      blooms: Map[(String, String), String] = Map.empty,
+      bloomcols: Map[String, String] = Map.empty)
 
   /** A fold races concurrent folds from OTHER instances: their snapshot
     * publish happens BEFORE they delete the superseded manifests, so when a
@@ -200,6 +203,8 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     var colmap = Map.empty[String, String]
     var dvs = Map.empty[(String, String), String]
     var cdf = Set.empty[String]
+    var blooms = Map.empty[(String, String), String]
+    var bloomcols = Map.empty[String, String]
     cfs.foreach { cf =>
       readLines(cf).foreach { line =>
         // limit 4: a schema line's third field and a stats line's fourth are
@@ -219,6 +224,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
             }
             stats = stats.filterNot { case ((k, _), _) => k == t || k.startsWith(t + "/") }
             dvs = dvs.filterNot { case ((k, _), _) => k == t || k.startsWith(t + "/") }
+            blooms = blooms.filterNot { case ((k, _), _) => k == t || k.startsWith(t + "/") }
           case "add" =>
             val set = addSets.getOrElse(f(1), Set.empty)
             if (!set.contains(f(2))) {
@@ -230,6 +236,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
             addSets += (f(1) -> (addSets.getOrElse(f(1), Set.empty) - f(2)))
             stats -= ((f(1), f(2)))
             dvs -= ((f(1), f(2)))
+            blooms -= ((f(1), f(2)))
           case "dv" =>
             // deletion vector: the file's COMPLETE tombstone ordinal set
             // (each line carries the union — last line per file wins)
@@ -253,6 +260,17 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
             // and by restore() to a pre-declaration era.
             if (f.length < 3 || f(2).isEmpty) cluster -= f(1)
             else cluster += (f(1) -> f(2))
+          case "bloom" =>
+            // per-file Bloom index pointer (sidecar leaf + type tag per
+            // indexed column) — last line per file wins, dropped with the
+            // file (the dv rule)
+            blooms += ((f(1), f(2)) -> f(3))
+          case "bloomcols" =>
+            // per-table Bloom index declaration; last wins, survives
+            // truncates like cluster (a DECLARED index, not a file
+            // property); empty clears — written by delete(table)
+            if (f.length < 3 || f(2).isEmpty) bloomcols -= f(1)
+            else bloomcols += (f(1) -> f(2))
           case "colmap" =>
             // logical→physical column mapping JSON; last line per table
             // wins, survives truncates (renames are table metadata). `{}`
@@ -264,7 +282,8 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
         }
       }
     }
-    val st = LogState(adds, truncated, schemas, stats, cluster, colmap, dvs, cdf)
+    val st = LogState(adds, truncated, schemas, stats, cluster, colmap, dvs, cdf,
+      blooms, bloomcols)
     if (updateCache) foldCache = (key, st)
     st
   }
@@ -790,11 +809,19 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
         .map(_.toJson)
         .filter(j => !j.contains('\t') && !j.contains('\n'))
         .map(j => s"stats\t$table\t$rel\t$j")
+    // data files this commit ADDS, per table — the Bloom-index hook indexes
+    // exactly these (and nothing else) after the staging moves land
+    val addedRels = scala.collection.mutable.LinkedHashMap[String, ArrayBuffer[String]]()
+    def noteAdd(t: String, f: String): Unit =
+      addedRels.getOrElseUpdate(t, ArrayBuffer()) += f
     tx.entries.groupBy(_.table).foreach { case (t, es) =>
       if (!es.head.truncate && visibleFiles(t).isEmpty) // isEmpty: None = no history
         stagedDataFiles(new Path(path(t)))
           .filterNot(_.split('/').last.startsWith("tx-"))
-          .foreach { f => lines += s"add\t$t\t$f"; statsLine(t, f).foreach(lines += _) }
+          .foreach { f =>
+            lines += s"add\t$t\t$f"; statsLine(t, f).foreach(lines += _)
+            noteAdd(t, f)
+          }
     }
     tx.entries.zipWithIndex.foreach { case (e, i) =>
       if (e.truncate) {
@@ -812,6 +839,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
           st.colmap.keys.filter(under).foreach(t => lines += s"colmap\t$t\t{}")
           st.cluster.keys.filter(under).foreach(t => lines += s"cluster\t$t\t")
           st.cdf.filter(under).foreach(t => lines += s"changefeed\t$t\toff")
+          st.bloomcols.keys.filter(under).foreach(t => lines += s"bloomcols\t$t\t")
         }
       }
       e.removes.foreach(f => lines += s"remove\t${e.table}\t$f")
@@ -832,6 +860,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
             throw new java.io.IOException(s"staging move failed for ${e.table}/$destRel")
           lines += s"add\t${e.table}\t$destRel"
           statsLine(e.table, destRel).foreach(lines += _)
+          noteAdd(e.table, destRel)
         }
       }
       // the write's schema, recorded beside its adds: the fold keeps the
@@ -841,6 +870,31 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       e.schemaJson.foreach(j => lines += s"schema\t${e.table}\t$j")
       // raw manifest lines from manifestLines (deletion-vector commits)
       e.extraLines.foreach(lines += _)
+    }
+    // Bloom-index maintenance rides the SAME commit: a removed data file
+    // releases its sidecars (their `_bloom` removes make them vacuumable —
+    // the pointer entry itself dies with the file in the fold), and every
+    // added file of a declared table is indexed before publish, so the
+    // index can never lag the data it describes. Truncates need nothing:
+    // the fold clears `<table>/_bloom` adds by prefix.
+    locally {
+      val st = foldedState()
+      if (st.bloomcols.nonEmpty) {
+        tx.entries.foreach { e =>
+          e.removes.foreach { f =>
+            st.blooms.get((e.table, f)).foreach { j =>
+              BloomIndex.parseEntry(j).values.foreach { case (leaf, _) =>
+                lines += s"remove\t${e.table}/_bloom\t$leaf"
+              }
+            }
+          }
+        }
+        addedRels.foreach { case (t, rels) =>
+          st.bloomcols.get(t).foreach { decl =>
+            lines ++= bloomIndexLines(tx.txid, t, rels.toSeq, decl)
+          }
+        }
+      }
     }
     // optimistic-concurrency checks from conflict-guarded entries
     // (replaceExpecting): abort — staged/moved files become vacuumable
@@ -1060,7 +1114,9 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     val sameMeta = st.schemas.get(table) == liveNow.schemas.get(table) &&
       st.colmap.get(table) == liveNow.colmap.get(table) &&
       st.cluster.get(table) == liveNow.cluster.get(table) &&
-      st.dvs.filter(_._1._1 == table) == liveNow.dvs.filter(_._1._1 == table)
+      st.dvs.filter(_._1._1 == table) == liveNow.dvs.filter(_._1._1 == table) &&
+      st.blooms.filter(_._1._1 == table) == liveNow.blooms.filter(_._1._1 == table) &&
+      st.bloomcols.get(table) == liveNow.bloomcols.get(table)
     if (files.sorted == expected && sameMeta) return // nothing to commit
     // the restored version's recorded SHAPE comes back with its files —
     // without this line the table would keep the newer schema label over
@@ -1082,13 +1138,25 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       case (None, Some(_)) => Seq(s"cluster\t$table\t")
       case _ => Nil
     }
+    val bloomcolsLine: Seq[String] = (st.bloomcols.get(table), live.bloomcols.get(table)) match {
+      case (Some(j), _) => Seq(s"bloomcols\t$table\t$j")
+      case (None, Some(_)) => Seq(s"bloomcols\t$table\t")
+      case _ => Nil
+    }
     val lines = (s"truncate\t$table" +: files.map(f => s"add\t$table\t$f")) ++
       st.schemas.get(table).map(j => s"schema\t$table\t$j").toSeq ++
-      colmapLine ++ clusterLine ++
+      colmapLine ++ clusterLine ++ bloomcolsLine ++
       files.flatMap(f => st.stats.get((table, f)).map(j => s"stats\t$table\t$f\t$j")) ++
       // the era's deletion vectors come back with its files (the leading
       // truncate cleared all current ones)
-      files.flatMap(f => st.dvs.get((table, f)).map(j => s"dv\t$table\t$f\t$j"))
+      files.flatMap(f => st.dvs.get((table, f)).map(j => s"dv\t$table\t$f\t$j")) ++
+      // the era's Bloom index comes back too: its `_bloom` sidecar adds
+      // (the truncate cleared prefix children) and per-file pointers. A
+      // sidecar vacuum already took reads as absent — always-kept, then
+      // re-indexable via backfillBloomIndex
+      st.adds.getOrElse(s"$table/_bloom", Vector.empty)
+        .map(f => s"add\t$table/_bloom\t$f") ++
+      files.flatMap(f => st.blooms.get((table, f)).map(j => s"bloom\t$table\t$f\t$j"))
     publish(lines,
       precondition = () => committedOrPhysical(table).sorted == expected)
   }
@@ -1122,10 +1190,10 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     // stats ride physical column names (footer truth) — translate
     val physPreds = preds.map(p => FilePred.mapCols(p, c => physColOf(table, c)))
     committedOrPhysical(table).partition { f =>
-      st.stats.get((table, f)) match {
+      (st.stats.get((table, f)) match {
         case Some(j) => FileStatsRec.fromJson(j).mayContainAll(physPreds)
         case None => true
-      }
+      }) && bloomKeeps(st, table, f, physPreds)
     }
   }
 
@@ -1172,8 +1240,202 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
         .fromJson(j).asInstanceOf[StructType].fields.length).getOrElse(-1),
       commitFiles().lastOption.map(versionOf).getOrElse(0),
       dvEntries.size, dvEntries.map(DvRec.countOf).sum,
-      st.cdf.contains(table))
+      st.cdf.contains(table),
+      st.bloomcols.get(table).map(BloomIndex.parseDecl(_)._1).getOrElse(Nil),
+      files.count(f => st.blooms.contains((table, f))))
   }
+
+  // ---- Bloom index (point-lookup file skipping) ---------------------------
+
+  /** Declare a per-file Bloom index on `cols` (logical names; integral or
+    * string columns — the point-lookup types). From this commit on, every
+    * data file the table gains is indexed at write time: the filter bytes
+    * land as an immutable sidecar under `<table>/_bloom/` in the SAME
+    * manifest commit as the data file, and equality/IN predicates on the
+    * indexed columns prune files the filter proves cannot match — the
+    * skipping regime for a high-cardinality key on an UNclustered table,
+    * where min/max bounds overlap everywhere and dictionary value sets are
+    * over the cardinality cap (see [[BloomIndex]]). Files that predate the
+    * declaration stay unindexed (always kept) until [[backfillBloomIndex]].
+    * The declaration survives truncates like a cluster declaration and is
+    * cleared by a full `delete(table)`.
+    */
+  def setBloomIndex(table: String, cols: Seq[String], fpp: Double = 0.01): Unit = {
+    require(cols.nonEmpty, "setBloomIndex with no columns")
+    require(fpp > 0.0 && fpp < 0.5, s"bloom fpp must be in (0, 0.5), got $fpp")
+    cols.foreach(c => require(!c.contains("\t") && !c.contains("\n"),
+      s"bloom column name '$c' contains TSV control characters"))
+    if (bloomIndex(table).contains((cols, fpp))) return // already declared
+    publish(Seq(s"bloomcols\t$table\t${BloomIndex.declJson(cols, fpp)}"))
+  }
+
+  /** The table's declared Bloom index: (logical columns, target fpp). */
+  def bloomIndex(table: String): Option[(Seq[String], Double)] =
+    foldedState().bloomcols.get(table).map(BloomIndex.parseDecl)
+
+  /** Index the visible files missing a Bloom entry — files that predate
+    * the declaration, or whose sidecars a restore brought back pointers
+    * for after vacuum took the bytes — WITHOUT rewriting any data: one
+    * indexed-column scan per missing file, then one metadata commit
+    * (conflict-checked against the file set it read). Returns the number
+    * of files newly indexed.
+    */
+  def backfillBloomIndex(table: String): Int = {
+    val st = foldedState()
+    val decl = st.bloomcols.getOrElse(table, throw new IllegalStateException(
+      s"no Bloom index declared on $table — setBloomIndex first"))
+    val missing = committedOrPhysical(table)
+      .filterNot(f => st.blooms.contains((table, f)))
+    if (missing.isEmpty) return 0
+    val expected = committedOrPhysical(table).sorted
+    val txid = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val lines = bloomIndexLines(txid, table, missing, decl)
+    if (lines.isEmpty) return 0
+    publish(lines,
+      precondition = () => committedOrPhysical(table).sorted == expected)
+    lines.count(_.startsWith("bloom\t"))
+  }
+
+  /** Sidecar build + pointer lines for `rels` (just-landed data files of a
+    * declared table), called inside [[commit]] before publish. Per file:
+    * decode the footer (column presence, type tag, row/null counts size
+    * the filter), scan each indexed column once building a
+    * `spark.util.sketch.BloomFilter` (integral values hash via `putLong`,
+    * strings via `putString` — the probe mirrors this, type-tagged), write
+    * the sidecar, and emit its `<table>/_bloom` add plus the file's
+    * pointer line. Indexing is an OPTIMIZATION: any failure drops the
+    * file's index (it stays always-kept), never the commit.
+    */
+  private def bloomIndexLines(txid: String, table: String, rels: Seq[String],
+      decl: String): Seq[String] = try {
+    val (cols, fpp) = BloomIndex.parseDecl(decl)
+    if (cols.isEmpty || rels.isEmpty) return Nil
+    val physCols = cols.map(c => physColOf(table, c)).distinct
+    val bdir = new Path(path(s"$table/_bloom"))
+    fs.mkdirs(bdir)
+    var seq = 0
+    val out = ArrayBuffer[String]()
+    rels.foreach { rel =>
+      try {
+        FileStatsRec.fromFooter(new Path(path(table), rel),
+            spark.sparkContext.hadoopConfiguration).foreach { rec =>
+          if (rec.rows > 0L) { // zero-row files skip via rows==0 already
+            val entries = physCols.flatMap { pc =>
+              rec.cols.get(pc).filter(cs => cs.tag == "i" || cs.tag == "s").map { cs =>
+                val n = math.max(rec.rows - math.max(cs.nulls, 0L), 1L)
+                val bf = buildBloomFilter(new Path(path(table), rel), pc, cs.tag, n, fpp)
+                seq += 1
+                val leaf = s"tx-$txid-bf$seq-" +
+                  pc.replaceAll("[^A-Za-z0-9_.-]", "_") + ".bf"
+                val os = fs.create(new Path(bdir, leaf), true)
+                try bf.writeTo(os) finally os.close()
+                (pc, leaf, cs.tag)
+              }
+            }
+            if (entries.nonEmpty) {
+              val j = BloomIndex.entryJson(entries)
+              if (!j.contains('\t') && !j.contains('\n')) {
+                entries.foreach { case (_, leaf, _) =>
+                  out += s"add\t$table/_bloom\t$leaf"
+                }
+                out += s"bloom\t$table\t$rel\t$j"
+              }
+            }
+          }
+        }
+      } catch { case _: Exception => } // never fail the commit over an index
+    }
+    out.toSeq
+  } catch { case _: Exception => Nil }
+
+  /** One file × one column → its Bloom filter, sized by the footer's
+    * non-null count at the declared fpp (~1.2 bytes/row at 1% — sidecar
+    * bytes track the DATA, never the manifest). The single-file scan runs
+    * as one task (`coalesce(1)`): write-time indexing cost, the same shape
+    * as the footer-stats read only over the indexed column's pages.
+    */
+  private def buildBloomFilter(abs: Path, physCol: String, tag: String,
+      n: Long, fpp: Double): BloomFilter = {
+    import org.apache.spark.sql.Encoders
+    val base = spark.read.parquet(abs.toString).select(col(physCol)).na.drop().coalesce(1)
+    val blobs: Array[Array[Byte]] = (tag match {
+      case "i" => base.select(col(physCol).cast(LongType)).as(Encoders.scalaLong)
+        .mapPartitions { (it: Iterator[Long]) =>
+          val bf = BloomFilter.create(n, fpp)
+          it.foreach(bf.putLong)
+          val bos = new java.io.ByteArrayOutputStream
+          bf.writeTo(bos)
+          Iterator(bos.toByteArray)
+        }(Encoders.BINARY)
+      case _ => base.select(col(physCol).cast(StringType)).as(Encoders.STRING)
+        .mapPartitions { (it: Iterator[String]) =>
+          val bf = BloomFilter.create(n, fpp)
+          it.foreach(bf.putString)
+          val bos = new java.io.ByteArrayOutputStream
+          bf.writeTo(bos)
+          Iterator(bos.toByteArray)
+        }(Encoders.BINARY)
+    }).collect()
+    blobs.map(b => BloomFilter.readFrom(new java.io.ByteArrayInputStream(b)))
+      .reduceOption { (a, b) => a.mergeInPlace(b); a }
+      .getOrElse(BloomFilter.create(n, fpp))
+  }
+
+  /** Deserialized sidecars by absolute path. Sidecars are IMMUTABLE —
+    * every commit creates new leaves — so entries never invalidate; a
+    * load failure (era sidecar vacuumed after a restore) caches as absent
+    * and the file is simply always kept: absence never skips.
+    */
+  private val bloomCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[BloomFilter]]()
+
+  private def loadBloom(table: String, leaf: String): Option[BloomFilter] = {
+    val abs = new Path(path(s"$table/_bloom"), leaf)
+    bloomCache.computeIfAbsent(abs.toString, _ =>
+      try {
+        val in = fs.open(abs)
+        try Some(BloomFilter.readFrom(in)) finally in.close()
+      } catch { case _: Exception => None })
+  }
+
+  /** False ⇒ the Bloom index PROVES no row of `f` satisfies the
+    * conjunction: some equality/IN leg's every probe value is definitely
+    * absent (no false negatives ⇒ sound skip). Only Eq/In legs on indexed
+    * columns with type-matching values participate — range legs, untagged
+    * types, unindexed files, unreadable sidecars all keep the file, so the
+    * index strictly removes I/O, never rows. Disjunctions keep the file
+    * when ANY disjunct survives, mirroring [[FileStatsRec.mayContain]].
+    */
+  private def bloomKeeps(st: LogState, table: String, f: String,
+      physPreds: Seq[FilePred]): Boolean =
+    st.blooms.get((table, f)) match {
+      case None => true
+      case Some(j) =>
+        val m = BloomIndex.parseEntry(j)
+        if (m.isEmpty) true
+        else {
+          def testEq(c: String, v: Any): Boolean = m.get(c) match {
+            case None => true
+            case Some((leaf, tag)) => BloomIndex.probeValue(tag, v) match {
+              case None => true
+              case Some(pv) => loadBloom(table, leaf) match {
+                case None => true
+                case Some(bf) => tag match {
+                  case "i" => bf.mightContainLong(pv.asInstanceOf[Long])
+                  case _ => bf.mightContainString(pv.asInstanceOf[String])
+                }
+              }
+            }
+          }
+          def may(p: FilePred): Boolean = p match {
+            case ColOr(ds) => ds.exists(_.forall(may))
+            case ColEq(c, v) => testEq(c, v)
+            case ColIn(c, vs) => vs.exists(testEq(c, _))
+            case _ => true
+          }
+          physPreds.forall(may)
+        }
+    }
 
   // ---- column mapping (rename without rewrite) ----------------------------
 
@@ -1571,7 +1833,8 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     committedOrPhysical(table).foreach { f =>
       st.stats.get((table, f)).map(FileStatsRec.fromJson) match {
         case Some(r) =>
-          if (!r.mayContainAll(physPreds)) skipped += 1
+          if (!r.mayContainAll(physPreds) ||
+              !bloomKeeps(st, table, f, physPreds)) skipped += 1
           else if (r.allMatchAll(physPreds)) {
             // a fully-included file's DV'd rows matched too (subset of "all
             // rows match") — exact survivors = rows - tombstones, still
@@ -1580,7 +1843,9 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
             metaRows += r.rows - st.dvs.get((table, f)).map(DvRec.countOf).getOrElse(0L)
           }
           else toRead += f
-        case None => toRead += f
+        case None =>
+          // statless legacy file: the Bloom index can still exclude it
+          if (bloomKeeps(st, table, f, physPreds)) toRead += f else skipped += 1
       }
     }
     val readRows = if (toRead.isEmpty) 0L else {
@@ -2416,20 +2681,28 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
         if (fs.getFileStatus(p).getModificationTime < cutoff) fs.delete(p, false)
       }
     }
-    // 2. unreferenced data files under manifest-managed tables
+    // 2. unreferenced data files under manifest-managed tables. Liveness is
+    // judged against the GLOBAL visible set (every table's adds, resolved to
+    // qualified paths), not the walked table's own rels: table names nest
+    // (`t/_changes` change slices, `t/_bloom` sidecars, `staging/x/Provider`),
+    // so a parent table's recursive walk SEES a child table's files — with a
+    // per-table visible set those rels read as the parent's garbage and an
+    // expired-grace vacuum would eat the child table (observed shape: a CDF
+    // table's whole change history, a Bloom index's sidecars).
     val managed = retryOnVanishedManifest(commitFiles().flatMap(readLines)).collect {
       case l if l.startsWith("add\t") => l.split('\t')(1)
     }.distinct
+    val live: Set[String] = foldedState().adds.iterator.flatMap { case (t, fls) =>
+      fls.iterator.map(f => fs.makeQualified(new Path(path(t), f)).toString)
+    }.toSet
     managed.foreach { t =>
       val tdir = new Path(path(t))
       if (fs.exists(tdir)) {
-        val visible = visibleFiles(t).getOrElse(Nil).toSet
-        val base = fs.makeQualified(tdir).toString + "/"
         val it = fs.listFiles(tdir, true)
         while (it.hasNext) {
           val st = it.next()
-          val rel = st.getPath.toString.stripPrefix(base)
-          if (!visible.contains(rel) && st.getModificationTime < cutoff)
+          if (!live.contains(fs.makeQualified(st.getPath).toString) &&
+              st.getModificationTime < cutoff)
             fs.delete(st.getPath, false)
         }
       }

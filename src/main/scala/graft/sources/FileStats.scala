@@ -214,7 +214,8 @@ object DvRec {
 case class TableDetail(table: String, files: Int, bytes: Long, rows: Long,
     filesWithStats: Int, clusterCols: Seq[String], schemaWidth: Int,
     headVersion: Int, dvFiles: Int = 0, dvRows: Long = 0L,
-    changeFeed: Boolean = false)
+    changeFeed: Boolean = false, bloomCols: Seq[String] = Nil,
+    bloomFiles: Int = 0)
 
 case class FileStatsRec(rows: Long, cols: Map[String, ColStats]) {
 

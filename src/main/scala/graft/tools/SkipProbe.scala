@@ -5,7 +5,7 @@ import java.util.concurrent.atomic.AtomicLong
 
 import graft.GraftSession
 import graft.operators.Layout
-import graft.sources.{AtomicWarehouse, ColGe, ColLt}
+import graft.sources.{AtomicWarehouse, ColEq, ColGe, ColLt}
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -99,6 +99,34 @@ object SkipProbe {
         require(pRes == fRes, s"scanWhere != full filter at x$mult: $pRes vs $fRes")
         emit(s"""{"probe":"skip","phase":"scan","mult":$mult,"files_total":${kept.size + skipped.size},""" +
           s""""files_kept":${kept.size},"rows":${pRes._1},"probed":{"bytes":$pB,"records":$pR,"tasks":$pT,"wall_s":${f"$pW%.3f"}},""" +
+          s""""full":{"bytes":$fB,"records":$fR,"tasks":$fT,"wall_s":${f"$fW%.3f"}}}""")
+      }
+
+      // ---- bloom: point lookup on a HASH-banded copy — every file's
+      // [min,max] spans the whole key domain, so bounds prune nothing and
+      // only the per-file Bloom sidecars can route. Reports the sidecar
+      // byte cost next to the table bytes (the ~0.1%-of-data budget) and
+      // the lookup's files/tasks vs the bloom-blind full scan ----
+      locally {
+        val rootB = Files.createTempDirectory(s"graft-skipprobe-bloom-x$mult-").toString
+        val whB = new AtomicWarehouse(spark, rootB)
+        whB.setBloomIndex("t", Seq("k"), fpp = 0.001)
+        (0 until nBands).foreach(b =>
+          whB.append("t", corpus.filter(col("k") % nBands === b).coalesce(1)))
+        val idxBytes = whB.sizeBytes("t/_bloom")
+        val dataBytes = whB.sizeBytes("t") // visible data files only (not the index)
+        // a real key (corpus keys have gaps): the largest of residue class 3
+        val probeKey = corpus.filter(col("k") % nBands === 3)
+          .agg(max(col("k"))).head().getLong(0)
+        val preds = Seq(ColEq("k", probeKey))
+        val (kept, skipped) = whB.planFiles("t", preds)
+        val (pRes, pB, pR, pT, pW) = measured(agg2(whB.scanWhere("t", sch, preds)))
+        val (fRes, fB, fR, fT, fW) = measured(
+          agg2(whB.read("t", sch).filter(col("k") === probeKey)))
+        require(pRes == fRes, s"bloom scanWhere != full filter at x$mult: $pRes vs $fRes")
+        emit(s"""{"probe":"skip","phase":"bloom","mult":$mult,"files_total":${kept.size + skipped.size},""" +
+          s""""files_kept":${kept.size},"rows":${pRes._1},"index_bytes":$idxBytes,"data_bytes":$dataBytes,""" +
+          s""""probed":{"bytes":$pB,"records":$pR,"tasks":$pT,"wall_s":${f"$pW%.3f"}},""" +
           s""""full":{"bytes":$fB,"records":$fR,"tasks":$fT,"wall_s":${f"$fW%.3f"}}}""")
       }
 
