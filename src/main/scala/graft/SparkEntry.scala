@@ -2383,6 +2383,92 @@ object SparkEntry {
     // matched postings via term-literal pruning. Postings are per-(term,doc)
     // rows and stats per-batch long sums, so the accumulated index ≡ a
     // from-scratch build and the oracle is doc_bm25's, verbatim
+    // ---- GDPR purge propagation through the inverted index: every
+    // doc_id % 17 == 0 document is retracted from the PERSISTED index —
+    // merge-on-read tombstones (a doc's postings scatter across every
+    // term's file, so copy-on-write would rewrite the whole index;
+    // zero_rewrite is the literal claim) with the NEGATIVE stats row in
+    // the SAME commit. The post-retraction BM25 must be bit-identical to
+    // a from-scratch build over the surviving corpus — the oracle IS
+    // bm25Sql with the purged docs filtered out of the corpus CTEs — and
+    // the tombstone count is itself oracle-restated as the purged docs'
+    // distinct (doc, term) pair count
+    q("etl_purge_retract") = (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val queries = Seq(
+        (1L, "merge join order sort"),
+        (2L, "vector window stream"),
+        (3L, "customer data value zzz")).toDF("q_id", "qtext")
+      val wh = new graft.sources.AtomicWarehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-purge-").toString)
+      val fts = new PersistedPostings(wh)
+      fts.build(docs, "doc_id", "text")
+      val filesBefore = wh.describe(fts.postingsTable).files
+      val purged = docs.filter(col("doc_id") % 17 === 0)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+      val gone = fts.retractDocs(purged)
+      val zeroRewrite = wh.describe(fts.postingsTable).files == filesBefore
+      fts.query(queries, "q_id", "qtext", k = 10)
+        .select(col("q_id"), col("rank").cast(LongType).as("rank"),
+          col("id").as("doc_id"), col("bm25"))
+        .withColumn("retracted", lit(gone))
+        .withColumn("zero_rewrite", lit(zeroRewrite))
+        .orderBy(col("q_id"), col("rank"))
+    }
+
+    // ---- the inverted index as an incrementally-maintained MATERIALIZED
+    // VIEW of a lakehouse corpus table (FtsSync): the corpus suffers an
+    // append seed, a text-editing UPDATE (retract + re-admit of the same
+    // ids), a scattered DV delete, and an upserting MERGE that also inserts
+    // two new docs — one sync per window applies each commit exactly once
+    // through the per-commit retract/ingest ledgers, and BM25 over the
+    // synced index must be bit-identical to a from-scratch build over the
+    // corpus's LIVE state, which the oracle restates as a CASE/filter/UNION
+    // over raw documents. n_docs pins the telescoped stats (N after
+    // retractions and admissions ≡ the live corpus count)
+    q("etl_fts_sync") = (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val queries = Seq(
+        (1L, "merge join order sort"),
+        (2L, "vector window stream"),
+        (3L, "customer data value zzz")).toDF("q_id", "qtext")
+      val corpus = docs.select(col("doc_id"), col("text"))
+      val wh = new graft.sources.AtomicWarehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-ftsmv-").toString)
+      wh.setChangeFeed("corpus", on = true)
+      val fts = new PersistedPostings(wh)
+      fts.build(corpus.limit(0), "doc_id", "text")
+      val mv = new graft.streaming.FtsSync(wh, "corpus", corpus.schema,
+        "doc_id", "text", fts)
+      wh.append("corpus", corpus.coalesce(1))
+      mv.sync() // seed: the append arrives as inserts
+      val m = docs.agg(max(col("doc_id"))).head().getLong(0)
+      def idsWhere(c: org.apache.spark.sql.Column): Seq[Long] =
+        docs.filter(c).select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+      // text-editing UPDATE: retract + re-admit of the same ids
+      wh.updateWhere("corpus", corpus.schema,
+        Seq(graft.sources.ColIn("doc_id", idsWhere(col("doc_id") % 13 === 0))),
+        Seq("text" -> concat(col("text"), lit(" zzz zzz"))))
+      // scattered merge-on-read purge
+      wh.deleteWhereDv("corpus", corpus.schema,
+        Seq(graft.sources.ColIn("doc_id",
+          idsWhere(col("doc_id") % 17 === 0 && col("doc_id") % 13 =!= 0))))
+      // upsert + two fresh inserts through MERGE
+      wh.mergeInto("corpus", corpus.schema, Seq(
+          (1L, "customer data value zzz"),
+          (m + 1L, "zzz window stream"),
+          (m + 2L, "alpha omega")).toDF("doc_id", "text"), Seq("doc_id"))
+      mv.sync() // one window: update + DV delete + merge
+      val nDocs = fts.corpusStats().agg(sum(col("n"))).head().getLong(0)
+      fts.query(queries, "q_id", "qtext", k = 10)
+        .select(col("q_id"), col("rank").cast(LongType).as("rank"),
+          col("id").as("doc_id"), col("bm25"))
+        .withColumn("n_docs", lit(nDocs))
+        .orderBy(col("q_id"), col("rank"))
+    }
+
     q("doc_bm25_persisted") = (s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
@@ -5205,6 +5291,49 @@ object SparkEntry {
     // same corpus (postings rows and per-batch stat sums are exact under
     // union — PersistedPostings class doc), so its oracle IS doc_bm25's
     "doc_bm25_persisted" -> bm25Sql,
+
+    // FtsSync materialized view: BM25 over the synced index ≡ bm25Sql over
+    // the corpus's LIVE end state — update texts re-admitted, purged docs
+    // gone, merge's upsert and fresh inserts present; n_docs pins the
+    // telescoped stats to the live count
+    "etl_fts_sync" -> {
+      val synced = bm25Ctes.replace("FROM documents", "FROM final_docs")
+      s"""WITH final_docs AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id = 1 THEN 'customer data value zzz'
+         |         WHEN doc_id % 13 = 0 THEN text || ' zzz zzz'
+         |         ELSE text END AS text
+         |  FROM documents
+         |  WHERE NOT (doc_id % 17 = 0 AND doc_id % 13 <> 0)
+         |  UNION ALL
+         |  SELECT max(doc_id) + 1, 'zzz window stream' FROM documents
+         |  UNION ALL
+         |  SELECT max(doc_id) + 2, 'alpha omega' FROM documents),
+         |$synced
+         |SELECT q_id, CAST(rank AS BIGINT) AS rank, id AS doc_id, bm25,
+         | (SELECT CAST(count(*) AS BIGINT) FROM final_docs) AS n_docs
+         |FROM ranked WHERE rank <= 10
+         |ORDER BY q_id, rank""".stripMargin
+    },
+
+    // purge propagation: BM25 over the retracted index ≡ bm25Sql with the
+    // purged docs filtered out of the corpus CTEs; the tombstone count is
+    // the purged docs' distinct (doc, term) pair count; zero_rewrite is
+    // the merge-on-read routing claim
+    "etl_purge_retract" -> {
+      val filteredCtes = bm25Ctes.replace("FROM documents",
+        "FROM (SELECT * FROM documents WHERE doc_id % 17 <> 0) documents")
+      s"""WITH $filteredCtes,
+         | gone AS (SELECT count(*) AS retracted FROM (
+         |   SELECT DISTINCT doc_id, t FROM (
+         |     SELECT doc_id,
+         |       unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+         |     FROM documents WHERE doc_id % 17 = 0)))
+         |SELECT q_id, CAST(rank AS BIGINT) AS rank, id AS doc_id, bm25,
+         | CAST(retracted AS BIGINT) AS retracted, TRUE AS zero_rewrite
+         |FROM ranked CROSS JOIN gone WHERE rank <= 10
+         |ORDER BY q_id, rank""".stripMargin
+    },
 
     // streamed postings ≡ batch postings whatever the batching (exact under
     // union), so the streaming index answers with doc_bm25's oracle too

@@ -50,6 +50,7 @@ class PersistedIvf(wh: Warehouse, probeCellLimit: Int = 1000) {
   val ingestTable = "ann/IngestLedger"
   val pqCodebookTable = "ann/PqCodebook"
   val pqMetaTable = "ann/PqMeta"
+  val retractTable = "ann/RetractLedger"
 
   val centroidSchema: StructType = StructType(Seq(
     StructField("cell", IntegerType, nullable = false),
@@ -329,6 +330,61 @@ class PersistedIvf(wh: Warehouse, probeCellLimit: Int = 1000) {
         }
       }
     } finally assigned.unpersist(false)
+  }
+
+  /** GDPR-style retraction: remove `ids`' cell assignments WITHOUT
+    * rewriting the cell-sorted files — ids scatter across every cell, so a
+    * copy-on-write delete would rewrite the index; merge-on-read
+    * tombstones ([[graft.sources.AtomicWarehouse.deleteWhereDv]]) commit
+    * with a `kind="retract"` stats row (negative n; ignored by [[drifted]],
+    * which compares train/batch cosines) in the SAME manifest. Every probe
+    * path ([[topK]]/[[topKSq8]]/[[topKPq]]/[[topKPqRerank]]) reads through
+    * the tombstones, so purged vectors leave all results at once; with
+    * unchanged centroids the post-retraction top-k is exactly the
+    * pre-retraction ranking with the purged ids filtered out. Centroids
+    * keep their training history — [[drifted]]/[[retrain]] remain the
+    * recalibration path. Returns tombstoned assignment rows.
+    */
+  def retractVectors(ids: Seq[Long]): Long = retract(ids, batchId = None)
+
+  /** [[retractVectors]] plus a `(batch_id)` retraction-ledger row in the
+    * SAME commit — the replay guard a change-feed maintenance driver needs
+    * (the [[graft.streaming.FtsSync]] pattern): a replayed window sees its
+    * batch id and no-ops. Ledger separate from the ingest ledger (different
+    * id streams).
+    */
+  def retractVectorsLedgered(ids: Seq[Long], batchId: Long): Long =
+    if (retracted(batchId)) 0L else retract(ids, Some(batchId))
+
+  /** True when `batchId` was already retracted (a replayed window). */
+  def retracted(batchId: Long): Boolean =
+    wh.exists(retractTable) && !wh.read(retractTable, ingestSchema)
+      .filter(col("batch_id") === batchId).isEmpty
+
+  private def retract(ids: Seq[Long], batchId: Option[Long]): Long = {
+    require(ids.nonEmpty, "retractVectors with no ids")
+    val awh = wh match {
+      case a: graft.sources.AtomicWarehouse => a
+      case _ => throw new IllegalStateException(
+        "retractVectors needs an AtomicWarehouse — merge-on-read " +
+          "retraction rides deletion vectors")
+    }
+    require(wh.exists(statsTable), s"$statsTable absent — build() first")
+    val distinct = ids.distinct
+    val seq = wh.read(statsTable, statsSchema).agg(max(col("seq"))).head() match {
+      case r if r.isNullAt(0) => 1L
+      case r => r.getLong(0) + 1L
+    }
+    val r = awh.deleteWhereDv(assignTable, assignSchema,
+      Seq(graft.sources.ColIn("id", distinct)),
+      alsoInTx = w => {
+        w.append(statsTable, statsRow(seq, "retract", -distinct.size.toLong, None))
+        batchId.foreach { b =>
+          w.append(retractTable, wh.spark.createDataFrame(
+            java.util.Arrays.asList(org.apache.spark.sql.Row(Long.box(b))), ingestSchema))
+        }
+      })
+    r.deleted
   }
 
   def centroids(): DataFrame = wh.read(centroidsTable, centroidSchema)

@@ -38,11 +38,12 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * probe and the IVF probed-cell slice. Above the cap the filter degrades to
   * a broadcast semi-join over a full scan (exact either way).
   */
-class PersistedPostings(wh: Warehouse, probeTermLimit: Int = 1000) {
+class PersistedPostings(private[graft] val wh: Warehouse, probeTermLimit: Int = 1000) {
 
   val postingsTable = "fts/Postings"
   val statsTable = "fts/CorpusStats"
   val ingestTable = "fts/IngestLedger"
+  val retractTable = "fts/RetractLedger"
 
   val postingsSchema: StructType = StructType(Seq(
     StructField("t", StringType, nullable = true),
@@ -224,6 +225,79 @@ class PersistedPostings(wh: Warehouse, probeTermLimit: Int = 1000) {
     Similarity.topKPerKey(occ, "q_id", "occ", "id", k)
       .select(col("q_id"), col("rank"), col("id"),
         col("occ").cast(LongType).as("occurrences"))
+  }
+
+  /** GDPR-style retraction: remove `ids`' postings and their contribution
+    * to the corpus stats, WITHOUT rewriting the term-sorted files — a
+    * document's postings scatter across every term's file, so a
+    * copy-on-write delete would rewrite the whole index; the merge-on-read
+    * path commits per-file tombstones ([[graft.sources.AtomicWarehouse.deleteWhereDv]])
+    * and a NEGATIVE stats row `(−|ids|, −Σdl)` in the SAME manifest commit,
+    * so a crash can never leave postings gone but N undecremented. After
+    * retraction [[query]] is bit-identical to a from-scratch [[build]] over
+    * the surviving corpus: the stats sums telescope exactly (integer
+    * addition), matched postings exclude tombstoned rows, and df is derived
+    * from the matched frame. Caller contract mirrors [[addDocs]]'s
+    * first-arrival rule: `ids` must be currently-indexed document ids —
+    * N is decremented by `|ids|` (a doc whose text tokenized to NOTHING has
+    * no postings row to witness it, so presence cannot be derived here),
+    * and over-retracting corrupts N exactly as re-admitting double-counts.
+    * `ids` is driver-resident and becomes an IN-literal row filter — sized
+    * for erasure-request batches (≤ ~100k); larger purges should arrive in
+    * batches, each its own atomic retraction. Requires an
+    * [[graft.sources.AtomicWarehouse]]; [[compact]] folds the tombstones
+    * into clean files when the dead fraction warrants it.
+    */
+  def retractDocs(ids: Seq[Long]): Long = retract(ids, batchId = None)
+
+  /** [[retractDocs]] plus a `(batch_id)` retraction-ledger row in the SAME
+    * commit as the tombstones and the negative stats row — the replay
+    * guard [[addDocsLedgered]] gives admits: a retraction is NOT naturally
+    * idempotent (replaying the stats decrement corrupts N), so a
+    * maintenance driver replaying a change window after a crash must see
+    * its batch id and no-op. The ledger is separate from the ingest ledger
+    * (their id spaces are different streams).
+    */
+  def retractDocsLedgered(ids: Seq[Long], batchId: Long): Long =
+    if (retracted(batchId)) 0L else retract(ids, Some(batchId))
+
+  /** True when `batchId` was already retracted (a replayed window). */
+  def retracted(batchId: Long): Boolean =
+    wh.exists(retractTable) && !wh.read(retractTable, ingestSchema)
+      .filter(col("batch_id") === batchId).isEmpty
+
+  private def retract(ids: Seq[Long], batchId: Option[Long]): Long = {
+    require(ids.nonEmpty, "retractDocs with no ids")
+    val awh = wh match {
+      case a: graft.sources.AtomicWarehouse => a
+      case _ => throw new IllegalStateException(
+        "retractDocs needs an AtomicWarehouse — merge-on-read retraction " +
+          "rides deletion vectors")
+    }
+    require(wh.exists(statsTable), s"$statsTable absent — build() first")
+    val distinct = ids.distinct
+    val dlGone = postings().filter(col("id").isInCollection(distinct))
+      .groupBy(col("id")).agg(any_value(col("dl")).as("dl"))
+      .agg(coalesce(sum(col("dl")), lit(0L))).head().getLong(0)
+    val seq = wh.read(statsTable, statsSchema).agg(max(col("seq"))).head() match {
+      case r if r.isNullAt(0) => 1L
+      case r => r.getLong(0) + 1L
+    }
+    val neg = statsRow(seq, -distinct.size.toLong, -dlGone)
+    def ledgerRow(w: Warehouse): Unit = batchId.foreach { b =>
+      w.append(retractTable, wh.spark.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row(Long.box(b))), ingestSchema))
+    }
+    val r = awh.deleteWhereDv(postingsTable, postingsSchema,
+      Seq(graft.sources.ColIn("id", distinct)),
+      alsoInTx = w => { w.append(statsTable, neg); ledgerRow(w) })
+    // a purge of only token-less docs tombstones nothing — the stats
+    // correction (their count in N) and the ledger row must still land,
+    // still atomically
+    if (r.deleted == 0L) wh.atomically { w =>
+      w.append(statsTable, neg); ledgerRow(w)
+    }
+    r.deleted
   }
 
   /** Small-file maintenance: every [[addDocs]] append lands ≥1 file, and the

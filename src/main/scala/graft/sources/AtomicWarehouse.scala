@@ -2129,74 +2129,120 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     * [[deleteWhere]]; returns exact counts and the literal file routing.
     */
   def deleteWhereDv(table: String, schema: StructType, preds: Seq[FilePred],
-      maxDvPerFile: Int = 100000): DvDeleteResult = {
+      maxDvPerFile: Int = 100000,
+      alsoInTx: Warehouse => Unit = _ => ()): DvDeleteResult =
+    deleteWhereDvAll(Seq((table, schema, preds)), maxDvPerFile, alsoInTx).head
+
+  /** One DV delete's fully-planned commit payload (or the no-op result). */
+  private case class DvPlan(table: String, lines: Seq[String],
+      touched: Seq[String], pins: Seq[(String, Option[String])],
+      changeSlice: Option[DataFrame], result: DvDeleteResult)
+
+  private def planDvDelete(table: String, schema: StructType,
+      preds: Seq[FilePred], maxDvPerFile: Int): Either[DvDeleteResult, DvPlan] = {
     val cond = FilePred.toColumn(preds, schema)
+    val (cands, skipped) = planFiles(table, preds)
+    require(cands.forall(!_.contains("/")),
+      s"deletion vectors on partition-dir layouts are not supported (table $table); " +
+        "use deleteWhere after migrating the layout")
+    if (cands.isEmpty) return Left(DvDeleteResult(0L, 0, 0, skipped.size))
+    val st = foldedState()
+    val dvBefore: Map[String, Option[String]] =
+      cands.map(f => f -> st.dvs.get((table, f))).toMap
+    val existing = parseDvs(st, table)
+    // per-candidate matching LIVE ordinals (existing DVs pre-filtered so a
+    // dead row is never re-deleted or double-counted)
+    val m = colMapOf(table)
+    import org.apache.spark.sql.functions.{collect_list, sort_array}
+    val hitRows = sel(readTagged(table, schema, cands, m, existing), schema, m,
+        keep = Seq("__file", "__ord"))
+      .filter(coalesce(cond, lit(false)))
+      .groupBy(col("__file"))
+      .agg(sort_array(collect_list(col("__ord"))).as("__ords"))
+      .collect()
+    if (hitRows.isEmpty) return Left(DvDeleteResult(0L, 0, 0, skipped.size))
+    val newOrds: Map[String, Seq[Long]] = hitRows.map(r =>
+      r.getString(0) -> r.getSeq[Long](1).toVector).toMap
+    val deleted = newOrds.valuesIterator.map(_.size.toLong).sum
+    val merged: Map[String, Seq[Long]] = newOrds.map { case (f, ords) =>
+      f -> (existing.getOrElse(f, Nil) ++ ords).distinct.sorted.toSeq
+    }
+    merged.foreach { case (f, ords) =>
+      require(ords.size <= maxDvPerFile,
+        s"deletion vector for $table/$f would hold ${ords.size} ordinals " +
+          s"(cap $maxDvPerFile) — the file is dead enough to deserve a " +
+          "rewrite: use deleteWhere (copy-on-write) or compact first")
+    }
+    val lines = merged.toSeq.sortBy(_._1).map { case (f, ords) =>
+      val j = DvRec.toJson(ords)
+      require(!j.contains('\t') && !j.contains('\n'), "dv JSON contains TSV control chars")
+      s"dv\t$table\t$f\t$j"
+    }
+    val changeSlice =
+      if (!changeFeedEnabled(table)) None
+      else Some(sel(readTagged(table, schema, cands, m, existing), schema, m)
+        .filter(coalesce(cond, lit(false)))
+        .withColumn(changeTypeCol, lit("delete")))
+    Right(DvPlan(table, lines, newOrds.keys.toSeq,
+      dvBefore.toSeq.filter { case (f, _) => newOrds.contains(f) },
+      changeSlice, DvDeleteResult(deleted, newOrds.size, 0, skipped.size)))
+  }
+
+  /** Merge-on-read delete across SEVERAL tables in ONE manifest commit —
+    * the purge-propagation primitive: a GDPR-style erasure must leave a
+    * corpus table and every derived structure keyed off it (inverted-index
+    * postings, dedup hash sets, ANN cell assignments) consistent, and two
+    * sequential commits leave a crash window where one is purged and the
+    * other not. Each target is planned exactly like [[deleteWhereDv]]
+    * (per-file live-ordinal tombstones, zero data-file rewrites, its own
+    * change-feed slice when enabled) and all dv lines publish atomically,
+    * pinned per table on file visibility and pre-read DV entries; any
+    * racing commit aborts the whole batch, which replans. `alsoInTx` rows
+    * (derived-index stats corrections, ledgers) ride the same commit, and
+    * run only when at least one target has matching rows.
+    */
+  def deleteWhereDvAll(targets: Seq[(String, StructType, Seq[FilePred])],
+      maxDvPerFile: Int = 100000,
+      alsoInTx: Warehouse => Unit = _ => ()): Seq[DvDeleteResult] = {
+    require(targets.nonEmpty, "deleteWhereDvAll with no targets")
+    require(targets.map(_._1).distinct.size == targets.size,
+      "deleteWhereDvAll targets must be distinct tables — merge the predicates")
     var attempts = 0
     while (attempts < 8) {
-      val (cands, skipped) = planFiles(table, preds)
-      require(cands.forall(!_.contains("/")),
-        s"deletion vectors on partition-dir layouts are not supported (table $table); " +
-          "use deleteWhere after migrating the layout")
-      if (cands.isEmpty) return DvDeleteResult(0L, 0, 0, skipped.size)
-      val st = foldedState()
-      val dvBefore: Map[String, Option[String]] =
-        cands.map(f => f -> st.dvs.get((table, f))).toMap
-      val existing = parseDvs(st, table)
-      // per-candidate matching LIVE ordinals (existing DVs pre-filtered so a
-      // dead row is never re-deleted or double-counted)
-      val m = colMapOf(table)
-      import org.apache.spark.sql.functions.{collect_list, sort_array}
-      val hitRows = sel(readTagged(table, schema, cands, m, existing), schema, m,
-          keep = Seq("__file", "__ord"))
-        .filter(coalesce(cond, lit(false)))
-        .groupBy(col("__file"))
-        .agg(sort_array(collect_list(col("__ord"))).as("__ords"))
-        .collect()
-      if (hitRows.isEmpty) return DvDeleteResult(0L, 0, 0, skipped.size)
-      val newOrds: Map[String, Seq[Long]] = hitRows.map(r =>
-        r.getString(0) -> r.getSeq[Long](1).toVector).toMap
-      val deleted = newOrds.valuesIterator.map(_.size.toLong).sum
-      val merged: Map[String, Seq[Long]] = newOrds.map { case (f, ords) =>
-        f -> (existing.getOrElse(f, Nil) ++ ords).distinct.sorted.toSeq
+      val planned = targets.map { case (table, schema, preds) =>
+        planDvDelete(table, schema, preds, maxDvPerFile)
       }
-      merged.foreach { case (f, ords) =>
-        require(ords.size <= maxDvPerFile,
-          s"deletion vector for $table/$f would hold ${ords.size} ordinals " +
-            s"(cap $maxDvPerFile) — the file is dead enough to deserve a " +
-            "rewrite: use deleteWhere (copy-on-write) or compact first")
-      }
-      val lines = merged.toSeq.sortBy(_._1).map { case (f, ords) =>
-        val j = DvRec.toJson(ords)
-        require(!j.contains('\t') && !j.contains('\n'), "dv JSON contains TSV control chars")
-        s"dv\t$table\t$f\t$j"
-      }
-      val feedOn = changeFeedEnabled(table)
+      if (planned.forall(_.isLeft))
+        return planned.map(_.left.getOrElse(sys.error("unreachable")))
       try {
-        // one transaction: the dv lines (+ the change-feed slice when
-        // enabled) publish atomically, pinned on every touched file's
-        // visibility AND its pre-read DV entry — a racing DV delete
-        // (last-line-wins would silently drop its ordinals) or rewrite
-        // (our ordinals would tombstone NEW rows) aborts and retries
-        val touched = newOrds.keys.toSeq
-        val pins = dvBefore.toSeq.filter { case (f, _) => newOrds.contains(f) }
+        // one transaction across all targets: dv lines + change-feed
+        // slices + caller rows publish atomically; pins abort on any
+        // racing DV delete (last-line-wins would drop its ordinals) or
+        // rewrite (our ordinals would tombstone NEW rows)
         atomically {
           case tv: TxView =>
-            tv.manifestLines(table, lines, touched, pins)
-            if (feedOn) tv.append(changesTable(table),
-              sel(readTagged(table, schema, cands, m, existing), schema, m)
-                .filter(coalesce(cond, lit(false)))
-                .withColumn(changeTypeCol, lit("delete")))
+            planned.foreach {
+              case Right(p) =>
+                tv.manifestLines(p.table, p.lines, p.touched, p.pins)
+                p.changeSlice.foreach(cs => tv.append(changesTable(p.table), cs))
+              case Left(_) =>
+            }
+            alsoInTx(tv) // caller rows (derived-index stats, ledgers) ride along
           case w => throw new IllegalStateException(
             s"AtomicWarehouse.atomically produced a ${w.getClass.getName}")
         }
-        return DvDeleteResult(deleted, newOrds.size, 0, skipped.size)
+        return planned.map {
+          case Right(p) => p.result
+          case Left(r) => r
+        }
       } catch {
         case _: java.util.ConcurrentModificationException => attempts += 1
       }
     }
     throw new java.util.ConcurrentModificationException(
-      s"deleteWhereDv on $table lost $attempts straight races to concurrent " +
-        "commits; table is intact — retry when the writer is quieter")
+      s"deleteWhereDvAll on ${targets.map(_._1).mkString(", ")} lost $attempts " +
+        "straight races to concurrent commits; tables are intact — retry " +
+        "when the writers are quieter")
   }
 
   /** Bin-pack SMALL files — OPTIMIZE's other half beside

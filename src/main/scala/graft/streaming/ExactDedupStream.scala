@@ -149,6 +149,39 @@ class ExactDedupStream(wh: Warehouse, probeHashLimit: Int = 1000,
 
   private var batchesSinceCompact = 0
 
+  /** GDPR-style retraction: purge survivor docs AND their hashes from the
+    * admission index in ONE manifest commit
+    * ([[graft.sources.AtomicWarehouse.deleteWhereDvAll]] — two sequential
+    * commits would leave a crash window where either an orphaned hash
+    * refuses legitimate re-admission forever, or a surviving doc readmits
+    * its text as a duplicate). Survivors are exactly-deduped, so each
+    * purged doc's sha is witnessed by no other survivor and freeing it is
+    * sound: the SAME text arriving later is admitted as a NEW document —
+    * the erasure semantics, not a dedup leak. The persisted bloom is NOT
+    * retracted (Blooms cannot delete): the stale positive only routes the
+    * probe to the index, which now says no — the routing/deciding split
+    * this stream is built on. Returns (survivor rows purged, hashes freed).
+    */
+  def retract(ids: Seq[Long]): (Long, Long) = {
+    require(ids.nonEmpty, "retract with no ids")
+    val awh = wh match {
+      case a: graft.sources.AtomicWarehouse => a
+      case _ => throw new IllegalStateException(
+        "retract needs an AtomicWarehouse — the atomic two-table purge " +
+          "rides deleteWhereDvAll")
+    }
+    val distinct = ids.distinct
+    val shas = wh.read(corpusTable, docSchema)
+      .filter(col("doc_id").isInCollection(distinct))
+      .select(coalesce(sha2(col("text"), 256), lit("__null_text__")).as("text_sha"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    if (shas.isEmpty) return (0L, 0L)
+    val rs = awh.deleteWhereDvAll(Seq(
+      (corpusTable, docSchema, Seq(graft.sources.ColIn("doc_id", distinct))),
+      (indexTable, idxSchema, Seq(graft.sources.ColIn("text_sha", shas)))))
+    (rs.head.deleted, rs(1).deleted)
+  }
+
   // bloom state cache — same sequential-stream argument as the counter;
   // `bloomLoaded` distinguishes "not read yet" from "read, and absent"
   private var bloomLoaded = false

@@ -1,0 +1,107 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.operators.PersistedPostings
+import graft.sources.{AtomicWarehouse, ColEq, ColIn, ColLt}
+import graft.streaming.FtsSync
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** The inverted index maintained as a materialized view of a corpus table's
+  * change feed. Contract under test: after ANY row-level DML mix (append,
+  * update, merge, DV delete) one sync makes BM25 over the index bit-exact
+  * to a from-scratch build over the live corpus; replays (wound-back
+  * cursor, repeated sync) no-op through the per-commit ledgers instead of
+  * corrupting N; un-reconstructible windows refuse.
+  */
+class FtsSyncSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("text", StringType, nullable = true)))
+
+  private val queries = Seq(
+    (1L, "alpha delta"), (2L, "beta gamma"), (3L, "zulu epsilon")).toDF("q_id", "qtext")
+
+  private def fixture(): (AtomicWarehouse, PersistedPostings, FtsSync) = {
+    val wh = new AtomicWarehouse(spark, Files.createTempDirectory("graft-ftssync-").toString)
+    wh.setChangeFeed("corpus", on = true)
+    val fts = new PersistedPostings(wh)
+    fts.build(Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text")
+    (wh, fts, new FtsSync(wh, "corpus", docSchema, "doc_id", "text", fts))
+  }
+
+  private def bm25(f: PersistedPostings): Seq[(Long, Long, Long, Double)] =
+    f.query(queries, "q_id", "qtext", k = 10)
+      .select(col("q_id"), col("rank").cast("long"), col("id"), col("bm25"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sortBy(t => (t._1, t._2))
+
+  private def freshOver(live: DataFrame): PersistedPostings = {
+    val wh = new AtomicWarehouse(spark, Files.createTempDirectory("graft-ftsref-").toString)
+    val f = new PersistedPostings(wh)
+    f.build(live, "doc_id", "text")
+    f
+  }
+
+  test("index ≡ from-scratch build across append/update/merge/DV-delete, sync by sync") {
+    val (wh, fts, mv) = fixture()
+    def liveEq(): Unit =
+      assert(bm25(fts) == bm25(freshOver(wh.read("corpus", docSchema))),
+        "synced index diverges from a fresh build over the live corpus")
+    wh.append("corpus", Seq(
+      (1L, "alpha beta gamma"), (2L, "beta beta delta"),
+      (3L, "alpha delta delta epsilon")).toDF("doc_id", "text").coalesce(1))
+    wh.append("corpus", Seq(
+      (4L, "gamma gamma beta"), (5L, "epsilon alpha zulu")).toDF("doc_id", "text").coalesce(1))
+    mv.sync(); liveEq()
+    // UPDATE: text edit = retraction + re-admission of the same id
+    wh.updateWhere("corpus", docSchema, Seq(ColLt("doc_id", 3L)),
+      Seq("text" -> concat(col("text"), lit(" zulu"))))
+    mv.sync(); liveEq()
+    // scattered DV delete + an upserting merge in the same window
+    wh.deleteWhereDv("corpus", docSchema, Seq(ColIn("doc_id", Seq(2L, 5L))))
+    wh.mergeInto("corpus", docSchema,
+      Seq((3L, "delta only now"), (9L, "zulu zulu epsilon")).toDF("doc_id", "text"),
+      Seq("doc_id"))
+    mv.sync(); liveEq()
+    // stats never drift: N equals the live corpus count
+    val n = fts.corpusStats().agg(sum(col("n"))).head().getLong(0)
+    assert(n == wh.read("corpus", docSchema).count())
+    // idempotent: another sync moves nothing
+    val c = mv.sync()
+    assert(mv.sync() == c); liveEq()
+  }
+
+  test("a wound-back cursor replays the window; ledgers make it converge") {
+    val (wh, fts, mv) = fixture()
+    wh.append("corpus", Seq((1L, "alpha beta"), (2L, "beta gamma"))
+      .toDF("doc_id", "text").coalesce(1))
+    mv.sync()
+    wh.updateWhere("corpus", docSchema, Seq(ColEq("doc_id", 1L)),
+      Seq("text" -> lit("alpha delta")))
+    wh.deleteWhereDv("corpus", docSchema, Seq(ColEq("doc_id", 2L)))
+    mv.sync()
+    val want = bm25(fts)
+    val nWant = fts.corpusStats().agg(sum(col("n"))).head().getLong(0)
+    // restored-from-backup maintenance driver: cursor back to genesis,
+    // replay EVERYTHING — every commit no-ops through its ledger entry
+    fts.wh.replace(mv.cursorTable, Seq(0L).toDF("version"))
+    mv.sync()
+    assert(bm25(fts) == want, "replay corrupted the index")
+    assert(fts.corpusStats().agg(sum(col("n"))).head().getLong(0) == nWant,
+      "replay corrupted N through a re-applied stats row")
+  }
+
+  test("a replace window refuses (rebuild contract), like every feed consumer") {
+    val (wh, _, mv) = fixture()
+    wh.append("corpus", Seq((1L, "alpha")).toDF("doc_id", "text").coalesce(1))
+    mv.sync()
+    wh.replace("corpus", Seq((9L, "omega")).toDF("doc_id", "text"))
+    val e = intercept[IllegalStateException](mv.sync())
+    assert(e.getMessage.contains("not a row-level change"))
+  }
+}
