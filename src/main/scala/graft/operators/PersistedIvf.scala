@@ -42,7 +42,7 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType
   * `probeCellLimit` distinct cells the filter is dropped (a full scan beats
   * a 10k-literal predicate).
   */
-class PersistedIvf(wh: Warehouse, probeCellLimit: Int = 1000) {
+class PersistedIvf(private[graft] val wh: Warehouse, probeCellLimit: Int = 1000) {
 
   val centroidsTable = "ann/Centroids"
   val assignTable = "ann/CellAssignments"

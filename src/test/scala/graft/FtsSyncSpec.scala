@@ -96,6 +96,54 @@ class FtsSyncSpec extends SparkSpec {
       "replay corrupted N through a re-applied stats row")
   }
 
+  test("VectorSync maintains the IVF index over an embeddings corpus the same way") {
+    import graft.operators.PersistedIvf
+    import graft.streaming.VectorSync
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(8)(i => math.sin(seed * 13.7 + i * 2.3).toFloat)
+    val vecSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("vec", ArrayType(FloatType), nullable = true)))
+    val wh = new AtomicWarehouse(spark, Files.createTempDirectory("graft-vsync-").toString)
+    wh.setChangeFeed("emb", on = true)
+    val seed = (0L until 12L).map(i => (i, vec(i.toInt))).toDF("id", "vec")
+    wh.append("emb", seed.coalesce(1))
+    val ivf = new PersistedIvf(wh)
+    ivf.build(wh.read("emb", vecSchema), "id", "vec", numCells = 3, iterations = 2)
+    val mv = new VectorSync(wh, "emb", vecSchema, "id", "vec", ivf)
+    // the index was built FROM the seed state, so the cursor starts at the
+    // feed head — the "seed via build on the corpus state at feed-enable
+    // time" contract
+    val seedHead = wh.versions().last.toLong
+    wh.replace(mv.cursorTable, Seq(seedHead).toDF("version"))
+    // churn: fresh vectors + a scattered purge, one window
+    wh.append("emb", (12L until 18L).map(i => (i, vec(i.toInt)))
+      .toDF("id", "vec").coalesce(1))
+    wh.deleteWhereDv("emb", vecSchema, Seq(ColIn("id", Seq(2L, 5L, 13L))))
+    mv.sync()
+    val liveIds = wh.read("emb", vecSchema).select(col("id"))
+      .collect().map(_.getLong(0)).toSet
+    val idxIds = ivf.assignments().select(col("id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(idxIds == liveIds, "index ids diverge from the live corpus")
+    // probes read through: purged never surface, fresh do
+    val q = Seq((100L, vec(13))).toDF("id", "vec")
+    val got = ivf.topK(q, "id", "vec", k = 5, nProbe = 3)
+      .select(col("c_id")).collect().map(_.getLong(0)).toSet
+    assert(!got.exists(Seq(2L, 5L, 13L).contains))
+    // replay convergence through the ledgers — wound back to the SEED
+    // head (never past it: the build-seeded window predates the ledgers,
+    // which is exactly the "cursor starts at seed head" contract)
+    val want = idxIds
+    ivf.wh.replace(mv.cursorTable, Seq(seedHead).toDF("version"))
+    mv.sync()
+    assert(ivf.assignments().select(col("id"))
+      .collect().map(_.getLong(0)).toSet == want, "replay corrupted the index")
+    assert(ivf.assignments().count() == liveIds.size.toLong,
+      "replay duplicated assignment rows")
+  }
+
   test("a replace window refuses (rebuild contract), like every feed consumer") {
     val (wh, _, mv) = fixture()
     wh.append("corpus", Seq((1L, "alpha")).toDF("doc_id", "text").coalesce(1))
