@@ -361,6 +361,64 @@ class PersistedIvf(private[graft] val wh: Warehouse, probeCellLimit: Int = 1000)
     wh.exists(retractTable) && !wh.read(retractTable, ingestSchema)
       .filter(col("batch_id") === batchId).isEmpty
 
+  /** Apply ONE corpus commit's whole row-level change — retraction of
+    * `outIds` AND admission of `fresh` — as ONE atomic index commit
+    * ([[graft.operators.PersistedPostings.applyChangeLedgered]]'s
+    * contract, for cell assignments): tombstones, the retract stats row,
+    * the fresh assignments, the batch stats row, and BOTH ledger rows
+    * publish together, so an UPDATE's re-embedded vector replaces its
+    * predecessor atomically and a window of K corpus commits costs K
+    * index commits instead of 2K. Replay converges through the same
+    * per-commit ledgers; a half-applied state from the old two-commit
+    * driver finishes its missing half here.
+    */
+  def applyChangeLedgered(outIds: Seq[Long], fresh: Option[DataFrame],
+      idCol: String, vecCol: String, batchId: Long): Unit = {
+    val needOut = outIds.nonEmpty && !retracted(batchId)
+    val needIn = fresh.isDefined && !ingested(batchId)
+    if (!needOut && !needIn) ()
+    else if (!needOut) addVectorsLedgered(fresh.get, idCol, vecCol, batchId)
+    else if (!needIn) retractVectorsLedgered(outIds, batchId)
+    else {
+      val awh = wh match {
+        case a: graft.sources.AtomicWarehouse => a
+        case _ => throw new IllegalStateException(
+          "applyChangeLedgered needs an AtomicWarehouse — merge-on-read " +
+            "retraction rides deletion vectors")
+      }
+      require(wh.exists(centroidsTable), s"$centroidsTable absent — build() first")
+      require(wh.exists(statsTable), s"$statsTable absent — build() first")
+      val distinct = outIds.distinct
+      val assigned = assignWithCos(normalized(fresh.get, idCol, vecCol), centroids())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val (n, meanCos) = meanCosOf(assigned)
+        val seq = wh.read(statsTable, statsSchema).agg(max(col("seq"))).head() match {
+          case r if r.isNullAt(0) => 1L
+          case r => r.getLong(0) + 1L
+        }
+        def ledger(w: Warehouse, t: String): Unit =
+          w.append(t, wh.spark.createDataFrame(
+            java.util.Arrays.asList(org.apache.spark.sql.Row(Long.box(batchId))),
+            ingestSchema))
+        def rest(w: Warehouse): Unit = {
+          w.append(statsTable, statsRow(seq, "retract", -distinct.size.toLong, None))
+          ledger(w, retractTable)
+          w.append(assignTable,
+            withCode(withPq(assigned.drop("cos6"), currentCb(), pqResidual(), centroids()))
+              .sortWithinPartitions("cell"))
+          w.append(statsTable, statsRow(seq + 1, "batch", n, meanCos))
+          ledger(w, ingestTable)
+        }
+        val r = awh.deleteWhereDv(assignTable, assignSchema,
+          Seq(graft.sources.ColIn("id", distinct)), alsoInTx = rest)
+        // ids that match no live assignment tombstone nothing, but the
+        // admission and both ledger rows must still land — atomically
+        if (r.deleted == 0L) wh.atomically(rest)
+      } finally assigned.unpersist(false)
+    }
+  }
+
   private def retract(ids: Seq[Long], batchId: Option[Long]): Long = {
     require(ids.nonEmpty, "retractVectors with no ids")
     val awh = wh match {

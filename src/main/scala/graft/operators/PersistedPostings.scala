@@ -266,6 +266,65 @@ class PersistedPostings(private[graft] val wh: Warehouse, probeTermLimit: Int = 
     wh.exists(retractTable) && !wh.read(retractTable, ingestSchema)
       .filter(col("batch_id") === batchId).isEmpty
 
+  /** Apply ONE corpus commit's whole row-level change — retraction of
+    * `outIds` AND admission of `fresh` — as ONE atomic index commit: the
+    * tombstones, the negative stats row, the fresh postings, the positive
+    * stats row, and BOTH ledger rows publish together. This is the
+    * change-feed maintenance fast path ([[graft.streaming.FtsSync]]): an
+    * UPDATE (retract + re-admit of the same ids) or an upserting MERGE
+    * applies to the index atomically — no crash window where the old text
+    * is gone and the new not yet searchable — and a window of K corpus
+    * commits costs K index commits instead of 2K. Replay converges through
+    * the same per-commit ledgers as the split path; a half-applied state
+    * left by a crash of the OLD two-commit driver finishes its missing
+    * half here (the ledgers are consulted independently).
+    */
+  def applyChangeLedgered(outIds: Seq[Long], fresh: Option[DataFrame],
+      idCol: String, textCol: String, batchId: Long): Unit = {
+    val needOut = outIds.nonEmpty && !retracted(batchId)
+    val needIn = fresh.isDefined && !ingested(batchId)
+    if (!needOut && !needIn) ()
+    else if (!needOut) addDocsLedgered(fresh.get, idCol, textCol, batchId)
+    else if (!needIn) retractDocsLedgered(outIds, batchId)
+    else {
+      val awh = wh match {
+        case a: graft.sources.AtomicWarehouse => a
+        case _ => throw new IllegalStateException(
+          "applyChangeLedgered needs an AtomicWarehouse — merge-on-read " +
+            "retraction rides deletion vectors")
+      }
+      require(wh.exists(statsTable), s"$statsTable absent — build() first")
+      val distinct = outIds.distinct
+      val f = fresh.get
+      val dlGone = postings().filter(col("id").isInCollection(distinct))
+        .groupBy(col("id")).agg(any_value(col("dl")).as("dl"))
+        .agg(coalesce(sum(col("dl")), lit(0L))).head().getLong(0)
+      val (n, sumdl) = Retrieval.corpusStats(f, textCol)
+      val seq = wh.read(statsTable, statsSchema).agg(max(col("seq"))).head() match {
+        case r if r.isNullAt(0) => 1L
+        case r => r.getLong(0) + 1L
+      }
+      def ledger(w: Warehouse, t: String): Unit =
+        w.append(t, wh.spark.createDataFrame(
+          java.util.Arrays.asList(org.apache.spark.sql.Row(Long.box(batchId))),
+          ingestSchema))
+      def rest(w: Warehouse): Unit = {
+        w.append(statsTable,
+          statsRow(seq, -distinct.size.toLong, -dlGone)
+            .union(statsRow(seq + 1, n, sumdl)))
+        ledger(w, retractTable)
+        w.append(postingsTable, postingsOf(f, idCol, textCol)
+          .sortWithinPartitions("t"))
+        ledger(w, ingestTable)
+      }
+      val r = awh.deleteWhereDv(postingsTable, postingsSchema,
+        Seq(graft.sources.ColIn("id", distinct)), alsoInTx = rest)
+      // token-less retractees tombstone nothing, but the stats correction,
+      // the admission, and both ledger rows must still land — atomically
+      if (r.deleted == 0L) wh.atomically(rest)
+    }
+  }
+
   private def retract(ids: Seq[Long], batchId: Option[Long]): Long = {
     require(ids.nonEmpty, "retractDocs with no ids")
     val awh = wh match {

@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.sources.AtomicWarehouse
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{col, max}
+import org.apache.spark.sql.functions.{col, collect_set, count, max, when}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** The GENERIC maintenance loop for a derived structure riding a corpus
@@ -45,6 +45,20 @@ abstract class ChangeFeedSync(srcWh: AtomicWarehouse, corpusTable: String,
     */
   protected def admit(rows: DataFrame, version: Long): Unit
 
+  /** Apply ONE corpus commit — retraction of `outIds` then admission of
+    * `in` (either side may be absent). The default is the split path
+    * (retract commit, then admit commit); implementations whose index
+    * supports it override with a FUSED single-commit apply
+    * (`applyChangeLedgered`), halving commits for update-shaped churn and
+    * closing the crash window where a doc's old state is un-learned but
+    * its new state not yet admitted.
+    */
+  protected def applyCommit(outIds: Seq[Long], in: Option[DataFrame],
+      version: Long): Unit = {
+    if (outIds.nonEmpty) retract(outIds, version)
+    in.foreach(admit(_, version))
+  }
+
   private val cursorSchema = StructType(Seq(
     StructField("version", LongType, nullable = false)))
 
@@ -59,29 +73,48 @@ abstract class ChangeFeedSync(srcWh: AtomicWarehouse, corpusTable: String,
 
   /** Apply everything the corpus committed since the cursor. Returns the
     * new cursor (unchanged when the window held no corpus change).
+    *
+    * The window is materialized ONCE (it is churn-sized, never
+    * corpus-sized) and a single census aggregate yields every per-commit
+    * retraction id set and admission count — without it, each commit in
+    * the window would re-read every change file three times (version
+    * probe, retract-id collect, emptiness check), a per-commit fixed cost
+    * that dominates small-churn windows and scales with window WIDTH
+    * rather than churn.
     */
   def sync(): Int = {
     val head = srcWh.versions().lastOption.getOrElse(0)
     val cur = cursor()
     if (head <= cur) return cur
     val feed = srcWh.changesBetween(corpusTable, corpusSchema, cur, head)
-    val versions = feed.select(col("_commit_version").cast(LongType))
-      .distinct().collect().map(_.getLong(0)).sorted // bounded: commits in the window
-    if (versions.isEmpty) return cur
-    versions.foreach { v =>
-      val slice = feed.filter(col("_commit_version") === v)
+      .persist()
+    try {
       val ct = col(srcWh.changeTypeCol)
-      val out = slice.filter(ct.isin("delete", "update_preimage"))
-        .select(col(idCol).cast(LongType)).distinct()
-        .collect().map(_.getLong(0)).toSeq // bounded: one commit's churn
-      if (out.nonEmpty) retract(out, v)
-      val in = slice.filter(ct.isin("insert", "update_postimage"))
-        .select(corpusSchema.fieldNames.toSeq.map(col): _*)
-      if (!in.isEmpty) admit(in, v)
-    }
-    cursorWh.replace(cursorTable, srcWh.spark.createDataFrame(
-      java.util.Arrays.asList(org.apache.spark.sql.Row(head.toLong)), cursorSchema))
-    head
+      // ONE driver job: per-commit churn census. collect_set drops the
+      // nulls the `when` leaves on admission rows, so `outIds` is exactly
+      // the commit's retraction set (bounded: one commit's churn — the
+      // same bound the per-commit collect had).
+      val census = feed.groupBy(col("_commit_version").cast(LongType).as("v"))
+        .agg(
+          collect_set(when(ct.isin("delete", "update_preimage"),
+            col(idCol).cast(LongType))).as("outIds"),
+          count(when(ct.isin("insert", "update_postimage"), 1)).as("nIn"))
+        .collect()
+      if (census.isEmpty) return cur
+      census.sortBy(_.getAs[Long]("v")).foreach { r =>
+        val v = r.getAs[Long]("v")
+        val out = r.getSeq[Long](r.fieldIndex("outIds"))
+        val in =
+          if (r.getAs[Long]("nIn") == 0L) None
+          else Some(feed.filter(col("_commit_version") === v &&
+              ct.isin("insert", "update_postimage"))
+            .select(corpusSchema.fieldNames.toSeq.map(col): _*))
+        applyCommit(out, in, v)
+      }
+      cursorWh.replace(cursorTable, srcWh.spark.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row(head.toLong)), cursorSchema))
+      head
+    } finally feed.unpersist()
   }
 }
 
@@ -107,4 +140,8 @@ class VectorSync(srcWh: AtomicWarehouse, corpusTable: String,
 
   protected def admit(rows: DataFrame, version: Long): Unit =
     ivf.addVectorsLedgered(rows, idCol, vecCol, version)
+
+  override protected def applyCommit(outIds: Seq[Long], in: Option[DataFrame],
+      version: Long): Unit =
+    ivf.applyChangeLedgered(outIds, in, idCol, vecCol, version)
 }

@@ -41,4 +41,8 @@ class FtsSync(srcWh: AtomicWarehouse, corpusTable: String,
 
   protected def admit(rows: DataFrame, version: Long): Unit =
     fts.addDocsLedgered(rows, idCol, textCol, version)
+
+  override protected def applyCommit(outIds: Seq[Long], in: Option[DataFrame],
+      version: Long): Unit =
+    fts.applyChangeLedgered(outIds, in, idCol, textCol, version)
 }

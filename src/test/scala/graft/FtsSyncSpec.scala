@@ -117,11 +117,19 @@ class FtsSyncSpec extends SparkSpec {
     // time" contract
     val seedHead = wh.versions().last.toLong
     wh.replace(mv.cursorTable, Seq(seedHead).toDF("version"))
-    // churn: fresh vectors + a scattered purge, one window
+    // churn: fresh vectors, a re-embedding UPDATE (the fused
+    // retract+admit single-commit branch), and a scattered purge — one window
     wh.append("emb", (12L until 18L).map(i => (i, vec(i.toInt)))
       .toDF("id", "vec").coalesce(1))
+    wh.updateWhere("emb", vecSchema, Seq(ColIn("id", Seq(3L, 7L))),
+      Seq("vec" -> typedLit(vec(99).toSeq).cast(
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
     wh.deleteWhereDv("emb", vecSchema, Seq(ColIn("id", Seq(2L, 5L, 13L))))
     mv.sync()
+    // the re-embedded vectors live exactly once, under their new embedding
+    assert(ivf.assignments().filter(col("id").isin(3L, 7L)).count() == 2L,
+      "fused update duplicated or dropped re-embedded assignments")
     val liveIds = wh.read("emb", vecSchema).select(col("id"))
       .collect().map(_.getLong(0)).toSet
     val idxIds = ivf.assignments().select(col("id"))
@@ -142,6 +150,45 @@ class FtsSyncSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet == want, "replay corrupted the index")
     assert(ivf.assignments().count() == liveIds.size.toLong,
       "replay duplicated assignment rows")
+  }
+
+  test("an UPDATE applies to the index in ONE fused commit (+1 cursor)") {
+    val (wh, fts, mv) = fixture()
+    wh.append("corpus", Seq(
+      (1L, "alpha beta gamma"), (2L, "beta beta delta"))
+      .toDF("doc_id", "text").coalesce(1))
+    mv.sync()
+    val before = wh.versions().last
+    wh.updateWhere("corpus", docSchema, Seq(ColEq("doc_id", 1L)),
+      Seq("text" -> lit("alpha zulu")))
+    mv.sync()
+    // corpus UPDATE (+1), fused retract+admit apply (+1), cursor (+1) —
+    // the split path would cost 4 (separate retract and admit commits)
+    assert(wh.versions().last == before + 3,
+      s"expected 3 commits (update, fused apply, cursor); head moved " +
+        s"${wh.versions().last - before}")
+    assert(bm25(fts) == bm25(freshOver(wh.read("corpus", docSchema))))
+    // both ledgers carry the corpus commit version — one atomic publish
+    val v = (before + 1).toLong
+    assert(fts.retracted(v) && fts.ingested(v))
+  }
+
+  test("a legacy half-applied commit (retract landed, admit lost) finishes") {
+    val (wh, fts, mv) = fixture()
+    wh.append("corpus", Seq(
+      (1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text").coalesce(1))
+    mv.sync()
+    wh.updateWhere("corpus", docSchema, Seq(ColEq("doc_id", 1L)),
+      Seq("text" -> lit("alpha delta")))
+    // simulate the OLD two-commit driver crashing between its halves:
+    // the retraction ledgered under the corpus commit version, no admit
+    val v = wh.versions().last.toLong
+    fts.retractDocsLedgered(Seq(1L), v)
+    mv.sync() // must skip the done retraction, land only the admission
+    assert(bm25(fts) == bm25(freshOver(wh.read("corpus", docSchema))),
+      "recovery from a half-applied commit diverged")
+    assert(fts.corpusStats().agg(sum(col("n"))).head().getLong(0)
+      == wh.read("corpus", docSchema).count())
   }
 
   test("a replace window refuses (rebuild contract), like every feed consumer") {
