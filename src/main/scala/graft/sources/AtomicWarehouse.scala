@@ -534,6 +534,8 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     var colmapMap = Map.empty[String, String]
     var dvMap = Map.empty[(String, String), String]
     var cdfSet = Set.empty[String]
+    var bloomMap = Map.empty[(String, String), String]
+    var bloomcolsMap = Map.empty[String, String]
     parsed.foreach { l =>
       if (l.startsWith("schema\t")) {
         val f = l.split("\t", 3); schemaMap += (f(1) -> f(2))
@@ -551,6 +553,12 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
         val f = l.split("\t", 3)
         if (f.length < 3 || f(2).isEmpty || f(2) == "{}") colmapMap -= f(1)
         else colmapMap += (f(1) -> f(2))
+      } else if (l.startsWith("bloom\t")) {
+        val f = l.split("\t", 4); bloomMap += ((f(1), f(2)) -> f(3))
+      } else if (l.startsWith("bloomcols\t")) {
+        val f = l.split("\t", 3)
+        if (f.length < 3 || f(2).isEmpty) bloomcolsMap -= f(1)
+        else bloomcolsMap += (f(1) -> f(2))
       }
     }
     // ALL truncate lines precede ALL add lines. Truncate applies by PREFIX,
@@ -565,10 +573,13 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       clusterMap.toSeq.sortBy(_._1).map { case (t, c) => s"cluster\t$t\t$c" } ++
       colmapMap.toSeq.sortBy(_._1).map { case (t, j) => s"colmap\t$t\t$j" } ++
       cdfSet.toSeq.sorted.map(t => s"changefeed\t$t\ton") ++
+      bloomcolsMap.toSeq.sortBy(_._1).map { case (t, j) => s"bloomcols\t$t\t$j" } ++
       tables.flatMap(t => visibleNow(t).flatMap(f =>
         statsMap.get((t, f)).map(j => s"stats\t$t\t$f\t$j"))) ++
       tables.flatMap(t => visibleNow(t).flatMap(f =>
-        dvMap.get((t, f)).map(j => s"dv\t$t\t$f\t$j")))
+        dvMap.get((t, f)).map(j => s"dv\t$t\t$f\t$j"))) ++
+      tables.flatMap(t => visibleNow(t).flatMap(f =>
+        bloomMap.get((t, f)).map(j => s"bloom\t$t\t$f\t$j")))
     publishAt(lines, versionOf(old.last) + 1, snapshot = true)
   }
 

@@ -62,6 +62,26 @@ class BloomIndexSpec extends SparkSpec {
     assert(wh.scanWhere("t", kv, Seq(ColEq("v", "nobody"))).isEmpty)
   }
 
+  test("a log fold-to-snapshot preserves the declaration and every pointer") {
+    val dir = Files.createTempDirectory("graft-bloomfold-").toString
+    val wh = new AtomicWarehouse(spark, dir, logFoldEvery = 4)
+    wh.setBloomIndex("t", Seq("id"), fpp = 0.001)
+    hashBanded(wh) // 5 commits so far; cross the fold threshold with churn
+    (0 until 4).foreach(_ => wh.append("other",
+      Seq((1L, "x")).toDF("id", "v").coalesce(1)))
+    // a fresh instance sees only the folded log — amnesia would surface here
+    val wh2 = new AtomicWarehouse(spark, dir)
+    assert(wh2.bloomIndex("t").map(_._1).contains(Seq("id")),
+      "fold dropped the bloomcols declaration")
+    assert(wh2.describe("t").bloomFiles == 4,
+      "fold dropped per-file bloom pointers")
+    val (kept, skipped) = wh2.planFiles("t", Seq(ColEq("id", 42L)))
+    assert(kept.size <= 2 && skipped.size >= 2,
+      s"point lookup kept ${kept.size} of 4 after fold")
+    assert(wh2.scanWhere("t", kv, Seq(ColEq("id", 42L)))
+      .collect().map(_.getLong(0)).toSeq == Seq(42L))
+  }
+
   test("soundness sweep: every row findable; IN-lists and ORs keep the union") {
     val wh = newWh()
     wh.setBloomIndex("t", Seq("id"), fpp = 0.001)
