@@ -1580,6 +1580,51 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"))
     }
 
+    // ---- table CHECK constraints (the Delta ADD CONSTRAINT CHECK surface):
+    // declared invariants enforced on every batch entering the table, SQL
+    // null semantics (only FALSE violates). The query proves the three
+    // enforcement moments in one lifecycle — a violating APPEND refuses
+    // atomically, a violating UPDATE refuses with rows keeping their
+    // pre-image, and after DROP the same update lands — so the oracle can
+    // restate the final table as orders with ONLY the post-drop update
+    // applied: refused writes contributed nothing. Flags and the surviving
+    // constraint count are literal in the oracle.
+    q("etl_constraints") = (s, dir) => {
+      val orders = t(s, dir, "orders")
+      val (wh, qtr) = bandedOrdersWh(s, orders, "chk")
+      wh.addConstraint("facts/orders", "price_positive",
+        "o_totalprice > 0", orders.schema)
+      wh.addConstraint("facts/orders", "status_known",
+        "o_orderstatus IN ('O','F','P')", orders.schema)
+      val refusedAppend =
+        try {
+          wh.append("facts/orders",
+            orders.limit(5).withColumn("o_totalprice", lit(-1.0)))
+          false
+        } catch { case _: IllegalArgumentException => true }
+      val refusedUpdate =
+        try {
+          wh.updateWhere("facts/orders", orders.schema,
+            Seq(graft.sources.ColLt("o_orderkey", qtr)),
+            Seq("o_orderstatus" -> lit("Z")))
+          false
+        } catch { case _: IllegalArgumentException => true }
+      wh.dropConstraint("facts/orders", "status_known")
+      val updated = wh.updateWhere("facts/orders", orders.schema,
+        Seq(graft.sources.ColLt("o_orderkey", qtr)),
+        Seq("o_orderstatus" -> lit("Z")))
+      wh.read("facts/orders", orders.schema)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100).cast(LongType)).as("cents"))
+        .withColumn("refused_append", lit(refusedAppend))
+        .withColumn("refused_update", lit(refusedUpdate))
+        .withColumn("updated", lit(updated))
+        .withColumn("n_constraints",
+          lit(wh.describe("facts/orders").constraints.size.toLong))
+        .orderBy(col("o_orderstatus"))
+    }
+
     // ---- metadata-assisted COUNT: a range straddling the band layout —
     // band 1 is FULLY inside the range (counted from its manifest-recorded
     // row count, never read), band 0 straddles the lower edge (the one
@@ -4334,6 +4379,22 @@ object SparkEntry {
         |        ELSE o_orderpriority END AS o_orderpriority,
         | count(*) AS cnt,
         | CAST((SELECT count(*) FROM orders, m WHERE o_orderkey < m.q) AS BIGINT) AS updated
+        |FROM orders, m
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    // final state = orders with ONLY the post-drop update applied (the two
+    // refused writes contributed nothing — the enforcement claim); the
+    // surviving declaration count is literal
+    "etl_constraints" ->
+      """WITH m AS (SELECT max(o_orderkey) // 4 AS q FROM orders)
+        |SELECT CASE WHEN o_orderkey < m.q THEN 'Z' ELSE o_orderstatus END AS o_orderstatus,
+        | count(*) AS n,
+        | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        | TRUE AS refused_append,
+        | TRUE AS refused_update,
+        | CAST((SELECT count(*) FROM orders, m WHERE o_orderkey < m.q) AS BIGINT) AS updated,
+        | CAST(1 AS BIGINT) AS n_constraints
         |FROM orders, m
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,

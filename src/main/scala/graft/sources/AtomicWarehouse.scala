@@ -4,7 +4,7 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, lit, sum, when}
+import org.apache.spark.sql.functions.{coalesce, col, count, expr, lit, sum, when}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.util.sketch.BloomFilter
 
@@ -146,7 +146,8 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       dvs: Map[(String, String), String] = Map.empty,
       cdf: Set[String] = Set.empty,
       blooms: Map[(String, String), String] = Map.empty,
-      bloomcols: Map[String, String] = Map.empty)
+      bloomcols: Map[String, String] = Map.empty,
+      constraints: Map[(String, String), String] = Map.empty)
 
   /** A fold races concurrent folds from OTHER instances: their snapshot
     * publish happens BEFORE they delete the superseded manifests, so when a
@@ -205,6 +206,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     var cdf = Set.empty[String]
     var blooms = Map.empty[(String, String), String]
     var bloomcols = Map.empty[String, String]
+    var constraints = Map.empty[(String, String), String]
     cfs.foreach { cf =>
       readLines(cf).foreach { line =>
         // limit 4: a schema line's third field and a stats line's fourth are
@@ -278,12 +280,19 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
             // with identity metadata, not inherit tombstones.
             if (f.length < 3 || f(2).isEmpty || f(2) == "{}") colmap -= f(1)
             else colmap += (f(1) -> f(2))
+          case "constraint" =>
+            // per-(table, name) CHECK expression; last line wins, survives
+            // truncates like cluster (a DECLARED invariant, not a file
+            // property); empty expr clears — written by dropConstraint and
+            // delete(table)
+            if (f.length < 4 || f(3).isEmpty) constraints -= ((f(1), f(2)))
+            else constraints += ((f(1), f(2)) -> f(3))
           case other => throw new IllegalStateException(s"unknown txlog action '$other' in $cf")
         }
       }
     }
     val st = LogState(adds, truncated, schemas, stats, cluster, colmap, dvs, cdf,
-      blooms, bloomcols)
+      blooms, bloomcols, constraints)
     if (updateCache) foldCache = (key, st)
     st
   }
@@ -536,6 +545,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     var cdfSet = Set.empty[String]
     var bloomMap = Map.empty[(String, String), String]
     var bloomcolsMap = Map.empty[String, String]
+    var constraintMap = Map.empty[(String, String), String]
     parsed.foreach { l =>
       if (l.startsWith("schema\t")) {
         val f = l.split("\t", 3); schemaMap += (f(1) -> f(2))
@@ -559,6 +569,10 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
         val f = l.split("\t", 3)
         if (f.length < 3 || f(2).isEmpty) bloomcolsMap -= f(1)
         else bloomcolsMap += (f(1) -> f(2))
+      } else if (l.startsWith("constraint\t")) {
+        val f = l.split("\t", 4)
+        if (f.length < 4 || f(3).isEmpty) constraintMap -= ((f(1), f(2)))
+        else constraintMap += ((f(1), f(2)) -> f(3))
       }
     }
     // ALL truncate lines precede ALL add lines. Truncate applies by PREFIX,
@@ -574,6 +588,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       colmapMap.toSeq.sortBy(_._1).map { case (t, j) => s"colmap\t$t\t$j" } ++
       cdfSet.toSeq.sorted.map(t => s"changefeed\t$t\ton") ++
       bloomcolsMap.toSeq.sortBy(_._1).map { case (t, j) => s"bloomcols\t$t\t$j" } ++
+      constraintMap.toSeq.sortBy(_._1).map { case ((t, n), e) => s"constraint\t$t\t$n\t$e" } ++
       tables.flatMap(t => visibleNow(t).flatMap(f =>
         statsMap.get((t, f)).map(j => s"stats\t$t\t$f\t$j"))) ++
       tables.flatMap(t => visibleNow(t).flatMap(f =>
@@ -691,32 +706,47 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       * untouched and unaffected.
       */
     private[sources] def rewriteExcluding(table: String, removedFiles: Seq[String],
-        df: DataFrame, dvExpected: Seq[(String, Option[String])] = Nil): Unit =
+        df: DataFrame, dvExpected: Seq[(String, Option[String])] = Nil,
+        validate: Boolean = true): Unit = {
+      // DML post-images must satisfy the invariants (an UPDATE can set a
+      // violating value); surviving rows re-prove for free within the
+      // rewrite-sized batch. Row-preserving maintenance (compaction,
+      // recluster — the cdfnoop family) passes validate=false: its rows
+      // were proven when they entered, and re-proving would make every
+      // OPTIMIZE pay a table-fraction-sized scan it doesn't owe.
+      if (validate) enforceConstraints(table, df)
       stage(table, truncate = false, partitioned = false,
         Some(d => toPhysicalDf(table, df).write.mode(SaveMode.Overwrite).parquet(d.toString)),
         schemaOf = Some(df.schema), removes = removedFiles,
         requirePresent = Some(removedFiles), dvExpected = dvExpected)
+    }
 
-    override def append(table: String, df: DataFrame): Unit =
+    override def append(table: String, df: DataFrame): Unit = {
+      enforceConstraints(table, df)
       stage(table, truncate = false, partitioned = false,
         Some(d => toPhysicalDf(table, df).write.mode(SaveMode.Overwrite).parquet(d.toString)),
         schemaOf = Some(df.schema))
+    }
 
     override def appendPartitioned(table: String, df: DataFrame,
-        partitionCols: Seq[String]): Unit =
+        partitionCols: Seq[String]): Unit = {
+      enforceConstraints(table, df)
       stage(table, truncate = false, partitioned = true,
         Some(d => toPhysicalDf(table, df).write.mode(SaveMode.Overwrite)
           .partitionBy(partitionCols.map(c => physColOf(table, c)): _*).parquet(d.toString)),
         schemaOf = Some(df.schema))
+    }
 
     // staged source files are never disturbed by the staged write, so
     // replace needs none of the base class's tmp-and-swap choreography.
     // Every staged write goes out under PHYSICAL column names (column
     // mapping); the recorded schema line stays logical.
-    override def replace(table: String, df: DataFrame): Unit =
+    override def replace(table: String, df: DataFrame): Unit = {
+      enforceConstraints(table, df)
       stage(table, truncate = true, partitioned = false,
         Some(d => toPhysicalDf(table, df).write.mode(SaveMode.Overwrite).parquet(d.toString)),
         schemaOf = Some(df.schema))
+    }
 
     override def delete(table: String): Unit =
       stage(table, truncate = true, partitioned = false, None)
@@ -851,6 +881,8 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
           st.cluster.keys.filter(under).foreach(t => lines += s"cluster\t$t\t")
           st.cdf.filter(under).foreach(t => lines += s"changefeed\t$t\toff")
           st.bloomcols.keys.filter(under).foreach(t => lines += s"bloomcols\t$t\t")
+          st.constraints.keys.filter(k => under(k._1))
+            .foreach { case (t, n) => lines += s"constraint\t$t\t$n\t" }
         }
       }
       e.removes.foreach(f => lines += s"remove\t${e.table}\t$f")
@@ -1127,7 +1159,8 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       st.cluster.get(table) == liveNow.cluster.get(table) &&
       st.dvs.filter(_._1._1 == table) == liveNow.dvs.filter(_._1._1 == table) &&
       st.blooms.filter(_._1._1 == table) == liveNow.blooms.filter(_._1._1 == table) &&
-      st.bloomcols.get(table) == liveNow.bloomcols.get(table)
+      st.bloomcols.get(table) == liveNow.bloomcols.get(table) &&
+      st.constraints.filter(_._1._1 == table) == liveNow.constraints.filter(_._1._1 == table)
     if (files.sorted == expected && sameMeta) return // nothing to commit
     // the restored version's recorded SHAPE comes back with its files —
     // without this line the table would keep the newer schema label over
@@ -1154,9 +1187,18 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       case (None, Some(_)) => Seq(s"bloomcols\t$table\t")
       case _ => Nil
     }
+    // the era's CHECK constraints come back with its schema (same staleness
+    // argument as colmap): era-present names re-publish, era-absent names
+    // that exist now clear
+    val constraintLines: Seq[String] = {
+      val era = st.constraints.collect { case ((t, n), e) if t == table => n -> e }
+      val now = live.constraints.collect { case ((t, n), e) if t == table => n -> e }
+      era.toSeq.sortBy(_._1).map { case (n, e) => s"constraint\t$table\t$n\t$e" } ++
+        (now.keySet -- era.keySet).toSeq.sorted.map(n => s"constraint\t$table\t$n\t")
+    }
     val lines = (s"truncate\t$table" +: files.map(f => s"add\t$table\t$f")) ++
       st.schemas.get(table).map(j => s"schema\t$table\t$j").toSeq ++
-      colmapLine ++ clusterLine ++ bloomcolsLine ++
+      colmapLine ++ clusterLine ++ bloomcolsLine ++ constraintLines ++
       files.flatMap(f => st.stats.get((table, f)).map(j => s"stats\t$table\t$f\t$j")) ++
       // the era's deletion vectors come back with its files (the leading
       // truncate cleared all current ones)
@@ -1253,7 +1295,8 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       dvEntries.size, dvEntries.map(DvRec.countOf).sum,
       st.cdf.contains(table),
       st.bloomcols.get(table).map(BloomIndex.parseDecl(_)._1).getOrElse(Nil),
-      files.count(f => st.blooms.contains((table, f))))
+      files.count(f => st.blooms.contains((table, f))),
+      st.constraints.collect { case ((t, n), e) if t == table => n -> e })
   }
 
   // ---- Bloom index (point-lookup file skipping) ---------------------------
@@ -1283,6 +1326,70 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
   /** The table's declared Bloom index: (logical columns, target fpp). */
   def bloomIndex(table: String): Option[(Seq[String], Double)] =
     foldedState().bloomcols.get(table).map(BloomIndex.parseDecl)
+
+  // ---- CHECK constraints ----------------------------------------------------
+
+  /** The table's declared CHECK constraints: name → SQL boolean expression
+    * over LOGICAL column names (Delta's `ALTER TABLE ADD CONSTRAINT CHECK`
+    * surface). Enforced on every batch of rows entering the table — append,
+    * replace, and row-level DML post-images — with SQL CHECK semantics: a
+    * row violates only when the expression evaluates to FALSE; NULL
+    * (unknown) passes, so `price > 0` admits null prices and refusing them
+    * needs an explicit `price IS NOT NULL` conjunct or constraint.
+    */
+  def constraintsOf(table: String): Map[String, String] =
+    foldedState().constraints.collect { case ((t, n), e) if t == table => n -> e }
+
+  /** Declare (or redefine) a CHECK constraint — one metadata commit. The
+    * EXISTING rows are validated first (one stats-prunable scan; an absent
+    * or empty table passes vacuously), so after the declare the invariant
+    * holds for the whole table, past and future: enforcement at write time
+    * never has to re-prove old files, and maintenance rewrites
+    * (compaction, recluster — row-preserving by contract) skip validation
+    * entirely. Declared names survive truncate like cluster declarations
+    * and clear on a full `delete(table)`.
+    */
+  def addConstraint(table: String, name: String, exprSql: String,
+      schema: StructType): Unit = {
+    require(name.nonEmpty && !name.contains('\t') && !name.contains('\n'),
+      s"constraint name '$name' is empty or contains TSV control characters")
+    require(exprSql.nonEmpty && !exprSql.contains('\t') && !exprSql.contains('\n'),
+      s"constraint expression for '$name' is empty or contains TSV control characters")
+    if (exists(table)) {
+      val bad = read(table, schema)
+        .filter(!coalesce(expr(exprSql).cast("boolean"), lit(true)))
+        .limit(1).collect()
+      if (bad.nonEmpty) throw new IllegalArgumentException(
+        s"cannot add CHECK constraint '$name' ($exprSql) to $table: existing " +
+          s"rows violate it (first: ${bad.head})")
+    }
+    if (constraintsOf(table).get(name).contains(exprSql)) return // already declared
+    publish(Seq(s"constraint\t$table\t$name\t$exprSql"))
+  }
+
+  /** Drop a declared constraint — metadata-only, a no-op when absent. */
+  def dropConstraint(table: String, name: String): Unit =
+    if (constraintsOf(table).contains(name))
+      publish(Seq(s"constraint\t$table\t$name\t"))
+
+  /** Refuse `df` when any declared constraint on `table` evaluates to
+    * FALSE on any row — ONE aggregate over the batch, all constraints
+    * fused ([[graft.operators.Expectations]]'s shape), run where a batch
+    * becomes table rows. Batch-sized, never table-sized: existing files
+    * were proven at [[addConstraint]] time.
+    */
+  private def enforceConstraints(table: String, df: DataFrame): Unit = {
+    val cs = constraintsOf(table).toSeq.sortBy(_._1)
+    if (cs.isEmpty) return
+    val aggs = cs.map { case (n, e) =>
+      count(when(!coalesce(expr(e).cast("boolean"), lit(true)), 1)).as(n) }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    cs.zipWithIndex.foreach { case ((n, e), i) =>
+      if (row.getLong(i) > 0L) throw new IllegalArgumentException(
+        s"CHECK constraint '$n' on $table violated by ${row.getLong(i)} " +
+          s"row(s) in this write: $e")
+    }
+  }
 
   /** Index the visible files missing a Bloom entry — files that predate
     * the declaration, or whose sidecars a restore brought back pointers
@@ -1789,7 +1896,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       try {
         atomically {
           case tv: TxView =>
-            tv.rewriteExcluding(table, tail, out, dvSnap)
+            tv.rewriteExcluding(table, tail, out, dvSnap, validate = false)
             // row-preserving maintenance: the change feed skips this
             // version instead of refusing the window
             if (changeFeedEnabled(table))
@@ -2296,7 +2403,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       try {
         atomically {
           case tv: TxView =>
-            tv.rewriteExcluding(table, tail, out, dvSnap)
+            tv.rewriteExcluding(table, tail, out, dvSnap, validate = false)
             if (changeFeedEnabled(table))
               tv.manifestLines(table, Seq(s"cdfnoop\t$table"), Nil, Nil)
           case w => throw new IllegalStateException(
@@ -2349,7 +2456,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       try {
         atomically {
           case tv: TxView =>
-            tv.rewriteExcluding(table, dense, out, dvSnap)
+            tv.rewriteExcluding(table, dense, out, dvSnap, validate = false)
             if (changeFeedEnabled(table))
               tv.manifestLines(table, Seq(s"cdfnoop\t$table"), Nil, Nil)
           case w => throw new IllegalStateException(
