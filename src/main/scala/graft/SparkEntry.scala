@@ -1625,6 +1625,80 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"))
     }
 
+    // ---- FOREIGN KEY constraints: referential integrity as an engine
+    // invariant (the reference's Provider/Provider_Product FK domain made
+    // declarative — core/etl_orchestrator.py:168-189's merge family relies
+    // on SQL Server enforcing exactly this; Delta and Iceberg do not
+    // enforce FKs at all). Child batches verify keys against the parent
+    // via a stats-prunable point probe; parent row deletes RESTRICT while
+    // referenced. The query proves the lifecycle — dangling insert
+    // refused, parent delete refused while referenced, child-first delete
+    // then parent delete lands — so the oracle restates the final state as
+    // nation/customer minus exactly the deliberate deletes.
+    q("etl_foreign_keys") = (s, dir) => {
+      import s.implicits._
+      val nation = t(s, dir, "nation")
+      val customer = t(s, dir, "customer")
+      val wh = new graft.sources.AtomicWarehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-fk-").toString)
+      wh.append("dim/nation", nation.coalesce(1))
+      wh.append("fact/customer", customer.coalesce(1))
+      wh.addForeignKey("fact/customer", "c_nationkey",
+        "dim/nation", "n_nationkey", "fk_nation")
+      val refusedInsert =
+        try {
+          wh.append("fact/customer",
+            customer.limit(3).withColumn("c_nationkey", lit(999L)))
+          false
+        } catch { case _: IllegalArgumentException => true }
+      val refusedDelete =
+        try {
+          wh.deleteWhere("dim/nation", nation.schema,
+            Seq(graft.sources.ColEq("n_nationkey", 3L)))
+          false
+        } catch { case _: IllegalArgumentException => true }
+      val deletedChildren = wh.deleteWhere("fact/customer", customer.schema,
+        Seq(graft.sources.ColEq("c_nationkey", 3L)))
+      val deletedParent = wh.deleteWhere("dim/nation", nation.schema,
+        Seq(graft.sources.ColEq("n_nationkey", 3L)))
+      Seq((wh.read("dim/nation", nation.schema).count(),
+          wh.read("fact/customer", customer.schema).count(),
+          refusedInsert, refusedDelete, deletedChildren, deletedParent))
+        .toDF("n_nations", "n_customers", "refused_insert", "refused_delete",
+          "deleted_children", "deleted_parent")
+        .orderBy(col("n_nations"))
+    }
+
+    // ---- UNIQUE constraints, the third declared invariant: a duplicate
+    // append refuses, while MERGE — the upsert that candidates every file
+    // sharing its keys — updates in place and inserts fresh keys without
+    // ever false-refusing. Oracle restates the final state as supplier
+    // with the merge applied; the refused duplicate batch contributed
+    // nothing and the merge counts are literal.
+    q("etl_unique_key") = (s, dir) => {
+      val sup = t(s, dir, "supplier")
+      val wh = new graft.sources.AtomicWarehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-uniq-").toString)
+      wh.append("dim/supplier", sup.coalesce(1))
+      wh.addUniqueKey("dim/supplier", "s_suppkey", "pk_supplier")
+      val refusedDup =
+        try { wh.append("dim/supplier", sup.limit(2)); false }
+        catch { case _: IllegalArgumentException => true }
+      val src = sup.filter(col("s_suppkey") <= 3)
+        .withColumn("s_acctbal", col("s_acctbal") + lit(100.0))
+        .unionByName(sup.filter(col("s_suppkey") === 1)
+          .withColumn("s_suppkey", col("s_suppkey") + lit(100000L))
+          .withColumn("s_acctbal", col("s_acctbal") + lit(100.0)))
+      val m = wh.mergeInto("dim/supplier", sup.schema, src, Seq("s_suppkey"))
+      wh.read("dim/supplier", sup.schema)
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("s_acctbal") * 100).cast(LongType)).as("cents"))
+        .withColumn("refused_dup", lit(refusedDup))
+        .withColumn("updated", lit(m.updated))
+        .withColumn("inserted", lit(m.inserted))
+        .orderBy(col("n"))
+    }
+
     // ---- metadata-assisted COUNT: a range straddling the band layout —
     // band 1 is FULLY inside the range (counted from its manifest-recorded
     // row count, never read), band 0 straddles the lower edge (the one
@@ -4398,6 +4472,33 @@ object SparkEntry {
         |FROM orders, m
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+
+    // final state = nation minus the child-first-deleted key, customer
+    // minus its children; the refused dangling insert and refused
+    // RESTRICTed delete contributed nothing
+    "etl_foreign_keys" ->
+      """SELECT CAST((SELECT count(*) FROM nation) - 1 AS BIGINT) AS n_nations,
+        | CAST((SELECT count(*) FROM customer WHERE c_nationkey <> 3) AS BIGINT) AS n_customers,
+        | TRUE AS refused_insert,
+        | TRUE AS refused_delete,
+        | CAST((SELECT count(*) FROM customer WHERE c_nationkey = 3) AS BIGINT) AS deleted_children,
+        | CAST(1 AS BIGINT) AS deleted_parent""".stripMargin,
+
+    // supplier with the merge applied: keys 1-3 bumped by 100, one fresh
+    // re-keyed insert; the refused duplicate append contributed nothing
+    "etl_unique_key" ->
+      """WITH fin AS (
+        | SELECT CASE WHEN s_suppkey <= 3 THEN s_acctbal + 100
+        |         ELSE s_acctbal END AS bal
+        | FROM supplier
+        | UNION ALL
+        | SELECT s_acctbal + 100 AS bal FROM supplier WHERE s_suppkey = 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(round(bal * 100) AS BIGINT)) AS BIGINT) AS cents,
+        | TRUE AS refused_dup,
+        | CAST((SELECT count(*) FROM supplier WHERE s_suppkey <= 3) AS BIGINT) AS updated,
+        | CAST((SELECT count(*) FROM supplier WHERE s_suppkey = 1) AS BIGINT) AS inserted
+        |FROM fin""".stripMargin,
 
 
     // as-of read of the mv state after the second fold = a GROUP BY over

@@ -147,7 +147,9 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       cdf: Set[String] = Set.empty,
       blooms: Map[(String, String), String] = Map.empty,
       bloomcols: Map[String, String] = Map.empty,
-      constraints: Map[(String, String), String] = Map.empty)
+      constraints: Map[(String, String), String] = Map.empty,
+      fks: Map[(String, String), String] = Map.empty,
+      uniques: Map[(String, String), String] = Map.empty)
 
   /** A fold races concurrent folds from OTHER instances: their snapshot
     * publish happens BEFORE they delete the superseded manifests, so when a
@@ -207,6 +209,8 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     var blooms = Map.empty[(String, String), String]
     var bloomcols = Map.empty[String, String]
     var constraints = Map.empty[(String, String), String]
+    var fks = Map.empty[(String, String), String]
+    var uniques = Map.empty[(String, String), String]
     cfs.foreach { cf =>
       readLines(cf).foreach { line =>
         // limit 4: a schema line's third field and a stats line's fourth are
@@ -287,12 +291,22 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
             // delete(table)
             if (f.length < 4 || f(3).isEmpty) constraints -= ((f(1), f(2)))
             else constraints += ((f(1), f(2)) -> f(3))
+          case "fk" =>
+            // per-(childTable, name) FOREIGN KEY descriptor
+            // `childCol|parentTable|parentCol`; same lifecycle as
+            // `constraint` lines (keyed by the CHILD side)
+            if (f.length < 4 || f(3).isEmpty) fks -= ((f(1), f(2)))
+            else fks += ((f(1), f(2)) -> f(3))
+          case "unique" =>
+            // per-(table, name) UNIQUE column; `constraint` lifecycle
+            if (f.length < 4 || f(3).isEmpty) uniques -= ((f(1), f(2)))
+            else uniques += ((f(1), f(2)) -> f(3))
           case other => throw new IllegalStateException(s"unknown txlog action '$other' in $cf")
         }
       }
     }
     val st = LogState(adds, truncated, schemas, stats, cluster, colmap, dvs, cdf,
-      blooms, bloomcols, constraints)
+      blooms, bloomcols, constraints, fks, uniques)
     if (updateCache) foldCache = (key, st)
     st
   }
@@ -546,6 +560,8 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     var bloomMap = Map.empty[(String, String), String]
     var bloomcolsMap = Map.empty[String, String]
     var constraintMap = Map.empty[(String, String), String]
+    var fkMap = Map.empty[(String, String), String]
+    var uniqueMap = Map.empty[(String, String), String]
     parsed.foreach { l =>
       if (l.startsWith("schema\t")) {
         val f = l.split("\t", 3); schemaMap += (f(1) -> f(2))
@@ -573,6 +589,14 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
         val f = l.split("\t", 4)
         if (f.length < 4 || f(3).isEmpty) constraintMap -= ((f(1), f(2)))
         else constraintMap += ((f(1), f(2)) -> f(3))
+      } else if (l.startsWith("fk\t")) {
+        val f = l.split("\t", 4)
+        if (f.length < 4 || f(3).isEmpty) fkMap -= ((f(1), f(2)))
+        else fkMap += ((f(1), f(2)) -> f(3))
+      } else if (l.startsWith("unique\t")) {
+        val f = l.split("\t", 4)
+        if (f.length < 4 || f(3).isEmpty) uniqueMap -= ((f(1), f(2)))
+        else uniqueMap += ((f(1), f(2)) -> f(3))
       }
     }
     // ALL truncate lines precede ALL add lines. Truncate applies by PREFIX,
@@ -589,6 +613,8 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       cdfSet.toSeq.sorted.map(t => s"changefeed\t$t\ton") ++
       bloomcolsMap.toSeq.sortBy(_._1).map { case (t, j) => s"bloomcols\t$t\t$j" } ++
       constraintMap.toSeq.sortBy(_._1).map { case ((t, n), e) => s"constraint\t$t\t$n\t$e" } ++
+      fkMap.toSeq.sortBy(_._1).map { case ((t, n), d) => s"fk\t$t\t$n\t$d" } ++
+      uniqueMap.toSeq.sortBy(_._1).map { case ((t, n), c) => s"unique\t$t\t$n\t$c" } ++
       tables.flatMap(t => visibleNow(t).flatMap(f =>
         statsMap.get((t, f)).map(j => s"stats\t$t\t$f\t$j"))) ++
       tables.flatMap(t => visibleNow(t).flatMap(f =>
@@ -714,15 +740,41 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       // recluster — the cdfnoop family) passes validate=false: its rows
       // were proven when they entered, and re-proving would make every
       // OPTIMIZE pay a table-fraction-sized scan it doesn't owe.
-      if (validate) enforceConstraints(table, df)
+      if (validate) {
+        enforceConstraints(table, df)
+        fkCheck(table, df)
+        enforceUniques(table, df, removedFiles, truncating = false)
+      }
       stage(table, truncate = false, partitioned = false,
         Some(d => toPhysicalDf(table, df).write.mode(SaveMode.Overwrite).parquet(d.toString)),
         schemaOf = Some(df.schema), removes = removedFiles,
         requirePresent = Some(removedFiles), dvExpected = dvExpected)
     }
 
+    // a child batch probes its STAGED parent when the same tx wrote it
+    // (read-your-own-writes), the committed point-probe path otherwise
+    private def fkCheck(table: String, df: DataFrame): Unit =
+      enforceForeignKeys(table, df, (p, s) => {
+        val stagedTables = tx.synchronized(tx.entries.map(_.table).toSet)
+        if (stagedTables.exists(t => p == t || p.startsWith(t + "/")))
+          Some(read(p, s))
+        else None
+      })
+
+    // truncating away a referenced parent's rows would orphan every child
+    // reference at once — RESTRICT applies to the whole-table ops too
+    private def fkRefuseTruncate(table: String, op: String): Unit =
+      referencingFks(table).foreach { case (child, name, cCol, pCol) =>
+        if (committedOrPhysical(child).nonEmpty) throw new IllegalArgumentException(
+          s"FOREIGN KEY '$name' ($child.$cCol -> $table.$pCol) RESTRICTs " +
+            s"$op of $table while the child holds rows; delete the child " +
+            "first or dropForeignKey")
+      }
+
     override def append(table: String, df: DataFrame): Unit = {
       enforceConstraints(table, df)
+      fkCheck(table, df)
+      enforceUniques(table, df, Nil, truncating = false)
       stage(table, truncate = false, partitioned = false,
         Some(d => toPhysicalDf(table, df).write.mode(SaveMode.Overwrite).parquet(d.toString)),
         schemaOf = Some(df.schema))
@@ -731,6 +783,8 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     override def appendPartitioned(table: String, df: DataFrame,
         partitionCols: Seq[String]): Unit = {
       enforceConstraints(table, df)
+      fkCheck(table, df)
+      enforceUniques(table, df, Nil, truncating = false)
       stage(table, truncate = false, partitioned = true,
         Some(d => toPhysicalDf(table, df).write.mode(SaveMode.Overwrite)
           .partitionBy(partitionCols.map(c => physColOf(table, c)): _*).parquet(d.toString)),
@@ -743,13 +797,18 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     // mapping); the recorded schema line stays logical.
     override def replace(table: String, df: DataFrame): Unit = {
       enforceConstraints(table, df)
+      fkRefuseTruncate(table, "replace")
+      fkCheck(table, df)
+      enforceUniques(table, df, Nil, truncating = true)
       stage(table, truncate = true, partitioned = false,
         Some(d => toPhysicalDf(table, df).write.mode(SaveMode.Overwrite).parquet(d.toString)),
         schemaOf = Some(df.schema))
     }
 
-    override def delete(table: String): Unit =
+    override def delete(table: String): Unit = {
+      fkRefuseTruncate(table, "delete")
       stage(table, truncate = true, partitioned = false, None)
+    }
 
     override def read(table: String, schema: StructType): DataFrame = {
       val staged = tx.synchronized(tx.entries.filter(e =>
@@ -883,6 +942,10 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
           st.bloomcols.keys.filter(under).foreach(t => lines += s"bloomcols\t$t\t")
           st.constraints.keys.filter(k => under(k._1))
             .foreach { case (t, n) => lines += s"constraint\t$t\t$n\t" }
+          st.fks.keys.filter(k => under(k._1))
+            .foreach { case (t, n) => lines += s"fk\t$t\t$n\t" }
+          st.uniques.keys.filter(k => under(k._1))
+            .foreach { case (t, n) => lines += s"unique\t$t\t$n\t" }
         }
       }
       e.removes.foreach(f => lines += s"remove\t${e.table}\t$f")
@@ -1160,7 +1223,9 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       st.dvs.filter(_._1._1 == table) == liveNow.dvs.filter(_._1._1 == table) &&
       st.blooms.filter(_._1._1 == table) == liveNow.blooms.filter(_._1._1 == table) &&
       st.bloomcols.get(table) == liveNow.bloomcols.get(table) &&
-      st.constraints.filter(_._1._1 == table) == liveNow.constraints.filter(_._1._1 == table)
+      st.constraints.filter(_._1._1 == table) == liveNow.constraints.filter(_._1._1 == table) &&
+      st.fks.filter(_._1._1 == table) == liveNow.fks.filter(_._1._1 == table) &&
+      st.uniques.filter(_._1._1 == table) == liveNow.uniques.filter(_._1._1 == table)
     if (files.sorted == expected && sameMeta) return // nothing to commit
     // the restored version's recorded SHAPE comes back with its files —
     // without this line the table would keep the newer schema label over
@@ -1196,9 +1261,25 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       era.toSeq.sortBy(_._1).map { case (n, e) => s"constraint\t$table\t$n\t$e" } ++
         (now.keySet -- era.keySet).toSeq.sorted.map(n => s"constraint\t$table\t$n\t")
     }
+    // child-keyed FOREIGN KEY declarations round-trip the same way (a
+    // restore of the PARENT is an admin rewind and does not re-prove
+    // children — the standard formats' position; writes re-enforce after)
+    val fkLines: Seq[String] = {
+      val era = st.fks.collect { case ((t, n), d) if t == table => n -> d }
+      val now = live.fks.collect { case ((t, n), d) if t == table => n -> d }
+      era.toSeq.sortBy(_._1).map { case (n, d) => s"fk\t$table\t$n\t$d" } ++
+        (now.keySet -- era.keySet).toSeq.sorted.map(n => s"fk\t$table\t$n\t")
+    }
+    val uniqueLines: Seq[String] = {
+      val era = st.uniques.collect { case ((t, n), c) if t == table => n -> c }
+      val now = live.uniques.collect { case ((t, n), c) if t == table => n -> c }
+      era.toSeq.sortBy(_._1).map { case (n, c) => s"unique\t$table\t$n\t$c" } ++
+        (now.keySet -- era.keySet).toSeq.sorted.map(n => s"unique\t$table\t$n\t")
+    }
     val lines = (s"truncate\t$table" +: files.map(f => s"add\t$table\t$f")) ++
       st.schemas.get(table).map(j => s"schema\t$table\t$j").toSeq ++
-      colmapLine ++ clusterLine ++ bloomcolsLine ++ constraintLines ++
+      colmapLine ++ clusterLine ++ bloomcolsLine ++ constraintLines ++ fkLines ++
+      uniqueLines ++
       files.flatMap(f => st.stats.get((table, f)).map(j => s"stats\t$table\t$f\t$j")) ++
       // the era's deletion vectors come back with its files (the leading
       // truncate cleared all current ones)
@@ -1296,7 +1377,10 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       st.cdf.contains(table),
       st.bloomcols.get(table).map(BloomIndex.parseDecl(_)._1).getOrElse(Nil),
       files.count(f => st.blooms.contains((table, f))),
-      st.constraints.collect { case ((t, n), e) if t == table => n -> e })
+      st.constraints.collect { case ((t, n), e) if t == table => n -> e },
+      st.fks.collect { case ((t, n), d) if t == table =>
+        val p = d.split('|'); n -> s"${p(0)} -> ${p(1)}.${p(2)}" },
+      st.uniques.collect { case ((t, n), c) if t == table => n -> c })
   }
 
   // ---- Bloom index (point-lookup file skipping) ---------------------------
@@ -1388,6 +1472,246 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       if (row.getLong(i) > 0L) throw new IllegalArgumentException(
         s"CHECK constraint '$n' on $table violated by ${row.getLong(i)} " +
           s"row(s) in this write: $e")
+    }
+  }
+
+  // ---- FOREIGN KEY constraints ----------------------------------------------
+
+  /** Point-probe cap for FK checks: up to this many distinct keys collect
+    * to the driver and probe the other side as an `In` literal (manifest
+    * stats/Bloom-prunable); above it the check degrades to a join against
+    * a full scan — exact either way, same regime split as every point
+    * probe here.
+    */
+  private val fkProbeLimit = 10000
+
+  /** The table's declared foreign keys (it is the CHILD/referencing side):
+    * name → (childCol, parentTable, parentCol). Referential integrity is
+    * enforced BOTH ways, batch-sized: rows entering the child must
+    * reference live parent keys (NULL passes — SQL MATCH SIMPLE), and
+    * parent row-level deletes that would orphan a child reference refuse
+    * (ON DELETE RESTRICT, the SQL default). The parent key is assumed
+    * unique (the FK contract everywhere; not enforced here — declare a
+    * CHECK or run dedup if the source can violate it). `restore` is an
+    * admin rewind and does not re-prove children; writes re-enforce after.
+    */
+  def foreignKeysOf(child: String): Map[String, (String, String, String)] =
+    foldedState().fks.collect { case ((t, n), d) if t == child =>
+      val p = d.split('|'); n -> (p(0), p(1), p(2))
+    }
+
+  /** FKs whose PARENT side is `table`: (childTable, name, childCol, parentCol). */
+  private def referencingFks(table: String): Seq[(String, String, String, String)] =
+    foldedState().fks.collect { case ((c, n), d) if d.split('|')(1) == table =>
+      val p = d.split('|'); (c, n, p(0), p(2))
+    }.toSeq.sortBy(t => (t._1, t._2))
+
+  /** Declare a FOREIGN KEY: `child.childCol` references `parent.parentCol`
+    * — one metadata commit after validating the EXISTING child rows (one
+    * anti-join; vacuous when the child is absent/empty). Both tables must
+    * have manifest-recorded schemas once they hold rows (the check reads
+    * them by their recorded shape). Single-column keys only — the
+    * point-probe enforcement shape; composite keys are not supported.
+    */
+  def addForeignKey(child: String, childCol: String, parent: String,
+      parentCol: String, name: String): Unit = {
+    require(child != parent, "self-referencing foreign keys are not supported")
+    Seq(name, childCol, parent, parentCol).foreach(s_ =>
+      require(s_.nonEmpty && !s_.exists(c => c == '\t' || c == '\n' || c == '|'),
+        s"'$s_' is empty or contains TSV/descriptor control characters"))
+    val st = foldedState()
+    val pSchemaJson = st.schemas.getOrElse(parent, throw new IllegalStateException(
+      s"parent $parent has no manifest-recorded schema — write it through " +
+        "the log once before declaring a foreign key against it"))
+    val pSchema = org.apache.spark.sql.types.DataType.fromJson(pSchemaJson)
+      .asInstanceOf[StructType]
+    require(pSchema.fieldNames.contains(parentCol),
+      s"parent $parent has no column '$parentCol'")
+    if (exists(child)) {
+      val cSchemaJson = st.schemas.getOrElse(child, throw new IllegalStateException(
+        s"child $child has rows but no manifest-recorded schema — write it " +
+          "through the log once before declaring a foreign key on it"))
+      val cSchema = org.apache.spark.sql.types.DataType.fromJson(cSchemaJson)
+        .asInstanceOf[StructType]
+      require(cSchema.fieldNames.contains(childCol),
+        s"child $child has no column '$childCol'")
+      val orphan = read(child, cSchema).select(col(childCol).as("__k"))
+        .filter(col("__k").isNotNull).distinct()
+        .join(read(parent, pSchema).select(col(parentCol).as("__k")).distinct(),
+          Seq("__k"), "left_anti")
+        .limit(1).collect()
+      if (orphan.nonEmpty) throw new IllegalArgumentException(
+        s"cannot add FOREIGN KEY '$name' ($child.$childCol -> " +
+          s"$parent.$parentCol): existing child rows reference missing " +
+          s"parent keys (first: ${orphan.head.get(0)})")
+    }
+    val desc = s"$childCol|$parent|$parentCol"
+    if (foldedState().fks.get((child, name)).contains(desc)) return
+    publish(Seq(s"fk\t$child\t$name\t$desc"))
+  }
+
+  /** Drop a declared foreign key — metadata-only, no-op when absent. */
+  def dropForeignKey(child: String, name: String): Unit =
+    if (foldedState().fks.contains((child, name)))
+      publish(Seq(s"fk\t$child\t$name\t"))
+
+  private def recordedSchema(table: String): StructType =
+    org.apache.spark.sql.types.DataType.fromJson(
+      foldedState().schemas.getOrElse(table, throw new IllegalStateException(
+        s"$table has no manifest-recorded schema")))
+      .asInstanceOf[StructType]
+
+  /** Refuse a child batch whose non-null FK values reference no live
+    * parent key. `parentRead` abstracts the parent scan so in-transaction
+    * callers can supply read-your-own-writes (a parent staged in the SAME
+    * tx must satisfy the child batch); when the committed path is used the
+    * ≤ [[fkProbeLimit]] key case probes via [[scanWhere]] — manifest
+    * stats/Bloom pruning, the point-probe regime.
+    */
+  private def enforceForeignKeys(table: String, df: DataFrame,
+      stagedParent: (String, StructType) => Option[DataFrame]): Unit = {
+    val fks = foreignKeysOf(table)
+    if (fks.isEmpty) return
+    fks.toSeq.sortBy(_._1).foreach { case (name, (cCol, parent, pCol)) =>
+      val pSchema = recordedSchema(parent)
+      val batchKeys = df.select(col(cCol).as("__k")).filter(col("__k").isNotNull)
+        .distinct()
+      val lits = batchKeys.limit(fkProbeLimit + 1).collect().map(_.get(0))
+      val missing: Seq[Any] =
+        if (lits.isEmpty) Nil
+        else stagedParent(parent, pSchema) match {
+          case Some(pdf) => // parent staged in THIS tx: read-your-own-writes
+            batchKeys.join(pdf.select(col(pCol).as("__k")).distinct(),
+              Seq("__k"), "left_anti").limit(3).collect().map(_.get(0)).toSeq
+          case None if lits.length <= fkProbeLimit =>
+            val present = scanWhere(parent, pSchema, Seq(ColIn(pCol, lits.toSeq)))
+              .select(col(pCol)).distinct().collect().map(_.get(0)).toSet
+            lits.toSeq.filterNot(present.contains)
+          case None =>
+            batchKeys.join(read(parent, pSchema).select(col(pCol).as("__k"))
+              .distinct(), Seq("__k"), "left_anti")
+              .limit(3).collect().map(_.get(0)).toSeq
+        }
+      if (missing.nonEmpty) throw new IllegalArgumentException(
+        s"FOREIGN KEY '$name' on $table violated: ${missing.size}+ key(s) in " +
+          s"this write reference no $parent.$pCol row (first: ${missing.head})")
+    }
+  }
+
+  // ---- UNIQUE constraints -----------------------------------------------
+
+  /** The table's declared UNIQUE columns: name → column. Closes the loop
+    * the FK contract leaves open (parent keys assumed unique): enforcement
+    * is batch-sized — a write refuses when the batch collides within
+    * itself or with the table's rows outside the files the write replaces.
+    * NULLs never collide (the SQL rule). Same check-then-commit isolation
+    * caveat as the FK checks: two concurrent writers inserting the same
+    * key can both pass their probe — single-writer-per-table is the
+    * contract under which this is airtight.
+    */
+  def uniquesOf(table: String): Map[String, String] =
+    foldedState().uniques.collect { case ((t, n), c) if t == table => n -> c }
+
+  /** Declare a UNIQUE column — one metadata commit after proving the
+    * EXISTING rows distinct (one aggregate; vacuous when absent/empty).
+    */
+  def addUniqueKey(table: String, column: String, name: String): Unit = {
+    Seq(name, column).foreach(s_ =>
+      require(s_.nonEmpty && !s_.exists(c => c == '\t' || c == '\n'),
+        s"'$s_' is empty or contains TSV control characters"))
+    if (exists(table)) {
+      val schema = recordedSchema(table)
+      require(schema.fieldNames.contains(column),
+        s"$table has no column '$column'")
+      val dup = read(table, schema).select(col(column).as("__k"))
+        .filter(col("__k").isNotNull)
+        .groupBy(col("__k")).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > 1).limit(1).collect()
+      if (dup.nonEmpty) throw new IllegalArgumentException(
+        s"cannot add UNIQUE '$name' on $table.$column: existing rows " +
+          s"duplicate key ${dup.head.get(0)} (${dup.head.getLong(1)} rows)")
+    }
+    if (foldedState().uniques.get((table, name)).contains(column)) return
+    publish(Seq(s"unique\t$table\t$name\t$column"))
+  }
+
+  /** Drop a declared UNIQUE constraint — metadata-only, no-op when absent. */
+  def dropUniqueKey(table: String, name: String): Unit =
+    if (foldedState().uniques.contains((table, name)))
+      publish(Seq(s"unique\t$table\t$name\t"))
+
+  /** Refuse `df` when a declared UNIQUE column collides — within the batch
+    * (one aggregate) or against the table's rows OUTSIDE `excludeFiles`
+    * (a DML rewrite's pre-image files must not self-collide; for a merge,
+    * the excluded candidate set provably holds every file that could share
+    * its keys, so the outside probe never false-refuses). `truncating`
+    * writes replace the table — only the within-batch check applies.
+    */
+  private def enforceUniques(table: String, df: DataFrame,
+      excludeFiles: Seq[String], truncating: Boolean): Unit = {
+    val us = uniquesOf(table).toSeq.sortBy(_._1)
+    if (us.isEmpty) return
+    us.foreach { case (name, c) =>
+      val dup = df.select(col(c).as("__k")).filter(col("__k").isNotNull)
+        .groupBy(col("__k")).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > 1).limit(1).collect()
+      if (dup.nonEmpty) throw new IllegalArgumentException(
+        s"UNIQUE '$name' on $table.$c violated within this write " +
+          s"(duplicate key: ${dup.head.get(0)})")
+      if (!truncating && exists(table)) {
+        val excluded = excludeFiles.toSet
+        val remain = visibleFiles(table).getOrElse(Nil).filterNot(excluded.contains)
+        if (remain.nonEmpty) {
+          val schema = recordedSchema(table)
+          val keys = df.select(col(c).as("__k")).filter(col("__k").isNotNull)
+            .distinct()
+          val lits = keys.limit(fkProbeLimit + 1).collect().map(_.get(0))
+          val clash: Seq[Any] =
+            if (lits.isEmpty) Nil
+            else if (lits.length <= fkProbeLimit && excluded.isEmpty)
+              scanWhere(table, schema, Seq(ColIn(c, lits.toSeq)))
+                .select(col(c)).limit(3).collect().map(_.get(0)).toSeq
+            else
+              readFiles(table, schema, remain).select(col(c).as("__k"))
+                .join(keys, Seq("__k"), "left_semi")
+                .limit(3).collect().map(_.get(0)).toSeq
+          if (clash.nonEmpty) throw new IllegalArgumentException(
+            s"UNIQUE '$name' on $table.$c violated: key(s) already present " +
+              s"(first: ${clash.head})")
+        }
+      }
+    }
+  }
+
+  /** ON DELETE RESTRICT: refuse a parent rewrite/tombstone commit whose
+    * key values LEAVE the table while a child still references them.
+    * `goneKeysOf(pCol)` yields the leaving keys as ONE column named `__k`
+    * (pre-image keys minus the keys the rewrite retains — exact under the
+    * unique-parent-key contract). The child probe is the same two-regime
+    * point probe as the forward check.
+    */
+  private def enforceFkRestrict(parent: String,
+      goneKeysOf: String => DataFrame): Unit = {
+    referencingFks(parent).foreach { case (child, name, cCol, pCol) =>
+      if (exists(child)) {
+        val cSchema = recordedSchema(child)
+        val gone = goneKeysOf(pCol)
+        val lits = gone.limit(fkProbeLimit + 1).collect().map(_.get(0))
+        if (lits.nonEmpty) {
+          val referenced: Seq[Any] =
+            if (lits.length <= fkProbeLimit)
+              scanWhere(child, cSchema, Seq(ColIn(cCol, lits.toSeq)))
+                .select(col(cCol)).distinct().limit(3).collect().map(_.get(0)).toSeq
+            else
+              gone.join(read(child, cSchema).select(col(cCol).as("__k")).distinct(),
+                Seq("__k"), "inner").limit(3).collect().map(_.get(0)).toSeq
+          if (referenced.nonEmpty) throw new IllegalArgumentException(
+            s"FOREIGN KEY '$name' ($child.$cCol -> $parent.$pCol) RESTRICTs " +
+              s"this delete: child rows still reference leaving key(s) " +
+              s"(first: ${referenced.head}); delete the children first or " +
+              "dropForeignKey")
+        }
+      }
     }
   }
 
@@ -2325,6 +2649,18 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     require(targets.nonEmpty, "deleteWhereDvAll with no targets")
     require(targets.map(_._1).distinct.size == targets.size,
       "deleteWhereDvAll targets must be distinct tables — merge the predicates")
+    // ON DELETE RESTRICT for the tombstone path: a DV delete removes ALL
+    // matched rows, so the leaving keys are exactly the matched keys (one
+    // DV-filtered probe over the candidate files). Same check-then-commit
+    // isolation caveat as the copy-on-write path.
+    targets.foreach { case (tbl, schema, preds) =>
+      if (referencingFks(tbl).nonEmpty && exists(tbl)) {
+        val cond = FilePred.toColumn(preds, schema)
+        enforceFkRestrict(tbl, pCol =>
+          scanWhere(tbl, schema, preds).filter(coalesce(cond, lit(false)))
+            .select(col(pCol).as("__k")).filter(col("__k").isNotNull).distinct())
+      }
+    }
     var attempts = 0
     while (attempts < 8) {
       val planned = targets.map { case (table, schema, preds) =>
@@ -2530,6 +2866,23 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       require(schema.fieldNames.contains(c),
         s"whenMatchedUpdate targets unknown column '$c'")
     }
+    // FK-referenced parents: a matched-delete or an update touching a
+    // referenced key column could orphan children mid-merge; the RESTRICT
+    // paths are deleteWhere/deleteWhereDv (which probe the children) —
+    // refuse here rather than silently orphan
+    val refFks = referencingFks(table)
+    if (refFks.nonEmpty) {
+      require(whenMatchedDelete.isEmpty,
+        s"mergeInto with a delete clause on FK-referenced $table is not " +
+          "supported — use deleteWhere/deleteWhereDv (RESTRICT-enforced) " +
+          "or dropForeignKey first")
+      val refCols = refFks.map(_._4).toSet
+      whenMatchedUpdate.foreach { case (c, _) =>
+        require(!refCols.contains(c),
+          s"mergeInto cannot UPDATE '$c' on $table — it is an FK-referenced " +
+            "parent key (children would orphan); dropForeignKey first")
+      }
+    }
     schema.fieldNames.foreach(c => require(source.columns.contains(c),
       s"mergeInto source is missing target column '$c'"))
     Seq("__t", "__s").foreach(m => require(!source.columns.contains(m),
@@ -2694,6 +3047,16 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       // declared-cluster tables keep their layout through deletes/updates;
       // undeclared tables keep the scan's natural per-file partitioning
       val out = clusteredRewrite(table, schema, rewrite((df, hit)), cands.size, Nil)
+      // ON DELETE RESTRICT: keys that leave this rewrite (pre-image minus
+      // retained — exact under the unique-parent-key contract) must not be
+      // child-referenced. Check-then-commit: a child insert racing between
+      // this probe and the publish can slip — the cross-table isolation
+      // caveat, documented on foreignKeysOf.
+      if (referencingFks(table).nonEmpty)
+        enforceFkRestrict(table, pCol =>
+          df.filter(hit).select(col(pCol).as("__k")).filter(col("__k").isNotNull)
+            .distinct()
+            .join(out.select(col(pCol).as("__k")).distinct(), Seq("__k"), "left_anti"))
       val feedOn = changeFeedEnabled(table)
       try {
         atomically {

@@ -215,7 +215,9 @@ case class TableDetail(table: String, files: Int, bytes: Long, rows: Long,
     filesWithStats: Int, clusterCols: Seq[String], schemaWidth: Int,
     headVersion: Int, dvFiles: Int = 0, dvRows: Long = 0L,
     changeFeed: Boolean = false, bloomCols: Seq[String] = Nil,
-    bloomFiles: Int = 0, constraints: Map[String, String] = Map.empty)
+    bloomFiles: Int = 0, constraints: Map[String, String] = Map.empty,
+    foreignKeys: Map[String, String] = Map.empty,
+    uniqueKeys: Map[String, String] = Map.empty)
 
 case class FileStatsRec(rows: Long, cols: Map[String, ColStats]) {
 

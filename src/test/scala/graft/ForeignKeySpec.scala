@@ -1,0 +1,156 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.{AtomicWarehouse, ColEq, ColIn}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** FOREIGN KEY constraints — referential integrity as an engine invariant
+  * (the reference's Provider/Provider_Product FK domain made declarative;
+  * neither Delta nor Iceberg enforces FKs). Both directions are
+  * batch-sized point probes: child batches verify their keys against the
+  * parent (stats/Bloom-prunable In-probe, or a join above the cap; NULL
+  * passes — SQL MATCH SIMPLE), and parent row deletes RESTRICT when a
+  * child still references a leaving key. Whole-table parent ops (replace/
+  * delete) refuse while the child holds rows; merge-deletes on a
+  * referenced parent refuse up front.
+  */
+class ForeignKeySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val parentS = StructType(Seq(
+    StructField("p_id", LongType, nullable = false),
+    StructField("p_name", StringType, nullable = true)))
+  private val childS = StructType(Seq(
+    StructField("c_id", LongType, nullable = false),
+    StructField("p_ref", LongType, nullable = true)))
+
+  private def newWh() =
+    new AtomicWarehouse(spark, Files.createTempDirectory("graft-fk-").toString)
+
+  private def seeded(): AtomicWarehouse = {
+    val wh = newWh()
+    wh.append("dim/provider", Seq((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("p_id", "p_name").coalesce(1))
+    wh.addForeignKey("fact/product", "p_ref", "dim/provider", "p_id", "fk_provider")
+    wh
+  }
+
+  test("child writes verify keys against the parent; NULL passes") {
+    val wh = seeded()
+    wh.append("fact/product", Seq((10L, Some(1L)), (11L, Some(2L)), (12L, None))
+      .toDF("c_id", "p_ref").coalesce(1))
+    assert(wh.read("fact/product", childS).count() == 3)
+    val e = intercept[IllegalArgumentException](
+      wh.append("fact/product", Seq((13L, Some(9L))).toDF("c_id", "p_ref")))
+    assert(e.getMessage.contains("fk_provider") && e.getMessage.contains("9"))
+    assert(wh.read("fact/product", childS).count() == 3, "refused write leaked")
+    // child UPDATE to a dangling key refuses; to a live key lands
+    intercept[IllegalArgumentException](
+      wh.updateWhere("fact/product", childS, Seq(ColEq("c_id", 10L)),
+        Seq("p_ref" -> lit(99L))))
+    wh.updateWhere("fact/product", childS, Seq(ColEq("c_id", 10L)),
+      Seq("p_ref" -> lit(3L)))
+    assert(wh.scanWhere("fact/product", childS, Seq(ColEq("c_id", 10L)))
+      .head().getLong(1) == 3L)
+  }
+
+  test("a parent staged in the SAME transaction satisfies the child batch") {
+    val wh = seeded()
+    wh.atomically { w =>
+      w.append("dim/provider", Seq((4L, "d")).toDF("p_id", "p_name"))
+      w.append("fact/product", Seq((20L, Some(4L))).toDF("c_id", "p_ref"))
+    }
+    assert(wh.read("fact/product", childS).count() == 1)
+    // and the refusal still aborts the WHOLE transaction
+    intercept[IllegalArgumentException](wh.atomically { w =>
+      w.append("dim/provider", Seq((5L, "e")).toDF("p_id", "p_name"))
+      w.append("fact/product", Seq((21L, Some(6L))).toDF("c_id", "p_ref"))
+    })
+    assert(wh.read("dim/provider", parentS).count() == 4,
+      "aborted tx leaked its parent append")
+  }
+
+  test("declare-time validation refuses existing orphans") {
+    val wh = newWh()
+    wh.append("dim/provider", Seq((1L, "a")).toDF("p_id", "p_name").coalesce(1))
+    wh.append("fact/product", Seq((10L, Some(7L))).toDF("c_id", "p_ref").coalesce(1))
+    val e = intercept[IllegalArgumentException](
+      wh.addForeignKey("fact/product", "p_ref", "dim/provider", "p_id", "fk"))
+    assert(e.getMessage.contains("existing"))
+    assert(wh.foreignKeysOf("fact/product").isEmpty)
+  }
+
+  test("parent deletes RESTRICT on referenced keys, pass on unreferenced") {
+    val wh = seeded()
+    wh.append("fact/product", Seq((10L, Some(1L))).toDF("c_id", "p_ref").coalesce(1))
+    // copy-on-write delete of the referenced key refuses
+    val e = intercept[IllegalArgumentException](
+      wh.deleteWhere("dim/provider", parentS, Seq(ColEq("p_id", 1L))))
+    assert(e.getMessage.contains("RESTRICT"))
+    assert(wh.read("dim/provider", parentS).count() == 3)
+    // DV (merge-on-read) delete of the referenced key refuses likewise
+    val e2 = intercept[IllegalArgumentException](
+      wh.deleteWhereDv("dim/provider", parentS, Seq(ColIn("p_id", Seq(1L)))))
+    assert(e2.getMessage.contains("RESTRICT"))
+    // unreferenced keys delete freely, both paths
+    assert(wh.deleteWhere("dim/provider", parentS, Seq(ColEq("p_id", 2L))) == 1L)
+    assert(wh.deleteWhereDv("dim/provider", parentS,
+      Seq(ColIn("p_id", Seq(3L)))).deleted == 1L)
+    // delete the child reference, then the parent row frees up
+    wh.deleteWhere("fact/product", childS, Seq(ColEq("c_id", 10L)))
+    assert(wh.deleteWhere("dim/provider", parentS, Seq(ColEq("p_id", 1L))) == 1L)
+  }
+
+  test("parent UPDATE keeping the key passes; re-keying a referenced key refuses") {
+    val wh = seeded()
+    wh.append("fact/product", Seq((10L, Some(1L))).toDF("c_id", "p_ref").coalesce(1))
+    // non-key update: key set unchanged — allowed
+    wh.updateWhere("dim/provider", parentS, Seq(ColEq("p_id", 1L)),
+      Seq("p_name" -> lit("renamed")))
+    // re-keying the referenced row makes key 1 leave — RESTRICT
+    val e = intercept[IllegalArgumentException](
+      wh.updateWhere("dim/provider", parentS, Seq(ColEq("p_id", 1L)),
+        Seq("p_id" -> lit(77L))))
+    assert(e.getMessage.contains("RESTRICT"))
+    // re-keying an UNreferenced row is fine
+    assert(wh.updateWhere("dim/provider", parentS, Seq(ColEq("p_id", 2L)),
+      Seq("p_id" -> lit(78L))) == 1L)
+  }
+
+  test("whole-table parent ops refuse while the child holds rows") {
+    val wh = seeded()
+    wh.append("fact/product", Seq((10L, Some(1L))).toDF("c_id", "p_ref").coalesce(1))
+    intercept[IllegalArgumentException](
+      wh.replace("dim/provider", Seq((9L, "z")).toDF("p_id", "p_name")))
+    intercept[IllegalArgumentException](wh.delete("dim/provider"))
+    intercept[IllegalArgumentException](
+      wh.mergeInto("dim/provider", parentS,
+        Seq((1L, "x")).toDF("p_id", "p_name"), Seq("p_id"),
+        whenMatchedDelete = Some(lit(true))))
+    // after the child empties, the parent is free
+    wh.delete("fact/product")
+    wh.replace("dim/provider", Seq((9L, "z")).toDF("p_id", "p_name"))
+    assert(wh.read("dim/provider", parentS).count() == 1)
+  }
+
+  test("declarations fold, round-trip restore, and drop cleanly") {
+    val dir = Files.createTempDirectory("graft-fk-fold-").toString
+    val wh = new AtomicWarehouse(spark, dir, logFoldEvery = 4)
+    wh.append("dim/provider", Seq((1L, "a")).toDF("p_id", "p_name").coalesce(1))
+    wh.addForeignKey("fact/product", "p_ref", "dim/provider", "p_id", "fk_provider")
+    (0 until 6).foreach(i => wh.append("dim/provider",
+      Seq((10L + i, "x")).toDF("p_id", "p_name").coalesce(1))) // cross the fold
+    val wh2 = new AtomicWarehouse(spark, dir)
+    assert(wh2.foreignKeysOf("fact/product")
+      == Map("fk_provider" -> (("p_ref", "dim/provider", "p_id"))))
+    assert(wh2.describe("fact/product").foreignKeys
+      == Map("fk_provider" -> "p_ref -> dim/provider.p_id"))
+    intercept[IllegalArgumentException](
+      wh2.append("fact/product", Seq((1L, Some(999L))).toDF("c_id", "p_ref")))
+    wh2.dropForeignKey("fact/product", "fk_provider")
+    wh2.append("fact/product", Seq((1L, Some(999L))).toDF("c_id", "p_ref"))
+    assert(wh2.read("fact/product", childS).count() == 1)
+  }
+}
