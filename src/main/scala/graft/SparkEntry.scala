@@ -1407,6 +1407,46 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"))
     }
 
+    // ---- snapshot-seeded replication: the reseed exit ramp every feed
+    // refusal points at, exercised end to end. The source lives BEFORE its
+    // change feed (a pre-feed UPDATE the feed can never reconstruct), so
+    // from-genesis replication REFUSES (flag literal in the oracle);
+    // seed() copies the consistent as-of snapshot with the cursor in the
+    // same commit, and the post-seed DML window flows through the normal
+    // sequence-guarded apply. Oracle restates the final state: the
+    // pre-feed update baked into the seed plus the post-seed deletes.
+    q("etl_replicate_seed") = (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+      val (src, qtr) = bandedOrdersWh(s, orders, "rsd")
+      src.updateWhere("facts/orders", orders.schema,
+        Seq(graft.sources.ColLt("o_orderkey", qtr / 2)),
+        Seq("o_totalprice" -> (col("o_totalprice") * 2))) // pre-feed: unrecorded
+      src.setChangeFeed("facts/orders", on = true)
+      val dst = new graft.sources.AtomicWarehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-rsd-dst-").toString)
+      val repl = new graft.streaming.Replicator(src, "facts/orders",
+        orders.schema, Seq("o_orderkey"), dst, "facts/orders")
+      val refusedGenesis =
+        try { repl.refresh(); false }
+        catch { case _: IllegalStateException => true }
+      repl.seed()
+      src.deleteWhere("facts/orders", orders.schema,
+        Seq(graft.sources.ColGe("o_orderkey", qtr),
+          graft.sources.ColLt("o_orderkey", qtr * 3 / 2)))
+      val dvKeys = orders.filter(col("o_orderkey") % 101 === 0 &&
+          !(col("o_orderkey") >= qtr && col("o_orderkey") < qtr * 3 / 2))
+        .select(col("o_orderkey")).collect().map(_.getLong(0)).toSeq
+      src.deleteWhereDv("facts/orders", orders.schema,
+        Seq(graft.sources.ColIn("o_orderkey", dvKeys)))
+      repl.refresh()
+      repl.state().groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"),
+          sum(round(col("o_totalprice") * 100).cast(LongType)).as("cents"))
+        .withColumn("refused_genesis", lit(refusedGenesis))
+        .orderBy(col("o_orderstatus"))
+    }
+
     // ---- small-file bin-packing (OPTIMIZE's other half): one adequate
     // file plus six tiny ingest leftovers (the streaming tail); compactSmall
     // merges ONLY the six under-threshold files into one output — the big
@@ -4307,6 +4347,26 @@ object SparkEntry {
         |SELECT o_orderstatus, count(*) AS n,
         | CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
         | CAST(sum(CAST(round(p * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM final
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    // same final state as etl_replicate — the pre-feed update is baked
+    // into the seed snapshot instead of replicated — plus the genesis
+    // refusal flag
+    "etl_replicate_seed" ->
+      """WITH m AS (SELECT max(o_orderkey) // 4 AS q FROM orders),
+        | final AS (
+        |   SELECT o_orderstatus, o_orderkey,
+        |     CASE WHEN o_orderkey < m.q // 2 THEN o_totalprice * 2
+        |          ELSE o_totalprice END AS p
+        |   FROM orders, m
+        |   WHERE NOT (o_orderkey >= m.q AND o_orderkey < m.q * 3 // 2)
+        |     AND o_orderkey % 101 <> 0)
+        |SELECT o_orderstatus, count(*) AS n,
+        | CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        | CAST(sum(CAST(round(p * 100) AS BIGINT)) AS BIGINT) AS cents,
+        | TRUE AS refused_genesis
         |FROM final
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,

@@ -59,6 +59,39 @@ class Replicator(srcWh: AtomicWarehouse, srcTable: String,
   /** The replica's live rows (tombstones filtered), base columns. */
   def state(): DataFrame = acs.currentState()
 
+  /** Bootstrap the replica from a CONSISTENT SOURCE SNAPSHOT — the exit
+    * ramp the feed refusals point at: when the window since genesis is not
+    * reconstructible (the source's `changefeed` property came on late, a
+    * replace broke the chain, or old manifests were vacuumed), copy the
+    * source's as-of state instead and follow the feed from there.
+    *
+    * The snapshot rows land with applied-change metadata `_seq = version`
+    * (not the null-bootstrap form), so every later change — whose sequence
+    * is its commit version, strictly greater — beats them under the
+    * standard guard; the replication cursor commits to `version` in the
+    * SAME transaction as the data, so a crash cannot leave rows without a
+    * cursor (a re-seed would then double the table, which is why a
+    * non-empty replica refuses up front). A 100 TB seed is a one-time full
+    * copy by design; recluster/compact the replica afterwards if the
+    * source's band layout should carry over.
+    */
+  def seed(version: Int = srcWh.versions().lastOption.getOrElse(0)): Int = {
+    require(!dstWh.exists(dstTable),
+      s"seed onto non-empty replica $dstTable — a partial double-apply " +
+        "cannot converge; delete the replica table first")
+    val Seq(seqName, delName) = acs.storedSchema.fieldNames.takeRight(2).toSeq
+    val snap = srcWh.readAt(srcTable, baseSchema, version)
+      .withColumn(seqName, lit(version.toLong))
+      .withColumn(delName, lit(false))
+    dstWh.atomically { w =>
+      w.append(dstTable, snap)
+      w.replace(cursorTable, dstWh.spark.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row(version.toLong)),
+        cursorSchema))
+    }
+    version
+  }
+
   /** Pull and apply everything the source committed since the cursor.
     * Returns the new cursor (unchanged when the window held no change).
     */

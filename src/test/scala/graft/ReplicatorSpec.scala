@@ -72,6 +72,36 @@ class ReplicatorSpec extends SparkSpec {
       .map(i => (i, s"v$i")).toSet)
   }
 
+  test("seed() bootstraps from a snapshot where the feed cannot reconstruct") {
+    // the source lived BEFORE its change feed: appends + DML with CDF off
+    val src = new AtomicWarehouse(spark, Files.createTempDirectory("graft-repl-src-").toString)
+    val dst = new AtomicWarehouse(spark, Files.createTempDirectory("graft-repl-dst-").toString)
+    src.append("t", (0L until 10L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    src.updateWhere("t", kv, Seq(ColLt("id", 3L)),
+      Seq("v" -> concat(lit("U"), col("v")))) // pre-feed DML: unrecorded
+    src.setChangeFeed("t", on = true)
+    val repl = new Replicator(src, "t", kv, Seq("id"), dst, "t")
+    // from-genesis replication refuses (the window is unreconstructible)
+    val e = intercept[IllegalStateException](repl.refresh())
+    assert(e.getMessage.contains("change feed was not enabled"))
+    // seed from the head snapshot, then the feed takes over
+    val at = repl.seed()
+    assert(repl.cursor() == at)
+    assert(rows(repl.state()) == rows(src.read("t", kv)))
+    // post-seed traffic flows through the normal guarded apply
+    src.deleteWhereDv("t", kv, Seq(ColIn("id", Seq(4L))))
+    src.mergeInto("t", kv, Seq((1L, "m1"), (77L, "m77")).toDF("id", "v"), Seq("id"))
+    repl.refresh()
+    assert(rows(repl.state()) == rows(src.read("t", kv)))
+    // a cursor wound back INTO the seeded window replays over the seed
+    // rows and converges (their _seq loses to every later change)
+    dst.replace(repl.cursorTable, Seq(at.toLong).toDF("version"))
+    repl.refresh()
+    assert(rows(repl.state()) == rows(src.read("t", kv)))
+    // re-seeding a live replica refuses — double-apply cannot converge
+    intercept[IllegalArgumentException](repl.seed())
+  }
+
   test("a delete-then-late-window overlap converges by the sequence guard") {
     val (src, dst, repl) = fresh()
     src.append("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1))
