@@ -2041,13 +2041,53 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     val cluster2 = clusterBy(table)
       .filter(_.contains(oldName))
       .map(_.map(c => if (c == oldName) newName else c))
+    // declared invariants follow the rename: FK descriptors (this table as
+    // child OR as parent) and UNIQUE columns are structured and rewrite in
+    // the same commit; CHECK expressions are free-form SQL text, so a
+    // rename of a referenced column REFUSES (drop/re-add the constraint
+    // around the rename) rather than silently breaking every later write.
+    // The Bloom declaration re-publishes too (probes anchor on physical
+    // names either way — this keeps the visible decl truthful).
+    val st0 = foldedState()
+    st0.constraints.foreach { case ((t, n), e) =>
+      if (t == table) require(!checkExprRefs(e).contains(oldName.toLowerCase),
+        s"renameColumn: CHECK constraint '$n' on $table references " +
+          s"'$oldName' — dropConstraint/addConstraint around the rename")
+    }
+    val fk2 = st0.fks.toSeq.flatMap { case ((c, n), d) =>
+      val p = d.split('|')
+      val hit = (c == table && p(0) == oldName) ||
+        (p(1) == table && p(2) == oldName)
+      if (!hit) None
+      else Some(s"fk\t$c\t$n\t" +
+        s"${if (c == table && p(0) == oldName) newName else p(0)}|${p(1)}|" +
+        s"${if (p(1) == table && p(2) == oldName) newName else p(2)}")
+    }
+    val uq2 = st0.uniques.toSeq.collect {
+      case ((t, n), c0) if t == table && c0 == oldName => s"unique\t$t\t$n\t$newName"
+    }
+    val bloom2 = st0.bloomcols.get(table).map(BloomIndex.parseDecl).collect {
+      case (cols, fpp) if cols.contains(oldName) =>
+        s"bloomcols\t$table\t${BloomIndex.declJson(
+          cols.map(c => if (c == oldName) newName else c), fpp)}"
+    }
     val lines = Seq(s"schema\t$table\t${sch2.json}",
       s"colmap\t$table\t${colMapJson(m2)}") ++
-      cluster2.map(cs => s"cluster\t$table\t${cs.mkString(",")}")
+      cluster2.map(cs => s"cluster\t$table\t${cs.mkString(",")}") ++
+      fk2 ++ uq2 ++ bloom2
     require(!sch2.json.contains('\t') && !sch2.json.contains('\n'),
       s"schema JSON for $table contains TSV control characters")
     publish(lines)
   }
+
+  /** Lower-cased attribute names a CHECK expression references (parse
+    * level, resolution-free) — the rename/drop interaction guard.
+    */
+  private def checkExprRefs(e: String): Set[String] =
+    spark.sessionState.sqlParser.parseExpression(e).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.name.toLowerCase
+    }.toSet
 
   /** Drop a column WITHOUT rewriting a byte: one metadata commit removes it
     * from the recorded schema (reads simply stop selecting it — the bytes
@@ -2070,6 +2110,25 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     require(sch.fields.length > 1, s"dropColumn would leave $table without columns")
     require(!clusterBy(table).exists(_.contains(name)),
       s"dropColumn: '$name' is a declared cluster column of $table — setClusterBy first")
+    // a column referenced by a declared invariant cannot be dropped out
+    // from under it — every later write would fail expression analysis
+    // (CHECK) or key resolution (FK/UNIQUE). Drop the declaration first.
+    val st0 = foldedState()
+    st0.constraints.foreach { case ((t, n), e) =>
+      if (t == table) require(!checkExprRefs(e).contains(name.toLowerCase),
+        s"dropColumn: CHECK constraint '$n' on $table references '$name' — dropConstraint first")
+    }
+    st0.fks.foreach { case ((c, n), d) =>
+      val p = d.split('|')
+      require(!(c == table && p(0) == name),
+        s"dropColumn: FOREIGN KEY '$n' on $table uses '$name' — dropForeignKey first")
+      require(!(p(1) == table && p(2) == name),
+        s"dropColumn: FOREIGN KEY '$n' on ${c} references $table.'$name' — dropForeignKey first")
+    }
+    st0.uniques.foreach { case ((t, n), c0) =>
+      require(!(t == table && c0 == name),
+        s"dropColumn: UNIQUE '$n' on $table uses '$name' — dropUniqueKey first")
+    }
     val m = colMapOf(table)
     val physical = m.getOrElse(name, name)
     val m2 = (m - name) + (s"$droppedPrefix$physical" -> physical)

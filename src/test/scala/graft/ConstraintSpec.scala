@@ -108,6 +108,42 @@ class ConstraintSpec extends SparkSpec {
     wh.append("u", rows((1L, -1L, "O"))) // re-created table starts clean
   }
 
+  test("schema evolution interacts safely: rename follows FK/UNIQUE, refuses on CHECK; drop refuses on any reference") {
+    val wh = newWh()
+    wh.append("p", rows((1L, 5L, "O")).coalesce(1))
+    wh.append("c", rows((1L, 1L, "O")).coalesce(1))
+    wh.addConstraint("p", "price_positive", "price > 0", kv)
+    wh.addForeignKey("c", "price", "p", "id", "fk_pid")
+    wh.addUniqueKey("p", "id", "pk")
+    // rename a CHECK-referenced column refuses with instructions
+    val e = intercept[IllegalArgumentException](wh.renameColumn("p", "price", "cost"))
+    assert(e.getMessage.contains("price_positive"))
+    // rename of the FK parent key and UNIQUE column FOLLOWS the rename
+    wh.renameColumn("p", "id", "pid")
+    assert(wh.foreignKeysOf("c") == Map("fk_pid" -> (("price", "p", "pid"))))
+    assert(wh.uniquesOf("p") == Map("pk" -> "pid"))
+    // enforcement still works under the new name, both directions
+    val ps = StructType(Seq(
+      StructField("pid", LongType, nullable = false),
+      StructField("price", LongType, nullable = true),
+      StructField("status", StringType, nullable = true)))
+    intercept[IllegalArgumentException](
+      wh.append("p", Seq((1L, 6L, "O")).toDF("pid", "price", "status"))) // dup pid
+    intercept[IllegalArgumentException](
+      wh.append("c", rows((2L, 9L, "O")))) // dangling ref under renamed parent key
+    // rename of the FK CHILD column follows too
+    wh.renameColumn("c", "price", "p_ref")
+    assert(wh.foreignKeysOf("c") == Map("fk_pid" -> (("p_ref", "p", "pid"))))
+    // drop of any referenced column refuses
+    intercept[IllegalArgumentException](wh.dropColumn("p", "pid"))
+    intercept[IllegalArgumentException](wh.dropColumn("c", "p_ref"))
+    intercept[IllegalArgumentException](wh.dropColumn("p", "price"))
+    // after dropping the declarations, the columns free up
+    wh.dropConstraint("p", "price_positive")
+    wh.dropColumn("p", "price")
+    assert(wh.constraintsOf("p").isEmpty)
+  }
+
   test("declarations survive truncate, log folds, and restore round-trips") {
     val dir = Files.createTempDirectory("graft-constraint-fold-").toString
     val wh = new AtomicWarehouse(spark, dir, logFoldEvery = 4)
