@@ -74,18 +74,50 @@ class PersistedPostings(private[graft] val wh: Warehouse, probeTermLimit: Int = 
   val ingestSchema: StructType = StructType(Seq(
     StructField("batch_id", LongType, nullable = false)))
 
-  /** `(t, id, tf, dl, pos)` of a doc batch — [[Retrieval.bm25]]'s tf frame
-    * shape with the counts kept integral for storage, plus the sorted
-    * 1-based position list the phrase intersection runs on.
+  /** One-pass tokenization of a doc batch: `(id, __ts)`. Both the corpus
+    * stats (N, Σdl — dl IS `size(tokens)`, `tokenCountWs`'s definition)
+    * and the postings derive from THIS frame, persisted batch-sized, so
+    * every build/admit tokenizes its input exactly ONCE — the unfused
+    * shape (a stats aggregate over the raw text plus a separate postings
+    * scan) tokenized the whole input twice, which at corpus scale doubles
+    * the ingest's dominant cost.
     */
-  private def postingsOf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  private def tokensOf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).cast(LongType).as("id"),
-        TextOps.tokenCountWs(col(textCol)).cast(LongType).as("dl"),
-        posexplode(TextOps.tokens(col(textCol))).as(Seq("p0", "t")))
+      TextOps.tokens(col(textCol)).as("__ts"))
+
+  /** `(n, sumdl)` from the tokenized frame — bit-equal to
+    * [[Retrieval.corpusStats]] over the raw docs (null text: `size(null)`
+    * is null, skipped by the sum exactly as the unfused aggregate did).
+    */
+  private def statsOfToks(toks: DataFrame): (Long, Long) = {
+    val r = toks.agg(count(lit(1)),
+      sum(size(col("__ts")).cast(LongType))).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** `(t, id, tf, dl, pos)` of a tokenized batch — [[Retrieval.bm25]]'s tf
+    * frame shape with the counts kept integral for storage, plus the
+    * sorted 1-based position list the phrase intersection runs on.
+    */
+  private def postingsOfToks(toks: DataFrame): DataFrame =
+    toks.select(col("id"), size(col("__ts")).cast(LongType).as("dl"),
+        posexplode(col("__ts")).as(Seq("p0", "t")))
       .groupBy(col("id"), col("t"))
       .agg(count(lit(1)).as("tf"), any_value(col("dl")).as("dl"),
         sort_array(collect_list((col("p0") + 1).cast("int"))).as("pos"))
       .select(col("t"), col("id"), col("tf"), col("dl"), col("pos"))
+
+  /** Tokenize once, hand stats + postings to `body`, release the frame. */
+  private def withToks[A](docs: DataFrame, idCol: String, textCol: String)(
+      body: (DataFrame, Long, Long) => A): A = {
+    val toks = tokensOf(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val (n, sumdl) = statsOfToks(toks)
+      body(toks, n, sumdl)
+    } finally toks.unpersist(false)
+  }
 
   private def statsRow(seq: Long, n: Long, sumdl: Long): DataFrame =
     wh.spark.createDataFrame(
@@ -97,14 +129,14 @@ class PersistedPostings(private[graft] val wh: Warehouse, probeTermLimit: Int = 
     * build is the one acceptable full-corpus shuffle — every later batch is
     * incremental).
     */
-  def build(docs: DataFrame, idCol: String, textCol: String): Unit = {
-    val (n, sumdl) = Retrieval.corpusStats(docs, textCol)
-    val p = postingsOf(docs, idCol, textCol)
-    wh.atomically { w =>
-      w.replace(postingsTable, p.repartition(col("t")).sortWithinPartitions("t"))
-      w.replace(statsTable, statsRow(0L, n, sumdl))
+  def build(docs: DataFrame, idCol: String, textCol: String): Unit =
+    withToks(docs, idCol, textCol) { (toks, n, sumdl) =>
+      wh.atomically { w =>
+        w.replace(postingsTable,
+          postingsOfToks(toks).repartition(col("t")).sortWithinPartitions("t"))
+        w.replace(statsTable, statsRow(0L, n, sumdl))
+      }
     }
-  }
 
   /** Tokenize ONLY the fresh batch and append its postings + stats row.
     * Batch-sized work; the existing index is untouched. Caller contract:
@@ -135,18 +167,18 @@ class PersistedPostings(private[graft] val wh: Warehouse, probeTermLimit: Int = 
   private def admit(fresh: DataFrame, idCol: String, textCol: String,
       batchId: Option[Long]): Unit = {
     require(wh.exists(statsTable), s"$statsTable absent — build() first")
-    val (n, sumdl) = Retrieval.corpusStats(fresh, textCol)
-    val seq = wh.read(statsTable, statsSchema).agg(max(col("seq"))).head() match {
-      case r if r.isNullAt(0) => 1L
-      case r => r.getLong(0) + 1L
-    }
-    wh.atomically { w =>
-      w.append(postingsTable, postingsOf(fresh, idCol, textCol)
-        .sortWithinPartitions("t"))
-      w.append(statsTable, statsRow(seq, n, sumdl))
-      batchId.foreach { b =>
-        w.append(ingestTable, wh.spark.createDataFrame(
-          java.util.Arrays.asList(org.apache.spark.sql.Row(Long.box(b))), ingestSchema))
+    withToks(fresh, idCol, textCol) { (toks, n, sumdl) =>
+      val seq = wh.read(statsTable, statsSchema).agg(max(col("seq"))).head() match {
+        case r if r.isNullAt(0) => 1L
+        case r => r.getLong(0) + 1L
+      }
+      wh.atomically { w =>
+        w.append(postingsTable, postingsOfToks(toks).sortWithinPartitions("t"))
+        w.append(statsTable, statsRow(seq, n, sumdl))
+        batchId.foreach { b =>
+          w.append(ingestTable, wh.spark.createDataFrame(
+            java.util.Arrays.asList(org.apache.spark.sql.Row(Long.box(b))), ingestSchema))
+        }
       }
     }
   }
@@ -295,33 +327,32 @@ class PersistedPostings(private[graft] val wh: Warehouse, probeTermLimit: Int = 
       }
       require(wh.exists(statsTable), s"$statsTable absent — build() first")
       val distinct = outIds.distinct
-      val f = fresh.get
       val dlGone = postings().filter(col("id").isInCollection(distinct))
         .groupBy(col("id")).agg(any_value(col("dl")).as("dl"))
         .agg(coalesce(sum(col("dl")), lit(0L))).head().getLong(0)
-      val (n, sumdl) = Retrieval.corpusStats(f, textCol)
-      val seq = wh.read(statsTable, statsSchema).agg(max(col("seq"))).head() match {
-        case r if r.isNullAt(0) => 1L
-        case r => r.getLong(0) + 1L
+      withToks(fresh.get, idCol, textCol) { (toks, n, sumdl) =>
+        val seq = wh.read(statsTable, statsSchema).agg(max(col("seq"))).head() match {
+          case r if r.isNullAt(0) => 1L
+          case r => r.getLong(0) + 1L
+        }
+        def ledger(w: Warehouse, t: String): Unit =
+          w.append(t, wh.spark.createDataFrame(
+            java.util.Arrays.asList(org.apache.spark.sql.Row(Long.box(batchId))),
+            ingestSchema))
+        def rest(w: Warehouse): Unit = {
+          w.append(statsTable,
+            statsRow(seq, -distinct.size.toLong, -dlGone)
+              .union(statsRow(seq + 1, n, sumdl)))
+          ledger(w, retractTable)
+          w.append(postingsTable, postingsOfToks(toks).sortWithinPartitions("t"))
+          ledger(w, ingestTable)
+        }
+        val r = awh.deleteWhereDv(postingsTable, postingsSchema,
+          Seq(graft.sources.ColIn("id", distinct)), alsoInTx = rest)
+        // token-less retractees tombstone nothing, but the stats correction,
+        // the admission, and both ledger rows must still land — atomically
+        if (r.deleted == 0L) wh.atomically(rest)
       }
-      def ledger(w: Warehouse, t: String): Unit =
-        w.append(t, wh.spark.createDataFrame(
-          java.util.Arrays.asList(org.apache.spark.sql.Row(Long.box(batchId))),
-          ingestSchema))
-      def rest(w: Warehouse): Unit = {
-        w.append(statsTable,
-          statsRow(seq, -distinct.size.toLong, -dlGone)
-            .union(statsRow(seq + 1, n, sumdl)))
-        ledger(w, retractTable)
-        w.append(postingsTable, postingsOf(f, idCol, textCol)
-          .sortWithinPartitions("t"))
-        ledger(w, ingestTable)
-      }
-      val r = awh.deleteWhereDv(postingsTable, postingsSchema,
-        Seq(graft.sources.ColIn("id", distinct)), alsoInTx = rest)
-      // token-less retractees tombstone nothing, but the stats correction,
-      // the admission, and both ledger rows must still land — atomically
-      if (r.deleted == 0L) wh.atomically(rest)
     }
   }
 
