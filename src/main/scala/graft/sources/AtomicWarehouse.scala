@@ -762,10 +762,16 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       })
 
     // truncating away a referenced parent's rows would orphan every child
-    // reference at once — RESTRICT applies to the whole-table ops too
+    // reference at once — RESTRICT applies to the whole-table ops too. The
+    // child counts as empty when its metadata PROVES zero live rows
+    // (describe subtracts DV tombstones exactly), so a child emptied by
+    // deletion vectors frees its parent without waiting for compaction;
+    // unknown (-1: stats gaps) stays a conservative refusal.
     private def fkRefuseTruncate(table: String, op: String): Unit =
       referencingFks(table).foreach { case (child, name, cCol, pCol) =>
-        if (committedOrPhysical(child).nonEmpty) throw new IllegalArgumentException(
+        val childEmpty = committedOrPhysical(child).isEmpty ||
+          describe(child).rows == 0L
+        if (!childEmpty) throw new IllegalArgumentException(
           s"FOREIGN KEY '$name' ($child.$cCol -> $table.$pCol) RESTRICTs " +
             s"$op of $table while the child holds rows; delete the child " +
             "first or dropForeignKey")
@@ -1600,14 +1606,16 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
 
   // ---- UNIQUE constraints -----------------------------------------------
 
-  /** The table's declared UNIQUE columns: name → column. Closes the loop
-    * the FK contract leaves open (parent keys assumed unique): enforcement
-    * is batch-sized — a write refuses when the batch collides within
-    * itself or with the table's rows outside the files the write replaces.
-    * NULLs never collide (the SQL rule). Same check-then-commit isolation
-    * caveat as the FK checks: two concurrent writers inserting the same
-    * key can both pass their probe — single-writer-per-table is the
-    * contract under which this is airtight.
+  /** The table's declared UNIQUE keys: name → comma-joined column list
+    * (single or COMPOSITE — the reference's Provider_Product pair-key
+    * shape). Closes the loop the FK contract leaves open (parent keys
+    * assumed unique): enforcement is batch-sized — a write refuses when
+    * the batch collides within itself or with the table's rows outside the
+    * files the write replaces. A row with ANY null key column is exempt
+    * (the SQL rule). Same check-then-commit isolation caveat as the FK
+    * checks: two concurrent writers inserting the same key can both pass
+    * their probe — single-writer-per-table is the contract under which
+    * this is airtight.
     */
   def uniquesOf(table: String): Map[String, String] =
     foldedState().uniques.collect { case ((t, n), c) if t == table => n -> c }
@@ -1615,24 +1623,31 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
   /** Declare a UNIQUE column — one metadata commit after proving the
     * EXISTING rows distinct (one aggregate; vacuous when absent/empty).
     */
-  def addUniqueKey(table: String, column: String, name: String): Unit = {
-    Seq(name, column).foreach(s_ =>
-      require(s_.nonEmpty && !s_.exists(c => c == '\t' || c == '\n'),
-        s"'$s_' is empty or contains TSV control characters"))
+  def addUniqueKey(table: String, column: String, name: String): Unit =
+    addUniqueKey(table, Seq(column), name)
+
+  /** Composite form: the tuple over `columns` must be unique. */
+  def addUniqueKey(table: String, columns: Seq[String], name: String): Unit = {
+    require(columns.nonEmpty, "addUniqueKey with no columns")
+    (name +: columns).foreach(s_ =>
+      require(s_.nonEmpty && !s_.exists(c => c == '\t' || c == '\n' || c == ','),
+        s"'$s_' is empty or contains TSV/list control characters"))
     if (exists(table)) {
       val schema = recordedSchema(table)
-      require(schema.fieldNames.contains(column),
-        s"$table has no column '$column'")
-      val dup = read(table, schema).select(col(column).as("__k"))
-        .filter(col("__k").isNotNull)
-        .groupBy(col("__k")).agg(count(lit(1)).as("__n"))
+      columns.foreach(c => require(schema.fieldNames.contains(c),
+        s"$table has no column '$c'"))
+      val dup = read(table, schema)
+        .filter(columns.map(col(_).isNotNull).reduce(_ && _))
+        .groupBy(columns.map(col): _*).agg(count(lit(1)).as("__n"))
         .filter(col("__n") > 1).limit(1).collect()
       if (dup.nonEmpty) throw new IllegalArgumentException(
-        s"cannot add UNIQUE '$name' on $table.$column: existing rows " +
-          s"duplicate key ${dup.head.get(0)} (${dup.head.getLong(1)} rows)")
+        s"cannot add UNIQUE '$name' on $table(${columns.mkString(",")}): " +
+          s"existing rows duplicate key ${dup.head.toSeq.init.mkString("(", ",", ")")}" +
+          s" (${dup.head.getLong(columns.size)} rows)")
     }
-    if (foldedState().uniques.get((table, name)).contains(column)) return
-    publish(Seq(s"unique\t$table\t$name\t$column"))
+    val encoded = columns.mkString(",")
+    if (foldedState().uniques.get((table, name)).contains(encoded)) return
+    publish(Seq(s"unique\t$table\t$name\t$encoded"))
   }
 
   /** Drop a declared UNIQUE constraint — metadata-only, no-op when absent. */
@@ -1651,33 +1666,41 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       excludeFiles: Seq[String], truncating: Boolean): Unit = {
     val us = uniquesOf(table).toSeq.sortBy(_._1)
     if (us.isEmpty) return
-    us.foreach { case (name, c) =>
-      val dup = df.select(col(c).as("__k")).filter(col("__k").isNotNull)
-        .groupBy(col("__k")).agg(count(lit(1)).as("__n"))
+    us.foreach { case (name, encoded) =>
+      val cols = encoded.split(',').toSeq
+      val nonNull = cols.map(col(_).isNotNull).reduce(_ && _)
+      val dup = df.filter(nonNull)
+        .groupBy(cols.map(col): _*).agg(count(lit(1)).as("__n"))
         .filter(col("__n") > 1).limit(1).collect()
       if (dup.nonEmpty) throw new IllegalArgumentException(
-        s"UNIQUE '$name' on $table.$c violated within this write " +
-          s"(duplicate key: ${dup.head.get(0)})")
+        s"UNIQUE '$name' on $table(${cols.mkString(",")}) violated within " +
+          s"this write (duplicate key: ${dup.head.toSeq.init.mkString("(", ",", ")")})")
       if (!truncating && exists(table)) {
         val excluded = excludeFiles.toSet
         val remain = visibleFiles(table).getOrElse(Nil).filterNot(excluded.contains)
         if (remain.nonEmpty) {
           val schema = recordedSchema(table)
-          val keys = df.select(col(c).as("__k")).filter(col("__k").isNotNull)
-            .distinct()
-          val lits = keys.limit(fkProbeLimit + 1).collect().map(_.get(0))
-          val clash: Seq[Any] =
-            if (lits.isEmpty) Nil
-            else if (lits.length <= fkProbeLimit && excluded.isEmpty)
-              scanWhere(table, schema, Seq(ColIn(c, lits.toSeq)))
-                .select(col(c)).limit(3).collect().map(_.get(0)).toSeq
+          val keys = df.filter(nonNull).select(cols.map(col): _*).distinct()
+          // the point-probe routes on the FIRST key column (≤ cap distinct
+          // values → stats/Bloom-prunable In-literal slice); the exact
+          // tuple match joins WITHIN that slice, so a composite key pays
+          // one prefiltered scan, never a full one. A row colliding on the
+          // tuple necessarily shares the first column's value — sound.
+          val lead = keys.select(col(cols.head)).distinct()
+            .limit(fkProbeLimit + 1).collect().map(_.get(0))
+          val clash: Array[org.apache.spark.sql.Row] =
+            if (lead.isEmpty) Array.empty
+            else if (lead.length <= fkProbeLimit && excluded.isEmpty)
+              scanWhere(table, schema, Seq(ColIn(cols.head, lead.toSeq)))
+                .select(cols.map(col): _*)
+                .join(keys, cols, "left_semi").limit(3).collect()
             else
-              readFiles(table, schema, remain).select(col(c).as("__k"))
-                .join(keys, Seq("__k"), "left_semi")
-                .limit(3).collect().map(_.get(0)).toSeq
+              readFiles(table, schema, remain).select(cols.map(col): _*)
+                .join(keys, cols, "left_semi").limit(3).collect()
           if (clash.nonEmpty) throw new IllegalArgumentException(
-            s"UNIQUE '$name' on $table.$c violated: key(s) already present " +
-              s"(first: ${clash.head})")
+            s"UNIQUE '$name' on $table(${cols.mkString(",")}) violated: " +
+              s"key(s) already present (first: " +
+              s"${clash.head.toSeq.mkString("(", ",", ")")})")
         }
       }
     }
@@ -2064,7 +2087,9 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
         s"${if (p(1) == table && p(2) == oldName) newName else p(2)}")
     }
     val uq2 = st0.uniques.toSeq.collect {
-      case ((t, n), c0) if t == table && c0 == oldName => s"unique\t$t\t$n\t$newName"
+      case ((t, n), c0) if t == table && c0.split(',').contains(oldName) =>
+        s"unique\t$t\t$n\t${c0.split(',').map(c =>
+          if (c == oldName) newName else c).mkString(",")}"
     }
     val bloom2 = st0.bloomcols.get(table).map(BloomIndex.parseDecl).collect {
       case (cols, fpp) if cols.contains(oldName) =>
@@ -2126,7 +2151,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
         s"dropColumn: FOREIGN KEY '$n' on ${c} references $table.'$name' — dropForeignKey first")
     }
     st0.uniques.foreach { case ((t, n), c0) =>
-      require(!(t == table && c0 == name),
+      require(!(t == table && c0.split(',').contains(name)),
         s"dropColumn: UNIQUE '$n' on $table uses '$name' — dropUniqueKey first")
     }
     val m = colMapOf(table)

@@ -135,6 +135,18 @@ class ForeignKeySpec extends SparkSpec {
     assert(wh.read("dim/provider", parentS).count() == 1)
   }
 
+  test("a child emptied by deletion vectors frees the parent (metadata-proven)") {
+    val wh = seeded()
+    wh.append("fact/product", Seq((10L, Some(1L))).toDF("c_id", "p_ref").coalesce(1))
+    intercept[IllegalArgumentException](wh.delete("dim/provider"))
+    // empty the child WITHOUT removing its files: merge-on-read tombstones
+    wh.deleteWhereDv("fact/product", childS, Seq(ColIn("c_id", Seq(10L))))
+    assert(wh.describe("fact/product").files > 0 &&
+      wh.describe("fact/product").rows == 0L)
+    wh.delete("dim/provider") // zero LIVE child rows — RESTRICT releases
+    assert(!wh.exists("dim/provider"))
+  }
+
   test("declarations fold, round-trip restore, and drop cleanly") {
     val dir = Files.createTempDirectory("graft-fk-fold-").toString
     val wh = new AtomicWarehouse(spark, dir, logFoldEvery = 4)

@@ -81,6 +81,35 @@ class UniqueKeySpec extends SparkSpec {
       wh.replace("t", rows((5L, "x"), (5L, "y"))))
   }
 
+  test("composite keys: the tuple is unique, partial-null rows exempt") {
+    val wh = newWh()
+    val pp = Seq((1L, 10L, "a"), (1L, 11L, "b"), (2L, 10L, "c"))
+      .toDF("prov", "prod", "v")
+    wh.append("pp", pp.coalesce(1))
+    wh.addUniqueKey("pp", Seq("prov", "prod"), "pk_pair")
+    // same prov, fresh prod: fine; the exact pair: refused
+    wh.append("pp", Seq((1L, 12L, "d")).toDF("prov", "prod", "v"))
+    val e = intercept[IllegalArgumentException](
+      wh.append("pp", Seq((1L, 10L, "dup")).toDF("prov", "prod", "v")))
+    assert(e.getMessage.contains("pk_pair"))
+    // a null in EITHER key column exempts the row (SQL), repeatedly
+    val withNull = Seq((java.lang.Long.valueOf(1L), null.asInstanceOf[java.lang.Long], "n"))
+      .toDF("prov", "prod", "v")
+    wh.append("pp", withNull)
+    wh.append("pp", withNull)
+    // within-batch pair duplicate refuses
+    intercept[IllegalArgumentException](
+      wh.append("pp", Seq((9L, 9L, "x"), (9L, 9L, "y")).toDF("prov", "prod", "v")))
+    // declare-time validation sees tuple duplicates
+    wh.append("dup2", Seq((1L, 1L, "x"), (1L, 1L, "y")).toDF("prov", "prod", "v").coalesce(1))
+    intercept[IllegalArgumentException](
+      wh.addUniqueKey("dup2", Seq("prov", "prod"), "pk"))
+    // rename follows a composite member; drop refuses on it
+    wh.renameColumn("pp", "prod", "product_id")
+    assert(wh.uniquesOf("pp") == Map("pk_pair" -> "prov,product_id"))
+    intercept[IllegalArgumentException](wh.dropColumn("pp", "product_id"))
+  }
+
   test("declarations fold, drop lifts, delete(table) clears") {
     val dir = Files.createTempDirectory("graft-uniq-fold-").toString
     val wh = new AtomicWarehouse(spark, dir, logFoldEvery = 4)
