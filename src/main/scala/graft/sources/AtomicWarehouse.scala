@@ -1541,6 +1541,10 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
         .asInstanceOf[StructType]
       require(cSchema.fieldNames.contains(childCol),
         s"child $child has no column '$childCol'")
+      val (ct, pt) = (cSchema(childCol).dataType, pSchema(parentCol).dataType)
+      require(ct == pt,
+        s"foreign key type mismatch: $child.$childCol is $ct but " +
+          s"$parent.$parentCol is $pt — widen one side first")
       val orphan = read(child, cSchema).select(col(childCol).as("__k"))
         .filter(col("__k").isNotNull).distinct()
         .join(read(parent, pSchema).select(col(parentCol).as("__k")).distinct(),
@@ -1583,20 +1587,20 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       val batchKeys = df.select(col(cCol).as("__k")).filter(col("__k").isNotNull)
         .distinct()
       val lits = batchKeys.limit(fkProbeLimit + 1).collect().map(_.get(0))
+      // membership always resolves through a JOIN (Spark coerces a child/
+      // parent key width difference; a driver-side Set diff would compare
+      // boxed Integer against Long and false-refuse) — the point-probe
+      // regime only narrows the parent SCAN to the ≤ cap key slice
       val missing: Seq[Any] =
         if (lits.isEmpty) Nil
-        else stagedParent(parent, pSchema) match {
-          case Some(pdf) => // parent staged in THIS tx: read-your-own-writes
-            batchKeys.join(pdf.select(col(pCol).as("__k")).distinct(),
-              Seq("__k"), "left_anti").limit(3).collect().map(_.get(0)).toSeq
-          case None if lits.length <= fkProbeLimit =>
-            val present = scanWhere(parent, pSchema, Seq(ColIn(pCol, lits.toSeq)))
-              .select(col(pCol)).distinct().collect().map(_.get(0)).toSet
-            lits.toSeq.filterNot(present.contains)
-          case None =>
-            batchKeys.join(read(parent, pSchema).select(col(pCol).as("__k"))
-              .distinct(), Seq("__k"), "left_anti")
-              .limit(3).collect().map(_.get(0)).toSeq
+        else {
+          val pdf = stagedParent(parent, pSchema).getOrElse {
+            if (lits.length <= fkProbeLimit)
+              scanWhere(parent, pSchema, Seq(ColIn(pCol, lits.toSeq)))
+            else read(parent, pSchema)
+          }
+          batchKeys.join(pdf.select(col(pCol).as("__k")).distinct(),
+            Seq("__k"), "left_anti").limit(3).collect().map(_.get(0)).toSeq
         }
       if (missing.nonEmpty) throw new IllegalArgumentException(
         s"FOREIGN KEY '$name' on $table violated: ${missing.size}+ key(s) in " +
