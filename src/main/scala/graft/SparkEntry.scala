@@ -4419,13 +4419,15 @@ object SparkEntry {
         |   WHERE o_orderkey % 101 = 0
         |     AND NOT (o_orderkey >= m.q AND o_orderkey < m.q * 3 // 2))
         |SELECT * FROM (
-        | SELECT 'insert' AS _change_type, count(*) AS n,
-        |   sum(o_orderkey) AS key_sum FROM orders
+        | SELECT 'insert' AS _change_type, CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(o_orderkey) AS BIGINT) AS key_sum FROM orders
         | UNION ALL SELECT 'delete',
-        |   (SELECT count(*) FROM del) + (SELECT count(*) FROM dvd),
-        |   (SELECT sum(o_orderkey) FROM del) + (SELECT sum(o_orderkey) FROM dvd)
-        | UNION ALL SELECT 'update_preimage', count(*), sum(o_orderkey) FROM upd
-        | UNION ALL SELECT 'update_postimage', count(*), sum(o_orderkey) FROM upd)
+        |   CAST((SELECT count(*) FROM del) + (SELECT count(*) FROM dvd) AS BIGINT),
+        |   CAST((SELECT sum(o_orderkey) FROM del) + (SELECT sum(o_orderkey) FROM dvd) AS BIGINT)
+        | UNION ALL SELECT 'update_preimage', CAST(count(*) AS BIGINT),
+        |   CAST(sum(o_orderkey) AS BIGINT) FROM upd
+        | UNION ALL SELECT 'update_postimage', CAST(count(*) AS BIGINT),
+        |   CAST(sum(o_orderkey) AS BIGINT) FROM upd)
         |ORDER BY _change_type""".stripMargin,
 
     // incremental recluster: only the 6 intruder files rewritten, the 4

@@ -827,31 +827,41 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       if (staged.exists(_.removes.nonEmpty))
         throw new UnsupportedOperationException(
           s"read-your-own-writes over a staged file REWRITE of $table is not supported")
-      // DV'd committed files would need the anti-join plumbing inside the
-      // hand-built union below; unless a staged truncate hides them, refuse
-      // loudly (no production caller mixes DV tables with staged reads)
-      if (!staged.exists(_.truncate) && dvOf(table).nonEmpty)
-        throw new UnsupportedOperationException(
-          s"read-your-own-writes over $table with deletion vectors is not supported")
-      var files = committedOrPhysical(table).map(f => s"${path(table)}/$f")
+      // fold entries in order: a staged truncate hides the committed files
+      // AND any earlier staged appends; later appends re-add their dirs.
+      // The committed portion reads through the outer (DV-aware) read path
+      // so a staged child append can FK-probe a DV-bearing parent — the
+      // hand-built union only covers the staged (never-DV'd) files.
+      var committedVisible = true
+      var stagedDirs = Vector.empty[Path]
       staged.foreach { e =>
-        if (e.truncate) files = Nil
-        if (e.table == table) files = files ++ e.stageDir.toSeq.flatMap(d =>
-          stagedDataFiles(d).map(f => s"$d/$f"))
+        if (e.truncate) { committedVisible = false; stagedDirs = Vector.empty }
+        if (e.table == table) stagedDirs = stagedDirs ++ e.stageDir.toSeq
       }
-      if (files.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else {
-        // committed AND staged files are physical-named; translate back
-        val m = colMapOf(table)
-        if (m.isEmpty) spark.read.schema(schema).parquet(files: _*)
+      val m = colMapOf(table)
+      val stagedFiles = stagedDirs.flatMap(d =>
+        stagedDataFiles(d).map(f => s"$d/$f"))
+      val stagedDf: Option[DataFrame] =
+        if (stagedFiles.isEmpty) None
+        else if (m.isEmpty) Some(spark.read.schema(schema).parquet(stagedFiles: _*))
         else {
+          // staged files are physical-named; translate back
           val phys = StructType(schema.fields.map(f =>
             f.copy(name = m.getOrElse(f.name, f.name))))
-          spark.read.schema(phys).parquet(files: _*)
+          Some(spark.read.schema(phys).parquet(stagedFiles: _*)
             .select(schema.fields.toSeq.map(f =>
-              col(m.getOrElse(f.name, f.name)).as(f.name)): _*)
+              col(m.getOrElse(f.name, f.name)).as(f.name)): _*))
         }
+      val committedDf: Option[DataFrame] =
+        if (committedVisible && committedOrPhysical(table).nonEmpty)
+          Some(AtomicWarehouse.this.read(table, schema))
+        else None
+      (committedDf, stagedDf) match {
+        case (Some(a), Some(b)) => a.unionByName(b)
+        case (Some(a), None) => a
+        case (None, Some(b)) => b
+        case _ => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       }
     }
 
@@ -1565,6 +1575,34 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     if (foldedState().fks.contains((child, name)))
       publish(Seq(s"fk\t$child\t$name\t"))
 
+  // ---- SQL catalog seams (graft.sql) ------------------------------------
+
+  /** Manifest-known table names for the SQL catalog: every table with a
+    * recorded schema or visible files, minus internal child tables
+    * (underscore-prefixed segments: `_changes`, `_bloom`, `_dv`, sync
+    * cursors under `_sync`).
+    */
+  private[graft] def catalogTables(): Seq[String] = {
+    val st = foldedState()
+    (st.adds.filter(_._2.nonEmpty).keySet ++ st.schemas.keySet).toSeq
+      .filterNot(_.split('/').exists(s => s.startsWith("_") || s.startsWith(".")))
+      .sorted
+  }
+
+  /** The manifest-recorded logical schema, None when the table never wrote
+    * one (raw/legacy directories fall back to parquet inference).
+    */
+  private[graft] def catalogSchema(table: String): Option[StructType] =
+    foldedState().schemas.get(table).map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j).asInstanceOf[StructType])
+
+  private[graft] def columnMap(table: String): Map[String, String] = colMapOf(table)
+
+  private[graft] def deletionVectors(table: String): Map[String, Seq[Long]] = dvOf(table)
+
+  private[graft] def visibleDataFiles(table: String): Seq[String] =
+    committedOrPhysical(table)
+
   private def recordedSchema(table: String): StructType =
     org.apache.spark.sql.types.DataType.fromJson(
       foldedState().schemas.getOrElse(table, throw new IllegalStateException(
@@ -1694,11 +1732,19 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
             .limit(fkProbeLimit + 1).collect().map(_.get(0))
           val clash: Array[org.apache.spark.sql.Row] =
             if (lead.isEmpty) Array.empty
-            else if (lead.length <= fkProbeLimit && excluded.isEmpty)
-              scanWhere(table, schema, Seq(ColIn(cols.head, lead.toSeq)))
+            else if (lead.length <= fkProbeLimit) {
+              // stats/Bloom-prune on the lead column, then drop the
+              // rewrite's own pre-image files — a DML or merge probe
+              // stays batch-sized instead of re-reading the whole table
+              val probePreds = Seq(ColIn(cols.head, lead.toSeq))
+              val (kept, _) = planFiles(table, probePreds)
+              val remainSet = remain.toSet
+              val probeFiles = kept.filter(remainSet.contains)
+              readFiles(table, schema, probeFiles)
+                .filter(FilePred.toColumn(probePreds, schema))
                 .select(cols.map(col): _*)
                 .join(keys, cols, "left_semi").limit(3).collect()
-            else
+            } else
               readFiles(table, schema, remain).select(cols.map(col): _*)
                 .join(keys, cols, "left_semi").limit(3).collect()
           if (clash.nonEmpty) throw new IllegalArgumentException(
@@ -2609,6 +2655,10 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
         // a recorded DML slice covers EVERYTHING this commit did to the
         // table (incl. merge inserts) — its data-file adds are rewrite
         // outputs, not new rows
+        val goneCdf = cdfAdds.filterNot(f2 => fs.exists(new Path(s"${path(chT)}/$f2")))
+        if (goneCdf.nonEmpty) throw new IllegalStateException(
+          s"version $v of $table lost ${goneCdf.size} change-slice files to vacuum; " +
+            "the change window is no longer reconstructible")
         Some(readFiles(chT, ct, cdfAdds, dvOpt = Some(Map.empty))
           .withColumn(vCol, lit(v)))
       } else if (rowLevel) {

@@ -1,0 +1,141 @@
+package graft.sql
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo,
+  Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan,
+  LessThanOrEqual, Literal, Or}
+import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.{AtomicWarehouse, ColEq, ColGe, ColGt, ColIn, ColLe,
+  ColLt, ColOr, FilePred}
+
+/** The manifest as a Catalyst [[FileIndex]] — how `spark.sql` reaches the
+  * engine's data skipping. `FileSourceStrategy` hands every scan's data
+  * filters to `listFiles` at physical planning; translating them into the
+  * engine's [[FilePred]] algebra and routing through
+  * [[AtomicWarehouse.planFiles]] gives SQL queries the same min/max /
+  * dictionary-value-set / Bloom-sidecar file pruning the Scala `scanWhere`
+  * API has — before a single file is opened, on every query, with the scan
+  * itself staying the native vectorized parquet reader inside
+  * WholeStageCodegen. (The Delta/Tahoe architecture, rebuilt on the graft
+  * manifest.)
+  *
+  * Untranslatable filters simply don't prune (the row filter still applies
+  * above the scan — pruning only decides which files open, exactly the
+  * [[FilePred]] soundness contract). Attributes arrive under PHYSICAL
+  * column names (the relation is built over the physical schema so the
+  * footers match); `physToLogical` maps them back to the logical names
+  * `planFiles` speaks.
+  */
+class GraftFileIndex(wh: AtomicWarehouse, table: String,
+    physToLogical: Map[String, String]) extends FileIndex {
+
+  private val tableDir = new Path(wh.path(table))
+  private def fs = tableDir.getFileSystem(wh.spark.sparkContext.hadoopConfiguration)
+
+  override def rootPaths: Seq[Path] = Seq(tableDir)
+
+  override def partitionSchema: StructType = new StructType()
+
+  override def refresh(): Unit = ()
+
+  override def inputFiles: Array[String] =
+    wh.visibleDataFiles(table).map(f => s"${wh.path(table)}/$f").toArray
+
+  /** Manifest-visible bytes (what Catalyst sizes joins with — a dimension
+    * table under the broadcast threshold auto-broadcasts through SQL).
+    */
+  override lazy val sizeInBytes: Long = statuses.values.map(_.getLen).sum
+
+  private lazy val statuses: Map[String, FileStatus] = {
+    val visible = wh.visibleDataFiles(table).toSet
+    if (visible.isEmpty) Map.empty
+    else if (visible.exists(_.contains("/")))
+      visible.map(f => f -> fs.getFileStatus(new Path(s"${wh.path(table)}/$f"))).toMap
+    else // flat layout: ONE directory listing covers every file
+      fs.listStatus(tableDir).filter(_.isFile)
+        .filter(s => visible.contains(s.getPath.getName))
+        .map(s => s.getPath.getName -> s).toMap
+  }
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val preds = dataFilters.flatMap(GraftFileIndex.translate(_, physToLogical))
+    val (kept, skipped) =
+      if (preds.isEmpty) (wh.visibleDataFiles(table), Nil)
+      else wh.planFiles(table, preds)
+    GraftFileIndex.recordPlan(wh.root, table, kept.size, skipped.size)
+    Seq(PartitionDirectory(InternalRow.empty,
+      kept.flatMap(statuses.get).toArray))
+  }
+}
+
+object GraftFileIndex {
+
+  /** Last pruning decision per (warehouse root, table) — the observable
+    * specs and driver queries assert skipping through `spark.sql` with
+    * (plans don't expose the manifest's kept/skipped split).
+    */
+  private val lastPlans =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (Int, Int)]()
+
+  private def recordPlan(root: String, table: String, kept: Int, skipped: Int): Unit =
+    lastPlans.put((root, table), (kept, skipped))
+
+  /** (filesRead, filesSkipped) of the most recent SQL scan planning over
+    * `table`, None before any scan ran.
+    */
+  def lastPlanFor(root: String, table: String): Option[(Int, Int)] =
+    Option(lastPlans.get((root, table)))
+
+  /** Catalyst filter → [[FilePred]], or None when outside the algebra
+    * (non-literal comparands, unsupported operators, complex children).
+    * Conjunctions arrive pre-split in `dataFilters`; nested And appears
+    * only under Or, where both branches must fully translate — a partial
+    * disjunct would over-skip.
+    */
+  private[sql] def translate(e: Expression,
+      physToLogical: Map[String, String]): Option[FilePred] = {
+    def colOf(a: Attribute): String = physToLogical.getOrElse(a.name, a.name)
+    def scalaVal(l: Literal): Any =
+      CatalystTypeConverters.convertToScala(l.value, l.dataType)
+    e match {
+      case EqualTo(a: Attribute, l: Literal) if l.value != null =>
+        Some(ColEq(colOf(a), scalaVal(l)))
+      case EqualTo(l: Literal, a: Attribute) if l.value != null =>
+        Some(ColEq(colOf(a), scalaVal(l)))
+      case GreaterThan(a: Attribute, l: Literal) if l.value != null =>
+        Some(ColGt(colOf(a), scalaVal(l)))
+      case GreaterThan(l: Literal, a: Attribute) if l.value != null =>
+        Some(ColLt(colOf(a), scalaVal(l)))
+      case GreaterThanOrEqual(a: Attribute, l: Literal) if l.value != null =>
+        Some(ColGe(colOf(a), scalaVal(l)))
+      case GreaterThanOrEqual(l: Literal, a: Attribute) if l.value != null =>
+        Some(ColLe(colOf(a), scalaVal(l)))
+      case LessThan(a: Attribute, l: Literal) if l.value != null =>
+        Some(ColLt(colOf(a), scalaVal(l)))
+      case LessThan(l: Literal, a: Attribute) if l.value != null =>
+        Some(ColGt(colOf(a), scalaVal(l)))
+      case LessThanOrEqual(a: Attribute, l: Literal) if l.value != null =>
+        Some(ColLe(colOf(a), scalaVal(l)))
+      case LessThanOrEqual(l: Literal, a: Attribute) if l.value != null =>
+        Some(ColGe(colOf(a), scalaVal(l)))
+      case In(a: Attribute, vs) if vs.nonEmpty &&
+          vs.forall(v => v.isInstanceOf[Literal] &&
+            v.asInstanceOf[Literal].value != null) =>
+        Some(ColIn(colOf(a), vs.map(v => scalaVal(v.asInstanceOf[Literal]))))
+      case InSet(a: Attribute, vs) if vs.nonEmpty && !vs.contains(null) =>
+        Some(ColIn(colOf(a), vs.toSeq.map(v =>
+          CatalystTypeConverters.convertToScala(v, a.dataType))))
+      case Or(l, r) =>
+        def conjuncts(x: Expression): Option[Seq[FilePred]] = x match {
+          case And(p, q) => for (a <- conjuncts(p); b <- conjuncts(q)) yield a ++ b
+          case other => translate(other, physToLogical).map(Seq(_))
+        }
+        for (a <- conjuncts(l); b <- conjuncts(r)) yield ColOr(Seq(a, b))
+      case _ => None
+    }
+  }
+}

@@ -71,6 +71,18 @@ abstract class ChangeFeedSync(srcWh: AtomicWarehouse, corpusTable: String,
         case r => r.getLong(0).toInt
       }
 
+  /** Last window verified to hold ZERO corpus changes, as
+    * (cursor-it-was-scanned-from, head-scanned-to). An empty window cannot
+    * advance the persisted cursor (the cursor write itself mints a
+    * version — a no-op sync would version forever when index and corpus
+    * share a warehouse), but without remembering the scan each idle
+    * `sync()` re-walks an ever-growing manifest window as the INDEX's own
+    * commits keep raising head. Keyed to the cursor value so an external
+    * cursor wind-back (reseed/replay) invalidates the shortcut — a window
+    * is only ever skipped after being verified empty FROM this cursor.
+    */
+  @volatile private var emptyScan: Option[(Int, Int)] = None
+
   /** Apply everything the corpus committed since the cursor. Returns the
     * new cursor (unchanged when the window held no corpus change).
     *
@@ -85,8 +97,12 @@ abstract class ChangeFeedSync(srcWh: AtomicWarehouse, corpusTable: String,
   def sync(): Int = {
     val head = srcWh.versions().lastOption.getOrElse(0)
     val cur = cursor()
-    if (head <= cur) return cur
-    val feed = srcWh.changesBetween(corpusTable, corpusSchema, cur, head)
+    val from = emptyScan match {
+      case Some((c, to)) if c == cur => math.max(cur, to)
+      case _ => cur
+    }
+    if (head <= from) return cur
+    val feed = srcWh.changesBetween(corpusTable, corpusSchema, from, head)
       .persist()
     try {
       val ct = col(srcWh.changeTypeCol)
@@ -100,7 +116,7 @@ abstract class ChangeFeedSync(srcWh: AtomicWarehouse, corpusTable: String,
             col(idCol).cast(LongType))).as("outIds"),
           count(when(ct.isin("insert", "update_postimage"), 1)).as("nIn"))
         .collect()
-      if (census.isEmpty) return cur
+      if (census.isEmpty) { emptyScan = Some((cur, head)); return cur }
       census.sortBy(_.getAs[Long]("v")).foreach { r =>
         val v = r.getAs[Long]("v")
         val out = r.getSeq[Long](r.fieldIndex("outIds"))
@@ -113,6 +129,7 @@ abstract class ChangeFeedSync(srcWh: AtomicWarehouse, corpusTable: String,
       }
       cursorWh.replace(cursorTable, srcWh.spark.createDataFrame(
         java.util.Arrays.asList(org.apache.spark.sql.Row(head.toLong)), cursorSchema))
+      emptyScan = None
       head
     } finally feed.unpersist()
   }

@@ -127,6 +127,27 @@ class ChangeFeedSpec extends SparkSpec {
       Set(("delete", 1L), ("delete", 2L), ("delete", 3L), ("delete", 12L)), s"got $got")
   }
 
+  test("a reclaimed change-slice file refuses with the lost-files message, not a raw FileNotFound") {
+    val dir = Files.createTempDirectory("graft-cdf-lost-")
+    val wh = new AtomicWarehouse(spark, dir.toString)
+    wh.setChangeFeed("t", on = true)
+    wh.append("t", (0L until 6L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    val from = wh.versions().last
+    wh.deleteWhere("t", kv, Seq(ColEq("id", 2L)))
+    val to = wh.versions().last
+    assert(changes(wh, from, to).map(_._1) == Seq("delete")) // window reads fine
+    // simulate vacuum reclaiming the recorded slice after a restore
+    // truncated the _changes table's visibility
+    val chDir = new java.io.File(dir.toFile, "t/_changes")
+    val slices = Option(chDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(slices.nonEmpty, "fixture: expected recorded slice files")
+    slices.foreach(f => assert(f.delete()))
+    val e = intercept[IllegalStateException](wh.changesBetween("t", kv, from, to))
+    assert(e.getMessage.contains("change-slice") && e.getMessage.contains("vacuum"),
+      s"wanted the documented refusal, got: ${e.getMessage}")
+  }
+
   test("CDC composition: changesBetween replays to the live state") {
     val wh = newWh()
     wh.setChangeFeed("t", on = true)

@@ -72,6 +72,31 @@ class ForeignKeySpec extends SparkSpec {
       "aborted tx leaked its parent append")
   }
 
+  test("a staged parent append onto a DV-bearing parent validates, not aborts") {
+    val wh = seeded()
+    // merge-on-read delete leaves a deletion vector on the committed parent
+    assert(wh.deleteWhereDv("dim/provider", parentS,
+      Seq(ColIn("p_id", Seq(3L)))).filesRewritten == 0)
+    wh.atomically { w =>
+      w.append("dim/provider", Seq((4L, "d")).toDF("p_id", "p_name"))
+      // read-your-own-writes over the DV table: committed-minus-tombstones
+      // plus the staged rows
+      assert(w.read("dim/provider", parentS).collect().map(_.getLong(0)).toSet ==
+        Set(1L, 2L, 4L))
+      w.append("fact/product", Seq((20L, Some(4L)), (21L, Some(1L)))
+        .toDF("c_id", "p_ref"))
+    }
+    assert(wh.read("fact/product", childS).count() == 2)
+    // the tombstoned key is really gone: a child referencing it refuses
+    val e = intercept[IllegalArgumentException](wh.atomically { w =>
+      w.append("dim/provider", Seq((5L, "e")).toDF("p_id", "p_name"))
+      w.append("fact/product", Seq((22L, Some(3L))).toDF("c_id", "p_ref"))
+    })
+    assert(e.getMessage.contains("fk_provider"))
+    assert(wh.read("dim/provider", parentS).count() == 3, // 1,2 live + 4
+      "aborted tx leaked its parent append")
+  }
+
   test("declare-time validation refuses existing orphans") {
     val wh = newWh()
     wh.append("dim/provider", Seq((1L, "a")).toDF("p_id", "p_name").coalesce(1))

@@ -96,6 +96,29 @@ class FtsSyncSpec extends SparkSpec {
       "replay corrupted N through a re-applied stats row")
   }
 
+  test("idle syncs remember verified-empty windows; later churn and wind-backs still apply") {
+    val (wh, fts, mv) = fixture()
+    wh.append("corpus", Seq((1L, "alpha beta"), (2L, "beta gamma"))
+      .toDF("doc_id", "text").coalesce(1))
+    mv.sync()
+    // index-only commits (shared warehouse) raise head with zero corpus churn
+    fts.wh.append("scratch/Idle", Seq(1L).toDF("x"))
+    fts.wh.append("scratch/Idle", Seq(2L).toDF("x"))
+    val c1 = mv.sync() // walks the window once, finds it empty, remembers the scan
+    assert(mv.sync() == c1, "idle sync moved the cursor")
+    // churn AFTER the remembered empty window still applies on the next sync
+    wh.updateWhere("corpus", docSchema, Seq(ColEq("doc_id", 1L)),
+      Seq("text" -> lit("alpha zulu")))
+    mv.sync()
+    assert(bm25(fts) == bm25(freshOver(wh.read("corpus", docSchema))),
+      "a commit landing after an idle scan was skipped")
+    // an external cursor wind-back invalidates the remembered scan entirely
+    fts.wh.replace(mv.cursorTable, Seq(0L).toDF("version"))
+    mv.sync()
+    assert(bm25(fts) == bm25(freshOver(wh.read("corpus", docSchema))),
+      "wind-back after an idle scan failed to replay")
+  }
+
   test("VectorSync maintains the IVF index over an embeddings corpus the same way") {
     import graft.operators.PersistedIvf
     import graft.streaming.VectorSync
