@@ -13,6 +13,10 @@ import graft.functions._
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    // SQL over warehouse tables: GraftCatalog's V2 relations resolve into
+    // engine-built parquet plans (manifest file pruning + deletion vectors)
+    e.injectResolutionRule(session => graft.sql.GraftRelationResolution(session))
+
     def fn(name: String, build: Seq[Expression] => Expression): Unit =
       e.injectFunction((
         FunctionIdentifier(name),

@@ -26,6 +26,10 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  // catalog plugin instances cache per session BY NAME, so each SQL-catalog
+  // query run registers a fresh name for its fresh temp warehouse
+  private val sqlCatSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** The events table with `ts` ALWAYS a nanos-since-epoch long, whatever the
     * parquet generation stored. Early testdata wrote parquet
     * TIMESTAMP(NANOS), which Spark reads as a long under
@@ -1566,6 +1570,64 @@ object SparkEntry {
           c.count, c.filesMetadata, c.filesRead, c.filesSkipped, cross))
         .toDF("files_kept", "files_skipped", "n", "cents",
           "cnt_n", "cnt_meta", "cnt_read", "cnt_skipped", "cross_n")
+        .orderBy(col("n"))
+    }
+
+    // ---- SQL catalog (DataSource V2): the SAME band scan as
+    // etl_skipping_scan, but issued through `spark.sql` against the
+    // warehouse registered as a catalog plugin — the SQL filter reaches
+    // planFiles through GraftFileIndex, so the manifest prunes 1-of-4 band
+    // files BEFORE any file opens (kept/skipped literals in the oracle),
+    // while the scan stays the native vectorized parquet reader. This is
+    // the reference's relational surface (its consumers speak SQL,
+    // core/etl_orchestrator.py:173-180) over the engine's tables.
+    q("etl_sql_catalog") = (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+      val (wh, qtr) = bandedOrdersWh(s, orders, "sqlcat")
+      val cat = s"gsql${sqlCatSeq.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sql.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh.root)
+      val r = s.sql(
+        s"""SELECT count(*) AS n,
+           | sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+           |FROM $cat.facts.orders
+           |WHERE o_orderkey >= $qtr AND o_orderkey < ${qtr * 2}""".stripMargin).head()
+      val (kept, skipped) = graft.sql.GraftFileIndex
+        .lastPlanFor(wh.root, "facts/orders").getOrElse((-1, -1))
+      Seq((kept, skipped, r.getLong(0), r.getLong(1)))
+        .toDF("files_kept", "files_skipped", "n", "cents")
+        .orderBy(col("n"))
+    }
+
+    // ---- SQL DML composition over the catalog: an INSERT INTO ... SELECT
+    // whose source scan prunes through the manifest (ins_kept/ins_skipped
+    // literals), a scattered DV delete through the API killing BOTH copies
+    // of its keys, the live state read back through spark.sql, and the
+    // pre-DML state through SQL `VERSION AS OF` — SQL writers get the same
+    // transactional append (invariants, change feed) as API writers
+    q("etl_sql_dml") = (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+      val (wh, qtr) = bandedOrdersWh(s, orders, "sqldml")
+      val cat = s"gsql${sqlCatSeq.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sql.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh.root)
+      val head0 = wh.versions().last
+      s.sql(s"INSERT INTO $cat.facts.orders " +
+        s"SELECT * FROM $cat.facts.orders WHERE o_orderkey < ${qtr / 4}")
+      val (insKept, insSkipped) = graft.sql.GraftFileIndex
+        .lastPlanFor(wh.root, "facts/orders").getOrElse((-1, -1))
+      val dvKeys = orders.filter(col("o_orderkey") % 101 === 0)
+        .select(col("o_orderkey")).collect().map(_.getLong(0)).toSeq
+      wh.deleteWhereDv("facts/orders", orders.schema,
+        Seq(graft.sources.ColIn("o_orderkey", dvKeys)))
+      val live = s.sql(s"SELECT count(*) AS n, sum(o_orderkey) AS key_sum " +
+        s"FROM $cat.facts.orders").head()
+      val before = s.sql(s"SELECT count(*) AS n " +
+        s"FROM $cat.facts.orders VERSION AS OF $head0").head()
+      Seq((insKept, insSkipped, live.getLong(0), live.getLong(1), before.getLong(0)))
+        .toDF("ins_kept", "ins_skipped", "n", "key_sum", "before_n")
         .orderBy(col("n"))
     }
 
@@ -4214,6 +4276,31 @@ object SparkEntry {
         | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM orders, m
         |WHERE o_orderkey >= m.q AND o_orderkey < m.q * 2
+        |ORDER BY n""".stripMargin,
+
+    // SQL catalog band scan: same pruning literals and range aggregate as
+    // etl_skipping_scan — the decision AND the rows, issued via spark.sql
+    "etl_sql_catalog" ->
+      """WITH m AS (SELECT max(o_orderkey) // 4 AS q FROM orders)
+        |SELECT 1 AS files_kept, 3 AS files_skipped,
+        | count(*) AS n,
+        | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders, m
+        |WHERE o_orderkey >= m.q AND o_orderkey < m.q * 2
+        |ORDER BY n""".stripMargin,
+
+    // SQL DML composition: the INSERT's source scan kept 1 of 4 band files
+    // (literals); live state = orders ∪ the low slice, minus every %101
+    // key (the DV kills BOTH copies); before_n = the pre-DML table
+    "etl_sql_dml" ->
+      """WITH m AS (SELECT max(o_orderkey) // 4 AS q FROM orders),
+        | base AS (SELECT o_orderkey FROM orders
+        |   UNION ALL SELECT o_orderkey FROM orders, m WHERE o_orderkey < m.q // 4),
+        | live AS (SELECT o_orderkey FROM base WHERE o_orderkey % 101 <> 0)
+        |SELECT 1 AS ins_kept, 3 AS ins_skipped,
+        | CAST((SELECT count(*) FROM live) AS BIGINT) AS n,
+        | CAST((SELECT sum(o_orderkey) FROM live) AS BIGINT) AS key_sum,
+        | CAST((SELECT count(*) FROM orders) AS BIGINT) AS before_n
         |ORDER BY n""".stripMargin,
 
     // DELETE WHERE second-quartile band: deleted count, post-delete

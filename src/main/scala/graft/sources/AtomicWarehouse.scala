@@ -1598,8 +1598,6 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
 
   private[graft] def columnMap(table: String): Map[String, String] = colMapOf(table)
 
-  private[graft] def deletionVectors(table: String): Map[String, Seq[Long]] = dvOf(table)
-
   private[graft] def visibleDataFiles(table: String): Seq[String] =
     committedOrPhysical(table)
 

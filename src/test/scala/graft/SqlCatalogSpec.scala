@@ -1,0 +1,162 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.sources.{AtomicWarehouse, ColEq, ColIn}
+import graft.sql.{GraftCatalog, GraftFileIndex}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** `spark.sql` over warehouse tables through [[GraftCatalog]]. Contract
+  * under test: resolution and results match the Scala API read for every
+  * table state (column mapping, deletion vectors, time travel); SQL data
+  * filters reach the MANIFEST's file pruning (stats bands, Bloom
+  * sidecars) before any file opens; writes route through the
+  * transactional append/replace so engine invariants bind SQL writers;
+  * dimension-sized tables auto-broadcast from manifest file sizes.
+  */
+class SqlCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val kv = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("v", StringType, nullable = true)))
+
+  private val seq = new AtomicInteger(0)
+
+  /** Fresh warehouse registered as a uniquely-named session catalog. */
+  private def fixture(): (AtomicWarehouse, String, String) = {
+    val root = Files.createTempDirectory("graft-sqlcat-").toString
+    val cat = s"gcat${seq.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    (new AtomicWarehouse(spark, root), cat, root)
+  }
+
+  /** Four single-file id-bands of 100 each — the skipping fixture. */
+  private def banded(wh: AtomicWarehouse): Unit =
+    (0 until 4).foreach(b => wh.append("facts/t",
+      (b * 100L until (b + 1) * 100L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1)))
+
+  test("SELECT resolves namespaced tables; result and schema match the API read") {
+    val (wh, cat, _) = fixture()
+    banded(wh)
+    val got = spark.sql(
+      s"SELECT id, v FROM $cat.facts.t WHERE id % 2 = 0 ORDER BY id")
+    assert(got.columns.toSeq == Seq("id", "v"))
+    assert(got.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      (0L until 400L by 2).map(i => (i, s"v$i")))
+    // aggregation over the catalog table
+    assert(spark.sql(s"SELECT count(*) AS n, sum(id) AS s FROM $cat.facts.t")
+      .head().toSeq == Seq(400L, (0L until 400L).sum))
+  }
+
+  test("SQL range/equality/IN filters prune files through the manifest") {
+    val (wh, cat, root) = fixture()
+    banded(wh)
+    // range predicate covering exactly band 1 → 1 file opened, 3 skipped
+    val r = spark.sql(
+      s"SELECT count(*) AS n FROM $cat.facts.t WHERE id >= 100 AND id < 200")
+    assert(r.head().getLong(0) == 100L)
+    assert(GraftFileIndex.lastPlanFor(root, "facts/t").contains((1, 3)),
+      s"wanted 1 kept / 3 skipped, got ${GraftFileIndex.lastPlanFor(root, "facts/t")}")
+    // equality → still one band
+    assert(spark.sql(s"SELECT v FROM $cat.facts.t WHERE id = 250")
+      .head().getString(0) == "v250")
+    assert(GraftFileIndex.lastPlanFor(root, "facts/t").contains((1, 3)))
+    // IN across two bands → two files
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM $cat.facts.t WHERE id IN (10, 310)")
+      .head().getLong(0) == 2L)
+    assert(GraftFileIndex.lastPlanFor(root, "facts/t").contains((2, 2)))
+    // OR of two range disjuncts → the two covering bands
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.facts.t " +
+      "WHERE (id >= 0 AND id < 50) OR (id >= 350 AND id < 400)")
+      .head().getLong(0) == 100L)
+    assert(GraftFileIndex.lastPlanFor(root, "facts/t").contains((2, 2)))
+    // the plan stays the native scan: filters pushed into the parquet
+    // reader, projection pruned to the referenced column, codegen intact
+    val q = spark.sql(s"SELECT id FROM $cat.facts.t WHERE id >= 100 AND id < 200")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [GreaterThanOrEqual(id,100), LessThan(id,200)]"),
+      s"SQL filters must reach the parquet scan; plan:\n$plan")
+    assert(plan.contains("ReadSchema: struct<id:bigint>"),
+      s"projection must prune to the selected column; plan:\n$plan")
+    assert(plan.contains("*(1)"), // the WholeStageCodegen marker
+      s"codegen must survive; plan:\n$plan")
+  }
+
+  test("Bloom sidecars prune SQL point lookups on unclustered keys") {
+    val (wh, cat, root) = fixture()
+    wh.setBloomIndex("facts/b", Seq("id"))
+    // interleaved ids: min/max bands overlap totally, only Bloom can prune
+    (0 until 4).foreach(b => wh.append("facts/b",
+      (0L until 100L).map(i => (i * 4 + b, s"v${i * 4 + b}")).toDF("id", "v").coalesce(1)))
+    assert(spark.sql(s"SELECT v FROM $cat.facts.b WHERE id = 42")
+      .head().getString(0) == "v42")
+    val Some((kept, skipped)) = GraftFileIndex.lastPlanFor(root, "facts/b")
+    assert(kept + skipped == 4 && kept < 4,
+      s"Bloom should prune overlapping bands: kept=$kept skipped=$skipped")
+  }
+
+  test("deletion vectors and column renames apply to SQL reads") {
+    val (wh, cat, _) = fixture()
+    banded(wh)
+    wh.deleteWhereDv("facts/t", kv, Seq(ColIn("id", Seq(5L, 105L, 205L, 305L))))
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.facts.t").head().getLong(0) == 396L)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.facts.t WHERE id IN (5, 6, 105)")
+      .head().getLong(0) == 1L)
+    // rename: SQL resolves the NEW logical name over unchanged bytes
+    wh.renameColumn("facts/t", "v", "label")
+    val r = spark.sql(s"SELECT label FROM $cat.facts.t WHERE id = 7")
+    assert(r.head().getString(0) == "v7")
+  }
+
+  test("INSERT INTO/OVERWRITE route through the warehouse; constraints bind SQL writers") {
+    val (wh, cat, _) = fixture()
+    wh.append("dim/d", Seq((1L, "a")).toDF("id", "v"))
+    wh.addConstraint("dim/d", "id_pos", "id > 0", kv)
+    spark.sql(s"INSERT INTO $cat.dim.d VALUES (2, 'b')")
+    assert(wh.read("dim/d", kv).count() == 2)
+    val e = intercept[Exception](
+      spark.sql(s"INSERT INTO $cat.dim.d VALUES (-1, 'bad')"))
+    assert(e.getMessage.contains("id_pos"), s"constraint must refuse: ${e.getMessage}")
+    assert(wh.read("dim/d", kv).count() == 2, "refused INSERT leaked rows")
+    spark.sql(s"INSERT OVERWRITE $cat.dim.d VALUES (9, 'z')")
+    assert(wh.read("dim/d", kv).collect().map(_.getLong(0)).toSeq == Seq(9L))
+  }
+
+  test("VERSION AS OF reads the era state; CREATE/DROP/listTables work") {
+    val (wh, cat, _) = fixture()
+    wh.append("dim/d", Seq((1L, "a")).toDF("id", "v"))
+    val v1 = wh.versions().last
+    wh.append("dim/d", Seq((2L, "b")).toDF("id", "v"))
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.dim.d VERSION AS OF $v1")
+      .head().getLong(0) == 1L)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.dim.d").head().getLong(0) == 2L)
+    // DDL round trip
+    spark.sql(s"CREATE TABLE $cat.dim.fresh (k BIGINT, s STRING)")
+    assert(wh.exists("dim/fresh"))
+    spark.sql(s"INSERT INTO $cat.dim.fresh VALUES (1, 'x')")
+    assert(spark.sql(s"SELECT k FROM $cat.dim.fresh").head().getLong(0) == 1L)
+    assert(spark.sql(s"SHOW TABLES IN $cat.dim").collect()
+      .map(_.getString(1)).toSet == Set("d", "fresh"))
+    spark.sql(s"DROP TABLE $cat.dim.fresh")
+    assert(!wh.exists("dim/fresh"))
+  }
+
+  test("dimension-sized catalog tables auto-broadcast from manifest stats") {
+    val (wh, cat, _) = fixture()
+    banded(wh)
+    wh.append("dim/names", (0L until 4L).map(i => (i, s"band$i")).toDF("id", "name"))
+    val joined = spark.sql(
+      s"""SELECT n.name, count(*) AS cnt
+         |FROM $cat.facts.t f JOIN $cat.dim.names n ON f.id % 4 = n.id
+         |GROUP BY n.name""".stripMargin)
+    assert(joined.collect().map(_.getLong(1)).sum == 400L)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"4-row dim should broadcast from manifest sizeInBytes; plan:\n$plan")
+  }
+}
