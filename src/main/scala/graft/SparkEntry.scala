@@ -1375,6 +1375,39 @@ object SparkEntry {
         .orderBy(col("_change_type"))
     }
 
+    // ---- change-feed RETENTION: purgeChanges drops the recorded slices
+    // below a version floor in ONE metadata commit. The sub-floor window
+    // refuses with the reseed message (flag literal), the at-floor window
+    // replays exactly (the delete aggregate, oracle-restated), and vacuum
+    // reclaims the freed slice bytes — the lever that keeps a DML-heavy
+    // table's `_changes` history from growing without bound
+    q("etl_change_feed_retention") = (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+      val (wh, qtr) = bandedOrdersWh(s, orders, "cdfret")
+      wh.setChangeFeed("facts/orders", on = true)
+      wh.updateWhere("facts/orders", orders.schema,
+        Seq(graft.sources.ColLt("o_orderkey", qtr / 2)),
+        Seq("o_orderpriority" -> concat(lit("X-"), col("o_orderpriority"))))
+      val midV = wh.versions().last
+      wh.deleteWhere("facts/orders", orders.schema,
+        Seq(graft.sources.ColGe("o_orderkey", qtr),
+          graft.sources.ColLt("o_orderkey", qtr * 3 / 2)))
+      val head = wh.versions().last
+      val freed = wh.purgeChanges("facts/orders", midV + 1)
+      val refused =
+        try { wh.changesBetween("facts/orders", orders.schema, 0, head); false }
+        catch { case e: IllegalStateException =>
+          e.getMessage.contains("purged below version") }
+      val d = wh.changesBetween("facts/orders", orders.schema, midV, head)
+        .filter(col("_change_type") === "delete")
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum")).head()
+      Seq((wh.changeFeedFloor("facts/orders") == midV + 1, freed >= 1, refused,
+          d.getLong(0), d.getLong(1)))
+        .toDF("floor_set", "purged_any", "refused", "del_n", "del_key_sum")
+        .orderBy(col("del_n"))
+    }
+
     // ---- cross-warehouse CDC REPLICATION: the source's write-time change
     // feed applied to a SECOND warehouse through the sequence-guarded
     // merge — the produce/consume composition of the whole change stack.
@@ -4516,6 +4549,17 @@ object SparkEntry {
         | UNION ALL SELECT 'update_postimage', CAST(count(*) AS BIGINT),
         |   CAST(sum(o_orderkey) AS BIGINT) FROM upd)
         |ORDER BY _change_type""".stripMargin,
+
+    // change-feed retention: the flags are engine literals; the at-floor
+    // window's delete slice restated from the raw table
+    "etl_change_feed_retention" ->
+      """WITH m AS (SELECT max(o_orderkey) // 4 AS q FROM orders),
+        | del AS (SELECT o_orderkey FROM orders, m
+        |   WHERE o_orderkey >= m.q AND o_orderkey < m.q * 3 // 2)
+        |SELECT true AS floor_set, true AS purged_any, true AS refused,
+        | CAST((SELECT count(*) FROM del) AS BIGINT) AS del_n,
+        | CAST((SELECT sum(o_orderkey) FROM del) AS BIGINT) AS del_key_sum
+        |ORDER BY del_n""".stripMargin,
 
     // incremental recluster: only the 6 intruder files rewritten, the 4
     // clean bands untouched (literals); the band scan's rows carry each

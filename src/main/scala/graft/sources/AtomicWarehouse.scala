@@ -149,7 +149,8 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       bloomcols: Map[String, String] = Map.empty,
       constraints: Map[(String, String), String] = Map.empty,
       fks: Map[(String, String), String] = Map.empty,
-      uniques: Map[(String, String), String] = Map.empty)
+      uniques: Map[(String, String), String] = Map.empty,
+      cdffloor: Map[String, Int] = Map.empty)
 
   /** A fold races concurrent folds from OTHER instances: their snapshot
     * publish happens BEFORE they delete the superseded manifests, so when a
@@ -211,6 +212,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     var constraints = Map.empty[(String, String), String]
     var fks = Map.empty[(String, String), String]
     var uniques = Map.empty[(String, String), String]
+    var cdffloor = Map.empty[String, Int]
     cfs.foreach { cf =>
       readLines(cf).foreach { line =>
         // limit 4: a schema line's third field and a stats line's fourth are
@@ -301,12 +303,18 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
             // per-(table, name) UNIQUE column; `constraint` lifecycle
             if (f.length < 4 || f(3).isEmpty) uniques -= ((f(1), f(2)))
             else uniques += ((f(1), f(2)) -> f(3))
+          case "cdffloor" =>
+            // change-feed retention floor: changesBetween refuses windows
+            // reaching below it (the slices were purged); last wins,
+            // survives truncates like `changefeed`, empty clears (delete)
+            if (f.length < 3 || f(2).isEmpty) cdffloor -= f(1)
+            else cdffloor += (f(1) -> f(2).toInt)
           case other => throw new IllegalStateException(s"unknown txlog action '$other' in $cf")
         }
       }
     }
     val st = LogState(adds, truncated, schemas, stats, cluster, colmap, dvs, cdf,
-      blooms, bloomcols, constraints, fks, uniques)
+      blooms, bloomcols, constraints, fks, uniques, cdffloor)
     if (updateCache) foldCache = (key, st)
     st
   }
@@ -562,6 +570,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     var constraintMap = Map.empty[(String, String), String]
     var fkMap = Map.empty[(String, String), String]
     var uniqueMap = Map.empty[(String, String), String]
+    var cdffloorMap = Map.empty[String, String]
     parsed.foreach { l =>
       if (l.startsWith("schema\t")) {
         val f = l.split("\t", 3); schemaMap += (f(1) -> f(2))
@@ -597,6 +606,10 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
         val f = l.split("\t", 4)
         if (f.length < 4 || f(3).isEmpty) uniqueMap -= ((f(1), f(2)))
         else uniqueMap += ((f(1), f(2)) -> f(3))
+      } else if (l.startsWith("cdffloor\t")) {
+        val f = l.split("\t", 3)
+        if (f.length < 3 || f(2).isEmpty) cdffloorMap -= f(1)
+        else cdffloorMap += (f(1) -> f(2))
       }
     }
     // ALL truncate lines precede ALL add lines. Truncate applies by PREFIX,
@@ -615,6 +628,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       constraintMap.toSeq.sortBy(_._1).map { case ((t, n), e) => s"constraint\t$t\t$n\t$e" } ++
       fkMap.toSeq.sortBy(_._1).map { case ((t, n), d) => s"fk\t$t\t$n\t$d" } ++
       uniqueMap.toSeq.sortBy(_._1).map { case ((t, n), c) => s"unique\t$t\t$n\t$c" } ++
+      cdffloorMap.toSeq.sortBy(_._1).map { case (t, v) => s"cdffloor\t$t\t$v" } ++
       tables.flatMap(t => visibleNow(t).flatMap(f =>
         statsMap.get((t, f)).map(j => s"stats\t$t\t$f\t$j"))) ++
       tables.flatMap(t => visibleNow(t).flatMap(f =>
@@ -955,6 +969,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
           st.colmap.keys.filter(under).foreach(t => lines += s"colmap\t$t\t{}")
           st.cluster.keys.filter(under).foreach(t => lines += s"cluster\t$t\t")
           st.cdf.filter(under).foreach(t => lines += s"changefeed\t$t\toff")
+          st.cdffloor.keys.filter(under).foreach(t => lines += s"cdffloor\t$t\t")
           st.bloomcols.keys.filter(under).foreach(t => lines += s"bloomcols\t$t\t")
           st.constraints.keys.filter(k => under(k._1))
             .foreach { case (t, n) => lines += s"constraint\t$t\t$n\t" }
@@ -2616,6 +2631,14 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
   def changesBetween(table: String, schema: StructType,
       fromVersion: Int, toVersion: Int): DataFrame = {
     require(fromVersion <= toVersion, s"fromVersion $fromVersion > toVersion $toVersion")
+    val floor = foldedState().cdffloor.getOrElse(table, 0)
+    // a window reads versions fromVersion+1..toVersion; every one must be
+    // at or above the floor (the slices below it were purged)
+    if (fromVersion + 1 < floor) throw new IllegalStateException(
+      s"the change feed of $table was purged below version $floor " +
+        s"(retention); the window ($fromVersion,$toVersion] is no longer " +
+        "replayable — reseed from a snapshot (readAt/seed) and resume from " +
+        s"version ${floor - 1}")
     val chT = changesTable(table)
     val window = commitFiles()
       .filter(p => versionOf(p) > fromVersion && versionOf(p) <= toVersion)
@@ -2679,6 +2702,50 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
         StructType(ct.fields.toSeq :+
           StructField(vCol, org.apache.spark.sql.types.IntegerType, nullable = false)))
     else slices.reduce(_ unionByName _)
+  }
+
+  /** The earliest commit version whose recorded changes remain replayable
+    * (0 until a purge raises it); the minimum usable `fromVersion` is one
+    * less.
+    */
+  def changeFeedFloor(table: String): Int =
+    foldedState().cdffloor.getOrElse(table, 0)
+
+  /** Change-feed RETENTION — the lever a DML-heavy table needs so its
+    * `<table>/_changes` history does not grow without bound (Delta ties
+    * CDF retention to log retention; this makes it explicit). In ONE
+    * metadata commit: un-reference the recorded change slices of every
+    * commit with version < `belowVersion` and raise the table's feed
+    * floor. From then on `changesBetween` windows reaching below the
+    * floor refuse with the reseed message (instead of failing on missing
+    * files mid-query), windows at-or-above the floor replay unchanged,
+    * and [[vacuum]] reclaims the freed slice bytes like any removed file.
+    * The floor is monotone and survives truncates and log folds; a full
+    * `delete(table)` clears it with the rest of the table's metadata.
+    * Returns the number of slice files freed (attribution walks the
+    * on-disk manifests, so purge BEFORE manifest GC subsumes them — the
+    * floor refusal holds either way).
+    */
+  def purgeChanges(table: String, belowVersion: Int): Int = {
+    val chT = changesTable(table)
+    val st = foldedState()
+    val floor0 = st.cdffloor.getOrElse(table, 0)
+    val head = commitFiles().lastOption.map(versionOf).getOrElse(0)
+    require(belowVersion >= floor0,
+      s"change-feed floor can only rise: $belowVersion < current floor $floor0")
+    require(belowVersion <= head + 1,
+      s"belowVersion $belowVersion is beyond the head ($head)")
+    val visible = st.adds.getOrElse(chT, Vector.empty).toSet
+    val victims = commitFiles().filterNot(isSnapshot)
+      .filter(p => versionOf(p) < belowVersion)
+      .flatMap(cf => readLines(cf).flatMap { line =>
+        val f = line.split("\t", 4)
+        if (f(0) == "add" && f(1) == chT) Some(f(2)) else None
+      })
+      .distinct.filter(visible.contains)
+    publish(Seq(s"cdffloor\t$table\t$belowVersion") ++
+      victims.map(f => s"remove\t$chT\t$f"))
+    victims.size
   }
 
   /** `DELETE FROM table WHERE <conjunction>` as a MERGE-ON-READ delete

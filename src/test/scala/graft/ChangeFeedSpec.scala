@@ -148,6 +148,48 @@ class ChangeFeedSpec extends SparkSpec {
       s"wanted the documented refusal, got: ${e.getMessage}")
   }
 
+  test("purgeChanges raises the floor: sub-floor windows refuse, above-floor replay, vacuum reclaims") {
+    val dir = Files.createTempDirectory("graft-cdf-purge-")
+    val wh = new AtomicWarehouse(spark, dir.toString)
+    wh.setChangeFeed("t", on = true)
+    wh.append("t", (0L until 8L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    wh.deleteWhere("t", kv, Seq(ColEq("id", 1L)))
+    val midV = wh.versions().last
+    wh.updateWhere("t", kv, Seq(ColEq("id", 2L)), Seq("v" -> lit("UP")))
+    val head = wh.versions().last
+    // purge the delete's slice; the update's survives
+    val freed = wh.purgeChanges("t", midV + 1)
+    assert(freed >= 1, "the delete's slice file(s) must be freed")
+    assert(wh.changeFeedFloor("t") == midV + 1)
+    // a window reaching below the floor refuses with the reseed message
+    val e = intercept[IllegalStateException](wh.changesBetween("t", kv, 0, head))
+    assert(e.getMessage.contains("purged below version") &&
+      e.getMessage.contains("reseed"), e.getMessage)
+    // an at-floor window (fromVersion = floor - 1) replays unchanged
+    assert(changes(wh, midV, head).map(x => (x._1, x._2)).toSet ==
+      Set(("update_preimage", 2L), ("update_postimage", 2L)))
+    // the floor is monotone
+    intercept[IllegalArgumentException](wh.purgeChanges("t", midV))
+    // vacuum reclaims the freed slice bytes; the surviving slice stays
+    val chDir = new java.io.File(dir.toFile, "t/_changes")
+    def sliceCount = Option(chDir.listFiles()).getOrElse(Array.empty)
+      .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    val before = sliceCount
+    wh.vacuum(olderThanMs = 0L)
+    assert(sliceCount == before - freed,
+      s"vacuum must reclaim exactly the $freed purged slice files")
+    // the floor survives the vacuum's fold-snapshot (the snapshot re-emits
+    // the cdffloor line), so the refusal stays the RETENTION message, not
+    // a raw manifest-gap error (vacuum(0) GC'd every pre-snapshot manifest,
+    // so all historical windows are gone regardless — the floor names why)
+    assert(wh.changeFeedFloor("t") == midV + 1, "floor lost in the fold")
+    val e2 = intercept[IllegalStateException](wh.changesBetween("t", kv, 0, head))
+    assert(e2.getMessage.contains("purged below version"))
+    // a full delete clears the floor with the table's other metadata
+    wh.delete("t")
+    assert(wh.changeFeedFloor("t") == 0)
+  }
+
   test("CDC composition: changesBetween replays to the live state") {
     val wh = newWh()
     wh.setChangeFeed("t", on = true)
