@@ -4,7 +4,7 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, count, expr, lit, sum, when}
+import org.apache.spark.sql.functions.{coalesce, col, collect_set, count, expr, lit, slice, sort_array, sum, when}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.util.sketch.BloomFilter
 
@@ -644,6 +644,18 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     * the staged files to add. `stageDir` is where the data files currently
     * sit; relative subpaths are preserved on move (partition dirs).
     */
+  /** Cross-table commit pin (the FK race closer — the DV-pin pattern
+    * applied across tables). `noGrowth`: the pinned table may not have
+    * gained files since the pin (a parent delete pins its children — a
+    * racing child insert aborts the delete; child deletes stay free).
+    * Otherwise: every pinned file must still be visible AND carry its
+    * pinned deletion-vector state (a child append pins its probed parents —
+    * a racing parent rewrite or DV delete aborts the append; parent
+    * APPENDS, which can only add keys, stay free).
+    */
+  private case class FreezePin(table: String, files: Seq[String],
+      dvs: Map[String, String], noGrowth: Boolean)
+
   private case class Staged(table: String, truncate: Boolean,
       stageDir: Option[Path], partitioned: Boolean,
       expected: Option[Seq[String]] = None,
@@ -651,7 +663,11 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       removes: Seq[String] = Nil,
       requirePresent: Option[Seq[String]] = None,
       dvExpected: Seq[(String, Option[String])] = Nil,
-      extraLines: Seq[String] = Nil)
+      extraLines: Seq[String] = Nil,
+      // cross-table pins: OTHER tables whose state must hold at publish
+      // (see [[FreezePin]]) — a child insert racing a parent delete aborts
+      // one side instead of slipping through the check-then-commit window
+      frozen: Seq[FreezePin] = Nil)
 
   private class Tx {
     val txid: String = java.util.UUID.randomUUID().toString
@@ -684,7 +700,13 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     * directory-laid table starts being written transactionally).
     */
   private def committedOrPhysical(table: String): Seq[String] =
-    visibleFiles(table).getOrElse(stagedDataFiles(new Path(path(table))))
+    visibleFiles(table).getOrElse(
+      // raw/legacy fallback skips tx- leaves like adoption does: such a
+      // file is either a racing commit's moved-but-unpublished staging
+      // (must not be visible before its manifest) or an ABORTED commit's
+      // garbage awaiting vacuum (must never be visible)
+      stagedDataFiles(new Path(path(table)))
+        .filterNot(_.split('/').last.startsWith("tx-")))
 
   /** The in-transaction view handed to `atomically`'s body: writes stage,
     * reads see the transaction's own staged state first. A nested
@@ -696,7 +718,8 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
         schemaOf: Option[StructType] = None, removes: Seq[String] = Nil,
         requirePresent: Option[Seq[String]] = None,
         dvExpected: Seq[(String, Option[String])] = Nil,
-        extraLines: Seq[String] = Nil): Unit = {
+        extraLines: Seq[String] = Nil,
+        frozen: Seq[FreezePin] = Nil): Unit = {
       val dirOpt = write.map { w =>
         val d = tx.synchronized(tx.nextStageDir())
         withRetry()(w(d))
@@ -710,7 +733,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
         s"schema JSON for $table contains TSV control characters"))
       tx.synchronized(tx.entries +=
         Staged(table, truncate, dirOpt, partitioned, expected, json,
-          removes, requirePresent, dvExpected, extraLines))
+          removes, requirePresent, dvExpected, extraLines, frozen))
     }
 
     /** Stage raw manifest lines (deletion-vector commits) with the same
@@ -719,10 +742,11 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       */
     private[sources] def manifestLines(table: String, lines: Seq[String],
         requirePresent: Seq[String],
-        dvExpected: Seq[(String, Option[String])]): Unit =
+        dvExpected: Seq[(String, Option[String])],
+        frozen: Seq[FreezePin] = Nil): Unit =
       stage(table, truncate = false, partitioned = false, None,
         requirePresent = Some(requirePresent), dvExpected = dvExpected,
-        extraLines = lines)
+        extraLines = lines, frozen = frozen)
 
     /** Conflict-checked replace for read-modify-write maintenance
       * ([[AtomicWarehouse.compact]]): `expected` is the file set the caller
@@ -747,33 +771,50 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       */
     private[sources] def rewriteExcluding(table: String, removedFiles: Seq[String],
         df: DataFrame, dvExpected: Seq[(String, Option[String])] = Nil,
-        validate: Boolean = true): Unit = {
+        validate: Boolean = true,
+        frozen: Seq[FreezePin] = Nil): Unit = {
       // DML post-images must satisfy the invariants (an UPDATE can set a
       // violating value); surviving rows re-prove for free within the
       // rewrite-sized batch. Row-preserving maintenance (compaction,
       // recluster — the cdfnoop family) passes validate=false: its rows
       // were proven when they entered, and re-proving would make every
       // OPTIMIZE pay a table-fraction-sized scan it doesn't owe.
-      if (validate) {
+      val parentPins = if (validate) {
         enforceConstraints(table, df)
-        fkCheck(table, df)
+        val pins = fkCheck(table, df)
         enforceUniques(table, df, removedFiles, truncating = false)
-      }
+        pins
+      } else Nil
       stage(table, truncate = false, partitioned = false,
         Some(d => toPhysicalDf(table, df).write.mode(SaveMode.Overwrite).parquet(d.toString)),
         schemaOf = Some(df.schema), removes = removedFiles,
-        requirePresent = Some(removedFiles), dvExpected = dvExpected)
+        requirePresent = Some(removedFiles), dvExpected = dvExpected,
+        frozen = frozen ++ parentPins)
     }
 
     // a child batch probes its STAGED parent when the same tx wrote it
-    // (read-your-own-writes), the committed point-probe path otherwise
-    private def fkCheck(table: String, df: DataFrame): Unit =
+    // (read-your-own-writes), the committed point-probe path otherwise.
+    // Returns freeze pins over each COMMITTED parent probed: the probe saw
+    // the parent's keys live NOW; a parent rewrite or DV delete racing the
+    // publish could remove them, so the pins abort this commit instead
+    // (parent appends — key additions — pass the pin freely). Staged
+    // parents need no pin: they commit IN this transaction.
+    private def fkCheck(table: String, df: DataFrame): Seq[FreezePin] = {
+      val probedCommitted = scala.collection.mutable.LinkedHashSet[String]()
       enforceForeignKeys(table, df, (p, s) => {
         val stagedTables = tx.synchronized(tx.entries.map(_.table).toSet)
         if (stagedTables.exists(t => p == t || p.startsWith(t + "/")))
           Some(read(p, s))
-        else None
+        else { probedCommitted += p; None }
       })
+      val st = foldedState()
+      probedCommitted.toSeq.map { p =>
+        val files = committedOrPhysical(p).sorted
+        FreezePin(p, files,
+          files.flatMap(f => st.dvs.get((p, f)).map(f -> _)).toMap,
+          noGrowth = false)
+      }
+    }
 
     // truncating away a referenced parent's rows would orphan every child
     // reference at once — RESTRICT applies to the whole-table ops too. The
@@ -791,24 +832,32 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
             "first or dropForeignKey")
       }
 
+    // freeze pins for a refusal-checked parent op: the referencing
+    // children's file sets, snapshotted at check time so a child insert
+    // racing the publish aborts the commit instead of orphaning itself
+    private def fkFreezePins(table: String): Seq[FreezePin] =
+      referencingFks(table).map(_._1).distinct
+        .map(c => FreezePin(c, committedOrPhysical(c).sorted,
+          Map.empty, noGrowth = true))
+
     override def append(table: String, df: DataFrame): Unit = {
       enforceConstraints(table, df)
-      fkCheck(table, df)
+      val parentPins = fkCheck(table, df)
       enforceUniques(table, df, Nil, truncating = false)
       stage(table, truncate = false, partitioned = false,
         Some(d => toPhysicalDf(table, df).write.mode(SaveMode.Overwrite).parquet(d.toString)),
-        schemaOf = Some(df.schema))
+        schemaOf = Some(df.schema), frozen = parentPins)
     }
 
     override def appendPartitioned(table: String, df: DataFrame,
         partitionCols: Seq[String]): Unit = {
       enforceConstraints(table, df)
-      fkCheck(table, df)
+      val parentPins = fkCheck(table, df)
       enforceUniques(table, df, Nil, truncating = false)
       stage(table, truncate = false, partitioned = true,
         Some(d => toPhysicalDf(table, df).write.mode(SaveMode.Overwrite)
           .partitionBy(partitionCols.map(c => physColOf(table, c)): _*).parquet(d.toString)),
-        schemaOf = Some(df.schema))
+        schemaOf = Some(df.schema), frozen = parentPins)
     }
 
     // staged source files are never disturbed by the staged write, so
@@ -818,16 +867,17 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     override def replace(table: String, df: DataFrame): Unit = {
       enforceConstraints(table, df)
       fkRefuseTruncate(table, "replace")
-      fkCheck(table, df)
+      val parentPins = fkCheck(table, df)
       enforceUniques(table, df, Nil, truncating = true)
       stage(table, truncate = true, partitioned = false,
         Some(d => toPhysicalDf(table, df).write.mode(SaveMode.Overwrite).parquet(d.toString)),
-        schemaOf = Some(df.schema))
+        schemaOf = Some(df.schema), frozen = fkFreezePins(table) ++ parentPins)
     }
 
     override def delete(table: String): Unit = {
       fkRefuseTruncate(table, "delete")
-      stage(table, truncate = true, partitioned = false, None)
+      stage(table, truncate = true, partitioned = false, None,
+        frozen = fkFreezePins(table))
     }
 
     override def read(table: String, schema: StructType): DataFrame = {
@@ -1032,6 +1082,20 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
           }
         }
       }
+      // a removed data file likewise releases its DV SIDECAR (the rewrite
+      // folded the tombstones into new files — the pointer dies with the
+      // file in the fold, the sidecar bytes become vacuumable here).
+      // Truncates need nothing: the fold clears <table>/_dv adds by prefix.
+      if (st.dvs.nonEmpty) {
+        tx.entries.foreach { e =>
+          e.removes.foreach { f =>
+            st.dvs.get((e.table, f)).foreach { j =>
+              DvRec.sidecarLeaf(j).foreach(leaf =>
+                lines += s"remove\t${e.table}/_dv\t$leaf")
+            }
+          }
+        }
+      }
     }
     // optimistic-concurrency checks from conflict-guarded entries
     // (replaceExpecting): abort — staged/moved files become vacuumable
@@ -1059,6 +1123,10 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     val dvChecks = tx.entries.collect {
       case e if e.dvExpected.nonEmpty => (e.table, e.dvExpected)
     }.toSeq
+    // cross-table freeze pins (FK RESTRICT race closer): the pinned OTHER
+    // table's visible file set must be exactly what the staging-time probe
+    // saw — a child insert racing a parent delete aborts one side
+    val frozenChecks = tx.entries.flatMap(_.frozen).toSeq
     if (lines.nonEmpty) publish(lines.toSeq,
       precondition = () => checks.forall { case (t, exp) =>
         committedOrPhysical(t)
@@ -1069,6 +1137,18 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       } && dvChecks.forall { case (t, exp) =>
         val now = foldedState()
         exp.forall { case (f, j) => now.dvs.get((t, f)) == j }
+      } && frozenChecks.forall { pin =>
+        val now = committedOrPhysical(pin.table)
+          .filterNot(_.split('/').last.startsWith(ownTx))
+        if (pin.noGrowth) {
+          val pinned = pin.files.toSet
+          now.forall(pinned.contains)
+        } else {
+          val vis = now.toSet
+          val st = foldedState()
+          pin.files.forall(vis.contains) &&
+            pin.files.forall(f => st.dvs.get((pin.table, f)) == pin.dvs.get(f))
+        }
       })
     fs.delete(new Path(stageRoot, tx.txid), true)
     // physical delete AFTER the commit is visible: a crash before this point
@@ -1086,22 +1166,46 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     }
   }
 
+  /** Single-op writes retry pin aborts: an append whose FK parent pin lost
+    * a race to a parent rewrite (or a parent delete whose child pin lost to
+    * a child insert) re-runs its checks against the NEW state — converging
+    * to a clean landing or the proper refusal. Multi-op transactions keep
+    * surfacing the ConcurrentModificationException (the caller owns the
+    * retry boundary there).
+    */
+  private def retryPinAborts[T](op: => T): T = {
+    var attempts = 0
+    while (true) {
+      try return op
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempts += 1
+          if (attempts >= 8) throw e
+      }
+    }
+    sys.error("unreachable")
+  }
+
   override def append(table: String, df: DataFrame): Unit =
-    atomically(_.append(table, df))
+    retryPinAborts(atomically(_.append(table, df)))
 
   override def appendPartitioned(table: String, df: DataFrame,
       partitionCols: Seq[String]): Unit =
-    atomically(_.appendPartitioned(table, df, partitionCols))
+    retryPinAborts(atomically(_.appendPartitioned(table, df, partitionCols)))
 
   override def replace(table: String, df: DataFrame): Unit =
-    atomically(_.replace(table, df))
+    retryPinAborts(atomically(_.replace(table, df)))
 
   override def delete(table: String): Unit =
-    atomically(_.delete(table))
+    retryPinAborts(atomically(_.delete(table)))
 
   override def read(table: String, schema: StructType): DataFrame =
     visibleFiles(table) match {
-      case None => super.read(table, schema) // raw/legacy directory
+      // raw/legacy directory: read the enumerated data files, not the bare
+      // path — the enumeration excludes tx- leaves (a racing commit's
+      // moved-but-unpublished staging, or an aborted commit's garbage),
+      // which a whole-directory read would wrongly surface
+      case None => readFiles(table, schema, committedOrPhysical(table))
       case Some(files) =>
         // readFiles: basePath recovers hive partition columns AND the
         // logical→physical column mapping applies (rename support)
@@ -1525,6 +1629,14 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     * unique (the FK contract everywhere; not enforced here — declare a
     * CHECK or run dedup if the source can violate it). `restore` is an
     * admin rewind and does not re-prove children; writes re-enforce after.
+    *
+    * Isolation: the probe-then-commit window is CLOSED by cross-table
+    * freeze pins riding the commit precondition — a parent row delete pins
+    * its children's file sets (no growth), a child write pins its probed
+    * parents' files + deletion-vector state — so whichever side publishes
+    * second aborts with `ConcurrentModificationException` and re-proves
+    * (single-op writes retry internally). Parent APPENDS never conflict
+    * with child writes: keys can only be added.
     */
   def foreignKeysOf(child: String): Map[String, (String, String, String)] =
     foldedState().fks.collect { case ((t, n), d) if t == child =>
@@ -1667,10 +1779,12 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     * assumed unique): enforcement is batch-sized — a write refuses when
     * the batch collides within itself or with the table's rows outside the
     * files the write replaces. A row with ANY null key column is exempt
-    * (the SQL rule). Same check-then-commit isolation caveat as the FK
-    * checks: two concurrent writers inserting the same key can both pass
-    * their probe — single-writer-per-table is the contract under which
-    * this is airtight.
+    * (the SQL rule). Check-then-commit isolation caveat: two concurrent
+    * writers inserting the same key can both pass their probe —
+    * single-writer-per-table is the contract under which this is airtight
+    * (the FK checks' cross-table freeze pins close the analogous FK race;
+    * a same-table key pin would serialize ALL concurrent appends, which
+    * the single-writer contract makes a cost without a buyer).
     */
   def uniquesOf(table: String): Map[String, String] =
     foldedState().uniques.collect { case ((t, n), c) if t == table => n -> c }
@@ -1736,20 +1850,34 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
         if (remain.nonEmpty) {
           val schema = recordedSchema(table)
           val keys = df.filter(nonNull).select(cols.map(col): _*).distinct()
-          // the point-probe routes on the FIRST key column (≤ cap distinct
-          // values → stats/Bloom-prunable In-literal slice); the exact
-          // tuple match joins WITHIN that slice, so a composite key pays
-          // one prefiltered scan, never a full one. A row colliding on the
-          // tuple necessarily shares the first column's value — sound.
-          val lead = keys.select(col(cols.head)).distinct()
-            .limit(fkProbeLimit + 1).collect().map(_.get(0))
+          // TUPLE-AWARE point probe: ONE batch-sized aggregate collects
+          // every key column's distinct value set (capped — `slice` bounds
+          // what reaches the driver; the executor-side set is bounded by
+          // the batch itself), and every under-cap column contributes a
+          // stats/Bloom-prunable In-literal. The preds conjoin, so a file
+          // survives only when it may hold SOME value of EVERY column — a
+          // low-selectivity LEADING column no longer defeats pruning when
+          // a later column is selective. Sound: a row colliding on the
+          // tuple matches each column's In; the exact tuple match joins
+          // WITHIN the pruned slice.
+          val capped = keys.agg(
+            slice(sort_array(collect_set(col(cols.head))), 1, fkProbeLimit + 1)
+              .as(cols.head),
+            cols.tail.map(c =>
+              slice(sort_array(collect_set(col(c))), 1, fkProbeLimit + 1).as(c)): _*)
+            .head()
+          val colVals: Seq[(String, Seq[Any])] = cols.zipWithIndex.map {
+            case (c, i) => c -> capped.getSeq[Any](i)
+          }
+          val probePreds = colVals.collect {
+            case (c, vs) if vs.nonEmpty && vs.size <= fkProbeLimit => ColIn(c, vs)
+          }
           val clash: Array[org.apache.spark.sql.Row] =
-            if (lead.isEmpty) Array.empty
-            else if (lead.length <= fkProbeLimit) {
-              // stats/Bloom-prune on the lead column, then drop the
+            if (colVals.exists(_._2.isEmpty)) Array.empty // no non-null key rows
+            else if (probePreds.nonEmpty) {
+              // stats/Bloom-prune on every capped column, then drop the
               // rewrite's own pre-image files — a DML or merge probe
               // stays batch-sized instead of re-reading the whole table
-              val probePreds = Seq(ColIn(cols.head, lead.toSeq))
               val (kept, _) = planFiles(table, probePreds)
               val remainSet = remain.toSet
               val probeFiles = kept.filter(remainSet.contains)
@@ -2066,7 +2194,56 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
   private def dvOf(table: String): Map[String, Seq[Long]] = parseDvs(foldedState(), table)
 
   private def parseDvs(st: LogState, table: String): Map[String, Seq[Long]] =
-    st.dvs.collect { case ((t, f), j) if t == table => f -> DvRec.fromJson(j) }
+    st.dvs.collect { case ((t, f), j) if t == table => f -> resolveDv(table, j) }
+
+  /** Ordinal sets ≤ this ride the manifest inline (a scattered purge costs
+    * zero extra I/O); larger sets go to a `<table>/_dv/` sidecar so the
+    * manifest never carries O(tombstones) bytes — the bound that made the
+    * old inline-only design cap DV density at all.
+    */
+  private val dvInlineMax = 4096
+
+  // sidecars are immutable (rewrites mint new leaves), so one read serves
+  // the warehouse instance's lifetime
+  private val dvSidecarCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Long]]()
+
+  private def resolveDv(table: String, json: String): Seq[Long] =
+    DvRec.sidecarLeaf(json) match {
+      case None => DvRec.fromJson(json)
+      case Some(leaf) =>
+        val p = new Path(s"${path(table)}/_dv/$leaf")
+        val key = fs.makeQualified(p).toString
+        val cached = dvSidecarCache.get(key)
+        if (cached != null) cached
+        else {
+          if (!fs.exists(p)) throw new IllegalStateException(
+            s"deletion-vector sidecar $table/_dv/$leaf was lost to vacuum; " +
+              "this table state is no longer reconstructible — restore to a " +
+              "retained version")
+          val in = new java.io.DataInputStream(fs.open(p))
+          try {
+            val n = in.readInt()
+            val b = Vector.newBuilder[Long]
+            b.sizeHint(n)
+            var i = 0
+            while (i < n) { b += in.readLong(); i += 1 }
+            val v: Seq[Long] = b.result()
+            dvSidecarCache.put(key, v)
+            v
+          } finally in.close()
+        }
+    }
+
+  private def writeDvSidecar(table: String, leaf: String, ords: Seq[Long]): Unit = {
+    val dir = new Path(s"${path(table)}/_dv")
+    fs.mkdirs(dir)
+    val out = new java.io.DataOutputStream(fs.create(new Path(dir, leaf), false))
+    try {
+      out.writeInt(ords.size)
+      ords.foreach(out.writeLong)
+    } finally out.close()
+  }
 
   /** Read `files` under PHYSICAL names plus `__file` (leaf name) and `__ord`
     * (row ordinal within the file, from the parquet reader's `_metadata.
@@ -2762,12 +2939,19 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     * windows crossing a DV commit (file diff != row diff). Repeated DV
     * deletes on one file UNION their ordinals.
     *
-    * The DV rides the manifest inline, so it is deliberately CAPPED
-    * (`maxDvPerFile`, default 100k ordinals): a file above the cap has
-    * enough dead rows that rewriting it IS the right move — use
-    * [[deleteWhere]] (copy-on-write) or compact first. This is the
-    * Delta-style density tradeoff: DVs for few-rows-per-many-files deletes,
-    * rewrite for dense ones. Stats are NOT tightened by a DV (bounds stay
+    * Small ordinal sets (≤ ~4k) ride the manifest inline — a scattered
+    * purge costs zero extra I/O. Dense sets go to an immutable binary
+    * SIDECAR under `<table>/_dv/`, committed as a visible file of that
+    * pseudo-table in the same manifest commit (the Bloom-sidecar
+    * lifecycle: vacuum protects live sidecars, reclaims released and
+    * aborted ones), so the manifest carries a constant-size pointer
+    * however many rows are dead. `maxDvPerFile` (default 100k ordinals)
+    * remains as the density HEURISTIC, not a format bound: a file above it
+    * has enough dead rows that rewriting it IS the right move — use
+    * [[deleteWhere]] (copy-on-write) or compact first; raise the cap when
+    * tombstone-and-carry is genuinely cheaper (the Delta-style density
+    * tradeoff, now priced in sidecar bytes instead of manifest bytes).
+    * Stats are NOT tightened by a DV (bounds stay
     * conservative — sound for skipping, and [[statsMinMax]] routes
     * DV-carrying files to the read path since their extremes may be dead).
     * Same flat-layout requirement and retry/conflict contract as
@@ -2818,10 +3002,25 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
           s"(cap $maxDvPerFile) — the file is dead enough to deserve a " +
           "rewrite: use deleteWhere (copy-on-write) or compact first")
     }
-    val lines = merged.toSeq.sortBy(_._1).map { case (f, ords) =>
-      val j = DvRec.toJson(ords)
-      require(!j.contains('\t') && !j.contains('\n'), "dv JSON contains TSV control chars")
-      s"dv\t$table\t$f\t$j"
+    val lines = merged.toSeq.sortBy(_._1).flatMap { case (f, ords) =>
+      // a rewrite that supersedes a sidecar-backed DV releases the old
+      // sidecar in the same commit (its bytes become vacuumable garbage)
+      val release = dvBefore.get(f).flatten.flatMap(DvRec.sidecarLeaf)
+        .map(old => s"remove\t$table/_dv\t$old").toSeq
+      if (ords.size <= dvInlineMax) {
+        val j = DvRec.toJson(ords)
+        require(!j.contains('\t') && !j.contains('\n'), "dv JSON contains TSV control chars")
+        release :+ s"dv\t$table\t$f\t$j"
+      } else {
+        // dense set → immutable binary sidecar, committed as a visible
+        // file of <table>/_dv in THIS commit (the Bloom lifecycle): the
+        // manifest carries a constant-size pointer, vacuum protects live
+        // sidecars and reclaims released/aborted ones
+        val leaf = s"dv-${java.util.UUID.randomUUID().toString}.bin"
+        writeDvSidecar(table, leaf, ords)
+        release ++ Seq(s"add\t$table/_dv\t$leaf",
+          s"dv\t$table\t$f\t${DvRec.toSidecarJson(ords.size.toLong, leaf)}")
+      }
     }
     val changeSlice =
       if (!changeFeedEnabled(table)) None
@@ -2854,18 +3053,27 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       "deleteWhereDvAll targets must be distinct tables — merge the predicates")
     // ON DELETE RESTRICT for the tombstone path: a DV delete removes ALL
     // matched rows, so the leaving keys are exactly the matched keys (one
-    // DV-filtered probe over the candidate files). Same check-then-commit
-    // isolation caveat as the copy-on-write path.
-    targets.foreach { case (tbl, schema, preds) =>
-      if (referencingFks(tbl).nonEmpty && exists(tbl)) {
-        val cond = FilePred.toColumn(preds, schema)
-        enforceFkRestrict(tbl, pCol =>
-          scanWhere(tbl, schema, preds).filter(coalesce(cond, lit(false)))
-            .select(col(pCol).as("__k")).filter(col("__k").isNotNull).distinct())
-      }
-    }
+    // DV-filtered probe over the candidate files). The referencing child
+    // file sets are pinned BEFORE the probe and ride the commit
+    // precondition — a child insert racing between probe and publish
+    // aborts this commit (cross-table freeze, the DV-pin pattern).
     var attempts = 0
     while (attempts < 8) {
+      // probe + pin per attempt: a retry caused by a racing child commit
+      // must re-probe against the child's NEW state, not re-pin the old one
+      val childPins: Seq[FreezePin] = targets.flatMap {
+        case (tbl, schema, preds) =>
+          if (referencingFks(tbl).nonEmpty && exists(tbl)) {
+            val pins = referencingFks(tbl).map(_._1).distinct
+              .map(c => FreezePin(c, committedOrPhysical(c).sorted,
+                Map.empty, noGrowth = true))
+            val cond = FilePred.toColumn(preds, schema)
+            enforceFkRestrict(tbl, pCol =>
+              scanWhere(tbl, schema, preds).filter(coalesce(cond, lit(false)))
+                .select(col(pCol).as("__k")).filter(col("__k").isNotNull).distinct())
+            pins
+          } else Nil
+      }
       val planned = targets.map { case (table, schema, preds) =>
         planDvDelete(table, schema, preds, maxDvPerFile)
       }
@@ -2878,9 +3086,12 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
         // rewrite (our ordinals would tombstone NEW rows)
         atomically {
           case tv: TxView =>
+            var first = true
             planned.foreach {
               case Right(p) =>
-                tv.manifestLines(p.table, p.lines, p.touched, p.pins)
+                tv.manifestLines(p.table, p.lines, p.touched, p.pins,
+                  frozen = if (first) childPins else Nil)
+                first = false
                 p.changeSlice.foreach(cs => tv.append(changesTable(p.table), cs))
               case Left(_) =>
             }
@@ -3097,39 +3308,57 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     // ONE fused pre-job (per-key counts → one-row aggregate) answers
     // everything the merge needs to know about the source up front: the
     // SQL MERGE cardinality rule (max rows per key tuple), emptiness
-    // (total rows), and the first-key pruning inputs (distinct
+    // (total rows), and EVERY key column's pruning inputs (distinct
     // cardinality + bounds) — previously three separate driver jobs over
     // the same frame, real latency on a per-micro-batch CDC apply.
-    val kc = col(keyCols.head)
     val fns = org.apache.spark.sql.functions
+    val perColAggs = keyCols.flatMap(c =>
+      Seq(fns.count_distinct(col(c)), fns.min(col(c)), fns.max(col(c))))
     val pre = src.groupBy(keyCols.map(col): _*)
       .agg(fns.count(lit(1)).as("__n"))
-      .agg(fns.max(col("__n")), fns.sum(col("__n")),
-        fns.count_distinct(kc), fns.min(kc), fns.max(kc)).head()
+      .agg(fns.max(col("__n")), fns.sum(col("__n")) +: perColAggs: _*).head()
     val maxPerKey = if (pre.isNullAt(0)) 0L else pre.getLong(0)
     require(maxPerKey <= 1L, s"mergeInto source has duplicate keys on " +
       s"(${keyCols.mkString(", ")}) — SQL MERGE refuses ambiguous matches")
     val totalRows = if (pre.isNullAt(1)) 0L else pre.getLong(1)
     if (totalRows == 0L)
       return MergeIntoResult(0L, 0L, 0L, 0, committedOrPhysical(table).size)
-    // Candidate pruning on the FIRST key column. Small sources (the CDC
-    // micro-batch case) prune with their EXACT distinct key set: a batch
-    // touching one band plus a few inserts beyond the range keeps only the
-    // files whose bounds/value-sets admit one of those keys, where the
-    // interval [min, max] would keep every band in between. Larger sources
-    // fall back to the interval — its bounds already rode the fused
-    // aggregate, so only the ≤cap key-set path pays one more (tiny) job.
-    // Null source keys match nothing (insert-only), so they never widen
-    // the candidate set; a key type the stats algebra can't compare keeps
-    // every file — sound, only less pruned.
+    // TUPLE-AWARE candidate pruning: every key column contributes a
+    // predicate — its EXACT distinct value set when ≤ cap (the CDC
+    // micro-batch case: files keep only when bounds/value-sets/Bloom admit
+    // one of the batch's values), its [min, max] interval otherwise (the
+    // bounds already rode the fused aggregate). The preds conjoin, so a
+    // composite key whose LEADING column is low-selectivity still prunes
+    // on its selective columns. The ≤cap value sets collect in ONE extra
+    // job across all qualifying columns. Null source keys match nothing
+    // (insert-only), so they never widen the candidate set; a key type the
+    // stats algebra can't compare keeps every file — sound, only less
+    // pruned.
     val keyPruneCap = 1024
-    val nDistinctKeys = if (pre.isNullAt(2)) 0L else pre.getLong(2)
+    val perCol: Seq[(String, Long, Any, Any)] = keyCols.zipWithIndex.map {
+      case (c, i) =>
+        val base = 2 + i * 3
+        (c, if (pre.isNullAt(base)) 0L else pre.getLong(base),
+          pre.get(base + 1), pre.get(base + 2))
+    }
     val prunePreds: Seq[FilePred] =
-      if (nDistinctKeys == 0L) Nil // every source key is null: nothing can match
-      else if (nDistinctKeys <= keyPruneCap)
-        Seq(ColIn(keyCols.head,
-          src.select(kc).filter(kc.isNotNull).distinct().collect().map(_.get(0)).toSeq))
-      else Seq(ColGe(keyCols.head, pre.get(3)), ColLe(keyCols.head, pre.get(4)))
+      if (perCol.exists(_._2 == 0L)) Nil // an all-null key column: nothing can match
+      else {
+        val inCols = perCol.collect { case (c, nd, _, _) if nd <= keyPruneCap => c }
+        val inSets: Map[String, Seq[Any]] =
+          if (inCols.isEmpty) Map.empty
+          else {
+            val r = src.agg(
+              collect_set(col(inCols.head)).as(inCols.head),
+              inCols.tail.map(c => collect_set(col(c)).as(c)): _*).head()
+            inCols.zipWithIndex.map { case (c, i) => c -> r.getSeq[Any](i) }.toMap
+          }
+        perCol.flatMap { case (c, nd, mn, mx) =>
+          if (nd <= keyPruneCap) inSets.get(c).filter(_.nonEmpty).map(ColIn(c, _)).toSeq
+          else if (mn != null && mx != null) Seq(ColGe(c, mn), ColLe(c, mx))
+          else Nil
+        }
+      }
     var attempts = 0
     while (attempts < 8) {
       val (cands0, untouched0) =
@@ -3252,19 +3481,28 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       val out = clusteredRewrite(table, schema, rewrite((df, hit)), cands.size, Nil)
       // ON DELETE RESTRICT: keys that leave this rewrite (pre-image minus
       // retained — exact under the unique-parent-key contract) must not be
-      // child-referenced. Check-then-commit: a child insert racing between
-      // this probe and the publish can slip — the cross-table isolation
-      // caveat, documented on foreignKeysOf.
-      if (referencingFks(table).nonEmpty)
-        enforceFkRestrict(table, pCol =>
-          df.filter(hit).select(col(pCol).as("__k")).filter(col("__k").isNotNull)
-            .distinct()
-            .join(out.select(col(pCol).as("__k")).distinct(), Seq("__k"), "left_anti"))
+      // child-referenced. The child file sets are PINNED (snapshot taken
+      // BEFORE the probe) and ride the commit precondition, so a child
+      // insert racing between probe and publish aborts this commit instead
+      // of slipping an orphan through the check-then-commit window — the
+      // DV-pin pattern applied cross-table.
+      val childPins: Seq[FreezePin] =
+        if (referencingFks(table).isEmpty) Nil
+        else {
+          val pins = referencingFks(table).map(_._1).distinct
+            .map(c => FreezePin(c, committedOrPhysical(c).sorted,
+              Map.empty, noGrowth = true))
+          enforceFkRestrict(table, pCol =>
+            df.filter(hit).select(col(pCol).as("__k")).filter(col("__k").isNotNull)
+              .distinct()
+              .join(out.select(col(pCol).as("__k")).distinct(), Seq("__k"), "left_anti"))
+          pins
+        }
       val feedOn = changeFeedEnabled(table)
       try {
         atomically {
           case tv: TxView =>
-            tv.rewriteExcluding(table, cands, out, dvSnap)
+            tv.rewriteExcluding(table, cands, out, dvSnap, frozen = childPins)
             // the change slice rides the SAME manifest commit as the rewrite
             if (feedOn) tv.append(changesTable(table), changeRows((df, hit)))
           case w => throw new IllegalStateException( // unreachable: atomically always hands a TxView

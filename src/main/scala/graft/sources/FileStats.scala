@@ -169,9 +169,15 @@ case class DvDeleteResult(deleted: Long, filesTombstoned: Int,
 case class ReclusterResult(filesRewritten: Int, filesUntouched: Int,
     bytesRewritten: Long)
 
-/** Deletion-vector manifest JSON: `{"n":<count>,"ords":[<sorted ordinals>]}`
-  * — the file's COMPLETE tombstone set (row ordinals within the file);
-  * every `dv` line carries the union, last line per file wins.
+/** Deletion-vector manifest JSON. Inline form
+  * `{"n":<count>,"ords":[<sorted ordinals>]}` — the file's COMPLETE
+  * tombstone set (row ordinals within the file); every `dv` line carries
+  * the union, last line per file wins. Sidecar form `{"n":<count>,
+  * "f":"<leaf>"}` — dense tombstone sets live in an immutable binary
+  * sidecar under `<table>/_dv/` (committed as a visible file of that
+  * pseudo-table in the SAME manifest commit — the Bloom-sidecar
+  * lifecycle), so the manifest carries O(1) bytes per file however many
+  * rows are dead.
   */
 object DvRec {
   def toJson(ords: Seq[Long]): String = {
@@ -190,6 +196,22 @@ object DvRec {
         case other => throw new IllegalArgumentException(s"bad dv ordinal $other")
       }
       case other => throw new IllegalArgumentException(s"bad dv json: $other")
+    }
+  }
+
+  /** Sidecar pointer form — see the object doc. */
+  def toSidecarJson(n: Long, leaf: String): String = {
+    import org.json4s._
+    org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(
+      JObject("n" -> JLong(n), "f" -> JString(leaf))))
+  }
+
+  /** The sidecar leaf when `json` is the pointer form, None when inline. */
+  def sidecarLeaf(json: String): Option[String] = {
+    import org.json4s._
+    (org.json4s.jackson.JsonMethods.parse(json) \ "f") match {
+      case JString(s) => Some(s)
+      case _ => None
     }
   }
 

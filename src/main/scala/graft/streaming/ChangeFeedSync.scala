@@ -59,6 +59,26 @@ abstract class ChangeFeedSync(srcWh: AtomicWarehouse, corpusTable: String,
     in.foreach(admit(_, version))
   }
 
+  /** Max retraction ids per commit materialized on the driver by the
+    * census. Per-commit churn is the RIGHT bound for CDC — but it is the
+    * writer's bound, not ours: one adversarial commit deleting 10⁸ rows
+    * would OOM the driver through a `collect_set`. Above the cap the
+    * commit routes through [[applyCommitFrame]] with the retraction set
+    * left distributed.
+    */
+  protected def censusIdCap: Int = 1000000
+
+  /** Giant-churn apply: `applyCommit`'s contract with the retraction ids
+    * as a distinct single-column (`id`, LongType) DataFrame that never
+    * touched the driver. The default falls back to a driver
+    * materialization (correct for every implementation, reinstating the
+    * memory exposure the cap flagged); implementations with a join-shaped
+    * retraction override it to stay distributed end-to-end.
+    */
+  protected def applyCommitFrame(out: DataFrame, in: Option[DataFrame],
+      version: Long): Unit =
+    applyCommit(out.collect().map(_.getLong(0)).toSeq, in, version)
+
   private val cursorSchema = StructType(Seq(
     StructField("version", LongType, nullable = false)))
 
@@ -106,26 +126,42 @@ abstract class ChangeFeedSync(srcWh: AtomicWarehouse, corpusTable: String,
       .persist()
     try {
       val ct = col(srcWh.changeTypeCol)
-      // ONE driver job: per-commit churn census. collect_set drops the
-      // nulls the `when` leaves on admission rows, so `outIds` is exactly
-      // the commit's retraction set (bounded: one commit's churn — the
-      // same bound the per-commit collect had).
-      val census = feed.groupBy(col("_commit_version").cast(LongType).as("v"))
+      val retracting = ct.isin("delete", "update_preimage")
+      val vCol = col("_commit_version").cast(LongType)
+      // ONE driver job: per-commit churn COUNTS (no id materialization yet
+      // — a single adversarial 10⁸-row delete must not OOM the driver)
+      val census = feed.groupBy(vCol.as("v"))
         .agg(
-          collect_set(when(ct.isin("delete", "update_preimage"),
-            col(idCol).cast(LongType))).as("outIds"),
+          count(when(retracting, 1)).as("nOut"),
           count(when(ct.isin("insert", "update_postimage"), 1)).as("nIn"))
         .collect()
       if (census.isEmpty) { emptyScan = Some((cur, head)); return cur }
+      // second job, still ONE for the whole window: id sets for the
+      // commits under the cap (the common case — every set is bounded by
+      // censusIdCap by construction). Over-cap commits keep their ids
+      // distributed and route through applyCommitFrame.
+      val smallVs = census.filter(r => r.getAs[Long]("nOut") <= censusIdCap &&
+        r.getAs[Long]("nOut") > 0L).map(_.getAs[Long]("v"))
+      val idSets: Map[Long, Seq[Long]] =
+        if (smallVs.isEmpty) Map.empty
+        else feed.filter(retracting && vCol.isin(smallVs.map(Long.box): _*))
+          .groupBy(vCol.as("v"))
+          .agg(collect_set(col(idCol).cast(LongType)).as("outIds"))
+          .collect()
+          .map(r => r.getAs[Long]("v") -> r.getSeq[Long](r.fieldIndex("outIds")))
+          .toMap
       census.sortBy(_.getAs[Long]("v")).foreach { r =>
         val v = r.getAs[Long]("v")
-        val out = r.getSeq[Long](r.fieldIndex("outIds"))
+        val nOut = r.getAs[Long]("nOut")
         val in =
           if (r.getAs[Long]("nIn") == 0L) None
           else Some(feed.filter(col("_commit_version") === v &&
               ct.isin("insert", "update_postimage"))
             .select(corpusSchema.fieldNames.toSeq.map(col): _*))
-        applyCommit(out, in, v)
+        if (nOut > censusIdCap)
+          applyCommitFrame(feed.filter(retracting && vCol === v)
+            .select(col(idCol).cast(LongType).as("id")).distinct(), in, v)
+        else applyCommit(idSets.getOrElse(v, Nil), in, v)
       }
       cursorWh.replace(cursorTable, srcWh.spark.createDataFrame(
         java.util.Arrays.asList(org.apache.spark.sql.Row(head.toLong)), cursorSchema))

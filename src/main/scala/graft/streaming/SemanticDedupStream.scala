@@ -58,10 +58,16 @@ class SemanticDedupStream(wh: Warehouse, minCosine: Double,
   val indexTable = "semdedup/CellIndex"
   val survivorsTable = "semdedup/Survivors"
   val ledgerTable = "semdedup/IngestLedger"
+  val statsTable = "semdedup/AssignStats"
 
   val centroidSchema: StructType = StructType(Seq(
     StructField("cell", IntegerType, nullable = false),
     StructField("centroid", ArrayType(FloatType), nullable = true)))
+  val statsSchema: StructType = StructType(Seq(
+    StructField("batch_id", LongType, nullable = false),
+    StructField("kind", org.apache.spark.sql.types.StringType, nullable = false),
+    StructField("n", LongType, nullable = false),
+    StructField("mean_cos", org.apache.spark.sql.types.DoubleType, nullable = true)))
   val indexSchema: StructType = StructType(Seq(
     StructField("id", LongType, nullable = false),
     StructField("cell", IntegerType, nullable = false),
@@ -80,14 +86,104 @@ class SemanticDedupStream(wh: Warehouse, minCosine: Double,
     * [[Similarity.trainCentroids]] output or a [[graft.operators.PersistedIvf]]'s
     * centroids table (ANN and semantic dedup share the structure).
     */
-  def init(centroids: DataFrame): Unit =
-    wh.replace(centroidsTable, centroids.select(
+  def init(centroids: DataFrame): Unit = wh.atomically { w =>
+    w.replace(centroidsTable, centroids.select(
       col("cell").cast(IntegerType).as("cell"),
       col("centroid").cast(ArrayType(FloatType)).as("centroid")))
+    // fresh geometry → fresh drift baseline (the first batch records it)
+    if (wh.exists(statsTable)) w.delete(statsTable)
+  }
 
   def survivors(): DataFrame = wh.read(survivorsTable, survivorSchema)
   def index(): DataFrame = wh.read(indexTable, indexSchema)
   private[graft] def ledger(): DataFrame = wh.read(ledgerTable, ledgerSchema)
+  def assignStats(): DataFrame = wh.read(statsTable, statsSchema)
+
+  /** Mean winning cosine of `assigned` against the standing centroids —
+    * the drift statistic (one batch-sized aggregate).
+    */
+  private def meanCosOf(assigned: DataFrame): Option[Double] = {
+    val cents = wh.read(centroidsTable, centroidSchema)
+    val r = assigned.join(broadcast(cents), Seq("cell"))
+      .agg(avg(when(Transforms.vecNorm(col("vec")) === 0 ||
+          Transforms.vecNorm(col("centroid")) === 0, lit(0.0))
+        .otherwise(Transforms.vecDot(col("vec"), col("centroid"))
+          / (Transforms.vecNorm(col("vec")) * Transforms.vecNorm(col("centroid"))))))
+      .head()
+    if (r.isNullAt(0)) None else Some(r.getDouble(0))
+  }
+
+  /** True when the latest batch's vectors sit materially farther from
+    * their cells than the baseline did — the [[graft.operators.PersistedIvf.drifted]]
+    * gauge, wired into the semantic stream: seed centroids otherwise live
+    * forever while the embedding distribution moves under them, silently
+    * degrading cell locality (near-duplicates land in different cells and
+    * stop being compared). The baseline is the first batch after
+    * [[init]]/[[retrain]] (`kind="train"`); later batches record
+    * `kind="batch"` rows in the same admit commit.
+    */
+  def drifted(margin: Double = 0.05): Boolean = {
+    if (!wh.exists(statsTable)) return false
+    val rows = assignStats().collect()
+    val base = rows.find(_.getString(1) == "train").flatMap(r =>
+      if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+    val latest = rows.filter(_.getString(1) == "batch").sortBy(_.getLong(0))
+      .lastOption.flatMap(r => if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+    (base, latest) match {
+      case (Some(t), Some(b)) => b < t - margin
+      case _ => false
+    }
+  }
+
+  /** Re-train the cell geometry from the ACCUMULATED index and re-assign
+    * everything to it — the action [[drifted]] triggers, mirroring
+    * [[graft.operators.PersistedIvf.retrain]]. One atomic commit replaces
+    * centroids, the cell index (every arrived vector re-celled), the
+    * survivors' cell labels, and the drift baseline. The SURVIVOR ID SET
+    * is untouched — retraining changes where FUTURE batches look for
+    * neighbors, never un-decides a past dedup — and the dedup contract
+    * (first-arrival-wins against every arrived vector) is preserved
+    * because the whole index moves cells together.
+    */
+  def retrain(numCells: Int, iterations: Int = 3): Unit = {
+    require(wh.exists(indexTable), s"$indexTable absent — nothing to retrain from")
+    val idx = index().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cents = graft.operators.Similarity
+        .trainCentroids(idx.select(col("id"), col("vec")), "id", "vec",
+          numCells, iterations)
+        .select(col("cell_id").cast(IntegerType).as("cell"),
+          col("centroid").cast(ArrayType(FloatType)).as("centroid"))
+      val reassigned = graft.operators.Similarity
+        .assignCells(idx.select(col("id"), col("vec")),
+          cents.select(col("cell"), col("centroid").as("vec")), "id", "cell", "vec")
+        .select(col("id"), col("cell").cast(IntegerType).as("cell"), col("vec"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val newCells = reassigned.select(col("id"), col("cell"))
+        val surv = survivors().select(col("id")).join(newCells, Seq("id"))
+          .select(col("id"), col("cell"))
+        // baseline against the NEW geometry, from the full re-assignment
+        val r = reassigned.join(broadcast(cents), Seq("cell"))
+          .agg(count(lit(1)),
+            avg(when(Transforms.vecNorm(col("vec")) === 0 ||
+                Transforms.vecNorm(col("centroid")) === 0, lit(0.0))
+              .otherwise(Transforms.vecDot(col("vec"), col("centroid"))
+                / (Transforms.vecNorm(col("vec")) * Transforms.vecNorm(col("centroid"))))))
+          .head()
+        wh.atomically { w =>
+          w.replace(centroidsTable, cents)
+          w.replace(indexTable, reassigned.sortWithinPartitions("cell"))
+          w.replace(survivorsTable, surv)
+          w.replace(statsTable, wh.spark.createDataFrame(
+            java.util.Arrays.asList(org.apache.spark.sql.Row(
+              Long.box(-1L), "train", Long.box(r.getLong(0)),
+              if (r.isNullAt(1)) null else Double.box(r.getDouble(1)))),
+            statsSchema))
+        }
+      } finally reassigned.unpersist(false)
+    } finally idx.unpersist(false)
+  }
 
   def processBatch(batch0: DataFrame, batchId: Long): Unit = {
     if (wh.exists(ledgerTable) &&
@@ -144,6 +240,16 @@ class SemanticDedupStream(wh: Warehouse, minCosine: Double,
         .distinct()
       val admitted = assigned.join(dropped, Seq("id"), "left_anti")
         .select(col("id"), col("cell"))
+      // drift ledger row: the first batch after init/retrain sets the
+      // baseline, later batches record against it (one tiny aggregate on
+      // the already-persisted batch)
+      val mc = meanCosOf(assigned)
+      val nAssigned = assigned.count()
+      val kind =
+        if (!wh.exists(statsTable) ||
+            wh.read(statsTable, statsSchema)
+              .filter(col("kind") === "train").isEmpty) "train"
+        else "batch"
       wh.atomically { w =>
         // cell-sorted within files — the next batch's probe pruning rides
         // on tight per-row-group cell min/max stats
@@ -152,6 +258,11 @@ class SemanticDedupStream(wh: Warehouse, minCosine: Double,
         w.append(ledgerTable, wh.spark.createDataFrame(
           java.util.Arrays.asList(org.apache.spark.sql.Row(Long.box(batchId))),
           ledgerSchema))
+        w.append(statsTable, wh.spark.createDataFrame(
+          java.util.Arrays.asList(org.apache.spark.sql.Row(
+            Long.box(batchId), kind, Long.box(nAssigned),
+            mc.map(Double.box).orNull)),
+          statsSchema))
       }
     } finally assigned.unpersist(false)
   }

@@ -98,6 +98,27 @@ object InvariantProbe {
         s""""parent_files":${pd.files},"parent_rows":${pd.rows},""" +
         s""""batch_rows":500,"records":$uqR,"tasks":$uqT,"wall_s":${f"$uqW%.3f"}}""")
 
+      // COMPOSITE unique key with a LOW-selectivity LEADING column (grp:
+      // 4 values — its bounds admit every file): pruning must route on the
+      // selective second column via the tuple-aware In conjunction (Bloom
+      // on k), not the lead. Flat records across mults = the probe never
+      // re-reads the table.
+      wh.setBloomIndex("parent2", Seq("k"), fpp = 0.001)
+      (0 until nBands).foreach { b =>
+        wh.append("parent2", parent.filter(col("k") % nBands === b)
+          .select(pmod(col("k"), lit(4L)).as("grp"), col("k"), col("cents"))
+          .coalesce(1))
+      }
+      wh.addUniqueKey("parent2", Seq("grp", "k"), "pk2")
+      val fresh2 = (0L until 500L)
+        .map(i => (i % 4, span + i, 0L)).toDF("grp", "k", "cents")
+      val ((), cR, cT, cW) = measured {
+        wh.append("parent2", fresh2.coalesce(1)); ()
+      }
+      emit(s"""{"probe":"invariant","phase":"unique_composite_append","mult":$mult,""" +
+        s""""parent_files":${pd.files},"parent_rows":${pd.rows},""" +
+        s""""batch_rows":500,"records":$cR,"tasks":$cT,"wall_s":${f"$cW%.3f"}}""")
+
       // a dangling-key batch must refuse at the same probe cost
       val bad = Seq((9999L, span * 2 + 1L)).toDF("c_id", "p_ref")
       val (refused, rR, rT, rW) = measured {

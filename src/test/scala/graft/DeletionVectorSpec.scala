@@ -35,6 +35,46 @@ class DeletionVectorSpec extends SparkSpec {
   private def ids(wh: AtomicWarehouse, t: String = "t"): Set[Long] =
     wh.read(t, kv).collect().map(_.getLong(0)).toSet
 
+  test("dense tombstone sets go to a sidecar: manifest stays flat, reads exact, lifecycle releases") {
+    val dir = Files.createTempDirectory("graft-dv-side-")
+    val wh = new AtomicWarehouse(spark, dir.toString)
+    // one 40k-row file; delete 30k scattered rows (id % 4 != 0) — far past
+    // the inline threshold, within a 10×-raised density cap
+    wh.append("t", (0L until 40000L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    val r2 = wh.deleteWhereDv("t", kv,
+      Seq(graft.sources.ColIn("id", (0L until 40000L).filter(_ % 4 != 0))),
+      maxDvPerFile = 1000000)
+    assert(r2.deleted == 30000L && r2.filesRewritten == 0, s"got $r2")
+    // reads are exact through the sidecar
+    assert(wh.read("t", kv).count() == 10000L)
+    assert(ids(wh).forall(_ % 4 == 0))
+    // the manifest dv line is a constant-size pointer, not 30k ordinals
+    val dvJson = wh.describe("t") // metadata-only count still works
+    assert(dvJson.dvRows == 30000L && dvJson.dvFiles == 1)
+    val manifestBytes = Files.list(dir.resolve("_txlog")).toArray.map(p =>
+      java.nio.file.Files.size(p.asInstanceOf[java.nio.file.Path])).max
+    assert(manifestBytes < 64 * 1024,
+      s"manifest must not carry the ordinals (largest manifest $manifestBytes B)")
+    // exactly one live sidecar under t/_dv
+    def sidecars = Option(dir.resolve("t/_dv").toFile.listFiles())
+      .getOrElse(Array.empty).count(f => f.isFile && !f.getName.startsWith("."))
+    assert(sidecars == 1, s"one sidecar expected, got $sidecars")
+    // a further delete UNIONs and releases the superseded sidecar; vacuum
+    // reclaims its bytes
+    val r3 = wh.deleteWhereDv("t", kv,
+      Seq(graft.sources.ColIn("id", Seq(0L, 8L, 16L))), maxDvPerFile = 1000000)
+    assert(r3.deleted == 3L)
+    assert(wh.read("t", kv).count() == 9997L)
+    wh.vacuum(olderThanMs = 0L)
+    assert(sidecars == 1, s"vacuum must reclaim the superseded sidecar, got $sidecars")
+    // a compaction FOLDS the sidecar DV and releases it entirely
+    wh.compactDv("t", kv, minDeadFraction = 0.1)
+    assert(wh.deletionVectors("t").isEmpty)
+    assert(wh.read("t", kv).count() == 9997L)
+    wh.vacuum(olderThanMs = 0L)
+    assert(sidecars == 0, s"folded sidecar must be reclaimed, got $sidecars")
+  }
+
   test("scattered delete: zero rewrites, exact count, read identity, DV union on repeat") {
     val wh2 = newWh()
     banded(wh2)

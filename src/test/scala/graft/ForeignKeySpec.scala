@@ -97,6 +97,67 @@ class ForeignKeySpec extends SparkSpec {
       "aborted tx leaked its parent append")
   }
 
+  test("a child insert racing a parent DV-delete aborts the delete (freeze pin), never orphans") {
+    val dir = Files.createTempDirectory("graft-fk-race-")
+    val wh = new AtomicWarehouse(spark, dir.toString)
+    val wh2 = new AtomicWarehouse(spark, dir.toString) // the \"other JVM\"
+    wh.append("dim/provider", Seq((1L, "a"), (2L, "b")).toDF("p_id", "p_name").coalesce(1))
+    wh.addForeignKey("fact/product", "p_ref", "dim/provider", "p_id", "fk_provider")
+    wh.append("fact/product", Seq((10L, Some(2L))).toDF("c_id", "p_ref").coalesce(1))
+    // the delete of key 1 probes the child (no reference — passes), then a
+    // child insert REFERENCING key 1 lands through wh2 before the delete
+    // publishes (alsoInTx runs inside the transaction, post-probe). The
+    // child freeze pin must abort that attempt; the retry re-probes the
+    // NEW child state and refuses properly. Without the pin, both commits
+    // land and the child row orphans.
+    val injected = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val e = intercept[IllegalArgumentException](
+      wh.deleteWhereDv("dim/provider", parentS, Seq(ColEq("p_id", 1L)),
+        alsoInTx = _ => if (injected.compareAndSet(false, true))
+          wh2.append("fact/product", Seq((11L, Some(1L))).toDF("c_id", "p_ref"))))
+    assert(e.getMessage.contains("RESTRICT"), e.getMessage)
+    assert(injected.get(), "fixture: the racing insert must have run")
+    // no orphan: key 1 still live, both child rows reference live keys
+    assert(wh.read("dim/provider", parentS).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L))
+    assert(wh.read("fact/product", childS).count() == 2)
+  }
+
+  test("a parent DV-delete racing a child-insert transaction aborts the insert (parent pin)") {
+    val dir = Files.createTempDirectory("graft-fk-race2-")
+    val wh = new AtomicWarehouse(spark, dir.toString)
+    val wh2 = new AtomicWarehouse(spark, dir.toString)
+    wh.append("dim/provider", Seq((1L, "a"), (2L, "b")).toDF("p_id", "p_name").coalesce(1))
+    wh.addForeignKey("fact/product", "p_ref", "dim/provider", "p_id", "fk_provider")
+    // the child append probes parent key 1 (live — passes, pins the parent
+    // files + DV state), then the parent delete lands through wh2 BEFORE
+    // the child transaction publishes: its own child pin sees no committed
+    // child change, so it lands. The child's parent pin must then abort
+    // the child publish — without it the child commits an orphan.
+    intercept[java.util.ConcurrentModificationException](
+      wh.atomically { w =>
+        w.append("fact/product", Seq((20L, Some(1L))).toDF("c_id", "p_ref"))
+        wh2.deleteWhereDv("dim/provider", parentS, Seq(ColEq("p_id", 1L)))
+      })
+    assert(wh.read("fact/product", childS).count() == 0, "orphan leaked")
+    assert(wh.read("dim/provider", parentS).collect().map(_.getLong(0)).toSet ==
+      Set(2L))
+    // the single-op retry path converges to the proper refusal
+    val e = intercept[IllegalArgumentException](
+      wh.append("fact/product", Seq((21L, Some(1L))).toDF("c_id", "p_ref")))
+    assert(e.getMessage.contains("fk_provider"))
+    // and a parent APPEND racing a child insert does NOT conflict (pins
+    // allow pure key additions)
+    wh.atomically { w =>
+      w.append("fact/product", Seq((22L, Some(2L))).toDF("c_id", "p_ref"))
+      wh2.append("dim/provider", Seq((3L, "c")).toDF("p_id", "p_name"))
+    }
+    assert(wh.read("fact/product", childS).count() == 1)
+    // live parent rows: key 2 (key 1 is DV-dead) plus the raced-in key 3
+    assert(wh.read("dim/provider", parentS).collect().map(_.getLong(0)).toSet ==
+      Set(2L, 3L))
+  }
+
   test("declare-time validation refuses existing orphans") {
     val wh = newWh()
     wh.append("dim/provider", Seq((1L, "a")).toDF("p_id", "p_name").coalesce(1))

@@ -119,6 +119,47 @@ class FtsSyncSpec extends SparkSpec {
       "wind-back after an idle scan failed to replay")
   }
 
+  test("a giant-churn commit routes its retraction set around the driver (censusIdCap)") {
+    val wh = new AtomicWarehouse(spark,
+      Files.createTempDirectory("graft-churncap-").toString)
+    wh.setChangeFeed("corpus", on = true)
+    wh.append("corpus", (0L until 100L).map(i => (i, s"doc $i"))
+      .toDF("doc_id", "text").coalesce(1))
+    val maxDriverIds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val frameCommits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val retractedTable = "sync/Retracted"
+    val mv = new graft.streaming.ChangeFeedSync(wh, "corpus", docSchema, "doc_id") {
+      protected def cursorWh: graft.sources.Warehouse = wh
+      val cursorTable = "sync/Cursor"
+      override protected def censusIdCap: Int = 10
+      protected def retract(ids: Seq[Long], version: Long): Unit =
+        maxDriverIds.updateAndGet(m => math.max(m, ids.size))
+      protected def admit(rows: DataFrame, version: Long): Unit = ()
+      override protected def applyCommitFrame(out: DataFrame,
+          in: Option[DataFrame], version: Long): Unit = {
+        // distributed end-to-end: the ids land in a table without ever
+        // materializing on the driver
+        frameCommits.incrementAndGet()
+        wh.append(retractedTable, out)
+        in.foreach(admit(_, version))
+      }
+    }
+    // one small delete (under the cap) and one giant delete (over it)
+    wh.deleteWhere("corpus", docSchema, Seq(ColIn("doc_id", Seq(1L, 2L, 3L))))
+    wh.deleteWhere("corpus", docSchema,
+      Seq(ColIn("doc_id", (10L until 60L))))
+    mv.sync()
+    assert(frameCommits.get() == 1, "exactly the over-cap commit takes the frame path")
+    assert(maxDriverIds.get() <= 10,
+      s"no driver-side id set may exceed the cap (saw ${maxDriverIds.get()})")
+    val spilled = wh.read(retractedTable, StructType(Seq(
+      StructField("id", LongType, nullable = true)))).collect().map(_.getLong(0)).toSet
+    assert(spilled == (10L until 60L).toSet, "the giant commit's ids must converge exactly")
+    // idempotent: the cursor advanced, nothing replays
+    val c = mv.sync()
+    assert(mv.sync() == c && frameCommits.get() == 1)
+  }
+
   test("VectorSync maintains the IVF index over an embeddings corpus the same way") {
     import graft.operators.PersistedIvf
     import graft.streaming.VectorSync

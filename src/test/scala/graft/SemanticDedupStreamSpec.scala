@@ -63,6 +63,37 @@ class SemanticDedupStreamSpec extends SparkSpec {
     assert(sd.index().count() == emb.count())
   }
 
+  test("mid-stream drift retrain: survivor ids preserved, future batches dedup under the new geometry") {
+    val sd = freshStream(0.45)
+    sd.processBatch(emb.filter($"vec_id" < 200), 0L)
+    val idsBefore = sd.survivors().collect().map(_.getLong(0)).toSet
+    // the first batch set the drift baseline
+    assert(sd.assignStats().filter(col("kind") === "train").count() == 1)
+    assert(!sd.drifted())
+    sd.retrain(numCells = 8, iterations = 2)
+    // the survivor ID set is untouched; cells re-labeled consistently with
+    // the re-assigned index
+    val after = sd.survivors().collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(after.keySet == idsBefore, "retrain must not change the survivor id set")
+    val idxCells = sd.index().collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(after.forall { case (id, c) => idxCells(id) == c },
+      "survivor cells must match the re-assigned index")
+    // the drift baseline reset to the new geometry
+    val st = sd.assignStats().collect()
+    assert(st.length == 1 && st.head.getString(1) == "train" && st.head.getLong(0) == -1L)
+    assert(!sd.drifted())
+    // a later batch of EXACT duplicates of arrived vectors must fully drop
+    // under the new geometry (same vector → same new cell → cos 1 match)
+    val dup = emb.filter($"vec_id" < 50)
+      .select(($"vec_id" + 10000).cast("long").as("vec_id"), $"embedding")
+    sd.processBatch(dup, 1L)
+    val ids2 = sd.survivors().collect().map(_.getLong(0)).toSet
+    assert(ids2 == idsBefore,
+      s"exact duplicates after retrain must all drop (extra: ${ids2 -- idsBefore})")
+    // and the batch recorded its drift row against the new baseline
+    assert(sd.assignStats().filter(col("kind") === "batch").count() == 1)
+  }
+
   test("checkpoint replay of a committed batch is a ledgered no-op") {
     val sd = freshStream(0.45)
     val b0 = emb.filter($"vec_id" < 100)
