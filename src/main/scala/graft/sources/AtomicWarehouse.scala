@@ -1728,6 +1728,23 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
   private[graft] def visibleDataFiles(table: String): Seq[String] =
     committedOrPhysical(table)
 
+  /** The newest commit version whose manifest landed at or before
+    * `tsMillis` (wall-clock time travel — the SQL `TIMESTAMP AS OF`
+    * resolution). Manifest mtimes are the commit clock, exactly Delta's
+    * rule, with the same caveats: a fold-snapshot carries its own (later)
+    * mtime, so times older than the earliest RETAINED manifest refuse —
+    * retention bounds wall-clock travel just as it bounds `readAt`.
+    */
+  private[graft] def versionAtTimestamp(tsMillis: Long): Int = {
+    val cfs = commitFiles()
+    val at = cfs.filter(p => fs.getFileStatus(p).getModificationTime <= tsMillis)
+    if (at.isEmpty) throw new IllegalArgumentException(
+      s"no retained commit at or before timestamp $tsMillis " +
+        s"(earliest retained: ${cfs.headOption.map(p =>
+          fs.getFileStatus(p).getModificationTime).getOrElse(-1L)})")
+    versionOf(at.last)
+  }
+
   private def recordedSchema(table: String): StructType =
     org.apache.spark.sql.types.DataType.fromJson(
       foldedState().schemas.getOrElse(table, throw new IllegalStateException(

@@ -41,7 +41,8 @@ import graft.sources.AtomicWarehouse
   * (era-exact schema, column map and deletion vectors; no manifest pruning —
   * historical stats rode manifests that may be folded away).
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.SupportsNamespaces {
 
   private var catName: String = _
   private var whRoot: String = _
@@ -94,6 +95,16 @@ class GraftCatalog extends TableCatalog {
     GraftTable(wh, t, resolvedSchema(t), asOfVersion = Some(v))
   }
 
+  /** `TIMESTAMP AS OF ts` — Spark hands epoch MICROseconds; manifest
+    * mtimes resolve it to the newest commit at or before that instant.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val t = tableName(ident)
+    if (!wh.exists(t)) throw new NoSuchTableException(ident)
+    GraftTable(wh, t, resolvedSchema(t),
+      asOfVersion = Some(wh.versionAtTimestamp(timestamp / 1000L)))
+  }
+
   private def resolvedSchema(t: String): StructType =
     wh.catalogSchema(t).orElse(wh.inferSchema(t)).getOrElse(
       throw new IllegalStateException(s"table $t exists but has no schema"))
@@ -123,6 +134,51 @@ class GraftCatalog extends TableCatalog {
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("RENAME TABLE is not supported")
+
+  // ---- namespaces: implicit path prefixes of the table names ------------
+
+  private def allNamespaces(): Seq[Seq[String]] =
+    wh.catalogTables().map(_.split('/').toSeq.init).filter(_.nonEmpty).distinct
+
+  override def listNamespaces(): Array[Array[String]] =
+    allNamespaces().map(_.take(1)).distinct.map(_.toArray).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    val prefix = namespace.toSeq
+    allNamespaces().filter(ns => ns.length > prefix.length &&
+        ns.take(prefix.length) == prefix)
+      .map(_.take(prefix.length + 1)).distinct.map(_.toArray).toArray
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    allNamespaces().exists(_.startsWith(namespace.toSeq))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+        catName +: namespace.toSeq)
+    new util.HashMap[String, String]()
+  }
+
+  /** Namespaces are implicit (path prefixes materialize with their first
+    * table), so CREATE NAMESPACE is an accepted no-op.
+    */
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = ()
+
+  override def alterNamespace(namespace: Array[String],
+      changes: org.apache.spark.sql.connector.catalog.NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("ALTER NAMESPACE is not supported")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val tables = wh.catalogTables()
+      .filter(_.startsWith(namespace.mkString("/") + "/"))
+    if (tables.isEmpty) false
+    else if (!cascade) throw new IllegalStateException(
+      s"namespace ${namespace.mkString(".")} holds ${tables.size} table(s); " +
+        "use DROP NAMESPACE ... CASCADE")
+    else { tables.foreach(wh.delete); true }
+  }
 }
 
 /** A warehouse table surfaced through the V2 catalog. Reads never go
@@ -130,11 +186,16 @@ class GraftCatalog extends TableCatalog {
   * with the engine-built parquet plan during analysis (the Delta pattern —
   * V2 for naming and writes, V1 file relation for the read path so
   * vectorization, codegen and the manifest [[GraftFileIndex]] all engage).
-  * Writes are V1 fallback writes into the transactional warehouse.
+  * Writes are V1 fallback writes into the transactional warehouse;
+  * `DELETE FROM` routes through the engine's copy-on-write [[AtomicWarehouse
+  * .deleteWhere]] when the WHERE clause translates into the [[graft.sources
+  * .FilePred]] algebra — manifest file pruning decides which files rewrite,
+  * FK RESTRICT and the change feed apply exactly as through the API.
   */
 case class GraftTable(wh: AtomicWarehouse, tableName: String,
     tableSchema: StructType, asOfVersion: Option[Int])
-    extends Table with SupportsWrite {
+    extends Table with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def name(): String = tableName
 
@@ -143,6 +204,95 @@ case class GraftTable(wh: AtomicWarehouse, tableName: String,
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE).asJava
+
+  /** WHERE-clause V2 predicates → the engine's conjunction, None when any
+    * leg falls outside the algebra (Spark then reports the DELETE
+    * unsupported instead of silently under- or over-deleting — the V1
+    * filter bridge is deliberately NOT used: it drops unconvertible legs).
+    */
+  private def asPreds(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Option[Seq[graft.sources.FilePred]] = {
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, NamedReference, Expression => V2Expr}
+    import org.apache.spark.sql.connector.expressions.filter.{And => V2And, Or => V2Or, Predicate}
+    import graft.sources.{ColEq, ColGe, ColGt, ColIn, ColLe, ColLt, ColOr, FilePred}
+    def colName(e: V2Expr): Option[String] = e match {
+      case f: NamedReference if f.fieldNames().length == 1 => Some(f.fieldNames()(0))
+      // Catalyst wraps the column of a widened comparison in a cast (e.g.
+      // `id IN (5, 205)` casts the int literals' column side) — an
+      // IDENTITY cast (target type = the column's declared type) unwraps
+      // safely; a real type change does not translate
+      case c: org.apache.spark.sql.connector.expressions.Cast =>
+        colName(c.expression()).filter(n =>
+          tableSchema.fields.exists(f => f.name == n && f.dataType == c.dataType()))
+      case _ => None
+    }
+    def litVal(e: V2Expr): Option[Any] = e match {
+      case l: V2Literal[_] if l.value != null =>
+        Some(CatalystTypeConverters.convertToScala(l.value, l.dataType))
+      case _ => None
+    }
+    def cmp(c: V2Expr, v: V2Expr, mk: (String, Any) => FilePred): Option[Seq[FilePred]] =
+      for (cn <- colName(c); lv <- litVal(v)) yield Seq(mk(cn, lv))
+    def one(p: Predicate): Option[Seq[FilePred]] = p match {
+      case a: V2And => for (x <- one(a.left()); y <- one(a.right())) yield x ++ y
+      case o: V2Or =>
+        for (x <- one(o.left()); y <- one(o.right()); if x.nonEmpty && y.nonEmpty)
+          yield Seq(ColOr(Seq(x, y)))
+      case _ => (p.name(), p.children()) match {
+        case ("ALWAYS_TRUE", _) => Some(Nil)
+        case ("=", Array(c, v)) =>
+          cmp(c, v, ColEq(_, _)).orElse(cmp(v, c, ColEq(_, _)))
+        case (">", Array(c, v)) =>
+          cmp(c, v, ColGt(_, _)).orElse(cmp(v, c, ColLt(_, _)))
+        case (">=", Array(c, v)) =>
+          cmp(c, v, ColGe(_, _)).orElse(cmp(v, c, ColLe(_, _)))
+        case ("<", Array(c, v)) =>
+          cmp(c, v, ColLt(_, _)).orElse(cmp(v, c, ColGt(_, _)))
+        case ("<=", Array(c, v)) =>
+          cmp(c, v, ColLe(_, _)).orElse(cmp(v, c, ColGe(_, _)))
+        case ("IN", kids) if kids.length >= 2 =>
+          for {
+            cn <- colName(kids.head)
+            vs <- kids.tail.foldLeft(Option(Seq.empty[Any])) {
+              (acc, k) => for (a <- acc; v <- litVal(k)) yield a :+ v
+            }
+          } yield Seq(ColIn(cn, vs))
+        case _ => None
+      }
+    }
+    predicates.foldLeft(Option(Seq.empty[FilePred])) {
+      (acc, p) => for (a <- acc; b <- one(p)) yield a ++ b
+    }
+  }
+
+  override def canDeleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
+    asOfVersion.isEmpty && asPreds(predicates).isDefined
+
+  override def deleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    require(asOfVersion.isEmpty, s"cannot DELETE from $tableName VERSION AS OF")
+    asPreds(predicates) match {
+      case Some(Nil) => truncateTable() // DELETE FROM t — whole-table
+      case Some(preds) => wh.deleteWhere(tableName, tableSchema, preds)
+      case None => throw new UnsupportedOperationException(
+        s"DELETE condition on $tableName falls outside the engine's " +
+          "predicate algebra; use the Scala API")
+    }
+  }
+
+  // the V1 bridge is never taken (the V2 overrides above win), but
+  // SupportsDelete declares it abstract
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    throw new UnsupportedOperationException("V1 delete bridge unused")
+
+  override def truncateTable(): Boolean = {
+    require(asOfVersion.isEmpty, s"cannot TRUNCATE $tableName VERSION AS OF")
+    wh.replace(tableName, wh.spark.createDataFrame(
+      wh.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema))
+    true
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(asOfVersion.isEmpty, s"cannot write to $tableName VERSION AS OF")

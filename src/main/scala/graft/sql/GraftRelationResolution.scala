@@ -1,7 +1,8 @@
 package graft.sql
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, NamedExpression, PredicateHelper}
+import org.apache.spark.sql.catalyst.plans.logical
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -29,16 +30,43 @@ import graft.sources.AtomicWarehouse
   * The rewrite aliases the engine plan's output to the V2 relation's
   * attribute ids, so references elsewhere in the query keep resolving.
   */
-case class GraftRelationResolution(spark: SparkSession) extends Rule[LogicalPlan] {
+case class GraftRelationResolution(spark: SparkSession) extends Rule[LogicalPlan]
+    with PredicateHelper {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
-    case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
-      val t = r.table.asInstanceOf[GraftTable]
-      val built = GraftRelationResolution.planFor(spark, t)
-      val aliased: Seq[NamedExpression] = r.output.zip(built.output).map {
-        case (o, n) => Alias(n, o.name)(exprId = o.exprId)
-      }
-      Project(aliased, built)
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    // row-level commands route their TARGET through the V2 connector
+    // surface, not a read plan — rewriting it into a file relation here
+    // would leave DataSourceV2Strategy nothing to plan. DELETE on a graft
+    // table resolves HERE to the filter-pushed command (the table is
+    // deletable but deliberately not V2-readable, so Spark's own
+    // OptimizeMetadataOnlyDeleteFromTable would be preempted by the scan
+    // builder's asReadable); untranslatable conditions stay put and
+    // surface Spark's own unsupported-delete error.
+    case d @ logical.DeleteFromTable(target, cond) if d.resolved &&
+        (org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases(target) match {
+          case r: DataSourceV2Relation => r.table.isInstanceOf[GraftTable]
+          case _ => false
+        }) =>
+      val r = org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases(target)
+        .asInstanceOf[DataSourceV2Relation]
+      val preds = splitConjunctivePredicates(cond).map(shims.translateFilterV2)
+      if (preds.forall(_.isDefined) &&
+          r.table.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsDeleteV2]
+            .canDeleteWhere(preds.flatten.toArray))
+        logical.DeleteFromTableWithFilters(r, preds.flatten)
+      else d
+    case _: logical.DeleteFromTable => plan
+    case _: logical.UpdateTable => plan
+    case _: logical.MergeIntoTable => plan
+    case _ => plan.resolveOperatorsUp {
+      case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
+        val t = r.table.asInstanceOf[GraftTable]
+        val built = GraftRelationResolution.planFor(spark, t)
+        val aliased: Seq[NamedExpression] = r.output.zip(built.output).map {
+          case (o, n) => Alias(n, o.name)(exprId = o.exprId)
+        }
+        Project(aliased, built)
+    }
   }
 }
 

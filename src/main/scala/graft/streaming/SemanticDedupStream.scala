@@ -92,6 +92,7 @@ class SemanticDedupStream(wh: Warehouse, minCosine: Double,
       col("centroid").cast(ArrayType(FloatType)).as("centroid")))
     // fresh geometry → fresh drift baseline (the first batch records it)
     if (wh.exists(statsTable)) w.delete(statsTable)
+    baselineSeen = false
   }
 
   def survivors(): DataFrame = wh.read(survivorsTable, survivorSchema)
@@ -99,19 +100,25 @@ class SemanticDedupStream(wh: Warehouse, minCosine: Double,
   private[graft] def ledger(): DataFrame = wh.read(ledgerTable, ledgerSchema)
   def assignStats(): DataFrame = wh.read(statsTable, statsSchema)
 
-  /** Mean winning cosine of `assigned` against the standing centroids —
-    * the drift statistic (one batch-sized aggregate).
+  /** (row count, mean winning cosine) of `assigned` against the standing
+    * centroids — the drift statistic, fused into ONE batch-sized aggregate
+    * so the ledger costs a single extra job per admit.
     */
-  private def meanCosOf(assigned: DataFrame): Option[Double] = {
+  private def countAndMeanCos(assigned: DataFrame): (Long, Option[Double]) = {
     val cents = wh.read(centroidsTable, centroidSchema)
     val r = assigned.join(broadcast(cents), Seq("cell"))
-      .agg(avg(when(Transforms.vecNorm(col("vec")) === 0 ||
-          Transforms.vecNorm(col("centroid")) === 0, lit(0.0))
-        .otherwise(Transforms.vecDot(col("vec"), col("centroid"))
-          / (Transforms.vecNorm(col("vec")) * Transforms.vecNorm(col("centroid"))))))
+      .agg(count(lit(1)),
+        avg(when(Transforms.vecNorm(col("vec")) === 0 ||
+            Transforms.vecNorm(col("centroid")) === 0, lit(0.0))
+          .otherwise(Transforms.vecDot(col("vec"), col("centroid"))
+            / (Transforms.vecNorm(col("vec")) * Transforms.vecNorm(col("centroid"))))))
       .head()
-    if (r.isNullAt(0)) None else Some(r.getDouble(0))
+    (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1)))
   }
+
+  // "has a train baseline" is monotone between init/retrain resets, so one
+  // table probe per stream lifetime suffices — not one per batch
+  @volatile private var baselineSeen = false
 
   /** True when the latest batch's vectors sit materially farther from
     * their cells than the baseline did — the [[graft.operators.PersistedIvf.drifted]]
@@ -181,6 +188,7 @@ class SemanticDedupStream(wh: Warehouse, minCosine: Double,
               if (r.isNullAt(1)) null else Double.box(r.getDouble(1)))),
             statsSchema))
         }
+        baselineSeen = true
       } finally reassigned.unpersist(false)
     } finally idx.unpersist(false)
   }
@@ -241,15 +249,15 @@ class SemanticDedupStream(wh: Warehouse, minCosine: Double,
       val admitted = assigned.join(dropped, Seq("id"), "left_anti")
         .select(col("id"), col("cell"))
       // drift ledger row: the first batch after init/retrain sets the
-      // baseline, later batches record against it (one tiny aggregate on
-      // the already-persisted batch)
-      val mc = meanCosOf(assigned)
-      val nAssigned = assigned.count()
-      val kind =
-        if (!wh.exists(statsTable) ||
-            wh.read(statsTable, statsSchema)
-              .filter(col("kind") === "train").isEmpty) "train"
-        else "batch"
+      // baseline, later batches record against it — ONE fused aggregate on
+      // the already-persisted batch, baseline existence probed once per
+      // stream lifetime
+      val (nAssigned, mc) = countAndMeanCos(assigned)
+      if (!baselineSeen)
+        baselineSeen = wh.exists(statsTable) &&
+          !wh.read(statsTable, statsSchema).filter(col("kind") === "train").isEmpty
+      val kind = if (baselineSeen) "batch" else "train"
+      baselineSeen = true
       wh.atomically { w =>
         // cell-sorted within files — the next batch's probe pruning rides
         // on tight per-row-group cell min/max stats

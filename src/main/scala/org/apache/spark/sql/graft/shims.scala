@@ -22,4 +22,12 @@ object shims {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Catalyst expression → V2 filter Predicate (`DataSourceV2Strategy` is
+    * `private[sql]`) — the SQL catalog's DELETE rewrite uses it to decide
+    * whether a condition reaches the engine's delete surface.
+    */
+  def translateFilterV2(e: Expression)
+      : Option[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    org.apache.spark.sql.execution.datasources.v2.DataSourceV2Strategy.translateFilterV2(e)
 }

@@ -146,6 +146,53 @@ class SqlCatalogSpec extends SparkSpec {
     assert(!wh.exists("dim/fresh"))
   }
 
+  test("DELETE FROM routes through the engine's copy-on-write delete") {
+    val (wh, cat, root) = fixture()
+    banded(wh)
+    // band-ranged delete: pruning confines the rewrite to one file
+    spark.sql(s"DELETE FROM $cat.facts.t WHERE id >= 100 AND id < 200")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.facts.t").head().getLong(0) == 300L)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.facts.t WHERE id < 100")
+      .head().getLong(0) == 100L)
+    // IN and OR conditions translate into the algebra (id 5, 205, 390-399)
+    spark.sql(s"DELETE FROM $cat.facts.t WHERE id IN (5, 205) OR id >= 390")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.facts.t").head().getLong(0) == 288L)
+    // FK RESTRICT binds SQL deletes exactly as API deletes
+    wh.append("dim/p", Seq((1L, "a")).toDF("id", "v"))
+    wh.addForeignKey("facts/c", "p_ref", "dim/p", "id", "fk_p")
+    wh.append("facts/c", Seq((10L, 1L)).toDF("c_id", "p_ref"))
+    val e = intercept[Exception](spark.sql(s"DELETE FROM $cat.dim.p WHERE id = 1"))
+    assert(e.getMessage.contains("RESTRICT"), e.getMessage)
+    assert(wh.read("dim/p", kv).count() == 1, "refused SQL DELETE leaked")
+    // whole-table DELETE truncates through the warehouse (metadata kept)
+    spark.sql(s"DELETE FROM $cat.facts.t")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.facts.t").head().getLong(0) == 0L)
+    assert(wh.exists("facts/t"))
+  }
+
+  test("TIMESTAMP AS OF resolves via manifest mtimes; namespaces enumerate") {
+    val (wh, cat, _) = fixture()
+    wh.append("dim/d", Seq((1L, "a")).toDF("id", "v"))
+    Thread.sleep(1200) // manifest mtime granularity
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss.SSS")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val between = fmt.format(new java.util.Date())
+    Thread.sleep(1200)
+    wh.append("dim/d", Seq((2L, "b")).toDF("id", "v"))
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM $cat.dim.d TIMESTAMP AS OF '$between'")
+      .head().getLong(0) == 1L)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.dim.d").head().getLong(0) == 2L)
+    // a pre-history timestamp refuses instead of reading as empty
+    val e = intercept[Exception](spark.sql(
+      s"SELECT * FROM $cat.dim.d TIMESTAMP AS OF '1999-01-01 00:00:00'").collect())
+    assert(e.getMessage.contains("no retained commit"), e.getMessage)
+    // namespaces are the table-name path prefixes
+    wh.append("facts/f", Seq((1L, "x")).toDF("id", "v"))
+    val ns = spark.sql(s"SHOW NAMESPACES IN $cat").collect().map(_.getString(0)).toSet
+    assert(ns == Set("dim", "facts"), s"got $ns")
+  }
+
   test("dimension-sized catalog tables auto-broadcast from manifest stats") {
     val (wh, cat, _) = fixture()
     banded(wh)
