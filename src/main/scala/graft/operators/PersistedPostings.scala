@@ -298,6 +298,16 @@ class PersistedPostings(private[graft] val wh: Warehouse, probeTermLimit: Int = 
     wh.exists(retractTable) && !wh.read(retractTable, ingestSchema)
       .filter(col("batch_id") === batchId).isEmpty
 
+  /** Record `batchId` in the retraction ledger WITHOUT touching the index
+    * — the COMPLETION marker a chunked giant retraction writes after its
+    * last chunk landed (each chunk ledgered its own sub-id; see
+    * [[graft.streaming.FtsSync.applyCommitFrame]]).
+    */
+  def ledgerRetraction(batchId: Long): Unit =
+    if (!retracted(batchId)) wh.append(retractTable, wh.spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(Long.box(batchId))),
+      ingestSchema))
+
   /** Apply ONE corpus commit's whole row-level change — retraction of
     * `outIds` AND admission of `fresh` — as ONE atomic index commit: the
     * tombstones, the negative stats row, the fresh postings, the positive

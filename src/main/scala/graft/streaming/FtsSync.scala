@@ -45,4 +45,45 @@ class FtsSync(srcWh: AtomicWarehouse, corpusTable: String,
   override protected def applyCommit(outIds: Seq[Long], in: Option[DataFrame],
       version: Long): Unit =
     fts.applyChangeLedgered(outIds, in, idCol, textCol, version)
+
+  /** Giant-churn retraction ([[ChangeFeedSync.censusIdCap]] exceeded): the
+    * id frame streams through the driver in SORTED, cap-bounded chunks
+    * (`toLocalIterator` holds one partition at a time — peak driver memory
+    * is a chunk, never the commit's whole id set). Each chunk retracts
+    * under its own deterministic sub-id (negative, so it can never collide
+    * with a corpus version), making a crashed replay resume at the first
+    * unapplied chunk instead of double-decrementing N; the plain version
+    * id lands as the completion marker, so a fully-applied commit replays
+    * as a single ledger probe.
+    */
+  override protected def applyCommitFrame(out: DataFrame, in: Option[DataFrame],
+      version: Long): Unit = {
+    if (!fts.retracted(version)) {
+      import org.apache.spark.sql.functions.col
+      val it = out.orderBy(col("id")).toLocalIterator()
+      val buf = scala.collection.mutable.ArrayBuffer[Long]()
+      var chunk = 0
+      def flush(): Unit = if (buf.nonEmpty) {
+        fts.retractDocsLedgered(buf.toSeq, FtsSync.chunkLedgerId(version, chunk))
+        chunk += 1
+        buf.clear()
+      }
+      while (it.hasNext) {
+        buf += it.next().getLong(0)
+        if (buf.size >= censusIdCap) flush()
+      }
+      flush()
+      fts.ledgerRetraction(version)
+    }
+    in.foreach(admit(_, version))
+  }
+}
+
+object FtsSync {
+  /** Ledger sub-id for chunk `i` of version `v`'s giant retraction:
+    * negative, injective for v < 2^42 and i < 2^20 — corpus versions are
+    * positive ints, so the spaces can never collide.
+    */
+  private[streaming] def chunkLedgerId(v: Long, i: Int): Long =
+    -((v << 20) + i + 1)
 }

@@ -160,6 +160,30 @@ class FtsSyncSpec extends SparkSpec {
     assert(mv.sync() == c && frameCommits.get() == 1)
   }
 
+  test("FtsSync giant-churn retraction applies in bounded chunks, stays bit-exact, replays convergent") {
+    val (wh, fts, _) = fixture()
+    wh.append("corpus", (0L until 60L).map(i => (i, s"alpha doc$i beta gamma"))
+      .toDF("doc_id", "text").coalesce(1))
+    val mv = new FtsSync(wh, "corpus", docSchema, "doc_id", "text", fts) {
+      override protected def censusIdCap: Int = 7
+    }
+    mv.sync()
+    // 40 retraction ids >> the cap → the frame path, 6 chunks of ≤7
+    wh.deleteWhere("corpus", docSchema, Seq(ColLt("doc_id", 40L)))
+    mv.sync()
+    assert(bm25(fts) == bm25(freshOver(wh.read("corpus", docSchema))),
+      "chunked giant retraction diverged from a fresh build")
+    assert(fts.corpusStats().agg(sum(col("n"))).head().getLong(0) == 20L,
+      "N must telescope to the live count through the chunked stats rows")
+    // a wound-back cursor replays: chunk ledgers + the completion marker
+    // make the giant commit a no-op probe, never a double decrement
+    fts.wh.replace(mv.cursorTable, Seq(0L).toDF("version"))
+    mv.sync()
+    assert(bm25(fts) == bm25(freshOver(wh.read("corpus", docSchema))),
+      "replay after a chunked retraction corrupted the index")
+    assert(fts.corpusStats().agg(sum(col("n"))).head().getLong(0) == 20L)
+  }
+
   test("VectorSync maintains the IVF index over an embeddings corpus the same way") {
     import graft.operators.PersistedIvf
     import graft.streaming.VectorSync
