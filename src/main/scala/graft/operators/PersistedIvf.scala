@@ -361,6 +361,15 @@ class PersistedIvf(private[graft] val wh: Warehouse, probeCellLimit: Int = 1000)
     wh.exists(retractTable) && !wh.read(retractTable, ingestSchema)
       .filter(col("batch_id") === batchId).isEmpty
 
+  /** Marker-only retraction-ledger row — a chunked giant retraction's
+    * completion marker ([[graft.operators.PersistedPostings.ledgerRetraction]]'s
+    * twin for cell assignments).
+    */
+  def ledgerRetraction(batchId: Long): Unit =
+    if (!retracted(batchId)) wh.append(retractTable, wh.spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(Long.box(batchId))),
+      ingestSchema))
+
   /** Apply ONE corpus commit's whole row-level change — retraction of
     * `outIds` AND admission of `fresh` — as ONE atomic index commit
     * ([[graft.operators.PersistedPostings.applyChangeLedgered]]'s

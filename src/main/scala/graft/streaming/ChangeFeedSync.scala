@@ -197,4 +197,29 @@ class VectorSync(srcWh: AtomicWarehouse, corpusTable: String,
   override protected def applyCommit(outIds: Seq[Long], in: Option[DataFrame],
       version: Long): Unit =
     ivf.applyChangeLedgered(outIds, in, idCol, vecCol, version)
+
+  /** Giant-churn retraction in cap-bounded chunks — [[FtsSync]]'s pattern
+    * (chunk sub-ids + completion marker) over cell assignments.
+    */
+  override protected def applyCommitFrame(out: DataFrame, in: Option[DataFrame],
+      version: Long): Unit = {
+    if (!ivf.retracted(version)) {
+      import org.apache.spark.sql.functions.col
+      val it = out.orderBy(col("id")).toLocalIterator()
+      val buf = scala.collection.mutable.ArrayBuffer[Long]()
+      var chunk = 0
+      def flush(): Unit = if (buf.nonEmpty) {
+        ivf.retractVectorsLedgered(buf.toSeq, FtsSync.chunkLedgerId(version, chunk))
+        chunk += 1
+        buf.clear()
+      }
+      while (it.hasNext) {
+        buf += it.next().getLong(0)
+        if (buf.size >= censusIdCap) flush()
+      }
+      flush()
+      ivf.ledgerRetraction(version)
+    }
+    in.foreach(admit(_, version))
+  }
 }

@@ -240,6 +240,47 @@ class FtsSyncSpec extends SparkSpec {
       "replay duplicated assignment rows")
   }
 
+  test("VectorSync giant churn retracts in chunks and replays convergent") {
+    import graft.operators.PersistedIvf
+    import graft.streaming.VectorSync
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(8)(i => math.cos(seed * 7.3 + i * 1.9).toFloat)
+    val vecSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("vec", ArrayType(FloatType), nullable = true)))
+    val wh = new AtomicWarehouse(spark, Files.createTempDirectory("graft-vsyncg-").toString)
+    wh.setChangeFeed("emb", on = true)
+    wh.append("emb", (0L until 30L).map(i => (i, vec(i.toInt))).toDF("id", "vec").coalesce(1))
+    val ivf = new PersistedIvf(wh)
+    ivf.build(wh.read("emb", vecSchema), "id", "vec", numCells = 3, iterations = 2)
+    val mv = new VectorSync(wh, "emb", vecSchema, "id", "vec", ivf) {
+      override protected def censusIdCap: Int = 6
+    }
+    val seedHead = wh.versions().last.toLong
+    wh.replace(mv.cursorTable, Seq(seedHead).toDF("version"))
+    // 20 retraction ids >> cap 6 → the chunked frame path (4 chunks)
+    wh.deleteWhereDv("emb", vecSchema, Seq(ColIn("id", (0L until 20L))))
+    mv.sync()
+    val liveIds = wh.read("emb", vecSchema).select(col("id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(ivf.assignments().select(col("id")).collect().map(_.getLong(0)).toSet
+      == liveIds, "chunked retraction diverged from the live corpus")
+    // wound-back replay to the SEED head (never past it — the build-seeded
+    // window predates the ledgers): the giant retraction must no-op
+    // through its completion marker, not re-chunk
+    val cur = mv.cursor()
+    ivf.wh.replace(mv.cursorTable, Seq(seedHead).toDF("version"))
+    mv.sync()
+    assert(ivf.assignments().select(col("id")).collect().map(_.getLong(0)).toSet
+      == liveIds, "replay corrupted the index")
+    assert(ivf.assignments().count() == liveIds.size.toLong,
+      "replay duplicated assignment rows")
+    // the replay re-walked to the CURRENT head (the index's own commits
+    // raised it past the pre-replay cursor on this shared warehouse)
+    assert(mv.cursor() >= cur)
+  }
+
   test("an UPDATE applies to the index in ONE fused commit (+1 cursor)") {
     val (wh, fts, mv) = fixture()
     wh.append("corpus", Seq(
