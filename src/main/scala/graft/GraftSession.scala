@@ -16,6 +16,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL over warehouse tables: GraftCatalog's V2 relations resolve into
     // engine-built parquet plans (manifest file pruning + deletion vectors)
     e.injectResolutionRule(session => graft.sql.GraftRelationResolution(session))
+    // the change feed as a SQL table function (Delta's table_changes shape)
+    e.injectTableFunction((
+      FunctionIdentifier("graft_changes"),
+      new ExpressionInfo("graft", "graft_changes"),
+      (exprs: Seq[Expression]) => graft.sql.GraftTableFunctions.changes(exprs)))
 
     def fn(name: String, build: Seq[Expression] => Expression): Unit =
       e.injectFunction((

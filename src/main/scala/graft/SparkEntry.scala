@@ -1408,6 +1408,34 @@ object SparkEntry {
         .orderBy(col("del_n"))
     }
 
+    // ---- the change feed through SQL: graft_changes (the Delta
+    // table_changes shape, registered by GraftExtensions) replays the
+    // SAME DML mix as etl_change_feed via spark.sql — per-type totals
+    // restated by the oracle from the raw table, proving the SQL TVF and
+    // the Scala changesBetween are one surface
+    q("etl_sql_changes") = (s, dir) => {
+      val orders = t(s, dir, "orders")
+      val (wh, qtr) = bandedOrdersWh(s, orders, "sqlcdf")
+      wh.setChangeFeed("facts/orders", on = true)
+      wh.updateWhere("facts/orders", orders.schema,
+        Seq(graft.sources.ColLt("o_orderkey", qtr / 2)),
+        Seq("o_orderpriority" -> concat(lit("X-"), col("o_orderpriority"))))
+      wh.deleteWhere("facts/orders", orders.schema,
+        Seq(graft.sources.ColGe("o_orderkey", qtr),
+          graft.sources.ColLt("o_orderkey", qtr * 3 / 2)))
+      val dvKeys = orders.filter(col("o_orderkey") % 101 === 0 &&
+          !(col("o_orderkey") >= qtr && col("o_orderkey") < qtr * 3 / 2))
+        .select(col("o_orderkey")).collect().map(_.getLong(0)).toSeq
+      wh.deleteWhereDv("facts/orders", orders.schema,
+        Seq(graft.sources.ColIn("o_orderkey", dvKeys)))
+      s.sql(
+        s"""SELECT _change_type, count(*) AS n,
+           | sum(o_orderkey) AS key_sum
+           |FROM graft_changes('${wh.root}', 'facts/orders', 0, ${wh.versions().last})
+           |GROUP BY _change_type
+           |ORDER BY _change_type""".stripMargin)
+    }
+
     // ---- cross-warehouse CDC REPLICATION: the source's write-time change
     // feed applied to a SECOND warehouse through the sequence-guarded
     // merge — the produce/consume composition of the whole change stack.
@@ -4531,6 +4559,27 @@ object SparkEntry {
     // images), delete = the copy-on-write range delete ∪ the scattered DV
     // delete (disjoint by construction)
     "etl_change_feed" ->
+      """WITH m AS (SELECT max(o_orderkey) // 4 AS q FROM orders),
+        | upd AS (SELECT o_orderkey FROM orders, m WHERE o_orderkey < m.q // 2),
+        | del AS (SELECT o_orderkey FROM orders, m
+        |   WHERE o_orderkey >= m.q AND o_orderkey < m.q * 3 // 2),
+        | dvd AS (SELECT o_orderkey FROM orders, m
+        |   WHERE o_orderkey % 101 = 0
+        |     AND NOT (o_orderkey >= m.q AND o_orderkey < m.q * 3 // 2))
+        |SELECT * FROM (
+        | SELECT 'insert' AS _change_type, CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(o_orderkey) AS BIGINT) AS key_sum FROM orders
+        | UNION ALL SELECT 'delete',
+        |   CAST((SELECT count(*) FROM del) + (SELECT count(*) FROM dvd) AS BIGINT),
+        |   CAST((SELECT sum(o_orderkey) FROM del) + (SELECT sum(o_orderkey) FROM dvd) AS BIGINT)
+        | UNION ALL SELECT 'update_preimage', CAST(count(*) AS BIGINT),
+        |   CAST(sum(o_orderkey) AS BIGINT) FROM upd
+        | UNION ALL SELECT 'update_postimage', CAST(count(*) AS BIGINT),
+        |   CAST(sum(o_orderkey) AS BIGINT) FROM upd)
+        |ORDER BY _change_type""".stripMargin,
+
+    // the SQL TVF replays etl_change_feed's exact DML mix — same oracle
+    "etl_sql_changes" ->
       """WITH m AS (SELECT max(o_orderkey) // 4 AS q FROM orders),
         | upd AS (SELECT o_orderkey FROM orders, m WHERE o_orderkey < m.q // 2),
         | del AS (SELECT o_orderkey FROM orders, m

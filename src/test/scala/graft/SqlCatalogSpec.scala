@@ -193,6 +193,28 @@ class SqlCatalogSpec extends SparkSpec {
     assert(ns == Set("dim", "facts"), s"got $ns")
   }
 
+  test("graft_changes: the change feed as a SQL table function") {
+    val (wh, cat, root) = fixture()
+    wh.setChangeFeed("facts/t", on = true)
+    banded(wh)
+    wh.deleteWhere("facts/t", kv, Seq(graft.sources.ColEq("id", 7L)))
+    val head = wh.versions().last
+    val got = spark.sql(
+      s"""SELECT _change_type, count(*) AS n
+         |FROM graft_changes('$root', 'facts/t', 0, $head)
+         |GROUP BY _change_type ORDER BY _change_type""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("delete", 1L), ("insert", 400L)), s"got $got")
+    // version labels survive; a sub-window sees only its slice
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft_changes('$root', 'facts/t', " +
+      s"${head - 1}, $head)").head().getLong(0) == 1L)
+    // the retention floor refuses through SQL exactly as through the API
+    wh.purgeChanges("facts/t", head)
+    val e = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_changes('$root', 'facts/t', 0, $head)").collect())
+    assert(e.getMessage.contains("purged below version"), e.getMessage)
+  }
+
   test("dimension-sized catalog tables auto-broadcast from manifest stats") {
     val (wh, cat, _) = fixture()
     banded(wh)
