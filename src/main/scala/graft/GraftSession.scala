@@ -16,6 +16,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL over warehouse tables: GraftCatalog's V2 relations resolve into
     // engine-built parquet plans (manifest file pruning + deletion vectors)
     e.injectResolutionRule(session => graft.sql.GraftRelationResolution(session))
+    // row-level UPDATE/MERGE reach `resolved` only after the analyzer's
+    // assignment-alignment batch, which runs AFTER the main resolution
+    // fixed point — a post-hoc pass (the rule is idempotent) catches them
+    e.injectPostHocResolutionRule(session => graft.sql.GraftRelationResolution(session))
     // the change feed as a SQL table function (Delta's table_changes shape)
     e.injectTableFunction((
       FunctionIdentifier("graft_changes"),

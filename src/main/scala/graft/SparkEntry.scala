@@ -1408,6 +1408,39 @@ object SparkEntry {
         .orderBy(col("del_n"))
     }
 
+    // ---- MERGE INTO through SQL: the reference's MERGE stored procedures
+    // in their native tongue — the analyzer translates the statement to
+    // the engine's mergeInto (exact-key-set candidate pruning, the SQL
+    // cardinality rule, delete-before-update clause order preserved), the
+    // USING source reads through the catalog. Same DML mix as
+    // etl_merge_into; end state restated by the oracle.
+    q("etl_sql_merge") = (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+      val (wh, qtr) = bandedOrdersWh(s, orders, "sqlmerge")
+      val cat = s"gsql${sqlCatSeq.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sql.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh.root)
+      val inQ2 = col("o_orderkey") >= qtr && col("o_orderkey") < qtr * 2 &&
+        col("o_orderkey") % 16 === 0
+      val src = orders.filter(inQ2)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .unionByName(orders
+          .filter(col("o_orderkey") < qtr / 2 && col("o_orderkey") % 16 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(qtr * 10)))
+      wh.append("staging/src", src)
+      s.sql(
+        s"""MERGE INTO $cat.facts.orders t USING $cat.staging.src s
+           |ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED AND s.o_orderstatus = 'P' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      s.sql(
+        s"""SELECT count(*) AS n,
+           | sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+           |FROM $cat.facts.orders ORDER BY n""".stripMargin)
+    }
+
     // ---- the change feed through SQL: graft_changes (the Delta
     // table_changes shape, registered by GraftExtensions) replays the
     // SAME DML mix as etl_change_feed via spark.sql — per-type totals
@@ -4577,6 +4610,23 @@ object SparkEntry {
         | UNION ALL SELECT 'update_postimage', CAST(count(*) AS BIGINT),
         |   CAST(sum(o_orderkey) AS BIGINT) FROM upd)
         |ORDER BY _change_type""".stripMargin,
+
+    // SQL MERGE end state: etl_merge_into's transformation restated
+    "etl_sql_merge" ->
+      """WITH m AS (SELECT max(o_orderkey) // 4 AS q FROM orders),
+        | endstate AS (
+        |   SELECT CASE WHEN o_orderkey >= m.q AND o_orderkey < m.q * 2 AND o_orderkey % 16 = 0
+        |           THEN o_totalprice * 2 ELSE o_totalprice END AS p
+        |   FROM orders, m
+        |   WHERE NOT (o_orderkey >= m.q AND o_orderkey < m.q * 2
+        |              AND o_orderkey % 16 = 0 AND o_orderstatus = 'P')
+        |   UNION ALL
+        |   SELECT o_totalprice AS p FROM orders, m
+        |   WHERE o_orderkey < m.q // 2 AND o_orderkey % 16 = 0)
+        |SELECT count(*) AS n,
+        | CAST(sum(CAST(round(p * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM endstate
+        |ORDER BY n""".stripMargin,
 
     // the SQL TVF replays etl_change_feed's exact DML mix — same oracle
     "etl_sql_changes" ->

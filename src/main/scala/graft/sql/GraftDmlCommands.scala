@@ -1,0 +1,43 @@
+package graft.sql
+
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.graft.shims
+
+import graft.sources.FilePred
+
+/** `UPDATE graft.ns.t SET ... WHERE ...` resolved to the engine's
+  * copy-on-write [[graft.sources.AtomicWarehouse.updateWhere]] — the WHERE
+  * translated into the [[FilePred]] algebra at analysis time (manifest
+  * pruning confines the rewrite to matching files), the SET expressions
+  * re-rooted as plain Columns over the row.
+  */
+case class GraftUpdateCommand(t: GraftTable, preds: Seq[FilePred],
+    sets: Seq[(String, Column)]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    t.wh.updateWhere(t.tableName, t.tableSchema, preds, sets)
+    Nil
+  }
+}
+
+/** `MERGE INTO graft.ns.t t USING src s ON t.k = s.k WHEN ...` resolved to
+  * the engine's [[graft.sources.AtomicWarehouse.mergeInto]]: exact-key-set
+  * candidate pruning, the SQL cardinality rule, change-feed recording, and
+  * engine invariants all apply to SQL merges — the reference's MERGE
+  * stored procedures in their native tongue. The source plan re-analyzes
+  * through the normal read path (so a graft catalog source prunes too).
+  */
+case class GraftMergeCommand(t: GraftTable, source: LogicalPlan,
+    keyCols: Seq[String], upd: Seq[(String, Column)], updWhen: Option[Column],
+    del: Option[Column], insertUnmatched: Boolean, insWhen: Option[Column])
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override def run(spark: SparkSession): Seq[Row] = {
+    t.wh.mergeInto(t.tableName, t.tableSchema, shims.ofRows(spark, source),
+      keyCols, whenMatchedUpdate = upd, whenMatchedDelete = del,
+      updateWhen = updWhen, insertUnmatched = insertUnmatched,
+      insertWhen = insWhen)
+    Nil
+  }
+}

@@ -99,33 +99,42 @@ object GraftFileIndex {
   private[sql] def translate(e: Expression,
       physToLogical: Map[String, String]): Option[FilePred] = {
     def colOf(a: Attribute): String = physToLogical.getOrElse(a.name, a.name)
+    // analysis-time expressions carry literals wrapped in (foldable)
+    // casts — constant folding only runs in the optimizer. Fold here so
+    // `id >= 3` translates whether 3 arrived bare or as cast(3 as bigint).
+    object Lit {
+      def unapply(x: Expression): Option[Literal] = x match {
+        case l: Literal => Some(l)
+        case _ if x.foldable => Some(Literal.create(x.eval(), x.dataType))
+        case _ => None
+      }
+    }
     def scalaVal(l: Literal): Any =
       CatalystTypeConverters.convertToScala(l.value, l.dataType)
     e match {
-      case EqualTo(a: Attribute, l: Literal) if l.value != null =>
+      case EqualTo(a: Attribute, Lit(l)) if l.value != null =>
         Some(ColEq(colOf(a), scalaVal(l)))
-      case EqualTo(l: Literal, a: Attribute) if l.value != null =>
+      case EqualTo(Lit(l), a: Attribute) if l.value != null =>
         Some(ColEq(colOf(a), scalaVal(l)))
-      case GreaterThan(a: Attribute, l: Literal) if l.value != null =>
+      case GreaterThan(a: Attribute, Lit(l)) if l.value != null =>
         Some(ColGt(colOf(a), scalaVal(l)))
-      case GreaterThan(l: Literal, a: Attribute) if l.value != null =>
+      case GreaterThan(Lit(l), a: Attribute) if l.value != null =>
         Some(ColLt(colOf(a), scalaVal(l)))
-      case GreaterThanOrEqual(a: Attribute, l: Literal) if l.value != null =>
+      case GreaterThanOrEqual(a: Attribute, Lit(l)) if l.value != null =>
         Some(ColGe(colOf(a), scalaVal(l)))
-      case GreaterThanOrEqual(l: Literal, a: Attribute) if l.value != null =>
+      case GreaterThanOrEqual(Lit(l), a: Attribute) if l.value != null =>
         Some(ColLe(colOf(a), scalaVal(l)))
-      case LessThan(a: Attribute, l: Literal) if l.value != null =>
+      case LessThan(a: Attribute, Lit(l)) if l.value != null =>
         Some(ColLt(colOf(a), scalaVal(l)))
-      case LessThan(l: Literal, a: Attribute) if l.value != null =>
+      case LessThan(Lit(l), a: Attribute) if l.value != null =>
         Some(ColGt(colOf(a), scalaVal(l)))
-      case LessThanOrEqual(a: Attribute, l: Literal) if l.value != null =>
+      case LessThanOrEqual(a: Attribute, Lit(l)) if l.value != null =>
         Some(ColLe(colOf(a), scalaVal(l)))
-      case LessThanOrEqual(l: Literal, a: Attribute) if l.value != null =>
+      case LessThanOrEqual(Lit(l), a: Attribute) if l.value != null =>
         Some(ColGe(colOf(a), scalaVal(l)))
       case In(a: Attribute, vs) if vs.nonEmpty &&
-          vs.forall(v => v.isInstanceOf[Literal] &&
-            v.asInstanceOf[Literal].value != null) =>
-        Some(ColIn(colOf(a), vs.map(v => scalaVal(v.asInstanceOf[Literal]))))
+          vs.forall { case Lit(l) => l.value != null; case _ => false } =>
+        Some(ColIn(colOf(a), vs.map { case Lit(l) => scalaVal(l) }))
       case InSet(a: Attribute, vs) if vs.nonEmpty && !vs.contains(null) =>
         Some(ColIn(colOf(a), vs.toSeq.map(v =>
           CatalystTypeConverters.convertToScala(v, a.dataType))))

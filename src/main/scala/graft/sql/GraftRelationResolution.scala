@@ -56,9 +56,18 @@ case class GraftRelationResolution(spark: SparkSession) extends Rule[LogicalPlan
         logical.DeleteFromTableWithFilters(r, preds.flatten)
       else d
     case _: logical.DeleteFromTable => plan
+    case u: logical.UpdateTable if u.resolved && graftTarget(u.table).isDefined =>
+      translateUpdate(u, graftTarget(u.table).get).getOrElse(u)
     case _: logical.UpdateTable => plan
+    case m: logical.MergeIntoTable
+        if m.resolved && graftTarget(m.targetTable).isDefined =>
+      translateMerge(m, graftTarget(m.targetTable).get).getOrElse(m)
     case _: logical.MergeIntoTable => plan
-    case _ => plan.resolveOperatorsUp {
+    case _ => rewriteReads(plan)
+  }
+
+  private def rewriteReads(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
       case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
         val t = r.table.asInstanceOf[GraftTable]
         val built = GraftRelationResolution.planFor(spark, t)
@@ -67,7 +76,165 @@ case class GraftRelationResolution(spark: SparkSession) extends Rule[LogicalPlan
         }
         Project(aliased, built)
     }
+
+  private def graftTarget(target: LogicalPlan): Option[GraftTable] =
+    org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases(target) match {
+      case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
+        Some(r.table.asInstanceOf[GraftTable])
+      case _ => None
+    }
+
+  /** `UPDATE ... SET ... WHERE ...` → [[GraftUpdateCommand]] when the
+    * WHERE fully translates into the FilePred algebra and every SET key
+    * is a plain column; anything else stays put and surfaces Spark's own
+    * unsupported-UPDATE error (never a silently different result).
+    */
+  private def translateUpdate(u: logical.UpdateTable,
+      t: GraftTable): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    for {
+      cond <- u.condition
+      predOpts = splitConjunctivePredicates(cond)
+        .map(GraftFileIndex.translate(_, Map.empty))
+      if predOpts.forall(_.isDefined)
+      sets <- traverse(u.assignments) {
+        case logical.Assignment(k: AttributeReference, v) =>
+          val rerooted = v.transform {
+            case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+          }
+          Some(k.name -> shims.column(rerooted))
+        case _ => None
+      }
+    } yield GraftUpdateCommand(t, predOpts.flatten, sets)
   }
+
+  /** `MERGE INTO ... USING ... ON ... WHEN ...` → [[GraftMergeCommand]]
+    * for the engine-expressible shape: same-named equi-join keys, at most
+    * one matched UPDATE and one matched DELETE, a NOT MATCHED INSERT that
+    * is column-for-column identity from the source (`INSERT *`), no
+    * not-matched-by-source clauses, no schema evolution. SQL's
+    * keep-target-for-unassigned-columns semantics are made explicit
+    * (mergeInto's default would take the source), and a merge with no
+    * UPDATE clause pins `updateWhen = false` so matched rows pass
+    * untouched. Anything else stays put → Spark's own error.
+    */
+  private def translateMerge(m: logical.MergeIntoTable,
+      t: GraftTable): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo}
+    import org.apache.spark.sql.functions.lit
+    if (m.notMatchedBySourceActions.nonEmpty || m.withSchemaEvolution) return None
+    val tgtOut = m.targetTable.outputSet
+    val srcOut = m.sourceTable.outputSet
+    def alias(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Option[org.apache.spark.sql.catalyst.expressions.Expression] = {
+      var ok = true
+      val out = e.transform {
+        case a: AttributeReference =>
+          if (tgtOut.contains(a)) UnresolvedAttribute(Seq("t", a.name))
+          else if (srcOut.contains(a)) UnresolvedAttribute(Seq("s", a.name))
+          else { ok = false; a }
+      }
+      if (ok) Some(out) else None
+    }
+    def isIdentity(k: String, v: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Boolean = v match {
+      case a: AttributeReference => a.name == k &&
+        (srcOut.contains(a) || tgtOut.contains(a))
+      case _ => false
+    }
+    for {
+      keyCols <- traverse(splitConjunctivePredicates(m.mergeCondition)) {
+        case EqualTo(a: AttributeReference, b: AttributeReference)
+            if a.name == b.name &&
+              ((tgtOut.contains(a) && srcOut.contains(b)) ||
+               (tgtOut.contains(b) && srcOut.contains(a))) => Some(a.name)
+        case _ => None
+      }
+      if keyCols.nonEmpty && keyCols.distinct == keyCols
+      // SQL applies the FIRST matching clause; mergeInto checks DELETE
+      // before UPDATE. Only orderings whose semantics coincide translate:
+      // delete-first (same order), a lone clause, or update-first with an
+      // UNCONDITIONAL update (the delete is unreachable and drops).
+      actions <- m.matchedActions match {
+        case Seq() => Some((None, None))
+        case Seq(ua: logical.UpdateAction) => Some((Some(ua), None))
+        case Seq(da: logical.DeleteAction) => Some((None, Some(da)))
+        case Seq(da: logical.DeleteAction, ua: logical.UpdateAction) =>
+          Some((Some(ua), Some(da)))
+        case Seq(ua: logical.UpdateAction, _: logical.DeleteAction)
+            if ua.condition.isEmpty => Some((Some(ua), None))
+        case _ => None
+      }
+      (updAction, delAction) = actions
+      upds = updAction.toSeq
+      dels = delAction.toSeq
+      insOpt <- m.notMatchedActions match {
+        case Seq() => Some(None)
+        case Seq(ia: logical.InsertAction) =>
+          val identity = ia.assignments.forall {
+            case logical.Assignment(k: AttributeReference, v) => isIdentity(k.name, v)
+            case _ => false
+          } && t.tableSchema.fieldNames.forall(c => ia.assignments.exists {
+            case logical.Assignment(k: AttributeReference, _) => k.name == c
+            case _ => false
+          })
+          if (identity) Some(Some(ia)) else None
+        case _ => None
+      }
+      updPair <- upds.headOption match {
+        case None => Some((Seq.empty[(String, org.apache.spark.sql.Column)],
+          Some(lit(false))))
+        case Some(ua) =>
+          val assignMap = ua.assignments.collect {
+            case logical.Assignment(k: AttributeReference, v) => k.name -> v
+          }
+          if (assignMap.size != ua.assignments.size) None
+          else if (assignMap.exists { case (k, v) =>
+            keyCols.contains(k) && !isIdentity(k, v) }) None
+          else {
+            val nonKey = t.tableSchema.fieldNames.toSeq.filterNot(keyCols.contains)
+            val am = assignMap.toMap
+            val setsOpt = traverse(nonKey) { c =>
+              am.get(c) match {
+                // SQL: an unassigned column KEEPS the target value
+                case None => Some(c -> shims.column(UnresolvedAttribute(Seq("t", c))))
+                case Some(v) => alias(v).map(e => c -> shims.column(e))
+              }
+            }
+            val whenOpt: Option[Option[org.apache.spark.sql.Column]] =
+              ua.condition match {
+                case None => Some(None)
+                case Some(c) => alias(c).map(e => Some(shims.column(e)))
+              }
+            for (s_ <- setsOpt; w <- whenOpt) yield (s_, w)
+          }
+      }
+      delCond <- dels.headOption match {
+        case None => Some(None)
+        case Some(da) => da.condition match {
+          case None => Some(Some(lit(true)))
+          case Some(c) => alias(c).map(e => Some(shims.column(e)))
+        }
+      }
+      insWhen <- insOpt match {
+        case None => Some(None)
+        case Some(ia) => ia.condition match {
+          case None => Some(None)
+          case Some(c) => alias(c).map(e => Some(shims.column(e)))
+        }
+      }
+    } yield GraftMergeCommand(t, rewriteReads(m.sourceTable), keyCols,
+      updPair._1, updPair._2, delCond,
+      insertUnmatched = insOpt.isDefined, insWhen)
+  }
+
+  /** Option-sequencing map (all-or-nothing translation). */
+  private def traverse[A, B](xs: Seq[A])(f: A => Option[B]): Option[Seq[B]] =
+    xs.foldLeft(Option(Seq.empty[B])) {
+      (acc, x) => for (a <- acc; b <- f(x)) yield a :+ b
+    }
 }
 
 object GraftRelationResolution {

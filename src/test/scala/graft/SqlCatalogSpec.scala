@@ -193,6 +193,41 @@ class SqlCatalogSpec extends SparkSpec {
     assert(ns == Set("dim", "facts"), s"got $ns")
   }
 
+  test("UPDATE and MERGE INTO route through the engine's DML") {
+    val (wh, cat, _) = fixture()
+    banded(wh)
+    // UPDATE: pruned WHERE, SET over the row, unassigned columns keep
+    spark.sql(s"UPDATE $cat.facts.t SET v = concat('U-', v) WHERE id >= 100 AND id < 105")
+    assert(spark.sql(s"SELECT v FROM $cat.facts.t WHERE id = 102")
+      .head().getString(0) == "U-v102")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.facts.t WHERE v LIKE 'U-%'")
+      .head().getLong(0) == 5L)
+    // MERGE: conditional delete + update + INSERT *, source read through
+    // the catalog (its scan rewrites + prunes like any SELECT)
+    wh.append("dim/src", Seq((5L, "DEL"), (6L, "upd6"), (1000L, "new"))
+      .toDF("id", "v"))
+    spark.sql(
+      s"""MERGE INTO $cat.facts.t t USING $cat.dim.src s ON t.id = s.id
+         |WHEN MATCHED AND s.v = 'DEL' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.facts.t").head().getLong(0) == 400L)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.facts.t WHERE id = 5")
+      .head().getLong(0) == 0L)
+    assert(spark.sql(s"SELECT v FROM $cat.facts.t WHERE id = 6").head().getString(0) == "upd6")
+    assert(spark.sql(s"SELECT v FROM $cat.facts.t WHERE id = 1000").head().getString(0) == "new")
+    // untouched rows kept their values (no accidental source overwrite)
+    assert(spark.sql(s"SELECT v FROM $cat.facts.t WHERE id = 7").head().getString(0) == "v7")
+    // a merge with ONLY a delete clause leaves other matched rows alone
+    wh.append("dim/src2", Seq((8L, "DEL"), (9L, "keep")).toDF("id", "v"))
+    spark.sql(
+      s"""MERGE INTO $cat.facts.t t USING $cat.dim.src2 s ON t.id = s.id
+         |WHEN MATCHED AND s.v = 'DEL' THEN DELETE""".stripMargin)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.facts.t WHERE id IN (8, 9)")
+      .head().getLong(0) == 1L)
+    assert(spark.sql(s"SELECT v FROM $cat.facts.t WHERE id = 9").head().getString(0) == "v9")
+  }
+
   test("graft_changes: the change feed as a SQL table function") {
     val (wh, cat, root) = fixture()
     wh.setChangeFeed("facts/t", on = true)
