@@ -1725,6 +1725,86 @@ object SparkEntry {
         .orderBy(col("n"))
     }
 
+    // ---- SQL schema evolution (ALTER TABLE → the engine's metadata-only
+    // moves): rename n_name (column mapping — zero files touched), widen
+    // n_nationkey int→bigint, ADD COLUMN (pre-add rows null-fill), a
+    // post-evolution INSERT landing all three, then constraint DDL — a
+    // CHECK added through SQL refuses the violating INSERT (refused
+    // literal). End state read back through spark.sql
+    q("etl_sql_alter") = (s, dir) => {
+      import s.implicits._
+      val nat = t(s, dir, "nation")
+      val wh = new graft.sources.AtomicWarehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-sqlalter-").toString)
+      wh.append("dim/nation", nat.select(
+        col("n_nationkey").cast("int").as("n_nationkey"), col("n_name")))
+      val cat = s"gsql${sqlCatSeq.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sql.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh.root)
+      s.sql(s"ALTER TABLE $cat.dim.nation RENAME COLUMN n_name TO nation_name")
+      s.sql(s"ALTER TABLE $cat.dim.nation ALTER COLUMN n_nationkey TYPE BIGINT")
+      s.sql(s"ALTER TABLE $cat.dim.nation ADD COLUMN flag STRING")
+      s.sql(s"INSERT INTO $cat.dim.nation VALUES (900, 'NEWLAND', 'x')")
+      s.sql(s"ALTER TABLE $cat.dim.nation ADD CONSTRAINT key_pos CHECK (n_nationkey >= 0)")
+      val refused =
+        try { s.sql(s"INSERT INTO $cat.dim.nation VALUES (-5, 'BAD', 'y')"); false }
+        catch { case _: Exception => true }
+      s.sql(s"SELECT n_nationkey, nation_name, flag FROM $cat.dim.nation")
+        .withColumn("refused", lit(refused))
+        .orderBy(col("n_nationkey"))
+    }
+
+    // ---- SQL maintenance surface (CALL procedures): compactSmall through
+    // CALL optimize (4 band files → 1; the engine's literal routing as the
+    // procedure's result rows), DESCRIBE HISTORY through CALL history (one
+    // row per commit touching the table, recorded commit clocks monotone),
+    // RESTORE through CALL (rewind to the first append)
+    q("etl_sql_maintenance") = (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+      val (wh, _) = bandedOrdersWh(s, orders, "sqlmaint")
+      val cat = s"gsql${sqlCatSeq.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sql.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh.root)
+      val opt = s.sql(s"CALL $cat.system.optimize('facts.orders')").head()
+      val hist = s.sql(s"CALL $cat.system.history('facts.orders')").collect()
+      val ts = hist.map(_.getAs[Long]("commit_ms"))
+      val tsMonotone = ts.zip(ts.drop(1)).forall { case (a, b) => a <= b }
+      val live = s.sql(s"SELECT count(*) AS n FROM $cat.facts.orders").head().getLong(0)
+      val v1 = hist.head.getAs[Int]("version")
+      s.sql(s"CALL $cat.system.restore('facts.orders', $v1)")
+      val restored = s.sql(s"SELECT count(*) AS n FROM $cat.facts.orders").head().getLong(0)
+      Seq((opt.getAs[Int]("files_rewritten"), opt.getAs[Int]("files_untouched"),
+          hist.length, tsMonotone, live, restored))
+        .toDF("files_rewritten", "files_untouched", "hist_n", "ts_monotone",
+          "live_n", "restored_n")
+        .orderBy(col("live_n"))
+    }
+
+    // ---- SQL DML outside the FilePred algebra (the fallback rewrite):
+    // DELETE with a LIKE leg — the translatable o_orderkey conjunct prunes
+    // to the top band, the exact condition decides the rows — then an
+    // UPDATE whose WHERE is a LIKE and whose SET is an expression. End
+    // state restated by the oracle under the same three-valued semantics
+    q("etl_sql_dml_fallback") = (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+      val (wh, qtr) = bandedOrdersWh(s, orders, "sqlfall")
+      val cat = s"gsql${sqlCatSeq.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sql.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh.root)
+      s.sql(s"DELETE FROM $cat.facts.orders " +
+        s"WHERE o_orderkey >= ${qtr * 3} AND o_orderpriority LIKE '%URGENT%'")
+      s.sql(s"UPDATE $cat.facts.orders SET o_orderstatus = lower(o_orderstatus) " +
+        "WHERE o_orderpriority LIKE '1%'")
+      s.sql(
+        s"""SELECT count(*) AS n, sum(o_orderkey) AS key_sum,
+           | count(CASE WHEN o_orderstatus = lower(o_orderstatus)
+           |   THEN 1 END) AS lowered_n
+           |FROM $cat.facts.orders""".stripMargin)
+        .orderBy(col("n"))
+    }
+
     // ---- merge-on-read DELETE (deletion vectors): a scattered by-key
     // purge (o_orderkey % 101 — rows in EVERY band) that copy-on-write
     // would answer by rewriting the whole table commits ONE manifest line
@@ -4395,6 +4475,49 @@ object SparkEntry {
         | CAST((SELECT count(*) FROM live) AS BIGINT) AS n,
         | CAST((SELECT sum(o_orderkey) FROM live) AS BIGINT) AS key_sum,
         | CAST((SELECT count(*) FROM orders) AS BIGINT) AS before_n
+        |ORDER BY n""".stripMargin,
+
+    // SQL ALTER TABLE: rename + widen + add column are metadata-only; the
+    // pre-evolution rows null-fill the added column, the post-evolution
+    // INSERT lands all three, the CHECK added through SQL refused the
+    // violating INSERT (refused literal TRUE, count unchanged)
+    "etl_sql_alter" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        | n_name AS nation_name, CAST(NULL AS VARCHAR) AS flag,
+        | TRUE AS refused
+        |FROM nation
+        |UNION ALL
+        |SELECT 900, 'NEWLAND', 'x', TRUE
+        |ORDER BY n_nationkey""".stripMargin,
+
+    // SQL maintenance: optimize compacted all 4 band files into one
+    // (routing literals), history saw 4 appends + 1 compact with monotone
+    // recorded commit clocks, restore rewound to the first band's rows
+    "etl_sql_maintenance" ->
+      """WITH m AS (SELECT max(o_orderkey) // 4 AS q FROM orders)
+        |SELECT 4 AS files_rewritten, 0 AS files_untouched, 5 AS hist_n,
+        | TRUE AS ts_monotone,
+        | CAST((SELECT count(*) FROM orders) AS BIGINT) AS live_n,
+        | CAST((SELECT count(*) FROM orders, m WHERE o_orderkey < m.q) AS BIGINT)
+        |   AS restored_n
+        |ORDER BY live_n""".stripMargin,
+
+    // SQL DML fallback (conditions outside the FilePred algebra): DELETE
+    // keeps rows where the condition is false or NULL (three-valued), the
+    // UPDATE's CASE mirrors the engine's when(hit)-otherwise rewrite
+    "etl_sql_dml_fallback" ->
+      """WITH m AS (SELECT max(o_orderkey) // 4 AS q FROM orders),
+        | after_del AS (SELECT * FROM orders, m
+        |   WHERE NOT COALESCE(o_orderkey >= m.q * 3
+        |     AND o_orderpriority LIKE '%URGENT%', FALSE)),
+        | fin AS (SELECT o_orderkey,
+        |   CASE WHEN COALESCE(o_orderpriority LIKE '1%', FALSE)
+        |     THEN lower(o_orderstatus) ELSE o_orderstatus END AS st
+        |  FROM after_del)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        | CAST(count(CASE WHEN st = lower(st) THEN 1 END) AS BIGINT) AS lowered_n
+        |FROM fin
         |ORDER BY n""".stripMargin,
 
     // DELETE WHERE second-quartile band: deleted count, post-delete

@@ -309,6 +309,10 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
             // survives truncates like `changefeed`, empty clears (delete)
             if (f.length < 3 || f(2).isEmpty) cdffloor -= f(1)
             else cdffloor += (f(1) -> f(2).toInt)
+          case "ts" =>
+            // commit wall-clock millis, first line of every manifest —
+            // read per manifest by versionAtTimestamp/commitHistory (time
+            // travel that survives a warehouse copy); no folded state
           case other => throw new IllegalStateException(s"unknown txlog action '$other' in $cf")
         }
       }
@@ -439,7 +443,10 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       if (slotTaken(version)) return false
       val tmp = new Path(logDir, s".tmp-${java.util.UUID.randomUUID()}")
       val out = fs.create(tmp, true)
-      try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
+      // the commit wall-clock rides the manifest itself (first line), so
+      // TIMESTAMP AS OF survives a warehouse copy/rsync that resets mtimes
+      val stamped = s"ts\t${System.currentTimeMillis()}" +: lines
+      try out.write((stamped.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
       if (!ownsClaim) { fs.delete(tmp, true); return false } // fenced: claim broken mid-stall
       if (claim.isDefined) {
         // local FS: land the manifest with a HARD LINK — atomic
@@ -727,8 +734,27 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       }
       // the written schema rides the manifest (one compact-JSON line) so
       // history stays self-describing across add-column evolution — a tab
-      // or newline inside a field name would corrupt the TSV, so refuse
-      val json = schemaOf.map(_.json)
+      // or newline inside a field name would corrupt the TSV, so refuse.
+      // NULLABILITY only ever WIDENS on a non-truncating write: a batch of
+      // non-null literals (a SQL INSERT VALUES) must not re-record a
+      // nullable column as required — older files missing the column (or
+      // holding nulls) can't satisfy required, and the vectorized reader
+      // refuses the scan ("Required column is missing in data file").
+      val recordSchema = schemaOf.map { sch =>
+        if (truncate) sch
+        else currentSchema(table) match {
+          case None => sch
+          case Some(prior) =>
+            val hadFiles = committedOrPhysical(table).nonEmpty
+            StructType(sch.fields.map { f =>
+              val p = prior.fields.find(_.name == f.name)
+              val mustNull = p.map(pf => pf.nullable && !f.nullable)
+                .getOrElse(hadFiles && !f.nullable) // new column over old files
+              if (mustNull) f.copy(nullable = true) else f
+            })
+        }
+      }
+      val json = recordSchema.map(_.json)
       json.foreach(j => require(!j.contains('\t') && !j.contains('\n'),
         s"schema JSON for $table contains TSV control characters"))
       tx.synchronized(tx.entries +=
@@ -794,26 +820,33 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
 
     // a child batch probes its STAGED parent when the same tx wrote it
     // (read-your-own-writes), the committed point-probe path otherwise.
-    // Returns freeze pins over each COMMITTED parent probed: the probe saw
-    // the parent's keys live NOW; a parent rewrite or DV delete racing the
-    // publish could remove them, so the pins abort this commit instead
-    // (parent appends — key additions — pass the pin freely). Staged
-    // parents need no pin: they commit IN this transaction.
+    // Returns freeze pins over each COMMITTED parent probed. PIN BEFORE
+    // PROBE (the deleteWhereDvAll/clusteredRewrite ordering): the snapshot
+    // must be at-or-older than any state the probe validated, so a parent
+    // rewrite or DV delete landing anywhere in the snapshot-to-publish
+    // window aborts this commit — snapshotting AFTER the probe would bless
+    // post-race state the probe never checked (parent appends — key
+    // additions — pass the pin freely either way). Staged parents need no
+    // pin: they commit IN this transaction.
     private def fkCheck(table: String, df: DataFrame): Seq[FreezePin] = {
+      val stagedTables = tx.synchronized(tx.entries.map(_.table).toSet)
+      def isStaged(p: String): Boolean =
+        stagedTables.exists(t => p == t || p.startsWith(t + "/"))
+      val st = foldedState()
+      val prePins: Map[String, FreezePin] =
+        foreignKeysOf(table).values.map(_._2).toSeq.distinct
+          .filterNot(isStaged).map { p =>
+            val files = committedOrPhysical(p).sorted
+            p -> FreezePin(p, files,
+              files.flatMap(f => st.dvs.get((p, f)).map(f -> _)).toMap,
+              noGrowth = false)
+          }.toMap
       val probedCommitted = scala.collection.mutable.LinkedHashSet[String]()
       enforceForeignKeys(table, df, (p, s) => {
-        val stagedTables = tx.synchronized(tx.entries.map(_.table).toSet)
-        if (stagedTables.exists(t => p == t || p.startsWith(t + "/")))
-          Some(read(p, s))
+        if (isStaged(p)) Some(read(p, s))
         else { probedCommitted += p; None }
       })
-      val st = foldedState()
-      probedCommitted.toSeq.map { p =>
-        val files = committedOrPhysical(p).sorted
-        FreezePin(p, files,
-          files.flatMap(f => st.dvs.get((p, f)).map(f -> _)).toMap,
-          noGrowth = false)
-      }
+      probedCommitted.toSeq.flatMap(prePins.get)
     }
 
     // truncating away a referenced parent's rows would orphan every child
@@ -866,18 +899,24 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     // mapping); the recorded schema line stays logical.
     override def replace(table: String, df: DataFrame): Unit = {
       enforceConstraints(table, df)
+      // child pins snapshot BEFORE the refusal probe (pin-then-probe): a
+      // child insert landing in the probe-to-publish window must abort
+      // this commit, not be blessed by a post-race snapshot
+      val childPins = fkFreezePins(table)
       fkRefuseTruncate(table, "replace")
       val parentPins = fkCheck(table, df)
       enforceUniques(table, df, Nil, truncating = true)
       stage(table, truncate = true, partitioned = false,
         Some(d => toPhysicalDf(table, df).write.mode(SaveMode.Overwrite).parquet(d.toString)),
-        schemaOf = Some(df.schema), frozen = fkFreezePins(table) ++ parentPins)
+        schemaOf = Some(df.schema), frozen = childPins ++ parentPins)
     }
 
     override def delete(table: String): Unit = {
+      // pin-then-probe, as in replace
+      val childPins = fkFreezePins(table)
       fkRefuseTruncate(table, "delete")
       stage(table, truncate = true, partitioned = false, None,
-        frozen = fkFreezePins(table))
+        frozen = childPins)
     }
 
     override def read(table: String, schema: StructType): DataFrame = {
@@ -1250,7 +1289,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     // a rename reads under the names the table had then, and before a DV
     // delete reconstructs the then-live rows
     readFiles(table, schema, files, Some(parseColMap(st.colmap.get(table))),
-      Some(parseDvs(st, table)))
+      Some(rawDvs(st, table)))
   }
 
   /** The table's manifest-recorded schema as of commit `version` (the shape
@@ -1322,7 +1361,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       s"window ($fromVersion,$toVersion] of $table lost ${gone.size} data files to vacuum")
     readFiles(table, schema, added,
       Some(parseColMap(endState.colmap.get(table))),
-      Some(parseDvs(endState, table)))
+      Some(rawDvs(endState, table)))
   }
 
   /** Restore `table` to its state as of commit `version`, as a NEW commit —
@@ -1728,22 +1767,62 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
   private[graft] def visibleDataFiles(table: String): Seq[String] =
     committedOrPhysical(table)
 
-  /** The newest commit version whose manifest landed at or before
-    * `tsMillis` (wall-clock time travel — the SQL `TIMESTAMP AS OF`
-    * resolution). Manifest mtimes are the commit clock, exactly Delta's
-    * rule, with the same caveats: a fold-snapshot carries its own (later)
-    * mtime, so times older than the earliest RETAINED manifest refuse —
-    * retention bounds wall-clock travel just as it bounds `readAt`.
+  /** The commit wall-clock of one manifest: the `ts` line it RECORDS
+    * (first line of every manifest since round 14 — survives a warehouse
+    * copy/rsync that resets mtimes), falling back to the file mtime for
+    * pre-recording history. Manifests are immutable → cached forever.
+    */
+  private val commitTsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private[graft] def commitTimestamp(p: Path): Long = {
+    val key = fs.makeQualified(p).toString
+    val cached = commitTsCache.get(key)
+    if (cached != null) return cached.longValue()
+    val recorded = readLines(p).collectFirst {
+      case l if l.startsWith("ts\t") => l.split("\t", 2)(1).toLong
+    }
+    val ts = recorded.getOrElse(fs.getFileStatus(p).getModificationTime)
+    commitTsCache.put(key, ts)
+    ts
+  }
+
+  /** The newest commit version whose wall-clock is at or before `tsMillis`
+    * (the SQL `TIMESTAMP AS OF` resolution). The clock is the
+    * manifest-RECORDED commit time ([[commitTimestamp]]; mtime only for
+    * pre-recording history), with Delta's retention caveats: a
+    * fold-snapshot carries its own (later) time, so times older than the
+    * earliest RETAINED manifest refuse — retention bounds wall-clock
+    * travel just as it bounds `readAt`.
     */
   private[graft] def versionAtTimestamp(tsMillis: Long): Int = {
     val cfs = commitFiles()
-    val at = cfs.filter(p => fs.getFileStatus(p).getModificationTime <= tsMillis)
+    val at = cfs.filter(p => commitTimestamp(p) <= tsMillis)
     if (at.isEmpty) throw new IllegalArgumentException(
       s"no retained commit at or before timestamp $tsMillis " +
-        s"(earliest retained: ${cfs.headOption.map(p =>
-          fs.getFileStatus(p).getModificationTime).getOrElse(-1L)})")
+        s"(earliest retained: ${cfs.headOption.map(commitTimestamp).getOrElse(-1L)})")
     versionOf(at.last)
   }
+
+  /** DESCRIBE HISTORY, metadata-only: one row per RETAINED commit —
+    * (version, snapshot?, commit wall-clock millis, manifest lines
+    * touching `tableOpt` or all lines when None). Commits not touching the
+    * table filter out under Some; retention bounds the walk exactly as it
+    * bounds time travel.
+    */
+  private[graft] def commitHistory(tableOpt: Option[String])
+      : Seq[(Int, Boolean, Long, Int)] =
+    commitFiles().map { p =>
+      val lines = readLines(p).filterNot(_.startsWith("ts\t"))
+      val relevant = tableOpt match {
+        case None => lines
+        case Some(t) => lines.filter { l =>
+          val f = l.split("\t", 3)
+          f.length > 1 && (f(1) == t || f(1).startsWith(t + "/"))
+        }
+      }
+      (versionOf(p), isSnapshot(p), commitTimestamp(p), relevant.size)
+    }.filter(r => tableOpt.isEmpty || r._4 > 0)
 
   private def recordedSchema(table: String): StructType =
     org.apache.spark.sql.types.DataType.fromJson(
@@ -1867,30 +1946,45 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
         if (remain.nonEmpty) {
           val schema = recordedSchema(table)
           val keys = df.filter(nonNull).select(cols.map(col): _*).distinct()
-          // TUPLE-AWARE point probe: ONE batch-sized aggregate collects
-          // every key column's distinct value set (capped — `slice` bounds
-          // what reaches the driver; the executor-side set is bounded by
-          // the batch itself), and every under-cap column contributes a
-          // stats/Bloom-prunable In-literal. The preds conjoin, so a file
+          // TUPLE-AWARE point probe: every under-cap key column contributes
+          // a stats/Bloom-prunable In-literal. The preds conjoin, so a file
           // survives only when it may hold SOME value of EVERY column — a
           // low-selectivity LEADING column no longer defeats pruning when
           // a later column is selective. Sound: a row colliding on the
           // tuple matches each column's In; the exact tuple match joins
           // WITHIN the pruned slice.
-          val capped = keys.agg(
-            slice(sort_array(collect_set(col(cols.head))), 1, fkProbeLimit + 1)
-              .as(cols.head),
-            cols.tail.map(c =>
-              slice(sort_array(collect_set(col(c))), 1, fkProbeLimit + 1).as(c)): _*)
-            .head()
-          val colVals: Seq[(String, Seq[Any])] = cols.zipWithIndex.map {
-            case (c, i) => c -> capped.getSeq[Any](i)
+          //
+          // Distinct COUNTS go first (one cheap partially-aggregated pass):
+          // collect_set materializes a column's whole distinct set in one
+          // reducer BEFORE slice can cap it, so an over-cap column must
+          // never reach collect_set at all — it couldn't contribute a probe
+          // predicate anyway (its In would exceed fkProbeLimit). This keeps
+          // the probe's executor memory bounded by fkProbeLimit per column
+          // however large a unique-keyed append gets.
+          import org.apache.spark.sql.functions.count_distinct
+          val counts = keys.agg(
+            count(lit(1)).as("__rows"),
+            cols.map(c => count_distinct(col(c)).as(c)): _*).head()
+          val rowsNonNull = counts.getLong(0)
+          val underCap: Seq[String] = cols.zipWithIndex.collect {
+            case (c, i) if counts.getLong(i + 1) <= fkProbeLimit => c
           }
+          val colVals: Seq[(String, Seq[Any])] =
+            if (rowsNonNull == 0L || underCap.isEmpty) Nil
+            else {
+              val capped = keys.agg(
+                slice(sort_array(collect_set(col(underCap.head))), 1, fkProbeLimit + 1)
+                  .as(underCap.head),
+                underCap.tail.map(c =>
+                  slice(sort_array(collect_set(col(c))), 1, fkProbeLimit + 1).as(c)): _*)
+                .head()
+              underCap.zipWithIndex.map { case (c, i) => c -> capped.getSeq[Any](i) }
+            }
           val probePreds = colVals.collect {
             case (c, vs) if vs.nonEmpty && vs.size <= fkProbeLimit => ColIn(c, vs)
           }
           val clash: Array[org.apache.spark.sql.Row] =
-            if (colVals.exists(_._2.isEmpty)) Array.empty // no non-null key rows
+            if (rowsNonNull == 0L) Array.empty // no non-null key rows
             else if (probePreds.nonEmpty) {
               // stats/Bloom-prune on every capped column, then drop the
               // rewrite's own pre-image files — a DML or merge probe
@@ -2178,11 +2272,11 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     */
   private def readFiles(table: String, schema: StructType, files: Seq[String],
       mapOpt: Option[Map[String, String]] = None,
-      dvOpt: Option[Map[String, Seq[Long]]] = None): DataFrame = {
+      dvOpt: Option[Map[String, String]] = None): DataFrame = {
     if (files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     val m = mapOpt.getOrElse(colMapOf(table))
-    val dvs = dvOpt.getOrElse(dvOf(table))
+    val dvs = dvOpt.getOrElse(rawDvs(foldedState(), table))
     val (dvFiles, plainFiles) = files.partition(dvs.contains)
     def sel(df: DataFrame): DataFrame =
       if (m.isEmpty) df.select(schema.fieldNames.toSeq.map(col): _*)
@@ -2207,11 +2301,25 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     }
   }
 
-  /** DV JSON (table,file)-keyed ordinal sets for one table, rel-file keyed. */
+  /** DV JSON (table,file)-keyed ordinal sets for one table, rel-file keyed.
+    * MATERIALIZES every ordinal on the driver — observability/maintenance
+    * only; the read path goes through [[dvAntiJoin]], which keeps large DV
+    * sets off the driver entirely.
+    */
   private def dvOf(table: String): Map[String, Seq[Long]] = parseDvs(foldedState(), table)
 
   private def parseDvs(st: LogState, table: String): Map[String, Seq[Long]] =
     st.dvs.collect { case ((t, f), j) if t == table => f -> resolveDv(table, j) }
+
+  /** Raw manifest DV entries for one table: rel file → DV JSON (inline or
+    * sidecar-pointer form). O(manifest) driver bytes however many rows are
+    * dead — the representation the read path plans from.
+    */
+  private def rawDvs(st: LogState, table: String): Map[String, String] =
+    st.dvs.collect { case ((t, f), j) if t == table => f -> j }
+
+  private[graft] def currentDvJson(table: String): Map[String, String] =
+    rawDvs(foldedState(), table)
 
   /** Ordinal sets ≤ this ride the manifest inline (a scattered purge costs
     * zero extra I/O); larger sets go to a `<table>/_dv/` sidecar so the
@@ -2220,14 +2328,38 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     */
   private val dvInlineMax = 4096
 
+  /** Above this many TOTAL tombstones for one read, the anti-join stops
+    * broadcasting a driver-materialized list and goes fully distributed
+    * (sidecars streamed on executors, inline JSON parsed executor-side) —
+    * the driver never holds an ordinal. Session-configurable so specs can
+    * force the distributed path on small fixtures.
+    */
+  private def dvBroadcastMaxTombstones: Long =
+    spark.conf.getOption("graft.dv.broadcastMaxTombstones")
+      .map(_.toLong).getOrElse(1000000L)
+
   // sidecars are immutable (rewrites mint new leaves), so one read serves
-  // the warehouse instance's lifetime
+  // the warehouse instance's lifetime — but the cache is BUDGETED: a
+  // warehouse with many sidecar-backed DVs must not accumulate every
+  // ordinal in driver heap just because maintenance once resolved it.
+  // Entries land while the running total stays under the budget; past it,
+  // resolution still works (per-call read) without pinning.
   private val dvSidecarCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Long]]()
+  private val dvSidecarCachedOrds = new java.util.concurrent.atomic.AtomicLong(0)
+  private val dvSidecarCacheBudget = 16L * 1024 * 1024 // ~128 MB of Longs
+
+  /** Driver-materialized DV ordinals, cumulative (instrumentation: the DV
+    * probe asserts this stays FLAT on the read path while tombstones grow).
+    */
+  private[graft] val dvOrdinalsMaterialized = new java.util.concurrent.atomic.AtomicLong(0)
 
   private def resolveDv(table: String, json: String): Seq[Long] =
     DvRec.sidecarLeaf(json) match {
-      case None => DvRec.fromJson(json)
+      case None =>
+        val v = DvRec.fromJson(json)
+        dvOrdinalsMaterialized.addAndGet(v.size.toLong)
+        v
       case Some(leaf) =>
         val p = new Path(s"${path(table)}/_dv/$leaf")
         val key = fs.makeQualified(p).toString
@@ -2246,11 +2378,102 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
             var i = 0
             while (i < n) { b += in.readLong(); i += 1 }
             val v: Seq[Long] = b.result()
-            dvSidecarCache.put(key, v)
+            dvOrdinalsMaterialized.addAndGet(v.size.toLong)
+            if (dvSidecarCachedOrds.get() + v.size <= dvSidecarCacheBudget) {
+              if (dvSidecarCache.putIfAbsent(key, v) == null)
+                dvSidecarCachedOrds.addAndGet(v.size.toLong)
+            }
             v
           } finally in.close()
         }
     }
+
+  /** Anti-join `tagged` rows (carrying `__file`/`__ord`) against the
+    * tombstones in `dvJson` (rel file → manifest DV JSON). Two regimes:
+    *
+    *   - total tombstones ≤ [[dvBroadcastMaxTombstones]]: materialize and
+    *     BROADCAST — one driver hop, zero shuffle, the right plan for the
+    *     overwhelmingly common small-DV case;
+    *   - above the gate: fully DISTRIBUTED — sidecar files stream on
+    *     executors (one task per sidecar, lazily, never whole-file in
+    *     memory) and inline JSON (already driver-held manifest bytes)
+    *     parses executor-side — so driver heap and broadcast bytes stay
+    *     O(manifest), not O(tombstones). At 100 TB with billions of dead
+    *     rows below the compaction threshold, this is the difference
+    *     between a driver OOM and a plain shuffled anti-join.
+    *
+    * The count decision itself is metadata-only (`DvRec.countOf` reads the
+    * recorded `n`, never the ordinals).
+    */
+  private[graft] def dvAntiJoin(tagged: DataFrame, table: String,
+      dvJson: Map[String, String]): DataFrame = {
+    if (dvJson.isEmpty) return tagged
+    import org.apache.spark.sql.functions.broadcast
+    val total = dvJson.valuesIterator.map(DvRec.countOf).sum
+    val tombDf =
+      if (total <= dvBroadcastMaxTombstones) {
+        import spark.implicits._
+        val tombs = dvJson.toSeq.sortBy(_._1)
+          .flatMap { case (f, j) => resolveDv(table, j).map(o => (f, o)) }
+        broadcast(tombs.toDF("__dv_file", "__dv_ord"))
+      } else dvTombstoneFrame(table, dvJson)
+    tagged.join(tombDf,
+      tagged("__file") === tombDf("__dv_file") && tagged("__ord") === tombDf("__dv_ord"),
+      "left_anti")
+  }
+
+  /** The tombstones of `dvJson` as a DISTRIBUTED frame — no ordinal ever
+    * touches the driver. Inline entries ship as their (bounded, ≤
+    * [[dvInlineMax]]-ordinal) JSON strings and parse on executors; sidecar
+    * entries ship as paths and STREAM on executors through the same binary
+    * format [[writeDvSidecar]] lays down, one row at a time.
+    */
+  private def dvTombstoneFrame(table: String, dvJson: Map[String, String]): DataFrame = {
+    import spark.implicits._
+    val (sidecar, inline) = dvJson.toSeq.sortBy(_._1)
+      .partition { case (_, j) => DvRec.sidecarLeaf(j).isDefined }
+    val par = spark.sparkContext.defaultParallelism
+    val inlineDf: Option[DataFrame] = if (inline.isEmpty) None else Some(
+      spark.createDataset(inline)
+        .repartition(math.max(1, math.min(inline.size, par)))
+        .flatMap { case (f, j) => DvRec.fromJson(j).iterator.map(o => (f, o)) }
+        .toDF("__dv_file", "__dv_ord"))
+    val sidecarDf: Option[DataFrame] = if (sidecar.isEmpty) None else {
+      val dir = path(table) + "/_dv"
+      val pairs = sidecar.map { case (f, j) =>
+        (f, s"$dir/${DvRec.sidecarLeaf(j).get}") }
+      val confB = org.apache.spark.sql.graft.shims.broadcastHadoopConf(spark)
+      Some(spark.createDataset(pairs)
+        .repartition(math.max(1, math.min(pairs.size, par)))
+        .mapPartitions { it =>
+          val conf = confB.value.value
+          it.flatMap { case (f, p) =>
+            val hp = new Path(p)
+            val in = new java.io.DataInputStream(hp.getFileSystem(conf).open(hp))
+            val n = in.readInt()
+            if (n <= 0) { in.close(); Iterator.empty }
+            else {
+              // a task killed mid-stream must not leak the handle
+              val tc = org.apache.spark.TaskContext.get()
+              if (tc != null) tc.addTaskCompletionListener[Unit](_ =>
+                try in.close() catch { case _: java.io.IOException => () })
+              new scala.collection.AbstractIterator[(String, Long)] {
+                private var i = 0
+                override def hasNext: Boolean = i < n
+                override def next(): (String, Long) = {
+                  i += 1
+                  val v = in.readLong()
+                  if (i == n) in.close()
+                  (f, v)
+                }
+              }
+            }
+          }
+        }
+        .toDF("__dv_file", "__dv_ord"))
+    }
+    (inlineDf.toSeq ++ sidecarDf.toSeq).reduce(_ unionByName _)
+  }
 
   private def writeDvSidecar(table: String, leaf: String, ords: Seq[Long]): Unit = {
     val dir = new Path(s"${path(table)}/_dv")
@@ -2264,32 +2487,25 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
 
   /** Read `files` under PHYSICAL names plus `__file` (leaf name) and `__ord`
     * (row ordinal within the file, from the parquet reader's `_metadata.
-    * row_index`), with each file's deletion vector anti-filtered via a
-    * broadcast join on (leaf, ordinal). Leaf names are unique within a
-    * table by the commit protocol (`tx-<txid>-<i>-` prefixes), and DV
-    * operations refuse partition-dir layouts, so the leaf IS the file
-    * identity. The seam both the DV read path and [[deleteWhereDv]]'s
-    * tombstone planner go through.
+    * row_index`), with each file's deletion vector anti-filtered through
+    * [[dvAntiJoin]] (broadcast below the tombstone gate, fully distributed
+    * above it). Leaf names are unique within a table by the commit protocol
+    * (`tx-<txid>-<i>-` prefixes), and DV operations refuse partition-dir
+    * layouts, so the leaf IS the file identity. The seam both the DV read
+    * path and [[deleteWhereDv]]'s tombstone planner go through.
     */
   private def readTagged(table: String, schema: StructType, files: Seq[String],
-      m: Map[String, String], dvs: Map[String, Seq[Long]]): DataFrame = {
+      m: Map[String, String], dvJson: Map[String, String]): DataFrame = {
     require(files.forall(!_.contains("/")),
       s"deletion vectors on partition-dir layouts are not supported (table $table); " +
         "migrate once via recluster — see deleteWhere's contract")
-    import org.apache.spark.sql.functions.{broadcast, element_at, split}
+    import org.apache.spark.sql.functions.{element_at, split}
     val phys = StructType(schema.fields.map(f => f.copy(name = m.getOrElse(f.name, f.name))))
     val df = spark.read.schema(phys).parquet(files.map(f => s"${path(table)}/$f"): _*)
       .withColumn("__file", element_at(split(col("_metadata.file_path"), "/"), -1))
       .withColumn("__ord", col("_metadata.row_index"))
-    val tombs = files.flatMap(f => dvs.getOrElse(f, Nil).map(o => (f, o)))
-    if (tombs.isEmpty) df
-    else {
-      import spark.implicits._
-      val tombDf = tombs.toDF("__dv_file", "__dv_ord")
-      df.join(broadcast(tombDf),
-        df("__file") === tombDf("__dv_file") && df("__ord") === tombDf("__dv_ord"),
-        "left_anti")
-    }
+    val fileSet = files.toSet
+    dvAntiJoin(df, table, dvJson.filter { case (f, _) => fileSet.contains(f) })
   }
 
   /** Rename a column WITHOUT rewriting a byte of data: one metadata commit
@@ -2460,6 +2676,37 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     publish(Seq(s"schema\t$table\t${sch2.json}"))
   }
 
+  /** Add a NULLABLE column WITHOUT rewriting a byte — the metadata-only
+    * form of the add-column evolution appends already perform (a wider
+    * later write): one commit widens the recorded schema; pre-add files
+    * null-fill on read, later writes land the column, and time travel
+    * keeps pre-add eras at their own width. Nullable only (old files have
+    * no values to satisfy anything else). Refuses names that collide with
+    * a live column, a live column's PHYSICAL name (writes would collide),
+    * or a DROPPED column's physical name (its old bytes would resurrect
+    * out of pre-drop files — pick another name, rename afterwards).
+    */
+  def addColumn(table: String, name: String,
+      dataType: org.apache.spark.sql.types.DataType): Unit = {
+    require(name.nonEmpty && !name.contains('\t') && !name.contains('\n') &&
+      !name.contains(','), s"column name '$name' is empty or contains control characters")
+    val sch = currentSchema(table).getOrElse(throw new IllegalStateException(
+      s"addColumn needs a manifest-recorded schema for $table — " +
+        "write through the manifest first"))
+    require(!sch.fieldNames.contains(name),
+      s"addColumn: '$name' already exists in $table")
+    val m = colMapOf(table)
+    require(!droppedPhysical(table).contains(name),
+      s"addColumn: '$name' collides with a DROPPED column's physical name; " +
+        "add it under another name (rename afterwards if needed)")
+    require(!m.valuesIterator.contains(name),
+      s"addColumn: '$name' collides with an existing column's physical name")
+    val sch2 = StructType(sch.fields :+ StructField(name, dataType, nullable = true))
+    require(!sch2.json.contains('\t') && !sch2.json.contains('\n'),
+      s"schema JSON for $table contains TSV control characters")
+    publish(Seq(s"schema\t$table\t${sch2.json}"))
+  }
+
   /** Reserved logical-name prefix marking a tombstoned physical column in
     * the map (never a real logical name — contains a tab-safe sentinel).
     */
@@ -2554,7 +2801,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       val bytes = tail.map(f =>
         fs.getFileStatus(new Path(s"${path(table)}/$f")).getLen).sum
       val dvSnap = tail.map(f => f -> st.dvs.get((table, f)))
-      val src = readFiles(table, schema, tail, dvOpt = Some(parseDvs(st, table)))
+      val src = readFiles(table, schema, tail, dvOpt = Some(rawDvs(st, table)))
       val n = if (outFiles > 0) outFiles else tail.size
       val out = src.repartitionByRange(math.max(n, 1), clusterCols.map(col): _*)
         .sortWithinPartitions(clusterCols.map(col): _*)
@@ -2773,6 +3020,62 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
         touched.withColumn(changeTypeCol, lit("update_preimage"))
           .unionByName(applySets(touched, hit)
             .withColumn(changeTypeCol, lit("update_postimage"))) })
+  }
+
+  /** [[deleteWhere]] for conditions OUTSIDE the [[FilePred]] algebra
+    * (LIKE, functions, inter-column comparisons — day-one SQL shapes):
+    * the same copy-on-write commit, with `prunePreds` (any translatable
+    * conjuncts of the condition — pass Nil when none translate) deciding
+    * the candidate files and the exact `cond` deciding the rows. Costs
+    * what pruning can't help anyway: the unprunable candidates are read
+    * once, exactly like `read().filter()`. Refuses nondeterministic
+    * conditions (two evaluations — count and rewrite — could disagree) and
+    * subqueries (re-evaluated per retry against a moving snapshot).
+    */
+  def deleteWhereExpr(table: String, schema: StructType, cond: Column,
+      prunePreds: Seq[FilePred] = Nil): Long = {
+    requireRewritableCond(cond, "deleteWhereExpr")
+    rewriteWhereCond(table, schema, prunePreds, cond,
+      { case (df, hit) => df.filter(hit === false) },
+      { case (df, hit) =>
+        df.filter(hit).withColumn(changeTypeCol, lit("delete")) })
+  }
+
+  /** [[updateWhere]] for conditions outside the [[FilePred]] algebra —
+    * see [[deleteWhereExpr]] for the candidate/row split and refusals.
+    */
+  def updateWhereExpr(table: String, schema: StructType, cond: Column,
+      sets: Seq[(String, Column)], prunePreds: Seq[FilePred] = Nil): Long = {
+    require(sets.nonEmpty, "updateWhereExpr with no assignments")
+    sets.foreach { case (c, _) =>
+      require(schema.fieldNames.contains(c), s"unknown column '$c' in updateWhereExpr SET") }
+    requireRewritableCond(cond, "updateWhereExpr")
+    val setMap = sets.toMap
+    def applySets(df: DataFrame, hit: Column): DataFrame =
+      df.select(schema.fields.toSeq.map { f =>
+        setMap.get(f.name) match {
+          case Some(e) => when(hit, e.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }: _*)
+    rewriteWhereCond(table, schema, prunePreds, cond,
+      { case (df, hit) => applySets(df, hit) },
+      { case (df, hit) =>
+        val touched = df.filter(hit)
+        touched.withColumn(changeTypeCol, lit("update_preimage"))
+          .unionByName(applySets(touched, hit)
+            .withColumn(changeTypeCol, lit("update_postimage"))) })
+  }
+
+  private def requireRewritableCond(cond: Column, op: String): Unit = {
+    val e = org.apache.spark.sql.graft.shims.expression(cond)
+    require(e.deterministic,
+      s"$op condition must be deterministic (the count and the rewrite " +
+        "evaluate it independently): " + cond)
+    require(!e.exists(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]),
+      s"$op condition must not contain a subquery (re-evaluated per retry " +
+        "against a moving snapshot): " + cond)
   }
 
   /** Current deletion vectors: rel file → sorted tombstone row ordinals.
@@ -2995,12 +3298,12 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     val st = foldedState()
     val dvBefore: Map[String, Option[String]] =
       cands.map(f => f -> st.dvs.get((table, f))).toMap
-    val existing = parseDvs(st, table)
+    val existingJson = rawDvs(st, table)
     // per-candidate matching LIVE ordinals (existing DVs pre-filtered so a
     // dead row is never re-deleted or double-counted)
     val m = colMapOf(table)
     import org.apache.spark.sql.functions.{collect_list, sort_array}
-    val hitRows = sel(readTagged(table, schema, cands, m, existing), schema, m,
+    val hitRows = sel(readTagged(table, schema, cands, m, existingJson), schema, m,
         keep = Seq("__file", "__ord"))
       .filter(coalesce(cond, lit(false)))
       .groupBy(col("__file"))
@@ -3010,8 +3313,12 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     val newOrds: Map[String, Seq[Long]] = hitRows.map(r =>
       r.getString(0) -> r.getSeq[Long](1).toVector).toMap
     val deleted = newOrds.valuesIterator.map(_.size.toLong).sum
+    // resolve existing ordinals ONLY for files this delete touches (each
+    // bounded by maxDvPerFile — the planner's merge is per-file work, never
+    // a table-wide materialization)
     val merged: Map[String, Seq[Long]] = newOrds.map { case (f, ords) =>
-      f -> (existing.getOrElse(f, Nil) ++ ords).distinct.sorted.toSeq
+      val prior = existingJson.get(f).map(resolveDv(table, _)).getOrElse(Nil)
+      f -> (prior ++ ords).distinct.sorted.toSeq
     }
     merged.foreach { case (f, ords) =>
       require(ords.size <= maxDvPerFile,
@@ -3041,7 +3348,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     }
     val changeSlice =
       if (!changeFeedEnabled(table)) None
-      else Some(sel(readTagged(table, schema, cands, m, existing), schema, m)
+      else Some(sel(readTagged(table, schema, cands, m, existingJson), schema, m)
         .filter(coalesce(cond, lit(false)))
         .withColumn(changeTypeCol, lit("delete")))
     Right(DvPlan(table, lines, newOrds.keys.toSeq,
@@ -3160,7 +3467,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       val outFiles = math.max(1, ((smallBytes + targetBytes - 1) / targetBytes).toInt)
       val tail = small.map(_._1)
       val dvSnap = tail.map(f => f -> st.dvs.get((table, f)))
-      val src = readFiles(table, schema, tail, dvOpt = Some(parseDvs(st, table)))
+      val src = readFiles(table, schema, tail, dvOpt = Some(rawDvs(st, table)))
       val cols = clusterBy(table).filter(_.forall(schema.fieldNames.contains))
       val out = cols match {
         case Some(cs) => src.repartitionByRange(outFiles, cs.map(col): _*)
@@ -3218,7 +3525,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       val bytes = dense.map(f =>
         fs.getFileStatus(new Path(s"${path(table)}/$f")).getLen).sum
       val dvSnap = dense.map(f => f -> st.dvs.get((table, f)))
-      val src = readFiles(table, schema, dense, dvOpt = Some(parseDvs(st, table)))
+      val src = readFiles(table, schema, dense, dvOpt = Some(rawDvs(st, table)))
       val out = clusteredRewrite(table, schema, src, dense.size, Nil)
       try {
         atomically {
@@ -3388,7 +3695,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       // same DV pin as rewriteWhere: the rewrite folds candidate DVs
       val stDv = foldedState()
       val dvSnap = cands.map(f => f -> stDv.dvs.get((table, f)))
-      val candDf = readFiles(table, schema, cands, dvOpt = Some(parseDvs(stDv, table)))
+      val candDf = readFiles(table, schema, cands, dvOpt = Some(rawDvs(stDv, table)))
       val t = candDf.withColumn("__t", lit(1)).alias("t")
       val s = src.withColumn("__s", lit(1)).alias("s")
       val j = t.join(s,
@@ -3473,8 +3780,22 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     */
   private def rewriteWhere(table: String, schema: StructType, preds: Seq[FilePred],
       rewrite: ((DataFrame, Column)) => DataFrame,
+      changeRows: ((DataFrame, Column)) => DataFrame): Long =
+    rewriteWhereCond(table, schema, preds, FilePred.toColumn(preds, schema),
+      rewrite, changeRows)
+
+  /** [[rewriteWhere]] with the ROW condition decoupled from the PRUNING
+    * predicates — the fallback seam for conditions outside the [[FilePred]]
+    * algebra ([[deleteWhereExpr]]/[[updateWhereExpr]]): `preds` may be any
+    * sound under-approximation (including Nil = all files candidate), the
+    * exact `cond` decides the rows. Soundness requires every `cond`-true
+    * row to be in a `preds`-kept file; passing the translatable conjuncts
+    * of a conjunction satisfies that by construction.
+    */
+  private def rewriteWhereCond(table: String, schema: StructType,
+      preds: Seq[FilePred], cond: Column,
+      rewrite: ((DataFrame, Column)) => DataFrame,
       changeRows: ((DataFrame, Column)) => DataFrame): Long = {
-    val cond = FilePred.toColumn(preds, schema)
     var attempts = 0
     while (attempts < 8) {
       val (cands, _) = planFiles(table, preds)
@@ -3489,7 +3810,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       // abort the commit (precondition), not silently resurrect its rows
       val stDv = foldedState()
       val dvSnap = cands.map(f => f -> stDv.dvs.get((table, f)))
-      val df = readFiles(table, schema, cands, dvOpt = Some(parseDvs(stDv, table)))
+      val df = readFiles(table, schema, cands, dvOpt = Some(rawDvs(stDv, table)))
       val hit = coalesce(cond, lit(false))
       val matched = df.filter(hit).count()
       if (matched == 0L) return 0L
@@ -3593,7 +3914,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       // pin DV state like the file set: the rewrite folds the tombstones
       val stDv = foldedState()
       val dvSnap = expected.map(f => f -> stDv.dvs.get((table, f)))
-      val src = readFiles(table, schema, expected, dvOpt = Some(parseDvs(stDv, table)))
+      val src = readFiles(table, schema, expected, dvOpt = Some(rawDvs(stDv, table)))
       val out = transform(src)
       try {
         atomically {

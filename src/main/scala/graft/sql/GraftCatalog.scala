@@ -42,7 +42,8 @@ import graft.sources.AtomicWarehouse
   * historical stats rode manifests that may be folded away).
   */
 class GraftCatalog extends TableCatalog
-    with org.apache.spark.sql.connector.catalog.SupportsNamespaces {
+    with org.apache.spark.sql.connector.catalog.SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catName: String = _
   private var whRoot: String = _
@@ -60,6 +61,14 @@ class GraftCatalog extends TableCatalog
   }
 
   override def name(): String = catName
+
+  /** ANSI constraint DDL (`ALTER TABLE ... ADD CONSTRAINT`) routes to V2
+    * catalogs only when the catalog declares this capability.
+    */
+  override def capabilities()
+      : util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
 
   private[sql] def warehouse: AtomicWarehouse = wh
 
@@ -121,10 +130,101 @@ class GraftCatalog extends TableCatalog
     GraftTable(wh, t, schema, asOfVersion = None)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE via SQL is not supported; use the warehouse's " +
-        "renameColumn/widenColumn/dropColumn API")
+  /** `ALTER TABLE` mapped onto the engine's METADATA-ONLY evolution moves —
+    * every supported change is one manifest commit, zero data files
+    * touched: RENAME COLUMN (column mapping), ALTER COLUMN TYPE
+    * (value-preserving widening), DROP COLUMN (physical-name tombstone),
+    * ADD COLUMN (nullable, null-filled from pre-add files), CLUSTER BY
+    * (layout declaration for later rewrites), and ADD/DROP CONSTRAINT
+    * (CHECK / UNIQUE / single-column FOREIGN KEY — validated against
+    * existing rows exactly like the Scala API, then enforced on every
+    * writer, SQL or not). Anything else refuses loudly rather than
+    * approximating.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val t = tableName(ident)
+    if (!wh.exists(t)) throw new NoSuchTableException(ident)
+    def one(fieldNames: Array[String], what: String): String = {
+      require(fieldNames.length == 1,
+        s"$what on nested fields is not supported (${fieldNames.mkString(".")})")
+      fieldNames(0)
+    }
+    changes.foreach {
+      case r: TableChange.RenameColumn =>
+        wh.renameColumn(t, one(r.fieldNames(), "RENAME COLUMN"), r.newName())
+      case u: TableChange.UpdateColumnType =>
+        wh.widenColumn(t, one(u.fieldNames(), "ALTER COLUMN TYPE"), u.newDataType())
+      case d: TableChange.DeleteColumn =>
+        val c = one(d.fieldNames(), "DROP COLUMN")
+        val present = wh.catalogSchema(t).exists(_.fieldNames.contains(c))
+        // absent + IF EXISTS → no-op; absent without it → the engine's
+        // error names the live columns
+        if (present || !d.ifExists()) wh.dropColumn(t, c)
+      case a: TableChange.AddColumn =>
+        val c = one(a.fieldNames(), "ADD COLUMN")
+        require(a.isNullable, s"ADD COLUMN $c: only nullable columns add " +
+          "metadata-only (pre-add files have no values to satisfy NOT NULL)")
+        require(a.position() == null,
+          s"ADD COLUMN $c FIRST/AFTER is not supported (columns append)")
+        wh.addColumn(t, c, a.dataType())
+      case cb: TableChange.ClusterBy =>
+        val cols = cb.clusteringColumns().toSeq.map { nr =>
+          require(nr.fieldNames().length == 1,
+            "CLUSTER BY on nested fields is not supported")
+          nr.fieldNames()(0)
+        }
+        wh.setClusterBy(t, cols)
+      case ac: TableChange.AddConstraint => addConstraintChange(t, ac)
+      case dc: TableChange.DropConstraint =>
+        // the engine splits constraints by kind (CHECK/FK/UNIQUE); SQL
+        // names one namespace — resolve by presence, each drop a no-op
+        // when the name isn't of its kind
+        val known = wh.constraintsOf(t).contains(dc.name()) ||
+          wh.foreignKeysOf(t).contains(dc.name()) ||
+          wh.uniquesOf(t).contains(dc.name())
+        if (!known && !dc.ifExists()) throw new IllegalArgumentException(
+          s"no constraint named '${dc.name()}' on $t")
+        wh.dropConstraint(t, dc.name())
+        wh.dropForeignKey(t, dc.name())
+        wh.dropUniqueKey(t, dc.name())
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE change ${other.getClass.getSimpleName} is not supported; " +
+          "supported: RENAME COLUMN, ALTER COLUMN TYPE (widening), DROP/ADD " +
+          "COLUMN, CLUSTER BY, ADD/DROP CONSTRAINT (CHECK/UNIQUE/FOREIGN KEY)")
+    }
+    loadTable(ident)
+  }
+
+  private def addConstraintChange(t: String,
+      ac: TableChange.AddConstraint): Unit = {
+    import org.apache.spark.sql.connector.catalog.constraints.{Check, ForeignKey, Unique}
+    def cols(nrs: Array[org.apache.spark.sql.connector.expressions.NamedReference])
+        : Seq[String] = nrs.toSeq.map { nr =>
+      require(nr.fieldNames().length == 1,
+        "constraints on nested fields are not supported")
+      nr.fieldNames()(0)
+    }
+    ac.constraint() match {
+      case c: Check =>
+        wh.addConstraint(t, c.name(), c.predicateSql(), resolvedSchema(t))
+      case u: Unique => wh.addUniqueKey(t, cols(u.columns()), u.name())
+      case f: ForeignKey =>
+        val (cs, ps) = (cols(f.columns()), cols(f.referencedColumns()))
+        require(cs.length == 1 && ps.length == 1,
+          "composite FOREIGN KEYs are not supported (single-column " +
+            "point-probe enforcement — see addForeignKey)")
+        // the referenced identifier may arrive catalog-qualified
+        val ns = f.referencedTable().namespace().toSeq
+        val parent =
+          ((if (ns.headOption.contains(catName)) ns.tail else ns) :+
+            f.referencedTable().name()).mkString("/")
+        wh.addForeignKey(t, cs.head, parent, ps.head, f.name())
+      case other => throw new UnsupportedOperationException(
+        s"constraint '${other.toDDL}' is not supported (PRIMARY KEY implies " +
+          "NOT NULL enforcement the engine does not provide — declare UNIQUE " +
+          "plus a CHECK IS NOT NULL)")
+    }
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val t = tableName(ident)
@@ -132,8 +232,27 @@ class GraftCatalog extends TableCatalog
     else { wh.delete(t); true }
   }
 
+  /** A graft table's identity IS its directory (manifest lines, stats, DV
+    * sidecars, Bloom sidecars and time travel all key on the path), so a
+    * cheap metadata-only rename does not exist: moving the directory would
+    * strand every retained manifest's history and a two-step
+    * move-then-commit has a crash window where readers resolve files that
+    * are gone. Refused honestly; copy-and-swap via CREATE TABLE AS +
+    * DROP is the explicit, crash-safe route.
+    */
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("RENAME TABLE is not supported")
+    throw new UnsupportedOperationException(
+      "RENAME TABLE is not supported: a graft table's manifest history keys " +
+        "on its directory; use CREATE TABLE AS SELECT + DROP TABLE")
+
+  // ---- stored procedures: the maintenance surface ------------------------
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(wh, resolvedSchema, ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.list(namespace)
 
   // ---- namespaces: implicit path prefixes of the table names ------------
 

@@ -21,6 +21,47 @@ case class GraftUpdateCommand(t: GraftTable, preds: Seq[FilePred],
   }
 }
 
+/** `DELETE FROM graft.ns.t WHERE <outside the FilePred algebra>` — the
+  * correct fallback instead of a refusal: every candidate file the
+  * TRANSLATABLE conjuncts can't exclude is read once and copy-on-write
+  * rewritten with the EXACT row condition applied
+  * ([[graft.sources.AtomicWarehouse.deleteWhereExpr]]) — the cost pruning
+  * couldn't have helped anyway. Refusal stays reserved for subqueries and
+  * nondeterminism (the analyzer rule never builds this command for those).
+  */
+case class GraftDeleteRowsCommand(t: GraftTable, cond: Column,
+    prune: Seq[FilePred]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    t.wh.deleteWhereExpr(t.tableName, t.tableSchema, cond, prune)
+    Nil
+  }
+}
+
+/** `UPDATE ... WHERE <outside the FilePred algebra>` — the same fallback
+  * shape as [[GraftDeleteRowsCommand]] over
+  * [[graft.sources.AtomicWarehouse.updateWhereExpr]].
+  */
+case class GraftUpdateRowsCommand(t: GraftTable, cond: Column,
+    prune: Seq[FilePred], sets: Seq[(String, Column)]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    t.wh.updateWhereExpr(t.tableName, t.tableSchema, cond, sets, prune)
+    Nil
+  }
+}
+
+/** `ALTER TABLE graft.ns.t ADD CONSTRAINT name CHECK (cond)` resolved to
+  * the engine's [[graft.sources.AtomicWarehouse.addConstraint]]: existing
+  * rows validate through the engine read (stats-prunable, DV-exact), then
+  * every writer — SQL or Scala — enforces the declaration.
+  */
+case class GraftAddCheckCommand(t: GraftTable, constraintName: String,
+    conditionSql: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    t.wh.addConstraint(t.tableName, constraintName, conditionSql, t.tableSchema)
+    Nil
+  }
+}
+
 /** `MERGE INTO graft.ns.t t USING src s ON t.k = s.k WHEN ...` resolved to
   * the engine's [[graft.sources.AtomicWarehouse.mergeInto]]: exact-key-set
   * candidate pruning, the SQL cardinality rule, change-feed recording, and

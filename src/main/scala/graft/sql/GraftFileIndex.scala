@@ -67,8 +67,14 @@ class GraftFileIndex(wh: AtomicWarehouse, table: String,
       if (preds.isEmpty) (wh.visibleDataFiles(table), Nil)
       else wh.planFiles(table, preds)
     GraftFileIndex.recordPlan(wh.root, table, kept.size, skipped.size)
+    // a kept file missing from the lazily-snapshotted statuses map means a
+    // commit landed between index construction and physical planning —
+    // fetch its status fresh rather than silently under-reading; a file
+    // that truly vanished (vacuumed) fails loudly here instead of
+    // returning missing rows
     Seq(PartitionDirectory(InternalRow.empty,
-      kept.flatMap(statuses.get).toArray))
+      kept.map(f => statuses.getOrElse(f,
+        fs.getFileStatus(new Path(s"${wh.path(table)}/$f")))).toArray))
   }
 }
 

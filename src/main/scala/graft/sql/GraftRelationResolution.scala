@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-import org.apache.spark.sql.functions.{broadcast, col, element_at, split}
+import org.apache.spark.sql.functions.{col, element_at, split}
 import org.apache.spark.sql.graft.shims
 import org.apache.spark.sql.types.StructType
 
@@ -54,7 +54,15 @@ case class GraftRelationResolution(spark: SparkSession) extends Rule[LogicalPlan
           r.table.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsDeleteV2]
             .canDeleteWhere(preds.flatten.toArray))
         logical.DeleteFromTableWithFilters(r, preds.flatten)
-      else d
+      else rerootCond(cond) match {
+        // condition outside the FilePred algebra (LIKE, functions, column
+        // comparisons): exact-condition copy-on-write over the candidates
+        // the TRANSLATABLE conjuncts keep — correct where pruning can't
+        // help. Subqueries/nondeterminism stay put → Spark's own error.
+        case Some(c) => GraftDeleteRowsCommand(
+          r.table.asInstanceOf[GraftTable], c, translatableConjuncts(cond))
+        case None => d
+      }
     case _: logical.DeleteFromTable => plan
     case u: logical.UpdateTable if u.resolved && graftTarget(u.table).isDefined =>
       translateUpdate(u, graftTarget(u.table).get).getOrElse(u)
@@ -63,6 +71,30 @@ case class GraftRelationResolution(spark: SparkSession) extends Rule[LogicalPlan
         if m.resolved && graftTarget(m.targetTable).isDefined =>
       translateMerge(m, graftTarget(m.targetTable).get).getOrElse(m)
     case _: logical.MergeIntoTable => plan
+    // CHECK constraint DDL on a graft table routes straight to the
+    // engine's addConstraint (which validates existing rows through the
+    // engine read — Spark's own validation scan would need a V2 read path
+    // the table deliberately doesn't expose). The engine ENFORCES every
+    // declared CHECK, including ones declared NOT ENFORCED — stricter
+    // than declared, never weaker.
+    // (the node's child is Spark's validation scan — Filter(NOT cond,
+    // relation) — so the target is the relation UNDER it)
+    case a: logical.AddCheckConstraint if a.resolved &&
+        a.child.collectFirst {
+          case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] => r
+        }.isDefined =>
+      val t = a.child.collectFirst {
+        case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
+          r.table.asInstanceOf[GraftTable]
+      }.get
+      GraftAddCheckCommand(t, a.checkConstraint.name, a.checkConstraint.condition)
+    // other constraint DDL resolves its TARGET relation in place; splicing
+    // the engine read plan under it would make ResolveSessionCatalog
+    // mistake the bare LogicalRelation for a V1 session-catalog table.
+    // The command reaches alterTable through the V2 path untouched.
+    case _: logical.AddCheckConstraint => plan
+    case _: logical.AddConstraint => plan
+    case _: logical.DropConstraint => plan
     case _ => rewriteReads(plan)
   }
 
@@ -84,29 +116,71 @@ case class GraftRelationResolution(spark: SparkSession) extends Rule[LogicalPlan
       case _ => None
     }
 
+  /** The condition's AttributeReferences re-rooted to plain names as a
+    * [[org.apache.spark.sql.Column]] over the engine's read frame — None
+    * when the condition contains a subquery (re-evaluated per retry
+    * against a moving snapshot) or a nondeterministic expression (the
+    * count and the rewrite evaluate it independently): those stay with
+    * Spark's own error rather than a silently different result.
+    */
+  private def rerootCond(cond: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, PlanExpression}
+    if (!cond.deterministic || cond.exists(_.isInstanceOf[PlanExpression[_]])) None
+    else Some(shims.column(cond.transform {
+      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    }))
+  }
+
+  /** The conjuncts of `cond` that translate into the FilePred algebra —
+    * a sound pruning under-approximation for the exact-condition fallback
+    * (a cond-true row satisfies every conjunct, so it lives in a file every
+    * translated conjunct keeps).
+    */
+  private def translatableConjuncts(
+      cond: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[graft.sources.FilePred] =
+    splitConjunctivePredicates(cond).flatMap(GraftFileIndex.translate(_, Map.empty))
+
   /** `UPDATE ... SET ... WHERE ...` → [[GraftUpdateCommand]] when the
-    * WHERE fully translates into the FilePred algebra and every SET key
-    * is a plain column; anything else stays put and surfaces Spark's own
-    * unsupported-UPDATE error (never a silently different result).
+    * WHERE fully translates into the FilePred algebra and every SET key is
+    * a plain column; a WHERE outside the algebra falls back to the
+    * exact-condition rewrite ([[GraftUpdateRowsCommand]] — translatable
+    * conjuncts still prune). Subqueries, nondeterminism, or non-column SET
+    * keys stay put and surface Spark's own unsupported-UPDATE error
+    * (never a silently different result).
     */
   private def translateUpdate(u: logical.UpdateTable,
       t: GraftTable): Option[LogicalPlan] = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions.AttributeReference
-    for {
-      cond <- u.condition
-      predOpts = splitConjunctivePredicates(cond)
-        .map(GraftFileIndex.translate(_, Map.empty))
-      if predOpts.forall(_.isDefined)
-      sets <- traverse(u.assignments) {
-        case logical.Assignment(k: AttributeReference, v) =>
+    val setsOpt = traverse(u.assignments) {
+      case logical.Assignment(k: AttributeReference, v) =>
+        if (!v.deterministic || v.exists(_.isInstanceOf[
+            org.apache.spark.sql.catalyst.expressions.PlanExpression[_]])) None
+        else {
           val rerooted = v.transform {
             case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
           }
           Some(k.name -> shims.column(rerooted))
-        case _ => None
-      }
+        }
+      case _ => None
+    }
+    val fastPath = for {
+      cond <- u.condition
+      predOpts = splitConjunctivePredicates(cond)
+        .map(GraftFileIndex.translate(_, Map.empty))
+      if predOpts.forall(_.isDefined)
+      sets <- setsOpt
     } yield GraftUpdateCommand(t, predOpts.flatten, sets)
+    fastPath.orElse {
+      // WHERE outside the algebra — or no WHERE at all (every row updates)
+      val cond = u.condition.getOrElse(
+        org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral)
+      for (c <- rerootCond(cond); sets <- setsOpt) yield GraftUpdateRowsCommand(
+        t, c, u.condition.map(translatableConjuncts).getOrElse(Nil), sets)
+    }
   }
 
   /** `MERGE INTO ... USING ... ON ... WHEN ...` → [[GraftMergeCommand]]
@@ -272,25 +346,20 @@ object GraftRelationResolution {
             options = Map.empty)(
             spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
           val base = shims.ofRows(spark, LogicalRelation(relation, isStreaming = false))
-          val dvs = wh.deletionVectors(table)
+          val dvJson = wh.currentDvJson(table)
           val alive =
-            if (dvs.isEmpty) base
+            if (dvJson.isEmpty) base
             else {
               // identical seam to AtomicWarehouse.readTagged: DV'd rows are
               // identified by (file leaf name, ordinal) and anti-joined out
-              // via one broadcast — non-DV files pass untouched, so one scan
-              // covers both populations
+              // through dvAntiJoin — broadcast below the tombstone gate,
+              // fully distributed above it, so the SQL path's driver cost
+              // stays O(manifest) however many rows are dead
               val tagged = base
                 .withColumn("__file",
                   element_at(split(col("_metadata.file_path"), "/"), -1))
                 .withColumn("__ord", col("_metadata.row_index"))
-              val tombs = dvs.toSeq.flatMap { case (f, ords) => ords.map(o => (f, o)) }
-              import spark.implicits._
-              val tombDf = tombs.toDF("__dv_file", "__dv_ord")
-              tagged.join(broadcast(tombDf),
-                tagged("__file") === tombDf("__dv_file") &&
-                  tagged("__ord") === tombDf("__dv_ord"),
-                "left_anti")
+              wh.dvAntiJoin(tagged, table, dvJson)
             }
           alive.select(schema.fields.toSeq.map(f =>
             col(m.getOrElse(f.name, f.name)).as(f.name)): _*)

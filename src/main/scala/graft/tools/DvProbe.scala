@@ -1,0 +1,87 @@
+package graft.tools
+
+import java.nio.file.Files
+
+import graft.GraftSession
+import graft.sources.{AtomicWarehouse, ColIn}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Scale shape of the deletion-vector READ path: driver-held DV state must
+  * be O(manifest), not O(tombstones). For a table whose tombstone count
+  * grows ×1/×4/×16 (sidecar-backed — the dense form), reads run in both
+  * regimes:
+  *
+  *   - `broadcast`: gate above the total — the driver materializes and
+  *     broadcasts the ordinals (the small-DV fast path; its driver ordinal
+  *     count TRACKS the tombstones, by design);
+  *   - `distributed`: gate below the total — sidecars stream on executors,
+  *     and the driver-materialized ordinal count must be ZERO at every
+  *     scale (the 100 TB regime: billions of tombstones never fit a
+  *     driver).
+  *
+  * Each read is verified exact (live-row count) so the measurement can't
+  * pass by under-reading.
+  *
+  * `sbt "runMain graft.tools.DvProbe [1,4,16]"` → one JSON line per mult
+  * to stdout and target/dvprobe.json.
+  */
+object DvProbe {
+  def main(args: Array[String]): Unit = {
+    val mults = args.headOption.map(_.split(",").map(_.toInt).toSeq)
+      .getOrElse(Seq(1, 4, 16))
+    val spark = GraftSession.get()
+    import spark.implicits._
+
+    val kv = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("v", StringType, nullable = true)))
+    val out = new java.io.PrintWriter(new java.io.FileWriter("target/dvprobe.json"))
+    def emit(l: String): Unit = { println(l); out.println(l); out.flush() }
+
+    mults.foreach { mult =>
+      val rows = 40000L * mult
+      val root = Files.createTempDirectory(s"graft-dvprobe-x$mult-").toString
+      val wh = new AtomicWarehouse(spark, root)
+      // 4 files so the tombstone frame spans several sidecars
+      (0 until 4).foreach { b =>
+        wh.append("t", spark.range(b * rows / 4, (b + 1) * rows / 4)
+          .select(col("id"), concat(lit("v"), col("id")).as("v")).coalesce(1))
+      }
+      // 75% scattered dead rows — all four DVs go dense (sidecars)
+      val dead = (0L until rows).filter(_ % 4 != 0)
+      wh.deleteWhereDv("t", kv, Seq(ColIn("id", dead)), maxDvPerFile = 10000000)
+      val tombs = wh.describe("t").dvRows
+      val live = rows - tombs
+
+      def readOnce(gate: Option[Long]): (Long, Double) = {
+        // fresh instance: cold fold cache and cold sidecar cache — the
+        // driver ordinal delta is attributable to THIS read alone
+        val w = new AtomicWarehouse(spark, root)
+        gate match {
+          case Some(g) => spark.conf.set("graft.dv.broadcastMaxTombstones", g.toString)
+          case None => spark.conf.unset("graft.dv.broadcastMaxTombstones")
+        }
+        try {
+          val before = w.dvOrdinalsMaterialized.get()
+          val t0 = System.nanoTime()
+          val n = w.read("t", kv).count()
+          val wall = (System.nanoTime() - t0) / 1e9
+          require(n == live, s"under-read: $n live rows, expected $live")
+          (w.dvOrdinalsMaterialized.get() - before, wall)
+        } finally spark.conf.unset("graft.dv.broadcastMaxTombstones")
+      }
+
+      val (bOrds, bWall) = readOnce(None) // default gate ≥ tombstones here? verify
+      val (dOrds, dWall) = readOnce(Some(10L))
+      require(dOrds == 0L,
+        s"distributed read materialized $dOrds ordinals on the driver at x$mult")
+      emit(s"""{"probe":"dv","mult":$mult,"rows":$rows,"tombstones":$tombs,""" +
+        s""""live":$live,"driver_ords_broadcast":$bOrds,""" +
+        s""""wall_broadcast_s":${f"$bWall%.3f"},"driver_ords_distributed":$dOrds,""" +
+        s""""wall_distributed_s":${f"$dWall%.3f"}}""")
+    }
+    out.close()
+    spark.stop()
+  }
+}

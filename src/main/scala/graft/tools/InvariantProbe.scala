@@ -32,6 +32,16 @@ object InvariantProbe {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
+    // Write MULTI-PAGE parquet files (64-row pages) so the probe's files
+    // have the page structure real 100 TB-scale files have — a toy-scale
+    // single-file append is ONE page, and page-granular reads (the
+    // mechanism that keeps a point probe's records flat as the table
+    // grows) cannot be observed against single-page files. The probe's In
+    // predicates push NATIVELY to parquet (500 ≤ the session's 1024
+    // inFilterThreshold), so the reader's column-index filter decodes only
+    // the pages that can hold a probed key.
+    spark.sparkContext.hadoopConfiguration.setInt("parquet.page.row.count.limit", 64)
+
     val recordsRead = new AtomicLong(); val tasks = new AtomicLong()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {

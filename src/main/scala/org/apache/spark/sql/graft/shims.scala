@@ -30,4 +30,14 @@ object shims {
   def translateFilterV2(e: Expression)
       : Option[org.apache.spark.sql.connector.expressions.filter.Predicate] =
     org.apache.spark.sql.execution.datasources.v2.DataSourceV2Strategy.translateFilterV2(e)
+
+  /** Broadcast the session's Hadoop configuration for executor-side
+    * FileSystem access (`SerializableConfiguration` is `private[spark]`) —
+    * the distributed deletion-vector reader streams sidecar files on
+    * executors and needs the same conf the driver's FS was built with.
+    */
+  def broadcastHadoopConf(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.broadcast.Broadcast[org.apache.spark.util.SerializableConfiguration] =
+    org.apache.spark.util.SerializableConfiguration.broadcast(
+      spark.sparkContext, spark.sparkContext.hadoopConfiguration)
 }

@@ -297,7 +297,10 @@ class AtomicWarehouseSpec extends SparkSpec {
         s"version $version: expected exactly one winner, got ${wins.count(identity)}")
       val winner = wins.indexOf(true)
       val manifest = java.nio.file.Paths.get(dir, "_txlog", f"v$version%08d.tsv")
+      // every manifest leads with its recorded commit clock (`ts` line) —
+      // the payload below it must be exactly the winner's
       val content = new String(Files.readAllBytes(manifest), "UTF-8").trim
+        .linesIterator.filterNot(_.startsWith("ts\t")).mkString("\n")
       assert(content == s"add\tt\tf-$version-$winner.parquet",
         s"version $version: manifest content is not the winner's (lost/overwritten publish)")
     }

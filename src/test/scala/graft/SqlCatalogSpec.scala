@@ -263,4 +263,145 @@ class SqlCatalogSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"4-row dim should broadcast from manifest sizeInBytes; plan:\n$plan")
   }
+
+  test("ALTER TABLE maps onto the metadata-only evolution moves") {
+    val (wh, cat, _) = fixture()
+    wh.append("dim/d", Seq((1, "a"), (2, "b")).toDF("n", "v"))
+    val filesBefore = wh.visibleDataFiles("dim/d").toSet
+    // rename: zero files touched, both names' eras read correctly
+    spark.sql(s"ALTER TABLE $cat.dim.d RENAME COLUMN v TO label")
+    assert(spark.sql(s"SELECT label FROM $cat.dim.d WHERE n = 1")
+      .head().getString(0) == "a")
+    // widen int → long
+    spark.sql(s"ALTER TABLE $cat.dim.d ALTER COLUMN n TYPE BIGINT")
+    assert(spark.sql(s"SELECT n FROM $cat.dim.d WHERE label = 'b'")
+      .head().getLong(0) == 2L)
+    // add a nullable column: pre-add rows null-fill
+    spark.sql(s"ALTER TABLE $cat.dim.d ADD COLUMN extra STRING")
+    assert(spark.sql(s"SELECT count(*) AS c FROM $cat.dim.d WHERE extra IS NULL")
+      .head().getLong(0) == 2L)
+    spark.sql(s"INSERT INTO $cat.dim.d VALUES (3, 'c', 'x')")
+    assert(spark.sql(s"SELECT extra FROM $cat.dim.d WHERE n = 3")
+      .head().getString(0) == "x")
+    // drop it again — bytes linger, reads stop selecting
+    spark.sql(s"ALTER TABLE $cat.dim.d DROP COLUMN extra")
+    assert(spark.sql(s"SELECT * FROM $cat.dim.d").columns.toSeq == Seq("n", "label"))
+    // every move so far left the ORIGINAL files untouched
+    assert(filesBefore.subsetOf(wh.visibleDataFiles("dim/d").toSet),
+      "ALTER TABLE must be metadata-only")
+    // CHECK constraint through SQL binds every writer
+    spark.sql(s"ALTER TABLE $cat.dim.d ADD CONSTRAINT pos CHECK (n > 0)")
+    val e = intercept[Exception](
+      spark.sql(s"INSERT INTO $cat.dim.d VALUES (-1, 'bad')"))
+    assert(e.getMessage.contains("pos"), e.getMessage)
+    spark.sql(s"ALTER TABLE $cat.dim.d DROP CONSTRAINT pos")
+    spark.sql(s"INSERT INTO $cat.dim.d VALUES (-1, 'ok-now')")
+    assert(spark.sql(s"SELECT count(*) AS c FROM $cat.dim.d").head().getLong(0) == 4L)
+    // CLUSTER BY declares the layout for later rewrites
+    spark.sql(s"ALTER TABLE $cat.dim.d CLUSTER BY (n)")
+    assert(wh.clusterBy("dim/d").contains(Seq("n")))
+    // UNIQUE and FOREIGN KEY DDL bind the engine's enforcement
+    spark.sql(s"ALTER TABLE $cat.dim.d ADD CONSTRAINT uq UNIQUE (n)")
+    val dup = intercept[Exception](
+      spark.sql(s"INSERT INTO $cat.dim.d VALUES (3, 'dup-key')"))
+    assert(dup.getMessage.contains("UNIQUE"), dup.getMessage)
+    wh.append("facts/child", Seq((100L, 3L)).toDF("c_id", "d_ref"))
+    spark.sql(s"ALTER TABLE $cat.facts.child ADD CONSTRAINT fkd " +
+      s"FOREIGN KEY (d_ref) REFERENCES $cat.dim.d (n)")
+    val orphan = intercept[Exception](
+      spark.sql(s"INSERT INTO $cat.facts.child VALUES (101, 999)"))
+    assert(orphan.getMessage.contains("FOREIGN KEY"), orphan.getMessage)
+    // RENAME TABLE refuses honestly (directory-keyed history)
+    val r = intercept[Exception](
+      spark.sql(s"ALTER TABLE $cat.dim.d RENAME TO $cat.dim.d2"))
+    assert(r.getMessage.contains("RENAME TABLE"), r.getMessage)
+  }
+
+  test("CALL procedures: optimize / history / restore / vacuum from SQL") {
+    val (wh, cat, _) = fixture()
+    banded(wh) // four tiny files
+    val opt = spark.sql(s"CALL $cat.system.optimize('facts.t')").collect()
+    assert(opt.head.getAs[Int]("files_rewritten") == 4, opt.mkString(","))
+    assert(wh.visibleDataFiles("facts/t").size == 1)
+    assert(spark.sql(s"SELECT count(*) AS c FROM $cat.facts.t").head().getLong(0) == 400L)
+    // history: one row per commit touching the table (4 appends + compact)
+    val hist = spark.sql(s"CALL $cat.system.history('facts.t')").collect()
+    assert(hist.length == 5, hist.mkString(","))
+    assert(hist.map(_.getAs[Int]("version")).toSeq == hist.map(_.getAs[Int]("version")).toSeq.sorted)
+    assert(hist.forall(_.getAs[Long]("commit_ms") > 0))
+    // restore rewinds; vacuum reclaims the compacted-away files
+    val v1 = hist.head.getAs[Int]("version")
+    spark.sql(s"CALL $cat.system.restore('facts.t', $v1)")
+    assert(spark.sql(s"SELECT count(*) AS c FROM $cat.facts.t").head().getLong(0) == 100L)
+    assert(spark.sql(s"CALL $cat.system.vacuum(0)").head().getBoolean(0))
+  }
+
+  test("DELETE/UPDATE outside the FilePred algebra fall back to exact rewrites") {
+    val (wh, cat, root) = fixture()
+    banded(wh)
+    // LIKE is outside the algebra: exact copy-on-write fallback
+    spark.sql(s"DELETE FROM $cat.facts.t WHERE v LIKE 'v39%'") // 390..399 + 39
+    assert(spark.sql(s"SELECT count(*) AS c FROM $cat.facts.t").head().getLong(0) == 389L)
+    assert(spark.sql(s"SELECT count(*) AS c FROM $cat.facts.t WHERE v LIKE 'v39%'")
+      .head().getLong(0) == 0L)
+    // a translatable conjunct still prunes the candidate set: only the
+    // id>=300 band is read for this rewrite
+    spark.sql(s"DELETE FROM $cat.facts.t WHERE id >= 300 AND length(v) = 4")
+    assert(spark.sql(s"SELECT count(*) AS c FROM $cat.facts.t WHERE id >= 300")
+      .head().getLong(0) == 0L, "length(v)=4 matches every remaining 300-band row")
+    assert(spark.sql(s"SELECT count(*) AS c FROM $cat.facts.t").head().getLong(0) == 299L)
+    // UPDATE with a function WHERE and expression SET
+    spark.sql(s"UPDATE $cat.facts.t SET v = upper(v) WHERE v LIKE 'v2%' AND id < 220")
+    assert(spark.sql(s"SELECT v FROM $cat.facts.t WHERE id = 210")
+      .head().getString(0) == "V210")
+    assert(spark.sql(s"SELECT count(*) AS c FROM $cat.facts.t WHERE v LIKE 'V%'")
+      .head().getLong(0) == 31L) // ids 2, 20..29, 200..219
+    // UPDATE without WHERE touches every row
+    spark.sql(s"UPDATE $cat.facts.t SET v = concat(v, '!')")
+    assert(spark.sql(s"SELECT count(*) AS c FROM $cat.facts.t WHERE v NOT LIKE '%!'")
+      .head().getLong(0) == 0L)
+    // subqueries still refuse (Spark's own error), never a wrong rewrite
+    val e = intercept[Exception](spark.sql(
+      s"DELETE FROM $cat.facts.t WHERE id IN (SELECT id FROM $cat.facts.t WHERE id < 5)"))
+    assert(e != null)
+    // change feed records the fallback DML exactly like the algebra path
+    wh.setChangeFeed("dim/cf", on = true)
+    wh.append("dim/cf", Seq((1L, "aa"), (2L, "bb")).toDF("id", "v"))
+    spark.sql(s"DELETE FROM $cat.dim.cf WHERE v LIKE 'a%'")
+    val head = wh.versions().last
+    val changes = spark.sql(
+      s"SELECT _change_type, count(*) AS n FROM graft_changes('$root', 'dim/cf', 0, $head) " +
+        "GROUP BY _change_type ORDER BY _change_type")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(changes == Seq(("delete", 1L), ("insert", 2L)), s"got $changes")
+  }
+
+  test("TIMESTAMP AS OF survives a warehouse copy (recorded commit clock)") {
+    val (wh, cat, root) = fixture()
+    wh.append("dim/d", Seq((1L, "a")).toDF("id", "v"))
+    Thread.sleep(50)
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss.SSS")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val between = fmt.format(new java.util.Date())
+    Thread.sleep(50)
+    wh.append("dim/d", Seq((2L, "b")).toDF("id", "v"))
+    // copy the warehouse WITHOUT preserving mtimes (rsync-without--t)
+    val copy = Files.createTempDirectory("graft-sqlcat-copy-").toString
+    val src = java.nio.file.Paths.get(root)
+    java.nio.file.Files.walk(src).forEach { p =>
+      val dest = java.nio.file.Paths.get(copy).resolve(src.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(dest)
+      else java.nio.file.Files.copy(p, dest,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val cat2 = s"gcatcopy${seq.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat2", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat2.root", copy)
+    // the copied warehouse answers the same TIMESTAMP AS OF question even
+    // though every file's mtime is "now" — the clock rides the manifest
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM $cat2.dim.d TIMESTAMP AS OF '$between'")
+      .head().getLong(0) == 1L)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat2.dim.d").head().getLong(0) == 2L)
+  }
 }
