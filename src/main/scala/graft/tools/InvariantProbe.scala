@@ -32,15 +32,21 @@ object InvariantProbe {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    // Write MULTI-PAGE parquet files (64-row pages) so the probe's files
+    // Write MULTI-PAGE parquet files (16-row pages) so the probe's files
     // have the page structure real 100 TB-scale files have — a toy-scale
     // single-file append is ONE page, and page-granular reads (the
     // mechanism that keeps a point probe's records flat as the table
     // grows) cannot be observed against single-page files. The probe's In
-    // predicates push NATIVELY to parquet (500 ≤ the session's 1024
+    // predicates push NATIVELY to parquet (≤ the session's 1024
     // inFilterThreshold), so the reader's column-index filter decodes only
-    // the pages that can hold a probed key.
-    spark.sparkContext.hadoopConfiguration.setInt("parquet.page.row.count.limit", 64)
+    // the pages whose [min,max] can hold a probed key. The regime that
+    // matters — and that real scale has — is PAGE RANGE < KEY SPACING
+    // (a 1 GB file holds thousands of pages; a point batch's keys are
+    // sparse in it): then each probed key decodes ~one page per band file
+    // and records track the BATCH, saturating instead of following the
+    // parent. Page size and batch size here are chosen to put the toy
+    // fixture in that regime at ×4/×16.
+    spark.sparkContext.hadoopConfiguration.setInt("parquet.page.row.count.limit", 16)
 
     val recordsRead = new AtomicLong(); val tasks = new AtomicLong()
     spark.sparkContext.addSparkListener(new SparkListener {
@@ -84,10 +90,10 @@ object InvariantProbe {
       wh.addForeignKey("child", "p_ref", "parent", "k", "fk")
       wh.addUniqueKey("parent", "k", "pk")
 
-      // fixed-size child batch: 500 LIVE parent keys spread across the
+      // fixed-size child batch: 200 LIVE parent keys spread across the
       // domain (deterministic arbitrary sample — orderkeys are sparse)
       val sampled = parent.select(col("k"))
-        .orderBy(pmod(col("k"), lit(997L)), col("k")).limit(500)
+        .orderBy(pmod(col("k"), lit(997L)), col("k")).limit(200)
         .collect().map(_.getLong(0))
       val batch = sampled.zipWithIndex
         .map { case (k, i) => (i.toLong, k) }.toSeq.toDF("c_id", "p_ref")
@@ -96,7 +102,7 @@ object InvariantProbe {
       }
       emit(s"""{"probe":"invariant","phase":"fk_append","mult":$mult,""" +
         s""""parent_files":${pd.files},"parent_rows":${pd.rows},""" +
-        s""""batch_rows":500,"records":$fkR,"tasks":$fkT,"wall_s":${f"$fkW%.3f"}}""")
+        s""""batch_rows":200,"records":$fkR,"tasks":$fkT,"wall_s":${f"$fkW%.3f"}}""")
 
       // a fixed-size UNIQUE-checked insert of fresh keys beyond the domain
       val fresh = (0L until 500L)
