@@ -2329,14 +2329,17 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
   private val dvInlineMax = 4096
 
   /** Above this many TOTAL tombstones for one read, the anti-join stops
-    * broadcasting a driver-materialized list and goes fully distributed
-    * (sidecars streamed on executors, inline JSON parsed executor-side) —
-    * the driver never holds an ordinal. Session-configurable so specs can
-    * force the distributed path on small fixtures.
+    * broadcasting a driver-materialized list and applies deletion vectors
+    * SCAN-SIDE ([[DvScanFilter]]) — the driver never holds an ordinal.
+    * Default 64k sits at the measured crossover (DvProbe: scan-side reads
+    * flat ~0.3 s at 30k/120k/480k tombstones while the broadcast path
+    * degrades 0.9 → 4.6 s); below it the broadcast hash anti-join keeps
+    * the whole filter inside codegen. Session-configurable so specs can
+    * force either regime on small fixtures.
     */
   private def dvBroadcastMaxTombstones: Long =
     spark.conf.getOption("graft.dv.broadcastMaxTombstones")
-      .map(_.toLong).getOrElse(1000000L)
+      .map(_.toLong).getOrElse(65536L)
 
   // sidecars are immutable (rewrites mint new leaves), so one read serves
   // the warehouse instance's lifetime — but the cache is BUDGETED: a
@@ -2388,91 +2391,49 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
         }
     }
 
-  /** Anti-join `tagged` rows (carrying `__file`/`__ord`) against the
+  /** Anti-filter `tagged` rows (carrying `__file`/`__ord`) against the
     * tombstones in `dvJson` (rel file → manifest DV JSON). Two regimes:
     *
     *   - total tombstones ≤ [[dvBroadcastMaxTombstones]]: materialize and
-    *     BROADCAST — one driver hop, zero shuffle, the right plan for the
-    *     overwhelmingly common small-DV case;
-    *   - above the gate: fully DISTRIBUTED — sidecar files stream on
-    *     executors (one task per sidecar, lazily, never whole-file in
-    *     memory) and inline JSON (already driver-held manifest bytes)
-    *     parses executor-side — so driver heap and broadcast bytes stay
-    *     O(manifest), not O(tombstones). At 100 TB with billions of dead
-    *     rows below the compaction threshold, this is the difference
-    *     between a driver OOM and a plain shuffled anti-join.
+    *     BROADCAST an anti-join — one driver hop, zero shuffle, hash
+    *     lookups inside codegen — the right plan for the overwhelmingly
+    *     common small-DV case;
+    *   - above the gate: SCAN-SIDE application (Delta's DV design, via
+    *     [[DvScanFilter]]) — the driver broadcasts only the (file → DV
+    *     JSON) manifest map, O(manifest) bytes however many rows are dead,
+    *     and each scan task resolves the DV for the file IT is reading
+    *     (inline JSON in place, sidecars streamed once per thread+file
+    *     through a small LRU) and binary-searches per row. No join, no
+    *     shuffle, no driver ordinal: at 100 TB with billions of dead rows
+    *     this is the difference between a driver OOM (or a full-table
+    *     shuffle) and a per-task filter whose memory is ONE file's
+    *     ordinals — bounded by the per-file density compaction manages,
+    *     not by table size.
     *
-    * The count decision itself is metadata-only (`DvRec.countOf` reads the
-    * recorded `n`, never the ordinals).
+    * The regime decision itself is metadata-only (`DvRec.countOf` reads
+    * the recorded `n`, never the ordinals).
     */
   private[graft] def dvAntiJoin(tagged: DataFrame, table: String,
       dvJson: Map[String, String]): DataFrame = {
     if (dvJson.isEmpty) return tagged
-    import org.apache.spark.sql.functions.broadcast
     val total = dvJson.valuesIterator.map(DvRec.countOf).sum
-    val tombDf =
-      if (total <= dvBroadcastMaxTombstones) {
-        import spark.implicits._
-        val tombs = dvJson.toSeq.sortBy(_._1)
-          .flatMap { case (f, j) => resolveDv(table, j).map(o => (f, o)) }
-        broadcast(tombs.toDF("__dv_file", "__dv_ord"))
-      } else dvTombstoneFrame(table, dvJson)
-    tagged.join(tombDf,
-      tagged("__file") === tombDf("__dv_file") && tagged("__ord") === tombDf("__dv_ord"),
-      "left_anti")
-  }
-
-  /** The tombstones of `dvJson` as a DISTRIBUTED frame — no ordinal ever
-    * touches the driver. Inline entries ship as their (bounded, ≤
-    * [[dvInlineMax]]-ordinal) JSON strings and parse on executors; sidecar
-    * entries ship as paths and STREAM on executors through the same binary
-    * format [[writeDvSidecar]] lays down, one row at a time.
-    */
-  private def dvTombstoneFrame(table: String, dvJson: Map[String, String]): DataFrame = {
-    import spark.implicits._
-    val (sidecar, inline) = dvJson.toSeq.sortBy(_._1)
-      .partition { case (_, j) => DvRec.sidecarLeaf(j).isDefined }
-    val par = spark.sparkContext.defaultParallelism
-    val inlineDf: Option[DataFrame] = if (inline.isEmpty) None else Some(
-      spark.createDataset(inline)
-        .repartition(math.max(1, math.min(inline.size, par)))
-        .flatMap { case (f, j) => DvRec.fromJson(j).iterator.map(o => (f, o)) }
-        .toDF("__dv_file", "__dv_ord"))
-    val sidecarDf: Option[DataFrame] = if (sidecar.isEmpty) None else {
-      val dir = path(table) + "/_dv"
-      val pairs = sidecar.map { case (f, j) =>
-        (f, s"$dir/${DvRec.sidecarLeaf(j).get}") }
+    if (total <= dvBroadcastMaxTombstones) {
+      import org.apache.spark.sql.functions.broadcast
+      import spark.implicits._
+      val tombs = dvJson.toSeq.sortBy(_._1)
+        .flatMap { case (f, j) => resolveDv(table, j).map(o => (f, o)) }
+      val tombDf = broadcast(tombs.toDF("__dv_file", "__dv_ord"))
+      tagged.join(tombDf,
+        tagged("__file") === tombDf("__dv_file") && tagged("__ord") === tombDf("__dv_ord"),
+        "left_anti")
+    } else {
+      val dvDir = fs.makeQualified(new Path(s"${path(table)}/_dv")).toString
       val confB = org.apache.spark.sql.graft.shims.broadcastHadoopConf(spark)
-      Some(spark.createDataset(pairs)
-        .repartition(math.max(1, math.min(pairs.size, par)))
-        .mapPartitions { it =>
-          val conf = confB.value.value
-          it.flatMap { case (f, p) =>
-            val hp = new Path(p)
-            val in = new java.io.DataInputStream(hp.getFileSystem(conf).open(hp))
-            val n = in.readInt()
-            if (n <= 0) { in.close(); Iterator.empty }
-            else {
-              // a task killed mid-stream must not leak the handle
-              val tc = org.apache.spark.TaskContext.get()
-              if (tc != null) tc.addTaskCompletionListener[Unit](_ =>
-                try in.close() catch { case _: java.io.IOException => () })
-              new scala.collection.AbstractIterator[(String, Long)] {
-                private var i = 0
-                override def hasNext: Boolean = i < n
-                override def next(): (String, Long) = {
-                  i += 1
-                  val v = in.readLong()
-                  if (i == n) in.close()
-                  (f, v)
-                }
-              }
-            }
-          }
-        }
-        .toDF("__dv_file", "__dv_ord"))
+      val dvB = spark.sparkContext.broadcast(dvJson)
+      val live = org.apache.spark.sql.functions.udf((file: String, ord: Long) =>
+        !DvScanFilter.dead(confB.value.value, dvDir, dvB.value, file, ord))
+      tagged.filter(live(col("__file"), col("__ord")))
     }
-    (inlineDf.toSeq ++ sidecarDf.toSeq).reduce(_ unionByName _)
   }
 
   private def writeDvSidecar(table: String, leaf: String, ords: Seq[Long]): Unit = {

@@ -54,7 +54,15 @@ object DvProbe {
       val tombs = wh.describe("t").dvRows
       val live = rows - tombs
 
-      def readOnce(gate: Option[Long]): (Long, Double) = {
+      val shuffleRecs = new java.util.concurrent.atomic.AtomicLong()
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            shuffleRecs.addAndGet(t.taskMetrics.shuffleWriteMetrics.recordsWritten)
+        })
+
+      def readOnce(gate: Option[Long]): (Long, Long, Double) = {
         // fresh instance: cold fold cache and cold sidecar cache — the
         // driver ordinal delta is attributable to THIS read alone
         val w = new AtomicWarehouse(spark, root)
@@ -64,22 +72,30 @@ object DvProbe {
         }
         try {
           val before = w.dvOrdinalsMaterialized.get()
+          Thread.sleep(300)
+          shuffleRecs.set(0)
           val t0 = System.nanoTime()
           val n = w.read("t", kv).count()
           val wall = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(300)
           require(n == live, s"under-read: $n live rows, expected $live")
-          (w.dvOrdinalsMaterialized.get() - before, wall)
+          (w.dvOrdinalsMaterialized.get() - before, shuffleRecs.get(), wall)
         } finally spark.conf.unset("graft.dv.broadcastMaxTombstones")
       }
 
-      val (bOrds, bWall) = readOnce(None) // default gate ≥ tombstones here? verify
-      val (dOrds, dWall) = readOnce(Some(10L))
+      val (bOrds, _, bWall) = readOnce(None) // broadcast regime (default gate)
+      val (dOrds, dShuf, dWall) = readOnce(Some(10L))
       require(dOrds == 0L,
-        s"distributed read materialized $dOrds ordinals on the driver at x$mult")
+        s"scan-side read materialized $dOrds ordinals on the driver at x$mult")
+      // count() itself shuffles one partial-aggregate row per scan task;
+      // the DV path must contribute NOTHING on top (contrast: a shuffled
+      // anti-join would write a record per live row plus per tombstone)
+      require(dShuf <= 64L,
+        s"scan-side read shuffled $dShuf records at x$mult — the 100 TB plan must not")
       emit(s"""{"probe":"dv","mult":$mult,"rows":$rows,"tombstones":$tombs,""" +
         s""""live":$live,"driver_ords_broadcast":$bOrds,""" +
-        s""""wall_broadcast_s":${f"$bWall%.3f"},"driver_ords_distributed":$dOrds,""" +
-        s""""wall_distributed_s":${f"$dWall%.3f"}}""")
+        s""""wall_broadcast_s":${f"$bWall%.3f"},"driver_ords_scanside":$dOrds,""" +
+        s""""shuffle_records_scanside":$dShuf,"wall_scanside_s":${f"$dWall%.3f"}}""")
     }
     out.close()
     spark.stop()

@@ -75,12 +75,12 @@ class DeletionVectorSpec extends SparkSpec {
     assert(sidecars == 0, s"folded sidecar must be reclaimed, got $sidecars")
   }
 
-  test("above the broadcast gate reads distribute the DV: zero driver-held ordinals, identical results") {
+  test("above the broadcast gate reads apply the DV scan-side: zero driver-held ordinals, identical results") {
     val dir = Files.createTempDirectory("graft-dv-dist-")
     val wh = new AtomicWarehouse(spark, dir.toString)
     // file 1: 40k rows, 30k scattered tombstones → sidecar-backed DV;
-    // file 2: 1k rows, 2 tombstones → inline DV. The read must union both
-    // forms through the distributed frame.
+    // file 2: 1k rows, 2 tombstones → inline DV. The scan-side filter
+    // must resolve both forms executor-side.
     wh.append("t", (0L until 40000L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
     wh.append("t", (40000L until 41000L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
     wh.deleteWhereDv("t", kv,
@@ -93,16 +93,16 @@ class DeletionVectorSpec extends SparkSpec {
     // broadcast regime first (default gate far above 30k tombstones)
     assert(ids(wh) == expect)
     // fresh instance = cold sidecar cache; a gate below the total tombstone
-    // count forces the distributed anti-join — the fixture's tombstones
-    // exceed the configured driver cap by 3000×
+    // count forces the scan-side filter — the fixture's tombstones exceed
+    // the configured driver cap by 3000×
     val wh2 = new AtomicWarehouse(spark, dir.toString)
     spark.conf.set("graft.dv.broadcastMaxTombstones", "10")
     try {
       val before = wh2.dvOrdinalsMaterialized.get()
-      assert(ids(wh2) == expect, "distributed anti-join must match broadcast")
+      assert(ids(wh2) == expect, "scan-side DV application must match broadcast")
       assert(wh2.read("t", kv).count() == expect.size.toLong)
       assert(wh2.dvOrdinalsMaterialized.get() == before,
-        "the distributed read path must not materialize a single ordinal on the driver")
+        "the scan-side read path must not materialize a single ordinal on the driver")
     } finally spark.conf.unset("graft.dv.broadcastMaxTombstones")
   }
 

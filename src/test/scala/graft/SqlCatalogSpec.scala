@@ -311,10 +311,14 @@ class SqlCatalogSpec extends SparkSpec {
     val orphan = intercept[Exception](
       spark.sql(s"INSERT INTO $cat.facts.child VALUES (101, 999)"))
     assert(orphan.getMessage.contains("FOREIGN KEY"), orphan.getMessage)
-    // RENAME TABLE refuses honestly (directory-keyed history)
+    // RENAME TABLE refuses honestly (directory-keyed history) — and the
+    // route its error names (CTAS + DROP) actually works
     val r = intercept[Exception](
       spark.sql(s"ALTER TABLE $cat.dim.d RENAME TO $cat.dim.d2"))
     assert(r.getMessage.contains("RENAME TABLE"), r.getMessage)
+    spark.sql(s"CREATE TABLE $cat.dim.d2 AS SELECT * FROM $cat.dim.d")
+    assert(spark.sql(s"SELECT count(*) AS c FROM $cat.dim.d2").head().getLong(0) == 4L)
+    spark.sql(s"DROP TABLE $cat.dim.d2")
   }
 
   test("CALL procedures: optimize / history / restore / vacuum from SQL") {
