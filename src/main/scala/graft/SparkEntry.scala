@@ -1781,6 +1781,46 @@ object SparkEntry {
         .orderBy(col("live_n"))
     }
 
+    // ---- the warehouse as a STRUCTURED STREAMING source (readStream
+    // .table — Delta's streaming-table shape): offsets are commit
+    // versions, so a checkpointed stream resumes at the recorded version
+    // and each batch is exactly the manifest's window files. Phase 1
+    // replays the 4 band appends from genesis (startingVersion 0) into a
+    // file sink; an extra slice lands; phase 2 RESUMES the same checkpoint
+    // and must append exactly the new file — the accumulated sink count
+    // proves exactly-once (any replay would double a band)
+    q("etl_stream_table") = (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+      val (wh, qtr) = bandedOrdersWh(s, orders, "streamtbl")
+      val cat = s"gsql${sqlCatSeq.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sql.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh.root)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-streamtbl-ckpt-").toString
+      val out = java.nio.file.Files.createTempDirectory("graft-streamtbl-out-").toString
+      def drain(startingVersion: Option[Int]): Unit = {
+        val reader = s.readStream
+        startingVersion.foreach(v => reader.option("startingVersion", v.toString))
+        val q = reader.table(s"$cat.facts.orders")
+          .writeStream.format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        require(q.awaitTermination(graft.GraftSession.streamDrainTimeoutMs),
+          "etl_stream_table: stream did not drain in time")
+      }
+      drain(Some(0))
+      val phase1 = s.read.parquet(out).count()
+      wh.append("facts/orders",
+        orders.filter(col("o_orderkey") < qtr / 4).coalesce(1))
+      drain(None)
+      s.read.parquet(out)
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+        .withColumn("phase1_n", lit(phase1))
+        .select(col("phase1_n"), col("n"), col("key_sum"))
+        .orderBy(col("n"))
+    }
+
     // ---- SQL DML outside the FilePred algebra (the fallback rewrite):
     // DELETE with a LIKE leg — the translatable o_orderkey conjunct prunes
     // to the top band, the exact condition decides the rows — then an
@@ -4501,6 +4541,19 @@ object SparkEntry {
         | CAST((SELECT count(*) FROM orders, m WHERE o_orderkey < m.q) AS BIGINT)
         |   AS restored_n
         |ORDER BY live_n""".stripMargin,
+
+    // streaming source: phase 1 replayed the whole table (4 bands), the
+    // checkpoint resume appended exactly the extra low slice — counts and
+    // key sums restate both phases; any replay would break the totals
+    "etl_stream_table" ->
+      """WITH m AS (SELECT max(o_orderkey) // 4 AS q FROM orders),
+        | extra AS (SELECT o_orderkey FROM orders, m WHERE o_orderkey < m.q // 4)
+        |SELECT CAST((SELECT count(*) FROM orders) AS BIGINT) AS phase1_n,
+        | CAST((SELECT count(*) FROM orders) +
+        |   (SELECT count(*) FROM extra) AS BIGINT) AS n,
+        | CAST((SELECT sum(o_orderkey) FROM orders) +
+        |   (SELECT sum(o_orderkey) FROM extra) AS BIGINT) AS key_sum
+        |ORDER BY n""".stripMargin,
 
     // SQL DML fallback (conditions outside the FilePred algebra): DELETE
     // keeps rows where the condition is false or NULL (three-valued), the

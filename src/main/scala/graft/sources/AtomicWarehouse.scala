@@ -1332,7 +1332,23 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     */
   def appendsBetween(table: String, schema: StructType,
       fromVersion: Int, toVersion: Int): DataFrame = {
+    val added = appendedFilesBetween(table, fromVersion, toVersion)
+    val endState = stateAt(toVersion)
+    readFiles(table, schema, added,
+      Some(parseColMap(endState.colmap.get(table))),
+      Some(rawDvs(endState, table)))
+  }
+
+  /** The files `table` gained in (`fromVersion`, `toVersion`] — the
+    * append-only window computation [[appendsBetween]] reads and the
+    * streaming source plans partitions from, with the SAME refusals:
+    * vacuumed manifests, truncates/rewrites/DV deletes inside the window
+    * (file diff != row diff there), and vacuumed data files all throw.
+    */
+  private[graft] def appendedFilesBetween(table: String,
+      fromVersion: Int, toVersion: Int): Seq[String] = {
     require(fromVersion <= toVersion, s"fromVersion $fromVersion > toVersion $toVersion")
+    if (fromVersion == toVersion) return Nil
     val window = commitFiles()
       .filter(p => versionOf(p) > fromVersion && versionOf(p) <= toVersion)
     // versions are allocated contiguously (publish CAS), so any hole in the
@@ -1353,16 +1369,29 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       s"$table was truncated or row-rewritten inside ($fromVersion,$toVersion]; " +
         "the window is not append-only and file diff != row diff")
     val before = stateAt(fromVersion).adds.getOrElse(table, Vector.empty).toSet
-    val endState = stateAt(toVersion)
-    val added = endState.adds.getOrElse(table, Vector.empty)
+    val added = stateAt(toVersion).adds.getOrElse(table, Vector.empty)
       .filterNot(before)
     val gone = added.filterNot(f => fs.exists(new Path(s"${path(table)}/$f")))
     if (gone.nonEmpty) throw new IllegalStateException(
       s"window ($fromVersion,$toVersion] of $table lost ${gone.size} data files to vacuum")
-    readFiles(table, schema, added,
-      Some(parseColMap(endState.colmap.get(table))),
-      Some(rawDvs(endState, table)))
+    added
   }
+
+  /** Current head commit version (0 before any commit) — the streaming
+    * source's offset clock.
+    */
+  private[graft] def headVersion(): Int =
+    commitFiles().lastOption.map(versionOf).getOrElse(0)
+
+  /** Current logical→physical schema translation for the streaming reader:
+    * the recorded schema under PHYSICAL column names (physical names are
+    * stable across renames, so one schema serves every window file).
+    */
+  private[graft] def physicalReadSchema(table: String): Option[StructType] =
+    currentSchema(table).map { sch =>
+      val m = colMapOf(table)
+      StructType(sch.fields.map(f => f.copy(name = m.getOrElse(f.name, f.name))))
+    }
 
   /** Restore `table` to its state as of commit `version`, as a NEW commit —
     * the RESTORE shape of the pointer-commit formats this rebuilds: the old

@@ -314,6 +314,7 @@ class GraftCatalog extends TableCatalog
 case class GraftTable(wh: AtomicWarehouse, tableName: String,
     tableSchema: StructType, asOfVersion: Option[Int])
     extends Table with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def name(): String = tableName
@@ -321,8 +322,21 @@ case class GraftTable(wh: AtomicWarehouse, tableName: String,
   override def schema(): StructType = tableSchema
 
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE).asJava
+
+  /** Serves `spark.readStream.table(...)` — see [[GraftScan]]; batch
+    * SELECTs resolve through [[GraftRelationResolution]] instead and never
+    * build a V2 scan.
+    */
+  override def newScanBuilder(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder = {
+    require(asOfVersion.isEmpty,
+      s"cannot stream $tableName VERSION AS OF — offsets ARE versions; " +
+        "use startingVersion to begin a stream at one")
+    new GraftScanBuilder(wh, tableName, tableSchema, options)
+  }
 
   /** WHERE-clause V2 predicates → the engine's conjunction, None when any
     * leg falls outside the algebra (Spark then reports the DELETE

@@ -40,4 +40,44 @@ object shims {
       : org.apache.spark.broadcast.Broadcast[org.apache.spark.util.SerializableConfiguration] =
     org.apache.spark.util.SerializableConfiguration.broadcast(
       spark.sparkContext, spark.sparkContext.hadoopConfiguration)
+
+  /** Spark's own parquet row reader as a serializable per-file function —
+    * what the streaming source's [[org.apache.spark.sql.connector.read
+    * .PartitionReaderFactory]] runs on executors.
+    * `buildReaderWithPartitionValues` is `private[sql]`; built from an
+    * isolated session with the VECTORIZED reader disabled, because in the
+    * batch-returning regime the function's Iterator[InternalRow] actually
+    * yields ColumnarBatch (the FileScanRDD contract) — the row regime is
+    * the one with the honest signature. Missing columns null-fill
+    * (schema-evolution windows), the session's parquet conf (timezone,
+    * nanosAsLong) carries through.
+    */
+  def parquetRowReader(spark: org.apache.spark.sql.SparkSession,
+      requiredSchema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.execution.datasources.PartitionedFile =>
+        Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.parquet.enableVectorizedReader", "false")
+    new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
+      .buildReaderWithPartitionValues(
+        ss.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+        dataSchema = requiredSchema,
+        partitionSchema = new org.apache.spark.sql.types.StructType(),
+        requiredSchema = requiredSchema,
+        filters = Nil,
+        options = Map.empty,
+        hadoopConf = ss.sessionState.newHadoopConf())
+  }
+
+  /** A [[PartitionedFile]] for one whole file (`private[sql]` constructor). */
+  def partitionedFile(path: String, fileSize: Long, modificationTime: Long)
+      : org.apache.spark.sql.execution.datasources.PartitionedFile =
+    org.apache.spark.sql.execution.datasources.PartitionedFile(
+      partitionValues = org.apache.spark.sql.catalyst.InternalRow.empty,
+      filePath = org.apache.spark.paths.SparkPath.fromPathString(path),
+      start = 0L,
+      length = fileSize,
+      locations = Array.empty,
+      modificationTime = modificationTime,
+      fileSize = fileSize)
 }
