@@ -1821,6 +1821,57 @@ object SparkEntry {
         .orderBy(col("n"))
     }
 
+    // ---- exactly-once streaming SINK (Delta's txn action): appendOnce
+    // commits each batch's data files and its (appId, batchId) high-water
+    // in ONE manifest — replayed batches (Structured Streaming re-runs the
+    // last uncommitted batch after every recovery) are metadata-only
+    // no-ops. Four band batches land with two injected replays (skipped
+    // literals), then a REAL stream — readStream.table over the source
+    // (dogfooding the streaming source) with foreachBatch+appendOnce —
+    // mirrors the table into a sink table, exactly-once end to end
+    q("etl_stream_sink") = (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+      val wh = new graft.sources.AtomicWarehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-streamsink-").toString)
+      val maxKey = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      val qtr = maxKey / 4
+      def band(i: Int): DataFrame =
+        if (i == 0) orders.filter(col("o_orderkey") < qtr)
+        else if (i == 3) orders.filter(col("o_orderkey") >= qtr * 3)
+        else orders.filter(col("o_orderkey") >= qtr * i &&
+          col("o_orderkey") < qtr * (i + 1))
+      require(wh.appendOnce("facts/orders", "etl", 0L, band(0).coalesce(1)))
+      require(wh.appendOnce("facts/orders", "etl", 1L, band(1).coalesce(1)))
+      val replay1Skipped = !wh.appendOnce("facts/orders", "etl", 1L, band(1).coalesce(1))
+      require(wh.appendOnce("facts/orders", "etl", 2L, band(2).coalesce(1)))
+      val replay0Skipped = !wh.appendOnce("facts/orders", "etl", 0L, band(0).coalesce(1))
+      require(wh.appendOnce("facts/orders", "etl", 3L, band(3).coalesce(1)))
+      // real stream: the new streaming SOURCE feeding the new SINK
+      val cat = s"gsql${sqlCatSeq.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sql.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh.root)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-streamsink-ckpt-").toString
+      val q = s.readStream.option("startingVersion", "0")
+        .table(s"$cat.facts.orders")
+        .writeStream.foreachBatch { (df: DataFrame, id: Long) =>
+          wh.appendOnce("facts/sink", "mirror", id, df); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      require(q.awaitTermination(graft.GraftSession.streamDrainTimeoutMs),
+        "etl_stream_sink: stream did not drain in time")
+      val src = wh.read("facts/orders", orders.schema)
+        .agg(count(lit(1)).as("src_n"), sum(col("o_orderkey")).as("src_key_sum")).head()
+      val sink = wh.read("facts/sink", orders.schema)
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("s")).head()
+      Seq((replay1Skipped, replay0Skipped, src.getLong(0), src.getLong(1),
+          sink.getLong(0), sink.getLong(1)))
+        .toDF("replay1_skipped", "replay0_skipped", "src_n", "src_key_sum",
+          "sink_n", "sink_key_sum")
+        .orderBy(col("src_n"))
+    }
+
     // ---- SQL DML outside the FilePred algebra (the fallback rewrite):
     // DELETE with a LIKE leg — the translatable o_orderkey conjunct prunes
     // to the top band, the exact condition decides the rows — then an
@@ -4541,6 +4592,18 @@ object SparkEntry {
         | CAST((SELECT count(*) FROM orders, m WHERE o_orderkey < m.q) AS BIGINT)
         |   AS restored_n
         |ORDER BY live_n""".stripMargin,
+
+    // streaming sink: all four bands landed exactly once despite two
+    // replays (skipped literals), and the source→foreachBatch(appendOnce)
+    // mirror carries the identical rows
+    "etl_stream_sink" ->
+      """SELECT TRUE AS replay1_skipped, TRUE AS replay0_skipped,
+        | CAST(count(*) AS BIGINT) AS src_n,
+        | CAST(sum(o_orderkey) AS BIGINT) AS src_key_sum,
+        | CAST(count(*) AS BIGINT) AS sink_n,
+        | CAST(sum(o_orderkey) AS BIGINT) AS sink_key_sum
+        |FROM orders
+        |ORDER BY src_n""".stripMargin,
 
     // streaming source: phase 1 replayed the whole table (4 bands), the
     // checkpoint resume appended exactly the extra low slice — counts and

@@ -150,7 +150,8 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       constraints: Map[(String, String), String] = Map.empty,
       fks: Map[(String, String), String] = Map.empty,
       uniques: Map[(String, String), String] = Map.empty,
-      cdffloor: Map[String, Int] = Map.empty)
+      cdffloor: Map[String, Int] = Map.empty,
+      txns: Map[(String, String), Long] = Map.empty)
 
   /** A fold races concurrent folds from OTHER instances: their snapshot
     * publish happens BEFORE they delete the superseded manifests, so when a
@@ -213,6 +214,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     var fks = Map.empty[(String, String), String]
     var uniques = Map.empty[(String, String), String]
     var cdffloor = Map.empty[String, Int]
+    var txns = Map.empty[(String, String), Long]
     cfs.foreach { cf =>
       readLines(cf).foreach { line =>
         // limit 4: a schema line's third field and a stats line's fourth are
@@ -313,12 +315,20 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
             // commit wall-clock millis, first line of every manifest —
             // read per manifest by versionAtTimestamp/commitHistory (time
             // travel that survives a warehouse copy); no folded state
+          case "txn" =>
+            // per-(table, appId) streaming-write high-water batch id
+            // (Delta's txn action — appendOnce's exactly-once ledger);
+            // MAX wins (batch ids ascend; max is replay-robust), empty
+            // clears (delete(table))
+            if (f.length < 4 || f(3).isEmpty) txns -= ((f(1), f(2)))
+            else txns += ((f(1), f(2)) ->
+              math.max(txns.getOrElse((f(1), f(2)), Long.MinValue), f(3).toLong))
           case other => throw new IllegalStateException(s"unknown txlog action '$other' in $cf")
         }
       }
     }
     val st = LogState(adds, truncated, schemas, stats, cluster, colmap, dvs, cdf,
-      blooms, bloomcols, constraints, fks, uniques, cdffloor)
+      blooms, bloomcols, constraints, fks, uniques, cdffloor, txns)
     if (updateCache) foldCache = (key, st)
     st
   }
@@ -578,6 +588,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     var fkMap = Map.empty[(String, String), String]
     var uniqueMap = Map.empty[(String, String), String]
     var cdffloorMap = Map.empty[String, String]
+    var txnMap = Map.empty[(String, String), Long]
     parsed.foreach { l =>
       if (l.startsWith("schema\t")) {
         val f = l.split("\t", 3); schemaMap += (f(1) -> f(2))
@@ -617,6 +628,14 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
         val f = l.split("\t", 3)
         if (f.length < 3 || f(2).isEmpty) cdffloorMap -= f(1)
         else cdffloorMap += (f(1) -> f(2))
+      } else if (l.startsWith("txn\t")) {
+        // same max-wins/clear semantics as the fold — dropping these from a
+        // snapshot would re-admit every replayed stream batch after the
+        // 65th commit (the fold-amnesia bug class)
+        val f = l.split("\t", 4)
+        if (f.length < 4 || f(3).isEmpty) txnMap -= ((f(1), f(2)))
+        else txnMap += ((f(1), f(2)) ->
+          math.max(txnMap.getOrElse((f(1), f(2)), Long.MinValue), f(3).toLong))
       }
     }
     // ALL truncate lines precede ALL add lines. Truncate applies by PREFIX,
@@ -636,6 +655,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       fkMap.toSeq.sortBy(_._1).map { case ((t, n), d) => s"fk\t$t\t$n\t$d" } ++
       uniqueMap.toSeq.sortBy(_._1).map { case ((t, n), c) => s"unique\t$t\t$n\t$c" } ++
       cdffloorMap.toSeq.sortBy(_._1).map { case (t, v) => s"cdffloor\t$t\t$v" } ++
+      txnMap.toSeq.sortBy(_._1).map { case ((t, a), b) => s"txn\t$t\t$a\t$b" } ++
       tables.flatMap(t => visibleNow(t).flatMap(f =>
         statsMap.get((t, f)).map(j => s"stats\t$t\t$f\t$j"))) ++
       tables.flatMap(t => visibleNow(t).flatMap(f =>
@@ -1066,6 +1086,10 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
             .foreach { case (t, n) => lines += s"fk\t$t\t$n\t" }
           st.uniques.keys.filter(k => under(k._1))
             .foreach { case (t, n) => lines += s"unique\t$t\t$n\t" }
+          // a dropped-and-recreated table must not inherit a streaming
+          // high-water (it would silently skip a new stream's early batches)
+          st.txns.keys.filter(k => under(k._1))
+            .foreach { case (t, a) => lines += s"txn\t$t\t$a\t" }
         }
       }
       e.removes.foreach(f => lines += s"remove\t${e.table}\t$f")
@@ -1392,6 +1416,51 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       val m = colMapOf(table)
       StructType(sch.fields.map(f => f.copy(name = m.getOrElse(f.name, f.name))))
     }
+
+  /** EXACTLY-ONCE streaming append (Delta's `txn` action) — the
+    * `foreachBatch` sink:
+    *
+    * {{{
+    * stream.writeStream.foreachBatch { (df, batchId) =>
+    *   wh.appendOnce("facts/t", "my-stream", batchId, df); ()
+    * }
+    * }}}
+    *
+    * The (appId, batchId) high-water rides the SAME manifest commit as the
+    * data files, so a batch either lands with its ledger entry or neither
+    * (a crash between them cannot exist) and a REPLAYED batch — Structured
+    * Streaming re-runs the last uncommitted batch after every recovery —
+    * is a metadata-only no-op (returns false). Batch ids must ascend per
+    * appId (the Structured Streaming contract); the high-water keeps the
+    * MAX seen. Single-writer per (table, appId) — two concurrent writers
+    * replaying the same id is the same check-then-commit caveat as UNIQUE
+    * keys, and one active query per checkpoint is Spark's own invariant.
+    * Invariants (CHECK/FK/UNIQUE) and the change feed bind the append
+    * exactly as [[Warehouse.append]]. `delete(table)` clears the ledger
+    * (a re-created table must not skip a new stream's early batches).
+    */
+  def appendOnce(table: String, appId: String, batchId: Long,
+      df: DataFrame): Boolean = {
+    require(appId.nonEmpty && !appId.exists(c => c == '\t' || c == '\n'),
+      s"appId '$appId' is empty or contains TSV control characters")
+    require(batchId >= 0L, s"batchId must be non-negative, got $batchId")
+    if (foldedState().txns.get((table, appId)).exists(_ >= batchId)) return false
+    atomically {
+      case tv: TxView =>
+        tv.append(table, df)
+        tv.manifestLines(table, Seq(s"txn\t$table\t$appId\t$batchId"),
+          requirePresent = Nil, dvExpected = Nil)
+      case w => throw new IllegalStateException( // unreachable: atomically hands a TxView
+        s"AtomicWarehouse.atomically produced a ${w.getClass.getName}")
+    }
+    true
+  }
+
+  /** The last batch id [[appendOnce]] committed for (table, appId) — what
+    * a monitoring loop asks to see how far a stream got; None before any.
+    */
+  def lastCommittedBatch(table: String, appId: String): Option[Long] =
+    foldedState().txns.get((table, appId))
 
   /** Restore `table` to its state as of commit `version`, as a NEW commit —
     * the RESTORE shape of the pointer-commit formats this rebuilds: the old

@@ -37,7 +37,7 @@ object GraftProcedures {
 
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(SystemNs))
-      Array("optimize", "vacuum", "restore", "history", "purge_changes")
+      Array("optimize", "vacuum", "restore", "history", "purge_changes", "detail")
         .map(Identifier.of(SystemNs, _))
     else Array.empty
 
@@ -117,6 +117,27 @@ object GraftProcedures {
             .map { case (v, snap, ms, n) => InternalRow(v, snap, ms, n) }
         }
       }
+      case "detail" => new Proc("detail",
+        Seq(ProcedureParameter.in("table", StringType).build()),
+        StructType(Seq(StructField("files", IntegerType),
+          StructField("bytes", LongType),
+          StructField("rows", LongType),
+          StructField("files_with_stats", IntegerType),
+          StructField("schema_width", IntegerType),
+          StructField("head_version", IntegerType),
+          StructField("dv_files", IntegerType),
+          StructField("dv_rows", LongType),
+          StructField("change_feed", BooleanType),
+          StructField("cluster_cols", StringType),
+          StructField("bloom_cols", StringType)))) {
+        override def exec(in: InternalRow): Seq[InternalRow] = {
+          val d = wh.describe(tbl(in.getUTF8String(0).toString))
+          Seq(InternalRow(d.files, d.bytes, d.rows, d.filesWithStats,
+            d.schemaWidth, d.headVersion, d.dvFiles, d.dvRows, d.changeFeed,
+            UTF8String.fromString(d.clusterCols.mkString(",")),
+            UTF8String.fromString(d.bloomCols.mkString(","))))
+        }
+      }
       case "purge_changes" => new Proc("purge_changes",
         Seq(ProcedureParameter.in("table", StringType).build(),
           ProcedureParameter.in("below_version", IntegerType).build()),
@@ -128,7 +149,7 @@ object GraftProcedures {
       }
       case other => throw new IllegalArgumentException(
         s"no procedure 'system.$other' — " +
-          "optimize | vacuum | restore | history | purge_changes")
+          "optimize | vacuum | restore | history | purge_changes | detail")
     }
   }
 

@@ -310,6 +310,36 @@ class AtomicWarehouseSpec extends SparkSpec {
     assert(locks == 0, s"$locks claim files leaked")
   }
 
+  test("appendOnce: replayed stream batches are exactly-once; ledger survives folds, clears on delete") {
+    val wh = new AtomicWarehouse(spark,
+      Files.createTempDirectory("graft-aw-txn-").toString)
+    def batch(lo: Long, hi: Long) = (lo until hi).map(i => (i, s"v$i")).toDF("id", "v")
+    assert(wh.appendOnce("t", "app", 0L, batch(0, 10)))
+    assert(wh.appendOnce("t", "app", 1L, batch(10, 20)))
+    // replays — Structured Streaming re-runs the last uncommitted batch
+    // after recovery — are metadata-only no-ops
+    assert(!wh.appendOnce("t", "app", 1L, batch(10, 20)))
+    assert(!wh.appendOnce("t", "app", 0L, batch(0, 10)))
+    assert(wh.appendOnce("t", "app", 2L, batch(20, 30)))
+    assert(wh.read("t", kv).count() == 30L)
+    assert(wh.lastCommittedBatch("t", "app").contains(2L))
+    // independent appIds don't share a high-water
+    assert(wh.appendOnce("t", "other", 0L, batch(100, 105)))
+    assert(wh.read("t", kv).count() == 35L)
+    // the ledger survives a fold-to-snapshot (the fold-amnesia bug class)
+    wh.vacuum(olderThanMs = 0L)
+    val wh2 = new AtomicWarehouse(spark, wh.root)
+    assert(wh2.lastCommittedBatch("t", "app").contains(2L))
+    assert(!wh2.appendOnce("t", "app", 2L, batch(20, 30)))
+    assert(wh2.read("t", kv).count() == 35L)
+    // delete(table) clears it: a re-created table must not skip a new
+    // stream's early batches
+    wh2.delete("t")
+    assert(wh2.lastCommittedBatch("t", "app").isEmpty)
+    assert(wh2.appendOnce("t", "app", 0L, batch(0, 5)))
+    assert(wh2.read("t", kv).count() == 5L)
+  }
+
   test("inferSchema sees manifest-visible files only, and None after truncate") {
     val wh = new AtomicWarehouse(spark, Files.createTempDirectory("graft-aw-schema-").toString)
     wh.append("t", Seq((1L, "a")).toDF("id", "v"))

@@ -333,6 +333,9 @@ class SqlCatalogSpec extends SparkSpec {
     assert(hist.length == 5, hist.mkString(","))
     assert(hist.map(_.getAs[Int]("version")).toSeq == hist.map(_.getAs[Int]("version")).toSeq.sorted)
     assert(hist.forall(_.getAs[Long]("commit_ms") > 0))
+    // DESCRIBE DETAIL from SQL: metadata-only table facts
+    val det = spark.sql(s"CALL $cat.system.detail('facts.t')").head()
+    assert(det.getAs[Int]("files") == 1 && det.getAs[Long]("rows") == 400L, det.toString)
     // restore rewinds; vacuum reclaims the compacted-away files
     val v1 = hist.head.getAs[Int]("version")
     spark.sql(s"CALL $cat.system.restore('facts.t', $v1)")
