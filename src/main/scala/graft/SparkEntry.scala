@@ -1821,6 +1821,37 @@ object SparkEntry {
         .orderBy(col("n"))
     }
 
+    // ---- the CHANGE FEED as a streaming source (graft-cdf, Delta's
+    // readChangeFeed shape): row-level CDC where the append-only table
+    // stream refuses — appends stream as insert rows, the recorded DML
+    // slice as its delete rows, each labeled with its commit version.
+    // One AvailableNow drain replays the window from genesis; the result
+    // aggregates per change type against the oracle's restatement
+    q("etl_stream_changes") = (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+      val (wh, _) = bandedOrdersWh(s, orders, "streamcdf")
+      wh.setChangeFeed("facts/orders", on = true)
+      val delKeys = orders.filter(col("o_orderkey") % 101 === 0)
+        .select(col("o_orderkey")).collect().map(_.getLong(0)).toSeq
+      wh.deleteWhere("facts/orders", orders.schema,
+        Seq(graft.sources.ColIn("o_orderkey", delKeys)))
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-streamcdf-ckpt-").toString
+      val out = java.nio.file.Files.createTempDirectory("graft-streamcdf-out-").toString
+      val q = s.readStream.format("graft-cdf")
+        .option("root", wh.root).option("table", "facts/orders")
+        .option("startingVersion", "0").load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      require(q.awaitTermination(graft.GraftSession.streamDrainTimeoutMs),
+        "etl_stream_changes: stream did not drain in time")
+      s.read.parquet(out)
+        .groupBy(col("_change_type"))
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+        .orderBy(col("_change_type"))
+    }
+
     // ---- exactly-once streaming SINK (Delta's txn action): appendOnce
     // commits each batch's data files and its (appId, batchId) high-water
     // in ONE manifest — replayed batches (Structured Streaming re-runs the
@@ -4592,6 +4623,18 @@ object SparkEntry {
         | CAST((SELECT count(*) FROM orders, m WHERE o_orderkey < m.q) AS BIGINT)
         |   AS restored_n
         |ORDER BY live_n""".stripMargin,
+
+    // CDF streaming source: the four appends stream as inserts, the
+    // scattered delete's slice as its delete rows
+    "etl_stream_changes" ->
+      """SELECT * FROM (
+        | SELECT 'delete' AS _change_type,
+        |  CAST(count(*) AS BIGINT) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        | FROM orders WHERE o_orderkey % 101 = 0
+        | UNION ALL
+        | SELECT 'insert', CAST(count(*) AS BIGINT), CAST(sum(o_orderkey) AS BIGINT)
+        | FROM orders
+        |) ORDER BY _change_type""".stripMargin,
 
     // streaming sink: all four bands landed exactly once despite two
     // replays (skipped literals), and the source→foreachBatch(appendOnce)

@@ -3205,7 +3205,38 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
         "the change window is no longer reconstructible")
     val ct = cdfSchema(schema)
     val vCol = "_commit_version"
-    val slices = window.filterNot(isSnapshot).flatMap { cf =>
+    val slices = cdfWindowFiles(table, fromVersion, toVersion).map {
+      case (v, files, isSlice) =>
+        if (isSlice)
+          readFiles(chT, ct, files, dvOpt = Some(Map.empty)).withColumn(vCol, lit(v))
+        else
+          readFiles(table, schema, files,
+              Some(parseColMap(stateAt(v).colmap.get(table))), Some(Map.empty))
+            .withColumn(changeTypeCol, lit("insert"))
+            .withColumn(vCol, lit(v))
+    }
+    if (slices.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(ct.fields.toSeq :+
+          StructField(vCol, org.apache.spark.sql.types.IntegerType, nullable = false)))
+    else slices.reduce(_ unionByName _)
+  }
+
+  /** The change feed's per-version file plan for (`fromVersion`,
+    * `toVersion`]: (version, rel files, isSlice) — isSlice files are
+    * recorded change-slice rows (under `<table>/_changes`, already
+    * carrying `_change_type`), non-slice files are plain appended data
+    * files (every row an `insert`). The classification and every refusal
+    * (truncate in window, un-recorded rewrite, vacuumed slice/data files,
+    * cdfnoop transparency) is [[changesBetween]]'s — this is its planning
+    * half, shared with the CDF streaming source.
+    */
+  private[graft] def cdfWindowFiles(table: String, fromVersion: Int,
+      toVersion: Int): Seq[(Int, Seq[String], Boolean)] = {
+    val chT = changesTable(table)
+    val window = commitFiles()
+      .filter(p => versionOf(p) > fromVersion && versionOf(p) <= toVersion)
+    window.filterNot(isSnapshot).flatMap { cf =>
       val v = versionOf(cf)
       var dataAdds = Vector.empty[String]
       var cdfAdds = Vector.empty[String]
@@ -3236,8 +3267,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
         if (goneCdf.nonEmpty) throw new IllegalStateException(
           s"version $v of $table lost ${goneCdf.size} change-slice files to vacuum; " +
             "the change window is no longer reconstructible")
-        Some(readFiles(chT, ct, cdfAdds, dvOpt = Some(Map.empty))
-          .withColumn(vCol, lit(v)))
+        Some((v, cdfAdds: Seq[String], true))
       } else if (rowLevel) {
         throw new IllegalStateException(
           s"version $v of $table is a row-level rewrite with no recorded " +
@@ -3247,18 +3277,36 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
         val gone = dataAdds.filterNot(f2 => fs.exists(new Path(s"${path(table)}/$f2")))
         if (gone.nonEmpty) throw new IllegalStateException(
           s"version $v of $table lost ${gone.size} data files to vacuum")
-        Some(readFiles(table, schema, dataAdds,
-            Some(parseColMap(stateAt(v).colmap.get(table))), Some(Map.empty))
-          .withColumn(changeTypeCol, lit("insert"))
-          .withColumn(vCol, lit(v)))
+        Some((v, dataAdds: Seq[String], false))
       } else None
     }
-    if (slices.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(ct.fields.toSeq :+
-          StructField(vCol, org.apache.spark.sql.types.IntegerType, nullable = false)))
-    else slices.reduce(_ unionByName _)
   }
+
+  /** The CDF stream's window guards — the floor/vacuum refusals
+    * [[changesBetween]] performs before its walk, callable by the
+    * streaming source per batch.
+    */
+  private[graft] def cdfWindowGuards(table: String, fromVersion: Int,
+      toVersion: Int): Unit = {
+    val floor = foldedState().cdffloor.getOrElse(table, 0)
+    if (fromVersion + 1 < floor) throw new IllegalStateException(
+      s"the change feed of $table was purged below version $floor " +
+        s"(retention); the window ($fromVersion,$toVersion] is no longer " +
+        "replayable — reseed from a snapshot (readAt/seed) and resume from " +
+        s"version ${floor - 1}")
+    val have = commitFiles()
+      .filter(p => versionOf(p) > fromVersion && versionOf(p) <= toVersion)
+      .map(versionOf)
+    val missing = ((fromVersion + 1) to toVersion).filterNot(have.contains)
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"manifests ${missing.mkString(",")} in ($fromVersion,$toVersion] were vacuumed; " +
+        "the change window is no longer reconstructible")
+  }
+
+  /** Tables and paths the CDF streaming source needs (package seams). */
+  private[graft] def changesTableOf(table: String): String = changesTable(table)
+  private[graft] def cdfSchemaOf(schema: StructType): StructType = cdfSchema(schema)
+  private[graft] def changeFeedOn(table: String): Boolean = changeFeedEnabled(table)
 
   /** The earliest commit version whose recorded changes remain replayable
     * (0 until a purge raises it); the minimum usable `fromVersion` is one

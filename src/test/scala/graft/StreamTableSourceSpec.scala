@@ -107,6 +107,44 @@ class StreamTableSourceSpec extends SparkSpec {
     assert(got == Seq((1L, "a"), (2L, "b")), s"got $got")
   }
 
+  test("graft-cdf streams row-level CDC: inserts + DML slices, maintenance invisible, resume exact") {
+    val (wh, _) = fixture()
+    wh.setChangeFeed("facts/t", on = true)
+    wh.append("facts/t", Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    wh.deleteWhere("facts/t", kv, Seq(graft.sources.ColEq("id", 2L)))
+    wh.updateWhere("facts/t", kv, Seq(graft.sources.ColEq("id", 3L)),
+      Seq("v" -> upper(col("v"))))
+    val ckpt = Files.createTempDirectory("graft-cdf-ckpt-").toString
+    val out = Files.createTempDirectory("graft-cdf-out-").toString
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-cdf")
+        .option("root", wh.root).option("table", "facts/t")
+        .option("startingVersion", "0").load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(GraftSession.streamDrainTimeoutMs))
+    }
+    drain()
+    def byType(): Map[String, Long] = spark.read.parquet(out)
+      .groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType() == Map("insert" -> 3L, "delete" -> 1L,
+      "update_preimage" -> 1L, "update_postimage" -> 1L), byType().toString)
+    // row-preserving maintenance (cdfnoop) is invisible; the resume then
+    // delivers exactly the next DML's changes
+    wh.compactSmall("facts/t", kv, minBytes = 1L << 20)
+    wh.deleteWhereDv("facts/t", kv, Seq(graft.sources.ColEq("id", 1L)))
+    drain()
+    assert(byType() == Map("insert" -> 3L, "delete" -> 2L,
+      "update_preimage" -> 1L, "update_postimage" -> 1L), byType().toString)
+    // commit versions label every row; the pre/post images share one
+    val vers = spark.read.parquet(out)
+      .filter(col("_change_type").startsWith("update"))
+      .select("_commit_version").distinct().count()
+    assert(vers == 1L)
+  }
+
   test("non-append windows refuse instead of replaying or dropping rows") {
     val (wh, cat) = fixture()
     wh.append("facts/t", (0L until 50L).map(i => (i, s"v$i")).toDF("id", "v"))
