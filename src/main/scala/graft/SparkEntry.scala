@@ -2067,6 +2067,56 @@ object SparkEntry {
         .orderBy(col("n_nations"))
     }
 
+    // ---- COMPOSITE foreign keys: the reference's Provider_Product keys on
+    // the (ProductId, ProviderId) PAIR (database_schema.mmd) — the tuple is
+    // the key, not the columns. The fixture derives a pair-keyed parent
+    // from nation ((n, 2n+1)) so a CROSS pair (3, 9) has both values live
+    // per-column while the pair is absent — per-column enforcement would
+    // wrongly admit it; the tuple probe refuses. RESTRICT and the
+    // child-first release are pair-exact. Oracle restates the final state.
+    q("etl_fk_composite") = (s, dir) => {
+      import s.implicits._
+      val nation = t(s, dir, "nation")
+      val customer = t(s, dir, "customer")
+      val wh = new graft.sources.AtomicWarehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-fkc-").toString)
+      val pairs = nation.select(col("n_nationkey").as("a"),
+        (col("n_nationkey") * 2 + 1).as("b"), col("n_name"))
+      val children = customer.select(col("c_custkey"),
+        col("c_nationkey").as("a"), (col("c_nationkey") * 2 + 1).as("b"),
+        col("c_acctbal"))
+      wh.append("dim/pairs", pairs.coalesce(1))
+      wh.append("fact/c", children.coalesce(1))
+      wh.addForeignKey("fact/c", Seq("a", "b"), "dim/pairs", Seq("a", "b"),
+        "fk_pair")
+      val refusedPair = // (3, 9): both values live per-column, pair absent
+        try {
+          wh.append("fact/c", Seq((999999L, 3L, 9L, 0.0))
+            .toDF("c_custkey", "a", "b", "c_acctbal"))
+          false
+        } catch { case _: IllegalArgumentException => true }
+      val refusedDelete = // the referenced pair (3, 7) RESTRICTs
+        try {
+          wh.deleteWhere("dim/pairs", pairs.schema,
+            Seq(graft.sources.ColEq("a", 3L), graft.sources.ColEq("b", 7L)))
+          false
+        } catch { case _: IllegalArgumentException => true }
+      val deletedChildren = wh.deleteWhere("fact/c", children.schema,
+        Seq(graft.sources.ColEq("a", 3L)))
+      val deletedParent = wh.deleteWhere("dim/pairs", pairs.schema,
+        Seq(graft.sources.ColEq("a", 3L), graft.sources.ColEq("b", 7L)))
+      val fin = wh.read("fact/c", children.schema)
+        .agg(count(lit(1)).as("n_children"),
+          sum(round(col("c_acctbal") * 100).cast(LongType)).as("cents"))
+        .head()
+      Seq((wh.read("dim/pairs", pairs.schema).count(),
+          fin.getLong(0), fin.getLong(1),
+          refusedPair, refusedDelete, deletedChildren, deletedParent))
+        .toDF("n_pairs", "n_children", "cents", "refused_pair",
+          "refused_delete", "deleted_children", "deleted_parent")
+        .orderBy(col("n_pairs"))
+    }
+
     // ---- UNIQUE constraints, the third declared invariant: a duplicate
     // append refuses, while MERGE — the upsert that candidates every file
     // sharing its keys — updates in place and inserts fresh keys without
@@ -5054,6 +5104,20 @@ object SparkEntry {
       """SELECT CAST((SELECT count(*) FROM nation) - 1 AS BIGINT) AS n_nations,
         | CAST((SELECT count(*) FROM customer WHERE c_nationkey <> 3) AS BIGINT) AS n_customers,
         | TRUE AS refused_insert,
+        | TRUE AS refused_delete,
+        | CAST((SELECT count(*) FROM customer WHERE c_nationkey = 3) AS BIGINT) AS deleted_children,
+        | CAST(1 AS BIGINT) AS deleted_parent""".stripMargin,
+
+    // pair-keyed final state: nation minus the child-first-deleted pair,
+    // customer minus nation-3 children; the refused CROSS pair (live
+    // per-column, absent as a tuple) and the RESTRICTed pair delete
+    // contributed nothing
+    "etl_fk_composite" ->
+      """SELECT CAST((SELECT count(*) FROM nation) - 1 AS BIGINT) AS n_pairs,
+        | CAST((SELECT count(*) FROM customer WHERE c_nationkey <> 3) AS BIGINT) AS n_children,
+        | CAST((SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT))
+        |       FROM customer WHERE c_nationkey <> 3) AS BIGINT) AS cents,
+        | TRUE AS refused_pair,
         | TRUE AS refused_delete,
         | CAST((SELECT count(*) FROM customer WHERE c_nationkey = 3) AS BIGINT) AS deleted_children,
         | CAST(1 AS BIGINT) AS deleted_parent""".stripMargin,

@@ -876,11 +876,12 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     // deletion vectors frees its parent without waiting for compaction;
     // unknown (-1: stats gaps) stays a conservative refusal.
     private def fkRefuseTruncate(table: String, op: String): Unit =
-      referencingFks(table).foreach { case (child, name, cCol, pCol) =>
+      referencingFks(table).foreach { case (child, name, cCols, pCols) =>
         val childEmpty = committedOrPhysical(child).isEmpty ||
           describe(child).rows == 0L
         if (!childEmpty) throw new IllegalArgumentException(
-          s"FOREIGN KEY '$name' ($child.$cCol -> $table.$pCol) RESTRICTs " +
+          s"FOREIGN KEY '$name' ($child.(${cCols.mkString(",")}) -> " +
+            s"$table.(${pCols.mkString(",")})) RESTRICTs " +
             s"$op of $table while the child holds rows; delete the child " +
             "first or dropForeignKey")
       }
@@ -1373,6 +1374,23 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       fromVersion: Int, toVersion: Int): Seq[String] = {
     require(fromVersion <= toVersion, s"fromVersion $fromVersion > toVersion $toVersion")
     if (fromVersion == toVersion) return Nil
+    appendWindowGuard(table, fromVersion, toVersion)
+    val before = stateAt(fromVersion).adds.getOrElse(table, Vector.empty).toSet
+    val added = stateAt(toVersion).adds.getOrElse(table, Vector.empty)
+      .filterNot(before)
+    val gone = added.filterNot(f => fs.exists(new Path(s"${path(table)}/$f")))
+    if (gone.nonEmpty) throw new IllegalStateException(
+      s"window ($fromVersion,$toVersion] of $table lost ${gone.size} data files to vacuum")
+    added
+  }
+
+  /** The append-only-window refusals shared by [[appendedFilesBetween]] and
+    * [[appendedFilesByVersion]]: a vacuumed manifest inside the window
+    * (contiguous version allocation makes any hole one), or a
+    * truncate/rewrite/DV delete of `table` (file diff != row diff there).
+    */
+  private def appendWindowGuard(table: String,
+      fromVersion: Int, toVersion: Int): Seq[Path] = {
     val window = commitFiles()
       .filter(p => versionOf(p) > fromVersion && versionOf(p) <= toVersion)
     // versions are allocated contiguously (publish CAS), so any hole in the
@@ -1392,13 +1410,79 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     if (truncatedInWindow) throw new IllegalStateException(
       s"$table was truncated or row-rewritten inside ($fromVersion,$toVersion]; " +
         "the window is not append-only and file diff != row diff")
+    window
+  }
+
+  /** [[appendedFilesBetween]] split per commit version, in manifest line
+    * order — what the streaming source's admission control walks to cap a
+    * micro-batch MID-version ((version, index) offsets, Delta's shape). The
+    * same window refusals apply; the per-file existence probe is
+    * deliberately absent (the scan task fails loudly on a vacuumed file —
+    * a planner that stat-ed every backlog file serially on the driver is
+    * exactly what this replaces).
+    */
+  private[graft] def appendedFilesByVersion(table: String,
+      fromVersion: Int, toVersion: Int): Seq[(Int, Vector[String])] = {
+    require(fromVersion <= toVersion, s"fromVersion $fromVersion > toVersion $toVersion")
+    if (fromVersion == toVersion) return Nil
+    val window = appendWindowGuard(table, fromVersion, toVersion)
     val before = stateAt(fromVersion).adds.getOrElse(table, Vector.empty).toSet
-    val added = stateAt(toVersion).adds.getOrElse(table, Vector.empty)
-      .filterNot(before)
-    val gone = added.filterNot(f => fs.exists(new Path(s"${path(table)}/$f")))
-    if (gone.nonEmpty) throw new IllegalStateException(
-      s"window ($fromVersion,$toVersion] of $table lost ${gone.size} data files to vacuum")
-    added
+    val after = stateAt(toVersion).adds.getOrElse(table, Vector.empty).toSet
+    val seen = scala.collection.mutable.Set.empty[String] ++ before
+    window.filterNot(isSnapshot).map { cf =>
+      val files = readLines(cf).flatMap { line =>
+        val f = line.split("\t", 4)
+        if (f(0) == "add" && f(1) == table && after.contains(f(2)) && seen.add(f(2)))
+          Some(f(2))
+        else None
+      }
+      versionOf(cf) -> files.toVector
+    }.filter(_._2.nonEmpty)
+  }
+
+  /** Filesystem metadata calls made while PLANNING streaming micro-batches
+    * (instrumentation: the admission-control spec pins this at ZERO when
+    * every window file carries manifest-recorded bytes — at 100 TB a
+    * genesis replay must plan from the log, never from serial driver RPCs).
+    */
+  private[graft] val streamPlanFsCalls = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Byte sizes for `files` of `table`, from the manifest's stats lines
+    * (recorded at commit time since round 15). Files whose lines predate
+    * size recording fall back to ONE directory listing (flat layouts — the
+    * streaming tables' shape), or a per-file status probe for
+    * partition-dir leaves; both fallbacks count into
+    * [[streamPlanFsCalls]].
+    */
+  private[graft] def streamFileSizes(table: String, files: Seq[String],
+      asOfVersion: Int): Map[String, Long] = {
+    if (files.isEmpty) return Map.empty
+    val stats = stateAt(asOfVersion).stats
+    val recorded = files.flatMap { f =>
+      stats.get((table, f)).map(FileStatsRec.bytesOf).filter(_ >= 0L).map(f -> _)
+    }.toMap
+    val rest = files.filterNot(recorded.contains)
+    if (rest.isEmpty) return recorded
+    val dir = new Path(path(table))
+    val (flat, nested) = rest.partition(!_.contains("/"))
+    val listed: Map[String, Long] =
+      if (flat.isEmpty) Map.empty
+      else {
+        streamPlanFsCalls.incrementAndGet()
+        val wanted = flat.toSet
+        fs.listStatus(dir).iterator.filter(_.isFile)
+          .filter(s => wanted.contains(s.getPath.getName))
+          .map(s => s.getPath.getName -> s.getLen).toMap
+      }
+    val missing = flat.filterNot(listed.contains)
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"streaming window of $table lost ${missing.size} data files to vacuum " +
+        s"(first: ${missing.head})")
+    val stated = nested.map { f =>
+      streamPlanFsCalls.incrementAndGet()
+      f -> fs.getFileStatus(new Path(s"${path(table)}/$f")).getLen
+    }.toMap
+    recorded ++ listed ++ stated
   }
 
   /** Current head commit version (0 before any commit) — the streaming
@@ -1758,13 +1842,15 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
   private val fkProbeLimit = 10000
 
   /** The table's declared foreign keys (it is the CHILD/referencing side):
-    * name → (childCol, parentTable, parentCol). Referential integrity is
-    * enforced BOTH ways, batch-sized: rows entering the child must
-    * reference live parent keys (NULL passes — SQL MATCH SIMPLE), and
+    * name → (childCols, parentTable, parentCols) — single OR COMPOSITE
+    * (the reference's Provider_Product (ProductId, ProviderId) pair key,
+    * `database_schema.mmd`). Referential integrity is enforced BOTH ways,
+    * batch-sized: rows entering the child must reference live parent keys
+    * (a row with ANY null key column passes — SQL MATCH SIMPLE), and
     * parent row-level deletes that would orphan a child reference refuse
     * (ON DELETE RESTRICT, the SQL default). The parent key is assumed
     * unique (the FK contract everywhere; not enforced here — declare a
-    * CHECK or run dedup if the source can violate it). `restore` is an
+    * UNIQUE or run dedup if the source can violate it). `restore` is an
     * admin rewind and does not re-prove children; writes re-enforce after.
     *
     * Isolation: the probe-then-commit window is CLOSED by cross-table
@@ -1775,29 +1861,50 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     * (single-op writes retry internally). Parent APPENDS never conflict
     * with child writes: keys can only be added.
     */
-  def foreignKeysOf(child: String): Map[String, (String, String, String)] =
+  def foreignKeysOf(child: String): Map[String, (Seq[String], String, Seq[String])] =
     foldedState().fks.collect { case ((t, n), d) if t == child =>
-      val p = d.split('|'); n -> (p(0), p(1), p(2))
+      n -> parseFkDesc(d)
     }
 
-  /** FKs whose PARENT side is `table`: (childTable, name, childCol, parentCol). */
-  private def referencingFks(table: String): Seq[(String, String, String, String)] =
+  // descriptor grammar: `c1[,c2...]|parentTable|p1[,p2...]` — commas are
+  // refused in key column names at declaration, so the split is exact
+  private def parseFkDesc(d: String): (Seq[String], String, Seq[String]) = {
+    val p = d.split('|')
+    (p(0).split(',').toSeq, p(1), p(2).split(',').toSeq)
+  }
+
+  /** FKs whose PARENT side is `table`: (childTable, name, childCols, parentCols). */
+  private def referencingFks(table: String)
+      : Seq[(String, String, Seq[String], Seq[String])] =
     foldedState().fks.collect { case ((c, n), d) if d.split('|')(1) == table =>
-      val p = d.split('|'); (c, n, p(0), p(2))
+      val (cc, _, pc) = parseFkDesc(d); (c, n, cc, pc)
     }.toSeq.sortBy(t => (t._1, t._2))
 
-  /** Declare a FOREIGN KEY: `child.childCol` references `parent.parentCol`
-    * — one metadata commit after validating the EXISTING child rows (one
-    * anti-join; vacuous when the child is absent/empty). Both tables must
-    * have manifest-recorded schemas once they hold rows (the check reads
-    * them by their recorded shape). Single-column keys only — the
-    * point-probe enforcement shape; composite keys are not supported.
-    */
+  /** Declare a single-column FOREIGN KEY — see the composite form. */
   def addForeignKey(child: String, childCol: String, parent: String,
-      parentCol: String, name: String): Unit = {
+      parentCol: String, name: String): Unit =
+    addForeignKey(child, Seq(childCol), parent, Seq(parentCol), name)
+
+  /** Declare a FOREIGN KEY: the `childCols` tuple of `child` references the
+    * `parentCols` tuple of `parent` — one metadata commit after validating
+    * the EXISTING child rows (one anti-join on the tuple; vacuous when the
+    * child is absent/empty). Both tables must have manifest-recorded
+    * schemas once they hold rows (the check reads them by their recorded
+    * shape). Composite keys probe tuple-aware: every key column
+    * contributes a stats/Bloom-prunable In-literal (the UNIQUE probe's
+    * shape), with the exact tuple match joined within the pruned slice.
+    */
+  def addForeignKey(child: String, childCols: Seq[String], parent: String,
+      parentCols: Seq[String], name: String): Unit = {
     require(child != parent, "self-referencing foreign keys are not supported")
-    Seq(name, childCol, parent, parentCol).foreach(s_ =>
-      require(s_.nonEmpty && !s_.exists(c => c == '\t' || c == '\n' || c == '|'),
+    require(childCols.nonEmpty && childCols.size == parentCols.size,
+      s"FOREIGN KEY '$name': ${childCols.size} child column(s) vs " +
+        s"${parentCols.size} parent column(s) — the tuples must align")
+    require(childCols.distinct.size == childCols.size,
+      s"FOREIGN KEY '$name' repeats a child column (${childCols.mkString(",")})")
+    (Seq(name, parent) ++ childCols ++ parentCols).foreach(s_ =>
+      require(s_.nonEmpty && !s_.exists(c =>
+        c == '\t' || c == '\n' || c == '|' || c == ','),
         s"'$s_' is empty or contains TSV/descriptor control characters"))
     val st = foldedState()
     val pSchemaJson = st.schemas.getOrElse(parent, throw new IllegalStateException(
@@ -1805,34 +1912,47 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
         "the log once before declaring a foreign key against it"))
     val pSchema = org.apache.spark.sql.types.DataType.fromJson(pSchemaJson)
       .asInstanceOf[StructType]
-    require(pSchema.fieldNames.contains(parentCol),
-      s"parent $parent has no column '$parentCol'")
+    parentCols.foreach(pc => require(pSchema.fieldNames.contains(pc),
+      s"parent $parent has no column '$pc'"))
     if (exists(child)) {
       val cSchemaJson = st.schemas.getOrElse(child, throw new IllegalStateException(
         s"child $child has rows but no manifest-recorded schema — write it " +
           "through the log once before declaring a foreign key on it"))
       val cSchema = org.apache.spark.sql.types.DataType.fromJson(cSchemaJson)
         .asInstanceOf[StructType]
-      require(cSchema.fieldNames.contains(childCol),
-        s"child $child has no column '$childCol'")
-      val (ct, pt) = (cSchema(childCol).dataType, pSchema(parentCol).dataType)
-      require(ct == pt,
-        s"foreign key type mismatch: $child.$childCol is $ct but " +
-          s"$parent.$parentCol is $pt — widen one side first")
-      val orphan = read(child, cSchema).select(col(childCol).as("__k"))
-        .filter(col("__k").isNotNull).distinct()
-        .join(read(parent, pSchema).select(col(parentCol).as("__k")).distinct(),
-          Seq("__k"), "left_anti")
+      childCols.foreach(cc => require(cSchema.fieldNames.contains(cc),
+        s"child $child has no column '$cc'"))
+      childCols.zip(parentCols).foreach { case (cc, pc) =>
+        val (ct, pt) = (cSchema(cc).dataType, pSchema(pc).dataType)
+        require(ct == pt,
+          s"foreign key type mismatch: $child.$cc is $ct but " +
+            s"$parent.$pc is $pt — widen one side first")
+      }
+      val keyed = fkKeyCols(childCols)
+      val orphan = read(child, cSchema).select(keyed: _*)
+        .filter(fkAllNotNull(childCols.size)).distinct()
+        .join(read(parent, pSchema).select(fkKeyCols(parentCols): _*).distinct(),
+          fkKeyNames(childCols.size), "left_anti")
         .limit(1).collect()
       if (orphan.nonEmpty) throw new IllegalArgumentException(
-        s"cannot add FOREIGN KEY '$name' ($child.$childCol -> " +
-          s"$parent.$parentCol): existing child rows reference missing " +
-          s"parent keys (first: ${orphan.head.get(0)})")
+        s"cannot add FOREIGN KEY '$name' ($child.(${childCols.mkString(",")}) -> " +
+          s"$parent.(${parentCols.mkString(",")})): existing child rows reference " +
+          s"missing parent keys (first: ${orphan.head.toSeq.mkString("(", ",", ")")})")
     }
-    val desc = s"$childCol|$parent|$parentCol"
+    val desc = s"${childCols.mkString(",")}|$parent|${parentCols.mkString(",")}"
     if (foldedState().fks.get((child, name)).contains(desc)) return
     publish(Seq(s"fk\t$child\t$name\t$desc"))
   }
+
+  // the tuple-keyed probe frames join on positional `__k<i>` names so a
+  // child/parent key width difference coerces inside the join (a
+  // driver-side Set diff would compare boxed Integer against Long and
+  // false-refuse) — the single-column `__k` convention, generalized
+  private def fkKeyCols(cols: Seq[String]): Seq[Column] =
+    cols.zipWithIndex.map { case (c, i) => col(c).as(s"__k$i") }
+  private def fkKeyNames(n: Int): Seq[String] = (0 until n).map(i => s"__k$i")
+  private def fkAllNotNull(n: Int): Column =
+    fkKeyNames(n).map(col(_).isNotNull).reduce(_ && _)
 
   /** Drop a declared foreign key — metadata-only, no-op when absent. */
   def dropForeignKey(child: String, name: String): Unit =
@@ -1939,29 +2059,37 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       stagedParent: (String, StructType) => Option[DataFrame]): Unit = {
     val fks = foreignKeysOf(table)
     if (fks.isEmpty) return
-    fks.toSeq.sortBy(_._1).foreach { case (name, (cCol, parent, pCol)) =>
+    fks.toSeq.sortBy(_._1).foreach { case (name, (cCols, parent, pCols)) =>
       val pSchema = recordedSchema(parent)
-      val batchKeys = df.select(col(cCol).as("__k")).filter(col("__k").isNotNull)
+      val n = cCols.size
+      val batchKeys = df.select(fkKeyCols(cCols): _*).filter(fkAllNotNull(n))
         .distinct()
-      val lits = batchKeys.limit(fkProbeLimit + 1).collect().map(_.get(0))
+      val lits = batchKeys.limit(fkProbeLimit + 1).collect()
       // membership always resolves through a JOIN (Spark coerces a child/
       // parent key width difference; a driver-side Set diff would compare
       // boxed Integer against Long and false-refuse) — the point-probe
-      // regime only narrows the parent SCAN to the ≤ cap key slice
-      val missing: Seq[Any] =
+      // regime only narrows the parent SCAN: under the cap EVERY key
+      // column contributes a stats/Bloom-prunable In-literal (tuple-aware,
+      // the UNIQUE probe's shape) and the exact tuple match joins within
+      // the pruned slice
+      val missing: Seq[String] =
         if (lits.isEmpty) Nil
         else {
           val pdf = stagedParent(parent, pSchema).getOrElse {
             if (lits.length <= fkProbeLimit)
-              scanWhere(parent, pSchema, Seq(ColIn(pCol, lits.toSeq)))
+              scanWhere(parent, pSchema, pCols.zipWithIndex.map { case (pc, i) =>
+                ColIn(pc, lits.map(_.get(i)).distinct.toSeq)
+              })
             else read(parent, pSchema)
           }
-          batchKeys.join(pdf.select(col(pCol).as("__k")).distinct(),
-            Seq("__k"), "left_anti").limit(3).collect().map(_.get(0)).toSeq
+          batchKeys.join(pdf.select(fkKeyCols(pCols): _*).distinct(),
+            fkKeyNames(n), "left_anti").limit(3).collect()
+            .map(_.toSeq.mkString("(", ",", ")")).toSeq
         }
       if (missing.nonEmpty) throw new IllegalArgumentException(
         s"FOREIGN KEY '$name' on $table violated: ${missing.size}+ key(s) in " +
-          s"this write reference no $parent.$pCol row (first: ${missing.head})")
+          s"this write reference no $parent.(${pCols.mkString(",")}) row " +
+          s"(first: ${missing.head})")
     }
   }
 
@@ -2108,29 +2236,34 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
 
   /** ON DELETE RESTRICT: refuse a parent rewrite/tombstone commit whose
     * key values LEAVE the table while a child still references them.
-    * `goneKeysOf(pCol)` yields the leaving keys as ONE column named `__k`
-    * (pre-image keys minus the keys the rewrite retains — exact under the
-    * unique-parent-key contract). The child probe is the same two-regime
-    * point probe as the forward check.
+    * `goneKeysOf(pCols)` yields the leaving key TUPLES under the
+    * positional `__k<i>` names (pre-image keys minus the keys the rewrite
+    * retains — exact under the unique-parent-key contract). The child
+    * probe is the same two-regime tuple-aware point probe as the forward
+    * check; the exact tuple match always resolves through a join.
     */
   private def enforceFkRestrict(parent: String,
-      goneKeysOf: String => DataFrame): Unit = {
-    referencingFks(parent).foreach { case (child, name, cCol, pCol) =>
+      goneKeysOf: Seq[String] => DataFrame): Unit = {
+    referencingFks(parent).foreach { case (child, name, cCols, pCols) =>
       if (exists(child)) {
         val cSchema = recordedSchema(child)
-        val gone = goneKeysOf(pCol)
-        val lits = gone.limit(fkProbeLimit + 1).collect().map(_.get(0))
+        val n = cCols.size
+        val gone = goneKeysOf(pCols)
+        val lits = gone.limit(fkProbeLimit + 1).collect()
         if (lits.nonEmpty) {
-          val referenced: Seq[Any] =
-            if (lits.length <= fkProbeLimit)
-              scanWhere(child, cSchema, Seq(ColIn(cCol, lits.toSeq)))
-                .select(col(cCol)).distinct().limit(3).collect().map(_.get(0)).toSeq
-            else
-              gone.join(read(child, cSchema).select(col(cCol).as("__k")).distinct(),
-                Seq("__k"), "inner").limit(3).collect().map(_.get(0)).toSeq
+          val childKeys =
+            (if (lits.length <= fkProbeLimit)
+              scanWhere(child, cSchema, cCols.zipWithIndex.map { case (cc, i) =>
+                ColIn(cc, lits.map(_.get(i)).distinct.toSeq)
+              })
+            else read(child, cSchema))
+              .select(fkKeyCols(cCols): _*).filter(fkAllNotNull(n)).distinct()
+          val referenced = gone.join(childKeys, fkKeyNames(n), "left_semi")
+            .limit(3).collect().map(_.toSeq.mkString("(", ",", ")")).toSeq
           if (referenced.nonEmpty) throw new IllegalArgumentException(
-            s"FOREIGN KEY '$name' ($child.$cCol -> $parent.$pCol) RESTRICTs " +
-              s"this delete: child rows still reference leaving key(s) " +
+            s"FOREIGN KEY '$name' ($child.(${cCols.mkString(",")}) -> " +
+              s"$parent.(${pCols.mkString(",")})) RESTRICTs this delete: " +
+              s"child rows still reference leaving key(s) " +
               s"(first: ${referenced.head}); delete the children first or " +
               "dropForeignKey")
         }
@@ -2610,13 +2743,15 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
           s"'$oldName' — dropConstraint/addConstraint around the rename")
     }
     val fk2 = st0.fks.toSeq.flatMap { case ((c, n), d) =>
-      val p = d.split('|')
-      val hit = (c == table && p(0) == oldName) ||
-        (p(1) == table && p(2) == oldName)
+      val (cc, pt, pc) = parseFkDesc(d)
+      val hit = (c == table && cc.contains(oldName)) ||
+        (pt == table && pc.contains(oldName))
       if (!hit) None
-      else Some(s"fk\t$c\t$n\t" +
-        s"${if (c == table && p(0) == oldName) newName else p(0)}|${p(1)}|" +
-        s"${if (p(1) == table && p(2) == oldName) newName else p(2)}")
+      else {
+        val cc2 = if (c == table) cc.map(x => if (x == oldName) newName else x) else cc
+        val pc2 = if (pt == table) pc.map(x => if (x == oldName) newName else x) else pc
+        Some(s"fk\t$c\t$n\t${cc2.mkString(",")}|$pt|${pc2.mkString(",")}")
+      }
     }
     val uq2 = st0.uniques.toSeq.collect {
       case ((t, n), c0) if t == table && c0.split(',').contains(oldName) =>
@@ -2676,10 +2811,10 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
         s"dropColumn: CHECK constraint '$n' on $table references '$name' — dropConstraint first")
     }
     st0.fks.foreach { case ((c, n), d) =>
-      val p = d.split('|')
-      require(!(c == table && p(0) == name),
+      val (cc, pt, pc) = parseFkDesc(d)
+      require(!(c == table && cc.contains(name)),
         s"dropColumn: FOREIGN KEY '$n' on $table uses '$name' — dropForeignKey first")
-      require(!(p(1) == table && p(2) == name),
+      require(!(pt == table && pc.contains(name)),
         s"dropColumn: FOREIGN KEY '$n' on ${c} references $table.'$name' — dropForeignKey first")
     }
     st0.uniques.foreach { case ((t, n), c0) =>
@@ -3499,9 +3634,10 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
               .map(c => FreezePin(c, committedOrPhysical(c).sorted,
                 Map.empty, noGrowth = true))
             val cond = FilePred.toColumn(preds, schema)
-            enforceFkRestrict(tbl, pCol =>
+            enforceFkRestrict(tbl, pCols =>
               scanWhere(tbl, schema, preds).filter(coalesce(cond, lit(false)))
-                .select(col(pCol).as("__k")).filter(col("__k").isNotNull).distinct())
+                .select(fkKeyCols(pCols): _*).filter(fkAllNotNull(pCols.size))
+                .distinct())
             pins
           } else Nil
       }
@@ -3721,7 +3857,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
         s"mergeInto with a delete clause on FK-referenced $table is not " +
           "supported — use deleteWhere/deleteWhereDv (RESTRICT-enforced) " +
           "or dropForeignKey first")
-      val refCols = refFks.map(_._4).toSet
+      val refCols = refFks.flatMap(_._4).toSet
       whenMatchedUpdate.foreach { case (c, _) =>
         require(!refCols.contains(c),
           s"mergeInto cannot UPDATE '$c' on $table — it is an FK-referenced " +
@@ -3937,10 +4073,11 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
           val pins = referencingFks(table).map(_._1).distinct
             .map(c => FreezePin(c, committedOrPhysical(c).sorted,
               Map.empty, noGrowth = true))
-          enforceFkRestrict(table, pCol =>
-            df.filter(hit).select(col(pCol).as("__k")).filter(col("__k").isNotNull)
-              .distinct()
-              .join(out.select(col(pCol).as("__k")).distinct(), Seq("__k"), "left_anti"))
+          enforceFkRestrict(table, pCols =>
+            df.filter(hit).select(fkKeyCols(pCols): _*)
+              .filter(fkAllNotNull(pCols.size)).distinct()
+              .join(out.select(fkKeyCols(pCols): _*).distinct(),
+                fkKeyNames(pCols.size), "left_anti"))
           pins
         }
       val feedOn = changeFeedEnabled(table)

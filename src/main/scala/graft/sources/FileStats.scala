@@ -241,7 +241,8 @@ case class TableDetail(table: String, files: Int, bytes: Long, rows: Long,
     foreignKeys: Map[String, String] = Map.empty,
     uniqueKeys: Map[String, String] = Map.empty)
 
-case class FileStatsRec(rows: Long, cols: Map[String, ColStats]) {
+case class FileStatsRec(rows: Long, cols: Map[String, ColStats],
+    bytes: Long = -1L) {
 
   /** False ⇒ NO row of this file can satisfy `pred` — the skip decision.
     * Sound under SQL three-valued logic because every predicate here is
@@ -363,9 +364,16 @@ case class FileStatsRec(rows: Long, cols: Map[String, ColStats]) {
         "vals" -> (JArray(vs.toList.map(FileStatsRec.valJson)): JValue))
       c -> JObject(base ++ mm ++ vv)
     })
+    // `bytes` (physical file size) rides the same line so planners — the
+    // streaming source's admission control above all — size work from the
+    // LOG instead of stat-ing the filesystem per file; old lines without it
+    // simply fall back (bytesOf = -1)
+    val head: List[JField] =
+      if (bytes >= 0L) List("rows" -> JLong(rows), "bytes" -> JLong(bytes))
+      else List("rows" -> JLong(rows))
     org.json4s.jackson.JsonMethods.compact(
       org.json4s.jackson.JsonMethods.render(
-        JObject("rows" -> JLong(rows), "cols" -> colsJ)))
+        JObject(head :+ ("cols" -> (colsJ: JValue)))))
   }
 }
 
@@ -474,8 +482,22 @@ object FileStatsRec {
       }.toMap
       case _ => Map.empty[String, ColStats]
     }
-    FileStatsRec(rows, cols)
+    val bytes = (jv \ "bytes") match {
+      case JLong(l) => l
+      case JInt(i) => i.toLong
+      case _ => -1L
+    }
+    FileStatsRec(rows, cols, bytes)
   }
+
+  private val bytesRe = """"bytes"\s*:\s*(\d+)""".r
+
+  /** The recorded physical size from a stats-line JSON WITHOUT a full JSON
+    * parse (the streaming planner calls this per backlog file on the
+    * driver), -1 when the line predates size recording.
+    */
+  def bytesOf(json: String): Long =
+    bytesRe.findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(-1L)
 
   /** Decode one data file's column stats from its parquet FOOTER — a
     * bytes-sized metadata read, never the data pages. Chunk-level parquet
@@ -488,8 +510,12 @@ object FileStatsRec {
     * commit.
     */
   def fromFooter(p: Path, conf: Configuration): Option[FileStatsRec] = {
-    val reader = try ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
-    catch { case _: Exception => return None }
+    // HadoopInputFile wraps the FileStatus it already fetched to open the
+    // footer, so recording the byte size costs zero extra RPCs
+    val (reader, fileBytes) = try {
+      val inf = HadoopInputFile.fromPath(p, conf)
+      (ParquetFileReader.open(inf), inf.getLength)
+    } catch { case _: Exception => return None }
     try {
       val blocks = reader.getFooter.getBlocks
       import scala.jdk.CollectionConverters._
@@ -571,7 +597,7 @@ object FileStatsRec {
           c -> ColStats(tag, if (nullsOk) nulls else -1L,
             if (mmOk) mn else None, if (mmOk) mx else None, vals)
       }.toMap
-      Some(FileStatsRec(rows, cols))
+      Some(FileStatsRec(rows, cols, fileBytes))
     } catch { case _: Exception => None }
     finally reader.close()
   }

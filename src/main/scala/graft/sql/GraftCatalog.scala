@@ -210,15 +210,12 @@ class GraftCatalog extends TableCatalog
       case u: Unique => wh.addUniqueKey(t, cols(u.columns()), u.name())
       case f: ForeignKey =>
         val (cs, ps) = (cols(f.columns()), cols(f.referencedColumns()))
-        require(cs.length == 1 && ps.length == 1,
-          "composite FOREIGN KEYs are not supported (single-column " +
-            "point-probe enforcement — see addForeignKey)")
         // the referenced identifier may arrive catalog-qualified
         val ns = f.referencedTable().namespace().toSeq
         val parent =
           ((if (ns.headOption.contains(catName)) ns.tail else ns) :+
             f.referencedTable().name()).mkString("/")
-        wh.addForeignKey(t, cs.head, parent, ps.head, f.name())
+        wh.addForeignKey(t, cs, parent, ps, f.name())
       case other => throw new UnsupportedOperationException(
         s"constraint '${other.toDDL}' is not supported (PRIMARY KEY implies " +
           "NOT NULL enforcement the engine does not provide — declare UNIQUE " +

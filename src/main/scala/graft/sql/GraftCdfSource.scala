@@ -120,19 +120,25 @@ class GraftCdfMicroBatchStream(wh: AtomicWarehouse, table: String,
     GraftStreamOffset(v)
   }
 
+  /** Partitions are sized from the MANIFEST (stats lines carry bytes) with
+    * one directory listing as the legacy fallback — never a per-file serial
+    * stat loop on the driver (the table-source planning contract).
+    */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (from, to) = (start.asInstanceOf[GraftStreamOffset].version,
       end.asInstanceOf[GraftStreamOffset].version)
     wh.cdfWindowGuards(table, from, to)
-    val conf = wh.spark.sparkContext.hadoopConfiguration
-    wh.cdfWindowFiles(table, from, to).flatMap { case (v, files, isSlice) =>
-      val dir = if (isSlice) wh.path(wh.changesTableOf(table)) else wh.path(table)
-      files.map { f =>
-        val p = new Path(s"$dir/$f")
-        val st = p.getFileSystem(conf).getFileStatus(p)
-        GraftCdfFilePartition(st.getPath.toString, st.getLen,
-          st.getModificationTime, v, isSlice)
-      }
+    val windows = wh.cdfWindowFiles(table, from, to)
+    val chT = wh.changesTableOf(table)
+    def sizesFor(slice: Boolean): Map[String, Long] = wh.streamFileSizes(
+      if (slice) chT else table,
+      windows.filter(_._3 == slice).flatMap(_._2).distinct, to)
+    val dataSizes = sizesFor(slice = false)
+    val sliceSizes = sizesFor(slice = true)
+    windows.flatMap { case (v, files, isSlice) =>
+      val dir = if (isSlice) wh.path(chT) else wh.path(table)
+      val sizes = if (isSlice) sliceSizes else dataSizes
+      files.map(f => GraftCdfFilePartition(s"$dir/$f", sizes(f), 0L, v, isSlice))
     }.toArray
   }
 

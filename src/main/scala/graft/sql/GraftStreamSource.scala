@@ -5,7 +5,9 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader,
   PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit,
+  MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxBytes,
+  ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.datasources.PartitionedFile
 import org.apache.spark.sql.graft.shims
 import org.apache.spark.sql.types.StructType
@@ -17,18 +19,29 @@ import graft.sources.AtomicWarehouse
   *
   * {{{
   * spark.readStream
-  *   .option("startingVersion", "0")   // default: current head (new data only)
+  *   .option("startingVersion", "0")      // default: current head (new data only)
+  *   .option("maxFilesPerTrigger", "50")  // default 1000; "none" = unbounded
+  *   .option("maxBytesPerTrigger", "1g")  // optional; soft cap, ≥1 file per batch
   *   .table("graft.facts.orders")
   * }}}
   *
-  * Offsets ARE commit versions: each micro-batch reads exactly the files
-  * the manifest gained in (startOffset, endOffset] — deterministic from
-  * the log, so checkpoint replay re-plans the identical batch
-  * (exactly-once with any idempotent/transactional sink). The source is
-  * APPEND-ONLY with loud refusals (the [[AtomicWarehouse
+  * Offsets are (commit version, file index): each micro-batch reads exactly
+  * a contiguous slice of the files the manifest gained — deterministic from
+  * the log, so checkpoint replay re-plans the identical batch (exactly-once
+  * with any idempotent/transactional sink). ADMISSION CONTROL bounds every
+  * batch: a `startingVersion=0` replay of a year-old table lands as many
+  * rate-limited micro-batches (the index splits WITHIN a large commit —
+  * Delta's (reservoirVersion, index) shape), never one all-or-nothing unit;
+  * the per-batch caps come from `maxFilesPerTrigger` (default 1000) and
+  * `maxBytesPerTrigger`, sized from MANIFEST-RECORDED file bytes — planning
+  * a backlog batch makes zero filesystem stat calls when the log carries
+  * sizes (it does for every commit since size recording), so no O(files)
+  * serial driver RPC storm at any scale.
+  *
+  * The source is APPEND-ONLY with loud refusals (the [[AtomicWarehouse
   * .appendedFilesBetween]] contract): a truncate, copy-on-write rewrite,
   * or DV delete inside a window throws rather than silently replaying or
-  * dropping rows — stream the change feed (`graft_changes`) for row-level
+  * dropping rows — stream the change feed (`graft-cdf`) for row-level
   * change semantics. Scan tasks run Spark's own parquet row reader per
   * file (schema-evolution windows null-fill; renames read through the
   * stable physical names), one partition per file so a 1000-executor
@@ -39,11 +52,54 @@ class GraftScanBuilder(wh: AtomicWarehouse, table: String,
     options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
     extends ScanBuilder {
   override def build(): Scan = new GraftScan(wh, table, logicalSchema,
-    Option(options.get("startingversion")).map(_.trim.toInt))
+    Option(options.get("startingversion")).map(_.trim.toInt),
+    GraftStreamLimits(options))
+}
+
+/** Per-trigger admission caps parsed once at scan build. `maxFiles` None =
+  * unbounded (`maxFilesPerTrigger=none`); bytes accept size suffixes
+  * ("1g"). The byte cap is SOFT in the standard way: at least one file is
+  * always admitted, so a single file larger than the cap still flows.
+  */
+case class GraftStreamLimits(maxFiles: Option[Int], maxBytes: Option[Long]) {
+  def toReadLimit: ReadLimit = {
+    val ls = maxFiles.map(ReadLimit.maxFiles).toSeq ++
+      maxBytes.map(ReadLimit.maxBytes).toSeq
+    ls match {
+      case Nil => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
+}
+
+object GraftStreamLimits {
+  /** Default file cap per micro-batch: bounds a genesis replay's batches
+    * without configuration (Delta's default for exactly this case).
+    */
+  val DefaultMaxFiles = 1000
+
+  def apply(options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      : GraftStreamLimits = {
+    val files = Option(options.get("maxfilespertrigger")).map(_.trim) match {
+      case Some(s) if s.equalsIgnoreCase("none") => None
+      case Some(s) =>
+        val n = s.toInt
+        require(n > 0, s"maxFilesPerTrigger must be positive, got $n")
+        Some(n)
+      case None => Some(DefaultMaxFiles)
+    }
+    val bytes = Option(options.get("maxbytespertrigger")).map(_.trim).map { s =>
+      val n = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(s)
+      require(n > 0L, s"maxBytesPerTrigger must be positive, got $s")
+      n
+    }
+    GraftStreamLimits(files, bytes)
+  }
 }
 
 class GraftScan(wh: AtomicWarehouse, table: String, logicalSchema: StructType,
-    startingVersion: Option[Int]) extends Scan {
+    startingVersion: Option[Int], limits: GraftStreamLimits) extends Scan {
 
   override def readSchema(): StructType = logicalSchema
 
@@ -60,16 +116,49 @@ class GraftScan(wh: AtomicWarehouse, table: String, logicalSchema: StructType,
         "this V2 scan only serves readStream")
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftMicroBatchStream(wh, table, startingVersion)
+    new GraftMicroBatchStream(wh, table, startingVersion, limits)
 }
 
-/** JSON-round-trippable offset: the commit version. */
-case class GraftStreamOffset(version: Int) extends Offset {
-  override def json(): String = s"""{"version":$version}"""
+/** JSON-round-trippable offset: (commit version, file index). `index` -1 ⇒
+  * every file through `version` is consumed (the canonical whole-version
+  * form; pre-r15 checkpoints omit the field and parse to it). `index` ≥ 0 ⇒
+  * versions < `version` fully consumed plus the first `index` files the
+  * manifest added at `version` — the admission-control split point inside
+  * a large commit.
+  */
+case class GraftStreamOffset(version: Int, index: Int = -1) extends Offset {
+  override def json(): String =
+    if (index < 0) s"""{"version":$version}"""
+    else s"""{"version":$version,"index":$index}"""
+}
+
+object GraftStreamOffset {
+  def parse(json: String): GraftStreamOffset = {
+    val v = """"version"\s*:\s*(\d+)""".r.findFirstMatchIn(json)
+      .getOrElse(throw new IllegalArgumentException(s"bad graft offset: $json"))
+      .group(1).toInt
+    val i = """"index"\s*:\s*(-?\d+)""".r.findFirstMatchIn(json)
+      .map(_.group(1).toInt).getOrElse(-1)
+    GraftStreamOffset(v, math.max(i, -1))
+  }
 }
 
 class GraftMicroBatchStream(wh: AtomicWarehouse, table: String,
-    startingVersion: Option[Int]) extends MicroBatchStream {
+    startingVersion: Option[Int], limits: GraftStreamLimits)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  // Trigger.AvailableNow drains to the head observed at stream START and
+  // stops — commits racing the drain wait for the next run
+  @volatile private var availableNowCap: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(wh.headVersion())
+
+  private def head(): Int = {
+    val h = wh.headVersion()
+    availableNowCap.fold(h)(math.min(h, _))
+  }
 
   override def initialOffset(): Offset =
     // default: the head at stream start — new appends only (replay the
@@ -77,23 +166,84 @@ class GraftMicroBatchStream(wh: AtomicWarehouse, table: String,
     // as it bounds appendsBetween)
     GraftStreamOffset(startingVersion.getOrElse(wh.headVersion()))
 
-  override def latestOffset(): Offset = GraftStreamOffset(wh.headVersion())
+  override def getDefaultReadLimit: ReadLimit = limits.toReadLimit
 
-  override def deserializeOffset(json: String): Offset = {
-    val v = """"version"\s*:\s*(\d+)""".r.findFirstMatchIn(json)
-      .getOrElse(throw new IllegalArgumentException(s"bad graft offset: $json"))
-      .group(1).toInt
-    GraftStreamOffset(v)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) drives this source (SupportsAdmissionControl)")
+
+  override def reportLatestOffset(): Offset = GraftStreamOffset(wh.headVersion())
+
+  /** Advance from `start` admitting whole files until a cap trips — the
+    * walk reads ONLY the manifest (per-version add lists; byte sizes from
+    * recorded stats), stops at the first over-cap file, and always admits
+    * at least one file so a single oversized file still flows. Windows
+    * that are not append-only refuse here, exactly as planning would.
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[GraftStreamOffset]
+    val h = head()
+    val (maxFiles, maxBytes) = unpack(limit)
+    val base = if (s.index >= 0) s.version - 1 else s.version
+    if (base >= h) return s
+    if (maxFiles.isEmpty && maxBytes.isEmpty) return GraftStreamOffset(h)
+    val byVersion = wh.appendedFilesByVersion(table, base, h)
+    var nFiles = 0L
+    var nBytes = 0L
+    byVersion.foreach { case (v, fs) =>
+      val startIdx = if (v == s.version && s.index >= 0) s.index else 0
+      lazy val sizes = // bytes resolved only under a byte cap
+        if (maxBytes.isDefined) wh.streamFileSizes(table, fs.drop(startIdx), h)
+        else Map.empty[String, Long]
+      var i = startIdx
+      while (i < fs.size) {
+        val b = if (maxBytes.isDefined) sizes.getOrElse(fs(i), 0L) else 0L
+        val over = maxFiles.exists(nFiles + 1 > _) || maxBytes.exists(nBytes + b > _)
+        if (over && nFiles > 0)
+          return if (i == 0) GraftStreamOffset(v - 1)
+          else GraftStreamOffset(v, i)
+        nFiles += 1
+        nBytes += b
+        i += 1
+      }
+    }
+    GraftStreamOffset(h)
   }
 
+  private def unpack(limit: ReadLimit): (Option[Int], Option[Long]) = limit match {
+    case _: ReadAllAvailable => (None, None)
+    case f: ReadMaxFiles => (Some(f.maxFiles()), None)
+    case b: ReadMaxBytes => (None, Some(b.maxBytes()))
+    case c: CompositeReadLimit =>
+      val parts = c.getReadLimits.map(unpack)
+      (parts.flatMap(_._1).minOption, parts.flatMap(_._2).minOption)
+    case other => throw new UnsupportedOperationException(
+      s"read limit ${other.getClass.getSimpleName} is not supported " +
+        "(files and bytes are the manifest's units; rows are not recorded per file)")
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    GraftStreamOffset.parse(json)
+
+  /** One partition per window file, sized from the MANIFEST (stats lines
+    * carry bytes since r15) — zero filesystem calls on the log-recorded
+    * path, one directory listing as the legacy fallback; never a per-file
+    * serial stat loop.
+    */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val (from, to) = (start.asInstanceOf[GraftStreamOffset].version,
-      end.asInstanceOf[GraftStreamOffset].version)
-    wh.appendedFilesBetween(table, from, to).map { f =>
-      val p = new Path(s"${wh.path(table)}/$f")
-      val st = p.getFileSystem(wh.spark.sparkContext.hadoopConfiguration)
-        .getFileStatus(p)
-      GraftFilePartition(st.getPath.toString, st.getLen, st.getModificationTime)
+    val s = start.asInstanceOf[GraftStreamOffset]
+    val e = end.asInstanceOf[GraftStreamOffset]
+    if (s == e) return Array.empty
+    val base = if (s.index >= 0) s.version - 1 else s.version
+    val files = wh.appendedFilesByVersion(table, base, e.version).flatMap {
+      case (v, fs) =>
+        val lo = if (v == s.version && s.index >= 0) s.index else 0
+        val hi = if (v == e.version && e.index >= 0) math.min(e.index, fs.size) else fs.size
+        fs.slice(lo, hi)
+    }
+    val sizes = wh.streamFileSizes(table, files, e.version)
+    files.map { f =>
+      GraftFilePartition(s"${wh.path(table)}/$f", sizes(f), 0L)
     }.toArray
   }
 

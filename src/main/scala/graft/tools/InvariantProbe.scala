@@ -135,6 +135,22 @@ object InvariantProbe {
         s""""parent_files":${pd.files},"parent_rows":${pd.rows},""" +
         s""""batch_rows":500,"records":$cR,"tasks":$cT,"wall_s":${f"$cW%.3f"}}""")
 
+      // COMPOSITE FOREIGN KEY over the same pair shape: the forward probe
+      // conjoins per-column In predicates, so routing rides the SELECTIVE
+      // column's Bloom sidecars while the 4-value lead admits everything.
+      // Flat records across mults = the child batch never pays parent-scale.
+      wh.addForeignKey("child2", Seq("g_ref", "k_ref"), "parent2",
+        Seq("grp", "k"), "fk2")
+      val pairBatch = sampled.zipWithIndex
+        .map { case (k, i) => (i.toLong, k % 4, k) }.toSeq
+        .toDF("c_id", "g_ref", "k_ref")
+      val ((), cfR, cfT, cfW) = measured {
+        wh.append("child2", pairBatch.coalesce(1)); ()
+      }
+      emit(s"""{"probe":"invariant","phase":"fk_composite_append","mult":$mult,""" +
+        s""""parent_files":${pd.files},"parent_rows":${pd.rows},""" +
+        s""""batch_rows":200,"records":$cfR,"tasks":$cfT,"wall_s":${f"$cfW%.3f"}}""")
+
       // a dangling-key batch must refuse at the same probe cost
       val bad = Seq((9999L, span * 2 + 1L)).toDF("c_id", "p_ref")
       val (refused, rR, rT, rW) = measured {

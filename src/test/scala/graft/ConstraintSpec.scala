@@ -120,7 +120,7 @@ class ConstraintSpec extends SparkSpec {
     assert(e.getMessage.contains("price_positive"))
     // rename of the FK parent key and UNIQUE column FOLLOWS the rename
     wh.renameColumn("p", "id", "pid")
-    assert(wh.foreignKeysOf("c") == Map("fk_pid" -> (("price", "p", "pid"))))
+    assert(wh.foreignKeysOf("c") == Map("fk_pid" -> ((Seq("price"), "p", Seq("pid")))))
     assert(wh.uniquesOf("p") == Map("pk" -> "pid"))
     // enforcement still works under the new name, both directions
     val ps = StructType(Seq(
@@ -133,7 +133,7 @@ class ConstraintSpec extends SparkSpec {
       wh.append("c", rows((2L, 9L, "O")))) // dangling ref under renamed parent key
     // rename of the FK CHILD column follows too
     wh.renameColumn("c", "price", "p_ref")
-    assert(wh.foreignKeysOf("c") == Map("fk_pid" -> (("p_ref", "p", "pid"))))
+    assert(wh.foreignKeysOf("c") == Map("fk_pid" -> ((Seq("p_ref"), "p", Seq("pid")))))
     // drop of any referenced column refuses
     intercept[IllegalArgumentException](wh.dropColumn("p", "pid"))
     intercept[IllegalArgumentException](wh.dropColumn("c", "p_ref"))

@@ -233,6 +233,132 @@ class ForeignKeySpec extends SparkSpec {
     assert(!wh.exists("dim/provider"))
   }
 
+  private val ppParentS = StructType(Seq(
+    StructField("prod_id", LongType, nullable = false),
+    StructField("prov_id", LongType, nullable = false),
+    StructField("nm", StringType, nullable = true)))
+  private val ppChildS = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("prod_ref", LongType, nullable = true),
+    StructField("prov_ref", LongType, nullable = true)))
+
+  private def seededPair(): AtomicWarehouse = {
+    val wh = newWh()
+    wh.append("dim/pp", Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 10L, "c"))
+      .toDF("prod_id", "prov_id", "nm").coalesce(1))
+    wh.addForeignKey("fact/price", Seq("prod_ref", "prov_ref"), "dim/pp",
+      Seq("prod_id", "prov_id"), "fk_pp")
+    wh
+  }
+
+  test("COMPOSITE keys enforce the TUPLE, not the columns (the reference's " +
+      "Provider_Product pair); any-null passes; RESTRICT is pair-exact") {
+    val wh = seededPair()
+    wh.append("fact/price", Seq((100L, Some(1L), Some(10L)))
+      .toDF("id", "prod_ref", "prov_ref").coalesce(1))
+    // (2, 20): both values live in their columns, the PAIR does not exist
+    val e = intercept[IllegalArgumentException](
+      wh.append("fact/price", Seq((101L, Some(2L), Some(20L)))
+        .toDF("id", "prod_ref", "prov_ref")))
+    assert(e.getMessage.contains("fk_pp") && e.getMessage.contains("(2,20)"), e.getMessage)
+    // ANY null key column exempts the row (SQL MATCH SIMPLE)
+    wh.append("fact/price", Seq((102L, Some(2L), None: Option[Long]))
+      .toDF("id", "prod_ref", "prov_ref"))
+    assert(wh.read("fact/price", ppChildS).count() == 2)
+    // parent delete: the unreferenced pair (2,10) goes — even though BOTH
+    // its values appear in referenced/child columns somewhere — while the
+    // referenced pair (1,10) RESTRICTs, on both delete paths
+    assert(wh.deleteWhere("dim/pp", ppParentS,
+      Seq(ColEq("prod_id", 2L), ColEq("prov_id", 10L))) == 1L)
+    val e2 = intercept[IllegalArgumentException](
+      wh.deleteWhere("dim/pp", ppParentS,
+        Seq(ColEq("prod_id", 1L), ColEq("prov_id", 10L))))
+    assert(e2.getMessage.contains("RESTRICT") && e2.getMessage.contains("(1,10)"))
+    val e3 = intercept[IllegalArgumentException](
+      wh.deleteWhereDv("dim/pp", ppParentS,
+        Seq(ColEq("prod_id", 1L), ColEq("prov_id", 10L))))
+    assert(e3.getMessage.contains("RESTRICT"))
+    // the other pair of the same product, (1,20), is unreferenced — frees
+    assert(wh.deleteWhereDv("dim/pp", ppParentS,
+      Seq(ColEq("prod_id", 1L), ColEq("prov_id", 20L))).deleted == 1L)
+    // declare-time validation refuses an existing orphan PAIR
+    val wh2 = newWh()
+    wh2.append("dim/pp", Seq((1L, 10L, "a")).toDF("prod_id", "prov_id", "nm").coalesce(1))
+    wh2.append("fact/price", Seq((1L, Some(1L), Some(99L)))
+      .toDF("id", "prod_ref", "prov_ref").coalesce(1))
+    val e4 = intercept[IllegalArgumentException](
+      wh2.addForeignKey("fact/price", Seq("prod_ref", "prov_ref"), "dim/pp",
+        Seq("prod_id", "prov_id"), "fk"))
+    assert(e4.getMessage.contains("existing"))
+    // shape errors refuse loudly
+    intercept[IllegalArgumentException](
+      wh2.addForeignKey("fact/price", Seq("prod_ref"), "dim/pp",
+        Seq("prod_id", "prov_id"), "fk_bad"))
+  }
+
+  test("composite FK races close the probe-to-publish window in both directions") {
+    // direction 1: child insert racing a parent DV delete aborts the
+    // delete (child freeze pin), then the retry refuses properly
+    val dir = Files.createTempDirectory("graft-fk-crace-")
+    val wh = new AtomicWarehouse(spark, dir.toString)
+    val wh2 = new AtomicWarehouse(spark, dir.toString)
+    wh.append("dim/pp", Seq((1L, 10L, "a"), (2L, 20L, "b"))
+      .toDF("prod_id", "prov_id", "nm").coalesce(1))
+    wh.addForeignKey("fact/price", Seq("prod_ref", "prov_ref"), "dim/pp",
+      Seq("prod_id", "prov_id"), "fk_pp")
+    wh.append("fact/price", Seq((100L, Some(2L), Some(20L)))
+      .toDF("id", "prod_ref", "prov_ref").coalesce(1))
+    val injected = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val e = intercept[IllegalArgumentException](
+      wh.deleteWhereDv("dim/pp", ppParentS,
+        Seq(ColEq("prod_id", 1L), ColEq("prov_id", 10L)),
+        alsoInTx = _ => if (injected.compareAndSet(false, true))
+          wh2.append("fact/price", Seq((101L, Some(1L), Some(10L)))
+            .toDF("id", "prod_ref", "prov_ref"))))
+    assert(e.getMessage.contains("RESTRICT"), e.getMessage)
+    assert(injected.get(), "fixture: the racing insert must have run")
+    assert(wh.read("dim/pp", ppParentS).count() == 2 &&
+      wh.read("fact/price", ppChildS).count() == 2, "orphan or lost row")
+    // direction 2: a parent DV delete racing a child-insert transaction
+    // aborts the child publish (parent pin)
+    intercept[java.util.ConcurrentModificationException](
+      wh.atomically { w =>
+        w.append("fact/price", Seq((102L, Some(2L), Some(20L)))
+          .toDF("id", "prod_ref", "prov_ref"))
+        // un-referenced pair (1,10)? no — 101 references it now; delete the
+        // one pair nothing references after removing 101's row first
+        wh2.deleteWhere("fact/price", ppChildS, Seq(ColEq("id", 101L)))
+        wh2.deleteWhereDv("dim/pp", ppParentS,
+          Seq(ColEq("prod_id", 1L), ColEq("prov_id", 10L)))
+      })
+    assert(wh.scanWhere("fact/price", ppChildS, Seq(ColEq("id", 102L))).count() == 0,
+      "orphan-window child insert leaked")
+    // converged state: retry lands because (2,20) is still live
+    wh.append("fact/price", Seq((102L, Some(2L), Some(20L)))
+      .toDF("id", "prod_ref", "prov_ref"))
+    // and a dangling pair still refuses after the dust settles
+    intercept[IllegalArgumentException](
+      wh.append("fact/price", Seq((103L, Some(1L), Some(10L)))
+        .toDF("id", "prod_ref", "prov_ref")))
+  }
+
+  test("renameColumn follows composite FK descriptors on both sides") {
+    val wh = seededPair()
+    wh.append("fact/price", Seq((100L, Some(1L), Some(10L)))
+      .toDF("id", "prod_ref", "prov_ref").coalesce(1))
+    wh.renameColumn("dim/pp", "prov_id", "provider_id")
+    wh.renameColumn("fact/price", "prod_ref", "product_ref")
+    assert(wh.foreignKeysOf("fact/price") == Map("fk_pp" ->
+      ((Seq("product_ref", "prov_ref"), "dim/pp", Seq("prod_id", "provider_id")))))
+    // enforcement still tuple-exact under the new names
+    intercept[IllegalArgumentException](
+      wh.append("fact/price", Seq((101L, Some(2L), Some(20L)))
+        .toDF("id", "product_ref", "prov_ref")))
+    // dropping any tuple column refuses
+    intercept[IllegalArgumentException](wh.dropColumn("dim/pp", "provider_id"))
+    intercept[IllegalArgumentException](wh.dropColumn("fact/price", "prov_ref"))
+  }
+
   test("declarations fold, round-trip restore, and drop cleanly") {
     val dir = Files.createTempDirectory("graft-fk-fold-").toString
     val wh = new AtomicWarehouse(spark, dir, logFoldEvery = 4)
@@ -242,7 +368,7 @@ class ForeignKeySpec extends SparkSpec {
       Seq((10L + i, "x")).toDF("p_id", "p_name").coalesce(1))) // cross the fold
     val wh2 = new AtomicWarehouse(spark, dir)
     assert(wh2.foreignKeysOf("fact/product")
-      == Map("fk_provider" -> (("p_ref", "dim/provider", "p_id"))))
+      == Map("fk_provider" -> ((Seq("p_ref"), "dim/provider", Seq("p_id")))))
     assert(wh2.describe("fact/product").foreignKeys
       == Map("fk_provider" -> "p_ref -> dim/provider.p_id"))
     intercept[IllegalArgumentException](

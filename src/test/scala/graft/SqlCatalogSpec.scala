@@ -311,6 +311,19 @@ class SqlCatalogSpec extends SparkSpec {
     val orphan = intercept[Exception](
       spark.sql(s"INSERT INTO $cat.facts.child VALUES (101, 999)"))
     assert(orphan.getMessage.contains("FOREIGN KEY"), orphan.getMessage)
+    // COMPOSITE foreign keys through DDL: the tuple is the key (the
+    // reference's Provider_Product (ProductId, ProviderId) pair)
+    wh.append("dim/pp", Seq((1L, 10L), (2L, 20L)).toDF("prod", "prov"))
+    wh.append("facts/link", Seq((1L, 1L, 10L)).toDF("id", "prod_ref", "prov_ref"))
+    spark.sql(s"ALTER TABLE $cat.facts.link ADD CONSTRAINT fkpp " +
+      s"FOREIGN KEY (prod_ref, prov_ref) REFERENCES $cat.dim.pp (prod, prov)")
+    // (1, 20): both values live per-column, the pair does not — refuses
+    val pair = intercept[Exception](
+      spark.sql(s"INSERT INTO $cat.facts.link VALUES (2, 1, 20)"))
+    assert(pair.getMessage.contains("fkpp"), pair.getMessage)
+    spark.sql(s"INSERT INTO $cat.facts.link VALUES (3, 2, 20)")
+    spark.sql(s"ALTER TABLE $cat.facts.link DROP CONSTRAINT fkpp")
+    spark.sql(s"INSERT INTO $cat.facts.link VALUES (4, 1, 20)") // free again
     // RENAME TABLE refuses honestly (directory-keyed history) — and the
     // route its error names (CTAS + DROP) actually works
     val r = intercept[Exception](

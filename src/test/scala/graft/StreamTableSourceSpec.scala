@@ -145,6 +145,79 @@ class StreamTableSourceSpec extends SparkSpec {
     assert(vers == 1L)
   }
 
+  test("admission control: a genesis replay lands as rate-limited batches " +
+      "planned with ZERO filesystem stat calls") {
+    val (wh, cat) = fixture()
+    // 6 commits × 1 file + one 4-file commit = 10 backlog files
+    (0 until 6).foreach(k =>
+      wh.append("facts/t", (k * 10L until k * 10L + 10L).map(i => (i, s"v$i"))
+        .toDF("id", "v").repartition(1)))
+    wh.append("facts/t", (60L until 100L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartition(4))
+    val checkpoint = Files.createTempDirectory("graft-streamsrc-adm-").toString
+    val outDir = Files.createTempDirectory("graft-streamsrc-admout-").toString
+    val before = wh.streamPlanFsCalls.get()
+    val q = spark.readStream
+      .option("startingVersion", "0")
+      .option("maxFilesPerTrigger", "2")
+      .table(s"$cat.facts.t")
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(GraftSession.streamDrainTimeoutMs),
+      "stream did not drain in time")
+    // every row exactly once...
+    val got = spark.read.parquet(outDir).collect().map(_.getLong(0)).toSeq
+    assert(got.toSet == (0L until 100L).toSet && got.size == 100, s"got ${got.size}")
+    // ...across ≥5 rate-limited micro-batches (10 files / cap 2), with the
+    // 4-file commit split MID-version by the (version, index) offset
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length == 5, s"expected 5 capped batches, got ${batches.length}")
+    // planning sized every partition from manifest-recorded bytes — the
+    // 100 TB contract: no O(files) driver stat storm on a backlog replay
+    assert(wh.streamPlanFsCalls.get() == before,
+      s"planning made ${wh.streamPlanFsCalls.get() - before} filesystem stat calls")
+  }
+
+  test("admission control: byte cap, unbounded opt-out, offset back-compat") {
+    val (wh, cat) = fixture()
+    (0 until 3).foreach(k =>
+      wh.append("facts/b", (k * 5L until k * 5L + 5L).map(i => (i, s"v$i"))
+        .toDF("id", "v").repartition(1)))
+    // a 1-byte cap still admits ≥1 file per batch (soft cap) → 3 batches
+    val ck1 = Files.createTempDirectory("graft-streamsrc-byte-").toString
+    val q1 = spark.readStream
+      .option("startingVersion", "0")
+      .option("maxFilesPerTrigger", "none")
+      .option("maxBytesPerTrigger", "1")
+      .table(s"$cat.facts.b")
+      .writeStream.format("memory").queryName("admbytes")
+      .option("checkpointLocation", ck1)
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q1.awaitTermination(GraftSession.streamDrainTimeoutMs))
+    assert(spark.table("admbytes").count() == 15L)
+    assert(q1.recentProgress.count(_.numInputRows > 0) == 3,
+      "1-byte cap must admit exactly one file per micro-batch")
+    // maxFilesPerTrigger=none + no byte cap → the whole backlog in ONE batch
+    val ck2 = Files.createTempDirectory("graft-streamsrc-unb-").toString
+    val q2 = spark.readStream
+      .option("startingVersion", "0")
+      .option("maxFilesPerTrigger", "none")
+      .table(s"$cat.facts.b")
+      .writeStream.format("memory").queryName("admunb")
+      .option("checkpointLocation", ck2)
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q2.awaitTermination(GraftSession.streamDrainTimeoutMs))
+    assert(q2.recentProgress.count(_.numInputRows > 0) == 1)
+    // pre-r15 checkpoints carry {"version":v} — parses to the canonical
+    // whole-version form and round-trips
+    val old = graft.sql.GraftStreamOffset.parse("""{"version":7}""")
+    assert(old == graft.sql.GraftStreamOffset(7, -1) && old.json() == """{"version":7}""")
+    val mid = graft.sql.GraftStreamOffset.parse("""{"version":7,"index":2}""")
+    assert(mid == graft.sql.GraftStreamOffset(7, 2) && mid.json() == """{"version":7,"index":2}""")
+  }
+
   test("non-append windows refuse instead of replaying or dropping rows") {
     val (wh, cat) = fixture()
     wh.append("facts/t", (0L until 50L).map(i => (i, s"v$i")).toDF("id", "v"))
