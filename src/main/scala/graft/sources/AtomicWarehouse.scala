@@ -2661,9 +2661,13 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       val dvDir = fs.makeQualified(new Path(s"${path(table)}/_dv")).toString
       val confB = org.apache.spark.sql.graft.shims.broadcastHadoopConf(spark)
       val dvB = spark.sparkContext.broadcast(dvJson)
-      val live = org.apache.spark.sql.functions.udf((file: String, ord: Long) =>
-        !DvScanFilter.dead(confB.value.value, dvDir, dvB.value, file, ord))
-      tagged.filter(live(col("__file"), col("__ord")))
+      // native codegen'd membership test ([[DvLive]]) — the scan stays
+      // inside WholeStageCodegen; the old ScalaUDF form paid per-row boxing
+      // and a converter round-trip for every row of every DV-carrying file
+      import org.apache.spark.sql.graft.shims
+      tagged.filter(shims.column(DvLive(
+        shims.expression(col("__file")), shims.expression(col("__ord")),
+        confB, dvDir, dvB)))
     }
   }
 
@@ -2693,11 +2697,28 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
         "migrate once via recluster — see deleteWhere's contract")
     import org.apache.spark.sql.functions.{element_at, split}
     val phys = StructType(schema.fields.map(f => f.copy(name = m.getOrElse(f.name, f.name))))
-    val df = spark.read.schema(phys).parquet(files.map(f => s"${path(table)}/$f"): _*)
-      .withColumn("__file", element_at(split(col("_metadata.file_path"), "/"), -1))
-      .withColumn("__ord", col("_metadata.row_index"))
-    val fileSet = files.toSet
-    dvAntiJoin(df, table, dvJson.filter { case (f, _) => fileSet.contains(f) })
+    def tag(fs: Seq[String]): DataFrame =
+      spark.read.schema(phys).parquet(fs.map(f => s"${path(table)}/$f"): _*)
+        .withColumn("__file", element_at(split(col("_metadata.file_path"), "/"), -1))
+        .withColumn("__ord", col("_metadata.row_index"))
+    // files WITHOUT a DV entry scan clean and codegen'd — only DV-carrying
+    // files route through the tombstone filter (the DML planners pass
+    // mixed candidate sets here; an undivided frame would push every clean
+    // row of a mostly-clean candidate set through the membership test)
+    val dvSet = dvJson.keySet
+    val (dvFiles, cleanFiles) = files.partition(dvSet.contains)
+    val clean = if (cleanFiles.isEmpty) None else Some(tag(cleanFiles))
+    val filtered = if (dvFiles.isEmpty) None else {
+      val dvFileSet = dvFiles.toSet
+      Some(dvAntiJoin(tag(dvFiles),
+        table, dvJson.filter { case (f, _) => dvFileSet.contains(f) }))
+    }
+    (clean, filtered) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case _ => tag(files) // files empty: preserve the empty-path error shape
+    }
   }
 
   /** Rename a column WITHOUT rewriting a byte of data: one metadata commit

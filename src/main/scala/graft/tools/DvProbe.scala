@@ -96,6 +96,44 @@ object DvProbe {
         s""""live":$live,"driver_ords_broadcast":$bOrds,""" +
         s""""wall_broadcast_s":${f"$bWall%.3f"},"driver_ords_scanside":$dOrds,""" +
         s""""shuffle_records_scanside":$dShuf,"wall_scanside_s":${f"$dWall%.3f"}}""")
+
+      // MOSTLY-CLEAN fixture: the same table shape with the DV on ONE file
+      // out of 16 — the common production state. Clean files scan in their
+      // own codegen'd union branch (never touching the dv_live filter), so
+      // scan-side wall must sit at the clean-read floor, not pay a
+      // membership test per clean row.
+      val root2 = Files.createTempDirectory(s"graft-dvprobe-clean-x$mult-").toString
+      val wh2 = new AtomicWarehouse(spark, root2)
+      (0 until 16).foreach { b =>
+        wh2.append("t", spark.range(b * rows / 16, (b + 1) * rows / 16)
+          .select(col("id"), concat(lit("v"), col("id")).as("v")).coalesce(1))
+      }
+      val lastLo = 15L * rows / 16
+      val dead2 = (lastLo until rows).filter(_ % 4 != 0)
+      wh2.deleteWhereDv("t", kv, Seq(ColIn("id", dead2)), maxDvPerFile = 10000000)
+      val live2 = rows - wh2.describe("t").dvRows
+      def readClean(root: String, gate: Option[Long], expect: Long): Double = {
+        val w = new AtomicWarehouse(spark, root)
+        gate.foreach(g => spark.conf.set("graft.dv.broadcastMaxTombstones", g.toString))
+        try {
+          Thread.sleep(300)
+          val t0 = System.nanoTime()
+          val n = w.read("t", kv).count()
+          val wall = (System.nanoTime() - t0) / 1e9
+          require(n == expect, s"under-read: $n live rows, expected $expect")
+          wall
+        } finally spark.conf.unset("graft.dv.broadcastMaxTombstones")
+      }
+      // floor: an all-clean read of the same bytes (fresh warehouse over
+      // the same files, DVs ignored via a pre-delete read is not possible —
+      // use the SAME table before... simplest honest floor: wall of the
+      // scan-side read with gate high (broadcast regime, 1/16 DV)
+      val floorWall = readClean(root2, None, live2)
+      val cleanWall = readClean(root2, Some(10L), live2)
+      emit(s"""{"probe":"dv","fixture":"mostly_clean","mult":$mult,""" +
+        s""""rows":$rows,"dv_files":1,"clean_files":15,""" +
+        s""""wall_broadcast_s":${f"$floorWall%.3f"},""" +
+        s""""wall_scanside_s":${f"$cleanWall%.3f"}}""")
     }
     out.close()
     spark.stop()

@@ -106,6 +106,38 @@ class DeletionVectorSpec extends SparkSpec {
     } finally spark.conf.unset("graft.dv.broadcastMaxTombstones")
   }
 
+  test("scan-side regime stays in codegen: clean files unfiltered, dv_live native") {
+    val dir = Files.createTempDirectory("graft-dv-plan-")
+    val wh = new AtomicWarehouse(spark, dir.toString)
+    // mostly-clean table: 4 clean files, ONE DV-carrying file
+    (0 until 4).foreach(k => wh.append("t",
+      (k * 1000L until k * 1000L + 1000L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1)))
+    wh.append("t", (4000L until 5000L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    wh.deleteWhereDv("t", kv, Seq(graft.sources.ColIn("id", Seq(4000L, 4004L))),
+      maxDvPerFile = 100000)
+    spark.conf.set("graft.dv.broadcastMaxTombstones", "1") // force scan-side
+    try {
+      val df = wh.read("t", kv)
+      assert(df.count() == 4998L)
+      val plan = df.queryExecution.executedPlan.toString
+      // no opaque row-at-a-time filter anywhere — the membership test is
+      // the native dv_live expression, inside WholeStageCodegen
+      assert(!plan.toLowerCase.contains("scalaudf") && !plan.contains("BatchEval"),
+        s"scan-side DV filter fell out of codegen:\n$plan")
+      // (the FileScan line echoes the filter in DataFilters — count only
+      // the Filter NODE itself)
+      val dvLines = plan.linesIterator
+        .filter(l => l.contains("Filter dv_live") && !l.contains("FileScan")).toSeq
+      assert(dvLines.size == 1, s"exactly ONE dv_live filter expected:\n$plan")
+      assert(dvLines.head.contains("*("),
+        s"dv_live filter must sit inside a codegen stage: ${dvLines.head}")
+      // the clean files' scan is a separate union branch with NO filter —
+      // two parquet scans, one filtered
+      val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+      assert(scans == 2, s"expected clean-scan ∪ filtered-scan, got $scans scans:\n$plan")
+    } finally spark.conf.unset("graft.dv.broadcastMaxTombstones")
+  }
+
   test("scattered delete: zero rewrites, exact count, read identity, DV union on repeat") {
     val wh2 = newWh()
     banded(wh2)
