@@ -3364,10 +3364,18 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     val slices = cdfWindowFiles(table, fromVersion, toVersion).map {
       case (v, files, isSlice) =>
         if (isSlice)
-          readFiles(chT, ct, files, dvOpt = Some(Map.empty)).withColumn(vCol, lit(v))
+          // slice files carry the MAIN table's era-LOGICAL names (they were
+          // written under the names current at their commit) — read each
+          // under its era names and project to the current logical names
+          // (physical names bridge the two: stable across renames)
+          readFiles(chT, cdfSchema(eraLogicalSchema(table, schema, v)), files,
+              mapOpt = Some(Map.empty), dvOpt = Some(Map.empty))
+            .toDF(ct.fieldNames.toSeq: _*)
+            .withColumn(vCol, lit(v))
         else
-          readFiles(table, schema, files,
-              Some(parseColMap(stateAt(v).colmap.get(table))), Some(Map.empty))
+          // appended data files carry PHYSICAL names — stable across
+          // renames, so the CURRENT colmap translates every era's files
+          readFiles(table, schema, files, dvOpt = Some(Map.empty))
             .withColumn(changeTypeCol, lit("insert"))
             .withColumn(vCol, lit(v))
     }
@@ -3376,6 +3384,31 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
         StructType(ct.fields.toSeq :+
           StructField(vCol, org.apache.spark.sql.types.IntegerType, nullable = false)))
     else slices.reduce(_ unionByName _)
+  }
+
+  /** `schema` (current logical names) re-expressed under the names the
+    * table's columns had at commit `version` — what a change-slice file of
+    * that era carries. Per column: current name → current physical (stable
+    * across renames) → that physical's era-logical name (inverse era
+    * colmap; identity when the rename came later, since the physical IS
+    * the first logical name). Columns added after the era keep their
+    * current name — absent from era files, they null-fill on read.
+    */
+  private[graft] def eraLogicalSchema(table: String, schema: StructType,
+      version: Int): StructType =
+    schemaUnderEra(table, schema, parseColMap(stateAt(version).colmap.get(table)))
+
+  /** [[eraLogicalSchema]] for an era given as its colmap directly — the
+    * CDF stream's reader factory enumerates eras via [[colmapEras]].
+    */
+  private[graft] def schemaUnderEra(table: String, schema: StructType,
+      era: Map[String, String]): StructType = {
+    val cur = colMapOf(table)
+    val inv = era.map(_.swap)
+    StructType(schema.fields.map { f =>
+      val phys = cur.getOrElse(f.name, f.name)
+      f.copy(name = inv.getOrElse(phys, phys))
+    })
   }
 
   /** The change feed's per-version file plan for (`fromVersion`,
@@ -3457,6 +3490,22 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     if (missing.nonEmpty) throw new IllegalStateException(
       s"manifests ${missing.mkString(",")} in ($fromVersion,$toVersion] were vacuumed; " +
         "the change window is no longer reconstructible")
+  }
+
+  /** Every logical→physical column-mapping era `table` has had, in the
+    * retained log (identity first — the pre-first-rename era). The CDF
+    * STREAM's reader factory builds one slice reader per distinct era; the
+    * set is tiny (one entry per rename commit). Consistent with planning:
+    * any era a plannable version resolves to lives in a retained manifest.
+    */
+  private[graft] def colmapEras(table: String): Seq[Map[String, String]] = {
+    val eras = commitFiles().flatMap(cf => readLines(cf).collect {
+      case l if l.startsWith(s"colmap\t") && l.split("\t", 4)(1) == table =>
+        val v = l.split("\t", 4).lift(2).getOrElse("")
+        if (v.isEmpty || v == "{}") Map.empty[String, String]
+        else parseColMap(Some(v))
+    })
+    (Map.empty[String, String] +: eras).distinct
   }
 
   /** Tables and paths the CDF streaming source needs (package seams). */

@@ -42,9 +42,12 @@ import graft.sources.AtomicWarehouse
   * table read) because the schema differs from the table's — the same
   * reason Delta routes CDF reads through an option on its format.
   *
-  * Tables with a column-mapping rename history refuse (their change
-  * slices carry era-logical names the fixed-schema file reader cannot
-  * retarget; the batch `changesBetween` handles those).
+  * Column-mapping rename history streams through: slice files carry the
+  * era-LOGICAL names of their commit, so each partition is read by a
+  * per-era reader (requesting the era names in CURRENT positional order —
+  * physical names bridge the eras) and data files read under their stable
+  * PHYSICAL names; output is always the current logical schema,
+  * bit-identical to the batch `changesBetween`.
   */
 class GraftCdfSource extends TableProvider with DataSourceRegister {
 
@@ -89,10 +92,6 @@ class GraftCdfTable(wh: AtomicWarehouse, table: String, outSchema: StructType)
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    require(wh.columnMap(table).isEmpty &&
-      wh.columnMap(wh.changesTableOf(table)).isEmpty,
-      s"graft-cdf cannot stream $table: it has a column-mapping rename " +
-        "history (era slices carry era names) — use the batch changesBetween")
     val startingVersion = Option(options.get("startingversion")).map(_.trim.toInt)
     new ScanBuilder {
       override def build(): Scan = new Scan {
@@ -124,6 +123,11 @@ class GraftCdfMicroBatchStream(wh: AtomicWarehouse, table: String,
     * one directory listing as the legacy fallback — never a per-file serial
     * stat loop on the driver (the table-source planning contract).
     */
+  // out schema = table columns + _change_type + _commit_version: data
+  // files hold the first n (under PHYSICAL names), slice files the first
+  // n+1 (under the MAIN table's era-LOGICAL names of their commit)
+  private def dataSchema = StructType(outSchema.fields.dropRight(2))
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (from, to) = (start.asInstanceOf[GraftStreamOffset].version,
       end.asInstanceOf[GraftStreamOffset].version)
@@ -138,18 +142,35 @@ class GraftCdfMicroBatchStream(wh: AtomicWarehouse, table: String,
     windows.flatMap { case (v, files, isSlice) =>
       val dir = if (isSlice) wh.path(chT) else wh.path(table)
       val sizes = if (isSlice) sliceSizes else dataSizes
-      files.map(f => GraftCdfFilePartition(s"$dir/$f", sizes(f), 0L, v, isSlice))
+      // a slice partition carries its era's field names: the reader keyed
+      // on them requests columns in CURRENT positional order, so rows come
+      // back layout-correct with no executor-side projection
+      val sliceNames: Seq[String] =
+        if (isSlice) wh.eraLogicalSchema(table, dataSchema, v).fieldNames.toSeq
+        else Nil
+      files.map(f => GraftCdfFilePartition(s"$dir/$f", sizes(f), 0L, v,
+        isSlice, sliceNames))
     }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    // out schema = table columns + _change_type + _commit_version: data
-    // files hold the first n, slice files the first n+1
-    val dataSchema = StructType(outSchema.fields.dropRight(2))
-    val sliceSchema = StructType(outSchema.fields.dropRight(1))
-    GraftCdfReaderFactory(
-      shims.parquetRowReader(wh.spark, dataSchema),
-      shims.parquetRowReader(wh.spark, sliceSchema))
+    // data files carry PHYSICAL names — stable across renames, one reader
+    // serves every era; positions match the logical schema
+    val m = wh.columnMap(table)
+    val physData = StructType(dataSchema.fields.map(f =>
+      f.copy(name = m.getOrElse(f.name, f.name))))
+    // one slice reader per column-mapping ERA the table has had (tiny set:
+    // one per rename) — readers must build on the driver, so enumerate
+    // up front and key by the era's field-name vector
+    val ctField = outSchema.fields(outSchema.fields.length - 2)
+    val sliceReaders: Map[Seq[String], PartitionedFile => Iterator[InternalRow]] =
+      wh.colmapEras(table).map { era =>
+        val eraSchema = wh.schemaUnderEra(table, dataSchema, era)
+        eraSchema.fieldNames.toSeq ->
+          shims.parquetRowReader(wh.spark,
+            StructType(eraSchema.fields.toSeq :+ ctField))
+      }.toMap
+    GraftCdfReaderFactory(shims.parquetRowReader(wh.spark, physData), sliceReaders)
   }
 
   override def commit(end: Offset): Unit = ()
@@ -158,11 +179,13 @@ class GraftCdfMicroBatchStream(wh: AtomicWarehouse, table: String,
 }
 
 case class GraftCdfFilePartition(path: String, fileSize: Long,
-    modificationTime: Long, version: Int, isSlice: Boolean) extends InputPartition
+    modificationTime: Long, version: Int, isSlice: Boolean,
+    sliceNames: Seq[String] = Nil) extends InputPartition
 
 case class GraftCdfReaderFactory(
     readData: PartitionedFile => Iterator[InternalRow],
-    readSlice: PartitionedFile => Iterator[InternalRow]) extends PartitionReaderFactory {
+    sliceReaders: Map[Seq[String], PartitionedFile => Iterator[InternalRow]])
+    extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftCdfFilePartition]
@@ -172,7 +195,12 @@ case class GraftCdfReaderFactory(
     val suffix: InternalRow =
       if (p.isSlice) InternalRow(p.version)
       else InternalRow(UTF8String.fromString("insert"), p.version)
-    val it = if (p.isSlice) readSlice(pf) else readData(pf)
+    val it =
+      if (p.isSlice) sliceReaders.getOrElse(p.sliceNames,
+        throw new IllegalStateException(
+          s"no slice reader for era columns ${p.sliceNames.mkString(",")} — " +
+            "the era's colmap manifest was vacuumed out from under the stream"))(pf)
+      else readData(pf)
     new PartitionReader[InternalRow] {
       private val joined = new JoinedRow
       private var row: InternalRow = _

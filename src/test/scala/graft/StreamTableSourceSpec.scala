@@ -145,6 +145,59 @@ class StreamTableSourceSpec extends SparkSpec {
     assert(vers == 1L)
   }
 
+  test("graft-cdf streams across a mid-stream column rename, identical to batch changesBetween") {
+    val (wh, _) = fixture()
+    wh.setChangeFeed("facts/r", on = true)
+    wh.append("facts/r", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    wh.deleteWhere("facts/r", kv, Seq(graft.sources.ColEq("id", 2L)))
+    wh.renameColumn("facts/r", "v", "label")
+    val s2 = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("label", StringType, nullable = true)))
+    wh.append("facts/r", Seq((3L, "c")).toDF("id", "label"))
+    wh.updateWhere("facts/r", s2, Seq(graft.sources.ColEq("id", 3L)),
+      Seq("label" -> upper(col("label"))))
+    val ckpt = Files.createTempDirectory("graft-cdf-ren-ckpt-").toString
+    val out = Files.createTempDirectory("graft-cdf-ren-out-").toString
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-cdf")
+        .option("root", wh.root).option("table", "facts/r")
+        .option("startingVersion", "0").load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(GraftSession.streamDrainTimeoutMs))
+    }
+    drain()
+    def canon(df: org.apache.spark.sql.DataFrame): Set[(Long, Option[String], String, Int)] =
+      df.select("id", "label", "_change_type", "_commit_version").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)), r.getString(2), r.getInt(3)))
+        .toSet
+    val streamed = canon(spark.read.parquet(out))
+    val batch = canon(wh.changesBetween("facts/r", s2, 0, wh.versions().last))
+    assert(streamed == batch, s"stream=$streamed\nbatch=$batch")
+    // pre-rename slices carry their values under the CURRENT name — the
+    // era projection, not a null-fill
+    assert(streamed.exists { case (id, l, t, _) =>
+      id == 2L && l.contains("b") && t == "delete" })
+    // a rename AFTER the stream started is picked up on resume: the next
+    // window's slices read under the newest era
+    wh.renameColumn("facts/r", "label", "tag")
+    val s3 = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("tag", StringType, nullable = true)))
+    wh.deleteWhere("facts/r", s3, Seq(graft.sources.ColEq("id", 1L)))
+    drain()
+    // the sink's parquet accumulates under the old header name (`label`
+    // column files) union new-name files; read both generations by schema
+    val all = spark.read.schema(StructType(Seq(
+      StructField("id", LongType), StructField("label", StringType),
+      StructField("_change_type", StringType),
+      StructField("_commit_version", org.apache.spark.sql.types.IntegerType))))
+      .parquet(out)
+    assert(all.filter(col("_change_type") === "delete").count() == 2L)
+  }
+
   test("admission control: a genesis replay lands as rate-limited batches " +
       "planned with ZERO filesystem stat calls") {
     val (wh, cat) = fixture()
