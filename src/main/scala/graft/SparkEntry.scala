@@ -1903,6 +1903,58 @@ object SparkEntry {
         .orderBy(col("src_n"))
     }
 
+    // ---- the exactly-once streaming sink as a FIRST-CLASS V2 table sink:
+    // the same warehouse→warehouse mirror as etl_stream_sink but through
+    // `writeStream.toTable` — no hand-rolled foreachBatch: executors write
+    // the parquet once, the driver epoch-commit moves files in with the
+    // (appId, batchId) ledger in the same manifest commit, and an injected
+    // replay at the committed high-water is a metadata no-op. Oracle
+    // restates source == sink == orders.
+    q("etl_stream_sink_table") = (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+      val wh = new graft.sources.AtomicWarehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-sinktable-").toString)
+      val maxKey = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      val qtr = maxKey / 4
+      def band(i: Int): DataFrame =
+        if (i == 0) orders.filter(col("o_orderkey") < qtr)
+        else if (i == 3) orders.filter(col("o_orderkey") >= qtr * 3)
+        else orders.filter(col("o_orderkey") >= qtr * i &&
+          col("o_orderkey") < qtr * (i + 1))
+      (0 until 4).foreach(i => wh.append("facts/orders", band(i).coalesce(1)))
+      val cat = s"gsql${sqlCatSeq.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sql.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh.root)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-sinktable-ckpt-").toString
+      val q = s.readStream.option("startingVersion", "0")
+        .table(s"$cat.facts.orders")
+        .writeStream.option("checkpointLocation", ckpt)
+        .option("txnAppId", "mirror")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(s"$cat.facts.sink")
+      require(q.awaitTermination(graft.GraftSession.streamDrainTimeoutMs),
+        "etl_stream_sink_table: stream did not drain in time")
+      val hw = wh.lastCommittedBatch("facts/sink", "mirror").getOrElse(
+        throw new IllegalStateException("epoch ledger missing from the manifest"))
+      // injected replay at the committed high-water: pre-staged rows must
+      // NOT land, and the staging dir is cleaned
+      val stage = java.nio.file.Files.createTempDirectory("graft-sinktable-rp-").toString
+      orders.limit(3).coalesce(1).write.mode("overwrite").parquet(stage)
+      val leaf = new java.io.File(stage).listFiles()
+        .map(_.getName).filter(_.endsWith(".parquet")).head
+      val replaySkipped = !wh.appendOnceStaged("facts/sink", "mirror", hw,
+        stage, Seq(leaf), orders.schema)
+      val src = wh.read("facts/orders", orders.schema)
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("s")).head()
+      val sink = wh.read("facts/sink", orders.schema)
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("s")).head()
+      Seq((replaySkipped, src.getLong(0), src.getLong(1),
+          sink.getLong(0), sink.getLong(1)))
+        .toDF("replay_skipped", "src_n", "src_key_sum", "sink_n", "sink_key_sum")
+        .orderBy(col("src_n"))
+    }
+
     // ---- SQL DML outside the FilePred algebra (the fallback rewrite):
     // DELETE with a LIKE leg — the translatable o_orderkey conjunct prunes
     // to the top band, the exact condition decides the rows — then an
@@ -4691,6 +4743,17 @@ object SparkEntry {
     // mirror carries the identical rows
     "etl_stream_sink" ->
       """SELECT TRUE AS replay1_skipped, TRUE AS replay0_skipped,
+        | CAST(count(*) AS BIGINT) AS src_n,
+        | CAST(sum(o_orderkey) AS BIGINT) AS src_key_sum,
+        | CAST(count(*) AS BIGINT) AS sink_n,
+        | CAST(sum(o_orderkey) AS BIGINT) AS sink_key_sum
+        |FROM orders
+        |ORDER BY src_n""".stripMargin,
+
+    // V2 table-sink mirror: sink ≡ source ≡ orders; the injected replay
+    // at the committed high-water contributed nothing
+    "etl_stream_sink_table" ->
+      """SELECT TRUE AS replay_skipped,
         | CAST(count(*) AS BIGINT) AS src_n,
         | CAST(sum(o_orderkey) AS BIGINT) AS src_key_sum,
         | CAST(count(*) AS BIGINT) AS sink_n,

@@ -903,6 +903,49 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
         schemaOf = Some(df.schema), frozen = parentPins)
     }
 
+    /** Append files ALREADY WRITTEN by streaming-sink tasks (physical
+      * column names, parquet) without rewriting a byte: the invariant
+      * probes read them once, then the stage writer MOVES them (same-FS
+      * rename) instead of re-serializing a DataFrame — the V2
+      * `writeStream.table` path, where executors wrote the data and the
+      * driver only commits. `leaves` are the task-committed file names
+      * under `srcDir` (task attempts that died uncommitted may have left
+      * orphans there — only the named files move; the caller deletes the
+      * dir after commit).
+      */
+    private[sources] def appendStagedParquetDir(table: String, srcDir: Path,
+        leaves: Seq[String], schema: StructType): Unit = {
+      require(leaves.nonEmpty, "appendStagedParquetDir with no files")
+      val m = colMapOf(table)
+      val phys = StructType(schema.fields.map(f =>
+        f.copy(name = m.getOrElse(f.name, f.name))))
+      val df0 = spark.read.schema(phys)
+        .parquet(leaves.map(l => s"$srcDir/$l"): _*)
+      val df = if (m.isEmpty) df0
+        else df0.select(schema.fields.toSeq.map(f =>
+          col(m.getOrElse(f.name, f.name)).as(f.name)): _*)
+      enforceConstraints(table, df)
+      val parentPins = fkCheck(table, df)
+      enforceUniques(table, df, Nil, truncating = false)
+      // moves survive the stage writer's transient-error retry: files go
+      // from wherever they currently are (src on the first attempt, the
+      // previous stage dir on a retry)
+      val loc = new java.util.concurrent.atomic.AtomicReference[Path](srcDir)
+      stage(table, truncate = false, partitioned = false,
+        Some { d =>
+          val cur = loc.get()
+          fs.mkdirs(d)
+          leaves.foreach { leaf =>
+            val (src, dst) = (new Path(cur, leaf), new Path(d, leaf))
+            if (!fs.rename(src, dst) && !fs.exists(dst))
+              throw new java.io.IOException(
+                s"failed to move staged stream file $leaf into $d")
+          }
+          loc.set(d)
+        },
+        schemaOf = Some(schema), frozen = parentPins)
+    }
+
     override def appendPartitioned(table: String, df: DataFrame,
         partitionCols: Seq[String]): Unit = {
       enforceConstraints(table, df)
@@ -1537,6 +1580,43 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       case w => throw new IllegalStateException( // unreachable: atomically hands a TxView
         s"AtomicWarehouse.atomically produced a ${w.getClass.getName}")
     }
+    true
+  }
+
+  /** [[appendOnce]] for files ALREADY WRITTEN by streaming-sink tasks (the
+    * V2 `writeStream.table` path): same (appId, batchId) ledger riding the
+    * same manifest commit, but the data lands by RENAME from `srcDir` —
+    * written once, by executors — instead of a driver-side DataFrame
+    * re-serialization. Only the task-committed `leaves` move (uncommitted
+    * attempts' orphans die with the dir); a replayed batch is detected
+    * BEFORE any move and returns false with the dir cleaned either way.
+    * Invariants and the change feed bind exactly as [[appendOnce]]. An
+    * empty batch still advances the high-water (metadata-only commit).
+    */
+  def appendOnceStaged(table: String, appId: String, batchId: Long,
+      srcDir: String, leaves: Seq[String], schema: StructType): Boolean = {
+    require(appId.nonEmpty && !appId.exists(c => c == '\t' || c == '\n'),
+      s"appId '$appId' is empty or contains TSV control characters")
+    require(batchId >= 0L, s"batchId must be non-negative, got $batchId")
+    require(leaves.forall(l => !l.contains("/") && !l.startsWith(".")),
+      "staged stream leaves must be flat, non-hidden file names")
+    val src = new Path(srcDir)
+    def cleanup(): Unit =
+      try { if (fs.exists(src)) fs.delete(src, true) }
+      catch { case _: java.io.IOException => () }
+    if (foldedState().txns.get((table, appId)).exists(_ >= batchId)) {
+      cleanup(); return false
+    }
+    try {
+      atomically {
+        case tv: TxView =>
+          if (leaves.nonEmpty) tv.appendStagedParquetDir(table, src, leaves, schema)
+          tv.manifestLines(table, Seq(s"txn\t$table\t$appId\t$batchId"),
+            requirePresent = Nil, dvExpected = Nil)
+        case w => throw new IllegalStateException( // unreachable: atomically hands a TxView
+          s"AtomicWarehouse.atomically produced a ${w.getClass.getName}")
+      }
+    } finally cleanup() // success: uncommitted-attempt orphans; failure: the batch replays
     true
   }
 

@@ -320,7 +320,8 @@ case class GraftTable(wh: AtomicWarehouse, tableName: String,
 
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE).asJava
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE).asJava
 
   /** Serves `spark.readStream.table(...)` — see [[GraftScan]]; batch
     * SELECTs resolve through [[GraftRelationResolution]] instead and never
@@ -440,6 +441,24 @@ case class GraftTable(wh: AtomicWarehouse, tableName: String,
               else wh.append(tableName, aligned)
             }
           }
+        /** `writeStream.toTable(...)` — exactly-once epochs through the
+          * (appId, batchId) manifest ledger; see [[GraftStreamingWrite]].
+          */
+        override def toStreaming
+            : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+          require(!overwrite,
+            s"streaming into $tableName supports APPEND output mode only " +
+              "(complete/truncate would replace the table every epoch)")
+          val appId = Option(info.options.get("txnappid")).getOrElse(info.queryId())
+          new GraftStreamingWrite(wh, tableName,
+            // positional resolution, as the batch path: the incoming
+            // schema's names may differ, positions bind
+            org.apache.spark.sql.types.StructType(
+              tableSchema.fields.zip(info.schema().fields).map {
+                case (t, in) => t.copy(dataType = in.dataType, nullable = in.nullable)
+              }),
+            appId)
+        }
       }
     }
   }

@@ -80,4 +80,53 @@ object shims {
       locations = Array.empty,
       modificationTime = modificationTime,
       fileSize = fileSize)
+
+  /** A Hadoop configuration prepared for writing `InternalRow`s as parquet
+    * with Spark's own [[org.apache.spark.sql.execution.datasources.parquet
+    * .ParquetWriteSupport]] (all `private[sql]`): schema, legacy-format /
+    * timestamp-type / field-id / rebase-mode settings and the session
+    * compression codec, mirrored from what `ParquetFileFormat.prepareWrite`
+    * sets. Built on the DRIVER from the session, shipped serializable to
+    * write tasks — the streaming table sink's executor-side writers.
+    */
+  def parquetWriteConf(spark: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.util.SerializableConfiguration = {
+    import org.apache.spark.sql.internal.SQLConf
+    val ss = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val sqlConf = ss.sessionState.conf
+    val conf = ss.sessionState.newHadoopConf()
+    conf.set(org.apache.parquet.hadoop.ParquetOutputFormat.WRITE_SUPPORT_CLASS,
+      classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport].getName)
+    org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+      .setSchema(schema, conf)
+    conf.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key,
+      sqlConf.writeLegacyParquetFormat.toString)
+    conf.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key,
+      sqlConf.parquetOutputTimestampType.toString)
+    conf.set(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key,
+      sqlConf.parquetFieldIdWriteEnabled.toString)
+    conf.set(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key,
+      sqlConf.getConf(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE).toString)
+    conf.set(SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key,
+      sqlConf.getConf(SQLConf.PARQUET_REBASE_MODE_IN_WRITE).toString)
+    conf.set(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key,
+      sqlConf.getConf(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE).toString)
+    conf.set(SQLConf.SESSION_LOCAL_TIMEZONE.key, sqlConf.sessionLocalTimeZone)
+    conf.set(org.apache.parquet.hadoop.ParquetOutputFormat.COMPRESSION,
+      new org.apache.spark.sql.execution.datasources.parquet.ParquetOptions(
+        Map.empty[String, String], sqlConf).compressionCodecClassName)
+    new org.apache.spark.util.SerializableConfiguration(conf)
+  }
+
+  /** Open one parquet file for `InternalRow` writes at `path` (executor
+    * side; `conf` from [[parquetWriteConf]]). Caller writes rows and MUST
+    * `close()` — the footer lands on close.
+    */
+  def openParquetRowWriter(conf: org.apache.hadoop.conf.Configuration,
+      path: String): org.apache.spark.sql.execution.datasources.OutputWriter = {
+    val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+      conf, new org.apache.hadoop.mapreduce.TaskAttemptID())
+    new org.apache.spark.sql.execution.datasources.parquet.ParquetOutputWriter(path, ctx)
+  }
 }

@@ -271,6 +271,68 @@ class StreamTableSourceSpec extends SparkSpec {
     assert(mid == graft.sql.GraftStreamOffset(7, 2) && mid.json() == """{"version":7,"index":2}""")
   }
 
+  test("writeStream.toTable: exactly-once V2 sink — warehouse to warehouse, " +
+      "replays skipped, invariants bind, append-only") {
+    val (wh, cat) = fixture()
+    wh.append("facts/a", (0L until 20L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartition(1))
+    wh.append("facts/a", (20L until 30L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartition(1))
+    wh.append("facts/b", Seq((999L, "seed")).toDF("id", "v")) // schema recorded
+    val ckpt = Files.createTempDirectory("graft-sinktable-ckpt-").toString
+    def drain(): Unit = {
+      val q = spark.readStream.option("startingVersion", "0")
+        .table(s"$cat.facts.a")
+        .writeStream.option("checkpointLocation", ckpt)
+        .option("txnAppId", "sinktest")
+        .trigger(Trigger.AvailableNow())
+        .toTable(s"$cat.facts.b")
+      assert(q.awaitTermination(GraftSession.streamDrainTimeoutMs),
+        "sink stream did not drain in time")
+    }
+    drain()
+    def bIds(): Set[Long] = wh.read("facts/b", kv).collect().map(_.getLong(0)).toSet
+    assert(bIds() == (0L until 30L).toSet + 999L, s"got ${bIds().size} ids")
+    val hw = wh.lastCommittedBatch("facts/b", "sinktest")
+    assert(hw.isDefined, "the epoch ledger must ride the manifest")
+    // resume: only the new source commit flows; nothing replays
+    wh.append("facts/a", (30L until 35L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartition(1))
+    drain()
+    assert(bIds() == (0L until 35L).toSet + 999L,
+      "resume must append exactly the new rows")
+    assert(wh.lastCommittedBatch("facts/b", "sinktest").get > hw.get)
+    // an injected REPLAY (batch id at the high-water) is a no-op and the
+    // staging dir is cleaned either way
+    val stage = Files.createTempDirectory("graft-sinktable-replay-").toString
+    Seq((777L, "dup")).toDF("id", "v").coalesce(1).write
+      .mode("overwrite").parquet(stage)
+    val leaf = new java.io.File(stage).listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).head
+    assert(!wh.appendOnceStaged("facts/b", "sinktest",
+      wh.lastCommittedBatch("facts/b", "sinktest").get, stage, Seq(leaf), kv))
+    assert(!bIds().contains(777L), "replayed epoch leaked rows")
+    assert(!new java.io.File(stage).exists(), "replay staging dir not cleaned")
+    // invariants bind the streaming sink exactly as API writes
+    wh.addConstraint("facts/b", "nonneg", "id >= 0", kv)
+    wh.append("facts/a", Seq((-1L, "bad")).toDF("id", "v"))
+    val failed = intercept[Exception] { drain() }
+    assert(failed.getMessage != null)
+    assert(!bIds().contains(-1L), "constraint-violating epoch leaked rows")
+    // complete/truncate output mode refuses (async — surfaces on await)
+    val q2 = spark.readStream.table(s"$cat.facts.a")
+      .groupBy(col("v")).count()
+      .writeStream.outputMode("complete")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sinktable-cm-").toString)
+      .trigger(Trigger.AvailableNow())
+      .toTable(s"$cat.facts.bagg")
+    val e = intercept[Exception] {
+      q2.awaitTermination(GraftSession.streamDrainTimeoutMs)
+    }
+    assert(e.getMessage.contains("APPEND output mode only"), e.getMessage)
+  }
+
   test("non-append windows refuse instead of replaying or dropping rows") {
     val (wh, cat) = fixture()
     wh.append("facts/t", (0L until 50L).map(i => (i, s"v$i")).toDF("id", "v"))
