@@ -11,7 +11,9 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader,
   PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset,
+  ReadAllAvailable, ReadLimit, ReadMaxFiles, SupportsAdmissionControl,
+  SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.datasources.PartitionedFile
 import org.apache.spark.sql.graft.shims
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -27,7 +29,8 @@ import graft.sources.AtomicWarehouse
   * {{{
   * spark.readStream.format("graft-cdf")
   *   .option("root", "/data/wh").option("table", "facts/orders")
-  *   .option("startingVersion", "0")     // default: current head
+  *   .option("startingVersion", "0")      // default: current head
+  *   .option("maxFilesPerTrigger", "50")  // default 1000; "none" = unbounded
   *   .load()
   * }}}
   *
@@ -93,24 +96,79 @@ class GraftCdfTable(wh: AtomicWarehouse, table: String, outSchema: StructType)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val startingVersion = Option(options.get("startingversion")).map(_.trim.toInt)
+    val maxFiles = Option(options.get("maxfilespertrigger")).map(_.trim) match {
+      case Some(s) if s.equalsIgnoreCase("none") => None
+      case Some(s) =>
+        val n = s.toInt
+        require(n > 0, s"maxFilesPerTrigger must be positive, got $n")
+        Some(n)
+      case None => Some(GraftStreamLimits.DefaultMaxFiles)
+    }
     new ScanBuilder {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = outSchema
         override def description(): String = s"graft cdf stream of $table"
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new GraftCdfMicroBatchStream(wh, table, outSchema, startingVersion)
+          new GraftCdfMicroBatchStream(wh, table, outSchema, startingVersion,
+            maxFiles)
       }
     }
   }
 }
 
 class GraftCdfMicroBatchStream(wh: AtomicWarehouse, table: String,
-    outSchema: StructType, startingVersion: Option[Int]) extends MicroBatchStream {
+    outSchema: StructType, startingVersion: Option[Int],
+    maxFiles: Option[Int]) extends MicroBatchStream
+    with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+  @volatile private var availableNowCap: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(wh.headVersion())
+
+  private def head(): Int = {
+    val h = wh.headVersion()
+    availableNowCap.fold(h)(math.min(h, _))
+  }
 
   override def initialOffset(): Offset =
     GraftStreamOffset(startingVersion.getOrElse(wh.headVersion()))
 
-  override def latestOffset(): Offset = GraftStreamOffset(wh.headVersion())
+  override def getDefaultReadLimit: ReadLimit =
+    maxFiles.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) drives this source (SupportsAdmissionControl)")
+
+  override def reportLatestOffset(): Offset = GraftStreamOffset(wh.headVersion())
+
+  /** Rate-limit a change-feed replay at COMMIT-VERSION granularity: a
+    * version's changes land atomically with their commit (splitting a DML
+    * slice across micro-batches would tear an update's image pair), so the
+    * walk admits whole versions until the file cap trips — always at least
+    * one, however large a single commit is. The walk reads only the
+    * manifest (the shared [[AtomicWarehouse.cdfWindowFiles]] plan).
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[GraftStreamOffset]
+    val h = head()
+    if (s.version >= h) return s
+    val cap = limit match {
+      case _: ReadAllAvailable => return GraftStreamOffset(h)
+      case f: ReadMaxFiles => f.maxFiles()
+      case other => throw new UnsupportedOperationException(
+        s"read limit ${other.getClass.getSimpleName} is not supported on graft-cdf " +
+          "(files are the unit; versions admit whole)")
+    }
+    wh.cdfWindowGuards(table, s.version, h)
+    var total = 0L
+    wh.cdfWindowFiles(table, s.version, h).foreach { case (v, files, _) =>
+      if (total > 0L && total + files.size > cap) return GraftStreamOffset(v - 1)
+      total += files.size
+    }
+    GraftStreamOffset(h)
+  }
 
   override def deserializeOffset(json: String): Offset = {
     val v = """"version"\s*:\s*(\d+)""".r.findFirstMatchIn(json)

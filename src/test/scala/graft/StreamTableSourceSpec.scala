@@ -145,6 +145,31 @@ class StreamTableSourceSpec extends SparkSpec {
     assert(vers == 1L)
   }
 
+  test("graft-cdf admission control: a replay lands as version-granular " +
+      "rate-limited batches, results identical") {
+    val (wh, _) = fixture()
+    wh.setChangeFeed("facts/adm", on = true)
+    (0 until 4).foreach(k => wh.append("facts/adm",
+      Seq((k.toLong, s"v$k")).toDF("id", "v").repartition(1)))
+    wh.deleteWhere("facts/adm", kv, Seq(graft.sources.ColEq("id", 1L)))
+    val ckpt = Files.createTempDirectory("graft-cdf-adm-ckpt-").toString
+    val q = spark.readStream.format("graft-cdf")
+      .option("root", wh.root).option("table", "facts/adm")
+      .option("startingVersion", "0")
+      .option("maxFilesPerTrigger", "1")
+      .load()
+      .writeStream.format("memory").queryName("cdfadm")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(GraftSession.streamDrainTimeoutMs))
+    val byType = spark.table("cdfadm").groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("insert" -> 4L, "delete" -> 1L), byType.toString)
+    // 5 change-bearing versions, 1-file cap → one version per micro-batch
+    assert(q.recentProgress.count(_.numInputRows > 0) == 5,
+      s"got ${q.recentProgress.count(_.numInputRows > 0)} batches")
+  }
+
   test("graft-cdf streams across a mid-stream column rename, identical to batch changesBetween") {
     val (wh, _) = fixture()
     wh.setChangeFeed("facts/r", on = true)
