@@ -146,6 +146,20 @@ class SqlCatalogSpec extends SparkSpec {
     assert(!wh.exists("dim/fresh"))
   }
 
+  test("GraftFileIndex serves a file committed AFTER its statuses snapshot " +
+      "(race fallback, never a silent under-read)") {
+    // regression pin for the r14 ADVICE fix: a commit landing between index
+    // construction and physical planning must be fetched fresh, not dropped
+    val (wh, _, _) = fixture()
+    wh.append("facts/race", Seq((1L, "a")).toDF("id", "v").coalesce(1))
+    val idx = new GraftFileIndex(wh, "facts/race", Map.empty)
+    assert(idx.sizeInBytes > 0L) // force the lazy statuses snapshot
+    wh.append("facts/race", Seq((2L, "b")).toDF("id", "v").coalesce(1))
+    val listed = idx.listFiles(Nil, Nil).flatMap(_.files)
+    assert(listed.size == 2,
+      s"racing commit's file dropped: ${listed.size} files listed")
+  }
+
   test("DELETE FROM routes through the engine's copy-on-write delete") {
     val (wh, cat, root) = fixture()
     banded(wh)

@@ -125,4 +125,24 @@ class UniqueKeySpec extends SparkSpec {
     wh2.append("t", rows((7L, "a"), (7L, "b"))) // re-created table starts clean
     assert(wh2.uniquesOf("t").isEmpty)
   }
+
+  test("an OVER-CAP batch (distincts past the probe limit) never reaches " +
+      "collect_set: the full-probe fallback stays exact both ways") {
+    // regression pin for the r14 ADVICE fix: distinct COUNTS are computed
+    // first (one partially-aggregated pass) so a column whose distinct set
+    // exceeds the 10k probe cap never materializes in collect_set — this
+    // case drives that path end-to-end: 10_001 distinct keys in one batch
+    val wh = newWh()
+    wh.append("t", (0L until 100L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    wh.addUniqueKey("t", "id", "pk")
+    // over-cap batch colliding with ONE existing key: the fallback (whole
+    // remain-set join) must still refuse — over-cap is not a blind spot
+    val colliding = ((100L until 10100L) :+ 42L).map(i => (i, s"w$i")).toDF("id", "v")
+    val e = intercept[IllegalArgumentException](wh.append("t", colliding))
+    assert(e.getMessage.contains("already present"), e.getMessage)
+    assert(wh.read("t", kv).count() == 100, "refused over-cap batch leaked")
+    // disjoint over-cap batch lands
+    wh.append("t", (100L until 10201L).map(i => (i, s"w$i")).toDF("id", "v"))
+    assert(wh.read("t", kv).count() == 100L + 10101L)
+  }
 }
