@@ -1421,7 +1421,15 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     val before = stateAt(fromVersion).adds.getOrElse(table, Vector.empty).toSet
     val added = stateAt(toVersion).adds.getOrElse(table, Vector.empty)
       .filterNot(before)
-    val gone = added.filterNot(f => fs.exists(new Path(s"${path(table)}/$f")))
+    // existence guard: per-file probes for a small window, ONE directory
+    // listing for a large (genesis-sized) one — never O(window) serial
+    // driver RPCs against a big backlog
+    val gone =
+      if (added.size > 16 && added.forall(!_.contains("/"))) {
+        val names = fs.listStatus(new Path(path(table))).iterator
+          .filter(_.isFile).map(_.getPath.getName).toSet
+        added.filterNot(names.contains)
+      } else added.filterNot(f => fs.exists(new Path(s"${path(table)}/$f")))
     if (gone.nonEmpty) throw new IllegalStateException(
       s"window ($fromVersion,$toVersion] of $table lost ${gone.size} data files to vacuum")
     added
@@ -1481,6 +1489,20 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       }
       versionOf(cf) -> files.toVector
     }.filter(_._2.nonEmpty)
+  }
+
+  /** Manifest-recorded byte sizes for `files` of `table` at the CURRENT
+    * head (stats lines carry `bytes` since r15) — what the SQL
+    * [[graft.sql.GraftFileIndex]] sizes scans from so planning never lists
+    * or stats the filesystem for log-recorded files. Files whose lines
+    * predate size recording are absent (the caller's one-listing fallback).
+    */
+  private[graft] def recordedFileSizes(table: String,
+      files: Seq[String]): Map[String, Long] = {
+    val stats = foldedState().stats
+    files.flatMap { f =>
+      stats.get((table, f)).map(FileStatsRec.bytesOf).filter(_ >= 0L).map(f -> _)
+    }.toMap
   }
 
   /** Filesystem metadata calls made while PLANNING streaming micro-batches
@@ -1793,8 +1815,13 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
   def describe(table: String): TableDetail = {
     val st = foldedState()
     val files = st.adds.getOrElse(table, Vector.empty)
-    val bytes = files.map(f =>
-      fs.getFileStatus(new Path(s"${path(table)}/$f")).getLen).sum
+    // bytes from the LOG where recorded (r15 stats lines), filesystem only
+    // for the pre-recording remainder — a million-file DESCRIBE must not
+    // be a million serial driver stat calls
+    val recorded = recordedFileSizes(table, files)
+    val bytes = recorded.valuesIterator.sum +
+      files.filterNot(recorded.contains).map(f =>
+        fs.getFileStatus(new Path(s"${path(table)}/$f")).getLen).sum
     val recs = files.flatMap(f => st.stats.get((table, f)))
     // rows = LIVE rows: physical footer counts minus deletion-vector
     // tombstones (still metadata-only)

@@ -49,15 +49,44 @@ class GraftFileIndex(wh: AtomicWarehouse, table: String,
     */
   override lazy val sizeInBytes: Long = statuses.values.map(_.getLen).sum
 
+  /** File statuses from the LOG, not the filesystem: manifest-recorded
+    * byte sizes (exact — captured from the footer read at commit) become
+    * synthetic FileStatus entries, so SQL scan planning over a
+    * million-file table costs zero namenode/object-store calls. Only
+    * files whose stats lines predate size recording fall back to one
+    * directory listing (flat layouts) or per-file statuses (partition
+    * dirs). Synthetic entries carry modificationTime 0 — the one visible
+    * consequence is `_metadata.file_modification_time` reading as epoch
+    * for SQL scans that project it; a vacuumed file is caught loudly by
+    * the scan task instead of a planner pre-check (same contract as the
+    * streaming source).
+    */
   private lazy val statuses: Map[String, FileStatus] = {
-    val visible = wh.visibleDataFiles(table).toSet
+    val visible = wh.visibleDataFiles(table)
     if (visible.isEmpty) Map.empty
-    else if (visible.exists(_.contains("/")))
-      visible.map(f => f -> fs.getFileStatus(new Path(s"${wh.path(table)}/$f"))).toMap
-    else // flat layout: ONE directory listing covers every file
-      fs.listStatus(tableDir).filter(_.isFile)
-        .filter(s => visible.contains(s.getPath.getName))
-        .map(s => s.getPath.getName -> s).toMap
+    else {
+      val recorded = wh.recordedFileSizes(table, visible)
+      val synthetic = recorded.map { case (f, len) =>
+        f -> new FileStatus(len, false, 1, 0L, 0L,
+          fs.makeQualified(new Path(s"${wh.path(table)}/$f")))
+      }
+      val rest = visible.filterNot(recorded.contains)
+      val listed: Map[String, FileStatus] =
+        if (rest.isEmpty) Map.empty
+        else if (rest.exists(_.contains("/")))
+          rest.map { f =>
+            wh.streamPlanFsCalls.incrementAndGet()
+            f -> fs.getFileStatus(new Path(s"${wh.path(table)}/$f"))
+          }.toMap
+        else { // flat layout: ONE directory listing covers every legacy file
+          wh.streamPlanFsCalls.incrementAndGet()
+          val wanted = rest.toSet
+          fs.listStatus(tableDir).filter(_.isFile)
+            .filter(s => wanted.contains(s.getPath.getName))
+            .map(s => s.getPath.getName -> s).toMap
+        }
+      synthetic ++ listed
+    }
   }
 
   override def listFiles(partitionFilters: Seq[Expression],

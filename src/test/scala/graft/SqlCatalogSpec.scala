@@ -146,6 +146,20 @@ class SqlCatalogSpec extends SparkSpec {
     assert(!wh.exists("dim/fresh"))
   }
 
+  test("SQL scan planning is LISTING-FREE on log-recorded tables: statuses " +
+      "come from manifest bytes, zero filesystem metadata calls") {
+    val (wh, cat, _) = fixture()
+    banded(wh) // 4 files, stats (incl. bytes) recorded at commit
+    val before = wh.streamPlanFsCalls.get()
+    val n = spark.sql(s"SELECT count(*) AS n FROM $cat.facts.t").head().getLong(0)
+    assert(n == 400L)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.facts.t WHERE id < 100")
+      .head().getLong(0) == 100L)
+    assert(wh.streamPlanFsCalls.get() == before,
+      s"scan planning made ${wh.streamPlanFsCalls.get() - before} filesystem " +
+        "metadata calls on a fully log-recorded table")
+  }
+
   test("GraftFileIndex serves a file committed AFTER its statuses snapshot " +
       "(race fallback, never a silent under-read)") {
     // regression pin for the r14 ADVICE fix: a commit landing between index
