@@ -3528,7 +3528,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     * half, shared with the CDF streaming source.
     */
   private[graft] def cdfWindowFiles(table: String, fromVersion: Int,
-      toVersion: Int): Seq[(Int, Seq[String], Boolean)] = {
+      toVersion: Int, checkExistence: Boolean = true): Seq[(Int, Seq[String], Boolean)] = {
     val chT = changesTable(table)
     val window = commitFiles()
       .filter(p => versionOf(p) > fromVersion && versionOf(p) <= toVersion)
@@ -3559,7 +3559,9 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
         // a recorded DML slice covers EVERYTHING this commit did to the
         // table (incl. merge inserts) — its data-file adds are rewrite
         // outputs, not new rows
-        val goneCdf = cdfAdds.filterNot(f2 => fs.exists(new Path(s"${path(chT)}/$f2")))
+        val goneCdf =
+          if (!checkExistence) Nil
+          else cdfAdds.filterNot(f2 => fs.exists(new Path(s"${path(chT)}/$f2")))
         if (goneCdf.nonEmpty) throw new IllegalStateException(
           s"version $v of $table lost ${goneCdf.size} change-slice files to vacuum; " +
             "the change window is no longer reconstructible")
@@ -3570,7 +3572,9 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
             "change slice — the change feed was not enabled when it ran " +
             "(setChangeFeed before the DML, or use readAt reconstruction)")
       } else if (dataAdds.nonEmpty) {
-        val gone = dataAdds.filterNot(f2 => fs.exists(new Path(s"${path(table)}/$f2")))
+        val gone =
+          if (!checkExistence) Nil
+          else dataAdds.filterNot(f2 => fs.exists(new Path(s"${path(table)}/$f2")))
         if (gone.nonEmpty) throw new IllegalStateException(
           s"version $v of $table lost ${gone.size} data files to vacuum")
         Some((v, dataAdds: Seq[String], false))

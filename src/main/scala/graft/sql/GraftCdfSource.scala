@@ -163,10 +163,14 @@ class GraftCdfMicroBatchStream(wh: AtomicWarehouse, table: String,
     }
     wh.cdfWindowGuards(table, s.version, h)
     var total = 0L
-    wh.cdfWindowFiles(table, s.version, h).foreach { case (v, files, _) =>
-      if (total > 0L && total + files.size > cap) return GraftStreamOffset(v - 1)
-      total += files.size
-    }
+    // admission walks the manifest only (no per-file existence probes over
+    // the whole backlog EVERY trigger) — planning the admitted window
+    // still runs the full guards
+    wh.cdfWindowFiles(table, s.version, h, checkExistence = false)
+      .foreach { case (v, files, _) =>
+        if (total > 0L && total + files.size > cap) return GraftStreamOffset(v - 1)
+        total += files.size
+      }
     GraftStreamOffset(h)
   }
 
