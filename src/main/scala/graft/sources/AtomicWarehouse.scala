@@ -1349,7 +1349,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     val files = st.adds.getOrElse(table, Vector.empty)
-    val gone = files.filterNot(f => fs.exists(new Path(s"${path(table)}/$f")))
+    val gone = missingFiles(table, files)
     if (gone.nonEmpty) throw new IllegalStateException(
       s"version $version of $table is no longer reconstructible: " +
         s"${gone.size} of its data files were vacuumed (first: ${gone.head})")
@@ -1421,15 +1421,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     val before = stateAt(fromVersion).adds.getOrElse(table, Vector.empty).toSet
     val added = stateAt(toVersion).adds.getOrElse(table, Vector.empty)
       .filterNot(before)
-    // existence guard: per-file probes for a small window, ONE directory
-    // listing for a large (genesis-sized) one — never O(window) serial
-    // driver RPCs against a big backlog
-    val gone =
-      if (added.size > 16 && added.forall(!_.contains("/"))) {
-        val names = fs.listStatus(new Path(path(table))).iterator
-          .filter(_.isFile).map(_.getPath.getName).toSet
-        added.filterNot(names.contains)
-      } else added.filterNot(f => fs.exists(new Path(s"${path(table)}/$f")))
+    val gone = missingFiles(table, added)
     if (gone.nonEmpty) throw new IllegalStateException(
       s"window ($fromVersion,$toVersion] of $table lost ${gone.size} data files to vacuum")
     added
@@ -1503,6 +1495,28 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     files.flatMap { f =>
       stats.get((table, f)).map(FileStatsRec.bytesOf).filter(_ >= 0L).map(f -> _)
     }.toMap
+  }
+
+  /** Which of `files` are MISSING from `table`'s directory — the
+    * vacuum-loss guard every historical read runs. Per-file probes for a
+    * small set, ONE directory listing past 16 flat files: a genesis-sized
+    * version must not cost O(files) serial driver RPCs to prove intact.
+    */
+  private def missingFiles(table: String, files: Seq[String]): Seq[String] =
+    if (files.size > 16 && files.forall(!_.contains("/"))) {
+      val names = fs.listStatus(new Path(path(table))).iterator
+        .filter(_.isFile).map(_.getPath.getName).toSet
+      files.filterNot(names.contains)
+    } else files.filterNot(f => fs.exists(new Path(s"${path(table)}/$f")))
+
+  /** Total bytes of `files`, manifest-recorded where available (exact —
+    * captured from the commit-time footer read), filesystem only for the
+    * pre-recording remainder.
+    */
+  private def fileBytes(table: String, files: Seq[String]): Long = {
+    val rec = recordedFileSizes(table, files)
+    rec.valuesIterator.sum + files.filterNot(rec.contains).map(f =>
+      fs.getFileStatus(new Path(s"${path(table)}/$f")).getLen).sum
   }
 
   /** Filesystem metadata calls made while PLANNING streaming micro-batches
@@ -1666,7 +1680,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
   def restore(table: String, version: Int): Unit = {
     val st = stateAt(version)
     val files = st.adds.getOrElse(table, Vector.empty)
-    val gone = files.filterNot(f => fs.exists(new Path(s"${path(table)}/$f")))
+    val gone = missingFiles(table, files)
     if (gone.nonEmpty) throw new IllegalStateException(
       s"cannot restore $table to version $version: ${gone.size} of its data " +
         s"files were vacuumed (first: ${gone.head})")
@@ -1818,10 +1832,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     // bytes from the LOG where recorded (r15 stats lines), filesystem only
     // for the pre-recording remainder — a million-file DESCRIBE must not
     // be a million serial driver stat calls
-    val recorded = recordedFileSizes(table, files)
-    val bytes = recorded.valuesIterator.sum +
-      files.filterNot(recorded.contains).map(f =>
-        fs.getFileStatus(new Path(s"${path(table)}/$f")).getLen).sum
+    val bytes = fileBytes(table, files)
     val recs = files.flatMap(f => st.stats.get((table, f)))
     // rows = LIVE rows: physical footer counts minus deletion-vector
     // tombstones (still metadata-only)
@@ -3120,8 +3131,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       val statless = parsed.collect { case (f, None) => f }
       val tail = (eroded ++ statless).distinct
       if (tail.isEmpty) return ReclusterResult(0, files.size, 0L)
-      val bytes = tail.map(f =>
-        fs.getFileStatus(new Path(s"${path(table)}/$f")).getLen).sum
+      val bytes = fileBytes(table, tail)
       val dvSnap = tail.map(f => f -> st.dvs.get((table, f)))
       val src = readFiles(table, schema, tail, dvOpt = Some(rawDvs(st, table)))
       val n = if (outFiles > 0) outFiles else tail.size
@@ -3883,8 +3893,9 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       require(files.forall(!_.contains("/")),
         s"compactSmall on partition-dir layouts is not supported (table $table); " +
           "migrate once via recluster — see deleteWhere's contract")
-      val sized = files.map(f =>
-        f -> fs.getFileStatus(new Path(s"${path(table)}/$f")).getLen)
+      val recordedSz = recordedFileSizes(table, files)
+      val sized = files.map(f => f -> recordedSz.getOrElse(f,
+        fs.getFileStatus(new Path(s"${path(table)}/$f")).getLen))
       val small = sized.filter(_._2 < minBytes)
       if (small.size <= 1) return ReclusterResult(0, files.size, 0L)
       val smallBytes = small.map(_._2).sum
@@ -3946,8 +3957,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
         }
       }
       if (dense.isEmpty) return ReclusterResult(0, files.size, 0L)
-      val bytes = dense.map(f =>
-        fs.getFileStatus(new Path(s"${path(table)}/$f")).getLen).sum
+      val bytes = fileBytes(table, dense)
       val dvSnap = dense.map(f => f -> st.dvs.get((table, f)))
       val src = readFiles(table, schema, dense, dvOpt = Some(rawDvs(st, table)))
       val out = clusteredRewrite(table, schema, src, dense.size, Nil)
@@ -4382,8 +4392,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
   override def sizeBytes(table: String): Long =
     visibleFiles(table) match {
       case None        => super.sizeBytes(table)
-      case Some(files) =>
-        files.map(f => fs.getFileStatus(new Path(s"${path(table)}/$f")).getLen).sum
+      case Some(files) => fileBytes(table, files)
     }
 
   /** Log + storage maintenance: (1) fold the whole committed log into one
