@@ -201,6 +201,7 @@ class GraftCdfMicroBatchStream(wh: AtomicWarehouse, table: String,
       windows.filter(_._3 == slice).flatMap(_._2).distinct, to)
     val dataSizes = sizesFor(slice = false)
     val sliceSizes = sizesFor(slice = true)
+    val maxSplit = math.max(1L, shims.filesMaxPartitionBytes(wh.spark))
     windows.flatMap { case (v, files, isSlice) =>
       val dir = if (isSlice) wh.path(chT) else wh.path(table)
       val sizes = if (isSlice) sliceSizes else dataSizes
@@ -210,8 +211,16 @@ class GraftCdfMicroBatchStream(wh: AtomicWarehouse, table: String,
       val sliceNames: Seq[String] =
         if (isSlice) wh.eraLogicalSchema(table, dataSchema, v).fieldNames.toSeq
         else Nil
-      files.map(f => GraftCdfFilePartition(s"$dir/$f", sizes(f), 0L, v,
-        isSlice, sliceNames))
+      files.flatMap { f =>
+        val size = sizes(f)
+        val path = s"$dir/$f"
+        // large files split into byte ranges exactly as Spark's own scans
+        if (size <= maxSplit)
+          Seq(GraftCdfFilePartition(path, 0L, size, size, v, isSlice, sliceNames))
+        else (0L until size by maxSplit).map(off =>
+          GraftCdfFilePartition(path, off, math.min(maxSplit, size - off),
+            size, v, isSlice, sliceNames))
+      }
     }.toArray
   }
 
@@ -240,8 +249,8 @@ class GraftCdfMicroBatchStream(wh: AtomicWarehouse, table: String,
   override def stop(): Unit = ()
 }
 
-case class GraftCdfFilePartition(path: String, fileSize: Long,
-    modificationTime: Long, version: Int, isSlice: Boolean,
+case class GraftCdfFilePartition(path: String, start: Long, length: Long,
+    fileSize: Long, version: Int, isSlice: Boolean,
     sliceNames: Seq[String] = Nil) extends InputPartition
 
 case class GraftCdfReaderFactory(
@@ -251,7 +260,7 @@ case class GraftCdfReaderFactory(
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftCdfFilePartition]
-    val pf = shims.partitionedFile(p.path, p.fileSize, p.modificationTime)
+    val pf = shims.partitionedFileRange(p.path, p.start, p.length, p.fileSize, 0L)
     // appended data files label every row `insert`; slices carry their own
     // _change_type — both gain the commit version
     val suffix: InternalRow =

@@ -225,10 +225,13 @@ class GraftMicroBatchStream(wh: AtomicWarehouse, table: String,
   override def deserializeOffset(json: String): Offset =
     GraftStreamOffset.parse(json)
 
-  /** One partition per window file, sized from the MANIFEST (stats lines
-    * carry bytes since r15) — zero filesystem calls on the log-recorded
-    * path, one directory listing as the legacy fallback; never a per-file
-    * serial stat loop.
+  /** Partitions for the window's files, sized from the MANIFEST (stats
+    * lines carry bytes since r15) — zero filesystem calls on the
+    * log-recorded path, one directory listing as the legacy fallback;
+    * never a per-file serial stat loop. Files larger than
+    * `spark.sql.files.maxPartitionBytes` SPLIT into byte ranges (Spark's
+    * own file-splitting contract: a backlog of a few huge files must fan
+    * out across the cluster, not serialize on per-file tasks).
     */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GraftStreamOffset]
@@ -242,8 +245,13 @@ class GraftMicroBatchStream(wh: AtomicWarehouse, table: String,
         fs.slice(lo, hi)
     }
     val sizes = wh.streamFileSizes(table, files, e.version)
-    files.map { f =>
-      GraftFilePartition(s"${wh.path(table)}/$f", sizes(f), 0L)
+    val maxSplit = math.max(1L, shims.filesMaxPartitionBytes(wh.spark))
+    files.flatMap { f =>
+      val size = sizes(f)
+      val path = s"${wh.path(table)}/$f"
+      if (size <= maxSplit) Seq(GraftFilePartition(path, 0L, size, size))
+      else (0L until size by maxSplit).map(off =>
+        GraftFilePartition(path, off, math.min(maxSplit, size - off), size))
     }.toArray
   }
 
@@ -261,8 +269,8 @@ class GraftMicroBatchStream(wh: AtomicWarehouse, table: String,
   override def stop(): Unit = ()
 }
 
-case class GraftFilePartition(path: String, fileSize: Long,
-    modificationTime: Long) extends InputPartition
+case class GraftFilePartition(path: String, start: Long, length: Long,
+    fileSize: Long) extends InputPartition
 
 case class GraftStreamReaderFactory(
     readFn: PartitionedFile => Iterator[InternalRow]) extends PartitionReaderFactory {
@@ -270,7 +278,7 @@ case class GraftStreamReaderFactory(
     val p = partition.asInstanceOf[GraftFilePartition]
     new PartitionReader[InternalRow] {
       private val it = readFn(
-        shims.partitionedFile(p.path, p.fileSize, p.modificationTime))
+        shims.partitionedFileRange(p.path, p.start, p.length, p.fileSize, 0L))
       private var row: InternalRow = _
       override def next(): Boolean =
         if (it.hasNext) { row = it.next(); true } else false

@@ -69,14 +69,31 @@ object shims {
         hadoopConf = ss.sessionState.newHadoopConf())
   }
 
+  /** The session's `spark.sql.files.maxPartitionBytes` (`SQLConf` is
+    * `private[sql]`) — the split size the streaming sources share with
+    * Spark's own file scans.
+    */
+  def filesMaxPartitionBytes(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.conf.filesMaxPartitionBytes
+
   /** A [[PartitionedFile]] for one whole file (`private[sql]` constructor). */
   def partitionedFile(path: String, fileSize: Long, modificationTime: Long)
+      : org.apache.spark.sql.execution.datasources.PartitionedFile =
+    partitionedFileRange(path, 0L, fileSize, fileSize, modificationTime)
+
+  /** A byte-range split of a file — the parquet reader serves the row
+    * groups whose midpoint falls inside [start, start+length), Spark's own
+    * file-splitting contract, so ranges partition a file's rows exactly.
+    */
+  def partitionedFileRange(path: String, start: Long, length: Long,
+      fileSize: Long, modificationTime: Long)
       : org.apache.spark.sql.execution.datasources.PartitionedFile =
     org.apache.spark.sql.execution.datasources.PartitionedFile(
       partitionValues = org.apache.spark.sql.catalyst.InternalRow.empty,
       filePath = org.apache.spark.paths.SparkPath.fromPathString(path),
-      start = 0L,
-      length = fileSize,
+      start = start,
+      length = length,
       locations = Array.empty,
       modificationTime = modificationTime,
       fileSize = fileSize)

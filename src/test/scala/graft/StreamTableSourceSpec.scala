@@ -358,6 +358,26 @@ class StreamTableSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("APPEND output mode only"), e.getMessage)
   }
 
+  test("large files split into byte-range partitions with exact rows " +
+      "(Spark's midpoint contract through the streaming reader)") {
+    val (wh, cat) = fixture()
+    wh.append("facts/big", (0L until 20000L).map(i => (i, s"value-$i"))
+      .toDF("id", "v").repartition(1)) // one ~hundreds-of-KB file
+    val ckpt = Files.createTempDirectory("graft-split-ckpt-").toString
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+    try {
+      val q = spark.readStream.option("startingVersion", "0")
+        .table(s"$cat.facts.big")
+        .writeStream.format("memory").queryName("splitsink")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(GraftSession.streamDrainTimeoutMs))
+      val got = spark.table("splitsink").select("id").collect().map(_.getLong(0))
+      assert(got.length == 20000 && got.toSet == (0L until 20000L).toSet,
+        s"byte-range splits must partition rows exactly, got ${got.length}")
+    } finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
+  }
+
   test("non-append windows refuse instead of replaying or dropping rows") {
     val (wh, cat) = fixture()
     wh.append("facts/t", (0L until 50L).map(i => (i, s"v$i")).toDF("id", "v"))
