@@ -118,11 +118,41 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     */
   private[graft] val manifestReads = new java.util.concurrent.atomic.AtomicLong(0)
 
+  // Manifest CONTENT cache: manifests are immutable once published (vacuum
+  // deletes, never rewrites; snapshot names are distinct), so a bounded
+  // LRU of parsed lines turns the streaming sources' per-trigger backlog
+  // walks — which revisit the same window manifests every micro-batch —
+  // into memory hits instead of O(backlog) small FS reads per trigger.
+  // Budget-bounded (~32 MB of line chars): a giant snapshot cannot pin the
+  // driver heap. `manifestReads` counts real FS opens only.
+  private val manifestCache =
+    new java.util.LinkedHashMap[String, Seq[String]](64, 0.75f, true)
+  private var manifestCacheBytes = 0L
+  private val manifestCacheBudget = 32L * 1024 * 1024
+  private def linesBytes(lines: Seq[String]): Long =
+    lines.iterator.map(_.length.toLong + 48L).sum
+
   private def readLines(p: Path): Seq[String] = {
+    val key = p.getName
+    manifestCache.synchronized {
+      val hit = manifestCache.get(key)
+      if (hit != null) return hit
+    }
     manifestReads.incrementAndGet()
     val in = fs.open(p)
-    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
     finally in.close()
+    manifestCache.synchronized {
+      if (manifestCache.put(key, lines) == null)
+        manifestCacheBytes += linesBytes(lines)
+      val it = manifestCache.entrySet().iterator()
+      while (manifestCacheBytes > manifestCacheBudget && it.hasNext) {
+        val eldest = it.next()
+        manifestCacheBytes -= linesBytes(eldest.getValue)
+        it.remove()
+      }
+    }
+    lines
   }
 
   /** The whole committed log, folded: per-table visible files (deduped —
