@@ -1821,6 +1821,50 @@ object SparkEntry {
         .orderBy(col("n"))
     }
 
+    // ---- ADMISSION CONTROL on the streaming table source: a genesis
+    // replay must land as RATE-LIMITED micro-batches planned from the
+    // manifest, never one all-or-nothing unit stat-ing every file on the
+    // driver. Fixture: 4 single-file commits + ONE 4-file commit (the
+    // (version, index) split regime), cap 2 files/trigger → exactly 4
+    // data-bearing batches; zero planning filesystem calls (counter);
+    // totals restate orders — any dropped or replayed file breaks them.
+    q("etl_stream_backlog") = (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+      val wh = new graft.sources.AtomicWarehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-backlogq-").toString)
+      val maxKey = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      val qtr = maxKey / 4
+      def band(i: Int): DataFrame =
+        if (i == 0) orders.filter(col("o_orderkey") < qtr)
+        else if (i == 3) orders.filter(col("o_orderkey") >= qtr * 3)
+        else orders.filter(col("o_orderkey") >= qtr * i &&
+          col("o_orderkey") < qtr * (i + 1))
+      (0 until 3).foreach(i => wh.append("facts/orders", band(i).coalesce(1)))
+      wh.append("facts/orders", band(3).repartition(4)) // the large commit
+      val cat = s"gsql${sqlCatSeq.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sql.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh.root)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-backlogq-ckpt-").toString
+      val fsBefore = wh.streamPlanFsCalls.get()
+      val q = s.readStream
+        .option("startingVersion", "0")
+        .option("maxFilesPerTrigger", "2")
+        .table(s"$cat.facts.orders")
+        .writeStream.format("memory").queryName(s"backlog$cat")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      require(q.awaitTermination(graft.GraftSession.streamDrainTimeoutMs),
+        "etl_stream_backlog: stream did not drain in time")
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      val planFsCalls = wh.streamPlanFsCalls.get() - fsBefore
+      s.table(s"backlog$cat")
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+        .withColumn("rate_limited", lit(batches == 4))
+        .withColumn("plan_fs_calls", lit(planFsCalls))
+        .orderBy(col("n"))
+    }
+
     // ---- the CHANGE FEED as a streaming source (graft-cdf, Delta's
     // readChangeFeed shape): row-level CDC where the append-only table
     // stream refuses — appends stream as insert rows, the recorded DML
@@ -4760,6 +4804,18 @@ object SparkEntry {
         | CAST(sum(o_orderkey) AS BIGINT) AS sink_key_sum
         |FROM orders
         |ORDER BY src_n""".stripMargin,
+
+    // rate-limited genesis replay: the sink accumulates exactly orders
+    // (any dropped or doubled file breaks count/sum), in exactly
+    // ceil(8 files / cap 2) data-bearing batches, with planning reading
+    // only the manifest
+    "etl_stream_backlog" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        | TRUE AS rate_limited,
+        | CAST(0 AS BIGINT) AS plan_fs_calls
+        |FROM orders
+        |ORDER BY n""".stripMargin,
 
     // streaming source: phase 1 replayed the whole table (4 bands), the
     // checkpoint resume appended exactly the extra low slice — counts and
