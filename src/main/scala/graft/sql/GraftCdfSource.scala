@@ -224,24 +224,36 @@ class GraftCdfMicroBatchStream(wh: AtomicWarehouse, table: String,
     }.toArray
   }
 
+  // factory cached across micro-batches, rebuilt only when a NEW colmap
+  // era appears mid-stream (a rename) — reader construction clones a
+  // session each time and must not run per trigger
+  @volatile private var cachedFactory: GraftCdfReaderFactory = _
+  @volatile private var cachedEraCount = -1
+
   override def createReaderFactory(): PartitionReaderFactory = {
-    // data files carry PHYSICAL names — stable across renames, one reader
-    // serves every era; positions match the logical schema
-    val m = wh.columnMap(table)
-    val physData = StructType(dataSchema.fields.map(f =>
-      f.copy(name = m.getOrElse(f.name, f.name))))
-    // one slice reader per column-mapping ERA the table has had (tiny set:
-    // one per rename) — readers must build on the driver, so enumerate
-    // up front and key by the era's field-name vector
-    val ctField = outSchema.fields(outSchema.fields.length - 2)
-    val sliceReaders: Map[Seq[String], PartitionedFile => Iterator[InternalRow]] =
-      wh.colmapEras(table).map { era =>
-        val eraSchema = wh.schemaUnderEra(table, dataSchema, era)
-        eraSchema.fieldNames.toSeq ->
-          shims.parquetRowReader(wh.spark,
-            StructType(eraSchema.fields.toSeq :+ ctField))
-      }.toMap
-    GraftCdfReaderFactory(shims.parquetRowReader(wh.spark, physData), sliceReaders)
+    val eras = wh.colmapEras(table)
+    if (cachedFactory == null || eras.size != cachedEraCount) {
+      // data files carry PHYSICAL names — stable across renames, one
+      // reader serves every era; positions match the logical schema
+      val m = wh.columnMap(table)
+      val physData = StructType(dataSchema.fields.map(f =>
+        f.copy(name = m.getOrElse(f.name, f.name))))
+      // one slice reader per column-mapping ERA the table has had (tiny
+      // set: one per rename) — readers must build on the driver, so
+      // enumerate up front and key by the era's field-name vector
+      val ctField = outSchema.fields(outSchema.fields.length - 2)
+      val sliceReaders: Map[Seq[String], PartitionedFile => Iterator[InternalRow]] =
+        eras.map { era =>
+          val eraSchema = wh.schemaUnderEra(table, dataSchema, era)
+          eraSchema.fieldNames.toSeq ->
+            shims.parquetRowReader(wh.spark,
+              StructType(eraSchema.fields.toSeq :+ ctField))
+        }.toMap
+      cachedFactory =
+        GraftCdfReaderFactory(shims.parquetRowReader(wh.spark, physData), sliceReaders)
+      cachedEraCount = eras.size
+    }
+    cachedFactory
   }
 
   override def commit(end: Offset): Unit = ()

@@ -116,7 +116,7 @@ class GraftScan(wh: AtomicWarehouse, table: String, logicalSchema: StructType,
         "this V2 scan only serves readStream")
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftMicroBatchStream(wh, table, startingVersion, limits)
+    new GraftMicroBatchStream(wh, table, logicalSchema, startingVersion, limits)
 }
 
 /** JSON-round-trippable offset: (commit version, file index). `index` -1 ⇒
@@ -144,7 +144,8 @@ object GraftStreamOffset {
 }
 
 class GraftMicroBatchStream(wh: AtomicWarehouse, table: String,
-    startingVersion: Option[Int], limits: GraftStreamLimits)
+    logicalSchema: StructType, startingVersion: Option[Int],
+    limits: GraftStreamLimits)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -255,14 +256,25 @@ class GraftMicroBatchStream(wh: AtomicWarehouse, table: String,
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    val phys = wh.physicalReadSchema(table).getOrElse(throw new IllegalStateException(
+  /** Built ONCE per stream (lazy), not per micro-batch: the reader is
+    * pinned to the STREAM-START schema under physical names — physical
+    * names are stable across renames and positions match the logical
+    * schema Spark fixed at stream start, so the physical-named rows ARE
+    * the logical rows, and a mid-stream ADD COLUMN cannot widen the rows
+    * out from under the fixed output schema (a per-batch recompute
+    * could). Also saves a session clone + reader build per trigger.
+    */
+  private lazy val readerFactory: PartitionReaderFactory = {
+    require(wh.physicalReadSchema(table).isDefined,
       s"streaming $table needs a manifest-recorded schema — write through " +
-        "the manifest first"))
-    // physical names are stable across renames and positions match the
-    // logical schema, so the physical-named rows ARE the logical rows
+        "the manifest first")
+    val m = wh.columnMap(table)
+    val phys = StructType(logicalSchema.fields.map(f =>
+      f.copy(name = m.getOrElse(f.name, f.name))))
     GraftStreamReaderFactory(shims.parquetRowReader(wh.spark, phys))
   }
+
+  override def createReaderFactory(): PartitionReaderFactory = readerFactory
 
   override def commit(end: Offset): Unit = ()
 
