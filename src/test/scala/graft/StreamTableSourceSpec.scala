@@ -358,6 +358,21 @@ class StreamTableSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("APPEND output mode only"), e.getMessage)
   }
 
+  test("appendOnceStaged: an EMPTY epoch still advances the high-water " +
+      "(metadata-only), and replays below it stay no-ops") {
+    val (wh, _) = fixture()
+    wh.append("facts/e", Seq((1L, "a")).toDF("id", "v"))
+    // an all-empty-tasks epoch: no files, but the ledger must advance or
+    // a later crash replays it with whatever data the batch re-derives
+    assert(wh.appendOnceStaged("facts/e", "app", 0L,
+      Files.createTempDirectory("graft-empty-epoch-").toString, Nil, kv))
+    assert(wh.lastCommittedBatch("facts/e", "app").contains(0L))
+    assert(!wh.appendOnceStaged("facts/e", "app", 0L,
+      Files.createTempDirectory("graft-empty-epoch2-").toString, Nil, kv),
+      "replayed empty epoch must be a no-op")
+    assert(wh.read("facts/e", kv).count() == 1L)
+  }
+
   test("large files split into byte-range partitions with exact rows " +
       "(Spark's midpoint contract through the streaming reader)") {
     val (wh, cat) = fixture()
