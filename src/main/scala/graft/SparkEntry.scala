@@ -581,6 +581,42 @@ object SparkEntry {
         .orderBy(col("event_id"), col("campaign_id"))
     }
 
+    // ---- the STREAM-STREAM twin of q20: clicks and impressions arrive as
+    // two independent micro-batch streams, joined on user + a 45-minute
+    // event-time window (StreamingSymmetricHashJoinExec — per-side
+    // watermark state, bounded by skew×rate, never stream length). The
+    // replay watermark keeps every row live, so the drained appends restate
+    // q20's batch oracle exactly
+    q("q22_attribution_stream") = (s, dir) => {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val ev = eventsTable(s, dir)
+        .select(col("user_id"), col("event_id"),
+          timestamp_micros(expr("ts DIV 1000")).as("tsm"))
+      val imps = ev.filter(pmod(col("event_id"), lit(10)) === 0)
+        .select(col("user_id"), col("event_id").as("campaign_id"),
+          col("tsm").as("imp_tsm"))
+      def chunks(tag: String, frames: Seq[DataFrame]): String =
+        chunkedInput(tag, dir) { inDir =>
+          frames.zipWithIndex.foreach { case (c, i) =>
+            val tmp = Files.createTempDirectory(s"graft-$tag-c$i-").toString + "/out"
+            c.coalesce(1).write.parquet(tmp)
+            val part = Files.list(Paths.get(tmp))
+              .filter(_.toString.endsWith(".parquet")).findFirst.get
+            Files.move(part, Paths.get(inDir, f"chunk_$i%02d.parquet"),
+              StandardCopyOption.ATOMIC_MOVE)
+          }
+        }
+      val lDir = chunks("sjclicks",
+        (0 until 3).map(i => ev.filter(pmod(col("event_id"), lit(3)) === i)))
+      val rDir = chunks("sjimps",
+        (0 until 2).map(i => imps.filter(pmod(col("campaign_id"), lit(2)) === i)))
+      graft.streaming.StreamJoins.fileIntervalJoin(s, lDir, rDir,
+        Seq("user_id"), "tsm", "imp_tsm", "45 minutes",
+        "3650 days", "3650 days", "q22_stream_out")
+        .select(col("event_id"), col("campaign_id"))
+        .orderBy(col("event_id"), col("campaign_id"))
+    }
+
     // ---- Z-order (Morton) kernel over (user_id, seconds): the bit
     // interleave the zorder layout sorts by — integer-exact shifts/masks
     // only, so the oracle restates the identical formula (Layout.zvalueSql)
@@ -953,6 +989,43 @@ object SparkEntry {
         .select(col("l_returnflag"), col("l_linestatus"), col("cnt"),
           col("sum_qty"), round(col("sum_base").cast("double"), 2).as("sum_base"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }
+
+    // ---- the APPROXIMATE twin: count(DISTINCT) maintained as per-group
+    // HLL sketches (SketchDistinct) — append windows union delta sketches,
+    // a retraction window recomputes ONLY the affected groups (sketches
+    // can't forget). Estimates aren't reproducible outside Datasketches,
+    // so the query VALIDATES them in-line against the exact distincts
+    // (erroring on drift >5%) and outputs the exact values the oracle
+    // restates from the raw table
+    q("etl_sketch_distinct") = (s, dir) => {
+      val orders = t(s, dir, "orders")
+      val wh = new graft.sources.AtomicWarehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-skmv-").toString)
+      wh.setChangeFeed("facts/orders", on = true)
+      val maxKey = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      val qtr = maxKey / 4
+      val sd = new graft.operators.SketchDistinct(wh, "cust", "facts/orders",
+        orders.schema, Seq("o_orderstatus"), "o_custkey")
+      wh.append("facts/orders", orders.filter(col("o_orderkey") < qtr * 2))
+      sd.refresh()
+      wh.append("facts/orders", orders.filter(col("o_orderkey") >= qtr * 2))
+      sd.refresh() // append-only union path
+      wh.deleteWhere("facts/orders", orders.schema,
+        Seq(graft.sources.ColGe("o_orderkey", qtr * 3)))
+      sd.refresh() // retraction path: affected groups recompute
+      val exact = wh.read("facts/orders", orders.schema)
+        .groupBy(col("o_orderstatus"))
+        .agg(count_distinct(col("o_custkey")).as("n_cust"))
+      val est = sd.estimate().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      exact.collect().foreach { r =>
+        val (g, n) = (r.getString(0), r.getLong(1))
+        val e = est.getOrElse(g, sys.error(s"sketch view lost group $g"))
+        if (math.abs(e - n.toDouble) / math.max(n, 1L) >= 0.05)
+          sys.error(s"sketch estimate $e drifted from exact $n for group $g")
+      }
+      exact.orderBy(col("o_orderstatus"))
     }
 
     // ---- time travel COMPOSED with the materialized view: the mv state
@@ -1438,6 +1511,53 @@ object SparkEntry {
       s.sql(
         s"""SELECT count(*) AS n,
            | sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+           |FROM $cat.facts.orders ORDER BY n""".stripMargin)
+    }
+
+    // ---- SQL MERGE's full clause set: NOT MATCHED BY SOURCE delete +
+    // update (Delta's shape) and a computed INSERT assignment list. The
+    // NMBS conditions' translatable conjuncts join the candidate pruning
+    // (ColOr with the source-key branch), so the second band is never
+    // rewritten; the oracle restates the end state from the raw table
+    q("etl_sql_merge_nmbs") = (s, dir) => {
+      val orders = t(s, dir, "orders")
+      val (wh, qtr) = bandedOrdersWh(s, orders, "sqlnmbs")
+      val cat = s"gsql${sqlCatSeq.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sql.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh.root)
+      val inQ2 = col("o_orderkey") >= qtr && col("o_orderkey") < qtr * 2 &&
+        col("o_orderkey") % 16 === 0
+      val src = orders.filter(inQ2)
+        .unionByName(orders.filter(inQ2)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(qtr * 10)))
+      wh.append("staging/src", src)
+      s.sql(
+        s"""MERGE INTO $cat.facts.orders t USING $cat.staging.src s
+           |ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice * 2
+           |WHEN NOT MATCHED THEN INSERT
+           |  (o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           |   o_orderdate, o_orderpriority)
+           |  VALUES (s.o_orderkey, s.o_custkey, s.o_orderstatus,
+           |   s.o_totalprice * 3, s.o_orderdate, s.o_orderpriority)
+           |WHEN NOT MATCHED BY SOURCE
+           |  AND t.o_orderkey >= ${qtr * 3} AND t.o_orderkey % 16 = 0
+           |  THEN DELETE""".stripMargin)
+      // a second pass: NMBS UPDATE touching only the first band's rows
+      // (the source row matches nothing and there is no INSERT clause)
+      wh.append("staging/faraway",
+        orders.limit(1).withColumn("o_orderkey", lit(qtr * 100)))
+      s.sql(
+        s"""MERGE INTO $cat.facts.orders t USING $cat.staging.faraway s
+           |ON t.o_orderkey = s.o_orderkey
+           |WHEN NOT MATCHED BY SOURCE
+           |  AND t.o_orderkey < $qtr AND t.o_orderkey % 16 = 0
+           |  THEN UPDATE SET o_orderpriority = concat('OLD-', t.o_orderpriority)
+           |""".stripMargin)
+      s.sql(
+        s"""SELECT count(*) AS n,
+           | sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents,
+           | sum(CASE WHEN o_orderpriority LIKE 'OLD-%' THEN 1 ELSE 0 END) AS old_n
            |FROM $cat.facts.orders ORDER BY n""".stripMargin)
     }
 
@@ -4444,6 +4564,16 @@ object SparkEntry {
         |FROM ev JOIN iv ON ev.user_id = iv.user_id AND ev.us >= iv.s AND ev.us < iv.e
         |ORDER BY event_id, campaign_id""".stripMargin,
 
+    // the stream-stream attribution join drains to exactly the batch
+    // interval join (replay watermarks keep every row live) — q20's oracle
+    "q22_attribution_stream" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |iv AS (SELECT user_id, event_id AS campaign_id, us AS s, us + 2700000000 AS e
+        |       FROM ev WHERE event_id % 10 = 0)
+        |SELECT ev.event_id, iv.campaign_id
+        |FROM ev JOIN iv ON ev.user_id = iv.user_id AND ev.us >= iv.s AND ev.us < iv.e
+        |ORDER BY event_id, campaign_id""".stripMargin,
+
     // the identical integer shift/mask formula, emitted by the SAME code
     // path the engine sorts by (Layout.zvalueSql) — DuckDB's epoch_us//1e6
     // ≡ Spark's ts DIV 1e9 on the raw int64-nanos column
@@ -5062,6 +5192,30 @@ object SparkEntry {
         |   CAST(sum(o_orderkey) AS BIGINT) FROM upd)
         |ORDER BY _change_type""".stripMargin,
 
+    // SQL MERGE with NOT MATCHED BY SOURCE + computed INSERT: end state
+    // restated — matched Q2 %16 rows doubled, their shifted copies inserted
+    // at 3×, band-3 %16 rows deleted, band-0 %16 priorities prefixed
+    "etl_sql_merge_nmbs" ->
+      """WITH m AS (SELECT max(o_orderkey) // 4 AS q FROM orders),
+        | survivors AS (
+        |   SELECT CASE WHEN o_orderkey >= m.q AND o_orderkey < m.q * 2
+        |                AND o_orderkey % 16 = 0
+        |           THEN o_totalprice * 2 ELSE o_totalprice END AS p,
+        |          CASE WHEN o_orderkey < m.q AND o_orderkey % 16 = 0
+        |           THEN 'OLD-' || o_orderpriority ELSE o_orderpriority END AS prio
+        |   FROM orders, m
+        |   WHERE NOT (o_orderkey >= m.q * 3 AND o_orderkey % 16 = 0)),
+        | inserted AS (
+        |   SELECT o_totalprice * 3 AS p, o_orderpriority AS prio
+        |   FROM orders, m
+        |   WHERE o_orderkey >= m.q AND o_orderkey < m.q * 2 AND o_orderkey % 16 = 0),
+        | endstate AS (SELECT * FROM survivors UNION ALL SELECT * FROM inserted)
+        |SELECT count(*) AS n,
+        | CAST(sum(CAST(round(p * 100) AS BIGINT)) AS BIGINT) AS cents,
+        | CAST(sum(CASE WHEN prio LIKE 'OLD-%' THEN 1 ELSE 0 END) AS BIGINT) AS old_n
+        |FROM endstate
+        |ORDER BY n""".stripMargin,
+
     // SQL MERGE end state: etl_merge_into's transformation restated
     "etl_sql_merge" ->
       """WITH m AS (SELECT max(o_orderkey) // 4 AS q FROM orders),
@@ -5271,6 +5425,17 @@ object SparkEntry {
 
     // the materialized state after 3 incremental folds + 1 invalidation
     // rebuild ≡ one GROUP BY over the full table (the IVM identity)
+    // HLL sketch MV end-state: exact distincts over the surviving rows
+    // (the query already proved the estimates track these within 5%)
+    "etl_sketch_distinct" ->
+      """WITH m AS (SELECT max(o_orderkey) // 4 AS q FROM orders)
+        |SELECT o_orderstatus,
+        | CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
+        |FROM orders, m
+        |WHERE o_orderkey < m.q * 3
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
     "etl_materialized_agg" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
         | sum(l_quantity) AS sum_qty,

@@ -4036,7 +4036,25 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     *   - source row with no target match → inserted when `insertUnmatched`
     *     and `insertWhen` (a conditional not-matched-insert clause; a NULL
     *     source key never matches, so it lands here — SQL join semantics);
-    *   - target row with no source match → passes through untouched.
+    *     `insertAssign` computes the inserted row (SQL's explicit INSERT
+    *     (cols) VALUES (exprs) — expressions over the `s` alias; columns
+    *     not assigned take the same-named source value); empty = INSERT *;
+    *   - target row with no source match → passes through untouched,
+    *     UNLESS a `WHEN NOT MATCHED BY SOURCE` clause hits:
+    *     `notMatchedBySourceDelete` true → row deleted (delete wins over
+    *     update, mirroring the matched side); else `notMatchedBySourceUpdate`
+    *     assignments apply when `nmbsUpdateWhen` passes (absent = always).
+    *     NMBS conditions/assignments see TARGET columns (`col("t.x")`) —
+    *     source columns are all NULL on these rows by construction.
+    *
+    * NOT-MATCHED-BY-SOURCE and candidate pruning: a NMBS clause can touch
+    * ANY target row, so source-key pruning alone is no longer sound. The
+    * caller supplies `nmbsPrune` — a sound under-approximation of the NMBS
+    * conditions in the [[FilePred]] algebra (every row either clause can
+    * hit lives in a file the preds keep); candidates become
+    * `keyPreds OR nmbsPrune`. Empty `nmbsPrune` (the default, and the only
+    * sound choice for an unconditional clause) makes EVERY file a rewrite
+    * candidate — a full-table copy-on-write, priced accordingly.
     *
     * Refuses a source with duplicate keys (the SQL MERGE cardinality rule —
     * a fan-out would silently duplicate target rows; same contract as
@@ -4055,6 +4073,11 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       updateWhen: Option[Column] = None,
       insertUnmatched: Boolean = true,
       insertWhen: Option[Column] = None,
+      insertAssign: Seq[(String, Column)] = Nil,
+      notMatchedBySourceUpdate: Seq[(String, Column)] = Nil,
+      nmbsUpdateWhen: Option[Column] = None,
+      notMatchedBySourceDelete: Option[Column] = None,
+      nmbsPrune: Seq[FilePred] = Nil,
       alsoInTx: Warehouse => Unit = _ => ()): MergeIntoResult = {
     require(keyCols.nonEmpty, "mergeInto requires at least one key column")
     keyCols.foreach(k => require(schema.fieldNames.contains(k),
@@ -4068,18 +4091,30 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       require(schema.fieldNames.contains(c),
         s"whenMatchedUpdate targets unknown column '$c'")
     }
+    notMatchedBySourceUpdate.foreach { case (c, _) =>
+      require(!keyCols.contains(c),
+        s"mergeInto cannot UPDATE key column '$c' — MERGE keys are immutable")
+      require(schema.fieldNames.contains(c),
+        s"notMatchedBySourceUpdate targets unknown column '$c'")
+    }
+    insertAssign.foreach { case (c, _) =>
+      require(schema.fieldNames.contains(c),
+        s"insertAssign targets unknown column '$c'")
+    }
+    val hasNmbs = notMatchedBySourceUpdate.nonEmpty ||
+      notMatchedBySourceDelete.isDefined
     // FK-referenced parents: a matched-delete or an update touching a
     // referenced key column could orphan children mid-merge; the RESTRICT
     // paths are deleteWhere/deleteWhereDv (which probe the children) —
     // refuse here rather than silently orphan
     val refFks = referencingFks(table)
     if (refFks.nonEmpty) {
-      require(whenMatchedDelete.isEmpty,
+      require(whenMatchedDelete.isEmpty && notMatchedBySourceDelete.isEmpty,
         s"mergeInto with a delete clause on FK-referenced $table is not " +
           "supported — use deleteWhere/deleteWhereDv (RESTRICT-enforced) " +
           "or dropForeignKey first")
       val refCols = refFks.flatMap(_._4).toSet
-      whenMatchedUpdate.foreach { case (c, _) =>
+      (whenMatchedUpdate ++ notMatchedBySourceUpdate).foreach { case (c, _) =>
         require(!refCols.contains(c),
           s"mergeInto cannot UPDATE '$c' on $table — it is an FK-referenced " +
             "parent key (children would orphan); dropForeignKey first")
@@ -4109,7 +4144,10 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     require(maxPerKey <= 1L, s"mergeInto source has duplicate keys on " +
       s"(${keyCols.mkString(", ")}) — SQL MERGE refuses ambiguous matches")
     val totalRows = if (pre.isNullAt(1)) 0L else pre.getLong(1)
-    if (totalRows == 0L)
+    // an empty source with a NMBS clause is NOT a no-op: every target row
+    // is not-matched-by-source (SQL semantics — an empty source deletes or
+    // updates whatever the clause condition admits)
+    if (totalRows == 0L && !hasNmbs)
       return MergeIntoResult(0L, 0L, 0L, 0, committedOrPhysical(table).size)
     // TUPLE-AWARE candidate pruning: every key column contributes a
     // predicate — its EXACT distinct value set when ≤ cap (the CDC
@@ -4149,9 +4187,18 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       }
     var attempts = 0
     while (attempts < 8) {
+      // candidate files: (files a source key could match) ∪ (files a NMBS
+      // clause could hit). prunePreds empty means NO source row can match
+      // (all-null key column / empty source) — without NMBS that is zero
+      // candidates (insert-only); with NMBS the nmbsPrune branch alone
+      // decides, and an empty nmbsPrune soundly keeps every file.
       val (cands0, untouched0) =
-        if (prunePreds.isEmpty) (Nil, committedOrPhysical(table))
-        else planFiles(table, prunePreds)
+        if (!hasNmbs) {
+          if (prunePreds.isEmpty) (Nil, committedOrPhysical(table))
+          else planFiles(table, prunePreds)
+        } else if (nmbsPrune.isEmpty) (committedOrPhysical(table), Nil)
+        else if (prunePreds.isEmpty) planFiles(table, nmbsPrune)
+        else planFiles(table, Seq(ColOr(Seq(prunePreds, nmbsPrune))))
       val cands = cands0.toSeq
       require(cands.forall(!_.contains("/")),
         s"mergeInto on partition-dir layouts is not supported (table $table); " +
@@ -4171,22 +4218,37 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       // NULL) passes through untouched — SQL's WHEN MATCHED AND cond
       val updOk = updateWhen.map(c => coalesce(c, lit(false))).getOrElse(lit(true))
       val onlyS = col("t.__t").isNull && col("s.__s").isNotNull
+      val onlyT = col("t.__t").isNotNull && col("s.__s").isNull
       val insertable = onlyS && lit(insertUnmatched) &&
         insertWhen.map(c => coalesce(c, lit(false))).getOrElse(lit(true))
+      // NOT MATCHED BY SOURCE: delete wins over update (same precedence as
+      // the matched side); conditions evaluating NULL do not fire
+      val nmbsDelHit = notMatchedBySourceDelete
+        .map(c => onlyT && coalesce(c, lit(false))).getOrElse(lit(false))
+      val nmbsUpdHit =
+        if (notMatchedBySourceUpdate.isEmpty) lit(false)
+        else onlyT && !nmbsDelHit &&
+          nmbsUpdateWhen.map(c => coalesce(c, lit(false))).getOrElse(lit(true))
       val counts = j.agg(
         sum(when(matched && !delHit && updOk, 1L).otherwise(0L)),
         sum(when(delHit, 1L).otherwise(0L)),
-        sum(when(insertable, 1L).otherwise(0L))).head()
+        sum(when(insertable, 1L).otherwise(0L)),
+        sum(when(nmbsUpdHit, 1L).otherwise(0L)),
+        sum(when(nmbsDelHit, 1L).otherwise(0L))).head()
       def cnt(i: Int): Long = if (counts.isNullAt(i)) 0L else counts.getLong(i)
       val updSet = whenMatchedUpdate.toMap
-      val keep = !delHit && (!onlyS || insertable)
+      val nmbsSet = notMatchedBySourceUpdate.toMap
+      val insSet = insertAssign.toMap
+      val keep = !delHit && !nmbsDelHit && (!onlyS || insertable)
       val merged = j.filter(keep).select(schema.fields.toSeq.map { f =>
         val tCol = col(s"t.${f.name}"); val sCol = col(s"s.${f.name}")
         val updated =
           if (keyCols.contains(f.name)) tCol
           else updSet.getOrElse(f.name, sCol)
         when(matched && updOk, updated).when(matched, tCol)
-          .when(col("s.__s").isNotNull, sCol).otherwise(tCol)
+          .when(col("s.__s").isNotNull, insSet.getOrElse(f.name, sCol))
+          .when(nmbsUpdHit, nmbsSet.getOrElse(f.name, tCol))
+          .otherwise(tCol)
           .cast(f.dataType).as(f.name)
       }: _*)
       // Range-cluster the rewrite back into ~as many files as it consumed —
@@ -4207,13 +4269,24 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
             else updSet.getOrElse(f.name, col(s"s.${f.name}"))
           updated.cast(f.dataType).as(f.name)
         }
+        def insCols = schema.fields.toSeq.map(f =>
+          insSet.getOrElse(f.name, col(s"s.${f.name}"))
+            .cast(f.dataType).as(f.name))
+        def nmbsPostCols = schema.fields.toSeq.map(f =>
+          nmbsSet.getOrElse(f.name, col(s"t.${f.name}"))
+            .cast(f.dataType).as(f.name))
         val updHit = matched && !delHit && updOk
-        j.filter(delHit).select(tCols: _*).withColumn(ctc, lit("delete"))
+        j.filter(delHit || nmbsDelHit).select(tCols: _*)
+          .withColumn(ctc, lit("delete"))
           .unionByName(j.filter(updHit).select(tCols: _*)
             .withColumn(ctc, lit("update_preimage")))
           .unionByName(j.filter(updHit).select(postCols: _*)
             .withColumn(ctc, lit("update_postimage")))
-          .unionByName(j.filter(insertable).select(sCols: _*)
+          .unionByName(j.filter(nmbsUpdHit).select(tCols: _*)
+            .withColumn(ctc, lit("update_preimage")))
+          .unionByName(j.filter(nmbsUpdHit).select(nmbsPostCols: _*)
+            .withColumn(ctc, lit("update_postimage")))
+          .unionByName(j.filter(insertable).select(insCols: _*)
             .withColumn(ctc, lit("insert")))
       }
       try {
@@ -4225,7 +4298,8 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
           case w => throw new IllegalStateException(
             s"AtomicWarehouse.atomically produced a ${w.getClass.getName}")
         }
-        return MergeIntoResult(cnt(0), cnt(1), cnt(2), cands.size, untouched0.size)
+        return MergeIntoResult(cnt(0) + cnt(3), cnt(1) + cnt(4), cnt(2),
+          cands.size, untouched0.size)
       } catch {
         case _: java.util.ConcurrentModificationException => attempts += 1
       }

@@ -71,14 +71,21 @@ case class GraftAddCheckCommand(t: GraftTable, constraintName: String,
   */
 case class GraftMergeCommand(t: GraftTable, source: LogicalPlan,
     keyCols: Seq[String], upd: Seq[(String, Column)], updWhen: Option[Column],
-    del: Option[Column], insertUnmatched: Boolean, insWhen: Option[Column])
+    del: Option[Column], insertUnmatched: Boolean, insWhen: Option[Column],
+    insAssign: Seq[(String, Column)] = Nil,
+    nmbsUpd: Seq[(String, Column)] = Nil,
+    nmbsUpdWhen: Option[Column] = None,
+    nmbsDel: Option[Column] = None,
+    nmbsPrune: Seq[graft.sources.FilePred] = Nil)
     extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(spark: SparkSession): Seq[Row] = {
     t.wh.mergeInto(t.tableName, t.tableSchema, shims.ofRows(spark, source),
       keyCols, whenMatchedUpdate = upd, whenMatchedDelete = del,
       updateWhen = updWhen, insertUnmatched = insertUnmatched,
-      insertWhen = insWhen)
+      insertWhen = insWhen, insertAssign = insAssign,
+      notMatchedBySourceUpdate = nmbsUpd, nmbsUpdateWhen = nmbsUpdWhen,
+      notMatchedBySourceDelete = nmbsDel, nmbsPrune = nmbsPrune)
     Nil
   }
 }

@@ -186,19 +186,25 @@ case class GraftRelationResolution(spark: SparkSession) extends Rule[LogicalPlan
   /** `MERGE INTO ... USING ... ON ... WHEN ...` → [[GraftMergeCommand]]
     * for the engine-expressible shape: same-named equi-join keys, at most
     * one matched UPDATE and one matched DELETE, a NOT MATCHED INSERT that
-    * is column-for-column identity from the source (`INSERT *`), no
-    * not-matched-by-source clauses, no schema evolution. SQL's
-    * keep-target-for-unassigned-columns semantics are made explicit
-    * (mergeInto's default would take the source), and a merge with no
-    * UPDATE clause pins `updateWhen = false` so matched rows pass
-    * untouched. Anything else stays put → Spark's own error.
+    * is either identity (`INSERT *`) or an explicit assignment list
+    * covering every target column (computed inserts), at most one
+    * NOT MATCHED BY SOURCE UPDATE and one NOT MATCHED BY SOURCE DELETE
+    * (Delta's clause set — conditions/assignments reference the target),
+    * no schema evolution. SQL's keep-target-for-unassigned-columns
+    * semantics are made explicit (mergeInto's default would take the
+    * source), and a merge with no UPDATE clause pins `updateWhen = false`
+    * so matched rows pass untouched. NMBS clause conditions feed the
+    * candidate pruning as their translatable conjuncts OR'd per clause
+    * ([[graft.sources.ColOr]]) — an unconditional or untranslatable NMBS
+    * clause makes the merge a full-table copy-on-write, which is what it
+    * means. Anything else stays put → Spark's own error.
     */
   private def translateMerge(m: logical.MergeIntoTable,
       t: GraftTable): Option[LogicalPlan] = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo}
     import org.apache.spark.sql.functions.lit
-    if (m.notMatchedBySourceActions.nonEmpty || m.withSchemaEvolution) return None
+    if (m.withSchemaEvolution) return None
     val tgtOut = m.targetTable.outputSet
     val srcOut = m.sourceTable.outputSet
     def alias(e: org.apache.spark.sql.catalyst.expressions.Expression)
@@ -247,15 +253,63 @@ case class GraftRelationResolution(spark: SparkSession) extends Rule[LogicalPlan
       insOpt <- m.notMatchedActions match {
         case Seq() => Some(None)
         case Seq(ia: logical.InsertAction) =>
-          val identity = ia.assignments.forall {
-            case logical.Assignment(k: AttributeReference, v) => isIdentity(k.name, v)
-            case _ => false
-          } && t.tableSchema.fieldNames.forall(c => ia.assignments.exists {
+          val covers = t.tableSchema.fieldNames.forall(c => ia.assignments.exists {
             case logical.Assignment(k: AttributeReference, _) => k.name == c
             case _ => false
           })
-          if (identity) Some(Some(ia)) else None
+          val identity = covers && ia.assignments.forall {
+            case logical.Assignment(k: AttributeReference, v) => isIdentity(k.name, v)
+            case _ => false
+          }
+          if (identity) Some(Some((ia, Seq.empty[(String, org.apache.spark.sql.Column)])))
+          else if (!covers) None
+          else traverse(ia.assignments) {
+            case logical.Assignment(k: AttributeReference, v) =>
+              alias(v).map(e => k.name -> shims.column(e))
+            case _ => None
+          }.map(a => Some((ia, a)))
         case _ => None
+      }
+      nmbsActions <- m.notMatchedBySourceActions match {
+        case Seq() => Some((None, None))
+        case Seq(ua: logical.UpdateAction) => Some((Some(ua), None))
+        case Seq(da: logical.DeleteAction) => Some((None, Some(da)))
+        case Seq(da: logical.DeleteAction, ua: logical.UpdateAction) =>
+          Some((Some(ua), Some(da)))
+        case Seq(ua: logical.UpdateAction, _: logical.DeleteAction)
+            if ua.condition.isEmpty => Some((Some(ua), None))
+        case _ => None
+      }
+      (nmbsUpdAction, nmbsDelAction) = nmbsActions
+      nmbsUpdPair <- nmbsUpdAction match {
+        case None => Some((Seq.empty[(String, org.apache.spark.sql.Column)],
+          None: Option[org.apache.spark.sql.Column]))
+        case Some(ua) =>
+          val assigns = ua.assignments.collect {
+            case logical.Assignment(k: AttributeReference, v) => k.name -> v
+          }
+          if (assigns.size != ua.assignments.size) None
+          else if (assigns.exists { case (k, v) =>
+            keyCols.contains(k) && !isIdentity(k, v) }) None
+          else {
+            val setsOpt = traverse(assigns.filterNot {
+              case (k, v) => isIdentity(k, v) }) {
+              case (k, v) => alias(v).map(e => k -> shims.column(e))
+            }
+            val whenOpt: Option[Option[org.apache.spark.sql.Column]] =
+              ua.condition match {
+                case None => Some(None)
+                case Some(c) => alias(c).map(e => Some(shims.column(e)))
+              }
+            for (s_ <- setsOpt; w <- whenOpt) yield (s_, w)
+          }
+      }
+      nmbsDelCond <- nmbsDelAction match {
+        case None => Some(None: Option[org.apache.spark.sql.Column])
+        case Some(da) => da.condition match {
+          case None => Some(Some(lit(true)))
+          case Some(c) => alias(c).map(e => Some(shims.column(e)))
+        }
       }
       updPair <- upds.headOption match {
         case None => Some((Seq.empty[(String, org.apache.spark.sql.Column)],
@@ -294,14 +348,34 @@ case class GraftRelationResolution(spark: SparkSession) extends Rule[LogicalPlan
       }
       insWhen <- insOpt match {
         case None => Some(None)
-        case Some(ia) => ia.condition match {
+        case Some((ia, _)) => ia.condition match {
           case None => Some(None)
           case Some(c) => alias(c).map(e => Some(shims.column(e)))
         }
       }
-    } yield GraftMergeCommand(t, rewriteReads(m.sourceTable), keyCols,
-      updPair._1, updPair._2, delCond,
-      insertUnmatched = insOpt.isDefined, insWhen)
+    } yield {
+      // sound NMBS candidate pruning: each clause contributes its
+      // condition's translatable conjuncts; clauses OR (either can touch a
+      // row), so the branches join under ColOr. Any unconditional or
+      // untranslatable clause → no pruning (every file is a candidate).
+      val nmbsPrune: Seq[graft.sources.FilePred] = {
+        val clauseConds: Seq[Option[org.apache.spark.sql.catalyst.expressions.Expression]] =
+          Seq(nmbsUpdAction.map(_.condition), nmbsDelAction.map(_.condition)).flatten
+        if (clauseConds.isEmpty || clauseConds.exists(_.isEmpty)) Nil
+        else {
+          val branches = clauseConds.flatten.map(translatableConjuncts)
+          if (branches.exists(_.isEmpty)) Nil
+          else if (branches.size == 1) branches.head
+          else Seq(graft.sources.ColOr(branches))
+        }
+      }
+      GraftMergeCommand(t, rewriteReads(m.sourceTable), keyCols,
+        updPair._1, updPair._2, delCond,
+        insertUnmatched = insOpt.isDefined, insWhen,
+        insAssign = insOpt.map(_._2).getOrElse(Nil),
+        nmbsUpd = nmbsUpdPair._1, nmbsUpdWhen = nmbsUpdPair._2,
+        nmbsDel = nmbsDelCond, nmbsPrune = nmbsPrune)
+    }
   }
 
   /** Option-sequencing map (all-or-nothing translation). */

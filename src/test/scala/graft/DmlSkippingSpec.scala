@@ -396,6 +396,66 @@ class DmlSkippingSpec extends SparkSpec {
     assert(got(7L) == "v7+x" && !got.contains(500L) && got.size == 30)
   }
 
+  test("mergeInto NOT MATCHED BY SOURCE: delete with sound pruning keeps clean bands") {
+    val wh = newWh()
+    banded(wh) // [0,10) [10,20) [20,30)
+    // source touches band 1 only (ids 12/15); the NMBS delete condition
+    // id >= 25 can only hit band 2 — candidates = band1 ∪ band2 (ColOr),
+    // band 0 must stay byte-identical (its file survives the rewrite)
+    val band0File = wh.fileStats("t").keySet
+      .find(f => wh.fileStats("t")(f).cols("id").max.contains(9L)).get
+    val src = Seq((12L, "new12"), (15L, "new15")).toDF("id", "v")
+    val r = wh.mergeInto("t", kv, src, Seq("id"),
+      notMatchedBySourceDelete = Some(col("t.id") >= 25),
+      nmbsPrune = Seq(ColGe("id", 25L)))
+    assert(r == graft.sources.MergeIntoResult(2L, 5L, 0L, 2, 1), s"got $r")
+    val got = wh.read("t", kv).collect().map(x => (x.getLong(0), x.getString(1))).toMap
+    assert(got.size == 25 && got(12L) == "new12" && got(15L) == "new15" &&
+      !got.contains(27L) && got(24L) == "v24" && got(5L) == "v5")
+    assert(wh.fileStats("t").contains(band0File),
+      "the band the OR'd candidate set excluded must keep its exact file")
+  }
+
+  test("mergeInto NMBS: empty source still fires, update assigns, delete wins, CDC rows") {
+    val wh = newWh()
+    wh.setChangeFeed("t", on = true)
+    banded(wh)
+    val before = wh.versions().last
+    // EMPTY source: every target row is not-matched-by-source. Delete wins
+    // over update where both conditions hold (ids 0-2); ids 3-4 update.
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], kv)
+    val r = wh.mergeInto("t", kv, empty, Seq("id"),
+      notMatchedBySourceUpdate = Seq("v" -> concat(lit("stale-"), col("t.v"))),
+      nmbsUpdateWhen = Some(col("t.id") < 5),
+      notMatchedBySourceDelete = Some(col("t.id") < 3),
+      nmbsPrune = Seq(ColLt("id", 5L)))
+    assert(r.updated == 2L && r.deleted == 3L && r.inserted == 0L, s"got $r")
+    val got = wh.read("t", kv).collect().map(x => (x.getLong(0), x.getString(1))).toMap
+    assert(got.size == 27 && !got.contains(0L) && got(3L) == "stale-v3" &&
+      got(4L) == "stale-v4" && got(5L) == "v5")
+    // the change feed records the NMBS rows like any other DML
+    val feed = wh.changesBetween("t", kv, before, wh.versions().last)
+      .groupBy(col("_change_type")).count()
+      .collect().map(x => (x.getString(0), x.getLong(1))).toMap
+    assert(feed == Map("delete" -> 3L, "update_preimage" -> 2L,
+      "update_postimage" -> 2L), s"got $feed")
+    // unknown NMBS assignment target refuses up front
+    intercept[IllegalArgumentException](wh.mergeInto("t", kv, empty, Seq("id"),
+      notMatchedBySourceUpdate = Seq("nope" -> lit("x"))))
+  }
+
+  test("mergeInto computed INSERT assignments land the assigned values") {
+    val wh = newWh()
+    banded(wh)
+    val src = Seq((7L, "x"), (500L, "y")).toDF("id", "v")
+    val r = wh.mergeInto("t", kv, src, Seq("id"),
+      insertAssign = Seq("v" -> concat(lit("ins-"), upper(col("s.v")))))
+    assert(r.updated == 1L && r.inserted == 1L, s"got $r")
+    val got = wh.read("t", kv).collect().map(x => (x.getLong(0), x.getString(1))).toMap
+    assert(got(500L) == "ins-Y" && got(7L) == "x", s"got ${(got.get(7L), got.get(500L))}")
+  }
+
   test("mergeInto refuses key-column and unknown-column UPDATE assignments up front") {
     val wh = newWh()
     banded(wh)

@@ -34,4 +34,72 @@ class SketchSpec extends SparkSpec {
     assert(merged == direct, s"merged=$merged direct=$direct")
     assert(math.abs(direct - 37213.0) / 37213.0 < 0.05)
   }
+
+  private val kv = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("grp",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("uid",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+
+  private def estMap(sd: graft.operators.SketchDistinct): Map[String, Long] =
+    sd.estimate().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  private def within(est: Long, exact: Long): Boolean =
+    math.abs(est - exact.toDouble) / math.max(exact, 1L) < 0.05
+
+  test("SketchDistinct MV: append-only windows union delta sketches into the state") {
+    val wh = new graft.sources.AtomicWarehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft-skmv-").toString)
+    def rows(g: String, lo: Long, hi: Long) =
+      (lo until hi).map(i => (g, i)).toDF("grp", "uid")
+    wh.append("src", rows("a", 0, 3000).unionByName(rows("b", 0, 500)))
+    val sd = new graft.operators.SketchDistinct(wh, "d", "src", kv, Seq("grp"), "uid")
+    sd.refresh()
+    val e1 = estMap(sd)
+    assert(within(e1("a"), 3000) && within(e1("b"), 500), s"got $e1")
+    // second window overlaps the first — DISTINCT must not double-count
+    wh.append("src", rows("a", 2000, 5000).unionByName(rows("c", 0, 100)))
+    sd.refresh()
+    val e2 = estMap(sd)
+    assert(within(e2("a"), 5000) && within(e2("b"), 500) && within(e2("c"), 100),
+      s"got $e2")
+    // an empty window publishes nothing
+    val cur = sd.cursor()
+    assert(sd.refresh() == cur)
+  }
+
+  test("SketchDistinct MV: a retraction recomputes ONLY the affected group") {
+    val wh = new graft.sources.AtomicWarehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft-skmv2-").toString)
+    wh.setChangeFeed("src", on = true)
+    def rows(g: String, lo: Long, hi: Long) =
+      (lo until hi).map(i => (g, i)).toDF("grp", "uid")
+    wh.append("src", rows("a", 0, 2000).unionByName(rows("b", 0, 1000))
+      .unionByName(rows("c", 0, 10)))
+    val sd = new graft.operators.SketchDistinct(wh, "d", "src", kv, Seq("grp"), "uid")
+    sd.refresh()
+    val skA = sd.state().filter(col("grp") === "a")
+      .select(col("sk")).head().getAs[Array[Byte]](0)
+    // delete half of b and all of c; sketches can't forget, so b recomputes
+    // from the base, c's group leaves the view — and a's sketch must be
+    // BYTE-IDENTICAL (untouched groups never recompute)
+    wh.deleteWhere("src", kv, Seq(graft.sources.ColEq("grp", "b"),
+      graft.sources.ColGe("uid", 500L)))
+    wh.deleteWhere("src", kv, Seq(graft.sources.ColEq("grp", "c")))
+    sd.refresh()
+    val e = estMap(sd)
+    assert(within(e("a"), 2000) && within(e("b"), 500) && !e.contains("c"), s"got $e")
+    val skA2 = sd.state().filter(col("grp") === "a")
+      .select(col("sk")).head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(skA, skA2),
+      "group a was not retracted — its sketch must not be recomputed")
+    // inserts arriving in the SAME window as a retraction still land
+    wh.deleteWhere("src", kv, Seq(graft.sources.ColEq("grp", "b"),
+      graft.sources.ColGe("uid", 400L)))
+    wh.append("src", rows("d", 0, 300))
+    sd.refresh()
+    val e2 = estMap(sd)
+    assert(within(e2("b"), 400) && within(e2("d"), 300) && within(e2("a"), 2000),
+      s"got $e2")
+  }
 }

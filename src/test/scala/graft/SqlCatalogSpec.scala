@@ -256,6 +256,40 @@ class SqlCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT v FROM $cat.facts.t WHERE id = 9").head().getString(0) == "v9")
   }
 
+  test("MERGE: NOT MATCHED BY SOURCE clauses and computed INSERT assignments") {
+    val (wh, cat, _) = fixture()
+    banded(wh) // ids 0..399, 4 bands of 100
+    val band1File = wh.fileStats("facts/t").keySet
+      .find(f => wh.fileStats("facts/t")(f).cols("id").max.contains(199L)).get
+    wh.append("dim/src", Seq((5L, "five"), (1000L, "kilo")).toDF("id", "v"))
+    spark.sql(
+      s"""MERGE INTO $cat.facts.t t USING $cat.dim.src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, upper(s.v))
+         |WHEN NOT MATCHED BY SOURCE AND t.id >= 395 THEN DELETE""".stripMargin)
+    // 5 updated, 1000 inserted via the computed assignment, 395-399 deleted
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.facts.t").head().getLong(0) == 396L)
+    assert(spark.sql(s"SELECT v FROM $cat.facts.t WHERE id = 5").head().getString(0) == "five")
+    assert(spark.sql(s"SELECT v FROM $cat.facts.t WHERE id = 1000").head().getString(0) == "KILO")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.facts.t WHERE id BETWEEN 395 AND 399")
+      .head().getLong(0) == 0L)
+    // the NMBS condition's conjuncts joined the candidate pruning: the
+    // merge touched the id=5 band and the id>=395 band; band 1 kept its file
+    assert(wh.fileStats("facts/t").contains(band1File),
+      "NMBS pruning must keep bands neither the source keys nor t.id >= 395 can reach")
+    // NOT MATCHED BY SOURCE UPDATE (empty-ish source: no matching ids)
+    wh.append("dim/src3", Seq((90000L, "zz")).toDF("id", "v"))
+    spark.sql(
+      s"""MERGE INTO $cat.facts.t t USING $cat.dim.src3 s ON t.id = s.id
+         |WHEN NOT MATCHED BY SOURCE AND t.id < 3 THEN UPDATE SET v = concat('old-', t.v)
+         |""".stripMargin)
+    assert(spark.sql(s"SELECT v FROM $cat.facts.t WHERE id = 2").head().getString(0) == "old-v2")
+    assert(spark.sql(s"SELECT v FROM $cat.facts.t WHERE id = 3").head().getString(0) == "v3")
+    // the unmatched source row did NOT insert (no NOT MATCHED clause)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.facts.t WHERE id = 90000")
+      .head().getLong(0) == 0L)
+  }
+
   test("graft_changes: the change feed as a SQL table function") {
     val (wh, cat, root) = fixture()
     wh.setChangeFeed("facts/t", on = true)

@@ -1,0 +1,116 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import graft.streaming.StreamJoins
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Watermarked stream-stream interval joins must reproduce the batch
+  * interval join when watermarks keep every row live, drop late rows when
+  * they don't (bounded state — the property that lets the join run forever),
+  * and emit null-extended left rows under left_outer once the watermark
+  * proves no match can arrive.
+  */
+class StreamJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeChunks(dir: String, tag: String, chunks: Seq[DataFrame]): Unit =
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      val tmp = Files.createTempDirectory(s"graft-$tag-c$i-").toString + "/out"
+      c.coalesce(1).write.parquet(tmp)
+      val part = Files.list(Paths.get(tmp))
+        .filter(_.toString.endsWith(".parquet")).findFirst.get
+      Files.move(part, Paths.get(dir, f"chunk_$i%02d.parquet"),
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+
+  test("inner stream-stream interval join over chunked arrival matches the batch join") {
+    val ev = SparkEntry.eventsTable(spark, "/root/testdata/sf0.001")
+      .select($"user_id", $"event_id", timestamp_micros(expr("ts DIV 1000")).as("tsm"))
+    val clicks = ev
+    val imps = ev.filter(pmod($"event_id", lit(10)) === 0)
+      .select($"user_id", $"event_id".as("campaign_id"), $"tsm".as("imp_tsm"))
+
+    val lDir = Files.createTempDirectory("graft-sj-l-").toString
+    val rDir = Files.createTempDirectory("graft-sj-r-").toString
+    writeChunks(lDir, "sjl", (0 until 3).map(i =>
+      clicks.filter(pmod($"event_id", lit(3)) === i)))
+    writeChunks(rDir, "sjr", (0 until 2).map(i =>
+      imps.filter(pmod($"campaign_id", lit(2)) === i)))
+
+    val got = StreamJoins.fileIntervalJoin(spark, lDir, rDir, Seq("user_id"),
+      "tsm", "imp_tsm", "45 minutes", "3650 days", "3650 days", "sj_inner")
+      .select($"event_id", $"campaign_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val expected = clicks.alias("l").join(imps.alias("r"),
+        $"l.user_id" === $"r.user_id" && $"l.tsm" >= $"r.imp_tsm" &&
+          $"l.tsm" < $"r.imp_tsm" + expr("INTERVAL 45 minutes"))
+      .select($"l.event_id", $"r.campaign_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(expected.nonEmpty, "fixture must produce matches")
+    assert(got == expected,
+      s"stream ∖ batch: ${got -- expected}; batch ∖ stream: ${expected -- got}")
+  }
+
+  test("a click later than the watermark horizon is dropped — bounded state, not replay") {
+    val t0 = 1700000000000000L // epoch micros
+    def clickRow(user: Long, id: Long, us: Long) = (user, id, us)
+    val lDir = Files.createTempDirectory("graft-sjw-l-").toString
+    val rDir = Files.createTempDirectory("graft-sjw-r-").toString
+    def clicksDf(rows: Seq[(Long, Long, Long)]) = rows.toDF("user_id", "event_id", "us")
+      .select($"user_id", $"event_id", timestamp_micros($"us").as("tsm"))
+    def impsDf(rows: Seq[(Long, Long, Long)]) = rows.toDF("user_id", "campaign_id", "us")
+      .select($"user_id", $"campaign_id", timestamp_micros($"us").as("imp_tsm"))
+    val min = 60000000L
+    // chunk 0: an in-window click + a far-future click that drags the
+    // watermark hours past t0; chunk 1: a filler batch during which the
+    // t0 impression's state is EVICTED (t0 + 45min lag < watermark —
+    // eviction runs at end-of-batch, so the straggler needs its own later
+    // batch); chunk 2: a click back at t0+5min — its match state is gone
+    writeChunks(lDir, "sjwl", Seq(
+      clicksDf(Seq(clickRow(1L, 10L, t0 + 10 * min), clickRow(2L, 99L, t0 + 180 * min))),
+      clicksDf(Seq(clickRow(3L, 30L, t0 + 181 * min))),
+      clicksDf(Seq(clickRow(1L, 11L, t0 + 5 * min)))))
+    writeChunks(rDir, "sjwr", Seq(
+      impsDf(Seq((1L, 1000L, t0), (2L, 2000L, t0 + 180 * min)))))
+
+    val got = StreamJoins.fileIntervalJoin(spark, lDir, rDir, Seq("user_id"),
+      "tsm", "imp_tsm", "45 minutes", "30 minutes", "30 minutes", "sj_late")
+      .select($"event_id", $"campaign_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(got.contains((10L, 1000L)), s"in-window click must match, got $got")
+    assert(!got.exists(_._1 == 11L),
+      s"the late click must be dropped by the watermark, got $got")
+  }
+
+  test("left_outer emits the unmatched click with nulls once the watermark passes") {
+    val t0 = 1700000000000000L
+    val min = 60000000L
+    val lDir = Files.createTempDirectory("graft-sjo-l-").toString
+    val rDir = Files.createTempDirectory("graft-sjo-r-").toString
+    def clicksDf(rows: Seq[(Long, Long, Long)]) = rows.toDF("user_id", "event_id", "us")
+      .select($"user_id", $"event_id", timestamp_micros($"us").as("tsm"))
+    def impsDf(rows: Seq[(Long, Long, Long)]) = rows.toDF("user_id", "campaign_id", "us")
+      .select($"user_id", $"campaign_id", timestamp_micros($"us").as("imp_tsm"))
+    // user 1's click has no impression; sentinel rows hours later advance
+    // BOTH watermarks so the unmatched row's state can finalize
+    writeChunks(lDir, "sjol", Seq(
+      clicksDf(Seq((1L, 10L, t0), (9L, 90L, t0 + 600 * min)))))
+    writeChunks(rDir, "sjor", Seq(
+      impsDf(Seq((9L, 9000L, t0 + 600 * min)))))
+
+    val got = StreamJoins.fileIntervalJoin(spark, lDir, rDir, Seq("user_id"),
+      "tsm", "imp_tsm", "45 minutes", "10 minutes", "10 minutes", "sj_outer",
+      joinType = "left_outer")
+      .select($"event_id", $"campaign_id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+
+    assert(got.contains((10L, -1L)),
+      s"unmatched click must emit null-extended after the watermark passes, got $got")
+    assert(got.contains((90L, 9000L)), s"sentinel match must emit, got $got")
+  }
+}
