@@ -1561,6 +1561,38 @@ object SparkEntry {
            |FROM $cat.facts.orders ORDER BY n""".stripMargin)
     }
 
+    // ---- MERGE WITH SCHEMA EVOLUTION: the source carries a column the
+    // target lacks; the merge ADOPTS it (metadata-only addColumn in the
+    // engine — Spark's own evolution rule only fires for row-level-op
+    // tables), updates/inserts carry values, pre-merge rows null-fill
+    q("etl_sql_merge_evolve") = (s, dir) => {
+      val orders = t(s, dir, "orders")
+      val wh = new graft.sources.AtomicWarehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-sqlevo-").toString)
+      val cat = s"gsql${sqlCatSeq.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sql.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh.root)
+      val maxKey = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      val qtr = maxKey / 4
+      wh.append("facts/slim", orders.filter(col("o_orderkey") < qtr * 2)
+        .select(col("o_orderkey"), col("o_totalprice")))
+      wh.append("staging/wide", orders
+        .filter(col("o_orderkey") >= qtr && col("o_orderkey") < qtr * 3)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus")))
+      s.sql(
+        s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.facts.slim t
+           |USING $cat.staging.wide s ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      // coalesce the adopted column: Spark and DuckDB order NULLs on
+      // opposite ends, and the driver compare preserves row order
+      s.sql(
+        s"""SELECT coalesce(o_orderstatus, '-') AS st, count(*) AS n,
+           | sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+           |FROM $cat.facts.slim
+           |GROUP BY 1 ORDER BY st""".stripMargin)
+    }
+
     // ---- the change feed through SQL: graft_changes (the Delta
     // table_changes shape, registered by GraftExtensions) replays the
     // SAME DML mix as etl_change_feed via spark.sql — per-type totals
@@ -5191,6 +5223,19 @@ object SparkEntry {
         | UNION ALL SELECT 'update_postimage', CAST(count(*) AS BIGINT),
         |   CAST(sum(o_orderkey) AS BIGINT) FROM upd)
         |ORDER BY _change_type""".stripMargin,
+
+    // schema-evolution end state: band 0 keeps a NULL adopted column,
+    // bands 1-2 carry the source's status; prices unchanged (SET * with
+    // identical values)
+    "etl_sql_merge_evolve" ->
+      """WITH m AS (SELECT max(o_orderkey) // 4 AS q FROM orders)
+        |SELECT CASE WHEN o_orderkey >= m.q THEN o_orderstatus ELSE '-' END AS st,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders, m
+        |WHERE o_orderkey < m.q * 3
+        |GROUP BY 1
+        |ORDER BY st""".stripMargin,
 
     // SQL MERGE with NOT MATCHED BY SOURCE + computed INSERT: end state
     // restated — matched Q2 %16 rows doubled, their shifted copies inserted

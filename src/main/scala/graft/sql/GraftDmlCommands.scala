@@ -76,11 +76,28 @@ case class GraftMergeCommand(t: GraftTable, source: LogicalPlan,
     nmbsUpd: Seq[(String, Column)] = Nil,
     nmbsUpdWhen: Option[Column] = None,
     nmbsDel: Option[Column] = None,
-    nmbsPrune: Seq[graft.sources.FilePred] = Nil)
+    nmbsPrune: Seq[graft.sources.FilePred] = Nil,
+    evolve: Seq[(String, org.apache.spark.sql.types.DataType)] = Nil)
     extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(spark: SparkSession): Seq[Row] = {
-    t.wh.mergeInto(t.tableName, t.tableSchema, shims.ofRows(spark, source),
+    // WITH SCHEMA EVOLUTION: adopt each extra source column before the
+    // merge (metadata-only addColumn commits — pre-merge rows null-fill).
+    // A retried statement finds the column already present with the same
+    // type and skips; a TYPE conflict refuses loudly rather than widening.
+    evolve.foreach { case (n, dt) =>
+      t.wh.currentSchema(t.tableName).flatMap(_.fields.find(_.name == n)) match {
+        case Some(f) if f.dataType == dt => // already adopted (retry)
+        case Some(f) => throw new IllegalStateException(
+          s"MERGE WITH SCHEMA EVOLUTION: column '$n' exists as ${f.dataType}, " +
+            s"source has $dt — evolution never rewrites a column's type")
+        case None => t.wh.addColumn(t.tableName, n, dt)
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      t.tableSchema.fields ++ evolve.map { case (n, dt) =>
+        org.apache.spark.sql.types.StructField(n, dt, nullable = true) })
+    t.wh.mergeInto(t.tableName, schema, shims.ofRows(spark, source),
       keyCols, whenMatchedUpdate = upd, whenMatchedDelete = del,
       updateWhen = updWhen, insertUnmatched = insertUnmatched,
       insertWhen = insWhen, insertAssign = insAssign,

@@ -190,7 +190,9 @@ case class GraftRelationResolution(spark: SparkSession) extends Rule[LogicalPlan
     * covering every target column (computed inserts), at most one
     * NOT MATCHED BY SOURCE UPDATE and one NOT MATCHED BY SOURCE DELETE
     * (Delta's clause set — conditions/assignments reference the target),
-    * no schema evolution. SQL's keep-target-for-unassigned-columns
+    * and WITH SCHEMA EVOLUTION (extra source columns adopted via
+    * metadata-only addColumn, assigned in the update/insert paths — see
+    * the inline note). SQL's keep-target-for-unassigned-columns
     * semantics are made explicit (mergeInto's default would take the
     * source), and a merge with no UPDATE clause pins `updateWhen = false`
     * so matched rows pass untouched. NMBS clause conditions feed the
@@ -204,7 +206,25 @@ case class GraftRelationResolution(spark: SparkSession) extends Rule[LogicalPlan
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo}
     import org.apache.spark.sql.functions.lit
-    if (m.withSchemaEvolution) return None
+    // WITH SCHEMA EVOLUTION: Spark's own evolution rule only fires for
+    // SupportsRowLevelOperations tables, so the analyzer hands us the merge
+    // RESOLVED against the current (narrow) target schema with the extra
+    // source columns absent from every aligned assignment. The engine
+    // adopts them itself: each extra source column is ADDED to the target
+    // (metadata-only, nullable) and assigned from the source in the update
+    // and insert paths — the `SET *` / `INSERT *` evolution semantics.
+    // Star-expansion is indistinguishable from explicit full assignment
+    // lists post-analysis, so the engine evolves EVERY extra source column
+    // when the clause was spelled WITH SCHEMA EVOLUTION — that is what the
+    // user opted into; leave the clause off to keep extra source columns
+    // (CDC op/sequence metadata) out of the target.
+    val evolve: Seq[(String, org.apache.spark.sql.types.DataType)] =
+      if (!m.withSchemaEvolution) Nil
+      else m.sourceTable.output
+        .filterNot(a => t.tableSchema.fieldNames.contains(a.name))
+        .map(a => a.name -> a.dataType)
+    val evoSets = evolve.map { case (n, _) =>
+      n -> shims.column(UnresolvedAttribute(Seq("s", n))) }
     val tgtOut = m.targetTable.outputSet
     val srcOut = m.sourceTable.outputSet
     def alias(e: org.apache.spark.sql.catalyst.expressions.Expression)
@@ -336,7 +356,7 @@ case class GraftRelationResolution(spark: SparkSession) extends Rule[LogicalPlan
                 case None => Some(None)
                 case Some(c) => alias(c).map(e => Some(shims.column(e)))
               }
-            for (s_ <- setsOpt; w <- whenOpt) yield (s_, w)
+            for (s_ <- setsOpt; w <- whenOpt) yield (s_ ++ evoSets, w)
           }
       }
       delCond <- dels.headOption match {
@@ -374,7 +394,8 @@ case class GraftRelationResolution(spark: SparkSession) extends Rule[LogicalPlan
         insertUnmatched = insOpt.isDefined, insWhen,
         insAssign = insOpt.map(_._2).getOrElse(Nil),
         nmbsUpd = nmbsUpdPair._1, nmbsUpdWhen = nmbsUpdPair._2,
-        nmbsDel = nmbsDelCond, nmbsPrune = nmbsPrune)
+        nmbsDel = nmbsDelCond, nmbsPrune = nmbsPrune,
+        evolve = evolve)
     }
   }
 

@@ -290,6 +290,38 @@ class SqlCatalogSpec extends SparkSpec {
       .head().getLong(0) == 0L)
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION adopts extra source columns") {
+    val (wh, cat, _) = fixture()
+    wh.append("facts/t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    wh.append("dim/src", Seq((2L, "B", 20L), (3L, "C", 30L)).toDF("id", "v", "extra"))
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.facts.t t
+         |USING $cat.dim.src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = spark.sql(s"SELECT id, v, extra FROM $cat.facts.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    // row 1 never matched: evolution null-fills; 2 updated; 3 inserted
+    assert(got == Seq((1L, "a", -1L), (2L, "B", 20L), (3L, "C", 30L)), s"got $got")
+    // a re-run is idempotent on the schema (the column is already adopted)
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.facts.t t
+         |USING $cat.dim.src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    assert(spark.table(s"$cat.facts.t").schema.fieldNames.count(_ == "extra") == 1)
+    // WITHOUT the clause, the same extra-column source merges fine but the
+    // column is NOT adopted — extra source columns stay clause-visible
+    // metadata (the CDC op/sequence shape), never silent schema changes
+    wh.append("facts/plain", Seq((2L, "x")).toDF("id", "v"))
+    spark.sql(
+      s"""MERGE INTO $cat.facts.plain t USING $cat.dim.src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+    assert(spark.table(s"$cat.facts.plain").schema.fieldNames.toSeq == Seq("id", "v"))
+    assert(spark.sql(s"SELECT v FROM $cat.facts.plain WHERE id = 2")
+      .head().getString(0) == "B")
+  }
+
   test("graft_changes: the change feed as a SQL table function") {
     val (wh, cat, root) = fixture()
     wh.setChangeFeed("facts/t", on = true)
