@@ -617,6 +617,32 @@ object SparkEntry {
         .orderBy(col("event_id"), col("campaign_id"))
     }
 
+    // ---- approximate distinct-SET algebra (theta sketches): the user
+    // overlap between two event slices — |A|, |B|, |A∩B|, |A∪B| of distinct
+    // users in ONE tagged-union aggregate pass, no join. Estimates aren't
+    // cross-engine-reproducible, so the query validates them in-line
+    // against the exact counts (>6% drift errors out) and outputs the
+    // exact values the oracle restates
+    q("q23_user_overlap_sketch") = (s, dir) => {
+      val ev = eventsTable(s, dir)
+      val mid = ev.agg(max(col("event_id"))).head().getLong(0) / 2
+      val a = ev.filter(col("event_id") <= mid).select(col("user_id"))
+      val b = ev.filter(col("event_id") > mid).select(col("user_id"))
+      val est = graft.operators.SketchSetOps.overlap(a, "user_id", b, "user_id").head()
+      val da = a.distinct(); val db = b.distinct()
+      val na = da.count(); val nb = db.count()
+      val ninter = da.join(db, Seq("user_id"), "left_semi").count()
+      val nunion = na + nb - ninter
+      Seq(("n_a", na, est.getLong(0)), ("n_b", nb, est.getLong(1)),
+        ("n_inter", ninter, est.getLong(2)), ("n_union", nunion, est.getLong(3)))
+        .foreach { case (what, exact, e) =>
+          if (math.abs(e - exact.toDouble) / math.max(exact, 1L) >= 0.06)
+            sys.error(s"theta estimate $e drifted from exact $exact for $what")
+        }
+      import s.implicits._
+      Seq((na, nb, ninter, nunion)).toDF("n_a", "n_b", "n_inter", "n_union")
+    }
+
     // ---- Z-order (Morton) kernel over (user_id, seconds): the bit
     // interleave the zorder layout sorts by — integer-exact shifts/masks
     // only, so the oracle restates the identical formula (Layout.zvalueSql)
@@ -4605,6 +4631,17 @@ object SparkEntry {
         |SELECT ev.event_id, iv.campaign_id
         |FROM ev JOIN iv ON ev.user_id = iv.user_id AND ev.us >= iv.s AND ev.us < iv.e
         |ORDER BY event_id, campaign_id""".stripMargin,
+
+    // exact distinct-user overlap between the event halves (the query
+    // already proved the theta estimates track these within 6%)
+    "q23_user_overlap_sketch" ->
+      """WITH m AS (SELECT max(event_id) // 2 AS mid FROM events),
+        | a AS (SELECT DISTINCT user_id FROM events, m WHERE event_id <= m.mid),
+        | b AS (SELECT DISTINCT user_id FROM events, m WHERE event_id > m.mid)
+        |SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS n_a,
+        | CAST((SELECT count(*) FROM b) AS BIGINT) AS n_b,
+        | CAST((SELECT count(*) FROM a JOIN b USING (user_id)) AS BIGINT) AS n_inter,
+        | CAST((SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM b)) AS BIGINT) AS n_union""".stripMargin,
 
     // the identical integer shift/mask formula, emitted by the SAME code
     // path the engine sorts by (Layout.zvalueSql) — DuckDB's epoch_us//1e6

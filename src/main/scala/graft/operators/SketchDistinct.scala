@@ -35,6 +35,44 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * Single-writer per view, atomic (state, cursor) replace — the same
   * contract as every persisted index here.
   */
+/** Approximate distinct-SET algebra over Theta sketches — the operation
+  * family HLL can't do: |A ∩ B|, |A ∖ B|, |A ∪ B| of distinct keys across
+  * two corpus slices without materializing either set. At 100 TB this is
+  * the cross-corpus overlap question ("how many of slice A's users/URLs
+  * also appear in slice B") answered in ONE pass: both sketches build in a
+  * single aggregate over a tagged union — no join, no shuffle beyond the
+  * one-row partial-merge — and the set algebra runs driver-side on two
+  * KB-sized sketches. Estimates are validated against exact counts in the
+  * driver query; [[graft.SketchSpec]] pins the union-build ≡ per-side
+  * build and the set-op error bounds.
+  */
+object SketchSetOps {
+  import org.apache.spark.sql.functions._
+
+  /** One-row frame (est_a, est_b, est_intersection, est_union, est_diff_a)
+    * for the distinct sets of `a[keyA]` and `b[keyB]`. Null keys are not
+    * set members (aggregates skip nulls — also what makes the tagged-union
+    * trick sound: the other side's rows contribute null to each sketch).
+    */
+  def overlap(a: DataFrame, keyA: String, b: DataFrame, keyB: String,
+      lgK: Int = 12): DataFrame = {
+    val u = a.select(col(keyA).as("k"), lit(0).as("side"))
+      .unionByName(b.select(col(keyB).as("k"), lit(1).as("side")))
+    u.agg(
+        theta_sketch_agg(when(col("side") === 0, col("k")), lgK).as("ska"),
+        theta_sketch_agg(when(col("side") === 1, col("k")), lgK).as("skb"))
+      .select(
+        theta_sketch_estimate(col("ska")).as("est_a"),
+        theta_sketch_estimate(col("skb")).as("est_b"),
+        theta_sketch_estimate(theta_intersection(col("ska"), col("skb")))
+          .as("est_intersection"),
+        theta_sketch_estimate(theta_union(col("ska"), col("skb")))
+          .as("est_union"),
+        theta_sketch_estimate(theta_difference(col("ska"), col("skb")))
+          .as("est_diff_a"))
+  }
+}
+
 class SketchDistinct(wh: AtomicWarehouse, name: String,
     srcTable: String, srcSchema: StructType,
     groupCols: Seq[String], distinctCol: String, lgK: Int = 12) {

@@ -35,6 +35,25 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(direct - 37213.0) / 37213.0 < 0.05)
   }
 
+  test("theta set algebra: overlap/union/difference estimates on known sets") {
+    // A = [0, 30000), B = [20000, 50000): inter 10000, union 50000, A∖B 20000
+    val a = spark.range(0, 30000).toDF("k")
+    val b = spark.range(20000, 50000).toDF("k")
+    val r = graft.operators.SketchSetOps.overlap(a, "k", b, "k").head()
+    val (ea, eb, ei, eu, ed) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    def within(est: Long, exact: Double) = math.abs(est - exact) / exact < 0.06
+    assert(within(ea, 30000) && within(eb, 30000), s"sides: $ea / $eb")
+    assert(within(ei, 10000), s"intersection: $ei")
+    assert(within(eu, 50000), s"union: $eu")
+    assert(within(ed, 20000), s"difference: $ed")
+    // null keys are not set members (the tagged-union build depends on it)
+    val withNulls = a.select(when(col("k") < 15000, col("k")).as("k"))
+    val r2 = graft.operators.SketchSetOps.overlap(withNulls, "k", b, "k").head()
+    assert(within(r2.getLong(0), 15000), s"null keys must not count: ${r2.getLong(0)}")
+    assert(r2.getLong(2) < 1500, s"no overlap expected: ${r2.getLong(2)}")
+  }
+
   private val kv = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("grp",
       org.apache.spark.sql.types.StringType, nullable = false),
