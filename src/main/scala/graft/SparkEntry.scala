@@ -1054,6 +1054,49 @@ object SparkEntry {
       exact.orderBy(col("o_orderstatus"))
     }
 
+    // ---- mergeable QUANTILE sketches (KLL) as an incremental MV: per-group
+    // percentiles maintained from the log — append windows merge delta
+    // sketches, the delete window recomputes only the affected groups.
+    // KLL guarantees RANK error (~1.65% at k=200), so the query validates
+    // each estimate's true rank in-line and outputs the exact percentiles
+    // (quantile_cont ≡ Spark percentile, the q18-proven bit-exact pair)
+    q("etl_quantile_sketch") = (s, dir) => {
+      val orders = t(s, dir, "orders")
+      val wh = new graft.sources.AtomicWarehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-skqmv-").toString)
+      wh.setChangeFeed("facts/orders", on = true)
+      val maxKey = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      val qtr = maxKey / 4
+      val sq = new graft.operators.SketchQuantile(wh, "price", "facts/orders",
+        orders.schema, Seq("o_orderstatus"), "o_totalprice")
+      wh.append("facts/orders", orders.filter(col("o_orderkey") < qtr * 2))
+      sq.refresh()
+      wh.append("facts/orders", orders.filter(col("o_orderkey") >= qtr * 2))
+      sq.refresh() // append-only merge path
+      wh.deleteWhere("facts/orders", orders.schema,
+        Seq(graft.sources.ColGe("o_orderkey", qtr * 3)))
+      sq.refresh() // retraction: affected groups recompute
+      val base = wh.read("facts/orders", orders.schema)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        sq.quantiles(Seq(0.5, 0.9)).collect().foreach { r =>
+          val g = r.getString(0)
+          val gdf = base.filter(col("o_orderstatus") === g)
+          val n = gdf.count().toDouble
+          Seq((0.5, r.getDouble(1)), (0.9, r.getDouble(2))).foreach { case (p, e) =>
+            val rank = gdf.filter(col("o_totalprice") <= e).count() / n
+            if (math.abs(rank - p) >= 0.03)
+              sys.error(s"KLL p$p estimate $e has true rank $rank for group $g")
+          }
+        }
+        base.groupBy(col("o_orderstatus"))
+          .agg(percentile(col("o_totalprice"), lit(0.5)).as("p50"),
+            percentile(col("o_totalprice"), lit(0.9)).as("p90"),
+            count(lit(1)).as("n"))
+          .orderBy(col("o_orderstatus"))
+      } finally base.unpersist(false)
+    }
+
     // ---- time travel COMPOSED with the materialized view: the mv state
     // lives in the same manifest log, so readAt() answers "what did the
     // aggregate say after the second fold" — the audit/debug read IVM
@@ -5507,6 +5550,19 @@ object SparkEntry {
 
     // the materialized state after 3 incremental folds + 1 invalidation
     // rebuild ≡ one GROUP BY over the full table (the IVM identity)
+    // KLL quantile MV end-state: exact percentiles over the surviving rows
+    // (the query already proved the sketch estimates' ranks in-line)
+    "etl_quantile_sketch" ->
+      """WITH m AS (SELECT max(o_orderkey) // 4 AS q FROM orders)
+        |SELECT o_orderstatus,
+        | quantile_cont(o_totalprice, 0.5) AS p50,
+        | quantile_cont(o_totalprice, 0.9) AS p90,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM orders, m
+        |WHERE o_orderkey < m.q * 3
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
     // HLL sketch MV end-state: exact distincts over the surviving rows
     // (the query already proved the estimates track these within 5%)
     "etl_sketch_distinct" ->

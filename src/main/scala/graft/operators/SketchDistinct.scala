@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.sources.AtomicWarehouse
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
@@ -73,13 +73,19 @@ object SketchSetOps {
   }
 }
 
-class SketchDistinct(wh: AtomicWarehouse, name: String,
-    srcTable: String, srcSchema: StructType,
-    groupCols: Seq[String], distinctCol: String, lgK: Int = 12) {
+abstract class SketchMv(wh: AtomicWarehouse, name: String,
+    srcTable: String, srcSchema: StructType, groupCols: Seq[String]) {
 
-  require(groupCols.nonEmpty, "SketchDistinct requires at least one group column")
-  require(srcSchema.fieldNames.contains(distinctCol),
-    s"distinct column '$distinctCol' is not in the source schema")
+  /** The sketched column (rows with a null value are not observations). */
+  protected def valueCol: String
+  /** The per-group sketch-building aggregate expression. */
+  protected def sketchAggExpr: Column
+  /** Union/merge of two non-null sketches of this kind. */
+  protected def unionSk(a: Column, b: Column): Column
+
+  require(groupCols.nonEmpty, "sketch MV requires at least one group column")
+  require(srcSchema.fieldNames.contains(valueCol),
+    s"sketched column '$valueCol' is not in the source schema")
 
   val stateTable = s"mv/$name/SketchState"
   val cursorTable = s"mv/$name/SketchCursor"
@@ -87,10 +93,10 @@ class SketchDistinct(wh: AtomicWarehouse, name: String,
   val cursorSchema: StructType = StructType(Seq(
     StructField("version", LongType, nullable = false)))
 
-  private def sketchOf(df: DataFrame): DataFrame =
-    df.filter(col(distinctCol).isNotNull)
+  protected def sketchOf(df: DataFrame): DataFrame =
+    df.filter(col(valueCol).isNotNull)
       .groupBy(groupCols.map(col): _*)
-      .agg(hll_sketch_agg(col(distinctCol), lgK).as("sk"))
+      .agg(sketchAggExpr.as("sk"))
 
   val stateSchema: StructType = sketchOf(wh.spark.createDataFrame(
     wh.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], srcSchema)).schema
@@ -101,11 +107,6 @@ class SketchDistinct(wh: AtomicWarehouse, name: String,
     else wh.spark.createDataFrame(
       wh.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stateSchema)
 
-  /** Per-group distinct estimates: (groupCols..., distinct_est: Long). */
-  def estimate(): DataFrame =
-    state().select(groupCols.map(col) :+
-      hll_sketch_estimate(col("sk")).as("distinct_est"): _*)
-
   def cursor(): Int =
     if (!wh.exists(cursorTable)) 0
     else wh.read(cursorTable, cursorSchema).agg(max(col("version"))).head() match {
@@ -114,7 +115,7 @@ class SketchDistinct(wh: AtomicWarehouse, name: String,
     }
 
   /** Union the per-group sketches; group keys join null-safe, an absent
-    * side passes the present sketch through (hll_union would fail on null).
+    * side passes the present sketch through (a raw union would fail on null).
     */
   private def merge(a: DataFrame, b: DataFrame): DataFrame = {
     val aa = a.alias("a")
@@ -124,7 +125,7 @@ class SketchDistinct(wh: AtomicWarehouse, name: String,
       groupCols.map(k => coalesce(col(s"a.$k"), col(s"b.$k")).as(k)) :+
         when(col("a.sk").isNull, col("b.sk"))
           .when(col("b.sk").isNull, col("a.sk"))
-          .otherwise(hll_union(col("a.sk"), col("b.sk"))).as("sk"): _*)
+          .otherwise(unionSk(col("a.sk"), col("b.sk"))).as("sk"): _*)
   }
 
   /** How many affected group-key tuples the recompute collects to the
@@ -206,4 +207,55 @@ class SketchDistinct(wh: AtomicWarehouse, name: String,
     }
     head
   }
+}
+
+/** The HLL (distinct-count) instance of [[SketchMv]] — class doc above. */
+class SketchDistinct(wh: AtomicWarehouse, name: String,
+    srcTable: String, srcSchema: StructType,
+    groupCols: Seq[String], distinctCol: String, lgK: Int = 12)
+    extends SketchMv(wh, name, srcTable, srcSchema, groupCols) {
+
+  protected def valueCol: String = distinctCol
+  protected def sketchAggExpr: Column = hll_sketch_agg(col(distinctCol), lgK)
+  protected def unionSk(a: Column, b: Column): Column = hll_union(a, b)
+
+  /** Per-group distinct estimates: (groupCols..., distinct_est: Long). */
+  def estimate(): DataFrame =
+    state().select(groupCols.map(col) :+
+      hll_sketch_estimate(col("sk")).as("distinct_est"): _*)
+}
+
+/** The KLL (quantile) instance of [[SketchMv]]: per-group mergeable
+  * quantile sketches over a numeric column — the 100 TB percentile path
+  * ([[Percentiles]] is exact but re-sorts the world; `q18`'s built-in
+  * `percentile` buffers per group). A KLL sketch is KBs per group with a
+  * RANK-error guarantee (~1.65% at the default k=200): refresh cost and
+  * retraction semantics are [[SketchMv]]'s — append windows merge delta
+  * sketches, retractions recompute only the affected groups. Values cast
+  * to double (the only lossless-enough common carrier for the price/qty
+  * columns this serves).
+  */
+class SketchQuantile(wh: AtomicWarehouse, name: String,
+    srcTable: String, srcSchema: StructType,
+    groupCols: Seq[String], quantCol: String, k: Int = 200)
+    extends SketchMv(wh, name, srcTable, srcSchema, groupCols) {
+
+  protected def valueCol: String = quantCol
+  protected def sketchAggExpr: Column =
+    kll_sketch_agg_double(col(quantCol).cast("double"), k)
+  protected def unionSk(a: Column, b: Column): Column =
+    kll_sketch_merge_double(a, b)
+
+  /** Per-group quantile estimates at ranks `ps` (each 0..1):
+    * (groupCols..., p<pct>: Double...).
+    */
+  def quantiles(ps: Seq[Double]): DataFrame =
+    state().select(groupCols.map(col) ++ ps.map(p =>
+      kll_sketch_get_quantile_double(col("sk"), lit(p))
+        .as(s"p${math.round(p * 100)}")): _*)
+
+  /** Per-group observation counts riding the sketches (exact). */
+  def counts(): DataFrame =
+    state().select(groupCols.map(col) :+
+      kll_sketch_get_n_double(col("sk")).as("n"): _*)
 }

@@ -87,6 +87,38 @@ class SketchSpec extends SparkSpec {
     assert(sd.refresh() == cur)
   }
 
+  test("SketchQuantile MV: incremental quantiles hold rank error; retraction recomputes") {
+    val wh = new graft.sources.AtomicWarehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft-skq-").toString)
+    wh.setChangeFeed("src", on = true)
+    def rows(g: String, lo: Long, hi: Long) =
+      (lo until hi).map(i => (g, i)).toDF("grp", "uid")
+    wh.append("src", rows("a", 1, 10001).unionByName(rows("b", 1, 1001)))
+    val sq = new graft.operators.SketchQuantile(wh, "q", "src", kv, Seq("grp"), "uid")
+    sq.refresh()
+    wh.append("src", rows("a", 10001, 20001))
+    sq.refresh() // append-only merge path
+    def p50(g: String): Double = sq.quantiles(Seq(0.5))
+      .filter(col("grp") === g).head().getDouble(1)
+    // uniform 1..20000: value ≈ rank × 20000, KLL rank error ~1.65% at k=200
+    assert(math.abs(p50("a") - 10000) < 20000 * 0.03, s"got ${p50("a")}")
+    assert(math.abs(p50("b") - 500) < 1000 * 0.05, s"got ${p50("b")}")
+    // observation counts ride the sketches exactly
+    val ns = sq.counts().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ns("a") == 20000L && ns("b") == 1000L, s"got $ns")
+    val skB = sq.state().filter(col("grp") === "b")
+      .select(col("sk")).head().getAs[Array[Byte]](0)
+    // retract a's top quarter: a recomputes from the base, b byte-identical
+    wh.deleteWhere("src", kv, Seq(graft.sources.ColEq("grp", "a"),
+      graft.sources.ColGt("uid", 15000L)))
+    sq.refresh()
+    assert(math.abs(p50("a") - 7500) < 15000 * 0.03, s"got ${p50("a")}")
+    val skB2 = sq.state().filter(col("grp") === "b")
+      .select(col("sk")).head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(skB, skB2),
+      "group b was not retracted — its sketch must not be recomputed")
+  }
+
   test("SketchDistinct MV: a retraction recomputes ONLY the affected group") {
     val wh = new graft.sources.AtomicWarehouse(spark,
       java.nio.file.Files.createTempDirectory("graft-skmv2-").toString)
