@@ -2729,6 +2729,16 @@ object SparkEntry {
       Corpus.topTokens(t(s, dir, "documents"), "text", 20)
         .orderBy(col("cnt").desc, col("token"))
 
+    // the bounded-state twin: Misra-Gries summaries (≤2×4096 counters per
+    // partition, tree-merged) pick a provably complete candidate set, one
+    // hash-set-filtered pass recounts it EXACTLY — same answer as
+    // doc_top_tokens with state independent of vocabulary size, certified
+    // in-operator against the MG error bound (fails loudly, never silently
+    // approximate). Same oracle as doc_top_tokens
+    q("doc_top_tokens_sketch") = (s, dir) =>
+      Corpus.topTokensSketch(t(s, dir, "documents"), "text", 20)
+        .orderBy(col("cnt").desc, col("token"))
+
     // per-(doc, token) TF-IDF from ONE tokenization pass (df derived from
     // the tf frame); weights rounded 4dp to absorb cross-engine ln ulp noise
     q("doc_tfidf") = (s, dir) =>
@@ -5832,6 +5842,16 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "doc_top_tokens" ->
+      """WITH tok AS (
+        | SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+        | FROM documents)
+        |SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        |FROM tok GROUP BY token
+        |ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+
+    // the MG-sketch path recounts its candidates exactly, so the oracle is
+    // doc_top_tokens' verbatim
+    "doc_top_tokens_sketch" ->
       """WITH tok AS (
         | SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
         | FROM documents)

@@ -88,6 +88,88 @@ object Corpus {
       .orderBy(col("cnt").desc, col("token").asc)
       .limit(k)
 
+  /** Bounded-state Misra-Gries summary: at most `2×cap` live counters.
+    * `shrink` subtracts the (cap+1)-th largest count from every counter and
+    * drops the non-positive — the classic MG step, batched so inserts stay
+    * O(1) amortized. `decremented` accumulates the total subtracted: any
+    * token's TRUE count exceeds its counter by at most `decremented`, and a
+    * token absent from the summary has true count ≤ `decremented` — the
+    * bound that makes the candidate set provably complete.
+    */
+  final class MgSummary(cap: Int) extends Serializable {
+    val counters = new java.util.HashMap[String, Long]()
+    var decremented = 0L
+    def add(t: String): Unit = {
+      counters.merge(t, 1L, (a, b) => a + b)
+      if (counters.size > cap * 2) shrink()
+    }
+    private def shrink(): Unit = {
+      val vals = new Array[Long](counters.size)
+      var i = 0
+      val it0 = counters.values().iterator()
+      while (it0.hasNext) { vals(i) = it0.next(); i += 1 }
+      java.util.Arrays.sort(vals)
+      val thr = vals(vals.length - 1 - cap) // (cap+1)-th largest
+      val it = counters.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue <= thr) it.remove() else e.setValue(e.getValue - thr)
+      }
+      decremented += thr
+    }
+    def merge(o: MgSummary): MgSummary = {
+      o.counters.forEach((k, v) => counters.merge(k, v, (a, b) => a + b))
+      decremented += o.decremented
+      if (counters.size > cap * 2) shrink()
+      this
+    }
+  }
+
+  /** [[topTokens]]'s 100 TB shape: heavy hitters with BOUNDED state. The
+    * exact path's hash aggregate keys on the whole vocabulary — fine at
+    * millions of tokens, not at a web corpus's billions. Here each
+    * partition keeps a [[MgSummary]] of ≤ 2×`capacity` counters,
+    * summaries tree-merge (error bounds ADD, staying ≤ n/capacity), and
+    * the surviving candidate set — provably a superset of every token
+    * with true count > `decremented` — is recounted EXACTLY in one
+    * hash-set-filtered pass, so the output is identical to [[topTokens]],
+    * not an estimate. Fails loudly if the guarantee cannot certify the
+    * k-th result (count ≤ the error bound — capacity too small for the
+    * distribution) rather than returning a silently unverified list.
+    */
+  def topTokensSketch(docs: DataFrame, text: String, k: Int,
+      capacity: Int = 4096): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def toks = docs.select(explode(TextOps.tokens(col(text))).as("token"))
+    val summary = toks.as[String].rdd.treeAggregate(new MgSummary(capacity))(
+      (s, t) => { s.add(t); s }, (a, b) => a.merge(b))
+    val candidates = new Array[String](summary.counters.size)
+    summary.counters.keySet().toArray(candidates)
+    val rows = toks.filter(col("token").isInCollection(candidates.toSeq))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(k)
+      .collect()
+    val kth = rows.lastOption.map(_.getLong(1)).getOrElse(0L)
+    // decremented == 0 ⇒ the summary never shrank: it IS the exact
+    // vocabulary (small corpora, few distincts). Otherwise the k-th
+    // result's exact count must clear the error bound — an absent token's
+    // true count is ≤ decremented, so nothing outside the candidate set
+    // can outrank it.
+    val certified = summary.decremented == 0L ||
+      (rows.length >= k && kth > summary.decremented)
+    if (!certified)
+      sys.error(s"topTokensSketch cannot certify top-$k: the $k-th count " +
+        s"$kth is within the MG error bound ${summary.decremented} — " +
+        "raise capacity")
+    spark.createDataFrame(java.util.Arrays.asList(rows.toSeq: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("token",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("cnt", LongType))))
+  }
+
   /** Per-(document, token) TF-IDF: `tf * ln(N / df)` with `tf` = in-doc
     * occurrences, `df` = documents containing the token, `N` = corpus size.
     * The two aggregations reuse ONE tokenization: `df` is derived from the

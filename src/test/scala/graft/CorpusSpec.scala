@@ -20,6 +20,29 @@ class CorpusSpec extends SparkSpec {
     assert(top.slice(1, 3).toSeq == Seq(("on", 3), ("sat", 3)))
   }
 
+  test("topTokensSketch: bounded-state MG candidates recount to the exact answer") {
+    // identical to the exact path on the fixture
+    val exact = Corpus.topTokens(docs, "text", 3).as[(String, Long)].collect().toSeq
+    val sketched = Corpus.topTokensSketch(docs, "text", 3)
+      .as[(String, Long)].collect().toSeq
+    assert(sketched == exact, s"sketch $sketched vs exact $exact")
+    // a skewed synthetic corpus with vocabulary >> capacity: the summary
+    // still certifies and recounts the true heavy hitters exactly
+    val skew = spark.range(0, 30000).select(
+      concat(lit("hot"), pmod(col("id"), lit(5))).as("text"))
+      .unionByName(spark.range(0, 8000).select(
+        concat(lit("cold"), col("id")).as("text")))
+    val top = Corpus.topTokensSketch(skew, "text", 5, capacity = 64)
+      .as[(String, Long)].collect().toSeq
+    assert(top == (0 until 5).map(i => (s"hot$i", 6000L)), s"got $top")
+    // the certification refuses when capacity cannot separate the tail:
+    // an all-distinct corpus has no heavy hitters to certify
+    val flat = spark.range(0, 5000).select(concat(lit("t"), col("id")).as("text"))
+    val e = intercept[RuntimeException](
+      Corpus.topTokensSketch(flat, "text", 5, capacity = 16))
+    assert(e.getMessage.contains("cannot certify"), e.getMessage)
+  }
+
   test("tfidf: corpus-wide tokens score zero, rare tokens score high") {
     val w = Corpus.tfidf(docs, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(4)).toMap
