@@ -1077,24 +1077,32 @@ object SparkEntry {
         Seq(graft.sources.ColGe("o_orderkey", qtr * 3)))
       sq.refresh() // retraction: affected groups recompute
       val base = wh.read("facts/orders", orders.schema)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        sq.quantiles(Seq(0.5, 0.9)).collect().foreach { r =>
-          val g = r.getString(0)
-          val gdf = base.filter(col("o_orderstatus") === g)
-          val n = gdf.count().toDouble
-          Seq((0.5, r.getDouble(1)), (0.9, r.getDouble(2))).foreach { case (p, e) =>
-            val rank = gdf.filter(col("o_totalprice") <= e).count() / n
-            if (math.abs(rank - p) >= 0.03)
-              sys.error(s"KLL p$p estimate $e has true rank $rank for group $g")
-          }
+      // ONE fused validation pass: the per-group estimate thresholds fold
+      // into when-chains, so every (group, p) rank check rides a single
+      // aggregate job instead of 2×groups count jobs
+      val est = sq.quantiles(Seq(0.5, 0.9)).collect()
+        .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      def thrCol(pick: ((Double, Double)) => Double) =
+        est.foldLeft(lit(Double.NaN)) { case (acc, (g, es)) =>
+          when(col("o_orderstatus") === g, lit(pick(es))).otherwise(acc)
         }
-        base.groupBy(col("o_orderstatus"))
-          .agg(percentile(col("o_totalprice"), lit(0.5)).as("p50"),
-            percentile(col("o_totalprice"), lit(0.9)).as("p90"),
-            count(lit(1)).as("n"))
-          .orderBy(col("o_orderstatus"))
-      } finally base.unpersist(false)
+      val checks = base.groupBy(col("o_orderstatus")).agg(
+        count(lit(1)).as("n"),
+        sum(when(col("o_totalprice") <= thrCol(_._1), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("o_totalprice") <= thrCol(_._2), 1L).otherwise(0L)).as("le90"))
+        .collect()
+      checks.foreach { r =>
+        val (g, n) = (r.getString(0), r.getLong(1).toDouble)
+        Seq((0.5, r.getLong(2)), (0.9, r.getLong(3))).foreach { case (p, le) =>
+          if (math.abs(le / n - p) >= 0.03)
+            sys.error(s"KLL p$p estimate has true rank ${le / n} for group $g")
+        }
+      }
+      base.groupBy(col("o_orderstatus"))
+        .agg(percentile(col("o_totalprice"), lit(0.5)).as("p50"),
+          percentile(col("o_totalprice"), lit(0.9)).as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"))
     }
 
     // ---- time travel COMPOSED with the materialized view: the mv state

@@ -87,6 +87,50 @@ class StreamJoinSpec extends SparkSpec {
       s"the late click must be dropped by the watermark, got $got")
   }
 
+  test("stream-static join: a graft catalog table enriches a stream, current per micro-batch") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ss-").toString
+    val cat = "gssj1"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sql.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val wh = new graft.sources.AtomicWarehouse(spark, root)
+    wh.append("dim/users", Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier"))
+    val lDir = java.nio.file.Files.createTempDirectory("graft-ss-l-").toString
+    writeChunks(lDir, "ssl", Seq(
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("user_id", "event_id"),
+      Seq((1L, 11L), (9L, 90L)).toDF("user_id", "event_id")))
+    val evSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType)))
+    def stream = spark.readStream
+      .schema(evSchema).option("maxFilesPerTrigger", "1").parquet(lDir)
+    val joined = stream.join(spark.table(s"$cat.dim.users"), Seq("user_id"), "inner")
+    // the static graft side is CURRENT per micro-batch (GraftFileIndex
+    // lists the manifest at execution, not analysis — Delta's stream-static
+    // freshness): a dim row appended from inside batch 0 joins batch 1's
+    // events. Pin that semantics deterministically: foreachBatch blocks
+    // batch progression, so the append strictly precedes batch 1.
+    val seen = scala.collection.mutable.Set[(Long, Long, String)]()
+    val q = joined.writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) =>
+        if (id == 0L)
+          wh.append("dim/users", Seq((9L, "bronze")).toDF("user_id", "tier"))
+        b.collect().foreach(r => seen += ((r.getLong(0), r.getLong(1), r.getString(2))))
+        ()
+      }
+      .start()
+    assert(q.awaitTermination(graft.GraftSession.streamDrainTimeoutMs),
+      "stream-static join failed to drain")
+    assert(seen.toSet == Set((1L, 10L, "gold"), (2L, 20L, "silver"),
+        (1L, 11L, "gold"), (9L, 90L, "bronze")),
+      s"got $seen — batch 1's user 9 must join the dim row batch 0 appended; " +
+        "user 3 never matches")
+  }
+
   test("left_outer emits the unmatched click with nulls once the watermark passes") {
     val t0 = 1700000000000000L
     val min = 60000000L
