@@ -138,6 +138,16 @@ abstract class SketchMv(wh: AtomicWarehouse, name: String,
     wh.spark.createDataFrame(java.util.Arrays.asList(keys: _*),
       StructType(groupCols.map(c => srcSchema(c))))
 
+  /** Null-safe group-key equality between aliases `l` and `r` — a NULL
+    * group key is a real group here (`groupBy` keeps it), so every key
+    * join in the retraction path must use `<=>`: plain equality silently
+    * drops the null-keyed group from both the semi (recompute) and anti
+    * (other-inserts) sides while the untouched-state anti-join removes
+    * its sketch, losing the group's base.
+    */
+  private def keyEq(l: String, r: String): Column =
+    groupCols.map(k => col(s"$l.$k") <=> col(s"$r.$k")).reduce(_ && _)
+
   /** Recompute the sketches of exactly `keys`' groups from the source
     * as-of `head`, keep every other group's state untouched.
     */
@@ -152,10 +162,10 @@ abstract class SketchMv(wh: AtomicWarehouse, name: String,
       else col(c).isin(vals: _*)
     }.reduce(_ && _)
     val keyDf = keyFrame(keys)
-    val touched = base.filter(perCol).join(keyDf, groupCols, "left_semi")
-    val keyCond = groupCols.map(k => col(s"s.$k") <=> col(s"k.$k")).reduce(_ && _)
+    val touched = base.filter(perCol).alias("s")
+      .join(keyDf.alias("k"), keyEq("s", "k"), "left_semi")
     val untouched = state().alias("s")
-      .join(keyDf.alias("k"), keyCond, "left_anti")
+      .join(keyDf.alias("k"), keyEq("s", "k"), "left_anti")
       .select(groupCols.map(k => col(s"s.$k").as(k)) :+ col("s.sk"): _*)
     untouched.unionByName(sketchOf(touched))
   }
@@ -195,7 +205,8 @@ abstract class SketchMv(wh: AtomicWarehouse, name: String,
           // groups too; inserts to OTHER groups union in from the feed
           val otherInserts = feed
             .filter(col("_change_type").isin("insert", "update_postimage"))
-            .join(keyFrame(keys), groupCols, "left_anti")
+            .alias("s")
+            .join(keyFrame(keys).alias("k"), keyEq("s", "k"), "left_anti")
           merge(recomputeGroups(keys, head), sketchOf(otherInserts))
         } else sketchOf(wh.readAt(srcTable, srcSchema, head))
       case _ => sketchOf(wh.readAt(srcTable, srcSchema, head))

@@ -153,4 +153,37 @@ class SketchSpec extends SparkSpec {
     assert(within(e2("b"), 400) && within(e2("d"), 300) && within(e2("a"), 2000),
       s"got $e2")
   }
+
+  test("SketchDistinct MV: the NULL-keyed group survives retraction windows") {
+    // groupBy keeps NULL as a real group, so the retraction path's key
+    // joins must be null-safe: with plain equality the semi (recompute)
+    // and anti (other-inserts) sides never match the null tuple while the
+    // untouched-state anti-join (<=>) removes its sketch — the group's
+    // base silently vanishes
+    val kvN = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("grp",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("uid",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val wh = new graft.sources.AtomicWarehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft-skmv3-").toString)
+    wh.setChangeFeed("src", on = true)
+    def rows(g: Option[String], lo: Long, hi: Long) =
+      (lo until hi).map(i => (g, i)).toDF("grp", "uid")
+    wh.append("src", rows(Some("a"), 0, 1000).unionByName(rows(None, 0, 1000)))
+    val sd = new graft.operators.SketchDistinct(wh, "d", "src", kvN, Seq("grp"), "uid")
+    sd.refresh()
+    def ests = sd.estimate().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(within(ests(Some("a")), 1000) && within(ests(None), 1000), s"got $ests")
+    // retract half of BOTH groups (predicate touches the null group too),
+    // and land same-window inserts into the null group
+    wh.deleteWhere("src", kvN, Seq(graft.sources.ColGe("uid", 500L)))
+    wh.append("src", rows(None, 2000, 2300))
+    sd.refresh()
+    val e = ests
+    assert(within(e(Some("a")), 500), s"got $e")
+    assert(e.contains(None) && within(e(None), 800),
+      s"null group lost its base through retraction: $e")
+  }
 }
