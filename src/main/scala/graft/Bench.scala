@@ -58,6 +58,14 @@ import org.apache.spark.sql.SparkSession
   *     WHICH testdata was measured (the driver regenerates it between
   *     rounds), so cross-round deltas can separate code drift from data
   *     drift.
+  *   - The LAST stdout line is a compact (<2 KB) self-adjudicating summary
+  *     sized to survive the driver's tail capture intact: total raw + clean
+  *     runtime, run-wide canary min/median/max, the slowest-10 medians, and
+  *     a "flagged" object naming every query whose number needs adjudication
+  *     (adaptive reps fired, or raw median >1.3× its canary-gated clean
+  *     median) with raw/clean/worst-rep-canary-inflation in-row — r15's
+  *     out-of-band dedup_components sample had to be adjudicated from side
+  *     files because the official artifact held only a truncated fragment.
   */
 object Bench {
   private[graft] def median(ts: Seq[Double]): Double = {
@@ -299,21 +307,21 @@ object Bench {
           s"""{"query":"$name","median":null,"reps":$repsJson,$envJson,"error":"${esc(errs.head)}"}"""
       appendLine(qLine)
       println(s"[bench] $qLine")
-      (name, ts, errs, canaryS, tcPairs)
+      (name, ts, errs, canaryS, tcPairs, extra)
     }
-    val medians = results.collect { case (k, ts, _, _, _) if ts.nonEmpty => k -> median(ts) }
+    val medians = results.collect { case (k, ts, _, _, _, _) if ts.nonEmpty => k -> median(ts) }
     val qsJson = medians.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val runBase = {
       val all = results.flatMap(_._5.map(_._2))
       if (all.nonEmpty) median(all) else 0.0
     }
-    val qsCleanJson = results.collect { case (k, ts, _, _, tc) if ts.nonEmpty =>
+    val qsCleanJson = results.collect { case (k, ts, _, _, tc, _) if ts.nonEmpty =>
       "\"" + k + f"\":${cleanMedian(tc.map(_._1), tc.map(_._2), runBase).get}%.3f"
     }.mkString("{", ",", "}")
-    val repsJson = results.collect { case (k, ts, _, _, _) if ts.nonEmpty =>
+    val repsJson = results.collect { case (k, ts, _, _, _, _) if ts.nonEmpty =>
       "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val errsJson = results.collect { case (k, _, ms, _, _) if ms.nonEmpty =>
+    val errsJson = results.collect { case (k, _, ms, _, _, _) if ms.nonEmpty =>
       "\"" + k + "\":\"" + esc(ms.head) + s""" (${ms.size}/$reps reps failed)""""
     }.mkString("{", ",", "}")
     val total = medians.map(_._2).sum
@@ -337,6 +345,7 @@ object Bench {
     // monotone `ts`, and the documented contract for cross-round tooling is
     // LAST LINE PER ROUND WINS — ContractDocsSpec gates the ts ordering
     // that makes "last" well-defined.
+    val runId = java.util.UUID.randomUUID().toString.take(8)
     if (only.isEmpty) {
       val bookPath = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCHBOOK", "BENCHBOOK.jsonl")).toAbsolutePath
@@ -354,10 +363,39 @@ object Bench {
           (rs :+ 0).max + 1
         }
       val fpJson = dataFingerprint(spark, sfDir)
-      val runId = java.util.UUID.randomUUID().toString.take(8)
       val bookLine = f"""{"round":$round,"run_id":"$runId","sf":"$sfDir","ts":${System.currentTimeMillis() / 1000},"canary_median_s":$canaryMedian%.3f,"total_s":$total%.3f,"data_fingerprint":$fpJson,"medians_clean":$qsCleanJson,"medians":$qsJson}"""
       appendTo(bookPath, bookLine)
     }
+    // The LAST stdout line is a COMPACT self-adjudicating summary. The full
+    // line above outgrew the driver's stdout-tail capture rounds ago (the
+    // official BENCH_r*.json has carried a truncated, unparseable tail since
+    // r12 — the 30 s dedup_components sample in r15 could only be adjudicated
+    // from side files). This line stays under ~1.9 KB so the official
+    // artifact parses again, and it carries the adjudication context IN-ROW:
+    // run-wide canary spread, every flagged query (adaptive reps fired, or
+    // raw median diverges >1.3× from its canary-gated clean median) with its
+    // raw/clean medians and worst rep-canary inflation, and the run_id
+    // linking back to the full per-rep record in BENCHBOOK.jsonl.
+    val (cMin, cMax) =
+      if (allRepCanaries.nonEmpty) (allRepCanaries.min, allRepCanaries.max) else (0.0, 0.0)
+    val flagged = results.collect {
+      case (k, ts, _, _, tc, extra) if ts.nonEmpty &&
+          (extra > 0 || {
+            val c = cleanMedian(tc.map(_._1), tc.map(_._2), runBase).get
+            c > 0 && median(ts) / c > 1.3
+          }) =>
+        val c = cleanMedian(tc.map(_._1), tc.map(_._2), runBase).get
+        val worstX = if (runBase > 0 && tc.nonEmpty) tc.map(_._2).max / runBase else 0.0
+        "\"" + k + f"""\":{"median":${median(ts)}%.3f,"clean":$c%.3f,"worst_rep_canary_x":$worstX%.2f}"""
+    }.take(12).mkString("{", ",", "}")
+    val slowest = medians.sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val nErr = results.count(_._3.nonEmpty)
+    val totalClean = results.collect { case (_, ts, _, _, tc, _) if ts.nonEmpty =>
+      cleanMedian(tc.map(_._1), tc.map(_._2), runBase).get }.sum
+    val compact =
+      f"""{"metric":"total_runtime","value":$total%.3f,"unit":"sec","queries":$slowest,"queries_truncated_to_slowest":10,"sf":"$sfDir","n_queries":${medians.size},"n_errors":$nErr,"canary_median_s":$canaryMedian%.3f,"canary_min_s":$cMin%.3f,"canary_max_s":$cMax%.3f,"total_clean":$totalClean%.3f,"flagged":$flagged,"run_id":"$runId","detail":"per-query lines: target/bench.json; per-rep history: BENCHBOOK.jsonl"}"""
+    println(compact)
     spark.stop()
   }
 }

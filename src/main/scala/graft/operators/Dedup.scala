@@ -573,13 +573,35 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("component")).as("n_comp"))
-      val next = labels.join(viaNeighbors, Seq("id"), "left")
-        .select(col("id"), least(col("component"), coalesce(col("n_comp"), col("component"))).as("component"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changed = next.join(labels.withColumnRenamed("component", "old"), Seq("id"))
-        .filter(col("component") =!= col("old")).limit(1).count()
+      // the convergence check rides the propagation job as an observed
+      // metric over the rows being materialized anyway — a separate
+      // join-with-old + limit-1 count() was a SECOND driver job per round,
+      // and scheduler noise multiplies by rounds (clusters are shallow but
+      // rounds are serial; two jobs/round doubled the exposure)
+      val obs = org.apache.spark.sql.Observation(s"cc_round_$it")
+      val next = labels.withColumnRenamed("component", "old")
+        .join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("old"), coalesce(col("n_comp"), col("old"))).as("component"),
+          col("old"))
+        .observe(obs, sum(when(col("component") =!= col("old"), 1L)
+          .otherwise(0L)).as("changed"))
+        .select(col("id"), col("component"))
+      val p = next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count() // one job: materializes the persist AND fires the observation
+      // every few rounds, cut the replayable lineage: a persist chain of N
+      // rounds replays the WHOLE loop if a block is evicted, and the plan
+      // itself grows by one join per round — localCheckpoint (off the warm
+      // cache, so it costs one local copy) truncates both
+      val pinned =
+        if ((it + 1) % 4 == 0) { val c = p.localCheckpoint(true); p.unpersist(false); c }
+        else p
+      val changed = obs.get.getOrElse("changed", null) match {
+        case null => 0L // zero-row window: sum over nothing is null
+        case n: Number => n.longValue()
+      }
       labels.unpersist()
-      labels = next
+      labels = pinned
       converged = changed == 0
       it += 1
     }
