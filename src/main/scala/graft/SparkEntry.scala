@@ -2766,8 +2766,8 @@ object SparkEntry {
     }
 
     // sequence packing into 2000-token training shards, grouped by language
-    // (homogeneous shards; languages pack in parallel) — running prefix-sum
-    // window per language
+    // (homogeneous shards) — two-pass distributed prefix sum, so a corpus
+    // that is 90% one language never funnels through one reducer task
     q("doc_shards") = (s, dir) =>
       Corpus.packShards(
         t(s, dir, "documents")

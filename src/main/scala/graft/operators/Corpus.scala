@@ -283,23 +283,71 @@ object Corpus {
 
   /** Sequence packing: assign documents to fixed-token-budget training
     * shards. Docs are packed greedily in `id` order within each `packKey`
-    * group (e.g. language or domain — shards stay homogeneous and the
-    * groups pack in parallel): shard = exclusive-prefix-sum(tokens) DIV
-    * budget, so a shard closes once the budget is crossed and the straddling
-    * document opens the next one. The window is a running frame —
-    * incrementally maintained, one pass after the shuffle on `packKey`.
+    * group (e.g. language or domain — shards stay homogeneous): shard =
+    * exclusive-prefix-sum(tokens) DIV budget, so a shard closes once the
+    * budget is crossed and the straddling document opens the next one.
+    *
+    * A naive `Window.partitionBy(packKey)` running sum puts each key's
+    * ENTIRE group through one sorted reducer task — and the documented use
+    * packs by LANGUAGE, where real pretraining corpora are ~half one key:
+    * at 100 TB the English partition is a single task. This is instead the
+    * classic two-pass distributed prefix sum, skew-immune because no stage
+    * ever holds more than one RANGE partition of (key, id):
+    *
+    *   1. range-partition a NARROW (id, key, n_toks) projection by
+    *      (key, id) — the range partitioner splits a dominant key across
+    *      as many contiguous, sorted blocks as it needs;
+    *   2. per-(key, block) token subtotals — tiny (≈ blocks + keys rows,
+    *      each block holds few distinct keys because ranges are contiguous);
+    *   3. exclusive running offsets over the subtotals (a window over the
+    *      TINY frame, broadcast back);
+    *   4. prefix = block offset + local running sum within (block, key) —
+    *      the window partition is now bounded by the range-partition size,
+    *      never by the key's corpus share;
+    *   5. join (id → shard) back to the full rows on the unique `id`.
+    *
+    * Block identity is `spark_partition_id()` pinned by a persist of the
+    * narrow blocked frame (range-partitioner sampling is not re-run, so the
+    * subtotal pass and the local-prefix pass see identical blocks); like
+    * [[Dedup.connectedComponents]]' labels, the returned frame references
+    * the persisted narrow plan and Spark's ContextCleaner reclaims it when
+    * the result is released. `id` must be unique per document (it is a doc
+    * id) — the old range-frame window lumped equal ids together, which was
+    * never meaningful.
     *
     * Returns the input keyed with `n_toks`, `shard` (0-based per group).
     */
   def packShards(docs: DataFrame, id: String, text: String, packKey: Column,
       budgetTokens: Long): DataFrame = {
     require(budgetTokens > 0, "budgetTokens must be positive")
-    val w = Window.partitionBy(packKey).orderBy(col(id))
-    docs
+    val withToks = docs
       .withColumn("n_toks", TextOps.tokenCountWs(col(text)).cast(LongType))
+    val nBlocks = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val blocked = withToks
+      .select(col(id), packKey.as("__pk"), col("n_toks"))
+      .repartitionByRange(nBlocks, col("__pk"), col(id))
+      .sortWithinPartitions(col("__pk"), col(id))
+      .withColumn("__blk", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wOff = Window.partitionBy(col("__pk")).orderBy(col("__blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = blocked.groupBy(col("__pk"), col("__blk"))
+      .agg(sum(col("n_toks")).as("__sub"))
+      .withColumn("__off", coalesce(sum(col("__sub")).over(wOff), lit(0L)))
+      .select(col("__pk").as("__opk"), col("__blk").as("__oblk"), col("__off"))
+    val wLoc = Window.partitionBy(col("__blk"), col("__pk")).orderBy(col(id))
+    val assignment = blocked
+      .join(broadcast(offsets),
+        col("__pk") <=> col("__opk") && col("__blk") === col("__oblk"))
       .withColumn("shard",
-        floor((sum(col("n_toks")).over(w) - col("n_toks")) / budgetTokens)
-          .cast(LongType))
+        floor((col("__off") + sum(col("n_toks")).over(wLoc) - col("n_toks"))
+          / budgetTokens).cast(LongType))
+      .select(col(id), col("shard"))
+    // null-safe join back so a null-id row keeps its (degenerate) shard
+    // instead of silently vanishing from the output
+    withToks.alias("d").join(assignment.alias("a"),
+        col(s"d.$id") <=> col(s"a.$id"))
+      .select(withToks.columns.map(c => col(s"d.$c")) :+ col("a.shard"): _*)
   }
 
   /** Deterministic train/validation/test split by ID hash — the assignment

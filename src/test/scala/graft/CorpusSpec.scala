@@ -91,6 +91,31 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("packShards: distributed prefix sum ≡ naive window on a 90%-one-key corpus") {
+    // the scale shape packShards exists for: one language dominates, so the
+    // dominant key MUST span many range blocks (32 shuffle partitions vs
+    // 2000 rows) — the per-block offsets have to chain exactly or shard
+    // boundaries drift at every block seam. Null key = a real group too.
+    val d = (0L until 2000L).map { i =>
+      val lang = if (i % 10 == 0) (if (i % 20 == 0) null else "es") else "en"
+      (i, lang, Seq.fill((i % 7 + 1).toInt)("tok").mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val got = Corpus.packShards(d, "doc_id", "text", $"lang", budgetTokens = 40)
+      .select($"doc_id", $"shard").as[(Long, Long)].collect().toMap
+    // oracle: the single-reducer window restated locally
+    val rows = d.select($"doc_id", $"lang", $"text").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)),
+        r.getString(2).split("\\s+").count(_.nonEmpty).toLong))
+    val want = rows.groupBy(_._2).toSeq.flatMap { case (_, grp) =>
+      var cum = 0L
+      grp.sortBy(_._1).toSeq.map { case (id, _, n) =>
+        val s = cum / 40; cum += n; id -> s
+      }
+    }.toMap
+    assert(got.size == 2000 && want.forall { case (id, s) => got(id) == s },
+      s"first mismatches: ${want.filter { case (id, s) => got(id) != s }.take(5)}")
+  }
+
   test("mixtureSample: deterministic, rate-capped, drops unweighted strata") {
     val d = (0L until 300L).map(i =>
       (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "es" else "zz",
