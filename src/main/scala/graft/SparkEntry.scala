@@ -1105,6 +1105,46 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"))
     }
 
+    // ---- the sketch layer's SQL-ops surface: the SAME HLL distinct MV as
+    // etl_sketch_distinct, but defined, refreshed, and read entirely at a
+    // spark.sql prompt — CALL graft.system.sketch_refresh persists the MV
+    // definition next to its state (later refreshes are name-only; a
+    // drifted redefinition is refused), and estimates come back through a
+    // plain SELECT + the built-in hll_sketch_estimate over the state table.
+    // Estimates validated in-line against the exact distincts; exact values
+    // oracled (shares etl_sketch_distinct's oracle by construction)
+    q("etl_sql_sketch") = (s, dir) => {
+      val orders = t(s, dir, "orders")
+      val root = java.nio.file.Files.createTempDirectory("graft-sqlsk-").toString
+      val wh = new graft.sources.AtomicWarehouse(s, root)
+      val cat = s"gsql${sqlCatSeq.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sql.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      wh.setChangeFeed("facts/orders", on = true)
+      val maxKey = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      val qtr = maxKey / 4
+      wh.append("facts/orders", orders.filter(col("o_orderkey") < qtr * 2))
+      s.sql(s"""CALL $cat.system.sketch_refresh('cust', 'distinct',
+        'facts.orders', 'o_orderstatus', 'o_custkey')""")
+      wh.append("facts/orders", orders.filter(col("o_orderkey") >= qtr * 2))
+      s.sql(s"CALL $cat.system.sketch_refresh('cust')") // name-only: def persisted
+      s.sql(s"DELETE FROM $cat.facts.orders WHERE o_orderkey >= ${qtr * 3}")
+      s.sql(s"CALL $cat.system.sketch_refresh('cust')") // retraction window
+      val est = s.sql(s"""SELECT o_orderstatus,
+          hll_sketch_estimate(sk) AS n_est FROM $cat.mv.cust.SketchState""")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exact = s.sql(s"""SELECT o_orderstatus,
+          count(DISTINCT o_custkey) AS n_cust FROM $cat.facts.orders
+          GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+      exact.collect().foreach { r =>
+        val (g, n) = (r.getString(0), r.getLong(1))
+        val e = est.getOrElse(g, sys.error(s"sketch view lost group $g"))
+        if (math.abs(e - n.toDouble) / math.max(n, 1L) >= 0.05)
+          sys.error(s"sketch estimate $e drifted from exact $n for group $g")
+      }
+      exact
+    }
+
     // ---- time travel COMPOSED with the materialized view: the mv state
     // lives in the same manifest log, so readAt() answers "what did the
     // aggregate say after the second fold" — the audit/debug read IVM
@@ -5576,6 +5616,18 @@ object SparkEntry {
         | quantile_cont(o_totalprice, 0.5) AS p50,
         | quantile_cont(o_totalprice, 0.9) AS p90,
         | CAST(count(*) AS BIGINT) AS n
+        |FROM orders, m
+        |WHERE o_orderkey < m.q * 3
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    // SQL-driven sketch MV end-state: same construction as
+    // etl_sketch_distinct (the delete lands via SQL DELETE instead of
+    // deleteWhere — same predicate), so the oracle is shared verbatim
+    "etl_sql_sketch" ->
+      """WITH m AS (SELECT max(o_orderkey) // 4 AS q FROM orders)
+        |SELECT o_orderstatus,
+        | CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
         |FROM orders, m
         |WHERE o_orderkey < m.q * 3
         |GROUP BY o_orderstatus

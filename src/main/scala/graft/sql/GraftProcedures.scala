@@ -24,7 +24,18 @@ import graft.sources.AtomicWarehouse
   * CALL graft.system.restore('facts.orders', 3)              -- rewind to version 3
   * CALL graft.system.vacuum()                                -- reclaim unreferenced files
   * CALL graft.system.purge_changes('facts.orders', 5)        -- change-feed retention
+  * CALL graft.system.sketch_refresh('cust', 'distinct',
+  *   'facts.orders', 'o_orderstatus', 'o_custkey')           -- define + refresh sketch MV
+  * CALL graft.system.sketch_refresh('cust')                  -- later refreshes: name-only
+  * CALL graft.system.sketch_overlap('a.users', 'uid',
+  *   'b.users', 'uid')                                       -- theta set algebra, one row
+  * CALL graft.system.top_tokens('docs.corpus', 'text', 20)   -- bounded-state heavy hitters
   * }}}
+  *
+  * Sketch ESTIMATES are read with plain SELECT over the MV's state table
+  * (`SELECT grp, hll_sketch_estimate(sk) FROM cat.mv.<name>.SketchState` —
+  * Spark's Datasketches functions are SQL built-ins), so the per-group
+  * state stays in a scan; only refresh/define is a procedure.
   *
   * Every procedure routes through the SAME engine method the Scala API
   * exposes (conflict contracts, FK RESTRICT, cdfnoop markers all apply)
@@ -37,7 +48,8 @@ object GraftProcedures {
 
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(SystemNs))
-      Array("optimize", "vacuum", "restore", "history", "purge_changes", "detail")
+      Array("optimize", "vacuum", "restore", "history", "purge_changes", "detail",
+        "sketch_refresh", "sketch_overlap", "top_tokens")
         .map(Identifier.of(SystemNs, _))
     else Array.empty
 
@@ -147,9 +159,120 @@ object GraftProcedures {
           Seq(InternalRow(wh.purgeChanges(t, in.getInt(1))))
         }
       }
+      // ---- the sketch layer's SQL surface: refresh is a CALL (the MV
+      // definition is persisted next to its state, so later refreshes are
+      // name-only and a drifted redefinition is refused, not silently
+      // blended); ESTIMATES are read with plain SELECT + Spark's built-in
+      // sketch functions over the state table the refresh maintains, e.g.
+      //   SELECT grp, hll_sketch_estimate(sk) FROM cat.mv.<name>.SketchState
+      // — the state is KB-per-group data, which belongs in a scan, not in a
+      // procedure's driver-resident result rows.
+      case "sketch_refresh" => new Proc("sketch_refresh",
+        Seq(ProcedureParameter.in("name", StringType).build(),
+          ProcedureParameter.in("kind", StringType).defaultValue("''").build(),
+          ProcedureParameter.in("table", StringType).defaultValue("''").build(),
+          ProcedureParameter.in("group_cols", StringType).defaultValue("''").build(),
+          ProcedureParameter.in("value_col", StringType).defaultValue("''").build(),
+          ProcedureParameter.in("param", IntegerType).defaultValue("-1").build()),
+        StructType(Seq(StructField("name", StringType),
+          StructField("kind", StringType),
+          StructField("state_table", StringType),
+          StructField("cursor", IntegerType)))) {
+        override def exec(in: InternalRow): Seq[InternalRow] = {
+          val name = in.getUTF8String(0).toString
+          val defTable = s"mv/$name/SketchDef"
+          val defSchema = StructType(Seq(
+            StructField("kind", StringType), StructField("src", StringType),
+            StructField("group_cols", StringType),
+            StructField("value_col", StringType),
+            StructField("param", IntegerType)))
+          val given = (in.getUTF8String(1).toString, tbl(in.getUTF8String(2).toString),
+            in.getUTF8String(3).toString, in.getUTF8String(4).toString, in.getInt(5))
+          val (kind, src, groupCsv, valueCol, param) =
+            if (wh.exists(defTable)) {
+              val d = wh.read(defTable, defSchema).head()
+              val stored = (d.getString(0), d.getString(1), d.getString(2),
+                d.getString(3), d.getInt(4))
+              if (given._1.nonEmpty &&
+                  (given._1, given._2, given._3, given._4) !=
+                    (stored._1, stored._2, stored._3, stored._4))
+                throw new IllegalArgumentException(
+                  s"sketch MV '$name' is already defined as kind=${stored._1} " +
+                    s"table=${stored._2} group_cols=${stored._3} value_col=${stored._4}" +
+                    " — a redefinition would blend two views' state; DROP the mv." +
+                    s"$name.* tables first")
+              stored
+            } else {
+              if (given._1.isEmpty || given._2.isEmpty || given._3.isEmpty ||
+                  given._4.isEmpty)
+                throw new IllegalArgumentException(
+                  s"sketch MV '$name' does not exist yet — first call needs " +
+                    "(name, kind, table, group_cols, value_col)")
+              val p = if (given._5 > 0) given._5
+                else if (given._1 == "distinct") 12 else 200
+              val d = (given._1, given._2, given._3, given._4, p)
+              wh.replace(defTable, wh.spark.createDataFrame(
+                util.Arrays.asList(org.apache.spark.sql.Row(d._1, d._2, d._3, d._4, d._5)),
+                defSchema))
+              d
+            }
+          val groups = groupCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          val mv: graft.operators.SketchMv = kind match {
+            case "distinct" => new graft.operators.SketchDistinct(
+              wh, name, src, schemaOf(src), groups, valueCol, lgK = param)
+            case "quantile" => new graft.operators.SketchQuantile(
+              wh, name, src, schemaOf(src), groups, valueCol, k = param)
+            case other => throw new IllegalArgumentException(
+              s"unknown sketch kind '$other' (distinct | quantile)")
+          }
+          val cur = mv.refresh()
+          Seq(InternalRow(UTF8String.fromString(name), UTF8String.fromString(kind),
+            UTF8String.fromString(mv.stateTable.replace('/', '.')), cur))
+        }
+      }
+      case "sketch_overlap" => new Proc("sketch_overlap",
+        Seq(ProcedureParameter.in("table_a", StringType).build(),
+          ProcedureParameter.in("key_a", StringType).build(),
+          ProcedureParameter.in("table_b", StringType).build(),
+          ProcedureParameter.in("key_b", StringType).build(),
+          ProcedureParameter.in("lg_k", IntegerType).defaultValue("12").build()),
+        StructType(Seq(StructField("est_a", LongType),
+          StructField("est_b", LongType),
+          StructField("est_intersection", LongType),
+          StructField("est_union", LongType),
+          StructField("est_diff_a", LongType)))) {
+        override def exec(in: InternalRow): Seq[InternalRow] = {
+          val (ta, tb) = (tbl(in.getUTF8String(0).toString),
+            tbl(in.getUTF8String(2).toString))
+          val r = graft.operators.SketchSetOps.overlap(
+            wh.read(ta, schemaOf(ta)), in.getUTF8String(1).toString,
+            wh.read(tb, schemaOf(tb)), in.getUTF8String(3).toString,
+            lgK = in.getInt(4)).head()
+          Seq(InternalRow(r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4)))
+        }
+      }
+      case "top_tokens" => new Proc("top_tokens",
+        Seq(ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("text_col", StringType).build(),
+          ProcedureParameter.in("k", IntegerType).build(),
+          ProcedureParameter.in("capacity", IntegerType).defaultValue("4096").build()),
+        StructType(Seq(StructField("token", StringType),
+          StructField("cnt", LongType)))) {
+        override def exec(in: InternalRow): Seq[InternalRow] = {
+          val t = tbl(in.getUTF8String(0).toString)
+          graft.operators.Corpus.topTokensSketch(wh.read(t, schemaOf(t)),
+              in.getUTF8String(1).toString, k = in.getInt(2),
+              capacity = in.getInt(3))
+            .collect() // ≤ k rows by construction — a bounded CALL result
+            .map(r => InternalRow(UTF8String.fromString(r.getString(0)), r.getLong(1)))
+            .toSeq
+        }
+      }
       case other => throw new IllegalArgumentException(
         s"no procedure 'system.$other' — " +
-          "optimize | vacuum | restore | history | purge_changes | detail")
+          "optimize | vacuum | restore | history | purge_changes | detail | " +
+          "sketch_refresh | sketch_overlap | top_tokens")
     }
   }
 

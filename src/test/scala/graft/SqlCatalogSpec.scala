@@ -450,6 +450,52 @@ class SqlCatalogSpec extends SparkSpec {
     assert(spark.sql(s"CALL $cat.system.vacuum(0)").head().getBoolean(0))
   }
 
+  test("CALL sketch procedures: refresh/define, SELECT estimates, overlap, top_tokens") {
+    val (wh, cat, _) = fixture()
+    wh.setChangeFeed("facts/events", on = true)
+    def rows(g: String, lo: Long, hi: Long) =
+      (lo until hi).map(i => (g, i, s"tok$i common common")).toDF("grp", "uid", "txt")
+    wh.append("facts/events", rows("a", 0, 3000).unionByName(rows("b", 0, 500)))
+    // first call defines + refreshes; param defaults to lgK=12
+    val r1 = spark.sql(s"""CALL $cat.system.sketch_refresh('cust', 'distinct',
+      'facts.events', 'grp', 'uid')""").head()
+    assert(r1.getString(1) == "distinct" && r1.getString(2) == "mv.cust.SketchState")
+    // estimates via plain SELECT over the state table + built-in function
+    def ests = spark.sql(s"""SELECT grp,
+        hll_sketch_estimate(sk) AS est FROM $cat.mv.cust.SketchState""")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def within(e: Long, n: Long) = math.abs(e - n.toDouble) / n < 0.05
+    assert(within(ests("a"), 3000) && within(ests("b"), 500), s"got $ests")
+    // later refreshes are name-only: the persisted definition carries
+    wh.append("facts/events", rows("c", 0, 100))
+    val r2 = spark.sql(s"CALL $cat.system.sketch_refresh('cust')").head()
+    assert(r2.getInt(3) > r1.getInt(3))
+    assert(within(ests("c"), 100) && within(ests("a"), 3000), s"got $ests")
+    // a drifted redefinition under the same name is refused, not blended
+    val e = intercept[Exception](spark.sql(
+      s"""CALL $cat.system.sketch_refresh('cust', 'distinct',
+        'facts.events', 'grp', 'txt')"""))
+    assert(e.getMessage.contains("already defined"), e.getMessage)
+    // quantile twin through the same procedure
+    spark.sql(s"""CALL $cat.system.sketch_refresh('price', 'quantile',
+      'facts.events', 'grp', 'uid')""")
+    val p50 = spark.sql(s"""SELECT grp,
+        kll_sketch_get_quantile_double(sk, 0.5) AS p50
+        FROM $cat.mv.price.SketchState WHERE grp = 'a'""").head().getDouble(1)
+    assert(math.abs(p50 - 1500) < 3000 * 0.05, s"got $p50")
+    // theta overlap: one-row set algebra without materializing either side
+    wh.append("dim/other", rows("x", 2000, 4000).select(col("uid")))
+    val ov = spark.sql(s"""CALL $cat.system.sketch_overlap(
+      'facts.events', 'uid', 'dim.other', 'uid')""").head()
+    assert(within(ov.getLong(0), 3000) && within(ov.getLong(1), 2000) &&
+      within(ov.getLong(2), 1000) && within(ov.getLong(3), 4000), ov.toString)
+    // bounded-state heavy hitters as a CALL (k rows, certified-exact counts)
+    val top = spark.sql(
+      s"CALL $cat.system.top_tokens('facts.events', 'txt', 1)").collect()
+    assert(top.length == 1 && top.head.getString(0) == "common" &&
+      top.head.getLong(1) == 2L * 3600, top.mkString(","))
+  }
+
   test("DELETE/UPDATE outside the FilePred algebra fall back to exact rewrites") {
     val (wh, cat, root) = fixture()
     banded(wh)
