@@ -2018,8 +2018,16 @@ object SparkEntry {
       val refused =
         try { s.sql(s"INSERT INTO $cat.dim.nation VALUES (-5, 'BAD', 'y')"); false }
         catch { case _: Exception => true }
+      // RENAME TABLE is one metadata commit (r16): the CHECK above and all
+      // data survive the round trip, and DML lands through the new name
+      s.sql(s"ALTER TABLE $cat.dim.nation RENAME TO $cat.archive.nation_v2")
+      val refusedRenamed =
+        try { s.sql(s"INSERT INTO $cat.archive.nation_v2 VALUES (-6, 'BAD', 'y')"); false }
+        catch { case _: Exception => true }
+      s.sql(s"INSERT INTO $cat.archive.nation_v2 VALUES (901, 'RENAMELAND', 'z')")
+      s.sql(s"ALTER TABLE $cat.archive.nation_v2 RENAME TO $cat.dim.nation")
       s.sql(s"SELECT n_nationkey, nation_name, flag FROM $cat.dim.nation")
-        .withColumn("refused", lit(refused))
+        .withColumn("refused", lit(refused && refusedRenamed))
         .orderBy(col("n_nationkey"))
     }
 
@@ -5056,6 +5064,8 @@ object SparkEntry {
         |FROM nation
         |UNION ALL
         |SELECT 900, 'NEWLAND', 'x', TRUE
+        |UNION ALL
+        |SELECT 901, 'RENAMELAND', 'z', TRUE
         |ORDER BY n_nationkey""".stripMargin,
 
     // SQL maintenance: optimize compacted all 4 band files into one

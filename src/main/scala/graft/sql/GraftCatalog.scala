@@ -72,12 +72,74 @@ class GraftCatalog extends TableCatalog
 
   private[sql] def warehouse: AtomicWarehouse = wh
 
-  private def tableName(ident: Identifier): String =
+  // ---- table-name indirection: RENAME TABLE as ONE metadata commit ------
+  //
+  // A graft table's physical identity IS its directory (manifest lines,
+  // stats, DV/Bloom sidecars and time travel all key on the path), so the
+  // directory never moves. What CAN move is the CATALOG name: `_sys/names`
+  // is a tiny warehouse table mapping logical → physical (the column-mapping
+  // idea applied at table granularity), itself manifest-committed — so a
+  // rename is one crash-safe metadata commit, the renamed table keeps its
+  // full history/time-travel/constraints (everything below the catalog sees
+  // the unchanged physical name), and the mapping is excluded from listings
+  // here (an underscore prefix would hide it, but Spark's file listing
+  // treats `_`-prefixed path segments as hidden and the parquet under it
+  // becomes unreadable). The vacated name stops resolving (its directory
+  // still holds the renamed table's history, so re-CREATing it is refused
+  // with the route named). Scala-API callers address physical names
+  // directly — naming is a catalog concern, as in Spark itself.
+  private val NamesTable = "sys/graft_names"
+  private val namesSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("logical",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("physical",
+      org.apache.spark.sql.types.StringType, nullable = false)))
+
+  /** Current logical→physical map; empty (zero extra I/O beyond one
+    * existence check) until the first rename ever happens.
+    */
+  private def nameMap(): Map[String, String] =
+    if (!wh.exists(NamesTable)) Map.empty
+    else wh.read(NamesTable, namesSchema).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+
+  private def writeNameMap(m: Map[String, String]): Unit =
+    wh.replace(NamesTable, wh.spark.createDataFrame(
+      util.Arrays.asList(m.toSeq.sortBy(_._1)
+        .map { case (l, p) => org.apache.spark.sql.Row(l, p) }: _*),
+      namesSchema))
+
+  private def logicalName(ident: Identifier): String =
     (ident.namespace() :+ ident.name()).mkString("/")
+
+  /** Resolve a logical name to its physical table. A name that is some
+    * mapping's physical TARGET but not itself mapped has been renamed away:
+    * it must not resolve (the old name would silently alias the renamed
+    * table).
+    */
+  private def tableName(ident: Identifier): String = {
+    val l = logicalName(ident)
+    val m = nameMap()
+    m.get(l) match {
+      case Some(p) => p
+      case None if m.valuesIterator.contains(l) => throw new NoSuchTableException(ident)
+      case None => l
+    }
+  }
+
+  /** The catalog-visible table set: physical tables minus renamed-away
+    * directories, plus live mapped logical names.
+    */
+  private def effectiveTables(): Seq[String] = {
+    val m = nameMap()
+    val renamedAway = m.values.toSet
+    (wh.catalogTables().filterNot(t => renamedAway(t) || t == NamesTable) ++
+      m.collect { case (l, p) if wh.exists(p) => l }).distinct.sorted
+  }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val prefix = namespace.mkString("/")
-    wh.catalogTables()
+    effectiveTables()
       .filter(t => if (prefix.isEmpty) !t.contains("/")
         else t.startsWith(prefix + "/") && !t.stripPrefix(prefix + "/").contains("/"))
       .map(t => Identifier.of(namespace, t.split('/').last))
@@ -85,7 +147,8 @@ class GraftCatalog extends TableCatalog
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    wh.exists(tableName(ident))
+    try wh.exists(tableName(ident))
+    catch { case _: NoSuchTableException => false }
 
   override def loadTable(ident: Identifier): Table = {
     val t = tableName(ident)
@@ -123,7 +186,19 @@ class GraftCatalog extends TableCatalog
     require(partitions.isEmpty,
       "graft CREATE TABLE does not take PARTITIONED BY; use the Scala " +
         "appendPartitioned/clusterBy surface for layout control")
-    val t = tableName(ident)
+    val t = logicalName(ident)
+    require(t != NamesTable, s"'$NamesTable' is reserved for the catalog's rename map")
+    val m = nameMap()
+    m.get(t) match {
+      case Some(p) if wh.exists(p) => throw new TableAlreadyExistsException(ident)
+      case Some(_) => writeNameMap(m - t) // stale entry (physical dropped): clean
+      case None =>
+    }
+    if (m.valuesIterator.contains(t))
+      throw new IllegalArgumentException(
+        s"cannot CREATE TABLE '$t': its directory holds the manifest history " +
+          "of a table renamed away from this name — pick another name, or " +
+          "rename that table back first")
     if (wh.exists(t)) throw new TableAlreadyExistsException(ident)
     wh.replace(t, wh.spark.createDataFrame(
       wh.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
@@ -212,9 +287,12 @@ class GraftCatalog extends TableCatalog
         val (cs, ps) = (cols(f.columns()), cols(f.referencedColumns()))
         // the referenced identifier may arrive catalog-qualified
         val ns = f.referencedTable().namespace().toSeq
-        val parent =
+        val parentLogical =
           ((if (ns.headOption.contains(catName)) ns.tail else ns) :+
             f.referencedTable().name()).mkString("/")
+        // a renamed parent resolves to its physical directory: FKs key on
+        // the stable physical name, so later renames never break them
+        val parent = nameMap().getOrElse(parentLogical, parentLogical)
         wh.addForeignKey(t, cs, parent, ps, f.name())
       case other => throw new UnsupportedOperationException(
         s"constraint '${other.toDDL}' is not supported (PRIMARY KEY implies " +
@@ -224,29 +302,63 @@ class GraftCatalog extends TableCatalog
   }
 
   override def dropTable(ident: Identifier): Boolean = {
-    val t = tableName(ident)
+    val t = try tableName(ident)
+      catch { case _: NoSuchTableException => return false }
     if (!wh.exists(t)) false
-    else { wh.delete(t); true }
+    else {
+      wh.delete(t)
+      // release the logical name too (a crash between the two commits
+      // leaves a stale mapping that resolution treats as nonexistent and
+      // createTable cleans lazily)
+      val l = logicalName(ident)
+      val m = nameMap()
+      if (m.contains(l)) writeNameMap(m - l)
+      true
+    }
   }
 
-  /** A graft table's identity IS its directory (manifest lines, stats, DV
-    * sidecars, Bloom sidecars and time travel all key on the path), so a
-    * cheap metadata-only rename does not exist: moving the directory would
-    * strand every retained manifest's history and a two-step
-    * move-then-commit has a crash window where readers resolve files that
-    * are gone. Refused honestly; copy-and-swap via CREATE TABLE AS +
-    * DROP is the explicit, crash-safe route.
+  /** RENAME TABLE as ONE metadata commit (see the name-indirection block
+    * above): the directory — and with it every retained manifest, stat,
+    * sidecar and time-travel era — stays put; only the `_sys/names` map
+    * changes, atomically. Renaming back to the physical name drops the
+    * indirection entirely.
     */
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException(
-      "RENAME TABLE is not supported: a graft table's manifest history keys " +
-        "on its directory; use CREATE TABLE AS SELECT + DROP TABLE")
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    // the RENAME TO target can arrive catalog-qualified (the parser keeps
+    // the user's qualifier on the new identifier) — same normalization as
+    // FK referencedTable
+    def unqualified(ident: Identifier): String = {
+      val ns = ident.namespace().toSeq
+      ((if (ns.headOption.contains(catName)) ns.tail else ns) :+
+        ident.name()).mkString("/")
+    }
+    val lo = unqualified(oldIdent)
+    val ln = unqualified(newIdent)
+    require(lo != NamesTable && ln != NamesTable,
+      s"'$NamesTable' is reserved for the catalog's rename map")
+    if (lo == ln) return
+    val m = nameMap()
+    val phys = m.get(lo) match {
+      case Some(p) if wh.exists(p) => p
+      case Some(_) => throw new NoSuchTableException(oldIdent)
+      case None if wh.exists(lo) && !m.valuesIterator.contains(lo) => lo
+      case None => throw new NoSuchTableException(oldIdent)
+    }
+    val newTaken = m.get(ln) match {
+      case Some(p) => wh.exists(p)
+      case None => wh.exists(ln) && !m.valuesIterator.contains(ln)
+    }
+    if (newTaken) throw new TableAlreadyExistsException(newIdent)
+    // identity entries (rename back to the directory name) need no row
+    writeNameMap(((m - lo) + (ln -> phys)).filter { case (l, p) => l != p })
+  }
 
   // ---- stored procedures: the maintenance surface ------------------------
 
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
-    GraftProcedures.load(wh, resolvedSchema, ident)
+    GraftProcedures.load(wh, resolvedSchema,
+      l => nameMap().getOrElse(l, l), ident)
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     GraftProcedures.list(namespace)
@@ -254,7 +366,7 @@ class GraftCatalog extends TableCatalog
   // ---- namespaces: implicit path prefixes of the table names ------------
 
   private def allNamespaces(): Seq[Seq[String]] =
-    wh.catalogTables().map(_.split('/').toSeq.init).filter(_.nonEmpty).distinct
+    effectiveTables().map(_.split('/').toSeq.init).filter(_.nonEmpty).distinct
 
   override def listNamespaces(): Array[Array[String]] =
     allNamespaces().map(_.take(1)).distinct.map(_.toArray).toArray
@@ -287,13 +399,18 @@ class GraftCatalog extends TableCatalog
     throw new UnsupportedOperationException("ALTER NAMESPACE is not supported")
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
-    val tables = wh.catalogTables()
+    val tables = effectiveTables()
       .filter(_.startsWith(namespace.mkString("/") + "/"))
     if (tables.isEmpty) false
     else if (!cascade) throw new IllegalStateException(
       s"namespace ${namespace.mkString(".")} holds ${tables.size} table(s); " +
         "use DROP NAMESPACE ... CASCADE")
-    else { tables.foreach(wh.delete); true }
+    else {
+      val m = nameMap()
+      tables.foreach(t => wh.delete(m.getOrElse(t, t)))
+      if (tables.exists(m.contains)) writeNameMap(m -- tables)
+      true
+    }
   }
 }
 

@@ -54,13 +54,14 @@ object GraftProcedures {
     else Array.empty
 
   def load(wh: AtomicWarehouse, schemaOf: String => StructType,
-      ident: Identifier): UnboundProcedure = {
+      resolve: String => String, ident: Identifier): UnboundProcedure = {
     if (!ident.namespace().sameElements(SystemNs))
       throw new IllegalArgumentException(
         s"no procedure namespace '${ident.namespace().mkString(".")}' — " +
           "graft procedures live under `system`")
-    // SQL names tables with dots; the warehouse path-segments them
-    def tbl(s: String): String = s.replace('.', '/')
+    // SQL names tables with dots; the warehouse path-segments them, and a
+    // RENAMEd table's logical name resolves to its physical directory
+    def tbl(s: String): String = resolve(s.replace('.', '/'))
     ident.name() match {
       case "optimize" => new Proc("optimize",
         Seq(ProcedureParameter.in("table", StringType).build(),

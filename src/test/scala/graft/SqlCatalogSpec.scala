@@ -418,14 +418,64 @@ class SqlCatalogSpec extends SparkSpec {
     spark.sql(s"INSERT INTO $cat.facts.link VALUES (3, 2, 20)")
     spark.sql(s"ALTER TABLE $cat.facts.link DROP CONSTRAINT fkpp")
     spark.sql(s"INSERT INTO $cat.facts.link VALUES (4, 1, 20)") // free again
-    // RENAME TABLE refuses honestly (directory-keyed history) — and the
-    // route its error names (CTAS + DROP) actually works
-    val r = intercept[Exception](
-      spark.sql(s"ALTER TABLE $cat.dim.d RENAME TO $cat.dim.d2"))
-    assert(r.getMessage.contains("RENAME TABLE"), r.getMessage)
+    // CTAS + DROP (the pre-rename escape hatch) still works
     spark.sql(s"CREATE TABLE $cat.dim.d2 AS SELECT * FROM $cat.dim.d")
     assert(spark.sql(s"SELECT count(*) AS c FROM $cat.dim.d2").head().getLong(0) == 4L)
     spark.sql(s"DROP TABLE $cat.dim.d2")
+  }
+
+  test("RENAME TABLE: one metadata commit, history/constraints/time-travel preserved") {
+    val (wh, cat, _) = fixture()
+    banded(wh) // facts/t: 4 commits of 100 rows each
+    val histBefore = spark.sql(s"CALL $cat.system.history('facts.t')").collect()
+    val headV = histBefore.map(_.getAs[Int]("version")).max
+    spark.sql(s"ALTER TABLE $cat.facts.t ADD CONSTRAINT uq UNIQUE (id)")
+    // rename across namespaces: the directory (and every manifest era in
+    // it) stays put; only the _sys/names map commits
+    spark.sql(s"ALTER TABLE $cat.facts.t RENAME TO $cat.archive.t2")
+    assert(spark.sql(s"SELECT count(*) AS c FROM $cat.archive.t2").head().getLong(0) == 400L)
+    // the vacated name no longer resolves — not in listings, not readable
+    assert(!spark.catalog.tableExists(s"$cat.facts.t"))
+    val gone = intercept[Exception](spark.sql(s"SELECT * FROM $cat.facts.t"))
+    assert(gone.getMessage.toLowerCase.contains("table"), gone.getMessage)
+    assert(spark.sql(s"SHOW TABLES IN $cat.archive").collect()
+      .map(_.getString(1)).contains("t2"))
+    // TIME TRAVEL through the new name reaches PRE-rename eras: the rename
+    // was metadata-only, so every manifest version survives
+    assert(spark.sql(s"SELECT count(*) AS c FROM $cat.archive.t2 VERSION AS OF $headV")
+      .head().getLong(0) == 400L)
+    val v1 = histBefore.map(_.getAs[Int]("version")).min
+    assert(spark.sql(s"SELECT count(*) AS c FROM $cat.archive.t2 VERSION AS OF $v1")
+      .head().getLong(0) == 100L)
+    // constraints ride the physical table: UNIQUE still enforced post-rename
+    val dup = intercept[Exception](
+      spark.sql(s"INSERT INTO $cat.archive.t2 VALUES (5, 'dup')"))
+    assert(dup.getMessage.contains("UNIQUE"), dup.getMessage)
+    // DML + procedures through the new name
+    spark.sql(s"INSERT INTO $cat.archive.t2 VALUES (9999, 'new')")
+    spark.sql(s"DELETE FROM $cat.archive.t2 WHERE id = 0")
+    assert(spark.sql(s"SELECT count(*) AS c FROM $cat.archive.t2").head().getLong(0) == 400L)
+    assert(spark.sql(s"CALL $cat.system.detail('archive.t2')").head()
+      .getAs[Long]("rows") == 400L)
+    // re-CREATE of the vacated name is refused with the route named (the
+    // directory still holds the renamed table's history)
+    val occupied = intercept[Exception](
+      spark.sql(s"CREATE TABLE $cat.facts.t (id BIGINT, v STRING)"))
+    assert(occupied.getMessage.contains("renamed away"), occupied.getMessage)
+    // rename BACK to the physical name drops the indirection entirely
+    spark.sql(s"ALTER TABLE $cat.archive.t2 RENAME TO $cat.facts.t")
+    assert(spark.sql(s"SELECT count(*) AS c FROM $cat.facts.t").head().getLong(0) == 400L)
+    assert(!spark.catalog.tableExists(s"$cat.archive.t2"))
+    // a second rename chain re-points, never chains: t -> x -> y stays one hop
+    spark.sql(s"ALTER TABLE $cat.facts.t RENAME TO $cat.facts.x")
+    spark.sql(s"ALTER TABLE $cat.facts.x RENAME TO $cat.facts.y")
+    assert(spark.sql(s"SELECT count(*) AS c FROM $cat.facts.y").head().getLong(0) == 400L)
+    assert(!spark.catalog.tableExists(s"$cat.facts.x"))
+    // DROP through the logical name removes the table AND frees the name
+    spark.sql(s"DROP TABLE $cat.facts.y")
+    assert(!spark.catalog.tableExists(s"$cat.facts.y"))
+    spark.sql(s"CREATE TABLE $cat.facts.t (id BIGINT, v STRING)") // dir free again
+    assert(spark.sql(s"SELECT count(*) AS c FROM $cat.facts.t").head().getLong(0) == 0L)
   }
 
   test("CALL procedures: optimize / history / restore / vacuum from SQL") {
