@@ -31,8 +31,14 @@ import graft.sources.AtomicWarehouse
   *   .option("root", "/data/wh").option("table", "facts/orders")
   *   .option("startingVersion", "0")      // default: current head
   *   .option("maxFilesPerTrigger", "50")  // default 1000; "none" = unbounded
+  *   .option("maxBytesPerTrigger", "1g")  // optional; soft cap, ≥1 version per batch
   *   .load()
   * }}}
+  *
+  * Rate limits admit WHOLE commit versions (splitting a DML slice across
+  * micro-batches would tear an update's image pair); the byte cap bounds a
+  * single giant DML slice's successors from piling into its batch, sized
+  * from manifest-recorded stats with zero planning filesystem calls.
   *
   * Row-level CDC where the append-only table stream refuses: each
   * micro-batch replays its commit window under [[AtomicWarehouse
@@ -96,21 +102,14 @@ class GraftCdfTable(wh: AtomicWarehouse, table: String, outSchema: StructType)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val startingVersion = Option(options.get("startingversion")).map(_.trim.toInt)
-    val maxFiles = Option(options.get("maxfilespertrigger")).map(_.trim) match {
-      case Some(s) if s.equalsIgnoreCase("none") => None
-      case Some(s) =>
-        val n = s.toInt
-        require(n > 0, s"maxFilesPerTrigger must be positive, got $n")
-        Some(n)
-      case None => Some(GraftStreamLimits.DefaultMaxFiles)
-    }
+    val limits = GraftStreamLimits(options) // maxFilesPerTrigger + maxBytesPerTrigger
     new ScanBuilder {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = outSchema
         override def description(): String = s"graft cdf stream of $table"
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new GraftCdfMicroBatchStream(wh, table, outSchema, startingVersion,
-            maxFiles)
+            limits)
       }
     }
   }
@@ -118,7 +117,7 @@ class GraftCdfTable(wh: AtomicWarehouse, table: String, outSchema: StructType)
 
 class GraftCdfMicroBatchStream(wh: AtomicWarehouse, table: String,
     outSchema: StructType, startingVersion: Option[Int],
-    maxFiles: Option[Int]) extends MicroBatchStream
+    limits: GraftStreamLimits) extends MicroBatchStream
     with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   @volatile private var availableNowCap: Option[Int] = None
@@ -134,8 +133,7 @@ class GraftCdfMicroBatchStream(wh: AtomicWarehouse, table: String,
   override def initialOffset(): Offset =
     GraftStreamOffset(startingVersion.getOrElse(wh.headVersion()))
 
-  override def getDefaultReadLimit: ReadLimit =
-    maxFiles.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+  override def getDefaultReadLimit: ReadLimit = limits.toReadLimit
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
@@ -146,31 +144,44 @@ class GraftCdfMicroBatchStream(wh: AtomicWarehouse, table: String,
   /** Rate-limit a change-feed replay at COMMIT-VERSION granularity: a
     * version's changes land atomically with their commit (splitting a DML
     * slice across micro-batches would tear an update's image pair), so the
-    * walk admits whole versions until the file cap trips — always at least
-    * one, however large a single commit is. The walk reads only the
-    * manifest (the shared [[AtomicWarehouse.cdfWindowFiles]] plan).
+    * walk admits whole versions until the file or BYTE cap trips — always
+    * at least one version, however large a single commit is (both caps are
+    * soft in the standard way). The walk reads only the manifest (the
+    * shared [[AtomicWarehouse.cdfWindowFiles]] plan; bytes come from
+    * manifest-recorded stats, resolved only when a byte cap is set).
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[GraftStreamOffset]
     val h = head()
     if (s.version >= h) return s
-    val cap = limit match {
-      case _: ReadAllAvailable => return GraftStreamOffset(h)
-      case f: ReadMaxFiles => f.maxFiles()
-      case other => throw new UnsupportedOperationException(
-        s"read limit ${other.getClass.getSimpleName} is not supported on graft-cdf " +
-          "(files are the unit; versions admit whole)")
-    }
+    val (maxFiles, maxBytes) = GraftStreamLimits.unpack(limit)
+    if (maxFiles.isEmpty && maxBytes.isEmpty) return GraftStreamOffset(h)
     wh.cdfWindowGuards(table, s.version, h)
-    var total = 0L
     // admission walks the manifest only (no per-file existence probes over
     // the whole backlog EVERY trigger) — planning the admitted window
     // still runs the full guards
-    wh.cdfWindowFiles(table, s.version, h, checkExistence = false)
-      .foreach { case (v, files, _) =>
-        if (total > 0L && total + files.size > cap) return GraftStreamOffset(v - 1)
-        total += files.size
+    val windows = wh.cdfWindowFiles(table, s.version, h, checkExistence = false)
+    val sizes: Map[(Boolean, String), Long] =
+      if (maxBytes.isEmpty) Map.empty
+      else {
+        val chT = wh.changesTableOf(table)
+        Seq(false, true).flatMap { slice =>
+          wh.streamFileSizes(if (slice) chT else table,
+              windows.filter(_._3 == slice).flatMap(_._2).distinct, h)
+            .map { case (f, b) => (slice, f) -> b }
+        }.toMap
       }
+    var nFiles = 0L
+    var nBytes = 0L
+    var admitted = 0
+    windows.foreach { case (v, files, isSlice) =>
+      val b = if (maxBytes.isEmpty) 0L
+        else files.map(f => sizes.getOrElse((isSlice, f), 0L)).sum
+      val over = maxFiles.exists(nFiles + files.size > _) ||
+        maxBytes.exists(nBytes + b > _)
+      if (over && admitted > 0) return GraftStreamOffset(v - 1)
+      nFiles += files.size; nBytes += b; admitted += 1
+    }
     GraftStreamOffset(h)
   }
 

@@ -79,6 +79,21 @@ object GraftStreamLimits {
     */
   val DefaultMaxFiles = 1000
 
+  /** A ReadLimit back to (maxFiles, maxBytes) — shared by both streaming
+    * sources; composite limits take the per-kind minimum.
+    */
+  def unpack(limit: ReadLimit): (Option[Int], Option[Long]) = limit match {
+    case _: ReadAllAvailable => (None, None)
+    case f: ReadMaxFiles => (Some(f.maxFiles()), None)
+    case b: ReadMaxBytes => (None, Some(b.maxBytes()))
+    case c: CompositeReadLimit =>
+      val parts = c.getReadLimits.map(unpack)
+      (parts.flatMap(_._1).minOption, parts.flatMap(_._2).minOption)
+    case other => throw new UnsupportedOperationException(
+      s"read limit ${other.getClass.getSimpleName} is not supported " +
+        "(files and bytes are the manifest's units; rows are not recorded per file)")
+  }
+
   def apply(options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
       : GraftStreamLimits = {
     val files = Option(options.get("maxfilespertrigger")).map(_.trim) match {
@@ -211,17 +226,8 @@ class GraftMicroBatchStream(wh: AtomicWarehouse, table: String,
     GraftStreamOffset(h)
   }
 
-  private def unpack(limit: ReadLimit): (Option[Int], Option[Long]) = limit match {
-    case _: ReadAllAvailable => (None, None)
-    case f: ReadMaxFiles => (Some(f.maxFiles()), None)
-    case b: ReadMaxBytes => (None, Some(b.maxBytes()))
-    case c: CompositeReadLimit =>
-      val parts = c.getReadLimits.map(unpack)
-      (parts.flatMap(_._1).minOption, parts.flatMap(_._2).minOption)
-    case other => throw new UnsupportedOperationException(
-      s"read limit ${other.getClass.getSimpleName} is not supported " +
-        "(files and bytes are the manifest's units; rows are not recorded per file)")
-  }
+  private def unpack(limit: ReadLimit): (Option[Int], Option[Long]) =
+    GraftStreamLimits.unpack(limit)
 
   override def deserializeOffset(json: String): Offset =
     GraftStreamOffset.parse(json)

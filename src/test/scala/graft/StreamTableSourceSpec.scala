@@ -170,6 +170,51 @@ class StreamTableSourceSpec extends SparkSpec {
       s"got ${q.recentProgress.count(_.numInputRows > 0)} batches")
   }
 
+  test("graft-cdf byte cap: version-granular, soft, sized from the manifest") {
+    val (wh, _) = fixture()
+    wh.setChangeFeed("facts/admb", on = true)
+    (0 until 3).foreach(k => wh.append("facts/admb",
+      Seq((k.toLong, s"v$k")).toDF("id", "v").repartition(1)))
+    // a DML slice lands too: byte sizing must also resolve _changes files
+    wh.deleteWhere("facts/admb", kv, Seq(graft.sources.ColEq("id", 1L)))
+    val before = wh.streamPlanFsCalls.get()
+    // a 1-byte cap still admits ≥1 whole VERSION per batch (soft cap, never
+    // tears a commit) → 4 change-bearing versions = 4 batches
+    val ckpt = Files.createTempDirectory("graft-cdf-byte-ckpt-").toString
+    val q = spark.readStream.format("graft-cdf")
+      .option("root", wh.root).option("table", "facts/admb")
+      .option("startingVersion", "0")
+      .option("maxFilesPerTrigger", "none")
+      .option("maxBytesPerTrigger", "1")
+      .load()
+      .writeStream.format("memory").queryName("cdfadmb")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(GraftSession.streamDrainTimeoutMs))
+    val byType = spark.table("cdfadmb").groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("insert" -> 3L, "delete" -> 1L), byType.toString)
+    assert(q.recentProgress.count(_.numInputRows > 0) == 4,
+      s"got ${q.recentProgress.count(_.numInputRows > 0)} batches")
+    // a generous byte cap admits the whole backlog in one batch, and the
+    // admission walk sized everything from manifest stats — zero fs calls
+    val ckpt2 = Files.createTempDirectory("graft-cdf-byte2-ckpt-").toString
+    val q2 = spark.readStream.format("graft-cdf")
+      .option("root", wh.root).option("table", "facts/admb")
+      .option("startingVersion", "0")
+      .option("maxFilesPerTrigger", "none")
+      .option("maxBytesPerTrigger", "1g")
+      .load()
+      .writeStream.format("memory").queryName("cdfadmb2")
+      .option("checkpointLocation", ckpt2)
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q2.awaitTermination(GraftSession.streamDrainTimeoutMs))
+    assert(q2.recentProgress.count(_.numInputRows > 0) == 1)
+    assert(spark.table("cdfadmb2").count() == 4L)
+    assert(wh.streamPlanFsCalls.get() == before,
+      s"admission made ${wh.streamPlanFsCalls.get() - before} filesystem calls")
+  }
+
   test("graft-cdf streams across a mid-stream column rename, identical to batch changesBetween") {
     val (wh, _) = fixture()
     wh.setChangeFeed("facts/r", on = true)
