@@ -3930,6 +3930,32 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }
 
+    // ---- multimodal composed with the ANN index: binary payloads →
+    // batched per-partition stub decode → PersistedIvf build → probed
+    // top-k retrieval, end to end. Both sides are deterministic (the stub
+    // derives features from md5 of the media bytes; the index's cell
+    // assignment and scoring are the sim_ivf_persisted discipline), so the
+    // oracle restates media-bytes → features → cells → 2-probe top-k in SQL
+    q("multimodal_ann") = (s, dir) => {
+      val media = Multimodal.withSyntheticMedia(
+        t(s, dir, "documents"), "text", "image")
+      val feats = Multimodal.extractFeatures(s, media, "doc_id",
+          Multimodal.MediaDecoder.DeterministicStub)
+        .select(col("doc_id"), col("feature"))
+      val wh = new graft.sources.Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-mmann-").toString)
+      val ivf = new PersistedIvf(wh)
+      ivf.buildWith(feats, "doc_id", "feature",
+        feats.filter(col("doc_id") < 4)
+          .select(col("doc_id").cast(IntegerType).as("cell"),
+            col("feature").as("centroid")))
+      ivf.topK(feats.filter(col("doc_id") >= 4 && col("doc_id") < 10),
+          "doc_id", "feature", k = 3, nProbe = 2)
+        .select(col("q_id"), col("rank").cast(LongType).as("rank"),
+          col("c_id"), col("cosine"))
+        .orderBy(col("q_id"), col("rank"))
+    }
+
     q.toMap
   }
 
@@ -6868,5 +6894,50 @@ object SparkEntry {
         | 16 + (h // 1024) % 1024 AS height,
         | 1 + h % 300 AS n_frames,
         | CAST(8 AS BIGINT) AS feature_dim
-        |FROM m ORDER BY doc_id""".stripMargin)
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // media bytes → stub features (md5Long nibbles /255 as FLOAT — the
+    // ::FLOAT::DOUBLE round trip replays the engine's float storage) →
+    // seed-centroid cells at 6dp → 2-probe top-3 at 4dp, the
+    // sim_ivf_persisted ranking discipline over the derived vectors
+    "multimodal_ann" ->
+      """WITH h AS (
+        | SELECT doc_id, ('0x'||substr(md5(text),1,15))::BIGINT AS h FROM documents),
+        |f AS (
+        | SELECT doc_id, i,
+        |  CAST(((h >> ((i-1)*4)) & 255) / 255 AS FLOAT)::DOUBLE AS x
+        | FROM h, generate_series(1, 8) t(i)),
+        |cent AS (SELECT doc_id AS cell, i, x FROM f WHERE doc_id < 4),
+        |assign_all AS (
+        | SELECT f.doc_id, c.cell,
+        |  round(CASE WHEN sqrt(sum(f.x*f.x)) = 0 OR sqrt(sum(c.x*c.x)) = 0 THEN 0
+        |   ELSE sum(f.x*c.x) / (sqrt(sum(f.x*f.x)) * sqrt(sum(c.x*c.x))) END, 6) AS cos6
+        | FROM f JOIN cent c USING (i) GROUP BY 1, 2),
+        |cells AS (SELECT doc_id, cell FROM (
+        |  SELECT doc_id, cell,
+        |   row_number() OVER (PARTITION BY doc_id ORDER BY cos6 DESC, cell) AS rn
+        |  FROM assign_all) WHERE rn = 1),
+        |qcells AS (SELECT doc_id AS q_id, cell FROM (
+        |  SELECT doc_id, cell,
+        |   row_number() OVER (PARTITION BY doc_id ORDER BY cos6 DESC, cell) AS rn
+        |  FROM assign_all WHERE doc_id >= 4 AND doc_id < 10) WHERE rn <= 2),
+        |qs AS (SELECT q.q_id, q.cell, f.i, f.x FROM qcells q JOIN f ON f.doc_id = q.q_id),
+        |cs AS (SELECT f.doc_id AS c_id, cells.cell, f.i, f.x
+        |       FROM f JOIN cells USING (doc_id)),
+        |p AS (
+        | SELECT qs.q_id, cs.c_id,
+        |  sum(cs.x*qs.x) AS dot,
+        |  sqrt(sum(cs.x*cs.x)) AS cn, sqrt(sum(qs.x*qs.x)) AS qn
+        | FROM qs JOIN cs ON qs.cell = cs.cell AND qs.i = cs.i AND cs.c_id <> qs.q_id
+        | GROUP BY 1, 2),
+        |scored AS (
+        | SELECT q_id, c_id,
+        |  round(CASE WHEN cn = 0 OR qn = 0 THEN 0 ELSE dot/(cn*qn) END, 4) AS cosine
+        | FROM p),
+        |ranked AS (
+        | SELECT q_id, c_id, cosine,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS BIGINT) AS rank
+        | FROM scored)
+        |SELECT q_id, rank, c_id, cosine FROM ranked WHERE rank <= 3
+        |ORDER BY q_id, rank""".stripMargin)
 }
