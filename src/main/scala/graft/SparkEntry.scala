@@ -84,8 +84,7 @@ object SparkEntry {
       (0 until 3).foreach { i =>
         val tmp = Files.createTempDirectory(s"graft-xstream-c$i-").toString + "/out"
         docs.filter(pmod(col("doc_id"), lit(3)) === i).coalesce(1).write.parquet(tmp)
-        val part = Files.list(Paths.get(tmp))
-          .filter(_.toString.endsWith(".parquet")).findFirst.get
+        val part = graft.LocalFs.onlyParquet(tmp)
         Files.move(part, Paths.get(inDir, f"chunk_$i%02d.parquet"),
           StandardCopyOption.ATOMIC_MOVE)
       }
@@ -110,8 +109,7 @@ object SparkEntry {
         val tmp = Files.createTempDirectory(s"graft-ivfs-c$i-").toString + "/out"
         emb.filter(col("vec_id") >= 300 && pmod(col("vec_id"), lit(2)) === i)
           .coalesce(1).write.parquet(tmp)
-        val part = Files.list(Paths.get(tmp))
-          .filter(_.toString.endsWith(".parquet")).findFirst.get
+        val part = graft.LocalFs.onlyParquet(tmp)
         Files.move(part, Paths.get(inDir, f"chunk_$i%02d.parquet"),
           StandardCopyOption.ATOMIC_MOVE)
       }
@@ -137,8 +135,7 @@ object SparkEntry {
         val tmp = Files.createTempDirectory(s"graft-sems-c$i-").toString + "/out"
         emb.filter(col("vec_id") >= i * width && col("vec_id") < (i + 1) * width)
           .coalesce(1).write.parquet(tmp)
-        val part = Files.list(Paths.get(tmp))
-          .filter(_.toString.endsWith(".parquet")).findFirst.get
+        val part = graft.LocalFs.onlyParquet(tmp)
         Files.move(part, Paths.get(inDir, f"chunk_$i%02d.parquet"),
           StandardCopyOption.ATOMIC_MOVE)
       }
@@ -370,8 +367,7 @@ object SparkEntry {
         (0 until 3).foreach { i =>
           val tmp = Files.createTempDirectory(s"graft-estream-c$i-").toString + "/out"
           ev.filter(pmod(col("event_id"), lit(3)) === i).coalesce(1).write.parquet(tmp)
-          val part = Files.list(Paths.get(tmp))
-            .filter(_.toString.endsWith(".parquet")).findFirst.get
+          val part = graft.LocalFs.onlyParquet(tmp)
           Files.move(part, Paths.get(inDir, f"chunk_$i%02d.parquet"),
             StandardCopyOption.ATOMIC_MOVE)
         }
@@ -406,8 +402,7 @@ object SparkEntry {
           val tmp = Files.createTempDirectory(s"graft-sstream-c$i-").toString + "/out"
           chunked.filter(col("c") === i).select(col("user_id"), col("us"))
             .coalesce(1).write.parquet(tmp)
-          val part = Files.list(Paths.get(tmp))
-            .filter(_.toString.endsWith(".parquet")).findFirst.get
+          val part = graft.LocalFs.onlyParquet(tmp)
           Files.move(part, Paths.get(inDir, f"chunk_$i%02d.parquet"),
             StandardCopyOption.ATOMIC_MOVE)
         }
@@ -600,8 +595,7 @@ object SparkEntry {
           frames.zipWithIndex.foreach { case (c, i) =>
             val tmp = Files.createTempDirectory(s"graft-$tag-c$i-").toString + "/out"
             c.coalesce(1).write.parquet(tmp)
-            val part = Files.list(Paths.get(tmp))
-              .filter(_.toString.endsWith(".parquet")).findFirst.get
+            val part = graft.LocalFs.onlyParquet(tmp)
             Files.move(part, Paths.get(inDir, f"chunk_$i%02d.parquet"),
               StandardCopyOption.ATOMIC_MOVE)
           }
@@ -1215,8 +1209,7 @@ object SparkEntry {
         batches.zipWithIndex.foreach { case (df, i) =>
           val tmp = Files.createTempDirectory(s"graft-scds-c$i-").toString + "/out"
           df.coalesce(1).write.parquet(tmp)
-          val part = Files.list(Paths.get(tmp))
-            .filter(_.toString.endsWith(".parquet")).findFirst.get
+          val part = graft.LocalFs.onlyParquet(tmp)
           Files.move(part, Paths.get(d, f"chunk_$i%02d.parquet"),
             StandardCopyOption.ATOMIC_MOVE)
         }
@@ -1266,8 +1259,7 @@ object SparkEntry {
         batches.zipWithIndex.foreach { case (df, i) =>
           val tmp = Files.createTempDirectory(s"graft-cdca-c$i-").toString + "/out"
           df.coalesce(1).write.parquet(tmp)
-          val part = Files.list(Paths.get(tmp))
-            .filter(_.toString.endsWith(".parquet")).findFirst.get
+          val part = graft.LocalFs.onlyParquet(tmp)
           Files.move(part, Paths.get(d, f"chunk_$i%02d.parquet"),
             StandardCopyOption.ATOMIC_MOVE)
         }
@@ -2999,8 +2991,7 @@ object SparkEntry {
         (0 until 3).foreach { i =>
           val tmp = Files.createTempDirectory(s"graft-dstream-c$i-").toString + "/out"
           docs.filter(pmod(col("doc_id"), lit(3)) === i).coalesce(1).write.parquet(tmp)
-          val part = Files.list(Paths.get(tmp))
-            .filter(_.toString.endsWith(".parquet")).findFirst.get
+          val part = graft.LocalFs.onlyParquet(tmp)
           Files.move(part, Paths.get(inDir, f"chunk_$i%02d.parquet"),
             StandardCopyOption.ATOMIC_MOVE)
         }
@@ -3043,8 +3034,7 @@ object SparkEntry {
         (0 until 3).foreach { i =>
           val tmp = Files.createTempDirectory(s"graft-dstream-c$i-").toString + "/out"
           docs.filter(pmod(col("doc_id"), lit(3)) === i).coalesce(1).write.parquet(tmp)
-          val part = Files.list(Paths.get(tmp))
-            .filter(_.toString.endsWith(".parquet")).findFirst.get
+          val part = graft.LocalFs.onlyParquet(tmp)
           Files.move(part, Paths.get(inDir, f"chunk_$i%02d.parquet"),
             StandardCopyOption.ATOMIC_MOVE)
         }
@@ -3179,8 +3169,7 @@ object SparkEntry {
         (0 until 3).foreach { i =>
           val tmp = Files.createTempDirectory(s"graft-dsc-c$i-").toString + "/out"
           docs.filter(pmod(col("doc_id"), lit(3)) === i).coalesce(1).write.parquet(tmp)
-          val part = Files.list(Paths.get(tmp))
-            .filter(_.toString.endsWith(".parquet")).findFirst.get
+          val part = graft.LocalFs.onlyParquet(tmp)
           Files.move(part, Paths.get(inDir, f"chunk_$i%02d.parquet"),
             StandardCopyOption.ATOMIC_MOVE)
         }

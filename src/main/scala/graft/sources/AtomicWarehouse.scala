@@ -3049,8 +3049,12 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     * or a DROPPED column's physical name (its old bytes would resurrect
     * out of pre-drop files — pick another name, rename afterwards).
     */
-  def addColumn(table: String, name: String,
-      dataType: org.apache.spark.sql.types.DataType): Unit = {
+  /** [[addColumn]]'s admission checks without the commit — callers that
+    * adopt a column as PART of a larger atomic commit (MERGE WITH SCHEMA
+    * EVOLUTION: the widened schema rides the merge rewrite's own manifest
+    * line) must still prove the name is legal against the column map.
+    */
+  def validateAddColumn(table: String, name: String): StructType = {
     require(name.nonEmpty && !name.contains('\t') && !name.contains('\n') &&
       !name.contains(','), s"column name '$name' is empty or contains control characters")
     val sch = currentSchema(table).getOrElse(throw new IllegalStateException(
@@ -3064,6 +3068,12 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
         "add it under another name (rename afterwards if needed)")
     require(!m.valuesIterator.contains(name),
       s"addColumn: '$name' collides with an existing column's physical name")
+    sch
+  }
+
+  def addColumn(table: String, name: String,
+      dataType: org.apache.spark.sql.types.DataType): Unit = {
+    val sch = validateAddColumn(table, name)
     val sch2 = StructType(sch.fields :+ StructField(name, dataType, nullable = true))
     require(!sch2.json.contains('\t') && !sch2.json.contains('\n'),
       s"schema JSON for $table contains TSV control characters")

@@ -81,17 +81,22 @@ case class GraftMergeCommand(t: GraftTable, source: LogicalPlan,
     extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(spark: SparkSession): Seq[Row] = {
-    // WITH SCHEMA EVOLUTION: adopt each extra source column before the
-    // merge (metadata-only addColumn commits — pre-merge rows null-fill).
-    // A retried statement finds the column already present with the same
-    // type and skips; a TYPE conflict refuses loudly rather than widening.
+    // WITH SCHEMA EVOLUTION, atomically: the extra columns are VALIDATED
+    // up front (a retried statement finds them already present with the
+    // same type and skips; a TYPE conflict refuses loudly rather than
+    // widening; the column-map admission rules apply) but NOT committed —
+    // the merge rewrite records its output schema in its own manifest
+    // line, so the adoption lands in the SAME commit as the row changes
+    // and a failed merge (duplicate source keys, FK refusal, lost race)
+    // leaves no stray schema change behind. Pre-merge files null-fill the
+    // new columns exactly as a committed addColumn's would.
     evolve.foreach { case (n, dt) =>
       t.wh.currentSchema(t.tableName).flatMap(_.fields.find(_.name == n)) match {
         case Some(f) if f.dataType == dt => // already adopted (retry)
         case Some(f) => throw new IllegalStateException(
           s"MERGE WITH SCHEMA EVOLUTION: column '$n' exists as ${f.dataType}, " +
             s"source has $dt — evolution never rewrites a column's type")
-        case None => t.wh.addColumn(t.tableName, n, dt)
+        case None => t.wh.validateAddColumn(t.tableName, n)
       }
     }
     val schema = org.apache.spark.sql.types.StructType(
@@ -103,6 +108,12 @@ case class GraftMergeCommand(t: GraftTable, source: LogicalPlan,
       insertWhen = insWhen, insertAssign = insAssign,
       notMatchedBySourceUpdate = nmbsUpd, nmbsUpdateWhen = nmbsUpdWhen,
       notMatchedBySourceDelete = nmbsDel, nmbsPrune = nmbsPrune)
+    // the one path that commits nothing (empty source, no NMBS clause):
+    // adopt metadata-only then — it is the statement's only effect
+    evolve.foreach { case (n, dt) =>
+      if (!t.wh.currentSchema(t.tableName).exists(_.fieldNames.contains(n)))
+        t.wh.addColumn(t.tableName, n, dt)
+    }
     Nil
   }
 }

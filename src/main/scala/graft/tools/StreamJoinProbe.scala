@@ -42,8 +42,11 @@ object StreamJoinProbe {
       val tmp = Files.createTempDirectory(s"graft-$tag-c$i-").toString + "/out"
       ranked.filter(col("__rk") > i * per && col("__rk") <= (i + 1) * per)
         .drop("__rk").coalesce(1).write.parquet(tmp)
-      val part = Files.list(Paths.get(tmp))
-        .filter(_.toString.endsWith(".parquet")).findFirst
+      val part = {
+        val s = Files.list(Paths.get(tmp))
+        try s.filter(_.toString.endsWith(".parquet")).findFirst
+        finally s.close()
+      }
       if (part.isPresent)
         Files.move(part.get, Paths.get(dir, f"chunk_$i%02d.parquet"),
           StandardCopyOption.ATOMIC_MOVE)

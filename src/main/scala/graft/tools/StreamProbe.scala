@@ -43,8 +43,7 @@ object StreamProbe {
       (0 until 3).foreach { i =>
         val tmp = Files.createTempDirectory(s"probe-estream-c$i-").toString + "/out"
         ev.filter(pmod(col("event_id"), lit(3)) === i).coalesce(1).write.parquet(tmp)
-        val part = Files.list(Paths.get(tmp))
-          .filter(_.toString.endsWith(".parquet")).findFirst.get
+        val part = graft.LocalFs.onlyParquet(tmp)
         Files.move(part, Paths.get(inDir, f"chunk_$i%02d.parquet"),
           StandardCopyOption.ATOMIC_MOVE)
       }
@@ -71,8 +70,7 @@ object StreamProbe {
         val tmp = Files.createTempDirectory(s"probe-sstream-c$i-").toString + "/out"
         chunked.filter(col("c") === i).select(col("user_id"), col("us"))
           .coalesce(1).write.parquet(tmp)
-        val part = Files.list(Paths.get(tmp))
-          .filter(_.toString.endsWith(".parquet")).findFirst.get
+        val part = graft.LocalFs.onlyParquet(tmp)
         Files.move(part, Paths.get(inDir, f"chunk_$i%02d.parquet"),
           StandardCopyOption.ATOMIC_MOVE)
       }

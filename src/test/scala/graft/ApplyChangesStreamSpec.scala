@@ -118,8 +118,7 @@ class ApplyChangesStreamSpec extends SparkSpec {
     batches.zipWithIndex.foreach { case (df, i) =>
       val tmp = Files.createTempDirectory(s"graft-cdcs-c$i-").toString + "/out"
       df.coalesce(1).write.parquet(tmp)
-      val part = Files.list(Paths.get(tmp))
-        .filter(_.toString.endsWith(".parquet")).findFirst.get
+      val part = graft.LocalFs.onlyParquet(tmp)
       Files.move(part, Paths.get(inDir, f"chunk_$i%02d.parquet"),
         StandardCopyOption.ATOMIC_MOVE)
     }

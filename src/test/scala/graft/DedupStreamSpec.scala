@@ -29,7 +29,7 @@ class DedupStreamSpec extends SparkSpec {
     rows.grouped((rows.length + 2) / 3).zipWithIndex.foreach { case (chunk, i) =>
       val tmp = Files.createTempDirectory(s"graft-dstream-c$i-").toString + "/out"
       chunk.toSeq.toDF("doc_id", "text").coalesce(1).write.parquet(tmp)
-      val part = Files.list(Paths.get(tmp)).filter(_.toString.endsWith(".parquet")).findFirst.get
+      val part = graft.LocalFs.onlyParquet(tmp)
       Files.move(part, Paths.get(inDir, f"chunk_$i%02d.parquet"), StandardCopyOption.ATOMIC_MOVE)
     }
 

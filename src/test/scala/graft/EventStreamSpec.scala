@@ -28,8 +28,7 @@ class EventStreamSpec extends SparkSpec {
         (id, Timestamp.valueOf(ts).getTime * 1000000L, t, v) // nanos long like events.ts
       }.toDF("event_id", "ts", "event_type", "value")
         .coalesce(1).write.parquet(tmp)
-      val part = Files.list(Paths.get(tmp))
-        .filter(_.toString.endsWith(".parquet")).findFirst.get
+      val part = graft.LocalFs.onlyParquet(tmp)
       Files.move(part, Paths.get(dir, f"chunk_$i%02d.parquet"),
         StandardCopyOption.ATOMIC_MOVE)
     }

@@ -32,7 +32,7 @@ class SemanticDedupStreamSpec extends SparkSpec {
     parts.zipWithIndex.foreach { case (p, i) =>
       val tmp = Files.createTempDirectory(s"graft-sems-c$i-").toString + "/out"
       p.coalesce(1).write.parquet(tmp)
-      val part = Files.list(Paths.get(tmp)).filter(_.toString.endsWith(".parquet")).findFirst.get
+      val part = graft.LocalFs.onlyParquet(tmp)
       Files.move(part, Paths.get(inDir, f"chunk_$i%02d.parquet"), StandardCopyOption.ATOMIC_MOVE)
     }
 

@@ -30,7 +30,7 @@ class SessionizeStreamSpec extends SparkSpec {
     rows.grouped((rows.length + 2) / 3).zipWithIndex.foreach { case (chunk, i) =>
       val tmp = Files.createTempDirectory(s"graft-sess-c$i-").toString + "/out"
       chunk.toSeq.toDS().coalesce(1).write.parquet(tmp)
-      val part = Files.list(Paths.get(tmp)).filter(_.toString.endsWith(".parquet")).findFirst.get
+      val part = graft.LocalFs.onlyParquet(tmp)
       Files.move(part, Paths.get(dir, f"chunk_$i%02d.parquet"), StandardCopyOption.ATOMIC_MOVE)
     }
 

@@ -320,6 +320,28 @@ class SqlCatalogSpec extends SparkSpec {
     assert(spark.table(s"$cat.facts.plain").schema.fieldNames.toSeq == Seq("id", "v"))
     assert(spark.sql(s"SELECT v FROM $cat.facts.plain WHERE id = 2")
       .head().getString(0) == "B")
+    // ATOMICITY: a merge that fails AFTER evolution would have adopted the
+    // column (duplicate source keys refuse mid-statement) must leave the
+    // schema untouched — the adoption rides the merge's own commit, never
+    // a separate one
+    wh.append("dim/dupsrc",
+      Seq((2L, "B", 20L), (2L, "B2", 21L)).toDF("id", "v", "extra2"))
+    val dup = intercept[Exception](spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.facts.plain t
+         |USING $cat.dim.dupsrc s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *""".stripMargin))
+    assert(dup.getMessage.contains("duplicate"), dup.getMessage)
+    assert(spark.table(s"$cat.facts.plain").schema.fieldNames.toSeq == Seq("id", "v"),
+      "failed merge leaked its schema evolution as a committed change")
+    // the one no-commit path (empty source, no NMBS): adoption is the
+    // statement's only effect and still happens
+    wh.append("dim/empty", Seq((0L, "z", 0L)).toDF("id", "v", "extra3").limit(0))
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.facts.plain t
+         |USING $cat.dim.empty s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    assert(spark.table(s"$cat.facts.plain").schema.fieldNames.toSeq ==
+      Seq("id", "v", "extra3"))
   }
 
   test("graft_changes: the change feed as a SQL table function") {

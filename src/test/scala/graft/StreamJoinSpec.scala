@@ -19,8 +19,7 @@ class StreamJoinSpec extends SparkSpec {
     chunks.zipWithIndex.foreach { case (c, i) =>
       val tmp = Files.createTempDirectory(s"graft-$tag-c$i-").toString + "/out"
       c.coalesce(1).write.parquet(tmp)
-      val part = Files.list(Paths.get(tmp))
-        .filter(_.toString.endsWith(".parquet")).findFirst.get
+      val part = graft.LocalFs.onlyParquet(tmp)
       Files.move(part, Paths.get(dir, f"chunk_$i%02d.parquet"),
         StandardCopyOption.ATOMIC_MOVE)
     }
