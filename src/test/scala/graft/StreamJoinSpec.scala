@@ -156,4 +156,43 @@ class StreamJoinSpec extends SparkSpec {
       s"unmatched click must emit null-extended after the watermark passes, got $got")
     assert(got.contains((90L, 9000L)), s"sentinel match must emit, got $got")
   }
+
+  test("spark.sql interval join over graft streaming sources — the watermark " +
+      "declaration is the only DataFrame-side step (the SQL boundary)") {
+    // the ops-user route to a stream-stream join: both sides are graft
+    // catalog tables read as streams, the JOIN (key equality + time range)
+    // is plain SQL text over temp views — only withWatermark has no OSS
+    // Spark SQL syntax, which is exactly where the README draws the
+    // DataFrame/SQL boundary. Results ≡ the batch interval join when
+    // watermarks keep every row live.
+    val root = Files.createTempDirectory("graft-sjsql-").toString
+    val cat = "gsjsql1"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sql.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val wh = new graft.sources.AtomicWarehouse(spark, root)
+    val ev = SparkEntry.eventsTable(spark, "/root/testdata/sf0.001")
+      .select($"user_id", $"event_id", timestamp_micros(expr("ts DIV 1000")).as("tsm"))
+    val imps = ev.filter(pmod($"event_id", lit(10)) === 0)
+      .select($"user_id", $"event_id".as("campaign_id"), $"tsm".as("imp_tsm"))
+    wh.append("facts/clicks", ev)
+    wh.append("facts/imps", imps)
+    spark.readStream.option("startingVersion", "0").table(s"$cat.facts.clicks")
+      .withWatermark("tsm", "3650 days").createOrReplaceTempView("sql_clicks")
+    spark.readStream.option("startingVersion", "0").table(s"$cat.facts.imps")
+      .withWatermark("imp_tsm", "3650 days").createOrReplaceTempView("sql_imps")
+    val joined = spark.sql(
+      """SELECT c.event_id, i.campaign_id FROM sql_clicks c JOIN sql_imps i
+        |ON c.user_id = i.user_id AND c.tsm >= i.imp_tsm
+        | AND c.tsm < i.imp_tsm + INTERVAL 45 MINUTES""".stripMargin)
+    val got = StreamJoins.drain(joined, "sjsql")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = ev.alias("l").join(imps.alias("r"),
+        $"l.user_id" === $"r.user_id" && $"l.tsm" >= $"r.imp_tsm" &&
+          $"l.tsm" < $"r.imp_tsm" + expr("INTERVAL 45 minutes"))
+      .select($"l.event_id", $"r.campaign_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty, "fixture must produce matches")
+    assert(got == expected,
+      s"sql-stream ∖ batch: ${got -- expected}; batch ∖ sql-stream: ${expected -- got}")
+  }
 }
