@@ -30,6 +30,9 @@ import graft.sources.AtomicWarehouse
   * CALL graft.system.sketch_overlap('a.users', 'uid',
   *   'b.users', 'uid')                                       -- theta set algebra, one row
   * CALL graft.system.top_tokens('docs.corpus', 'text', 20)   -- bounded-state heavy hitters
+  * CALL graft.system.clone('facts.orders', 'sandbox.orders') -- as-of snapshot copy
+  * CALL graft.system.replica_seed('/src/wh', 'facts.t', 'facts.t', 'id')
+  * CALL graft.system.replica_refresh('/src/wh', 'facts.t', 'facts.t', 'id')
   * }}}
   *
   * Sketch ESTIMATES are read with plain SELECT over the MV's state table
@@ -49,7 +52,8 @@ object GraftProcedures {
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(SystemNs))
       Array("optimize", "vacuum", "restore", "history", "purge_changes", "detail",
-        "sketch_refresh", "sketch_overlap", "top_tokens")
+        "sketch_refresh", "sketch_overlap", "top_tokens", "clone",
+        "replica_seed", "replica_refresh")
         .map(Identifier.of(SystemNs, _))
     else Array.empty
 
@@ -270,10 +274,68 @@ object GraftProcedures {
             .toSeq
         }
       }
+      // ---- snapshot clone: a consistent as-of copy with history
+      // truncation — the bulk-copy ergonomic RENAME no longer needs (rename
+      // is one metadata commit now) but replica seeding and dev-sandbox
+      // forks still do. Data + current logical schema only (the clone's
+      // history starts at version 1; declare cluster/bloom/constraints on
+      // the clone explicitly if wanted).
+      case "clone" => new Proc("clone",
+        Seq(ProcedureParameter.in("source", StringType).build(),
+          ProcedureParameter.in("target", StringType).build(),
+          ProcedureParameter.in("version", IntegerType).defaultValue("-1").build()),
+        StructType(Seq(StructField("source", StringType),
+          StructField("target", StringType),
+          StructField("version", IntegerType),
+          StructField("rows", LongType)))) {
+        override def exec(in: InternalRow): Seq[InternalRow] = {
+          val src = tbl(in.getUTF8String(0).toString)
+          val dst = in.getUTF8String(1).toString.replace('.', '/')
+          if (wh.exists(dst)) throw new IllegalArgumentException(
+            s"clone target '$dst' already exists — clone never overwrites")
+          val v = in.getInt(2) match {
+            case n if n >= 0 => n
+            case _ => wh.versions().lastOption.getOrElse(0)
+          }
+          val snap = wh.readAt(src, schemaOf(src), v)
+          wh.replace(dst, snap)
+          val rows = wh.read(dst, schemaOf(src)).count() // footer-metadata count
+          Seq(InternalRow(UTF8String.fromString(src), UTF8String.fromString(dst),
+            v, rows))
+        }
+      }
+      // ---- cross-warehouse CDC replication from SQL: seed bootstraps the
+      // replica from a consistent source snapshot, refresh pulls+applies
+      // the change window since the replication cursor as ONE merge —
+      // graft.streaming.Replicator's exact semantics (sequence-guarded,
+      // cursor in the same commit), reachable without a Scala build.
+      case name @ ("replica_seed" | "replica_refresh") => new Proc(name,
+        Seq(ProcedureParameter.in("source_root", StringType).build(),
+          ProcedureParameter.in("source", StringType).build(),
+          ProcedureParameter.in("target", StringType).build(),
+          ProcedureParameter.in("key_cols", StringType).build()),
+        StructType(Seq(StructField("target", StringType),
+          StructField("cursor", IntegerType)))) {
+        override def exec(in: InternalRow): Seq[InternalRow] = {
+          val srcWh = new AtomicWarehouse(wh.spark, in.getUTF8String(0).toString)
+          val src = in.getUTF8String(1).toString.replace('.', '/')
+          val dst = in.getUTF8String(2).toString.replace('.', '/')
+          val keys = in.getUTF8String(3).toString
+            .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          val schema = srcWh.catalogSchema(src).orElse(srcWh.inferSchema(src))
+            .getOrElse(throw new IllegalStateException(
+              s"source table $src has no readable schema"))
+          val repl = new graft.streaming.Replicator(
+            srcWh, src, schema, keys, wh, dst)
+          val cur = if (name == "replica_seed") repl.seed() else repl.refresh()
+          Seq(InternalRow(UTF8String.fromString(dst), cur))
+        }
+      }
       case other => throw new IllegalArgumentException(
         s"no procedure 'system.$other' — " +
           "optimize | vacuum | restore | history | purge_changes | detail | " +
-          "sketch_refresh | sketch_overlap | top_tokens")
+          "sketch_refresh | sketch_overlap | top_tokens | clone | " +
+          "replica_seed | replica_refresh")
     }
   }
 

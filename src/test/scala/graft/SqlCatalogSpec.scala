@@ -568,6 +568,45 @@ class SqlCatalogSpec extends SparkSpec {
       top.head.getLong(1) == 2L * 3600, top.mkString(","))
   }
 
+  test("CALL clone / replica_seed / replica_refresh: snapshot copy and CDC replication from SQL") {
+    val (wh, cat, _) = fixture()
+    banded(wh) // facts/t: 4 commits × 100 rows
+    val histV = spark.sql(s"CALL $cat.system.history('facts.t')").collect()
+      .map(_.getAs[Int]("version"))
+    // as-of clone: history truncated, data exact, never overwrites
+    val c = spark.sql(
+      s"CALL $cat.system.clone('facts.t', 'sandbox.t', ${histV.min})").head()
+    assert(c.getLong(3) == 100L, c.toString)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.sandbox.t").head().getLong(0) == 100L)
+    val dup = intercept[Exception](
+      spark.sql(s"CALL $cat.system.clone('facts.t', 'sandbox.t')"))
+    assert(dup.getMessage.contains("never overwrites"), dup.getMessage)
+    assert(spark.sql(s"CALL $cat.system.clone('facts.t', 'sandbox.t2')").head()
+      .getLong(3) == 400L) // default = head
+    // replication: another warehouse follows facts/t through its feed
+    val srcRoot = Files.createTempDirectory("graft-replsrc-").toString
+    val srcWh = new AtomicWarehouse(spark, srcRoot)
+    srcWh.setChangeFeed("facts/r", on = true)
+    srcWh.append("facts/r", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val seeded = spark.sql(s"""CALL $cat.system.replica_seed(
+      '$srcRoot', 'facts.r', 'facts.r', 'id')""").head()
+    assert(seeded.getInt(1) > 0)
+    srcWh.append("facts/r", Seq((3L, "c")).toDF("id", "v"))
+    srcWh.deleteWhere("facts/r",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.StringType))),
+      Seq(graft.sources.ColEq("id", 1L)))
+    spark.sql(s"""CALL $cat.system.replica_refresh(
+      '$srcRoot', 'facts.r', 'facts.r', 'id')""")
+    val repl = new graft.streaming.Replicator(srcWh, "facts/r",
+      Seq((0L, "")).toDF("id", "v").schema, Seq("id"), wh, "facts/r")
+    val live = repl.state().collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(live == Set((2L, "b"), (3L, "c")), s"got $live")
+  }
+
   test("DELETE/UPDATE outside the FilePred algebra fall back to exact rewrites") {
     val (wh, cat, root) = fixture()
     banded(wh)
