@@ -39,6 +39,7 @@ object BacklogProbe {
       val rowsPerFile = 100L
       val root = Files.createTempDirectory(s"graft-backlog-x$mult-").toString
       val wh = new AtomicWarehouse(spark, root)
+      wh.setChangeFeed("t", on = true) // the CDF phase below replays the same log
       (0 until commits).foreach { c =>
         wh.append("t", spark.range(c * rowsPerFile, (c + 1) * rowsPerFile)
           .select(col("id"), concat(lit("v"), col("id")).as("v")).coalesce(1))
@@ -79,6 +80,37 @@ object BacklogProbe {
       emit(s"""{"probe":"backlog","mult":$mult,"files":$files,"cap":$cap,""" +
         s""""rows":$totalRows,"batches":$batches,"plan_fs_calls":$fsCalls,""" +
         s""""wall_s":${f"$wall%.3f"}}""")
+
+      // the SAME backlog replayed through graft-cdf under a BYTE cap:
+      // version-granular admission sized from manifest-recorded stats —
+      // zero filesystem calls however many files the backlog holds, rows
+      // exact, and the byte budget bounds each micro-batch (≥1 whole
+      // version, soft). The r15 table-source regime, now on the CDF source.
+      val ckptCdf = Files.createTempDirectory(s"graft-backlog-cdfck-x$mult-").toString
+      val fsBeforeCdf = wh.streamPlanFsCalls.get()
+      val t1 = System.nanoTime()
+      val qc = spark.readStream.format("graft-cdf")
+        .option("root", root).option("table", "t")
+        .option("startingVersion", "0")
+        .option("maxFilesPerTrigger", "none")
+        .option("maxBytesPerTrigger", (cap * 2048).toString)
+        .load()
+        .writeStream.format("memory").queryName(s"cdfbacklog$mult")
+        .option("checkpointLocation", ckptCdf)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      require(qc.awaitTermination(GraftSession.streamDrainTimeoutMs),
+        s"cdf backlog replay did not drain at x$mult")
+      val wallCdf = (System.nanoTime() - t1) / 1e9
+      val gotCdf = spark.table(s"cdfbacklog$mult")
+        .filter(col("_change_type") === "insert").count()
+      require(gotCdf == totalRows, s"cdf under/over-read: $gotCdf vs $totalRows")
+      val batchesCdf = qc.recentProgress.count(_.numInputRows > 0)
+      val fsCallsCdf = wh.streamPlanFsCalls.get() - fsBeforeCdf
+      require(fsCallsCdf == 0L,
+        s"cdf admission made $fsCallsCdf filesystem stat calls at x$mult")
+      emit(s"""{"probe":"backlog_cdf","mult":$mult,"files":$files,""" +
+        s""""byte_cap":${cap * 2048},"rows":$totalRows,"batches":$batchesCdf,""" +
+        s""""plan_fs_calls":$fsCallsCdf,"wall_s":${f"$wallCdf%.3f"}}""")
     }
     out.close()
     spark.stop()

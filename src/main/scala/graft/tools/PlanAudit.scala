@@ -35,7 +35,10 @@ object PlanAudit {
     "sim_topk", "sim_topk_sq8", "sim_ivf", "sim_ivf_trained",
     "sim_ivf_persisted", "sim_ivf_sq8", "sim_ivf_stream", "sim_ivf_pq",
     "sim_ivf_pq_residual", "sim_rerank", "dedup_semantic", "doc_hybrid_rrf",
-    "doc_hybrid_rrf_weighted")
+    "doc_hybrid_rrf_weighted",
+    // same labeled kernel as sim_ivf_persisted: the IVF query-to-centroid
+    // assignment is a broadcast-centroid crossJoin by design (tiny side)
+    "multimodal_ann")
 
   final case class Audit(report: String, flagged: List[String], errors: List[String])
 
