@@ -3919,6 +3919,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }
 
+    // ---- deterministic per-epoch training-order shuffle: a pure function
+    // of (seed, id), so any engine/cluster replays the same permutation
+    // (the oracle restates the md5Long key in SQL and sorts identically) —
+    // one total sort over a uniform hash key, never collect-and-permute
+    q("doc_shuffle") = (s, dir) =>
+      Corpus.shuffleDeterministic(t(s, dir, "documents"), "doc_id", seed = 7L)
+        .select(col("doc_id"), col("shuffle_key"))
+
     // ---- multimodal composed with the ANN index: binary payloads →
     // batched per-partition stub decode → PersistedIvf build → probed
     // top-k retrieval, end to end. Both sides are deterministic (the stub
@@ -6884,6 +6892,14 @@ object SparkEntry {
         | 1 + h % 300 AS n_frames,
         | CAST(8 AS BIGINT) AS feature_dim
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // epoch-7 permutation: the md5Long convention over "7:"||id, row order
+    // IS the contract (the driver compare preserves order)
+    "doc_shuffle" ->
+      """SELECT doc_id,
+        | ('0x'||substr(md5('7:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS shuffle_key
+        |FROM documents
+        |ORDER BY shuffle_key, doc_id""".stripMargin,
 
     // media bytes → stub features (md5Long nibbles /255 as FLOAT — the
     // ::FLOAT::DOUBLE round trip replays the engine's float storage) →

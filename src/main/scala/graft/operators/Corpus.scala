@@ -350,6 +350,24 @@ object Corpus {
       .select(withToks.columns.map(c => col(s"d.$c")) :+ col("a.shard"): _*)
   }
 
+  /** Deterministic global training-order shuffle: the per-epoch permutation
+    * a training run needs over the whole corpus, as a pure function of
+    * (seed, id) — `shuffle_key = md5Long(seed ":" id)`, order =
+    * (shuffle_key, id). No RNG state anywhere: the same seed replays
+    * bit-identically on any cluster size or engine (the oracle restates it
+    * in SQL), a different seed is an independent permutation (the next
+    * epoch), and late-arriving documents slot into their positions without
+    * moving anyone else's relative order. Shape at 100 TB: ONE total sort —
+    * Spark's sample-based range partition — with no skew possible (the key
+    * is a uniform hash), which is exactly how a corpus-wide shuffle should
+    * run on a 1000-executor cluster; never collect-and-permute.
+    */
+  def shuffleDeterministic(docs: DataFrame, id: String, seed: Long): DataFrame =
+    docs
+      .withColumn("shuffle_key", TextOps.md5Long(
+        concat(lit(seed.toString), lit(":"), col(id).cast("string"))))
+      .orderBy(col("shuffle_key"), col(id))
+
   /** Deterministic train/validation/test split by ID hash — the assignment
     * every training pipeline makes exactly once and must never revisit:
     * membership is a pure function of the document ID (`md5Long(id as

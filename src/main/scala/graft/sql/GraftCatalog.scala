@@ -96,12 +96,24 @@ class GraftCatalog extends TableCatalog
       org.apache.spark.sql.types.StringType, nullable = false)))
 
   /** Current logical→physical map; empty (zero extra I/O beyond one
-    * existence check) until the first rename ever happens.
+    * existence check) until the first rename ever happens. Cached per
+    * warehouse HEAD version — planning resolves names several times per
+    * query, and once a rename exists each miss would re-read the mapping
+    * parquet; any commit (by this or another writer) moves the head and
+    * invalidates, so a concurrent rename is visible at its commit point.
     */
-  private def nameMap(): Map[String, String] =
-    if (!wh.exists(NamesTable)) Map.empty
-    else wh.read(NamesTable, namesSchema).collect()
+  @transient @volatile private var nameMapCache: (Int, Map[String, String]) = null
+
+  private def nameMap(): Map[String, String] = {
+    if (!wh.exists(NamesTable)) return Map.empty
+    val head = wh.headVersion()
+    val c = nameMapCache
+    if (c != null && c._1 == head) return c._2
+    val m = wh.read(NamesTable, namesSchema).collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
+    nameMapCache = (head, m)
+    m
+  }
 
   private def writeNameMap(m: Map[String, String]): Unit =
     wh.replace(NamesTable, wh.spark.createDataFrame(

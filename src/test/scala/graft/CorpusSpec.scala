@@ -116,6 +116,28 @@ class CorpusSpec extends SparkSpec {
       s"first mismatches: ${want.filter { case (id, s) => got(id) != s }.take(5)}")
   }
 
+  test("shuffleDeterministic: seed-keyed permutation, epoch-stable, seeds independent") {
+    val d = (0L until 500L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    def order(seed: Long): Seq[Long] =
+      Corpus.shuffleDeterministic(d, "doc_id", seed)
+        .select($"doc_id").as[Long].collect().toSeq
+    val e0 = order(7L)
+    // a permutation of the corpus (total, no dupes), not the input order
+    assert(e0.sorted == (0L until 500L) && e0 != (0L until 500L).toSeq)
+    // the same seed replays bit-identically (epoch stability)
+    assert(order(7L) == e0)
+    // a different seed is a different permutation (the next epoch)
+    val e1 = order(8L)
+    assert(e1.sorted == (0L until 500L) && e1 != e0)
+    // positions are a pure function of (seed, id): a corpus SUBSET keeps
+    // every surviving document's relative order (curation after shuffle
+    // assignment cannot reorder training)
+    val sub = Corpus.shuffleDeterministic(
+      d.filter($"doc_id" % 3 === 0), "doc_id", 7L)
+      .select($"doc_id").as[Long].collect().toSeq
+    assert(sub == e0.filter(_ % 3 == 0))
+  }
+
   test("mixtureSample: deterministic, rate-capped, drops unweighted strata") {
     val d = (0L until 300L).map(i =>
       (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "es" else "zz",
