@@ -378,7 +378,7 @@ object Bench {
     // linking back to the full per-rep record in BENCHBOOK.jsonl.
     val (cMin, cMax) =
       if (allRepCanaries.nonEmpty) (allRepCanaries.min, allRepCanaries.max) else (0.0, 0.0)
-    val flagged = results.collect {
+    val flaggedAll = results.collect {
       case (k, ts, _, _, tc, extra) if ts.nonEmpty &&
           (extra > 0 || {
             val c = cleanMedian(tc.map(_._1), tc.map(_._2), runBase).get
@@ -387,14 +387,18 @@ object Bench {
         val c = cleanMedian(tc.map(_._1), tc.map(_._2), runBase).get
         val worstX = if (runBase > 0 && tc.nonEmpty) tc.map(_._2).max / runBase else 0.0
         "\"" + k + f"""\":{"median":${median(ts)}%.3f,"clean":$c%.3f,"worst_rep_canary_x":$worstX%.2f}"""
-    }.take(12).mkString("{", ",", "}")
+    }
+    val flagged = flaggedAll.take(12).mkString("{", ",", "}")
+    // no silent caps: the size budget keeps only 12 flagged rows in-line,
+    // so say when there were more (the full set is in target/bench.json)
+    val flaggedDropped = math.max(0, flaggedAll.size - 12)
     val slowest = medians.sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val nErr = results.count(_._3.nonEmpty)
     val totalClean = results.collect { case (_, ts, _, _, tc, _) if ts.nonEmpty =>
       cleanMedian(tc.map(_._1), tc.map(_._2), runBase).get }.sum
     val compact =
-      f"""{"metric":"total_runtime","value":$total%.3f,"unit":"sec","queries":$slowest,"queries_truncated_to_slowest":10,"sf":"$sfDir","n_queries":${medians.size},"n_errors":$nErr,"canary_median_s":$canaryMedian%.3f,"canary_min_s":$cMin%.3f,"canary_max_s":$cMax%.3f,"total_clean":$totalClean%.3f,"flagged":$flagged,"run_id":"$runId","detail":"per-query lines: target/bench.json; per-rep history: BENCHBOOK.jsonl"}"""
+      f"""{"metric":"total_runtime","value":$total%.3f,"unit":"sec","queries":$slowest,"queries_truncated_to_slowest":10,"sf":"$sfDir","n_queries":${medians.size},"n_errors":$nErr,"canary_median_s":$canaryMedian%.3f,"canary_min_s":$cMin%.3f,"canary_max_s":$cMax%.3f,"total_clean":$totalClean%.3f,"flagged":$flagged,"flagged_dropped":$flaggedDropped,"run_id":"$runId","detail":"per-query lines: target/bench.json; per-rep history: BENCHBOOK.jsonl"}"""
     println(compact)
     spark.stop()
   }

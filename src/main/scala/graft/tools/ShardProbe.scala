@@ -31,7 +31,11 @@ import java.util.concurrent.atomic.AtomicLong
   * count this probe records.
   *
   * Output: one JSON line per (scale, impl) to stdout and
-  * target/shardprobe.json.
+  * target/shardprobe.json. Read peak rows, not wall: at probe scale the
+  * distributed form's extra stages cost more wall than they save (tiny
+  * data, fixed per-stage overhead) — the naive window's failure mode is
+  * the LINEARLY-GROWING single sorted task, which wall at 80 k rows
+  * cannot show but peak-task rows does.
   */
 object ShardProbe {
   def main(args: Array[String]): Unit = {
