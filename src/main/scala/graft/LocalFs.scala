@@ -12,4 +12,16 @@ object LocalFs {
     try s.filter(_.toString.endsWith(".parquet")).findFirst.get
     finally s.close()
   }
+
+  /** Directory entries, name-sorted, with the stream closed — the loopable
+    * form of the same leak-avoidance contract as [[onlyParquet]].
+    */
+  def entriesSorted(dir: java.nio.file.Path): Vector[java.nio.file.Path] = {
+    val s = java.nio.file.Files.list(dir)
+    try {
+      val b = Vector.newBuilder[java.nio.file.Path]
+      val it = s.iterator(); while (it.hasNext) b += it.next()
+      b.result().sortBy(_.toString)
+    } finally s.close()
+  }
 }

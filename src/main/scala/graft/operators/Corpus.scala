@@ -312,19 +312,49 @@ object Corpus {
     * [[Dedup.connectedComponents]]' labels, the returned frame references
     * the persisted narrow plan and Spark's ContextCleaner reclaims it when
     * the result is released. `id` must be unique per document (it is a doc
-    * id) — the old range-frame window lumped equal ids together, which was
-    * never meaningful.
+    * id) — VALIDATED, not assumed: the planning aggregate counts ids vs
+    * distinct ids and refuses duplicates (and >1 null) loudly rather than
+    * letting the join-back multiply rows. Inputs at or below
+    * `smallInputRows` take the naive single-window fast path instead (both
+    * paths produce identical assignments; target/shardprobe.json records
+    * the crossover).
     *
     * Returns the input keyed with `n_toks`, `shard` (0-based per group).
     */
   def packShards(docs: DataFrame, id: String, text: String, packKey: Column,
-      budgetTokens: Long): DataFrame = {
+      budgetTokens: Long, smallInputRows: Long = SmallInputRows,
+      maxBroadcastOffsetRows: Long = MaxBroadcastOffsetRows): DataFrame = {
     require(budgetTokens > 0, "budgetTokens must be positive")
     val withToks = docs
       .withColumn("n_toks", TextOps.tokenCountWs(col(text)).cast(LongType))
+    val narrow = withToks.select(col(id), packKey.as("__pk"), col("n_toks"))
+    // ONE bounded aggregate over the narrow projection plans the whole
+    // operator: the row count picks the path (below the crossover the naive
+    // per-key window is ~2× faster than the two extra distributed passes —
+    // target/shardprobe.json records both), the pack-key cardinality bounds
+    // the offsets frame (contiguous ranges ⇒ ≤ blocks + keys − 1 rows, so a
+    // high-cardinality per-domain packKey must NOT broadcast), and id
+    // uniqueness is VALIDATED — a duplicate id, or a second null id that the
+    // null-safe join-back would match, row-multiplies the join and corrupts
+    // shard assignment silently.
+    val chk = narrow.agg(count(lit(1)), count(col(id)), countDistinct(col(id)),
+      countDistinct(col("__pk"))).head()
+    val (nRows, nNonNull, nIds, nKeys) =
+      (chk.getLong(0), chk.getLong(1), chk.getLong(2), chk.getLong(3))
+    require(nIds == nNonNull && nRows - nNonNull <= 1L,
+      s"packShards requires unique '$id' values (and at most one null id): " +
+        s"$nRows rows carry $nIds distinct non-null ids and " +
+        s"${nRows - nNonNull} nulls")
+    if (nRows <= smallInputRows) {
+      // small-input fast path: one sorted reducer per key is FINE when the
+      // largest key fits one task — no blocked frame, no join-back
+      val w = Window.partitionBy(packKey).orderBy(col(id))
+      return withToks.withColumn("shard",
+        floor((sum(col("n_toks")).over(w) - col("n_toks")) / budgetTokens)
+          .cast(LongType))
+    }
     val nBlocks = docs.sparkSession.sessionState.conf.numShufflePartitions
-    val blocked = withToks
-      .select(col(id), packKey.as("__pk"), col("n_toks"))
+    val blocked = narrow
       .repartitionByRange(nBlocks, col("__pk"), col(id))
       .sortWithinPartitions(col("__pk"), col(id))
       .withColumn("__blk", spark_partition_id())
@@ -335,20 +365,35 @@ object Corpus {
       .agg(sum(col("n_toks")).as("__sub"))
       .withColumn("__off", coalesce(sum(col("__sub")).over(wOff), lit(0L)))
       .select(col("__pk").as("__opk"), col("__blk").as("__oblk"), col("__off"))
+    // offsets hold ≤ nBlocks + nKeys − 1 rows (each range block's key set is
+    // contiguous, so adjacent blocks share at most one key): broadcast only
+    // when that bound actually fits; a per-domain packKey with millions of
+    // keys falls back to a shuffle join, which the (pk, blk) equi-key keeps
+    // a plain hash join
+    val offsetsFit = nBlocks.toLong + nKeys - 1L <= maxBroadcastOffsetRows
     val wLoc = Window.partitionBy(col("__blk"), col("__pk")).orderBy(col(id))
     val assignment = blocked
-      .join(broadcast(offsets),
+      .join(if (offsetsFit) broadcast(offsets) else offsets,
         col("__pk") <=> col("__opk") && col("__blk") === col("__oblk"))
       .withColumn("shard",
         floor((col("__off") + sum(col("n_toks")).over(wLoc) - col("n_toks"))
           / budgetTokens).cast(LongType))
       .select(col(id), col("shard"))
     // null-safe join back so a null-id row keeps its (degenerate) shard
-    // instead of silently vanishing from the output
+    // instead of silently vanishing from the output — safe against row
+    // multiplication because id uniqueness was validated above
     withToks.alias("d").join(assignment.alias("a"),
         col(s"d.$id") <=> col(s"a.$id"))
       .select(withToks.columns.map(c => col(s"d.$c")) :+ col("a.shard"): _*)
   }
+
+  /** [[packShards]] path thresholds: below `SmallInputRows` total rows the
+    * naive window wins (shardprobe-measured ~2× at 80 k rows — fixed
+    * per-stage overhead dominates); the offsets broadcast cap is in ROWS of
+    * the tiny (key, block) frame, ~40 B each ⇒ ≈4 MB at the cap.
+    */
+  private val SmallInputRows = 1000000L
+  private val MaxBroadcastOffsetRows = 100000L
 
   /** Deterministic global training-order shuffle: the per-epoch permutation
     * a training run needs over the whole corpus, as a pure function of

@@ -76,7 +76,7 @@ class GraftCatalog extends TableCatalog
   //
   // A graft table's physical identity IS its directory (manifest lines,
   // stats, DV/Bloom sidecars and time travel all key on the path), so the
-  // directory never moves. What CAN move is the CATALOG name: `_sys/names`
+  // directory never moves. What CAN move is the CATALOG name: `sys/graft_names`
   // is a tiny warehouse table mapping logical → physical (the column-mapping
   // idea applied at table granularity), itself manifest-committed — so a
   // rename is one crash-safe metadata commit, the renamed table keeps its
@@ -331,9 +331,10 @@ class GraftCatalog extends TableCatalog
 
   /** RENAME TABLE as ONE metadata commit (see the name-indirection block
     * above): the directory — and with it every retained manifest, stat,
-    * sidecar and time-travel era — stays put; only the `_sys/names` map
-    * changes, atomically. Renaming back to the physical name drops the
-    * indirection entirely.
+    * sidecar and time-travel era — stays put; only the `sys/graft_names` map
+    * (NOT `_sys/...` — Spark's file listing hides `_`-prefixed path segments
+    * and would silently read the map as empty) changes, atomically. Renaming
+    * back to the physical name drops the indirection entirely.
     */
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     // the RENAME TO target can arrive catalog-qualified (the parser keeps
@@ -369,8 +370,7 @@ class GraftCatalog extends TableCatalog
 
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
-    GraftProcedures.load(wh, resolvedSchema,
-      l => nameMap().getOrElse(l, l), ident)
+    GraftProcedures.load(wh, resolvedSchema, () => nameMap(), ident)
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     GraftProcedures.list(namespace)

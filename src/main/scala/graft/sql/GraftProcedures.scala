@@ -58,14 +58,37 @@ object GraftProcedures {
     else Array.empty
 
   def load(wh: AtomicWarehouse, schemaOf: String => StructType,
-      resolve: String => String, ident: Identifier): UnboundProcedure = {
+      names: () => Map[String, String], ident: Identifier): UnboundProcedure = {
     if (!ident.namespace().sameElements(SystemNs))
       throw new IllegalArgumentException(
         s"no procedure namespace '${ident.namespace().mkString(".")}' — " +
           "graft procedures live under `system`")
     // SQL names tables with dots; the warehouse path-segments them, and a
     // RENAMEd table's logical name resolves to its physical directory
-    def tbl(s: String): String = resolve(s.replace('.', '/'))
+    def tbl(s: String): String = {
+      val l = s.replace('.', '/')
+      names().getOrElse(l, l)
+    }
+    // A WRITE target must mirror createTable's rename-map guards: writing
+    // the raw dotted-to-slashed directory of a name that is a live logical
+    // name (a rename-map KEY) would be permanently SHADOWED — catalog
+    // resolution prefers the map, so SELECT on the name returns the other
+    // table while the written data is unreachable. A name that is a map
+    // VALUE is a renamed-away directory still holding that table's manifest
+    // history. Both are refused with the route named.
+    def writeTarget(s: String): String = {
+      val dst = s.replace('.', '/')
+      val m = names()
+      if (m.contains(dst)) throw new IllegalArgumentException(
+        s"target '$dst' is currently a logical name mapped to '${m(dst)}' by " +
+          "RENAME — writing its raw directory would be shadowed by the rename " +
+          "map; pick another name, or rename that table back first")
+      if (m.valuesIterator.contains(dst)) throw new IllegalArgumentException(
+        s"target '$dst' is the renamed-away directory of another table (its " +
+          "manifest history lives there) — pick another name, or rename that " +
+          "table back first")
+      dst
+    }
     ident.name() match {
       case "optimize" => new Proc("optimize",
         Seq(ProcedureParameter.in("table", StringType).build(),
@@ -198,12 +221,17 @@ object GraftProcedures {
               val d = wh.read(defTable, defSchema).head()
               val stored = (d.getString(0), d.getString(1), d.getString(2),
                 d.getString(3), d.getInt(4))
+              // param participates in drift whenever the caller supplies one:
+              // a same-shape redefinition at a different lgK/k would silently
+              // keep the stored param, contradicting the refusal contract
               if (given._1.nonEmpty &&
-                  (given._1, given._2, given._3, given._4) !=
-                    (stored._1, stored._2, stored._3, stored._4))
+                  ((given._1, given._2, given._3, given._4) !=
+                    (stored._1, stored._2, stored._3, stored._4) ||
+                   (given._5 > 0 && given._5 != stored._5)))
                 throw new IllegalArgumentException(
                   s"sketch MV '$name' is already defined as kind=${stored._1} " +
-                    s"table=${stored._2} group_cols=${stored._3} value_col=${stored._4}" +
+                    s"table=${stored._2} group_cols=${stored._3} " +
+                    s"value_col=${stored._4} param=${stored._5}" +
                     " — a redefinition would blend two views' state; DROP the mv." +
                     s"$name.* tables first")
               stored
@@ -290,7 +318,7 @@ object GraftProcedures {
           StructField("rows", LongType)))) {
         override def exec(in: InternalRow): Seq[InternalRow] = {
           val src = tbl(in.getUTF8String(0).toString)
-          val dst = in.getUTF8String(1).toString.replace('.', '/')
+          val dst = writeTarget(in.getUTF8String(1).toString)
           if (wh.exists(dst)) throw new IllegalArgumentException(
             s"clone target '$dst' already exists — clone never overwrites")
           val v = in.getInt(2) match {
@@ -319,7 +347,7 @@ object GraftProcedures {
         override def exec(in: InternalRow): Seq[InternalRow] = {
           val srcWh = new AtomicWarehouse(wh.spark, in.getUTF8String(0).toString)
           val src = in.getUTF8String(1).toString.replace('.', '/')
-          val dst = in.getUTF8String(2).toString.replace('.', '/')
+          val dst = writeTarget(in.getUTF8String(2).toString)
           val keys = in.getUTF8String(3).toString
             .split(",").map(_.trim).filter(_.nonEmpty).toSeq
           val schema = srcWh.catalogSchema(src).orElse(srcWh.inferSchema(src))

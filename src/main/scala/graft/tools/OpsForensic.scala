@@ -32,13 +32,14 @@ object OpsForensic {
           println(s"round $round OPS FAILED: ${e.getMessage.take(300)}")
           println("=== txlog ===")
           val log = java.nio.file.Paths.get(dir, "_txlog")
-          Files.list(log).sorted.forEach { p =>
+          graft.LocalFs.entriesSorted(log).foreach { p =>
             println(s"--- $p")
             if (p.toString.endsWith(".tsv")) println(new String(Files.readAllBytes(p)))
           }
           println("=== survivors dir ===")
-          Files.list(java.nio.file.Paths.get(dir, "dedup", "ExactSurvivors")).sorted
-            .forEach(p => println(s"  ${p.getFileName} mtime=${Files.getLastModifiedTime(p)}"))
+          graft.LocalFs.entriesSorted(
+              java.nio.file.Paths.get(dir, "dedup", "ExactSurvivors"))
+            .foreach(p => println(s"  ${p.getFileName} mtime=${Files.getLastModifiedTime(p)}"))
           sys.exit(1)
       }
     }

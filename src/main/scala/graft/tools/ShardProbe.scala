@@ -1,7 +1,7 @@
 package graft.tools
 
 import graft.GraftSession
-import graft.operators.{Corpus, TextOps}
+import graft.operators.Corpus
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -70,14 +70,6 @@ object ShardProbe {
         .withColumn("lang", when(pmod(col("doc_id"), lit(10)) =!= 0, lit("en"))
           .otherwise(concat(lit("l"), pmod(col("doc_id"), lit(7)))))
 
-    def naive(df: DataFrame): DataFrame = {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("lang")).orderBy(col("doc_id"))
-      df.withColumn("n_toks", TextOps.tokenCountWs(col("text")).cast("long"))
-        .withColumn("shard",
-          floor((sum(col("n_toks")).over(w) - col("n_toks")) / 2000).cast("long"))
-    }
-
     val out = new StringBuilder
     def emit(line: String): Unit = { println(line); out.append(line).append('\n') }
 
@@ -88,10 +80,17 @@ object ShardProbe {
       // a cluster (fixed blocks at growing data measures block growth, not
       // the algorithm)
       spark.conf.set("spark.sql.shuffle.partitions", (32 * n).toString)
+      // both impls are packShards itself with the fast-path threshold forced
+      // (0 ⇒ always distributed, MaxValue ⇒ always the naive window), so the
+      // probe measures exactly the code paths the auto-select dispatches to —
+      // including the shared planning/validation aggregate
       for ((impl, fn) <- Seq(
           "distributed" -> ((d: DataFrame) =>
-            Corpus.packShards(d, "doc_id", "text", col("lang"), 2000L)),
-          "naive_window" -> ((d: DataFrame) => naive(d)))) {
+            Corpus.packShards(d, "doc_id", "text", col("lang"), 2000L,
+              smallInputRows = 0L)),
+          "naive_window" -> ((d: DataFrame) =>
+            Corpus.packShards(d, "doc_id", "text", col("lang"), 2000L,
+              smallInputRows = Long.MaxValue)))) {
         peakTaskRecords.set(0)
         val t0 = System.nanoTime()
         val shards = fn(c).agg(countDistinct(col("lang"), col("shard"))).head().getLong(0)

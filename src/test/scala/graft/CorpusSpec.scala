@@ -100,7 +100,10 @@ class CorpusSpec extends SparkSpec {
       val lang = if (i % 10 == 0) (if (i % 20 == 0) null else "es") else "en"
       (i, lang, Seq.fill((i % 7 + 1).toInt)("tok").mkString(" "))
     }.toDF("doc_id", "lang", "text")
-    val got = Corpus.packShards(d, "doc_id", "text", $"lang", budgetTokens = 40)
+    // force the distributed path (the auto-select would take the naive
+    // fast path at 2000 rows) — this test IS the block-seam evidence
+    val got = Corpus.packShards(d, "doc_id", "text", $"lang", budgetTokens = 40,
+        smallInputRows = 0L)
       .select($"doc_id", $"shard").as[(Long, Long)].collect().toMap
     // oracle: the single-reducer window restated locally
     val rows = d.select($"doc_id", $"lang", $"text").collect()
@@ -114,6 +117,38 @@ class CorpusSpec extends SparkSpec {
     }.toMap
     assert(got.size == 2000 && want.forall { case (id, s) => got(id) == s },
       s"first mismatches: ${want.filter { case (id, s) => got(id) != s }.take(5)}")
+  }
+
+  test("packShards: duplicate/multi-null ids refused; shuffle-join fallback agrees") {
+    // a duplicate id would row-multiply the join-back — refused loudly at
+    // planning time, on BOTH paths
+    val dup = Seq((1L, "en", "a b"), (1L, "en", "c d"), (2L, "en", "e"))
+      .toDF("doc_id", "lang", "text")
+    val e1 = intercept[IllegalArgumentException](
+      Corpus.packShards(dup, "doc_id", "text", $"lang", 10))
+    assert(e1.getMessage.contains("unique"), e1.getMessage)
+    // two null ids match EACH OTHER under the null-safe join — also refused
+    val nulls = Seq[(java.lang.Long, String, String)](
+      (null, "en", "a"), (null, "en", "b"), (1L, "en", "c"))
+      .toDF("doc_id", "lang", "text")
+    val e2 = intercept[IllegalArgumentException](
+      Corpus.packShards(nulls, "doc_id", "text", $"lang", 10))
+    assert(e2.getMessage.contains("null"), e2.getMessage)
+    // ONE null id stays legal and keeps its degenerate shard
+    val oneNull = Seq[(java.lang.Long, String, String)](
+      (null, "en", "a b c"), (1L, "en", "d e"))
+      .toDF("doc_id", "lang", "text")
+    assert(Corpus.packShards(oneNull, "doc_id", "text", $"lang", 10,
+      smallInputRows = 0L).count() == 2)
+    // high-cardinality packKey: the offsets frame must not broadcast — the
+    // shuffle-join fallback (cap forced to 0) assigns identically
+    val d = (0L until 400L).map(i => (i, s"dom${i % 37}",
+      Seq.fill((i % 5 + 1).toInt)("tok").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    def run(cap: Long) = Corpus.packShards(d, "doc_id", "text", $"lang", 9,
+        smallInputRows = 0L, maxBroadcastOffsetRows = cap)
+      .select($"doc_id", $"shard").as[(Long, Long)].collect().toMap
+    assert(run(100000L) == run(0L))
   }
 
   test("shuffleDeterministic: seed-keyed permutation, epoch-stable, seeds independent") {

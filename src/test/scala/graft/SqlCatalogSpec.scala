@@ -548,6 +548,15 @@ class SqlCatalogSpec extends SparkSpec {
       s"""CALL $cat.system.sketch_refresh('cust', 'distinct',
         'facts.events', 'grp', 'txt')"""))
     assert(e.getMessage.contains("already defined"), e.getMessage)
+    // the same shape at a DIFFERENT param is also drift (stored lgK is the
+    // default 12) — the stored param must not silently win
+    val ep = intercept[Exception](spark.sql(
+      s"""CALL $cat.system.sketch_refresh('cust', 'distinct',
+        'facts.events', 'grp', 'uid', 13)"""))
+    assert(ep.getMessage.contains("param=12"), ep.getMessage)
+    // restating the SAME param is not drift
+    spark.sql(s"""CALL $cat.system.sketch_refresh('cust', 'distinct',
+      'facts.events', 'grp', 'uid', 12)""")
     // quantile twin through the same procedure
     spark.sql(s"""CALL $cat.system.sketch_refresh('price', 'quantile',
       'facts.events', 'grp', 'uid')""")
@@ -605,6 +614,34 @@ class SqlCatalogSpec extends SparkSpec {
       Seq((0L, "")).toDF("id", "v").schema, Seq("id"), wh, "facts/r")
     val live = repl.state().collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(live == Set((2L, "b"), (3L, "c")), s"got $live")
+  }
+
+  test("CALL write targets respect the rename map (no shadowed clones/replicas)") {
+    val (wh, cat, _) = fixture()
+    banded(wh)
+    spark.sql(s"ALTER TABLE $cat.facts.t RENAME TO $cat.facts.t2")
+    // the vacated name's directory still holds t2's manifest history
+    val e1 = intercept[Exception](
+      spark.sql(s"CALL $cat.system.clone('facts.t2', 'facts.t')"))
+    assert(e1.getMessage.contains("renamed-away"), e1.getMessage)
+    // the live logical name maps to a different directory: writing its raw
+    // path would be permanently shadowed by the rename map
+    val e2 = intercept[Exception](
+      spark.sql(s"CALL $cat.system.clone('facts.t2', 'facts.t2')"))
+    assert(e2.getMessage.contains("shadowed"), e2.getMessage)
+    // replica_seed carries the same target guards
+    val srcRoot = Files.createTempDirectory("graft-replguard-").toString
+    val srcWh = new AtomicWarehouse(spark, srcRoot)
+    srcWh.setChangeFeed("facts/r", on = true)
+    srcWh.append("facts/r", Seq((1L, "a")).toDF("id", "v"))
+    val e3 = intercept[Exception](spark.sql(
+      s"CALL $cat.system.replica_seed('$srcRoot', 'facts.r', 'facts.t2', 'id')"))
+    assert(e3.getMessage.contains("shadowed"), e3.getMessage)
+    // an unshadowed target still clones, and reads back through the catalog
+    assert(spark.sql(s"CALL $cat.system.clone('facts.t2', 'sandbox.c')").head()
+      .getLong(3) == 400L)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.sandbox.c")
+      .head().getLong(0) == 400L)
   }
 
   test("DELETE/UPDATE outside the FilePred algebra fall back to exact rewrites") {
