@@ -1139,6 +1139,108 @@ object SparkEntry {
       exact
     }
 
+    // ---- the quantile kind through the same SQL-only loop: define/refresh
+    // via CALL (name-only second refresh, SQL DELETE drives the retraction
+    // recompute), p50/p90 estimates read back with the built-in
+    // kll_sketch_get_quantile_double over the state table and RANK-validated
+    // in-line (KLL guarantees rank error, ~1.65% at the k=200 default);
+    // output = exact percentiles over the surviving rows (etl_quantile_sketch's
+    // oracle verbatim — same construction, SQL-driven)
+    q("etl_sql_sketch_quantile") = (s, dir) => {
+      val orders = t(s, dir, "orders")
+      val root = java.nio.file.Files.createTempDirectory("graft-sqlskq-").toString
+      val wh = new graft.sources.AtomicWarehouse(s, root)
+      val cat = s"gsql${sqlCatSeq.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sql.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      wh.setChangeFeed("facts/orders", on = true)
+      val maxKey = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      val qtr = maxKey / 4
+      wh.append("facts/orders", orders.filter(col("o_orderkey") < qtr * 2))
+      s.sql(s"""CALL $cat.system.sketch_refresh('price', 'quantile',
+        'facts.orders', 'o_orderstatus', 'o_totalprice')""")
+      wh.append("facts/orders", orders.filter(col("o_orderkey") >= qtr * 2))
+      s.sql(s"CALL $cat.system.sketch_refresh('price')") // name-only
+      s.sql(s"DELETE FROM $cat.facts.orders WHERE o_orderkey >= ${qtr * 3}")
+      s.sql(s"CALL $cat.system.sketch_refresh('price')") // retraction window
+      val est = s.sql(s"""SELECT o_orderstatus,
+          kll_sketch_get_quantile_double(sk, 0.5) AS p50,
+          kll_sketch_get_quantile_double(sk, 0.9) AS p90
+          FROM $cat.mv.price.SketchState""")
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      val base = s.sql(s"SELECT o_orderstatus, o_totalprice FROM $cat.facts.orders")
+      def thrCol(pick: ((Double, Double)) => Double) =
+        est.foldLeft(lit(Double.NaN)) { case (acc, (g, es)) =>
+          when(col("o_orderstatus") === g, lit(pick(es))).otherwise(acc)
+        }
+      val checks = base.groupBy(col("o_orderstatus")).agg(
+        count(lit(1)).as("n"),
+        sum(when(col("o_totalprice") <= thrCol(_._1), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("o_totalprice") <= thrCol(_._2), 1L).otherwise(0L)).as("le90"))
+        .collect()
+      checks.foreach { r =>
+        val (g, n) = (r.getString(0), r.getLong(1).toDouble)
+        Seq((0.5, r.getLong(2)), (0.9, r.getLong(3))).foreach { case (p, le) =>
+          if (math.abs(le / n - p) >= 0.03)
+            sys.error(s"SQL KLL p$p estimate has true rank ${le / n} for group $g")
+        }
+      }
+      base.groupBy(col("o_orderstatus"))
+        .agg(percentile(col("o_totalprice"), lit(0.5)).as("p50"),
+          percentile(col("o_totalprice"), lit(0.9)).as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"))
+    }
+
+    // ---- CALL sketch_overlap at a SQL prompt over two warehouse tables:
+    // theta set algebra without materializing either side; estimates
+    // validated in-line against the exact counts (q23's 6% gate), exact
+    // values oracled (q23's oracle verbatim — same event halves)
+    q("etl_sql_sketch_overlap") = (s, dir) => {
+      val ev = eventsTable(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft-sqlsko-").toString
+      val wh = new graft.sources.AtomicWarehouse(s, root)
+      val cat = s"gsql${sqlCatSeq.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sql.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val mid = ev.agg(max(col("event_id"))).head().getLong(0) / 2
+      val a = ev.filter(col("event_id") <= mid).select(col("user_id"))
+      val b = ev.filter(col("event_id") > mid).select(col("user_id"))
+      wh.append("ev/a", a)
+      wh.append("ev/b", b)
+      val est = s.sql(
+        s"CALL $cat.system.sketch_overlap('ev.a', 'user_id', 'ev.b', 'user_id')").head()
+      val da = a.distinct(); val db = b.distinct()
+      val na = da.count(); val nb = db.count()
+      val ninter = da.join(db, Seq("user_id"), "left_semi").count()
+      val nunion = na + nb - ninter
+      Seq(("n_a", na, est.getLong(0)), ("n_b", nb, est.getLong(1)),
+        ("n_inter", ninter, est.getLong(2)), ("n_union", nunion, est.getLong(3)))
+        .foreach { case (what, exact, e) =>
+          if (math.abs(e - exact.toDouble) / math.max(exact, 1L) >= 0.06)
+            sys.error(s"SQL theta estimate $e drifted from exact $exact for $what")
+        }
+      import s.implicits._
+      Seq((na, nb, ninter, nunion)).toDF("n_a", "n_b", "n_inter", "n_union")
+    }
+
+    // ---- CALL top_tokens at a SQL prompt: the Misra-Gries bounded-state
+    // heavy hitters as a CALL over a warehouse corpus table — the result is
+    // certified-EXACT by construction (candidates recounted, k-th result
+    // cleared against the MG error bound), so the rows themselves are
+    // oracled (doc_top_tokens' oracle verbatim)
+    q("etl_sql_top_tokens") = (s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val root = java.nio.file.Files.createTempDirectory("graft-sqltt-").toString
+      val wh = new graft.sources.AtomicWarehouse(s, root)
+      val cat = s"gsql${sqlCatSeq.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sql.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      wh.append("docs/corpus", docs)
+      s.sql(s"CALL $cat.system.top_tokens('docs.corpus', 'text', 20)")
+        .orderBy(col("cnt").desc, col("token"))
+    }
+
     // ---- time travel COMPOSED with the materialized view: the mv state
     // lives in the same manifest log, so readAt() answers "what did the
     // aggregate say after the second fold" — the audit/debug read IVM
@@ -5665,6 +5767,40 @@ object SparkEntry {
         |WHERE o_orderkey < m.q * 3
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+
+    // SQL-driven quantile MV end-state: exact percentiles over the
+    // surviving rows (rank-validated in the query) — etl_quantile_sketch's
+    // construction driven entirely through CALL/SELECT/DELETE
+    "etl_sql_sketch_quantile" ->
+      """WITH m AS (SELECT max(o_orderkey) // 4 AS q FROM orders)
+        |SELECT o_orderstatus,
+        | quantile_cont(o_totalprice, 0.5) AS p50,
+        | quantile_cont(o_totalprice, 0.9) AS p90,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM orders, m
+        |WHERE o_orderkey < m.q * 3
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    // CALL sketch_overlap end-state: exact distinct-user overlap between
+    // the event halves (q23's oracle — the same slices, SQL-driven)
+    "etl_sql_sketch_overlap" ->
+      """WITH m AS (SELECT max(event_id) // 2 AS mid FROM events),
+        | a AS (SELECT DISTINCT user_id FROM events, m WHERE event_id <= m.mid),
+        | b AS (SELECT DISTINCT user_id FROM events, m WHERE event_id > m.mid)
+        |SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS n_a,
+        | CAST((SELECT count(*) FROM b) AS BIGINT) AS n_b,
+        | CAST((SELECT count(*) FROM a JOIN b USING (user_id)) AS BIGINT) AS n_inter,
+        | CAST((SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM b)) AS BIGINT) AS n_union""".stripMargin,
+
+    // CALL top_tokens rows are certified-exact — doc_top_tokens' oracle
+    "etl_sql_top_tokens" ->
+      """WITH tok AS (
+        | SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+        | FROM documents)
+        |SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        |FROM tok GROUP BY token
+        |ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
 
     // HLL sketch MV end-state: exact distincts over the surviving rows
     // (the query already proved the estimates track these within 5%)
