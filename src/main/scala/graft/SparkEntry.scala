@@ -4029,6 +4029,30 @@ object SparkEntry {
       Corpus.shuffleDeterministic(t(s, dir, "documents"), "doc_id", seed = 7L)
         .select(col("doc_id"), col("shuffle_key"))
 
+    // ---- the training-data LAST MILE: split → epoch shuffle → sequence
+    // packing composed into the manifest a trainer actually consumes —
+    // (doc_id, split, shard, position) — in ONE lineage over a single scan
+    // of the corpus (assignSplit is a narrow projection, the shuffle key is
+    // a derived column, and packShards' planning aggregate + pack pass read
+    // the same frame; nothing re-reads the parquet three times). Packing is
+    // greedy in SHUFFLE order within each split (packShards orders by its
+    // id column — here the epoch-7 shuffle key), so shards are epoch-local
+    // and deterministic: the oracle restates the whole chain
+    q("doc_epoch_manifest") = (s, dir) => {
+      val split = Corpus.assignSplit(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      val shuffled = Corpus.shuffleDeterministic(split, "doc_id", seed = 7L)
+      val packed = Corpus.packShards(
+        shuffled, "shuffle_key", "text", col("split"), budgetTokens = 2048)
+      packed
+        .withColumn("position", row_number().over(
+            Window.partitionBy(col("split"), col("shard")).orderBy(col("shuffle_key")))
+          .cast(LongType))
+        .select(col("doc_id"), col("split"), col("shard"), col("position"))
+        .orderBy(col("split"), col("shard"), col("position"))
+    }
+
     // ---- multimodal composed with the ANN index: binary payloads →
     // batched per-partition stub decode → PersistedIvf build → probed
     // top-k retrieval, end to end. Both sides are deterministic (the stub
@@ -7036,6 +7060,32 @@ object SparkEntry {
         | ('0x'||substr(md5('7:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS shuffle_key
         |FROM documents
         |ORDER BY shuffle_key, doc_id""".stripMargin,
+
+    // the full last-mile chain restated: md5-bucket split (doc_split's
+    // rule), epoch-7 shuffle key (doc_shuffle's rule), greedy token packing
+    // in shuffle order within each split (doc_shards' rule with the shuffle
+    // key as the order column), 1-based position within (split, shard)
+    "doc_epoch_manifest" ->
+      """WITH sp AS (
+        | SELECT doc_id, text,
+        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        | FROM (SELECT doc_id, text,
+        |   ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 100 AS b
+        |  FROM documents)),
+        |sh AS (
+        | SELECT doc_id, split,
+        |  ('0x'||substr(md5('7:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS shuffle_key,
+        |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_toks
+        | FROM sp),
+        |p AS (
+        | SELECT doc_id, split, shuffle_key,
+        |  CAST(floor((sum(n_toks) OVER (PARTITION BY split ORDER BY shuffle_key)
+        |    - n_toks) / 2048.0) AS BIGINT) AS shard
+        | FROM sh)
+        |SELECT doc_id, split, shard,
+        | CAST(row_number() OVER (PARTITION BY split, shard ORDER BY shuffle_key) AS BIGINT) AS position
+        |FROM p
+        |ORDER BY split, shard, position""".stripMargin,
 
     // media bytes → stub features (md5Long nibbles /255 as FLOAT — the
     // ::FLOAT::DOUBLE round trip replays the engine's float storage) →
