@@ -57,6 +57,63 @@ object Multimodal {
         Row(w, ht, frames, feat.toSeq)
       }
     }
+
+    /** REAL raster decode on the JDK's own codecs — `javax.imageio` ships
+      * PNG/JPEG/BMP/GIF readers even with no native media libraries
+      * installed, so still images need no stub. The feature is a
+      * `grid`×`grid` mean-luminance thumbnail (Rec. 601 luma over the sRGB
+      * ints `getRGB` returns), row-major, each cell in [0,1]:
+      * integer-exact accumulation (sum of `299r+587g+114b` per pixel)
+      * followed by ONE float division, so a fixed payload decodes to a
+      * bit-exact vector on any JVM — golden fixtures pin exact floats
+      * (MultimodalSpec). Cell bounds are `floor(g·extent/grid)`; images
+      * smaller than the grid duplicate edge pixels rather than emit empty
+      * cells, keeping the vector length fixed at grid².
+      *
+      * The DeterministicStub stays the ORACLE-facing decoder: a DuckDB
+      * oracle can restate md5-derived features but cannot decode PNG, so
+      * driver queries keep the stub while ImageIo is pinned by spec
+      * fixtures. One `decoder` argument swaps them.
+      */
+    final class ImageIo(grid: Int = 4) extends MediaDecoder {
+      require(grid > 0, "grid must be positive")
+      override def decode(kind: String, bytes: Array[Byte]): Row = {
+        require(kind == "image",
+          s"ImageIo decodes still images, got kind '$kind'")
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        require(img != null, "payload is not a decodable image " +
+          "(JDK codecs: PNG/JPEG/BMP/GIF)")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val feat = new Array[Float](grid * grid)
+        var gy = 0
+        while (gy < grid) {
+          val y0 = (gy * h / grid).min(h - 1)
+          val y1 = math.max((gy + 1) * h / grid, y0 + 1)
+          var gx = 0
+          while (gx < grid) {
+            val x0 = (gx * w / grid).min(w - 1)
+            val x1 = math.max((gx + 1) * w / grid, x0 + 1)
+            var lumaMilli = 0L // Σ(299r + 587g + 114b): integer-exact
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                val rgb = img.getRGB(x, y)
+                lumaMilli += 299L * ((rgb >> 16) & 0xff) +
+                  587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            val n = (x1 - x0).toLong * (y1 - y0)
+            feat(gy * grid + gx) = (lumaMilli.toDouble / (n * 255000.0)).toFloat
+            gx += 1
+          }
+          gy += 1
+        }
+        Row(w, h, 1, feat.toSeq)
+      }
+    }
   }
 
   /** Wrap a table with a synthetic binary payload column (test/demo path:
