@@ -616,6 +616,43 @@ class SqlCatalogSpec extends SparkSpec {
     assert(live == Set((2L, "b"), (3L, "c")), s"got $live")
   }
 
+  test("RENAME TABLE vs physical-addressed consumers: replica cursor and change-feed windows ride through") {
+    // replication and graft_changes address tables by PHYSICAL name (the
+    // replicator's cursor and the feed both live in the directory the
+    // rename never moves), so a mid-cursor source rename disturbs neither:
+    // the same refresh CALL keeps pulling, and a feed window CROSSING the
+    // rename reads every change. Only catalog-name resolution changes.
+    val (wh, cat, _) = fixture()
+    val srcRoot = Files.createTempDirectory("graft-renrepl-").toString
+    val srcWh = new AtomicWarehouse(spark, srcRoot)
+    val scat = s"gcat${seq.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$scat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$scat.root", srcRoot)
+    srcWh.setChangeFeed("facts/r", on = true)
+    srcWh.append("facts/r", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    spark.sql(s"""CALL $cat.system.replica_seed(
+      '$srcRoot', 'facts.r', 'facts.r', 'id')""")
+    // rename the SOURCE mid-cursor; new changes arrive via the new name
+    spark.sql(s"ALTER TABLE $scat.facts.r RENAME TO $scat.facts.renamed")
+    spark.sql(s"INSERT INTO $scat.facts.renamed VALUES (3, 'c')")
+    spark.sql(s"DELETE FROM $scat.facts.renamed WHERE id = 1")
+    // the refresh still addresses the physical name — cursor intact
+    spark.sql(s"""CALL $cat.system.replica_refresh(
+      '$srcRoot', 'facts.r', 'facts.r', 'id')""")
+    val repl = new graft.streaming.Replicator(srcWh, "facts/r",
+      Seq((0L, "")).toDF("id", "v").schema, Seq("id"), wh, "facts/r")
+    val live = repl.state().collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(live == Set((2L, "b"), (3L, "c")), s"got $live")
+    // a graft_changes window crossing the rename: all four changes visible
+    // under the physical name (insert 1, insert 2, insert 3, delete 1)
+    val head = srcWh.headVersion()
+    val ops = spark.sql(
+      s"SELECT _change_type FROM graft_changes('$srcRoot', 'facts/r', 0, $head)")
+      .collect().map(_.getString(0)).groupBy(identity).view.mapValues(_.length).toMap
+    assert(ops.getOrElse("insert", 0) == 3 && ops.getOrElse("delete", 0) == 1,
+      s"got $ops")
+  }
+
   test("CALL write targets respect the rename map (no shadowed clones/replicas)") {
     val (wh, cat, _) = fixture()
     banded(wh)

@@ -107,6 +107,42 @@ class StreamTableSourceSpec extends SparkSpec {
     assert(got == Seq((1L, "a"), (2L, "b")), s"got $got")
   }
 
+  test("RENAME TABLE vs a checkpointed stream: new name resumes exactly-once, vacated name refuses") {
+    // table identity is PHYSICAL (the rename moves only the catalog name),
+    // so a stream's checkpoint — whose offsets are commit versions of the
+    // physical directory — stays valid across a rename: resuming under the
+    // NEW name continues exactly-once; resuming under the OLD name fails
+    // loudly (the vacated name stops resolving) rather than silently
+    // reading some other table
+    val (wh, cat) = fixture()
+    wh.append("facts/t", (0L until 50L).map(i => (i, s"v$i")).toDF("id", "v"))
+    val checkpoint = Files.createTempDirectory("graft-streamsrc-rn-ckpt-").toString
+    val outDir = Files.createTempDirectory("graft-streamsrc-rn-out-").toString
+    def drainTo(table: String): Unit = {
+      val q = spark.readStream.option("startingVersion", "0").table(s"$cat.$table")
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(GraftSession.streamDrainTimeoutMs))
+    }
+    drainTo("facts.t")
+    assert(spark.read.parquet(outDir).count() == 50L)
+    spark.sql(s"ALTER TABLE $cat.facts.t RENAME TO $cat.facts.t2")
+    // appends keep landing in the physical directory (Scala API) and via
+    // the new logical name (SQL) — both are the same table
+    wh.append("facts/t", Seq((100L, "x")).toDF("id", "v"))
+    spark.sql(s"INSERT INTO $cat.facts.t2 VALUES (101, 'y')")
+    // the vacated name refuses: no silent wrong-table read
+    val e = intercept[Exception](drainTo("facts.t"))
+    assert(e.getMessage != null, e.toString)
+    // the new name resumes the SAME checkpoint and sees exactly the two
+    // post-rename rows (file sink accumulates ⇒ exact count = exactly-once)
+    drainTo("facts.t2")
+    val got = spark.read.parquet(outDir).collect().map(_.getLong(0)).toSeq
+    assert(got.size == 52 && got.toSet == ((0L until 50L) ++ Seq(100L, 101L)).toSet,
+      s"got ${got.size} rows")
+  }
+
   test("graft-cdf streams row-level CDC: inserts + DML slices, maintenance invisible, resume exact") {
     val (wh, _) = fixture()
     wh.setChangeFeed("facts/t", on = true)
