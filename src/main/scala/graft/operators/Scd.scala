@@ -48,6 +48,32 @@ object Scd {
     require(dup.isEmpty,
       s"scd2Upsert batch has duplicate keys on (${keyCols.mkString(", ")}) — " +
         "one row per key per batch (the SQL MERGE source contract)")
+    scd2UpsertPrevalidated(history, batch, keyCols, attrCols, seq)
+  }
+
+  /** One aggregate answering both per-batch admission questions — total
+    * rows (empty-batch short-circuit) and the worst per-key multiplicity
+    * (the one-row-per-key MERGE-source contract) — so a micro-batch
+    * consumer pays ONE driver job where `batch.isEmpty` + the
+    * [[scd2Upsert]] duplicate probe cost two. Fixed-latency driver jobs
+    * are the whole cost of a dimension-sized fold (tools/ScdProbe counts
+    * them), so admission riding one aggregate is a real share of the
+    * streaming drain floor.
+    */
+  private[graft] def batchStats(batch: DataFrame, keyCols: Seq[String]): (Long, Long) = {
+    val r = batch.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c")), lit(0L)), coalesce(max(col("c")), lit(0L)))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** [[scd2Upsert]] minus the duplicate-key probe, for callers that already
+    * validated the batch through [[batchStats]] in the same micro-batch —
+    * never call with an unvalidated batch: a duplicate key fans the
+    * full-outer join out and corrupts history silently.
+    */
+  private[graft] def scd2UpsertPrevalidated(history: DataFrame, batch: DataFrame,
+      keyCols: Seq[String], attrCols: Seq[String], seq: Long): DataFrame = {
     val outCols = (keyCols ++ attrCols).map(col) ++
       Seq(col("valid_from"), col("valid_to"), col("is_current"))
     val cur = history.filter(col("is_current"))
@@ -151,8 +177,34 @@ class ScdDimension(wh: graft.sources.Warehouse, name: String,
   /** The composable form: record history INSIDE a caller's `atomically`
     * section — reads through `w` (read-your-own-writes), so consecutive
     * upserts and the caller's own dim writes all publish in one commit.
+    *
+    * Returns how many version rows the batch OPENED (`valid_from = seq`),
+    * measured as an `observe`d metric riding the history write itself — no
+    * second job. Zero means the batch changed nothing: the sequence was
+    * not consumed ([[nextSeq]] derives from `max(valid_from)`), which is
+    * what lets [[graft.streaming.ScdStream]] keep its cursor in memory
+    * without drifting from the derived value.
     */
-  def upsertIn(w: graft.sources.Warehouse, batch: DataFrame, seq: Long): Unit =
-    w.replace(historyTable,
-      Scd.scd2Upsert(w.read(historyTable, historySchema), batch, keyCols, attrCols, seq))
+  def upsertIn(w: graft.sources.Warehouse, batch: DataFrame, seq: Long): Long =
+    writeObserved(w, Scd.scd2Upsert(
+      w.read(historyTable, historySchema), batch, keyCols, attrCols, seq), seq)
+
+  /** [[upsertIn]] for a batch already validated via [[Scd.batchStats]] in
+    * this micro-batch (the streaming fold's one-admission-job path).
+    */
+  private[graft] def upsertPrevalidatedIn(w: graft.sources.Warehouse,
+      batch: DataFrame, seq: Long): Long =
+    writeObserved(w, Scd.scd2UpsertPrevalidated(
+      w.read(historyTable, historySchema), batch, keyCols, attrCols, seq), seq)
+
+  private def writeObserved(w: graft.sources.Warehouse, newHist: DataFrame,
+      seq: Long): Long = {
+    val obs = org.apache.spark.sql.Observation()
+    w.replace(historyTable, newHist.observe(obs,
+      org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions
+          .when(col("valid_from") === seq, 1L).otherwise(0L)),
+        org.apache.spark.sql.functions.lit(0L)).as("opened")))
+    obs.get("opened").asInstanceOf[Long]
+  }
 }

@@ -43,22 +43,57 @@ class ScdStream(wh: Warehouse, name: String, keyCols: Seq[String],
   val ledgerSchema: StructType = StructType(Seq(
     StructField("batch_id", LongType, nullable = false)))
 
+  // Single-writer CURSOR state: the stream is the dimension's only writer
+  // (class doc — the same assumption every index stream here makes), so
+  // the ingest ledger and the next sequence are read from their tables
+  // ONCE per stream instance and then advance in memory. The previous
+  // shape re-scanned the ledger AND re-derived max(valid_from) as two
+  // driver jobs per micro-batch — at a 3-batch AvailableNow drain those
+  // scans were a measurable share of the floor (BASELINE.md r17). The
+  // cursor stays exactly the DERIVED value: it advances only when the
+  // batch actually OPENED version rows ([[graft.operators.ScdDimension
+  // .upsertIn]] reports that as an observed metric riding the history
+  // write), so an all-unchanged batch still consumes no sequence. A
+  // restart re-reads both tables; a crash between commit and nothing (the
+  // commit is atomic) cannot desync them.
+  @volatile private var applied: scala.collection.mutable.Set[Long] = null
+  @volatile private var cursor: Long = -1L
+
   /** True when `batchId` was already applied (a checkpoint replay). */
-  def ingested(batchId: Long): Boolean =
-    wh.exists(ledgerTable) && !wh.read(ledgerTable, ledgerSchema)
-      .filter(col("batch_id") === batchId).isEmpty
+  def ingested(batchId: Long): Boolean = {
+    if (applied == null)
+      applied = if (wh.exists(ledgerTable))
+        scala.collection.mutable.Set(wh.read(ledgerTable, ledgerSchema)
+          .collect().map(_.getLong(0)).toSeq: _*)
+      else scala.collection.mutable.Set.empty[Long]
+    applied.contains(batchId)
+  }
 
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
     if (ingested(batchId)) return
-    // an empty micro-batch (file-source bookkeeping) must not burn a
-    // sequence or rewrite identical history files — ledger it and move on
-    val seq = dim.nextSeq()
+    if (cursor < 0) cursor = dim.nextSeq()
+    val seq = cursor
+    // ONE admission aggregate answers both gates — an empty micro-batch
+    // (file-source bookkeeping) must not burn a sequence or rewrite
+    // identical history files, and a duplicate key would corrupt the fold
+    // (the scd2Upsert contract) — where isEmpty + the upsert's own dup
+    // probe cost two driver jobs per batch
+    val (rows, maxDup) = graft.operators.Scd.batchStats(batch, keyCols)
+    require(maxDup <= 1L,
+      s"scd2 stream batch $batchId has duplicate keys on " +
+        s"(${keyCols.mkString(", ")}) — one row per key per batch " +
+        "(the SQL MERGE source contract)")
+    var opened = 0L
     wh.atomically { w =>
-      if (!batch.isEmpty) dim.upsertIn(w, batch, seq)
+      if (rows > 0) opened = dim.upsertPrevalidatedIn(w, batch, seq)
       w.append(ledgerTable, wh.spark.createDataFrame(
         java.util.Arrays.asList(org.apache.spark.sql.Row(Long.box(batchId))),
         ledgerSchema))
     }
+    // only a committed batch marks applied / advances the cursor: a retry
+    // of a failed commit re-runs the whole fold, exactly as before
+    applied += batchId
+    if (opened > 0L) cursor = seq + 1L
   }
 
   /** Watch `dir` for parquet dimension-update files (key + attr columns);

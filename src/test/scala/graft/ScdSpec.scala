@@ -147,5 +147,13 @@ class ScdSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       Scd.scd2Upsert(h1, dup, Seq("k"), Seq("a"), 2L))
     assert(e.getMessage.contains("duplicate keys"))
+    // the streaming fold's one-job admission path carries the same refusal
+    val wh = new graft.sources.AtomicWarehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft-scddup-").toString)
+    val st = new graft.streaming.ScdStream(wh, "d", Seq("k"), Seq("a"),
+      StructType(Seq(StructField("k", LongType), StructField("a", StringType))))
+    val es = intercept[IllegalArgumentException](st.processBatch(dup, 0L))
+    assert(es.getMessage.contains("duplicate keys"))
+    assert(!st.ingested(0L), "a refused batch must not ledger")
   }
 }
