@@ -32,7 +32,12 @@ import org.apache.spark.sql.SparkSession
   *   - Every query line carries an environment canary (the same fixed
   *     CPU-bound range-sum timed immediately before EACH rep, as
   *     "rep_canary_s" plus "rep_load1m"; "canary_s" is their median and
-  *     "load1m" the rep max): cross-round medians can then be adjudicated
+  *     "load1m" the rep max); STREAMING queries (name contains stream/sync)
+  *     additionally carry a per-rep DRAIN canary ("rep_drain_s"/"drain_s"):
+  *     a fixed 3-micro-batch AvailableNow drain over a canned dir, timed
+  *     the same way, because the CPU canary is blind to the scheduler/WAL
+  *     latency that dominates micro-batch drain floors (the r16
+  *     etl_scd2_stream ambiguity): cross-round medians can then be adjudicated
   *     as real (canary flat, query slower) or environmental (canary inflated
   *     on exactly the slow reps) — the r6 q10/q11_stream "regression" was
   *     contention on identical code, indistinguishable at the time because
@@ -232,6 +237,38 @@ object Bench {
     }
     canary() // once untimed: first call pays codegen for the canary itself
 
+    // DRAIN canary: a fixed 3-micro-batch AvailableNow drain (one tiny
+    // parquet file per batch, noop sink, fresh checkpoint every call) timed
+    // immediately before each rep of STREAMING queries. The CPU-sum canary
+    // is blind to the scheduler/WAL/file-listing latency that dominates
+    // micro-batch drain floors — r16's etl_scd2_stream flag could not be
+    // adjudicated from the CPU canary alone (clean canaries, inflated
+    // drains under load1m 3.4-4.4). This one measures exactly that floor,
+    // so streaming rows self-adjudicate latency noise the way every row
+    // already self-adjudicates CPU contention.
+    val drainDir = java.nio.file.Files.createTempDirectory("graft-bench-drain-").toString
+    (0 until 3).foreach { i =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft-bench-drain-c$i-").toString + "/out"
+      spark.range(1).coalesce(1).write.parquet(tmp)
+      java.nio.file.Files.move(LocalFs.onlyParquet(tmp),
+        java.nio.file.Paths.get(drainDir, f"c$i%02d.parquet"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    def drainCanary(): Double = {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-bench-drainck-").toString
+      val t0 = System.nanoTime()
+      val q = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType))))
+        .option("maxFilesPerTrigger", "1").parquet(drainDir)
+        .writeStream.format("noop").option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      if (!q.awaitTermination(60000)) q.stop()
+      (System.nanoTime() - t0) / 1e9
+    }
+    drainCanary() // once untimed: first call pays stream-machinery warmup
+
     // Per-rep outcome is tracked: a rep whose query throws records the error,
     // NOT its (fast-fail) elapsed time — a broken query must not contribute
     // near-zero times that deflate the median and make the JSON look healthy.
@@ -248,8 +285,12 @@ object Bench {
     val allRepCanaries = scala.collection.mutable.ArrayBuffer[Double]()
     val results = qs.map { case (name, fn) =>
       val qStart = System.nanoTime()
+      // streaming queries get the drain canary too — their floor is the
+      // micro-batch machinery the CPU canary cannot see
+      val isStreaming = name.contains("stream") || name.contains("sync")
       var outcomes = Vector.empty[Either[String, Double]]
       var repCanaries = Vector.empty[Double]
+      var repDrains = Vector.empty[Double]
       var repLoads = Vector.empty[Double]
       def runOne(): Unit = {
         val remaining = budgetMs - (System.nanoTime() - qStart) / 1000000
@@ -260,6 +301,7 @@ object Bench {
           val c = canary()
           repCanaries :+= c
           allRepCanaries += c
+          if (isStreaming) repDrains :+= drainCanary()
           repLoads :+= osBean.getSystemLoadAverage
           outcomes :+= runRep(name, fn, sfDir, remaining)
         }
@@ -293,6 +335,10 @@ object Bench {
       val repsJson = ts.map(t => f"$t%.3f").mkString("[", ",", "]")
       val envJson = f""""canary_s":$canaryS%.3f,"load1m":$loadAvg%.1f""" +
         repCanaries.map(c => f"$c%.3f").mkString(""","rep_canary_s":[""", ",", "]") +
+        (if (repDrains.nonEmpty)
+          f""","drain_s":${median(repDrains)}%.3f""" +
+            repDrains.map(d => f"$d%.3f").mkString(""","rep_drain_s":[""", ",", "]")
+         else "") +
         repLoads.map(l => f"$l%.1f").mkString(""","rep_load1m":[""", ",", "]") +
         (if (extra > 0) s""","adaptive_reps":$extra""" else "")
       // per-query line gates on the run-so-far canary median (all that exists
