@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{BooleanType, LongType}
 
@@ -110,6 +110,73 @@ object Scd {
       .union(untouched).union(closed).union(opened)
   }
 
+  /** [[scd2Upsert]] with the BATCH side broadcast — the 100 TB shape for a
+    * large dimension. Spark cannot broadcast ANY side of a full outer
+    * join, so the classic formulation shuffles the entire current slice on
+    * the key every batch, while a dimension UPDATE batch is small by
+    * definition (and in [[graft.streaming.ScdStream]] it is one
+    * micro-batch). Decomposed into broadcast-only joins the current slice
+    * is never shuffled:
+    *
+    *   1. `cur LEFT JOIN broadcast(b)` → one row per current version;
+    *      each EXPLODEs into its output rows in the same pass (untouched,
+    *      or closed + reopened) — ONE full scan, zero shuffles;
+    *   2. matched keys = `cur SEMI broadcast(b)` projected to the key
+    *      columns — a column-pruned key-only scan, ≤ |batch| rows out;
+    *   3. genuinely new keys = `b ANTI broadcast(matched)`.
+    *
+    * Identical output to [[scd2Upsert]] (same null-safe key and attr
+    * semantics; ScdSpec pins set-equality on a fixture with null keys and
+    * null→value transitions, and pins the plan shuffle-free). Carries the
+    * same one-row-per-key batch contract, validated by the caller through
+    * [[batchStats]] — this is the prevalidated tier.
+    */
+  private[graft] def scd2UpsertBroadcast(history: DataFrame, batch: DataFrame,
+      keyCols: Seq[String], attrCols: Seq[String], seq: Long): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val outCols = (keyCols ++ attrCols).map(col) ++
+      Seq(col("valid_from"), col("valid_to"), col("is_current"))
+    val cur = history.filter(col("is_current"))
+    val closedHist = history.filter(!col("is_current"))
+    val b = batch.select(keyCols.map(k => col(k).as(s"b_$k")) ++
+      attrCols.map(a => col(a).as(s"b_$a")) :+
+      lit(true).as("b_present"): _*)
+    val joinKeys = keyCols.map(k => col(k) <=> col(s"b_$k")).reduce(_ && _)
+    val inBatch = col("b_present").isNotNull
+    val attrsEqual =
+      if (attrCols.isEmpty) lit(true)
+      else attrCols.map(a => col(a) <=> col(s"b_$a")).reduce(_ && _)
+    def outStruct(keys: Seq[Column], attrs: Seq[Column], from: Column,
+        to: Column, curFlag: Column) =
+      struct(keys.zip(keyCols).map { case (c, n) => c.as(n) } ++
+        attrs.zip(attrCols).map { case (c, n) => c.as(n) } ++ Seq(
+        from.cast(LongType).as("valid_from"),
+        to.cast(LongType).as("valid_to"),
+        curFlag.cast(BooleanType).as("is_current")): _*)
+    val untouchedRow = outStruct(keyCols.map(col), attrCols.map(col),
+      col("valid_from"), col("valid_to"), col("is_current"))
+    val closedRow = outStruct(keyCols.map(col), attrCols.map(col),
+      col("valid_from"), lit(seq), lit(false))
+    val reopenedRow = outStruct(keyCols.map(k => col(s"b_$k")),
+      attrCols.map(a => col(s"b_$a")), lit(seq), lit(null), lit(true))
+    val fromCur = cur.join(broadcast(b), joinKeys, "left")
+      .select(explode(when(!inBatch || attrsEqual, array(untouchedRow))
+        .otherwise(array(closedRow, reopenedRow))).as("r"))
+      .select(col("r.*"))
+    val matched = cur.join(broadcast(b), joinKeys, "left_semi")
+      .select(keyCols.map(k => col(k).as(s"m_$k")): _*)
+    val openedNew = b
+      .join(broadcast(matched),
+        keyCols.map(k => col(s"b_$k") <=> col(s"m_$k")).reduce(_ && _), "left_anti")
+      .select(keyCols.map(k => col(s"b_$k").as(k)) ++
+        attrCols.map(a => col(s"b_$a").as(a)) ++ Seq(
+        lit(seq).cast(LongType).as("valid_from"),
+        lit(null).cast(LongType).as("valid_to"),
+        lit(true).cast(BooleanType).as("is_current")): _*)
+    closedHist.select(outCols: _*).union(fromCur.select(outCols: _*))
+      .union(openedNew)
+  }
+
   /** The current slice — what an SCD1 consumer reads. */
   def current(history: DataFrame): DataFrame = history.filter(col("is_current"))
 
@@ -190,11 +257,15 @@ class ScdDimension(wh: graft.sources.Warehouse, name: String,
       w.read(historyTable, historySchema), batch, keyCols, attrCols, seq), seq)
 
   /** [[upsertIn]] for a batch already validated via [[Scd.batchStats]] in
-    * this micro-batch (the streaming fold's one-admission-job path).
+    * this micro-batch (the streaming fold's path): uses the BROADCAST
+    * decomposition — a micro-batch is small by construction, and the
+    * shuffle-free plan both survives a 100 TB dimension (the current
+    * slice is scanned, never shuffled) and drops the AQE shuffle-stage
+    * jobs from the drain floor.
     */
   private[graft] def upsertPrevalidatedIn(w: graft.sources.Warehouse,
       batch: DataFrame, seq: Long): Long =
-    writeObserved(w, Scd.scd2UpsertPrevalidated(
+    writeObserved(w, Scd.scd2UpsertBroadcast(
       w.read(historyTable, historySchema), batch, keyCols, attrCols, seq), seq)
 
   private def writeObserved(w: graft.sources.Warehouse, newHist: DataFrame,

@@ -56,6 +56,31 @@ class ScdSpec extends SparkSpec {
       Set(1L -> Some("x"), 2L -> Some("y2"), 3L -> Some("z")))
   }
 
+  test("broadcast decomposition ≡ full-outer fold; plan is shuffle-free") {
+    // the fixture covers every branch: unchanged, changed, null→value,
+    // value→null, a NULL key (null-safe equality must pair it), a
+    // late-arriving key, and a key absent from the batch
+    val b1 = Seq[(java.lang.Long, String)]((1L, "x"), (2L, "y"), (3L, null),
+      (4L, "v"), (null, "n1")).toDF("k", "a")
+    val b2 = Seq[(java.lang.Long, String)]((1L, "x"), (2L, "y2"), (3L, "z"),
+      (4L, null), (null, "n2"), (5L, "new")).toDF("k", "a")
+    def fold(up: (DataFrame, DataFrame, Seq[String], Seq[String], Long) => DataFrame) =
+      up(up(genesis, b1, Seq("k"), Seq("a"), 1L), b2, Seq("k"), Seq("a"), 2L)
+    def rowsN(df: DataFrame) = df.collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        Option(r.getString(1)), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4))).toSet
+    val classic = fold(Scd.scd2Upsert)
+    val bcast = fold(Scd.scd2UpsertBroadcast)
+    assert(rowsN(bcast) == rowsN(classic),
+      s"broadcast fold diverged:\n got ${rowsN(bcast)}\nwant ${rowsN(classic)}")
+    // the whole point: zero shuffles — only broadcast joins in the plan
+    val plan = bcast.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Exchange hashpartitioning"),
+      s"broadcast fold plan shuffles:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")
+  }
+
   test("ScdDimension lifecycle: persisted ≡ pure fold on both warehouses; crash-mid-batch atomic") {
     import graft.operators.ScdDimension
     import graft.sources.{AtomicWarehouse, Warehouse}
