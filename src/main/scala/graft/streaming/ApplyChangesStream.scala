@@ -77,9 +77,21 @@ class ApplyChangesStream(wh: AtomicWarehouse, table: String,
   val ledgerSchema: StructType = StructType(Seq(
     StructField("batch_id", LongType, nullable = false)))
 
-  def ingested(batchId: Long): Boolean =
-    wh.exists(ledgerTable) && !wh.read(ledgerTable, ledgerSchema)
-      .filter(col("batch_id") === batchId).isEmpty
+  // single-writer cursor (the ScdStream discipline, BASELINE.md r17): the
+  // ingest ledger is read ONCE per stream instance and the applied set
+  // advances in memory — the per-micro-batch ledger scan was a fixed
+  // driver job on every batch. A restart re-reads; only a COMMITTED batch
+  // is marked applied, so a failed-commit retry re-runs exactly as before.
+  @volatile private var applied: scala.collection.mutable.Set[Long] = null
+
+  def ingested(batchId: Long): Boolean = {
+    if (applied == null)
+      applied = if (wh.exists(ledgerTable))
+        scala.collection.mutable.Set(wh.read(ledgerTable, ledgerSchema)
+          .collect().map(_.getLong(0)).toSeq: _*)
+      else scala.collection.mutable.Set.empty[Long]
+    applied.contains(batchId)
+  }
 
   private def ledgerRow(batchId: Long): DataFrame =
     wh.spark.createDataFrame(
@@ -137,9 +149,11 @@ class ApplyChangesStream(wh: AtomicWarehouse, table: String,
     if (batch.isEmpty) {
       // file-source bookkeeping batch: ledger it, touch nothing
       wh.atomically(_.append(ledgerTable, ledgerRow(batchId)))
+      applied += batchId
       return
     }
     applyChanges(batch, alsoInTx = _.append(ledgerTable, ledgerRow(batchId)))
+    applied += batchId
   }
 
   /** Watch `dir` for parquet change files. No per-trigger file cap and no

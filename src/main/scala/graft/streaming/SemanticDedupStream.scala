@@ -193,9 +193,23 @@ class SemanticDedupStream(wh: Warehouse, minCosine: Double,
     } finally idx.unpersist(false)
   }
 
+  // single-writer cursor (the ScdStream discipline, BASELINE.md r17): the
+  // ingest ledger is read ONCE per stream instance, the applied set then
+  // advances in memory; a restart re-reads, a failed-commit retry re-runs
+  // (only a committed batch is marked applied).
+  @volatile private var applied: scala.collection.mutable.Set[Long] = null
+
+  private def ingested(batchId: Long): Boolean = {
+    if (applied == null)
+      applied = if (wh.exists(ledgerTable))
+        scala.collection.mutable.Set(
+          ledger().collect().map(_.getLong(0)).toSeq: _*)
+      else scala.collection.mutable.Set.empty[Long]
+    applied.contains(batchId)
+  }
+
   def processBatch(batch0: DataFrame, batchId: Long): Unit = {
-    if (wh.exists(ledgerTable) &&
-        !ledger().filter(col("batch_id") === batchId).isEmpty) return
+    if (ingested(batchId)) return
     require(wh.exists(centroidsTable), s"$centroidsTable absent — init() first")
     val cents = wh.read(centroidsTable, centroidSchema)
       .select(col("cell"), col("centroid").as("vec"))
@@ -272,6 +286,7 @@ class SemanticDedupStream(wh: Warehouse, minCosine: Double,
             mc.map(Double.box).orNull)),
           statsSchema))
       }
+      applied += batchId
     } finally assigned.unpersist(false)
   }
 
