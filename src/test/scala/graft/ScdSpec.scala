@@ -158,6 +158,13 @@ class ScdSpec extends SparkSpec {
     assert(rows(st.dim.history()) == before && st.dim.nextSeq() == 3L,
       "empty batch disturbed the dimension")
     assert(st.ingested(2L), "empty batch must still ledger (its replay would re-run)")
+    // a NEW batch that changes nothing (identical re-presentation under a
+    // fresh id) ledgers but consumes no sequence — the in-memory cursor
+    // must track the DERIVED value (opened-rows observation), not count
+    // batches
+    st.processBatch(b2, 9L)
+    assert(st.ingested(9L) && st.dim.nextSeq() == 3L,
+      "all-unchanged batch must not burn a sequence")
     // a later real batch lands at the next sequence as if the gap never was
     st.processBatch(Seq((1L, "x9")).toDF("k", "a"), 3L)
     assert(rows(Scd.current(st.dim.history())).map(r => (r._1, r._2))
