@@ -353,21 +353,21 @@ object Bench {
           s"""{"query":"$name","median":null,"reps":$repsJson,$envJson,"error":"${esc(errs.head)}"}"""
       appendLine(qLine)
       println(s"[bench] $qLine")
-      (name, ts, errs, canaryS, tcPairs, extra)
+      (name, ts, errs, canaryS, tcPairs, extra, repDrains)
     }
-    val medians = results.collect { case (k, ts, _, _, _, _) if ts.nonEmpty => k -> median(ts) }
+    val medians = results.collect { case (k, ts, _, _, _, _, _) if ts.nonEmpty => k -> median(ts) }
     val qsJson = medians.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val runBase = {
       val all = results.flatMap(_._5.map(_._2))
       if (all.nonEmpty) median(all) else 0.0
     }
-    val qsCleanJson = results.collect { case (k, ts, _, _, tc, _) if ts.nonEmpty =>
+    val qsCleanJson = results.collect { case (k, ts, _, _, tc, _, _) if ts.nonEmpty =>
       "\"" + k + f"\":${cleanMedian(tc.map(_._1), tc.map(_._2), runBase).get}%.3f"
     }.mkString("{", ",", "}")
-    val repsJson = results.collect { case (k, ts, _, _, _, _) if ts.nonEmpty =>
+    val repsJson = results.collect { case (k, ts, _, _, _, _, _) if ts.nonEmpty =>
       "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val errsJson = results.collect { case (k, _, ms, _, _, _) if ms.nonEmpty =>
+    val errsJson = results.collect { case (k, _, ms, _, _, _, _) if ms.nonEmpty =>
       "\"" + k + "\":\"" + esc(ms.head) + s""" (${ms.size}/$reps reps failed)""""
     }.mkString("{", ",", "}")
     val total = medians.map(_._2).sum
@@ -424,15 +424,24 @@ object Bench {
     // linking back to the full per-rep record in BENCHBOOK.jsonl.
     val (cMin, cMax) =
       if (allRepCanaries.nonEmpty) (allRepCanaries.min, allRepCanaries.max) else (0.0, 0.0)
+    // run-wide drain baseline: median over every streaming rep's drain
+    // canary, so a flagged streaming row can show drain inflation the way
+    // every row shows CPU-canary inflation
+    val drainBase = {
+      val all = results.flatMap(_._7)
+      if (all.nonEmpty) median(all) else 0.0
+    }
     val flaggedAll = results.collect {
-      case (k, ts, _, _, tc, extra) if ts.nonEmpty &&
+      case (k, ts, _, _, tc, extra, drains) if ts.nonEmpty &&
           (extra > 0 || {
             val c = cleanMedian(tc.map(_._1), tc.map(_._2), runBase).get
             c > 0 && median(ts) / c > 1.3
           }) =>
         val c = cleanMedian(tc.map(_._1), tc.map(_._2), runBase).get
         val worstX = if (runBase > 0 && tc.nonEmpty) tc.map(_._2).max / runBase else 0.0
-        "\"" + k + f"""\":{"median":${median(ts)}%.3f,"clean":$c%.3f,"worst_rep_canary_x":$worstX%.2f}"""
+        val drainX = if (drainBase > 0 && drains.nonEmpty)
+          f""","worst_rep_drain_x":${drains.max / drainBase}%.2f""" else ""
+        "\"" + k + f"""\":{"median":${median(ts)}%.3f,"clean":$c%.3f,"worst_rep_canary_x":$worstX%.2f$drainX}"""
     }
     val flagged = flaggedAll.take(12).mkString("{", ",", "}")
     // no silent caps: the size budget keeps only 12 flagged rows in-line,
@@ -441,7 +450,7 @@ object Bench {
     val slowest = medians.sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val nErr = results.count(_._3.nonEmpty)
-    val totalClean = results.collect { case (_, ts, _, _, tc, _) if ts.nonEmpty =>
+    val totalClean = results.collect { case (_, ts, _, _, tc, _, _) if ts.nonEmpty =>
       cleanMedian(tc.map(_._1), tc.map(_._2), runBase).get }.sum
     val compact =
       f"""{"metric":"total_runtime","value":$total%.3f,"unit":"sec","queries":$slowest,"queries_truncated_to_slowest":10,"sf":"$sfDir","n_queries":${medians.size},"n_errors":$nErr,"canary_median_s":$canaryMedian%.3f,"canary_min_s":$cMin%.3f,"canary_max_s":$cMax%.3f,"total_clean":$totalClean%.3f,"flagged":$flagged,"flagged_dropped":$flaggedDropped,"run_id":"$runId","detail":"per-query lines: target/bench.json; per-rep history: BENCHBOOK.jsonl"}"""
