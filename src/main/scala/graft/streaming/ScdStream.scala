@@ -54,8 +54,8 @@ class ScdStream(wh: Warehouse, name: String, keyCols: Seq[String],
   // batch actually OPENED version rows ([[graft.operators.ScdDimension
   // .upsertIn]] reports that as an observed metric riding the history
   // write), so an all-unchanged batch still consumes no sequence. A
-  // restart re-reads both tables; a crash between commit and nothing (the
-  // commit is atomic) cannot desync them.
+  // restart re-reads both tables; the atomic commit leaves either the
+  // whole batch or nothing, so the re-read state can never be desynced.
   @volatile private var applied: scala.collection.mutable.Set[Long] = null
   @volatile private var cursor: Long = -1L
 
