@@ -341,31 +341,45 @@ object Dedup {
       case (Some(a), Some(b)) => Some(() => { a(); b() })
       case (a, b) => a.orElse(b)
     }
-    val sigA = sigsL.toDF(sigsL.columns.map(c => if (c == id) "id_a" else s"a_$c").toIndexedSeq: _*)
-    val sigB = sigsL.toDF(sigsL.columns.map(c => if (c == id) "id_b" else s"b_$c").toIndexedSeq: _*)
+    // BOTH sides of the prefilter consume the SAME signature frame, and both
+    // sides of the verification consume the SAME shingle frame. Renamed
+    // copies (toDF per side) plan as two DIFFERENT broadcast subtrees, so
+    // Spark built the index broadcast twice and ran the candidate-doc
+    // shingle scan twice per call; plain alias() + qualified join conditions
+    // canonicalize equal, so the second join's BroadcastExchange becomes a
+    // ReusedExchange — one index broadcast, ONE shingle pass (plan-verified;
+    // the shingle scan is the dominant narrow stage at corpus scale).
+    val sa = sigsL.alias("sa")
+    val sb = sigsL.alias("sb")
     val sigMatches = (0 until numHashes)
-      .map(i => when(col(s"a_mh$i") === col(s"b_mh$i"), 1).otherwise(0))
+      .map(i => when(col(s"sa.mh$i") === col(s"sb.mh$i"), 1).otherwise(0))
       .reduce(_ + _)
-    val cand = cand0.join(sigA, Seq("id_a")).join(sigB, Seq("id_b"))
+    val cand = cand0.join(sa, col("id_a") === col(s"sa.$id"))
+      .join(sb, col("id_b") === col(s"sb.$id"))
       .filter(sigMatches >= minSigMatches)
       .select(col("id_a"), col("id_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     release.foreach { rel => cand.count(); rel() }
+    // no .distinct() on the id union: LEFT SEMI keeps each doc row once
+    // however often its id repeats on the build side, and the distinct cost
+    // a whole shuffle+aggregate wave per call (the build side is bounded by
+    // 2×|cand|, which the broadcast already required to be small)
     val candIds = cand.select(col("id_a").as(id))
-      .union(cand.select(col("id_b").as(id))).distinct()
+      .union(cand.select(col("id_b").as(id)))
     val sh = docsIn.join(broadcast(candIds), Seq(id), "left_semi")
       .select(col(id), distinctShingles(col(text), k).as("sh"))
-    val a = sh.select(col(id).as("id_a"), col("sh").as("sh_a"))
-    val b = sh.select(col(id).as("id_b"), col("sh").as("sh_b"))
-    cand.join(a, Seq("id_a")).join(b, Seq("id_b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+    val shA = sh.alias("sha")
+    val shB = sh.alias("shb")
+    cand.join(shA, col("id_a") === col(s"sha.$id"))
+      .join(shB, col("id_b") === col(s"shb.$id"))
+      .withColumn("inter", size(array_intersect(col("sha.sh"), col("shb.sh"))))
       // UNROUNDED: jaccard is a ratio of exact integer counts, so IEEE
       // division is bit-exact across engines — round() is the one op that
       // can disagree (HALF_UP on the binary double vs decimal-aware, at
       // values landing on a .xxxx5 boundary). Rounding is for FLOAT
       // accumulations (cosine), never integer ratios.
       .withColumn("jaccard", col("inter").cast("double")
-        / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+        / (size(col("sha.sh")) + size(col("shb.sh")) - col("inter")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

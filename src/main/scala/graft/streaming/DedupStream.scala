@@ -111,6 +111,11 @@ class DedupStream(wh: Warehouse, k: Int = 5, numHashes: Int = 8,
     * pairs, and admit the batch (docs + signatures).
     */
   def processBatch(batch0: DataFrame): Unit = {
+    // phase labels (guide §1.5): foreachBatch runs on the stream thread, so
+    // the description is thread-local to exactly this batch's jobs — the UI
+    // and job-listener probes can attribute per-batch cost to its phase
+    def phase(name: String): Unit =
+      wh.spark.sparkContext.setJobDescription(s"dedup-stream: $name")
     val batch = batch0
       .select(col("doc_id").cast(LongType).as("doc_id"), col("text"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -177,6 +182,7 @@ class DedupStream(wh: Warehouse, k: Int = 5, numHashes: Int = 8,
     // bloom maintenance BEFORE the admit lands (write-ordering below): the
     // batch's band keys merge in, with a 2× rebuild from band-table ∪ batch
     // at saturation so the fpp stays honest as the corpus grows
+    phase("bloom maintenance")
     val newBloomRow = bloomState.map { case (cap, n, bf) =>
       // count + build in ONE pass over the batch keys (the separate
       // batchBands.count() job was half the forced-on mode's per-batch
@@ -194,36 +200,49 @@ class DedupStream(wh: Warehouse, k: Int = 5, numHashes: Int = 8,
       }
     }
     try {
+      val isAtomic = wh.isInstanceOf[graft.sources.AtomicWarehouse]
       wh.atomically { w =>
-      // pairs FIRST and alone: on the base warehouse its plan scans the
-      // index/band/corpus tables, so the admit appends must not land new
-      // files while it runs (a probe that saw the batch's own signatures
-      // would re-emit fresh×fresh pairs through the fresh×corpus path);
-      // under staged writes the admits are invisible to the plan anyway
-      w.append(pairsTable, pairs)
-      // bloom BEFORE the band append (ExactDedupStream's ordering): a crash
-      // mid-admit leaves the filter a SUPERSET of the index — extra maybes,
-      // never the false negatives that would lose pairs
-      newBloomRow.foreach { case (cap, n, bf) =>
-        w.replace(bloomTable, bloomRowDf(cap, n, bf))
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.util.{Failure, Try}
+      // On the BASE warehouse pairs go FIRST and alone: its plan scans the
+      // index/band/corpus directories, so the admit appends must not land
+      // new files while it runs (a probe that saw the batch's own signatures
+      // would re-emit fresh×fresh pairs through the fresh×corpus path), and
+      // the bloom must land BEFORE the band append (a crash mid-admit leaves
+      // the filter a SUPERSET of the index — extra maybes, never the false
+      // negatives that would lose pairs). On an ATOMIC warehouse both
+      // orderings are moot — reads resolve the pre-transaction manifest
+      // (staged files are invisible) and the commit is all-or-nothing — so
+      // the pairs write joins the concurrent batch and one write-round of
+      // latency disappears from every micro-batch.
+      val pairsWrite = () => { phase("pairs compute+append"); w.append(pairsTable, pairs) }
+      if (!isAtomic) {
+        pairsWrite()
+        newBloomRow.foreach { case (cap, n, bf) =>
+          w.replace(bloomTable, bloomRowDf(cap, n, bf))
+        }
       }
-      // the three admit appends are independent writes of already-persisted
-      // frames (no reads) — run them concurrently to collapse three job
+      // the admit appends are independent writes of already-persisted
+      // frames (no reads) — run them concurrently to collapse their job
       // latencies into one; the per-batch harness overhead is the dominant
       // cost of small micro-batches. ALL futures are awaited to settlement
       // before any failure propagates — bailing on the first error would
       // leave siblings writing in the background, widening the partial-batch
       // window beyond the documented ≤3-table contract
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      import scala.util.{Failure, Try}
+      phase("admit appends")
+      val writes = Seq(
+        () => w.append(indexTable, batchSigs),
+        // key-sorted within files so parquet min/max stats stay tight per group
+        () => w.append(bandTable, batchBands.sortWithinPartitions("key")),
+        () => w.append(corpusTable, batch)) ++
+        (if (isAtomic)
+          newBloomRow.map { case (cap, n, bf) =>
+            () => w.replace(bloomTable, bloomRowDf(cap, n, bf)) }.toSeq :+ pairsWrite
+         else Nil)
       val settled: Seq[Try[Unit]] = Await.result(
-        Future.sequence(Seq(
-          Future(w.append(indexTable, batchSigs)),
-          // key-sorted within files so parquet min/max stats stay tight per group
-          Future(w.append(bandTable, batchBands.sortWithinPartitions("key"))),
-          Future(w.append(corpusTable, batch))
-        ).map(_.transform(scala.util.Success(_)))),
+        Future.sequence(writes.map(f => Future(f())
+          .transform(scala.util.Success(_)))),
         scala.concurrent.duration.Duration(10, "min"))
       settled.collectFirst { case Failure(e) => throw e }
       }
@@ -238,6 +257,7 @@ class DedupStream(wh: Warehouse, k: Int = 5, numHashes: Int = 8,
     } finally {
       batchSigs.unpersist(false)
       batch.unpersist(false)
+      wh.spark.sparkContext.setJobDescription(null)
     }
     batchesSinceCompact += 1
     if (compactEvery > 0 && batchesSinceCompact >= compactEvery) {

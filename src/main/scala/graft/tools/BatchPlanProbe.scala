@@ -1,0 +1,70 @@
+package graft.tools
+
+import graft.GraftSession
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** One-off plan probe for the DedupStream per-batch pairs computation: builds
+  * the exact incremental plan processBatch hands to the pairs append (batch 3
+  * against a 2/3-full persisted index) and prints explain("formatted") plus
+  * the job count of executing it once — the measured shape behind the
+  * dedup_stream optimization work.
+  */
+object BatchPlanProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.builder().appName("batch-plan-probe").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val ss = GraftSession.streamSession(spark)
+    val wh = new graft.sources.AtomicWarehouse(ss,
+      java.nio.file.Files.createTempDirectory("graft-bpp-").toString)
+    val ds = new graft.streaming.DedupStream(wh,
+      minJaccard = 0.35, minSigMatchesOverride = 4)
+    val docs = ss.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast(LongType).as("doc_id"), col("text"))
+    // admit batches 0 and 1 the way the stream does
+    (0 until 2).foreach { i =>
+      ds.processBatch(docs.filter(pmod(col("doc_id"), lit(3)) === i))
+    }
+    // batch 2's pairs plan, exactly as processBatch builds it
+    val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val batchSigs = Dedup.minhashSignatures(batch, "doc_id", "text", 5, 8)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = Dedup.incrementalLshVerifiedPairs(
+      wh.read(ds.corpusTable, ds.docSchema), wh.read(ds.indexTable, ds.sigSchema), batch,
+      "doc_id", "text", 5, 8, 2, 0.35, 4, freshSigsPre = Some(batchSigs),
+      persistCorpusSigs = false,
+      corpusBandsPre = Some(wh.read(ds.bandTable, ds.bandSchema)),
+      probeKeyLimit = 0, pointLookupMaxIds = 0, bandBloom = None)
+    println("=== pairs plan (before execution) ===")
+    println(pairs.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+    val n = new java.util.concurrent.atomic.AtomicInteger()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        n.incrementAndGet()
+    })
+    def timed(label: String)(f: => Unit): Unit = {
+      val j0 = n.get; val t0 = System.nanoTime(); f
+      println(f"=== $label: ${(System.nanoTime() - t0) / 1e9}%.2f s, jobs=${n.get - j0} ===")
+    }
+    // sub-plan timings: candidate generation alone, then the full pipeline
+    // (the second run reuses any cache the first materialized, so run full
+    // FIRST on a fresh plan, then the pieces)
+    timed("full pairs")(pairs.write.format("noop").mode("overwrite").save())
+    timed("full pairs again")(pairs.write.format("noop").mode("overwrite").save())
+    // fresh warehouse state unchanged; rebuild the plan to drop cand cache
+    val pairs2 = Dedup.incrementalLshVerifiedPairs(
+      wh.read(ds.corpusTable, ds.docSchema), wh.read(ds.indexTable, ds.sigSchema), batch,
+      "doc_id", "text", 5, 8, 2, 0.35, 4, freshSigsPre = Some(batchSigs),
+      persistCorpusSigs = false,
+      corpusBandsPre = Some(wh.read(ds.bandTable, ds.bandSchema)),
+      probeKeyLimit = 0, pointLookupMaxIds = 0, bandBloom = None)
+    timed("full pairs fresh plan")(pairs2.write.format("noop").mode("overwrite").save())
+    println("=== executed plan (final adaptive) ===")
+    println(pairs2.queryExecution.executedPlan.toString.take(8000))
+    spark.stop()
+  }
+}

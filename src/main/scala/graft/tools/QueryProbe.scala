@@ -28,8 +28,13 @@ object QueryProbe {
     var recording = false
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = if (recording) {
-        val site = Seq("spark.job.description", "callSite.short")
-          .flatMap(k => Option(j.properties.getProperty(k))).headOption.getOrElse("?")
+        // the final stage's name carries the action's call site (e.g.
+        // "collect at Dedup.scala:334"); job description/properties are
+        // usually empty under library code
+        val desc = Option(j.properties.getProperty("spark.job.description"))
+          .filter(_.nonEmpty)
+        val stage = j.stageInfos.lastOption.map(s => s.name.take(60)).getOrElse("?")
+        val site = desc.map(d => s"$d | $stage").getOrElse(stage)
         starts.put(j.jobId, (site, System.nanoTime()))
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = if (recording) {
