@@ -740,11 +740,18 @@ object Dedup {
     val normed = df.select(col(id), col(vec), Transforms.vecNorm(col(vec)).as("nrm"))
     val a = normed.select(col(id).as("id_a"), col(vec).as("v_a"), col("nrm").as("n_a"))
     val b = normed.select(col(id).as("id_b"), col(vec).as("v_b"), col("nrm").as("n_b"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cosine", round(
-        when(col("n_a") === 0 || col("n_b") === 0, lit(0.0))
-          .otherwise(Transforms.vecDot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))), 4))
-      .filter(col("cosine") >= threshold)
+    val cosine = round(
+      when(col("n_a") === 0 || col("n_b") === 0, lit(0.0))
+        .otherwise(Transforms.vecDot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))), 4)
+    // BOTH predicates belong in the join condition, cheap one FIRST: a
+    // post-join filter gets pushed into the nested-loop condition anyway,
+    // but PREPENDED — the plan then ran the 64-float dot for every ordered
+    // pair before testing id_a < id_b, paying the kernel twice per
+    // unordered pair. With the explicit order the generated condition
+    // short-circuits on the id test and half the dot products disappear;
+    // survivors (few) recompute the cosine once in the output projection.
+    a.join(b, col("id_a") < col("id_b") && cosine >= threshold)
+      .withColumn("cosine", cosine)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 

@@ -42,9 +42,15 @@ object BatchPlanProbe {
     println(pairs.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
     val n = new java.util.concurrent.atomic.AtomicInteger()
+    val t0s = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         n.incrementAndGet()
+        t0s.put(j.jobId, System.nanoTime())
+      }
+      override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        Option(t0s.remove(e.jobId)).foreach(t0 =>
+          println(f"  [job ${e.jobId}] ${(System.nanoTime() - t0) / 1e6}%.0f ms"))
     })
     def timed(label: String)(f: => Unit): Unit = {
       val j0 = n.get; val t0 = System.nanoTime(); f
