@@ -49,6 +49,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fn("graft_shingle_count", exprs => ShingleCountExpr(exprs.head, k = 3))
     fn("graft_minhash_sig", exprs => MinHashSigExpr(exprs.head, k = 5,
       graft.operators.Dedup.MinHashA.take(8), graft.operators.Dedup.MinHashB.take(8)))
+    fn("graft_intersect_count", exprs => IntersectCountExpr(exprs(0), exprs(1)))
   }
 }
 

@@ -372,7 +372,11 @@ object Dedup {
     val shB = sh.alias("shb")
     cand.join(shA, col("id_a") === col(s"sha.$id"))
       .join(shB, col("id_b") === col(s"shb.$id"))
-      .withColumn("inter", size(array_intersect(col("sha.sh"), col("shb.sh"))))
+      // IntersectCountExpr ≡ size(array_intersect(...)) without building
+      // the intersection array per pair — the count is all jaccard needs,
+      // and at candidate-pair volume the array allocation IS the kernel
+      .withColumn("inter", shims.column(graft.functions.IntersectCountExpr(
+        shims.expression(col("sha.sh")), shims.expression(col("shb.sh")))))
       // UNROUNDED: jaccard is a ratio of exact integer counts, so IEEE
       // division is bit-exact across engines — round() is the one op that
       // can disagree (HALF_UP on the binary double vs decimal-aware, at

@@ -69,8 +69,19 @@ object BatchPlanProbe {
       corpusBandsPre = Some(wh.read(ds.bandTable, ds.bandSchema)),
       probeKeyLimit = 0, pointLookupMaxIds = 0, bandBloom = None)
     timed("full pairs fresh plan")(pairs2.write.format("noop").mode("overwrite").save())
-    println("=== executed plan (final adaptive) ===")
-    println(pairs2.queryExecution.executedPlan.toString.take(8000))
+    // volumes behind the per-batch cost: band collisions, prefilter
+    // survivors, verified pairs
+    val freshBands = Dedup.bandKeys(batchSigs, "doc_id", 8, 2)
+    val corpusBands = wh.read(ds.bandTable, ds.bandSchema)
+    val cand0 = corpusBands.union(freshBands).alias("a")
+      .join(freshBands.alias("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
+      .distinct()
+    println(s"=== cand0 (band collisions): ${cand0.count()} ===")
+    println(s"=== verified pairs: ${pairs2.count()} ===")
     spark.stop()
   }
 }

@@ -117,6 +117,28 @@ class PropertySpec extends SparkSpec {
     assert(r.getAs[scala.collection.Seq[Long]]("mh").length == 8)
   }
 
+  test("graft_intersect_count ≡ size(array_intersect) incl. dups, nulls, empties") {
+    // adversarial inputs: shared elements, within-array duplicates, null
+    // elements on either/both sides, empty arrays — the exact cases where a
+    // counting shortcut could diverge from the built-in's distinct-common
+    // semantics (the LSH verify kernel relies on the equivalence)
+    val rows = spark.sql(
+      """SELECT a, b,
+        |       graft_intersect_count(a, b) AS fast,
+        |       size(array_intersect(a, b)) AS ref
+        |FROM VALUES
+        |  (array('x','y','z'), array('y','z','w')),
+        |  (array('x','x','y'), array('x','x','x','y','y')),
+        |  (array('x', CAST(NULL AS STRING)), array(CAST(NULL AS STRING), 'q')),
+        |  (array(CAST(NULL AS STRING), CAST(NULL AS STRING)), array(CAST(NULL AS STRING))),
+        |  (array('x'), array()),
+        |  (array(), array()),
+        |  (array('a b','c'), array('a','b','c','a b')) AS t(a, b)""".stripMargin)
+      .collect()
+    rows.foreach(r => assert(r.getAs[Int]("fast") == r.getAs[Int]("ref"),
+      s"mismatch on ${r.getSeq[String](0)} vs ${r.getSeq[String](1)}"))
+  }
+
   test("language/quality from profile equal the composed forms on real docs") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val both = docs
