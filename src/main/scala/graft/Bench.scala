@@ -52,7 +52,14 @@ import org.apache.spark.sql.SparkSession
   *     canary-gated median ([[cleanMedian]]): contention on a subset of reps
   *     can no longer put a contaminated number on record as THE number (r9's
   *     doc_stats median straddled two inflated reps while its clean reps sat
-  *     at 0.6 s).
+  *     at 0.6 s). Clean is CAPPED at the raw median (r17: when most reps
+  *     carried inflated canaries, the selector kept one slow "clean" rep and
+  *     reported 14.7 against a raw median of 4.1).
+  *   - Every summary line (full, compact, BENCHBOOK) echoes "cpus" — the
+  *     honored $SPARK_GRAFT_CPUS — so the driver's scaling comparison can
+  *     verify from the artifact alone that the low-core run really ran at
+  *     the low core count (r17 flagged suspect_cpus_ignored because nothing
+  *     in the output demonstrated the honored contract).
   *   - A FULL run (no SPARK_GRAFT_ONLY filter) appends one line per round to
   *     the git-tracked BENCHBOOK.jsonl: `{"round":N,"sf":...,
   *     "data_fingerprint":{table:{bytes,rows}},"medians_clean":{...},
@@ -95,7 +102,13 @@ object Bench {
     else {
       val clean = times.zip(canaries)
         .collect { case (t, c) if baseCanary <= 0 || c <= 1.5 * baseCanary => t }
-      if (clean.size >= 2) Some(median(clean)) else Some(times.min)
+      // Capped at the RAW median: the gate exists to remove contention
+      // inflation, so "clean" must never be the WORSE number — r17's official
+      // run recorded dedup_components_incremental clean 14.68 vs raw median
+      // 4.15 because most reps carried inflated canaries and the selector
+      // kept the one slow "clean" rep as the clean median.
+      if (clean.size >= 2) Some(math.min(median(clean), median(times)))
+      else Some(times.min)
     }
   }
 
@@ -373,7 +386,7 @@ object Bench {
     val total = medians.map(_._2).sum
     val canaryMedian = if (results.nonEmpty) median(results.map(_._4)) else 0.0
     val line =
-      f"""{"metric":"total_runtime","value":$total%.3f,"unit":"sec","queries":$qsJson,"queries_clean":$qsCleanJson,"reps":$repsJson,"errors":$errsJson,"canary_median_s":$canaryMedian%.3f,"sf":"$sfDir"}"""
+      f"""{"metric":"total_runtime","value":$total%.3f,"unit":"sec","queries":$qsJson,"queries_clean":$qsCleanJson,"reps":$repsJson,"errors":$errsJson,"canary_median_s":$canaryMedian%.3f,"cpus":$cpus,"sf":"$sfDir"}"""
     println(line)
     appendLine(line) // final JSONL line = the summary; partial file is still valid JSONL
     // cross-round bench book: one tracked line per FULL run. Round number
@@ -409,7 +422,7 @@ object Bench {
           (rs :+ 0).max + 1
         }
       val fpJson = dataFingerprint(spark, sfDir)
-      val bookLine = f"""{"round":$round,"run_id":"$runId","sf":"$sfDir","ts":${System.currentTimeMillis() / 1000},"canary_median_s":$canaryMedian%.3f,"total_s":$total%.3f,"data_fingerprint":$fpJson,"medians_clean":$qsCleanJson,"medians":$qsJson}"""
+      val bookLine = f"""{"round":$round,"run_id":"$runId","sf":"$sfDir","ts":${System.currentTimeMillis() / 1000},"canary_median_s":$canaryMedian%.3f,"total_s":$total%.3f,"cpus":$cpus,"data_fingerprint":$fpJson,"medians_clean":$qsCleanJson,"medians":$qsJson}"""
       appendTo(bookPath, bookLine)
     }
     // The LAST stdout line is a COMPACT self-adjudicating summary. The full
@@ -453,7 +466,7 @@ object Bench {
     val totalClean = results.collect { case (_, ts, _, _, tc, _, _) if ts.nonEmpty =>
       cleanMedian(tc.map(_._1), tc.map(_._2), runBase).get }.sum
     val compact =
-      f"""{"metric":"total_runtime","value":$total%.3f,"unit":"sec","queries":$slowest,"queries_truncated_to_slowest":10,"sf":"$sfDir","n_queries":${medians.size},"n_errors":$nErr,"canary_median_s":$canaryMedian%.3f,"canary_min_s":$cMin%.3f,"canary_max_s":$cMax%.3f,"total_clean":$totalClean%.3f,"flagged":$flagged,"flagged_dropped":$flaggedDropped,"run_id":"$runId","detail":"per-query lines: target/bench.json; per-rep history: BENCHBOOK.jsonl"}"""
+      f"""{"metric":"total_runtime","value":$total%.3f,"unit":"sec","queries":$slowest,"queries_truncated_to_slowest":10,"sf":"$sfDir","n_queries":${medians.size},"n_errors":$nErr,"canary_median_s":$canaryMedian%.3f,"canary_min_s":$cMin%.3f,"canary_max_s":$cMax%.3f,"total_clean":$totalClean%.3f,"cpus":$cpus,"flagged":$flagged,"flagged_dropped":$flaggedDropped,"run_id":"$runId","detail":"per-query lines: target/bench.json; per-rep history: BENCHBOOK.jsonl"}"""
     println(compact)
     spark.stop()
   }

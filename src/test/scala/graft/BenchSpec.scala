@@ -33,6 +33,16 @@ class BenchSpec extends SparkSpec {
     assert(Bench.cleanMedian(times, canaries, 0.06).contains(1.9))
   }
 
+  test("cleanMedian never exceeds the raw median (r17 dedup_components_incremental shape)") {
+    // most reps carry inflated canaries; the two canary-clean reps happen to
+    // be the SLOW ones (the machine quieted down exactly while the query ran
+    // slow for unrelated reasons). The gate would report 14.8 as "clean"
+    // against a raw median of 4.2 — the guard caps clean at the raw median.
+    val times = Seq(4.0, 4.1, 4.2, 14.7, 14.9)
+    val canaries = Seq(0.20, 0.20, 0.20, 0.060, 0.062)
+    assert(Bench.cleanMedian(times, canaries, 0.062).contains(4.2))
+  }
+
   test("cleanMedian with no baseline gates nothing; empty reps yield None") {
     val times = Seq(1.0, 2.0, 3.0)
     assert(Bench.cleanMedian(times, Seq(9.0, 9.0, 9.0), 0.0).contains(2.0))
