@@ -38,15 +38,37 @@ class Pipeline(val spark: SparkSession, val wh: Warehouse) {
     val transformed = TransformPipeline(Canonicalize.canonicalize(Canonicalize.dropJunkColumns(raw)))
     val batch = Staging.build(transformed, batchGuid)
 
-    // persist staging (batch-scoped, mirrors Staging.* tables; cleaned below)
+    // persist staging (batch-scoped, mirrors Staging.* tables; cleaned below).
+    // The summary counts ride the writes as OBSERVED metrics (rows written ≡
+    // rows read back — the three read-back count() jobs were pure overhead),
+    // and the three independent appends run concurrently so their job
+    // latencies collapse into one stage wave (guide §1.5/§2.6): a processCsv
+    // run paid 6 serial driver jobs here, now 1 wave.
     val stagingDir = s"staging/$batchGuid"
-    wh.append(s"$stagingDir/Provider", batch.provider)
-    wh.append(s"$stagingDir/Product", batch.product)
-    wh.append(s"$stagingDir/Provider_Product", batch.providerProduct)
+    import org.apache.spark.sql.{functions => F, Observation}
+    val staged = Seq(
+      ("Provider", batch.provider), ("Product", batch.product),
+      ("Provider_Product", batch.providerProduct)).map { case (t, df) =>
+      val obs = Observation(s"staging-$batchGuid-$t")
+      (t, df.observe(obs, F.count(F.lit(1)).as("n")), obs)
+    }
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val settled = Await.result(
+        Future.sequence(staged.map { case (t, df, _) =>
+          Future(wh.append(s"$stagingDir/$t", df))
+            .transform(scala.util.Success(_))
+        }), scala.concurrent.duration.Duration(10, "min"))
+      settled.collectFirst { case scala.util.Failure(e) => throw e }
+    }
+    def observedCount(obs: Observation): Long =
+      obs.get("n") match { case n: Number => n.longValue(); case _ => 0L }
     val sp = wh.spark.read.parquet(wh.path(s"$stagingDir/Provider"))
     val spr = wh.spark.read.parquet(wh.path(s"$stagingDir/Product"))
     val spp = wh.spark.read.parquet(wh.path(s"$stagingDir/Provider_Product"))
-    val summary = StagingSummary(sp.count(), spr.count(), spp.count())
+    val summary = StagingSummary(observedCount(staged(0)._3),
+      observedCount(staged(1)._3), observedCount(staged(2)._3))
 
     // merge staging → dims (J1-J5), in dependency order, as ONE declared
     // transaction — the boundary the reference gets from SQL Server

@@ -4,7 +4,7 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, collect_set, count, expr, lit, slice, sort_array, sum, when}
+import org.apache.spark.sql.functions.{array, coalesce, col, collect_set, count, explode, expr, lit, slice, sort_array, struct, sum, when, filter => arrFilter}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.util.sketch.BloomFilter
 
@@ -3387,11 +3387,29 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       }: _*)
     rewriteWhere(table, schema, preds,
       { case (df, hit) => applySets(df, hit) },
-      { case (df, hit) =>
-        val touched = df.filter(hit)
-        touched.withColumn(changeTypeCol, lit("update_preimage"))
-          .unionByName(applySets(touched, hit)
-            .withColumn(changeTypeCol, lit("update_postimage"))) })
+      { case (df, hit) => updateChangeRows(schema, setMap, df, hit) })
+  }
+
+  /** UPDATE change slice in ONE pass: pre- and post-image per touched row as
+    * an exploded 2-struct array — the 2-branch union scanned the candidate
+    * files twice (each scan paying its own DV anti-join broadcast and AQE
+    * stage jobs) for rows one pass can emit. Row order within the commit's
+    * change file differs from the union form; change-feed order inside a
+    * commit carries no meaning.
+    */
+  private def updateChangeRows(schema: StructType, setMap: Map[String, Column],
+      df: DataFrame, hit: Column): DataFrame = {
+    val ctc = changeTypeCol
+    val pre = struct(schema.fields.toSeq.map(f => col(f.name).as(f.name)) :+
+      lit("update_preimage").as(ctc): _*)
+    val post = struct(schema.fields.toSeq.map { f =>
+      (setMap.get(f.name) match {
+        case Some(e) => when(hit, e.cast(f.dataType)).otherwise(col(f.name))
+        case None => col(f.name)
+      }).as(f.name)
+    } :+ lit("update_postimage").as(ctc): _*)
+    df.filter(hit).select(explode(array(pre, post)).as("__c"))
+      .select((schema.fieldNames.toSeq :+ ctc).map(n => col(s"__c.$n").as(n)): _*)
   }
 
   /** [[deleteWhere]] for conditions OUTSIDE the [[FilePred]] algebra
@@ -3432,11 +3450,7 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       }: _*)
     rewriteWhereCond(table, schema, prunePreds, cond,
       { case (df, hit) => applySets(df, hit) },
-      { case (df, hit) =>
-        val touched = df.filter(hit)
-        touched.withColumn(changeTypeCol, lit("update_preimage"))
-          .unionByName(applySets(touched, hit)
-            .withColumn(changeTypeCol, lit("update_postimage"))) })
+      { case (df, hit) => updateChangeRows(schema, setMap, df, hit) })
   }
 
   private def requireRewritableCond(cond: Column, op: String): Unit = {
@@ -4134,10 +4148,24 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       s"mergeInto source is missing target column '$c'"))
     Seq("__t", "__s").foreach(m => require(!source.columns.contains(m),
       s"mergeInto source may not carry the reserved column '$m'"))
-    // the source keeps its EXTRA columns (a CDC op/sequence column) so the
-    // delete/insert conditions can reference them via the `s` alias; only
-    // schema columns reach the rewritten rows
-    val src = source
+    // TINY-SOURCE LOCALIZATION (guide §3.1/§5): the source subplan is
+    // otherwise re-executed once per consumer below — the pre-aggregate, the
+    // value-set collect, the match-count aggregate, the rewrite write, and
+    // the change-feed slice — which for a point upsert / CDC micro-batch is
+    // 4-5 full executions of a plan whose result is a handful of rows. One
+    // capped collect replaces the plan with a LocalRelation: every later
+    // consumer broadcasts driver-resident rows, and the pruning aggregates
+    // (run unchanged over the localized frame, so candidate routing — which
+    // `etl_sql_merge` exposes literally — is bit-identical) cost local-job
+    // latency instead of source re-execution. Over the cap the collected
+    // prefix is discarded and the generic path runs exactly as before.
+    val keyPruneCap = 1024
+    val src = {
+      val probe = source.limit(keyPruneCap + 1).collect()
+      if (probe.length <= keyPruneCap)
+        spark.createDataFrame(java.util.Arrays.asList(probe: _*), source.schema)
+      else source
+    }
     // ONE fused pre-job (per-key counts → one-row aggregate) answers
     // everything the merge needs to know about the source up front: the
     // SQL MERGE cardinality rule (max rows per key tuple), emptiness
@@ -4170,7 +4198,6 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     // (insert-only), so they never widen the candidate set; a key type the
     // stats algebra can't compare keeps every file — sound, only less
     // pruned.
-    val keyPruneCap = 1024
     val perCol: Seq[(String, Long, Any, Any)] = keyCols.zipWithIndex.map {
       case (c, i) =>
         val base = 2 + i * 3
@@ -4239,13 +4266,25 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
         if (notMatchedBySourceUpdate.isEmpty) lit(false)
         else onlyT && !nmbsDelHit &&
           nmbsUpdateWhen.map(c => coalesce(c, lit(false))).getOrElse(lit(true))
-      val counts = j.agg(
-        sum(when(matched && !delHit && updOk, 1L).otherwise(0L)),
-        sum(when(delHit, 1L).otherwise(0L)),
-        sum(when(insertable, 1L).otherwise(0L)),
-        sum(when(nmbsUpdHit, 1L).otherwise(0L)),
-        sum(when(nmbsDelHit, 1L).otherwise(0L))).head()
-      def cnt(i: Int): Long = if (counts.isNullAt(i)) 0L else counts.getLong(i)
+      val feedOn = changeFeedEnabled(table)
+      // The per-clause counts MergeIntoResult reports: when the change feed
+      // is on they ride the change-slice append as OBSERVED metrics (the
+      // slice's update_preimage/delete/insert rows are by construction
+      // exactly updated/deleted/inserted — and the slice is a plain append,
+      // one pass, so the observation cannot double-count); the dedicated
+      // aggregate job over the full-outer join runs only feed-off.
+      val eagerCounts: Option[(Long, Long, Long)] =
+        if (feedOn) None
+        else Some {
+          val counts = j.agg(
+            sum(when(matched && !delHit && updOk, 1L).otherwise(0L)),
+            sum(when(delHit, 1L).otherwise(0L)),
+            sum(when(insertable, 1L).otherwise(0L)),
+            sum(when(nmbsUpdHit, 1L).otherwise(0L)),
+            sum(when(nmbsDelHit, 1L).otherwise(0L))).head()
+          def cnt(i: Int): Long = if (counts.isNullAt(i)) 0L else counts.getLong(i)
+          (cnt(0) + cnt(3), cnt(1) + cnt(4), cnt(2))
+        }
       val updSet = whenMatchedUpdate.toMap
       val nmbsSet = notMatchedBySourceUpdate.toMap
       val insSet = insertAssign.toMap
@@ -4266,13 +4305,21 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
       // merge keys — so merges PRESERVE clustering instead of eroding it
       // (CdcSoak measures the difference as flat-vs-growing per-batch cost).
       val out = clusteredRewrite(table, schema, merged, cands.size, keyCols)
-      val feedOn = changeFeedEnabled(table)
+      // change slice in ONE pass over the join (guide §2.3): the old 6-branch
+      // union re-executed the candidate-file scan + source join once per
+      // branch — six scans (each paying the DV anti-join broadcast and its
+      // AQE stage jobs) to emit rows a single pass can classify. Each join
+      // row contributes 0-2 change images, built as a filtered struct array
+      // and exploded; row content is identical per-branch (same conditions,
+      // same casts), only the row ORDER within the commit's change file
+      // differs — change-feed row order inside a commit carries no meaning
+      // (consumers key on _change_type/_commit_version).
       def changeSlice: DataFrame = {
         val ctc = changeTypeCol
+        def img(cols: Seq[Column], tag: String): Column =
+          struct(cols :+ lit(tag).as(ctc): _*)
         def tCols = schema.fields.toSeq.map(f =>
           col(s"t.${f.name}").cast(f.dataType).as(f.name))
-        def sCols = schema.fields.toSeq.map(f =>
-          col(s"s.${f.name}").cast(f.dataType).as(f.name))
         def postCols = schema.fields.toSeq.map { f =>
           val updated =
             if (keyCols.contains(f.name)) col(s"t.${f.name}")
@@ -4286,30 +4333,55 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
           nmbsSet.getOrElse(f.name, col(s"t.${f.name}"))
             .cast(f.dataType).as(f.name))
         val updHit = matched && !delHit && updOk
-        j.filter(delHit || nmbsDelHit).select(tCols: _*)
-          .withColumn(ctc, lit("delete"))
-          .unionByName(j.filter(updHit).select(tCols: _*)
-            .withColumn(ctc, lit("update_preimage")))
-          .unionByName(j.filter(updHit).select(postCols: _*)
-            .withColumn(ctc, lit("update_postimage")))
-          .unionByName(j.filter(nmbsUpdHit).select(tCols: _*)
-            .withColumn(ctc, lit("update_preimage")))
-          .unionByName(j.filter(nmbsUpdHit).select(nmbsPostCols: _*)
-            .withColumn(ctc, lit("update_postimage")))
-          .unionByName(j.filter(insertable).select(insCols: _*)
-            .withColumn(ctc, lit("insert")))
+        val images = arrFilter(array(
+          when(delHit || nmbsDelHit, img(tCols, "delete")),
+          when(updHit, img(tCols, "update_preimage")),
+          when(updHit, img(postCols, "update_postimage")),
+          when(nmbsUpdHit, img(tCols, "update_preimage")),
+          when(nmbsUpdHit, img(nmbsPostCols, "update_postimage")),
+          when(insertable, img(insCols, "insert"))), x => x.isNotNull)
+        j.select(explode(images).as("__c"))
+          .select((schema.fieldNames.toSeq :+ ctc).map(n => col(s"__c.$n").as(n)): _*)
       }
       try {
+        // fresh Observation per retry attempt — an aborted commit's metrics
+        // must not satisfy the next attempt's get
+        val obs = if (feedOn) Some(new org.apache.spark.sql.Observation) else None
         atomically {
           case tv: TxView =>
-            tv.rewriteExcluding(table, cands, out, dvSnap)
-            if (feedOn) tv.append(changesTable(table), changeSlice)
-            alsoInTx(tv) // e.g. a stream's ingest-ledger row, same commit
+            // the rewrite and the change slice are independent staged writes
+            // over the SAME immutable candidate snapshot — run them (and any
+            // alsoInTx rows) concurrently, collapsing the commit's serial
+            // write waves into one (the DedupStream admit pattern; TxView
+            // stages thread-safely). All futures settle before an error
+            // propagates, so an abort never leaves a sibling mid-stage.
+            val ctc = changeTypeCol
+            val writes: Seq[() => Unit] =
+              Seq(() => tv.rewriteExcluding(table, cands, out, dvSnap)) ++
+              obs.map(o => () => tv.append(changesTable(table),
+                changeSlice.observe(o,
+                  sum(when(col(ctc) === "update_preimage", 1L).otherwise(0L)).as("u"),
+                  sum(when(col(ctc) === "delete", 1L).otherwise(0L)).as("d"),
+                  sum(when(col(ctc) === "insert", 1L).otherwise(0L)).as("i")))).toSeq ++
+              Seq(() => alsoInTx(tv)) // e.g. a stream's ingest-ledger row
+            import scala.concurrent.{Await, Future}
+            import scala.concurrent.ExecutionContext.Implicits.global
+            val settled = Await.result(
+              Future.sequence(writes.map(f => Future(f())
+                .transform(scala.util.Success(_)))),
+              scala.concurrent.duration.Duration(10, "min"))
+            settled.collectFirst { case scala.util.Failure(e) => throw e }
           case w => throw new IllegalStateException(
             s"AtomicWarehouse.atomically produced a ${w.getClass.getName}")
         }
-        return MergeIntoResult(cnt(0) + cnt(3), cnt(1) + cnt(4), cnt(2),
-          cands.size, untouched0.size)
+        val (u, d, i) = eagerCounts.getOrElse {
+          val m = obs.get.get
+          def n(k: String): Long = m(k) match {
+            case null => 0L; case v: Number => v.longValue()
+          }
+          (n("u"), n("d"), n("i"))
+        }
+        return MergeIntoResult(u, d, i, cands.size, untouched0.size)
       } catch {
         case _: java.util.ConcurrentModificationException => attempts += 1
       }
