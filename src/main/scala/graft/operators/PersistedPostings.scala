@@ -164,23 +164,67 @@ class PersistedPostings(private[graft] val wh: Warehouse, probeTermLimit: Int = 
     wh.exists(ingestTable) && !wh.read(ingestTable, ingestSchema)
       .filter(col("batch_id") === batchId).isEmpty
 
+  /** `max(seq)` over the stats table as a one-row aggregate FRAME — cross-
+    * joined into the other per-commit one-row aggregates so the next
+    * sequence number rides the same driver job instead of its own
+    * (`crossJoin` of single-row aggregates is one action; three serial
+    * `head()`s were three full stage waves per DML commit, the dominant
+    * fixed cost of the change-feed sync loop at micro-batch churn).
+    */
+  private def seqAggFrame: DataFrame =
+    wh.read(statsTable, statsSchema).agg(max(col("seq")).as("__maxseq"))
+
+  private def nextSeq(r: org.apache.spark.sql.Row, i: Int): Long =
+    if (r.isNullAt(i)) 1L else r.getLong(i) + 1L
+
+  /** Run the staged writes of one index commit CONCURRENTLY — they are
+    * independent appends of already-known frames (the postings append is
+    * the only distributed one; stats/ledger rows are local relations), and
+    * [[graft.sources.AtomicWarehouse]]'s TxView stages thread-safely (the
+    * dedup stream's admit already relies on it). Every future is awaited to
+    * settlement before a failure propagates, so an abort never leaves a
+    * sibling still writing into the stage dir.
+    */
+  private def stageConcurrently(writes: Seq[() => Unit]): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.util.{Failure, Try}
+    val settled: Seq[Try[Unit]] = Await.result(
+      Future.sequence(writes.map(f => Future(f())
+        .transform(scala.util.Success(_)))),
+      scala.concurrent.duration.Duration(10, "min"))
+    settled.collectFirst { case Failure(e) => throw e }
+  }
+
   private def admit(fresh: DataFrame, idCol: String, textCol: String,
       batchId: Option[Long]): Unit = {
     require(wh.exists(statsTable), s"$statsTable absent — build() first")
-    withToks(fresh, idCol, textCol) { (toks, n, sumdl) =>
-      val seq = wh.read(statsTable, statsSchema).agg(max(col("seq"))).head() match {
-        case r if r.isNullAt(0) => 1L
-        case r => r.getLong(0) + 1L
-      }
+    val toks = tokensOf(fresh, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // ONE fused driver job: batch stats (n, Σdl) + next sequence number
+      // (cross join of one-row aggregates; was two serial head()s)
+      val r = toks.agg(count(lit(1)).as("__n"),
+          sum(size(col("__ts")).cast(LongType)).as("__sumdl"))
+        .crossJoin(seqAggFrame).head()
+      val n = r.getLong(0)
+      val sumdl = if (r.isNullAt(1)) 0L else r.getLong(1)
+      val seq = nextSeq(r, 2)
       wh.atomically { w =>
-        w.append(postingsTable, postingsOfToks(toks).sortWithinPartitions("t"))
-        w.append(statsTable, statsRow(seq, n, sumdl))
-        batchId.foreach { b =>
-          w.append(ingestTable, wh.spark.createDataFrame(
-            java.util.Arrays.asList(org.apache.spark.sql.Row(Long.box(b))), ingestSchema))
-        }
+        val writes = Seq(
+          () => w.append(postingsTable, postingsOfToks(toks).sortWithinPartitions("t")),
+          () => w.append(statsTable, statsRow(seq, n, sumdl))) ++
+          batchId.map { b =>
+            () => w.append(ingestTable, wh.spark.createDataFrame(
+              java.util.Arrays.asList(org.apache.spark.sql.Row(Long.box(b))), ingestSchema))
+          }.toSeq
+        // concurrency is safe only when the section really stages (TxView):
+        // on the base warehouse `atomically` is pass-through and sequential
+        // appends keep the documented at-least-once ordering
+        if (wh.isInstanceOf[graft.sources.AtomicWarehouse]) stageConcurrently(writes)
+        else writes.foreach(_())
       }
-    }
+    } finally toks.unpersist(false)
   }
 
   def postings(): DataFrame = wh.read(postingsTable, postingsSchema)
@@ -323,11 +367,17 @@ class PersistedPostings(private[graft] val wh: Warehouse, probeTermLimit: Int = 
     */
   def applyChangeLedgered(outIds: Seq[Long], fresh: Option[DataFrame],
       idCol: String, textCol: String, batchId: Long): Unit = {
-    val needOut = outIds.nonEmpty && !retracted(batchId)
-    val needIn = fresh.isDefined && !ingested(batchId)
+    // ONE fused ledger probe: both replay ledgers are tiny batch-count
+    // tables, and the two separate isEmpty probes were two of the four
+    // fixed driver jobs every synced DML commit paid (FtsSyncProbe2)
+    val (wasRetracted, wasIngested) = ledgerState(batchId)
+    val needOut = outIds.nonEmpty && !wasRetracted
+    val needIn = fresh.isDefined && !wasIngested
     if (!needOut && !needIn) ()
-    else if (!needOut) addDocsLedgered(fresh.get, idCol, textCol, batchId)
-    else if (!needIn) retractDocsLedgered(outIds, batchId)
+    else if (!needOut) {
+      if (!wasIngested) admit(fresh.get, idCol, textCol, Some(batchId))
+    }
+    else if (!needIn) retract(outIds, Some(batchId))
     else {
       val awh = wh match {
         case a: graft.sources.AtomicWarehouse => a
@@ -337,34 +387,211 @@ class PersistedPostings(private[graft] val wh: Warehouse, probeTermLimit: Int = 
       }
       require(wh.exists(statsTable), s"$statsTable absent — build() first")
       val distinct = outIds.distinct
-      val dlGone = postings().filter(col("id").isInCollection(distinct))
-        .groupBy(col("id")).agg(any_value(col("dl")).as("dl"))
-        .agg(coalesce(sum(col("dl")), lit(0L))).head().getLong(0)
-      withToks(fresh.get, idCol, textCol) { (toks, n, sumdl) =>
-        val seq = wh.read(statsTable, statsSchema).agg(max(col("seq"))).head() match {
-          case r if r.isNullAt(0) => 1L
-          case r => r.getLong(0) + 1L
-        }
-        def ledger(w: Warehouse, t: String): Unit =
-          w.append(t, wh.spark.createDataFrame(
-            java.util.Arrays.asList(org.apache.spark.sql.Row(Long.box(batchId))),
-            ingestSchema))
-        def rest(w: Warehouse): Unit = {
-          w.append(statsTable,
+      val toks = tokensOf(fresh.get, idCol, textCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // ONE fused driver job for every scalar the commit needs (was three
+        // serial head()s — batch stats, retractee Σdl, next seq): cross join
+        // of one-row aggregates, materializing the toks persist as it runs
+        val r0 = toks.agg(count(lit(1)).as("__n"),
+            sum(size(col("__ts")).cast(LongType)).as("__sumdl"))
+          .crossJoin(dlGoneAggFrame(distinct))
+          .crossJoin(seqAggFrame).head()
+        val n = r0.getLong(0)
+        val sumdl = if (r0.isNullAt(1)) 0L else r0.getLong(1)
+        val dlGone = r0.getLong(2)
+        val seq = nextSeq(r0, 3)
+        def ledgerRowDf: DataFrame = wh.spark.createDataFrame(
+          java.util.Arrays.asList(org.apache.spark.sql.Row(Long.box(batchId))),
+          ingestSchema)
+        def rest(w: Warehouse): Unit = stageConcurrently(Seq(
+          () => w.append(statsTable,
             statsRow(seq, -distinct.size.toLong, -dlGone)
-              .union(statsRow(seq + 1, n, sumdl)))
-          ledger(w, retractTable)
-          w.append(postingsTable, postingsOfToks(toks).sortWithinPartitions("t"))
-          ledger(w, ingestTable)
-        }
+              .union(statsRow(seq + 1, n, sumdl))),
+          () => w.append(retractTable, ledgerRowDf),
+          () => w.append(postingsTable, postingsOfToks(toks).sortWithinPartitions("t")),
+          () => w.append(ingestTable, ledgerRowDf)))
         val r = awh.deleteWhereDv(postingsTable, postingsSchema,
           Seq(graft.sources.ColIn("id", distinct)), alsoInTx = rest)
         // token-less retractees tombstone nothing, but the stats correction,
         // the admission, and both ledger rows must still land — atomically
         if (r.deleted == 0L) wh.atomically(rest)
-      }
+      } finally toks.unpersist(false)
     }
   }
+
+  /** Apply a WHOLE multi-commit change window as ONE atomic index commit —
+    * the K-commit fusion of [[applyChangeLedgered]] (which fused one
+    * commit's retract+admit): the per-commit fixed latency (ledger probes,
+    * scalar aggregates, a manifest commit fsync each) dominated small-churn
+    * windows, and a window of K corpus commits cost K index commits.
+    *
+    * Equivalence to the sequential replay (what the `etl_fts_sync` oracle
+    * checks — a from-scratch build over the live corpus):
+    *   - LIVE postings: sequential application tombstones each commit's
+    *     retractees and appends each commit's admissions; intermediate
+    *     states (a doc updated twice) are written then tombstoned. The
+    *     fused form never writes the intermediates: it tombstones only the
+    *     PRE-WINDOW postings of ids whose FIRST window event is a
+    *     retraction (set R — an id first admitted inside the window has no
+    *     pre-window rows), and appends only the LAST admitted text of ids
+    *     whose last event is an admission (set A). Live rows after either
+    *     form: pre-window minus R plus A — identical.
+    *   - STATS SUMS (all any query reads): per id the sequential window
+    *     contribution telescopes to (last-event-admit ? +1+dl_final : 0)
+    *     − (first-event-retract ? 1+dl_pre : 0), which is exactly the one
+    *     negative row (−|R|, −Σdl_pre) + one positive row (+|A|, +Σdl_final)
+    *     the fused commit writes. Individual stats ROWS differ; their sums
+    *     (N, Σdl — the only consumers) are bit-equal, integer addition.
+    *   - LEDGERS: the same per-version rows land, all-or-nothing; replay of
+    *     a crashed window sees none applied and replays whole.
+    *
+    * Returns false WITHOUT side effects when the window cannot be proven
+    * fusable — any window version already (partially) ledgered, e.g. a
+    * wound-back cursor replaying an old two-commit crash — the caller then
+    * falls back to the per-commit path, whose ledger probes converge each
+    * version independently. `retracts` values must be ≤censusIdCap-bounded
+    * distinct id sets (the ChangeFeedSync census contract).
+    */
+  def applyWindowLedgered(retracts: Seq[(Long, Seq[Long])],
+      admits: Seq[(Long, DataFrame)], idCol: String, textCol: String): Boolean = {
+    val versions = (retracts.map(_._1) ++ admits.map(_._1)).distinct
+    if (versions.isEmpty) return true
+    if (anyLedgered(versions)) return false
+    val awh = wh match {
+      case a: graft.sources.AtomicWarehouse => a
+      case _ => throw new IllegalStateException(
+        "applyWindowLedgered needs an AtomicWarehouse — merge-on-read " +
+          "retraction rides deletion vectors")
+    }
+    require(wh.exists(statsTable), s"$statsTable absent — build() first")
+    import org.apache.spark.sql.types.LongType
+    // per-id retract version bounds, driver-side (census-capped sets)
+    val retractMin = scala.collection.mutable.Map[Long, Long]()
+    val retractMax = scala.collection.mutable.Map[Long, Long]()
+    retracts.foreach { case (v, ids) => ids.distinct.foreach { id =>
+      retractMin(id) = retractMin.get(id).fold(v)(math.min(_, v))
+      retractMax(id) = retractMax.get(id).fold(v)(math.max(_, v))
+    } }
+    val ua = admits.map { case (v, df) =>
+      df.select(col(idCol).cast(LongType).as("id"), col(textCol).as("__text"),
+        lit(v).as("__v"))
+    }.reduceOption(_ unionByName _)
+    // R: ids whose FIRST window event is a retraction (min retract version ≤
+    // min admit version — within one commit the update preimage precedes the
+    // postimage, so a tie is retract-first). Ids never admitted in-window
+    // are trivially R. One driver job over the admit union, retract ids only.
+    val rids = retractMin.keys.toSeq
+    val admitMinV: Map[Long, Long] = (ua, rids) match {
+      case (Some(u), ids) if ids.nonEmpty =>
+        u.filter(col("id").isInCollection(ids))
+          .groupBy(col("id")).agg(min(col("__v")).as("mv")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      case _ => Map.empty
+    }
+    val R: Seq[Long] = rids.filter(id =>
+      admitMinV.get(id).forall(retractMin(id) <= _)).sorted
+    // A: the last admitted text of ids whose LAST window event is an
+    // admission (max admit version ≥ max retract version; a tie is
+    // admit-last). The retract bounds ride in as a broadcast local relation.
+    val finalDocs: Option[DataFrame] = ua.map { u =>
+      val agg = u.groupBy(col("id")).agg(
+        max_by(col("__text"), col("__v")).as("__text"), max(col("__v")).as("__maxv"))
+      val filtered =
+        if (retractMax.isEmpty) agg
+        else {
+          val rmax = wh.spark.createDataFrame(
+            java.util.Arrays.asList(retractMax.toSeq.sortBy(_._1).map { case (id, v) =>
+              org.apache.spark.sql.Row(Long.box(id), Long.box(v)) }: _*),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("id", LongType, nullable = false),
+              org.apache.spark.sql.types.StructField("__maxrv", LongType, nullable = false))))
+          agg.join(broadcast(rmax), Seq("id"), "left")
+            .filter(col("__maxrv").isNull || col("__maxrv") <= col("__maxv"))
+        }
+      filtered.select(col("id").as(idCol), col("__text").as(textCol))
+    }
+    val toks = finalDocs.map(d => tokensOf(d, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    try {
+      // ONE fused scalar job: admitted stats + retractee Σdl + next seq
+      val statsAgg = toks.map(_.agg(count(lit(1)).as("__n"),
+          sum(size(col("__ts")).cast(LongType)).as("__sumdl")))
+        .getOrElse(wh.spark.sql("SELECT CAST(0 AS BIGINT) __n, CAST(0 AS BIGINT) __sumdl"))
+      val dlAgg =
+        if (R.isEmpty) wh.spark.sql("SELECT CAST(0 AS BIGINT) __dlgone")
+        else dlGoneAggFrame(R)
+      val r0 = statsAgg.crossJoin(dlAgg).crossJoin(seqAggFrame).head()
+      val nA = r0.getLong(0)
+      val sumdlA = if (r0.isNullAt(1)) 0L else r0.getLong(1)
+      val dlGone = r0.getLong(2)
+      val seq = nextSeq(r0, 3)
+      def ledgerDf(vs: Seq[Long]): DataFrame = wh.spark.createDataFrame(
+        java.util.Arrays.asList(vs.sorted.map(v =>
+          org.apache.spark.sql.Row(Long.box(v))): _*), ingestSchema)
+      val statsRows = Seq(
+        if (R.nonEmpty) Some(statsRow(seq, -R.size.toLong, -dlGone)) else None,
+        if (admits.nonEmpty) Some(statsRow(seq + 1, nA, sumdlA)) else None
+      ).flatten.reduce(_ union _)
+      def rest(w: Warehouse): Unit = stageConcurrently(Seq(
+        Some(() => w.append(statsTable, statsRows)),
+        if (retracts.nonEmpty)
+          Some(() => w.append(retractTable, ledgerDf(retracts.map(_._1)))) else None,
+        toks.map(t =>
+          () => w.append(postingsTable, postingsOfToks(t).sortWithinPartitions("t"))),
+        if (admits.nonEmpty)
+          Some(() => w.append(ingestTable, ledgerDf(admits.map(_._1)))) else None
+      ).flatten)
+      val deleted =
+        if (R.isEmpty) 0L
+        else awh.deleteWhereDv(postingsTable, postingsSchema,
+          Seq(graft.sources.ColIn("id", R)), alsoInTx = rest).deleted
+      // token-less retractees tombstone nothing (deleteWhereDv no-ops
+      // WITHOUT committing), and an R-less window never calls it — the stats
+      // corrections, admissions and ledger rows must still land, atomically
+      if (R.isEmpty || deleted == 0L) wh.atomically(rest)
+      true
+    } finally toks.foreach(_.unpersist(false))
+  }
+
+  /** True when ANY of `versions` already has a row in EITHER replay ledger
+    * — one driver job over both tiny tables.
+    */
+  private def anyLedgered(versions: Seq[Long]): Boolean = {
+    val probes = Seq(retractTable, ingestTable).flatMap { tbl =>
+      if (!wh.exists(tbl)) None
+      else Some(wh.read(tbl, ingestSchema)
+        .filter(col("batch_id").isInCollection(versions)).limit(1))
+    }
+    probes.nonEmpty && probes.reduce(_ unionAll _).limit(1).collect().nonEmpty
+  }
+
+  /** (retracted, ingested) for `batchId` in ONE driver job: both ledgers are
+    * tiny batch-count tables and the split [[retracted]]/[[ingested]] probes
+    * cost a full stage wave each, per synced commit.
+    */
+  private def ledgerState(batchId: Long): (Boolean, Boolean) = {
+    val probes = Seq(retractTable, ingestTable).zip(Seq("r", "i")).flatMap {
+      case (tbl, tag) =>
+        if (!wh.exists(tbl)) None
+        else Some(wh.read(tbl, ingestSchema)
+          .filter(col("batch_id") === batchId).limit(1)
+          .select(lit(tag).as("__t")))
+    }
+    if (probes.isEmpty) (false, false)
+    else {
+      val hit = probes.reduce(_ unionAll _).collect().map(_.getString(0)).toSet
+      (hit.contains("r"), hit.contains("i"))
+    }
+  }
+
+  /** Σ dl over the distinct retractee ids, as a one-row aggregate frame —
+    * cross-joined with [[seqAggFrame]] so one driver job answers both.
+    */
+  private def dlGoneAggFrame(distinct: Seq[Long]): DataFrame =
+    postings().filter(col("id").isInCollection(distinct))
+      .groupBy(col("id")).agg(any_value(col("dl")).as("dl"))
+      .agg(coalesce(sum(col("dl")), lit(0L)).as("__dlgone"))
 
   private def retract(ids: Seq[Long], batchId: Option[Long]): Long = {
     require(ids.nonEmpty, "retractDocs with no ids")
@@ -376,13 +603,10 @@ class PersistedPostings(private[graft] val wh: Warehouse, probeTermLimit: Int = 
     }
     require(wh.exists(statsTable), s"$statsTable absent — build() first")
     val distinct = ids.distinct
-    val dlGone = postings().filter(col("id").isInCollection(distinct))
-      .groupBy(col("id")).agg(any_value(col("dl")).as("dl"))
-      .agg(coalesce(sum(col("dl")), lit(0L))).head().getLong(0)
-    val seq = wh.read(statsTable, statsSchema).agg(max(col("seq"))).head() match {
-      case r if r.isNullAt(0) => 1L
-      case r => r.getLong(0) + 1L
-    }
+    // ONE fused driver job: Σdl of the retractees + next sequence number
+    val r0 = dlGoneAggFrame(distinct).crossJoin(seqAggFrame).head()
+    val dlGone = r0.getLong(0)
+    val seq = nextSeq(r0, 1)
     val neg = statsRow(seq, -distinct.size.toLong, -dlGone)
     def ledgerRow(w: Warehouse): Unit = batchId.foreach { b =>
       w.append(retractTable, wh.spark.createDataFrame(

@@ -79,6 +79,24 @@ abstract class ChangeFeedSync(srcWh: AtomicWarehouse, corpusTable: String,
       version: Long): Unit =
     applyCommit(out.collect().map(_.getLong(0)).toSeq, in, version)
 
+  /** Apply the window's commits, version-sorted. The default replays them
+    * COMMIT BY COMMIT (exactly the pre-window-fusion behavior: over-cap
+    * retractions stay distributed via [[applyCommitFrame]], the rest go
+    * through [[applyCommit]]). Implementations whose index supports it
+    * override with a FUSED whole-window apply ([[FtsSync]] →
+    * [[graft.operators.PersistedPostings.applyWindowLedgered]]): a K-commit
+    * window then costs ONE index commit instead of K — per-commit fixed
+    * latency (ledger probes, scalar aggregates, manifest commit fsync) was
+    * the dominant cost of small-churn windows — and must fall back to this
+    * default whenever the fused path cannot prove equivalence (a replayed
+    * window with partially-applied versions, an over-cap commit).
+    */
+  protected def applyWindow(commits: Seq[ChangeFeedSync.SyncCommit]): Unit =
+    commits.foreach { c =>
+      if (c.nOut > censusIdCap) applyCommitFrame(c.outFrame(), c.in, c.version)
+      else applyCommit(c.outIds, c.in, c.version)
+    }
+
   private val cursorSchema = StructType(Seq(
     StructField("version", LongType, nullable = false)))
 
@@ -150,25 +168,35 @@ abstract class ChangeFeedSync(srcWh: AtomicWarehouse, corpusTable: String,
           .collect()
           .map(r => r.getAs[Long]("v") -> r.getSeq[Long](r.fieldIndex("outIds")))
           .toMap
-      census.sortBy(_.getAs[Long]("v")).foreach { r =>
+      val commits = census.sortBy(_.getAs[Long]("v")).toSeq.map { r =>
         val v = r.getAs[Long]("v")
-        val nOut = r.getAs[Long]("nOut")
         val in =
           if (r.getAs[Long]("nIn") == 0L) None
           else Some(feed.filter(col("_commit_version") === v &&
               ct.isin("insert", "update_postimage"))
             .select(corpusSchema.fieldNames.toSeq.map(col): _*))
-        if (nOut > censusIdCap)
-          applyCommitFrame(feed.filter(retracting && vCol === v)
-            .select(col(idCol).cast(LongType).as("id")).distinct(), in, v)
-        else applyCommit(idSets.getOrElse(v, Nil), in, v)
+        ChangeFeedSync.SyncCommit(v, r.getAs[Long]("nOut"),
+          idSets.getOrElse(v, Nil),
+          () => feed.filter(retracting && vCol === v)
+            .select(col(idCol).cast(LongType).as("id")).distinct(), in)
       }
+      applyWindow(commits)
       cursorWh.replace(cursorTable, srcWh.spark.createDataFrame(
         java.util.Arrays.asList(org.apache.spark.sql.Row(head.toLong)), cursorSchema))
       emptyScan = None
       head
     } finally feed.unpersist()
   }
+}
+
+object ChangeFeedSync {
+  /** One corpus commit of a sync window: `outIds` holds the retraction id
+    * set ONLY when `nOut ≤ censusIdCap` (the census never materializes an
+    * over-cap commit's ids on the driver — `outFrame` is the distributed
+    * form those route through), `in` the admission rows in corpus schema.
+    */
+  final case class SyncCommit(version: Long, nOut: Long, outIds: Seq[Long],
+      outFrame: () => DataFrame, in: Option[DataFrame])
 }
 
 /** The IVF ANN index as an incrementally-maintained MV of an embeddings

@@ -46,6 +46,25 @@ class FtsSync(srcWh: AtomicWarehouse, corpusTable: String,
       version: Long): Unit =
     fts.applyChangeLedgered(outIds, in, idCol, textCol, version)
 
+  /** Multi-commit windows fuse into ONE atomic index commit
+    * ([[PersistedPostings.applyWindowLedgered]] — live postings, stats sums
+    * and ledger rows provably identical to the sequential replay), falling
+    * back to the per-commit default when any commit is over the census cap
+    * (its ids never reached the driver), the combined retraction set would
+    * exceed the cap, or any window version is already (partially) ledgered
+    * — the per-commit ledger probes converge those independently.
+    */
+  override protected def applyWindow(
+      commits: Seq[ChangeFeedSync.SyncCommit]): Unit = {
+    val fusable = commits.size > 1 &&
+      commits.forall(_.nOut <= censusIdCap) &&
+      commits.map(_.nOut).sum <= censusIdCap
+    if (!fusable || !fts.applyWindowLedgered(
+        commits.collect { case c if c.outIds.nonEmpty => c.version -> c.outIds },
+        commits.flatMap(c => c.in.map(c.version -> _)), idCol, textCol))
+      super.applyWindow(commits)
+  }
+
   /** Giant-churn retraction ([[ChangeFeedSync.censusIdCap]] exceeded): the
     * id frame streams through the driver in SORTED, cap-bounded chunks
     * (`toLocalIterator` holds one partition at a time — peak driver memory

@@ -119,6 +119,41 @@ class FtsSyncSpec extends SparkSpec {
       "wind-back after an idle scan failed to replay")
   }
 
+  test("fused multi-commit window: churn algebra stays bit-exact (insert→delete, update×2, delete→reinsert)") {
+    // the window-fusion equivalence argument's hard cases, all in ONE
+    // multi-commit window (applyWindowLedgered's R/A classification):
+    //   - doc 10 inserted then deleted inside the window → net zero (never
+    //     in R: first event is an admit; never in A: last is a retract)
+    //   - doc 1 updated twice → one tombstone of the PRE-window rows, one
+    //     admit of the FINAL text, intermediate text never written
+    //   - doc 2 deleted then re-inserted → in R and in A
+    val (wh, fts, mv) = fixture()
+    wh.append("corpus", Seq((1L, "alpha beta"), (2L, "beta gamma"), (3L, "zulu"))
+      .toDF("doc_id", "text").coalesce(1))
+    mv.sync()
+    wh.append("corpus", Seq((10L, "gamma gamma")).toDF("doc_id", "text").coalesce(1))
+    wh.updateWhere("corpus", docSchema, Seq(ColEq("doc_id", 1L)),
+      Seq("text" -> lit("alpha mid")))
+    wh.deleteWhereDv("corpus", docSchema, Seq(ColIn("doc_id", Seq(2L, 10L))))
+    wh.updateWhere("corpus", docSchema, Seq(ColEq("doc_id", 1L)),
+      Seq("text" -> lit("alpha delta final")))
+    wh.mergeInto("corpus", docSchema,
+      Seq((2L, "beta gamma reborn")).toDF("doc_id", "text"), Seq("doc_id"))
+    mv.sync() // 5-commit window → one fused index commit
+    assert(bm25(fts) == bm25(freshOver(wh.read("corpus", docSchema))),
+      "fused window diverges from a fresh build over the live corpus")
+    assert(fts.corpusStats().agg(sum(col("n"))).head().getLong(0) ==
+      wh.read("corpus", docSchema).count(), "fused window corrupted N")
+    // the intermediate text never reached the index (live or dead rows)
+    assert(fts.postings().filter(col("t") === "mid").isEmpty,
+      "fused window wrote an intermediate update's postings")
+    // replay converges: wind the cursor back, everything no-ops per-commit
+    val want = bm25(fts)
+    fts.wh.replace(mv.cursorTable, Seq(0L).toDF("version"))
+    mv.sync()
+    assert(bm25(fts) == want, "replay of a fused window corrupted the index")
+  }
+
   test("a giant-churn commit routes its retraction set around the driver (censusIdCap)") {
     val wh = new AtomicWarehouse(spark,
       Files.createTempDirectory("graft-churncap-").toString)
