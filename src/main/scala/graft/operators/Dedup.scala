@@ -195,7 +195,12 @@ object Dedup {
       numHashes: Int = 8): DataFrame = {
     val sig = shims.column(graft.functions.MinHashSigExpr(
       shims.expression(col(text)), k, MinHashA.take(numHashes), MinHashB.take(numHashes)))
-    df.select(col(id), sig.as("sig"))
+    // md5-per-shingle is the pipeline's dominant narrow stage — spread the
+    // text input across the cores first ([[spreadForCompute]]: a no-op on
+    // corpus-sized inputs, a cheap text-row shuffle when the source is a
+    // one-row-group file that would otherwise compute serially)
+    spreadForCompute(df.select(col(id), col(text)))
+      .select(col(id), sig.as("sig"))
       .select(col(id) +: (0 until numHashes).map(i =>
         element_at(col("sig"), i + 1).as(s"mh$i")): _*)
   }
@@ -212,28 +217,83 @@ object Dedup {
     * signature table always cost a full index scan.
     */
   def bandKeys(sigs: DataFrame, id: String,
-      numHashes: Int, rowsPerBand: Int): DataFrame = {
+      numHashes: Int, rowsPerBand: Int): DataFrame =
+    bandKeys(sigs, id, numHashes, rowsPerBand, carrySigs = false)
+
+  /** [[bandKeys]] optionally CARRYING the full signature on every band row
+    * (`mh0..mh{n-1}` columns after `key`). This is what lets the signature
+    * similarity pre-filter run INSIDE the band join instead of as two
+    * signature-index joins AFTER candidate distinct-ing: band collisions on
+    * a common-vocabulary corpus outnumber true candidates ~1000:1
+    * (BatchPlanProbe: 189,535 collisions → 140 verified pairs per 1,667-doc
+    * batch), and without the carried signature every one of them shuffles
+    * through the distinct and joins the signature index twice before the
+    * filter can reject it. Carrying 8 longs per band row widens the index
+    * ~2×; the collision tail it removes scales with corpus vocabulary.
+    */
+  def bandKeys(sigs: DataFrame, id: String,
+      numHashes: Int, rowsPerBand: Int, carrySigs: Boolean): DataFrame = {
     val numBands = numHashes / rowsPerBand
     val bandCols = (0 until numBands).map { b =>
       val key = concat_ws("_",
         (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
       struct(lit(b).as("band"), key.as("key"))
     }
+    val carried = if (carrySigs) (0 until numHashes).map(i => col(s"mh$i")) else Nil
     sigs
       .filter(col("mh0").isNotNull)
-      .select(col(id), explode(array(bandCols: _*)).as("bk"))
-      .select(col(id), col("bk.band").as("band"), col("bk.key").as("key"))
+      .select(col(id) +: explode(array(bandCols: _*)).as("bk") +: carried: _*)
+      .select(Seq(col(id), col("bk.band").as("band"), col("bk.key").as("key")) ++
+        carried: _*)
   }
 
-  /** Band-collision candidate pairs (id_a < id_b) from a signature frame. */
+  /** Minhash-agreement count between the `a.` and `b.` sides of a band
+    * self-join whose rows carry their signatures ([[bandKeys]] with
+    * `carrySigs`) — the stage-2 pre-filter of [[prefilterAndVerify]],
+    * evaluated inline in the join condition.
+    */
+  private def sigMatchesInline(numHashes: Int): Column =
+    (0 until numHashes)
+      .map(i => when(col(s"a.mh$i") === col(s"b.mh$i"), 1).otherwise(0))
+      .reduce(_ + _)
+
+  /** Spread a CPU-heavy NARROW computation's input across the cores when the
+    * scan would otherwise run at file-count parallelism. A single small
+    * parquet file is ONE row group, and a row group is the parquet split
+    * atom — no `maxPartitionBytes`/`minPartitionNum` setting can parallelize
+    * it — so the md5-per-shingle signature scans and the per-pair
+    * verification kernels (this engine's dominant narrow stages) ran 1-3
+    * tasks on a 32-core session (SigParProbe: the batch shingle scan drops
+    * 0.77 s → 0.22 s at 32 partitions). Scale-adaptive by construction: a
+    * corpus-sized input already carries ≥ cores partitions and passes
+    * through untouched, so no shuffle is ever added where 100 TB data flows
+    * (guide §2 — partitioning must adapt, not be a local-mode constant).
+    * ONLY for order-independent math (minhash mins, band equality, exact
+    * integer jaccard, per-pair cosine): a round-robin repartition reorders
+    * rows, which float AGGREGATIONS would see in their last bits.
+    */
+  private[graft] def spreadForCompute(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 >= target) df else df.repartition(target)
+  }
+
+  /** Band-collision candidate pairs (id_a < id_b) from a signature frame.
+    * With `minSigMatches ≥ 0` the signature similarity pre-filter runs
+    * INSIDE the join condition (band rows carry their signatures) — the
+    * collision false-positive tail is rejected before the distinct instead
+    * of shuffling through it and joining the signatures afterwards.
+    */
   private def candidatePairsFromSigs(sigs: DataFrame, id: String,
-      numHashes: Int, rowsPerBand: Int): DataFrame = {
-    val banded = bandKeys(sigs, id, numHashes, rowsPerBand)
+      numHashes: Int, rowsPerBand: Int, minSigMatches: Int = -1): DataFrame = {
+    val banded = bandKeys(sigs, id, numHashes, rowsPerBand,
+      carrySigs = minSigMatches >= 0)
     val a = banded.alias("a")
     val b = banded.alias("b")
-    a.join(b,
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col(s"a.$id") < col(s"b.$id"))
+    val base = col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+      col(s"a.$id") < col(s"b.$id")
+    val cond = if (minSigMatches >= 0)
+      base && (sigMatchesInline(numHashes) >= minSigMatches) else base
+    a.join(b, cond)
       .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"))
       .distinct()
   }
@@ -271,10 +331,15 @@ object Dedup {
     // ContextCleaner once the returned plan is unreachable.
     val sigs = minhashSignatures(df, id, text, k, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // stage 1: band collisions (recall net)
-    val cand0 = candidatePairsFromSigs(sigs, id, numHashes, rowsPerBand)
+    // stages 1+2 fused: band collisions with the signature pre-filter
+    // INLINE in the join (the band rows carry their signatures), so the
+    // vocabulary-collision tail never reaches the distinct or a second
+    // signature join — see [[bandKeys]]
+    val cand0 = candidatePairsFromSigs(sigs, id, numHashes, rowsPerBand,
+      minSigMatches)
     prefilterAndVerify(cand0, sigs, df, id, text, k, numHashes, minSigMatches,
-      minJaccard, releaseAfterCandidates = Some(() => sigs.unpersist(false)))
+      minJaccard, releaseAfterCandidates = Some(() => sigs.unpersist(false)),
+      prefiltered = true)
   }
 
   /** Stages 2+3 of the LSH pipeline, shared by the full-corpus and
@@ -313,7 +378,7 @@ object Dedup {
   private def prefilterAndVerify(cand0In: DataFrame, sigs: DataFrame, docs: DataFrame,
       id: String, text: String, k: Int, numHashes: Int, minSigMatches: Int,
       minJaccard: Double, releaseAfterCandidates: Option[() => Unit],
-      pointLookupMaxIds: Int = 0): DataFrame = {
+      pointLookupMaxIds: Int = 0, prefiltered: Boolean = false): DataFrame = {
     // Point-lookup mode (incremental/streaming paths, where sigs and docs are
     // FILE-BACKED index tables): materialize the band-collision candidate set
     // — small by construction, near-dups plus the banding false-positive tail
@@ -349,24 +414,45 @@ object Dedup {
     // canonicalize equal, so the second join's BroadcastExchange becomes a
     // ReusedExchange — one index broadcast, ONE shingle pass (plan-verified;
     // the shingle scan is the dominant narrow stage at corpus scale).
-    val sa = sigsL.alias("sa")
-    val sb = sigsL.alias("sb")
-    val sigMatches = (0 until numHashes)
-      .map(i => when(col(s"sa.mh$i") === col(s"sb.mh$i"), 1).otherwise(0))
-      .reduce(_ + _)
-    val cand = cand0.join(sa, col("id_a") === col(s"sa.$id"))
-      .join(sb, col("id_b") === col(s"sb.$id"))
-      .filter(sigMatches >= minSigMatches)
-      .select(col("id_a"), col("id_b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    release.foreach { rel => cand.count(); rel() }
+    // `prefiltered`: the caller applied the signature pre-filter INSIDE the
+    // band join (band rows carry their signatures — [[bandKeys]]), so the
+    // two signature joins here would be no-op re-filtering; cand0 IS the
+    // prefiltered candidate set. In point-lookup mode it is already
+    // persisted (c0); otherwise persist it here — it feeds both the doc
+    // semi-join and the verification join.
+    val cand =
+      if (prefiltered) {
+        if (pointLookupMaxIds > 0) cand0
+        else cand0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      } else {
+        val sa = sigsL.alias("sa")
+        val sb = sigsL.alias("sb")
+        val sigMatches = (0 until numHashes)
+          .map(i => when(col(s"sa.mh$i") === col(s"sb.mh$i"), 1).otherwise(0))
+          .reduce(_ + _)
+        cand0.join(sa, col("id_a") === col(s"sa.$id"))
+          .join(sb, col("id_b") === col(s"sb.$id"))
+          .filter(sigMatches >= minSigMatches)
+          .select(col("id_a"), col("id_b"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+    // in prefiltered point-lookup mode cand IS the c0 persist — releasing
+    // it here would evict the cache its two downstream consumers read
+    val releaseSafe =
+      if (prefiltered && pointLookupMaxIds > 0) releaseAfterCandidates
+      else release
+    releaseSafe.foreach { rel => cand.count(); rel() }
     // no .distinct() on the id union: LEFT SEMI keeps each doc row once
     // however often its id repeats on the build side, and the distinct cost
     // a whole shuffle+aggregate wave per call (the build side is bounded by
     // 2×|cand|, which the broadcast already required to be small)
     val candIds = cand.select(col("id_a").as(id))
       .union(cand.select(col("id_b").as(id)))
-    val sh = docsIn.join(broadcast(candIds), Seq(id), "left_semi")
+    // spread AFTER the semi-join (candidate-sized — spreading docsIn itself
+    // would be a corpus-sized shuffle per call), so the shingle projection
+    // — the dominant narrow stage — runs at core parallelism even when the
+    // doc source is a one-file scan
+    val sh = spreadForCompute(docsIn.join(broadcast(candIds), Seq(id), "left_semi"))
       .select(col(id), distinctShingles(col(text), k).as("sh"))
     val shA = sh.alias("sha")
     val shB = sh.alias("shb")
@@ -425,10 +511,21 @@ object Dedup {
       corpusBandsPre: Option[DataFrame] = None,
       probeKeyLimit: Int = 0,
       pointLookupMaxIds: Int = 0,
-      bandBloom: Option[org.apache.spark.util.sketch.BloomFilter] = None): DataFrame = {
+      bandBloom: Option[org.apache.spark.util.sketch.BloomFilter] = None,
+      corpusBandsCarrySigs: Boolean = false): DataFrame = {
     val minSigMatches =
       if (minSigMatchesOverride >= 0) minSigMatchesOverride
       else math.max(1, math.floor(numHashes * minJaccard).toInt - 1)
+    // The signature pre-filter runs INLINE in the band join whenever both
+    // sides can carry their signatures: always when corpus bands derive
+    // in-query from the signature index, and for a PERSISTED band table
+    // only when the caller declares it was written with carrySigs
+    // ([[bandKeys]]) — an explicit flag, because a legacy table read with
+    // the carrying schema would null-fill the mh columns and silently
+    // reject every corpus-side candidate. Inline, the vocabulary-collision
+    // tail (~1000:1 over true candidates) is rejected before the distinct
+    // and the two signature-index joins disappear from the per-batch plan.
+    val inlinePrefilter = corpusBandsPre.isEmpty || corpusBandsCarrySigs
     // signature computation is the dominant narrow stage: callers that
     // already hold the batch's signatures (e.g. the streaming wrapper, which
     // must also append them to the index) pass them in instead of paying the
@@ -452,14 +549,16 @@ object Dedup {
       if (persistCorpusSigs)
         corpusSigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else corpusSigs
-    val freshBands = bandKeys(freshSigs, id, numHashes, rowsPerBand)
+    val freshBands = bandKeys(freshSigs, id, numHashes, rowsPerBand,
+      carrySigs = inlinePrefilter)
     // corpus bands on the LEFT, fresh on the RIGHT: every emitted pair has a
     // fresh side, and corpus×corpus pairs can never form. Callers holding a
     // PERSISTED band table (see [[bandKeys]]) pass it in: the probe then
     // reads a stored join column, which runtime bloom filters / row-group
     // stats can prune to the matched buckets instead of the whole index
     val corpusBands0 = corpusBandsPre
-      .getOrElse(bandKeys(corpusSigsP, id, numHashes, rowsPerBand))
+      .getOrElse(bandKeys(corpusSigsP, id, numHashes, rowsPerBand,
+        carrySigs = inlinePrefilter))
     // Band-key point probe: a micro-batch's distinct band keys are a small
     // set (≤ batch docs × numBands). Collecting them and pushing an In
     // predicate into the persisted band table's scan turns the probe into a
@@ -493,10 +592,12 @@ object Dedup {
       else corpusBands0
     } else corpusBands0
     val allBands = corpusBands.union(freshBands)
+    val joinBase = col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+      col(s"a.$id") =!= col(s"b.$id")
+    val joinCond = if (inlinePrefilter)
+      joinBase && (sigMatchesInline(numHashes) >= minSigMatches) else joinBase
     val cand0 = allBands.alias("a")
-      .join(freshBands.alias("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col(s"a.$id") =!= col(s"b.$id"))
+      .join(freshBands.alias("b"), joinCond)
       .select(least(col(s"a.$id"), col(s"b.$id")).as("id_a"),
         greatest(col(s"a.$id"), col(s"b.$id")).as("id_b"))
       .distinct()
@@ -510,7 +611,8 @@ object Dedup {
           if (persistCorpusSigs) corpusSigsP.unpersist(false)
           if (ownsFreshSigs) freshSigs.unpersist(false)
         }),
-      pointLookupMaxIds = pointLookupMaxIds)
+      pointLookupMaxIds = pointLookupMaxIds,
+      prefiltered = inlinePrefilter)
   }
 
   /** Connected components over an undirected pair list (id_a, id_b) —
@@ -740,8 +842,12 @@ object Dedup {
   def embeddingNearDupPairs(df: DataFrame, id: String, vec: String,
       threshold: Double): DataFrame = {
     // norms once per vector, dot once per pair (vecCosine would rescan both
-    // arrays for their norms on every pair — 3x the flops)
-    val normed = df.select(col(id), col(vec), Transforms.vecNorm(col(vec)).as("nrm"))
+    // arrays for their norms on every pair — 3x the flops). The probe side
+    // of the nested-loop join runs at the INPUT's partitioning — spread a
+    // one-file embedding scan across the cores or the whole O(n²) kernel
+    // executes in one task (per-pair math, order-independent)
+    val normed = spreadForCompute(df.select(col(id), col(vec)))
+      .select(col(id), col(vec), Transforms.vecNorm(col(vec)).as("nrm"))
     val a = normed.select(col(id).as("id_a"), col(vec).as("v_a"), col("nrm").as("n_a"))
     val b = normed.select(col(id).as("id_b"), col(vec).as("v_b"), col("nrm").as("n_b"))
     val cosine = round(
@@ -978,7 +1084,11 @@ object Dedup {
       }
       struct(lit(b).as("band"), concat(bits: _*).as("key"))
     }
-    val banded = df
+    // the per-row hyperplane-sign computation (nBands × bitsPerBand × dim
+    // fused multiplies) is the dominant narrow stage — spread a one-file
+    // embedding scan across the cores first (deterministic per row)
+    val dfS = spreadForCompute(df.select(col(id), col(vec)))
+    val banded = dfS
       .select(col(id), explode(array(bandCols: _*)).as("bk"))
       .select(col(id), col("bk.band").as("band"), col("bk.key").as("key"))
     val cand = banded.alias("a").join(banded.alias("b"),
@@ -986,7 +1096,7 @@ object Dedup {
           col(s"a.$id") < col(s"b.$id"))
       .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"))
       .distinct()
-    val normed = df.select(col(id), col(vec), Transforms.vecNorm(col(vec)).as("nrm"))
+    val normed = dfS.select(col(id), col(vec), Transforms.vecNorm(col(vec)).as("nrm"))
     cand
       .join(normed.select(col(id).as("id_a"), col(vec).as("v_a"), col("nrm").as("n_a")), "id_a")
       .join(normed.select(col(id).as("id_b"), col(vec).as("v_b"), col("nrm").as("n_b")), "id_b")

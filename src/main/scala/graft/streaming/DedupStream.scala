@@ -82,10 +82,18 @@ class DedupStream(wh: Warehouse, k: Int = 5, numHashes: Int = 8,
   // external compaction) can read the tables with the exact stored schemas
   val sigSchema = StructType(StructField("doc_id", LongType, nullable = false) +:
     (0 until numHashes).map(i => StructField(s"mh$i", LongType, nullable = true)))
+  // band rows CARRY the doc's full signature (mh0..mh{n-1} after `key`):
+  // the signature similarity pre-filter then runs INLINE in the per-batch
+  // band join — the vocabulary-collision false-positive tail (~1000:1 over
+  // true candidates at sf0.1) is rejected before the candidate distinct,
+  // and the per-batch plan stops joining the signature index twice. Layout
+  // v2: a band table persisted by the pre-carry layout must be reindexed
+  // (or read with the 3-column prefix) — the stream always writes v2.
   val bandSchema = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("band", IntegerType, nullable = false),
-    StructField("key", StringType, nullable = true)))
+    StructField("key", StringType, nullable = true)) ++
+    (0 until numHashes).map(i => StructField(s"mh$i", LongType, nullable = true)))
   val docSchema = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("text", StringType, nullable = true)))
@@ -121,7 +129,15 @@ class DedupStream(wh: Warehouse, k: Int = 5, numHashes: Int = 8,
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val batchSigs = Dedup.minhashSignatures(batch, "doc_id", "text", k, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val batchBands = Dedup.bandKeys(batchSigs, "doc_id", numHashes, rowsPerBand)
+    // materialize the signature cache NOW, at the spread parallelism
+    // minhashSignatures chose (a 1-file micro-batch otherwise computes its
+    // md5-per-shingle scan serially inside whichever consumer runs first —
+    // and the admit writes below coalesce to one file per table, which
+    // would collapse an unmaterialized cache's compute to one task too)
+    phase("signature scan")
+    batchSigs.count()
+    val batchBands = Dedup.bandKeys(batchSigs, "doc_id", numHashes, rowsPerBand,
+      carrySigs = true)
     // persistCorpusSigs=false: the index is already a parquet table — its
     // consumers re-scan it narrowly instead of materializing the whole
     // accumulated index into executor memory every batch. The corpus side
@@ -172,7 +188,8 @@ class DedupStream(wh: Warehouse, k: Int = 5, numHashes: Int = 8,
       persistCorpusSigs = false,
       corpusBandsPre = Some(wh.read(bandTable, bandSchema)),
       probeKeyLimit = keyLim, pointLookupMaxIds = idLim,
-      bandBloom = bloomState.map(_._3))
+      bandBloom = bloomState.map(_._3),
+      corpusBandsCarrySigs = true)
     // the batch's 4 writes form ONE declared transaction: on the base
     // warehouse this is a plain sequential/concurrent run (the documented
     // at-least-once contract below applies); on an AtomicWarehouse every
@@ -232,9 +249,13 @@ class DedupStream(wh: Warehouse, k: Int = 5, numHashes: Int = 8,
       // window beyond the documented ≤3-table contract
       phase("admit appends")
       val writes = Seq(
-        () => w.append(indexTable, batchSigs),
+        // coalesce(1): the spread signature cache is already materialized
+        // (count above), so each admit lands ONE file per table per batch —
+        // the pre-spread layout — instead of one per compute partition
+        () => w.append(indexTable, batchSigs.coalesce(1)),
         // key-sorted within files so parquet min/max stats stay tight per group
-        () => w.append(bandTable, batchBands.sortWithinPartitions("key")),
+        () => w.append(bandTable,
+          batchBands.coalesce(1).sortWithinPartitions("key")),
         () => w.append(corpusTable, batch)) ++
         (if (isAtomic)
           newBloomRow.map { case (cap, n, bf) =>

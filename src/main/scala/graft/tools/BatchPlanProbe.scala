@@ -37,20 +37,25 @@ object BatchPlanProbe {
       "doc_id", "text", 5, 8, 2, 0.35, 4, freshSigsPre = Some(batchSigs),
       persistCorpusSigs = false,
       corpusBandsPre = Some(wh.read(ds.bandTable, ds.bandSchema)),
-      probeKeyLimit = 0, pointLookupMaxIds = 0, bandBloom = None)
+      probeKeyLimit = 0, pointLookupMaxIds = 0, bandBloom = None,
+      corpusBandsCarrySigs = true)
     println("=== pairs plan (before execution) ===")
     println(pairs.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
     val n = new java.util.concurrent.atomic.AtomicInteger()
-    val t0s = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val t0s = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         n.incrementAndGet()
-        t0s.put(j.jobId, System.nanoTime())
+        // the final stage's call site names the action; the stage list's
+        // sizes say how much of the plan this job materialized
+        val site = j.stageInfos.lastOption.map(_.name.take(70)).getOrElse("?")
+        t0s.put(j.jobId, (System.nanoTime(),
+          s"$site (${j.stageInfos.size} stages, ${j.stageInfos.map(_.numTasks).sum} tasks)"))
       }
       override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
-        Option(t0s.remove(e.jobId)).foreach(t0 =>
-          println(f"  [job ${e.jobId}] ${(System.nanoTime() - t0) / 1e6}%.0f ms"))
+        Option(t0s.remove(e.jobId)).foreach { case (t0, site) =>
+          println(f"  [job ${e.jobId}] ${(System.nanoTime() - t0) / 1e6}%.0f ms  $site") }
     })
     def timed(label: String)(f: => Unit): Unit = {
       val j0 = n.get; val t0 = System.nanoTime(); f
@@ -67,11 +72,12 @@ object BatchPlanProbe {
       "doc_id", "text", 5, 8, 2, 0.35, 4, freshSigsPre = Some(batchSigs),
       persistCorpusSigs = false,
       corpusBandsPre = Some(wh.read(ds.bandTable, ds.bandSchema)),
-      probeKeyLimit = 0, pointLookupMaxIds = 0, bandBloom = None)
+      probeKeyLimit = 0, pointLookupMaxIds = 0, bandBloom = None,
+      corpusBandsCarrySigs = true)
     timed("full pairs fresh plan")(pairs2.write.format("noop").mode("overwrite").save())
     // volumes behind the per-batch cost: band collisions, prefilter
     // survivors, verified pairs
-    val freshBands = Dedup.bandKeys(batchSigs, "doc_id", 8, 2)
+    val freshBands = Dedup.bandKeys(batchSigs, "doc_id", 8, 2, carrySigs = true)
     val corpusBands = wh.read(ds.bandTable, ds.bandSchema)
     val cand0 = corpusBands.union(freshBands).alias("a")
       .join(freshBands.alias("b"),

@@ -117,7 +117,8 @@ object ScaleProbe {
       val sigs = Dedup.minhashSignatures(corpus, "doc_id", "text", 5, 8)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       sortedWrite(sigs, wh.path("dedup/SignatureIndex"), "doc_id")
-      sortedWrite(Dedup.bandKeys(sigs, "doc_id", 8, 4), wh.path("dedup/BandIndex"), "key")
+      sortedWrite(Dedup.bandKeys(sigs, "doc_id", 8, 4, carrySigs = true),
+        wh.path("dedup/BandIndex"), "key")
       sortedWrite(corpus, wh.path("dedup/Corpus"), "doc_id")
       sigs.unpersist(true)
       val idxBytes = Files.walk(java.nio.file.Paths.get(whDir))
@@ -159,7 +160,7 @@ object ScaleProbe {
             wh.read("dedup/SignatureIndex", ds.sigSchema),
             fresh, "doc_id", "text", 5, 8, 4, 0.35, 4,
             corpusBandsPre = Some(wh.read("dedup/BandIndex", ds.bandSchema)),
-            persistCorpusSigs = false,
+            persistCorpusSigs = false, corpusBandsCarrySigs = true,
             probeKeyLimit = keyLim, pointLookupMaxIds = idLim,
             bandBloom = if (mode == "lsh_bloom") Some(bandBloom) else None)
           val nPairs = pairs.select("id_a", "id_b").distinct().count()
