@@ -143,9 +143,14 @@ class IncrementalAgg(wh: AtomicWarehouse, name: String,
       case _ => aggOf(wh.readAt(srcTable, srcSchema, head))
     }
     wh.atomically { w =>
-      w.replace(stateTable, newState)
-      w.replace(cursorTable, wh.spark.createDataFrame(
-        java.util.Arrays.asList(org.apache.spark.sql.Row(head.toLong)), cursorSchema))
+      // state and cursor are independent staged writes — concurrent on a
+      // transactional view ([[graft.sources.Warehouse.stageAll]]: the
+      // cursor write is a one-row local relation, so this collapses one
+      // full write wave per refresh), sequential on the base warehouse
+      w.stageAll(Seq(
+        () => w.replace(stateTable, newState),
+        () => w.replace(cursorTable, wh.spark.createDataFrame(
+          java.util.Arrays.asList(org.apache.spark.sql.Row(head.toLong)), cursorSchema))))
     }
     head
   }

@@ -177,25 +177,6 @@ class PersistedPostings(private[graft] val wh: Warehouse, probeTermLimit: Int = 
   private def nextSeq(r: org.apache.spark.sql.Row, i: Int): Long =
     if (r.isNullAt(i)) 1L else r.getLong(i) + 1L
 
-  /** Run the staged writes of one index commit CONCURRENTLY — they are
-    * independent appends of already-known frames (the postings append is
-    * the only distributed one; stats/ledger rows are local relations), and
-    * [[graft.sources.AtomicWarehouse]]'s TxView stages thread-safely (the
-    * dedup stream's admit already relies on it). Every future is awaited to
-    * settlement before a failure propagates, so an abort never leaves a
-    * sibling still writing into the stage dir.
-    */
-  private def stageConcurrently(writes: Seq[() => Unit]): Unit = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.util.{Failure, Try}
-    val settled: Seq[Try[Unit]] = Await.result(
-      Future.sequence(writes.map(f => Future(f())
-        .transform(scala.util.Success(_)))),
-      scala.concurrent.duration.Duration(10, "min"))
-    settled.collectFirst { case Failure(e) => throw e }
-  }
-
   private def admit(fresh: DataFrame, idCol: String, textCol: String,
       batchId: Option[Long]): Unit = {
     require(wh.exists(statsTable), s"$statsTable absent — build() first")
@@ -218,11 +199,9 @@ class PersistedPostings(private[graft] val wh: Warehouse, probeTermLimit: Int = 
             () => w.append(ingestTable, wh.spark.createDataFrame(
               java.util.Arrays.asList(org.apache.spark.sql.Row(Long.box(b))), ingestSchema))
           }.toSeq
-        // concurrency is safe only when the section really stages (TxView):
-        // on the base warehouse `atomically` is pass-through and sequential
-        // appends keep the documented at-least-once ordering
-        if (wh.isInstanceOf[graft.sources.AtomicWarehouse]) stageConcurrently(writes)
-        else writes.foreach(_())
+        // concurrent on a transactional view, sequential on the base
+        // warehouse (see [[graft.sources.Warehouse.stageAll]])
+        w.stageAll(writes)
       }
     } finally toks.unpersist(false)
   }
@@ -404,7 +383,7 @@ class PersistedPostings(private[graft] val wh: Warehouse, probeTermLimit: Int = 
         def ledgerRowDf: DataFrame = wh.spark.createDataFrame(
           java.util.Arrays.asList(org.apache.spark.sql.Row(Long.box(batchId))),
           ingestSchema)
-        def rest(w: Warehouse): Unit = stageConcurrently(Seq(
+        def rest(w: Warehouse): Unit = w.stageAll(Seq(
           () => w.append(statsTable,
             statsRow(seq, -distinct.size.toLong, -dlGone)
               .union(statsRow(seq + 1, n, sumdl))),
@@ -533,7 +512,7 @@ class PersistedPostings(private[graft] val wh: Warehouse, probeTermLimit: Int = 
         if (R.nonEmpty) Some(statsRow(seq, -R.size.toLong, -dlGone)) else None,
         if (admits.nonEmpty) Some(statsRow(seq + 1, nA, sumdlA)) else None
       ).flatten.reduce(_ union _)
-      def rest(w: Warehouse): Unit = stageConcurrently(Seq(
+      def rest(w: Warehouse): Unit = w.stageAll(Seq(
         Some(() => w.append(statsTable, statsRows)),
         if (retracts.nonEmpty)
           Some(() => w.append(retractTable, ledgerDf(retracts.map(_._1)))) else None,

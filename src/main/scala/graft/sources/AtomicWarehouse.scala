@@ -1083,6 +1083,21 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
     }
 
     override def atomically(fn: Warehouse => Unit): Unit = fn(this)
+
+    /** Concurrent staging — see [[Warehouse.stageAll]]: staged writes are
+      * invisible until the commit, so independent thunks only share the
+      * (synchronized) stage bookkeeping.
+      */
+    override def stageAll(writes: Seq[() => Unit]): Unit = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.util.{Failure, Try}
+      val settled: Seq[Try[Unit]] = Await.result(
+        Future.sequence(writes.map(f => Future(f())
+          .transform(scala.util.Success(_)))),
+        scala.concurrent.duration.Duration(10, "min"))
+      settled.collectFirst { case Failure(e) => throw e }
+    }
   }
 
   // ---- public transactional surface ---------------------------------------
@@ -4356,21 +4371,14 @@ class AtomicWarehouse(spark0: SparkSession, root0: String,
             // stages thread-safely). All futures settle before an error
             // propagates, so an abort never leaves a sibling mid-stage.
             val ctc = changeTypeCol
-            val writes: Seq[() => Unit] =
+            tv.stageAll(
               Seq(() => tv.rewriteExcluding(table, cands, out, dvSnap)) ++
               obs.map(o => () => tv.append(changesTable(table),
                 changeSlice.observe(o,
                   sum(when(col(ctc) === "update_preimage", 1L).otherwise(0L)).as("u"),
                   sum(when(col(ctc) === "delete", 1L).otherwise(0L)).as("d"),
                   sum(when(col(ctc) === "insert", 1L).otherwise(0L)).as("i")))).toSeq ++
-              Seq(() => alsoInTx(tv)) // e.g. a stream's ingest-ledger row
-            import scala.concurrent.{Await, Future}
-            import scala.concurrent.ExecutionContext.Implicits.global
-            val settled = Await.result(
-              Future.sequence(writes.map(f => Future(f())
-                .transform(scala.util.Success(_)))),
-              scala.concurrent.duration.Duration(10, "min"))
-            settled.collectFirst { case scala.util.Failure(e) => throw e }
+              Seq(() => alsoInTx(tv))) // e.g. a stream's ingest-ledger row
           case w => throw new IllegalStateException(
             s"AtomicWarehouse.atomically produced a ${w.getClass.getName}")
         }

@@ -46,6 +46,17 @@ class Warehouse(val spark: SparkSession, val root: String) {
   def append(table: String, df: DataFrame): Unit =
     withRetry()(df.write.mode(SaveMode.Append).parquet(path(table)))
 
+  /** Run INDEPENDENT write thunks of one logical commit. The base warehouse
+    * runs them sequentially (its writes publish as they land, so order is
+    * part of the documented crash contract); [[AtomicWarehouse]]'s
+    * transactional view overrides with concurrent staging — staged files
+    * are invisible until the manifest commit, so sibling writes only race
+    * for stage directories (thread-safe) and their job latencies collapse
+    * into one wave. Every thunk is awaited to settlement before a failure
+    * propagates, so an abort never leaves a sibling mid-stage.
+    */
+  def stageAll(writes: Seq[() => Unit]): Unit = writes.foreach(_())
+
   /** Append with hive-style partition directories (`col=value/`). The layout
     * choice that makes 100 TB scans affordable: a filter on a partition
     * column prunes whole directories at PLANNING time — the files are never

@@ -219,9 +219,6 @@ class DedupStream(wh: Warehouse, k: Int = 5, numHashes: Int = 8,
     try {
       val isAtomic = wh.isInstanceOf[graft.sources.AtomicWarehouse]
       wh.atomically { w =>
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      import scala.util.{Failure, Try}
       // On the BASE warehouse pairs go FIRST and alone: its plan scans the
       // index/band/corpus directories, so the admit appends must not land
       // new files while it runs (a probe that saw the batch's own signatures
@@ -241,14 +238,12 @@ class DedupStream(wh: Warehouse, k: Int = 5, numHashes: Int = 8,
         }
       }
       // the admit appends are independent writes of already-persisted
-      // frames (no reads) — run them concurrently to collapse their job
+      // frames (no reads) — staged concurrently on an AtomicWarehouse
+      // ([[graft.sources.Warehouse.stageAll]]) to collapse their job
       // latencies into one; the per-batch harness overhead is the dominant
-      // cost of small micro-batches. ALL futures are awaited to settlement
-      // before any failure propagates — bailing on the first error would
-      // leave siblings writing in the background, widening the partial-batch
-      // window beyond the documented ≤3-table contract
+      // cost of small micro-batches
       phase("admit appends")
-      val writes = Seq(
+      w.stageAll(Seq(
         // coalesce(1): the spread signature cache is already materialized
         // (count above), so each admit lands ONE file per table per batch —
         // the pre-spread layout — instead of one per compute partition
@@ -260,12 +255,7 @@ class DedupStream(wh: Warehouse, k: Int = 5, numHashes: Int = 8,
         (if (isAtomic)
           newBloomRow.map { case (cap, n, bf) =>
             () => w.replace(bloomTable, bloomRowDf(cap, n, bf)) }.toSeq :+ pairsWrite
-         else Nil)
-      val settled: Seq[Try[Unit]] = Await.result(
-        Future.sequence(writes.map(f => Future(f())
-          .transform(scala.util.Success(_)))),
-        scala.concurrent.duration.Duration(10, "min"))
-      settled.collectFirst { case Failure(e) => throw e }
+         else Nil))
       }
       // the committed filter now matches the persisted row — keep it as the
       // state for the next batch (no per-batch re-read)
