@@ -308,26 +308,36 @@ class PersistedIvf(private[graft] val wh: Warehouse, probeCellLimit: Int = 1000)
 
   def ingestLedger(): DataFrame = wh.read(ingestTable, ingestSchema)
 
+  /** `(n, meanCos, nextSeq)` in ONE fused driver job — the batch aggregate
+    * and the stats-table max were two serial stage waves per admit, real
+    * latency on a per-micro-batch ingest (the PersistedPostings fusion).
+    */
+  private def meanCosAndSeq(assigned: DataFrame): (Long, Option[Double], Long) = {
+    val r = assigned.agg(count(lit(1)).as("__n"), avg(col("cos6")).as("__mc"))
+      .crossJoin(wh.read(statsTable, statsSchema).agg(max(col("seq")).as("__s")))
+      .head()
+    (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+      if (r.isNullAt(2)) 1L else r.getLong(2) + 1L)
+  }
+
   private def admit(fresh: DataFrame, idCol: String, vecCol: String,
       batchId: Option[Long]): Unit = {
     require(wh.exists(centroidsTable), s"$centroidsTable absent — build() first")
     val assigned = assignWithCos(normalized(fresh, idCol, vecCol), centroids())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val (n, meanCos) = meanCosOf(assigned)
-      val seq = wh.read(statsTable, statsSchema).agg(max(col("seq"))).head() match {
-        case r if r.isNullAt(0) => 1L
-        case r => r.getLong(0) + 1L
-      }
+      val (n, meanCos, seq) = meanCosAndSeq(assigned)
       wh.atomically { w =>
-        w.append(assignTable,
-          withCode(withPq(assigned.drop("cos6"), currentCb(), pqResidual(), centroids()))
-            .sortWithinPartitions("cell"))
-        w.append(statsTable, statsRow(seq, "batch", n, meanCos))
-        batchId.foreach { b =>
-          w.append(ingestTable, wh.spark.createDataFrame(
-            java.util.Arrays.asList(org.apache.spark.sql.Row(Long.box(b))), ingestSchema))
-        }
+        // independent staged writes — concurrent on a transactional view
+        w.stageAll(Seq(
+          () => w.append(assignTable,
+            withCode(withPq(assigned.drop("cos6"), currentCb(), pqResidual(), centroids()))
+              .sortWithinPartitions("cell")),
+          () => w.append(statsTable, statsRow(seq, "batch", n, meanCos))) ++
+          batchId.map { b =>
+            () => w.append(ingestTable, wh.spark.createDataFrame(
+              java.util.Arrays.asList(org.apache.spark.sql.Row(Long.box(b))), ingestSchema))
+          }.toSeq)
       }
     } finally assigned.unpersist(false)
   }
@@ -383,11 +393,14 @@ class PersistedIvf(private[graft] val wh: Warehouse, probeCellLimit: Int = 1000)
     */
   def applyChangeLedgered(outIds: Seq[Long], fresh: Option[DataFrame],
       idCol: String, vecCol: String, batchId: Long): Unit = {
-    val needOut = outIds.nonEmpty && !retracted(batchId)
-    val needIn = fresh.isDefined && !ingested(batchId)
+    // ONE fused ledger probe (both replay ledgers are tiny batch-count
+    // tables; the split probes were two fixed driver jobs per synced commit)
+    val (wasRetracted, wasIngested) = ledgerState(batchId)
+    val needOut = outIds.nonEmpty && !wasRetracted
+    val needIn = fresh.isDefined && !wasIngested
     if (!needOut && !needIn) ()
-    else if (!needOut) addVectorsLedgered(fresh.get, idCol, vecCol, batchId)
-    else if (!needIn) retractVectorsLedgered(outIds, batchId)
+    else if (!needOut) admit(fresh.get, idCol, vecCol, Some(batchId))
+    else if (!needIn) retract(outIds, Some(batchId))
     else {
       val awh = wh match {
         case a: graft.sources.AtomicWarehouse => a
@@ -401,30 +414,44 @@ class PersistedIvf(private[graft] val wh: Warehouse, probeCellLimit: Int = 1000)
       val assigned = assignWithCos(normalized(fresh.get, idCol, vecCol), centroids())
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val (n, meanCos) = meanCosOf(assigned)
-        val seq = wh.read(statsTable, statsSchema).agg(max(col("seq"))).head() match {
-          case r if r.isNullAt(0) => 1L
-          case r => r.getLong(0) + 1L
-        }
-        def ledger(w: Warehouse, t: String): Unit =
-          w.append(t, wh.spark.createDataFrame(
-            java.util.Arrays.asList(org.apache.spark.sql.Row(Long.box(batchId))),
-            ingestSchema))
-        def rest(w: Warehouse): Unit = {
-          w.append(statsTable, statsRow(seq, "retract", -distinct.size.toLong, None))
-          ledger(w, retractTable)
-          w.append(assignTable,
+        // ONE fused driver job: batch stats + next seq (was two head()s)
+        val (n, meanCos, seq) = meanCosAndSeq(assigned)
+        def ledgerRowDf: DataFrame = wh.spark.createDataFrame(
+          java.util.Arrays.asList(org.apache.spark.sql.Row(Long.box(batchId))),
+          ingestSchema)
+        def rest(w: Warehouse): Unit = w.stageAll(Seq(
+          () => w.append(statsTable,
+            statsRow(seq, "retract", -distinct.size.toLong, None)
+              .union(statsRow(seq + 1, "batch", n, meanCos))),
+          () => w.append(retractTable, ledgerRowDf),
+          () => w.append(assignTable,
             withCode(withPq(assigned.drop("cos6"), currentCb(), pqResidual(), centroids()))
-              .sortWithinPartitions("cell"))
-          w.append(statsTable, statsRow(seq + 1, "batch", n, meanCos))
-          ledger(w, ingestTable)
-        }
+              .sortWithinPartitions("cell")),
+          () => w.append(ingestTable, ledgerRowDf)))
         val r = awh.deleteWhereDv(assignTable, assignSchema,
           Seq(graft.sources.ColIn("id", distinct)), alsoInTx = rest)
         // ids that match no live assignment tombstone nothing, but the
         // admission and both ledger rows must still land — atomically
         if (r.deleted == 0L) wh.atomically(rest)
       } finally assigned.unpersist(false)
+    }
+  }
+
+  /** (retracted, ingested) for `batchId` in ONE driver job — the
+    * [[graft.operators.PersistedPostings]] fused-probe twin.
+    */
+  private def ledgerState(batchId: Long): (Boolean, Boolean) = {
+    val probes = Seq(retractTable, ingestTable).zip(Seq("r", "i")).flatMap {
+      case (tbl, tag) =>
+        if (!wh.exists(tbl)) None
+        else Some(wh.read(tbl, ingestSchema)
+          .filter(col("batch_id") === batchId).limit(1)
+          .select(lit(tag).as("__t")))
+    }
+    if (probes.isEmpty) (false, false)
+    else {
+      val hit = probes.reduce(_ unionAll _).collect().map(_.getString(0)).toSet
+      (hit.contains("r"), hit.contains("i"))
     }
   }
 
